@@ -1,0 +1,125 @@
+"""Codecs — serialization boundary, mirroring goka's Codec interface.
+
+goka codecs (reference: /root/reference/codec.go:3-7 and
+/root/reference/codec/codec.go) turn values into ``[]byte`` at every
+Kafka boundary.  Spark-first, a codec is primarily a *schema*: data
+stays in Tungsten's columnar/binary layout and is only materialized
+to bytes at genuine binary boundaries (emitting to a byte-oriented
+sink, multimodal blobs).  Each codec therefore exposes
+
+- ``spark_type`` — the Spark DataType the decoded value occupies,
+- ``encode_col`` / ``decode_col`` — **JVM-side** Column expressions
+  (no Python in the hot path),
+- ``encode`` / ``decode`` — driver-side scalar helpers for parity
+  with goka's API and for tests.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from abc import ABC, abstractmethod
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class Codec(ABC):
+    """Encode/decode between a typed value and bytes (goka codec.go:3-7)."""
+
+    spark_type: T.DataType
+
+    @abstractmethod
+    def encode(self, value: Any) -> bytes: ...
+
+    @abstractmethod
+    def decode(self, data: bytes) -> Any: ...
+
+    def encode_col(self, col: Column) -> Column:
+        raise NotImplementedError
+
+    def decode_col(self, col: Column) -> Column:
+        raise NotImplementedError
+
+
+class BytesCodec(Codec):
+    """Pass-through bytes (goka codec/codec.go Bytes)."""
+
+    spark_type = T.BinaryType()
+
+    def encode(self, value: Any) -> bytes:
+        return bytes(value)
+
+    def decode(self, data: bytes) -> Any:
+        return data
+
+    def encode_col(self, col: Column) -> Column:
+        return col.cast("binary")
+
+    def decode_col(self, col: Column) -> Column:
+        return col
+
+
+class StringCodec(Codec):
+    """UTF-8 strings (goka codec/codec.go String)."""
+
+    spark_type = T.StringType()
+
+    def encode(self, value: Any) -> bytes:
+        return str(value).encode("utf-8")
+
+    def decode(self, data: bytes) -> Any:
+        return data.decode("utf-8")
+
+    def encode_col(self, col: Column) -> Column:
+        return F.encode(col, "UTF-8")
+
+    def decode_col(self, col: Column) -> Column:
+        return F.decode(col, "UTF-8")
+
+
+class Int64Codec(Codec):
+    """Big-endian int64, matching goka's binary encoding width."""
+
+    spark_type = T.LongType()
+
+    def encode(self, value: Any) -> bytes:
+        return struct.pack(">q", int(value))
+
+    def decode(self, data: bytes) -> Any:
+        return struct.unpack(">q", data)[0]
+
+    def encode_col(self, col: Column) -> Column:
+        # JVM-side: hex string of the 8-byte big-endian value → unhex.
+        return F.unhex(F.lpad(F.hex(col.cast("long")), 16, "0"))
+
+    def decode_col(self, col: Column) -> Column:
+        return F.conv(F.hex(col), 16, 10).cast("long")
+
+
+class JsonCodec(Codec):
+    """JSON documents with a declared Spark schema (user codecs in goka
+    are typically JSON — e.g. examples/3-messaging MessageCodec)."""
+
+    def __init__(self, schema: T.StructType | str):
+        self._schema = schema
+
+    @property
+    def spark_type(self) -> T.DataType:  # lazy: DDL parsing needs the JVM
+        if isinstance(self._schema, str):
+            self._schema = T._parse_datatype_string(self._schema)
+        return self._schema
+
+    def encode(self, value: Any) -> bytes:
+        return json.dumps(value, sort_keys=True).encode("utf-8")
+
+    def decode(self, data: bytes) -> Any:
+        return json.loads(data.decode("utf-8"))
+
+    def encode_col(self, col: Column) -> Column:
+        return F.encode(F.to_json(col), "UTF-8")
+
+    def decode_col(self, col: Column) -> Column:
+        return F.from_json(F.decode(col, "UTF-8"), self.spark_type)

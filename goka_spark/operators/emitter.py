@@ -1,0 +1,68 @@
+"""Emitter — append key/value records to a stream dataset.
+
+goka's Emitter (reference: /root/reference/emitter.go:28-124) sends
+single key/value messages to a topic, async (Emit → Promise) or sync
+(EmitSync).  Spark-first there are two modes:
+
+- ``emit_dataframe(df)`` — the scale path: append a whole DataFrame
+  to the topic dataset (parquet append / any sink).
+- ``emit(key, value)`` / ``emit_sync`` — goka-API parity for driver
+  code & tests: buffered locally, flushed on ``finish()`` (mirrors
+  Emitter.Finish waiting for in-flight promises).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goka_spark.codecs import Codec
+
+
+class Emitter:
+    def __init__(self, spark: SparkSession, topic_path: str,
+                 codec: Optional[Codec] = None, value_col: str = "value"):
+        self.spark = spark
+        self.topic_path = topic_path
+        self.codec = codec
+        self.value_col = value_col
+        self._buffer: list[tuple[str, Any]] = []
+
+    def emit(self, key: Any, value: Any) -> None:
+        """Buffered single-record emit (Emitter.Emit, emitter.go:93)."""
+        if self.codec is not None:
+            # parity with goka: value must round-trip through the codec
+            value = self.codec.decode(self.codec.encode(value))
+        self._buffer.append((str(key), value))
+
+    def emit_sync(self, key: Any, value: Any) -> None:
+        """Emitter.EmitSync (emitter.go:119): emit + flush immediately."""
+        self.emit(key, value)
+        self.finish()
+
+    def emit_dataframe(self, df: DataFrame, key: Optional[str] = None,
+                       mode: str = "append") -> None:
+        """Bulk append — the distributed path."""
+        if key is not None:
+            df = df.withColumn("key", F.col(key).cast("string"))
+        df.write.mode(mode).parquet(self.topic_path)
+
+    def finish(self) -> None:
+        """Flush buffered records (Emitter.Finish, emitter.go:124)."""
+        if not self._buffer:
+            return
+        vt = self.codec.spark_type.simpleString() if self.codec else "string"
+        df = self.spark.createDataFrame(
+            self._buffer, schema=f"key string, {self.value_col} {vt}"
+        )
+        df.write.mode("append").parquet(self.topic_path)
+        self._buffer = []
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.topic_path)
+
+    def exists(self) -> bool:
+        return os.path.exists(self.topic_path)
