@@ -1,0 +1,88 @@
+"""Join strategies beyond plain equi-joins.
+
+- ``as_of_join`` — latest-state-as-of-event-time, the temporal analog
+  of goka's ctx.Join against a changing table.  Implemented with the
+  union + last_value window technique: ONE shuffle on the key, one
+  per-partition sort, no range explosion — scales to arbitrarily
+  large sides (vs. merge_asof which needs pandas per group).
+- ``salted_join`` — skew mitigation: replicate the small side S ways,
+  salt the big side's key, join, drop salt.
+- ``copartition`` — force identical hash partitioning across frames
+  (goka copartition_strategy.go), so downstream per-key stages reuse
+  one shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tolerance: Optional[Column] = None,
+    tiebreak: Optional[str] = None,
+) -> DataFrame:
+    """For each left row, attach ``value_cols`` from the latest right
+    row of the same ``on`` key with ``right_ts <= left_ts`` (backward
+    as-of).  Ties on right_ts resolved by ``tiebreak`` (largest wins).
+    """
+    l2 = left.withColumn("_ats", F.col(left_ts)).withColumn(
+        "_tag", F.lit(1)).withColumn("_tb", F.lit(None).cast("long"))
+    r2 = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ats"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).cast("long").alias("_tb"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+    ).withColumn("_tag", F.lit(0))
+    both = l2.unionByName(r2, allowMissingColumns=True)
+    # build rows (_tag=0) sort before probe rows at equal ts ⇒ a right
+    # row at exactly left_ts is visible to that left row.
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ats", "_tag", "_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = both
+    for c in value_cols:
+        out = out.withColumn(
+            f"asof_{c}", F.last(F.col(f"_v_{c}"), ignorenulls=True).over(w)
+        )
+    out = out.withColumn("_asof_ts", F.last(
+        F.when(F.col("_tag") == 0, F.col("_ats")), ignorenulls=True).over(w))
+    out = out.filter(F.col("_tag") == 1)
+    if tolerance is not None:
+        keep = F.col("_asof_ts") >= (F.col("_ats").cast("timestamp") - tolerance)
+        for c in value_cols:
+            out = out.withColumn(f"asof_{c}", F.when(keep, F.col(f"asof_{c}")))
+    drop = ["_ats", "_tag", "_tb", "_asof_ts"] + [f"_v_{c}" for c in value_cols]
+    return out.drop(*drop)
+
+
+def salted_join(big: DataFrame, small: DataFrame, on: str, salt: int = 16,
+                how: str = "inner") -> DataFrame:
+    """Skewed-key equi-join: salt the big side, explode the small side.
+
+    AQE's skew-join handles moderate skew automatically; this is the
+    explicit tool for pathological keys (one key ≫ a partition).
+    """
+    bs = big.withColumn("_salt", (F.rand(seed=7) * salt).cast("int"))
+    ss = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return bs.join(ss, on=[on, "_salt"], how=how).drop("_salt")
+
+
+def copartition(frames: dict[str, DataFrame], num_partitions: int,
+                key: str = "key") -> dict[str, DataFrame]:
+    """Hash-partition every frame identically on ``key`` (goka's
+    copartition invariant).  Spark guarantees same-hash ⇒ same
+    partition id for equal partition counts."""
+    return {n: df.repartition(num_partitions, key) for n, df in frames.items()}

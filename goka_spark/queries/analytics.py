@@ -1,6 +1,379 @@
-"""B-block queries — windowed + relational analytics. (filled in §7 step 3)"""
+"""B-block queries — event-time windows + relational analytics.
+
+Windowed aggregations over ``events`` (the Structured-Streaming-shaped
+workload) and TPC-H-style relational queries over the star schema
+(the batch/OLAP workload).  Every computed column aliased identically
+in Spark and DuckDB; timestamps emitted as epoch-micros longs.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from goka_spark.operators import windows as W
+from goka_spark.operators.joins import as_of_join
+from goka_spark.queries.base import load
+
+
+# -- windowed (B1-B3, B11-B12) ---------------------------------------
+
+def tumbling_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")["events"]
+    return W.tumbling(ev, "ts", "1 hour", ["event_type"], {
+        "cnt": F.count("*"),
+        "sum_value": F.round(F.sum("value"), 3),
+    })
+
+
+def hopping_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")["events"]
+    return W.hopping(ev, "ts", "1 hour", "30 minutes", ["event_type"], {
+        "cnt": F.count("*"),
+    })
+
+
+def session_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")["events"]
+    out = W.session(ev.withColumn("key", F.col("user_id").cast("string")),
+                    "ts", "30 minutes", ["key"], {"cnt": F.count("*")})
+    return out
+
+
+def running_total_per_user(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")["events"]
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        "event_id",
+        F.round(F.sum("value").over(w), 3).alias("running_value"),
+    )
+
+
+def event_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Assign a session ordinal per user: a new session starts when the
+    gap to the previous event exceeds 30 minutes (islands via lag)."""
+    ev = load(spark, sf, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("_new", new_sess)
+        .withColumn("session_id", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(F.col("user_id").cast("string").alias("key"), "event_id",
+                F.col("session_id").cast("long").alias("session_id"))
+    )
+
+
+# -- relational (B4-B8, B10, B14-B15) --------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1: scan-heavy aggregation; Catalyst pushes the shipdate
+    filter into the parquet scan and does map-side partial agg."""
+    li = load(spark, sf, "lineitem")["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                          * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    t = load(spark, sf, "customer", "orders", "lineitem")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1998-03-15"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1998-03-15"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(rev, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+                "o_orderpriority", "revenue")
+    )
+
+
+def q5_local_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5: 6-way star join; region/nation are broadcast dims."""
+    t = load(spark, sf, "region", "nation", "customer", "supplier",
+             "orders", "lineitem")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter((F.col("r_name") == "ASIA")
+                & (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01")))
+        .groupBy("n_name")
+        .agg(F.round(rev, 2).alias("revenue"))
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"))
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    t = load(spark, sf, "customer", "orders", "lineitem", "nation")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        t["lineitem"].filter(F.col("l_returnflag") == "R")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter((F.col("o_orderdate") >= F.lit("1996-10-01"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01")))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(rev, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def top_k_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 events by value within each event_type (rank-in-partition;
+    at scale: per-partition top-k then merge, no global sort)."""
+    ev = load(spark, sf, "events")["events"]
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "event_id", "value", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def distinct_users_per_type(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")["events"]
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("users"))
+
+
+def approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL++ approximate distinct (rows-only: estimates differ across
+    engines by design; the scale path for 100 TB cardinalities)."""
+    ev = load(spark, sf, "events")["events"]
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+
+
+def event_type_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")["events"]
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy(F.col("user_id").cast("string").alias("key"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .select("key", *[F.col(t).alias(f"n_{t}") for t in types])
+    )
+
+
+def as_of_join_q(spark: SparkSession, sf: str) -> DataFrame:
+    """B13: for each purchase, the user's most recent click at-or-before
+    the purchase time (goka: ctx.Join against evolving state, temporal)."""
+    ev = load(spark, sf, "events")["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"))
+    out = as_of_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["click_id"], tiebreak="click_id",
+    )
+    return out.select(
+        F.col("user_id").cast("string").alias("key"),
+        "event_id",
+        F.col("asof_click_id").alias("last_click_id"),
+    )
+
+
+QUERIES = {
+    "tumbling_window_agg": tumbling_window_agg,
+    "hopping_window_agg": hopping_window_agg,
+    "session_window_agg": session_window_agg,
+    "running_total_per_user": running_total_per_user,
+    "event_sessionize": event_sessionize,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier": q5_local_supplier,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
+    "top_k_per_group": top_k_per_group,
+    "distinct_users_per_type": distinct_users_per_type,
+    "approx_distinct_users": approx_distinct_users,
+    "event_type_pivot": event_type_pivot,
+    "as_of_join": as_of_join_q,
+}
+
+ORACLES = {
+    "tumbling_window_agg": """
+        SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+               event_type, COUNT(*) AS cnt, ROUND(SUM(value), 3) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "hopping_window_agg": """
+        SELECT epoch_us(time_bucket(INTERVAL '30 minutes', ts)
+                        - off * INTERVAL '30 minutes') AS window_start_us,
+               event_type, COUNT(*) AS cnt
+        FROM events CROSS JOIN (VALUES (0), (1)) AS hops(off)
+        GROUP BY 1, 2
+    """,
+    "session_window_agg": """
+        WITH marked AS (
+          SELECT CAST(user_id AS VARCHAR) AS key, ts,
+                 CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           > INTERVAL '30 minutes' OR
+                           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+        ), sess AS (
+          SELECT key, ts,
+                 SUM(new_sess) OVER (PARTITION BY key ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked
+        )
+        SELECT key, COUNT(*) AS cnt, epoch_us(MIN(ts)) AS session_start_us
+        FROM sess GROUP BY key, sid
+    """,
+    "running_total_per_user": """
+        SELECT CAST(user_id AS VARCHAR) AS key, event_id,
+               ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING), 3) AS running_value
+        FROM events
+    """,
+    "event_sessionize": """
+        WITH marked AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           > INTERVAL '30 minutes' OR
+                           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+        )
+        SELECT CAST(user_id AS VARCHAR) AS key, event_id,
+               CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM marked
+    """,
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+               o_orderpriority,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND o_orderkey = l_orderkey AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, o_orderkey
+        LIMIT 10
+    """,
+    "q5_local_supplier": """
+        SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem, orders, customer, supplier, nation, region
+        WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+    "q6_forecast_revenue": """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+    """,
+    "q10_returned_items": """
+        SELECT c_custkey, c_name, n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem, orders, customer, nation
+        WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, c_custkey
+        LIMIT 20
+    """,
+    "top_k_per_group": """
+        SELECT event_type, event_id, value, rk FROM (
+          SELECT event_type, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY value DESC, event_id) AS rk
+          FROM events
+        ) WHERE rk <= 3
+    """,
+    "distinct_users_per_type": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS users
+        FROM events GROUP BY event_type
+    """,
+    # approx_distinct_users: rows-only (engine-specific HLL estimates)
+    "event_type_pivot": """
+        SELECT CAST(user_id AS VARCHAR) AS key,
+               COUNT(*) FILTER (event_type = 'click') AS n_click,
+               COUNT(*) FILTER (event_type = 'view') AS n_view,
+               COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+               COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+               COUNT(*) FILTER (event_type = 'error') AS n_error
+        FROM events GROUP BY user_id
+    """,
+    "as_of_join": """
+        SELECT CAST(p.user_id AS VARCHAR) AS key, p.event_id, c.last_click_id
+        FROM events p
+        LEFT JOIN LATERAL (
+          SELECT event_id AS last_click_id FROM events c
+          WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts
+          ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+        ) c ON true
+        WHERE p.event_type = 'purchase'
+    """,
+}

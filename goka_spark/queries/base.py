@@ -20,6 +20,8 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     (identical to DuckDB's ns→us truncation).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # deterministic wall-clock semantics regardless of driver TZ
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = {}
     for n in names or TABLES:
         df = spark.read.parquet(f"{sf_dir}/{n}.parquet")

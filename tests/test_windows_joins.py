@@ -1,0 +1,77 @@
+"""Window + join-strategy operator unit tests."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from goka_spark.operators import windows as W
+from goka_spark.operators.joins import as_of_join, copartition, salted_join
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minute)
+
+
+def test_tumbling(spark):
+    df = spark.createDataFrame(
+        [(_ts(5), "a", 1.0), (_ts(50), "a", 2.0), (_ts(70), "a", 3.0)],
+        "ts timestamp, k string, v double")
+    out = W.tumbling(df, "ts", "1 hour", ["k"], {"cnt": F.count("*")})
+    got = {r.window_start_us: r.cnt for r in out.collect()}
+    h0 = int(dt.datetime(2024, 1, 1).timestamp() * 1e6)
+    assert got == {h0: 2, h0 + 3600 * 1_000_000: 1}
+
+
+def test_hopping_membership(spark):
+    df = spark.createDataFrame([(_ts(5), "a")], "ts timestamp, k string")
+    out = W.hopping(df, "ts", "1 hour", "30 minutes", ["k"], {"cnt": F.count("*")})
+    # one event in a 1h/30m hop belongs to exactly 2 windows
+    assert out.count() == 2
+
+
+def test_session_gap(spark):
+    df = spark.createDataFrame(
+        [(_ts(0), "a"), (_ts(10), "a"), (_ts(55), "a")], "ts timestamp, k string")
+    out = W.session(df, "ts", "30 minutes", ["k"], {"cnt": F.count("*")})
+    cnts = sorted(r.cnt for r in out.collect())
+    assert cnts == [1, 2]
+
+
+def test_as_of_backward_and_ties(spark):
+    left = spark.createDataFrame(
+        [("u", _ts(10), 100), ("u", _ts(30), 101), ("v", _ts(5), 102)],
+        "k string, ts timestamp, ev long")
+    right = spark.createDataFrame(
+        [("u", _ts(10), 7), ("u", _ts(10), 8), ("u", _ts(20), 9)],
+        "k string, ts timestamp, val long")
+    out = as_of_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                     value_cols=["val"], tiebreak="val")
+    got = {r.ev: r.asof_val for r in out.collect()}
+    # ev=100 at ts10: right rows at ts10 visible, tie → max val (8)
+    # ev=101 at ts30: latest right is ts20 → 9; v has no match → None
+    assert got == {100: 8, 101: 9, 102: None}
+
+
+def test_as_of_tolerance(spark):
+    left = spark.createDataFrame([("u", _ts(50), 1)], "k string, ts timestamp, ev long")
+    right = spark.createDataFrame([("u", _ts(0), 5)], "k string, ts timestamp, val long")
+    out = as_of_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                     value_cols=["val"],
+                     tolerance=F.expr("INTERVAL 10 MINUTES"))
+    assert out.first().asof_val is None
+
+
+def test_salted_join(spark):
+    big = spark.createDataFrame([("k", i) for i in range(100)], "j string, n long")
+    small = spark.createDataFrame([("k", "payload")], "j string, p string")
+    out = salted_join(big, small, on="j", salt=8)
+    assert out.count() == 100
+    assert out.select("p").distinct().first().p == "payload"
+
+
+def test_copartition_same_counts(spark):
+    a = spark.range(10).select(F.col("id").cast("string").alias("key"))
+    b = spark.range(10).select(F.col("id").cast("string").alias("key"))
+    parts = copartition({"a": a, "b": b}, 4)
+    assert parts["a"].rdd.getNumPartitions() == 4
+    assert parts["b"].rdd.getNumPartitions() == 4
