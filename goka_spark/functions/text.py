@@ -1,0 +1,80 @@
+"""Text-analysis columns — language ID, quality, tokens, fingerprints.
+
+All pure Column expressions (JVM-side, whole-stage codegen): at 100 TB
+these run inside the parquet scan stage with zero Python cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish tokenizer: letter runs, digit runs, or single non-space symbol
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "zu", "ist", "ein", "nicht"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "et", "de", "un", "est", "que", "pour"],
+}
+
+
+def words(text: Column) -> Column:
+    """Non-empty whitespace-delimited words."""
+    return F.filter(F.split(text, r"\s+"), lambda w: w != "")
+
+
+def ws_token_count(text: Column) -> Column:
+    return F.size(words(text))
+
+
+def re_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), 0))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Count word occurrences (with duplicates) from a stopword list."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(words(text), lambda w: F.array_contains(sw, w)))
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-vote language heuristic with a fixed tie order
+    (en > de > es > fr) so results are engine-independent."""
+    s = {lang: stopword_hits(text, lang) for lang in STOPWORDS}
+    return (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: favors mid-length docs,
+    penalizes punctuation soup and stopword-free keyword stuffing."""
+    n_words = ws_token_count(text).cast("double")
+    n_chars = F.length(text).cast("double")
+    punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0)).cast("double")
+    sw = stopword_hits(text, "en").cast("double")
+    len_score = F.least(n_words / F.lit(64.0), F.lit(1.0))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1.0))
+    sw_ratio = sw / F.greatest(n_words, F.lit(1.0))
+    return F.round(
+        F.lit(0.5) * len_score
+        + F.lit(0.25) * F.least(sw_ratio * 4, F.lit(1.0))
+        + F.lit(0.25) * (1 - F.least(punct_ratio * 4, F.lit(1.0))),
+        4,
+    )
+
+
+def fingerprint(text: Column, shingle_len: int = 8) -> Column:
+    """Winnowing-style rolling fingerprint: minimum md5 over all
+    ``shingle_len``-char substrings (content-defined, shift-invariant).
+    """
+    n = F.greatest(F.length(text) - (shingle_len - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), n)
+    return F.array_min(
+        F.transform(idx, lambda i: F.md5(F.encode(F.substring(text, i, shingle_len), "UTF-8")))
+    )

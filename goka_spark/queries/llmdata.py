@@ -1,6 +1,220 @@
-"""C-block queries — LLM-data-pipeline operators. (filled in §7 step 4)"""
+"""C-block queries — LLM-training-data pipeline operators over the
+``documents`` and ``embeddings`` tables."""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goka_spark.functions import dedup as D
+from goka_spark.functions import multimodal as M
+from goka_spark.functions import similarity as S
+from goka_spark.functions import text as T
+from goka_spark.queries.base import load
+
+
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")["documents"]
+    return D.exact_dedup(docs, "doc_id", "text")
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Rows-only: MinHash signatures per doc (banding + pair-join
+    exercised in tests with planted near-dups; random test corpus has
+    none).  Output is the signature table the LSH join consumes."""
+    docs = load(spark, sf, "documents")["documents"]
+    sigs = D.minhash_signatures(docs, "doc_id", "text", num_perm=32)
+    return sigs.select(
+        "doc_id",
+        F.xxhash64(F.col("minhash").cast("array<string>")).alias("sig_hash"),
+        F.element_at("minhash", 1).alias("minhash_0"),
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Rows-only: 63-bit SimHash per document (xxhash64 has no DuckDB
+    twin; determinism asserted in tests)."""
+    docs = load(spark, sf, "documents")["documents"]
+    return D.simhash(docs, "doc_id", "text")
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")["documents"].filter(F.col("doc_id") < 200)
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.05)
+
+
+def embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    return S.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+
+
+def embedding_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """Rows-only: approximate neighbors (bucketing is engine-side)."""
+    emb = load(spark, sf, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    return S.lsh_ann(emb, queries, "vec_id", "embedding", k=5, bits=8)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")["embeddings"]
+    return S.cosine_near_pairs(emb, "vec_id", "embedding",
+                               threshold=0.3, probe_limit=100)
+
+
+def lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")["documents"]
+    return docs.select("doc_id", T.lang_id(F.col("text")).alias("pred_lang"))
+
+
+def doc_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")["documents"]
+    return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+def token_count(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")["documents"]
+    return docs.select(
+        "doc_id",
+        T.ws_token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        T.re_token_count(F.col("text")).cast("long").alias("re_tokens"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")["documents"]
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+def multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-column plumbing end-to-end: attach blob → mapInPandas
+    decode (stubbed codec, real Arrow batching) → typed metadata."""
+    docs = load(spark, sf, "documents")["documents"]
+    return M.decode_image_meta(M.attach_blob(docs), "doc_id", "blob")
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "embedding_cosine_topk": embedding_cosine_topk,
+    "embedding_lsh_ann": embedding_lsh_ann,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "lang_id": lang_id,
+    "doc_quality_score": doc_quality_score,
+    "token_count": token_count,
+    "doc_fingerprint": doc_fingerprint,
+    "multimodal_decode": multimodal_decode,
+}
+
+_WORDS = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+
+def _sw_hits(lang_list: str) -> str:
+    return f"len(list_filter({_WORDS}, w -> w IN ({lang_list})))"
+
+
+_SW = {
+    "en": "'the','a','and','of','to','in','is','it'",
+    "de": "'der','die','das','und','zu','ist','ein','nicht'",
+    "es": "'el','la','de','que','y','en','un','es'",
+    "fr": "'le','la','et','de','un','est','que','pour'",
+}
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id,
+               COUNT(*) AS dup_cnt
+        FROM documents GROUP BY md5(text)
+    """,
+    "ngram_jaccard_pairs": """
+        WITH sh AS (
+          SELECT doc_id AS doc, UNNEST(list_distinct(list_transform(
+                   range(1, greatest(len(words) - 2, 1) + 1),
+                   i -> array_to_string(words[i:i+2], ' ')))) AS sh
+          FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
+                FROM documents WHERE doc_id < 200)
+        ), sizes AS (
+          SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc
+        ), shared AS (
+          SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS shared
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+          GROUP BY a.doc, b.doc
+        )
+        SELECT id_a, id_b,
+               ROUND(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 4) AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.doc = id_a
+        JOIN sizes sb ON sb.doc = id_b
+        WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.05
+    """,
+    "embedding_cosine_topk": """
+        SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos, rk FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                            c.vec_id) AS rk
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 20
+        ) WHERE rk <= 5
+    """,
+    "dedup_embedding_cosine": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 100
+          AND ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) > 0.3
+    """,
+    "lang_id": f"""
+        SELECT doc_id,
+               CASE
+                 WHEN {_sw_hits(_SW['en'])} >= {_sw_hits(_SW['de'])}
+                  AND {_sw_hits(_SW['en'])} >= {_sw_hits(_SW['es'])}
+                  AND {_sw_hits(_SW['en'])} >= {_sw_hits(_SW['fr'])} THEN 'en'
+                 WHEN {_sw_hits(_SW['de'])} >= {_sw_hits(_SW['es'])}
+                  AND {_sw_hits(_SW['de'])} >= {_sw_hits(_SW['fr'])} THEN 'de'
+                 WHEN {_sw_hits(_SW['es'])} >= {_sw_hits(_SW['fr'])} THEN 'es'
+                 ELSE 'fr'
+               END AS pred_lang
+        FROM documents
+    """,
+    "doc_quality_score": f"""
+        SELECT doc_id, ROUND(
+            0.5 * LEAST(n_words / 64.0, 1.0)
+          + 0.25 * LEAST(sw / GREATEST(n_words, 1.0) * 4, 1.0)
+          + 0.25 * (1 - LEAST(punct / GREATEST(n_chars_d, 1.0) * 4, 1.0)), 4)
+          AS quality
+        FROM (
+          SELECT doc_id,
+                 CAST(len({_WORDS}) AS DOUBLE) AS n_words,
+                 CAST(length(text) AS DOUBLE) AS n_chars_d,
+                 CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS punct,
+                 CAST({_sw_hits(_SW['en'])} AS DOUBLE) AS sw
+          FROM documents
+        )
+    """,
+    "token_count": f"""
+        SELECT doc_id,
+               CAST(len({_WORDS}) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                    AS BIGINT) AS re_tokens
+        FROM documents
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id,
+               list_min(list_transform(
+                 range(1, greatest(length(text) - 7, 1) + 1),
+                 i -> md5(substr(text, CAST(i AS INTEGER), 8)))) AS fp
+        FROM documents
+    """,
+    "multimodal_decode": """
+        SELECT doc_id,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               CAST((strlen(text) * 7) % 640 AS BIGINT) AS width,
+               CAST((strlen(text) * 13) % 480 AS BIGINT) AS height,
+               'stub' AS fmt
+        FROM documents
+    """,
+}
