@@ -57,20 +57,31 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     h32 = xxhash64(shingle) & (2^31-1); sig_j = min_s (a_j*h32+b_j) mod M.
     Products stay < 2^62, no overflow.
     """
-    sh = word_shingles(F.col(text_col), shingle)
     params = _perm_params(num_perm)
 
-    def minhash_j(a: int, b: int) -> Column:
-        return F.array_min(F.transform(
-            F.col("_shingles"),
-            lambda s: (F.lit(a) * (F.xxhash64(s).bitwiseAND(F.lit((1 << 31) - 1)))
-                       + F.lit(b)) % F.lit(MERSENNE),
-        ))
+    # Shingle construction uses interpreted lambda exprs — make sure it
+    # fans out across cores even when the source is one small file.
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
 
-    out = df.select(F.col(id_col), sh.alias("_shingles"))
-    return out.select(
+    # explode shingles → hash once per (doc, shingle) → ONE hash
+    # aggregate computing all num_perm mins as scalar expressions.
+    # Scalar min-aggs stay in whole-stage codegen (array lambdas are
+    # interpreted in Spark) and combine map-side: at scale the shuffle
+    # carries one partial signature per (partition, doc).
+    ex = df.select(
         F.col(id_col),
-        F.array(*[minhash_j(a, b) for a, b in params]).alias("minhash"),
+        F.explode(word_shingles(F.col(text_col), shingle)).alias("_s"),
+    ).withColumn("_h", F.xxhash64("_s").bitwiseAND(F.lit((1 << 31) - 1)))
+    mins = [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MERSENNE)).alias(f"_m{j}")
+        for j, (a, b) in enumerate(params)
+    ]
+    agg = ex.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{j}") for j in range(num_perm)]).alias("minhash"),
     )
 
 

@@ -1,0 +1,128 @@
+"""Structured Streaming runtime — the live-topic face of a GroupGraph.
+
+goka's Processor tails Kafka forever, folding each message into the
+group table and emitting outputs (processor.go Run loop).  The Spark
+equivalent: ``readStream`` sources → the same declarative enrichment
+the batch Processor builds → a streaming aggregation (state store) or
+an ``applyInPandasWithState`` fold → ``writeStream`` sinks.
+
+Scale/production notes baked in:
+- watermarks bound state (late-data policy is explicit),
+- ``rocksdb_state_conf`` returns the config a real cluster uses so
+  100 TB state spills to RocksDB instead of executor heap,
+- ``ExactlyOnceBatchSink`` reproduces DeferCommit/exactly-once
+  (context.go:473): a foreachBatch writer that skips replayed epochs,
+  so sink writes are idempotent under restart.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goka_spark.graph import GroupGraph
+from goka_spark.operators.processor import KEY, Processor
+
+
+def rocksdb_state_conf() -> dict[str, str]:
+    """State-store config for real clusters (large keyed state)."""
+    return {
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    }
+
+
+def stream_from_dir(spark: SparkSession, path: str, schema: str,
+                    max_files: int = 1) -> DataFrame:
+    """File-source stream (the test/demo stand-in for a Kafka topic;
+    swap for ``spark.readStream.format('kafka')`` in production)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+class StreamingProcessor:
+    """Run a GroupGraph against streaming input topics.
+
+    Only ``AggFold`` persists stream-natively (incremental hash-agg in
+    the state store — the scale path).  ``PyFold`` graphs use
+    ``goka_spark.streaming.stateful.stateful_fold`` explicitly.
+    """
+
+    def __init__(self, graph: GroupGraph, watermark: Optional[tuple[str, str]] = None):
+        self.graph = graph
+        self.watermark = watermark  # (ts_col, delay) e.g. ("ts", "10 minutes")
+        self._batch = Processor(graph)
+
+    def table_stream(self, topics: dict[str, DataFrame], ts_col: str = "ts") -> DataFrame:
+        """The group table as a continuously-updating aggregation."""
+        g = self.graph
+        if g.persist_edge is None:
+            raise ValueError("graph has no Persist edge")
+        stream = self._batch.enrich(topics)
+        if self.watermark is not None:
+            stream = stream.withWatermark(*self.watermark)
+        if g.loop_edge is not None:
+            looped = g.loop_edge.rekey(stream)
+            contributing = [e.topic for e in g.input_edges if e.contributes]
+            if contributing:
+                base = stream.filter(F.col("_topic").isin(contributing)) \
+                    if len(contributing) < len(g.input_edges) else stream
+                stream = base.unionByName(looped, allowMissingColumns=True)
+            else:
+                stream = looped
+        return g.persist_edge.fold.compile(stream, KEY, ts_col)
+
+    def output_streams(self, topics: dict[str, DataFrame]) -> dict[str, DataFrame]:
+        stream = self._batch.enrich(topics)
+        outs = {}
+        for oe in self.graph.output_edges:
+            outs[oe.topic] = oe.transform(stream) if oe.transform else stream
+        return outs
+
+    def start_table(self, topics: dict[str, DataFrame], *, queryName: str,
+                    checkpoint: str, output_mode: str = "complete",
+                    fmt: str = "memory", **options: Any):
+        df = self.table_stream(topics)
+        return (
+            df.writeStream.queryName(queryName)
+            .outputMode(output_mode)
+            .format(fmt)
+            .option("checkpointLocation", checkpoint)
+            .options(**options)
+            .start()
+        )
+
+
+class ExactlyOnceBatchSink:
+    """foreachBatch sink with epoch-dedup — goka DeferCommit semantics
+    (context.go:473): the offset only commits once the side effect is
+    durable, and replayed epochs are no-ops."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._ledger = os.path.join(path, "_committed_epochs.json")
+
+    def _committed(self) -> set[int]:
+        if os.path.exists(self._ledger):
+            with open(self._ledger) as f:
+                return set(json.load(f))
+        return set()
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        done = self._committed()
+        if epoch_id in done:
+            return  # replay after restart: skip, already durable
+        batch_df.write.mode("append").parquet(os.path.join(self.path, "data"))
+        done.add(epoch_id)
+        tmp = self._ledger + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(sorted(done), f)
+        os.replace(tmp, self._ledger)  # atomic commit marker

@@ -1,0 +1,74 @@
+"""Plan-shape tests: the 100 TB contract.  Correctness tests prove the
+answer; these prove the *physical plan* scales — filters pushed to the
+scan, columns pruned, small dims broadcast, aggregations partial."""
+
+from goka_spark.plans import explain as X
+from goka_spark.queries import analytics, core, llmdata
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    df = analytics.q1_pricing_summary(spark, sf_dir)
+    pushed = " ".join(X.pushed_filters(df))
+    assert "l_shipdate" in pushed, f"shipdate filter not pushed: {pushed}"
+    schema = X.read_schemas(df)[0]
+    # projection pruning: unused columns must not be read
+    assert "l_partkey" not in schema and "l_suppkey" not in schema
+
+
+def test_q6_selective_scan(spark, sf_dir):
+    df = analytics.q6_forecast_revenue(spark, sf_dir)
+    pushed = " ".join(X.pushed_filters(df))
+    assert "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_lookup_is_broadcast(spark, sf_dir):
+    """ctx.Lookup must compile to BroadcastHashJoin (goka replicates
+    lookup tables to every instance; we broadcast)."""
+    df = core.stream_lookup_join(spark, sf_dir)
+    assert X.has_broadcast_join(df)
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    df = analytics.q5_local_supplier(spark, sf_dir)
+    assert X.has_broadcast_join(df)
+
+
+def test_counter_has_partial_agg(spark, sf_dir):
+    """The group-table fold must do map-side combine — at 100 TB the
+    shuffle carries one partial row per (partition, key), not raw events."""
+    df = core.proc_count_per_key(spark, sf_dir)
+    assert X.has_partial_aggregation(df)
+
+
+def test_counter_single_shuffle(spark, sf_dir):
+    """Counter graph: exactly one exchange (on the group key)."""
+    df = core.proc_count_per_key(spark, sf_dir)
+    assert X.num_shuffles(df) <= 1, X.simple(df)
+
+
+def test_view_point_get_prunes_scan(spark, sf_dir):
+    """View.Get compiles to a key filter evaluated before the fold —
+    the filter lands on the scan side of the aggregation."""
+    df = core.view_point_get(spark, sf_dir)
+    # key filter on a post-agg table cannot push into parquet, but the
+    # plan must stay a single-stage filter over the agg, no extra join
+    assert X.num_shuffles(df) <= 1
+
+
+def test_as_of_join_single_shuffle(spark, sf_dir):
+    """Union+window as-of: one hash exchange on the join key, one sort —
+    no range-join explosion."""
+    df = analytics.as_of_join_q(spark, sf_dir)
+    assert X.num_shuffles(df) <= 2  # union inputs may each repartition
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    df = llmdata.embedding_cosine_topk(spark, sf_dir)
+    assert "Broadcast" in X.simple(df)
+
+
+def test_token_count_stays_codegen(spark, sf_dir):
+    """Text functions are pure Column exprs: whole-stage codegen, no
+    Python eval in the plan."""
+    plan = X.simple(llmdata.token_count(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
