@@ -220,6 +220,79 @@ def as_of_join_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 (adapted): trade volume between two nations by year."""
+    t = load(spark, sf, "supplier", "lineitem", "orders", "customer", "nation")
+    n1 = t["nation"].select(F.col("n_nationkey").alias("s_nk"),
+                            F.col("n_name").alias("supp_nation"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("c_nk"),
+                            F.col("n_name").alias("cust_nation"))
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+                | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.round(rev, 2).alias("revenue"))
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share over one month of shipments."""
+    t = load(spark, sf, "lineitem", "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(F.lit(0.0))
+    return (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= F.lit("1996-09-01"))
+                & (F.col("l_shipdate") < F.lit("1996-10-01")))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .agg(F.round(F.sum(promo) * 100.0 / F.sum(disc), 4).alias("promo_revenue"))
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18: customers with orders above a quantity threshold."""
+    t = load(spark, sf, "customer", "orders", "lineitem")
+    big = (
+        t["lineitem"].groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 150)
+    )
+    return (
+        t["orders"].join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("_q"), 2).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select("c_name", "c_custkey", "o_orderkey",
+                F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty")
+    )
+
+
+def q19_discounted_brand(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 (adapted to schema): branded parts in quantity bands."""
+    t = load(spark, sf, "lineitem", "part")
+    return (
+        t["lineitem"].join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 15)
+             & F.col("l_quantity").between(1, 20))
+            | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 30)
+               & F.col("l_quantity").between(10, 30))
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
 QUERIES = {
     "tumbling_window_agg": tumbling_window_agg,
     "hopping_window_agg": hopping_window_agg,
@@ -236,6 +309,10 @@ QUERIES = {
     "approx_distinct_users": approx_distinct_users,
     "event_type_pivot": event_type_pivot,
     "as_of_join": as_of_join_q,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q19_discounted_brand": q19_discounted_brand,
 }
 
 ORACLES = {
@@ -375,5 +452,47 @@ ORACLES = {
           ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
         ) c ON true
         WHERE p.event_type = 'purchase'
+    """,
+    "q7_volume_shipping": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem, orders, supplier, customer, nation n1, nation n2
+        WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+          AND o_custkey = c_custkey AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3
+    """,
+    "q14_promo_revenue": """
+        SELECT ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+               * 100.0 / SUM(l_extendedprice * (1 - l_discount)), 4)
+               AS promo_revenue
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+    "q18_large_orders": """
+        SELECT c_name, c_custkey, o_orderkey,
+               ROUND(o_totalprice, 2) AS o_totalprice,
+               ROUND(SUM(l_quantity), 2) AS total_qty
+        FROM customer, orders, lineitem
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > 150)
+          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+    "q19_discounted_brand": """
+        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND ((p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity BETWEEN 1 AND 20)
+            OR (p_brand = 'Brand#2' AND p_size <= 30 AND l_quantity BETWEEN 10 AND 30))
     """,
 }
