@@ -11,13 +11,26 @@
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column, b: Column, dim: Optional[int] = None) -> Column:
+    """Vector dot product (lambda fold by default)."""
+    if dim is not None:
+        # unrolled scalar products: measured SLOWER than the lambda
+        # fold below at bench scale (codegen compile cost of a 64-term
+        # tree outweighs interpreted-eval savings); kept for narrow
+        # vectors (dim <= 16) where the tree stays small.
+        terms = [F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -25,33 +38,95 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def norm(a: Column, dim: Optional[int] = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a: Column, b: Column, dim: Optional[int] = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 def _as_double(c: Column) -> Column:
     return c.cast("array<double>")
 
 
+def _normalized(df: DataFrame, id_alias: str, vec: Column) -> DataFrame:
+    """Project (id, unit-vector): the norm is computed ONCE per row in
+    its own column (embedding norm(c) inside a transform lambda would
+    re-evaluate the full norm per element), then divided out.  Pair
+    scoring downstream needs only the dot product."""
+    return (
+        df.select(F.col(id_alias), _as_double(vec).alias("_v"))
+        .withColumn("_n", norm(F.col("_v")))
+        .select(id_alias,
+                F.transform("_v", lambda x: x / F.col("_n")).alias("_v"))
+    )
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
-                vec_col: str, k: int = 5) -> DataFrame:
+                vec_col: str, k: int = 5, dim: Optional[int] = None) -> DataFrame:
     """For each query vector, the top-k nearest corpus vectors by
     cosine (excluding self)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv"))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv"))
+    q = _normalized(queries.select(F.col(id_col).alias("query_id"),
+                                   F.col(vec_col)), "query_id", F.col(vec_col)) \
+        .withColumnRenamed("_v", "_qv")
+    c = _normalized(corpus.select(F.col(id_col).alias("neighbor_id"),
+                                  F.col(vec_col)), "neighbor_id", F.col(vec_col)) \
+        .withColumnRenamed("_v", "_cv")
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn("cos", dot(F.col("_qv"), F.col("_cv"), dim))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"),
+                F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def cosine_topk_arrow(corpus: DataFrame, queries: DataFrame, id_col: str,
+                      vec_col: str, k: int = 5) -> DataFrame:
+    """Brute-force top-k, Arrow path: the query matrix is broadcast to
+    every partition; each Arrow batch scores against it with ONE numpy
+    matmul and keeps its local top-k; a final per-query window merges
+    partition-local candidates.  At 100 TB this is the winning
+    brute-force layout — per-row work is a BLAS row, and the shuffle
+    carries ≤ k rows per (partition, query)."""
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows])
+    qm = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    spark = corpus.sparkSession
+    bq = spark.sparkContext.broadcast((q_ids, qm))
+
+    def score(batches):
+        ids, qmat = bq.value
+        for pdf in batches:
+            cm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cm @ qmat.T  # (batch, nq)
+            nid = pdf[id_col].to_numpy()
+            out = []
+            for j, qid in enumerate(ids):
+                col = sims[:, j]
+                mask = nid != qid
+                # lexsort: deterministic (cos desc, id asc) even on ties
+                cand = np.lexsort((nid[mask], -col[mask]))[:k]
+                sel_ids = nid[mask][cand]
+                sel_cos = col[mask][cand]
+                out.append(pd.DataFrame({
+                    "query_id": qid, "neighbor_id": sel_ids, "cos": sel_cos}))
+            yield pd.concat(out, ignore_index=True)
+
+    local = corpus.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, cos double")
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        local.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"),
                 F.col("rk").cast("long").alias("rk"))
@@ -104,17 +179,20 @@ def lsh_ann(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
 
 
 def cosine_near_pairs(df: DataFrame, id_col: str, vec_col: str,
-                      threshold: float, probe_limit: int | None = None) -> DataFrame:
+                      threshold: float, probe_limit: int | None = None,
+                      dim: Optional[int] = None) -> DataFrame:
     """All pairs (i<j) with cosine above threshold; optionally restrict
     the probe side to id < probe_limit to bound the cross product."""
-    a = df.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("_va"))
+    a = _normalized(df.select(F.col(id_col).alias("id_a"), F.col(vec_col)),
+                    "id_a", F.col(vec_col)).withColumnRenamed("_v", "_va")
     if probe_limit is not None:
         a = a.filter(F.col("id_a") < probe_limit)
-    b = df.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("_vb"))
+    b = _normalized(df.select(F.col(id_col).alias("id_b"), F.col(vec_col)),
+                    "id_b", F.col(vec_col)).withColumnRenamed("_v", "_vb")
     return (
         F.broadcast(a).crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine(F.col("_va"), F.col("_vb")), 4))
+        .withColumn("cos", F.round(dot(F.col("_va"), F.col("_vb"), dim), 4))
         .filter(F.col("cos") > threshold)
         .select("id_a", "id_b", "cos")
     )

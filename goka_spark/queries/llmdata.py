@@ -44,9 +44,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow/BLAS path (one numpy matmul per batch, partition-local
+    top-k); S.cosine_topk is the pure-SQL-expression equivalent —
+    tests assert they agree."""
     emb = load(spark, sf, "embeddings")["embeddings"]
     queries = emb.filter(F.col("vec_id") < 20)
-    return S.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    return S.cosine_topk_arrow(emb, queries, "vec_id", "embedding", k=5)
 
 
 def embedding_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:

@@ -84,6 +84,18 @@ def test_lsh_ann_overlaps_bruteforce(spark, sf_dir):
     assert len(e & a) >= 5  # measured 7/25 with seed 42 (deterministic)
 
 
+def test_cosine_topk_arrow_matches_exact(spark, sf_dir):
+    from goka_spark.queries.base import load
+
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = S.cosine_topk(emb, q, "vec_id", "embedding", k=5)
+    arrow = S.cosine_topk_arrow(emb, q, "vec_id", "embedding", k=5)
+    e = {(r.query_id, r.neighbor_id, r.rk) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id, r.rk) for r in arrow.collect()}
+    assert e == a
+
+
 def test_text_functions(spark):
     df = spark.createDataFrame(
         [(1, "the cat is on the mat!"), (2, "")], "id long, text string")

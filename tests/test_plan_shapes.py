@@ -62,9 +62,25 @@ def test_as_of_join_single_shuffle(spark, sf_dir):
     assert X.num_shuffles(df) <= 2  # union inputs may each repartition
 
 
-def test_cosine_topk_broadcasts_queries(spark, sf_dir):
-    df = llmdata.embedding_cosine_topk(spark, sf_dir)
+def test_cosine_topk_expr_broadcasts_queries(spark, sf_dir):
+    from goka_spark.functions import similarity as S
+    from goka_spark.queries.base import load
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    q = emb.filter(F.col("vec_id") < 5)
+    df = S.cosine_topk(emb, q, "vec_id", "embedding", k=5)
     assert "Broadcast" in X.simple(df)
+
+
+def test_cosine_topk_arrow_no_corpus_shuffle(spark, sf_dir):
+    """Arrow path: scoring is map-side (mapInPandas against the
+    broadcast query matrix); only the ≤k-per-partition candidates
+    shuffle for the final merge."""
+    df = llmdata.embedding_cosine_topk(spark, sf_dir)
+    plan = X.simple(df)
+    assert "MapInPandas" in plan
+    assert X.num_shuffles(df) <= 1
 
 
 def test_token_count_stays_codegen(spark, sf_dir):

@@ -1,0 +1,32 @@
+"""Stats surface (stats.go analog)."""
+
+from pyspark.sql import functions as F
+
+from goka_spark import AggFold, Processor, define_group, input_stream, output, persist
+from goka_spark.stats import processor_stats, table_stats
+
+
+def test_processor_stats(spark):
+    ev = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("b", 3, 3.0)],
+        "key string, ts long, value double")
+    g = define_group(
+        "s", input_stream("t"),
+        persist(AggFold({"cnt": F.count("*")})),
+        output("o", transform=lambda df: df.filter(F.col("value") > 1.5)),
+    )
+    r = Processor(g).run({"t": ev})
+    st = processor_stats(r)
+    assert st["group"] == "s"
+    assert st["input_counts"] == {"t": 3}
+    assert st["output_counts"] == {"o": 2}
+    assert st["table"]["keys"] == 2
+    assert st["table"]["unique_key_invariant"]
+
+
+def test_table_stats_empty_graph(spark):
+    ev = spark.createDataFrame([("a", 1)], "key string, ts long")
+    g = define_group("s2", input_stream("t"),
+                     output("o", transform=lambda df: df))
+    r = Processor(g).run({"t": ev})
+    assert table_stats(r) == {"keys": 0, "partitions": 0}
