@@ -293,6 +293,56 @@ def q19_discounted_brand(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence analytics: users whose first click precedes their last
+    purchase (click->purchase funnel), with conversion lag."""
+    ev = load(spark, sf, "events")["events"]
+    per_user = (
+        ev.groupBy(F.col("user_id").cast("string").alias("key"))
+        .agg(
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("_fc"),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("_lp"),
+        )
+    )
+    return (
+        per_user.filter(F.col("_fc").isNotNull() & F.col("_lp").isNotNull()
+                        & (F.col("_fc") < F.col("_lp")))
+        .select("key",
+                ((F.unix_micros("_lp") - F.unix_micros("_fc")) / 1_000_000)
+                .cast("long").alias("lag_s"))
+    )
+
+
+def user_retention_cohort(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day; per cohort,
+    distinct users and total active user-days."""
+    ev = load(spark, sf, "events")["events"]
+    first_day = F.date_format(F.min("ts"), "yyyy-MM-dd")
+    per_user = ev.groupBy("user_id").agg(
+        first_day.alias("cohort"),
+        F.count_distinct(F.date_format("ts", "yyyy-MM-dd")).alias("_days"),
+    )
+    return per_user.groupBy("cohort").agg(
+        F.count("*").alias("users"),
+        F.sum("_days").alias("active_user_days"),
+    )
+
+
+def event_dedup_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-style dedup: drop events repeating the same (user, type)
+    within 5 minutes of the previous kept occurrence's arrival — the
+    batch analog of dropDuplicatesWithinWatermark (lag-based)."""
+    ev = load(spark, sf, "events")["events"]
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        ev.withColumn("_gap", gap)
+        .filter(F.col("_gap").isNull() | (F.col("_gap") > 5 * 60 * 1_000_000))
+        .select(F.col("user_id").cast("string").alias("key"), "event_id",
+                "event_type")
+    )
+
+
 QUERIES = {
     "tumbling_window_agg": tumbling_window_agg,
     "hopping_window_agg": hopping_window_agg,
@@ -313,6 +363,9 @@ QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "q18_large_orders": q18_large_orders,
     "q19_discounted_brand": q19_discounted_brand,
+    "funnel_conversion": funnel_conversion,
+    "user_retention_cohort": user_retention_cohort,
+    "event_dedup_window": event_dedup_window,
 }
 
 ORACLES = {
@@ -388,7 +441,7 @@ ORACLES = {
           AND o_orderdate < TIMESTAMP '1998-03-15'
           AND o_orderkey = l_orderkey AND l_shipdate > TIMESTAMP '1998-03-15'
         GROUP BY o_orderkey, o_orderdate, o_orderpriority
-        ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, o_orderkey
+        ORDER BY ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) DESC, o_orderkey
         LIMIT 10
     """,
     "q5_local_supplier": """
@@ -418,7 +471,7 @@ ORACLES = {
           AND o_orderdate < TIMESTAMP '1997-01-01'
           AND o_custkey = c_custkey AND c_nationkey = n_nationkey
         GROUP BY c_custkey, c_name, n_name
-        ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, c_custkey
+        ORDER BY ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) DESC, c_custkey
         LIMIT 20
     """,
     "top_k_per_group": """
@@ -494,5 +547,31 @@ ORACLES = {
         WHERE l_partkey = p_partkey
           AND ((p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity BETWEEN 1 AND 20)
             OR (p_brand = 'Brand#2' AND p_size <= 30 AND l_quantity BETWEEN 10 AND 30))
+    """,
+    "funnel_conversion": """
+        SELECT key, CAST(epoch_us(lp) - epoch_us(fc) AS BIGINT) // 1000000 AS lag_s
+        FROM (
+          SELECT CAST(user_id AS VARCHAR) AS key,
+                 MIN(CASE WHEN event_type = 'click' THEN ts END) AS fc,
+                 MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS lp
+          FROM events GROUP BY user_id
+        ) WHERE fc IS NOT NULL AND lp IS NOT NULL AND fc < lp
+    """,
+    "user_retention_cohort": """
+        SELECT cohort, COUNT(*) AS users,
+               CAST(SUM(days) AS BIGINT) AS active_user_days
+        FROM (
+          SELECT strftime(MIN(ts), '%Y-%m-%d') AS cohort,
+                 COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS days
+          FROM events GROUP BY user_id
+        ) GROUP BY cohort
+    """,
+    "event_dedup_window": """
+        SELECT key, event_id, event_type FROM (
+          SELECT CAST(user_id AS VARCHAR) AS key, event_id, event_type,
+                 epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id)) AS gap
+          FROM events
+        ) WHERE gap IS NULL OR gap > 5 * 60 * 1000000
     """,
 }

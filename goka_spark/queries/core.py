@@ -256,6 +256,27 @@ def codec_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def changelog_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    """Compacted table topic (graph.go:44): two epochs of deltas +
+    a tombstone, read back compacted (last-write-wins, deletes drop).
+    Rows-only: exercises the append/compact/replay path."""
+    import shutil
+
+    from goka_spark.operators.changelog import ChangelogTable
+
+    path = os.path.join(tempfile.gettempdir(), "goka_spark_changelog_q")
+    shutil.rmtree(path, ignore_errors=True)
+    cl = ChangelogTable(spark, path)
+    table = proc_count_per_key(spark, sf)
+    cl.append_delta(table)
+    # epoch 2: bump every key's count by 1, tombstone key '0'
+    cl.append_delta(
+        table.withColumn("cnt", F.col("cnt") + 1)
+             .withColumn("dead", F.col("key") == "0"),
+        tombstone="dead")
+    return cl.read_compacted()
+
+
 QUERIES = {
     "proc_count_per_key": proc_count_per_key,
     "proc_agg_state": proc_agg_state,
@@ -274,6 +295,7 @@ QUERIES = {
     "multi_input_merge": multi_input_merge,
     "proc_headers": proc_headers,
     "codec_roundtrip": codec_roundtrip,
+    "changelog_compaction": changelog_compaction,
 }
 
 _COUNT_SQL = (

@@ -1,0 +1,60 @@
+"""Changelog compaction (goka table topic) + bucketed co-located joins."""
+
+from pyspark.sql import functions as F
+
+from goka_spark.operators.changelog import ChangelogTable
+from goka_spark.operators.table_io import bucketed_join, write_bucketed
+from goka_spark.plans import explain as X
+
+
+def test_changelog_last_write_wins(spark, tmp_path):
+    cl = ChangelogTable(spark, str(tmp_path / "log"))
+    cl.append_delta(spark.createDataFrame(
+        [("a", 1), ("b", 2)], "key string, cnt long"))
+    cl.append_delta(spark.createDataFrame(
+        [("a", 10)], "key string, cnt long"))
+    got = {r.key: r.cnt for r in cl.read_compacted().collect()}
+    assert got == {"a": 10, "b": 2}
+
+
+def test_changelog_tombstone_deletes(spark, tmp_path):
+    cl = ChangelogTable(spark, str(tmp_path / "log"))
+    cl.append_delta(spark.createDataFrame(
+        [("a", 1, False), ("b", 2, False)],
+        "key string, cnt long, dead boolean"), tombstone="dead")
+    cl.append_delta(spark.createDataFrame(
+        [("a", 0, True)], "key string, cnt long, dead boolean"),
+        tombstone="dead")
+    got = {r.key: r.cnt for r in cl.read_compacted().collect()}
+    assert got == {"b": 2}
+
+
+def test_changelog_compact_preserves_state(spark, tmp_path):
+    cl = ChangelogTable(spark, str(tmp_path / "log"))
+    for i in range(3):
+        cl.append_delta(spark.createDataFrame(
+            [("a", i), ("b", i * 2)], "key string, cnt long"))
+    before = {r.key: r.cnt for r in cl.read_compacted().collect()}
+    cl.compact()
+    after = {r.key: r.cnt for r in cl.read_compacted().collect()}
+    assert before == after == {"a": 2, "b": 4}
+    import os
+
+    epochs = [d for d in os.listdir(str(tmp_path / "log")) if d.startswith("_epoch=")]
+    assert len(epochs) == 1
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    # saveAsTable uses the session warehouse dir (static conf);
+    # tables are dropped at the end.
+    a = spark.range(100).select(
+        F.col("id").cast("string").alias("key"), F.lit(1).alias("x"))
+    b = spark.range(100).select(
+        F.col("id").cast("string").alias("key"), F.lit(2).alias("y"))
+    write_bucketed(a, "bt_a", buckets=8)
+    write_bucketed(b, "bt_b", buckets=8)
+    joined = bucketed_join(spark, "bt_a", "bt_b")
+    assert X.num_shuffles(joined) == 0, X.simple(joined)
+    assert joined.count() == 100
+    spark.sql("DROP TABLE bt_a")
+    spark.sql("DROP TABLE bt_b")
