@@ -51,9 +51,10 @@ def stream_from_dir(spark: SparkSession, path: str, schema: str,
 class StreamingProcessor:
     """Run a GroupGraph against streaming input topics.
 
-    Only ``AggFold`` persists stream-natively (incremental hash-agg in
-    the state store — the scale path).  ``PyFold`` graphs use
-    ``goka_spark.streaming.stateful.stateful_fold`` explicitly.
+    ``AggFold`` persists as an incremental streaming aggregation (the
+    scale path); ``PyFold`` graphs automatically route through the
+    state store (``applyInPandasWithState``) with the same fold
+    function the batch Processor replays.
     """
 
     def __init__(self, graph: GroupGraph, watermark: Optional[tuple[str, str]] = None):
@@ -78,7 +79,19 @@ class StreamingProcessor:
                 stream = base.unionByName(looped, allowMissingColumns=True)
             else:
                 stream = looped
-        return g.persist_edge.fold.compile(stream, KEY, ts_col)
+        fold = g.persist_edge.fold
+        from goka_spark.operators.folds import PyFold
+
+        if isinstance(fold, PyFold):
+            # imperative callbacks fold through the state store
+            # (applyInPandasWithState), not a streaming aggregation
+            from goka_spark.streaming.stateful import stateful_fold
+
+            return stateful_fold(
+                stream, KEY, fold.func, fold.state_schema,
+                init=fold.init, order_by=[ts_col] + fold.order_extra,
+                finish=fold.finish)
+        return fold.compile(stream, KEY, ts_col)
 
     def output_streams(self, topics: dict[str, DataFrame]) -> dict[str, DataFrame]:
         stream = self._batch.enrich(topics)
@@ -88,8 +101,18 @@ class StreamingProcessor:
         return outs
 
     def start_table(self, topics: dict[str, DataFrame], *, queryName: str,
-                    checkpoint: str, output_mode: str = "complete",
+                    checkpoint: str, output_mode: Optional[str] = None,
                     fmt: str = "memory", **options: Any):
+        """NOTE: the memory sink only supports checkpoint *recovery* in
+        complete mode — for restart-safe PyFold (update-mode) tables use
+        ``table_stream(...).writeStream.foreachBatch(ExactlyOnceBatchSink(...))``.
+        """
+        if output_mode is None:
+            from goka_spark.operators.folds import PyFold
+
+            # applyInPandasWithState only supports update mode
+            output_mode = ("update" if isinstance(self.graph.persist_edge.fold,
+                                                  PyFold) else "complete")
         df = self.table_stream(topics)
         return (
             df.writeStream.queryName(queryName)

@@ -31,6 +31,7 @@ def stateful_fold(
     init: Any = None,
     order_by: Optional[list[str]] = None,
     ttl_ms: Optional[int] = None,
+    finish: Optional[Callable[[Any], dict]] = None,
 ) -> DataFrame:
     """Continuously fold ``func(state, row) -> state`` per key.
 
@@ -60,11 +61,12 @@ def stateful_fold(
         state.update((json.dumps(st),))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
+        out = finish(st) if finish else st
         rec = {key_col: key[0]}
-        if isinstance(st, dict):
-            rec.update({k: st.get(k) for k in state_fields})
+        if isinstance(out, dict):
+            rec.update({k: out.get(k) for k in state_fields})
         else:
-            rec[state_fields[0]] = st
+            rec[state_fields[0]] = out
         yield pd.DataFrame([rec])
 
     timeout = (GroupStateTimeout.ProcessingTimeTimeout

@@ -108,3 +108,61 @@ def test_streaming_output_edge(spark, tmp_path):
         assert vals == [2.0, 3.0]
     finally:
         q.stop()
+
+
+def test_pyfold_graph_streams_via_state_store(spark, tmp_path):
+    """A PyFold graph runs live through applyInPandasWithState with the
+    same fold function the batch Processor uses."""
+    from goka_spark import PyFold, define_group, input_stream, persist
+
+    src = str(tmp_path / "topic")
+    _write_batch(spark, src, _rows(0, 3, "a"))
+
+    def cb(state, row):
+        return (state or 0.0) + row["value"]
+
+    g = define_group("pf", input_stream("t"), persist(PyFold(
+        func=cb, init=0.0, state_schema="total double",
+        finish=lambda s: {"total": round(s, 3)})))
+    q = StreamingProcessor(g).start_table(
+        {"t": stream_from_dir(spark, src, SCHEMA)},
+        queryName="pf_out", checkpoint=str(tmp_path / "ckpt4"))
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, src, _rows(3, 5, "a"))
+        q.processAllAvailable()
+        rows = spark.sql("select * from pf_out").collect()
+        assert max(r.total for r in rows if r.key == "a") == sum(range(5))
+    finally:
+        q.stop()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Watermarked tumbling window: an event arriving far behind the
+    watermark is dropped from the (append-mode) window aggregation."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "topic")
+    base = dt.datetime(2024, 1, 1)
+    # batch 1: events up to 02:30 → watermark advances past 01:00+10m
+    _write_batch(spark, src, [("a", base + dt.timedelta(hours=2, minutes=30), 1.0),
+                              ("a", base + dt.timedelta(minutes=5), 1.0)])
+    stream = stream_from_dir(spark, src, SCHEMA).withWatermark("ts", "10 minutes")
+    agg = (stream.groupBy(F.window("ts", "1 hour"))
+           .count()
+           .select(F.unix_micros("window.start").alias("ws"), "count"))
+    q = (agg.writeStream.queryName("wm").outputMode("append").format("memory")
+         .option("checkpointLocation", str(tmp_path / "ckpt5")).start())
+    try:
+        q.processAllAvailable()
+        # batch 2: a VERY late event for the 00:00 window (already closed)
+        _write_batch(spark, src, [("a", base + dt.timedelta(minutes=6), 1.0)])
+        q.processAllAvailable()
+        got = {r.ws: r["count"] for r in spark.sql("select * from wm").collect()}
+        h0 = int(base.timestamp() * 1e6)
+        # the 00:00 window emitted with count=1; the late event never joined it
+        assert got.get(h0) == 1
+    finally:
+        q.stop()
