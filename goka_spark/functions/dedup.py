@@ -60,9 +60,14 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     params = _perm_params(num_perm)
 
     # Shingle construction uses interpreted lambda exprs — make sure it
-    # fans out across cores even when the source is one small file.
+    # fans out across cores even when the source is few small files.
+    # (inputFiles() is a metadata call; df.rdd would materialize the plan.)
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    try:
+        few_inputs = len(df.inputFiles()) < sc.defaultParallelism
+    except Exception:
+        few_inputs = False
+    if few_inputs:
         df = df.repartition(sc.defaultParallelism)
 
     # explode shingles → hash once per (doc, shingle) → ONE hash

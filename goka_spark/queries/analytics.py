@@ -343,6 +343,47 @@ def event_dedup_window(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q22_no_order_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: positive-balance customers with NO orders in
+    the first half of 1995 (anti join), grouped by nationkey."""
+    t = load(spark, sf, "customer", "orders")
+    recent = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01")))
+    return (
+        t["customer"].filter(F.col("c_acctbal") > 0)
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(F.count("*").alias("numcust"),
+             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+    )
+
+
+def above_avg_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar-subquery shape: customers above the global average
+    balance (the subquery is a broadcast single-row cross join)."""
+    cust = load(spark, sf, "customer")["customer"]
+    avg_bal = cust.agg(F.avg("c_acctbal").alias("_avg"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .select("c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"))
+    )
+
+
+def semi_join_active_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi join: parts that appear in at least one 1996 shipment."""
+    t = load(spark, sf, "part", "lineitem")
+    shipped = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01")))
+    return (
+        t["part"].join(shipped, F.col("p_partkey") == F.col("l_partkey"),
+                       "left_semi")
+        .select("p_partkey", "p_brand")
+    )
+
+
 QUERIES = {
     "tumbling_window_agg": tumbling_window_agg,
     "hopping_window_agg": hopping_window_agg,
@@ -366,6 +407,9 @@ QUERIES = {
     "funnel_conversion": funnel_conversion,
     "user_retention_cohort": user_retention_cohort,
     "event_dedup_window": event_dedup_window,
+    "q22_no_order_customers": q22_no_order_customers,
+    "above_avg_balance": above_avg_balance,
+    "semi_join_active_parts": semi_join_active_parts,
 }
 
 ORACLES = {
@@ -573,5 +617,28 @@ ORACLES = {
                    PARTITION BY user_id, event_type ORDER BY ts, event_id)) AS gap
           FROM events
         ) WHERE gap IS NULL OR gap > 5 * 60 * 1000000
+    """,
+    "q22_no_order_customers": """
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey, COUNT(*) AS numcust,
+               ROUND(SUM(c_acctbal), 2) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > 0
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '1995-01-01'
+                          AND o_orderdate < TIMESTAMP '1995-07-01')
+        GROUP BY c_nationkey
+    """,
+    "above_avg_balance": """
+        SELECT c_custkey, ROUND(c_acctbal, 2) AS c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    """,
+    "semi_join_active_parts": """
+        SELECT p_partkey, p_brand FROM part
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_partkey = p_partkey
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01')
     """,
 }

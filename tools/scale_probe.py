@@ -1,0 +1,118 @@
+"""Scale-linearity probe: replicate the sf0.1 tables N× in /tmp and
+measure core operators at each scale.  Writes tools/scale_results.json
+and prints a table.  Evidence for SCALE.md: runtimes should grow
+~linearly with input size while plans stay shape-identical.
+
+Usage: python tools/scale_probe.py [factors...]  (default: 1 4 16)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from goka_spark.queries.base import load
+from goka_spark.session import get_session
+
+BASE = "/root/testdata/sf0.1"
+WORK = "/tmp/goka_spark_scale"
+
+
+def replicate(spark, table: str, factor: int, id_cols: list[str]) -> str:
+    """Union `factor` shifted copies so keys stay distinct per copy."""
+    out = f"{WORK}/{table}_x{factor}"
+    if os.path.exists(out):
+        return out
+    df = load(spark, BASE, table)[table]
+    shift = 10_000_000
+    parts = []
+    for i in range(factor):
+        p = df
+        for c in id_cols:
+            p = p.withColumn(c, F.col(c) + i * shift)
+        parts.append(p)
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    allp.repartition(max(factor, 8)).write.mode("overwrite").parquet(out)
+    return out
+
+
+def timed(label, df):
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 2)
+
+
+def main():
+    factors = [int(x) for x in sys.argv[1:]] or [1, 4, 16]
+    spark = get_session("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    results = {}
+    for f in factors:
+        ev_path = replicate(spark, "events", f, ["event_id", "user_id"])
+        doc_path = replicate(spark, "documents", f, ["doc_id"])
+        # replicate() wrote through load(), so ts is already TIMESTAMP
+        ev = spark.read.parquet(ev_path)
+        docs = spark.read.parquet(doc_path)
+        rows = ev.count()
+
+        from goka_spark import AggFold, Processor, PyFold, define_group, input_stream, persist
+        from goka_spark.functions import dedup as D
+        from goka_spark.operators import windows as W
+        from goka_spark.operators.joins import as_of_join
+
+        r = {"events_rows": rows, "docs_rows": docs.count()}
+
+        g = define_group("c", input_stream("t", key="user_id"),
+                         persist(AggFold({
+                             "cnt": F.count("*"),
+                             "sum_v": F.sum("value"),
+                             "last": F.max_by("event_type", F.col("ts"))})))
+        r["agg_state"] = timed("agg", Processor(g).run({"t": ev}).table)
+
+        r["tumbling"] = timed("tw", W.tumbling(
+            ev, "ts", "1 hour", ["event_type"], {"cnt": F.count("*")}))
+
+        purchases = ev.filter(F.col("event_type") == "purchase")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("event_id").alias("cid"))
+        r["as_of_join"] = timed("asof", as_of_join(
+            purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+            value_cols=["cid"], tiebreak="cid"))
+
+        r["minhash_sigs"] = timed("mh", D.minhash_signatures(
+            docs, "doc_id", "text", num_perm=32))
+
+        # PyFold last: its Python workers pressure memory for later jobs
+        gpy = define_group("p", input_stream("t", key="user_id"),
+                           persist(PyFold(
+                               func=lambda s, row: (s or 0.0) * 0.9 + row["value"],
+                               init=0.0, state_schema="ewma double",
+                               order_extra=["event_id"])))
+        r["pyfold"] = timed("pyfold", Processor(gpy).run({"t": ev}).table)
+
+        results[f] = r
+        print(f, json.dumps(r))
+
+    out_path = "/root/repo/tools/scale_results.json"
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            prev = json.load(fh)
+        prev.update({str(k): v for k, v in results.items()})
+        results = prev
+    with open(out_path, "w") as fh:
+        json.dump(results, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()
