@@ -78,3 +78,20 @@ def fingerprint(text: Column, shingle_len: int = 8) -> Column:
     return F.array_min(
         F.transform(idx, lambda i: F.md5(F.encode(F.substring(text, i, shingle_len), "UTF-8")))
     )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for dedup/training: lowercase, collapse
+    whitespace, strip leading/trailing space.  Pure Column expr."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace emails/URLs with typed placeholder tokens (the standard
+    pre-training scrub); extend with phone/SSN patterns as needed."""
+    out = F.regexp_replace(text, F.lit(EMAIL_RE), F.lit("<EMAIL>"))
+    return F.regexp_replace(out, F.lit(URL_RE), F.lit("<URL>"))

@@ -89,6 +89,24 @@ def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
 
 
+def text_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")["documents"]
+    return docs.select(
+        "doc_id", T.normalize_text(F.col("text")).alias("norm_text"))
+
+
+def pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Scrub emails/URLs; synthetic docs contain none, so plant a
+    deterministic suffix on a subset to exercise the path."""
+    docs = load(spark, sf, "documents")["documents"]
+    planted = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 10 == 0,
+               F.concat(F.col("text"), F.lit(" contact bob@example.com or https://x.io/a")))
+        .otherwise(F.col("text")))
+    return planted.select("doc_id", T.scrub_pii(F.col("text")).alias("clean"))
+
+
 def multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-column plumbing end-to-end: attach blob → mapInPandas
     decode (stubbed codec, real Arrow batching) → typed metadata."""
@@ -109,6 +127,8 @@ QUERIES = {
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
     "multimodal_decode": multimodal_decode,
+    "text_normalize": text_normalize,
+    "pii_scrub": pii_scrub,
 }
 
 _WORDS = "list_filter(string_split(text, ' '), w -> w <> '')"
@@ -221,3 +241,18 @@ ORACLES = {
         FROM documents
     """,
 }
+
+ORACLES["text_normalize"] = """
+    SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+    FROM documents
+"""
+ORACLES["pii_scrub"] = """
+    SELECT doc_id,
+           regexp_replace(regexp_replace(
+             CASE WHEN doc_id % 10 = 0
+                  THEN text || ' contact bob@example.com or https://x.io/a'
+                  ELSE text END,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\s]+', '<URL>', 'g') AS clean
+    FROM documents
+"""
