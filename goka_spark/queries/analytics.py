@@ -384,6 +384,69 @@ def semi_join_active_parts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 (adapted): NATION_3's share of ASIA order revenue for
+    Brand#1 parts, by order year."""
+    t = load(spark, sf, "part", "supplier", "lineitem", "orders",
+             "customer", "nation", "region")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n_s = t["nation"].select(F.col("n_nationkey").alias("snk"),
+                             F.col("n_name").alias("supp_nation"))
+    n_c = t["nation"].select(F.col("n_nationkey").alias("cnk"),
+                             F.col("n_regionkey").alias("crk"))
+    return (
+        t["lineitem"]
+        .join(t["part"].filter(F.col("p_brand") == "Brand#1"),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(t["region"]).filter(F.col("r_name") == "ASIA"),
+              F.col("crk") == F.col("r_regionkey"))
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("snk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
+                  .otherwise(F.lit(0.0))) / F.sum(vol), 4).alias("mkt_share"))
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with maximum revenue in one quarter."""
+    t = load(spark, sf, "supplier", "lineitem")
+    rev = (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                & (F.col("l_shipdate") < F.lit("1996-04-01")))
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("total_revenue"))
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("_max"))
+    return (
+        t["supplier"].join(rev, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("_max"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q17_small_quantity(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17: revenue loss from small-quantity orders of Brand#2
+    parts (correlated avg subquery → per-part broadcast join)."""
+    t = load(spark, sf, "part", "lineitem")
+    avg_q = (t["lineitem"].groupBy(F.col("l_partkey").alias("apk"))
+             .agg((F.avg("l_quantity") * 0.5).alias("_half_avg")))
+    return (
+        t["lineitem"]
+        .join(t["part"].filter(F.col("p_brand") == "Brand#2"),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_q, F.col("l_partkey") == F.col("apk"))
+        .filter(F.col("l_quantity") < F.col("_half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
 QUERIES = {
     "tumbling_window_agg": tumbling_window_agg,
     "hopping_window_agg": hopping_window_agg,
@@ -410,6 +473,9 @@ QUERIES = {
     "q22_no_order_customers": q22_no_order_customers,
     "above_avg_balance": above_avg_balance,
     "semi_join_active_parts": semi_join_active_parts,
+    "q8_market_share": q8_market_share,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity": q17_small_quantity,
 }
 
 ORACLES = {
@@ -642,3 +708,38 @@ ORACLES = {
             AND l_shipdate < TIMESTAMP '1997-01-01')
     """,
 }
+
+ORACLES["q8_market_share"] = """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           ROUND(SUM(CASE WHEN n1.n_name = 'NATION_3'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+    FROM lineitem, part, supplier, orders, customer,
+         nation n1, nation n2, region
+    WHERE l_partkey = p_partkey AND p_brand = 'Brand#1'
+      AND l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+      AND o_custkey = c_custkey AND c_nationkey = n2.n_nationkey
+      AND n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      AND s_nationkey = n1.n_nationkey
+    GROUP BY 1
+"""
+ORACLES["q15_top_supplier"] = """
+    WITH rev AS (
+      SELECT l_suppkey,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+ORACLES["q17_small_quantity"] = """
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#2'
+      AND l_quantity < (
+        SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey)
+"""

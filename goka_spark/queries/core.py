@@ -256,6 +256,24 @@ def codec_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def proc_last_state(spark: SparkSession, sf: str) -> DataFrame:
+    """ReduceFold: the state is whatever the LAST message wrote
+    (pure ctx.SetValue(msg) callback) — one max_by hash-agg, no window."""
+    from goka_spark.operators.folds import ReduceFold
+
+    g = define_group(
+        "last-state",
+        input_stream("events", key="user_id"),
+        persist(ReduceFold(
+            {"last_type": F.col("event_type"),
+             "last_value": F.col("value"),
+             "last_event": F.col("event_id")},
+            tiebreak=F.col("event_id"),
+        )),
+    )
+    return Processor(g).run(load(spark, sf, "events")).table
+
+
 def changelog_compaction(spark: SparkSession, sf: str) -> DataFrame:
     """Compacted table topic (graph.go:44): two epochs of deltas +
     a tombstone, read back compacted (last-write-wins, deletes drop).
@@ -296,6 +314,7 @@ QUERIES = {
     "proc_headers": proc_headers,
     "codec_roundtrip": codec_roundtrip,
     "changelog_compaction": changelog_compaction,
+    "proc_last_state": proc_last_state,
 }
 
 _COUNT_SQL = (
@@ -384,3 +403,11 @@ ORACLES = {
     """,
     "codec_roundtrip": "SELECT event_id, user_id AS decoded FROM events",
 }
+
+ORACLES["proc_last_state"] = """
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           LAST(event_type ORDER BY ts, event_id) AS last_type,
+           LAST(value ORDER BY ts, event_id) AS last_value,
+           LAST(event_id ORDER BY ts, event_id) AS last_event
+    FROM events GROUP BY user_id
+"""
