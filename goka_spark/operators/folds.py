@@ -89,14 +89,21 @@ class PyFold(Fold):
     same constraint goka has (state lives on one partition's disk).
     """
 
-    func: Callable[[Any, dict], Any]
-    state_schema: str
+    func: Optional[Callable[[Any, dict], Any]] = None
+    state_schema: str = ""
     init: Any = None
     finish: Optional[Callable[[Any], dict]] = None
     order_extra: list[str] = field(default_factory=list)
+    # optional vectorized fold: called ONCE per key with the sorted
+    # pandas frame instead of row-at-a-time func — use when the fold
+    # is expressible with pandas/numpy ops (10-50× less Python churn).
+    batch_func: Optional[Callable[[pd.DataFrame], Any]] = None
 
     def compile(self, df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
+        if not self.state_schema or (self.func is None and self.batch_func is None):
+            raise ValueError("PyFold needs state_schema and func or batch_func")
         func, init, finish = self.func, self.init, self.finish
+        batch_func = self.batch_func
         order_cols = [ts_col] + self.order_extra
         out_schema = f"{key_col} string, {self.state_schema}"
         state_fields = [
@@ -105,9 +112,12 @@ class PyFold(Fold):
 
         def fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(order_cols, kind="stable")
-            state = init() if callable(init) else init
-            for row in pdf.to_dict("records"):
-                state = func(state, row)
+            if batch_func is not None:
+                state = batch_func(pdf)
+            else:
+                state = init() if callable(init) else init
+                for row in pdf.to_dict("records"):
+                    state = func(state, row)
             out = finish(state) if finish else state
             rec = {key_col: pdf[key_col].iloc[0]}
             if isinstance(out, dict):

@@ -70,3 +70,35 @@ def test_key_expression(spark):
                      persist(AggFold({"cnt": F.count("*")})))
     got = {r.key for r in Processor(g).run({"t": df}).table.collect()}
     assert got == {"U1", "U2"}
+
+
+def test_pyfold_batch_func_vectorized(spark):
+    """batch_func: one vectorized call per key equals the row loop."""
+    import numpy as np
+
+    def row_fold(state, row):
+        return state * 0.9 + row["value"]
+
+    def vec_fold(pdf):
+        v = pdf["value"].to_numpy()
+        w = 0.9 ** np.arange(len(v) - 1, -1, -1)
+        return float((v * w).sum())
+
+    df = _events(spark)
+    g1 = define_group("a", input_stream("t"), persist(PyFold(
+        func=row_fold, init=0.0, state_schema="ewma double",
+        finish=lambda s: {"ewma": round(s, 6)})))
+    g2 = define_group("b", input_stream("t"), persist(PyFold(
+        batch_func=vec_fold, state_schema="ewma double",
+        finish=lambda s: {"ewma": round(s, 6)})))
+    r1 = {r.key: r.ewma for r in Processor(g1).run({"t": df}).table.collect()}
+    r2 = {r.key: r.ewma for r in Processor(g2).run({"t": df}).table.collect()}
+    assert r1 == r2
+
+
+def test_pyfold_requires_fold_fn(spark):
+    import pytest as _pytest
+
+    g = define_group("x", input_stream("t"), persist(PyFold(state_schema="v double")))
+    with _pytest.raises(ValueError, match="func or batch_func"):
+        Processor(g).run({"t": _events(spark)})
