@@ -8,13 +8,39 @@ plan and the oracle SQL (driver hash-compares by column name).
 
 from goka_spark.queries import analytics, core, llmdata
 
+# Round 1's driver correctness run recorded exactly the first 50
+# registry entries and stopped (cap or time budget) — the 11 keys
+# below never got a driver row despite green in-repo oracles
+# (VERDICT.md round 1, item 1).  Register them FIRST so a capped or
+# time-boxed driver run verifies them before re-proving queries that
+# already have green rows in CORRECTNESS_r01.json.
+_FRONT = [
+    "ngram_jaccard_pairs",
+    "embedding_cosine_topk",
+    "embedding_lsh_ann",
+    "dedup_embedding_cosine",
+    "lang_id",
+    "doc_quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "multimodal_decode",
+    "text_normalize",
+    "pii_scrub",
+]
+
+
+def _ordered(merged: dict) -> dict:
+    out = {k: merged[k] for k in _FRONT if k in merged}
+    out.update(merged)
+    return out
+
 
 def all_queries():
     q = {}
     q.update(core.QUERIES)
     q.update(analytics.QUERIES)
     q.update(llmdata.QUERIES)
-    return q
+    return _ordered(q)
 
 
 def all_oracles():
@@ -22,4 +48,4 @@ def all_oracles():
     o.update(core.ORACLES)
     o.update(analytics.ORACLES)
     o.update(llmdata.ORACLES)
-    return o
+    return _ordered(o)
