@@ -96,7 +96,9 @@ class Int64Codec(Codec):
         return F.unhex(F.lpad(F.hex(col.cast("long")), 16, "0"))
 
     def decode_col(self, col: Column) -> Column:
-        return F.conv(F.hex(col), 16, 10).cast("long")
+        # negative toBase = signed two's-complement interpretation, so
+        # negative longs round-trip (unsigned conv would overflow long).
+        return F.conv(F.hex(col), 16, -10).cast("long")
 
 
 class JsonCodec(Codec):

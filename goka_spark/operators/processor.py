@@ -103,9 +103,15 @@ class Processor:
 
         for je in g.join_edges:
             table = topics[je.topic]
-            on = je.on or KEY
-            right = table.withColumn(KEY, _as_key(on, table)) if on != KEY else table
-            right = right.drop(*[c for c in (on,) if isinstance(on, str) and on != KEY and c in right.columns])
+            # `on` may be a Column — never test it for truthiness/equality
+            # (Column.__bool__ raises CANNOT_CONVERT_COLUMN_INTO_BOOL).
+            on = KEY if je.on is None else je.on
+            if isinstance(on, str) and on == KEY:
+                right = table
+            else:
+                right = table.withColumn(KEY, _as_key(on, table))
+                if isinstance(on, str) and on in right.columns:
+                    right = right.drop(on)
             if self.num_partitions:
                 stream = stream.repartition(self.num_partitions, KEY)
                 right = right.repartition(self.num_partitions, KEY)
@@ -113,15 +119,24 @@ class Processor:
 
         for le in g.lookup_edges:
             table = topics[le.topic]
-            on = le.on or KEY
+            on = KEY if le.on is None else le.on
             lhs = F.col(on) if isinstance(on, str) else on
+            # Rename the table key to a unique temp name so the join
+            # condition never ambiguously resolves against a same-named
+            # stream column (e.g. table_key == 'key').
+            tmp = f"__lookup_{le.topic}_key"
+            right = table.withColumnRenamed(le.table_key, tmp)
             # Lookup tables are fully replicated in goka (view.go) —
             # broadcast join is the Spark-native equivalent.
             stream = stream.join(
-                F.broadcast(table),
-                on=lhs.cast("string") == F.col(le.table_key).cast("string"),
+                F.broadcast(right),
+                on=lhs.cast("string") == F.col(tmp).cast("string"),
                 how=le.how,
             )
+            if le.table_key in stream.columns:
+                stream = stream.drop(tmp)
+            else:
+                stream = stream.withColumnRenamed(tmp, le.table_key)
         return stream
 
     def run(self, topics: dict[str, DataFrame], ts_col: str = "ts") -> ProcessorResult:

@@ -85,6 +85,11 @@ class StreamingProcessor:
         if isinstance(fold, PyFold):
             # imperative callbacks fold through the state store
             # (applyInPandasWithState), not a streaming aggregation
+            if fold.func is None:
+                raise ValueError(
+                    "streaming PyFold requires a row-level `func`: "
+                    "`batch_func` folds one whole (sorted) group at once "
+                    "and cannot thread state across micro-batches")
             from goka_spark.streaming.stateful import stateful_fold
 
             return stateful_fold(
@@ -127,7 +132,16 @@ class StreamingProcessor:
 class ExactlyOnceBatchSink:
     """foreachBatch sink with epoch-dedup — goka DeferCommit semantics
     (context.go:473): the offset only commits once the side effect is
-    durable, and replayed epochs are no-ops."""
+    durable, and replayed epochs are no-ops.
+
+    Each epoch writes to its own partition directory
+    ``data/epoch_id=N/`` with mode=overwrite, so a crash *between*
+    data write and ledger update is safe: the replayed epoch simply
+    overwrites its own directory (idempotent), never re-appends.  The
+    ledger is a fast-path skip + commit marker, not the correctness
+    mechanism.  Production note: point ``path`` at a checkpoint-grade
+    store (HDFS/S3) and prune the ledger past the retention horizon.
+    """
 
     def __init__(self, path: str):
         self.path = path
@@ -143,9 +157,14 @@ class ExactlyOnceBatchSink:
         done = self._committed()
         if epoch_id in done:
             return  # replay after restart: skip, already durable
-        batch_df.write.mode("append").parquet(os.path.join(self.path, "data"))
+        epoch_dir = os.path.join(self.path, "data", f"epoch_id={int(epoch_id)}")
+        batch_df.write.mode("overwrite").parquet(epoch_dir)
         done.add(epoch_id)
         tmp = self._ledger + ".tmp"
         with open(tmp, "w") as f:
             json.dump(sorted(done), f)
         os.replace(tmp, self._ledger)  # atomic commit marker
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """All committed rows (partition column ``epoch_id`` dropped)."""
+        return spark.read.parquet(os.path.join(self.path, "data")).drop("epoch_id")

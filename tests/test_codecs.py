@@ -15,13 +15,16 @@ def test_scalar_roundtrips():
 
 
 def test_column_roundtrips(spark):
-    df = spark.createDataFrame([(5, "x"), (123456789, "y")], "n long, s string")
+    df = spark.createDataFrame(
+        [(5, "x"), (123456789, "y"), (-42, "z"), (-(2**62), "w")],
+        "n long, s string")
     ic, sc = Int64Codec(), StringCodec()
     out = df.select(
         ic.decode_col(ic.encode_col(F.col("n"))).alias("n2"),
         sc.decode_col(sc.encode_col(F.col("s"))).alias("s2"),
     ).collect()
-    assert [(r.n2, r.s2) for r in out] == [(5, "x"), (123456789, "y")]
+    assert [(r.n2, r.s2) for r in out] == [
+        (5, "x"), (123456789, "y"), (-42, "z"), (-(2**62), "w")]
 
 
 def test_json_column_roundtrip(spark):

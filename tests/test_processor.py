@@ -102,3 +102,28 @@ def test_pyfold_requires_fold_fn(spark):
     g = define_group("x", input_stream("t"), persist(PyFold(state_schema="v double")))
     with _pytest.raises(ValueError, match="func or batch_func"):
         Processor(g).run({"t": _events(spark)})
+
+
+def test_join_lookup_with_column_on(spark):
+    """`on=` accepting a Column expression (ADVICE r1: Column truthiness
+    in enrich() raised CANNOT_CONVERT_COLUMN_INTO_BOOL)."""
+    from goka_spark.graph import join, lookup
+
+    events = _events(spark)
+    # join table keyed by an expression over its own column
+    jt = spark.createDataFrame([("U1", "gold"), ("U2", "basic")],
+                               "uid string, tier string")
+    lt = spark.createDataFrame([("u1", "DE"), ("u2", "US")],
+                               "key string, country string")
+    g = define_group(
+        "g", input_stream("t"),
+        join("tiers", on=F.lower("uid")),
+        lookup("geo", on=F.col("key"), table_key="key"),
+        persist(AggFold({"cnt": F.count("*"),
+                         "tier": F.first("tier"),
+                         "country": F.first("country")})),
+    )
+    rows = {r.key: (r.tier, r.country)
+            for r in Processor(g).run({
+                "t": events, "tiers": jt, "geo": lt}).table.collect()}
+    assert rows == {"u1": ("gold", "DE"), "u2": ("basic", "US")}

@@ -166,3 +166,132 @@ def test_watermark_drops_late_data(spark, tmp_path):
         assert got.get(h0) == 1
     finally:
         q.stop()
+
+
+def test_exactly_once_sink_crash_between_data_and_ledger(spark, tmp_path):
+    """ADVICE r1: a crash AFTER the data write but BEFORE the ledger
+    update must not duplicate rows on replay — each epoch overwrites
+    its own partition directory."""
+    import os
+
+    sink = ExactlyOnceBatchSink(str(tmp_path / "out"))
+    df = spark.createDataFrame([("k", 1.0), ("k2", 2.0)], "key string, v double")
+    sink(df, epoch_id=0)
+    os.remove(sink._ledger)  # simulate crash before ledger commit
+    sink(df, epoch_id=0)     # replay: overwrites epoch dir, no dupes
+    sink(df, epoch_id=1)
+    out = sink.read(spark)
+    assert out.count() == 4  # 2 rows × epochs {0, 1}
+    assert "epoch_id" not in out.columns
+
+
+def test_batch_func_only_pyfold_rejected_in_streaming(spark, tmp_path):
+    """ADVICE r1: batch_func-only PyFold cannot thread state across
+    micro-batches — table_stream must fail loudly, not per-key at runtime."""
+    import pytest
+    from goka_spark import PyFold, define_group, input_stream, persist
+
+    src = str(tmp_path / "topic")
+    _write_batch(spark, src, _rows(0, 2, "a"))
+    g = define_group("bf", input_stream("t"), persist(PyFold(
+        batch_func=lambda pdf: float(pdf["value"].sum()),
+        state_schema="total double")))
+    with pytest.raises(ValueError, match="row-level"):
+        StreamingProcessor(g).table_stream(
+            {"t": stream_from_dir(spark, src, SCHEMA)})
+
+
+def test_stateful_fold_ttl_emits_final_state(spark, tmp_path):
+    """ADVICE r1: a key idle past ttl emits its final state before being
+    dropped (module docstring contract; goka table retention).
+
+    ProcessingTimeTimeout makes the micro-batch engine schedule
+    batches continuously to check timers (shouldRunAnotherBatch is
+    always true), so ``processAllAvailable`` NEVER reports drained —
+    poll the sink with a deadline instead.  No second input batch is
+    needed: the timer batches self-trigger."""
+    src = str(tmp_path / "topic")
+    _write_batch(spark, src, _rows(0, 3, "a"))
+
+    def cb(state, row):
+        return (state or 0.0) + row["value"]
+
+    stream = stream_from_dir(spark, src, SCHEMA)
+    folded = stateful_fold(stream, "key", cb, "total double",
+                           order_by=["ts"], ttl_ms=500)
+    q = (folded.writeStream.queryName("ttl_out").outputMode("update")
+         .format("memory").trigger(processingTime="250 milliseconds")
+         .option("checkpointLocation", str(tmp_path / "ckpt_ttl")).start())
+    try:
+        deadline = time.time() + 120
+        a_rows = []
+        while time.time() < deadline:
+            a_rows = [r.total for r in
+                      spark.sql("select * from ttl_out").collect()
+                      if r.key == "a"]
+            if a_rows.count(3.0) >= 2:
+                break
+            time.sleep(0.5)
+        # the data batch emitted a=3.0; the ttl timeout emitted the
+        # SAME final state once more before dropping the key
+        assert a_rows.count(3.0) == 2
+    finally:
+        q.stop()
+
+
+def test_visit_all_live_keys(spark, tmp_path):
+    """goka VisitAllWithStats (processor.go:954, examples/10-visit):
+    enumerate every live key + state of a RUNNING stateful query via
+    the statestore reader — no pause, distributed read."""
+    from goka_spark.streaming.stateful import visit_all_live
+
+    src = str(tmp_path / "topic")
+    _write_batch(spark, src, _rows(0, 3, "a") + _rows(0, 2, "b"))
+    folded = stateful_fold(
+        stream_from_dir(spark, src, SCHEMA), "key",
+        lambda s, r: (s or 0.0) + r["value"], "total double",
+        order_by=["ts"])
+    ck = str(tmp_path / "ckpt_visit")
+    q = (folded.writeStream.queryName("visit_out").outputMode("update")
+         .format("memory").option("checkpointLocation", ck).start())
+    try:
+        q.processAllAvailable()
+        visited = {r.key: r.total for r in
+                   visit_all_live(spark, ck, "key", "total double").collect()}
+        assert visited == {"a": 3.0, "b": 1.0}
+        # state moves on → a later visit sees the new values
+        _write_batch(spark, src, _rows(3, 5, "a"))
+        q.processAllAvailable()
+        visited = {r.key: r.total for r in
+                   visit_all_live(spark, ck, "key", "total double").collect()}
+        assert visited == {"a": 10.0, "b": 1.0}
+    finally:
+        q.stop()
+
+
+def test_tws_fold_parity_when_available(spark, tmp_path):
+    """transformWithState fold (timers + multi-state): full parity
+    run where protobuf exists; here the env gate must refuse loudly."""
+    import pytest
+
+    from goka_spark.streaming.tws import HAVE_TWS, stateful_fold_tws
+
+    src = str(tmp_path / "topic")
+    _write_batch(spark, src, _rows(0, 3, "a"))
+    stream = stream_from_dir(spark, src, SCHEMA)
+    cb = lambda s, r: (s or 0.0) + r["value"]  # noqa: E731
+    if not HAVE_TWS:
+        with pytest.raises(RuntimeError, match="protobuf"):
+            stateful_fold_tws(stream, "key", cb, "total double")
+        return
+    folded = stateful_fold_tws(stream, "key", cb, "total double",
+                               order_by=["ts"])
+    q = (folded.writeStream.queryName("tws_out").outputMode("update")
+         .format("memory")
+         .option("checkpointLocation", str(tmp_path / "ckpt_tws")).start())
+    try:
+        q.processAllAvailable()
+        got = {r.key: r.total for r in spark.sql("select * from tws_out").collect()}
+        assert got == {"a": 3.0}
+    finally:
+        q.stop()
