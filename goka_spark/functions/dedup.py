@@ -50,6 +50,51 @@ def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
             for _ in range(num_perm)]
 
 
+def shingle_postings(df: DataFrame, id_col: str, text_col: str,
+                     n: int = 3) -> DataFrame:
+    """Distinct ``(doc, sh)`` word-shingle postings, pure codegen.
+
+    ``word_shingles`` builds the shingle array with interpreted lambda
+    expressions (transform/slice run outside whole-stage codegen —
+    measured as the dominant cost of the similarity join at sf0.1).
+    This path stays entirely inside codegen: posexplode the split
+    words, drop empties, re-rank, and assemble each n-gram from window
+    ``lead`` values.  Docs shorter than ``n`` words yield their single
+    all-words shingle (concat_ws skips the NULL leads), matching
+    ``word_shingles``; docs with NO words yield no postings (the array
+    path yields one empty-string shingle there — saner to emit none).
+    """
+    from pyspark.sql.window import Window
+
+    w = (df.select(F.col(id_col).alias("doc"),
+                   F.posexplode(F.split(F.col(text_col), r"\s+"))
+                    .alias("_p", "_w"))
+         .filter(F.col("_w") != ""))
+    win = Window.partitionBy("doc").orderBy("_p")
+    leads = [F.lead("_w", j).over(win) for j in range(1, n)]
+    cnt = F.count("*").over(Window.partitionBy("doc"))
+    sh = (w.select("doc",
+                   F.concat_ws(" ", "_w", *leads).alias("sh"),
+                   F.row_number().over(win).alias("_rk"),
+                   cnt.alias("_cnt"))
+          .filter(F.col("_rk") <=
+                  F.greatest(F.col("_cnt") - (n - 1), F.lit(1))))
+    return sh.select("doc", "sh").dropDuplicates(["doc", "sh"])
+
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Shingle construction uses interpreted lambda exprs — make sure
+    it fans out across cores even when the source is few small files
+    (a single-file parquet scan is a 1-partition stage).  inputFiles()
+    is a metadata call; df.rdd would materialize the plan."""
+    sc = df.sparkSession.sparkContext
+    try:
+        few_inputs = len(df.inputFiles()) < sc.defaultParallelism
+    except Exception:
+        few_inputs = False
+    return df.repartition(sc.defaultParallelism) if few_inputs else df
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_perm: int = 32, shingle: int = 3) -> DataFrame:
     """MinHash signature per document, fully JVM-side.
@@ -58,17 +103,7 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     Products stay < 2^62, no overflow.
     """
     params = _perm_params(num_perm)
-
-    # Shingle construction uses interpreted lambda exprs — make sure it
-    # fans out across cores even when the source is few small files.
-    # (inputFiles() is a metadata call; df.rdd would materialize the plan.)
-    sc = df.sparkSession.sparkContext
-    try:
-        few_inputs = len(df.inputFiles()) < sc.defaultParallelism
-    except Exception:
-        few_inputs = False
-    if few_inputs:
-        df = df.repartition(sc.defaultParallelism)
+    df = _fan_out(df)
 
     # explode shingles → hash once per (doc, shingle) → ONE hash
     # aggregate computing all num_perm mins as scalar expressions.
@@ -128,7 +163,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document in one explode + one hash-aggregate."""
     from goka_spark.functions.text import words
 
-    ex = df.select(
+    ex = _fan_out(df).select(
         F.col(id_col),
         F.explode(words(F.col(text_col))).alias("_w"),
     ).withColumn("_h", F.xxhash64("_w"))
@@ -181,26 +216,84 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        n: int = 3, threshold: float = 0.05) -> DataFrame:
-    """Similarity self-join via inverted index on shingles."""
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
-    )
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    shared = (
+                        n: int = 3, threshold: float = 0.05,
+                        max_df: int | None = None) -> DataFrame:
+    """Similarity self-join via a document-frequency-pruned inverted
+    index, exact Jaccard on the full shingle sets.
+
+    Scale discipline: a shingle appearing in *f* documents contributes
+    f² rows to the inverted-index self-join — at corpus scale hot
+    "stop shingles" dominate the join quadratically.  ``max_df`` drops
+    them from CANDIDATE GENERATION only (classic stop-shingle /
+    prefix-filter pruning); the Jaccard each surviving pair gets is
+    still computed on the COMPLETE shingle sets via ``array_intersect``
+    so pruning affects recall (pairs sharing only ultra-common
+    shingles), never the reported similarity value.
+    """
+    # One posting list (doc, shingle), hash-partitioned by shingle.
+    # The explicit repartition is load-bearing: FOUR consumers below
+    # (join a-side, join b-side, df counts, doc sizes) have identical
+    # plans up to this exchange, so Catalyst's ReuseExchange
+    # materializes the postings ONCE and every consumer reads the
+    # shuffle output (measured 4× recompute of the shingle stage at
+    # sf0.1 without it).  It also pre-positions both join sides.
+    sh = shingle_postings(_fan_out(df), id_col, text_col, n) \
+        .repartition("sh")
+    # shingles are distinct per doc, so count(*) == document freq /
+    # per-doc shingle-set size
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("_sz"))
+
+    if max_df is None:
+        # no pruning: every shingle is "cold", no hot correction needed
+        cold, doc_hot = sh, None
+    else:
+        # Hot shingles (df > max_df) leave candidate generation but
+        # must still count toward the intersection of surviving pairs:
+        # carry each doc's (small) hot-shingle set for an exact
+        # correction — |A∩B| = cold_shared + |hotA ∩ hotB|.
+        dfc = sh.groupBy("sh").agg(F.count("*").alias("_df"))
+        cold = sh.join(dfc.filter(F.col("_df") <= max_df).select("sh"), "sh")
+        hot = sh.join(F.broadcast(
+            dfc.filter(F.col("_df") > max_df).select("sh")), "sh")
+        doc_hot = hot.groupBy("doc").agg(F.collect_set("sh").alias("_hot"))
+
+    # inverted-index self-join on cold shingles; the pair COUNT is the
+    # cold intersection size — one partial+final hash-agg, never a
+    # distinct over the exploded pair stream, and no shingle arrays
+    # ride the shuffle.
+    a, b = cold.alias("a"), cold.alias("b")
+    pairs = (
         a.join(b, on="sh")
         .filter(F.col("a.doc") < F.col("b.doc"))
         .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .agg(F.count("*").alias("shared"))
+        .agg(F.count("*").alias("_cold_shared"))
     )
-    sa = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b"))
+    pairs = (
+        pairs
+        .join(sizes.select(F.col("doc").alias("id_a"),
+                           F.col("_sz").alias("_sz_a")), "id_a")
+        .join(sizes.select(F.col("doc").alias("id_b"),
+                           F.col("_sz").alias("_sz_b")), "id_b")
+    )
+    if doc_hot is None:
+        shared = F.col("_cold_shared")
+    else:
+        pairs = (
+            pairs
+            .join(doc_hot.select(F.col("doc").alias("id_a"),
+                                 F.col("_hot").alias("_hot_a")),
+                  "id_a", "left")
+            .join(doc_hot.select(F.col("doc").alias("id_b"),
+                                 F.col("_hot").alias("_hot_b")),
+                  "id_b", "left")
+        )
+        shared = F.col("_cold_shared") + F.when(
+            F.col("_hot_a").isNotNull() & F.col("_hot_b").isNotNull(),
+            F.size(F.array_intersect("_hot_a", "_hot_b"))).otherwise(0)
     return (
-        shared.join(sa, "id_a").join(sb, "id_b")
+        pairs
         .withColumn("jaccard", F.round(
-            F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")), 4))
+            shared / (F.col("_sz_a") + F.col("_sz_b") - shared), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

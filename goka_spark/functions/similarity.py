@@ -86,8 +86,12 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     )
 
 
+MAX_BROADCAST_QUERIES = 10_000
+
+
 def cosine_topk_arrow(corpus: DataFrame, queries: DataFrame, id_col: str,
-                      vec_col: str, k: int = 5) -> DataFrame:
+                      vec_col: str, k: int = 5,
+                      max_queries: int = MAX_BROADCAST_QUERIES) -> DataFrame:
     """Brute-force top-k, Arrow path: the query matrix is broadcast to
     every partition; each Arrow batch scores against it with ONE numpy
     matmul and keeps its local top-k; a final per-query window merges
@@ -96,7 +100,15 @@ def cosine_topk_arrow(corpus: DataFrame, queries: DataFrame, id_col: str,
     carries ≤ k rows per (partition, query)."""
     import pandas as pd
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    # The query side is broadcast via the driver: fail loudly on a
+    # query set too large to collect instead of OOMing the driver.
+    # (limit(n+1) bounds the collect itself — never materializes more.)
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_arrow broadcasts the query set via the driver; "
+            f"got >{max_queries} query rows — partition the query set or "
+            f"raise max_queries explicitly")
     q_ids = np.array([r[id_col] for r in q_rows])
     qm = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
@@ -178,11 +190,75 @@ def lsh_ann(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def coord_sign_bands(vec: Column, bands: int = 8, bits: int = 8) -> Column:
+    """LSH band signatures from coordinate signs.
+
+    Random-hyperplane LSH where the hyperplanes are the coordinate
+    axes: bit *i* of band *b* is ``sign(vec[b*bits + i])``.  For
+    angular similarity this is exactly sign-random-projection LSH with
+    ``e_i`` planes — valid whenever the embedding coordinates are not
+    axis-degenerate (random projections/learned embeddings qualify).
+    The payoff over sampled gaussian planes: the bucket is a pure JVM
+    codegen expression (no per-row dot products, no Python, no plane
+    constants to ship), and any SQL engine reproduces it bit-exactly.
+
+    Requires ``dim >= bands * bits``.  Returns
+    ``array<struct<band:int, bucket:bigint>>``.
+    """
+    structs = []
+    for b in range(bands):
+        bucket: Column = F.lit(0).cast("long")
+        for i in range(bits):
+            bucket = bucket + F.when(
+                F.element_at(vec, b * bits + i + 1) > 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+        structs.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+    return F.array(*structs)
+
+
+def cosine_near_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,
+                          threshold: float, bands: int = 8,
+                          bits: int = 8) -> DataFrame:
+    """Near-pairs by cosine via LSH banding — the 100 TB shape.
+
+    Candidates = pairs sharing any (band, bucket); exact cosine is
+    verified *inside buckets only*.  The plan is an equi-join on the
+    band key — never a cross join — so cost scales with bucket
+    occupancy (~n²/2^bits per band), tuned by ``bits``; recall for a
+    pair at angle θ is ``1-(1-p^bits)^bands`` with ``p = 1-θ/π``
+    (e.g. cosine 0.9 → 93% at 8×8; raise ``bands`` for more).
+
+    Mirrors the reference's changelog-bucketed join discipline
+    (goka partition_table.go keeps co-partitioned state local); here
+    the "partition" is the LSH bucket.
+    """
+    v = _normalized(df.select(F.col(id_col).alias("_id"), F.col(vec_col)),
+                    "_id", F.col(vec_col))
+    banded = v.select(
+        "_id", "_v",
+        F.explode(coord_sign_bands(F.col("_v"), bands, bits)).alias("bb"),
+    ).select("_id", "_v", "bb.band", "bb.bucket")
+    a = banded.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+                      "band", "bucket")
+    b = banded.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+                      "band", "bucket")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos", F.round(dot(F.col("_va"), F.col("_vb")), 4))
+        .filter(F.col("cos") > threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def cosine_near_pairs(df: DataFrame, id_col: str, vec_col: str,
                       threshold: float, probe_limit: int | None = None,
                       dim: Optional[int] = None) -> DataFrame:
-    """All pairs (i<j) with cosine above threshold; optionally restrict
-    the probe side to id < probe_limit to bound the cross product."""
+    """All pairs (i<j) with cosine above threshold — EXACT small-n
+    fallback (bounded nested loop).  For full-corpus near-dup mining
+    use :func:`cosine_near_pairs_lsh`; this cross join is O(n·m) and
+    only acceptable when one side is bounded (``probe_limit``)."""
     a = _normalized(df.select(F.col(id_col).alias("id_a"), F.col(vec_col)),
                     "id_a", F.col(vec_col)).withColumnRenamed("_v", "_va")
     if probe_limit is not None:

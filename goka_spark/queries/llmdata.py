@@ -39,8 +39,11 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load(spark, sf, "documents")["documents"].filter(F.col("doc_id") < 200)
-    return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.05)
+    """Full corpus (no id cap): stop-shingle pruning (max_df) keeps the
+    inverted-index self-join linear in shingle count."""
+    docs = load(spark, sf, "documents")["documents"]
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                 threshold=0.05, max_df=50)
 
 
 def embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -60,9 +63,12 @@ def embedding_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Full-corpus near-pair mining, LSH-banded (no cross join): the
+    oracle replicates the coordinate-sign banding bit-exactly, so the
+    driver verifies candidates AND cosines."""
     emb = load(spark, sf, "embeddings")["embeddings"]
-    return S.cosine_near_pairs(emb, "vec_id", "embedding",
-                               threshold=0.3, probe_limit=100)
+    return S.cosine_near_pairs_lsh(emb, "vec_id", "embedding",
+                                   threshold=0.3, bands=8, bits=8)
 
 
 def lang_id(spark: SparkSession, sf: str) -> DataFrame:
@@ -152,25 +158,33 @@ ORACLES = {
         FROM documents GROUP BY md5(text)
     """,
     "ngram_jaccard_pairs": """
-        WITH sh AS (
-          SELECT doc_id AS doc, UNNEST(list_distinct(list_transform(
+        WITH d AS (
+          SELECT doc_id AS doc, list_distinct(list_transform(
                    range(1, greatest(len(words) - 2, 1) + 1),
-                   i -> array_to_string(words[i:i+2], ' ')))) AS sh
+                   i -> array_to_string(words[i:i+2], ' '))) AS shs
           FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
-                FROM documents WHERE doc_id < 200)
-        ), sizes AS (
-          SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc
-        ), shared AS (
-          SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS shared
-          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
-          GROUP BY a.doc, b.doc
+                FROM documents)
+        ), sh AS (
+          SELECT doc, UNNEST(shs) AS sh FROM d
+        ), dfc AS (
+          SELECT sh FROM (SELECT sh, COUNT(*) AS cnt FROM sh GROUP BY sh)
+          WHERE cnt <= 50
+        ), pruned AS (
+          SELECT doc, s.sh FROM sh s JOIN dfc USING (sh)
+        ), cand AS (
+          SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+          FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc < b.doc
         )
         SELECT id_a, id_b,
-               ROUND(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 4) AS jaccard
-        FROM shared
-        JOIN sizes sa ON sa.doc = id_a
-        JOIN sizes sb ON sb.doc = id_b
-        WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.05
+               ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+                     / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))),
+                     4) AS jaccard
+        FROM cand c
+        JOIN d a ON a.doc = c.id_a
+        JOIN d b ON b.doc = c.id_b
+        WHERE ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+                    / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))),
+                    4) >= 0.05
     """,
     "embedding_cosine_topk": """
         SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos, rk FROM (
@@ -183,13 +197,7 @@ ORACLES = {
           WHERE q.vec_id < 20
         ) WHERE rk <= 5
     """,
-    "dedup_embedding_cosine": """
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE a.vec_id < 100
-          AND ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) > 0.3
-    """,
+    "dedup_embedding_cosine": None,  # generated below (_c12_oracle)
     "lang_id": f"""
         SELECT doc_id,
                CASE
@@ -241,6 +249,45 @@ ORACLES = {
         FROM documents
     """,
 }
+
+def _c12_oracle(bands: int = 8, bits: int = 8, threshold: float = 0.3) -> str:
+    """DuckDB twin of cosine_near_pairs_lsh: the coordinate-sign bucket
+    is a pure sign test on the raw float coordinates, so both engines
+    compute identical buckets bit-for-bit (no plane constants, no
+    float-summation-order hazard)."""
+    whens = " ".join(
+        "WHEN {b} THEN ({expr})".format(
+            b=b,
+            expr=" + ".join(
+                f"(CASE WHEN embedding[{b * bits + i + 1}] > 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+                for i in range(bits)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH banded AS (
+          SELECT vec_id, embedding, band,
+                 CASE band {whens} END AS bucket
+          FROM embeddings
+          CROSS JOIN (SELECT UNNEST(range(0, {bands})) AS band)
+        ), cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT c.id_a, c.id_b,
+               ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 4) AS cos
+        FROM cand c
+        JOIN embeddings a ON a.vec_id = c.id_a
+        JOIN embeddings b ON b.vec_id = c.id_b
+        WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]), 4) > {threshold}
+    """
+
+
+ORACLES["dedup_embedding_cosine"] = _c12_oracle()
 
 ORACLES["text_normalize"] = """
     SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text

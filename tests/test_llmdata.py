@@ -134,3 +134,54 @@ def test_multimodal_plumbing(spark):
     assert rows[2].width == (100 * 7) % 640
     frames = M.frame_sample_stub(M.attach_blob(df), "doc_id", "blob", every_n=2)
     assert frames.filter(F.col("doc_id") == 2).count() == 3  # 100//16=6 → 0,2,4
+
+
+def test_cosine_near_pairs_lsh_subset_of_exact(spark, sf_dir):
+    """LSH-banded near pairs: every reported pair is a TRUE pair
+    (exact cosine verified inside buckets), recall > 0 on the tail."""
+    from goka_spark.queries.base import load
+
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    exact = {(r.id_a, r.id_b): r.cos for r in S.cosine_near_pairs(
+        emb, "vec_id", "embedding", threshold=0.3).collect()}
+    lsh = {(r.id_a, r.id_b): r.cos for r in S.cosine_near_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.3).collect()}
+    assert len(lsh) > 0
+    assert set(lsh) <= set(exact)          # no false positives, ever
+    assert all(exact[p] == lsh[p] for p in lsh)  # same exact cosines
+
+
+def test_cosine_near_pairs_lsh_no_cross_join(spark, sf_dir):
+    from goka_spark.plans import explain as X
+    from goka_spark.queries import llmdata
+
+    plan = X.simple(llmdata.dedup_embedding_cosine(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_topk_arrow_query_cap(spark, sf_dir):
+    import pytest
+    from goka_spark.queries.base import load
+
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    with pytest.raises(ValueError, match="query rows"):
+        S.cosine_topk_arrow(emb, emb, "vec_id", "embedding",
+                            k=5, max_queries=10)
+
+
+def test_ngram_max_df_prunes_candidates_not_similarity(spark):
+    """A stop-shingle present in EVERY doc may not generate candidate
+    pairs, but surviving pairs still get exact full-set Jaccard."""
+    stop = "x y z"  # 3-gram planted into all docs
+    docs = _docs(spark).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" " + stop)))
+    unpruned = {(r.id_a, r.id_b): r.jaccard for r in D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.01).collect()}
+    pruned = {(r.id_a, r.id_b): r.jaccard for r in D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.01, max_df=3).collect()}
+    # (1,3): only shared shingles involve the planted suffix → dropped
+    assert (1, 3) in unpruned and (1, 3) not in pruned
+    # (1,4) exact dups: candidate survives, jaccard still full-set 1.0
+    assert pruned[(1, 4)] == 1.0 == unpruned[(1, 4)]
+    assert pruned[(1, 2)] == unpruned[(1, 2)]  # value never changes

@@ -93,6 +93,45 @@ def main():
         r["minhash_sigs"] = timed("mh", D.minhash_signatures(
             docs, "doc_id", "text", num_perm=32))
 
+        # Similarity self-joins need SALTED copies: identical replicas
+        # are true duplicates of each other, so any correct algorithm
+        # must OUTPUT O(f²) pairs — that measures the answer size, not
+        # the plan.  Salting (word suffix / coordinate rotation) keeps
+        # within-copy structure and decorrelates copies, so output and
+        # runtime should both grow ~linearly.
+        base_docs = load(spark, BASE, "documents")["documents"]
+        doc_parts = []
+        for i in range(f):
+            doc_parts.append(
+                base_docs.withColumn("doc_id", F.col("doc_id") + i * 10_000_000)
+                .withColumn("text", F.array_join(
+                    F.transform(F.split("text", " "),
+                                lambda w: F.concat(w, F.lit(f"_{i}"))), " ")))
+        sdocs = doc_parts[0]
+        for p in doc_parts[1:]:
+            sdocs = sdocs.unionByName(p)
+        r["ngram_jaccard"] = timed("ngram", D.ngram_jaccard_pairs(
+            sdocs, "doc_id", "text", n=3, threshold=0.05, max_df=50))
+
+        from goka_spark.functions import similarity as SIM
+        emb = load(spark, BASE, "embeddings")["embeddings"]
+        dim = 64
+        emb_parts = []
+        for i in range(f):
+            # rotation is orthogonal: within-copy cosines unchanged,
+            # cross-copy pairs decorrelated
+            emb_parts.append(
+                emb.withColumn("vec_id", F.col("vec_id") + i * 10_000_000)
+                .withColumn("embedding", F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda j: F.element_at(
+                        F.col("embedding"), ((j + F.lit(i)) % dim) + 1))))
+        emb_f = emb_parts[0]
+        for p in emb_parts[1:]:
+            emb_f = emb_f.unionByName(p)
+        r["cosine_lsh_pairs"] = timed("lsh_pairs", SIM.cosine_near_pairs_lsh(
+            emb_f, "vec_id", "embedding", threshold=0.3))
+
         # PyFold last: its Python workers pressure memory for later jobs
         gpy = define_group("p", input_stream("t", key="user_id"),
                            persist(PyFold(
