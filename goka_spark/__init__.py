@@ -31,6 +31,7 @@ from goka_spark.operators.processor import Processor, ProcessorResult
 from goka_spark.operators.view import View
 from goka_spark.operators.emitter import Emitter
 from goka_spark.session import get_session
+from goka_spark.web import MonitorServer
 
 __all__ = [
     "AggFold",
@@ -40,6 +41,7 @@ __all__ = [
     "GroupGraph",
     "Int64Codec",
     "JsonCodec",
+    "MonitorServer",
     "Processor",
     "ProcessorResult",
     "PyFold",

@@ -29,18 +29,21 @@ class Emitter:
         self.topic_path = topic_path
         self.codec = codec
         self.value_col = value_col
-        self._buffer: list[tuple[str, Any]] = []
+        self._buffer: list[tuple[str, Any, Optional[dict[str, bytes]]]] = []
 
-    def emit(self, key: Any, value: Any) -> None:
-        """Buffered single-record emit (Emitter.Emit, emitter.go:93)."""
+    def emit(self, key: Any, value: Any,
+             headers: Optional[dict[str, bytes]] = None) -> None:
+        """Buffered single-record emit (Emitter.Emit, emitter.go:93;
+        EmitWithHeaders, emitter.go:60 — headers are raw bytes)."""
         if self.codec is not None:
             # parity with goka: value must round-trip through the codec
             value = self.codec.decode(self.codec.encode(value))
-        self._buffer.append((str(key), value))
+        self._buffer.append((str(key), value, headers))
 
-    def emit_sync(self, key: Any, value: Any) -> None:
+    def emit_sync(self, key: Any, value: Any,
+                  headers: Optional[dict[str, bytes]] = None) -> None:
         """Emitter.EmitSync (emitter.go:119): emit + flush immediately."""
-        self.emit(key, value)
+        self.emit(key, value, headers)
         self.finish()
 
     def emit_dataframe(self, df: DataFrame, key: Optional[str] = None,
@@ -51,13 +54,19 @@ class Emitter:
         df.write.mode(mode).parquet(self.topic_path)
 
     def finish(self) -> None:
-        """Flush buffered records (Emitter.Finish, emitter.go:124)."""
+        """Flush buffered records (Emitter.Finish, emitter.go:124).
+        If any record carries headers the topic schema grows a
+        ``headers map<string,binary>`` column (headers.go:8)."""
         if not self._buffer:
             return
         vt = self.codec.spark_type.simpleString() if self.codec else "string"
-        df = self.spark.createDataFrame(
-            self._buffer, schema=f"key string, {self.value_col} {vt}"
-        )
+        schema = f"key string, {self.value_col} {vt}"
+        if any(h is not None for _, _, h in self._buffer):
+            schema += ", headers map<string,binary>"
+            rows = self._buffer
+        else:
+            rows = [(k, v) for k, v, _ in self._buffer]
+        df = self.spark.createDataFrame(rows, schema=schema)
         df.write.mode("append").parquet(self.topic_path)
         self._buffer = []
 

@@ -60,6 +60,17 @@ class View:
             k = d.pop(self.key_col)
             yield k, d
 
+    def seek(self, key: Any) -> Iterator[tuple[Any, dict]]:
+        """Iterator.Seek (iterator.go:66, storage/iterator.go:43):
+        position the cursor at the first key >= ``key`` and scan
+        forward in key order.  The predicate pushes down to the scan
+        (file-backed views skip row groups below the seek key)."""
+        df = self.df.filter(F.col(self.key_col) >= F.lit(key))
+        for row in df.orderBy(self.key_col).toLocalIterator():
+            d = row.asDict(recursive=True)
+            k = d.pop(self.key_col)
+            yield k, d
+
     def evict(self, key: Any) -> "View":
         """View.Evict (view.go:421) — returns a View without the key
         (immutable DataFrames: eviction is a filter, not a mutation)."""

@@ -15,6 +15,7 @@ from goka_spark.queries import analytics, core, llmdata
 # time-boxed driver run verifies them before re-proving queries that
 # already have green rows in CORRECTNESS_r01.json.
 _FRONT = [
+    "proc_headers_native",
     "ngram_jaccard_pairs",
     "embedding_cosine_topk",
     "embedding_lsh_ann",

@@ -246,6 +246,24 @@ def proc_headers(spark: SparkSession, sf: str) -> DataFrame:
     return Processor(g).run(load(spark, sf, "events")).table
 
 
+def proc_headers_native(spark: SparkSession, sf: str) -> DataFrame:
+    """Headers as a first-class ``map<string,binary>`` column
+    (headers.go:8, EmitWithHeaders emitter.go:60): the topic carries a
+    real headers map (lifted here from the JSON props shape), the
+    processor reads header bytes with map accessors — all JVM codegen,
+    no JSON parse in the fold."""
+    from goka_spark.headers import from_props, header_long
+
+    g = define_group(
+        "hdr-native",
+        input_stream("events", key="user_id", select=lambda df: (
+            df.withColumn("headers", from_props(F.col("props"), "k"))
+              .withColumn("hdr_k", header_long("k")))),
+        persist(AggFold({"sum_k": F.sum("hdr_k")})),
+    )
+    return Processor(g).run(load(spark, sf, "events")).table
+
+
 def codec_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """codec Int64 encode→decode identity, JVM-side (codec/codec.go:51-66)."""
     c = Int64Codec()
@@ -312,6 +330,7 @@ QUERIES = {
     "proc_delete_key": proc_delete_key,
     "multi_input_merge": multi_input_merge,
     "proc_headers": proc_headers,
+    "proc_headers_native": proc_headers_native,
     "codec_roundtrip": codec_roundtrip,
     "changelog_compaction": changelog_compaction,
     "proc_last_state": proc_last_state,
@@ -395,6 +414,11 @@ ORACLES = {
         FROM events
         WHERE event_type IN ('click','view','purchase','signup')
         GROUP BY user_id
+    """,
+    "proc_headers_native": """
+        SELECT CAST(user_id AS VARCHAR) AS key,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        FROM events GROUP BY user_id
     """,
     "proc_headers": """
         SELECT CAST(user_id AS VARCHAR) AS key,

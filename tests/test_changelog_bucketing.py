@@ -58,3 +58,54 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
     assert joined.count() == 100
     spark.sql("DROP TABLE bt_a")
     spark.sql("DROP TABLE bt_b")
+
+
+def test_changelog_merge_upsert_delete_insert(spark, tmp_path):
+    """MERGE INTO semantics in one snapshot epoch: matched UPDATE,
+    matched+tombstone DELETE, unmatched INSERT."""
+    cl = ChangelogTable(spark, str(tmp_path / "log"))
+    cl.append_delta(spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "key string, cnt long"))
+    cl.merge(spark.createDataFrame(
+        [("a", 10, False), ("b", 0, True), ("d", 4, False)],
+        "key string, cnt long, dead boolean"), tombstone="dead")
+    got = {r.key: r.cnt for r in cl.read_compacted().collect()}
+    assert got == {"a": 10, "c": 3, "d": 4}
+    # copy-on-write: one snapshot epoch remains
+    import os
+    epochs = [d for d in os.listdir(str(tmp_path / "log"))
+              if d.startswith("_epoch=")]
+    assert len(epochs) == 1
+
+
+def test_changelog_tombstones_survive_rewrite(spark, tmp_path):
+    """Crash-safety: merge/compact RETAIN tombstone rows, so stale
+    epochs left by a crashed cleanup can never resurrect a deleted
+    key; purge_tombstones drops the markers afterwards."""
+    from pyspark.sql import functions as F2
+
+    cl = ChangelogTable(spark, str(tmp_path / "log"))
+    cl.append_delta(spark.createDataFrame(
+        [("a", 1), ("b", 2)], "key string, cnt long"))
+    cl.merge(spark.createDataFrame(
+        [("a", 0, True)], "key string, cnt long, dead boolean"),
+        tombstone="dead")
+    # the snapshot keeps the tombstone marker row for 'a'
+    snap = cl._compacted_with_tombstones()
+    marks = {r.key: r._tombstone for r in snap.collect()}
+    assert marks == {"a": True, "b": False}
+    assert {r.key for r in cl.read_compacted().collect()} == {"b"}
+    cl.purge_tombstones()
+    assert {r.key: r.cnt for r in cl.read_compacted().collect()} == {"b": 2}
+    snap2 = {r.key for r in cl._compacted_with_tombstones().collect()}
+    assert snap2 == {"b"}
+
+
+def test_changelog_epoch_claims_are_exclusive(spark, tmp_path):
+    """Two writers racing for the same epoch number get distinct
+    epochs (atomic createNewFile claim)."""
+    cl1 = ChangelogTable(spark, str(tmp_path / "log"))
+    cl2 = ChangelogTable(spark, str(tmp_path / "log"))
+    e1 = cl1._claim_epoch()
+    e2 = cl2._claim_epoch()  # before cl1 wrote its epoch dir
+    assert e1 != e2

@@ -28,3 +28,24 @@ def test_emit_dataframe_append(spark, tmp_path):
     em.emit_dataframe(df)
     em.emit_dataframe(df)
     assert em.read().count() == 2
+
+
+def test_emit_with_headers_roundtrip(spark, tmp_path):
+    """EmitWithHeaders (emitter.go:60) → headers ride the topic schema
+    as map<string,binary> (headers.go:8) and read back natively."""
+    from pyspark.sql import functions as F
+
+    from goka_spark.headers import header_long, header_string
+
+    path = str(tmp_path / "topic")
+    em = Emitter(spark, path, codec=Int64Codec())
+    em.emit("a", 1, headers={"trace": b"t-123", "n": b"7"})
+    em.emit("b", 2)  # headerless record in the same flush → NULL map
+    em.finish()
+    got = {r.key: (r.trace, r.n) for r in em.read().select(
+        "key",
+        header_string("trace").alias("trace"),
+        header_long("n").alias("n"),
+    ).collect()}
+    assert got == {"a": ("t-123", 7), "b": (None, None)}
+    assert dict(em.read().dtypes)["headers"] == "map<string,binary>"

@@ -30,3 +30,44 @@ def test_table_stats_empty_graph(spark):
                      output("o", transform=lambda df: df))
     r = Processor(g).run({"t": ev})
     assert table_stats(r) == {"keys": 0, "partitions": 0}
+
+
+def test_monitor_server_endpoints(spark):
+    """web/monitor + web/query parity: index, processor stats, and
+    point key lookup over HTTP (examples/8-monitoring)."""
+    import json
+    from urllib.request import urlopen
+    from urllib.error import HTTPError
+
+    from goka_spark import View
+    from goka_spark.web import MonitorServer
+
+    ev = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("b", 3, 3.0)],
+        "key string, ts long, value double")
+    g = define_group("mon", input_stream("t"),
+                     persist(AggFold({"cnt": F.count("*")})))
+    r = Processor(g).run({"t": ev})
+
+    srv = MonitorServer().start()
+    try:
+        srv.attach_processor("mon", r)
+        srv.attach_view("mon-table", View(r.table))
+
+        idx = json.load(urlopen(srv.address + "/"))
+        assert idx == {"processors": ["mon"], "sources": ["mon-table"]}
+
+        st = json.load(urlopen(srv.address + "/data/processor/mon"))
+        assert st["group"] == "mon" and st["table"]["keys"] == 2
+
+        got = json.load(urlopen(srv.address + "/query/mon-table/a"))
+        assert got == {"key": "a", "value": {"cnt": 2}}
+
+        for bad in ("/query/mon-table/zz", "/query/nope/a", "/data/processor/x"):
+            try:
+                urlopen(srv.address + bad)
+                assert False, f"expected 404 for {bad}"
+            except HTTPError as e:
+                assert e.code == 404
+    finally:
+        srv.stop()

@@ -32,3 +32,15 @@ def test_evict(spark):
     v = View(_table(spark)).evict("a")
     assert not v.has("a")
     assert v.has("b")
+
+
+def test_seek(spark):
+    """Iterator.Seek (view_test.go / storage/iterator.go:43): first
+    key >= seek, then forward scan to the end."""
+    v = View(_table(spark))
+    assert list(v.seek("b")) == [
+        ("b", {"cnt": 2}), ("c", {"cnt": 3}), ("d", {"cnt": 4})]
+    # seek between keys lands on the next one
+    assert [k for k, _ in v.seek("bb")] == ["c", "d"]
+    # seek past the end is an empty cursor
+    assert list(v.seek("zz")) == []
