@@ -51,7 +51,7 @@ def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def shingle_postings(df: DataFrame, id_col: str, text_col: str,
-                     n: int = 3) -> DataFrame:
+                     n: int = 3, distinct: bool = True) -> DataFrame:
     """Distinct ``(doc, sh)`` word-shingle postings, pure codegen.
 
     ``word_shingles`` builds the shingle array with interpreted lambda
@@ -79,7 +79,12 @@ def shingle_postings(df: DataFrame, id_col: str, text_col: str,
                    cnt.alias("_cnt"))
           .filter(F.col("_rk") <=
                   F.greatest(F.col("_cnt") - (n - 1), F.lit(1))))
-    return sh.select("doc", "sh").dropDuplicates(["doc", "sh"])
+    out = sh.select("doc", "sh")
+    # distinct=False lets a caller that is about to re-partition place
+    # the dedupe AFTER its own exchange (HashPartitioning on a subset
+    # of the dedup keys already satisfies the clustering requirement,
+    # so Catalyst plans the dedupe without another shuffle).
+    return out.dropDuplicates(["doc", "sh"]) if distinct else out
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
@@ -237,8 +242,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # materializes the postings ONCE and every consumer reads the
     # shuffle output (measured 4× recompute of the shingle stage at
     # sf0.1 without it).  It also pre-positions both join sides.
-    sh = shingle_postings(_fan_out(df), id_col, text_col, n) \
-        .repartition("sh")
+    # dedupe AFTER the repartition: partitioning by sh already
+    # satisfies the (doc, sh) clustering, so the distinct costs no
+    # extra exchange.
+    sh = (shingle_postings(_fan_out(df), id_col, text_col, n,
+                           distinct=False)
+          .repartition("sh")
+          .dropDuplicates(["doc", "sh"]))
     # shingles are distinct per doc, so count(*) == document freq /
     # per-doc shingle-set size
     sizes = sh.groupBy("doc").agg(F.count("*").alias("_sz"))
