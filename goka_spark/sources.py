@@ -75,6 +75,105 @@ def kafka_sink(df: DataFrame, brokers: list[str], topic: str,
     )
 
 
+# Exact column layout Spark's kafka connector produces with
+# includeHeaders=true — the wire contract both directions target.
+KAFKA_WIRE_SCHEMA = (
+    "key binary, value binary, "
+    "headers array<struct<key:string,value:binary>>, "
+    "topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def to_kafka_records(df: DataFrame, topic: str, num_partitions: int = 32,
+                     key_col: str = "key", ts_col: str = "ts",
+                     codec=None, value_col: Optional[str] = None,
+                     headers_col: Optional[str] = None) -> DataFrame:
+    """Encode a topic DataFrame into the Kafka wire shape
+    (KAFKA_WIRE_SCHEMA) — what goka's producer puts on the wire
+    (producer.go Emit; message key/value/headers).
+
+    value: ``codec.encode_col(value_col)`` when a Codec is given
+    (goka's per-topic codec), else JSON of all payload columns
+    (the JsonCodec default).  headers: a ``map<string,binary>``
+    column becomes the connector's array-of-struct layout.
+    partition: ``pmod(hash(key), n)`` — consistent with every other
+    key partitioning in this engine (Spark murmur3; byte-identical
+    murmur2 parity with a real Kafka cluster is NOT promised, only
+    self-consistency).  offset: per-partition rank by ``ts_col``.
+    """
+    from pyspark.sql.window import Window
+
+    payload = [c for c in df.columns
+               if c not in (key_col, headers_col)]
+    if codec is not None:
+        if value_col is None or [value_col] != payload:
+            payload_cols = [c for c in payload if c != ts_col] \
+                if value_col is None else [value_col]
+            if len(payload_cols) != 1:
+                raise ValueError(
+                    f"codec encoding needs exactly one value column, "
+                    f"got {payload_cols}; pass value_col")
+            value_col = payload_cols[0]
+        value = codec.encode_col(F.col(value_col))
+    else:
+        # ts rides as the kafka record timestamp, not in the payload
+        value = F.encode(
+            F.to_json(F.struct(*[F.col(c) for c in payload
+                                 if c != ts_col])), "UTF-8")
+    headers = (
+        F.transform(
+            F.map_entries(F.col(headers_col)),
+            lambda e: F.struct(e["key"].alias("key"),
+                               e["value"].alias("value")))
+        if headers_col else
+        F.lit(None).cast("array<struct<key:string,value:binary>>")
+    )
+    part = F.pmod(F.hash(F.col(key_col).cast("string")),
+                  F.lit(num_partitions))
+    rec = df.select(
+        F.encode(F.col(key_col).cast("string"), "UTF-8").alias("key"),
+        value.alias("value"),
+        headers.alias("headers"),
+        F.lit(topic).alias("topic"),
+        part.cast("int").alias("partition"),
+        F.col(ts_col).alias("_ts"),
+    )
+    win = Window.partitionBy("partition").orderBy("_ts")
+    return rec.select(
+        "key", "value", "headers", "topic", "partition",
+        (F.row_number().over(win) - 1).cast("long").alias("offset"),
+        F.col("_ts").cast("timestamp").alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+
+
+def from_kafka_records(df: DataFrame, codec=None,
+                       value_schema: Optional[str] = None,
+                       value_col: str = "value",
+                       ts_col: str = "ts") -> DataFrame:
+    """Decode Kafka wire records (a real connector read or
+    ``to_kafka_records`` output) back into the standard topic shape:
+    ``key`` string, payload columns, ``ts``, ``headers``
+    map<string,binary>.  The inverse of goka's consumer decode path
+    (Codec.Decode at consume time)."""
+    key = F.decode(F.col("key"), "UTF-8").alias("key")
+    hdrs = F.when(
+        F.col("headers").isNotNull(),
+        F.map_from_entries(F.col("headers"))).alias("headers")
+    ts = F.col("timestamp").alias(ts_col)
+    if codec is not None:
+        return df.select(
+            key, codec.decode_col(F.col("value")).alias(value_col),
+            ts, hdrs)
+    if value_schema is None:
+        raise ValueError("pass codec or value_schema")
+    payload = F.from_json(F.decode(F.col("value"), "UTF-8"), value_schema)
+    out = df.select(key, payload.alias("_p"), ts, hdrs)
+    inner = [f"_p.{f}" for f in out.select("_p.*").columns]
+    return out.select("key", *inner, ts_col, "headers")
+
+
 def topic_exists(path: str) -> bool:
     """TopicManager.EnsureStreamExists analog for dataset topics."""
     return os.path.exists(path)
