@@ -16,6 +16,14 @@ from goka_spark.queries import analytics, core, llmdata
 # already have green rows in CORRECTNESS_r01.json.
 _FRONT = [
     "proc_headers_native",
+    "q13_order_count_distribution",
+    "q4_order_priority",
+    "q12_ship_delay_buckets",
+    "q9_profit_by_nation_year",
+    "q16_supplier_count_by_part",
+    "q11_important_parts",
+    "q2_min_cost_supplier",
+    "q20_excess_shippers",
     "ngram_jaccard_pairs",
     "embedding_cosine_topk",
     "embedding_lsh_ann",

@@ -447,6 +447,179 @@ def q17_small_quantity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q13_order_count_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13: distribution of orders per customer, including
+    zero-order customers (left outer join → count → histogram —
+    two hash-aggregates, both map-side combinable)."""
+    t = load(spark, sf, "customer", "orders")
+    per_cust = (
+        t["customer"]
+        .join(t["orders"].filter(F.col("o_orderpriority") != "5-LOW"),
+              F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist")))
+
+
+def q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 (adapted: no commit/receipt dates in this schema —
+    "late" is a lineitem shipped >60 days after the order date):
+    order counts per priority for orders with at least one late
+    lineitem.  EXISTS → left-semi join, the scan filters pushed down."""
+    t = load(spark, sf, "orders", "lineitem")
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01"))
+    late = t["lineitem"].select(
+        F.col("l_orderkey"), F.col("l_shipdate"))
+    return (
+        orders.join(
+            late,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate").cast("date")
+               > F.date_add(F.col("o_orderdate").cast("date"), 60)),
+            "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q12_ship_delay_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 (adapted: buckets on ship delay instead of the absent
+    ship modes): per delay bucket, how many high- vs low-priority
+    orders shipped there — one aggregate over a join, conditional
+    counts stay in codegen."""
+    t = load(spark, sf, "orders", "lineitem")
+    delay = F.datediff(F.col("l_shipdate").cast("date"),
+                       F.col("o_orderdate").cast("date"))
+    bucket = (F.when(delay <= 30, "fast")
+              .when(delay <= 90, "normal")
+              .otherwise("slow"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(F.count_if(high).alias("high_line_count"),
+             F.count_if(~high).alias("low_line_count"))
+    )
+
+
+def q9_profit_by_nation_year(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 (adapted: no partsupp/supplycost in this schema —
+    profit is discounted revenue): profit per supplier nation per
+    order year for red parts.  Part/supplier/nation dims broadcast;
+    the only big shuffle is the final (nation, year) aggregate."""
+    t = load(spark, sf, "part", "supplier", "lineitem", "orders", "nation")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].filter(F.col("p_name").contains("red"))),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("profit"))
+    )
+
+
+def q16_supplier_count_by_part(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 (adapted: the part↔supplier relation comes from
+    observed lineitems instead of the absent partsupp; "complaint"
+    suppliers are the negative-balance ones): distinct supplier count
+    per (brand, type, size) — NOT IN → broadcast anti join on the
+    tiny blacklist, distinct-count on the deduped pair relation."""
+    t = load(spark, sf, "part", "supplier", "lineitem")
+    pairs = (t["lineitem"].select("l_partkey", "l_suppkey").distinct())
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        pairs
+        .join(F.broadcast(bad),
+              F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(t["part"].filter(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23))),
+            F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 (adapted: part value = shipped revenue instead of
+    stock value): parts whose revenue from NATION_1 suppliers exceeds
+    0.1% of that nation's total — scalar subquery → one extra tiny
+    aggregate, broadcast back as a cross join of a single row."""
+    t = load(spark, sf, "supplier", "lineitem", "nation")
+    nat = (t["supplier"]
+           .join(F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_1")),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey"))
+    li = (t["lineitem"]
+          .join(F.broadcast(nat), F.col("l_suppkey") == F.col("s_suppkey"))
+          .withColumn("_val", F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    per_part = li.groupBy("l_partkey").agg(F.sum("_val").alias("_pv"))
+    total = per_part.agg((F.sum("_pv") * 0.001).alias("_threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_pv") > F.col("_threshold"))
+        .select("l_partkey", F.round("_pv", 2).alias("part_value"))
+    )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 (adapted: "cost" is the supplier's average unit sell
+    price observed in lineitems, partsupp being absent): for each
+    size-15 part, the supplier(s) offering the minimum unit price.
+    Correlated min subquery → window min over the part key (no
+    second join against the aggregate)."""
+    t = load(spark, sf, "part", "supplier", "lineitem")
+    unit = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].filter(F.col("p_size") == 15)),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.round(F.sum("l_extendedprice") / F.sum("l_quantity"), 4)
+             .alias("unit_price"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        unit.withColumn("_min", F.min("unit_price").over(w))
+        .filter(F.col("unit_price") == F.col("_min"))
+        .join(F.broadcast(t["supplier"]),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "s_name", "unit_price")
+    )
+
+
+def q20_excess_shippers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 (adapted: availqty absent — a supplier has "excess
+    share" when it shipped >20% of a part's total quantity): names of
+    such suppliers in NATION_1.  Share = windowed total per part; the
+    supplier dim broadcasts; output distinct supplier names."""
+    t = load(spark, sf, "supplier", "lineitem", "nation")
+    per = (t["lineitem"].groupBy("l_partkey", "l_suppkey")
+           .agg(F.sum("l_quantity").alias("_q")))
+    w = Window.partitionBy("l_partkey")
+    heavy = (per.withColumn("_tot", F.sum("_q").over(w))
+             .filter(F.col("_q") > 0.2 * F.col("_tot"))
+             .select("l_suppkey").distinct())
+    return (
+        heavy
+        .join(F.broadcast(t["supplier"]),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
 QUERIES = {
     "tumbling_window_agg": tumbling_window_agg,
     "hopping_window_agg": hopping_window_agg,
@@ -476,6 +649,14 @@ QUERIES = {
     "q8_market_share": q8_market_share,
     "q15_top_supplier": q15_top_supplier,
     "q17_small_quantity": q17_small_quantity,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q4_order_priority": q4_order_priority,
+    "q12_ship_delay_buckets": q12_ship_delay_buckets,
+    "q9_profit_by_nation_year": q9_profit_by_nation_year,
+    "q16_supplier_count_by_part": q16_supplier_count_by_part,
+    "q11_important_parts": q11_important_parts,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q20_excess_shippers": q20_excess_shippers,
 }
 
 ORACLES = {
@@ -742,4 +923,106 @@ ORACLES["q17_small_quantity"] = """
       AND l_quantity < (
         SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
         WHERE l2.l_partkey = p_partkey)
+"""
+
+ORACLES["q13_order_count_distribution"] = """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+"""
+
+ORACLES["q4_order_priority"] = """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate::DATE > o.o_orderdate::DATE + 60)
+    GROUP BY o_orderpriority
+"""
+
+ORACLES["q12_ship_delay_buckets"] = """
+    SELECT CASE
+             WHEN datediff('day', o_orderdate::DATE, l_shipdate::DATE) <= 30
+               THEN 'fast'
+             WHEN datediff('day', o_orderdate::DATE, l_shipdate::DATE) <= 90
+               THEN 'normal'
+             ELSE 'slow'
+           END AS delay_bucket,
+           COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+             AS high_line_count,
+           COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+             AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+"""
+
+ORACLES["q9_profit_by_nation_year"] = """
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name, year(o_orderdate)
+"""
+
+ORACLES["q16_supplier_count_by_part"] = """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 9, 14, 19, 23)
+      AND l_suppkey NOT IN
+        (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+"""
+
+ORACLES["q11_important_parts"] = """
+    WITH li AS (
+      SELECT l_partkey, l_extendedprice * (1 - l_discount) AS val
+      FROM lineitem
+      WHERE l_suppkey IN (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1')
+    ), pp AS (SELECT l_partkey, SUM(val) AS pv FROM li GROUP BY l_partkey)
+    SELECT l_partkey, ROUND(pv, 2) AS part_value
+    FROM pp WHERE pv > (SELECT SUM(pv) * 0.001 FROM pp)
+"""
+
+ORACLES["q2_min_cost_supplier"] = """
+    WITH unit AS (
+      SELECT p_partkey, l_suppkey,
+             ROUND(SUM(l_extendedprice) / SUM(l_quantity), 4) AS unit_price
+      FROM lineitem JOIN part ON l_partkey = p_partkey AND p_size = 15
+      GROUP BY p_partkey, l_suppkey
+    )
+    SELECT p_partkey, s_name, unit_price
+    FROM (SELECT *, MIN(unit_price) OVER (PARTITION BY p_partkey) AS m
+          FROM unit)
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE unit_price = m
+"""
+
+ORACLES["q20_excess_shippers"] = """
+    WITH per AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS q
+      FROM lineitem GROUP BY 1, 2
+    ), heavy AS (
+      SELECT DISTINCT l_suppkey
+      FROM (SELECT *, SUM(q) OVER (PARTITION BY l_partkey) AS tot FROM per)
+      WHERE q > 0.2 * tot
+    )
+    SELECT s_suppkey, s_name, n_name
+    FROM heavy JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
 """
