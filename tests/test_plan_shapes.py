@@ -88,3 +88,48 @@ def test_token_count_stays_codegen(spark, sf_dir):
     Python eval in the plan."""
     plan = X.simple(llmdata.token_count(spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    """EXISTS compiles to a semi join with the date filter pushed to
+    the orders scan — never a full join + distinct."""
+    df = analytics.q4_order_priority(spark, sf_dir)
+    plan = X.simple(df)
+    assert "LeftSemi" in plan
+    pushed = " ".join(X.pushed_filters(df))
+    assert "o_orderdate" in pushed
+
+
+def test_q16_not_in_is_broadcast_anti(spark, sf_dir):
+    """NOT IN over the tiny blacklist must be a broadcast anti join,
+    and the part dim a broadcast join — only the pair-dedup shuffles."""
+    plan = X.simple(analytics.q16_supplier_count_by_part(spark, sf_dir))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
+def test_q9_broadcasts_all_dims(spark, sf_dir):
+    """part/supplier/nation ride broadcasts; the only hash exchanges
+    are the orders join and the final (nation, year) aggregate."""
+    df = analytics.q9_profit_by_nation_year(spark, sf_dir)
+    assert X.has_broadcast_join(df)
+    assert X.has_partial_aggregation(df)
+
+
+def test_q11_threshold_is_single_row_broadcast(spark, sf_dir):
+    """The scalar subquery joins back as a single-row broadcast
+    nested loop, not a shuffle."""
+    plan = X.simple(analytics.q11_important_parts(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q13_left_join_preserves_partial_agg(spark, sf_dir):
+    df = analytics.q13_order_count_distribution(spark, sf_dir)
+    assert X.has_partial_aggregation(df)
+
+
+def test_ngram_join_has_no_cartesian(spark, sf_dir):
+    """The similarity self-join is an equi-join on the shingle key —
+    the plan may never degrade to a cartesian/nested-loop product."""
+    plan = X.simple(llmdata.ngram_jaccard_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
