@@ -272,3 +272,77 @@ def cosine_near_pairs(df: DataFrame, id_col: str, vec_col: str,
         .filter(F.col("cos") > threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def ivf_centroids(corpus: DataFrame, vec_col: str, n_cells: int = 16,
+                  sample_fraction: float = 1.0, seed: int = 42) -> "np.ndarray":
+    """IVF coarse quantizer: k-means centroids over (a sample of) the
+    corpus.  MLlib KMeans is the distributed trainer; the result is a
+    small (n_cells, dim) matrix that broadcasts everywhere.  At 100 TB
+    train on a sample — the quantizer only needs the density shape."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    src = corpus.select(_as_double(F.col(vec_col)).alias("_v"))
+    if sample_fraction < 1.0:
+        src = src.sample(fraction=sample_fraction, seed=seed)
+    feats = src.select(array_to_vector("_v").alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(feats)
+    return np.array([np.asarray(c) for c in model.clusterCenters()])
+
+
+def _cell_assign(vec: Column, centroids: "np.ndarray",
+                 n_probe: int = 1) -> Column:
+    """Top-n_probe nearest cells by dot with the (L2-normalized)
+    centroid matrix — a fixed-size codegen expression, no Python."""
+    norm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    sims = F.array(*[
+        F.struct(
+            dot(vec, F.array(*[F.lit(float(x)) for x in c])).alias("sim"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(norm)
+    ])
+    best = F.slice(F.reverse(F.array_sort(sims)), 1, n_probe)
+    return F.transform(best, lambda s: s["cell"])
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+             vec_col: str, k: int = 5, n_cells: int = 16,
+             n_probe: int = 4, centroids: "np.ndarray | None" = None,
+             seed: int = 42) -> DataFrame:
+    """IVF approximate top-k — the second scale path beside LSH
+    buckets (lsh_ann): partition the corpus into k-means cells, probe
+    only the ``n_probe`` cells nearest each query, exact cosine inside
+    probed cells, per-query top-k.
+
+    The plan is an equi-join on cell id: corpus side computes ONE cell
+    per vector (a 16-way codegen argmax, no shuffle beyond the join);
+    the query side explodes to n_probe cells.  Cost ≈ n·(n_probe/
+    n_cells) exact cosines instead of n·m — tune n_cells ≈ sqrt(n) at
+    scale, n_probe for the recall target."""
+    cents = centroids if centroids is not None \
+        else ivf_centroids(corpus, vec_col, n_cells, seed=seed)
+    c = _normalized(corpus.select(F.col(id_col).alias("neighbor_id"),
+                                  F.col(vec_col)),
+                    "neighbor_id", F.col(vec_col)) \
+        .withColumn("cell", _cell_assign(F.col("_v"), cents, 1)[0])
+    q = _normalized(queries.select(F.col(id_col).alias("query_id"),
+                                   F.col(vec_col)),
+                    "query_id", F.col(vec_col)) \
+        .withColumn("cell", F.explode(_cell_assign(F.col("_v"), cents,
+                                                   n_probe))) \
+        .withColumnRenamed("_v", "_qv")
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", dot(F.col("_v"), F.col("_qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"),
+                F.col("rk").cast("long").alias("rk"))
+    )

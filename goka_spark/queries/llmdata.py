@@ -62,6 +62,16 @@ def embedding_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
     return S.lsh_ann(emb, queries, "vec_id", "embedding", k=5, bits=8)
 
 
+def embedding_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """Rows-only: IVF approximate neighbors (k-means cells are
+    engine-side; no deterministic SQL twin).  The second ANN scale
+    path beside LSH buckets — probe 4 of 16 cells per query."""
+    emb = load(spark, sf, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    return S.ivf_topk(emb, queries, "vec_id", "embedding",
+                      k=5, n_cells=16, n_probe=4)
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     """Full-corpus near-pair mining, LSH-banded (no cross join): the
     oracle replicates the coordinate-sign banding bit-exactly, so the
@@ -127,6 +137,7 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "embedding_cosine_topk": embedding_cosine_topk,
     "embedding_lsh_ann": embedding_lsh_ann,
+    "embedding_ivf_ann": embedding_ivf_ann,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "lang_id": lang_id,
     "doc_quality_score": doc_quality_score,

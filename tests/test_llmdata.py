@@ -185,3 +185,34 @@ def test_ngram_max_df_prunes_candidates_not_similarity(spark):
     # (1,4) exact dups: candidate survives, jaccard still full-set 1.0
     assert pruned[(1, 4)] == 1.0 == unpruned[(1, 4)]
     assert pruned[(1, 2)] == unpruned[(1, 2)]  # value never changes
+
+
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    """IVF ANN: every reported neighbor carries its TRUE cosine, and
+    probing 4/16 cells recovers most of the exact top-5."""
+    from goka_spark.queries.base import load
+
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    exact_pairs = {(r.query_id, r.neighbor_id): r.cos
+                   for r in exact.collect()}
+    ivf = S.ivf_topk(emb, queries, "vec_id", "embedding",
+                     k=5, n_cells=16, n_probe=4)
+    got = {(r.query_id, r.neighbor_id): r.cos for r in ivf.collect()}
+    assert len(got) == 50  # 10 queries x k
+    hits = set(got) & set(exact_pairs)
+    assert len(hits) / len(exact_pairs) >= 0.5  # recall floor at 4/16
+    assert all(exact_pairs[p] == got[p] for p in hits)  # true cosines
+
+
+def test_ivf_join_is_cell_equijoin(spark, sf_dir):
+    """The IVF plan joins on the cell id with the query side broadcast
+    — never a cartesian product over the corpus."""
+    from goka_spark.plans import explain as X
+    from goka_spark.queries import llmdata as L
+
+    plan = X.simple(L.embedding_ivf_ann(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan

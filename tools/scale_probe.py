@@ -129,8 +129,19 @@ def main():
         emb_f = emb_parts[0]
         for p in emb_parts[1:]:
             emb_f = emb_f.unionByName(p)
+        # LSH scaling law: candidate pairs per band ≈ n²/2^bits, so
+        # bits must grow with log2(n) to hold bucket occupancy (and
+        # therefore per-item cost) constant — +2 bits per 4× corpus.
+        # dim=64 caps bands*bits, so bands shrinks as bits grow
+        # (recall traded per the banding formula; multi-probe or a
+        # second hash family recovers it on a real deployment).
+        import math
+        bits = 8 + 2 * int(math.log(max(f, 1), 4))
+        bands = min(8, dim // bits)
         r["cosine_lsh_pairs"] = timed("lsh_pairs", SIM.cosine_near_pairs_lsh(
-            emb_f, "vec_id", "embedding", threshold=0.3))
+            emb_f, "vec_id", "embedding", threshold=0.3,
+            bands=bands, bits=bits))
+        r["lsh_bands_bits"] = [bands, bits]
 
         # PyFold last: its Python workers pressure memory for later jobs
         gpy = define_group("p", input_stream("t", key="user_id"),
