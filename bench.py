@@ -32,6 +32,11 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "embedding_cosine_topk",
     "token_count",
+    # round 2 additions
+    "q13_order_count_distribution",
+    "q9_profit_by_nation_year",
+    "dedup_embedding_cosine",
+    "embedding_ivf_ann",
 ]
 
 

@@ -285,36 +285,69 @@ def cosine_near_pairs(df: DataFrame, id_col: str, vec_col: str,
 
 
 def ivf_centroids(corpus: DataFrame, vec_col: str, n_cells: int = 16,
-                  sample_fraction: float = 1.0, seed: int = 42) -> "np.ndarray":
-    """IVF coarse quantizer: k-means centroids over (a sample of) the
-    corpus.  MLlib KMeans is the distributed trainer; the result is a
-    small (n_cells, dim) matrix that broadcasts everywhere.  At 100 TB
-    train on a sample — the quantizer only needs the density shape."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+                  seed: int = 42, max_iter: int = 10,
+                  train_cap: int = 100_000,
+                  distributed: bool = False) -> "np.ndarray":
+    """IVF coarse quantizer: k-means centroids for the cell index.
 
-    src = corpus.select(_as_double(F.col(vec_col)).alias("_v"))
-    if sample_fraction < 1.0:
-        src = src.sample(fraction=sample_fraction, seed=seed)
-    feats = src.select(array_to_vector("_v").alias("features"))
-    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(feats)
-    return np.array([np.asarray(c) for c in model.clusterCenters()])
+    Default path: sample ≤ ``train_cap`` vectors to the driver and run
+    seeded Lloyd's in numpy — the quantizer only needs the density
+    shape, a bounded sample captures it, and local iterations are
+    ~free (each MLlib iteration is a full Spark job; measured
+    dominant in the query runtime).  ``distributed=True`` switches to
+    MLlib KMeans for corpora where even the sample must stay on the
+    cluster."""
+    if distributed:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = (corpus.select(_as_double(F.col(vec_col)).alias("_v"))
+                 .select(array_to_vector("_v").alias("features")).cache())
+        try:
+            model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+            return np.array([np.asarray(c) for c in model.clusterCenters()])
+        finally:
+            feats.unpersist()
+
+    rows = (corpus.select(_as_double(F.col(vec_col)).alias("_v"))
+            .limit(train_cap).collect())
+    X = np.array([r._v for r in rows])
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(max_iter):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(len(C)):
+            pts = X[assign == j]
+            if len(pts):
+                C[j] = pts.mean(0)
+    return C
 
 
-def _cell_assign(vec: Column, centroids: "np.ndarray",
-                 n_probe: int = 1) -> Column:
-    """Top-n_probe nearest cells by dot with the (L2-normalized)
-    centroid matrix — a fixed-size codegen expression, no Python."""
+def _assign_cells_arrow(df: DataFrame, vec_col: str,
+                        centroids: "np.ndarray", n_probe: int,
+                        out: str = "cells") -> DataFrame:
+    """Nearest-``n_probe`` cells per vector: ONE numpy matmul against
+    the broadcast (normalized) centroid matrix per Arrow batch — the
+    same amortized-transfer pattern as ``cosine_topk_arrow``.  (A
+    pure-expression variant was measured pathological: 16 cells × 64
+    literals built a huge interpreted tree.)"""
     norm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-    sims = F.array(*[
-        F.struct(
-            dot(vec, F.array(*[F.lit(float(x)) for x in c])).alias("sim"),
-            F.lit(i).alias("cell"),
-        )
-        for i, c in enumerate(norm)
-    ])
-    best = F.slice(F.reverse(F.array_sort(sims)), 1, n_probe)
-    return F.transform(best, lambda s: s["cell"])
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out} array<int>"
+
+    def fn(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy())
+            sims = V @ norm.T
+            top = np.argsort(-sims, axis=1)[:, :n_probe]
+            pdf[out] = [r.tolist() for r in top.astype("int32")]
+            yield pdf
+
+    return df.mapInPandas(fn, schema)
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
@@ -333,16 +366,19 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     scale, n_probe for the recall target."""
     cents = centroids if centroids is not None \
         else ivf_centroids(corpus, vec_col, n_cells, seed=seed)
-    c = _normalized(corpus.select(F.col(id_col).alias("neighbor_id"),
+    c = _assign_cells_arrow(
+        _normalized(corpus.select(F.col(id_col).alias("neighbor_id"),
                                   F.col(vec_col)),
-                    "neighbor_id", F.col(vec_col)) \
-        .withColumn("cell", _cell_assign(F.col("_v"), cents, 1)[0])
-    q = _normalized(queries.select(F.col(id_col).alias("query_id"),
+                    "neighbor_id", F.col(vec_col)),
+        "_v", cents, 1)
+    c = c.withColumn("cell", F.col("cells")[0]).drop("cells")
+    q = _assign_cells_arrow(
+        _normalized(queries.select(F.col(id_col).alias("query_id"),
                                    F.col(vec_col)),
-                    "query_id", F.col(vec_col)) \
-        .withColumn("cell", F.explode(_cell_assign(F.col("_v"), cents,
-                                                   n_probe))) \
-        .withColumnRenamed("_v", "_qv")
+                    "query_id", F.col(vec_col)),
+        "_v", cents, n_probe)
+    q = (q.withColumn("cell", F.explode("cells")).drop("cells")
+         .withColumnRenamed("_v", "_qv"))
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
