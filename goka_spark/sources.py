@@ -151,27 +151,32 @@ def to_kafka_records(df: DataFrame, topic: str, num_partitions: int = 32,
 def from_kafka_records(df: DataFrame, codec=None,
                        value_schema: Optional[str] = None,
                        value_col: str = "value",
-                       ts_col: str = "ts") -> DataFrame:
+                       ts_col: str = "ts",
+                       keep_meta: bool = False) -> DataFrame:
     """Decode Kafka wire records (a real connector read or
     ``to_kafka_records`` output) back into the standard topic shape:
     ``key`` string, payload columns, ``ts``, ``headers``
     map<string,binary>.  The inverse of goka's consumer decode path
-    (Codec.Decode at consume time)."""
+    (Codec.Decode at consume time).  ``keep_meta`` retains the
+    ``topic``/``partition``/``offset`` columns — goka's
+    ``ctx.Topic()/Partition()/Offset()`` accessors (context.go:282,
+    286, 294) — for folds that need record provenance."""
     key = F.decode(F.col("key"), "UTF-8").alias("key")
     hdrs = F.when(
         F.col("headers").isNotNull(),
         F.map_from_entries(F.col("headers"))).alias("headers")
     ts = F.col("timestamp").alias(ts_col)
+    meta = ["topic", "partition", "offset"] if keep_meta else []
     if codec is not None:
         return df.select(
             key, codec.decode_col(F.col("value")).alias(value_col),
-            ts, hdrs)
+            ts, hdrs, *meta)
     if value_schema is None:
         raise ValueError("pass codec or value_schema")
     payload = F.from_json(F.decode(F.col("value"), "UTF-8"), value_schema)
-    out = df.select(key, payload.alias("_p"), ts, hdrs)
+    out = df.select(key, payload.alias("_p"), ts, hdrs, *meta)
     inner = [f"_p.{f}" for f in out.select("_p.*").columns]
-    return out.select("key", *inner, ts_col, "headers")
+    return out.select("key", *inner, ts_col, "headers", *meta)
 
 
 def topic_exists(path: str) -> bool:

@@ -106,3 +106,13 @@ def test_processor_over_decoded_wire_equals_direct(spark):
 def test_codec_requires_single_value_column(spark):
     with pytest.raises(ValueError, match="value column"):
         to_kafka_records(_topic(spark), "events", codec=Int64Codec())
+
+
+def test_keep_meta_exposes_provenance(spark):
+    """ctx.Topic()/Partition()/Offset() parity (context.go:282-294):
+    folds can see record provenance when asked."""
+    wire = to_kafka_records(_topic(spark), "events")
+    back = from_kafka_records(
+        wire, value_schema="value double, tag string", keep_meta=True)
+    assert {"topic", "partition", "offset"} <= set(back.columns)
+    assert back.select("topic").distinct().collect()[0].topic == "events"
