@@ -27,6 +27,7 @@ _FRONT = [
     "ngram_jaccard_pairs",
     "embedding_cosine_topk",
     "embedding_lsh_ann",
+    "embedding_ivf_ann",
     "dedup_embedding_cosine",
     "lang_id",
     "doc_quality_score",
