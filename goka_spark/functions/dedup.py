@@ -307,3 +307,67 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components over a near-dup pair graph — the step a
+    training-data pipeline needs AFTER pair mining: pick one canonical
+    document per duplicate cluster.  Returns (node, cluster_id) where
+    cluster_id is the component's minimum node id.
+
+    Min-label propagation with pointer jumping: each round every node
+    takes the min of its own and its neighbors' labels, then each
+    label is replaced by its label's label (label[label[node]]) — the
+    pointer-jumping step halves chain depth, so convergence is
+    O(log diameter) rounds, not O(diameter).  Each round's labels are
+    materialized with localCheckpoint (eager) — cache alone is NOT
+    enough for iterative Spark: the logical plan would grow with every
+    round and the driver dies re-analyzing it (lineage explosion).
+    The driver coordinates only the convergence check — all data stays
+    distributed (this is the standard Spark CC shape; GraphFrames'
+    connected components is the same loop hardened)."""
+    edges = pairs.select(F.col(id_a).alias("src"),
+                         F.col(id_b).alias("dst"))
+    # materialize the edge list ONCE — every iteration joins it, and
+    # without this each round would recompute the (potentially
+    # expensive) upstream pair-mining plan from scratch
+    sym = edges.union(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst"))
+                      ).localCheckpoint(eager=True)
+    labels = (sym.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src").agg(F.min("label").alias("_nl"))
+        )
+        prop = (
+            labels.join(neigh, labels.node == neigh.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"),
+                        F.coalesce(F.col("_nl"), F.col("label")))
+                 .alias("label"),
+            )
+        )
+        # pointer jumping: label <- label[label]; labels covers every
+        # node and labels are node ids, so the self-join is total
+        lmap = prop.select(F.col("node").alias("_ln"),
+                           F.col("label").alias("_ll"))
+        new_labels = (
+            prop.join(lmap, prop.label == lmap._ln, "left")
+            .select("node",
+                    F.coalesce(F.col("_ll"), F.col("label"))
+                     .alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

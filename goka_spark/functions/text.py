@@ -95,3 +95,24 @@ def scrub_pii(text: Column) -> Column:
     pre-training scrub); extend with phone/SSN patterns as needed."""
     out = F.regexp_replace(text, F.lit(EMAIL_RE), F.lit("<EMAIL>"))
     return F.regexp_replace(out, F.lit(URL_RE), F.lit("<URL>"))
+
+
+def all_shingles(text: Column, n: int = 3) -> Column:
+    """ALL n-word shingles including repeats (word_shingles dedupes);
+    the denominator for repetition scoring."""
+    w = words(text)
+    k = F.greatest(F.size(w) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+    )
+
+
+def repetition_ratio(text: Column, n: int = 3) -> Column:
+    """Within-document repetition: 1 - distinct/total n-gram ratio.
+    Boilerplate and looped generations repeat n-grams heavily; clean
+    prose stays near 0.  A standard pre-training quality signal."""
+    grams = all_shingles(text, n)
+    return F.round(
+        1.0 - F.size(F.array_distinct(grams)).cast("double") / F.size(grams),
+        4)

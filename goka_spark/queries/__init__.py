@@ -15,6 +15,8 @@ from goka_spark.queries import analytics, core, llmdata
 # time-boxed driver run verifies them before re-proving queries that
 # already have green rows in CORRECTNESS_r01.json.
 _FRONT = [
+    "doc_repetition",
+    "dedup_clusters",
     "proc_headers_native",
     "q13_order_count_distribution",
     "q4_order_priority",

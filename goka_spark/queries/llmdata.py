@@ -100,6 +100,27 @@ def token_count(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document repetition score (1 - distinct/total 3-grams):
+    boilerplate/looped text scores high — a standard pre-training
+    quality filter signal.  Pure Column expressions in the scan."""
+    docs = load(spark, sf, "documents")["documents"]
+    return docs.select(
+        "doc_id", T.repetition_ratio(F.col("text"), 3).alias("rep_ratio"))
+
+
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: connected components over
+    the ngram-Jaccard pair graph, min doc_id as the cluster
+    representative — the step that turns pair mining into a keep/drop
+    decision per document."""
+    docs = load(spark, sf, "documents")["documents"]
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                  threshold=0.05, max_df=50)
+    cc = D.connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), F.col("cluster_id"))
+
+
 def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")["documents"]
     return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
@@ -143,6 +164,8 @@ QUERIES = {
     "doc_quality_score": doc_quality_score,
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
+    "doc_repetition": doc_repetition,
+    "dedup_clusters": dedup_clusters,
     "multimodal_decode": multimodal_decode,
     "text_normalize": text_normalize,
     "pii_scrub": pii_scrub,
@@ -299,6 +322,37 @@ def _c12_oracle(bands: int = 8, bits: int = 8, threshold: float = 0.3) -> str:
 
 
 ORACLES["dedup_embedding_cosine"] = _c12_oracle()
+
+ORACLES["doc_repetition"] = """
+    SELECT doc_id,
+           ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                 / len(grams), 4) AS rep_ratio
+    FROM (SELECT doc_id,
+                 list_transform(
+                   range(1, greatest(len(words) - 2, 1) + 1),
+                   i -> array_to_string(words[i:i+2], ' ')) AS grams
+          FROM (SELECT doc_id,
+                       list_filter(string_split(text, ' '),
+                                   w -> w <> '') AS words
+                FROM documents))
+"""
+
+ORACLES["dedup_clusters"] = f"""
+    WITH RECURSIVE pairs AS ({ORACLES["ngram_jaccard_pairs"]}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+      SELECT node, node AS label FROM nodes
+      UNION
+      SELECT e.a AS node, r.label FROM edges e JOIN reach r ON e.b = r.node
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id
+    FROM reach GROUP BY node
+"""
 
 ORACLES["text_normalize"] = """
     SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text

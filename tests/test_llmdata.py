@@ -216,3 +216,34 @@ def test_ivf_join_is_cell_equijoin(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_connected_components_merges_chains(spark):
+    """Pairs (1,2),(2,3) and (7,8): min-label propagation finds
+    {1,2,3}->1 and {7,8}->7 — transitive merge, not just pair groups."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long")
+    got = {(r.node, r.cluster_id)
+           for r in D.connected_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-node path graph needs several propagation rounds — the
+    loop must iterate to the true fixpoint, not stop after one."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long")
+    got = {r.cluster_id for r in D.connected_components(pairs).collect()}
+    assert got == {0}
+
+
+def test_repetition_ratio_flags_looped_text(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c a b c"),      # heavy 3-gram repeats
+         (2, "one two three four five six")],  # all distinct
+        "doc_id long, text string")
+    got = {r.doc_id: r.rep for r in df.select(
+        "doc_id", T.repetition_ratio(F.col("text"), 3).alias("rep")
+    ).collect()}
+    assert got[2] == 0.0
+    assert got[1] > 0.5  # 10 grams, only 3 distinct
