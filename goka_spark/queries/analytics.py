@@ -620,6 +620,49 @@ def q20_excess_shippers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 (adapted: commit/receipt dates absent — "late" is a
+    lineitem shipped >60 days after the order date, as in Q4): per
+    NATION_9 supplier, how many finished multi-supplier orders it was
+    the SOLE late supplier of (goka parity: the same per-key blame
+    aggregation an ops pipeline runs; reference collectors.go-style
+    keyed counters).
+
+    Scale shape: the spec's two correlated EXISTS self-joins on
+    lineitem are re-expressed as ONE per-order aggregate (distinct
+    suppliers, distinct late suppliers) joined back to the late
+    lineitems — both sides shuffle once on l_orderkey and AQE
+    co-partitions them; supplier/nation dims broadcast.  At 100 TB
+    this avoids re-scanning lineitem twice per EXISTS."""
+    t = load(spark, sf, "orders", "lineitem", "supplier", "nation")
+    fo = t["orders"].filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate")
+    ll = (t["lineitem"]
+          .join(fo, F.col("l_orderkey") == F.col("o_orderkey"))
+          .select(
+              "l_orderkey", "l_suppkey",
+              (F.col("l_shipdate").cast("date")
+               > F.date_add(F.col("o_orderdate").cast("date"), 60))
+              .alias("_late")))
+    agg = (ll.groupBy("l_orderkey")
+           .agg(F.countDistinct("l_suppkey").alias("_n_supp"),
+                F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey")))
+                 .alias("_n_late")))
+    late1 = (ll.filter(F.col("_late"))
+             .select("l_orderkey", "l_suppkey").distinct())
+    return (
+        late1
+        .join(agg, "l_orderkey")
+        .filter((F.col("_n_supp") > 1) & (F.col("_n_late") == 1))
+        .join(F.broadcast(t["supplier"]),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_9")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
 QUERIES = {
     "tumbling_window_agg": tumbling_window_agg,
     "hopping_window_agg": hopping_window_agg,
@@ -657,6 +700,7 @@ QUERIES = {
     "q11_important_parts": q11_important_parts,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q20_excess_shippers": q20_excess_shippers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
 }
 
 ORACLES = {
@@ -1025,4 +1069,29 @@ ORACLES["q20_excess_shippers"] = """
     SELECT s_suppkey, s_name, n_name
     FROM heavy JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation ON s_nationkey = n_nationkey
+"""
+
+ORACLES["q21_waiting_suppliers"] = """
+    WITH fo AS (
+      SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+    ), ll AS (
+      SELECT l_orderkey, l_suppkey,
+             CAST(l_shipdate AS DATE)
+               > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY AS is_late
+      FROM lineitem JOIN fo ON l_orderkey = o_orderkey
+    ), agg AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late
+      FROM ll GROUP BY l_orderkey
+    ), late1 AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM ll WHERE is_late
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late1
+    JOIN agg USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_supp > 1 AND n_late = 1 AND n_name = 'NATION_9'
+    GROUP BY s_name
 """

@@ -127,6 +127,19 @@ def test_q13_left_join_preserves_partial_agg(spark, sf_dir):
     assert X.has_partial_aggregation(df)
 
 
+def test_q21_single_lineitem_aggregate(spark, sf_dir):
+    """The double-EXISTS is ONE per-order aggregate joined back to the
+    late lineitems: supplier/nation dims broadcast, the orders filter
+    reaches the scan, and the aggregate runs partial+final."""
+    df = analytics.q21_waiting_suppliers(spark, sf_dir)
+    plan = X.simple(df)
+    assert X.has_broadcast_join(df)
+    assert X.has_partial_aggregation(df)
+    assert "CartesianProduct" not in plan
+    pushed = " ".join(X.pushed_filters(df))
+    assert "o_orderstatus" in pushed
+
+
 def test_ngram_join_has_no_cartesian(spark, sf_dir):
     """The similarity self-join is an equi-join on the shingle key —
     the plan may never degrade to a cartesian/nested-loop product."""
