@@ -17,6 +17,7 @@ from goka_spark.queries import analytics, core, llmdata
 _FRONT = [
     "doc_repetition",
     "dedup_clusters",
+    "corpus_filter_pipeline",
     "q21_waiting_suppliers",
     "proc_headers_native",
     "q13_order_count_distribution",

@@ -121,6 +121,58 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), F.col("cluster_id"))
 
 
+def corpus_filter_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """END-TO-END pretraining corpus filter: one verdict per document,
+    applying the stages in real pipeline order — language gate →
+    quality gate → repetition gate → exact dedup (keep min doc_id per
+    md5) → near-dup clustering (keep the cluster representative).
+    Verdict is the FIRST failing stage ('kept' if none), so every
+    document's row is deterministic and auditable.
+
+    Scale shape: the three text gates are pure Column expressions in
+    the scan stage; exact dedup is one hash-aggregate; near-dup pairs
+    come from the df-pruned shingle equi-join and the cluster step is
+    the pointer-jumping CC (pair mining materialized once via
+    localCheckpoint inside connected_components).  On a cluster you'd
+    persist `scored` between stages; the plan itself adds no O(n²)
+    stage anywhere."""
+    docs = load(spark, sf, "documents")["documents"]
+    return filter_verdicts(docs)
+
+
+def filter_verdicts(docs: DataFrame) -> DataFrame:
+    """Pipeline core over any (doc_id, text) frame — see
+    corpus_filter_pipeline for stage semantics."""
+    scored = docs.select(
+        "doc_id", "text",
+        T.lang_id(F.col("text")).alias("_lang"),
+        T.quality_score(F.col("text")).alias("_q"),
+        T.repetition_ratio(F.col("text"), 3).alias("_rep"))
+    surv1 = scored.filter((F.col("_lang") == "en") & (F.col("_q") >= 0.5)
+                          & (F.col("_rep") < 0.2))
+    keep_ids = (surv1.groupBy(F.md5("text").alias("_h"))
+                .agg(F.min("doc_id").alias("doc_id")))
+    surv2 = surv1.join(keep_ids, "doc_id", "left_semi")
+    pairs = D.ngram_jaccard_pairs(surv2, "doc_id", "text", n=3,
+                                  threshold=0.05, max_df=50)
+    cc = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    return (
+        scored
+        .join(surv2.select("doc_id", F.lit(True).alias("_s2")),
+              "doc_id", "left")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_lang") != "en", "lang")
+             .when(F.col("_q") < 0.5, "quality")
+             .when(F.col("_rep") >= 0.2, "repetition")
+             .when(F.col("_s2").isNull(), "exact_dup")
+             .when(F.col("cluster_id").isNotNull()
+                   & (F.col("cluster_id") != F.col("doc_id")), "near_dup")
+             .otherwise("kept").alias("verdict"))
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")["documents"]
     return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
@@ -166,6 +218,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "doc_repetition": doc_repetition,
     "dedup_clusters": dedup_clusters,
+    "corpus_filter_pipeline": corpus_filter_pipeline,
     "multimodal_decode": multimodal_decode,
     "text_normalize": text_normalize,
     "pii_scrub": pii_scrub,
@@ -352,6 +405,90 @@ ORACLES["dedup_clusters"] = f"""
     )
     SELECT node AS doc_id, MIN(label) AS cluster_id
     FROM reach GROUP BY node
+"""
+
+# end-to-end pipeline oracle: the same stages as corpus_filter_pipeline,
+# chained as CTEs (RECURSIVE only for the reach closure at the end).
+ORACLES["corpus_filter_pipeline"] = f"""
+    WITH RECURSIVE scored AS (
+      SELECT doc_id, text,
+             CASE
+               WHEN {_sw_hits(_SW['en'])} >= {_sw_hits(_SW['de'])}
+                AND {_sw_hits(_SW['en'])} >= {_sw_hits(_SW['es'])}
+                AND {_sw_hits(_SW['en'])} >= {_sw_hits(_SW['fr'])} THEN 'en'
+               WHEN {_sw_hits(_SW['de'])} >= {_sw_hits(_SW['es'])}
+                AND {_sw_hits(_SW['de'])} >= {_sw_hits(_SW['fr'])} THEN 'de'
+               WHEN {_sw_hits(_SW['es'])} >= {_sw_hits(_SW['fr'])} THEN 'es'
+               ELSE 'fr'
+             END AS lang,
+             ROUND(0.5 * LEAST(n_words / 64.0, 1.0)
+                 + 0.25 * LEAST(sw / GREATEST(n_words, 1.0) * 4, 1.0)
+                 + 0.25 * (1 - LEAST(punct / GREATEST(n_chars_d, 1.0) * 4, 1.0)),
+                   4) AS q,
+             ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams),
+                   4) AS rep
+      FROM (SELECT doc_id, text,
+                   CAST(len(words) AS DOUBLE) AS n_words,
+                   CAST(length(text) AS DOUBLE) AS n_chars_d,
+                   CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                     AS punct,
+                   CAST({_sw_hits(_SW['en'])} AS DOUBLE) AS sw,
+                   list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+                                  i -> array_to_string(words[i:i+2], ' '))
+                     AS grams
+            FROM (SELECT doc_id, text, {_WORDS} AS words FROM documents))
+    ), surv1 AS (
+      SELECT doc_id, text FROM scored
+      WHERE lang = 'en' AND q >= 0.5 AND rep < 0.2
+    ), ek AS (
+      SELECT md5(text) AS h, MIN(doc_id) AS kid FROM surv1 GROUP BY 1
+    ), surv2 AS (
+      SELECT s.doc_id, s.text FROM surv1 s
+      JOIN ek ON md5(s.text) = ek.h AND s.doc_id = ek.kid
+    ), d2 AS (
+      SELECT doc_id AS doc, list_distinct(list_transform(
+               range(1, greatest(len(words) - 2, 1) + 1),
+               i -> array_to_string(words[i:i+2], ' '))) AS shs
+      FROM (SELECT doc_id, {_WORDS} AS words FROM surv2)
+    ), sh2 AS (
+      SELECT doc, UNNEST(shs) AS sh FROM d2
+    ), dfc2 AS (
+      SELECT sh FROM (SELECT sh, COUNT(*) AS cnt FROM sh2 GROUP BY sh)
+      WHERE cnt <= 50
+    ), pr2 AS (
+      SELECT doc, s.sh FROM sh2 s JOIN dfc2 USING (sh)
+    ), cand2 AS (
+      SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+      FROM pr2 a JOIN pr2 b ON a.sh = b.sh AND a.doc < b.doc
+    ), pairs2 AS (
+      SELECT id_a, id_b
+      FROM cand2 c JOIN d2 a ON a.doc = c.id_a JOIN d2 b ON b.doc = c.id_b
+      WHERE ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+                  / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))),
+                  4) >= 0.05
+    ), edges2 AS (
+      SELECT id_a AS a, id_b AS b FROM pairs2
+      UNION
+      SELECT id_b, id_a FROM pairs2
+    ), nodes2 AS (SELECT DISTINCT a AS node FROM edges2),
+    reach2 AS (
+      SELECT node, node AS label FROM nodes2
+      UNION
+      SELECT e.a AS node, r.label FROM edges2 e JOIN reach2 r ON e.b = r.node
+    ), cc2 AS (
+      SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach2 GROUP BY node
+    )
+    SELECT s.doc_id,
+           CASE WHEN s.lang <> 'en' THEN 'lang'
+                WHEN s.q < 0.5 THEN 'quality'
+                WHEN s.rep >= 0.2 THEN 'repetition'
+                WHEN v.doc_id IS NULL THEN 'exact_dup'
+                WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> s.doc_id
+                  THEN 'near_dup'
+                ELSE 'kept' END AS verdict
+    FROM scored s
+    LEFT JOIN surv2 v ON v.doc_id = s.doc_id
+    LEFT JOIN cc2 c ON c.doc_id = s.doc_id
 """
 
 ORACLES["text_normalize"] = """

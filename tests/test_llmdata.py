@@ -247,3 +247,24 @@ def test_repetition_ratio_flags_looped_text(spark):
     ).collect()}
     assert got[2] == 0.0
     assert got[1] > 0.5  # 10 grams, only 3 distinct
+
+
+def test_corpus_filter_verdict_priority(spark):
+    """One doc per drop stage, crafted so each fails exactly its own
+    gate: verdict must be the FIRST failing stage, dup keepers must be
+    the min doc_id, and clean docs come back 'kept'."""
+    from goka_spark.queries.llmdata import filter_verdicts
+    good = " ".join(f"the word{i} and item{i} of thing{i}" for i in range(12))
+    near_a = " ".join(f"a pig{i} is in pen{i} to eat{i}" for i in range(12))
+    near_b = near_a.replace("pig3", "cow3")  # one shingle differs
+    rows = [
+        (1, "der die das und zu ist ein nicht der die das und"),  # lang
+        (2, "!!! ??? ### $$$ %%%"),                               # quality
+        (3, "the cat sat on the mat " * 16),                      # repetition
+        (4, good), (5, good),                                     # exact pair
+        (6, near_a), (7, near_b),                                 # near pair
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.verdict for r in filter_verdicts(docs).collect()}
+    assert got == {1: "lang", 2: "quality", 3: "repetition",
+                   4: "kept", 5: "exact_dup", 6: "kept", 7: "near_dup"}
