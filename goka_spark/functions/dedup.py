@@ -101,12 +101,16 @@ def _fan_out(df: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       num_perm: int = 32, shingle: int = 3) -> DataFrame:
+                       num_perm: int = 32, shingle: int = 3,
+                       base_hash: str = "xxhash64") -> DataFrame:
     """MinHash signature per document, fully JVM-side.
 
-    h32 = xxhash64(shingle) & (2^31-1); sig_j = min_s (a_j*h32+b_j) mod M.
-    Products stay < 2^62, no overflow.
-    """
+    h32 = hash(shingle) & (2^31-1); sig_j = min_s (a_j*h32+b_j) mod M.
+    Products stay < 2^62, no overflow.  ``base_hash`` picks the
+    shingle hash: ``xxhash64`` (fast, JVM-only — production default)
+    or ``md5`` (first 8 hex chars as an integer — bit-identical in
+    DuckDB via CAST('0x'||substr(md5(s),1,8) AS BIGINT), which makes
+    the whole signature oracle-verifiable)."""
     params = _perm_params(num_perm)
     df = _fan_out(df)
 
@@ -115,10 +119,15 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     # Scalar min-aggs stay in whole-stage codegen (array lambdas are
     # interpreted in Spark) and combine map-side: at scale the shuffle
     # carries one partial signature per (partition, doc).
+    if base_hash == "md5":
+        h = F.conv(F.substring(F.md5(F.encode(F.col("_s"), "UTF-8")), 1, 8),
+                   16, 10).cast("long")
+    else:
+        h = F.xxhash64("_s")
     ex = df.select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle)).alias("_s"),
-    ).withColumn("_h", F.xxhash64("_s").bitwiseAND(F.lit((1 << 31) - 1)))
+    ).withColumn("_h", h.bitwiseAND(F.lit((1 << 31) - 1)))
     mins = [
         F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MERSENNE)).alias(f"_m{j}")
         for j, (a, b) in enumerate(params)
@@ -164,22 +173,35 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     return lsh_candidate_pairs(banded, id_col)
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document in one explode + one hash-aggregate."""
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            base_hash: str = "xxhash64") -> DataFrame:
+    """SimHash per document in one explode + one hash-aggregate.
+
+    ``base_hash='xxhash64'`` → 63 bits (fast, production default);
+    ``base_hash='md5'`` → 60 bits from the first 15 hex chars of md5,
+    bit-identical in DuckDB (oracle-verifiable; both stay positive
+    longs)."""
     from goka_spark.functions.text import words
 
+    if base_hash == "md5":
+        nbits = 60
+        h = F.conv(F.substring(F.md5(F.encode(F.col("_w"), "UTF-8")), 1, 15),
+                   16, 10).cast("long")
+    else:
+        nbits = 63  # 63 bits → result stays a positive long
+        h = F.xxhash64("_w")
     ex = _fan_out(df).select(
         F.col(id_col),
         F.explode(words(F.col(text_col))).alias("_w"),
-    ).withColumn("_h", F.xxhash64("_w"))
+    ).withColumn("_h", h)
     votes = [
         F.sum(F.when(F.col("_h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1))
          .alias(f"_b{j}")
-        for j in range(63)  # 63 bits → result stays a positive long
+        for j in range(nbits)
     ]
     agg = ex.groupBy(id_col).agg(*votes)
     sim = None
-    for j in range(63):
+    for j in range(nbits):
         bit = F.when(F.col(f"_b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
     return agg.select(F.col(id_col), sim.alias("simhash"))

@@ -18,6 +18,8 @@ _FRONT = [
     "doc_repetition",
     "dedup_clusters",
     "corpus_filter_pipeline",
+    "dedup_minhash_verified",
+    "dedup_simhash_verified",
     "q21_waiting_suppliers",
     "proc_headers_native",
     "q13_order_count_distribution",

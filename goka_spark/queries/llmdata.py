@@ -121,6 +121,30 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), F.col("cluster_id"))
 
 
+def dedup_minhash_verified(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash signatures with the md5-derived base hash — the SAME
+    signature pipeline as dedup_minhash_lsh (one explode + one
+    hash-aggregate of scalar min expressions) but with a base hash
+    both engines implement bit-identically, so the full signature
+    matrix is hash-verified against DuckDB (xxhash64 stays the
+    production default; this proves the permutation/min algebra).
+    Exploded to (doc_id, perm, sig) scalars for the driver compare."""
+    docs = load(spark, sf, "documents")["documents"]
+    sigs = D.minhash_signatures(docs, "doc_id", "text", num_perm=16,
+                                base_hash="md5")
+    return sigs.select(
+        "doc_id", F.posexplode("minhash").alias("perm", "sig"))
+
+
+def dedup_simhash_verified(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash with the md5-derived 60-bit word hash — the SAME
+    bit-vote aggregate as dedup_simhash but with a base hash DuckDB
+    implements bit-identically, so the full fingerprint is
+    hash-verified (xxhash64/63-bit stays the production default)."""
+    docs = load(spark, sf, "documents")["documents"]
+    return D.simhash(docs, "doc_id", "text", base_hash="md5")
+
+
 def corpus_filter_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """END-TO-END pretraining corpus filter: one verdict per document,
     applying the stages in real pipeline order — language gate →
@@ -219,6 +243,8 @@ QUERIES = {
     "doc_repetition": doc_repetition,
     "dedup_clusters": dedup_clusters,
     "corpus_filter_pipeline": corpus_filter_pipeline,
+    "dedup_minhash_verified": dedup_minhash_verified,
+    "dedup_simhash_verified": dedup_simhash_verified,
     "multimodal_decode": multimodal_decode,
     "text_normalize": text_normalize,
     "pii_scrub": pii_scrub,
@@ -405,6 +431,56 @@ ORACLES["dedup_clusters"] = f"""
     )
     SELECT node AS doc_id, MIN(label) AS cluster_id
     FROM reach GROUP BY node
+"""
+
+def _minhash_oracle(num_perm: int = 16) -> str:
+    """DuckDB twin of minhash_signatures(base_hash='md5'): identical
+    permutation constants (same seeded _perm_params), identical
+    integer algebra — sig = MIN((a*h32 + b) % (2^61-1))."""
+    from goka_spark.functions.dedup import MERSENNE, _perm_params
+    rows = ", ".join(f"({j}, {a}, {b})"
+                     for j, (a, b) in enumerate(_perm_params(num_perm)))
+    return f"""
+    WITH d AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(words) - 2, 1) + 1),
+               i -> array_to_string(words[i:i+2], ' '))) AS shs
+      FROM (SELECT doc_id, {_WORDS} AS words FROM documents)
+    ), sh AS (
+      SELECT doc_id, UNNEST(shs) AS s FROM d
+    ), h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) & 2147483647
+               AS h32
+      FROM sh
+    ), params(perm, a, b) AS (VALUES {rows})
+    SELECT doc_id, CAST(perm AS INTEGER) AS perm,
+           MIN((a * h32 + b) % {MERSENNE}) AS sig
+    FROM h CROSS JOIN params
+    GROUP BY doc_id, perm
+    """
+
+
+ORACLES["dedup_minhash_verified"] = _minhash_oracle()
+
+# DuckDB twin of simhash(base_hash='md5'): same 60-bit votes, same
+# reconstruction; SUM() is HUGEINT in DuckDB — cast back to BIGINT.
+ORACLES["dedup_simhash_verified"] = f"""
+    WITH w AS (
+      SELECT doc_id, UNNEST({_WORDS}) AS w FROM documents
+    ), h AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+      FROM w
+    ), votes AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN (SELECT UNNEST(range(0, 60)) AS j)
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
 """
 
 # end-to-end pipeline oracle: the same stages as corpus_filter_pipeline,
