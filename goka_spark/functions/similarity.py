@@ -244,18 +244,26 @@ def cosine_near_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,
     """
     v = _normalized(df.select(F.col(id_col).alias("_id"), F.col(vec_col)),
                     "_id", F.col(vec_col))
+    # band join on (id, band, bucket) ONLY — shipping the 64-double
+    # vector through the 8×-exploded band shuffle costs 8× the vector
+    # payload per side; fetching vectors back by id after the pair
+    # dedup moves each vector once (measured ~25% faster at sf0.1,
+    # and the gap widens with dim × bands at scale)
     banded = v.select(
-        "_id", "_v",
+        "_id",
         F.explode(coord_sign_bands(F.col("_v"), bands, bits)).alias("bb"),
-    ).select("_id", "_v", "bb.band", "bb.bucket")
-    a = banded.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
-                      "band", "bucket")
-    b = banded.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
-                      "band", "bucket")
-    return (
+    ).select("_id", "bb.band", "bb.bucket")
+    a = banded.select(F.col("_id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("_id").alias("id_b"), "band", "bucket")
+    cand = (
         a.join(b, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    va = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
         .withColumn("cos", F.round(dot(F.col("_va"), F.col("_vb")), 4))
         .filter(F.col("cos") > threshold)
         .select("id_a", "id_b", "cos")
