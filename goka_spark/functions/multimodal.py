@@ -78,3 +78,57 @@ def frame_sample_stub(df: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx"])
 
     return df.select(id_col, blob_col).mapInPandas(run, "doc_id long, frame_idx long")
+
+def resize_image_stub(df: DataFrame, id_col: str = "doc_id",
+                      blob_col: str = "blob", width: int = 64,
+                      height: int = 64) -> DataFrame:
+    """Resize plumbing: binary in → binary out, Arrow-batched.  With a
+    real codec (PIL) this is decode→resize→re-encode per batch; here
+    the transform is a deterministic stub (truncate/cycle the payload
+    to exactly width*height bytes) so schema, batch shape and
+    partitioning are exercised end to end."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            out = []
+            for b in pdf[blob_col]:
+                reps = (target // max(len(b), 1)) + 1
+                out.append((b * reps)[:target])
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "blob": out,
+                "width": pd.Series([width] * len(pdf), dtype="int64"),
+                "height": pd.Series([height] * len(pdf), dtype="int64"),
+            })
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run, "doc_id long, blob binary, width long, height long")
+
+
+def image_features(df: DataFrame, id_col: str = "doc_id",
+                   blob_col: str = "blob", bins: int = 16) -> DataFrame:
+    """Feature extraction: binary → array<float>.  The byte-value
+    histogram (normalized, ``bins`` buckets) is a REAL feature — no
+    codec needed — and the numpy bincount per Arrow batch is the same
+    vectorized shape a learned-embedding extractor would use."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf[blob_col]:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                if arr.size == 0:
+                    feats.append([0.0] * bins)
+                    continue
+                hist = np.bincount(arr // (256 // bins),
+                                   minlength=bins)[:bins]
+                feats.append((hist / arr.size).astype("float64").tolist())
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "features": feats,
+            })
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run, "doc_id long, features array<double>")

@@ -268,3 +268,22 @@ def test_corpus_filter_verdict_priority(spark):
     got = {r.doc_id: r.verdict for r in filter_verdicts(docs).collect()}
     assert got == {1: "lang", 2: "quality", 3: "repetition",
                    4: "kept", 5: "exact_dup", 6: "kept", 7: "near_dup"}
+
+
+def test_resize_stub_exact_payload_size(spark):
+    df = spark.createDataFrame([(1, "ab"), (2, "x" * 9000)],
+                               "doc_id long, text string")
+    out = M.resize_image_stub(M.attach_blob(df), width=8, height=8).collect()
+    assert all(len(r.blob) == 64 for r in out)
+    assert {(r.width, r.height) for r in out} == {(8, 8)}
+
+
+def test_image_features_byte_histogram(spark):
+    """All-'a' payload → all mass in bin ord('a')//16 = 6; features
+    sum to 1 for non-empty blobs."""
+    df = spark.createDataFrame([(1, "aaaa"), (2, "")],
+                               "doc_id long, text string")
+    got = {r.doc_id: r.features
+           for r in M.image_features(M.attach_blob(df)).collect()}
+    assert got[1][6] == 1.0 and sum(got[1]) == 1.0
+    assert sum(got[2]) == 0.0
