@@ -8,12 +8,12 @@ plan and the oracle SQL (driver hash-compares by column name).
 
 from goka_spark.queries import analytics, core, llmdata
 
-# Round 1's driver correctness run recorded exactly the first 50
-# registry entries and stopped (cap or time budget) — the 11 keys
-# below never got a driver row despite green in-repo oracles
-# (VERDICT.md round 1, item 1).  Register them FIRST so a capped or
-# time-boxed driver run verifies them before re-proving queries that
-# already have green rows in CORRECTNESS_r01.json.
+# The driver's correctness run records roughly the first 50 registry
+# entries and stops (cap or time budget — round 1 recorded exactly
+# 50 of 61).  Register queries that have NEVER had a driver row
+# FIRST — round-2 additions, then the 11 keys the round-1 run missed
+# (VERDICT.md r1 item 1) — so a capped run verifies them before
+# re-proving queries already green in CORRECTNESS_r01.json.
 _FRONT = [
     "doc_repetition",
     "dedup_clusters",
