@@ -244,6 +244,13 @@ def cosine_near_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,
     """
     v = _normalized(df.select(F.col(id_col).alias("_id"), F.col(vec_col)),
                     "_id", F.col(vec_col))
+    # One explicit exchange by id, REUSED by all three consumers below
+    # (banding branch, id_a fetch, id_b fetch): without it each
+    # consumer re-scans the source and re-normalizes (4 scans
+    # measured); with it the scan+normalize runs once and everyone
+    # reads the shuffle output (ReuseExchange, same trick as the
+    # ngram postings join).
+    v = v.repartition("_id")
     # band join on (id, band, bucket) ONLY — shipping the 64-double
     # vector through the 8×-exploded band shuffle costs 8× the vector
     # payload per side; fetching vectors back by id after the pair
