@@ -331,6 +331,32 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def decontaminate(corpus: DataFrame, benchmark: DataFrame, id_col: str,
+                  text_col: str, n: int = 5,
+                  min_hits: int = 1) -> DataFrame:
+    """Benchmark decontamination — the pretraining step that keeps
+    eval sets out of the training corpus: flag every corpus document
+    sharing ≥ ``min_hits`` distinct word n-grams with ANY benchmark
+    document.  Returns (id, n_hits) for flagged docs.
+
+    Scale shape: benchmark sets are small (MBs of eval data vs TBs of
+    corpus), so the benchmark shingle set BROADCASTS; the corpus side
+    is one codegen shingle explode + broadcast semi-join + per-doc
+    count — linear in corpus postings, the only shuffle is the final
+    per-doc aggregate."""
+    bench_sh = (benchmark
+                .select(F.explode(word_shingles(F.col(text_col), n))
+                        .alias("sh"))
+                .distinct())
+    corpus_sh = shingle_postings(corpus, id_col, text_col, n)
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), corpus_sh.sh == bench_sh.sh)
+        .groupBy("doc").agg(F.count("*").alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+        .select(F.col("doc").alias(id_col), "n_hits")
+    )
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_iter: int = 25) -> DataFrame:

@@ -18,6 +18,8 @@ _FRONT = [
     "doc_repetition",
     "dedup_clusters",
     "corpus_filter_pipeline",
+    "benchmark_decontaminate",
+    "corpus_sample",
     "dedup_minhash_verified",
     "dedup_simhash_verified",
     "q21_waiting_suppliers",

@@ -145,6 +145,36 @@ def dedup_simhash_verified(spark: SparkSession, sf: str) -> DataFrame:
     return D.simhash(docs, "doc_id", "text", base_hash="md5")
 
 
+def benchmark_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Eval-set decontamination: flag corpus docs sharing ≥1 distinct
+    3-gram with the benchmark set (stand-in: every 97th doc;
+    production uses longer n-grams — n is a parameter).  The
+    benchmark shingle set broadcasts — at 100 TB the corpus side is a
+    linear scan + one per-doc count aggregate."""
+    docs = load(spark, sf, "documents")["documents"]
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return D.decontaminate(corpus, bench, "doc_id", "text", n=3)
+
+
+def corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling — how a real pipeline does
+    domain weighting reproducibly: a quality bucket sets the keep
+    rate, membership is a pure hash test (md5 of the doc id mod 100),
+    so the sample is stable across runs/engines — no RNG, no seed
+    coordination, and any engine can audit the decision.  Pure Column
+    expressions in the scan stage."""
+    docs = load(spark, sf, "documents")["documents"]
+    q = T.quality_score(F.col("text"))
+    rate = (F.when(q >= 0.7, 100).when(q >= 0.5, 50).otherwise(10))
+    slot = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                  16, 10).cast("long") % 100
+    return (docs
+            .select("doc_id", rate.alias("keep_rate"), slot.alias("slot"))
+            .filter(F.col("slot") < F.col("keep_rate"))
+            .select("doc_id", "keep_rate"))
+
+
 def corpus_filter_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """END-TO-END pretraining corpus filter: one verdict per document,
     applying the stages in real pipeline order — language gate →
@@ -243,6 +273,8 @@ QUERIES = {
     "doc_repetition": doc_repetition,
     "dedup_clusters": dedup_clusters,
     "corpus_filter_pipeline": corpus_filter_pipeline,
+    "benchmark_decontaminate": benchmark_decontaminate,
+    "corpus_sample": corpus_sample,
     "dedup_minhash_verified": dedup_minhash_verified,
     "dedup_simhash_verified": dedup_simhash_verified,
     "multimodal_decode": multimodal_decode,
@@ -462,6 +494,33 @@ def _minhash_oracle(num_perm: int = 16) -> str:
 
 
 ORACLES["dedup_minhash_verified"] = _minhash_oracle()
+
+ORACLES["benchmark_decontaminate"] = f"""
+    WITH sh AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+               range(1, greatest(len(words) - 2, 1) + 1),
+               i -> array_to_string(words[i:i+2], ' ')))) AS sh
+      FROM (SELECT doc_id, {_WORDS} AS words FROM documents)
+    ), bench AS (
+      SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM sh JOIN bench USING (sh)
+    WHERE doc_id % 97 <> 0
+    GROUP BY doc_id
+    HAVING COUNT(*) >= 1
+"""
+
+ORACLES["corpus_sample"] = f"""
+    SELECT doc_id, keep_rate FROM (
+      SELECT doc_id,
+             CASE WHEN q >= 0.7 THEN 100
+                  WHEN q >= 0.5 THEN 50 ELSE 10 END AS keep_rate,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS slot
+      FROM ({ORACLES["doc_quality_score"].replace("AS quality", "AS q")})
+    ) WHERE slot < keep_rate
+"""
 
 # DuckDB twin of simhash(base_hash='md5'): same 60-bit votes, same
 # reconstruction; SUM() is HUGEINT in DuckDB — cast back to BIGINT.

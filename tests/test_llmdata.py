@@ -287,3 +287,30 @@ def test_image_features_byte_histogram(spark):
            for r in M.image_features(M.attach_blob(df)).collect()}
     assert got[1][6] == 1.0 and sum(got[1]) == 1.0
     assert sum(got[2]) == 0.0
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    """Corpus doc sharing a 3-gram with the benchmark is flagged with
+    the exact distinct-shingle hit count; unrelated docs are not."""
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "prefix alpha beta gamma suffix"),   # shares 1 shingle
+         (2, "totally unrelated words here")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.n_hits for r in D.decontaminate(
+        corpus, bench, "doc_id", "text", n=3).collect()}
+    assert got == {1: 1}
+
+
+def test_decontaminate_min_hits_threshold(spark):
+    """min_hits=2 drops single-shingle overlaps."""
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta zzz"),   # 2 shared shingles
+         (2, "alpha beta gamma zzz yyy")],    # 1 shared shingle
+        "doc_id long, text string")
+    got = {r.doc_id: r.n_hits for r in D.decontaminate(
+        corpus, bench, "doc_id", "text", n=3, min_hits=2).collect()}
+    assert got == {1: 2}
