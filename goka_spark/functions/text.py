@@ -116,3 +116,42 @@ def repetition_ratio(text: Column, n: int = 3) -> Column:
     return F.round(
         1.0 - F.size(F.array_distinct(grams)).cast("double") / F.size(grams),
         4)
+
+
+def shard_pack(df, id_col: str, tok_col: str, budget: int):
+    """Pack documents into fixed-token-budget training shards:
+    ``shard_id = floor(prefix_tokens_before_doc / budget)`` over the
+    global ``id_col`` order.
+
+    A naive global window (``Window.orderBy(id)`` with no partition)
+    funnels ALL rows through one task — a non-starter at corpus
+    scale.  This is the scalable two-pass prefix sum instead (the
+    weighted cousin of zipWithIndex): range-partition by id, take
+    per-partition token totals (tiny — one row per partition — safe
+    to collect), turn them into per-partition starting offsets, then
+    a per-partition window adds local prefix sums to the offset.
+    Partition boundaries don't affect the result: the global prefix
+    sum depends only on the id order, which range partitioning
+    preserves across partitions.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    part = (df.select(F.col(id_col), F.col(tok_col))
+            .repartitionByRange(F.col(id_col))
+            .withColumn("_pid", F.spark_partition_id()))
+    totals = {r._pid: r._t for r in
+              part.groupBy("_pid").agg(F.sum(tok_col).alias("_t")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("_pid"))
+    w = (Window.partitionBy("_pid").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum(tok_col).over(w), F.lit(0)) + off
+    return (part.withColumn("shard_id",
+                            F.floor(cum_before / F.lit(budget)))
+            .select(F.col(id_col), F.col("shard_id")))

@@ -20,6 +20,7 @@ _FRONT = [
     "corpus_filter_pipeline",
     "benchmark_decontaminate",
     "corpus_sample",
+    "corpus_shard_pack",
     "dedup_minhash_verified",
     "dedup_simhash_verified",
     "q21_waiting_suppliers",

@@ -175,6 +175,16 @@ def corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
             .select("doc_id", "keep_rate"))
 
 
+def corpus_shard_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-shard packing: documents fill fixed token-budget
+    shards in doc_id order (budget 4096 here).  Distributed two-pass
+    prefix sum — never a global single-partition window."""
+    docs = load(spark, sf, "documents")["documents"]
+    toks = docs.select(
+        "doc_id", T.ws_token_count(F.col("text")).cast("long").alias("tok"))
+    return T.shard_pack(toks, "doc_id", "tok", budget=4096)
+
+
 def corpus_filter_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """END-TO-END pretraining corpus filter: one verdict per document,
     applying the stages in real pipeline order — language gate →
@@ -275,6 +285,7 @@ QUERIES = {
     "corpus_filter_pipeline": corpus_filter_pipeline,
     "benchmark_decontaminate": benchmark_decontaminate,
     "corpus_sample": corpus_sample,
+    "corpus_shard_pack": corpus_shard_pack,
     "dedup_minhash_verified": dedup_minhash_verified,
     "dedup_simhash_verified": dedup_simhash_verified,
     "multimodal_decode": multimodal_decode,
@@ -494,6 +505,16 @@ def _minhash_oracle(num_perm: int = 16) -> str:
 
 
 ORACLES["dedup_minhash_verified"] = _minhash_oracle()
+
+ORACLES["corpus_shard_pack"] = f"""
+    SELECT doc_id,
+           CAST(FLOOR(COALESCE(SUM(tok) OVER (
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 4096.0) AS BIGINT) AS shard_id
+    FROM (SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS tok
+          FROM documents)
+"""
 
 ORACLES["benchmark_decontaminate"] = f"""
     WITH sh AS (

@@ -314,3 +314,16 @@ def test_decontaminate_min_hits_threshold(spark):
     got = {r.doc_id: r.n_hits for r in D.decontaminate(
         corpus, bench, "doc_id", "text", n=3, min_hits=2).collect()}
     assert got == {1: 2}
+
+
+def test_shard_pack_matches_global_prefix(spark):
+    """Two-pass distributed prefix sum must equal the single-window
+    definition: with 10-token docs and budget 25 the shard boundary
+    falls mid-doc and the doc belongs to the shard its PREFIX starts
+    in. Internal range partitioning leaves most partitions empty at
+    this size — the offset chain must skip them correctly."""
+    df = spark.createDataFrame([(i, 10) for i in range(10)],
+                               "doc_id long, tok long")
+    got = {r.doc_id: r.shard_id
+           for r in T.shard_pack(df, "doc_id", "tok", 25).collect()}
+    assert got == {i: (i * 10) // 25 for i in range(10)}
