@@ -146,3 +146,12 @@ def test_ngram_join_has_no_cartesian(spark, sf_dir):
     plan = X.simple(llmdata.ngram_jaccard_pairs(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark shingle set (MBs) must ride a broadcast join —
+    a shuffle join here would move the whole corpus posting list
+    against a tiny build side."""
+    plan = X.simple(llmdata.benchmark_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
