@@ -37,6 +37,8 @@ HEADLINE = [
     "q9_profit_by_nation_year",
     "dedup_embedding_cosine",
     "embedding_ivf_ann",
+    "embedding_pq_ann",
+    "dup_ngram_coverage",
 ]
 
 

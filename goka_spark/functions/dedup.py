@@ -331,6 +331,42 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def dup_ngram_coverage(df: DataFrame, id_col: str, text_col: str,
+                       n: int = 5, min_df: int = 2) -> DataFrame:
+    """Per-document duplicated-n-gram coverage — the corpus-level
+    repetition signal behind substring-dedup pipelines (cf. "dedup
+    training data" practice): for each document, what fraction of its
+    distinct word n-grams also appears in at least ``min_df`` - 1
+    OTHER documents.  High coverage → boilerplate / template /
+    near-copy; the per-doc twin of ``ngram_jaccard_pairs``'s pair
+    mining, usable as a filter threshold without mining pairs at all.
+
+    Scale shape: one codegen postings explode, ONE exchange on the
+    shingle (reused by the df-count aggregate and the postings side of
+    the join — same ReuseExchange discipline as ngram_jaccard_pairs),
+    document-frequency via count over distinct postings, then a
+    per-doc aggregate.  Linear in postings; no self-join, no pair
+    blow-up — this is the cheap signal you compute on all 100 TB,
+    reserving pair mining for the flagged tail."""
+    sh = (shingle_postings(_fan_out(df), id_col, text_col, n,
+                           distinct=False)
+          .repartition("sh")
+          .dropDuplicates(["doc", "sh"]))
+    dfc = sh.groupBy("sh").agg(F.count("*").alias("_df"))
+    return (
+        sh.join(dfc, "sh")
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_grams"),
+             F.sum(F.when(F.col("_df") >= min_df, 1).otherwise(0))
+              .alias("dup_grams"))
+        .select(F.col("doc").alias(id_col),
+                "n_grams",
+                F.col("dup_grams").cast("long").alias("dup_grams"),
+                F.round(F.col("dup_grams") / F.col("n_grams"), 4)
+                 .alias("dup_frac"))
+    )
+
+
 def decontaminate(corpus: DataFrame, benchmark: DataFrame, id_col: str,
                   text_col: str, n: int = 5,
                   min_hits: int = 1) -> DataFrame:

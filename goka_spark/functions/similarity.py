@@ -365,6 +365,158 @@ def _assign_cells_arrow(df: DataFrame, vec_col: str,
     return df.mapInPandas(fn, schema)
 
 
+def pq_codebooks(corpus: DataFrame, vec_col: str, m: int = 8,
+                 ksub: int = 16, train_cap: int = 100_000,
+                 seed: int = 42, max_iter: int = 10) -> "np.ndarray":
+    """Product-quantization codebooks (Jégou et al. 2011): split the
+    (unit-normalized) vector into ``m`` subvectors and run seeded
+    Lloyd's k-means per subspace on a bounded driver sample — same
+    sampling rationale as ``ivf_centroids``: the codebook only needs
+    the density shape, and the artifact is tiny (m × ksub × d/m
+    floats) regardless of corpus size.  Returns (m, ksub, d/m)."""
+    rows = (corpus.select(_as_double(F.col(vec_col)).alias("_v"))
+            .limit(train_cap).collect())
+    X = np.array([r._v for r in rows])
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        C = S[rng.choice(len(S), size=min(ksub, len(S)), replace=False)].copy()
+        for _ in range(max_iter):
+            dist = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = dist.argmin(1)
+            for c in range(len(C)):
+                pts = S[assign == c]
+                if len(pts):
+                    C[c] = pts.mean(0)
+        books.append(C)
+    return np.stack(books)
+
+
+def pq_encode(corpus: DataFrame, id_col: str, vec_col: str,
+              books: "np.ndarray") -> DataFrame:
+    """Encode each vector as ``m`` sub-centroid codes — the compressed
+    corpus representation.  At m=8, ksub=16 a 64-dim float vector
+    (256 B) becomes 8 codes (8 B, 4 b effective): a ~32× memory cut,
+    which is what makes scanning 100 TB of embeddings tractable.  One
+    numpy distance per subspace per Arrow batch; codebooks ride a
+    broadcast."""
+    import pandas as pd
+
+    m, _, dsub = books.shape
+    bb = corpus.sparkSession.sparkContext.broadcast(books)
+
+    def enc(it):
+        B = bb.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            V /= np.linalg.norm(V, axis=1, keepdims=True)
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for j in range(m):
+                S = V[:, j * dsub:(j + 1) * dsub]
+                dist = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = dist.argmin(1)
+            yield pd.DataFrame({"_id": pdf[id_col],
+                                "codes": [r.tolist() for r in codes]})
+
+    return (corpus.select(id_col, vec_col)
+            .mapInPandas(enc, "_id long, codes array<int>")
+            .withColumnRenamed("_id", id_col))
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+            vec_col: str, k: int = 5, m: int = 8, ksub: int = 16,
+            refine: int = 4, books: "np.ndarray | None" = None,
+            max_queries: int = MAX_BROADCAST_QUERIES) -> DataFrame:
+    """PQ/ADC approximate top-k — the third ANN scale path beside LSH
+    buckets and IVF cells, for when even the raw vectors are too big
+    to scan: score against the COMPRESSED codes via asymmetric
+    distance (one ksub×m lookup table per query, approx inner product
+    = Σ_j lut[j][code_j]), keep ``refine·k`` candidates per
+    (partition, query), then re-rank only those few candidates with
+    exact cosine on the full vectors.
+
+    Per-batch work is a numpy LUT gather over byte codes — no d-dim
+    arithmetic in the scan at all; the shuffle carries ≤ refine·k rows
+    per (partition, query); the exact re-rank touches refine·k full
+    vectors per query via an id equi-join.  Composable with IVF
+    (classic IVF-PQ) by routing the scan through cell buckets."""
+    import pandas as pd
+
+    if books is None:
+        books = pq_codebooks(corpus, vec_col, m=m, ksub=ksub)
+    m, _, dsub = books.shape
+    codes = pq_encode(corpus, id_col, vec_col, books)
+
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"pq_topk broadcasts the query set via the driver; got "
+            f">{max_queries} query rows — partition the query set or "
+            f"raise max_queries explicitly")
+    q_ids = np.array([r[id_col] for r in q_rows])
+    qm = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    # luts[q][j][c] = <q_sub_j, centroid_c>  → (nq, m, ksub)
+    luts = np.einsum("qjd,jcd->qjc",
+                     qm.reshape(len(qm), m, dsub), books)
+    spark = corpus.sparkSession
+    bq = spark.sparkContext.broadcast((q_ids, luts))
+    n_cand = refine * k
+
+    def scan(it):
+        ids, L = bq.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf["codes"].to_numpy())  # (batch, m)
+            nid = pdf[id_col].to_numpy()
+            out = []
+            for qi, qid in enumerate(ids):
+                # ADC: gather per-subspace LUT entries and sum
+                approx = L[qi][np.arange(m)[None, :], C].sum(1)
+                mask = nid != qid
+                cand = np.lexsort((nid[mask], -approx[mask]))[:n_cand]
+                out.append(pd.DataFrame({
+                    "query_id": qid, "neighbor_id": nid[mask][cand],
+                    "approx": approx[mask][cand]}))
+            yield pd.concat(out, ignore_index=True)
+
+    local = codes.mapInPandas(
+        scan, "query_id long, neighbor_id long, approx double")
+    wa = Window.partitionBy("query_id").orderBy(F.col("approx").desc(),
+                                                F.col("neighbor_id"))
+    cand = (local.withColumn("_rka", F.row_number().over(wa))
+            .filter(F.col("_rka") <= n_cand)
+            .select("query_id", "neighbor_id"))
+    # exact re-rank: fetch full vectors for the (tiny) candidate set
+    cv = _normalized(corpus.select(F.col(id_col).alias("neighbor_id"),
+                                   F.col(vec_col)),
+                     "neighbor_id", F.col(vec_col)) \
+        .withColumnRenamed("_v", "_cv")
+    qv = _normalized(queries.select(F.col(id_col).alias("query_id"),
+                                    F.col(vec_col)),
+                     "query_id", F.col(vec_col)) \
+        .withColumnRenamed("_v", "_qv")
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id"))
+    return (
+        cand.join(cv, "neighbor_id").join(F.broadcast(qv), "query_id")
+        .withColumn("cos", dot(F.col("_qv"), F.col("_cv")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"),
+                F.col("rk").cast("long").alias("rk"))
+    )
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
              vec_col: str, k: int = 5, n_cells: int = 16,
              n_probe: int = 4, centroids: "np.ndarray | None" = None,

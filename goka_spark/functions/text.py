@@ -118,6 +118,73 @@ def repetition_ratio(text: Column, n: int = 3) -> Column:
         4)
 
 
+def gopher_rules(text: Column, min_words: int = 30, max_words: int = 10_000,
+                 min_mwl: float = 3.0, max_mwl: float = 10.0,
+                 min_alpha: float = 0.8, min_sw: int = 2) -> dict[str, Column]:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1),
+    thresholds parameterized: word-count bounds, mean word length in
+    [min_mwl, max_mwl], fraction of words containing an alphabetic
+    character, and a minimum stopword count.  Returns the individual
+    signal columns plus the conjunctive ``keep`` verdict — pipelines
+    keep the flags for auditability (mirrors filter_verdicts).
+
+    All pure Column expressions: at 100 TB these run inside the scan
+    stage.  ``keep`` compares the UNROUNDED doubles (rounding is
+    display-only) so the verdict is reproducible in any SQL engine."""
+    w = words(text)
+    n_words = F.size(w).cast("long")
+    nz = F.greatest(n_words, F.lit(1)).cast("double")
+    # chars-without-whitespace / words == mean word length, no lambda
+    mwl = F.length(F.regexp_replace(text, r"\s+", "")) / nz
+    alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))) / nz
+    sw = stopword_hits(text, "en").cast("long")
+    keep = ((n_words >= min_words) & (n_words <= max_words)
+            & (mwl >= min_mwl) & (mwl <= max_mwl)
+            & (alpha >= min_alpha) & (sw >= F.lit(min_sw)))
+    return {
+        "n_words": n_words,
+        "mean_word_len": F.round(mwl, 4),
+        "alpha_ratio": F.round(alpha, 4),
+        "sw_hits": sw,
+        "keep": keep.cast("long"),
+    }
+
+
+def tfidf_topk(df, id_col: str, text_col: str, k: int = 5):
+    """Top-``k`` keywords per document by tf-idf — the classic text
+    relevance signal (term frequency × ln(N/df)).
+
+    Scale shape: one explode + (doc, term) hash-aggregate for tf; the
+    document-frequency table aggregates from tf (count per term — it
+    is tiny, vocabulary-sized) and BROADCASTS back, as does the 1-row
+    corpus count; final per-doc top-k is a window over the doc
+    partition.  Two shuffles total (tf agg, doc window), both keyed on
+    doc — no join ever shuffles the corpus by term.  Ranking uses the
+    unrounded score (ties broken by term) so any engine reproduces the
+    same top-k; the reported score is rounded for display."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    terms = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.regexp_extract_all(F.lower(F.col(text_col)),
+                                       F.lit("[a-z]+"), 0)).alias("term"))
+    tf = terms.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("_n"))
+    raw = F.col("tf") * F.log(F.col("_n") / F.col("_df"))
+    w = Window.partitionBy("doc").orderBy(raw.desc(), F.col("term"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(F.col("doc").alias(id_col), "term", "tf",
+                F.round(raw, 4).alias("tfidf"),
+                F.col("rk").cast("long").alias("rk"))
+    )
+
+
 def shard_pack(df, id_col: str, tok_col: str, budget: int):
     """Pack documents into fixed-token-budget training shards:
     ``shard_id = floor(prefix_tokens_before_doc / budget)`` over the

@@ -267,6 +267,38 @@ def multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     return M.decode_image_meta(M.attach_blob(docs), "doc_id", "blob")
 
 
+def dup_ngram_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level duplicated-5-gram coverage per document — the
+    cheap linear-scan repetition signal (no pair join)."""
+    docs = load(spark, sf, "documents")["documents"]
+    return D.dup_ngram_coverage(docs, "doc_id", "text", n=5, min_df=2)
+
+
+def tfidf_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 keywords per document by tf-idf."""
+    docs = load(spark, sf, "documents")["documents"]
+    return T.tfidf_topk(docs, "doc_id", "text", k=5)
+
+
+def quality_gopher(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-rule quality flags + keep verdict per document
+    (thresholds adapted to the 10-100-word synthetic corpus so the
+    verdict actually splits it)."""
+    docs = load(spark, sf, "documents")["documents"]
+    r = T.gopher_rules(F.col("text"))
+    return docs.select("doc_id", *[c.alias(k) for k, c in r.items()])
+
+
+def embedding_pq_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """Rows-only: PQ/ADC approximate neighbors with exact re-rank
+    (codebooks are engine-side k-means; no deterministic SQL twin).
+    The third ANN scale path — scans 8-byte codes, not vectors."""
+    emb = load(spark, sf, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    return S.pq_topk(emb, queries, "vec_id", "embedding",
+                     k=5, m=8, ksub=16, refine=4)
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -291,6 +323,10 @@ QUERIES = {
     "multimodal_decode": multimodal_decode,
     "text_normalize": text_normalize,
     "pii_scrub": pii_scrub,
+    "dup_ngram_coverage": dup_ngram_coverage,
+    "tfidf_keywords": tfidf_keywords,
+    "quality_gopher": quality_gopher,
+    "embedding_pq_ann": embedding_pq_ann,
 }
 
 _WORDS = "list_filter(string_split(text, ' '), w -> w <> '')"
@@ -645,6 +681,71 @@ ORACLES["corpus_filter_pipeline"] = f"""
     FROM scored s
     LEFT JOIN surv2 v ON v.doc_id = s.doc_id
     LEFT JOIN cc2 c ON c.doc_id = s.doc_id
+"""
+
+ORACLES["dup_ngram_coverage"] = f"""
+    WITH d AS (
+      SELECT doc_id AS doc, list_distinct(list_transform(
+               range(1, greatest(len(words) - 4, 1) + 1),
+               i -> array_to_string(words[i:i+4], ' '))) AS shs
+      FROM (SELECT doc_id, {_WORDS} AS words FROM documents)
+    ), sh AS (
+      SELECT doc, UNNEST(shs) AS sh FROM d
+    ), dfc AS (
+      SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh
+    )
+    SELECT doc AS doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_grams,
+           ROUND(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS dup_frac
+    FROM sh JOIN dfc USING (sh)
+    GROUP BY doc
+"""
+
+ORACLES["tfidf_keywords"] = """
+    WITH t AS (
+      SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+    ), s AS (
+      SELECT doc_id, term, tf,
+             tf * ln(CAST(n AS DOUBLE) / df) AS raw,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id
+               ORDER BY tf * ln(CAST(n AS DOUBLE) / df) DESC, term) AS rk
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, ROUND(raw, 4) AS tfidf, rk
+    FROM s WHERE rk <= 5
+"""
+
+# keep compares the UNROUNDED doubles, mirroring gopher_rules
+ORACLES["quality_gopher"] = f"""
+    SELECT doc_id,
+           n_words,
+           ROUND(mwl, 4) AS mean_word_len,
+           ROUND(alpha, 4) AS alpha_ratio,
+           sw_hits,
+           CAST(n_words >= 30 AND n_words <= 10000
+                AND mwl >= 3.0 AND mwl <= 10.0
+                AND alpha >= 0.8 AND sw_hits >= 2 AS BIGINT) AS keep
+    FROM (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             length(regexp_replace(text, '\\s+', '', 'g'))
+               / CAST(GREATEST(len(words), 1) AS DOUBLE) AS mwl,
+             len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+               / CAST(GREATEST(len(words), 1) AS DOUBLE) AS alpha,
+             CAST({_sw_hits(_SW['en'])} AS BIGINT) AS sw_hits
+      FROM (SELECT doc_id, text, {_WORDS} AS words FROM documents)
+    )
 """
 
 ORACLES["text_normalize"] = """

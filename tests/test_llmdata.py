@@ -327,3 +327,93 @@ def test_shard_pack_matches_global_prefix(spark):
     got = {r.doc_id: r.shard_id
            for r in T.shard_pack(df, "doc_id", "tok", 25).collect()}
     assert got == {i: (i * 10) // 25 for i in range(10)}
+
+
+def test_pq_topk_recall_on_clustered_vectors(spark):
+    """PQ/ADC ANN: on well-separated clusters the compressed-code scan
+    + exact re-rank recovers nearly all true neighbors, and the
+    reported cosines are the TRUE cosines (re-rank is exact)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((10, 64)) * 5
+    rows = []
+    for i in range(200):
+        v = centers[i % 10] + rng.standard_normal(64) * 0.1
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 10)
+    exact = S.cosine_topk(df, queries, "vec_id", "embedding", k=5)
+    exact_pairs = {(r.query_id, r.neighbor_id): r.cos for r in exact.collect()}
+    pq = S.pq_topk(df, queries, "vec_id", "embedding",
+                   k=5, m=8, ksub=16, refine=4)
+    got = {(r.query_id, r.neighbor_id): r.cos for r in pq.collect()}
+    assert len(got) == 50
+    hits = set(got) & set(exact_pairs)
+    assert len(hits) / len(exact_pairs) >= 0.8
+    assert all(exact_pairs[p] == got[p] for p in hits)
+
+
+def test_pq_encode_shapes_and_determinism(spark, sf_dir):
+    """Codes are m small ints (the 32x memory story) and the whole
+    pipeline is seed-deterministic across runs."""
+    from goka_spark.queries.base import load
+
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    books = S.pq_codebooks(emb, "embedding", m=8, ksub=16)
+    assert books.shape == (8, 16, 8)
+    codes = S.pq_encode(emb, "vec_id", "embedding", books).collect()
+    assert all(len(r.codes) == 8 for r in codes)
+    assert all(0 <= c < 16 for r in codes for c in r.codes)
+    books2 = S.pq_codebooks(emb, "embedding", m=8, ksub=16)
+    assert (books == books2).all()
+
+
+def test_dup_ngram_coverage_planted(spark):
+    """Two docs sharing a 5-gram get full coverage on it; a unique doc
+    scores zero."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e unique tail one"),
+         (2, "a b c d e other suffix two"),
+         (3, "totally different words here now")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           D.dup_ngram_coverage(df, "doc_id", "text", n=5).collect()}
+    # docs 1/2 share exactly the 'a b c d e' 5-gram
+    assert out[1].dup_grams == 1 and out[2].dup_grams == 1
+    assert out[3].dup_grams == 0 and out[3].dup_frac == 0.0
+    assert out[1].n_grams == 4  # 8 words -> 4 5-grams
+    assert abs(out[1].dup_frac - 0.25) < 1e-9
+
+
+def test_gopher_rules_split(spark):
+    """Gopher flags discriminate: a normal english doc keeps, a
+    too-short doc and a stopword-free symbol doc drop."""
+    from goka_spark.functions.text import gopher_rules
+
+    good = "the quick brown fox jumps over the lazy dog and it is fine " * 4
+    df = spark.createDataFrame(
+        [(1, good), (2, "too short"), (3, "@@ ## $$ %% ^^ && ** (( )) !! " * 5)],
+        ["doc_id", "text"])
+    r = gopher_rules(F.col("text"))
+    out = {x.doc_id: x for x in
+           df.select("doc_id", *[c.alias(k) for k, c in r.items()]).collect()}
+    assert out[1].keep == 1
+    assert out[2].keep == 0          # word count below floor
+    assert out[3].keep == 0          # no alpha words, no stopwords
+    assert out[3].alpha_ratio == 0.0
+    assert out[1].sw_hits >= 2
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    """A term unique to one doc outscores corpus-wide terms there."""
+    from goka_spark.functions.text import tfidf_topk
+
+    df = spark.createDataFrame(
+        [(1, "common words everywhere plus zebra zebra"),
+         (2, "common words everywhere plus filler filler"),
+         (3, "common words everywhere plus noise noise")],
+        ["doc_id", "text"])
+    top = tfidf_topk(df, "doc_id", "text", k=2)
+    best = {r.doc_id: r.term for r in top.filter(F.col("rk") == 1).collect()}
+    assert best == {1: "zebra", 2: "filler", 3: "noise"}

@@ -24,6 +24,6 @@ def test_rows_only_set_is_intentional():
     rows_only = set(qs) - set(os_)
     assert rows_only == {
         "approx_distinct_users", "dedup_minhash_lsh", "dedup_simhash",
-        "embedding_lsh_ann", "embedding_ivf_ann", "emitter_roundtrip",
-        "changelog_compaction",
+        "embedding_lsh_ann", "embedding_ivf_ann", "embedding_pq_ann",
+        "emitter_roundtrip", "changelog_compaction",
     }
