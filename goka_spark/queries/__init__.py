@@ -19,6 +19,9 @@ _FRONT = [
     "tfidf_keywords",
     "quality_gopher",
     "embedding_pq_ann",
+    "event_rollup",
+    "event_interarrival",
+    "value_quantiles",
     "doc_repetition",
     "dedup_clusters",
     "corpus_filter_pipeline",

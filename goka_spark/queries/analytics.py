@@ -663,6 +663,57 @@ def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def event_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical subtotal aggregate via ROLLUP(event_type, day) —
+    Catalyst's Expand operator computes all grouping sets in ONE scan
+    + one hash-aggregate (no per-level re-scan); grouping_id
+    disambiguates subtotal rows for the consumer.  The declarative
+    twin of a goka processor maintaining per-(type, day), per-type and
+    global counters in one pass."""
+    ev = load(spark, sf, "events")["events"]
+    return (
+        ev.withColumn("day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
+        .rollup("event_type", "day")
+        .agg(F.count("*").alias("cnt"),
+             F.round(F.sum("value"), 3).alias("sum_value"),
+             F.grouping_id().cast("long").alias("gid"))
+    )
+
+
+def event_interarrival(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user inter-arrival stats from lag() gaps.  The average is
+    computed as an INTEGER micros sum divided at the end — integer
+    partial aggregation is order-independent, so the distributed
+    result is bit-stable (a float sum's partial ordering is not)."""
+    ev = load(spark, sf, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        ev.withColumn("_gap", gap)
+        .filter(F.col("_gap").isNotNull())
+        .groupBy(F.col("user_id").cast("string").alias("key"))
+        .agg(F.count("*").alias("n_gaps"),
+             F.max("_gap").alias("max_gap_us"),
+             F.round(F.sum("_gap") / F.count("*") / 1e6, 3)
+              .alias("avg_gap_s"))
+    )
+
+
+def value_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated quantiles per event type (percentile with
+    the standard (n-1)p interpolation — same definition as SQL
+    quantile_cont).  At 100 TB swap in approx_percentile (t-digest
+    sketch, map-side combinable) — kept exact here because the oracle
+    is exact."""
+    ev = load(spark, sf, "events")["events"]
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+             F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+             F.count("*").alias("cnt"))
+    )
+
+
 QUERIES = {
     "tumbling_window_agg": tumbling_window_agg,
     "hopping_window_agg": hopping_window_agg,
@@ -701,6 +752,9 @@ QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q20_excess_shippers": q20_excess_shippers,
     "q21_waiting_suppliers": q21_waiting_suppliers,
+    "event_rollup": event_rollup,
+    "event_interarrival": event_interarrival,
+    "value_quantiles": value_quantiles,
 }
 
 ORACLES = {
@@ -1094,4 +1148,36 @@ ORACLES["q21_waiting_suppliers"] = """
     JOIN nation ON n_nationkey = s_nationkey
     WHERE n_supp > 1 AND n_late = 1 AND n_name = 'NATION_9'
     GROUP BY s_name
+"""
+
+ORACLES["event_rollup"] = """
+    SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           COUNT(*) AS cnt, ROUND(SUM(value), 3) AS sum_value,
+           CAST(GROUPING(event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d'))
+                AS BIGINT) AS gid
+    FROM events
+    GROUP BY ROLLUP(event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d'))
+"""
+
+ORACLES["event_interarrival"] = """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+      FROM events
+    )
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           COUNT(*) AS n_gaps,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+           ROUND(CAST(SUM(gap) AS BIGINT) / COUNT(*) / 1e6, 3) AS avg_gap_s
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY user_id
+"""
+
+ORACLES["value_quantiles"] = """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.9), 4) AS p90,
+           COUNT(*) AS cnt
+    FROM events GROUP BY event_type
 """
