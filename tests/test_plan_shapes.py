@@ -155,3 +155,36 @@ def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
     plan = X.simple(llmdata.benchmark_decontaminate(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dup_ngram_coverage_reuses_postings_exchange(spark, sf_dir):
+    """The df-count aggregate and the postings join side must share
+    ONE materialized postings exchange — AQE performs the reuse at
+    runtime, so assert on the EXECUTED plan — and nothing may degrade
+    to a cartesian product."""
+    df = llmdata.dup_ngram_coverage(spark, sf_dir)
+    assert "CartesianProduct" not in X.simple(df)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
+
+
+def test_event_rollup_is_single_expand_aggregate(spark, sf_dir):
+    """ROLLUP compiles to one Expand + one partial/final hash-agg pair
+    over a single scan — never one scan per grouping level."""
+    from goka_spark.queries import analytics
+
+    plan = X.simple(analytics.event_rollup(spark, sf_dir))
+    assert plan.count("Expand") == 1
+    assert plan.count("Scan parquet") == 1
+    assert "partial_count" in X.formatted(analytics.event_rollup(spark, sf_dir))
+
+
+def test_pq_rerank_join_no_cartesian(spark, sf_dir):
+    """PQ ANN: the exact re-rank fetches candidate vectors via id
+    equi-joins with the (tiny) query side broadcast — no cartesian or
+    nested-loop fallback anywhere."""
+    plan = X.simple(llmdata.embedding_pq_ann(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan

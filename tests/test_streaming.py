@@ -295,3 +295,53 @@ def test_tws_fold_parity_when_available(spark, tmp_path):
         assert got == {"a": 3.0}
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream windowed join — BEYOND goka's surface (ctx.Join
+    only reaches a co-partitioned TABLE; reference context.go:305):
+    Structured Streaming joins two live streams directly, with
+    watermarks bounding both sides' state.  Each purchase joins the
+    clicks of the same user within the preceding 30 minutes."""
+    import datetime as dt
+
+    clicks_src = str(tmp_path / "clicks")
+    buys_src = str(tmp_path / "buys")
+    t0 = dt.datetime(2024, 1, 1)
+
+    def w(path, rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(path)
+
+    w(clicks_src, [("u1", t0 + dt.timedelta(minutes=m), float(m))
+                   for m in (0, 10, 50)])
+    w(buys_src, [("u1", t0 + dt.timedelta(minutes=20), 99.0),
+                 ("u2", t0 + dt.timedelta(minutes=20), 7.0)])
+
+    clicks = (stream_from_dir(spark, clicks_src, SCHEMA)
+              .withWatermark("ts", "1 hour")
+              .selectExpr("key", "ts AS click_ts", "value AS click_v"))
+    buys = (stream_from_dir(spark, buys_src, SCHEMA)
+            .withWatermark("ts", "1 hour")
+            .selectExpr("key", "ts AS buy_ts"))
+    joined = (
+        buys.join(
+            clicks,
+            (clicks.key == buys.key)
+            & (clicks.click_ts <= buys.buy_ts)
+            & (clicks.click_ts > buys.buy_ts - F.expr("INTERVAL 30 MINUTES")))
+        .select(buys.key.alias("buyer"), "click_v")
+    )
+    q = (joined.writeStream.format("memory").queryName("ss_join")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        got = sorted((r.buyer, r.click_v) for r in
+                     spark.sql("select * from ss_join").collect())
+        # u1's buy at :20 reaches back 30m: clicks at :00 and :10 are
+        # inside, :50 is after the buy → excluded; u2 has no clicks
+        assert got == [("u1", 0.0), ("u1", 10.0)]
+    finally:
+        q.stop()

@@ -113,6 +113,10 @@ def main():
         r["ngram_jaccard"] = timed("ngram", D.ngram_jaccard_pairs(
             sdocs, "doc_id", "text", n=3, threshold=0.05, max_df=50))
 
+        # linear-scan repetition signal: no self-join, expect ~linear
+        r["dup_ngram_cov"] = timed("dupcov", D.dup_ngram_coverage(
+            sdocs, "doc_id", "text", n=5))
+
         from goka_spark.functions import similarity as SIM
         emb = load(spark, BASE, "embeddings")["embeddings"]
         dim = 64
@@ -142,6 +146,12 @@ def main():
             emb_f, "vec_id", "embedding", threshold=0.3,
             bands=bands, bits=bits))
         r["lsh_bands_bits"] = [bands, bits]
+
+        # PQ/ADC: codebook train is O(sample), encode+scan linear in
+        # corpus, re-rank bounded by refine*k per query — expect ~linear
+        pq_queries = emb_f.filter(F.col("vec_id") < 20)
+        r["pq_topk"] = timed("pq", SIM.pq_topk(
+            emb_f, pq_queries, "vec_id", "embedding", k=5, m=8))
 
         # PyFold last: its Python workers pressure memory for later jobs
         gpy = define_group("p", input_stream("t", key="user_id"),
