@@ -691,11 +691,16 @@ def event_interarrival(spark: SparkSession, sf: str) -> DataFrame:
     return (
         ev.withColumn("_gap", gap)
         .filter(F.col("_gap").isNotNull())
-        .groupBy(F.col("user_id").cast("string").alias("key"))
+        # group on the RAW window partition key: the window's exchange
+        # already clusters by user_id, so the aggregate needs no second
+        # exchange (grouping on cast(user_id) would break the reuse)
+        .groupBy("user_id")
         .agg(F.count("*").alias("n_gaps"),
              F.max("_gap").alias("max_gap_us"),
              F.round(F.sum("_gap") / F.count("*") / 1e6, 3)
               .alias("avg_gap_s"))
+        .select(F.col("user_id").cast("string").alias("key"),
+                "n_gaps", "max_gap_us", "avg_gap_s")
     )
 
 

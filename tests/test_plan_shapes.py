@@ -188,3 +188,25 @@ def test_pq_rerank_join_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_broadcasts_vocabulary(spark, sf_dir):
+    """tf-idf: the vocabulary df table and the 1-row corpus count ride
+    broadcasts — the (doc, term) stream itself is never re-shuffled by
+    term for the join."""
+    from goka_spark.queries import llmdata as L
+
+    plan = X.simple(L.tfidf_keywords(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interarrival_single_user_shuffle(spark, sf_dir):
+    """lag + groupBy share the user partitioning: after the window's
+    exchange on user_id the aggregate needs NO second exchange (the
+    final agg exchange is elided by the existing clustering)."""
+    from goka_spark.queries import analytics
+
+    df = analytics.event_interarrival(spark, sf_dir)
+    # exactly one exchange in the whole plan (the window's)
+    assert X.num_shuffles(df) == 1, X.simple(df)
