@@ -517,6 +517,120 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     )
 
 
+def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+                vec_col: str, k: int = 5, n_cells: int = 16,
+                n_probe: int = 4, m: int = 8, ksub: int = 16,
+                refine: int = 4, seed: int = 42,
+                max_queries: int = MAX_BROADCAST_QUERIES) -> DataFrame:
+    """IVF-PQ — the classic billion-scale ANN composition (Jégou et
+    al.; FAISS's IVFPQ): IVF cells prune WHICH vectors to look at
+    (~n_probe/n_cells of the corpus), PQ codes shrink WHAT is read per
+    vector (m bytes, not d floats), and an exact re-rank on the few
+    surviving candidates restores true cosines.  Combined cost per
+    query ≈ n · (n_probe/n_cells) LUT-gathers over byte codes +
+    refine·k full-vector reads — against 100 TB of raw embeddings the
+    scan touches ~TBs of codes in only the probed cells.
+
+    Plan: corpus → (cell, codes) once [two mapInPandas over the same
+    scan]; query → n_probe cells; candidates = cell equi-join scored
+    by ADC; per-query top refine·k; exact cosine re-rank by id join."""
+    import pandas as pd
+
+    cents = ivf_centroids(corpus, vec_col, n_cells, seed=seed)
+    books = pq_codebooks(corpus, vec_col, m=m, ksub=ksub, seed=seed)
+    m, _, dsub = books.shape
+
+    c = _assign_cells_arrow(
+        _normalized(corpus.select(F.col(id_col).alias("neighbor_id"),
+                                  F.col(vec_col)),
+                    "neighbor_id", F.col(vec_col)),
+        "_v", cents, 1)
+    c = c.withColumn("cell", F.col("cells")[0]).drop("cells")
+    # encode in-line so the cell id rides along — ONE pass over the
+    # corpus produces (id, cell, codes); no join back by id
+    bbooks = corpus.sparkSession.sparkContext.broadcast(books)
+
+    def enc(it):
+        B = bbooks.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["_v"].to_numpy())
+            cd = np.empty((len(V), m), dtype=np.int32)
+            for j in range(m):
+                S = V[:, j * dsub:(j + 1) * dsub]
+                cd[:, j] = ((S[:, None, :] - B[j][None, :, :]) ** 2) \
+                    .sum(-1).argmin(1)
+            yield pd.DataFrame({"neighbor_id": pdf["neighbor_id"],
+                                "cell": pdf["cell"],
+                                "codes": [r.tolist() for r in cd]})
+
+    codes = c.mapInPandas(enc, "neighbor_id long, cell int, codes array<int>")
+
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"ivf_pq_topk broadcasts the query set via the driver; got "
+            f">{max_queries} query rows")
+    q_ids = np.array([r[id_col] for r in q_rows])
+    qm = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    luts = np.einsum("qjd,jcd->qjc", qm.reshape(len(qm), m, dsub), books)
+    ncents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    qcells = np.argsort(-(qm @ ncents.T), axis=1)[:, :n_probe]
+    spark = corpus.sparkSession
+    bq = spark.sparkContext.broadcast((q_ids, luts, qcells))
+    n_cand = refine * k
+
+    def scan(it):
+        ids, L, QC, = bq.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf["codes"].to_numpy())
+            nid = pdf["neighbor_id"].to_numpy()
+            cell = pdf["cell"].to_numpy()
+            out = []
+            for qi, qid in enumerate(ids):
+                # IVF pruning: only rows in this query's probed cells
+                mask = np.isin(cell, QC[qi]) & (nid != qid)
+                if not mask.any():
+                    continue
+                approx = L[qi][np.arange(m)[None, :], C[mask]].sum(1)
+                cand = np.lexsort((nid[mask], -approx))[:n_cand]
+                out.append(pd.DataFrame({
+                    "query_id": qid, "neighbor_id": nid[mask][cand],
+                    "approx": approx[cand]}))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    local = codes.mapInPandas(
+        scan, "query_id long, neighbor_id long, approx double")
+    wa = Window.partitionBy("query_id").orderBy(F.col("approx").desc(),
+                                                F.col("neighbor_id"))
+    cand = (local.withColumn("_rka", F.row_number().over(wa))
+            .filter(F.col("_rka") <= n_cand)
+            .select("query_id", "neighbor_id"))
+    cv = _normalized(corpus.select(F.col(id_col).alias("neighbor_id"),
+                                   F.col(vec_col)),
+                     "neighbor_id", F.col(vec_col)) \
+        .withColumnRenamed("_v", "_cv")
+    qv = _normalized(queries.select(F.col(id_col).alias("query_id"),
+                                    F.col(vec_col)),
+                     "query_id", F.col(vec_col)) \
+        .withColumnRenamed("_v", "_qv")
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id"))
+    return (
+        cand.join(cv, "neighbor_id").join(F.broadcast(qv), "query_id")
+        .withColumn("cos", dot(F.col("_qv"), F.col("_cv")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"),
+                F.col("rk").cast("long").alias("rk"))
+    )
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
              vec_col: str, k: int = 5, n_cells: int = 16,
              n_probe: int = 4, centroids: "np.ndarray | None" = None,

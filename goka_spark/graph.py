@@ -55,13 +55,24 @@ class InputStream(Edge):
     # Emits/Loopbacks), so its rows don't feed the group-table fold —
     # e.g. the detector in examples/3-messaging re-keys via Loopback.
     contributes: bool = True
+    # goka WithNilHandling (options.go:314): "ignore" drops messages
+    # whose value column is NULL before the callback (NilIgnore);
+    # "process" (default) passes them through (NilProcess/NilDecode —
+    # tombstones reach the fold, matching goka's default decode path).
+    nil_handling: str = "process"
+    nil_col: str = "value"
 
 
 @dataclass
 class PersistEdge(Edge):
-    """goka.Persist (graph.go:394-403): the group table."""
+    """goka.Persist (graph.go:394-403): the group table.
+
+    ``update`` is goka's WithUpdateCallback (options.go:173): a hook
+    applied to the folded table before it is exposed/persisted —
+    validate, transform, or redact state on its way to storage."""
 
     fold: Any = None  # folds.Fold; typed loosely to avoid import cycle
+    update: Optional[Transform] = None
 
 
 @dataclass
@@ -129,9 +140,14 @@ def input_stream(
     where: Optional[ColumnLike] = None,
     select: Optional[Transform] = None,
     contributes: bool = True,
+    nil_handling: str = "process",
+    nil_col: str = "value",
 ) -> InputStream:
+    if nil_handling not in ("process", "ignore"):
+        raise ValueError(f"nil_handling must be process|ignore, got {nil_handling!r}")
     return InputStream(topic=topic, codec=codec, key=key, ts=ts, where=where,
-                       select=select, contributes=contributes)
+                       select=select, contributes=contributes,
+                       nil_handling=nil_handling, nil_col=nil_col)
 
 
 def inputs(topics: list[str], codec: Optional[Codec] = None, **kw: Any) -> list[InputStream]:
@@ -139,8 +155,9 @@ def inputs(topics: list[str], codec: Optional[Codec] = None, **kw: Any) -> list[
     return [input_stream(t, codec, **kw) for t in topics]
 
 
-def persist(fold: Any, codec: Optional[Codec] = None) -> PersistEdge:
-    return PersistEdge(topic="", codec=codec, fold=fold)
+def persist(fold: Any, codec: Optional[Codec] = None,
+            update: Optional[Transform] = None) -> PersistEdge:
+    return PersistEdge(topic="", codec=codec, fold=fold, update=update)
 
 
 def output(

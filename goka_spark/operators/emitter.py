@@ -24,11 +24,15 @@ from goka_spark.codecs import Codec
 
 class Emitter:
     def __init__(self, spark: SparkSession, topic_path: str,
-                 codec: Optional[Codec] = None, value_col: str = "value"):
+                 codec: Optional[Codec] = None, value_col: str = "value",
+                 default_headers: Optional[dict[str, bytes]] = None):
         self.spark = spark
         self.topic_path = topic_path
         self.codec = codec
         self.value_col = value_col
+        # goka WithEmitterDefaultHeaders (options.go:625): merged under
+        # per-emit headers (per-emit keys win, headers.go Merged)
+        self.default_headers = default_headers
         self._buffer: list[tuple[str, Any, Optional[dict[str, bytes]]]] = []
 
     def emit(self, key: Any, value: Any,
@@ -38,6 +42,8 @@ class Emitter:
         if self.codec is not None:
             # parity with goka: value must round-trip through the codec
             value = self.codec.decode(self.codec.encode(value))
+        if self.default_headers:
+            headers = {**self.default_headers, **(headers or {})}
         self._buffer.append((str(key), value, headers))
 
     def emit_sync(self, key: Any, value: Any,

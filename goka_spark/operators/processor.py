@@ -77,6 +77,10 @@ class Processor:
 
     # -- plan building -------------------------------------------------
     def _load_input(self, edge: InputStream, df: DataFrame) -> DataFrame:
+        # goka WithNilHandling(NilIgnore): drop nil-valued messages
+        # before the callback sees them (options.go:303-320)
+        if edge.nil_handling == "ignore" and edge.nil_col in df.columns:
+            df = df.filter(F.col(edge.nil_col).isNotNull())
         if edge.where is not None:
             df = df.filter(edge.where)
         if edge.select is not None:
@@ -168,5 +172,9 @@ class Processor:
         table = None
         if g.persist_edge is not None:
             table = g.persist_edge.fold.compile(fold_input, KEY, ts_col)
+            # goka WithUpdateCallback (options.go:173): hook between
+            # the fold and storage — validate/transform table state
+            if g.persist_edge.update is not None:
+                table = g.persist_edge.update(table)
 
         return ProcessorResult(graph=g, table=table, outputs=outputs, enriched=stream)

@@ -19,6 +19,7 @@ _FRONT = [
     "tfidf_keywords",
     "quality_gopher",
     "embedding_pq_ann",
+    "embedding_ivf_pq_ann",
     "event_rollup",
     "event_interarrival",
     "value_quantiles",

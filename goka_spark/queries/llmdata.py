@@ -289,6 +289,15 @@ def quality_gopher(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", *[c.alias(k) for k, c in r.items()])
 
 
+def embedding_ivf_pq_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """Rows-only: IVF-PQ composition — cell pruning × compressed-code
+    ADC scan × exact re-rank (both quantizers engine-side)."""
+    emb = load(spark, sf, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    return S.ivf_pq_topk(emb, queries, "vec_id", "embedding",
+                         k=5, n_cells=16, n_probe=8, m=8, refine=4)
+
+
 def embedding_pq_ann(spark: SparkSession, sf: str) -> DataFrame:
     """Rows-only: PQ/ADC approximate neighbors with exact re-rank
     (codebooks are engine-side k-means; no deterministic SQL twin).
@@ -327,6 +336,7 @@ QUERIES = {
     "tfidf_keywords": tfidf_keywords,
     "quality_gopher": quality_gopher,
     "embedding_pq_ann": embedding_pq_ann,
+    "embedding_ivf_pq_ann": embedding_ivf_pq_ann,
 }
 
 _WORDS = "list_filter(string_split(text, ' '), w -> w <> '')"

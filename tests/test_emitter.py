@@ -49,3 +49,18 @@ def test_emit_with_headers_roundtrip(spark, tmp_path):
     ).collect()}
     assert got == {"a": ("t-123", 7), "b": (None, None)}
     assert dict(em.read().dtypes)["headers"] == "map<string,binary>"
+
+
+def test_emitter_default_headers_merge(spark, tmp_path):
+    """goka WithEmitterDefaultHeaders (options.go:625): defaults attach
+    to every emit; per-emit headers win on key collision."""
+    from goka_spark.operators.emitter import Emitter
+
+    em = Emitter(spark, str(tmp_path / "t"),
+                 default_headers={"src": b"emitter", "v": b"1"})
+    em.emit("a", "x")
+    em.emit("b", "y", headers={"v": b"2"})
+    em.finish()
+    got = {r.key: dict(r.headers) for r in em.read().collect()}
+    assert got["a"] == {"src": b"emitter", "v": b"1"}
+    assert got["b"] == {"src": b"emitter", "v": b"2"}

@@ -417,3 +417,25 @@ def test_tfidf_rare_term_outranks_common(spark):
     top = tfidf_topk(df, "doc_id", "text", k=2)
     best = {r.doc_id: r.term for r in top.filter(F.col("rk") == 1).collect()}
     assert best == {1: "zebra", 2: "filler", 3: "noise"}
+
+
+def test_ivf_pq_topk_recall_on_clustered_vectors(spark):
+    """IVF-PQ composition: cell pruning + compressed scan + exact
+    re-rank still recovers most true neighbors on separable clusters,
+    and reported cosines are exact."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 64)) * 5
+    rows = [(i, [float(x) for x in centers[i % 8] + rng.standard_normal(64) * 0.1])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 8)
+    exact = S.cosine_topk(df, queries, "vec_id", "embedding", k=5)
+    exact_pairs = {(r.query_id, r.neighbor_id): r.cos for r in exact.collect()}
+    got = {(r.query_id, r.neighbor_id): r.cos for r in
+           S.ivf_pq_topk(df, queries, "vec_id", "embedding",
+                         k=5, n_cells=8, n_probe=2, m=8, refine=4).collect()}
+    hits = set(got) & set(exact_pairs)
+    assert len(hits) / len(exact_pairs) >= 0.8
+    assert all(exact_pairs[p] == got[p] for p in hits)

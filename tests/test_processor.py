@@ -127,3 +127,43 @@ def test_join_lookup_with_column_on(spark):
             for r in Processor(g).run({
                 "t": events, "tiers": jt, "geo": lt}).table.collect()}
     assert rows == {"u1": ("gold", "DE"), "u2": ("basic", "US")}
+
+
+def test_nil_handling_ignore_drops_tombstones(spark):
+    """goka WithNilHandling(NilIgnore) (options.go:314): nil-valued
+    messages never reach the callback/fold; default 'process' keeps
+    them."""
+    from pyspark.sql import functions as F
+
+    from goka_spark import AggFold, Processor, define_group, input_stream, persist
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("b", None)], "key string, value double")
+    g_ign = define_group("ni", input_stream("t", nil_handling="ignore"),
+                         persist(AggFold({"cnt": F.count("*")})))
+    got = {r.key: r.cnt for r in
+           Processor(g_ign).run({"t": df}).table.collect()}
+    assert got == {"a": 1}
+    g_proc = define_group("np", input_stream("t"),
+                          persist(AggFold({"cnt": F.count("*")})))
+    got2 = {r.key: r.cnt for r in
+            Processor(g_proc).run({"t": df}).table.collect()}
+    assert got2 == {"a": 2, "b": 1}
+
+
+def test_persist_update_callback_hook(spark):
+    """goka WithUpdateCallback (options.go:173): the hook transforms
+    table state between fold and storage."""
+    from pyspark.sql import functions as F
+
+    from goka_spark import AggFold, Processor, define_group, input_stream, persist
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 9.0)], "key string, value double")
+    g = define_group(
+        "uc", input_stream("t"),
+        persist(AggFold({"total": F.sum("value")}),
+                update=lambda t: t.withColumn(
+                    "total", F.least(F.col("total"), F.lit(5.0)))))
+    got = {r.key: r.total for r in Processor(g).run({"t": df}).table.collect()}
+    assert got == {"a": 3.0, "b": 5.0}  # b capped by the update hook

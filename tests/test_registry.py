@@ -25,5 +25,6 @@ def test_rows_only_set_is_intentional():
     assert rows_only == {
         "approx_distinct_users", "dedup_minhash_lsh", "dedup_simhash",
         "embedding_lsh_ann", "embedding_ivf_ann", "embedding_pq_ann",
-        "emitter_roundtrip", "changelog_compaction",
+        "embedding_ivf_pq_ann", "emitter_roundtrip",
+        "changelog_compaction",
     }

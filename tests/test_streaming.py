@@ -345,3 +345,40 @@ def test_stream_stream_interval_join(spark, tmp_path):
         assert got == [("u1", 0.0), ("u1", 10.0)]
     finally:
         q.stop()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming dedup — the live twin of the batch event_dedup_window
+    query: duplicate keys arriving within the watermark horizon are
+    dropped with BOUNDED state (goka users hand-roll this with a
+    seen-set in the group table; Spark keys the state store and
+    expires it at the watermark)."""
+    import datetime as dt
+
+    src = str(tmp_path / "topic")
+    t0 = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [("a", t0, 1.0), ("a", t0 + dt.timedelta(seconds=30), 2.0),
+         ("b", t0, 3.0)], SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    deduped = (stream_from_dir(spark, src, SCHEMA)
+               .withWatermark("ts", "10 minutes")
+               .dropDuplicatesWithinWatermark(["key"]))
+    q = (deduped.writeStream.format("memory").queryName("dedup_live")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        # second batch: a duplicate inside the horizon + a fresh key
+        spark.createDataFrame(
+            [("a", t0 + dt.timedelta(minutes=1), 9.0),
+             ("c", t0 + dt.timedelta(minutes=1), 4.0)],
+            SCHEMA).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {r.key: r.value for r in
+               spark.sql("select * from dedup_live").collect()}
+        assert set(got) == {"a", "b", "c"}
+        assert got["a"] == 1.0  # first arrival wins; later dups dropped
+    finally:
+        q.stop()
