@@ -20,6 +20,7 @@ _FRONT = [
     "quality_gopher",
     "embedding_pq_ann",
     "embedding_ivf_pq_ann",
+    "multimodal_decode_ppm",
     "event_rollup",
     "event_interarrival",
     "value_quantiles",

@@ -260,6 +260,24 @@ def pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     return planted.select("doc_id", T.scrub_pii(F.col("text")).alias("clean"))
 
 
+def multimodal_decode_ppm(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL codec end-to-end: build a true P6 PPM blob per document
+    (dims + pixels are deterministic functions of doc_id), then parse
+    it back byte-for-byte — header tokenization, pixel-buffer
+    validation, red-channel mean.  The oracle computes the expected
+    stats in closed form, so the driver verifies the decoder actually
+    read the pixels (integer-valued sums → bit-exact mean)."""
+    docs = load(spark, sf, "documents")["documents"]
+    dims = docs.select(
+        "doc_id",
+        (F.lit(4) + F.col("doc_id") % 13).cast("int").alias("w"),
+        (F.lit(3) + F.col("doc_id") % 7).cast("int").alias("h"),
+        F.col("doc_id").alias("seed"))
+    blobs = M.encode_ppm(dims, "doc_id", "w", "h", "seed")
+    return M.decode_ppm_meta(blobs).select(
+        "doc_id", "width", "height", F.round("mean_r", 4).alias("mean_r"))
+
+
 def multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-column plumbing end-to-end: attach blob → mapInPandas
     decode (stubbed codec, real Arrow batching) → typed metadata."""
@@ -330,6 +348,7 @@ QUERIES = {
     "dedup_minhash_verified": dedup_minhash_verified,
     "dedup_simhash_verified": dedup_simhash_verified,
     "multimodal_decode": multimodal_decode,
+    "multimodal_decode_ppm": multimodal_decode_ppm,
     "text_normalize": text_normalize,
     "pii_scrub": pii_scrub,
     "dup_ngram_coverage": dup_ngram_coverage,
@@ -691,6 +710,16 @@ ORACLES["corpus_filter_pipeline"] = f"""
     FROM scored s
     LEFT JOIN surv2 v ON v.doc_id = s.doc_id
     LEFT JOIN cc2 c ON c.doc_id = s.doc_id
+"""
+
+ORACLES["multimodal_decode_ppm"] = """
+    SELECT doc_id,
+           CAST(4 + doc_id % 13 AS BIGINT) AS width,
+           CAST(3 + doc_id % 7 AS BIGINT) AS height,
+           ROUND(list_avg(list_transform(
+             range(0, (4 + doc_id % 13) * (3 + doc_id % 7)),
+             i -> CAST((doc_id * 31 + i) % 256 AS DOUBLE))), 4) AS mean_r
+    FROM documents
 """
 
 ORACLES["dup_ngram_coverage"] = f"""

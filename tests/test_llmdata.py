@@ -439,3 +439,57 @@ def test_ivf_pq_topk_recall_on_clustered_vectors(spark):
     hits = set(got) & set(exact_pairs)
     assert len(hits) / len(exact_pairs) >= 0.8
     assert all(exact_pairs[p] == got[p] for p in hits)
+
+
+def test_ppm_codec_roundtrip_and_parse():
+    """REAL codec: encode a known P6 image, parse it back byte-exact;
+    malformed input fails loudly (a stub can't do either)."""
+    import numpy as np
+    import pytest
+
+    blob = M.ppm_encode_gray(4, 3, seed=5)
+    w, h, maxval, pix = M.ppm_parse(blob)
+    assert (w, h, maxval) == (4, 3, 255)
+    expect = (5 * 31 + np.arange(12)) % 256
+    assert (pix[:, :, 0].ravel() == expect).all()
+    assert (pix[:, :, 1] == pix[:, :, 0]).all()  # gray: channels equal
+    # comment + whitespace handling in the header
+    commented = b"P6\n# a comment\n4 3\n255\n" + blob.split(b"255\n", 1)[1]
+    assert M.ppm_parse(commented)[:2] == (4, 3)
+    with pytest.raises(ValueError, match="not a P6"):
+        M.ppm_parse(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError, match="short pixel"):
+        M.ppm_parse(b"P6\n4 3\n255\n\x00\x01")
+
+
+def test_ppm_resize_nearest_neighbor(spark):
+    """Resize is REAL pixel work: downscale 4x4→2x2 picks the exact
+    nearest-neighbor source pixels."""
+    import numpy as np
+
+    blob = M.ppm_encode_gray(4, 4, seed=0)
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, blob binary")
+    out = M.resize_ppm(df, 2, 2).collect()[0]
+    w, h, _, pix = M.ppm_parse(bytes(out.blob))
+    assert (w, h) == (2, 2)
+    _, _, _, src = M.ppm_parse(blob)
+    # ys = xs = [0, 2] → corners of the even grid
+    assert (pix == src[[0, 2]][:, [0, 2]]).all()
+
+
+def test_ppm_decode_meta_distributed(spark):
+    """The decode runs per Arrow batch on executors and returns true
+    pixel statistics."""
+    import numpy as np
+
+    dims = spark.createDataFrame(
+        [(i, 4 + i % 3, 3 + i % 2, i) for i in range(10)],
+        "doc_id long, w int, h int, seed long")
+    meta = {r.doc_id: r for r in
+            M.decode_ppm_meta(M.encode_ppm(dims, "doc_id", "w", "h", "seed"))
+            .collect()}
+    for i in range(10):
+        w, h = 4 + i % 3, 3 + i % 2
+        assert (meta[i].width, meta[i].height) == (w, h)
+        expect = float(np.mean((i * 31 + np.arange(w * h)) % 256))
+        assert meta[i].mean_r == round(expect, 4)  # decoder rounds to 4
