@@ -215,6 +215,141 @@ def resize_ppm(df: DataFrame, out_w: int, out_h: int,
         run, "doc_id long, blob binary")
 
 
+def wav_encode_pcm16(n_samples: int, rate: int, seed: int) -> bytes:
+    """Build a REAL RIFF/WAVE file: canonical 44-byte header + mono
+    16-bit PCM data; sample i is ((seed*7 + i*13) % 65536) - 32768
+    (deterministic, oracle-computable)."""
+    import struct
+
+    import numpy as np
+
+    samples = (((seed * 7 + np.arange(n_samples) * 13) % 65536) - 32768) \
+        .astype("<i2")
+    data = samples.tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    return hdr + data
+
+
+def wav_parse(blob: bytes) -> tuple[int, int, int, "object"]:
+    """Parse RIFF/WAVE → (n_channels, sample_rate, bits, int16 array).
+    Real chunk-walking parser: validates magics, iterates chunks to
+    find fmt/data (extra chunks like LIST are skipped correctly)."""
+    import struct
+
+    import numpy as np
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid, size = blob[pos:pos + 4], struct.unpack("<I", blob[pos + 4:pos + 8])[0]
+        body = blob[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"only PCM16 supported, got fmt={audio_fmt} bits={bits}")
+    return n_ch, rate, bits, np.frombuffer(data, dtype="<i2")
+
+
+def decode_wav_meta(df: DataFrame, id_col: str = "doc_id",
+                    blob_col: str = "blob") -> DataFrame:
+    """REAL audio decode per Arrow batch: sample count, rate, and RMS
+    amplitude (true signal statistic; integer squares sum exactly in
+    float64, so any engine reproduces it bit-for-bit)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[blob_col]):
+                n_ch, rate, _, samples = wav_parse(bytes(b))
+                rms = float(np.sqrt((samples.astype("f8") ** 2).mean()))
+                rows.append((int(i), rate, len(samples), round(rms, 4)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "rate", "n_samples", "rms"])
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run, "doc_id long, rate long, n_samples long, rms double")
+
+
+def encode_wav(df: DataFrame, id_col: str, n_col: str, seed_col: str,
+               rate: int = 8000) -> DataFrame:
+    """Materialize real WAV blobs per row (Arrow-batched)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "blob": [wav_encode_pcm16(int(n), rate, int(s))
+                         for n, s in zip(pdf[n_col], pdf[seed_col])],
+            })
+
+    return df.select(id_col, n_col, seed_col) \
+        .mapInPandas(run, "doc_id long, blob binary")
+
+
+def encode_ppm_stream(df: DataFrame, id_col: str, n_frames_col: str,
+                      width: int, height: int,
+                      seed_mult: int = 100) -> DataFrame:
+    """Materialize a real multi-frame P6 stream per row; frame j of
+    row id uses seed ``id*seed_mult + j``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, nf in zip(pdf[id_col], pdf[n_frames_col]):
+                blob = b"".join(
+                    ppm_encode_gray(width, height, int(i) * seed_mult + j)
+                    for j in range(int(nf)))
+                out.append((int(i), blob))
+            yield pd.DataFrame(out, columns=["doc_id", "blob"])
+
+    return df.select(id_col, n_frames_col) \
+        .mapInPandas(run, "doc_id long, blob binary")
+
+
+def ppm_stream_parse(blob: bytes) -> list:
+    """Parse a VIDEO as a concatenated stream of P6 frames (the
+    uncompressed-video analog): repeatedly parse one frame, advance by
+    its exact byte length, until the buffer is consumed."""
+    frames, pos = [], 0
+    while pos < len(blob):
+        w, h, maxval, pix = ppm_parse(blob[pos:])
+        frames.append(pix)
+        # frame length = header bytes + pixel bytes (recompute header)
+        hdr = b"P6\n%d %d\n%d\n" % (w, h, maxval)
+        pos += len(hdr) + w * h * 3
+    return frames
+
+
+def frame_sample(df: DataFrame, id_col: str = "doc_id",
+                 blob_col: str = "blob", every_n: int = 2) -> DataFrame:
+    """REAL frame sampling: parse the frame stream, keep every
+    ``every_n``-th frame, emit its true per-frame pixel mean."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[blob_col]):
+                for j, pix in enumerate(ppm_stream_parse(bytes(b))):
+                    if j % every_n == 0:
+                        rows.append((int(i), j, pix.shape[1], pix.shape[0],
+                                     round(float(pix[:, :, 0].mean()), 4)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "frame_idx", "width", "height", "mean_r"])
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run, "doc_id long, frame_idx long, width long, height long, mean_r double")
+
+
 def image_features(df: DataFrame, id_col: str = "doc_id",
                    blob_col: str = "blob", bins: int = 16) -> DataFrame:
     """Feature extraction: binary → array<float>.  The byte-value

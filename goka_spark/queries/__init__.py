@@ -21,6 +21,8 @@ _FRONT = [
     "embedding_pq_ann",
     "embedding_ivf_pq_ann",
     "multimodal_decode_ppm",
+    "multimodal_decode_wav",
+    "multimodal_frame_sample",
     "event_rollup",
     "event_interarrival",
     "value_quantiles",

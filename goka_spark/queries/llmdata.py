@@ -278,6 +278,32 @@ def multimodal_decode_ppm(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "width", "height", F.round("mean_r", 4).alias("mean_r"))
 
 
+def multimodal_decode_wav(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio codec end-to-end: build a true RIFF/WAVE PCM16 blob
+    per document, chunk-walk parse it back, emit sample count + RMS
+    amplitude.  Integer-squared sums are exact in float64, so the
+    oracle reproduces the RMS bit-for-bit in closed form."""
+    docs = load(spark, sf, "documents")["documents"]
+    spec = docs.select(
+        "doc_id",
+        (F.lit(100) + F.col("doc_id") % 50).cast("int").alias("n"),
+        F.col("doc_id").alias("seed"))
+    blobs = M.encode_wav(spec, "doc_id", "n", "seed", rate=8000)
+    return M.decode_wav_meta(blobs).select(
+        "doc_id", "rate", "n_samples", F.round("rms", 4).alias("rms"))
+
+
+def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video-style frame sampling: each document becomes a
+    concatenated P6 frame stream (2 + doc_id%4 frames), parsed frame
+    by frame; every 2nd frame emits its true pixel mean."""
+    docs = load(spark, sf, "documents")["documents"]
+    spec = docs.select(
+        "doc_id", (F.lit(2) + F.col("doc_id") % 4).cast("int").alias("nf"))
+    blobs = M.encode_ppm_stream(spec, "doc_id", "nf", width=4, height=3)
+    return M.frame_sample(blobs, every_n=2)
+
+
 def multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-column plumbing end-to-end: attach blob → mapInPandas
     decode (stubbed codec, real Arrow batching) → typed metadata."""
@@ -349,6 +375,8 @@ QUERIES = {
     "dedup_simhash_verified": dedup_simhash_verified,
     "multimodal_decode": multimodal_decode,
     "multimodal_decode_ppm": multimodal_decode_ppm,
+    "multimodal_decode_wav": multimodal_decode_wav,
+    "multimodal_frame_sample": multimodal_frame_sample,
     "text_normalize": text_normalize,
     "pii_scrub": pii_scrub,
     "dup_ngram_coverage": dup_ngram_coverage,
@@ -720,6 +748,29 @@ ORACLES["multimodal_decode_ppm"] = """
              range(0, (4 + doc_id % 13) * (3 + doc_id % 7)),
              i -> CAST((doc_id * 31 + i) % 256 AS DOUBLE))), 4) AS mean_r
     FROM documents
+"""
+
+ORACLES["multimodal_decode_wav"] = """
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS rate,
+           CAST(100 + doc_id % 50 AS BIGINT) AS n_samples,
+           ROUND(sqrt(list_avg(list_transform(
+             range(0, 100 + doc_id % 50),
+             i -> POWER(CAST((doc_id * 7 + i * 13) % 65536 - 32768
+                             AS DOUBLE), 2)))), 4) AS rms
+    FROM documents
+"""
+
+ORACLES["multimodal_frame_sample"] = """
+    SELECT doc_id, frame_idx,
+           CAST(4 AS BIGINT) AS width, CAST(3 AS BIGINT) AS height,
+           ROUND(list_avg(list_transform(
+             range(0, 12),
+             i -> CAST((doc_id * 100 + frame_idx) * 31 + i AS BIGINT) % 256)),
+             4) AS mean_r
+    FROM documents,
+         (SELECT UNNEST(range(0, 6)) AS frame_idx)
+    WHERE frame_idx < 2 + doc_id % 4 AND frame_idx % 2 = 0
 """
 
 ORACLES["dup_ngram_coverage"] = f"""

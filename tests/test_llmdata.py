@@ -493,3 +493,40 @@ def test_ppm_decode_meta_distributed(spark):
         assert (meta[i].width, meta[i].height) == (w, h)
         expect = float(np.mean((i * 31 + np.arange(w * h)) % 256))
         assert meta[i].mean_r == round(expect, 4)  # decoder rounds to 4
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """REAL audio codec: encode PCM16, parse back sample-exact; the
+    chunk walker skips unknown chunks; malformed input fails loudly."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    blob = M.wav_encode_pcm16(50, 8000, seed=3)
+    n_ch, rate, bits, samples = M.wav_parse(blob)
+    assert (n_ch, rate, bits, len(samples)) == (1, 8000, 16, 50)
+    expect = ((3 * 7 + np.arange(50) * 13) % 65536) - 32768
+    assert (samples == expect).all()
+    # insert a LIST chunk between fmt and data: parser must skip it
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    padded = blob[:fmt_end] + extra + blob[fmt_end:]
+    assert (M.wav_parse(padded)[3] == expect).all()
+    with pytest.raises(ValueError, match="RIFF"):
+        M.wav_parse(b"nope")
+
+
+def test_ppm_stream_frame_sample(spark):
+    """REAL frame stream: N concatenated P6 frames parse back
+    individually; sampling keeps even frames with true pixel means."""
+    import numpy as np
+
+    spec = spark.createDataFrame([(7, 4)], "doc_id long, nf int")
+    blobs = M.encode_ppm_stream(spec, "doc_id", "nf", width=4, height=3)
+    out = {r.frame_idx: r for r in M.frame_sample(blobs, every_n=2).collect()}
+    assert set(out) == {0, 2}
+    for j in (0, 2):
+        expect = float(np.mean(((7 * 100 + j) * 31 + np.arange(12)) % 256))
+        assert out[j].mean_r == round(expect, 4)
+        assert (out[j].width, out[j].height) == (4, 3)
