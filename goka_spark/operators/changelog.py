@@ -137,9 +137,12 @@ class ChangelogTable:
         return self.spark.read.option("basePath", self.path).parquet(
             f"{self.path}/_epoch=*")
 
-    def _compacted_with_tombstones(self) -> DataFrame:
-        """Last write per key INCLUDING tombstone markers."""
+    def _compacted_with_tombstones(self, as_of: Optional[int] = None) -> DataFrame:
+        """Last write per key INCLUDING tombstone markers.  ``as_of``
+        replays only epochs ≤ the given number."""
         log = self._log()
+        if as_of is not None:
+            log = log.filter(F.col("_epoch") <= as_of)
         state_cols = [c for c in log.columns
                       if c not in (self.key_col, "_tombstone", "_epoch")]
         picked = F.max_by(
@@ -151,10 +154,17 @@ class ChangelogTable:
             self.key_col, F.col("_s._tombstone").alias("_tombstone"),
             *[F.col(f"_s.{c}").alias(c) for c in state_cols])
 
-    def read_compacted(self) -> DataFrame:
+    def read_compacted(self, as_of: Optional[int] = None) -> DataFrame:
         """Current table state: last write per key wins; tombstones drop
-        the key.  One hash aggregate — no sort, no window."""
-        out = self._compacted_with_tombstones()
+        the key.  One hash aggregate — no sort, no window.
+
+        ``as_of`` is TIME TRAVEL to a past epoch — goka's recovery
+        "replay the changelog up to offset N" (partition_table.go) as
+        a query.  The horizon is bounded by retention: merge/compact
+        rewrite history into one snapshot epoch, so only epochs still
+        on disk are reachable (exactly Kafka-compaction/Delta-vacuum
+        semantics)."""
+        out = self._compacted_with_tombstones(as_of)
         return out.filter(~F.col("_tombstone")).drop("_tombstone")
 
     # --------------------------------------------------------- maintain

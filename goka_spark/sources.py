@@ -44,6 +44,15 @@ def write_topic(df: DataFrame, path: str, fmt: str = "parquet",
     w.save(path)
 
 
+def write_topic_partitioned(df: DataFrame, path: str, by: list[str],
+                            fmt: str = "parquet", mode: str = "append") -> None:
+    """Hive-partitioned topic layout (``path/col=val/...``) — the lake
+    layout that turns a time/type filter into PARTITION PRUNING: the
+    scan lists only matching directories, so a day's query over a
+    100 TB topic reads a day, not the topic.  Plan-shape-tested."""
+    df.write.partitionBy(*by).mode(mode).format(fmt).save(path)
+
+
 def kafka_source(spark: SparkSession, brokers: list[str], topic: str,
                  starting_offsets: str = "earliest"):
     """Streaming Kafka reader (goka's consumer — requires the

@@ -109,3 +109,48 @@ def test_changelog_epoch_claims_are_exclusive(spark, tmp_path):
     e1 = cl1._claim_epoch()
     e2 = cl2._claim_epoch()  # before cl1 wrote its epoch dir
     assert e1 != e2
+
+
+def test_changelog_time_travel_as_of(spark, tmp_path):
+    """read_compacted(as_of=N) replays only epochs ≤ N — goka's
+    recover-to-offset as a query."""
+    from goka_spark.operators.changelog import ChangelogTable
+
+    ct = ChangelogTable(spark, str(tmp_path / "tt"))
+    e0 = ct.append_delta(spark.createDataFrame(
+        [("a", 1), ("b", 2)], "key string, v int"))
+    e1 = ct.append_delta(spark.createDataFrame(
+        [("a", 10), ("c", 3)], "key string, v int"))
+    ct.append_delta(
+        spark.createDataFrame([("b", 0, True)],
+                              "key string, v int, dead boolean"),
+        tombstone="dead")
+    assert {r.key: r.v for r in ct.read_compacted().collect()} == \
+        {"a": 10, "c": 3}
+    assert {r.key: r.v for r in ct.read_compacted(as_of=e1).collect()} == \
+        {"a": 10, "b": 2, "c": 3}
+    assert {r.key: r.v for r in ct.read_compacted(as_of=e0).collect()} == \
+        {"a": 1, "b": 2}
+
+
+def test_partitioned_topic_write_prunes_scan(spark, tmp_path):
+    """A filter on the partition column must prune at the FILE level:
+    the scan's PartitionFilters carry it and only matching partition
+    directories are read."""
+    from pyspark.sql import functions as F
+
+    from goka_spark.plans import explain as X
+    from goka_spark.sources import read_topic, write_topic_partitioned
+
+    df = spark.createDataFrame(
+        [(i, ["click", "view", "buy"][i % 3], float(i)) for i in range(30)],
+        "event_id long, event_type string, value double")
+    path = str(tmp_path / "ptopic")
+    write_topic_partitioned(df, path, by=["event_type"])
+    back = read_topic(spark, path).filter(F.col("event_type") == "buy")
+    plan = X.formatted(back)
+    assert "PartitionFilters" in plan and "event_type" in \
+        plan.split("PartitionFilters", 1)[1][:200]
+    assert back.count() == 10
+    # and the partition column itself is reconstructed from the path
+    assert {r.event_type for r in back.select("event_type").collect()} == {"buy"}
