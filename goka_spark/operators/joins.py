@@ -86,3 +86,40 @@ def copartition(frames: dict[str, DataFrame], num_partitions: int,
     copartition invariant).  Spark guarantees same-hash ⇒ same
     partition id for equal partition counts."""
     return {n: df.repartition(num_partitions, key) for n, df in frames.items()}
+
+
+def interval_bucket_join(points: DataFrame, intervals: DataFrame,
+                         on: str, point_ts: str, start_ts: str,
+                         end_ts: str, bucket: str = "30 minutes",
+                         how: str = "inner") -> DataFrame:
+    """Point-in-interval join WITHOUT a nested-loop range join.
+
+    A bare ``p.ts BETWEEN i.start AND i.end`` condition (plus an
+    equi-key) leaves Spark a sort-merge on the key with a per-key
+    range scan — fine until one key is hot, fatal when there is no
+    usable equi-key.  The scale-safe shape: quantize time into fixed
+    buckets, EXPLODE each interval onto every bucket it covers, then
+    equi-join on (key, bucket) and re-check the exact range.  Join
+    cost becomes |points| + Σ interval_span/bucket — linear, shuffle
+    on a composite key AQE can split — the same bucketize-then-
+    equi-join discipline as the LSH similarity joins.
+
+    ``bucket`` should be ≥ the typical interval span (one-a-few
+    buckets per interval); intervals must satisfy start ≤ end.
+    """
+    qty, unit = bucket.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
+    width = int(qty) * mult * 1_000_000  # micros
+
+    p = points.withColumn("_bk", F.floor(F.unix_micros(F.col(point_ts))
+                                         / F.lit(width)))
+    i = intervals.withColumn(
+        "_bk",
+        F.explode(F.sequence(
+            F.floor(F.unix_micros(F.col(start_ts)) / F.lit(width)),
+            F.floor(F.unix_micros(F.col(end_ts)) / F.lit(width)))))
+    out = p.join(i, on=[on, "_bk"], how=how).filter(
+        (F.col(point_ts) >= F.col(start_ts))
+        & (F.col(point_ts) <= F.col(end_ts)))
+    return out.drop("_bk")

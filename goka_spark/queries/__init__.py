@@ -26,6 +26,7 @@ _FRONT = [
     "event_rollup",
     "event_interarrival",
     "value_quantiles",
+    "purchase_click_attribution",
     "doc_repetition",
     "dedup_clusters",
     "corpus_filter_pipeline",

@@ -719,8 +719,32 @@ def value_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def purchase_click_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-interval attribution: every click landing in the 30
+    minutes before a same-user purchase.  Runs through
+    ``interval_bucket_join`` — interval exploded onto time buckets,
+    equi-join on (user, bucket), exact range re-check — never a
+    nested-loop range join (plan-shape-tested)."""
+    from goka_spark.operators.joins import interval_bucket_join
+
+    ev = load(spark, sf, "events")["events"]
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("event_id").alias("purchase_id"),
+                         (F.col("ts") - F.expr("INTERVAL 30 MINUTES"))
+                         .alias("w_start"),
+                         F.col("ts").alias("w_end")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts")))
+    out = interval_bucket_join(clicks, purchases, on="user_id",
+                               point_ts="click_ts", start_ts="w_start",
+                               end_ts="w_end", bucket="30 minutes")
+    return out.select("purchase_id", "click_id")
+
+
 QUERIES = {
     "tumbling_window_agg": tumbling_window_agg,
+    "purchase_click_attribution": purchase_click_attribution,
     "hopping_window_agg": hopping_window_agg,
     "session_window_agg": session_window_agg,
     "running_total_per_user": running_total_per_user,
@@ -1185,4 +1209,13 @@ ORACLES["value_quantiles"] = """
            ROUND(quantile_cont(value, 0.9), 4) AS p90,
            COUNT(*) AS cnt
     FROM events GROUP BY event_type
+"""
+
+ORACLES["purchase_click_attribution"] = """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+     AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """

@@ -75,3 +75,43 @@ def test_copartition_same_counts(spark):
     parts = copartition({"a": a, "b": b}, 4)
     assert parts["a"].rdd.getNumPartitions() == 4
     assert parts["b"].rdd.getNumPartitions() == 4
+
+
+def test_interval_bucket_join_exact_boundaries(spark):
+    """Bucketized point-in-interval join returns exactly the rows a
+    naive range join would — including points on bucket edges and
+    intervals spanning multiple buckets."""
+    import datetime as dt
+
+    from goka_spark.operators.joins import interval_bucket_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    points = spark.createDataFrame(
+        [(1, 100 + m, ts(m)) for m in (0, 29, 30, 31, 59, 60, 95)],
+        "k long, pid long, pts timestamp")
+    intervals = spark.createDataFrame(
+        [(1, 1, ts(0), ts(30)),     # spans two 30-min buckets
+         (1, 2, ts(31), ts(94)),    # spans three buckets
+         (2, 3, ts(0), ts(60))],    # different key: never matches
+        "k long, iid long, s timestamp, e timestamp")
+    got = {(r.iid, r.pid) for r in interval_bucket_join(
+        points, intervals, on="k", point_ts="pts", start_ts="s",
+        end_ts="e", bucket="30 minutes").collect()}
+    expect = {(1, 100), (1, 129), (1, 130),           # 0..30 inclusive
+              (2, 131), (2, 159), (2, 160)}           # 31..94
+    assert got == expect
+
+
+def test_interval_join_plan_is_equi_join(spark, sf_dir):
+    """The attribution query must plan as an equi-join on the
+    (user, bucket) composite — never a nested-loop range join."""
+    from goka_spark.plans import explain as X
+    from goka_spark.queries.analytics import purchase_click_attribution
+
+    plan = X.simple(purchase_click_attribution(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
