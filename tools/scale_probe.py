@@ -90,6 +90,19 @@ def main():
             purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
             value_cols=["cid"], tiebreak="cid"))
 
+        # bucketized point-in-interval join: expect ~linear (equi-join
+        # on (key, bucket); interval explode adds ≤ span/bucket rows)
+        from goka_spark.operators.joins import interval_bucket_join
+        ivals = purchases.select(
+            "user_id", F.col("event_id").alias("pid"),
+            (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("s"),
+            F.col("ts").alias("e"))
+        pts = clicks.select("user_id", F.col("cid"),
+                            F.col("ts").alias("pts"))
+        r["interval_join"] = timed("ij", interval_bucket_join(
+            pts, ivals, on="user_id", point_ts="pts",
+            start_ts="s", end_ts="e", bucket="30 minutes"))
+
         r["minhash_sigs"] = timed("mh", D.minhash_signatures(
             docs, "doc_id", "text", num_perm=32))
 
