@@ -17,6 +17,7 @@ import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 MERSENNE = (1 << 61) - 1
 
@@ -329,6 +330,75 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def ngram_jaccard_prefix(df: DataFrame, id_col: str, text_col: str,
+                         n: int = 3,
+                         threshold: float = 0.6) -> DataFrame:
+    """High-threshold similarity self-join via LOSSLESS prefix
+    filtering (AllPairs/PPJoin discipline), exact Jaccard output.
+
+    ``ngram_jaccard_pairs``'s ``max_df`` stop-shingle pruning keeps
+    the inverted index linear but trades recall: pairs sharing only
+    hot shingles are lost.  At high thresholds the classic prefix
+    filter needs no such trade.  Order each document's shingles by
+    (global df, shingle) ascending and keep only the first
+    ``sz - ceil(t*sz) + 1``; two documents with Jaccard >= t MUST
+    share a prefix shingle (pigeonhole on the suffix), so joining
+    prefixes only generates a complete candidate set — and because
+    prefixes are each document's RAREST shingles, hot shingles
+    almost never enter the join, killing the f^2 blow-up without
+    dropping a single qualifying pair.  A length filter
+    (min_sz >= t * max_sz, necessary for J >= t) prunes further
+    before the exact intersection count.
+
+    Scale shape: postings exchanged ONCE on the shingle (ReuseExchange
+    feeds the df-count aggregate and both verify probes), one window
+    pass per doc for ranks/sizes, an equi-join on prefix shingles
+    (~(1-t) of postings, rare ones), then exact |A∩B| via two
+    candidate equi-joins — every join keyed, no cross product, linear
+    in postings for a fixed threshold.
+    """
+    eps = 1e-9  # keep ceil(t*sz) from rounding UP on float noise —
+    #             a too-small ceil only lengthens the prefix (safe)
+    sh = (shingle_postings(_fan_out(df), id_col, text_col, n,
+                           distinct=False)
+          .repartition("sh")
+          .dropDuplicates(["doc", "sh"]))
+    dfc = sh.groupBy("sh").agg(F.count("*").alias("_df"))
+    by_doc = Window.partitionBy("doc")
+    ranked = (sh.join(dfc, "sh")
+              .select("doc", "sh",
+                      F.row_number().over(by_doc.orderBy("_df", "sh"))
+                       .alias("_rk"),
+                      F.count("*").over(by_doc).alias("_sz")))
+    prefix = ranked.filter(
+        F.col("_rk") <= F.col("_sz")
+        - F.ceil(F.lit(threshold) * F.col("_sz") - eps) + 1)
+    a = prefix.select(F.col("doc").alias("id_a"), "sh",
+                      F.col("_sz").alias("_sz_a"))
+    b = prefix.select(F.col("doc").alias("id_b"), "sh",
+                      F.col("_sz").alias("_sz_b"))
+    cand = (a.join(b, "sh")
+            .filter((F.col("id_a") < F.col("id_b"))
+                    & (F.least("_sz_a", "_sz_b")
+                       >= F.lit(threshold)
+                       * F.greatest("_sz_a", "_sz_b") - eps))
+            .select("id_a", "id_b", "_sz_a", "_sz_b")
+            .dropDuplicates(["id_a", "id_b"]))
+    inter = (cand
+             .join(sh.select(F.col("doc").alias("id_a"), "sh"), "id_a")
+             .join(sh.select(F.col("doc").alias("id_b"), "sh"),
+                   ["id_b", "sh"])
+             .groupBy("id_a", "id_b", "_sz_a", "_sz_b")
+             .agg(F.count("*").alias("_inter")))
+    return (inter
+            .withColumn("jaccard", F.round(
+                F.col("_inter")
+                / (F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")),
+                4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
 
 
 def dup_ngram_coverage(df: DataFrame, id_col: str, text_col: str,

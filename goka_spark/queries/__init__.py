@@ -15,6 +15,7 @@ from goka_spark.queries import analytics, core, llmdata
 # (VERDICT.md r1 item 1) — so a capped run verifies them before
 # re-proving queries already green in CORRECTNESS_r01.json.
 _FRONT = [
+    "ngram_jaccard_prefix",
     "dup_ngram_coverage",
     "tfidf_keywords",
     "quality_gopher",

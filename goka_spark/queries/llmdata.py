@@ -46,6 +46,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
                                  threshold=0.05, max_df=50)
 
 
+def ngram_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """Lossless PPJoin-style prefix-filtered similarity join at a high
+    threshold: candidates come only from each document's RAREST
+    shingles, so no max_df recall trade and no hot-shingle blow-up.
+    The oracle is the plain all-pairs Jaccard — prefix filtering is
+    provably complete for J >= t, so the driver verifies recall."""
+    docs = load(spark, sf, "documents")["documents"]
+    return D.ngram_jaccard_prefix(docs, "doc_id", "text", n=3,
+                                  threshold=0.6)
+
+
 def embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Arrow/BLAS path (one numpy matmul per batch, partition-local
     top-k); S.cosine_topk is the pure-SQL-expression equivalent —
@@ -357,6 +368,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "ngram_jaccard_prefix": ngram_jaccard_prefix,
     "embedding_cosine_topk": embedding_cosine_topk,
     "embedding_lsh_ann": embedding_lsh_ann,
     "embedding_ivf_ann": embedding_ivf_ann,
@@ -434,6 +446,23 @@ ORACLES = {
         WHERE ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
                     / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))),
                     4) >= 0.05
+    """,
+    "ngram_jaccard_prefix": """
+        WITH d AS (
+          SELECT doc_id AS doc, list_distinct(list_transform(
+                   range(1, greatest(len(words) - 2, 1) + 1),
+                   i -> array_to_string(words[i:i+2], ' '))) AS shs
+          FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
+                FROM documents)
+        )
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT a.doc AS id_a, b.doc AS id_b,
+                 ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+                       / (len(a.shs) + len(b.shs)
+                          - len(list_intersect(a.shs, b.shs))),
+                       4) AS jaccard
+          FROM d a JOIN d b ON a.doc < b.doc
+        ) WHERE jaccard >= 0.6
     """,
     "embedding_cosine_topk": """
         SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos, rk FROM (
