@@ -15,9 +15,12 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load parquet topic datasets. Column-pruning/pushdown flow from
     the declarative plan into these scans.
 
-    ``events.ts`` is written as TIMESTAMP(NANOS), which the Spark
-    parquet reader rejects; read it as long ns and floor to micros
-    (identical to DuckDB's ns→us truncation).
+    ``events.ts`` has shipped in two physical forms across driver
+    testdata generations: TIMESTAMP(NANOS) (read as long ns under
+    ``nanosAsLong`` and floored to micros, identical to DuckDB's
+    ns→us truncation) and plain TIMESTAMP(MICROS) (read natively,
+    possibly as TIMESTAMP_NTZ). Normalize both to a session-TZ
+    TIMESTAMP so downstream event-time logic sees one type.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # deterministic wall-clock semantics regardless of driver TZ
@@ -26,6 +29,12 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     for n in names or TABLES:
         df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
         if n == "events":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            ts_type = dict(df.dtypes).get("ts")
+            if ts_type == "bigint":  # legacy nanos-as-long layout
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            elif ts_type != "timestamp":  # timestamp_ntz → session-TZ ts
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         out[n] = df
     return out
