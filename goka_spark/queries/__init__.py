@@ -9,55 +9,66 @@ plan and the oracle SQL (driver hash-compares by column name).
 from goka_spark.queries import analytics, core, llmdata
 
 # The driver's correctness run records roughly the first 50 registry
-# entries and stops (cap or time budget — round 1 recorded exactly
-# 50 of 61).  Register queries that have NEVER had a driver row
-# FIRST — round-2 additions, then the 11 keys the round-1 run missed
-# (VERDICT.md r1 item 1) — so a capped run verifies them before
-# re-proving queries already green in CORRECTNESS_r01.json.
+# entries and stops (cap or time budget).  Rotate per round: list the
+# keys whose latest driver row pre-dates the current code FIRST (round
+# 4: the 43 keys last certified in CORRECTNESS_r01, before the
+# base.py:load() change — VERDICT.md r3 item 1), then the keys whose
+# implementation changes THIS round (ANN artifact caching / physical
+# pruning, ngram max_df policy, lsh oracle), so a capped run always
+# re-signs everything that moved.
 _FRONT = [
-    "ngram_jaccard_prefix",
-    "dup_ngram_coverage",
-    "tfidf_keywords",
-    "quality_gopher",
-    "embedding_pq_ann",
-    "embedding_ivf_pq_ann",
-    "multimodal_decode_ppm",
-    "multimodal_decode_wav",
-    "multimodal_frame_sample",
-    "event_rollup",
-    "event_interarrival",
-    "value_quantiles",
-    "purchase_click_attribution",
-    "doc_repetition",
-    "dedup_clusters",
-    "corpus_filter_pipeline",
-    "benchmark_decontaminate",
-    "corpus_sample",
-    "corpus_shard_pack",
-    "dedup_minhash_verified",
-    "dedup_simhash_verified",
-    "q21_waiting_suppliers",
-    "proc_headers_native",
-    "q13_order_count_distribution",
-    "q4_order_priority",
-    "q12_ship_delay_buckets",
-    "q9_profit_by_nation_year",
-    "q16_supplier_count_by_part",
-    "q11_important_parts",
-    "q2_min_cost_supplier",
-    "q20_excess_shippers",
-    "ngram_jaccard_pairs",
-    "embedding_cosine_topk",
+    # -- r01-only keys: re-certify under post-base.py load() --
+    "loopback_rekey",
+    "view_point_get",
+    "view_range_scan",
+    "view_iterate_all",
+    "visitor_apply",
+    "emitter_roundtrip",
+    "proc_delete_key",
+    "multi_input_merge",
+    "proc_headers",
+    "codec_roundtrip",
+    "changelog_compaction",
+    "proc_last_state",
+    "tumbling_window_agg",
+    "hopping_window_agg",
+    "session_window_agg",
+    "running_total_per_user",
+    "event_sessionize",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "top_k_per_group",
+    "distinct_users_per_type",
+    "approx_distinct_users",
+    "event_type_pivot",
+    "as_of_join",
+    "q7_volume_shipping",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_discounted_brand",
+    "funnel_conversion",
+    "user_retention_cohort",
+    "event_dedup_window",
+    "q22_no_order_customers",
+    "above_avg_balance",
+    "semi_join_active_parts",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    # -- keys whose implementation changes in round 4 --
     "embedding_lsh_ann",
     "embedding_ivf_ann",
+    "embedding_pq_ann",
+    "embedding_ivf_pq_ann",
+    "ngram_jaccard_pairs",
     "dedup_embedding_cosine",
-    "lang_id",
-    "doc_quality_score",
-    "token_count",
-    "doc_fingerprint",
-    "multimodal_decode",
-    "text_normalize",
-    "pii_scrub",
+    "embedding_cosine_topk",
 ]
 
 

@@ -34,7 +34,11 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
                 df = df.withColumn(
                     "ts", F.timestamp_micros(F.expr("ts div 1000"))
                 )
-            elif ts_type != "timestamp":  # timestamp_ntz → session-TZ ts
+            elif ts_type == "timestamp_ntz":  # → session-TZ ts
                 df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            elif ts_type != "timestamp":
+                # fail loudly on a future testdata regression rather
+                # than silently casting (e.g. string/double) to NULLs
+                raise ValueError(f"unexpected events.ts dtype: {ts_type}")
         out[n] = df
     return out
