@@ -1,0 +1,309 @@
+"""Persisted ANN index — cached quantizers + cell-partitioned codes.
+
+Two scale fixes over calling the ``similarity`` functions ad hoc:
+
+1. **Quantizer artifacts are trained once and persisted** (a ``.npz``
+   of k-means centroids and PQ codebooks, a few KiB regardless of
+   corpus size).  Retraining Lloyd's per query invocation was ~half
+   the measured ANN query time and pure waste — the quantizer is an
+   index-build artifact, exactly like a FAISS index file.
+2. **IVF cell pruning is physical, not logical.**  The encoded corpus
+   (id, codes, unit vector) is persisted as a parquet table
+   ``partitionBy("cell")``; a probed-cell query reads with
+   ``cell IN (...)`` so Spark partition pruning skips non-probed
+   cells at the FILE level — they are never read, matching the
+   on-disk IVF inverted-list layout (Jégou et al. 2011; FAISS
+   IVFPQ).  Previously the scan read every code row and masked with
+   ``np.isin`` — correct compute pruning, no IO pruning.
+
+The index is keyed by (dataset fingerprint, quantizer params): a
+testdata regeneration or a param change invalidates the cache
+automatically.  Builds go to a temp dir then atomically rename into
+place (single-writer per machine; concurrent losers adopt the
+winner's index).
+
+Reference parity: goka persists processor state as a recoverable
+table per partition (partition_table.go:1) — here the "state" is the
+ANN index and recovery is a cache hit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+from dataclasses import dataclass
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from goka_spark.functions import similarity as S
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+
+def default_cache_dir() -> str:
+    return os.environ.get(
+        "GOKA_SPARK_ANN_CACHE",
+        os.path.join(_repo_root(), "spark-warehouse", "ann_cache"))
+
+
+def dataset_fingerprint(path: str) -> str:
+    """Cheap content fingerprint of a parquet file/dir: hash of the
+    sorted (relative path, size, mtime_ns) listing.  Changes whenever
+    the driver regenerates testdata — stale indexes self-invalidate."""
+    h = hashlib.md5()
+    if os.path.isdir(path):
+        for root, _, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                h.update(f"{os.path.relpath(p, path)}:{st.st_size}:"
+                         f"{st.st_mtime_ns}\n".encode())
+    else:
+        st = os.stat(path)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
+@dataclass
+class ANNIndex:
+    """Handle to a persisted index: tiny quantizer arrays in memory,
+    codes table on disk (read lazily, partition-pruned per query)."""
+    spark: SparkSession
+    path: str                 # dir holding quantizers.npz + codes/
+    centroids: np.ndarray     # (n_cells, d), unit-normalized corpus space
+    books: np.ndarray         # (m, ksub, d/m) PQ codebooks
+
+    def codes(self, probe_cells: "list[int] | None" = None) -> DataFrame:
+        """The encoded corpus.  With ``probe_cells``, partition
+        pruning makes non-probed cells physically unread (the scan's
+        PartitionFilters, not a post-read mask)."""
+        df = self.spark.read.parquet(os.path.join(self.path, "codes"))
+        if probe_cells is not None:
+            df = df.filter(F.col("cell").isin([int(c) for c in probe_cells]))
+        return df
+
+
+def build_or_load(spark: SparkSession, corpus: DataFrame, id_col: str,
+                  vec_col: str, *, fingerprint: str, n_cells: int = 16,
+                  m: int = 8, ksub: int = 16, seed: int = 42,
+                  cache_dir: "str | None" = None) -> ANNIndex:
+    """Load the persisted index for (fingerprint, params), training and
+    encoding the corpus once if absent.
+
+    Build cost is one corpus pass (assign cell + PQ-encode per Arrow
+    batch) plus driver-side Lloyd's on a bounded sample — amortized
+    over every subsequent query, the same contract as building any
+    secondary index."""
+    cache_dir = cache_dir or default_cache_dir()
+    key = f"{fingerprint}_c{n_cells}_m{m}_k{ksub}_s{seed}"
+    path = os.path.join(cache_dir, key)
+    npz = os.path.join(path, "quantizers.npz")
+    success = os.path.join(path, "codes", "_SUCCESS")
+    if os.path.exists(npz) and os.path.exists(success):
+        z = np.load(npz)
+        return ANNIndex(spark, path, z["centroids"], z["books"])
+
+    cents = S.ivf_centroids(corpus, vec_col, n_cells, seed=seed)
+    books = S.pq_codebooks(corpus, vec_col, m=m, ksub=ksub, seed=seed)
+    mm, _, dsub = books.shape
+
+    v = S._normalized(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col)),
+        "id", F.col(vec_col))
+    assigned = S._assign_cells_arrow(v, "_v", cents, 1)
+    bbooks = spark.sparkContext.broadcast(books)
+
+    def enc(it):
+        import pandas as pd
+        B = bbooks.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["_v"].to_numpy())
+            cd = np.empty((len(V), mm), dtype=np.int32)
+            for j in range(mm):
+                Sj = V[:, j * dsub:(j + 1) * dsub]
+                cd[:, j] = ((Sj[:, None, :] - B[j][None, :, :]) ** 2) \
+                    .sum(-1).argmin(1)
+            yield pd.DataFrame({
+                "id": pdf["id"], "cell": [c[0] for c in pdf["cells"]],
+                "codes": [r.tolist() for r in cd],
+                "vec": [r.tolist() for r in V]})
+
+    codes = assigned.mapInPandas(
+        enc, "id long, cell int, codes array<int>, vec array<double>")
+
+    tmp = path + f".tmp{os.getpid()}"
+    codes.write.mode("overwrite").partitionBy("cell") \
+        .parquet(os.path.join(tmp, "codes"))
+    os.makedirs(tmp, exist_ok=True)
+    np.savez(os.path.join(tmp, "quantizers.npz"),
+             centroids=cents, books=books)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost a race: adopt winner
+    z = np.load(npz)
+    return ANNIndex(spark, path, z["centroids"], z["books"])
+
+
+def _collect_queries(queries: DataFrame, id_col: str, vec_col: str,
+                     max_queries: int):
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"indexed ANN broadcasts the query set via the driver; got "
+            f">{max_queries} query rows — partition the query set or "
+            f"raise max_queries explicitly")
+    q_ids = np.array([r[id_col] for r in q_rows])
+    qm = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    return q_ids, qm
+
+
+def _probe(index: ANNIndex, qm: np.ndarray, n_probe: int) -> np.ndarray:
+    """Each query's n_probe nearest cells (same argsort as
+    ``_assign_cells_arrow`` so indexed/unindexed paths agree)."""
+    nc = index.centroids / np.linalg.norm(index.centroids, axis=1,
+                                          keepdims=True)
+    return np.argsort(-(qm @ nc.T), axis=1)[:, :n_probe]
+
+
+def _rerank_exact(cand: DataFrame, corpus: DataFrame, queries: DataFrame,
+                  id_col: str, vec_col: str, k: int) -> DataFrame:
+    """Exact-cosine re-rank of a small candidate set via id equi-join
+    (identical to the ad-hoc paths in similarity.py)."""
+    cv = S._normalized(corpus.select(F.col(id_col).alias("neighbor_id"),
+                                     F.col(vec_col)),
+                       "neighbor_id", F.col(vec_col)) \
+        .withColumnRenamed("_v", "_cv")
+    qv = S._normalized(queries.select(F.col(id_col).alias("query_id"),
+                                      F.col(vec_col)),
+                       "query_id", F.col(vec_col)) \
+        .withColumnRenamed("_v", "_qv")
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id"))
+    return (
+        cand.join(cv, "neighbor_id").join(F.broadcast(qv), "query_id")
+        .withColumn("cos", S.dot(F.col("_qv"), F.col("_cv")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"),
+                F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def ivf_topk(index: ANNIndex, corpus: DataFrame, queries: DataFrame,
+             id_col: str, vec_col: str, k: int = 5, n_probe: int = 4,
+             max_queries: int = S.MAX_BROADCAST_QUERIES) -> DataFrame:
+    """IVF top-k over the persisted index: read ONLY the union of the
+    queries' probed cells (file-level pruning), exact cosine inside
+    probed cells via the stored unit vectors, per-query top-k."""
+    q_ids, qm = _collect_queries(queries, id_col, vec_col, max_queries)
+    qcells = _probe(index, qm, n_probe)
+    probed = sorted({int(c) for r in qcells for c in r})
+    spark = index.spark
+    q = spark.createDataFrame(
+        [(int(qid), [float(x) for x in qm[i]], [int(c) for c in qcells[i]])
+         for i, qid in enumerate(q_ids)],
+        "query_id long, _qv array<double>, cells array<int>") \
+        .withColumn("cell", F.explode("cells")).drop("cells")
+    c = index.codes(probed).select(
+        F.col("id").alias("neighbor_id"), "cell",
+        F.col("vec").alias("_cv"))
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", S.dot(F.col("_cv"), F.col("_qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"),
+                F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def _adc_scan(index: ANNIndex, codes: DataFrame, q_ids: np.ndarray,
+              luts: np.ndarray, qcells: "np.ndarray | None",
+              n_cand: int) -> DataFrame:
+    """ADC scan over (possibly cell-pruned) codes: per-batch LUT
+    gather, per-(partition, query) top-``n_cand`` candidates."""
+    m = luts.shape[1]
+    bq = index.spark.sparkContext.broadcast((q_ids, luts, qcells))
+
+    def scan(it):
+        import pandas as pd
+        ids, L, QC = bq.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf["codes"].to_numpy())
+            nid = pdf["id"].to_numpy()
+            cell = pdf["cell"].to_numpy() if QC is not None else None
+            out = []
+            for qi, qid in enumerate(ids):
+                mask = nid != qid
+                if QC is not None:
+                    # per-query mask WITHIN the already-pruned union
+                    # of probed cells (IO pruning happened at read)
+                    mask &= np.isin(cell, QC[qi])
+                if not mask.any():
+                    continue
+                approx = L[qi][np.arange(m)[None, :], C[mask]].sum(1)
+                cand = np.lexsort((nid[mask], -approx))[:n_cand]
+                out.append(pd.DataFrame({
+                    "query_id": qid, "neighbor_id": nid[mask][cand],
+                    "approx": approx[cand]}))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    local = codes.mapInPandas(
+        scan, "query_id long, neighbor_id long, approx double")
+    wa = Window.partitionBy("query_id").orderBy(F.col("approx").desc(),
+                                                F.col("neighbor_id"))
+    return (local.withColumn("_rka", F.row_number().over(wa))
+            .filter(F.col("_rka") <= n_cand)
+            .select("query_id", "neighbor_id"))
+
+
+def pq_topk(index: ANNIndex, corpus: DataFrame, queries: DataFrame,
+            id_col: str, vec_col: str, k: int = 5, refine: int = 4,
+            max_queries: int = S.MAX_BROADCAST_QUERIES) -> DataFrame:
+    """PQ/ADC top-k over the persisted codes (full scan — compression,
+    not pruning, is PQ's contribution) + exact re-rank."""
+    q_ids, qm = _collect_queries(queries, id_col, vec_col, max_queries)
+    m, _, dsub = index.books.shape
+    luts = np.einsum("qjd,jcd->qjc", qm.reshape(len(qm), m, dsub),
+                     index.books)
+    cand = _adc_scan(index, index.codes().select("id", "cell", "codes"),
+                     q_ids, luts, None, refine * k)
+    return _rerank_exact(cand, corpus, queries, id_col, vec_col, k)
+
+
+def ivf_pq_topk(index: ANNIndex, corpus: DataFrame, queries: DataFrame,
+                id_col: str, vec_col: str, k: int = 5, n_probe: int = 4,
+                refine: int = 4,
+                max_queries: int = S.MAX_BROADCAST_QUERIES) -> DataFrame:
+    """IVF-PQ top-k over the persisted index: cells prune WHICH files
+    are read (partition pruning on the probed union), PQ codes shrink
+    WHAT is read per vector, exact re-rank restores true cosines."""
+    q_ids, qm = _collect_queries(queries, id_col, vec_col, max_queries)
+    m, _, dsub = index.books.shape
+    luts = np.einsum("qjd,jcd->qjc", qm.reshape(len(qm), m, dsub),
+                     index.books)
+    qcells = _probe(index, qm, n_probe)
+    probed = sorted({int(c) for r in qcells for c in r})
+    cand = _adc_scan(index,
+                     index.codes(probed).select("id", "cell", "codes"),
+                     q_ids, luts, qcells, refine * k)
+    return _rerank_exact(cand, corpus, queries, id_col, vec_col, k)

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from goka_spark.functions import ann_index as A
 from goka_spark.functions import dedup as D
 from goka_spark.functions import multimodal as M
 from goka_spark.functions import similarity as S
@@ -73,14 +74,26 @@ def embedding_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
     return S.lsh_ann(emb, queries, "vec_id", "embedding", k=5, bits=8)
 
 
+def _ann_index(spark: SparkSession, sf: str, emb: DataFrame) -> "A.ANNIndex":
+    """One persisted index serves all three ANN registry queries:
+    quantizers cached on disk (trained once per dataset), codes table
+    partitioned by cell (probed reads are file-level pruned)."""
+    import os
+    fp = A.dataset_fingerprint(os.path.join(sf, "embeddings.parquet"))
+    return A.build_or_load(spark, emb, "vec_id", "embedding",
+                           fingerprint=fp, n_cells=16, m=8, ksub=16)
+
+
 def embedding_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
     """Rows-only: IVF approximate neighbors (k-means cells are
     engine-side; no deterministic SQL twin).  The second ANN scale
-    path beside LSH buckets — probe 4 of 16 cells per query."""
+    path beside LSH buckets — probe 4 of 16 cells per query, reading
+    ONLY probed-cell files from the persisted index (S.ivf_topk is
+    the ad-hoc unindexed equivalent; tests assert they agree)."""
     emb = load(spark, sf, "embeddings")["embeddings"]
     queries = emb.filter(F.col("vec_id") < 20)
-    return S.ivf_topk(emb, queries, "vec_id", "embedding",
-                      k=5, n_cells=16, n_probe=4)
+    return A.ivf_topk(_ann_index(spark, sf, emb), emb, queries,
+                      "vec_id", "embedding", k=5, n_probe=4)
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
@@ -346,21 +359,24 @@ def quality_gopher(spark: SparkSession, sf: str) -> DataFrame:
 
 def embedding_ivf_pq_ann(spark: SparkSession, sf: str) -> DataFrame:
     """Rows-only: IVF-PQ composition — cell pruning × compressed-code
-    ADC scan × exact re-rank (both quantizers engine-side)."""
+    ADC scan × exact re-rank (both quantizers engine-side).  Served
+    from the persisted index: probed-cell reads are partition-pruned
+    at the file level and quantizers are never retrained per call."""
     emb = load(spark, sf, "embeddings")["embeddings"]
     queries = emb.filter(F.col("vec_id") < 20)
-    return S.ivf_pq_topk(emb, queries, "vec_id", "embedding",
-                         k=5, n_cells=16, n_probe=8, m=8, refine=4)
+    return A.ivf_pq_topk(_ann_index(spark, sf, emb), emb, queries,
+                         "vec_id", "embedding", k=5, n_probe=8, refine=4)
 
 
 def embedding_pq_ann(spark: SparkSession, sf: str) -> DataFrame:
     """Rows-only: PQ/ADC approximate neighbors with exact re-rank
     (codebooks are engine-side k-means; no deterministic SQL twin).
-    The third ANN scale path — scans 8-byte codes, not vectors."""
+    The third ANN scale path — scans the persisted 8-byte codes, not
+    vectors; codebooks load from the artifact cache."""
     emb = load(spark, sf, "embeddings")["embeddings"]
     queries = emb.filter(F.col("vec_id") < 20)
-    return S.pq_topk(emb, queries, "vec_id", "embedding",
-                     k=5, m=8, ksub=16, refine=4)
+    return A.pq_topk(_ann_index(spark, sf, emb), emb, queries,
+                     "vec_id", "embedding", k=5, refine=4)
 
 
 QUERIES = {
