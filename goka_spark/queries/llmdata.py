@@ -47,6 +47,18 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
                                  threshold=0.05, max_df=50)
 
 
+def ngram_jaccard_auto(spark: SparkSession, sf: str) -> DataFrame:
+    """Stop-shingle cutoff derived from the corpus's own df histogram
+    under a work budget linear in postings (auto_max_df) — the scale
+    policy replacing a hand-tuned max_df constant.  The oracle
+    replicates the integer cutoff rule bit-exactly (cumulative
+    df²·n(df) vs budget·P), so the driver verifies the POLICY, not
+    just the pairs."""
+    docs = load(spark, sf, "documents")["documents"]
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                 threshold=0.05, max_df="auto")
+
+
 def ngram_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
     """Lossless PPJoin-style prefix-filtered similarity join at a high
     threshold: candidates come only from each document's RAREST
@@ -68,7 +80,10 @@ def embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def embedding_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
-    """Rows-only: approximate neighbors (bucketing is engine-side)."""
+    """Random-hyperplane LSH ANN.  Hash-verified: the seeded planes
+    are constants, so the oracle (_lsh_ann_oracle) embeds them as
+    literals and replicates buckets, probes, and cosines bit-exactly
+    — the driver checks the full approximate result, not just rows."""
     emb = load(spark, sf, "embeddings")["embeddings"]
     queries = emb.filter(F.col("vec_id") < 20)
     return S.lsh_ann(emb, queries, "vec_id", "embedding", k=5, bits=8)
@@ -384,6 +399,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "ngram_jaccard_auto": ngram_jaccard_auto,
     "ngram_jaccard_prefix": ngram_jaccard_prefix,
     "embedding_cosine_topk": embedding_cosine_topk,
     "embedding_lsh_ann": embedding_lsh_ann,
@@ -446,6 +462,48 @@ ORACLES = {
         ), dfc AS (
           SELECT sh FROM (SELECT sh, COUNT(*) AS cnt FROM sh GROUP BY sh)
           WHERE cnt <= 50
+        ), pruned AS (
+          SELECT doc, s.sh FROM sh s JOIN dfc USING (sh)
+        ), cand AS (
+          SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+          FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc < b.doc
+        )
+        SELECT id_a, id_b,
+               ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+                     / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))),
+                     4) AS jaccard
+        FROM cand c
+        JOIN d a ON a.doc = c.id_a
+        JOIN d b ON b.doc = c.id_b
+        WHERE ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+                    / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))),
+                    4) >= 0.05
+    """,
+    "ngram_jaccard_auto": """
+        WITH d AS (
+          SELECT doc_id AS doc, list_distinct(list_transform(
+                   range(1, greatest(len(words) - 2, 1) + 1),
+                   i -> array_to_string(words[i:i+2], ' '))) AS shs
+          FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
+                FROM documents)
+        ), sh AS (
+          SELECT doc, UNNEST(shs) AS sh FROM d
+        ), freq AS (
+          SELECT sh, COUNT(*) AS cnt FROM sh GROUP BY sh
+        ), hist AS (
+          SELECT cnt, COUNT(*) AS n FROM freq GROUP BY cnt
+        ), tot AS (
+          SELECT COUNT(*) AS p FROM sh
+        ), cut AS (
+          -- auto_max_df: largest df whose cumulative self-join work
+          -- sum(df^2 * n(df)) fits budget(=32) * postings; exact
+          -- integer arithmetic, identical to the Spark driver rule
+          SELECT COALESCE(MAX(cnt), 1) AS c
+          FROM (SELECT cnt, SUM(cnt * cnt * n) OVER (ORDER BY cnt) AS cum
+                FROM hist), tot
+          WHERE cum <= 32 * p AND cnt <= 100000
+        ), dfc AS (
+          SELECT sh FROM freq, cut WHERE cnt <= c
         ), pruned AS (
           SELECT doc, s.sh FROM sh s JOIN dfc USING (sh)
         ), cand AS (
@@ -582,6 +640,65 @@ def _c12_oracle(bands: int = 8, bits: int = 8, threshold: float = 0.3) -> str:
 
 
 ORACLES["dedup_embedding_cosine"] = _c12_oracle()
+
+
+def _lsh_ann_oracle(k: int = 5, bits: int = 8, dim: int = 64,
+                    n_queries: int = 20) -> str:
+    """DuckDB twin of S.lsh_ann (VERDICT r3 item 6): the seeded
+    hyperplanes are embedded as full-precision literals, and every
+    float reduction (plane dots for the bucket bits, the dot/norms of
+    the exact cosine) is written as an explicit LEFT-ASSOCIATIVE term
+    sum — the same evaluation order as Spark's sequential
+    ``F.aggregate`` fold, so buckets and cosines agree bit-for-bit,
+    not just to rounding."""
+    from goka_spark.functions.similarity import hyperplanes
+
+    planes = hyperplanes(dim, bits)
+
+    def dots(vec: str, plane: list[float]) -> str:
+        return " + ".join(f"({vec}[{i + 1}]::DOUBLE * {p!r})"
+                          for i, p in enumerate(plane))
+
+    def bucket(vec: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN ({dots(vec, p)}) > 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes))
+
+    pair_dot = " + ".join(
+        f"(a.embedding[{i + 1}]::DOUBLE * b.embedding[{i + 1}]::DOUBLE)"
+        for i in range(dim))
+    sq = lambda v: " + ".join(
+        f"({v}[{i + 1}]::DOUBLE * {v}[{i + 1}]::DOUBLE)"
+        for i in range(dim))
+
+    return f"""
+        WITH c AS (
+          SELECT vec_id, embedding, {bucket('embedding')} AS bucket,
+                 SQRT({sq('embedding')}) AS nrm
+          FROM embeddings
+        ), q AS (
+          SELECT vec_id, embedding, nrm,
+                 UNNEST([bucket] || list_transform(
+                   range(0, {bits}), i -> xor(bucket, 1 << i))) AS probe
+          FROM c WHERE vec_id < {n_queries}
+        ), scored AS (
+          SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+                 ({pair_dot}) / (a.nrm * b.nrm) AS raw_cos
+          FROM c a JOIN q b
+            ON a.bucket = b.probe AND a.vec_id <> b.vec_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, raw_cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY raw_cos DESC, neighbor_id)
+                   AS rk
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, ROUND(raw_cos, 4) AS cos, rk
+        FROM ranked WHERE rk <= {k}
+    """
+
+
+ORACLES["embedding_lsh_ann"] = _lsh_ann_oracle()
 
 ORACLES["doc_repetition"] = """
     SELECT doc_id,

@@ -530,3 +530,46 @@ def test_ppm_stream_frame_sample(spark):
         expect = float(np.mean(((7 * 100 + j) * 31 + np.arange(12)) % 256))
         assert out[j].mean_r == round(expect, 4)
         assert (out[j].width, out[j].height) == (4, 3)
+
+
+def test_auto_max_df_equals_explicit_cutoff(spark, sf_dir):
+    """max_df='auto' is exactly max_df=c for the c the policy picks —
+    the auto path adds tuning, never different semantics."""
+    from goka_spark.queries.base import load
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    sh = (D.shingle_postings(D._fan_out(docs), "doc_id", "text", 3,
+                             distinct=False)
+          .repartition("sh").dropDuplicates(["doc", "sh"]))
+    c = D.auto_max_df(sh)
+    assert c >= 1
+    auto = {(r.id_a, r.id_b): r.jaccard for r in D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.05,
+        max_df="auto").collect()}
+    explicit = {(r.id_a, r.id_b): r.jaccard for r in D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.05,
+        max_df=c).collect()}
+    assert auto == explicit and len(auto) > 0
+
+
+def test_auto_max_df_respects_work_budget(spark, sf_dir):
+    """The chosen cutoff's candidate-join work sum(df^2·n) stays
+    within budget×postings, and c+1 would exceed it (maximality) —
+    the linear-scale guarantee is structural, not empirical."""
+    from goka_spark.queries.base import load
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    sh = (D.shingle_postings(D._fan_out(docs), "doc_id", "text", 3,
+                             distinct=False)
+          .repartition("sh").dropDuplicates(["doc", "sh"]))
+    budget = 4
+    c = D.auto_max_df(sh, budget=budget)
+    hist = {r._df: r._n for r in
+            sh.groupBy("sh").agg(F.count("*").alias("_df"))
+            .groupBy("_df").agg(F.count("*").alias("_n")).collect()}
+    total = sum(d * n for d, n in hist.items())
+    work = lambda cut: sum(d * d * n for d, n in hist.items() if d <= cut)
+    assert work(c) <= budget * total
+    if any(d > c for d in hist):
+        nxt = min(d for d in hist if d > c)
+        assert work(nxt) > budget * total

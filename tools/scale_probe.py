@@ -124,7 +124,7 @@ def main():
         for p in doc_parts[1:]:
             sdocs = sdocs.unionByName(p)
         r["ngram_jaccard"] = timed("ngram", D.ngram_jaccard_pairs(
-            sdocs, "doc_id", "text", n=3, threshold=0.05, max_df=50))
+            sdocs, "doc_id", "text", n=3, threshold=0.05, max_df="auto"))
 
         # linear-scan repetition signal: no self-join, expect ~linear
         r["dup_ngram_cov"] = timed("dupcov", D.dup_ngram_coverage(
