@@ -13,7 +13,9 @@ Public API mirrors goka's surface (reference: /root/reference/graph.go,
 processor.go, view.go, emitter.go) without copying its implementation.
 """
 
-from goka_spark.codecs import BytesCodec, Codec, Int64Codec, JsonCodec, StringCodec
+from goka_spark.codecs import (BytesCodec, Codec, Int64Codec, JsonCodec,
+                               SchemaRegistry, SchemaRegistryCodec,
+                               StringCodec)
 from goka_spark.graph import (
     GroupGraph,
     define_group,
@@ -41,6 +43,8 @@ __all__ = [
     "GroupGraph",
     "Int64Codec",
     "JsonCodec",
+    "SchemaRegistry",
+    "SchemaRegistryCodec",
     "MonitorServer",
     "Processor",
     "ProcessorResult",

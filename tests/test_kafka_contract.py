@@ -116,3 +116,70 @@ def test_keep_meta_exposes_provenance(spark):
         wire, value_schema="value double, tag string", keep_meta=True)
     assert {"topic", "partition", "offset"} <= set(back.columns)
     assert back.select("topic").distinct().collect()[0].topic == "events"
+
+
+def test_schema_registry_codec_roundtrip(spark):
+    """Confluent wire framing (magic 0x00 + u32 schema id + payload)
+    over JsonCodec: scalar and column paths produce IDENTICAL bytes
+    and round-trip through the kafka wire layout."""
+    from goka_spark.codecs import SchemaRegistry
+
+    reg = SchemaRegistry()
+    codec = reg.codec_for("events-value", "value double, tag string")
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1), (1.5, "t0")),
+         ("b", dt.datetime(2024, 1, 2), (-2.0, "t1"))],
+        "key string, ts timestamp, v struct<value:double, tag:string>")
+
+    wire = to_kafka_records(df, "events", codec=codec, value_col="v")
+    assert dict(wire.dtypes)["value"] == "binary"
+    raw = {bytes(r.value) for r in wire.collect()}
+    # every wire frame carries the 5-byte registry header, and the
+    # SCALAR decoder reads the COLUMN encoder's frames (JSON text may
+    # differ between json.dumps and to_json; the framing must not)
+    for b in raw:
+        assert b[0] == 0x00 and b[1:5] == codec.schema_id.to_bytes(4, "big")
+    assert {tuple(sorted(codec.decode(b).items())) for b in raw} == \
+        {(("tag", "t0"), ("value", 1.5)), (("tag", "t1"), ("value", -2.0))}
+
+    back = from_kafka_records(wire, codec=codec, value_col="v")
+    assert {(r.key, r.v.value, r.v.tag) for r in back.collect()} == \
+        {("a", 1.5, "t0"), ("b", -2.0, "t1")}
+
+
+def test_schema_registry_codec_rejects_foreign_frames(spark):
+    """Wrong magic or a different schema id must never decode to
+    garbage: scalar raises, column yields NULL."""
+    from goka_spark.codecs import SchemaRegistry, SchemaRegistryCodec, JsonCodec
+
+    reg = SchemaRegistry()
+    c1 = reg.codec_for("s1-value", "n long")
+    c2 = reg.codec_for("s2-value", "n long")
+    assert c1.schema_id != c2.schema_id
+
+    frame = c1.encode({"n": 7})
+    with pytest.raises(ValueError, match="schema id mismatch"):
+        c2.decode(frame)
+    with pytest.raises(ValueError, match="bad magic"):
+        c1.decode(b"\x01" + frame[1:])
+    assert c1.decode(frame) == {"n": 7}
+
+    df = spark.createDataFrame(
+        [(frame,), (b"\x01junkjunk",), (c2.encode({"n": 9}),)],
+        "value binary")
+    got = [r.v for r in df.select(c1.decode_col(F.col("value"))
+                                  .alias("v")).collect()]
+    assert sorted([g.n if g is not None else None for g in got],
+                  key=lambda x: (x is None, x)) == [7, None, None]
+
+
+def test_schema_registry_idempotent_and_versioned():
+    """register() is idempotent per (subject, schema) and assigns a
+    NEW id when the subject's schema evolves — latest() tracks it."""
+    from goka_spark.codecs import SchemaRegistry
+
+    reg = SchemaRegistry()
+    a = reg.register("t-value", "n long")
+    assert reg.register("t-value", "n long") == a
+    b = reg.register("t-value", "n long, extra string")
+    assert b != a and reg.latest("t-value") == b
