@@ -320,6 +320,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     sizes = sh.groupBy("doc").agg(F.count("*").alias("_sz"))
 
     if max_df == "auto":
+        # the histogram is a SEPARATE action before the main query, so
+        # persist the postings across the two jobs — shingle
+        # construction dominates the ngram cost and must not run twice
+        # (at cluster scale: persist(DISK_ONLY) or checkpoint)
+        sh = sh.persist()
         max_df = auto_max_df(sh, budget=budget)
     if max_df is None:
         # no pruning: every shingle is "cold", no hot correction needed
