@@ -10,6 +10,10 @@ Endpoints:
 - ``GET /``                      index: attached processors + sources
 - ``GET /data/processor/{name}`` processor stats (stats.py)
 - ``GET /query/{name}/{key}``    point lookup through a View getter
+- ``GET /ui`` / ``GET /ui/processor/{name}``  human-facing HTML pages
+  rendered server-side from the same data (the reference renders
+  web/templates/*.go.html from monitoring.go:33; here it is a plain
+  stdlib render of the identical stats dict — no framework, no JS)
 
 Scale note: stats are computed by ONE Spark aggregation per request on
 the already-materialized result DataFrames; point queries go through
@@ -20,6 +24,7 @@ monitoring/debug surface, same as goka's.
 
 from __future__ import annotations
 
+import html as _html_mod
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -51,6 +56,55 @@ class MonitorServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _page(self, title: str, body_html: str,
+                      code: int = 200) -> None:
+                body = (
+                    "<!doctype html><html><head><meta charset='utf-8'>"
+                    f"<title>{_html_mod.escape(title)}</title>"
+                    "<style>body{font-family:sans-serif;margin:2em}"
+                    "table{border-collapse:collapse}"
+                    "td,th{border:1px solid #999;padding:4px 10px;"
+                    "text-align:left}</style></head><body>"
+                    f"<h1>{_html_mod.escape(title)}</h1>{body_html}"
+                    "</body></html>").encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _ui(self, parts: list[str]) -> None:
+                esc = _html_mod.escape
+                if len(parts) == 1:  # /ui — index page
+                    procs = "".join(
+                        f"<li><a href='/ui/processor/{esc(n)}'>{esc(n)}"
+                        "</a></li>" for n in sorted(outer._processors))
+                    srcs = "".join(
+                        f"<li>{esc(n)} — query at /query/{esc(n)}/&lt;key&gt;"
+                        "</li>" for n in sorted(outer._sources))
+                    self._page(
+                        "goka_spark monitor",
+                        f"<h2>Processors</h2><ul>{procs or '<li>none</li>'}"
+                        f"</ul><h2>Query sources</h2>"
+                        f"<ul>{srcs or '<li>none</li>'}</ul>")
+                elif parts[1] == "processor" and len(parts) == 3:
+                    res = outer._processors.get(parts[2])
+                    if res is None:
+                        self._page("unknown processor",
+                                   "<p>not attached</p>", 404)
+                        return
+                    rows = "".join(
+                        f"<tr><td>{esc(str(k))}</td>"
+                        f"<td>{esc(str(v))}</td></tr>"
+                        for k, v in processor_stats(res).items())
+                    self._page(
+                        f"processor {parts[2]}",
+                        "<p><a href='/ui'>&larr; index</a></p>"
+                        f"<table><tr><th>stat</th><th>value</th></tr>"
+                        f"{rows}</table>")
+                else:
+                    self._page("not found", "<p>no such page</p>", 404)
+
             def do_GET(self) -> None:
                 path = urlparse(self.path).path
                 parts = [unquote(p) for p in path.split("/") if p]
@@ -66,6 +120,8 @@ class MonitorServer:
                             self._json({"error": "unknown processor"}, 404)
                         else:
                             self._json(processor_stats(res))
+                    elif parts[0] == "ui":
+                        self._ui(parts)
                     elif parts[0] == "query" and len(parts) >= 3:
                         getter = outer._sources.get(parts[1])
                         if getter is None:

@@ -71,3 +71,42 @@ def test_monitor_server_endpoints(spark):
                 assert e.code == 404
     finally:
         srv.stop()
+
+
+def test_monitor_server_html_ui(spark):
+    """The /ui pages render the same data as the JSON endpoints as
+    server-side HTML (reference web/templates parity) — names on the
+    index, stats table per processor, 404 page for unknowns."""
+    from urllib.error import HTTPError
+    from urllib.request import urlopen
+
+    from goka_spark import View
+    from goka_spark.web import MonitorServer
+
+    ev = spark.createDataFrame(
+        [("a", 1, 1.0), ("b", 2, 2.0)], "key string, ts long, value double")
+    g = define_group("mon2", input_stream("t"),
+                     persist(AggFold({"cnt": F.count("*")})))
+    r = Processor(g).run({"t": ev})
+
+    srv = MonitorServer().start()
+    try:
+        srv.attach_processor("mon2", r)
+        srv.attach_view("mon2-table", View(r.table))
+
+        with urlopen(srv.address + "/ui") as resp:
+            assert resp.headers["Content-Type"].startswith("text/html")
+            page = resp.read().decode()
+        assert "mon2" in page and "/ui/processor/mon2" in page
+        assert "mon2-table" in page
+
+        detail = urlopen(srv.address + "/ui/processor/mon2").read().decode()
+        assert "<table>" in detail and "group" in detail and "mon2" in detail
+
+        try:
+            urlopen(srv.address + "/ui/processor/nope")
+            assert False, "expected 404"
+        except HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.stop()
