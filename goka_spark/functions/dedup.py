@@ -52,8 +52,12 @@ def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def shingle_postings(df: DataFrame, id_col: str, text_col: str,
-                     n: int = 3, distinct: bool = True) -> DataFrame:
+                     n: int = 3, distinct: bool = True,
+                     positions: bool = False) -> DataFrame:
     """Distinct ``(doc, sh)`` word-shingle postings, pure codegen.
+    ``positions=True`` instead returns every occurrence with its
+    1-based start-word rank ``(doc, pos, sh)`` — the input for span
+    extraction (``dup_span_extract``).
 
     ``word_shingles`` builds the shingle array with interpreted lambda
     expressions (transform/slice run outside whole-stage codegen —
@@ -80,6 +84,8 @@ def shingle_postings(df: DataFrame, id_col: str, text_col: str,
                    cnt.alias("_cnt"))
           .filter(F.col("_rk") <=
                   F.greatest(F.col("_cnt") - (n - 1), F.lit(1))))
+    if positions:
+        return sh.select("doc", F.col("_rk").alias("pos"), "sh")
     out = sh.select("doc", "sh")
     # distinct=False lets a caller that is about to re-partition place
     # the dedupe AFTER its own exchange (HashPartitioning on a subset
@@ -485,6 +491,50 @@ def dup_ngram_coverage(df: DataFrame, id_col: str, text_col: str,
                 F.round(F.col("dup_grams") / F.col("n_grams"), 4)
                  .alias("dup_frac"))
     )
+
+
+def dup_span_extract(df: DataFrame, id_col: str, text_col: str,
+                     n: int = 5, min_df: int = 2) -> DataFrame:
+    """Maximal duplicated-substring SPANS per document — the "which
+    words to cut" operator behind substring-level dedup (cf. the
+    dedup-training-data practice of removing repeated substrings, the
+    span-level refinement of ``dup_ngram_coverage``'s scalar signal).
+
+    A word position is *covered* when some n-gram starting at it
+    appears in >= ``min_df`` documents; overlapping/adjacent covered
+    ranges ``[pos, pos+n-1]`` merge into maximal spans
+    (gaps-and-islands over the position sequence).  Output one row per
+    span: ``(doc_id, span_start, span_end, dup_grams)`` in 1-based
+    word ranks — integer-exact end to end, so the DuckDB oracle
+    hash-matches with no float hazard.
+
+    Scale shape: positioned postings (codegen, one per occurrence),
+    document frequency from the DISTINCT postings (one hash-agg on the
+    same exchange), an equi-join back on the shingle, then per-doc
+    windows whose partitions are bounded by document length — linear
+    in postings, no self-join."""
+    pos_sh = shingle_postings(_fan_out(df), id_col, text_col, n,
+                              positions=True).repartition("sh")
+    dfc = (pos_sh.dropDuplicates(["doc", "sh"])
+           .groupBy("sh").agg(F.count("*").alias("_df")))
+    dup = (pos_sh.join(dfc.filter(F.col("_df") >= min_df), "sh")
+           .select("doc", "pos"))
+    w = Window.partitionBy("doc").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (n - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)) + 1, 1) \
+        .otherwise(0)
+    islands = (dup.withColumn("_brk", brk)
+               .withColumn("_island", F.sum("_brk").over(
+                   w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (islands.groupBy("doc", "_island")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + (n - 1)).alias("span_end"),
+                 F.count("*").alias("dup_grams"))
+            .select(F.col("doc").alias(id_col),
+                    F.col("span_start").cast("long"),
+                    F.col("span_end").cast("long"),
+                    F.col("dup_grams").cast("long")))
 
 
 def decontaminate(corpus: DataFrame, benchmark: DataFrame, id_col: str,

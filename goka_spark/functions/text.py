@@ -222,3 +222,70 @@ def shard_pack(df, id_col: str, tok_col: str, budget: int):
     return (part.withColumn("shard_id",
                             F.floor(cum_before / F.lit(budget)))
             .select(F.col(id_col), F.col("shard_id")))
+
+
+def hashed_ngram_features(df, id_col: str, text_col: str,
+                          n_buckets: int = 1024):
+    """Bag-of-hashed-ngrams features (unigrams + bigrams → md5 bucket
+    counts) — the feature map of DSIR-style data selection (Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling").  md5 is the bucket hash so a SQL twin reproduces
+    the buckets bit-identically (same idiom as minhash base_hash=
+    'md5').  Returns ``(doc, bucket, cnt)`` — one row per non-empty
+    bucket per doc; pure codegen postings + one hash-agg."""
+    from goka_spark.functions.dedup import _fan_out, shingle_postings
+
+    grams = None
+    for n in (1, 2):
+        g = shingle_postings(_fan_out(df), id_col, text_col, n,
+                             distinct=False)
+        grams = g if grams is None else grams.unionByName(g)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.encode(F.col("sh"), "UTF-8")), 1, 8),
+               16, 10).cast("long"),
+        F.lit(n_buckets))
+    return (grams.select("doc", bucket.alias("bucket"))
+            .groupBy("doc", "bucket").agg(F.count("*").alias("cnt")))
+
+
+def dsir_importance(corpus, target, id_col: str, text_col: str,
+                    n_buckets: int = 1024):
+    """DSIR importance weights: per-document log-likelihood ratio
+    between a TARGET distribution (the data you want more of) and the
+    RAW corpus distribution, both modeled as Laplace-smoothed
+    bag-of-hashed-ngram models — the classic importance-resampling
+    score for pretraining data selection (Xie et al. 2023).
+
+    Float discipline for the oracle: the per-bucket log ratio is
+    integerized ONCE (``floor(1e6·[ln(p_t) - ln(p_r)] + 0.5)``,
+    "micro-nats"), so the per-document aggregation is an exact
+    integer sum — no float-summation-order hazard across engines;
+    only the bucket-level ln() must agree (both engines: libm-quality
+    doubles on identical inputs).
+
+    Scale shape: two bucket-count aggregates (raw and target), a
+    1-row totals aggregate, the tiny (≤ n_buckets) log-ratio table
+    broadcast back onto the per-doc features, one final per-doc sum.
+    The raw side reads the corpus postings once; no joins on text."""
+    cg = hashed_ngram_features(corpus, id_col, text_col, n_buckets)
+    tg = hashed_ngram_features(target, id_col, text_col, n_buckets)
+    raw_b = cg.groupBy("bucket").agg(F.sum("cnt").alias("cr"))
+    tgt_b = tg.groupBy("bucket").agg(F.sum("cnt").alias("ct"))
+    buckets = (raw_b.join(tgt_b, "bucket", "left")
+               .select("bucket", "cr",
+                       F.coalesce("ct", F.lit(0)).alias("ct")))
+    tot = buckets.agg(F.sum("cr").alias("r_tot"),
+                      F.sum("ct").alias("t_tot"))
+    k = F.lit(n_buckets)
+    lr_e6 = F.floor(
+        1e6 * (F.log((F.col("ct") + 1) / (F.col("t_tot") + k))
+               - F.log((F.col("cr") + 1) / (F.col("r_tot") + k)))
+        + 0.5).cast("long")
+    lr = buckets.crossJoin(F.broadcast(tot)) \
+        .select("bucket", lr_e6.alias("lr_e6"))
+    return (cg.join(F.broadcast(lr), "bucket")
+            .groupBy("doc")
+            .agg(F.sum(F.col("cnt") * F.col("lr_e6")).alias("weight_e6"))
+            .select(F.col("doc").alias(id_col),
+                    F.col("weight_e6").cast("long"),
+                    (F.col("weight_e6") / F.lit(1e6)).alias("weight")))

@@ -61,15 +61,15 @@ _FRONT = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    # -- keys new or changed in round 4 --
+    # -- keys new or changed in round 4 (oracle-backed first; the
+    # trailing rows-only ANN keys can fall past the driver cap) --
     "ngram_jaccard_auto",
+    "dup_span_extract",
+    "corpus_importance_weights",
     "embedding_lsh_ann",
     "embedding_ivf_ann",
     "embedding_pq_ann",
     "embedding_ivf_pq_ann",
-    "ngram_jaccard_pairs",
-    "dedup_embedding_cosine",
-    "embedding_cosine_topk",
 ]
 
 

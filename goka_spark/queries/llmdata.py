@@ -59,6 +59,28 @@ def ngram_jaccard_auto(spark: SparkSession, sf: str) -> DataFrame:
                                  threshold=0.05, max_df="auto")
 
 
+def dup_span_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal duplicated-substring spans (the 'which words to cut'
+    substring-dedup operator): positions covered by an n-gram with
+    df >= 2, merged gaps-and-islands into spans.  Integer-exact, so
+    the oracle hash-matches with no float hazard."""
+    docs = load(spark, sf, "documents")["documents"]
+    return D.dup_span_extract(docs, "doc_id", "text", n=5, min_df=2)
+
+
+def corpus_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): log-likelihood
+    ratio of Laplace-smoothed hashed-ngram models, target vs raw.
+    The stand-in target here is the deterministic doc_id % 7 == 0
+    slice (production: a curated quality corpus); md5 buckets and
+    micro-nat integerized log ratios make the oracle exact up to
+    ln() ulps."""
+    docs = load(spark, sf, "documents")["documents"]
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    return T.dsir_importance(docs, target, "doc_id", "text",
+                             n_buckets=1024)
+
+
 def ngram_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
     """Lossless PPJoin-style prefix-filtered similarity join at a high
     threshold: candidates come only from each document's RAREST
@@ -401,6 +423,8 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ngram_jaccard_auto": ngram_jaccard_auto,
     "ngram_jaccard_prefix": ngram_jaccard_prefix,
+    "dup_span_extract": dup_span_extract,
+    "corpus_importance_weights": corpus_importance_weights,
     "embedding_cosine_topk": embedding_cosine_topk,
     "embedding_lsh_ann": embedding_lsh_ann,
     "embedding_ivf_ann": embedding_ivf_ann,
@@ -1013,4 +1037,79 @@ ORACLES["pii_scrub"] = """
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              'https?://[^\s]+', '<URL>', 'g') AS clean
     FROM documents
+"""
+
+ORACLES["dup_span_extract"] = f"""
+    WITH d AS (
+      SELECT doc_id AS doc, {_WORDS} AS words FROM documents
+    ), g AS (
+      SELECT doc, CAST(i AS BIGINT) AS pos,
+             array_to_string(words[i:i+4], ' ') AS sh
+      FROM d, UNNEST(range(1, greatest(len(words) - 4, 1) + 1)) AS t(i)
+    ), dfc AS (
+      SELECT sh, COUNT(DISTINCT doc) AS df FROM g GROUP BY sh
+    ), dup AS (
+      SELECT doc, pos FROM g JOIN dfc USING (sh) WHERE df >= 2
+    ), isl AS (
+      SELECT doc, pos,
+             CASE WHEN pos > COALESCE(MAX(pos + 4) OVER (
+                    PARTITION BY doc ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1) + 1 THEN 1 ELSE 0 END AS brk
+      FROM dup
+    ), ids AS (
+      SELECT doc, pos,
+             SUM(brk) OVER (PARTITION BY doc ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS island
+      FROM isl
+    )
+    SELECT doc AS doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS dup_grams
+    FROM ids GROUP BY doc, island
+"""
+
+# micro-nat integerized log ratios: the per-doc SUM is exact integer
+# arithmetic, so engines agree regardless of aggregation order; only
+# the per-bucket ln() (on identical doubles) must match — see
+# text.dsir_importance
+ORACLES["corpus_importance_weights"] = f"""
+    WITH d AS (
+      SELECT doc_id AS doc, {_WORDS} AS words FROM documents
+    ), uni AS (
+      SELECT doc, UNNEST(words) AS sh FROM d
+    ), bi AS (
+      SELECT doc, array_to_string(words[i:i+1], ' ') AS sh
+      FROM d, UNNEST(range(1, greatest(len(words) - 1, 1) + 1)) AS t(i)
+    ), grams AS (
+      SELECT * FROM uni UNION ALL SELECT * FROM bi
+    ), feat AS (
+      SELECT doc,
+             CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) % 1024 AS bucket,
+             COUNT(*) AS cnt
+      FROM grams GROUP BY doc, bucket
+    ), rawb AS (
+      SELECT bucket, SUM(cnt) AS cr FROM feat GROUP BY bucket
+    ), tgtb AS (
+      SELECT bucket, SUM(cnt) AS ct FROM feat
+      WHERE doc % 7 = 0 GROUP BY bucket
+    ), b AS (
+      SELECT r.bucket, r.cr, COALESCE(t.ct, 0) AS ct
+      FROM rawb r LEFT JOIN tgtb t USING (bucket)
+    ), tot AS (
+      SELECT SUM(cr) AS r_tot, SUM(ct) AS t_tot FROM b
+    ), lr AS (
+      SELECT bucket,
+             CAST(FLOOR(1e6 * (ln((ct + 1) / (t_tot + 1024))
+                               - ln((cr + 1) / (r_tot + 1024)))
+                        + 0.5) AS BIGINT) AS lr_e6
+      FROM b, tot
+    )
+    SELECT doc AS doc_id,
+           CAST(SUM(cnt * lr_e6) AS BIGINT) AS weight_e6,
+           CAST(SUM(cnt * lr_e6) AS BIGINT) / 1e6 AS weight
+    FROM feat JOIN lr USING (bucket)
+    GROUP BY doc
 """

@@ -573,3 +573,54 @@ def test_auto_max_df_respects_work_budget(spark, sf_dir):
     if any(d > c for d in hist):
         nxt = min(d for d in hist if d > c)
         assert work(nxt) > budget * total
+
+
+def test_dup_span_extract_merges_overlaps(spark):
+    """Two docs sharing a 7-word run: 5-gram hits at positions 1..3
+    merge into ONE span [1, 7]; unique text yields no span."""
+    shared = "w1 w2 w3 w4 w5 w6 w7"
+    docs = spark.createDataFrame(
+        [(1, shared + " unique tail one alpha beta"),
+         (2, shared + " other ending here gamma delta"),
+         (3, "completely different words with no overlap at all")],
+        "doc_id long, text string")
+    spans = {(r.doc_id, r.span_start, r.span_end, r.dup_grams)
+             for r in D.dup_span_extract(docs, "doc_id", "text",
+                                         n=5, min_df=2).collect()}
+    assert (1, 1, 7, 3) in spans and (2, 1, 7, 3) in spans
+    assert not any(d == 3 for d, *_ in spans)
+
+
+def test_dup_span_extract_separates_gapped_spans(spark):
+    """Duplicated runs separated by unique words become SEPARATE
+    spans, not one merged blob."""
+    run_a = "a1 a2 a3 a4 a5"
+    run_b = "b1 b2 b3 b4 b5"
+    docs = spark.createDataFrame(
+        [(1, f"{run_a} uniq1x uniq2x uniq3x {run_b}"),
+         (2, f"{run_a} other3 filler4 words5 {run_b}")],
+        "doc_id long, text string")
+    spans = sorted(
+        (r.span_start, r.span_end) for r in
+        D.dup_span_extract(docs, "doc_id", "text", n=5, min_df=2)
+        .filter(F.col("doc_id") == 1).collect())
+    assert spans == [(1, 5), (9, 13)]
+
+
+def test_dsir_importance_ranks_target_like_docs(spark):
+    """Docs made of target-model vocabulary score higher than docs of
+    out-of-target vocabulary — the importance-resampling contract."""
+    target_text = "alpha beta gamma delta epsilon zeta eta theta"
+    other_text = "one two three four five six seven eight"
+    corpus = spark.createDataFrame(
+        [(0, target_text), (7, target_text),        # target slice
+         (1, target_text), (2, other_text)],
+        "doc_id long, text string")
+    target = corpus.filter(F.col("doc_id") % 7 == 0)
+    got = {r.doc_id: r.weight for r in T.dsir_importance(
+        corpus, target, "doc_id", "text", n_buckets=256).collect()}
+    assert got[1] > got[2]  # target-vocab doc outranks other-vocab doc
+    # weight_e6 integerization: weight is exactly weight_e6 / 1e6
+    rows = T.dsir_importance(corpus, target, "doc_id", "text",
+                              n_buckets=256).collect()
+    assert all(abs(r.weight - r.weight_e6 / 1e6) == 0 for r in rows)

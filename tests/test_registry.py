@@ -22,9 +22,11 @@ def test_no_duplicate_keys_across_blocks():
 def test_rows_only_set_is_intentional():
     qs, os_ = all_queries(), all_oracles()
     rows_only = set(qs) - set(os_)
+    # embedding_lsh_ann left this set in round 4: its seeded planes
+    # are embedded as SQL literals, making it hash-verified
     assert rows_only == {
         "approx_distinct_users", "dedup_minhash_lsh", "dedup_simhash",
-        "embedding_lsh_ann", "embedding_ivf_ann", "embedding_pq_ann",
+        "embedding_ivf_ann", "embedding_pq_ann",
         "embedding_ivf_pq_ann", "emitter_roundtrip",
         "changelog_compaction",
     }
