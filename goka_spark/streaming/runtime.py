@@ -139,30 +139,57 @@ class ExactlyOnceBatchSink:
     data write and ledger update is safe: the replayed epoch simply
     overwrites its own directory (idempotent), never re-appends.  The
     ledger is a fast-path skip + commit marker, not the correctness
-    mechanism.  Production note: point ``path`` at a checkpoint-grade
-    store (HDFS/S3) and prune the ledger past the retention horizon.
+    mechanism.
+
+    The ledger is WATERMARK-COMPACTED, so it stays O(1) over an
+    unbounded stream: ``{"hw": N, "sparse": [...]}`` means every
+    epoch <= N is committed, plus the (normally empty) out-of-order
+    set above N — epochs arrive in order from the streaming engine,
+    so the sparse set only grows across a crash window and drains as
+    the watermark advances.  The v1 plain-list format still loads.
+    Production note: point ``path`` at a checkpoint-grade store
+    (HDFS/S3).
     """
 
     def __init__(self, path: str):
         self.path = path
         self._ledger = os.path.join(path, "_committed_epochs.json")
 
+    def _state(self) -> tuple[int, set[int]]:
+        """(high watermark, sparse committed epochs above it)."""
+        if not os.path.exists(self._ledger):
+            return -1, set()
+        with open(self._ledger) as f:
+            obj = json.load(f)
+        if isinstance(obj, list):  # v1 ledger: plain epoch list
+            hw, sparse = -1, set(obj)
+        else:
+            hw, sparse = int(obj["hw"]), set(obj["sparse"])
+        while hw + 1 in sparse:  # compact: contiguous prefix -> hw
+            hw += 1
+            sparse.discard(hw)
+        return hw, sparse
+
     def _committed(self) -> set[int]:
-        if os.path.exists(self._ledger):
-            with open(self._ledger) as f:
-                return set(json.load(f))
-        return set()
+        """Compat shim for callers/tests that inspect the ledger: the
+        committed set with the watermark expanded."""
+        hw, sparse = self._state()
+        return set(range(hw + 1)) | sparse
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
-        done = self._committed()
-        if epoch_id in done:
+        epoch_id = int(epoch_id)
+        hw, sparse = self._state()
+        if epoch_id <= hw or epoch_id in sparse:
             return  # replay after restart: skip, already durable
-        epoch_dir = os.path.join(self.path, "data", f"epoch_id={int(epoch_id)}")
+        epoch_dir = os.path.join(self.path, "data", f"epoch_id={epoch_id}")
         batch_df.write.mode("overwrite").parquet(epoch_dir)
-        done.add(epoch_id)
+        sparse.add(epoch_id)
+        while hw + 1 in sparse:
+            hw += 1
+            sparse.discard(hw)
         tmp = self._ledger + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(sorted(done), f)
+            json.dump({"hw": hw, "sparse": sorted(sparse)}, f)
         os.replace(tmp, self._ledger)  # atomic commit marker
 
     def read(self, spark: SparkSession) -> DataFrame:

@@ -382,3 +382,40 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         assert got["a"] == 1.0  # first arrival wins; later dups dropped
     finally:
         q.stop()
+
+
+def test_exactly_once_ledger_watermark_compacts(spark, tmp_path):
+    """The ledger stays O(1): in-order epochs fold into the high
+    watermark (empty sparse set); a gap parks epochs in the sparse
+    set until the missing one lands; the v1 list format still loads."""
+    import json
+    import os
+
+    sink = ExactlyOnceBatchSink(str(tmp_path / "out"))
+    df = spark.createDataFrame([("a", 1)], "key string, v long")
+    for e in (0, 1, 2):
+        sink(df, e)
+    with open(sink._ledger) as f:
+        obj = json.load(f)
+    assert obj == {"hw": 2, "sparse": []}
+
+    sink(df, 5)  # out-of-order commit parks above the watermark
+    with open(sink._ledger) as f:
+        obj = json.load(f)
+    assert obj == {"hw": 2, "sparse": [5]}
+    assert sink._committed() == {0, 1, 2, 5}
+
+    for e in (3, 4):
+        sink(df, e)
+    with open(sink._ledger) as f:
+        obj = json.load(f)
+    assert obj == {"hw": 5, "sparse": []}  # gap filled -> drained
+
+    # v1 plain-list ledgers (pre-compaction format) keep working
+    with open(sink._ledger, "w") as f:
+        json.dump([0, 1, 2, 7], f)
+    assert sink._committed() == {0, 1, 2, 7}
+    sink(df, 8)
+    with open(sink._ledger) as f:
+        obj = json.load(f)
+    assert obj == {"hw": 2, "sparse": [7, 8]}
