@@ -533,7 +533,13 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
 
     Plan: corpus → (cell, codes) once [two mapInPandas over the same
     scan]; query → n_probe cells; candidates = cell equi-join scored
-    by ADC; per-query top refine·k; exact cosine re-rank by id join."""
+    by ADC; per-query top refine·k; exact cosine re-rank by id join.
+
+    This ad-hoc path trains quantizers per call and reads every code
+    row (cell pruning is compute-side).  For repeated queries use
+    ``ann_index.build_or_load`` + ``ann_index.ivf_pq_topk``: cached
+    quantizer artifacts and a cell-partitioned codes table make the
+    probed-cell read file-level pruned."""
     import pandas as pd
 
     cents = ivf_centroids(corpus, vec_col, n_cells, seed=seed)
@@ -644,7 +650,12 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     per vector (a 16-way codegen argmax, no shuffle beyond the join);
     the query side explodes to n_probe cells.  Cost ≈ n·(n_probe/
     n_cells) exact cosines instead of n·m — tune n_cells ≈ sqrt(n) at
-    scale, n_probe for the recall target."""
+    scale, n_probe for the recall target.
+
+    This ad-hoc path scans the whole corpus to assign cells per call.
+    For repeated queries use ``ann_index.build_or_load`` +
+    ``ann_index.ivf_topk``: the persisted cell-partitioned index makes
+    the probed read physically pruned (non-probed cells unread)."""
     cents = centroids if centroids is not None \
         else ivf_centroids(corpus, vec_col, n_cells, seed=seed)
     c = _assign_cells_arrow(
