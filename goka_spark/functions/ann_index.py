@@ -307,3 +307,62 @@ def ivf_pq_topk(index: ANNIndex, corpus: DataFrame, queries: DataFrame,
                      index.codes(probed).select("id", "cell", "codes"),
                      q_ids, luts, qcells, refine * k)
     return _rerank_exact(cand, corpus, queries, id_col, vec_col, k)
+
+
+def semantic_near_pairs(index: ANNIndex, threshold: float,
+                        bands: int = 8, bits: int = 8) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al.
+    2023: k-means cluster the embeddings, compare only WITHIN a
+    cluster): candidates must share the IVF cell AND an LSH band
+    bucket, exact cosine verifies inside buckets.
+
+    The cell key scopes comparisons to semantically-coherent regions
+    (SemDeDup's insight — cross-cluster pairs are never duplicates
+    worth pruning) and multiplies the LSH bucketing, so candidate
+    volume per band drops from ~n²/2^bits to ~Σ_c n_c²/2^bits.  Both
+    keys come FROM THE PERSISTED INDEX — one scan of the codes table,
+    no re-clustering, no re-hashing of the corpus.
+
+    Same join discipline as ``similarity.cosine_near_pairs_lsh``
+    (band equi-join, vectors fetched by id after pair-dedup), with
+    ``cell`` prepended to the join key.
+    """
+    from goka_spark.functions.similarity import coord_sign_bands, dot
+
+    v = index.codes().select(
+        F.col("id").alias("_id"), "cell", F.col("vec").alias("_v"))
+    v = v.repartition("_id")
+    banded = v.select(
+        "_id", "cell",
+        F.explode(coord_sign_bands(F.col("_v"), bands, bits)).alias("bb"),
+    ).select("_id", "cell", "bb.band", "bb.bucket")
+    a = banded.select(F.col("_id").alias("id_a"), "cell", "band", "bucket")
+    b = banded.select(F.col("_id").alias("id_b"), "cell", "band", "bucket")
+    cand = (a.join(b, on=["cell", "band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    va = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cos", F.round(dot(F.col("_va"), F.col("_vb")), 4))
+        .filter(F.col("cos") > threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def semantic_dedup(index: ANNIndex, threshold: float,
+                   bands: int = 8, bits: int = 8) -> DataFrame:
+    """SemDeDup keep/prune verdicts: connected components over the
+    cell-scoped near-pair graph; the smallest id in each component is
+    the kept representative.  Returns every doc in some duplicate
+    group as ``(vec_id, keep_id, is_kept)`` — docs with no semantic
+    duplicate are absent (trivially kept)."""
+    from goka_spark.functions.dedup import connected_components
+
+    pairs = semantic_near_pairs(index, threshold, bands, bits)
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("node").alias("vec_id"),
+        F.col("cluster_id").alias("keep_id"),
+        (F.col("node") == F.col("cluster_id")).alias("is_kept"))

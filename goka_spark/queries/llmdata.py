@@ -142,6 +142,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
                                    threshold=0.3, bands=8, bits=8)
 
 
+def dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """Rows-only: SemDeDup semantic dedup (Abbas et al. 2023) over
+    the persisted index — near-pairs must share the IVF cell AND an
+    LSH band bucket (k-means cells are engine-side, so no SQL twin;
+    the banding algebra is the hash-verified C12 oracle's).  Keeps
+    the smallest id per connected duplicate group."""
+    emb = load(spark, sf, "embeddings")["embeddings"]
+    return A.semantic_dedup(_ann_index(spark, sf, emb), threshold=0.3)
+
+
 def lang_id(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")["documents"]
     return docs.select("doc_id", T.lang_id(F.col("text")).alias("pred_lang"))
@@ -429,6 +439,7 @@ QUERIES = {
     "embedding_lsh_ann": embedding_lsh_ann,
     "embedding_ivf_ann": embedding_ivf_ann,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_semantic": dedup_semantic,
     "lang_id": lang_id,
     "doc_quality_score": doc_quality_score,
     "token_count": token_count,

@@ -107,3 +107,32 @@ def test_fingerprint_tracks_mtime(tmp_path):
     f1 = A.dataset_fingerprint(str(p))
     os.utime(p, ns=(1, 2))
     assert A.dataset_fingerprint(str(p)) != f1
+
+
+def test_semantic_near_pairs_subset_of_full_lsh(spark, sf_dir, index):
+    """Cell-scoping only REMOVES candidates (SemDeDup: cross-cluster
+    pairs aren't worth pruning) — every reported pair exists in the
+    full-corpus LSH pass with the identical exact cosine."""
+    idx, emb, _, _ = index
+    full = {(r.id_a, r.id_b): r.cos for r in S.cosine_near_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.3).collect()}
+    sem = {(r.id_a, r.id_b): r.cos for r in A.semantic_near_pairs(
+        idx, threshold=0.3).collect()}
+    assert len(sem) > 0
+    assert set(sem) <= set(full)
+    assert all(full[p] == sem[p] for p in sem)
+
+
+def test_semantic_dedup_keeps_min_id_per_group(spark, sf_dir, index):
+    """Every duplicate group keeps exactly its smallest id; every
+    other member points at it."""
+    idx, _, _, _ = index
+    rows = A.semantic_dedup(idx, threshold=0.3).collect()
+    assert len(rows) > 0
+    groups = {}
+    for r in rows:
+        groups.setdefault(r.keep_id, []).append(r)
+    for keep_id, members in groups.items():
+        ids = sorted(m.vec_id for m in members)
+        assert ids[0] == keep_id
+        assert all(m.is_kept == (m.vec_id == keep_id) for m in members)
