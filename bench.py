@@ -88,8 +88,20 @@ def main() -> None:
 
     times = {name: run(name) for name in HEADLINE}
     # full-registry sweep: every remaining query, timed once each, so
-    # per-round diffs catch regressions outside the headline set
-    rest = {name: run(name) for name in qs if name not in times}
+    # per-round diffs catch regressions outside the headline set.
+    # Bounded by a wall-clock budget so the bench can never blow a
+    # driver timeout; anything skipped is REPORTED, never silent.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
+    t_start = time.time()
+    rest: dict[str, float] = {}
+    skipped: list[str] = []
+    for name in qs:
+        if name in times:
+            continue
+        if time.time() - t_start > budget:
+            skipped.append(name)
+            continue
+        rest[name] = run(name)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(json.dumps({
@@ -98,6 +110,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "queries_all": {**times, **rest},
+        "skipped_over_budget": skipped,
         "sf": float(sf),
     }))
 
