@@ -235,11 +235,15 @@ def hashed_ngram_features(df, id_col: str, text_col: str,
     bucket per doc; pure codegen postings + one hash-agg."""
     from goka_spark.functions.dedup import _fan_out, shingle_postings
 
-    grams = None
-    for n in (1, 2):
-        g = shingle_postings(_fan_out(df), id_col, text_col, n,
-                             distinct=False)
-        grams = g if grams is None else grams.unionByName(g)
+    src = _fan_out(df)
+    # unigrams need no window machinery — a plain explode is the same
+    # postings set (split on whitespace, empties dropped) at scan speed
+    uni = (src.select(F.col(id_col).alias("doc"),
+                      F.explode(F.split(F.col(text_col), r"\s+"))
+                       .alias("sh"))
+           .filter(F.col("sh") != ""))
+    bi = shingle_postings(src, id_col, text_col, 2, distinct=False)
+    grams = uni.unionByName(bi)
     bucket = F.pmod(
         F.conv(F.substring(F.md5(F.encode(F.col("sh"), "UTF-8")), 1, 8),
                16, 10).cast("long"),

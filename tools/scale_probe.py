@@ -166,6 +166,35 @@ def main():
         r["pq_topk"] = timed("pq", SIM.pq_topk(
             emb_f, pq_queries, "vec_id", "embedding", k=5, m=8))
 
+        # Persisted ANN index: build once per scale (timed apart), then
+        # the indexed IVF-PQ query — expect query time ~flat-to-linear
+        # (scan ∝ probed cells only) and the input-row ratio to track
+        # n_probe/n_cells regardless of corpus size (physical pruning).
+        from goka_spark.functions import ann_index as ANN
+        t0 = time.time()
+        idx = ANN.build_or_load(
+            spark, emb_f, "vec_id", "embedding",
+            fingerprint=f"scaleprobe_x{f}_{os.path.getmtime(BASE + '/embeddings.parquet'):.0f}",
+            cache_dir=WORK + "/ann_cache")
+        r["ann_index_build"] = round(time.time() - t0, 2)
+        r["ann_ivfpq_indexed"] = timed("ann_idx", ANN.ivf_pq_topk(
+            idx, emb_f, pq_queries, "vec_id", "embedding",
+            k=5, n_probe=4))
+        qcells = ANN._probe(
+            idx, ANN._collect_queries(pq_queries, "vec_id", "embedding",
+                                      10_000)[1], 4)
+        total = idx.codes().count()
+        # per-query IO fraction (the physical-pruning claim: one query
+        # reads ~n_probe/n_cells of the codes); the 20-query batch's
+        # UNION of probes naturally approaches all cells — batching
+        # trades per-query pruning for scan sharing, so both are shown
+        r["ann_rows_frac_q0"] = round(
+            idx.codes([int(c) for c in qcells[0]]).count()
+            / max(total, 1), 3)
+        union = sorted({int(c) for row in qcells for c in row})
+        r["ann_rows_frac_union20"] = round(
+            idx.codes(union).count() / max(total, 1), 3)
+
         # PyFold last: its Python workers pressure memory for later jobs
         gpy = define_group("p", input_stream("t", key="user_id"),
                            persist(PyFold(
