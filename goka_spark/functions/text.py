@@ -224,6 +224,45 @@ def shard_pack(df, id_col: str, tok_col: str, budget: int):
             .select(F.col(id_col), F.col("shard_id")))
 
 
+def line_dedup_filter(df, id_col: str, text_col: str, min_df: int = 2,
+                      sep: str = "\n"):
+    """C4-style boilerplate-line removal: drop every line that occurs
+    in >= ``min_df`` DISTINCT documents (nav bars, cookie banners,
+    license headers — the classic corpus-cleaning pass), preserving
+    the remaining lines in original order.
+
+    Returns ``(id, clean_text, lines_total, lines_removed)``.  Empty
+    lines are structural, never counted or removed.  Scale shape: one
+    posexplode, one line-frequency hash-agg, an equi-join on the line,
+    and a per-doc ordered rebuild (collect_list + array_sort on the
+    line index — bounded by document size, no window).  Linear in
+    total lines; the frequency table is the only shuffle state."""
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_ix", "_ln"))
+    dfc = (lines.filter(F.col("_ln") != "")
+           .groupBy("_ln").agg(F.count_distinct("_id").alias("_df")))
+    kept = (lines.join(dfc, "_ln", "left")
+            .filter((F.col("_ln") == "") | (F.col("_df") < min_df)
+                    | F.col("_df").isNull()))
+    rebuilt = (kept.groupBy("_id")
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("_ix", "_ln"))),
+                            lambda s: s["_ln"]),
+                        sep).alias("clean_text"),
+                    F.count("*").alias("_kept")))
+    totals = lines.groupBy("_id").agg(F.count("*").alias("lines_total"))
+    return (totals.join(rebuilt, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.col("lines_total").cast("long"),
+                    (F.col("lines_total")
+                     - F.coalesce("_kept", F.lit(0)))
+                    .cast("long").alias("lines_removed")))
+
+
 def hashed_ngram_features(df, id_col: str, text_col: str,
                           n_buckets: int = 1024):
     """Bag-of-hashed-ngrams features (unigrams + bigrams → md5 bucket

@@ -66,6 +66,7 @@ _FRONT = [
     "ngram_jaccard_auto",
     "dup_span_extract",
     "corpus_importance_weights",
+    "line_dedup",
     "embedding_lsh_ann",
     "embedding_ivf_ann",
     "embedding_pq_ann",

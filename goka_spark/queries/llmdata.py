@@ -81,6 +81,25 @@ def corpus_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
                              n_buckets=1024)
 
 
+def line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style duplicate-line removal.  The synthetic docs carry no
+    newlines, so the query first reshapes each document into
+    deterministic 10-word lines (the oracle reshapes identically) —
+    exact-dup documents and aligned duplicated prefixes then lose
+    their repeated lines corpus-wide."""
+    docs = load(spark, sf, "documents")["documents"]
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.greatest(F.ceil(F.size(words) / 10.0).cast("int"), F.lit(1))
+    reshaped = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), n_lines - 1),
+                        lambda i: F.array_join(
+                            F.slice(words, i * 10 + 1, 10), " ")),
+            "\n").alias("text"))
+    return T.line_dedup_filter(reshaped, "doc_id", "text", min_df=2)
+
+
 def ngram_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
     """Lossless PPJoin-style prefix-filtered similarity join at a high
     threshold: candidates come only from each document's RAREST
@@ -454,6 +473,7 @@ QUERIES = {
     "ngram_jaccard_auto": ngram_jaccard_auto,
     "ngram_jaccard_prefix": ngram_jaccard_prefix,
     "dup_span_extract": dup_span_extract,
+    "line_dedup": line_dedup,
     "corpus_importance_weights": corpus_importance_weights,
     "embedding_cosine_topk": embedding_cosine_topk,
     "embedding_lsh_ann": embedding_lsh_ann,
@@ -1143,4 +1163,35 @@ ORACLES["corpus_importance_weights"] = f"""
            CAST(SUM(cnt * lr_e6) AS BIGINT) / 1e6 AS weight
     FROM feat JOIN lr USING (bucket)
     GROUP BY doc
+"""
+
+ORACLES["line_dedup"] = f"""
+    WITH d AS (
+      SELECT doc_id, {_WORDS} AS words FROM documents
+    ), resh AS (
+      SELECT doc_id, list_transform(
+        range(0, greatest(CAST(ceil(len(words) / 10.0) AS INT), 1)),
+        i -> array_to_string(words[i*10+1:i*10+10], ' ')) AS lines
+      FROM d
+    ), ln AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS ix, lines[i] AS line
+      FROM resh, UNNEST(range(1, len(lines) + 1)) AS t(i)
+    ), dfc AS (
+      SELECT line, COUNT(DISTINCT doc_id) AS df FROM ln
+      WHERE line <> '' GROUP BY line
+    ), kept AS (
+      SELECT l.doc_id, l.ix, l.line
+      FROM ln l LEFT JOIN dfc USING (line)
+      WHERE l.line = '' OR df IS NULL OR df < 2
+    )
+    SELECT t.doc_id,
+           COALESCE(k.clean_text, '') AS clean_text,
+           CAST(t.lines_total AS BIGINT) AS lines_total,
+           CAST(t.lines_total - COALESCE(k.kept, 0) AS BIGINT)
+             AS lines_removed
+    FROM (SELECT doc_id, COUNT(*) AS lines_total FROM ln GROUP BY doc_id) t
+    LEFT JOIN (SELECT doc_id,
+                      string_agg(line, chr(10) ORDER BY ix) AS clean_text,
+                      COUNT(*) AS kept
+               FROM kept GROUP BY doc_id) k USING (doc_id)
 """

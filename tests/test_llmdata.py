@@ -624,3 +624,34 @@ def test_dsir_importance_ranks_target_like_docs(spark):
     rows = T.dsir_importance(corpus, target, "doc_id", "text",
                               n_buckets=256).collect()
     assert all(abs(r.weight - r.weight_e6 / 1e6) == 0 for r in rows)
+
+
+def test_line_dedup_removes_boilerplate_lines(spark):
+    """A line repeated across >= min_df docs disappears from every doc;
+    unique lines and order survive; empty lines are structural."""
+    boiler = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [(1, f"unique alpha one\n{boiler}\nkeep me please"),
+         (2, f"{boiler}\ndifferent beta two"),
+         (3, "totally original\n\nwith an empty line")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in T.line_dedup_filter(
+        docs, "doc_id", "text", min_df=2).collect()}
+    assert got[1].clean_text == "unique alpha one\nkeep me please"
+    assert got[1].lines_removed == 1 and got[1].lines_total == 3
+    assert got[2].clean_text == "different beta two"
+    assert got[3].clean_text == "totally original\n\nwith an empty line"
+    assert got[3].lines_removed == 0
+
+
+def test_line_dedup_doc_reduced_to_empty(spark):
+    """A doc made entirely of corpus-wide boilerplate ends up with an
+    empty clean_text, not a missing row."""
+    docs = spark.createDataFrame(
+        [(1, "b1\nb2"), (2, "b1\nb2"), (3, "b1\nb2")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in T.line_dedup_filter(
+        docs, "doc_id", "text", min_df=2).collect()}
+    assert set(got) == {1, 2, 3}
+    assert all(r.clean_text == "" and r.lines_removed == 2
+               for r in got.values())
