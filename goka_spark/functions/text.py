@@ -332,3 +332,59 @@ def dsir_importance(corpus, target, id_col: str, text_col: str,
             .select(F.col("doc").alias(id_col),
                     F.col("weight_e6").cast("long"),
                     (F.col("weight_e6") / F.lit(1e6)).alias("weight")))
+
+
+def lm_logprob(df, id_col: str, text_col: str):
+    """CCNet-style LM quality score: mean log-probability of each
+    document under a Laplace-smoothed BIGRAM language model trained on
+    the corpus itself (the perplexity-filtering signal of Wenzek et
+    al. 2020's CCNet, with the corpus standing in for the external LM
+    — low mean log-prob ⇔ high perplexity ⇔ unusual/garbled text).
+
+    Float discipline (same as dsir_importance): each distinct
+    (prev, word) transition's log-prob is integerized ONCE to
+    micro-nats, per-document accumulation is an exact integer sum, and
+    the final mean is a deterministic double division — so a SQL twin
+    matches hash-exactly up to ln() ulps.
+
+    Plan: one posexplode + window-lead pass builds transition
+    occurrences; transition counts, prefix counts, and the vocab size
+    are three hash-aggs over it; scoring is one equi-join back on the
+    transition and a per-doc sum.  Linear in corpus tokens."""
+    from pyspark.sql.window import Window
+
+    from goka_spark.functions.dedup import _fan_out
+
+    w = (_fan_out(df).select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(F.split(F.col(text_col), r"\s+"))
+             .alias("_p", "_w"))
+         .filter(F.col("_w") != ""))
+    win = Window.partitionBy("doc").orderBy("_p")
+    pairs = (w.select("doc", F.col("_w").alias("prev"),
+                      F.lead("_w", 1).over(win).alias("wrd"))
+             .filter(F.col("wrd").isNotNull()))
+    doc_tr = pairs.groupBy("doc", "prev", "wrd") \
+        .agg(F.count("*").alias("cnt"))
+    cpw = doc_tr.groupBy("prev", "wrd").agg(F.sum("cnt").alias("cpw"))
+    cp = cpw.groupBy("prev").agg(F.sum("cpw").alias("cp"))
+    vocab = w.agg(F.count_distinct("_w").alias("v"))
+    lp = (cpw.join(cp, "prev").crossJoin(F.broadcast(vocab))
+          .select("prev", "wrd",
+                  F.floor(1e6 * F.log((F.col("cpw") + 1)
+                                      / (F.col("cp") + F.col("v")))
+                          + 0.5).cast("long").alias("lp_e6")))
+    scored = (doc_tr.join(lp, ["prev", "wrd"])
+              .groupBy("doc")
+              .agg(F.sum(F.col("cnt") * F.col("lp_e6")).alias("logprob_e6"),
+                   F.sum("cnt").alias("n_bigrams")))
+    return (df.select(F.col(id_col).alias("doc")).join(scored, "doc", "left")
+            .select(F.col("doc").alias(id_col),
+                    F.coalesce("n_bigrams", F.lit(0)).cast("long")
+                     .alias("n_bigrams"),
+                    F.coalesce("logprob_e6", F.lit(0)).cast("long")
+                     .alias("logprob_e6"),
+                    F.when(F.col("n_bigrams") > 0,
+                           F.col("logprob_e6").cast("double") / 1e6
+                           / F.col("n_bigrams"))
+                     .alias("avg_logprob")))

@@ -67,6 +67,7 @@ _FRONT = [
     "dup_span_extract",
     "corpus_importance_weights",
     "line_dedup",
+    "doc_lm_score",
     "embedding_lsh_ann",
     "embedding_ivf_ann",
     "embedding_pq_ann",

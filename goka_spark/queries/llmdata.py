@@ -100,6 +100,16 @@ def line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return T.line_dedup_filter(reshaped, "doc_id", "text", min_df=2)
 
 
+def doc_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style perplexity filtering signal: mean log-prob of each
+    doc under a corpus-trained Laplace bigram LM (Wenzek et al. 2020
+    use an external KenLM; the corpus self-model is the same filter
+    shape).  Micro-nat integerization makes the oracle exact up to
+    ln() ulps — see text.lm_logprob."""
+    docs = load(spark, sf, "documents")["documents"]
+    return T.lm_logprob(docs, "doc_id", "text")
+
+
 def ngram_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
     """Lossless PPJoin-style prefix-filtered similarity join at a high
     threshold: candidates come only from each document's RAREST
@@ -474,6 +484,7 @@ QUERIES = {
     "ngram_jaccard_prefix": ngram_jaccard_prefix,
     "dup_span_extract": dup_span_extract,
     "line_dedup": line_dedup,
+    "doc_lm_score": doc_lm_score,
     "corpus_importance_weights": corpus_importance_weights,
     "embedding_cosine_topk": embedding_cosine_topk,
     "embedding_lsh_ann": embedding_lsh_ann,
@@ -1194,4 +1205,41 @@ ORACLES["line_dedup"] = f"""
                       string_agg(line, chr(10) ORDER BY ix) AS clean_text,
                       COUNT(*) AS kept
                FROM kept GROUP BY doc_id) k USING (doc_id)
+"""
+
+ORACLES["doc_lm_score"] = f"""
+    WITH d AS (
+      SELECT doc_id, {_WORDS} AS words FROM documents
+    ), pr AS (
+      SELECT doc_id, words[i] AS prev, words[i + 1] AS wrd
+      FROM d, UNNEST(range(1, len(words))) AS t(i)
+    ), doc_tr AS (
+      SELECT doc_id, prev, wrd, COUNT(*) AS cnt
+      FROM pr GROUP BY doc_id, prev, wrd
+    ), cpw AS (
+      SELECT prev, wrd, SUM(cnt) AS cpw FROM doc_tr GROUP BY prev, wrd
+    ), cp AS (
+      SELECT prev, SUM(cpw) AS cp FROM cpw GROUP BY prev
+    ), vocab AS (
+      SELECT COUNT(DISTINCT w) AS v
+      FROM (SELECT UNNEST(words) AS w FROM d)
+    ), lp AS (
+      SELECT prev, wrd,
+             CAST(FLOOR(1e6 * ln((cpw + 1) / (cp + v)) + 0.5) AS BIGINT)
+               AS lp_e6
+      FROM cpw JOIN cp USING (prev), vocab
+    ), scored AS (
+      SELECT doc_id,
+             CAST(SUM(cnt * lp_e6) AS BIGINT) AS logprob_e6,
+             CAST(SUM(cnt) AS BIGINT) AS n_bigrams
+      FROM doc_tr JOIN lp USING (prev, wrd)
+      GROUP BY doc_id
+    )
+    SELECT doc_id,
+           COALESCE(n_bigrams, 0) AS n_bigrams,
+           COALESCE(logprob_e6, 0) AS logprob_e6,
+           CASE WHEN COALESCE(n_bigrams, 0) > 0
+                THEN CAST(logprob_e6 AS DOUBLE) / 1e6 / n_bigrams
+           END AS avg_logprob
+    FROM documents LEFT JOIN scored USING (doc_id)
 """

@@ -655,3 +655,33 @@ def test_line_dedup_doc_reduced_to_empty(spark):
     assert set(got) == {1, 2, 3}
     assert all(r.clean_text == "" and r.lines_removed == 2
                for r in got.values())
+
+
+def test_lm_logprob_prefers_common_transitions(spark):
+    """A doc built from the corpus's dominant bigram pattern scores a
+    higher mean log-prob than one of never-repeated transitions."""
+    common = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(1, common), (2, common), (3, common),
+         (4, "zeppelin quartz vortex jackdaw nymph")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in T.lm_logprob(
+        docs, "doc_id", "text").collect()}
+    assert got[1].avg_logprob == got[2].avg_logprob == got[3].avg_logprob
+    assert got[1].avg_logprob > got[4].avg_logprob
+    # integerization invariant: avg = logprob_e6 / 1e6 / n exactly
+    for r in got.values():
+        assert r.avg_logprob == r.logprob_e6 / 1e6 / r.n_bigrams
+
+
+def test_lm_logprob_short_doc_is_null(spark):
+    """Docs with <2 words carry no bigrams: n=0, avg NULL — never a
+    divide-by-zero or a fabricated score."""
+    docs = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, "two words")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in T.lm_logprob(
+        docs, "doc_id", "text").collect()}
+    assert got[1].n_bigrams == 0 and got[1].avg_logprob is None
+    assert got[2].n_bigrams == 0 and got[2].avg_logprob is None
+    assert got[3].n_bigrams == 1 and got[3].avg_logprob is not None
