@@ -156,3 +156,64 @@ def test_dsir_matches_python_reference(corpus, _spark):
             for i, c in feats.items()}
     got = {r.doc_id: r.weight_e6 for r in rows}
     assert got == want
+
+
+@given(corpus=corpus_strategy)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_lm_logprob_matches_python_reference(corpus, _spark):
+    spark = _spark
+    docs = _docs(spark, corpus)
+    rows = {r.doc_id: r for r in
+            T.lm_logprob(docs, "doc_id", "text").collect()}
+
+    from collections import Counter
+    pairs = {i: list(zip(ws, ws[1:])) for i, ws in enumerate(corpus)}
+    cpw, cp = Counter(), Counter()
+    vocab = set()
+    for i, ws in enumerate(corpus):
+        vocab.update(ws)
+        for p in pairs[i]:
+            cpw[p] += 1
+            cp[p[0]] += 1
+    v = len(vocab)
+    lp = {p: math.floor(1e6 * math.log((c + 1) / (cp[p[0]] + v)) + 0.5)
+          for p, c in cpw.items()}
+    for i, ws in enumerate(corpus):
+        want_n = len(pairs[i])
+        want_sum = sum(lp[p] for p in pairs[i])
+        assert rows[i].n_bigrams == want_n
+        assert rows[i].logprob_e6 == (want_sum if want_n else 0)
+        if want_n:
+            assert rows[i].avg_logprob == want_sum / 1e6 / want_n
+        else:
+            assert rows[i].avg_logprob is None
+
+
+@given(corpus=corpus_strategy, min_df=st.integers(min_value=2, max_value=3))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_line_dedup_matches_python_reference(corpus, min_df, _spark):
+    spark = _spark
+    # treat each 2-word window as a line to get multi-line docs
+    def lines_of(ws):
+        return [" ".join(ws[i:i + 2]) for i in range(0, len(ws), 2)] or [""]
+
+    docs = spark.createDataFrame(
+        [(i, "\n".join(lines_of(ws))) for i, ws in enumerate(corpus)],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in T.line_dedup_filter(
+        docs, "doc_id", "text", min_df=min_df).collect()}
+
+    from collections import Counter
+    doc_lines = {i: lines_of(ws) for i, ws in enumerate(corpus)}
+    dfs = Counter()
+    for i, ls in doc_lines.items():
+        for ln in set(ls):
+            if ln:
+                dfs[ln] += 1
+    for i, ls in doc_lines.items():
+        kept = [ln for ln in ls if ln == "" or dfs[ln] < min_df]
+        assert rows[i].clean_text == "\n".join(kept)
+        assert rows[i].lines_total == len(ls)
+        assert rows[i].lines_removed == len(ls) - len(kept)
