@@ -8,70 +8,75 @@ plan and the oracle SQL (driver hash-compares by column name).
 
 from goka_spark.queries import analytics, core, llmdata
 
-# The driver's correctness run records roughly the first 50 registry
-# entries and stops (cap or time budget).  Rotate per round: list the
-# keys whose latest driver row pre-dates the current code FIRST (round
-# 4: the 43 keys last certified in CORRECTNESS_r01, before the
-# base.py:load() change — VERDICT.md r3 item 1), then the keys whose
-# implementation changes THIS round (ANN artifact caching / physical
-# pruning, ngram max_df policy, lsh oracle), so a capped run always
-# re-signs everything that moved.
+# The driver's correctness run records exactly the first 50 registry
+# entries and stops (CORRECTNESS_r04 has 50 rows).  Rotate per round so
+# no key's driver row goes >2 rounds stale.  Round 5: the 49 keys with
+# NO r04 row, ordered (a) dedup_semantic — the one key never certified
+# by any driver run; (b) embedding_pq_ann / embedding_ivf_pq_ann —
+# rewired onto the persisted ANN index AFTER their last (r03) rows;
+# (c) keys whose implementation changed in r4/r5 without re-signing
+# (doc_repetition shingle-postings rewrite, corpus_filter_pipeline
+# persist, dedup_embedding_cosine consumer); (d) the r03-only block.
+# r04 ∪ r05 then covers all 99 keys.  Trailing extras past slot 49 are
+# best-effort (r4 keys whose ORACLE text gains the empty-doc guard).
 _FRONT = [
-    # -- r01-only keys: re-certify under post-base.py load() --
-    "loopback_rekey",
-    "view_point_get",
-    "view_range_scan",
-    "view_iterate_all",
-    "visitor_apply",
-    "emitter_roundtrip",
-    "proc_delete_key",
-    "multi_input_merge",
-    "proc_headers",
-    "codec_roundtrip",
-    "changelog_compaction",
-    "proc_last_state",
-    "tumbling_window_agg",
-    "hopping_window_agg",
-    "session_window_agg",
-    "running_total_per_user",
-    "event_sessionize",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "top_k_per_group",
-    "distinct_users_per_type",
-    "approx_distinct_users",
-    "event_type_pivot",
-    "as_of_join",
-    "q7_volume_shipping",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_discounted_brand",
-    "funnel_conversion",
-    "user_retention_cohort",
-    "event_dedup_window",
-    "q22_no_order_customers",
-    "above_avg_balance",
-    "semi_join_active_parts",
-    "q8_market_share",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    # -- keys new or changed in round 4 (oracle-backed first; the
-    # trailing rows-only ANN keys can fall past the driver cap) --
-    "ngram_jaccard_auto",
-    "dup_span_extract",
-    "corpus_importance_weights",
-    "line_dedup",
-    "doc_lm_score",
-    "embedding_lsh_ann",
-    "embedding_ivf_ann",
+    # (a) never certified
+    "dedup_semantic",
+    # (b) index-rewire post-dates the r03 rows
     "embedding_pq_ann",
     "embedding_ivf_pq_ann",
+    # (c) behavior-changed since last row
+    "doc_repetition",
+    "corpus_filter_pipeline",
+    "dedup_embedding_cosine",
+    # (d) r03-only block — re-sign before the rows go 2 rounds stale
+    "proc_count_per_key",
+    "proc_agg_state",
+    "proc_latest_n",
+    "proc_fold_generic",
+    "stream_table_join",
+    "stream_lookup_join",
+    "output_stream",
+    "proc_headers_native",
+    "purchase_click_attribution",
+    "q13_order_count_distribution",
+    "q4_order_priority",
+    "q12_ship_delay_buckets",
+    "q9_profit_by_nation_year",
+    "q16_supplier_count_by_part",
+    "q11_important_parts",
+    "q2_min_cost_supplier",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "event_rollup",
+    "event_interarrival",
+    "value_quantiles",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_prefix",
+    "embedding_cosine_topk",
+    "lang_id",
+    "doc_quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "dedup_clusters",
+    "benchmark_decontaminate",
+    "corpus_sample",
+    "corpus_shard_pack",
+    "dedup_minhash_verified",
+    "dedup_simhash_verified",
+    "multimodal_decode",
+    "multimodal_decode_ppm",
+    "multimodal_decode_wav",
+    "multimodal_frame_sample",
+    "text_normalize",
+    "pii_scrub",
+    "dup_ngram_coverage",
+    "tfidf_keywords",
+    "quality_gopher",
+    # best-effort tail (oracle-text change this round; r06 candidates)
+    "dup_span_extract",
+    "corpus_importance_weights",
+    "doc_lm_score",
 ]
 
 

@@ -51,7 +51,7 @@ def _shingles(ws, n):
 
 
 @given(corpus=corpus_strategy, budget=st.integers(min_value=1, max_value=64))
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=8, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_auto_max_df_budget_and_maximality(corpus, budget, _spark):
     spark = _spark
@@ -79,7 +79,7 @@ def test_auto_max_df_budget_and_maximality(corpus, budget, _spark):
 
 
 @given(corpus=corpus_strategy)
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=8, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_dup_span_invariants(corpus, _spark):
     spark = _spark
@@ -109,12 +109,21 @@ def test_dup_span_invariants(corpus, _spark):
         # disjoint, non-adjacent (else they would have merged), in-bounds
         for a, b in zip(spans, spans[1:]):
             assert a.span_end + 1 < b.span_start
+        # Spans are the gaps-and-islands merge of word intervals
+        # [p, p+n-1] over duplicated gram starts.  Compare WORD
+        # coverage — a span->gram-start inversion is not sound: a
+        # merged span may contain interior positions whose own gram
+        # has df < min_df (e.g. dup starts {1,3} with n=3 merge to
+        # [1,5], which covers non-dup start 2).
         covered = set()
         for r in spans:
             assert 1 <= r.span_start <= r.span_end
-            covered.update(range(r.span_start, r.span_end - n + 2))
+            covered.update(range(r.span_start, r.span_end + 1))
+        want_cover = set()
+        for p in dup_pos[i]:
+            want_cover.update(range(p, p + n))
+        assert covered == want_cover
         # dup_grams per span sum to the doc's duplicated positions
-        assert covered == dup_pos[i]
         assert sum(r.dup_grams for r in spans) == len(dup_pos[i])
     assert set(by_doc) == {i for i in dup_pos if dup_pos[i]}
 
@@ -124,7 +133,7 @@ def _md5_bucket(s, k):
 
 
 @given(corpus=corpus_strategy)
-@settings(max_examples=6, deadline=None,
+@settings(max_examples=6, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_dsir_matches_python_reference(corpus, _spark):
     spark = _spark
@@ -159,7 +168,7 @@ def test_dsir_matches_python_reference(corpus, _spark):
 
 
 @given(corpus=corpus_strategy)
-@settings(max_examples=6, deadline=None,
+@settings(max_examples=6, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_lm_logprob_matches_python_reference(corpus, _spark):
     spark = _spark
@@ -191,7 +200,7 @@ def test_lm_logprob_matches_python_reference(corpus, _spark):
 
 
 @given(corpus=corpus_strategy, min_df=st.integers(min_value=2, max_value=3))
-@settings(max_examples=6, deadline=None,
+@settings(max_examples=6, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_line_dedup_matches_python_reference(corpus, min_df, _spark):
     spark = _spark
