@@ -5,11 +5,12 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 Each query is forced end-to-end with a noop sink (full computation,
 no driver collect cost).
 
-Output fields:
-- ``value`` / ``queries``: the HEADLINE set (comparable round to
-  round — r1 recorded 14 of these, r3 20).
-- ``queries_all``: per-query times for EVERY registry query, so
-  regressions outside the headliners are visible per round.
+Output: stdout carries EXACTLY ONE compact JSON line (headline value +
+per-headline-query seconds) so a tail capture can never truncate it
+mid-line (BENCH_r04 lost its headline that way).  The full report —
+including ``queries_all``, per-query times for EVERY registry query —
+goes to ``bench_report.json`` (override: SPARK_GRAFT_BENCH_REPORT) and
+is echoed to stderr.
 """
 
 from __future__ import annotations
@@ -104,13 +105,33 @@ def main() -> None:
         rest[name] = run(name)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(json.dumps({
+    # The driver tail-captures stdout and can truncate a long line
+    # mid-JSON (BENCH_r04 lost its headline that way).  Write the full
+    # report to a side file and print the big sweep FIRST, so the ONE
+    # compact headline line is LAST and survives any tail truncation.
+    full = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "queries_all": {**times, **rest},
         "skipped_over_budget": skipped,
+        "sf": float(sf),
+    }
+    report_path = os.environ.get("SPARK_GRAFT_BENCH_REPORT",
+                                 "bench_report.json")
+    try:
+        with open(report_path, "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps({"queries_all": full["queries_all"],
+                      "skipped_over_budget": skipped}), file=sys.stderr)
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": full["value"],
+        "unit": "sec",
+        "queries": times,
         "sf": float(sf),
     }))
 
