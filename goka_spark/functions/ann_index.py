@@ -30,8 +30,8 @@ ANN index and recovery is a cache hit.
 from __future__ import annotations
 
 import hashlib
+import io
 import os
-import shutil
 from dataclasses import dataclass
 
 import numpy as np
@@ -48,26 +48,86 @@ def _repo_root() -> str:
 
 
 def default_cache_dir() -> str:
+    """Index artifact root.  Override with GOKA_SPARK_ANN_CACHE — any
+    Hadoop-FS URI works (``file:/...``, ``hdfs://...``, ``s3a://...``):
+    every artifact read/write below goes through the Hadoop FileSystem
+    API, so the index lives wherever the data lives."""
     return os.environ.get(
         "GOKA_SPARK_ANN_CACHE",
         os.path.join(_repo_root(), "spark-warehouse", "ann_cache"))
 
 
-def dataset_fingerprint(path: str) -> str:
+# ---------------------------------------------------------------- FS
+# All artifact IO routes through the JVM Hadoop FileSystem (same idiom
+# as operators/changelog.py): os.walk/os.rename/np.load-on-a-path work
+# only on a POSIX local disk, but the 100 TB deployment keeps its
+# testdata AND its index on HDFS/S3.  ``Path.getFileSystem`` resolves
+# the scheme per path, so plain local paths keep working unchanged.
+
+def _hfs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), jvm, p
+
+
+def _join(base: str, *parts: str) -> str:
+    """URI-safe path join (os.path.join mangles ``s3a://`` bases)."""
+    return "/".join([base.rstrip("/")] + [p.strip("/") for p in parts])
+
+
+def _read_bytes(spark: SparkSession, path: str) -> bytes:
+    fs, jvm, p = _hfs(spark, path)
+    stream = fs.open(p)
+    out = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, out, 65536, True)
+    return bytes(out.toByteArray())
+
+
+def _write_bytes(spark: SparkSession, path: str, data: bytes) -> None:
+    fs, jvm, p = _hfs(spark, path)
+    stream = fs.create(p, True)  # creates parent dirs on every Hadoop FS
+    stream.write(data)
+    stream.close()
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    fs, _, p = _hfs(spark, path)
+    return bool(fs.exists(p))
+
+
+def dataset_fingerprint(path: str, spark: "SparkSession | None" = None) -> str:
     """Cheap content fingerprint of a parquet file/dir: hash of the
-    sorted (relative path, size, mtime_ns) listing.  Changes whenever
-    the driver regenerates testdata — stale indexes self-invalidate."""
+    sorted (relative path, size, mtime_millis) listing via the Hadoop
+    FS (works on HDFS/S3 object listings, not just local disk).
+    Changes whenever the driver regenerates testdata — stale indexes
+    self-invalidate.  Falls back to os.walk when no Spark session is
+    alive (pure-local tooling)."""
     h = hashlib.md5()
-    if os.path.isdir(path):
+    spark = spark or SparkSession.getActiveSession()
+    if spark is not None:
+        fs, _, p = _hfs(spark, path)
+        base = p.toUri().getPath() or ""
+        entries = []
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            st = it.next()
+            rel = st.getPath().toUri().getPath()
+            if rel.startswith(base):
+                rel = rel[len(base):].lstrip("/")
+            entries.append(
+                f"{rel}:{st.getLen()}:{st.getModificationTime()}\n")
+        for e in sorted(entries):
+            h.update(e.encode())
+    elif os.path.isdir(path):
         for root, _, files in sorted(os.walk(path)):
             for f in sorted(files):
                 p = os.path.join(root, f)
                 st = os.stat(p)
                 h.update(f"{os.path.relpath(p, path)}:{st.st_size}:"
-                         f"{st.st_mtime_ns}\n".encode())
+                         f"{st.st_mtime_ns // 1_000_000}\n".encode())
     else:
         st = os.stat(path)
-        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+        h.update(f":{st.st_size}:{st.st_mtime_ns // 1_000_000}\n".encode())
     return h.hexdigest()[:16]
 
 
@@ -84,7 +144,7 @@ class ANNIndex:
         """The encoded corpus.  With ``probe_cells``, partition
         pruning makes non-probed cells physically unread (the scan's
         PartitionFilters, not a post-read mask)."""
-        df = self.spark.read.parquet(os.path.join(self.path, "codes"))
+        df = self.spark.read.parquet(_join(self.path, "codes"))
         if probe_cells is not None:
             df = df.filter(F.col("cell").isin([int(c) for c in probe_cells]))
         return df
@@ -103,12 +163,16 @@ def build_or_load(spark: SparkSession, corpus: DataFrame, id_col: str,
     secondary index."""
     cache_dir = cache_dir or default_cache_dir()
     key = f"{fingerprint}_c{n_cells}_m{m}_k{ksub}_s{seed}"
-    path = os.path.join(cache_dir, key)
-    npz = os.path.join(path, "quantizers.npz")
-    success = os.path.join(path, "codes", "_SUCCESS")
-    if os.path.exists(npz) and os.path.exists(success):
-        z = np.load(npz)
+    path = _join(cache_dir, key)
+    npz = _join(path, "quantizers.npz")
+    success = _join(path, "codes", "_SUCCESS")
+
+    def _load() -> ANNIndex:
+        z = np.load(io.BytesIO(_read_bytes(spark, npz)))
         return ANNIndex(spark, path, z["centroids"], z["books"])
+
+    if _exists(spark, npz) and _exists(spark, success):
+        return _load()
 
     cents = S.ivf_centroids(corpus, vec_col, n_cells, seed=seed)
     books = S.pq_codebooks(corpus, vec_col, m=m, ksub=ksub, seed=seed)
@@ -142,16 +206,27 @@ def build_or_load(spark: SparkSession, corpus: DataFrame, id_col: str,
 
     tmp = path + f".tmp{os.getpid()}"
     codes.write.mode("overwrite").partitionBy("cell") \
-        .parquet(os.path.join(tmp, "codes"))
-    os.makedirs(tmp, exist_ok=True)
-    np.savez(os.path.join(tmp, "quantizers.npz"),
-             centroids=cents, books=books)
+        .parquet(_join(tmp, "codes"))
+    buf = io.BytesIO()
+    np.savez(buf, centroids=cents, books=books)
+    _write_bytes(spark, _join(tmp, "quantizers.npz"), buf.getvalue())
+    # Atomic publish: Hadoop rename refuses to clobber an existing
+    # destination dir, so a concurrent loser's rename returns False —
+    # drop the orphan tmp and adopt the winner's artifacts.  (On S3A
+    # rename is copy+delete, not atomic; the _SUCCESS+npz existence
+    # gate above still makes a half-published index unreadable, it
+    # just loses the single-winner guarantee — same caveat as every
+    # rename-based committer on S3.)
+    fs, jvm, _ = _hfs(spark, path)
+    renamed = False
     try:
-        os.rename(tmp, path)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # lost a race: adopt winner
-    z = np.load(npz)
-    return ANNIndex(spark, path, z["centroids"], z["books"])
+        renamed = bool(fs.rename(jvm.org.apache.hadoop.fs.Path(tmp),
+                                 jvm.org.apache.hadoop.fs.Path(path)))
+    except Exception:
+        pass
+    if not renamed:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    return _load()
 
 
 def _collect_queries(queries: DataFrame, id_col: str, vec_col: str,

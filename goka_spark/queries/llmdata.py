@@ -145,7 +145,8 @@ def _ann_index(spark: SparkSession, sf: str, emb: DataFrame) -> "A.ANNIndex":
     quantizers cached on disk (trained once per dataset), codes table
     partitioned by cell (probed reads are file-level pruned)."""
     import os
-    fp = A.dataset_fingerprint(os.path.join(sf, "embeddings.parquet"))
+    fp = A.dataset_fingerprint(os.path.join(sf, "embeddings.parquet"),
+                               spark=spark)
     return A.build_or_load(spark, emb, "vec_id", "embedding",
                            fingerprint=fp, n_cells=16, m=8, ksub=16)
 
@@ -1086,11 +1087,11 @@ ORACLES["quality_gopher"] = f"""
     )
 """
 
-ORACLES["text_normalize"] = """
+ORACLES["text_normalize"] = r"""
     SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
     FROM documents
 """
-ORACLES["pii_scrub"] = """
+ORACLES["pii_scrub"] = r"""
     SELECT doc_id,
            regexp_replace(regexp_replace(
              CASE WHEN doc_id % 10 = 0
@@ -1108,6 +1109,7 @@ ORACLES["dup_span_extract"] = f"""
       SELECT doc, CAST(i AS BIGINT) AS pos,
              array_to_string(words[i:i+4], ' ') AS sh
       FROM d, UNNEST(range(1, greatest(len(words) - 4, 1) + 1)) AS t(i)
+      WHERE len(words) >= 1  -- empty doc => no grams (Spark emits none)
     ), dfc AS (
       SELECT sh, COUNT(DISTINCT doc) AS df FROM g GROUP BY sh
     ), dup AS (
@@ -1145,6 +1147,7 @@ ORACLES["corpus_importance_weights"] = f"""
     ), bi AS (
       SELECT doc, array_to_string(words[i:i+1], ' ') AS sh
       FROM d, UNNEST(range(1, greatest(len(words) - 1, 1) + 1)) AS t(i)
+      WHERE len(words) >= 1  -- empty doc => no grams (Spark emits none)
     ), grams AS (
       SELECT * FROM uni UNION ALL SELECT * FROM bi
     ), feat AS (

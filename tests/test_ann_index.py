@@ -101,6 +101,46 @@ def test_fingerprint_invalidates(spark, sf_dir, index):
     shutil.rmtree(other.path, ignore_errors=True)
 
 
+def test_artifact_io_via_hadoop_fs_uri(spark, sf_dir, index, tmp_path,
+                                       monkeypatch):
+    """The artifact layer (fingerprint, npz read/write, existence
+    checks, atomic publish) must route through the Hadoop FileSystem
+    API — build/load/query against an explicit ``file:`` URI cache
+    dir exercises the exact code path an S3A/HDFS deployment hits
+    (os.rename / np.load-on-a-path would throw on a URI)."""
+    import numpy as np
+    from goka_spark.functions import similarity as Sim
+
+    idx, emb, _, _ = index
+    cache_uri = "file:" + str(tmp_path / "ann_cache_uri")
+    fp = A.dataset_fingerprint(
+        "file:" + os.path.join(sf_dir, "embeddings.parquet"), spark=spark)
+    assert fp == A.dataset_fingerprint(
+        os.path.join(sf_dir, "embeddings.parquet"), spark=spark)
+    built = A.build_or_load(spark, emb, "vec_id", "embedding",
+                            fingerprint=fp, cache_dir=cache_uri)
+    assert built.path.startswith("file:")
+    assert (built.centroids == idx.centroids).all()
+    # cache hit through the URI: no retraining
+    def boom(*a, **k):
+        raise AssertionError("retrained on URI cache hit")
+    monkeypatch.setattr(Sim, "ivf_centroids", boom)
+    monkeypatch.setattr(Sim, "pq_codebooks", boom)
+    again = A.build_or_load(spark, emb, "vec_id", "embedding",
+                            fingerprint=fp, cache_dir=cache_uri)
+    assert (again.books == built.books).all()
+    # a query served from the URI-addressed index agrees with the
+    # local-path index (same fingerprint + params => same artifacts)
+    q = emb.filter(F.col("vec_id") < 5)
+    got = {(r.query_id, r.neighbor_id, r.rk): r.cos
+           for r in A.ivf_topk(built, emb, q, "vec_id", "embedding",
+                               k=5, n_probe=4).collect()}
+    want = {(r.query_id, r.neighbor_id, r.rk): r.cos
+            for r in A.ivf_topk(idx, emb, q, "vec_id", "embedding",
+                                k=5, n_probe=4).collect()}
+    assert got == want
+
+
 def test_fingerprint_tracks_mtime(tmp_path):
     p = tmp_path / "d.parquet"
     p.write_bytes(b"x" * 10)

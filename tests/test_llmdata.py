@@ -685,3 +685,47 @@ def test_lm_logprob_short_doc_is_null(spark):
     assert got[1].n_bigrams == 0 and got[1].avg_logprob is None
     assert got[2].n_bigrams == 0 and got[2].avg_logprob is None
     assert got[3].n_bigrams == 1 and got[3].avg_logprob is not None
+
+
+def test_gram_oracles_handle_empty_docs(spark):
+    """The gram CTEs in the dup_span_extract / corpus_importance_weights
+    oracles must emit NO grams for empty or whitespace-only documents
+    (DuckDB's range(1, greatest(len-k,1)+1) otherwise yields one
+    empty-string gram that Spark never produces).  Latent on the
+    driver's testdata (no empty docs there) — pinned here on a corpus
+    that has them."""
+    import duckdb
+    import pandas as pd
+
+    from goka_spark.queries import all_oracles
+
+    dup = "omega phi chi psi rho sigma tau upsilon"
+    corpus = [(0, ""), (1, "   "), (2, dup), (3, dup),
+              (7, "lone words here only once spoken today friend"),
+              (14, dup + " trailing extras beyond the shared run")]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        corpus, columns=["doc_id", "text"]))
+    oracles = all_oracles()
+
+    for name, sdf in [
+        ("dup_span_extract",
+         D.dup_span_extract(docs, "doc_id", "text", n=5, min_df=2)),
+        ("corpus_importance_weights",
+         T.dsir_importance(docs, docs.filter(F.col("doc_id") % 7 == 0),
+                           "doc_id", "text", n_buckets=1024)),
+        ("doc_lm_score", T.lm_logprob(docs, "doc_id", "text")),
+    ]:
+        s = sdf.toPandas()
+        o = con.sql(oracles[name]).df()
+        s = s.reindex(sorted(s.columns), axis=1) \
+            .sort_values(sorted(s.columns)).reset_index(drop=True)
+        o = o.reindex(sorted(o.columns), axis=1) \
+            .sort_values(sorted(o.columns)).reset_index(drop=True)
+        assert len(s) == len(o), f"{name}: {len(s)} vs {len(o)} rows"
+        for c in s.columns:
+            if s[c].dtype == "float64":
+                s[c], o[c] = s[c].round(6), o[c].round(6)
+        pd.testing.assert_frame_equal(
+            s, o.astype(s.dtypes.to_dict()), check_dtype=False)
