@@ -131,6 +131,19 @@ def dataset_fingerprint(path: str, spark: "SparkSession | None" = None) -> str:
     return h.hexdigest()[:16]
 
 
+def adaptive_n_cells(n_rows: int, lo: int = 16, hi: int = 65536) -> int:
+    """FAISS-practice cell count: ``n_cells ≈ √n`` rounded UP to a
+    power of two.  Keeps per-cell list size ≈ √n, so a probed query
+    reads ~``n_probe·√n`` vectors however large the corpus — and the
+    probed-cell UNION of a query batch stays well under all cells
+    (n_cells=16 at sf0.1 made any 20-query union cover every cell, so
+    batched reads got no IO pruning; 64 cells restores it)."""
+    import math
+    if n_rows <= 1:
+        return lo
+    return max(lo, min(hi, 2 ** math.ceil(math.log2(math.sqrt(n_rows)))))
+
+
 @dataclass
 class ANNIndex:
     """Handle to a persisted index: tiny quantizer arrays in memory,

@@ -327,10 +327,16 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
     if max_df == "auto":
         # the histogram is a SEPARATE action before the main query, so
-        # persist the postings across the two jobs — shingle
-        # construction dominates the ngram cost and must not run twice
-        # (at cluster scale: persist(DISK_ONLY) or checkpoint)
-        sh = sh.persist()
+        # materialize the postings across the two jobs — shingle
+        # construction dominates the ngram cost and must not run twice.
+        # localCheckpoint, NOT persist(): persist registers in the
+        # CacheManager until an explicit unpersist, and this frame
+        # never escapes to the caller — blocks would accumulate across
+        # calls in a long-lived session (driver correctness sweep,
+        # bench).  Checkpoint blocks release via the ContextCleaner
+        # when the frame is GC'd.  (At cluster scale: reliable
+        # checkpoint / DISK_ONLY to survive executor loss.)
+        sh = sh.localCheckpoint(eager=False)
         max_df = auto_max_df(sh, budget=budget)
     if max_df is None:
         # no pruning: every shingle is "cold", no hot correction needed

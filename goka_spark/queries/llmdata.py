@@ -143,12 +143,18 @@ def embedding_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
 def _ann_index(spark: SparkSession, sf: str, emb: DataFrame) -> "A.ANNIndex":
     """One persisted index serves all three ANN registry queries:
     quantizers cached on disk (trained once per dataset), codes table
-    partitioned by cell (probed reads are file-level pruned)."""
+    partitioned by cell (probed reads are file-level pruned).
+    ``n_cells ≈ √n`` (FAISS practice) keeps per-cell lists ≈ √n AND
+    keeps a query batch's probed-cell union strictly under all cells,
+    so batched reads still prune IO (16 fixed cells saturated any
+    20-query union at sf0.1)."""
     import os
     fp = A.dataset_fingerprint(os.path.join(sf, "embeddings.parquet"),
                                spark=spark)
     return A.build_or_load(spark, emb, "vec_id", "embedding",
-                           fingerprint=fp, n_cells=16, m=8, ksub=16)
+                           fingerprint=fp,
+                           n_cells=A.adaptive_n_cells(emb.count()),
+                           m=8, ksub=16)
 
 
 def embedding_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
@@ -328,11 +334,15 @@ def filter_verdicts(docs: DataFrame) -> DataFrame:
         T.repetition_ratio(F.col("text"), 3).alias("_rep"))
     # the gates are interpreted lambda expressions and `scored` has
     # FOUR downstream consumers (dedup agg, semi-join probe, the
-    # near-dup miner's postings, the final verdict join) — persist it
-    # so they are evaluated once per document, not once per consumer
-    # (measured ~25% of pipeline wall-time at sf0.1; the cluster-scale
-    # equivalent is persist(DISK_ONLY) or a checkpoint between stages)
-    scored = scored.persist()
+    # near-dup miner's postings, the final verdict join) — materialize
+    # it so they are evaluated once per document, not once per consumer
+    # (measured ~25% of pipeline wall-time at sf0.1).  localCheckpoint,
+    # NOT persist(): persist stays registered in the CacheManager until
+    # an explicit unpersist nobody can issue (the frame never escapes),
+    # so blocks would accumulate across calls in a long-lived session;
+    # checkpoint blocks release via the ContextCleaner on GC.  (At
+    # cluster scale: reliable checkpoint / DISK_ONLY between stages.)
+    scored = scored.localCheckpoint(eager=False)
     surv1 = scored.filter((F.col("_lang") == "en") & (F.col("_q") >= 0.5)
                           & (F.col("_rep") < 0.2))
     keep_ids = (surv1.groupBy(F.md5("text").alias("_h"))

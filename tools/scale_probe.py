@@ -172,11 +172,14 @@ def main():
         # n_probe/n_cells regardless of corpus size (physical pruning).
         from goka_spark.functions import ann_index as ANN
         t0 = time.time()
+        n_cells = ANN.adaptive_n_cells(emb_f.count())
         idx = ANN.build_or_load(
             spark, emb_f, "vec_id", "embedding",
             fingerprint=f"scaleprobe_x{f}_{os.path.getmtime(BASE + '/embeddings.parquet'):.0f}",
+            n_cells=n_cells,
             cache_dir=WORK + "/ann_cache")
         r["ann_index_build"] = round(time.time() - t0, 2)
+        r["ann_n_cells"] = n_cells
         r["ann_ivfpq_indexed"] = timed("ann_idx", ANN.ivf_pq_topk(
             idx, emb_f, pq_queries, "vec_id", "embedding",
             k=5, n_probe=4))
@@ -185,15 +188,19 @@ def main():
                                       10_000)[1], 4)
         total = idx.codes().count()
         # per-query IO fraction (the physical-pruning claim: one query
-        # reads ~n_probe/n_cells of the codes); the 20-query batch's
-        # UNION of probes naturally approaches all cells — batching
-        # trades per-query pruning for scan sharing, so both are shown
+        # reads ~n_probe/n_cells of the codes); with n_cells ≈ √n the
+        # 20-query batch's probed-cell UNION must also stay under all
+        # cells — batched reads keep real IO pruning, asserted below
+        # (at the old fixed n_cells=16 the union saturated to 1.0).
         r["ann_rows_frac_q0"] = round(
             idx.codes([int(c) for c in qcells[0]]).count()
             / max(total, 1), 3)
         union = sorted({int(c) for row in qcells for c in row})
         r["ann_rows_frac_union20"] = round(
             idx.codes(union).count() / max(total, 1), 3)
+        assert r["ann_rows_frac_union20"] < 1.0, (
+            f"20-query probed-cell union covers ALL codes at x{f} "
+            f"(n_cells={n_cells}) — batched ANN reads lost IO pruning")
 
         # PyFold last: its Python workers pressure memory for later jobs
         gpy = define_group("p", input_stream("t", key="user_id"),
