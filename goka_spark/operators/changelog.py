@@ -243,6 +243,14 @@ class DeltaChangelogTable:
             F.col(tombstone) if tombstone else F.lit(False))
         if tombstone:
             upd = upd.drop(tombstone)
+        # A changelog batch normally carries SEVERAL rows per key;
+        # Delta MERGE throws "multiple source rows matched" on that
+        # shape, so reduce to one row per key first.  The pick among a
+        # key's batch rows is arbitrary — the same contract as the
+        # parquet variant, whose equal-rank max_by also breaks ties
+        # arbitrarily; order the batch upstream (e.g. keep only the
+        # max-offset row) when last-within-batch must be deterministic.
+        upd = upd.dropDuplicates([self.key_col])
         cols = [c for c in upd.columns if c != "_tombstone"]
         if not DeltaTable.isDeltaTable(self.spark, self.path):
             upd.filter(~F.col("_tombstone")).drop("_tombstone") \

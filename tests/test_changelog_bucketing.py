@@ -190,3 +190,14 @@ def test_delta_changelog_merge_and_time_travel(spark, tmp_path):
     assert got == {"a": 10, "c": 3, "d": 4}
     past = {r.key: r.cnt for r in cl.read_compacted(as_of=v0).collect()}
     assert past == {"a": 1, "b": 2, "c": 3}
+    # the normal changelog shape: several rows per key in ONE batch —
+    # Delta MERGE would throw "multiple source rows matched" without
+    # the per-key reduction; one arbitrary batch row must win (the
+    # parquet variant's equal-rank max_by contract)
+    v2 = cl.merge(spark.createDataFrame(
+        [("a", 100), ("a", 101), ("e", 5), ("e", 6)],
+        "key string, cnt long"))
+    assert v2 > v1
+    got2 = {r.key: r.cnt for r in cl.read_compacted().collect()}
+    assert got2["a"] in (100, 101) and got2["e"] in (5, 6)
+    assert got2["c"] == 3 and got2["d"] == 4
