@@ -58,41 +58,19 @@ def default_cache_dir() -> str:
 
 
 # ---------------------------------------------------------------- FS
-# All artifact IO routes through the JVM Hadoop FileSystem (same idiom
-# as operators/changelog.py): os.walk/os.rename/np.load-on-a-path work
+# All artifact IO routes through the JVM Hadoop FileSystem (shared
+# helpers in goka_spark/hadoop_fs.py): os.walk/os.rename/np.load work
 # only on a POSIX local disk, but the 100 TB deployment keeps its
 # testdata AND its index on HDFS/S3.  ``Path.getFileSystem`` resolves
 # the scheme per path, so plain local paths keep working unchanged.
 
-def _hfs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(spark._jsc.hadoopConfiguration()), jvm, p
-
-
-def _join(base: str, *parts: str) -> str:
-    """URI-safe path join (os.path.join mangles ``s3a://`` bases)."""
-    return "/".join([base.rstrip("/")] + [p.strip("/") for p in parts])
-
-
-def _read_bytes(spark: SparkSession, path: str) -> bytes:
-    fs, jvm, p = _hfs(spark, path)
-    stream = fs.open(p)
-    out = jvm.java.io.ByteArrayOutputStream()
-    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, out, 65536, True)
-    return bytes(out.toByteArray())
-
-
-def _write_bytes(spark: SparkSession, path: str, data: bytes) -> None:
-    fs, jvm, p = _hfs(spark, path)
-    stream = fs.create(p, True)  # creates parent dirs on every Hadoop FS
-    stream.write(data)
-    stream.close()
-
-
-def _exists(spark: SparkSession, path: str) -> bool:
-    fs, _, p = _hfs(spark, path)
-    return bool(fs.exists(p))
+from goka_spark.hadoop_fs import (  # noqa: E402
+    exists as _exists,
+    hfs as _hfs,
+    read_bytes as _read_bytes,
+    uri_join as _join,
+    write_bytes as _write_bytes,
+)
 
 
 def dataset_fingerprint(path: str, spark: "SparkSession | None" = None) -> str:

@@ -18,12 +18,12 @@ Scale/production notes baked in:
 from __future__ import annotations
 
 import json
-import os
 from typing import Any, Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from goka_spark import hadoop_fs as FS
 from goka_spark.graph import GroupGraph
 from goka_spark.operators.processor import KEY, Processor
 
@@ -147,20 +147,32 @@ class ExactlyOnceBatchSink:
     set above N — epochs arrive in order from the streaming engine,
     so the sparse set only grows across a crash window and drains as
     the watermark advances.  The v1 plain-list format still loads.
-    Production note: point ``path`` at a checkpoint-grade store
-    (HDFS/S3).
+
+    Ledger IO goes through the Hadoop FileSystem API (hadoop_fs.py),
+    so ``path`` may be any Hadoop-FS URI — the checkpoint-grade store
+    (HDFS/S3) a production stream commits to, not just local disk.
+    ``replace_file`` is delete+rename (HDFS rename can't overwrite);
+    a crash in that gap loses only the marker: every epoch dir is
+    overwrite-idempotent, so the replay rewrites identical data.
     """
 
     def __init__(self, path: str):
         self.path = path
-        self._ledger = os.path.join(path, "_committed_epochs.json")
+        self._ledger = FS.uri_join(path, "_committed_epochs.json")
+
+    def _spark(self) -> SparkSession:
+        spark = SparkSession.getActiveSession()
+        if spark is None:  # pragma: no cover - sink always runs in-session
+            raise RuntimeError("ExactlyOnceBatchSink needs an active "
+                               "SparkSession for ledger IO")
+        return spark
 
     def _state(self) -> tuple[int, set[int]]:
         """(high watermark, sparse committed epochs above it)."""
-        if not os.path.exists(self._ledger):
+        spark = self._spark()
+        if not FS.exists(spark, self._ledger):
             return -1, set()
-        with open(self._ledger) as f:
-            obj = json.load(f)
+        obj = json.loads(FS.read_bytes(spark, self._ledger).decode("utf-8"))
         if isinstance(obj, list):  # v1 ledger: plain epoch list
             hw, sparse = -1, set(obj)
         else:
@@ -181,17 +193,18 @@ class ExactlyOnceBatchSink:
         hw, sparse = self._state()
         if epoch_id <= hw or epoch_id in sparse:
             return  # replay after restart: skip, already durable
-        epoch_dir = os.path.join(self.path, "data", f"epoch_id={epoch_id}")
+        epoch_dir = FS.uri_join(self.path, "data", f"epoch_id={epoch_id}")
         batch_df.write.mode("overwrite").parquet(epoch_dir)
         sparse.add(epoch_id)
         while hw + 1 in sparse:
             hw += 1
             sparse.discard(hw)
+        spark = batch_df.sparkSession
         tmp = self._ledger + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"hw": hw, "sparse": sorted(sparse)}, f)
-        os.replace(tmp, self._ledger)  # atomic commit marker
+        FS.write_bytes(spark, tmp, json.dumps(
+            {"hw": hw, "sparse": sorted(sparse)}).encode("utf-8"))
+        FS.replace_file(spark, tmp, self._ledger)  # commit marker
 
     def read(self, spark: SparkSession) -> DataFrame:
         """All committed rows (partition column ``epoch_id`` dropped)."""
-        return spark.read.parquet(os.path.join(self.path, "data")).drop("epoch_id")
+        return spark.read.parquet(FS.uri_join(self.path, "data")).drop("epoch_id")

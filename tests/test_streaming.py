@@ -411,9 +411,15 @@ def test_exactly_once_ledger_watermark_compacts(spark, tmp_path):
         obj = json.load(f)
     assert obj == {"hw": 5, "sparse": []}  # gap filled -> drained
 
-    # v1 plain-list ledgers (pre-compaction format) keep working
+    # v1 plain-list ledgers (pre-compaction format) keep working.
+    # Simulate a genuine v1 upgrade: the old code wrote with plain
+    # open() and never produced a Hadoop .crc sidecar — drop the one
+    # the FS-written ledger left, or LocalFS checksum-fails the read.
     with open(sink._ledger, "w") as f:
         json.dump([0, 1, 2, 7], f)
+    crc = tmp_path / "out" / "._committed_epochs.json.crc"
+    if crc.exists():
+        os.remove(crc)
     assert sink._committed() == {0, 1, 2, 7}
     sink(df, 8)
     with open(sink._ledger) as f:
