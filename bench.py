@@ -51,6 +51,9 @@ HEADLINE = [
     "ngram_jaccard_auto",
     "embedding_ivf_pq_ann",
     "embedding_lsh_ann",
+    # round 5 additions
+    "dedup_incremental",
+    "bloom_decontaminate",
 ]
 
 

@@ -1,0 +1,130 @@
+"""Corpus management operators — split / mixture policies.
+
+The training-data steps between filtering and training: carve the
+corpus into reproducible train/validation/test partitions and reshape
+the domain mixture toward target weights.  Both are HASH policies,
+not RNG sampling: membership is a pure function of the document id
+(md5 slot), so any engine — Spark at 100 TB, DuckDB auditing a
+sample, a downstream loader double-checking — derives the identical
+decision with no seed coordination and no shuffled state.
+
+Reference parity: goka keys every decision off the message key
+(partition = hash(key) % n, hashutils.go) — the same
+"hash-of-id decides placement" contract applied to corpus curation.
+
+Scale shape: everything here is a pure Column filter or a
+few-rows-per-domain broadcast join on top of one scan — no windows,
+no per-domain sorts, no driver loops; at 100 TB the only shuffle is
+the per-domain count aggregate (map-side combined, one row per
+domain).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+#: slots per unit for split permilles / mixture rates
+SPLIT_MOD = 1_000
+RATE_MOD = 1_000_000
+
+
+def hash_slot(id_col: Column, mod: int, salt: str = "") -> Column:
+    """Deterministic slot in [0, mod): first 8 md5 hex chars of
+    ``id || salt`` as an integer (bit-identical in DuckDB via
+    CAST('0x' || substr(md5(...), 1, 8) AS BIGINT)).  A different
+    ``salt`` re-rolls every assignment independently — e.g. the split
+    salt must differ from any sampling salt or the two decisions
+    correlate."""
+    key = F.concat(id_col.cast("string"), F.lit(salt))
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % mod
+
+
+def hash_split(df: DataFrame, id_col: str,
+               splits: list[tuple[str, int]] = (("train", 980),
+                                                ("validation", 10),
+                                                ("test", 10)),
+               salt: str = "split-v1") -> DataFrame:
+    """Assign every row to exactly one named split — disjoint and
+    exhaustive by construction (consecutive slot ranges over one
+    md5 slot in [0, 1000)).  ``splits`` are (name, permille) with
+    permilles summing to 1000.
+
+    Adding documents later never moves an existing document between
+    splits (assignment depends only on the id), which is the property
+    that keeps eval sets stable across corpus refreshes."""
+    splits = list(splits)
+    total = sum(p for _, p in splits)
+    if total != SPLIT_MOD:
+        raise ValueError(f"split permilles must sum to {SPLIT_MOD}, got {total}")
+    slot = hash_slot(F.col(id_col), SPLIT_MOD, salt)
+    expr = None
+    hi = 0
+    for name, permille in splits:
+        hi += permille
+        expr = F.when(slot < hi, name) if expr is None else expr.when(slot < hi, name)
+    return df.select(F.col(id_col), expr.alias("split"))
+
+
+def mixture_rates(df: DataFrame, domain_col: str,
+                  weights: dict[str, int]) -> DataFrame:
+    """Per-domain keep rates that reshape the corpus toward integer
+    target ``weights`` (relative, any scale) while keeping the most
+    data: the LIMITING domain — the one that runs out of documents
+    first, min n_s/w_s — is kept whole and every other domain is
+    down-sampled to match its ratio.
+
+    All arithmetic is integer (floor division), so the policy is
+    bit-reproducible in any engine: r_s = n_s*1e6 // w_s picks the
+    limiting domain L (ties broken by domain name), targets are
+    t_s = n_L * w_s // w_L, rates are rate_e6 = t_s*1e6 // n_s
+    (>= 1e6 means keep-all; possible only on an r-tie, where the true
+    ratios may order differently than their floors).
+
+    Returns one row per domain: (domain, n_docs, target, rate_e6).
+    Domains absent from ``weights`` get weight 0 → rate 0 (dropped).
+    """
+    w_rows = [(d, int(w)) for d, w in sorted(weights.items())]
+    if any(w <= 0 for _, w in w_rows):
+        raise ValueError("weights must be positive (omit a domain to drop it)")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(w_rows, f"{domain_col} string, w long")
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("n_docs"))
+    j = counts.join(F.broadcast(wdf), domain_col, "left").fillna({"w": 0})
+    # `div` is Spark's integer division — exact on longs, unlike `/`
+    # which routes through double and loses bits past 2^53 (real risk:
+    # n_docs * 1e6 overflows double precision at ~1e9 docs/domain)
+    scored = j.withColumn(
+        "_r", F.when(F.col("w") > 0,
+                     F.expr(f"(n_docs * {RATE_MOD}L) div w")))
+    # limiting domain via a 1-row broadcast join (min_by with a
+    # deterministic domain-name tiebreak), not a driver collect
+    lim = (scored.filter(F.col("w") > 0)
+           .select(F.min_by(
+               F.struct(F.col("n_docs").alias("n_l"), F.col("w").alias("w_l")),
+               F.struct(F.col("_r"), F.col(domain_col))).alias("_lim"))
+           .select("_lim.n_l", "_lim.w_l"))
+    return (scored.crossJoin(F.broadcast(lim))
+            .withColumn("target", F.expr("(n_l * w) div w_l"))
+            .withColumn("rate_e6",
+                        F.when(F.col("n_docs") > 0,
+                               F.expr(f"(target * {RATE_MOD}L) div n_docs")))
+            .select(domain_col, "n_docs", "target", "rate_e6"))
+
+
+def domain_mix(df: DataFrame, id_col: str, domain_col: str,
+               weights: dict[str, int],
+               salt: str = "mix-v1") -> DataFrame:
+    """Apply :func:`mixture_rates` — keep a document iff its md5 slot
+    falls under its domain's rate.  The realized mix is Binomial
+    around the target (the hash is uniform); the POLICY (counts →
+    rates → membership) is exact integer math end-to-end, which is
+    what the oracle verifies.  One scan + one small aggregate + a
+    broadcast join: no O(corpus) shuffle."""
+    rates = mixture_rates(df, domain_col, weights)
+    slot = hash_slot(F.col(id_col), RATE_MOD, salt)
+    return (df.join(F.broadcast(rates), domain_col)
+            .withColumn("_slot", slot)
+            .filter(F.col("_slot") < F.col("rate_e6"))
+            .select(F.col(id_col), F.col(domain_col), F.col("rate_e6")))

@@ -631,3 +631,134 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def band_keys(sigs: DataFrame, id_col: str, bands: int = 4,
+              rows_per_band: int = 4) -> DataFrame:
+    """LSH band keys as JOINED SIGNATURE STRINGS — ``(id, band,
+    band_key)`` with band_key = the band's raw minhash values joined
+    by '-'.  Unlike :func:`lsh_bands` (xxhash64 of the slice — faster,
+    JVM-only) the string key is engine-portable: DuckDB rebuilds it
+    with string_agg(sig, '-' ORDER BY perm), so a band join is
+    oracle-verifiable end-to-end.  Two docs share a band key iff they
+    share that band's signature slice — identical collision semantics,
+    the key is just longer (~40 bytes vs 8)."""
+    kv = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("-", F.transform(
+                F.slice("minhash", b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"))).alias("band_key"),
+        )
+        for b in range(bands)
+    ])
+    return (sigs.select(F.col(id_col), F.explode(kv).alias("bb"))
+            .select(id_col, "bb.band", "bb.band_key"))
+
+
+def incremental_dedup(batch: DataFrame, corpus: DataFrame, id_col: str,
+                      text_col: str, num_perm: int = 16, bands: int = 4,
+                      shingle: int = 3,
+                      base_hash: str = "md5") -> DataFrame:
+    """Incremental ingestion dedup — the shape a 100 TB pipeline
+    actually runs: a NEW batch arrives and must be deduplicated
+    against the EXISTING corpus without ever re-pairing the corpus
+    with itself.  Returns one row per batch document:
+    (id, verdict) with verdict ∈ exact_dup | near_dup | new.
+
+    - exact_dup: md5(text) matches some existing document;
+    - near_dup: not exact, but shares ≥1 LSH band (minhash signature
+      slice) with some existing document;
+    - new: neither.
+
+    Scale shape: both probes are equi-joins keyed by hash values —
+    batch md5 × corpus md5, batch band × corpus band — so the cost is
+    O(batch + corpus) postings with no corpus×corpus term, and the
+    corpus side of each join is exactly the artifact a production
+    pipeline keeps persisted between batches (the signature/band
+    table, like the ann_index codes table; goka's changelog-table
+    recovery, partition_table.go:1, is the same
+    precomputed-state-vs-new-input contract).  ``base_hash='md5'``
+    keeps the whole verdict oracle-verifiable; xxhash64 is the
+    production default elsewhere and drops in unchanged."""
+    b_md5 = batch.select(
+        F.col(id_col),
+        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("_h"))
+    c_md5 = corpus.select(
+        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("_h")).distinct()
+    exact = (b_md5.join(c_md5, "_h", "left_semi")
+             .select(F.col(id_col), F.lit("exact_dup").alias("verdict")))
+
+    r = num_perm // bands
+    b_bands = band_keys(
+        minhash_signatures(batch, id_col, text_col, num_perm, shingle,
+                           base_hash), id_col, bands, r)
+    c_bands = band_keys(
+        minhash_signatures(corpus, id_col, text_col, num_perm, shingle,
+                           base_hash), id_col, bands, r) \
+        .select("band", "band_key").distinct()
+    near = (b_bands.join(c_bands, ["band", "band_key"], "left_semi")
+            .select(id_col).distinct()
+            .join(exact.select(id_col), id_col, "left_anti")
+            .select(F.col(id_col), F.lit("near_dup").alias("verdict")))
+
+    rest = (batch.select(id_col)
+            .join(exact.select(id_col).unionAll(near.select(id_col)),
+                  id_col, "left_anti")
+            .select(F.col(id_col), F.lit("new").alias("verdict")))
+    return exact.unionAll(near).unionAll(rest)
+
+
+def bloom_bits(grams: DataFrame, gram_col: str, m_bits: int,
+               k: int, carry: "list[str] | None" = None) -> DataFrame:
+    """The k bit positions each gram sets in an m-bit Bloom filter:
+    pos_j = md5int(j || ':' || gram) % m_bits.  md5-derived so any
+    engine computes identical bits.  ``carry`` columns (e.g. the doc
+    id on the probe side) pass through the explode."""
+    pos = F.array(*[
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{j}:"), F.col(gram_col))), 1, 8),
+            16, 10).cast("long") % m_bits
+        for j in range(k)
+    ])
+    keep = [F.col(c) for c in (carry or [])] + [F.col(gram_col)]
+    return grams.select(*keep, F.posexplode(pos).alias("j", "pos"))
+
+
+def bloom_decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                        id_col: str, text_col: str, n: int = 3,
+                        m_bits: int = 1 << 17, k: int = 3,
+                        min_hits: int = 1) -> DataFrame:
+    """Benchmark decontamination through an m-bit Bloom filter — the
+    constant-size alternative to :func:`decontaminate`'s exact gram
+    set: at 100 TB the benchmark suite can hold 10⁹ distinct grams
+    (GBs as strings, too big to broadcast), but its Bloom filter is
+    m bits regardless.  A corpus gram counts as a hit iff ALL k of
+    its bit positions are set by some benchmark gram — a SUPERSET of
+    the exact hits (Bloom filters have no false negatives), with
+    false-positive rate ≈ (1-e^{-kN/m})^k, deterministic given the
+    md5 bit derivation, so the flagged set is engine-reproducible.
+
+    Spark shape: the filter is materialized as the DISTINCT set-bit
+    positions (≤ m rows of one long — the broadcastable form of a
+    bitset); corpus postings explode to k position probes, broadcast
+    equi-join, and a gram hits when all k probes land:
+    count(matched j) = k.  Everything stays JVM-side; no UDF bitset.
+
+    Returns (id, n_hits): per corpus doc, the number of DISTINCT
+    grams whose Bloom probe hits, filtered to >= min_hits."""
+    bench_sh = (benchmark
+                .select(F.explode(word_shingles(F.col(text_col), n))
+                        .alias("sh")).distinct())
+    bits = (bloom_bits(bench_sh, "sh", m_bits, k)
+            .select("pos").distinct())
+    probes = bloom_bits(shingle_postings(corpus, id_col, text_col, n),
+                        "sh", m_bits, k, carry=["doc"])
+    hit_grams = (probes.join(F.broadcast(bits), "pos")
+                 .groupBy("doc", "sh")
+                 .agg(F.count("*").alias("_k_hit"))
+                 .filter(F.col("_k_hit") == k))
+    return (hit_grams.groupBy("doc")
+            .agg(F.count("*").alias("n_hits"))
+            .filter(F.col("n_hits") >= min_hits)
+            .select(F.col("doc").alias(id_col), "n_hits"))

@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from goka_spark.functions import ann_index as A
+from goka_spark.functions import corpus as C
 from goka_spark.functions import dedup as D
 from goka_spark.functions import multimodal as M
 from goka_spark.functions import similarity as S
@@ -486,7 +487,61 @@ def embedding_pq_ann(spark: SparkSession, sf: str) -> DataFrame:
                      "vec_id", "embedding", k=5, refine=4)
 
 
+#: target mixture for corpus_domain_mix — deliberately skewed so the
+#: policy has work to do (uniform source counts in testdata)
+MIX_WEIGHTS = {f"src{i}": 20 - i for i in range(20)}
+
+
+def corpus_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/validation/test split (980/10/10 permille):
+    membership is md5(doc_id||salt) mod 1000 slot ranges — disjoint
+    and exhaustive by construction, stable across corpus refreshes
+    (C.hash_split).  Pure Column filter, no shuffle at any scale."""
+    docs = load(spark, sf, "documents")["documents"]
+    return C.hash_split(docs, "doc_id")
+
+
+def corpus_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mixture reshaping: integer target weights per source;
+    the limiting domain is kept whole, every other down-samples by a
+    deterministic md5-slot test (C.domain_mix).  One count aggregate
+    (one row per domain) + a broadcast rates join + a scan filter —
+    the policy arithmetic is exact integer math, which the oracle
+    replicates verbatim."""
+    docs = load(spark, sf, "documents")["documents"]
+    return C.domain_mix(docs, "doc_id", "source", MIX_WEIGHTS)
+
+
+def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental batch-vs-corpus dedup (D.incremental_dedup): docs
+    with doc_id % 10 == 0 play the arriving batch, the rest the
+    existing corpus.  Verdicts: exact_dup (md5 text), near_dup
+    (shared md5-minhash LSH band), new.  No corpus×corpus pairing —
+    the 100 TB ingestion shape."""
+    docs = load(spark, sf, "documents")["documents"]
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return D.incremental_dedup(batch, corpus, "doc_id", "text")
+
+
+def bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filtered benchmark decontamination — same corpus/bench
+    split as benchmark_decontaminate (doc_id % 97) but membership
+    through a 2^17-bit, k=3 Bloom filter with md5-derived positions
+    (D.bloom_decontaminate): constant broadcast size at any benchmark
+    scale, no false negatives, deterministic false positives — the
+    oracle recomputes the identical bitset."""
+    docs = load(spark, sf, "documents")["documents"]
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return D.bloom_decontaminate(corpus, bench, "doc_id", "text", n=3)
+
+
 QUERIES = {
+    "corpus_split": corpus_split,
+    "corpus_domain_mix": corpus_domain_mix,
+    "dedup_incremental": dedup_incremental,
+    "bloom_decontaminate": bloom_decontaminate,
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -1255,4 +1310,98 @@ ORACLES["doc_lm_score"] = f"""
                 THEN CAST(logprob_e6 AS DOUBLE) / 1e6 / n_bigrams
            END AS avg_logprob
     FROM documents LEFT JOIN scored USING (doc_id)
+"""
+
+
+# --- corpus split / mix / incremental dedup / bloom (round 5) -------
+
+ORACLES["corpus_split"] = """
+    SELECT doc_id,
+           CASE WHEN slot < 980 THEN 'train'
+                WHEN slot < 990 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                          || 'split-v1'), 1, 8))
+                      AS BIGINT) % 1000 AS slot
+          FROM documents)
+"""
+
+_MIX_VALUES = ", ".join(
+    f"('src{i}', {20 - i})" for i in range(20))
+
+ORACLES["corpus_domain_mix"] = f"""
+    WITH w(source, wt) AS (VALUES {_MIX_VALUES}),
+    c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY source),
+    j AS (SELECT c.source, n_docs, COALESCE(wt, 0) AS wt,
+                 CASE WHEN COALESCE(wt, 0) > 0
+                      THEN (n_docs * 1000000) // wt END AS r
+          FROM c LEFT JOIN w USING (source)),
+    lim AS (SELECT n_docs AS n_l, wt AS w_l FROM j
+            WHERE wt > 0 ORDER BY r, source LIMIT 1),
+    rates AS (SELECT source,
+                     CAST(CASE WHEN n_docs > 0
+                          THEN (((n_l * wt) // w_l) * 1000000) // n_docs
+                          END AS BIGINT) AS rate_e6
+              FROM j CROSS JOIN lim)
+    SELECT doc_id, source, rate_e6
+    FROM documents JOIN rates USING (source)
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                   || 'mix-v1'), 1, 8))
+               AS BIGINT) % 1000000 < rate_e6
+"""
+
+# band keys from the md5-minhash twin: DuckDB rebuilds band_key =
+# the band's 4 signature values joined by '-' (string_agg ORDER BY
+# perm), the engine-portable form band_keys() emits Spark-side.
+ORACLES["dedup_incremental"] = f"""
+    WITH sig AS ({_minhash_oracle()}),
+    bnd AS (
+      SELECT doc_id, perm // 4 AS band,
+             string_agg(CAST(sig AS VARCHAR), '-' ORDER BY perm)
+               AS band_key
+      FROM sig GROUP BY doc_id, perm // 4
+    ), ex AS (
+      SELECT DISTINCT b.doc_id
+      FROM documents b
+      WHERE b.doc_id % 10 = 0 AND md5(b.text) IN
+            (SELECT md5(text) FROM documents WHERE doc_id % 10 <> 0)
+    ), nr AS (
+      SELECT DISTINCT b.doc_id
+      FROM bnd b JOIN bnd c
+        ON b.band = c.band AND b.band_key = c.band_key
+      WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id IN (SELECT doc_id FROM ex) THEN 'exact_dup'
+                WHEN doc_id IN (SELECT doc_id FROM nr) THEN 'near_dup'
+                ELSE 'new' END AS verdict
+    FROM documents WHERE doc_id % 10 = 0
+"""
+
+ORACLES["bloom_decontaminate"] = f"""
+    WITH sh AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+               range(1, greatest(len(words) - 2, 1) + 1),
+               i -> array_to_string(words[i:i+2], ' ')))) AS sh
+      FROM (SELECT doc_id, {_WORDS} AS words FROM documents)
+    ), ks(j) AS (VALUES (0), (1), (2)),
+    bits AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || sh),
+                                  1, 8)) AS BIGINT) % 131072 AS pos
+      FROM (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
+           CROSS JOIN ks
+    ), probes AS (
+      SELECT doc_id, sh, j,
+             CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || sh),
+                                  1, 8)) AS BIGINT) % 131072 AS pos
+      FROM sh CROSS JOIN ks WHERE doc_id % 97 <> 0
+    ), hit_grams AS (
+      SELECT doc_id, sh FROM probes JOIN bits USING (pos)
+      GROUP BY doc_id, sh HAVING COUNT(*) = 3
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM hit_grams GROUP BY doc_id HAVING COUNT(*) >= 1
 """

@@ -1,0 +1,164 @@
+"""Round-5 corpus-management + incremental/bloom dedup operators.
+
+Oracle hash-equivalence runs in tools/verify_local.py / the driver;
+these tests pin the SEMANTIC properties the hashes can't express:
+split disjointness/stability, mixture policy optimality, incremental
+verdicts on planted duplicates, and Bloom's no-false-negative bound.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from goka_spark.functions import corpus as C
+from goka_spark.functions import dedup as D
+from goka_spark.queries.base import load
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents")["documents"]
+
+
+# ----------------------------------------------------------- split
+
+def test_hash_split_disjoint_exhaustive(docs):
+    out = C.hash_split(docs, "doc_id")
+    n = docs.count()
+    assert out.count() == n                       # every doc assigned
+    assert out.select("doc_id").distinct().count() == n  # exactly once
+    names = {r["split"] for r in out.select("split").distinct().collect()}
+    assert names <= {"train", "validation", "test"}
+
+
+def test_hash_split_stable_under_corpus_growth(docs):
+    """The property that keeps eval sets honest: adding documents
+    never reassigns an existing one."""
+    subset = docs.filter(F.col("doc_id") < 100)
+    full = C.hash_split(docs, "doc_id")
+    part = C.hash_split(subset, "doc_id")
+    moved = (part.alias("p")
+             .join(full.alias("f"), "doc_id")
+             .filter(F.col("p.split") != F.col("f.split")).count())
+    assert moved == 0
+
+
+def test_hash_split_salt_rerolls(docs):
+    a = C.hash_split(docs, "doc_id", salt="a")
+    b = C.hash_split(docs, "doc_id", salt="b")
+    same = (a.alias("a").join(b.alias("b"), "doc_id")
+            .filter(F.col("a.split") == F.col("b.split")).count())
+    assert same < docs.count()  # different salt -> different assignment
+
+
+def test_hash_split_validates_permilles(docs):
+    with pytest.raises(ValueError):
+        C.hash_split(docs, "doc_id", splits=[("train", 990), ("test", 20)])
+
+
+# ------------------------------------------------------------- mix
+
+def test_mixture_rates_limiting_domain_kept_whole(docs):
+    w = {f"src{i}": 20 - i for i in range(20)}
+    rates = {r["source"]: r for r in
+             C.mixture_rates(docs, "source", w).collect()}
+    # uniform counts -> the max-weight domain limits; kept whole
+    assert rates["src0"]["rate_e6"] == C.RATE_MOD
+    assert rates["src0"]["target"] == rates["src0"]["n_docs"]
+    # every other domain scales by w_s/w_limit exactly (n uniform)
+    for i in range(1, 20):
+        assert rates[f"src{i}"]["target"] == (25 * (20 - i)) // 20
+
+
+def test_mixture_rates_match_pure_python(docs):
+    w = {f"src{i}": (i * 7) % 13 + 1 for i in range(20)}
+    counts = {r["source"]: r["n"] for r in
+              docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    r_of = {s: (counts[s] * C.RATE_MOD) // w[s] for s in counts}
+    lim = min(counts, key=lambda s: (r_of[s], s))
+    n_l, w_l = counts[lim], w[lim]
+    expect = {s: ((n_l * w[s]) // w_l * C.RATE_MOD) // counts[s]
+              for s in counts}
+    got = {r["source"]: r["rate_e6"] for r in
+           C.mixture_rates(docs, "source", w).collect()}
+    assert got == expect
+
+
+def test_domain_mix_unweighted_domain_dropped(docs):
+    w = {"src0": 1}  # every other source omitted -> dropped
+    out = C.domain_mix(docs, "doc_id", "source", w)
+    kept_sources = {r["source"] for r in out.select("source").distinct().collect()}
+    assert kept_sources == {"src0"}
+    assert out.count() == 25  # limiting (only) domain kept whole
+
+
+def test_mixture_rates_rejects_nonpositive_weight(docs):
+    with pytest.raises(ValueError):
+        C.mixture_rates(docs, "source", {"src0": 0})
+
+
+# ----------------------------------------------------- incremental
+
+def test_incremental_dedup_planted_verdicts(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely different text about spark execution plans")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),   # exact
+         (11, "the quick brown fox jumps over the lazy dog tonight"),  # near
+         (12, "unrelated words entirely novel content zero overlap here")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["verdict"] for r in
+           D.incremental_dedup(batch, corpus, "doc_id", "text").collect()}
+    assert got[10] == "exact_dup"
+    assert got[11] == "near_dup"
+    assert got[12] == "new"
+
+
+def test_incremental_dedup_covers_batch_exactly(docs):
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    out = D.incremental_dedup(batch, corpus, "doc_id", "text")
+    assert out.count() == batch.count()
+    assert out.select("doc_id").distinct().count() == batch.count()
+
+
+# ----------------------------------------------------------- bloom
+
+def test_bloom_no_false_negatives_vs_exact(docs):
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bloom = D.bloom_decontaminate(corpus, bench, "doc_id", "text", n=3)
+    exact = D.decontaminate(corpus, bench, "doc_id", "text", n=3)
+    missing = exact.select("doc_id").subtract(bloom.select("doc_id")).count()
+    assert missing == 0
+    # per-doc: bloom hit count >= exact hit count (FPs only add)
+    under = (exact.alias("e")
+             .join(bloom.alias("b"), "doc_id")
+             .filter(F.col("b.n_hits") < F.col("e.n_hits")).count())
+    assert under == 0
+
+
+def test_bloom_false_positive_rate_bounded(docs):
+    """With m=2^17 bits and a few hundred benchmark grams, the FP
+    rate is tiny — flagged-but-not-exact docs should be rare."""
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bloom = D.bloom_decontaminate(corpus, bench, "doc_id", "text", n=3)
+    exact = D.decontaminate(corpus, bench, "doc_id", "text", n=3)
+    fp_docs = bloom.select("doc_id").subtract(exact.select("doc_id")).count()
+    assert fp_docs <= max(2, corpus.count() // 100)
+
+
+def test_bloom_tiny_filter_saturates_to_superset(spark):
+    """Degenerate m: every bit set -> every gram 'hits' — documents
+    the superset semantics rather than failing."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(2, "one two three four five six seven")],
+        "doc_id long, text string")
+    out = D.bloom_decontaminate(corpus, bench, "doc_id", "text",
+                                n=3, m_bits=2, k=1)
+    assert out.count() == 1  # all grams collide at m=2
