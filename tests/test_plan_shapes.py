@@ -233,3 +233,37 @@ def test_dsir_log_ratio_table_is_broadcast(spark, sf_dir):
     df = llmdata.corpus_importance_weights(spark, sf_dir)
     assert X.has_broadcast_join(df), X.simple(df)
     assert "CartesianProduct" not in X.simple(df)
+
+
+def test_corpus_split_zero_shuffle(spark, sf_dir):
+    """Split assignment is a pure scan-stage expression — any
+    Exchange would mean the policy picked up a shuffle it never
+    needs (at 100 TB that's the whole corpus moving for a filter)."""
+    plan = X.simple(llmdata.corpus_split(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_domain_mix_broadcasts_rates(spark, sf_dir):
+    """The per-domain rates table (one row per domain) must ride a
+    broadcast join onto the corpus scan; the only shuffle allowed is
+    the per-domain count aggregate."""
+    plan = X.simple(llmdata.corpus_domain_mix(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_decontaminate_broadcasts_bits(spark, sf_dir):
+    """The set-bit position table (<= 2^17 longs) must broadcast —
+    that constant-size build side is the entire point of the Bloom
+    variant at benchmark scales where the gram strings wouldn't fit."""
+    plan = X.simple(llmdata.bloom_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_no_cartesian(spark, sf_dir):
+    """Batch-vs-corpus probes are hash equi-joins on md5/band keys;
+    no pairing stage may degrade to a cartesian product."""
+    plan = X.simple(llmdata.dedup_incremental(spark, sf_dir))
+    assert "CartesianProduct" not in plan

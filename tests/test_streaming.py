@@ -425,3 +425,16 @@ def test_exactly_once_ledger_watermark_compacts(spark, tmp_path):
     with open(sink._ledger) as f:
         obj = json.load(f)
     assert obj == {"hw": 2, "sparse": [7, 8]}
+
+
+def test_exactly_once_sink_file_uri(spark, tmp_path):
+    """The ledger path may be any Hadoop-FS URI — drive the sink
+    through an explicit ``file:`` URI so the test exercises the same
+    FileSystem-API code path an HDFS/S3A deployment hits (no plain
+    open()/os.rename fallbacks left)."""
+    sink = ExactlyOnceBatchSink(f"file:{tmp_path}/out")
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "key string, v long")
+    for e in (0, 1, 1, 2, 2):  # replays are no-ops
+        sink(df, e)
+    assert sink._committed() == {0, 1, 2}
+    assert sink.read(spark).count() == 6  # 2 rows x 3 distinct epochs
