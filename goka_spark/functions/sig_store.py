@@ -1,0 +1,169 @@
+"""Persisted dedup-signature store — the incremental-ingestion state.
+
+:func:`goka_spark.functions.dedup.incremental_dedup` recomputes the
+corpus signatures per call; at 100 TB that's a full corpus scan per
+arriving batch.  The store makes the corpus side a PERSISTED ARTIFACT
+(the same move ann_index.py makes for ANN quantizers/codes): md5 text
+hashes and minhash LSH band keys are written ONCE as bucketed tables,
+and every later batch probes them with
+
+- no corpus re-scan (signatures read, text never touched again), and
+- no corpus-side shuffle: the tables are bucketed by their join keys,
+  so each probe join only shuffles the (small) batch into the
+  corpus's bucket layout (operators/table_io.py, A24 co-location).
+
+``append`` grows the store with a verdict batch's accepted documents
+— the full ingestion loop: dedup batch N against state, admit the
+novel docs, their signatures ARE the state batch N+1 probes.  That is
+goka's processor contract (fold input into a persisted group table,
+partition_table.go:1) applied to corpus curation, and it's why the
+streaming face (:class:`DedupIngestSink`) is a foreachBatch sink over
+the same two methods rather than a restricted stream-stream join.
+
+Batches are assumed internally deduplicated (run ``exact_dedup`` /
+``minhash_lsh_pairs`` within the batch first if they aren't):
+``dedup_batch`` verdicts are strictly batch-vs-store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goka_spark.functions.dedup import band_keys, minhash_signatures
+
+
+class SignatureStore:
+    """Two bucketed tables under one name prefix:
+
+    - ``<prefix>_md5``   (doc_id, h)   bucketed by h
+    - ``<prefix>_bands`` (doc_id, bk)  bucketed by bk, where bk =
+      "<band>:<band_key>" — the band index folds into ONE string so
+      the probe join key equals the bucket key exactly (Spark only
+      plans a co-located bucket join on an exact match)
+    """
+
+    def __init__(self, spark: SparkSession, prefix: str,
+                 num_perm: int = 16, bands: int = 4, shingle: int = 3,
+                 base_hash: str = "md5", buckets: int = 32):
+        if num_perm % bands:
+            raise ValueError("bands must divide num_perm")
+        self.spark = spark
+        self.prefix = prefix
+        self.num_perm, self.bands = num_perm, bands
+        self.rows_per_band = num_perm // bands
+        self.shingle, self.base_hash = shingle, base_hash
+        self.buckets = buckets
+        self.md5_table = f"{prefix}_md5"
+        self.band_table = f"{prefix}_bands"
+
+    # ------------------------------------------------------ signatures
+
+    def _signatures(self, docs: DataFrame, id_col: str,
+                    text_col: str) -> tuple[DataFrame, DataFrame]:
+        md5s = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.md5(F.encode(F.col(text_col), "UTF-8")).alias("h"))
+        # single-column band key (band index folded in) so the probe
+        # join key EQUALS the bucket key — Spark only plans a
+        # co-located bucket join when the two match exactly
+        bnd = band_keys(
+            minhash_signatures(docs, id_col, text_col, self.num_perm,
+                               self.shingle, self.base_hash),
+            id_col, self.bands, self.rows_per_band) \
+            .select(F.col(id_col).alias("doc_id"),
+                    F.concat_ws(":", F.col("band").cast("string"),
+                                F.col("band_key")).alias("bk"))
+        return md5s, bnd
+
+    def _write(self, md5s: DataFrame, bnd: DataFrame, mode: str) -> None:
+        (md5s.write.mode(mode).bucketBy(self.buckets, "h")
+         .saveAsTable(self.md5_table))
+        (bnd.write.mode(mode).bucketBy(self.buckets, "bk")
+         .saveAsTable(self.band_table))
+        # the write may run in a DIFFERENT session than later probes
+        # (foreachBatch hands the sink a cloned session; each session
+        # caches table file listings independently) — refresh in the
+        # store's own session so its next read sees the new files
+        for t in (self.md5_table, self.band_table):
+            self.spark.catalog.refreshTable(t)
+
+    def build(self, corpus: DataFrame, id_col: str, text_col: str) -> None:
+        """One-time (or rebuild) signature pass over the corpus —
+        the only moment the store ever scans corpus text."""
+        md5s, bnd = self._signatures(corpus, id_col, text_col)
+        self._write(md5s, bnd, "overwrite")
+
+    def append(self, docs: DataFrame, id_col: str, text_col: str) -> None:
+        """Admit documents: append their signatures (same bucket
+        spec, so probe joins stay co-located as the store grows)."""
+        md5s, bnd = self._signatures(docs, id_col, text_col)
+        self._write(md5s, bnd, "append")
+
+    # ----------------------------------------------------------- probe
+
+    def dedup_batch(self, batch: DataFrame, id_col: str,
+                    text_col: str) -> DataFrame:
+        """(id, verdict ∈ exact_dup | near_dup | new) per batch doc —
+        identical semantics to ``incremental_dedup`` but the corpus
+        side reads the persisted signature tables: bucketed scans,
+        batch-side-only shuffle, corpus text untouched."""
+        c_md5 = self.spark.table(self.md5_table).select("h")
+        c_bnd = self.spark.table(self.band_table).select("bk")
+        b_md5, b_bnd = self._signatures(batch, id_col, text_col)
+
+        exact = (b_md5.join(c_md5, "h", "left_semi")
+                 .select(F.col("doc_id").alias(id_col),
+                         F.lit("exact_dup").alias("verdict")))
+        near = (b_bnd.join(c_bnd, "bk", "left_semi")
+                .select("doc_id").distinct()
+                .join(exact.select(F.col(id_col).alias("doc_id")),
+                      "doc_id", "left_anti")
+                .select(F.col("doc_id").alias(id_col),
+                        F.lit("near_dup").alias("verdict")))
+        rest = (batch.select(id_col)
+                .join(exact.select(id_col).unionAll(near.select(id_col)),
+                      id_col, "left_anti")
+                .select(F.col(id_col), F.lit("new").alias("verdict")))
+        return exact.unionAll(near).unionAll(rest)
+
+    def ingest(self, batch: DataFrame, id_col: str,
+               text_col: str) -> DataFrame:
+        """dedup_batch + admit the novel docs.  Returns the verdicts
+        (materialized: the verdict read and the append both consume
+        them, and the append must see pre-append state)."""
+        verdicts = self.dedup_batch(batch, id_col, text_col) \
+            .localCheckpoint(eager=True)
+        fresh = batch.join(
+            verdicts.filter(F.col("verdict") == "new").select(id_col),
+            id_col, "left_semi")
+        self.append(fresh, id_col, text_col)
+        return verdicts
+
+    def drop(self) -> None:
+        for t in (self.md5_table, self.band_table):
+            self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+class DedupIngestSink:
+    """Streaming face of the store: a ``foreachBatch`` sink that runs
+    the full ingestion loop per micro-batch — verdicts written to
+    ``out_path/epoch_id=N`` (overwrite-idempotent, the
+    ExactlyOnceBatchSink layout), novel docs admitted into the store
+    so the NEXT micro-batch dedups against them.  Batch semantics
+    inside foreachBatch sidestep streaming-join restrictions (no
+    stream-stream distinct/semi-join contortions), which is exactly
+    what foreachBatch is for."""
+
+    def __init__(self, store: SignatureStore, out_path: str,
+                 id_col: str, text_col: str):
+        self.store, self.out_path = store, out_path
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        verdicts = self.store.ingest(batch_df, self.id_col, self.text_col)
+        (verdicts.write.mode("overwrite")
+         .parquet(f"{self.out_path.rstrip('/')}/epoch_id={int(epoch_id)}"))
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.out_path).drop("epoch_id")
