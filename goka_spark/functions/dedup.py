@@ -19,7 +19,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-MERSENNE = (1 << 61) - 1
+# Universal-hash modulus for minhash permutations: the first prime
+# ABOVE the 2^31 hash universe (2^31 + 11).  p must sit just above the
+# universe with a, b drawn from the FULL [0, p) range — the previous
+# constants (p = 2^61-1, a,b < 2^31) made a*h+b almost never wrap p,
+# leaving the map nearly linear in h: any shingle with a small base
+# hash won the min for EVERY permutation, so one unlucky shingle
+# zeroed the signature agreement of a J=0.8 pair (observed: 2/32
+# matches where ~26 are expected).  With p ≈ 2^31, a*h+b < 2^62.5
+# stays 64-bit-exact AND (a*x+b) mod p is a genuine pairwise-
+# independent family over the universe.
+HASH_P = 2147483659
+MERSENNE = HASH_P  # historical name, kept for the oracle builders
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
@@ -46,8 +57,9 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """(a, b) over the FULL [1, p) / [0, p) ranges — see HASH_P."""
     rng = random.Random(seed)
-    return [(rng.randrange(1, 1 << 31), rng.randrange(0, 1 << 31))
+    return [(rng.randrange(1, HASH_P), rng.randrange(0, HASH_P))
             for _ in range(num_perm)]
 
 
@@ -174,7 +186,15 @@ def lsh_candidate_pairs(banded: DataFrame, id_col: str) -> DataFrame:
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
-                      num_perm: int = 32, bands: int = 8) -> DataFrame:
+                      num_perm: int = 32, bands: "int | str" = 8,
+                      threshold: "float | None" = None) -> DataFrame:
+    """``bands='auto'`` plans (bands, rows) from ``threshold`` via
+    :func:`optimal_bands` — the S-curve midpoint lands on the target
+    Jaccard similarity instead of a hand-picked banding."""
+    if bands == "auto":
+        if threshold is None:
+            raise ValueError("bands='auto' needs a threshold")
+        bands, _ = optimal_bands(threshold, num_perm)
     sigs = minhash_signatures(df, id_col, text_col, num_perm)
     banded = lsh_bands(sigs, id_col, bands, num_perm // bands)
     return lsh_candidate_pairs(banded, id_col)
@@ -762,3 +782,25 @@ def bloom_decontaminate(corpus: DataFrame, benchmark: DataFrame,
             .agg(F.count("*").alias("n_hits"))
             .filter(F.col("n_hits") >= min_hits)
             .select(F.col("doc").alias(id_col), "n_hits"))
+
+
+def optimal_bands(threshold: float, num_perm: int = 32) -> tuple[int, int]:
+    """Plan (bands, rows_per_band) for a Jaccard ``threshold``: pick
+    the divisor pair b*r = num_perm whose S-curve midpoint
+    (1/b)^(1/r) sits closest to the threshold (MMDS ch.3 banding
+    analysis).  Collision probability for similarity s is
+    1-(1-s^r)^b — steepest around the midpoint, so matching midpoint
+    to threshold gives the sharpest near-dup/far-pair separation the
+    budget allows.  Driver-side planning arithmetic, O(divisors)."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for b in range(1, num_perm + 1):
+        if num_perm % b:
+            continue
+        r = num_perm // b
+        midpoint = (1.0 / b) ** (1.0 / r)
+        score = abs(midpoint - threshold)
+        if best is None or score < best[0]:
+            best = (score, b, r)
+    return best[1], best[2]

@@ -162,3 +162,77 @@ def test_bloom_tiny_filter_saturates_to_superset(spark):
     out = D.bloom_decontaminate(corpus, bench, "doc_id", "text",
                                 n=3, m_bits=2, k=1)
     assert out.count() == 1  # all grams collide at m=2
+
+
+# ------------------------------------------------------ band planning
+
+def test_optimal_bands_properties():
+    from goka_spark.functions.dedup import optimal_bands
+
+    for num_perm in (16, 32, 64, 128):
+        prev_b = None
+        for t in (0.1, 0.3, 0.5, 0.7, 0.9):
+            b, r = optimal_bands(t, num_perm)
+            assert b * r == num_perm
+            # midpoint lands near the threshold
+            assert abs((1.0 / b) ** (1.0 / r) - t) < 0.25
+            # higher threshold -> fewer bands / longer rows (monotone)
+            if prev_b is not None:
+                assert b <= prev_b
+            prev_b = b
+    # spot values from the MMDS analysis: 0.5 with 32 perms -> b=8,r=4
+    # has midpoint (1/8)^(1/4) ~= 0.59; b=16,r=2 -> 0.25 ; the closer
+    # one to 0.5 must win
+    b, r = optimal_bands(0.5, 32)
+    assert (b, r) == (8, 4)
+
+
+def test_optimal_bands_rejects_bad_threshold():
+    import pytest as _pytest
+
+    from goka_spark.functions.dedup import optimal_bands
+
+    with _pytest.raises(ValueError):
+        optimal_bands(0.0)
+    with _pytest.raises(ValueError):
+        optimal_bands(1.0)
+
+
+def test_minhash_lsh_pairs_auto_banding(spark):
+    near_a = "the quick brown fox jumps over the lazy dog again today"
+    near_b = "the quick brown fox jumps over the lazy dog again tonight"
+    df = spark.createDataFrame(
+        [(1, near_a), (2, near_b),
+         (3, "completely unrelated content about database query planners")],
+        "doc_id long, text string")
+    pairs = D.minhash_lsh_pairs(df, "doc_id", "text",
+                                bands="auto", threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    with pytest.raises(ValueError):
+        D.minhash_lsh_pairs(df, "doc_id", "text", bands="auto")
+
+
+def test_minhash_family_unbiased_under_small_hashes():
+    """Regression for the r5 family fix: with p = 2^61-1 and a,b <
+    2^31 the map (a*h+b) mod p almost never wrapped, so a shingle
+    with a small base hash won the min under EVERY permutation and a
+    J=0.8 pair agreed on ~2/32 signature slots.  With p just above
+    the universe and full-range a,b, agreement must track Jaccard
+    similarity even when one set holds an adversarially tiny hash."""
+    import random
+
+    from goka_spark.functions.dedup import HASH_P, _perm_params
+
+    params = _perm_params(32)
+    rng = random.Random(7)
+    tot, trials = 0, 100
+    for _ in range(trials):
+        shared = [rng.randrange(0, 1 << 31) for _ in range(8)]
+        a_set = shared + [rng.randrange(0, 1 << 25)]  # tiny hash
+        b_set = shared + [rng.randrange(0, 1 << 31)]
+        tot += sum(
+            min((a * h + b) % HASH_P for h in a_set)
+            == min((a * h + b) % HASH_P for h in b_set)
+            for a, b in params)
+    mean = tot / trials
+    assert 23.0 < mean < 28.5, mean  # J=0.8 -> E[matches] ~= 25.6

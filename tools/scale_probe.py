@@ -130,6 +130,37 @@ def main():
         r["dup_ngram_cov"] = timed("dupcov", D.dup_ngram_coverage(
             sdocs, "doc_id", "text", n=5))
 
+        # incremental batch-vs-corpus dedup: signatures linear in
+        # total postings, probes are equi-joins — expect ~linear
+        inc_batch = sdocs.filter(F.col("doc_id") % 10 == 0)
+        inc_corpus = sdocs.filter(F.col("doc_id") % 10 != 0)
+        r["dedup_incremental"] = timed("inc", D.incremental_dedup(
+            inc_batch, inc_corpus, "doc_id", "text"))
+
+        # persisted signature store: build once per scale (linear,
+        # timed apart), then probe a FIXED-size batch — probe reads
+        # precomputed signatures only (no corpus text re-scan), so
+        # probe << ad-hoc and grows only with the signature scan
+        from goka_spark.functions.sig_store import SignatureStore
+        store = SignatureStore(spark, f"scaleprobe_sig_x{f}")
+        t0 = time.time()
+        store.build(inc_corpus, "doc_id", "text")
+        r["sig_store_build"] = round(time.time() - t0, 2)
+        fixed_batch = sdocs.filter(F.col("doc_id") < 500)
+        r["sig_store_probe"] = timed("probe", store.dedup_batch(
+            fixed_batch, "doc_id", "text"))
+        r["sig_store_adhoc"] = timed("adhoc", D.incremental_dedup(
+            fixed_batch, inc_corpus, "doc_id", "text"))
+        store.drop()
+
+        # Bloom decontamination: benchmark FIXED (the realistic shape
+        # — eval suites don't grow with the corpus), corpus grows; the
+        # bitset build is constant, the probe linear in corpus postings
+        bl_bench = base_docs.filter(F.col("doc_id") % 97 == 0)
+        bl_corpus = sdocs.filter(F.col("doc_id") % 97 != 0)
+        r["bloom_decontaminate"] = timed("bloom", D.bloom_decontaminate(
+            bl_corpus, bl_bench, "doc_id", "text", n=3))
+
         from goka_spark.functions import similarity as SIM
         emb = load(spark, BASE, "embeddings")["embeddings"]
         dim = 64
