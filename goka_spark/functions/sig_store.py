@@ -108,24 +108,27 @@ class SignatureStore:
         identical semantics to ``incremental_dedup`` but the corpus
         side reads the persisted signature tables: bucketed scans,
         batch-side-only shuffle, corpus text untouched."""
+        # single left-join + CASE plan (see incremental_dedup: the
+        # 3-branch union re-embeds the signature subtrees and bloats
+        # driver-side analysis)
         c_md5 = self.spark.table(self.md5_table).select("h")
         c_bnd = self.spark.table(self.band_table).select("bk")
         b_md5, b_bnd = self._signatures(batch, id_col, text_col)
 
-        exact = (b_md5.join(c_md5, "h", "left_semi")
-                 .select(F.col("doc_id").alias(id_col),
-                         F.lit("exact_dup").alias("verdict")))
-        near = (b_bnd.join(c_bnd, "bk", "left_semi")
-                .select("doc_id").distinct()
-                .join(exact.select(F.col(id_col).alias("doc_id")),
-                      "doc_id", "left_anti")
-                .select(F.col("doc_id").alias(id_col),
-                        F.lit("near_dup").alias("verdict")))
-        rest = (batch.select(id_col)
-                .join(exact.select(id_col).unionAll(near.select(id_col)),
-                      id_col, "left_anti")
-                .select(F.col(id_col), F.lit("new").alias("verdict")))
-        return exact.unionAll(near).unionAll(rest)
+        ex_ids = (b_md5.join(c_md5, "h", "left_semi")
+                  .select(F.col("doc_id").alias(id_col),
+                          F.lit(True).alias("_ex")))
+        nr_ids = (b_bnd.join(c_bnd, "bk", "left_semi")
+                  .select("doc_id").distinct()
+                  .select(F.col("doc_id").alias(id_col),
+                          F.lit(True).alias("_nr")))
+        return (batch.select(id_col)
+                .join(ex_ids, id_col, "left")
+                .join(nr_ids, id_col, "left")
+                .select(F.col(id_col),
+                        F.when(F.col("_ex"), "exact_dup")
+                         .when(F.col("_nr"), "near_dup")
+                         .otherwise("new").alias("verdict")))
 
     def ingest(self, batch: DataFrame, id_col: str,
                text_col: str) -> DataFrame:

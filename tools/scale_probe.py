@@ -243,6 +243,14 @@ def main():
 
         results[f] = r
         print(f, json.dumps(r))
+        # session hygiene between factors: drop cached blocks and nudge
+        # the JVM so checkpoint blocks from this factor release before
+        # the next one's (bigger) plans analyze — without this the x4
+        # stage OOM'd an 8g driver on accumulated x1 state
+        spark.catalog.clearCache()
+        import gc
+        gc.collect()
+        spark._jvm.System.gc()
 
     out_path = "/root/repo/tools/scale_results.json"
     if os.path.exists(out_path):
