@@ -809,3 +809,27 @@ def optimal_bands(threshold: float, num_perm: int = 32) -> tuple[int, int]:
         if best is None or score < best[0]:
             best = (score, b, r)
     return best[1], best[2]
+
+
+def common_ngrams(df: DataFrame, id_col: str, text_col: str,
+                  n: int = 3, k: int = 20, min_df: int = 2) -> DataFrame:
+    """Corpus-wide heavy-hitter n-grams — the boilerplate detector:
+    the top-``k`` shingles by document frequency are the nav bars,
+    license headers and template sentences that repeat across a crawl
+    (the signal line_dedup/dup_span act on; this op SURFACES it for
+    audit and blocklist curation).
+
+    Exact global top-k with a total order (df DESC, then the shingle
+    text ASC) so the result set is deterministic across engines even
+    at the k-th-place tie.  Plan: distinct postings → one map-side-
+    combined hash-agg → ``TakeOrderedAndProject`` (per-partition
+    partial top-k, k-row merge on the driver) — never a global sort
+    of the gram dictionary.  Linear in corpus postings at any scale.
+    """
+    postings = shingle_postings(df, id_col, text_col, n)
+    return (postings.groupBy("sh").agg(F.count("*").alias("df"))
+            .filter(F.col("df") >= int(min_df))
+            .orderBy(F.col("df").desc(), F.col("sh").asc())
+            .limit(int(k))
+            .select(F.col("sh").alias("ngram"),
+                    F.col("df").cast("long").alias("df")))

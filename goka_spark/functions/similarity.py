@@ -684,3 +684,58 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"),
                 F.col("rk").cast("long").alias("rk"))
     )
+
+
+def coord_sign_cluster(vec: Column, bits: int = 6) -> Column:
+    """Single coord-sign LSH cluster id in [0, 2^bits): bit *i* is
+    ``sign(vec[i])`` — one band of :func:`coord_sign_bands`, pure
+    codegen, reproducible bit-exactly by any SQL engine."""
+    bucket: Column = F.lit(0).cast("long")
+    for i in range(bits):
+        bucket = bucket + F.when(
+            F.element_at(vec, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def cluster_balanced_sample(df: DataFrame, id_col: str, vec_col: str,
+                            per_cluster: int, bits: int = 6,
+                            salt: str = "cbs-v1") -> DataFrame:
+    """Cluster-balanced sampling over an embedding column — the
+    diversity-preserving selection step of SemDeDup/D4-style curation
+    (Abbas et al. 2023, Tirumala et al. 2023): cap every semantic
+    cluster at ``per_cluster`` documents so over-represented modes
+    (crawl boilerplate clusters) are down-sampled while the long tail
+    survives whole.
+
+    Clusters are coord-sign LSH cells (:func:`coord_sign_cluster`) —
+    deterministic, engine-portable, no trained centroids — and
+    membership inside an over-full cluster is the md5-slot policy
+    (functions/corpus.hash_slot): rate_e6 = per_cluster·1e6 // n_c,
+    keep iff slot(id‖salt) < rate_e6.  The whole decision is a pure
+    function of (vector signs, id), so the oracle replicates it
+    bit-exactly and re-runs never move a kept document (same
+    stability contract as corpus_split).  The realized per-cluster
+    count is Binomial around the cap; the POLICY is exact.
+
+    Plan: one scan computing the codegen cluster id, one tiny
+    per-cluster count agg (≤ 2^bits rows), broadcast back, scan-stage
+    filter — no corpus-sized shuffle at any scale.  Scale ``bits``
+    ~log2(n/target_cluster_size), like every LSH knob here."""
+    from goka_spark.functions.corpus import RATE_MOD, hash_slot
+
+    clustered = df.select(
+        F.col(id_col),
+        coord_sign_cluster(_as_double(F.col(vec_col)), bits).alias("cluster"))
+    sizes = clustered.groupBy("cluster").agg(
+        F.count("*").alias("n_cluster"))
+    rates = sizes.withColumn(
+        "rate_e6",
+        F.when(F.col("n_cluster") <= int(per_cluster), F.lit(RATE_MOD))
+         .otherwise(F.expr(f"({int(per_cluster)}L * {RATE_MOD}L)"
+                           " div n_cluster")))
+    slot = hash_slot(F.col(id_col), RATE_MOD, salt)
+    return (clustered.join(F.broadcast(rates), "cluster")
+            .select(F.col(id_col),
+                    F.col("cluster").cast("long").alias("cluster"),
+                    F.col("n_cluster").cast("long").alias("n_cluster"),
+                    (slot < F.col("rate_e6")).alias("keep")))

@@ -388,3 +388,80 @@ def lm_logprob(df, id_col: str, text_col: str):
                            F.col("logprob_e6").cast("double") / 1e6
                            / F.col("n_bigrams"))
                      .alias("avg_logprob")))
+
+
+def word_entropy(df, id_col: str, text_col: str):
+    """Per-document Shannon entropy of the word distribution — the
+    cheap "is this text degenerate" quality signal (near-zero entropy
+    = one token repeated; boilerplate and generator loops score low,
+    natural prose high).  Complements repetition_ratio: entropy sees
+    the UNIGRAM distribution, repetition the n-gram structure.
+
+    Float discipline (same idiom as dsir_importance/lm_logprob):
+    H = ln(N) - (1/N)·Σ_w c_w·ln(c_w).  Each distinct word's
+    c·ln(c) term is integerized ONCE to micro-nats, the per-doc Σ is
+    an exact integer sum (aggregation-order-proof across engines),
+    and the closing expression is deterministic double arithmetic on
+    identical inputs.
+
+    Plan: one explode + one (doc, word) hash-agg + one per-doc
+    hash-agg — linear in corpus tokens, map-side combined, no joins
+    except the left join restoring empty docs (entropy NULL)."""
+    from goka_spark.functions.dedup import _fan_out
+
+    w = (_fan_out(df).select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("_w"))
+         .filter(F.col("_w") != ""))
+    per_word = w.groupBy("doc", "_w").agg(F.count("*").alias("cnt"))
+    term_e6 = F.floor(1e6 * F.col("cnt") * F.log(F.col("cnt")) + 0.5) \
+        .cast("long")
+    scored = (per_word
+              .groupBy("doc")
+              .agg(F.sum("cnt").alias("n_tokens"),
+                   F.count("*").alias("n_distinct"),
+                   F.sum(term_e6).alias("clnc_e6")))
+    return (df.select(F.col(id_col).alias("doc")).join(scored, "doc", "left")
+            .select(F.col("doc").alias(id_col),
+                    F.coalesce("n_tokens", F.lit(0)).cast("long")
+                     .alias("n_tokens"),
+                    F.coalesce("n_distinct", F.lit(0)).cast("long")
+                     .alias("n_distinct"),
+                    F.when(F.col("n_tokens") > 0,
+                           F.log(F.col("n_tokens"))
+                           - F.col("clnc_e6").cast("double") / 1e6
+                           / F.col("n_tokens"))
+                     .alias("entropy")))
+
+
+def blocklist_hits(df, id_col: str, text_col: str, terms: list[str],
+                   max_ratio_e6: int = 50_000):
+    """Blocklist-term screening — the wordlist stage every production
+    pretraining pipeline runs (NSFW/spam term lists a la C4's
+    "bad words" filter).  Counts exact-token hits against a small
+    broadcast-literal term list and keeps a document iff its hit
+    RATIO clears ``max_ratio_e6`` (parts-per-million; the comparison
+    is the exact integer cross-product test
+    ``hits·1e6 <= max_ratio_e6·n_words``, so engines can never
+    disagree on a boundary document).
+
+    The term list rides inside the plan as an array literal (a few
+    hundred terms is the realistic size — C4's list is ~400 entries),
+    so this is a pure scan-stage Column program: zero shuffle, zero
+    joins, fully predicate-pushable upstream, and the whole verdict
+    runs inside whole-stage codegen at any corpus size."""
+    lit_terms = F.array(*[F.lit(t) for t in terms])
+    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    d = df.select(F.col(id_col), ws.alias("_ws"))
+    hits_total = F.size(F.filter(
+        F.col("_ws"), lambda w: F.array_contains(lit_terms, w)))
+    hits_distinct = F.size(F.array_distinct(F.filter(
+        F.col("_ws"), lambda w: F.array_contains(lit_terms, w))))
+    n = F.size(F.col("_ws"))
+    return d.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        hits_total.cast("long").alias("hits_total"),
+        hits_distinct.cast("long").alias("hits_distinct"),
+        (hits_total.cast("long") * F.lit(1_000_000)
+         <= F.lit(int(max_ratio_e6)) * n.cast("long")).alias("keep"))

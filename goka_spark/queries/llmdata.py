@@ -537,7 +537,53 @@ def bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     return D.bloom_decontaminate(corpus, bench, "doc_id", "text", n=3)
 
 
+#: blocklist terms for blocklist_filter — stand-in for a C4-style
+#: bad-words list; chosen from the synthetic vocabulary so hit counts
+#: are non-trivial at every SF
+BLOCK_TERMS = ["slow", "hash", "batch"]
+
+
+def doc_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc word-distribution Shannon entropy (T.word_entropy):
+    micro-nat integerized c·ln(c) terms make the per-doc sum exact
+    integer arithmetic, so the oracle matches hash-exactly up to
+    identical-input ln() — same float discipline as doc_lm_score."""
+    docs = load(spark, sf, "documents")["documents"]
+    return T.word_entropy(docs, "doc_id", "text")
+
+
+def blocklist_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocklist-term screening (T.blocklist_hits): exact-token hits
+    against a broadcast-literal term list; keep verdict is the integer
+    cross-product test hits·1e6 <= ratio_e6·n_words.  Pure scan-stage
+    Columns — zero shuffle at any scale."""
+    docs = load(spark, sf, "documents")["documents"]
+    return T.blocklist_hits(docs, "doc_id", "text", BLOCK_TERMS)
+
+
+def common_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide heavy-hitter trigrams (D.common_ngrams): exact
+    global top-20 by document frequency under a total order (df DESC,
+    ngram ASC), TakeOrderedAndProject — the boilerplate audit."""
+    docs = load(spark, sf, "documents")["documents"]
+    return D.common_ngrams(docs, "doc_id", "text", n=3, k=20, min_df=2)
+
+
+def cluster_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-balanced sampling over embeddings (S.cluster_balanced_
+    sample): coord-sign LSH cells capped at 6 docs via the exact
+    integer md5-slot rate policy — SemDeDup/D4-style diversity
+    selection, bit-reproducible by the oracle."""
+    emb = load(spark, sf, "embeddings")["embeddings"]
+    return S.cluster_balanced_sample(emb, "vec_id", "embedding",
+                                     per_cluster=6, bits=6)
+
+
 QUERIES = {
+    "doc_entropy": doc_entropy,
+    "blocklist_filter": blocklist_filter,
+    "common_ngrams": common_ngrams,
+    "cluster_balanced_sample": cluster_balanced_sample,
     "corpus_split": corpus_split,
     "corpus_domain_mix": corpus_domain_mix,
     "dedup_incremental": dedup_incremental,
@@ -1404,4 +1450,86 @@ ORACLES["bloom_decontaminate"] = f"""
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
     FROM hit_grams GROUP BY doc_id HAVING COUNT(*) >= 1
+"""
+
+
+# --- entropy / blocklist / heavy hitters / balanced sample (r5) -----
+
+ORACLES["doc_entropy"] = f"""
+    WITH w AS (
+      SELECT doc_id AS doc, UNNEST(words) AS wrd
+      FROM (SELECT doc_id, {_WORDS} AS words FROM documents)
+    ), pw AS (
+      SELECT doc, wrd, COUNT(*) AS cnt FROM w GROUP BY doc, wrd
+    ), scored AS (
+      SELECT doc,
+             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(CAST(FLOOR(1e6 * cnt * ln(cnt) + 0.5) AS BIGINT))
+                  AS BIGINT) AS clnc_e6
+      FROM pw GROUP BY doc
+    )
+    SELECT doc_id,
+           COALESCE(n_tokens, 0) AS n_tokens,
+           COALESCE(n_distinct, 0) AS n_distinct,
+           CASE WHEN COALESCE(n_tokens, 0) > 0
+                THEN ln(n_tokens)
+                     - CAST(clnc_e6 AS DOUBLE) / 1e6 / n_tokens
+           END AS entropy
+    FROM documents LEFT JOIN scored ON doc_id = doc
+"""
+
+_BLOCK_SQL = "['slow', 'hash', 'batch']"
+
+ORACLES["blocklist_filter"] = f"""
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(len(list_filter(ws, w -> list_contains({_BLOCK_SQL}, w)))
+                AS BIGINT) AS hits_total,
+           CAST(len(list_distinct(
+                  list_filter(ws, w -> list_contains({_BLOCK_SQL}, w))))
+                AS BIGINT) AS hits_distinct,
+           len(list_filter(ws, w -> list_contains({_BLOCK_SQL}, w)))
+             * 1000000 <= 50000 * len(ws) AS keep
+    FROM (SELECT doc_id, {_WORDS} AS ws FROM documents)
+"""
+
+ORACLES["common_ngrams"] = f"""
+    WITH d AS (
+      SELECT doc_id AS doc, list_distinct(list_transform(
+               range(1, greatest(len(words) - 2, 1) + 1),
+               i -> array_to_string(words[i:i+2], ' '))) AS shs
+      FROM (SELECT doc_id, {_WORDS} AS words FROM documents)
+      WHERE len(words) >= 1  -- empty doc => no grams (Spark emits none)
+    ), sh AS (
+      SELECT doc, UNNEST(shs) AS sh FROM d
+    )
+    SELECT sh AS ngram, CAST(COUNT(*) AS BIGINT) AS df
+    FROM sh GROUP BY sh HAVING COUNT(*) >= 2
+    ORDER BY df DESC, ngram ASC LIMIT 20
+"""
+
+def _cluster_sql(bits: int = 6) -> str:
+    return " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits))
+
+ORACLES["cluster_balanced_sample"] = f"""
+    WITH c AS (
+      SELECT vec_id, CAST({_cluster_sql()} AS BIGINT) AS cluster
+      FROM embeddings
+    ), sizes AS (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_cluster
+      FROM c GROUP BY cluster
+    ), rates AS (
+      SELECT cluster, n_cluster,
+             CASE WHEN n_cluster <= 6 THEN 1000000
+                  ELSE (6 * 1000000) // n_cluster END AS rate_e6
+      FROM sizes
+    )
+    SELECT vec_id, cluster, n_cluster,
+           CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || 'cbs-v1'),
+                                1, 8)) AS BIGINT) % 1000000 < rate_e6
+             AS keep
+    FROM c JOIN rates USING (cluster)
 """

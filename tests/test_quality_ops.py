@@ -1,0 +1,155 @@
+"""Entropy / blocklist / heavy-hitter / cluster-balanced-sample ops.
+
+Oracle hash-equivalence runs in tools/verify_local.py and the driver;
+these tests pin the semantic properties and plan shapes: entropy
+bounds and exactness vs a pure-Python reference, the blocklist's
+integer boundary verdict and zero-shuffle plan, common_ngrams'
+deterministic total order, and the sampler's cap policy + stability.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from goka_spark.functions import dedup as D
+from goka_spark.functions import similarity as S
+from goka_spark.functions import text as T
+from goka_spark.plans import explain as X
+from goka_spark.queries.base import load
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents")["documents"]
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings")["embeddings"]
+
+
+# --------------------------------------------------------- entropy
+
+def test_word_entropy_matches_pure_python(spark):
+    texts = ["a a a a", "a b c d", "a a b b c", "x", "", "  ",
+             "the the quick quick quick fox"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           T.word_entropy(df, "doc_id", "text").collect()}
+    for i, t in enumerate(texts):
+        ws = [w for w in t.split() if w]
+        n = len(ws)
+        row = got[i]
+        assert row["n_tokens"] == n
+        assert row["n_distinct"] == len(set(ws))
+        if n == 0:
+            assert row["entropy"] is None
+            continue
+        clnc = sum(
+            math.floor(1e6 * ws.count(w) * math.log(ws.count(w)) + 0.5)
+            for w in set(ws))
+        want = math.log(n) - clnc / 1e6 / n
+        assert row["entropy"] == pytest.approx(want, abs=1e-12)
+
+
+def test_word_entropy_bounds(docs):
+    out = T.word_entropy(docs, "doc_id", "text").filter("n_tokens > 0")
+    # 0 <= H <= ln(n_distinct) (+1 micro-nat of rounding slack)
+    bad = out.filter(
+        (F.col("entropy") < -1e-6)
+        | (F.col("entropy") > F.log(F.col("n_distinct")) + 1e-6)).count()
+    assert bad == 0
+    # degenerate doc pins H = 0 exactly at the integer level
+    one = out.filter(F.col("n_distinct") == 1)
+    if one.count():
+        assert one.filter(F.abs("entropy") > 1e-6).count() == 0
+
+
+# ------------------------------------------------------- blocklist
+
+def test_blocklist_hits_counts_and_boundary(spark):
+    df = spark.createDataFrame(
+        [(0, "bad ok ok ok"),          # 1/4 hits -> ratio .25 > .05
+         (1, "ok " * 19 + "bad"),      # 1/20 = exactly max_ratio -> keep
+         (2, "clean words only"),
+         (3, "bad bad worse ok")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           T.blocklist_hits(df, "doc_id", "text", ["bad", "worse"],
+                            max_ratio_e6=50_000).collect()}
+    assert (out[0]["hits_total"], out[0]["keep"]) == (1, False)
+    # boundary: hits*1e6 == ratio_e6*n  ->  kept (<=, not <)
+    assert (out[1]["n_words"], out[1]["keep"]) == (20, True)
+    assert (out[2]["hits_total"], out[2]["keep"]) == (0, True)
+    assert (out[3]["hits_total"], out[3]["hits_distinct"]) == (3, 2)
+
+
+def test_blocklist_plan_zero_shuffle(docs):
+    out = T.blocklist_hits(docs, "doc_id", "text", ["slow", "hash"])
+    assert X.num_shuffles(out) == 0
+
+
+# ---------------------------------------------------- common_ngrams
+
+def test_common_ngrams_exact_and_deterministic(spark):
+    rows = [(0, "a b c a b c"), (1, "a b c d e"), (2, "a b c x y"),
+            (3, "q r s t u"), (4, "q r s v w")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.common_ngrams(df, "doc_id", "text", n=3, k=3, min_df=2)
+    got = [(r["ngram"], r["df"]) for r in
+           out.orderBy(F.desc("df"), "ngram").collect()]
+    # 'a b c' in docs 0,1,2 (distinct per doc); 'q r s' in 3,4
+    assert got[0] == ("a b c", 3)
+    assert ("q r s", 2) in got
+    # deterministic under re-run (total order incl. the tie tail)
+    again = [(r["ngram"], r["df"]) for r in
+             D.common_ngrams(df, "doc_id", "text", n=3, k=3, min_df=2)
+             .orderBy(F.desc("df"), "ngram").collect()]
+    assert got == again
+
+
+def test_common_ngrams_top_k_no_global_sort(docs):
+    out = D.common_ngrams(docs, "doc_id", "text", n=3, k=20)
+    # global top-k must plan as TakeOrderedAndProject, not a full sort
+    assert "TakeOrderedAndProject" in X.simple(out)
+
+
+# ------------------------------------------- cluster-balanced sample
+
+def test_cluster_sample_policy(emb):
+    out = S.cluster_balanced_sample(emb, "vec_id", "embedding",
+                                    per_cluster=6, bits=6)
+    n = emb.count()
+    assert out.count() == n  # verdict for every vector
+    # clusters within the cap are kept whole
+    whole = out.filter(F.col("n_cluster") <= 6)
+    assert whole.filter(~F.col("keep")).count() == 0
+    # over-full clusters: realized keep is Binomial(n_c, cap/n_c);
+    # check the policy direction, not the realization: kept <= n_c
+    # and at least one over-full cluster down-samples on real data
+    over = (out.filter(F.col("n_cluster") > 6)
+            .groupBy("cluster", "n_cluster")
+            .agg(F.sum(F.col("keep").cast("int")).alias("kept")))
+    rows = over.collect()
+    assert rows, "test corpus should have at least one over-full cluster"
+    assert all(r["kept"] <= r["n_cluster"] for r in rows)
+    assert any(r["kept"] < r["n_cluster"] for r in rows)
+
+
+def test_cluster_sample_stable_under_growth(emb):
+    """Adding vectors can change RATES, but a kept id with an
+    unchanged rate never flips: membership is slot < rate, slot a
+    pure function of the id."""
+    sub = emb.filter(F.col("vec_id") < 200)
+    full = S.cluster_balanced_sample(emb, "vec_id", "embedding", 6)
+    part = S.cluster_balanced_sample(sub, "vec_id", "embedding", 6)
+    j = (part.alias("p").join(full.alias("f"), "vec_id")
+         .filter(F.col("p.cluster") != F.col("f.cluster")).count())
+    assert j == 0  # cluster id depends only on the vector
+
+
+def test_cluster_sample_broadcast_rates(emb):
+    out = S.cluster_balanced_sample(emb, "vec_id", "embedding", 6)
+    assert X.has_broadcast_join(out)
