@@ -153,7 +153,10 @@ def build_or_load(spark: SparkSession, corpus: DataFrame, id_col: str,
     over every subsequent query, the same contract as building any
     secondary index."""
     cache_dir = cache_dir or default_cache_dir()
-    key = f"{fingerprint}_c{n_cells}_m{m}_k{ksub}_s{seed}"
+    # "o1" = id-ordered training sample (quantizers are a pure function
+    # of the dataset — oracle-recomputable); versioned into the key so
+    # artifacts trained under scan-order sampling self-invalidate
+    key = f"{fingerprint}_c{n_cells}_m{m}_k{ksub}_s{seed}_o1"
     path = _join(cache_dir, key)
     npz = _join(path, "quantizers.npz")
     success = _join(path, "codes", "_SUCCESS")
@@ -165,8 +168,10 @@ def build_or_load(spark: SparkSession, corpus: DataFrame, id_col: str,
     if _exists(spark, npz) and _exists(spark, success):
         return _load()
 
-    cents = S.ivf_centroids(corpus, vec_col, n_cells, seed=seed)
-    books = S.pq_codebooks(corpus, vec_col, m=m, ksub=ksub, seed=seed)
+    cents = S.ivf_centroids(corpus, vec_col, n_cells, seed=seed,
+                            order_col=id_col)
+    books = S.pq_codebooks(corpus, vec_col, m=m, ksub=ksub, seed=seed,
+                           order_col=id_col)
     mm, _, dsub = books.shape
 
     v = S._normalized(
@@ -229,9 +234,10 @@ def _collect_queries(queries: DataFrame, id_col: str, vec_col: str,
             f">{max_queries} query rows — partition the query set or "
             f"raise max_queries explicitly")
     q_ids = np.array([r[id_col] for r in q_rows])
-    qm = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    raw = [[float(x) for x in r[vec_col]] for r in q_rows]
+    qm = np.array(raw, dtype=np.float64)
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
-    return q_ids, qm
+    return q_ids, qm, raw
 
 
 def _probe(index: ANNIndex, qm: np.ndarray, n_probe: int) -> np.ndarray:
@@ -271,16 +277,25 @@ def ivf_topk(index: ANNIndex, corpus: DataFrame, queries: DataFrame,
              max_queries: int = S.MAX_BROADCAST_QUERIES) -> DataFrame:
     """IVF top-k over the persisted index: read ONLY the union of the
     queries' probed cells (file-level pruning), exact cosine inside
-    probed cells via the stored unit vectors, per-query top-k."""
-    q_ids, qm = _collect_queries(queries, id_col, vec_col, max_queries)
+    probed cells via the stored unit vectors, per-query top-k.
+
+    The scoring-side query vector is normalized by the same JVM
+    Column fold as the stored corpus vectors (numpy probes cells; it
+    does NOT produce the scored values), so cosines are bit-identical
+    to the ad-hoc path AND to a SQL twin replicating the
+    left-associative folds — what makes this query hash-verifiable."""
+    q_ids, qm, raw = _collect_queries(queries, id_col, vec_col, max_queries)
     qcells = _probe(index, qm, n_probe)
     probed = sorted({int(c) for r in qcells for c in r})
     spark = index.spark
     q = spark.createDataFrame(
-        [(int(qid), [float(x) for x in qm[i]], [int(c) for c in qcells[i]])
+        [(int(qid), raw[i], [int(c) for c in qcells[i]])
          for i, qid in enumerate(q_ids)],
-        "query_id long, _qv array<double>, cells array<int>") \
-        .withColumn("cell", F.explode("cells")).drop("cells")
+        "query_id long, _qraw array<double>, cells array<int>")
+    q = (q.withColumn("_n", S.norm(F.col("_qraw")))
+         .withColumn("_qv", F.transform("_qraw", lambda x: x / F.col("_n")))
+         .drop("_qraw", "_n")
+         .withColumn("cell", F.explode("cells")).drop("cells"))
     c = index.codes(probed).select(
         F.col("id").alias("neighbor_id"), "cell",
         F.col("vec").alias("_cv"))
@@ -347,7 +362,7 @@ def pq_topk(index: ANNIndex, corpus: DataFrame, queries: DataFrame,
             max_queries: int = S.MAX_BROADCAST_QUERIES) -> DataFrame:
     """PQ/ADC top-k over the persisted codes (full scan — compression,
     not pruning, is PQ's contribution) + exact re-rank."""
-    q_ids, qm = _collect_queries(queries, id_col, vec_col, max_queries)
+    q_ids, qm, _ = _collect_queries(queries, id_col, vec_col, max_queries)
     m, _, dsub = index.books.shape
     luts = np.einsum("qjd,jcd->qjc", qm.reshape(len(qm), m, dsub),
                      index.books)
@@ -363,7 +378,7 @@ def ivf_pq_topk(index: ANNIndex, corpus: DataFrame, queries: DataFrame,
     """IVF-PQ top-k over the persisted index: cells prune WHICH files
     are read (partition pruning on the probed union), PQ codes shrink
     WHAT is read per vector, exact re-rank restores true cosines."""
-    q_ids, qm = _collect_queries(queries, id_col, vec_col, max_queries)
+    q_ids, qm, _ = _collect_queries(queries, id_col, vec_col, max_queries)
     m, _, dsub = index.books.shape
     luts = np.einsum("qjd,jcd->qjc", qm.reshape(len(qm), m, dsub),
                      index.books)

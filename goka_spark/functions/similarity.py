@@ -299,9 +299,30 @@ def cosine_near_pairs(df: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def lloyd_kmeans(X: "np.ndarray", k: int, seed: int = 42,
+                 max_iter: int = 10) -> "np.ndarray":
+    """Seeded Lloyd's iterations — a PURE function of (X, k, seed):
+    given the same sample matrix in the same row order, any caller
+    (the Spark trainer below, or a numpy/DuckDB oracle twin reading
+    the parquet directly) reproduces the centroids bit-for-bit.  That
+    purity is what lets the driver's oracle verify IVF queries: the
+    quantizer is recomputable, not an opaque engine artifact."""
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+    for _ in range(max_iter):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(len(C)):
+            pts = X[assign == j]
+            if len(pts):
+                C[j] = pts.mean(0)
+    return C
+
+
 def ivf_centroids(corpus: DataFrame, vec_col: str, n_cells: int = 16,
                   seed: int = 42, max_iter: int = 10,
                   train_cap: int = 100_000,
+                  order_col: "str | None" = None,
                   distributed: bool = False) -> "np.ndarray":
     """IVF coarse quantizer: k-means centroids for the cell index.
 
@@ -311,7 +332,14 @@ def ivf_centroids(corpus: DataFrame, vec_col: str, n_cells: int = 16,
     ~free (each MLlib iteration is a full Spark job; measured
     dominant in the query runtime).  ``distributed=True`` switches to
     MLlib KMeans for corpora where even the sample must stay on the
-    cluster."""
+    cluster.
+
+    ``order_col``: sample the first ``train_cap`` rows BY ID instead
+    of by partition-scan order.  This makes the training input — and
+    therefore the centroids (``lloyd_kmeans`` is pure) — a
+    deterministic function of the dataset alone, independent of file
+    split or parallelism, so an out-of-engine twin can recompute the
+    identical quantizer.  The indexed paths use it always."""
     if distributed:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -324,19 +352,18 @@ def ivf_centroids(corpus: DataFrame, vec_col: str, n_cells: int = 16,
         finally:
             feats.unpersist()
 
-    rows = (corpus.select(_as_double(F.col(vec_col)).alias("_v"))
-            .limit(train_cap).collect())
-    X = np.array([r._v for r in rows])
-    rng = np.random.default_rng(seed)
-    C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
-    for _ in range(max_iter):
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-        assign = d.argmin(1)
-        for j in range(len(C)):
-            pts = X[assign == j]
-            if len(pts):
-                C[j] = pts.mean(0)
-    return C
+    X = _train_sample(corpus, vec_col, train_cap, order_col)
+    return lloyd_kmeans(X, n_cells, seed=seed, max_iter=max_iter)
+
+
+def _train_sample(corpus: DataFrame, vec_col: str, train_cap: int,
+                  order_col: "str | None") -> "np.ndarray":
+    sel = corpus.select(_as_double(F.col(vec_col)).alias("_v"))
+    if order_col is not None:
+        sel = (corpus.orderBy(F.col(order_col))
+               .select(_as_double(F.col(vec_col)).alias("_v")))
+    rows = sel.limit(train_cap).collect()
+    return np.array([r._v for r in rows])
 
 
 def _assign_cells_arrow(df: DataFrame, vec_col: str,
@@ -367,17 +394,26 @@ def _assign_cells_arrow(df: DataFrame, vec_col: str,
 
 def pq_codebooks(corpus: DataFrame, vec_col: str, m: int = 8,
                  ksub: int = 16, train_cap: int = 100_000,
-                 seed: int = 42, max_iter: int = 10) -> "np.ndarray":
+                 seed: int = 42, max_iter: int = 10,
+                 order_col: "str | None" = None) -> "np.ndarray":
     """Product-quantization codebooks (Jégou et al. 2011): split the
     (unit-normalized) vector into ``m`` subvectors and run seeded
     Lloyd's k-means per subspace on a bounded driver sample — same
     sampling rationale as ``ivf_centroids``: the codebook only needs
     the density shape, and the artifact is tiny (m × ksub × d/m
-    floats) regardless of corpus size.  Returns (m, ksub, d/m)."""
-    rows = (corpus.select(_as_double(F.col(vec_col)).alias("_v"))
-            .limit(train_cap).collect())
-    X = np.array([r._v for r in rows])
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    floats) regardless of corpus size.  ``order_col`` makes the
+    sample (hence the books) dataset-deterministic, like
+    ``ivf_centroids``.  Returns (m, ksub, d/m)."""
+    X = _train_sample(corpus, vec_col, train_cap, order_col)
+    return subspace_kmeans(X, m, ksub, seed=seed, max_iter=max_iter)
+
+
+def subspace_kmeans(X: "np.ndarray", m: int, ksub: int, seed: int = 42,
+                    max_iter: int = 10) -> "np.ndarray":
+    """Per-subspace seeded Lloyd's on unit-normalized rows — pure
+    function of (X, m, ksub, seed), recomputable out-of-engine (same
+    contract as ``lloyd_kmeans``)."""
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -451,7 +487,8 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     import pandas as pd
 
     if books is None:
-        books = pq_codebooks(corpus, vec_col, m=m, ksub=ksub)
+        books = pq_codebooks(corpus, vec_col, m=m, ksub=ksub,
+                             order_col=id_col)
     m, _, dsub = books.shape
     codes = pq_encode(corpus, id_col, vec_col, books)
 
@@ -542,8 +579,10 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     probed-cell read file-level pruned."""
     import pandas as pd
 
-    cents = ivf_centroids(corpus, vec_col, n_cells, seed=seed)
-    books = pq_codebooks(corpus, vec_col, m=m, ksub=ksub, seed=seed)
+    cents = ivf_centroids(corpus, vec_col, n_cells, seed=seed,
+                          order_col=id_col)
+    books = pq_codebooks(corpus, vec_col, m=m, ksub=ksub, seed=seed,
+                         order_col=id_col)
     m, _, dsub = books.shape
 
     c = _assign_cells_arrow(
@@ -657,7 +696,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     ``ann_index.ivf_topk``: the persisted cell-partitioned index makes
     the probed read physically pruned (non-probed cells unread)."""
     cents = centroids if centroids is not None \
-        else ivf_centroids(corpus, vec_col, n_cells, seed=seed)
+        else ivf_centroids(corpus, vec_col, n_cells, seed=seed,
+                           order_col=id_col)
     c = _assign_cells_arrow(
         _normalized(corpus.select(F.col(id_col).alias("neighbor_id"),
                                   F.col(vec_col)),

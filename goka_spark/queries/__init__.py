@@ -113,4 +113,7 @@ def all_oracles():
     o.update(core.ORACLES)
     o.update(analytics.ORACLES)
     o.update(llmdata.ORACLES)
+    # callables are lazy oracle builders (data-derived literals, e.g.
+    # the IVF centroid twin) — resolve them when the driver asks
+    o = {k: (v() if callable(v) else v) for k, v in o.items()}
     return _ordered(o)

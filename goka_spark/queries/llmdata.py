@@ -159,9 +159,12 @@ def _ann_index(spark: SparkSession, sf: str, emb: DataFrame) -> "A.ANNIndex":
 
 
 def embedding_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
-    """Rows-only: IVF approximate neighbors (k-means cells are
-    engine-side; no deterministic SQL twin).  The second ANN scale
-    path beside LSH buckets — probe 4 of 16 cells per query, reading
+    """IVF approximate neighbors — HASH-VERIFIED since r5: quantizer
+    training is an id-ordered sample + pure seeded Lloyd's, so the
+    oracle (_ivf_ann_oracle) re-trains bit-identical centroids in
+    numpy and embeds them as SQL literals; scored cosines use the
+    same left-associative folds on both sides.  The second ANN scale
+    path beside LSH buckets — probe 4 of √n cells per query, reading
     ONLY probed-cell files from the persisted index (S.ivf_topk is
     the ad-hoc unindexed equivalent; tests assert they agree)."""
     emb = load(spark, sf, "embeddings")["embeddings"]
@@ -1533,3 +1536,170 @@ ORACLES["cluster_balanced_sample"] = f"""
              AS keep
     FROM c JOIN rates USING (cluster)
 """
+
+
+# --- hash-verified IVF ANN oracle (r5) ------------------------------
+# The quantizer became oracle-recomputable this round: the training
+# sample is id-ordered (similarity.ivf_centroids(order_col=...)) and
+# Lloyd's is a pure function of it (similarity.lloyd_kmeans), so the
+# oracle builder below re-trains the IDENTICAL centroids from the
+# parquet with numpy (no Spark) and embeds them as SQL literals —
+# same idiom as the LSH plane literals.  Every float reduction the
+# SCORED values depend on (norms, cosines) is written as the same
+# left-associative term sum Spark's F.aggregate fold evaluates, so
+# cosines match bit-for-bit; cell assignment/probe selection compare
+# sums against numpy matmuls (ulp-level differences flip them only on
+# exact ties, measure-zero on real embeddings).
+
+def _ivf_oracle_sf() -> str:
+    """The sf dir the oracle's centroid literals are derived from.
+    The driver's correctness gate runs at sf0.01 (the documented
+    contract); tools/verify_local.py overrides per run."""
+    import os
+    return os.environ.get("GOKA_SPARK_ORACLE_SF", "/root/testdata/sf0.01")
+
+
+def _ivf_local_centroids(sf_dir: str, n_cells: int,
+                         train_cap: int = 100_000) -> "list[list[float]]":
+    """Numpy twin of the indexed build's quantizer training: same
+    id-ordered sample, same seeded Lloyd's — bit-identical centroids
+    (asserted in tests/test_ann_index.py)."""
+    import duckdb
+    import numpy as np
+
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id LIMIT {train_cap}").fetchall()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    nc = S.lloyd_kmeans(X, n_cells, seed=42, max_iter=10)
+    nc = nc / np.linalg.norm(nc, axis=1, keepdims=True)
+    return nc.tolist()
+
+
+def _ivf_cells_ctes(dim: int = 64) -> "tuple[int, str]":
+    """Shared CTE block computing each vector's unit form ``v`` and
+    its IVF cell (argmax centroid similarity, first-max tie-break like
+    numpy argsort) — the common prefix of the IVF-ANN and SemDeDup
+    oracles.  Returns (n_cells, sql_ctes)."""
+    import duckdb
+
+    sf_dir = _ivf_oracle_sf()
+    n = duckdb.sql(f"SELECT COUNT(*) FROM "
+                   f"'{sf_dir}/embeddings.parquet'").fetchone()[0]
+    n_cells = A.adaptive_n_cells(n)
+    nc = _ivf_local_centroids(sf_dir, n_cells)
+
+    sq = " + ".join(f"(e[{i + 1}] * e[{i + 1}])" for i in range(dim))
+    sims = ", ".join(
+        " + ".join(f"(v[{i + 1}] * {c[i]!r})" for i in range(dim))
+        for c in nc)
+    return n_cells, f"""base AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+          FROM embeddings
+        ), cv AS (
+          SELECT vec_id, list_transform(e, x -> x / n) AS v
+          FROM (SELECT vec_id, e, SQRT({sq}) AS n FROM base)
+        ), sims AS (
+          SELECT vec_id, v, [{sims}] AS s FROM cv
+        ), assigned AS (
+          SELECT vec_id, v,
+                 list_position(s, list_aggregate(s, 'max')) - 1 AS cell
+          FROM sims
+        )"""
+
+
+def _ivf_ann_oracle(k: int = 5, n_probe: int = 4, dim: int = 64,
+                    n_queries: int = 20) -> str:
+    n_cells, ctes = _ivf_cells_ctes(dim)
+    pair_dot = " + ".join(f"(a.v[{i + 1}] * p.qv[{i + 1}])"
+                          for i in range(dim))
+
+    return f"""
+        WITH {ctes}, qx AS (
+          SELECT vec_id AS query_id, v AS qv,
+                 UNNEST(s) AS sim, UNNEST(range(0, {n_cells})) AS c
+          FROM sims WHERE vec_id < {n_queries}
+        ), probes AS (
+          SELECT query_id, qv, c AS cell
+          FROM (SELECT query_id, qv, c, sim,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, c) AS rn
+                FROM qx)
+          WHERE rn <= {n_probe}
+        ), scored AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 ({pair_dot}) AS raw_cos
+          FROM assigned a JOIN probes p
+            ON a.cell = p.cell AND a.vec_id <> p.query_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, raw_cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY raw_cos DESC, neighbor_id)
+                   AS rk
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, ROUND(raw_cos, 4) AS cos, rk
+        FROM ranked WHERE rk <= {k}
+    """
+
+
+# registered as a CALLABLE: resolved at oracle_sql() time so the sf
+# override (and the parquet itself) are read when the driver asks,
+# not at import
+ORACLES["embedding_ivf_ann"] = _ivf_ann_oracle
+
+
+def _semantic_oracle(bands: int = 8, bits: int = 8,
+                     threshold: float = 0.3, dim: int = 64) -> str:
+    """DuckDB twin of A.semantic_dedup: cell-scoped LSH-banded
+    near-pairs (cells from the recomputed centroid literals, buckets
+    from the C12 coordinate-sign test — sign(v_i) == sign(e_i) since
+    the norm is positive), exact cosine as the left-associative dot
+    of unit vectors, recursive-CTE connected components, min-id
+    representative."""
+    _, ctes = _ivf_cells_ctes(dim)
+    whens = " ".join(
+        "WHEN {b} THEN ({expr})".format(
+            b=b,
+            expr=" + ".join(
+                f"(CASE WHEN v[{b * bits + i + 1}] > 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+                for i in range(bits)),
+        )
+        for b in range(bands)
+    )
+    pair_dot = " + ".join(f"(va.v[{i + 1}] * vb.v[{i + 1}])"
+                          for i in range(dim))
+    return f"""
+        WITH RECURSIVE {ctes}, banded AS (
+          SELECT vec_id, cell, band, CASE band {whens} END AS bucket
+          FROM assigned CROSS JOIN
+               (SELECT UNNEST(range(0, {bands})) AS band)
+        ), cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.cell = b.cell AND a.band = b.band
+           AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ), pairs AS (
+          SELECT id_a, id_b
+          FROM cand
+          JOIN cv va ON va.vec_id = id_a
+          JOIN cv vb ON vb.vec_id = id_b
+          WHERE ROUND({pair_dot}, 4) > {threshold}
+        ), edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), nodes AS (
+          SELECT DISTINCT a AS node FROM edges
+        ), reach AS (
+          SELECT node, node AS label FROM nodes
+          UNION
+          SELECT e.a AS node, r.label FROM edges e JOIN reach r ON e.b = r.node
+        )
+        SELECT node AS vec_id, MIN(label) AS keep_id,
+               node = MIN(label) AS is_kept
+        FROM reach GROUP BY node
+    """
+
+
+ORACLES["dedup_semantic"] = _semantic_oracle

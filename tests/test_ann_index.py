@@ -176,3 +176,24 @@ def test_semantic_dedup_keeps_min_id_per_group(spark, sf_dir, index):
         ids = sorted(m.vec_id for m in members)
         assert ids[0] == keep_id
         assert all(m.is_kept == (m.vec_id == keep_id) for m in members)
+
+
+def test_centroids_recomputable_out_of_engine(spark, sf_dir, index):
+    """The oracle contract behind the r5 hash-verified IVF/SemDeDup
+    rows: an id-ordered training sample + pure seeded Lloyd's makes
+    the quantizer a function of the DATASET, so a numpy twin reading
+    the parquet directly (no Spark) reproduces the persisted
+    centroids bit-for-bit."""
+    import duckdb
+    import numpy as np
+
+    idx, emb, _, _ = index
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id LIMIT 100000").fetchall()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    twin = S.lloyd_kmeans(X, len(idx.centroids), seed=42, max_iter=10)
+    assert np.array_equal(twin, idx.centroids)
+    books_twin = S.subspace_kmeans(X, *idx.books.shape[:2], seed=42,
+                                   max_iter=10)
+    assert np.array_equal(books_twin, idx.books)

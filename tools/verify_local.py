@@ -35,6 +35,11 @@ def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
+    # data-derived oracles (IVF centroid literals) must be built from
+    # THIS run's sf dir; the driver's gate uses the sf0.01 default
+    import os
+    os.environ["GOKA_SPARK_ORACLE_SF"] = sf
+
     import __spark_entry__ as entrymod
     from goka_spark.session import get_session
 
