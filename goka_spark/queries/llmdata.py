@@ -469,10 +469,13 @@ def quality_gopher(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def embedding_ivf_pq_ann(spark: SparkSession, sf: str) -> DataFrame:
-    """Rows-only: IVF-PQ composition — cell pruning × compressed-code
-    ADC scan × exact re-rank (both quantizers engine-side).  Served
-    from the persisted index: probed-cell reads are partition-pruned
-    at the file level and quantizers are never retrained per call."""
+    """IVF-PQ composition — HASH-VERIFIED since r5 (_ivf_pq_ann_
+    oracle re-trains both quantizers from the id-ordered sample and
+    replays cell probing + the ADC LUT gather + the exact re-rank in
+    SQL).  Cell pruning × compressed-code ADC scan × exact re-rank;
+    served from the persisted index: probed-cell reads are
+    partition-pruned at the file level, quantizers never retrained
+    per call."""
     emb = load(spark, sf, "embeddings")["embeddings"]
     queries = emb.filter(F.col("vec_id") < 20)
     return A.ivf_pq_topk(_ann_index(spark, sf, emb), emb, queries,
@@ -480,10 +483,14 @@ def embedding_ivf_pq_ann(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def embedding_pq_ann(spark: SparkSession, sf: str) -> DataFrame:
-    """Rows-only: PQ/ADC approximate neighbors with exact re-rank
-    (codebooks are engine-side k-means; no deterministic SQL twin).
-    The third ANN scale path — scans the persisted 8-byte codes, not
-    vectors; codebooks load from the artifact cache."""
+    """PQ/ADC approximate neighbors with exact re-rank —
+    HASH-VERIFIED since r5: the oracle (_pq_ann_oracle) re-trains
+    bit-identical codebooks (id-ordered sample + pure subspace
+    k-means), assigns codes by the same argmin, replays the LUT
+    gather for candidate selection, and re-ranks with the identical
+    left-associative cosine.  The third ANN scale path — scans the
+    persisted 8-byte codes, not vectors; codebooks load from the
+    artifact cache."""
     emb = load(spark, sf, "embeddings")["embeddings"]
     queries = emb.filter(F.col("vec_id") < 20)
     return A.pq_topk(_ann_index(spark, sf, emb), emb, queries,
@@ -1576,6 +1583,20 @@ def _ivf_local_centroids(sf_dir: str, n_cells: int,
     return nc.tolist()
 
 
+def _cv_ctes(dim: int = 64) -> str:
+    """CTE block projecting every embedding to its unit form ``v``
+    with the same left-associative norm fold Spark's ``_normalized``
+    evaluates — the common prefix of all four ANN oracles."""
+    sq = " + ".join(f"(e[{i + 1}] * e[{i + 1}])" for i in range(dim))
+    return f"""base AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+          FROM embeddings
+        ), cv AS (
+          SELECT vec_id, list_transform(e, x -> x / n) AS v
+          FROM (SELECT vec_id, e, SQRT({sq}) AS n FROM base)
+        )"""
+
+
 def _ivf_cells_ctes(dim: int = 64) -> "tuple[int, str]":
     """Shared CTE block computing each vector's unit form ``v`` and
     its IVF cell (argmax centroid similarity, first-max tie-break like
@@ -1589,17 +1610,10 @@ def _ivf_cells_ctes(dim: int = 64) -> "tuple[int, str]":
     n_cells = A.adaptive_n_cells(n)
     nc = _ivf_local_centroids(sf_dir, n_cells)
 
-    sq = " + ".join(f"(e[{i + 1}] * e[{i + 1}])" for i in range(dim))
     sims = ", ".join(
         " + ".join(f"(v[{i + 1}] * {c[i]!r})" for i in range(dim))
         for c in nc)
-    return n_cells, f"""base AS (
-          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
-          FROM embeddings
-        ), cv AS (
-          SELECT vec_id, list_transform(e, x -> x / n) AS v
-          FROM (SELECT vec_id, e, SQRT({sq}) AS n FROM base)
-        ), sims AS (
+    return n_cells, f"""{_cv_ctes(dim)}, sims AS (
           SELECT vec_id, v, [{sims}] AS s FROM cv
         ), assigned AS (
           SELECT vec_id, v,
@@ -1703,3 +1717,143 @@ def _semantic_oracle(bands: int = 8, bits: int = 8,
 
 
 ORACLES["dedup_semantic"] = _semantic_oracle
+
+
+def _ivf_local_books(sf_dir: str, m: int = 8, ksub: int = 16,
+                     train_cap: int = 100_000) -> "list":
+    """Numpy twin of the indexed build's PQ codebook training (same
+    id-ordered sample, pure subspace_kmeans — bit-identical to the
+    persisted books, asserted in tests/test_ann_index.py)."""
+    import duckdb
+    import numpy as np
+
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id LIMIT {train_cap}").fetchall()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    return S.subspace_kmeans(X, m, ksub, seed=42, max_iter=10).tolist()
+
+
+def _pq_coded_ctes(dim: int = 64, m: int = 8,
+                   ksub: int = 16) -> "tuple[str, str]":
+    """(coded-corpus CTE suffix, per-pair ADC approx expression).
+
+    ``coded`` assigns each vector its m sub-codes (argmin squared
+    distance to the codebook literals — first-min tie-break like
+    numpy argmin); the approx expression replays the LUT gather:
+    Σ_j <q_sub_j, book_j[code_j]> with the codebook rows inlined
+    per CASE branch.  Approx scores only SELECT candidates (Spark's
+    numpy path differs in ulps); the hash-compared cosines come from
+    the exact re-rank, identical on both sides."""
+    books = _ivf_local_books(_ivf_oracle_sf(), m, ksub)
+    dsub = dim // m
+
+    def dl(j: int) -> str:
+        return ", ".join(
+            " + ".join(
+                f"((v[{j * dsub + d + 1}] - {books[j][c][d]!r}) * "
+                f"(v[{j * dsub + d + 1}] - {books[j][c][d]!r}))"
+                for d in range(dsub))
+            for c in range(ksub))
+
+    dcols = ", ".join(f"[{dl(j)}] AS d{j}" for j in range(m))
+    code = ", ".join(
+        f"list_position(d{j}, list_aggregate(d{j}, 'min')) - 1"
+        for j in range(m))
+    coded = f"""pdist AS (
+          SELECT vec_id, v, {dcols} FROM cv
+        ), coded AS (
+          SELECT vec_id, v, [{code}] AS code FROM pdist
+        )"""
+
+    def lut(j: int, c: int) -> str:
+        return " + ".join(
+            f"(q.qv[{j * dsub + d + 1}] * {books[j][c][d]!r})"
+            for d in range(dsub))
+
+    approx = " + ".join(
+        "(CASE a.code[{p}] {w} END)".format(
+            p=j + 1,
+            w=" ".join(f"WHEN {c} THEN ({lut(j, c)})"
+                       for c in range(ksub)))
+        for j in range(m))
+    return coded, approx
+
+
+def _pq_rerank_sql(n_cand: int, k: int, dim: int) -> str:
+    """Candidate cut + exact-cosine re-rank tail shared by the PQ and
+    IVF-PQ oracles (twin of ann_index._adc_scan's global top-n_cand
+    + ann_index._rerank_exact)."""
+    pair_dot = " + ".join(f"(a.v[{i + 1}] * q.qv[{i + 1}])"
+                          for i in range(dim))
+    return f"""cand AS (
+          SELECT query_id, neighbor_id
+          FROM (SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY approx DESC,
+                                                   neighbor_id) AS rn
+                FROM approx)
+          WHERE rn <= {n_cand}
+        ), ranked AS (
+          SELECT c.query_id, c.neighbor_id, ({pair_dot}) AS raw_cos,
+                 ROW_NUMBER() OVER (PARTITION BY c.query_id
+                                    ORDER BY ({pair_dot}) DESC,
+                                             c.neighbor_id) AS rk
+          FROM cand c
+          JOIN cv a ON a.vec_id = c.neighbor_id
+          JOIN q ON q.query_id = c.query_id
+        )
+        SELECT query_id, neighbor_id, ROUND(raw_cos, 4) AS cos, rk
+        FROM ranked WHERE rk <= {k}"""
+
+
+def _pq_ann_oracle(k: int = 5, refine: int = 4, dim: int = 64,
+                   n_queries: int = 20) -> str:
+    coded, approx = _pq_coded_ctes(dim)
+    return f"""
+        WITH {_cv_ctes(dim)}, {coded}, q AS (
+          SELECT vec_id AS query_id, v AS qv FROM cv
+          WHERE vec_id < {n_queries}
+        ), approx AS (
+          SELECT q.query_id, a.vec_id AS neighbor_id, {approx} AS approx
+          FROM coded a CROSS JOIN q WHERE a.vec_id <> q.query_id
+        ), {_pq_rerank_sql(refine * k, k, dim)}
+    """
+
+
+def _ivf_pq_ann_oracle(k: int = 5, n_probe: int = 8, refine: int = 4,
+                       dim: int = 64, n_queries: int = 20) -> str:
+    n_cells, ctes = _ivf_cells_ctes(dim)
+    coded, approx = _pq_coded_ctes(dim)
+    # coded builds on cv; cells add per-vector cell; probes pick each
+    # query's n_probe nearest cells — the ADC scan pairs a corpus
+    # vector with a query ONLY when its cell is in that query's probe
+    # set (Spark: per-query np.isin mask within the pruned union)
+    return f"""
+        WITH {ctes}, {coded}, q AS (
+          SELECT vec_id AS query_id, v AS qv FROM cv
+          WHERE vec_id < {n_queries}
+        ), qx AS (
+          SELECT vec_id AS query_id,
+                 UNNEST(s) AS sim, UNNEST(range(0, {n_cells})) AS c
+          FROM sims WHERE vec_id < {n_queries}
+        ), probes AS (
+          SELECT query_id, c AS cell
+          FROM (SELECT query_id, c, sim,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, c) AS rn
+                FROM qx)
+          WHERE rn <= {n_probe}
+        ), approx AS (
+          SELECT q.query_id, a.vec_id AS neighbor_id, {approx} AS approx
+          FROM coded a
+          JOIN assigned s ON s.vec_id = a.vec_id
+          JOIN probes p ON p.cell = s.cell
+          JOIN q ON q.query_id = p.query_id
+          WHERE a.vec_id <> q.query_id
+        ), {_pq_rerank_sql(refine * k, k, dim)}
+    """
+
+
+ORACLES["embedding_pq_ann"] = _pq_ann_oracle
+ORACLES["embedding_ivf_pq_ann"] = _ivf_pq_ann_oracle

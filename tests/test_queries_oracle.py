@@ -1,8 +1,16 @@
 """Every oracle-backed query must match DuckDB (the driver's t2 gate,
 run here at sf0.001 for speed; tools/verify_local.py runs sf0.01)."""
 
+import os
+
 import pandas as pd
 import pytest
+
+# data-derived oracles (ANN centroid/codebook literals) must be built
+# from the SAME sf the queries run at — the conftest sf_dir
+from conftest import SF_DIR
+
+os.environ["GOKA_SPARK_ORACLE_SF"] = SF_DIR
 
 from goka_spark.queries import all_oracles, all_queries
 

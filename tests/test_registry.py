@@ -22,14 +22,14 @@ def test_no_duplicate_keys_across_blocks():
 def test_rows_only_set_is_intentional():
     qs, os_ = all_queries(), all_oracles()
     rows_only = set(qs) - set(os_)
-    # embedding_lsh_ann left this set in round 4: its seeded planes
-    # are embedded as SQL literals, making it hash-verified.
-    # dedup_semantic joined it: SemDeDup's k-means cells are
-    # engine-side (no SQL twin); its banding algebra is the C12
-    # oracle's and its subset/representative contracts are pytest-pinned.
+    # embedding_lsh_ann left this set in round 4 (seeded planes as SQL
+    # literals); round 5 removed every remaining ANN key + SemDeDup:
+    # id-ordered quantizer training made centroids/codebooks
+    # oracle-recomputable, so their oracles embed the re-trained
+    # literals.  What remains is genuinely engine-specific (xxhash64
+    # signatures, HLL sketch) or side-effectful (emitter/changelog
+    # write paths).
     assert rows_only == {
         "approx_distinct_users", "dedup_minhash_lsh", "dedup_simhash",
-        "dedup_semantic", "embedding_ivf_ann", "embedding_pq_ann",
-        "embedding_ivf_pq_ann", "emitter_roundtrip",
-        "changelog_compaction",
+        "emitter_roundtrip", "changelog_compaction",
     }
