@@ -130,6 +130,18 @@ def main():
         r["dup_ngram_cov"] = timed("dupcov", D.dup_ngram_coverage(
             sdocs, "doc_id", "text", n=5))
 
+        # word-entropy quality signal: explode + two hash-aggs, no
+        # joins on text — expect ~linear in corpus tokens
+        from goka_spark.functions import text as TXT
+        r["doc_entropy"] = timed("entropy", TXT.word_entropy(
+            sdocs, "doc_id", "text"))
+
+        # heavy-hitter n-grams: postings + hash-agg +
+        # TakeOrderedAndProject (partial top-k per partition, k-row
+        # merge) — expect ~linear, never a global gram sort
+        r["common_ngrams"] = timed("hh", D.common_ngrams(
+            sdocs, "doc_id", "text", n=3, k=20))
+
         # incremental batch-vs-corpus dedup: signatures linear in
         # total postings, probes are equi-joins — expect ~linear
         inc_batch = sdocs.filter(F.col("doc_id") % 10 == 0)
