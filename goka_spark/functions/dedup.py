@@ -833,3 +833,26 @@ def common_ngrams(df: DataFrame, id_col: str, text_col: str,
             .limit(int(k))
             .select(F.col("sh").alias("ngram"),
                     F.col("df").cast("long").alias("df")))
+
+
+def near_decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                       id_col: str, text_col: str, num_perm: int = 16,
+                       bands: int = 4, shingle: int = 3,
+                       base_hash: str = "md5") -> DataFrame:
+    """Benchmark decontamination at NEAR-DUPLICATE granularity — the
+    paraphrase-level leak check the exact n-gram pass (decontaminate /
+    bloom path) misses: an eval question reworded in the training
+    corpus shares minhash bands even when no verbatim n-gram survives.
+    Semantically this IS incremental dedup with the benchmark as the
+    reference side, so the plan (two equi-join probes, no
+    corpus×benchmark pairing) and the oracle story carry over intact.
+
+    One row per corpus doc: verdict ∈ contaminated_exact |
+    contaminated_near | clean."""
+    v = incremental_dedup(corpus, benchmark, id_col, text_col,
+                          num_perm, bands, shingle, base_hash)
+    return v.select(
+        F.col(id_col),
+        F.when(F.col("verdict") == "exact_dup", "contaminated_exact")
+         .when(F.col("verdict") == "near_dup", "contaminated_near")
+         .otherwise("clean").alias("verdict"))

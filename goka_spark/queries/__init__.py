@@ -20,13 +20,14 @@ from goka_spark.queries import analytics, core, llmdata
 # r04 ∪ r05 then covers all 99 keys.  Trailing extras past slot 49 are
 # best-effort (r4 keys whose ORACLE text gains the empty-doc guard).
 _FRONT = [
-    # (a) never certified — the eight NEW round-5 operators first
+    # (a) never certified — the nine NEW round-5 operators first
     # (certifying new code beats re-signing unchanged r03-green keys;
-    # the 7 keys this pushes past slot 50 — dup_ngram_coverage,
+    # the 8 keys this pushes past slot 50 — dup_ngram_coverage,
     # tfidf_keywords, quality_gopher, pii_scrub, text_normalize,
-    # multimodal_decode_wav, multimodal_frame_sample — are
-    # r03-certified and UNCHANGED, and rotate to the front in r06),
-    # then the one key no driver run has ever signed
+    # multimodal_decode_ppm, multimodal_decode_wav,
+    # multimodal_frame_sample — are r03-certified and UNCHANGED, and
+    # rotate to the front in r06), then the one key no driver run has
+    # ever signed
     "corpus_split",
     "corpus_domain_mix",
     "dedup_incremental",
@@ -35,6 +36,7 @@ _FRONT = [
     "blocklist_filter",
     "common_ngrams",
     "cluster_balanced_sample",
+    "near_decontaminate",
     "dedup_semantic",
     # (b) index-rewire post-dates the r03 rows
     "embedding_pq_ann",

@@ -589,8 +589,21 @@ def cluster_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
                                      per_cluster=6, bits=6)
 
 
+def near_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Paraphrase-level benchmark decontamination — same corpus/bench
+    split as benchmark_decontaminate (doc_id % 97) but contamination
+    is shared-minhash-band membership (D.near_decontaminate), which
+    catches reworded leaks exact n-gram overlap misses.  md5-minhash
+    keys keep the whole verdict oracle-verifiable."""
+    docs = load(spark, sf, "documents")["documents"]
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return D.near_decontaminate(corpus, bench, "doc_id", "text")
+
+
 QUERIES = {
     "doc_entropy": doc_entropy,
+    "near_decontaminate": near_decontaminate,
     "blocklist_filter": blocklist_filter,
     "common_ngrams": common_ngrams,
     "cluster_balanced_sample": cluster_balanced_sample,
@@ -1857,3 +1870,31 @@ def _ivf_pq_ann_oracle(k: int = 5, n_probe: int = 8, refine: int = 4,
 
 ORACLES["embedding_pq_ann"] = _pq_ann_oracle
 ORACLES["embedding_ivf_pq_ann"] = _ivf_pq_ann_oracle
+
+
+ORACLES["near_decontaminate"] = f"""
+    WITH sig AS ({_minhash_oracle()}),
+    bnd AS (
+      SELECT doc_id, perm // 4 AS band,
+             string_agg(CAST(sig AS VARCHAR), '-' ORDER BY perm)
+               AS band_key
+      FROM sig GROUP BY doc_id, perm // 4
+    ), ex AS (
+      SELECT DISTINCT b.doc_id
+      FROM documents b
+      WHERE b.doc_id % 97 <> 0 AND md5(b.text) IN
+            (SELECT md5(text) FROM documents WHERE doc_id % 97 = 0)
+    ), nr AS (
+      SELECT DISTINCT b.doc_id
+      FROM bnd b JOIN bnd c
+        ON b.band = c.band AND b.band_key = c.band_key
+      WHERE b.doc_id % 97 <> 0 AND c.doc_id % 97 = 0
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id IN (SELECT doc_id FROM ex)
+                  THEN 'contaminated_exact'
+                WHEN doc_id IN (SELECT doc_id FROM nr)
+                  THEN 'contaminated_near'
+                ELSE 'clean' END AS verdict
+    FROM documents WHERE doc_id % 97 <> 0
+"""

@@ -236,3 +236,28 @@ def test_minhash_family_unbiased_under_small_hashes():
             for a, b in params)
     mean = tot / trials
     assert 23.0 < mean < 28.5, mean  # J=0.8 -> E[matches] ~= 25.6
+
+
+def test_near_decontaminate_catches_paraphrase(spark):
+    """A benchmark doc reworded at the tail (last token changed,
+    shingle Jaccard ≈ 0.82) shares a minhash band at 8×2 banding →
+    contaminated_near; the verbatim copy is contaminated_exact.
+    Minhash is seeded, so the planted collision is deterministic."""
+    bench = spark.createDataFrame(
+        [(1000, "the quick brown fox jumps over the lazy dog "
+                "every single morning")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog "
+             "every single morning"),                      # verbatim
+         (2, "the quick brown fox jumps over the lazy dog "
+             "every single evening"),                      # paraphrase
+         (3, "completely unrelated text about spark plans "
+             "and shuffle boundaries")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["verdict"] for r in
+           D.near_decontaminate(corpus, bench, "doc_id", "text",
+                                num_perm=16, bands=8).collect()}
+    assert out[1] == "contaminated_exact"
+    assert out[2] == "contaminated_near"
+    assert out[3] == "clean"
