@@ -156,15 +156,32 @@ class DedupIngestSink:
     so the NEXT micro-batch dedups against them.  Batch semantics
     inside foreachBatch sidestep streaming-join restrictions (no
     stream-stream distinct/semi-join contortions), which is exactly
-    what foreachBatch is for."""
+    what foreachBatch is for.
+
+    ``gate`` (optional Boolean Column, e.g. ``text.blocklist_keep``
+    or an entropy/quality predicate) runs BEFORE dedup — the real
+    pipeline order: documents failing the gate are verdicted
+    ``rejected`` and never probe or enter the store, so the state
+    only ever holds documents worth keeping."""
 
     def __init__(self, store: SignatureStore, out_path: str,
-                 id_col: str, text_col: str):
+                 id_col: str, text_col: str, gate=None):
         self.store, self.out_path = store, out_path
         self.id_col, self.text_col = id_col, text_col
+        self.gate = gate
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
-        verdicts = self.store.ingest(batch_df, self.id_col, self.text_col)
+        if self.gate is not None:
+            ok = F.coalesce(self.gate, F.lit(False))
+            passed = batch_df.filter(ok)
+            rejected = (batch_df.filter(~ok)
+                        .select(F.col(self.id_col),
+                                F.lit("rejected").alias("verdict")))
+            verdicts = self.store.ingest(
+                passed, self.id_col, self.text_col).unionByName(rejected)
+        else:
+            verdicts = self.store.ingest(batch_df, self.id_col,
+                                         self.text_col)
         (verdicts.write.mode("overwrite")
          .parquet(f"{self.out_path.rstrip('/')}/epoch_id={int(epoch_id)}"))
 

@@ -465,3 +465,16 @@ def blocklist_hits(df, id_col: str, text_col: str, terms: list[str],
         hits_distinct.cast("long").alias("hits_distinct"),
         (hits_total.cast("long") * F.lit(1_000_000)
          <= F.lit(int(max_ratio_e6)) * n.cast("long")).alias("keep"))
+
+
+def blocklist_keep(text: Column, terms: list[str],
+                   max_ratio_e6: int = 50_000) -> Column:
+    """The keep verdict of :func:`blocklist_hits` as a standalone
+    Boolean Column — usable as a scan-stage gate anywhere a predicate
+    fits (e.g. the streaming ingest loop's quality gate).  Same exact
+    integer boundary test."""
+    lit_terms = F.array(*[F.lit(t) for t in terms])
+    ws = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    hits = F.size(F.filter(ws, lambda w: F.array_contains(lit_terms, w)))
+    return (hits.cast("long") * F.lit(1_000_000)
+            <= F.lit(int(max_ratio_e6)) * F.size(ws).cast("long"))

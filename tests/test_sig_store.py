@@ -111,3 +111,42 @@ def test_streaming_ingest_sink(spark, tmp_path, store):
     assert got[10] == "new"
     assert got[20] == "exact_dup"  # dup of batch-1's admitted doc
     assert got[21] == "new"
+
+
+def test_streaming_ingest_sink_with_quality_gate(spark, tmp_path, store):
+    """The gated loop runs the real pipeline order — quality gate
+    BEFORE dedup: rejected docs are verdicted without probing and
+    never enter the store, so a later clean duplicate of a rejected
+    doc is NOT flagged (the junk never became state)."""
+    from goka_spark.functions.text import blocklist_keep
+    from goka_spark.streaming.runtime import stream_from_dir
+
+    store.build(_df(spark, [(1, "seed corpus document about spark plans")]),
+                "doc_id", "text")
+    src = str(tmp_path / "topic_gated")
+    schema = "doc_id long, text string"
+    _df(spark, [(10, "badword badword badword spam spam"),
+                (11, "a perfectly clean document about joins")]) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    sink = DedupIngestSink(
+        store, str(tmp_path / "verdicts_gated"), "doc_id", "text",
+        gate=blocklist_keep(F.col("text"), ["badword"],
+                            max_ratio_e6=50_000))
+    q = (stream_from_dir(spark, src, schema).writeStream
+         .foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt_gated"))
+         .start())
+    try:
+        q.processAllAvailable()
+        _df(spark, [(20, "badword badword badword spam spam"),
+                    (21, "a perfectly clean document about joins")]) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["doc_id"]: r["verdict"] for r in sink.read(spark).collect()}
+    assert got[10] == "rejected"
+    assert got[11] == "new"
+    assert got[20] == "rejected"      # gated again, not exact_dup —
+    assert got[21] == "exact_dup"     # junk never entered the store
