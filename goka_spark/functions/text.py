@@ -292,7 +292,7 @@ def hashed_ngram_features(df, id_col: str, text_col: str,
 
 
 def dsir_importance(corpus, target, id_col: str, text_col: str,
-                    n_buckets: int = 1024):
+                    n_buckets: int = 1024, target_pred=None):
     """DSIR importance weights: per-document log-likelihood ratio
     between a TARGET distribution (the data you want more of) and the
     RAW corpus distribution, both modeled as Laplace-smoothed
@@ -309,14 +309,28 @@ def dsir_importance(corpus, target, id_col: str, text_col: str,
     Scale shape: two bucket-count aggregates (raw and target), a
     1-row totals aggregate, the tiny (≤ n_buckets) log-ratio table
     broadcast back onto the per-doc features, one final per-doc sum.
-    The raw side reads the corpus postings once; no joins on text."""
+    The raw side reads the corpus postings once; no joins on text.
+
+    ``target_pred``: when the target is a SLICE of the corpus (a
+    predicate over the feature frame's ``doc`` id column), pass the
+    predicate instead of a separate ``target`` frame — both models'
+    bucket counts come from ONE conditional aggregation over the
+    corpus features, eliminating the second featurization pass
+    entirely.  Results are identical: features are per-doc
+    independent and the conditional sum equals the filtered sum."""
     cg = hashed_ngram_features(corpus, id_col, text_col, n_buckets)
-    tg = hashed_ngram_features(target, id_col, text_col, n_buckets)
-    raw_b = cg.groupBy("bucket").agg(F.sum("cnt").alias("cr"))
-    tgt_b = tg.groupBy("bucket").agg(F.sum("cnt").alias("ct"))
-    buckets = (raw_b.join(tgt_b, "bucket", "left")
-               .select("bucket", "cr",
-                       F.coalesce("ct", F.lit(0)).alias("ct")))
+    if target_pred is not None:
+        buckets = cg.groupBy("bucket").agg(
+            F.sum("cnt").alias("cr"),
+            F.coalesce(F.sum(F.when(target_pred, F.col("cnt"))),
+                       F.lit(0)).alias("ct"))
+    else:
+        tg = hashed_ngram_features(target, id_col, text_col, n_buckets)
+        raw_b = cg.groupBy("bucket").agg(F.sum("cnt").alias("cr"))
+        tgt_b = tg.groupBy("bucket").agg(F.sum("cnt").alias("ct"))
+        buckets = (raw_b.join(tgt_b, "bucket", "left")
+                   .select("bucket", "cr",
+                           F.coalesce("ct", F.lit(0)).alias("ct")))
     tot = buckets.agg(F.sum("cr").alias("r_tot"),
                       F.sum("ct").alias("t_tot"))
     k = F.lit(n_buckets)

@@ -75,11 +75,14 @@ def corpus_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
     The stand-in target here is the deterministic doc_id % 7 == 0
     slice (production: a curated quality corpus); md5 buckets and
     micro-nat integerized log ratios make the oracle exact up to
-    ln() ulps."""
+    ln() ulps.  Because the target is a corpus slice, the predicate
+    form computes BOTH models' bucket counts in one conditional
+    aggregation — no second featurization pass (results identical,
+    same oracle)."""
     docs = load(spark, sf, "documents")["documents"]
-    target = docs.filter(F.col("doc_id") % 7 == 0)
-    return T.dsir_importance(docs, target, "doc_id", "text",
-                             n_buckets=1024)
+    return T.dsir_importance(docs, None, "doc_id", "text",
+                             n_buckets=1024,
+                             target_pred=F.col("doc") % 7 == 0)
 
 
 def line_dedup(spark: SparkSession, sf: str) -> DataFrame:
