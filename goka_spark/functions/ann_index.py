@@ -153,10 +153,11 @@ def build_or_load(spark: SparkSession, corpus: DataFrame, id_col: str,
     over every subsequent query, the same contract as building any
     secondary index."""
     cache_dir = cache_dir or default_cache_dir()
-    # "o1" = id-ordered training sample (quantizers are a pure function
-    # of the dataset — oracle-recomputable); versioned into the key so
-    # artifacts trained under scan-order sampling self-invalidate
-    key = f"{fingerprint}_c{n_cells}_m{m}_k{ksub}_s{seed}_o1"
+    # "o2" = id-ordered training sample + matmul-form Lloyd's
+    # (quantizers are a pure function of the dataset —
+    # oracle-recomputable); versioned into the key so artifacts from
+    # older training arithmetic self-invalidate
+    key = f"{fingerprint}_c{n_cells}_m{m}_k{ksub}_s{seed}_o2"
     path = _join(cache_dir, key)
     npz = _join(path, "quantizers.npz")
     success = _join(path, "codes", "_SUCCESS")
