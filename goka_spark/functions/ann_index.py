@@ -141,6 +141,41 @@ class ANNIndex:
         return df
 
 
+def _encode_codes(spark: SparkSession, corpus: DataFrame, id_col: str,
+                  vec_col: str, cents: np.ndarray,
+                  books: np.ndarray) -> DataFrame:
+    """Encode a corpus under FIXED quantizers: unit-normalize, assign
+    the nearest IVF cell, PQ-encode per subspace — one Arrow pass.
+    Shared by the initial build and by ``append_vectors`` so appended
+    batches are encoded bit-identically to the base corpus."""
+    mm, _, dsub = books.shape
+    v = S._normalized(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col)),
+        "id", F.col(vec_col))
+    assigned = S._assign_cells_arrow(v, "_v", cents, 1)
+    bbooks = spark.sparkContext.broadcast(books)
+
+    def enc(it):
+        import pandas as pd
+        B = bbooks.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["_v"].to_numpy())
+            cd = np.empty((len(V), mm), dtype=np.int32)
+            for j in range(mm):
+                Sj = V[:, j * dsub:(j + 1) * dsub]
+                cd[:, j] = ((Sj[:, None, :] - B[j][None, :, :]) ** 2) \
+                    .sum(-1).argmin(1)
+            yield pd.DataFrame({
+                "id": pdf["id"], "cell": [c[0] for c in pdf["cells"]],
+                "codes": [r.tolist() for r in cd],
+                "vec": [r.tolist() for r in V]})
+
+    return assigned.mapInPandas(
+        enc, "id long, cell int, codes array<int>, vec array<double>")
+
+
 def build_or_load(spark: SparkSession, corpus: DataFrame, id_col: str,
                   vec_col: str, *, fingerprint: str, n_cells: int = 16,
                   m: int = 8, ksub: int = 16, seed: int = 42,
@@ -173,33 +208,7 @@ def build_or_load(spark: SparkSession, corpus: DataFrame, id_col: str,
                             order_col=id_col)
     books = S.pq_codebooks(corpus, vec_col, m=m, ksub=ksub, seed=seed,
                            order_col=id_col)
-    mm, _, dsub = books.shape
-
-    v = S._normalized(
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col)),
-        "id", F.col(vec_col))
-    assigned = S._assign_cells_arrow(v, "_v", cents, 1)
-    bbooks = spark.sparkContext.broadcast(books)
-
-    def enc(it):
-        import pandas as pd
-        B = bbooks.value
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            V = np.stack(pdf["_v"].to_numpy())
-            cd = np.empty((len(V), mm), dtype=np.int32)
-            for j in range(mm):
-                Sj = V[:, j * dsub:(j + 1) * dsub]
-                cd[:, j] = ((Sj[:, None, :] - B[j][None, :, :]) ** 2) \
-                    .sum(-1).argmin(1)
-            yield pd.DataFrame({
-                "id": pdf["id"], "cell": [c[0] for c in pdf["cells"]],
-                "codes": [r.tolist() for r in cd],
-                "vec": [r.tolist() for r in V]})
-
-    codes = assigned.mapInPandas(
-        enc, "id long, cell int, codes array<int>, vec array<double>")
+    codes = _encode_codes(spark, corpus, id_col, vec_col, cents, books)
 
     tmp = path + f".tmp{os.getpid()}"
     codes.write.mode("overwrite").partitionBy("cell") \
@@ -224,6 +233,48 @@ def build_or_load(spark: SparkSession, corpus: DataFrame, id_col: str,
     if not renamed:
         fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
     return _load()
+
+
+def append_vectors(index: ANNIndex, batch: DataFrame, id_col: str,
+                   vec_col: str) -> int:
+    """FAISS ``Index.add()`` analog — the embedding-side incremental
+    ingestion shape (pairs with ``plans.sig_store.SignatureStore``
+    for text): encode a NEW batch under the index's FROZEN quantizers
+    and append its codes to the cell-partitioned codes table.
+
+    One Arrow pass over the batch; appended files land inside the
+    existing ``cell=`` partition dirs, so file-level probe pruning
+    keeps working unchanged and batch N+1's queries see batch N
+    without any corpus re-scan or re-clustering.  Per IVF semantics
+    the quantizer does NOT retrain on append: cell boundaries and
+    codebooks stay fixed (existing codes remain valid); rebuild the
+    index when corpus drift degrades recall — the same rebuild policy
+    as any FAISS IVF deployment.
+
+    Refuses to mutate a fingerprint-keyed index under the SHARED
+    cache root: those are content-addressed by the base dataset, and
+    appending would desynchronize every other reader that resolves
+    the same fingerprint.  Build with an explicit ``cache_dir`` you
+    own to use append.
+
+    Returns the number of vectors appended.
+    """
+    cache_root = default_cache_dir().rstrip("/")
+    if index.path.rstrip("/").startswith(cache_root + "/"):
+        raise ValueError(
+            "append_vectors would mutate a fingerprint-keyed index in "
+            f"the shared cache ({index.path}); fingerprints address the "
+            "BASE dataset's content, so other readers resolving the same "
+            "fingerprint would silently see the appended rows.  Build "
+            "the index with an explicit cache_dir you own (e.g. next to "
+            "the ingest ledger) to use incremental append.")
+    codes = _encode_codes(index.spark, batch, id_col, vec_col,
+                          index.centroids, index.books)
+    codes.write.mode("append").partitionBy("cell") \
+        .parquet(_join(index.path, "codes"))
+    # counting the raw batch (parquet metadata) avoids re-running the
+    # Arrow encode pass just for the return value
+    return int(batch.count())
 
 
 def _collect_queries(queries: DataFrame, id_col: str, vec_col: str,
