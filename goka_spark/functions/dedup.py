@@ -306,26 +306,15 @@ def auto_max_df(postings: DataFrame, budget: int = 32,
     return c
 
 
-def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        n: int = 3, threshold: float = 0.05,
-                        max_df: "int | str | None" = None,
-                        budget: int = 32) -> DataFrame:
-    """Similarity self-join via a document-frequency-pruned inverted
-    index, exact Jaccard on the full shingle sets.
-
-    Scale discipline: a shingle appearing in *f* documents contributes
-    f² rows to the inverted-index self-join — at corpus scale hot
-    "stop shingles" dominate the join quadratically.  ``max_df`` drops
-    them from CANDIDATE GENERATION only (classic stop-shingle /
-    prefix-filter pruning); the Jaccard each surviving pair gets is
-    still computed on the COMPLETE shingle sets via ``array_intersect``
-    so pruning affects recall (pairs sharing only ultra-common
-    shingles), never the reported similarity value.
-
-    ``max_df="auto"`` derives the cutoff from the corpus's own df
-    histogram under a work budget linear in postings — see
-    :func:`auto_max_df`.  Costs one extra postings pass (the
-    histogram aggregate), the same contract as AQE runtime stats.
+def _ngram_pair_counts(df: DataFrame, id_col: str, text_col: str,
+                       n: int = 3, max_df: "int | str | None" = None,
+                       budget: int = 32) -> DataFrame:
+    """Shared candidate-generation + intersection core for the n-gram
+    set-similarity self-joins: df-pruned inverted-index join, exact
+    intersection counts on the COMPLETE shingle sets.  Returns one row
+    per candidate pair — ``(id_a, id_b, _shared, _sz_a, _sz_b)`` with
+    ``id_a < id_b`` — from which Jaccard (symmetric) and containment
+    (asymmetric) are one arithmetic projection each.
     """
     # One posting list (doc, shingle), hash-partitioned by shingle.
     # The explicit repartition is load-bearing: FOUR consumers below
@@ -405,12 +394,69 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         shared = F.col("_cold_shared") + F.when(
             F.col("_hot_a").isNotNull() & F.col("_hot_b").isNotNull(),
             F.size(F.array_intersect("_hot_a", "_hot_b"))).otherwise(0)
+    return pairs.select("id_a", "id_b", shared.alias("_shared"),
+                        "_sz_a", "_sz_b")
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.05,
+                        max_df: "int | str | None" = None,
+                        budget: int = 32) -> DataFrame:
+    """Similarity self-join via a document-frequency-pruned inverted
+    index, exact Jaccard on the full shingle sets.
+
+    Scale discipline: a shingle appearing in *f* documents contributes
+    f² rows to the inverted-index self-join — at corpus scale hot
+    "stop shingles" dominate the join quadratically.  ``max_df`` drops
+    them from CANDIDATE GENERATION only (classic stop-shingle /
+    prefix-filter pruning); the Jaccard each surviving pair gets is
+    still computed on the COMPLETE shingle sets via ``array_intersect``
+    so pruning affects recall (pairs sharing only ultra-common
+    shingles), never the reported similarity value.
+
+    ``max_df="auto"`` derives the cutoff from the corpus's own df
+    histogram under a work budget linear in postings — see
+    :func:`auto_max_df`.  Costs one extra postings pass (the
+    histogram aggregate), the same contract as AQE runtime stats.
+    """
+    pairs = _ngram_pair_counts(df, id_col, text_col, n, max_df, budget)
     return (
         pairs
         .withColumn("jaccard", F.round(
-            shared / (F.col("_sz_a") + F.col("_sz_b") - shared), 4))
+            F.col("_shared")
+            / (F.col("_sz_a") + F.col("_sz_b") - F.col("_shared")), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                            n: int = 3, threshold: float = 0.5,
+                            max_df: "int | str | None" = None,
+                            budget: int = 32) -> DataFrame:
+    """ASYMMETRIC near-duplicate pairs by n-gram set containment
+    (Broder 1997's resemblance/containment pair): ``cont_a`` =
+    |A∩B| / |A| — the fraction of doc A's shingles also in B — and
+    symmetrically ``cont_b``.  A pair survives when EITHER direction
+    clears ``threshold``.
+
+    This is the doc-inside-doc detector Jaccard structurally misses:
+    a short document quoted whole inside a much longer one scores
+    Jaccard ≈ |A|/|B| (→ 0 as B grows) but containment(A→B) = 1.0 —
+    the boilerplate-inclusion / quotation / page-wrapper shape that
+    dominates web-crawl duplication.  Same df-pruned inverted-index
+    candidate join as :func:`ngram_jaccard_pairs` (containment ≥
+    Jaccard for every pair, so any candidate recall bound proven for
+    the Jaccard join holds a fortiori here); the denominators are
+    per-doc set sizes already carried by the shared core.
+    """
+    pairs = _ngram_pair_counts(df, id_col, text_col, n, max_df, budget)
+    return (
+        pairs
+        .withColumn("cont_a", F.round(F.col("_shared") / F.col("_sz_a"), 4))
+        .withColumn("cont_b", F.round(F.col("_shared") / F.col("_sz_b"), 4))
+        .filter(F.greatest("cont_a", "cont_b") >= threshold)
+        .select("id_a", "id_b", "cont_a", "cont_b")
     )
 
 

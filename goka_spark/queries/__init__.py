@@ -93,6 +93,7 @@ _FRONT = [
     "dup_span_extract",
     "corpus_importance_weights",
     "doc_lm_score",
+    "ngram_containment_pairs",  # NEW late-r5; r06 front candidate
 ]
 
 

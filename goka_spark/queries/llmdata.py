@@ -60,6 +60,16 @@ def ngram_jaccard_auto(spark: SparkSession, sf: str) -> DataFrame:
                                  threshold=0.05, max_df="auto")
 
 
+def ngram_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric doc-inside-doc detection: shingle-set containment in
+    both directions (Broder 1997), surviving when either clears the
+    threshold.  Same df-pruned candidate join as the Jaccard twin —
+    containment >= Jaccard, so its recall bound carries over."""
+    docs = load(spark, sf, "documents")["documents"]
+    return D.ngram_containment_pairs(docs, "doc_id", "text", n=3,
+                                     threshold=0.2, max_df=50)
+
+
 def dup_span_extract(spark: SparkSession, sf: str) -> DataFrame:
     """Maximal duplicated-substring spans (the 'which words to cut'
     substring-dedup operator): positions covered by an n-gram with
@@ -619,6 +629,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ngram_jaccard_auto": ngram_jaccard_auto,
+    "ngram_containment_pairs": ngram_containment_pairs,
     "ngram_jaccard_prefix": ngram_jaccard_prefix,
     "dup_span_extract": dup_span_extract,
     "line_dedup": line_dedup,
@@ -702,6 +713,36 @@ ORACLES = {
         WHERE ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
                     / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))),
                     4) >= 0.05
+    """,
+    "ngram_containment_pairs": """
+        WITH d AS (
+          SELECT doc_id AS doc, list_distinct(list_transform(
+                   range(1, greatest(len(words) - 2, 1) + 1),
+                   i -> array_to_string(words[i:i+2], ' '))) AS shs
+          FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
+                FROM documents)
+        ), sh AS (
+          SELECT doc, UNNEST(shs) AS sh FROM d
+        ), dfc AS (
+          SELECT sh FROM (SELECT sh, COUNT(*) AS cnt FROM sh GROUP BY sh)
+          WHERE cnt <= 50
+        ), pruned AS (
+          SELECT doc, s.sh FROM sh s JOIN dfc USING (sh)
+        ), cand AS (
+          SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+          FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc < b.doc
+        ), scored AS (
+          SELECT id_a, id_b,
+                 ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+                       / len(a.shs), 4) AS cont_a,
+                 ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+                       / len(b.shs), 4) AS cont_b
+          FROM cand c
+          JOIN d a ON a.doc = c.id_a
+          JOIN d b ON b.doc = c.id_b
+        )
+        SELECT id_a, id_b, cont_a, cont_b FROM scored
+        WHERE GREATEST(cont_a, cont_b) >= 0.2
     """,
     "ngram_jaccard_auto": """
         WITH d AS (
