@@ -94,6 +94,7 @@ _FRONT = [
     "corpus_importance_weights",
     "doc_lm_score",
     "ngram_containment_pairs",  # NEW late-r5; r06 front candidate
+    "embedding_cluster_assign",  # NEW late-r5; r06 front candidate
 ]
 
 

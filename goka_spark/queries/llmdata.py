@@ -196,13 +196,32 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
-    """Rows-only: SemDeDup semantic dedup (Abbas et al. 2023) over
-    the persisted index — near-pairs must share the IVF cell AND an
-    LSH band bucket (k-means cells are engine-side, so no SQL twin;
-    the banding algebra is the hash-verified C12 oracle's).  Keeps
-    the smallest id per connected duplicate group."""
+    """SemDeDup semantic dedup (Abbas et al. 2023) over the persisted
+    index — near-pairs must share the IVF cell AND an LSH band bucket.
+    HASH-VERIFIED since r5 (_semantic_oracle): the oracle recomputes
+    the centroids as SQL literals, replays the coordinate-sign banding
+    and exact cosines, and runs connected components as a recursive
+    CTE.  Keeps the smallest id per connected duplicate group."""
     emb = load(spark, sf, "embeddings")["embeddings"]
     return A.semantic_dedup(_ann_index(spark, sf, emb), threshold=0.3)
+
+
+def embedding_cluster_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus clustering as a first-class OUTPUT (the D4/SemDeDup
+    pre-step every embedding-curation pipeline materializes): each
+    vector's k-means cluster plus the cluster population, read
+    straight from the persisted index's cell-partitioned codes table
+    — zero recompute, one count-window over √n-sized cells.
+    Hash-verified via the recomputable-quantizer idiom (the oracle
+    re-trains bit-identical centroids and assigns cells in SQL)."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf, "embeddings")["embeddings"]
+    idx = _ann_index(spark, sf, emb)
+    c = idx.codes().select(F.col("id").alias("vec_id"),
+                           F.col("cell").cast("long").alias("cluster"))
+    w = Window.partitionBy("cluster")
+    return c.withColumn("cluster_size", F.count("*").over(w))
 
 
 def lang_id(spark: SparkSession, sf: str) -> DataFrame:
@@ -640,6 +659,7 @@ QUERIES = {
     "embedding_ivf_ann": embedding_ivf_ann,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_semantic": dedup_semantic,
+    "embedding_cluster_assign": embedding_cluster_assign,
     "lang_id": lang_id,
     "doc_quality_score": doc_quality_score,
     "token_count": token_count,
@@ -1774,6 +1794,22 @@ def _semantic_oracle(bands: int = 8, bits: int = 8,
 
 
 ORACLES["dedup_semantic"] = _semantic_oracle
+
+
+def _cluster_assign_oracle(dim: int = 64) -> str:
+    """DuckDB twin of embedding_cluster_assign: the `assigned` CTE
+    (recomputed centroid literals, argmax cell with first-max
+    tie-break) plus one count window."""
+    _, ctes = _ivf_cells_ctes(dim)
+    return f"""
+        WITH {ctes}
+        SELECT vec_id, CAST(cell AS BIGINT) AS cluster,
+               COUNT(*) OVER (PARTITION BY cell) AS cluster_size
+        FROM assigned
+    """
+
+
+ORACLES["embedding_cluster_assign"] = _cluster_assign_oracle
 
 
 def _ivf_local_books(sf_dir: str, m: int = 8, ksub: int = 16,
