@@ -277,6 +277,99 @@ def append_vectors(index: ANNIndex, batch: DataFrame, id_col: str,
     return int(batch.count())
 
 
+def dedup_batch_vectors(index: ANNIndex, batch: DataFrame, id_col: str,
+                        vec_col: str, threshold: float = 0.9,
+                        n_probe: int = 1) -> DataFrame:
+    """Batch-vs-index semantic dedup — the embedding twin of
+    ``SignatureStore.dedup_batch``: verdict ``near_dup`` iff a batch
+    vector's exact cosine against ANY indexed vector in its
+    ``n_probe`` nearest cells clears ``threshold``, else ``new``.
+
+    Fully distributed — no driver-side query broadcast: batch vectors
+    are cell-assigned in one Arrow pass, the candidate join is a cell
+    equi-join against the codes table (read partition-pruned to the
+    batch's probed-cell union — a ≤ n_cells-int driver list, never
+    vector data), and the verdict is one max-cosine aggregate.  Work
+    is ~|batch| · n_probe · √n candidate rows, the SemDeDup shape;
+    never batch × corpus.
+    """
+    v = S._normalized(
+        batch.select(F.col(id_col).alias("_bid"), F.col(vec_col)),
+        "_bid", F.col(vec_col))
+    assigned = S._assign_cells_arrow(v, "_v", index.centroids, n_probe) \
+        .select("_bid", "_v", F.explode("cells").alias("cell"))
+    probed = sorted({int(r.cell) for r in
+                     assigned.select("cell").distinct().collect()})
+    cand = index.codes(probed).select("cell", F.col("vec").alias("_cv"))
+    hits = (assigned.join(cand, "cell")
+            .withColumn("_cos", S.dot(F.col("_v"), F.col("_cv")))
+            .groupBy("_bid").agg(F.max("_cos").alias("_best")))
+    return (batch.select(F.col(id_col))
+            .join(hits.select(F.col("_bid").alias(id_col), "_best"),
+                  id_col, "left")
+            .select(F.col(id_col),
+                    F.when(F.col("_best") >= threshold, "near_dup")
+                     .otherwise("new").alias("verdict"),
+                    F.round(F.coalesce("_best", F.lit(-1.0)), 4)
+                     .alias("best_cos")))
+
+
+def ingest_vectors(index: ANNIndex, batch: DataFrame, id_col: str,
+                   vec_col: str, threshold: float = 0.9,
+                   n_probe: int = 1) -> DataFrame:
+    """dedup_batch_vectors + admit the novel vectors (append their
+    codes under the frozen quantizers) — the full embedding ingestion
+    loop: batch N+1's probes AND queries see batch N.  Returns the
+    verdicts (materialized: the append must observe pre-append state,
+    and both consumers read the same verdict set)."""
+    verdicts = dedup_batch_vectors(index, batch, id_col, vec_col,
+                                   threshold, n_probe) \
+        .localCheckpoint(eager=True)
+    fresh = batch.join(
+        verdicts.filter(F.col("verdict") == "new").select(id_col),
+        id_col, "left_semi")
+    append_vectors(index, fresh, id_col, vec_col)
+    return verdicts
+
+
+class AnnIngestSink:
+    """Streaming face of the embedding ingestion loop: a
+    ``foreachBatch`` sink running ``ingest_vectors`` per micro-batch,
+    verdicts written to ``out_path/epoch_id=N`` (overwrite-idempotent,
+    the ExactlyOnceBatchSink layout) — the embedding twin of
+    ``sig_store.DedupIngestSink``, same pipeline order: an optional
+    Boolean ``gate`` Column (e.g. an embedding-norm sanity check)
+    rejects rows BEFORE they probe or enter the index."""
+
+    def __init__(self, index: ANNIndex, out_path: str, id_col: str,
+                 vec_col: str, threshold: float = 0.9,
+                 n_probe: int = 1, gate=None):
+        self.index, self.out_path = index, out_path
+        self.id_col, self.vec_col = id_col, vec_col
+        self.threshold, self.n_probe, self.gate = threshold, n_probe, gate
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if self.gate is not None:
+            ok = F.coalesce(self.gate, F.lit(False))
+            passed = batch_df.filter(ok)
+            rejected = (batch_df.filter(~ok)
+                        .select(F.col(self.id_col),
+                                F.lit("rejected").alias("verdict"),
+                                F.lit(-1.0).alias("best_cos")))
+            verdicts = ingest_vectors(
+                self.index, passed, self.id_col, self.vec_col,
+                self.threshold, self.n_probe).unionByName(rejected)
+        else:
+            verdicts = ingest_vectors(
+                self.index, batch_df, self.id_col, self.vec_col,
+                self.threshold, self.n_probe)
+        (verdicts.write.mode("overwrite")
+         .parquet(f"{self.out_path.rstrip('/')}/epoch_id={int(epoch_id)}"))
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.out_path).drop("epoch_id")
+
+
 def _collect_queries(queries: DataFrame, id_col: str, vec_col: str,
                      max_queries: int):
     q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
