@@ -54,6 +54,8 @@ HEADLINE = [
     # round 5 additions
     "dedup_incremental",
     "bloom_decontaminate",
+    "ngram_containment_pairs",
+    "embedding_cluster_assign",
 ]
 
 

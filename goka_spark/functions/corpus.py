@@ -67,6 +67,39 @@ def hash_split(df: DataFrame, id_col: str,
     return df.select(F.col(id_col), expr.alias("split"))
 
 
+def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
+                    k: int, salt: str = "ws-v1") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — k rows
+    drawn with probability proportional to ``weight_col`` via the
+    Efraimidis–Spirakis one-pass key method (Inf. Proc. Letters 2006):
+    rank every row by ``ln(u) / w`` with ``u`` uniform in (0, 1] and
+    keep the k largest.  Here ``u`` is NOT RNG — it derives from the
+    md5 slot of ``id || salt`` — so the sample is a pure function of
+    (ids, weights, salt): re-runs, other engines, and downstream
+    auditors reproduce it exactly, the same contract as
+    :func:`hash_split`.  A different ``salt`` redraws independently.
+
+    Scale shape: one scan computing the key (pure Columns) feeding a
+    ``TakeOrderedAndProject`` top-k (per-partition partial top-k, a
+    k-row merge on the driver) — never a global sort, no shuffle of
+    the corpus.  Rows with non-positive weight are excluded (they
+    have zero selection probability by definition).
+
+    Output: ``(id, weight, sample_key)`` with ``sample_key`` the
+    (rounded) rank key — publishing it makes the draw auditable.
+    """
+    w = F.col(weight_col).cast("double")
+    u = (hash_slot(F.col(id_col), 1 << 32, salt) + 1) / F.lit(float(1 << 32))
+    key = F.log(u) / w
+    return (df.filter(w > 0)
+            .select(F.col(id_col), F.col(weight_col).alias("weight"),
+                    key.alias("_key"))
+            .orderBy(F.col("_key").desc(), F.col(id_col))
+            .limit(k)
+            .select(id_col, "weight",
+                    F.round("_key", 6).alias("sample_key")))
+
+
 def mixture_rates(df: DataFrame, domain_col: str,
                   weights: dict[str, int]) -> DataFrame:
     """Per-domain keep rates that reshape the corpus toward integer

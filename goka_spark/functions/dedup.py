@@ -609,6 +609,51 @@ def dup_span_extract(df: DataFrame, id_col: str, text_col: str,
                     F.col("dup_grams").cast("long")))
 
 
+def decontaminate_spans(corpus: DataFrame, benchmark: DataFrame,
+                        id_col: str, text_col: str,
+                        n: int = 5) -> DataFrame:
+    """Span-level decontamination REPORT: the maximal word ranges of
+    each corpus document that overlap a benchmark n-gram — what
+    decontamination audits publish (WHERE the leak is, not just that
+    one exists) and what surgical span-removal consumes, the
+    benchmark-vs-corpus twin of :func:`dup_span_extract`.
+
+    A position is contaminated when the n-gram starting at it occurs
+    anywhere in the benchmark; overlapping/adjacent covered ranges
+    ``[pos, pos+n-1]`` merge gaps-and-islands into maximal spans.
+    One row per span: ``(id, span_start, span_end, bench_grams)``,
+    1-based word ranks, integer-exact end to end.
+
+    Scale shape: the benchmark shingle set BROADCASTS (eval suites
+    are MBs vs TBs of corpus), corpus positions are one codegen
+    shingle explode + broadcast equi-join, span merging is a per-doc
+    window bounded by document length — linear in corpus postings,
+    the only shuffle is the per-doc window exchange."""
+    bench_sh = (benchmark
+                .select(F.explode(word_shingles(F.col(text_col), n))
+                        .alias("sh"))
+                .distinct())
+    hits = (shingle_postings(corpus, id_col, text_col, n, positions=True)
+            .join(F.broadcast(bench_sh), "sh")
+            .select("doc", "pos"))
+    w = Window.partitionBy("doc").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (n - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)) + 1, 1) \
+        .otherwise(0)
+    islands = (hits.withColumn("_brk", brk)
+               .withColumn("_island", F.sum("_brk").over(
+                   w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (islands.groupBy("doc", "_island")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + (n - 1)).alias("span_end"),
+                 F.count("*").alias("bench_grams"))
+            .select(F.col("doc").alias(id_col),
+                    F.col("span_start").cast("long"),
+                    F.col("span_end").cast("long"),
+                    F.col("bench_grams").cast("long")))
+
+
 def decontaminate(corpus: DataFrame, benchmark: DataFrame, id_col: str,
                   text_col: str, n: int = 5,
                   min_hits: int = 1) -> DataFrame:

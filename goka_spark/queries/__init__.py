@@ -95,6 +95,8 @@ _FRONT = [
     "doc_lm_score",
     "ngram_containment_pairs",  # NEW late-r5; r06 front candidate
     "embedding_cluster_assign",  # NEW late-r5; r06 front candidate
+    "decontaminate_spans",       # NEW late-r5; r06 front candidate
+    "corpus_weighted_sample",    # NEW late-r5; r06 front candidate
 ]
 
 

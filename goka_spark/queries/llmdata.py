@@ -313,6 +313,18 @@ def benchmark_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     return D.decontaminate(corpus, bench, "doc_id", "text", n=3)
 
 
+def decontaminate_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level decontamination report: the maximal word ranges of
+    each corpus doc overlapping a benchmark 3-gram (benchmark
+    stand-in: every 97th doc) — WHERE the leak is, for audit and
+    surgical span removal.  Benchmark shingles broadcast; span
+    merging is a per-doc window; integer-exact oracle."""
+    docs = load(spark, sf, "documents")["documents"]
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return D.decontaminate_spans(corpus, bench, "doc_id", "text", n=3)
+
+
 def corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic stratified sampling — how a real pipeline does
     domain weighting reproducibly: a quality bucket sets the keep
@@ -554,6 +566,16 @@ def corpus_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
     return C.domain_mix(docs, "doc_id", "source", MIX_WEIGHTS)
 
 
+def corpus_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis keys over md5-derived uniforms): 100 docs
+    drawn proportional to n_chars, reproducible by any engine from
+    (ids, weights, salt) alone — no RNG, no seed coordination.
+    One scan + TakeOrderedAndProject top-k, never a global sort."""
+    docs = load(spark, sf, "documents")["documents"]
+    return C.weighted_sample(docs, "doc_id", "n_chars", k=100)
+
+
 def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental batch-vs-corpus dedup (D.incremental_dedup): docs
     with doc_id % 10 == 0 play the arriving batch, the rest the
@@ -641,6 +663,7 @@ QUERIES = {
     "cluster_balanced_sample": cluster_balanced_sample,
     "corpus_split": corpus_split,
     "corpus_domain_mix": corpus_domain_mix,
+    "corpus_weighted_sample": corpus_weighted_sample,
     "dedup_incremental": dedup_incremental,
     "bloom_decontaminate": bloom_decontaminate,
     "dedup_exact": dedup_exact,
@@ -651,6 +674,7 @@ QUERIES = {
     "ngram_containment_pairs": ngram_containment_pairs,
     "ngram_jaccard_prefix": ngram_jaccard_prefix,
     "dup_span_extract": dup_span_extract,
+    "decontaminate_spans": decontaminate_spans,
     "line_dedup": line_dedup,
     "doc_lm_score": doc_lm_score,
     "corpus_importance_weights": corpus_importance_weights,
@@ -1333,6 +1357,41 @@ ORACLES["dup_span_extract"] = f"""
     FROM ids GROUP BY doc, island
 """
 
+ORACLES["decontaminate_spans"] = f"""
+    WITH d AS (
+      SELECT doc_id AS doc, {_WORDS} AS words FROM documents
+    ), bsh AS (
+      SELECT DISTINCT array_to_string(words[i:i+2], ' ') AS sh
+      FROM d, UNNEST(range(1, greatest(len(words) - 2, 1) + 1)) AS t(i)
+      WHERE len(words) >= 1 AND doc % 97 = 0
+    ), g AS (
+      SELECT doc, CAST(i AS BIGINT) AS pos,
+             array_to_string(words[i:i+2], ' ') AS sh
+      FROM d, UNNEST(range(1, greatest(len(words) - 2, 1) + 1)) AS t(i)
+      WHERE len(words) >= 1 AND doc % 97 <> 0
+    ), hit AS (
+      SELECT doc, pos FROM g JOIN bsh USING (sh)
+    ), isl AS (
+      SELECT doc, pos,
+             CASE WHEN pos > COALESCE(MAX(pos + 2) OVER (
+                    PARTITION BY doc ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1) + 1 THEN 1 ELSE 0 END AS brk
+      FROM hit
+    ), ids AS (
+      SELECT doc, pos,
+             SUM(brk) OVER (PARTITION BY doc ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS island
+      FROM isl
+    )
+    SELECT doc AS doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 2 AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS bench_grams
+    FROM ids GROUP BY doc, island
+"""
+
 # micro-nat integerized log ratios: the per-doc SUM is exact integer
 # arithmetic, so engines agree regardless of aggregation order; only
 # the per-bucket ln() (on identical doubles) must match — see
@@ -1458,6 +1517,17 @@ ORACLES["corpus_split"] = """
                                           || 'split-v1'), 1, 8))
                       AS BIGINT) % 1000 AS slot
           FROM documents)
+"""
+
+ORACLES["corpus_weighted_sample"] = """
+    SELECT doc_id, weight, ROUND(key, 6) AS sample_key FROM (
+      SELECT doc_id, n_chars AS weight,
+             ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                          || 'ws-v1'), 1, 8)) AS BIGINT)
+                 % 4294967296 + 1) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE) AS key
+      FROM documents WHERE n_chars > 0
+      ORDER BY key DESC, doc_id LIMIT 100)
 """
 
 _MIX_VALUES = ", ".join(
