@@ -267,3 +267,28 @@ def test_incremental_dedup_no_cartesian(spark, sf_dir):
     no pairing stage may degrade to a cartesian product."""
     plan = X.simple(llmdata.dedup_incremental(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_is_topk_not_global_sort(spark, sf_dir):
+    """Efraimidis-Spirakis selection must compile to
+    TakeOrderedAndProject (per-partition partial top-k, k-row driver
+    merge) — a global Sort would shuffle the whole corpus for 100
+    rows."""
+    plan = X.simple(llmdata.corpus_weighted_sample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_decontaminate_spans_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark shingle set rides a broadcast; the corpus-side
+    postings never shuffle for the candidate join (the only exchange
+    is the per-doc span window)."""
+    df = llmdata.decontaminate_spans(spark, sf_dir)
+    assert X.has_broadcast_join(df)
+
+
+def test_containment_no_cartesian_single_pair_agg(spark, sf_dir):
+    """Containment shares the Jaccard candidate core: an equi-join on
+    the shingle, never a cartesian pairing."""
+    plan = X.simple(llmdata.ngram_containment_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
