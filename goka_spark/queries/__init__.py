@@ -97,6 +97,7 @@ _FRONT = [
     "embedding_cluster_assign",  # NEW late-r5; r06 front candidate
     "decontaminate_spans",       # NEW late-r5; r06 front candidate
     "corpus_weighted_sample",    # NEW late-r5; r06 front candidate
+    "corpus_stats",              # NEW late-r5; r06 front candidate
 ]
 
 

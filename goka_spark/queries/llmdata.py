@@ -566,6 +566,24 @@ def corpus_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
     return C.domain_mix(docs, "doc_id", "source", MIX_WEIGHTS)
 
 
+def corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset-card profile: one row per (source, lang) with doc,
+    token, and char totals plus char bounds — the summary every
+    released corpus publishes.  One partial+final hash-agg over one
+    scan; float hazard avoided by aggregating only exact integers
+    (the mean is a deterministic division of two exact BIGINTs)."""
+    docs = load(spark, sf, "documents")["documents"]
+    return (docs.groupBy("source", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(T.ws_token_count(F.col("text")).cast("long"))
+                  .alias("total_tokens"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars"))
+            .withColumn("mean_chars", F.round(
+                F.col("total_chars") / F.col("n_docs"), 4)))
+
+
 def corpus_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (Efraimidis–Spirakis keys over md5-derived uniforms): 100 docs
@@ -664,6 +682,7 @@ QUERIES = {
     "corpus_split": corpus_split,
     "corpus_domain_mix": corpus_domain_mix,
     "corpus_weighted_sample": corpus_weighted_sample,
+    "corpus_stats": corpus_stats,
     "dedup_incremental": dedup_incremental,
     "bloom_decontaminate": bloom_decontaminate,
     "dedup_exact": dedup_exact,
@@ -1517,6 +1536,16 @@ ORACLES["corpus_split"] = """
                                           || 'split-v1'), 1, 8))
                       AS BIGINT) % 1000 AS slot
           FROM documents)
+"""
+
+ORACLES["corpus_stats"] = f"""
+    SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({_WORDS})) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS mean_chars
+    FROM documents GROUP BY source, lang
 """
 
 ORACLES["corpus_weighted_sample"] = """
