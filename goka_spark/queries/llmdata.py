@@ -21,7 +21,10 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """Rows-only: MinHash signatures per doc (banding + pair-join
+    """MinHash signatures per doc — the PRODUCTION xxhash64 path,
+    HASH-VERIFIED since late r5: the oracle implements XXH64 itself
+    in DuckDB SQL (queries/xxh_sql.py) and replays Spark's array-fold
+    signature hash with a recursive CTE (banding + pair-join
     exercised in tests with planted near-dups; random test corpus has
     none).  Output is the signature table the LSH join consumes."""
     docs = load(spark, sf, "documents")["documents"]
@@ -34,8 +37,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """Rows-only: 63-bit SimHash per document (xxhash64 has no DuckDB
-    twin; determinism asserted in tests)."""
+    """63-bit SimHash per document — the PRODUCTION xxhash64 path,
+    HASH-VERIFIED since late r5 via the XXH64-in-SQL oracle
+    (queries/xxh_sql.py): per-word hashes, bit votes, and the
+    fingerprint all replayed bit-identically in DuckDB."""
     docs = load(spark, sf, "documents")["documents"]
     return D.simhash(docs, "doc_id", "text")
 
@@ -1088,6 +1093,114 @@ def _minhash_oracle(num_perm: int = 16) -> str:
 
 
 ORACLES["dedup_minhash_verified"] = _minhash_oracle()
+
+
+# --- XXH64-in-SQL oracles (late r5) ---------------------------------
+# The PRODUCTION dedup paths hash with Spark's xxhash64; these
+# callables generate XXH64 itself in DuckDB SQL (queries/xxh_sql.py:
+# HUGEINT-emulated 64-bit wraparound, one projection layer per
+# algorithm step), flipping dedup_simhash and dedup_minhash_lsh from
+# rows-only to fully hash-verified.  Unroll depth comes from the
+# actual data's max byte length, probed at oracle-build time (same
+# contract as the IVF centroid literals).
+
+def _xxh_max_len(kind: str) -> int:
+    import duckdb as _dd
+    sf_dir = _ivf_oracle_sf()
+    if kind == "word":
+        q = (f"SELECT COALESCE(MAX(octet_length(encode(w))), 8) FROM "
+             f"(SELECT UNNEST({_WORDS}) AS w FROM "
+             f"'{sf_dir}/documents.parquet')")
+    else:
+        q = (f"SELECT COALESCE(MAX(octet_length(encode(s))), 8) FROM "
+             f"(SELECT array_to_string(words[i:i+2], ' ') AS s FROM "
+             f"(SELECT {_WORDS} AS words FROM "
+             f"'{sf_dir}/documents.parquet') d, "
+             f"UNNEST(range(1, greatest(len(words) - 2, 1) + 1)) AS t(i))")
+    return int(_dd.sql(q).fetchone()[0])
+
+
+def _simhash_xxh_oracle() -> str:
+    """DuckDB twin of simhash(base_hash='xxhash64'): XXH64 per word
+    occurrence (seed 42), 63 bit-votes, positive-long fingerprint —
+    bit-identical to the Spark production path."""
+    from goka_spark.queries import xxh_sql as XS
+    inner = (f"SELECT doc_id, w FROM (SELECT doc_id, UNNEST({_WORDS}) "
+             f"AS w FROM documents)")
+    xh = XS.xxh64_select(inner, "w", "hub", ["doc_id"],
+                         max_len=_xxh_max_len("word"))
+    return f"""
+    WITH xh AS ({xh}), bits AS (SELECT UNNEST(range(0, 63)) AS j),
+    v AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (hub >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM xh CROSS JOIN bits GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0 THEN (1::HUGEINT << j)
+                    ELSE 0 END) AS BIGINT) AS simhash
+    FROM v GROUP BY doc_id
+    """
+
+
+ORACLES["dedup_simhash"] = _simhash_xxh_oracle
+
+
+def _minhash_lsh_xxh_oracle(num_perm: int = 32) -> str:
+    """DuckDB twin of the dedup_minhash_lsh registry output: XXH64
+    shingle hashes (seed 42) → the (a*h31+b) mod p signature mins →
+    sig_hash = Spark's ARRAY fold (element k's XXH64 seeded by
+    element k-1's result), replayed with a recursive CTE around ONE
+    generated XXH64 instance."""
+    from goka_spark.functions.dedup import MERSENNE, _perm_params
+    from goka_spark.queries import xxh_sql as XS
+
+    rows = ", ".join(f"({j}, {a}, {b})"
+                     for j, (a, b) in enumerate(_perm_params(num_perm)))
+    inner = f"""SELECT doc_id, s FROM (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+               range(1, greatest(len(words) - 2, 1) + 1),
+               i -> array_to_string(words[i:i+2], ' ')))) AS s
+      FROM (SELECT doc_id, {_WORDS} AS words FROM documents))"""
+    xh = XS.xxh64_select(inner, "s", "hub", ["doc_id"],
+                         max_len=_xxh_max_len("shingle"))
+
+    # the fold body: one XXH64 of the current element's decimal
+    # string, seeded by the accumulator column carried through layers
+    fcols, fres = XS.xxh64_cols("f_", "f_hx", "f_n", "hacc", 20)
+    fold_base = f"""SELECT doc_id, mh, j, hacc,
+      hex(encode(CAST(mh[j + 1] AS VARCHAR))) || repeat('0', 120)
+        AS f_hx,
+      octet_length(encode(CAST(mh[j + 1] AS VARCHAR))) AS f_n
+      FROM rec WHERE j < {num_perm}"""
+    fold_step = (f"SELECT doc_id, mh, j + 1 AS j, {fres} AS hacc "
+                 f"FROM ({XS.layered(fold_base, fcols)})")
+
+    return f"""
+    WITH RECURSIVE xh AS ({xh}), params(perm, a, b) AS (VALUES {rows}),
+    h AS (
+      SELECT doc_id, CAST(hub & 2147483647 AS BIGINT) AS h31 FROM xh
+    ),
+    sigs AS (
+      SELECT doc_id, perm, MIN((a * h31 + b) % {MERSENNE}) AS sig
+      FROM h CROSS JOIN params GROUP BY doc_id, perm
+    ),
+    arr AS (
+      SELECT doc_id, list(sig ORDER BY perm) AS mh FROM sigs
+      GROUP BY doc_id
+    ),
+    rec AS (
+      SELECT doc_id, mh, 0 AS j, CAST(42 AS UBIGINT) AS hacc FROM arr
+      UNION ALL
+      {fold_step}
+    )
+    SELECT doc_id, {XS.signed64('hacc')} AS sig_hash,
+           mh[1] AS minhash_0
+    FROM rec WHERE j = {num_perm}
+    """
+
+
+ORACLES["dedup_minhash_lsh"] = _minhash_lsh_xxh_oracle
 
 ORACLES["corpus_shard_pack"] = f"""
     SELECT doc_id,
