@@ -22,12 +22,11 @@ from goka_spark.queries import analytics, core, llmdata
 _FRONT = [
     # (a) never certified — the nine NEW round-5 operators first
     # (certifying new code beats re-signing unchanged r03-green keys;
-    # the 8 keys this pushes past slot 50 — dup_ngram_coverage,
-    # tfidf_keywords, quality_gopher, pii_scrub, text_normalize,
-    # multimodal_decode_ppm, multimodal_decode_wav,
-    # multimodal_frame_sample — are r03-certified and UNCHANGED, and
-    # rotate to the front in r06), then the one key no driver run has
-    # ever signed
+    # the 10 keys this pushes past slot 50 — dedup_simhash_verified,
+    # multimodal_decode(+ppm/wav/frame), text_normalize, pii_scrub,
+    # dup_ngram_coverage, tfidf_keywords, quality_gopher — are
+    # r03-certified and UNCHANGED, and rotate to the front in r06),
+    # then the one key no driver run has ever signed
     "corpus_split",
     "corpus_domain_mix",
     "dedup_incremental",
@@ -41,7 +40,11 @@ _FRONT = [
     # (b) index-rewire post-dates the r03 rows
     "embedding_pq_ann",
     "embedding_ivf_pq_ann",
-    # (c) behavior-changed since last row
+    # (c) behavior-changed since last row — including the two
+    # late-r5 oracle flips (XXH64-in-SQL): their r04 rows were
+    # rows-only, the r05 rows hash-verify the production paths
+    "dedup_minhash_lsh",
+    "dedup_simhash",
     "doc_repetition",
     "corpus_filter_pipeline",
     "dedup_embedding_cosine",
