@@ -23,13 +23,12 @@ def test_rows_only_set_is_intentional():
     qs, os_ = all_queries(), all_oracles()
     rows_only = set(qs) - set(os_)
     # embedding_lsh_ann left this set in round 4 (seeded planes as SQL
-    # literals); round 5 removed every remaining ANN key + SemDeDup:
-    # id-ordered quantizer training made centroids/codebooks
-    # oracle-recomputable, so their oracles embed the re-trained
-    # literals.  What remains is genuinely engine-specific (xxhash64
-    # signatures, HLL sketch) or side-effectful (emitter/changelog
-    # write paths).
+    # literals); round 5 removed every remaining ANN key + SemDeDup
+    # (oracle-recomputable quantizers), then late r5 removed the
+    # xxhash64 signature keys too — XXH64 itself is implemented in
+    # the oracle SQL (queries/xxh_sql.py).  What remains is a sketch
+    # estimate (HLL) or side-effectful (emitter/changelog writes).
     assert rows_only == {
-        "approx_distinct_users", "dedup_minhash_lsh", "dedup_simhash",
-        "emitter_roundtrip", "changelog_compaction",
+        "approx_distinct_users", "emitter_roundtrip",
+        "changelog_compaction",
     }
