@@ -609,6 +609,67 @@ def dup_span_extract(df: DataFrame, id_col: str, text_col: str,
                     F.col("dup_grams").cast("long")))
 
 
+def minhash_containment_est(df: DataFrame, id_col: str, text_col: str,
+                            num_perm: int = 32, shingle: int = 3,
+                            bands: int = 8, threshold: float = 0.2,
+                            base_hash: str = "xxhash64") -> DataFrame:
+    """ESTIMATED asymmetric containment at signature scale — the
+    100 TB path beside :func:`ngram_containment_pairs`'s exact
+    postings join: candidates from an LSH band equi-join, then the
+    MinHash Jaccard estimate Ĵ = agreement/num_perm converted to a
+    containment estimate via the inclusion–exclusion identity
+
+        |A∩B| = J/(1+J) · (|A|+|B|)   ⇒   Ĉ_A = |A∩B|̂ / |A|,
+
+    (only the exact per-doc set SIZES are needed, one count per doc —
+    never the sets).  Work is signatures (linear) + the band-bucket
+    join; no shingle ever rides a pair row.
+
+    The band key is the signature SLICE itself (array equality), not
+    its hash — bit-identical candidate sets across engines, which
+    with the XXH64-in-SQL base hash makes the whole estimator
+    hash-verifiable end to end.
+    """
+    if num_perm % bands:
+        raise ValueError("bands must divide num_perm")
+    r = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle,
+                              base_hash)
+    sizes = shingle_postings(df, id_col, text_col, shingle) \
+        .groupBy("doc").agg(F.count("*").alias("_sz"))
+    banded = sigs.select(
+        F.col(id_col), "minhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.slice("minhash", b * r + 1, r).alias("bk"))
+            for b in range(bands)])).alias("bb")
+    ).select(id_col, "minhash", "bb.band", "bb.bk")
+    a = banded.select(F.col(id_col).alias("id_a"),
+                      F.col("minhash").alias("_ma"), "band", "bk")
+    b = banded.select(F.col(id_col).alias("id_b"),
+                      F.col("minhash").alias("_mb"), "band", "bk")
+    cand = (a.join(b, ["band", "bk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    agree = F.aggregate(
+        F.zip_with("_ma", "_mb",
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, x: acc + x)
+    jhat = F.col("_agree") / F.lit(num_perm)
+    shared = jhat / (jhat + 1) * (F.col("_sz_a") + F.col("_sz_b"))
+    return (
+        cand.withColumn("_agree", agree)
+        .join(sizes.select(F.col("doc").alias("id_a"),
+                           F.col("_sz").alias("_sz_a")), "id_a")
+        .join(sizes.select(F.col("doc").alias("id_b"),
+                           F.col("_sz").alias("_sz_b")), "id_b")
+        .withColumn("cont_a_est", F.round(shared / F.col("_sz_a"), 4))
+        .withColumn("cont_b_est", F.round(shared / F.col("_sz_b"), 4))
+        .filter(F.greatest("cont_a_est", "cont_b_est") >= threshold)
+        .select("id_a", "id_b", "cont_a_est", "cont_b_est")
+    )
+
+
 def decontaminate_spans(corpus: DataFrame, benchmark: DataFrame,
                         id_col: str, text_col: str,
                         n: int = 5) -> DataFrame:

@@ -101,6 +101,7 @@ _FRONT = [
     "decontaminate_spans",       # NEW late-r5; r06 front candidate
     "corpus_weighted_sample",    # NEW late-r5; r06 front candidate
     "corpus_stats",              # NEW late-r5; r06 front candidate
+    "minhash_containment_est",   # NEW late-r5; r06 front candidate
 ]
 
 

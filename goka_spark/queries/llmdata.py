@@ -75,6 +75,18 @@ def ngram_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
                                      threshold=0.2, max_df=50)
 
 
+def minhash_containment_est(spark: SparkSession, sf: str) -> DataFrame:
+    """Containment at signature scale: LSH band candidates (slice-
+    equality keys), MinHash Ĵ converted via J/(1+J)·(|A|+|B|) to an
+    |A∩B| estimate, divided by the exact per-doc set sizes — no
+    postings pair join anywhere.  Hash-verified end to end on the
+    XXH64-in-SQL base hash."""
+    docs = load(spark, sf, "documents")["documents"]
+    return D.minhash_containment_est(docs, "doc_id", "text",
+                                     num_perm=32, shingle=3, bands=8,
+                                     threshold=0.2)
+
+
 def dup_span_extract(spark: SparkSession, sf: str) -> DataFrame:
     """Maximal duplicated-substring spans (the 'which words to cut'
     substring-dedup operator): positions covered by an n-gram with
@@ -696,6 +708,7 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ngram_jaccard_auto": ngram_jaccard_auto,
     "ngram_containment_pairs": ngram_containment_pairs,
+    "minhash_containment_est": minhash_containment_est,
     "ngram_jaccard_prefix": ngram_jaccard_prefix,
     "dup_span_extract": dup_span_extract,
     "decontaminate_spans": decontaminate_spans,
@@ -1146,12 +1159,10 @@ def _simhash_xxh_oracle() -> str:
 ORACLES["dedup_simhash"] = _simhash_xxh_oracle
 
 
-def _minhash_lsh_xxh_oracle(num_perm: int = 32) -> str:
-    """DuckDB twin of the dedup_minhash_lsh registry output: XXH64
-    shingle hashes (seed 42) → the (a*h31+b) mod p signature mins →
-    sig_hash = Spark's ARRAY fold (element k's XXH64 seeded by
-    element k-1's result), replayed with a recursive CTE around ONE
-    generated XXH64 instance."""
+def _xxh_sigs_ctes(num_perm: int = 32) -> str:
+    """Shared CTE fragment: distinct shingles → XXH64(seed 42) →
+    h31 → per-perm signature mins → per-doc ordered signature list
+    ``arr(doc_id, mh)`` (+ ``inner_sh`` for per-doc set sizes)."""
     from goka_spark.functions.dedup import MERSENNE, _perm_params
     from goka_spark.queries import xxh_sql as XS
 
@@ -1164,6 +1175,28 @@ def _minhash_lsh_xxh_oracle(num_perm: int = 32) -> str:
       FROM (SELECT doc_id, {_WORDS} AS words FROM documents))"""
     xh = XS.xxh64_select(inner, "s", "hub", ["doc_id"],
                          max_len=_xxh_max_len("shingle"))
+    return f"""inner_sh AS ({inner}), xh AS ({xh}),
+    params(perm, a, b) AS (VALUES {rows}),
+    h AS (
+      SELECT doc_id, CAST(hub & 2147483647 AS BIGINT) AS h31 FROM xh
+    ),
+    sigs AS (
+      SELECT doc_id, perm, MIN((a * h31 + b) % {MERSENNE}) AS sig
+      FROM h CROSS JOIN params GROUP BY doc_id, perm
+    ),
+    arr AS (
+      SELECT doc_id, list(sig ORDER BY perm) AS mh FROM sigs
+      GROUP BY doc_id
+    )"""
+
+
+def _minhash_lsh_xxh_oracle(num_perm: int = 32) -> str:
+    """DuckDB twin of the dedup_minhash_lsh registry output: XXH64
+    shingle hashes (seed 42) → the (a*h31+b) mod p signature mins →
+    sig_hash = Spark's ARRAY fold (element k's XXH64 seeded by
+    element k-1's result), replayed with a recursive CTE around ONE
+    generated XXH64 instance."""
+    from goka_spark.queries import xxh_sql as XS
 
     # the fold body: one XXH64 of the current element's decimal
     # string, seeded by the accumulator column carried through layers
@@ -1177,18 +1210,7 @@ def _minhash_lsh_xxh_oracle(num_perm: int = 32) -> str:
                  f"FROM ({XS.layered(fold_base, fcols)})")
 
     return f"""
-    WITH RECURSIVE xh AS ({xh}), params(perm, a, b) AS (VALUES {rows}),
-    h AS (
-      SELECT doc_id, CAST(hub & 2147483647 AS BIGINT) AS h31 FROM xh
-    ),
-    sigs AS (
-      SELECT doc_id, perm, MIN((a * h31 + b) % {MERSENNE}) AS sig
-      FROM h CROSS JOIN params GROUP BY doc_id, perm
-    ),
-    arr AS (
-      SELECT doc_id, list(sig ORDER BY perm) AS mh FROM sigs
-      GROUP BY doc_id
-    ),
+    WITH RECURSIVE {_xxh_sigs_ctes(num_perm)},
     rec AS (
       SELECT doc_id, mh, 0 AS j, CAST(42 AS UBIGINT) AS hacc FROM arr
       UNION ALL
@@ -1201,6 +1223,51 @@ def _minhash_lsh_xxh_oracle(num_perm: int = 32) -> str:
 
 
 ORACLES["dedup_minhash_lsh"] = _minhash_lsh_xxh_oracle
+
+
+def _minhash_containment_oracle(num_perm: int = 32, bands: int = 8,
+                                threshold: float = 0.2) -> str:
+    """DuckDB twin of minhash_containment_est: same XXH64 signature
+    CTEs, band candidates by SLICE equality, agreement count, and the
+    J/(1+J) inclusion–exclusion conversion in the identical
+    expression order."""
+    r = num_perm // bands
+    return f"""
+    WITH {_xxh_sigs_ctes(num_perm)},
+    sz AS (
+      SELECT doc_id, COUNT(*) AS s FROM inner_sh GROUP BY doc_id
+    ),
+    bb AS (
+      SELECT doc_id, mh, band, mh[band * {r} + 1 : band * {r} + {r}] AS bk
+      FROM arr, (SELECT UNNEST(range(0, {bands})) AS band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.mh AS ma, b.mh AS mb
+      FROM bb a JOIN bb b
+        ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT id_a, id_b,
+             len(list_filter(range(1, {num_perm} + 1),
+                             j -> ma[j] = mb[j])) AS agree,
+             sa.s AS sz_a, sb.s AS sz_b
+      FROM cand
+      JOIN sz sa ON sa.doc_id = cand.id_a
+      JOIN sz sb ON sb.doc_id = cand.id_b
+    )
+    SELECT id_a, id_b, cont_a_est, cont_b_est FROM (
+      SELECT id_a, id_b,
+             ROUND((agree / {num_perm}) / ((agree / {num_perm}) + 1)
+                   * (sz_a + sz_b) / sz_a, 4) AS cont_a_est,
+             ROUND((agree / {num_perm}) / ((agree / {num_perm}) + 1)
+                   * (sz_a + sz_b) / sz_b, 4) AS cont_b_est
+      FROM est)
+    WHERE GREATEST(cont_a_est, cont_b_est) >= {threshold}
+    """
+
+
+ORACLES["minhash_containment_est"] = _minhash_containment_oracle
 
 ORACLES["corpus_shard_pack"] = f"""
     SELECT doc_id,
