@@ -102,6 +102,7 @@ _FRONT = [
     "corpus_weighted_sample",    # NEW late-r5; r06 front candidate
     "corpus_stats",              # NEW late-r5; r06 front candidate
     "minhash_containment_est",   # NEW late-r5; r06 front candidate
+    "source_overlap_matrix",     # NEW late-r5; r06 front candidate
 ]
 
 

@@ -583,6 +583,38 @@ def corpus_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
     return C.domain_mix(docs, "doc_id", "source", MIX_WEIGHTS)
 
 
+def source_overlap_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source n-gram overlap audit — for every source pair, the
+    shared distinct 3-gram count and the Jaccard of their gram
+    vocabularies (the dataset-card signal for which sources duplicate
+    each other's content and where cross-source dedup effort pays).
+    One distinct (source, gram) projection; the self-join expands each
+    gram to at most sources² rows (20² here — bounded by the DOMAIN
+    count, never the corpus), then one pair aggregate."""
+    docs = load(spark, sf, "documents")["documents"]
+    sg = (docs.select("source",
+                      F.explode(D.word_shingles(F.col("text"), 3))
+                      .alias("sh"))
+          .distinct())
+    sizes = sg.groupBy("source").agg(F.count("*").alias("_sz"))
+    a = sg.select(F.col("source").alias("source_a"), "sh")
+    b = sg.select(F.col("source").alias("source_b"), "sh")
+    return (
+        a.join(b, "sh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_grams"))
+        .join(sizes.select(F.col("source").alias("source_a"),
+                           F.col("_sz").alias("_sz_a")), "source_a")
+        .join(sizes.select(F.col("source").alias("source_b"),
+                           F.col("_sz").alias("_sz_b")), "source_b")
+        .select("source_a", "source_b", "shared_grams",
+                F.round(F.col("shared_grams")
+                        / (F.col("_sz_a") + F.col("_sz_b")
+                           - F.col("shared_grams")), 4).alias("gram_jaccard"))
+    )
+
+
 def corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Dataset-card profile: one row per (source, lang) with doc,
     token, and char totals plus char bounds — the summary every
@@ -700,6 +732,7 @@ QUERIES = {
     "corpus_domain_mix": corpus_domain_mix,
     "corpus_weighted_sample": corpus_weighted_sample,
     "corpus_stats": corpus_stats,
+    "source_overlap_matrix": source_overlap_matrix,
     "dedup_incremental": dedup_incremental,
     "bloom_decontaminate": bloom_decontaminate,
     "dedup_exact": dedup_exact,
@@ -1716,6 +1749,29 @@ ORACLES["corpus_split"] = """
                                           || 'split-v1'), 1, 8))
                       AS BIGINT) % 1000 AS slot
           FROM documents)
+"""
+
+ORACLES["source_overlap_matrix"] = f"""
+    WITH sg AS (
+      SELECT DISTINCT source, sh FROM (
+        SELECT source, UNNEST(list_distinct(list_transform(
+                 range(1, greatest(len(words) - 2, 1) + 1),
+                 i -> array_to_string(words[i:i+2], ' ')))) AS sh
+        FROM (SELECT source, {_WORDS} AS words FROM documents))
+    ), sz AS (
+      SELECT source, COUNT(*) AS s FROM sg GROUP BY source
+    ), shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS shared_grams
+      FROM sg a JOIN sg b ON a.sh = b.sh AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b, CAST(shared_grams AS BIGINT) AS shared_grams,
+           ROUND(shared_grams / (za.s + zb.s - shared_grams), 4)
+             AS gram_jaccard
+    FROM shared
+    JOIN sz za ON za.source = shared.source_a
+    JOIN sz zb ON zb.source = shared.source_b
 """
 
 ORACLES["corpus_stats"] = f"""
