@@ -715,6 +715,58 @@ def decontaminate_spans(corpus: DataFrame, benchmark: DataFrame,
                     F.col("bench_grams").cast("long")))
 
 
+def remove_spans(df: DataFrame, spans: DataFrame, id_col: str,
+                 text_col: str, start_col: str = "span_start",
+                 end_col: str = "span_end") -> DataFrame:
+    """SURGICAL span removal — the consumer of the span reports
+    (:func:`dup_span_extract`, :func:`decontaminate_spans`): drop the
+    words inside each doc's spans and rebuild the text, instead of
+    dropping whole documents (the substring-dedup practice of cutting
+    repeated/contaminated passages while keeping the document).
+
+    Returns every input doc as ``(id, clean_text, removed_words)``;
+    docs with no spans pass through (whitespace-normalized — output
+    text is always the single-space join of kept words), docs whose
+    every word is covered come back empty with the count to prove it.
+
+    Scale shape: spans explode to covered positions (bounded by total
+    corpus words — spans are disjoint per doc by construction), one
+    anti-join on (doc, position), one per-doc ordered rebuild via
+    collect_list + array_sort (bounded by document length, the
+    line_dedup idiom — never a global window).  Integer-exact words
+    and counts, so the oracle hash-matches end to end."""
+    from pyspark.sql.window import Window
+
+    covered = spans.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.sequence(F.col(start_col), F.col(end_col)))
+         .alias("pos")).distinct()
+    win = Window.partitionBy("doc").orderBy("_p")
+    words = (df.select(F.col(id_col).alias("doc"),
+                       F.posexplode(F.split(F.col(text_col), r"\s+"))
+                        .alias("_p", "_w"))
+             .filter(F.col("_w") != "")
+             .withColumn("pos", F.row_number().over(win)))
+    kept = words.join(covered, ["doc", "pos"], "left_anti")
+    rebuilt = (kept.groupBy("doc")
+               .agg(F.concat_ws(" ", F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct(F.col("pos"), F.col("_w").alias("w")))),
+                        lambda s: s.w)).alias("clean_text"),
+                    F.count("*").alias("_kept")))
+    totals = words.groupBy("doc").agg(F.count("*").alias("_total"))
+    return (df.select(F.col(id_col))
+            .join(totals.select(F.col("doc").alias(id_col), "_total"),
+                  id_col, "left")
+            .join(rebuilt.select(F.col("doc").alias(id_col),
+                                 "clean_text", "_kept"), id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    (F.coalesce("_total", F.lit(0))
+                     - F.coalesce("_kept", F.lit(0)))
+                    .cast("long").alias("removed_words")))
+
+
 def decontaminate(corpus: DataFrame, benchmark: DataFrame, id_col: str,
                   text_col: str, n: int = 5,
                   min_hits: int = 1) -> DataFrame:

@@ -103,6 +103,7 @@ _FRONT = [
     "corpus_stats",              # NEW late-r5; r06 front candidate
     "minhash_containment_est",   # NEW late-r5; r06 front candidate
     "source_overlap_matrix",     # NEW late-r5; r06 front candidate
+    "dup_span_remove",           # NEW late-r5; r06 front candidate
 ]
 
 

@@ -96,6 +96,18 @@ def dup_span_extract(spark: SparkSession, sf: str) -> DataFrame:
     return D.dup_span_extract(docs, "doc_id", "text", n=5, min_df=2)
 
 
+def dup_span_remove(spark: SparkSession, sf: str) -> DataFrame:
+    """Surgical substring dedup — the consumer of dup_span_extract's
+    report: cut the duplicated spans out of each document and keep
+    the rest (vs dropping whole docs).  Every doc comes back with its
+    cleaned text and the removed-word count; integer-exact, so the
+    oracle (which embeds the span-extract oracle as a CTE) hash-
+    matches the rebuilt strings."""
+    docs = load(spark, sf, "documents")["documents"]
+    spans = D.dup_span_extract(docs, "doc_id", "text", n=5, min_df=2)
+    return D.remove_spans(docs, spans, "doc_id", "text")
+
+
 def corpus_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023): log-likelihood
     ratio of Laplace-smoothed hashed-ngram models, target vs raw.
@@ -744,6 +756,7 @@ QUERIES = {
     "minhash_containment_est": minhash_containment_est,
     "ngram_jaccard_prefix": ngram_jaccard_prefix,
     "dup_span_extract": dup_span_extract,
+    "dup_span_remove": dup_span_remove,
     "decontaminate_spans": decontaminate_spans,
     "line_dedup": line_dedup,
     "doc_lm_score": doc_lm_score,
@@ -1623,6 +1636,28 @@ ORACLES["decontaminate_spans"] = f"""
            CAST(COUNT(*) AS BIGINT) AS bench_grams
     FROM ids GROUP BY doc, island
 """
+
+ORACLES["dup_span_remove"] = f"""
+    WITH spans AS ({{span_sql}}),
+    cov AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(range(span_start, span_end + 1)) AS pos
+      FROM spans
+    ), covl AS (
+      SELECT doc_id, list(pos) AS cl FROM cov GROUP BY doc_id
+    ), d AS (
+      SELECT doc_id, {_WORDS} AS words FROM documents
+    )
+    SELECT d.doc_id,
+           COALESCE(array_to_string(list_transform(
+             list_filter(range(1, len(words) + 1),
+                         i -> NOT list_contains(COALESCE(cl, []), i)),
+             i -> words[i]), ' '), '') AS clean_text,
+           CAST(len(list_filter(range(1, len(words) + 1),
+                    i -> list_contains(COALESCE(cl, []), i))) AS BIGINT)
+             AS removed_words
+    FROM d LEFT JOIN covl ON covl.doc_id = d.doc_id
+""".replace("{span_sql}", ORACLES["dup_span_extract"])
 
 # micro-nat integerized log ratios: the per-doc SUM is exact integer
 # arithmetic, so engines agree regardless of aggregation order; only
