@@ -376,6 +376,59 @@ def _train_sample(corpus: DataFrame, vec_col: str, train_cap: int,
     return np.array([r._v for r in rows])
 
 
+def pca_fit(X: "np.ndarray", k: int = 8) -> "tuple[np.ndarray, np.ndarray]":
+    """Pure deterministic PCA fit (the quantizer-recomputability
+    contract of ``lloyd_kmeans``): mean + top-``k`` covariance
+    eigenvectors, eigenvalue-descending, each sign-normalized so its
+    largest-|entry| coordinate is positive (eigensolvers are only
+    sign-determined; the convention makes the fit reproducible from
+    the data alone).  Returns (mean (d,), components (k, d))."""
+    X = np.asarray(X, dtype=np.float64)
+    mean = X.mean(axis=0)
+    Xc = X - mean
+    cov = (Xc.T @ Xc) / len(Xc)
+    w, V = np.linalg.eigh(cov)
+    idx = np.argsort(w)[::-1][:k]
+    comps = V[:, idx].T.copy()
+    for j in range(len(comps)):
+        i = int(np.argmax(np.abs(comps[j])))
+        if comps[j, i] < 0:
+            comps[j] = -comps[j]
+    return mean, comps
+
+
+def pca_components(corpus: DataFrame, vec_col: str, k: int = 8,
+                   train_cap: int = 100_000,
+                   order_col: "str | None" = None):
+    """PCA on the id-ordered bounded sample — same deterministic
+    training contract as ``ivf_centroids`` (an oracle re-reading the
+    same rows re-derives bit-identical components)."""
+    return pca_fit(_train_sample(corpus, vec_col, train_cap, order_col), k)
+
+
+def pca_project(df: DataFrame, id_col: str, vec_col: str,
+                mean: "np.ndarray", comps: "np.ndarray",
+                round_to: int = 4) -> DataFrame:
+    """Project every vector onto the fitted components — the
+    dimensionality-reduction step ahead of clustering/visualization
+    (D4-style whitening).  One scan, pure JVM Column folds: the
+    centered vector is computed once per row, each projection is the
+    left-associative dot fold a SQL twin replicates term for term.
+    Output is exploded ``(id, comp, value)`` scalars."""
+    m_lit = F.array(*[F.lit(float(v)) for v in mean])
+    centered = F.zip_with(_as_double(F.col(vec_col)), m_lit,
+                          lambda x, m: x - m)
+    projs = F.array(*[
+        F.struct(F.lit(j).cast("int").alias("comp"),
+                 F.round(dot(F.col("_c"),
+                             F.array(*[F.lit(float(v)) for v in comps[j]])),
+                         round_to).alias("value"))
+        for j in range(len(comps))])
+    return (df.select(F.col(id_col), centered.alias("_c"))
+            .select(id_col, F.explode(projs).alias("pv"))
+            .select(id_col, "pv.comp", "pv.value"))
+
+
 def _assign_cells_arrow(df: DataFrame, vec_col: str,
                         centroids: "np.ndarray", n_probe: int,
                         out: str = "cells") -> DataFrame:

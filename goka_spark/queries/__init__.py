@@ -104,6 +104,7 @@ _FRONT = [
     "minhash_containment_est",   # NEW late-r5; r06 front candidate
     "source_overlap_matrix",     # NEW late-r5; r06 front candidate
     "dup_span_remove",           # NEW late-r5; r06 front candidate
+    "embedding_pca_project",     # NEW late-r5; r06 front candidate
 ]
 
 

@@ -253,6 +253,19 @@ def embedding_cluster_assign(spark: SparkSession, sf: str) -> DataFrame:
     return c.withColumn("cluster_size", F.count("*").over(w))
 
 
+def embedding_pca_project(spark: SparkSession, sf: str) -> DataFrame:
+    """PCA dimensionality reduction over the embedding corpus (the
+    D4-style whitening pre-step): top-8 components fit on the
+    id-ordered bounded sample (deterministic — the recomputable-
+    quantizer contract), projections as JVM Column folds.  The oracle
+    re-fits bit-identical components in numpy (same pca_fit, same
+    sample order) and replays the left-associative dots in SQL."""
+    emb = load(spark, sf, "embeddings")["embeddings"]
+    mean, comps = S.pca_components(emb, "embedding", k=8,
+                                   order_col="vec_id")
+    return S.pca_project(emb, "vec_id", "embedding", mean, comps)
+
+
 def lang_id(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")["documents"]
     return docs.select("doc_id", T.lang_id(F.col("text")).alias("pred_lang"))
@@ -767,6 +780,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_semantic": dedup_semantic,
     "embedding_cluster_assign": embedding_cluster_assign,
+    "embedding_pca_project": embedding_pca_project,
     "lang_id": lang_id,
     "doc_quality_score": doc_quality_score,
     "token_count": token_count,
@@ -2180,6 +2194,38 @@ def _cluster_assign_oracle(dim: int = 64) -> str:
 
 
 ORACLES["embedding_cluster_assign"] = _cluster_assign_oracle
+
+
+def _pca_oracle(k: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of embedding_pca_project: re-fit bit-identical
+    mean/components (same id-ordered sample, same pca_fit), embed as
+    SQL literals, replay the left-associative centered dots."""
+    import duckdb
+    import numpy as np
+
+    sf_dir = _ivf_oracle_sf()
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id LIMIT 100000").fetchall()
+    mean, comps = S.pca_fit(np.array([r[0] for r in rows],
+                                     dtype=np.float64), k)
+    cases = " ".join(
+        "WHEN {} THEN {}".format(j, " + ".join(
+            f"((e[{i + 1}] - {mean[i]!r}) * {comps[j][i]!r})"
+            for i in range(dim)))
+        for j in range(k))
+    return f"""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings
+    )
+    SELECT vec_id, CAST(u.comp AS INTEGER) AS comp,
+           ROUND(CASE u.comp {cases} END, 4) AS value
+    FROM base, (SELECT UNNEST(range(0, {k})) AS comp) u
+    """
+
+
+ORACLES["embedding_pca_project"] = _pca_oracle
 
 
 def _ivf_local_books(sf_dir: str, m: int = 8, ksub: int = 16,
