@@ -105,6 +105,7 @@ _FRONT = [
     "source_overlap_matrix",     # NEW late-r5; r06 front candidate
     "dup_span_remove",           # NEW late-r5; r06 front candidate
     "embedding_pca_project",     # NEW late-r5; r06 front candidate
+    "decontaminate_span_remove", # NEW late-r5; r06 front candidate
 ]
 
 

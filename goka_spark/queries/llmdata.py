@@ -367,6 +367,21 @@ def decontaminate_spans(spark: SparkSession, sf: str) -> DataFrame:
     return D.decontaminate_spans(corpus, bench, "doc_id", "text", n=3)
 
 
+def decontaminate_span_remove(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end surgical decontamination: the span report
+    (decontaminate_spans) piped into remove_spans — corpus docs come
+    back with every benchmark-overlapping passage excised and the
+    removed-word count, instead of being dropped wholesale.  The
+    oracle embeds the span-report oracle as a CTE and rebuilds the
+    cleaned strings exactly."""
+    docs = load(spark, sf, "documents")["documents"]
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    spans = D.decontaminate_spans(corpus,
+                                  docs.filter(F.col("doc_id") % 97 == 0),
+                                  "doc_id", "text", n=3)
+    return D.remove_spans(corpus, spans, "doc_id", "text")
+
+
 def corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic stratified sampling — how a real pipeline does
     domain weighting reproducibly: a quality bucket sets the keep
@@ -771,6 +786,7 @@ QUERIES = {
     "dup_span_extract": dup_span_extract,
     "dup_span_remove": dup_span_remove,
     "decontaminate_spans": decontaminate_spans,
+    "decontaminate_span_remove": decontaminate_span_remove,
     "line_dedup": line_dedup,
     "doc_lm_score": doc_lm_score,
     "corpus_importance_weights": corpus_importance_weights,
@@ -1651,8 +1667,12 @@ ORACLES["decontaminate_spans"] = f"""
     FROM ids GROUP BY doc, island
 """
 
-ORACLES["dup_span_remove"] = f"""
-    WITH spans AS ({{span_sql}}),
+def _span_remove_oracle(span_sql: str, doc_filter: str = "TRUE") -> str:
+    """Removal oracle template: any span report (embedded as a CTE)
+    piped into the exact string rebuild over ``documents`` rows
+    matching ``doc_filter``."""
+    return f"""
+    WITH spans AS ({span_sql}),
     cov AS (
       SELECT DISTINCT doc_id,
              UNNEST(range(span_start, span_end + 1)) AS pos
@@ -1661,6 +1681,7 @@ ORACLES["dup_span_remove"] = f"""
       SELECT doc_id, list(pos) AS cl FROM cov GROUP BY doc_id
     ), d AS (
       SELECT doc_id, {_WORDS} AS words FROM documents
+      WHERE {doc_filter}
     )
     SELECT d.doc_id,
            COALESCE(array_to_string(list_transform(
@@ -1671,7 +1692,13 @@ ORACLES["dup_span_remove"] = f"""
                     i -> list_contains(COALESCE(cl, []), i))) AS BIGINT)
              AS removed_words
     FROM d LEFT JOIN covl ON covl.doc_id = d.doc_id
-""".replace("{span_sql}", ORACLES["dup_span_extract"])
+"""
+
+
+ORACLES["dup_span_remove"] = _span_remove_oracle(
+    ORACLES["dup_span_extract"])
+ORACLES["decontaminate_span_remove"] = _span_remove_oracle(
+    ORACLES["decontaminate_spans"], "doc_id % 97 <> 0")
 
 # micro-nat integerized log ratios: the per-doc SUM is exact integer
 # arithmetic, so engines agree regardless of aggregation order; only
