@@ -592,3 +592,42 @@ def semantic_dedup(index: ANNIndex, threshold: float,
         F.col("node").alias("vec_id"),
         F.col("cluster_id").alias("keep_id"),
         (F.col("node") == F.col("cluster_id")).alias("is_kept"))
+
+
+def knn_graph(index: ANNIndex, k: int = 5) -> DataFrame:
+    """Cluster-local k-NN graph over the indexed corpus — each
+    vector's top-``k`` nearest neighbors BY EXACT COSINE among the
+    vectors sharing its IVF cell, read straight from the persisted
+    codes table.  This is the neighborhood graph that SemDeDup /
+    D4-style curation and graph-based diversity sampling consume
+    (Abbas et al. 2023 compute neighbors within a k-means cluster for
+    exactly this reason: cross-cluster pairs are never near enough to
+    matter, and the restriction turns an O(n²) pairing into
+    Σ_c n_c² ≈ n·√n with √n-sized cells).
+
+    One self-equi-join of the codes table on ``cell`` (partition-
+    local after the cell repartition — never a cross join), exact
+    cosine as the left-associative unit-vector dot (the oracle
+    replays it bit-identically), and a per-vector top-k window whose
+    partitions are bounded by the cell size.  Returns
+    ``(vec_id, neighbor_id, cos, rank)``; vectors alone in their cell
+    have no rows (no neighbors at this scope — the documented
+    contract, matching SemDeDup's cluster-local view)."""
+    from goka_spark.functions.similarity import dot
+
+    v = index.codes().select(
+        F.col("id").alias("_id"), "cell", F.col("vec").alias("_v"))
+    a = v.select(F.col("_id").alias("vec_id"), "cell",
+                 F.col("_v").alias("_va"))
+    b = v.select(F.col("_id").alias("neighbor_id"), "cell",
+                 F.col("_v").alias("_vb"))
+    scored = (a.join(b, "cell")
+              .filter(F.col("vec_id") != F.col("neighbor_id"))
+              .withColumn("_raw", dot(F.col("_va"), F.col("_vb"))))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("_raw").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("vec_id", "neighbor_id",
+                    F.round("_raw", 4).alias("cos"),
+                    F.col("rank").cast("long").alias("rank")))

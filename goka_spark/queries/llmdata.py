@@ -253,6 +253,19 @@ def embedding_cluster_assign(spark: SparkSession, sf: str) -> DataFrame:
     return c.withColumn("cluster_size", F.count("*").over(w))
 
 
+def embedding_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-local k-NN graph (the SemDeDup/D4 neighborhood
+    structure): each vector's top-5 exact-cosine neighbors among the
+    vectors sharing its IVF cell, one cell-scoped self-equi-join of
+    the persisted codes table — Σ_c n_c² ≈ n·√n candidate pairs with
+    √n-sized cells, never n².  Hash-verified via the recomputable-
+    quantizer oracle (centroid literals → SQL cell assignment → the
+    same join + left-associative pair dots + top-k window)."""
+    emb = load(spark, sf, "embeddings")["embeddings"]
+    idx = _ann_index(spark, sf, emb)
+    return A.knn_graph(idx, k=5)
+
+
 def embedding_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     """PCA dimensionality reduction over the embedding corpus (the
     D4-style whitening pre-step): top-8 components fit on the
@@ -796,6 +809,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_semantic": dedup_semantic,
     "embedding_cluster_assign": embedding_cluster_assign,
+    "embedding_knn_graph": embedding_knn_graph,
     "embedding_pca_project": embedding_pca_project,
     "lang_id": lang_id,
     "doc_quality_score": doc_quality_score,
@@ -2221,6 +2235,35 @@ def _cluster_assign_oracle(dim: int = 64) -> str:
 
 
 ORACLES["embedding_cluster_assign"] = _cluster_assign_oracle
+
+
+def _knn_graph_oracle(k: int = 5, dim: int = 64) -> str:
+    """DuckDB twin of embedding_knn_graph: recomputed centroid
+    literals assign cells, same-cell self-join, left-associative pair
+    dots, per-vector top-k window ordered (raw cos DESC, neighbor)."""
+    _, ctes = _ivf_cells_ctes(dim)
+    pair_dot = " + ".join(f"(a.v[{i + 1}] * b.v[{i + 1}])"
+                          for i in range(dim))
+    return f"""
+        WITH {ctes}, scored AS (
+          SELECT a.vec_id, b.vec_id AS neighbor_id,
+                 ({pair_dot}) AS raw
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        ), ranked AS (
+          SELECT vec_id, neighbor_id, raw,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY raw DESC, neighbor_id)
+                   AS rank
+          FROM scored
+        )
+        SELECT vec_id, neighbor_id, ROUND(raw, 4) AS cos,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+ORACLES["embedding_knn_graph"] = _knn_graph_oracle
 
 
 def _pca_oracle(k: int = 8, dim: int = 64) -> str:
