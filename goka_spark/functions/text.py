@@ -492,3 +492,138 @@ def blocklist_keep(text: Column, terms: list[str],
     hits = F.size(F.filter(ws, lambda w: F.array_contains(lit_terms, w)))
     return (hits.cast("long") * F.lit(1_000_000)
             <= F.lit(int(max_ratio_e6)) * F.size(ws).cast("long"))
+
+
+GOPHER_REP_THRESHOLDS_E6 = {
+    # Rae et al. 2021 Table A1 repetition filters, 1e6-scaled
+    "top2_frac_e6": 200_000, "top3_frac_e6": 180_000,
+    "top4_frac_e6": 160_000, "dup5_frac_e6": 150_000,
+    "dup10_frac_e6": 100_000,
+    "dup_line_frac_e6": 300_000, "dup_line_char_frac_e6": 200_000,
+}
+
+
+def gopher_repetition(df, id_col: str, text_col: str,
+                      top_ns: tuple = (2, 3, 4),
+                      dup_ns: tuple = (5, 10), sep: str = "\n"):
+    """Gopher REPETITION rule family (Rae et al. 2021 §A1.1 — the
+    within-document half of the Gopher filters; ``gopher_rules``
+    covers the length/alpha/stopword half):
+
+    - ``top{n}_frac_e6``: fraction of characters taken by the single
+      most frequent n-gram (count × gram chars / doc chars) for
+      ``top_ns``; ties broken (count DESC, gram ASC) so any engine
+      picks the same gram.
+    - ``dup{n}_frac_e6``: fraction of characters covered by n-grams
+      occurring >= 2 times IN THIS DOC for ``dup_ns`` — positional
+      union of ``[p, p+n-1]`` so overlapping occurrences never double
+      count (the paper's "taking care not to count characters twice").
+    - ``dup_line_frac_e6`` / ``dup_line_char_frac_e6``: fraction of
+      line occurrences (resp. their characters) whose line appears
+      >= 2 times in the doc (lines split on ``sep``, empties
+      structural).
+    - ``keep``: conjunctive verdict vs the paper's thresholds
+      (GOPHER_REP_THRESHOLDS_E6).
+
+    All fractions are exact 1e6-scaled BIGINTs (integer ``DIV`` on
+    char counts — chars(gram) = len(gram) - (n-1) spaces), so the
+    DuckDB oracle hash-matches with zero float hazard.
+
+    Scale shape: ONE token scan builds every n-gram size at once
+    (window ``lead`` up to max(n)-1 — no per-n re-scan), one
+    (doc, n, gram) hash-agg, a per-doc top-k window, and a coverage
+    join bounded by positions × n.  Everything is keyed by doc — at
+    100 TB the heavy aggs all partial-aggregate map-side."""
+    from pyspark.sql.window import Window
+
+    ns = sorted(set(top_ns) | set(dup_ns))
+    max_n = max(ns)
+
+    tok = (df.select(F.col(id_col).alias("doc"),
+                     F.col(text_col).alias("_t"))
+           .select("doc", F.posexplode(F.split(F.col("_t"), r"\s+"))
+                   .alias("_p", "_w"))
+           .filter(F.col("_w") != ""))
+    win = Window.partitionBy("doc").orderBy("_p")
+    leads = {j: F.lead("_w", j).over(win) for j in range(1, max_n)}
+    base = tok.select(
+        "doc", F.col("_w"),
+        F.length("_w").alias("_wlen"),
+        F.row_number().over(win).alias("pos"),
+        F.count("*").over(Window.partitionBy("doc")).alias("_nw"),
+        *[leads[j].alias(f"_l{j}") for j in range(1, max_n)])
+
+    totals = base.groupBy("doc").agg(
+        F.max("_nw").cast("long").alias("n_words"),
+        F.sum("_wlen").cast("long").alias("chars"))
+
+    gram_structs = F.array(*[
+        F.struct(F.lit(n).alias("n"),
+                 F.concat_ws(" ", "_w",
+                             *[f"_l{j}" for j in range(1, n)]).alias("gram"))
+        for n in ns])
+    grams = (base.select("doc", "pos", "_nw",
+                         F.explode(gram_structs).alias("g"))
+             .select("doc", "pos", "_nw", "g.n", "g.gram")
+             .filter(F.col("pos") <= F.col("_nw") - (F.col("n") - 1))
+             .drop("_nw"))
+
+    cnts = grams.groupBy("doc", "n", "gram").agg(F.count("*").alias("cnt"))
+
+    wtop = Window.partitionBy("doc", "n").orderBy(
+        F.col("cnt").desc(), F.col("gram"))
+    top = (cnts.withColumn("_rn", F.row_number().over(wtop))
+           .filter((F.col("_rn") == 1) & F.col("n").isin(list(top_ns)))
+           .join(totals, "doc")
+           .select("doc", "n",
+                   F.expr("(cnt * (length(gram) - (n - 1)) * 1000000L) "
+                          "DIV greatest(chars, 1L)").alias("v")))
+    topp = top.groupBy("doc").agg(*[
+        F.max(F.when(F.col("n") == n, F.col("v")))
+        .alias(f"top{n}_frac_e6") for n in top_ns])
+
+    dupp = (grams.join(cnts.filter(F.col("cnt") >= 2), ["doc", "n", "gram"])
+            .filter(F.col("n").isin(list(dup_ns)))
+            .select("doc", "n", "pos"))
+    cov = (dupp.select("doc", "n",
+                       F.explode(F.sequence(
+                           F.col("pos"),
+                           F.col("pos") + F.col("n") - 1)).alias("i"))
+           .distinct())
+    covch = (cov.join(base.select("doc", F.col("pos").alias("i"), "_wlen"),
+                      ["doc", "i"])
+             .groupBy("doc", "n").agg(F.sum("_wlen").alias("_cch"))
+             .join(totals, "doc")
+             .select("doc", "n",
+                     F.expr("(_cch * 1000000L) DIV greatest(chars, 1L)")
+                     .alias("v")))
+    dupv = covch.groupBy("doc").agg(*[
+        F.max(F.when(F.col("n") == n, F.col("v")))
+        .alias(f"dup{n}_frac_e6") for n in dup_ns])
+
+    lines = (df.select(F.col(id_col).alias("doc"),
+                       F.explode(F.split(F.col(text_col), sep)).alias("_ln"))
+             .filter(F.col("_ln") != ""))
+    lc = lines.groupBy("doc", "_ln").agg(F.count("*").alias("cnt"))
+    lstat = lc.groupBy("doc").agg(
+        F.expr("(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) * 1000000L) "
+               "DIV greatest(sum(cnt), 1L)").alias("dup_line_frac_e6"),
+        F.expr("(sum(CASE WHEN cnt >= 2 THEN cnt * length(_ln) "
+               "ELSE 0 END) * 1000000L) "
+               "DIV greatest(sum(cnt * length(_ln)), 1L)")
+        .alias("dup_line_char_frac_e6"))
+
+    out = (totals.join(topp, "doc", "left")
+           .join(dupv, "doc", "left")
+           .join(lstat, "doc", "left"))
+    frac_cols = ([f"top{n}_frac_e6" for n in top_ns]
+                 + [f"dup{n}_frac_e6" for n in dup_ns]
+                 + ["dup_line_frac_e6", "dup_line_char_frac_e6"])
+    for c in frac_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)).cast("long"))
+    keep = None
+    for c, thr in GOPHER_REP_THRESHOLDS_E6.items():
+        cond = F.col(c) <= thr
+        keep = cond if keep is None else (keep & cond)
+    return out.select(F.col("doc").alias(id_col), "n_words", "chars",
+                      *frac_cols, keep.cast("long").alias("keep"))

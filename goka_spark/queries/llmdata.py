@@ -143,6 +143,28 @@ def line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return T.line_dedup_filter(reshaped, "doc_id", "text", min_df=2)
 
 
+def gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher repetition-rule family (Rae et al. 2021 §A1.1): top
+    n-gram char fraction (n=2,3,4), duplicated-n-gram char coverage
+    (n=5,10 — positional union, never double-counted), duplicate-line
+    fractions, and the conjunctive keep verdict vs the paper's
+    thresholds.  The synthetic docs carry no newlines, so the query
+    reshapes each doc into deterministic 10-word lines first (the
+    line_dedup idiom; \\s+ tokenization makes the gram stats
+    reshape-invariant).  Exact 1e6-scaled integers end to end."""
+    docs = load(spark, sf, "documents")["documents"]
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.greatest(F.ceil(F.size(words) / 10.0).cast("int"), F.lit(1))
+    reshaped = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), n_lines - 1),
+                        lambda i: F.array_join(
+                            F.slice(words, i * 10 + 1, 10), " ")),
+            "\n").alias("text"))
+    return T.gopher_repetition(reshaped, "doc_id", "text")
+
+
 def doc_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style perplexity filtering signal: mean log-prob of each
     doc under a corpus-trained Laplace bigram LM (Wenzek et al. 2020
@@ -801,6 +823,7 @@ QUERIES = {
     "decontaminate_spans": decontaminate_spans,
     "decontaminate_span_remove": decontaminate_span_remove,
     "line_dedup": line_dedup,
+    "gopher_repetition": gopher_repetition,
     "doc_lm_score": doc_lm_score,
     "corpus_importance_weights": corpus_importance_weights,
     "embedding_cosine_topk": embedding_cosine_topk,
@@ -1787,6 +1810,101 @@ ORACLES["line_dedup"] = f"""
                       string_agg(line, chr(10) ORDER BY ix) AS clean_text,
                       COUNT(*) AS kept
                FROM kept GROUP BY doc_id) k USING (doc_id)
+"""
+
+_GOPHER_REP_GRAMS = "\n      UNION ALL\n".join(f"""
+      SELECT doc_id, {n} AS n, CAST(i AS BIGINT) AS pos,
+             array_to_string(words[i:i+{n - 1}], ' ') AS gram
+      FROM d, UNNEST(range(1, len(words) - {n} + 2)) AS t(i)
+      WHERE len(words) >= {n}""" for n in (2, 3, 4, 5, 10))
+
+ORACLES["gopher_repetition"] = f"""
+    WITH d AS (
+      SELECT doc_id, {_WORDS} AS words FROM documents
+    ), tok AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, words[i] AS wrd
+      FROM d, UNNEST(range(1, len(words) + 1)) AS t(i)
+    ), totals AS (
+      SELECT doc_id, COUNT(*) AS n_words, SUM(strlen(wrd)) AS chars
+      FROM tok GROUP BY doc_id
+    ), g AS ({_GOPHER_REP_GRAMS}
+    ), cnts AS (
+      SELECT doc_id, n, gram, COUNT(*) AS cnt FROM g GROUP BY ALL
+    ), top AS (
+      SELECT doc_id, n, cnt, strlen(gram) - (n - 1) AS gch,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                                ORDER BY cnt DESC, gram) AS rn
+      FROM cnts
+    ), topv AS (
+      SELECT t.doc_id, n,
+             (cnt * gch * 1000000) // greatest(chars, 1) AS v
+      FROM top t JOIN totals USING (doc_id)
+      WHERE rn = 1 AND n IN (2, 3, 4)
+    ), topp AS (
+      SELECT doc_id,
+             MAX(CASE WHEN n = 2 THEN v END) AS t2,
+             MAX(CASE WHEN n = 3 THEN v END) AS t3,
+             MAX(CASE WHEN n = 4 THEN v END) AS t4
+      FROM topv GROUP BY doc_id
+    ), dupp AS (
+      SELECT g.doc_id, g.n, g.pos
+      FROM g JOIN cnts USING (doc_id, n, gram)
+      WHERE cnt >= 2 AND g.n IN (5, 10)
+    ), cov AS (
+      SELECT DISTINCT doc_id, n, CAST(j AS BIGINT) AS i
+      FROM dupp, UNNEST(range(pos, pos + n)) AS t(j)
+    ), covch AS (
+      SELECT c.doc_id, c.n, SUM(strlen(t.wrd)) AS cch
+      FROM cov c JOIN tok t ON t.doc_id = c.doc_id AND t.pos = c.i
+      GROUP BY c.doc_id, c.n
+    ), dupv AS (
+      SELECT cc.doc_id,
+             MAX(CASE WHEN n = 5 THEN v END) AS d5,
+             MAX(CASE WHEN n = 10 THEN v END) AS d10
+      FROM (SELECT c.doc_id, n,
+                   (cch * 1000000) // greatest(chars, 1) AS v
+            FROM covch c JOIN totals USING (doc_id)) cc
+      GROUP BY cc.doc_id
+    ), resh AS (
+      SELECT doc_id, list_transform(
+        range(0, greatest(CAST(ceil(len(words) / 10.0) AS INT), 1)),
+        i -> array_to_string(words[i*10+1:i*10+10], ' ')) AS lines
+      FROM d
+    ), ln AS (
+      SELECT doc_id, lines[i] AS line
+      FROM resh, UNNEST(range(1, len(lines) + 1)) AS t(i)
+      WHERE lines[i] <> ''
+    ), lc AS (
+      SELECT doc_id, line, COUNT(*) AS cnt FROM ln GROUP BY ALL
+    ), lstat AS (
+      SELECT doc_id,
+             (SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) * 1000000)
+               // greatest(SUM(cnt), 1) AS dlf,
+             (SUM(CASE WHEN cnt >= 2 THEN cnt * strlen(line) ELSE 0 END)
+               * 1000000)
+               // greatest(SUM(cnt * strlen(line)), 1) AS dlcf
+      FROM lc GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_words AS BIGINT) AS n_words,
+           CAST(t.chars AS BIGINT) AS chars,
+           CAST(COALESCE(t2, 0) AS BIGINT) AS top2_frac_e6,
+           CAST(COALESCE(t3, 0) AS BIGINT) AS top3_frac_e6,
+           CAST(COALESCE(t4, 0) AS BIGINT) AS top4_frac_e6,
+           CAST(COALESCE(d5, 0) AS BIGINT) AS dup5_frac_e6,
+           CAST(COALESCE(d10, 0) AS BIGINT) AS dup10_frac_e6,
+           CAST(COALESCE(dlf, 0) AS BIGINT) AS dup_line_frac_e6,
+           CAST(COALESCE(dlcf, 0) AS BIGINT) AS dup_line_char_frac_e6,
+           CAST(COALESCE(t2, 0) <= 200000 AND COALESCE(t3, 0) <= 180000
+                AND COALESCE(t4, 0) <= 160000
+                AND COALESCE(d5, 0) <= 150000
+                AND COALESCE(d10, 0) <= 100000
+                AND COALESCE(dlf, 0) <= 300000
+                AND COALESCE(dlcf, 0) <= 200000 AS BIGINT) AS keep
+    FROM totals t
+    LEFT JOIN topp USING (doc_id)
+    LEFT JOIN dupv USING (doc_id)
+    LEFT JOIN lstat USING (doc_id)
 """
 
 ORACLES["doc_lm_score"] = f"""
