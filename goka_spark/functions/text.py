@@ -622,8 +622,79 @@ def gopher_repetition(df, id_col: str, text_col: str,
     for c in frac_cols:
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)).cast("long"))
     keep = None
-    for c, thr in GOPHER_REP_THRESHOLDS_E6.items():
+    for c in frac_cols:
+        thr = GOPHER_REP_THRESHOLDS_E6.get(c)
+        if thr is None:
+            continue  # non-default n: signal column only, no verdict rule
         cond = F.col(c) <= thr
         keep = cond if keep is None else (keep & cond)
+    if keep is None:
+        keep = F.lit(True)
     return out.select(F.col("doc").alias(id_col), "n_words", "chars",
                       *frac_cols, keep.cast("long").alias("keep"))
+
+
+def nb_classify(corpus, id_col: str, text_col: str, label, train_pred,
+                n_buckets: int = 1024):
+    """fastText-shaped quality classifier, trained and applied in one
+    plan: multinomial Naive Bayes over hashed bag-of-ngram features
+    (the linear-classifier data-filtering shape of CCNet's LM filter
+    and FineWeb-Edu's quality classifier — a hashed linear model is
+    exactly what fastText ships, minus SGD).
+
+    ``label`` is a 0/1 Column over the corpus row (the seed rule or
+    human labels); ``train_pred`` selects the labeled subset as a
+    predicate over the feature frame's ``doc`` id.  Per-bucket
+    log-odds ``ln(p(b|pos)) - ln(p(b|neg))`` (Laplace-smoothed) plus
+    a class prior score every document: exactly the NB decision
+    function, every coefficient derived from two hash-aggs.
+
+    Float discipline (the dsir_importance idiom): log-odds and prior
+    are integerized ONCE to micro-nats, per-doc accumulation is an
+    exact integer sum — a SQL twin matches hash-exactly up to ln()
+    ulps.  Scale shape: one postings pass for features, one
+    conditional hash-agg for the model, the ≤ ``n_buckets``-row
+    coefficient table broadcast onto the features, one per-doc sum.
+    Returns ``(id, score_e6, predicted)``; score > 0 ⇔ positive."""
+    cg = hashed_ngram_features(corpus, id_col, text_col, n_buckets)
+    lab = corpus.select(F.col(id_col).alias("doc"),
+                        label.cast("int").alias("_y"))
+    train = lab.filter(train_pred)
+    tb = (cg.join(train, "doc")
+          .groupBy("bucket")
+          .agg(F.sum(F.when(F.col("_y") == 1, F.col("cnt"))
+                     .otherwise(0)).alias("cp"),
+               F.sum(F.when(F.col("_y") == 0, F.col("cnt"))
+                     .otherwise(0)).alias("cn")))
+    b = (cg.select("bucket").distinct()
+         .join(tb, "bucket", "left")
+         .select("bucket",
+                 F.coalesce("cp", F.lit(0)).alias("cp"),
+                 F.coalesce("cn", F.lit(0)).alias("cn")))
+    tot = b.agg(F.sum("cp").alias("p_tot"), F.sum("cn").alias("n_tot"))
+    prior = train.agg(F.sum("_y").alias("n_pos"),
+                      F.count("*").alias("n_train"))
+    k = F.lit(n_buckets)
+    lo_e6 = F.floor(
+        1e6 * (F.log((F.col("cp") + 1) / (F.col("p_tot") + k))
+               - F.log((F.col("cn") + 1) / (F.col("n_tot") + k)))
+        + 0.5).cast("long")
+    prior_e6 = F.floor(
+        1e6 * (F.log((F.col("n_pos") + 1) / (F.col("n_train") + 2))
+               - F.log((F.col("n_train") - F.col("n_pos") + 1)
+                       / (F.col("n_train") + 2)))
+        + 0.5).cast("long")
+    coef = b.crossJoin(F.broadcast(tot)).select("bucket",
+                                                lo_e6.alias("lo_e6"))
+    pr = prior.select(prior_e6.alias("prior_e6"))
+    scored = (cg.join(F.broadcast(coef), "bucket")
+              .groupBy("doc")
+              .agg(F.sum(F.col("cnt") * F.col("lo_e6")).alias("_s")))
+    return (corpus.select(F.col(id_col).alias("doc"))
+            .join(scored, "doc", "left")
+            .crossJoin(F.broadcast(pr))
+            .select(F.col("doc").alias(id_col),
+                    (F.coalesce("_s", F.lit(0)) + F.col("prior_e6"))
+                    .cast("long").alias("score_e6"),
+                    ((F.coalesce("_s", F.lit(0)) + F.col("prior_e6")) > 0)
+                    .cast("long").alias("predicted")))

@@ -143,6 +143,20 @@ def line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return T.line_dedup_filter(reshaped, "doc_id", "text", min_df=2)
 
 
+def nb_quality_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """fastText-shaped Naive-Bayes quality classifier (the CCNet /
+    FineWeb-Edu "train a cheap linear model, score everything" data-
+    filtering step): hashed-ngram NB trained on the deterministic
+    doc_id % 3 == 0 slice with the n_chars >= 300 seed label
+    (production: human/LLM labels), then every doc scored by the
+    broadcast coefficient table.  Micro-nat integerization makes the
+    oracle hash-exact."""
+    docs = load(spark, sf, "documents")["documents"]
+    return T.nb_classify(docs, "doc_id", "text",
+                         label=F.col("n_chars") >= 300,
+                         train_pred=F.col("doc") % 3 == 0)
+
+
 def gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher repetition-rule family (Rae et al. 2021 §A1.1): top
     n-gram char fraction (n=2,3,4), duplicated-n-gram char coverage
@@ -824,6 +838,7 @@ QUERIES = {
     "decontaminate_span_remove": decontaminate_span_remove,
     "line_dedup": line_dedup,
     "gopher_repetition": gopher_repetition,
+    "nb_quality_classify": nb_quality_classify,
     "doc_lm_score": doc_lm_score,
     "corpus_importance_weights": corpus_importance_weights,
     "embedding_cosine_topk": embedding_cosine_topk,
@@ -1779,6 +1794,58 @@ ORACLES["corpus_importance_weights"] = f"""
            CAST(SUM(cnt * lr_e6) AS BIGINT) / 1e6 AS weight
     FROM feat JOIN lr USING (bucket)
     GROUP BY doc
+"""
+
+ORACLES["nb_quality_classify"] = f"""
+    WITH d AS (
+      SELECT doc_id AS doc, n_chars, {_WORDS} AS words FROM documents
+    ), uni AS (
+      SELECT doc, UNNEST(words) AS sh FROM d
+    ), bi AS (
+      SELECT doc, array_to_string(words[i:i+1], ' ') AS sh
+      FROM d, UNNEST(range(1, greatest(len(words) - 1, 1) + 1)) AS t(i)
+      WHERE len(words) >= 1
+    ), grams AS (
+      SELECT * FROM uni UNION ALL SELECT * FROM bi
+    ), feat AS (
+      SELECT doc,
+             CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) % 1024 AS bucket,
+             COUNT(*) AS cnt
+      FROM grams GROUP BY doc, bucket
+    ), lab AS (
+      SELECT doc, CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
+      FROM d WHERE doc % 3 = 0
+    ), tb AS (
+      SELECT bucket,
+             SUM(CASE WHEN y = 1 THEN cnt ELSE 0 END) AS cp,
+             SUM(CASE WHEN y = 0 THEN cnt ELSE 0 END) AS cn
+      FROM feat JOIN lab USING (doc) GROUP BY bucket
+    ), b AS (
+      SELECT a.bucket, COALESCE(cp, 0) AS cp, COALESCE(cn, 0) AS cn
+      FROM (SELECT DISTINCT bucket FROM feat) a
+      LEFT JOIN tb USING (bucket)
+    ), tot AS (
+      SELECT SUM(cp) AS p_tot, SUM(cn) AS n_tot FROM b
+    ), prior AS (
+      SELECT CAST(FLOOR(1e6 * (ln((SUM(y) + 1.0) / (COUNT(*) + 2))
+                               - ln((COUNT(*) - SUM(y) + 1.0)
+                                    / (COUNT(*) + 2)))
+                        + 0.5) AS BIGINT) AS prior_e6
+      FROM lab
+    ), coef AS (
+      SELECT bucket,
+             CAST(FLOOR(1e6 * (ln((cp + 1) / (p_tot + 1024))
+                               - ln((cn + 1) / (n_tot + 1024)))
+                        + 0.5) AS BIGINT) AS lo_e6
+      FROM b, tot
+    ), scored AS (
+      SELECT doc, SUM(cnt * lo_e6) AS s
+      FROM feat JOIN coef USING (bucket) GROUP BY doc
+    )
+    SELECT d.doc AS doc_id,
+           CAST(COALESCE(s, 0) + prior_e6 AS BIGINT) AS score_e6,
+           CAST(COALESCE(s, 0) + prior_e6 > 0 AS BIGINT) AS predicted
+    FROM d LEFT JOIN scored USING (doc), prior
 """
 
 ORACLES["line_dedup"] = f"""

@@ -153,3 +153,69 @@ def test_cluster_sample_stable_under_growth(emb):
 def test_cluster_sample_broadcast_rates(emb):
     out = S.cluster_balanced_sample(emb, "vec_id", "embedding", 6)
     assert X.has_broadcast_join(out)
+
+
+# ------------------------------------------------------- nb_classify
+
+def test_nb_classify_learns_planted_signal(spark):
+    """When vocabulary genuinely predicts the label, the NB scorer
+    must separate held-out docs (the synthetic corpus has no such
+    signal, so the registry run only proves the mechanics)."""
+    rows = []
+    for i in range(120):
+        good = i % 2 == 0
+        base = ("excellent prose with informative structured content"
+                if good else "buy cheap pills click here spam offer")
+        rows.append((i, f"{base} filler{i % 7} tail{i % 5}", good))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "y"])
+    out = T.nb_classify(df, "doc_id", "text",
+                        label=F.col("y").cast("int") == 1,
+                        train_pred=F.col("doc") % 3 == 0)
+    held = (out.join(df.select("doc_id", "y"), "doc_id")
+            .filter(F.col("doc_id") % 3 != 0))
+    acc = held.agg(F.avg((F.col("predicted") == F.col("y").cast("long"))
+                         .cast("double"))).first()[0]
+    assert acc == 1.0
+
+
+def test_nb_classify_prior_only_for_featureless_doc(spark):
+    """A doc with no tokens scores exactly the class prior."""
+    df = spark.createDataFrame(
+        [(0, "alpha beta", True), (1, "alpha gamma", False), (2, "", True)],
+        ["doc_id", "text", "y"])
+    out = T.nb_classify(df, "doc_id", "text",
+                        label=F.col("y").cast("int") == 1,
+                        train_pred=F.col("doc") < 2)
+    empty = out.filter(F.col("doc_id") == 2).first()
+    # prior with n_pos=1, n_train=2: ln(2/4) - ln(2/4) = 0
+    assert empty["score_e6"] == 0 and empty["predicted"] == 0
+
+
+# ------------------------------------------------- gopher_repetition
+
+def test_gopher_repetition_planted(spark):
+    df = spark.createDataFrame(
+        [(1, "spam ham " * 30),
+         (2, "all words here are totally distinct tokens without any "
+             "repeats whatsoever thanks")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r
+           for r in T.gopher_repetition(df, "doc_id", "text").collect()}
+    looped, clean = out[1], out[2]
+    # a looped doc is fully covered by duplicated 5-grams
+    assert looped["dup5_frac_e6"] == 1_000_000
+    assert looped["top2_frac_e6"] >= 500_000
+    assert looped["keep"] == 0
+    # a distinct-word doc has zero dup coverage
+    assert clean["dup5_frac_e6"] == 0 and clean["dup10_frac_e6"] == 0
+
+
+def test_gopher_repetition_no_double_count(spark):
+    """Overlapping occurrences of duplicated grams cover each word
+    once: 'a b a b a b' has dup 2-grams at every position but only
+    6 words of coverage."""
+    df = spark.createDataFrame([(1, "a b a b a b")], ["doc_id", "text"])
+    r = T.gopher_repetition(df, "doc_id", "text",
+                            top_ns=(2,), dup_ns=(2,)).first()
+    assert r["chars"] == 6
+    assert r["dup2_frac_e6"] == 1_000_000  # covered == all, not > all
