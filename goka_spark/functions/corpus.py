@@ -161,3 +161,34 @@ def domain_mix(df: DataFrame, id_col: str, domain_col: str,
             .withColumn("_slot", slot)
             .filter(F.col("_slot") < F.col("rate_e6"))
             .select(F.col(id_col), F.col(domain_col), F.col("rate_e6")))
+
+
+def shuffle_order(df: DataFrame, id_col: str, n_shards: int,
+                  salt: str = "shuffle-v1") -> DataFrame:
+    """Deterministic global training-order shuffle — the "randomize
+    the corpus before the data loader reads it" step every
+    pretraining run needs, as a pure hash policy instead of an RNG:
+    shard = md5-slot of the id, position-within-shard = rank of the
+    full md5 key.  Any engine derives the identical order from
+    (ids, salt) alone; re-salting re-rolls the whole permutation.
+
+    Shard assignment is growth-stable (a new document never moves an
+    existing one to another shard — it only shifts positions AFTER
+    its own rank within that shard), so incremental corpus refreshes
+    re-write only the shards that received new docs.
+
+    Scale shape: one scan computes the key; the only shuffle is the
+    hash-partition by ``shard``; within-shard ranks are a window over
+    ~n/n_shards rows — size ``n_shards`` so a shard's ids fit one
+    task (the shard_pack discipline), never a single global sort.
+    Returns ``(id, shard, pos)`` with pos 1-based per shard."""
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    shard = (F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+             % n_shards)
+    w = Window.partitionBy("shard").orderBy("_key", id_col)
+    return (df.select(F.col(id_col), key.alias("_key"),
+                      shard.alias("shard"))
+            .withColumn("pos", F.row_number().over(w).cast("long"))
+            .select(id_col, "shard", "pos"))

@@ -661,6 +661,16 @@ def corpus_split(spark: SparkSession, sf: str) -> DataFrame:
     return C.hash_split(docs, "doc_id")
 
 
+def corpus_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic training-order shuffle (C.shuffle_order): shard
+    and within-shard position from md5(doc_id||salt) — the corpus
+    randomization every pretraining loader needs, reproducible by any
+    engine with no RNG/seed coordination.  One hash-partition by
+    shard + bounded per-shard rank windows; never a global sort."""
+    docs = load(spark, sf, "documents")["documents"]
+    return C.shuffle_order(docs, "doc_id", n_shards=8)
+
+
 def corpus_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
     """Domain-mixture reshaping: integer target weights per source;
     the limiting domain is kept whole, every other down-samples by a
@@ -818,6 +828,7 @@ QUERIES = {
     "common_ngrams": common_ngrams,
     "cluster_balanced_sample": cluster_balanced_sample,
     "corpus_split": corpus_split,
+    "corpus_shuffle": corpus_shuffle,
     "corpus_domain_mix": corpus_domain_mix,
     "corpus_weighted_sample": corpus_weighted_sample,
     "corpus_stats": corpus_stats,
@@ -2013,6 +2024,21 @@ ORACLES["doc_lm_score"] = f"""
 
 
 # --- corpus split / mix / incremental dedup / bloom (round 5) -------
+
+ORACLES["corpus_shuffle"] = """
+    WITH k AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || 'shuffle-v1') AS key
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(key, 1, 8) AS BIGINT) % 8 AS BIGINT)
+             AS shard,
+           CAST(ROW_NUMBER() OVER (
+                  PARTITION BY CAST('0x' || substr(key, 1, 8) AS BIGINT) % 8
+                  ORDER BY key, doc_id) AS BIGINT) AS pos
+    FROM k
+"""
 
 ORACLES["corpus_split"] = """
     SELECT doc_id,

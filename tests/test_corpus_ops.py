@@ -261,3 +261,42 @@ def test_near_decontaminate_catches_paraphrase(spark):
     assert out[1] == "contaminated_exact"
     assert out[2] == "contaminated_near"
     assert out[3] == "clean"
+
+
+# ------------------------------------------------------ shuffle_order
+
+def test_shuffle_is_exhaustive_permutation(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")["documents"]
+    n = docs.count()
+    out = C.shuffle_order(docs, "doc_id", n_shards=4)
+    assert out.count() == n
+    assert out.select("doc_id").distinct().count() == n
+    # positions are contiguous 1..count(shard) per shard
+    per = (out.groupBy("shard")
+           .agg(F.count("*").alias("c"), F.max("pos").alias("m"),
+                F.min("pos").alias("lo"),
+                F.count_distinct("pos").alias("d")).collect())
+    for r in per:
+        assert r["lo"] == 1 and r["m"] == r["c"] == r["d"]
+
+
+def test_shuffle_shard_stable_under_growth(spark, sf_dir):
+    """Adding documents never moves an existing doc to another shard
+    (its position may shift — that's the documented contract)."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    sub = docs.filter(F.col("doc_id") < 30)
+    full = C.shuffle_order(docs, "doc_id", 4).select(
+        "doc_id", F.col("shard").alias("s_full"))
+    part = C.shuffle_order(sub, "doc_id", 4).select(
+        "doc_id", F.col("shard").alias("s_part"))
+    moved = (part.join(full, "doc_id")
+             .filter(F.col("s_part") != F.col("s_full")).count())
+    assert moved == 0
+
+
+def test_shuffle_salt_rerolls_order(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")["documents"]
+    a = C.shuffle_order(docs, "doc_id", 4, salt="a")
+    b = C.shuffle_order(docs, "doc_id", 4, salt="b")
+    same = (a.join(b, ["doc_id", "shard", "pos"]).count())
+    assert same < docs.count() * 0.2  # overwhelmingly re-rolled
