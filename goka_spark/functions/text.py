@@ -698,3 +698,43 @@ def nb_classify(corpus, id_col: str, text_col: str, label, train_pred,
                     .cast("long").alias("score_e6"),
                     ((F.coalesce("_s", F.lit(0)) + F.col("prior_e6")) > 0)
                     .cast("long").alias("predicted")))
+
+
+def vocab_coverage(df, id_col: str, text_col: str,
+                   vocab_size: int = 500):
+    """Tokenizer-readiness signal: per-document out-of-vocabulary
+    rate against the corpus-derived top-``vocab_size`` word
+    vocabulary (high OOV ⇔ garbled/foreign/code-like text the
+    tokenizer will shred into bytes — the cheap proxy for "will this
+    doc tokenize efficiently", and the dataset-card coverage number
+    released with a trained vocab).
+
+    The vocabulary is an exact global top-k under a total order
+    (count DESC, word ASC — deterministic at the k-th-place tie), so
+    any engine derives the identical vocab; per-doc OOV is then one
+    broadcast join of tokens against the ≤ vocab_size-row vocab.
+    Exact 1e6-scaled integer rate.  Scale shape: one token hash-agg +
+    TakeOrderedAndProject for the vocab (never a global sort), one
+    scan + broadcast join + per-doc agg for the rates."""
+    tok = (df.select(F.col(id_col).alias("doc"),
+                     F.explode(F.split(F.col(text_col), r"\s+"))
+                     .alias("wrd"))
+           .filter(F.col("wrd") != ""))
+    vocab = (tok.groupBy("wrd").agg(F.count("*").alias("_cnt"))
+             .orderBy(F.col("_cnt").desc(), F.col("wrd").asc())
+             .limit(int(vocab_size))
+             .select("wrd", F.lit(1).alias("_in")))
+    cov = (tok.join(F.broadcast(vocab), "wrd", "left")
+           .groupBy("doc")
+           .agg(F.count("*").alias("n_tokens"),
+                F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+                .alias("oov_tokens")))
+    return (df.select(F.col(id_col).alias("doc")).join(cov, "doc", "left")
+            .select(F.col("doc").alias(id_col),
+                    F.coalesce("n_tokens", F.lit(0)).cast("long")
+                    .alias("n_tokens"),
+                    F.coalesce("oov_tokens", F.lit(0)).cast("long")
+                    .alias("oov_tokens"),
+                    F.expr("(coalesce(oov_tokens, 0L) * 1000000L) "
+                           "DIV greatest(coalesce(n_tokens, 0L), 1L)")
+                    .alias("oov_frac_e6")))

@@ -143,6 +143,15 @@ def line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return T.line_dedup_filter(reshaped, "doc_id", "text", min_df=2)
 
 
+def vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc OOV rate vs the corpus top-500 word vocabulary
+    (T.vocab_coverage): exact deterministic vocab (count DESC, word
+    ASC — TakeOrderedAndProject, never a global sort), broadcast
+    membership join, exact 1e6-scaled integer rates."""
+    docs = load(spark, sf, "documents")["documents"]
+    return T.vocab_coverage(docs, "doc_id", "text", vocab_size=500)
+
+
 def nb_quality_classify(spark: SparkSession, sf: str) -> DataFrame:
     """fastText-shaped Naive-Bayes quality classifier (the CCNet /
     FineWeb-Edu "train a cheap linear model, score everything" data-
@@ -850,6 +859,7 @@ QUERIES = {
     "line_dedup": line_dedup,
     "gopher_repetition": gopher_repetition,
     "nb_quality_classify": nb_quality_classify,
+    "vocab_coverage": vocab_coverage,
     "doc_lm_score": doc_lm_score,
     "corpus_importance_weights": corpus_importance_weights,
     "embedding_cosine_topk": embedding_cosine_topk,
@@ -1805,6 +1815,31 @@ ORACLES["corpus_importance_weights"] = f"""
            CAST(SUM(cnt * lr_e6) AS BIGINT) / 1e6 AS weight
     FROM feat JOIN lr USING (bucket)
     GROUP BY doc
+"""
+
+ORACLES["vocab_coverage"] = f"""
+    WITH d AS (
+      SELECT doc_id AS doc, {_WORDS} AS words FROM documents
+    ), tok AS (
+      SELECT doc, UNNEST(words) AS wrd FROM d
+    ), freq AS (
+      SELECT wrd, COUNT(*) AS cnt FROM tok GROUP BY wrd
+    ), vocab AS (
+      SELECT wrd FROM (
+        SELECT wrd, ROW_NUMBER() OVER (ORDER BY cnt DESC, wrd) AS rn
+        FROM freq) WHERE rn <= 500
+    ), cov AS (
+      SELECT doc, COUNT(*) AS n_tokens,
+             SUM(CASE WHEN v.wrd IS NULL THEN 1 ELSE 0 END) AS oov
+      FROM tok t LEFT JOIN vocab v USING (wrd) GROUP BY doc
+    )
+    SELECT d.doc AS doc_id,
+           CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(oov, 0) AS BIGINT) AS oov_tokens,
+           CAST((COALESCE(oov, 0) * 1000000)
+                // greatest(COALESCE(n_tokens, 0), 1) AS BIGINT)
+             AS oov_frac_e6
+    FROM d LEFT JOIN cov USING (doc)
 """
 
 ORACLES["nb_quality_classify"] = f"""
