@@ -56,6 +56,10 @@ HEADLINE = [
     "bloom_decontaminate",
     "ngram_containment_pairs",
     "embedding_cluster_assign",
+    # round 6 additions
+    "gopher_repetition",
+    "nb_quality_classify",
+    "embedding_knn_graph",
 ]
 
 

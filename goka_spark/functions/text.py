@@ -738,3 +738,35 @@ def vocab_coverage(df, id_col: str, text_col: str,
                     F.expr("(coalesce(oov_tokens, 0L) * 1000000L) "
                            "DIV greatest(coalesce(n_tokens, 0L), 1L)")
                     .alias("oov_frac_e6")))
+
+
+def perplexity_buckets(df, id_col: str, text_col: str):
+    """CCNet's head/middle/tail corpus partitioning (Wenzek et al.
+    2020 §4.3: score every doc with the LM, cut the corpus into
+    perplexity terciles; "head" trains the highest-quality models):
+    tercile boundaries are exact interpolated corpus quantiles of the
+    per-doc mean log-prob (higher log-prob = lower perplexity =
+    head), broadcast as one row; bucket assignment is then pure
+    scan-stage.  Docs too short to score (no bigrams) come back
+    ``unscored`` — never fabricated into a tercile.
+
+    Exactness: the mean log-prob is the deterministic double division
+    of exact integers (lm_logprob's micro-nat contract), and Spark's
+    ``percentile`` is the same (n-1)p interpolation as SQL
+    quantile_cont (the value_quantiles precedent) — so boundaries and
+    every >= comparison reproduce bit-identically in the oracle.  At
+    100 TB swap ``approx_percentile`` for the boundary agg (t-digest,
+    map-side combinable); everything else is one scan."""
+    lm = lm_logprob(df, id_col, text_col)
+    scored = lm.filter(F.col("n_bigrams") > 0)
+    th = scored.agg(
+        F.expr("percentile(avg_logprob, array(1.0D/3.0D, 2.0D/3.0D))")
+        .alias("_b"))
+    return (lm.crossJoin(F.broadcast(th))
+            .select(F.col(id_col), "n_bigrams",
+                    F.when(F.col("n_bigrams") == 0, "unscored")
+                    .when(F.col("avg_logprob") >= F.element_at("_b", 2),
+                          "head")
+                    .when(F.col("avg_logprob") >= F.element_at("_b", 1),
+                          "middle")
+                    .otherwise("tail").alias("bucket")))

@@ -166,6 +166,15 @@ def nb_quality_classify(spark: SparkSession, sf: str) -> DataFrame:
                          train_pred=F.col("doc") % 3 == 0)
 
 
+def perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity terciles
+    (T.perplexity_buckets): exact interpolated tercile boundaries
+    over the corpus-LM mean log-prob, broadcast onto a scan-stage
+    bucket assignment; short docs 'unscored'."""
+    docs = load(spark, sf, "documents")["documents"]
+    return T.perplexity_buckets(docs, "doc_id", "text")
+
+
 def gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher repetition-rule family (Rae et al. 2021 §A1.1): top
     n-gram char fraction (n=2,3,4), duplicated-n-gram char coverage
@@ -860,6 +869,7 @@ QUERIES = {
     "gopher_repetition": gopher_repetition,
     "nb_quality_classify": nb_quality_classify,
     "vocab_coverage": vocab_coverage,
+    "perplexity_buckets": perplexity_buckets,
     "doc_lm_score": doc_lm_score,
     "corpus_importance_weights": corpus_importance_weights,
     "embedding_cosine_topk": embedding_cosine_topk,
@@ -2020,8 +2030,8 @@ ORACLES["gopher_repetition"] = f"""
     LEFT JOIN lstat USING (doc_id)
 """
 
-ORACLES["doc_lm_score"] = f"""
-    WITH d AS (
+# shared by doc_lm_score and perplexity_buckets (the corpus bigram LM)
+_LM_CTES = f"""d AS (
       SELECT doc_id, {_WORDS} AS words FROM documents
     ), pr AS (
       SELECT doc_id, words[i] AS prev, words[i + 1] AS wrd
@@ -2041,20 +2051,38 @@ ORACLES["doc_lm_score"] = f"""
              CAST(FLOOR(1e6 * ln((cpw + 1) / (cp + v)) + 0.5) AS BIGINT)
                AS lp_e6
       FROM cpw JOIN cp USING (prev), vocab
-    ), scored AS (
+    ), lm_scored AS (
       SELECT doc_id,
              CAST(SUM(cnt * lp_e6) AS BIGINT) AS logprob_e6,
              CAST(SUM(cnt) AS BIGINT) AS n_bigrams
       FROM doc_tr JOIN lp USING (prev, wrd)
       GROUP BY doc_id
+    ), lm AS (
+      SELECT doc_id,
+             COALESCE(n_bigrams, 0) AS n_bigrams,
+             COALESCE(logprob_e6, 0) AS logprob_e6,
+             CASE WHEN COALESCE(n_bigrams, 0) > 0
+                  THEN CAST(logprob_e6 AS DOUBLE) / 1e6 / n_bigrams
+             END AS avg_logprob
+      FROM documents LEFT JOIN lm_scored USING (doc_id)
+    )"""
+
+ORACLES["doc_lm_score"] = f"""
+    WITH {_LM_CTES}
+    SELECT doc_id, n_bigrams, logprob_e6, avg_logprob FROM lm
+"""
+
+ORACLES["perplexity_buckets"] = f"""
+    WITH {_LM_CTES}, th AS (
+      SELECT quantile_cont(avg_logprob, [1.0/3.0, 2.0/3.0]) AS b
+      FROM lm WHERE n_bigrams > 0
     )
-    SELECT doc_id,
-           COALESCE(n_bigrams, 0) AS n_bigrams,
-           COALESCE(logprob_e6, 0) AS logprob_e6,
-           CASE WHEN COALESCE(n_bigrams, 0) > 0
-                THEN CAST(logprob_e6 AS DOUBLE) / 1e6 / n_bigrams
-           END AS avg_logprob
-    FROM documents LEFT JOIN scored USING (doc_id)
+    SELECT doc_id, n_bigrams,
+           CASE WHEN n_bigrams = 0 THEN 'unscored'
+                WHEN avg_logprob >= b[2] THEN 'head'
+                WHEN avg_logprob >= b[1] THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM lm, th
 """
 
 
