@@ -770,3 +770,54 @@ def perplexity_buckets(df, id_col: str, text_col: str):
                     .when(F.col("avg_logprob") >= F.element_at("_b", 1),
                           "middle")
                     .otherwise("tail").alias("bucket")))
+
+
+def line_quality_filter(df, id_col: str, text_col: str,
+                        min_words: int = 3,
+                        require_end_punct: bool = False,
+                        blocklist: "list[str] | None" = None,
+                        sep: str = "\n"):
+    """C4-style LINE-rule cleaning (Raffel et al. 2020 §2.2 — the
+    within-doc half of C4's line filters; ``line_dedup_filter`` is
+    the cross-doc half): drop lines that are too short
+    (< ``min_words`` words), optionally lines without terminal
+    punctuation (. ! ? "), and lines containing a blocklisted term;
+    rebuild the remaining lines in order.  Empty lines are
+    structural, never counted or dropped.
+
+    Returns ``(id, clean_text, lines_total, lines_removed)`` — the
+    line_dedup_filter contract, so the two passes compose.  All
+    verdicts are pure Column expressions on the exploded line (the
+    rules run scan-side; the only shuffle is the per-doc rebuild,
+    bounded by document length)."""
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_ix", "_ln"))
+    nw = F.size(F.filter(F.split(F.col("_ln"), r"\s+"),
+                         lambda w: w != ""))
+    bad = nw < min_words
+    if require_end_punct:
+        bad = bad | ~F.col("_ln").rlike(r'[.!?"]\s*$')
+    for term in (blocklist or []):
+        # exact-token hit, the blocklist_hits discipline (no substring
+        # false positives: "assess" never matches "ass")
+        bad = bad | F.array_contains(
+            F.filter(F.split(F.col("_ln"), r"\s+"), lambda w: w != ""),
+            term)
+    kept = lines.filter((F.col("_ln") == "") | ~bad)
+    rebuilt = (kept.groupBy("_id")
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("_ix", "_ln"))),
+                            lambda s: s["_ln"]),
+                        sep).alias("clean_text"),
+                    F.count("*").alias("_kept")))
+    totals = lines.groupBy("_id").agg(F.count("*").alias("lines_total"))
+    return (totals.join(rebuilt, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.col("lines_total").cast("long"),
+                    (F.col("lines_total")
+                     - F.coalesce("_kept", F.lit(0)))
+                    .cast("long").alias("lines_removed")))

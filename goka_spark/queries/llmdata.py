@@ -166,6 +166,25 @@ def nb_quality_classify(spark: SparkSession, sf: str) -> DataFrame:
                          train_pred=F.col("doc") % 3 == 0)
 
 
+def line_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style line-rule cleaning (T.line_quality_filter): the
+    reshaped 10-word-line corpus loses its short tail lines
+    (min_words=6) and any line carrying a blocklisted token; the
+    survivors rebuild in order.  Composes with line_dedup (same
+    output contract); string-exact oracle."""
+    docs = load(spark, sf, "documents")["documents"]
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.greatest(F.ceil(F.size(words) / 10.0).cast("int"), F.lit(1))
+    reshaped = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), n_lines - 1),
+                        lambda i: F.array_join(
+                            F.slice(words, i * 10 + 1, 10), " ")),
+            "\n").alias("text"))
+    return T.line_quality_filter(reshaped, "doc_id", "text", min_words=6)
+
+
 def perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet head/middle/tail perplexity terciles
     (T.perplexity_buckets): exact interpolated tercile boundaries
@@ -870,6 +889,7 @@ QUERIES = {
     "nb_quality_classify": nb_quality_classify,
     "vocab_coverage": vocab_coverage,
     "perplexity_buckets": perplexity_buckets,
+    "line_quality_filter": line_quality_filter,
     "doc_lm_score": doc_lm_score,
     "corpus_importance_weights": corpus_importance_weights,
     "embedding_cosine_topk": embedding_cosine_topk,
@@ -1902,6 +1922,34 @@ ORACLES["nb_quality_classify"] = f"""
            CAST(COALESCE(s, 0) + prior_e6 AS BIGINT) AS score_e6,
            CAST(COALESCE(s, 0) + prior_e6 > 0 AS BIGINT) AS predicted
     FROM d LEFT JOIN scored USING (doc), prior
+"""
+
+ORACLES["line_quality_filter"] = f"""
+    WITH d AS (
+      SELECT doc_id, {_WORDS} AS words FROM documents
+    ), resh AS (
+      SELECT doc_id, list_transform(
+        range(0, greatest(CAST(ceil(len(words) / 10.0) AS INT), 1)),
+        i -> array_to_string(words[i*10+1:i*10+10], ' ')) AS lines
+      FROM d
+    ), ln AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS ix, lines[i] AS line
+      FROM resh, UNNEST(range(1, len(lines) + 1)) AS t(i)
+    ), kept AS (
+      SELECT doc_id, ix, line FROM ln
+      WHERE line = ''
+         OR len(list_filter(string_split(line, ' '), w -> w <> '')) >= 6
+    )
+    SELECT t.doc_id,
+           COALESCE(k.clean_text, '') AS clean_text,
+           CAST(t.lines_total AS BIGINT) AS lines_total,
+           CAST(t.lines_total - COALESCE(k.kept, 0) AS BIGINT)
+             AS lines_removed
+    FROM (SELECT doc_id, COUNT(*) AS lines_total FROM ln GROUP BY doc_id) t
+    LEFT JOIN (SELECT doc_id,
+                      string_agg(line, chr(10) ORDER BY ix) AS clean_text,
+                      COUNT(*) AS kept
+               FROM kept GROUP BY doc_id) k USING (doc_id)
 """
 
 ORACLES["line_dedup"] = f"""

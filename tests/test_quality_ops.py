@@ -219,3 +219,27 @@ def test_gopher_repetition_no_double_count(spark):
                             top_ns=(2,), dup_ns=(2,)).first()
     assert r["chars"] == 6
     assert r["dup2_frac_e6"] == 1_000_000  # covered == all, not > all
+
+
+# ---------------------------------------------- line_quality_filter
+
+def test_line_quality_rules(spark):
+    df = spark.createDataFrame(
+        [(1, "This line is long enough to survive the filter.\n"
+             "short line\n"
+             "No terminal punctuation here so it dies when required\n"
+             "A spam offer inside this nice long sentence stays "
+             "unless blocked.")],
+        ["doc_id", "text"])
+    base = T.line_quality_filter(df, "doc_id", "text", min_words=4).first()
+    assert base["lines_total"] == 4 and base["lines_removed"] == 1
+    punct = T.line_quality_filter(df, "doc_id", "text", min_words=4,
+                                  require_end_punct=True).first()
+    assert punct["lines_removed"] == 2
+    blocked = T.line_quality_filter(df, "doc_id", "text", min_words=4,
+                                    blocklist=["spam"]).first()
+    assert blocked["lines_removed"] == 2
+    # blocklist hits are exact tokens, never substrings
+    sub = T.line_quality_filter(df, "doc_id", "text", min_words=4,
+                                blocklist=["spa"]).first()
+    assert sub["lines_removed"] == 1
