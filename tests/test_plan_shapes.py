@@ -292,3 +292,59 @@ def test_containment_no_cartesian_single_pair_agg(spark, sf_dir):
     the shingle, never a cartesian pairing."""
     plan = X.simple(llmdata.ngram_containment_pairs(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------- round-6 operators
+
+def test_vocab_coverage_topk_and_broadcast(spark, sf_dir):
+    """Vocab is TakeOrderedAndProject (never a global sort) and its
+    membership join broadcasts."""
+    from goka_spark.queries.llmdata import vocab_coverage
+    df = vocab_coverage(spark, sf_dir)
+    plan = X.simple(df)
+    assert "TakeOrderedAndProject" in plan
+    assert X.has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_nb_classifier_broadcasts_model(spark, sf_dir):
+    """The coefficient table joins broadcast; no corpus-side cartesian
+    beyond the 1-row prior/totals broadcasts."""
+    from goka_spark.queries.llmdata import nb_quality_classify
+    df = nb_quality_classify(spark, sf_dir)
+    plan = X.simple(df)
+    assert X.has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_perplexity_buckets_broadcast_thresholds(spark, sf_dir):
+    from goka_spark.queries.llmdata import perplexity_buckets
+    df = perplexity_buckets(spark, sf_dir)
+    plan = X.simple(df)
+    # the 1-row tercile frame rides a broadcast nested-loop join;
+    # bucket assignment itself is scan-stage
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_graph_no_cartesian(spark, sf_dir):
+    """Neighbor candidates come from the cell equi-join of the codes
+    table — never an n x n cartesian."""
+    from goka_spark.queries.base import load
+    from goka_spark.queries.llmdata import _ann_index
+
+    from goka_spark.functions import ann_index as A
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    idx = _ann_index(spark, sf_dir, emb)
+    df = A.knn_graph(idx, k=3)
+    plan = X.simple(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gopher_repetition_partial_agg(spark, sf_dir):
+    from goka_spark.queries.llmdata import gopher_repetition
+    df = gopher_repetition(spark, sf_dir)
+    plan = X.simple(df)
+    assert X.has_partial_aggregation(df)
+    assert "CartesianProduct" not in plan
