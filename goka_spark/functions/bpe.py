@@ -1,0 +1,208 @@
+"""Distributed BPE — subword vocabulary training and tokenization.
+
+Byte-pair encoding (Sennrich et al. 2016, "Neural Machine Translation
+of Rare Words with Subword Units"): start from characters, repeatedly
+merge the most frequent adjacent symbol pair.  The classic trainer
+operates on the WORD-FREQUENCY dictionary, not the corpus — the
+insight that makes it distributable: at 100 TB the corpus is huge but
+the distinct-word dict is vocabulary-sized (one hash-agg away), and
+every training round is
+
+    one pair-count aggregate over the dict  (weighted by word freq,
+                                             map-side combinable)
+  + one TakeOrdered(1) under a TOTAL order  (count DESC, pair ASC —
+                                             ties break identically
+                                             in any engine)
+  + one JVM array-fold applying the merge   (no Python in the loop)
+
+so the driver only ever holds the k-row merges list, never the dict.
+Lineage is localCheckpoint-truncated every few rounds (the connected-
+components discipline — k rounds would otherwise stack k plans).
+
+Determinism contract (the recomputable-quantizer idiom applied to an
+iterative algorithm): the trained merges are a pure function of the
+word-frequency table and the tie order, so an oracle re-trains
+bit-identical merges in pure Python and verifies tokenization via a
+literal word→tokens table — the registry query is fully
+hash-verified despite BPE being a loop, not a query.
+
+Reference parity: goka's codec interface turns values into wire
+symbols (codec.go:1); BPE is the codec of the LLM-data world.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: end-of-word marker (standard BPE; keeps merges from crossing words)
+EOW = "</w>"
+
+
+# ------------------------------------------------------------ python
+# Pure-Python twins — the oracle re-trains with these; property tests
+# pin the Spark path against them on random corpora.
+
+def merge_word(syms: list, a: str, b: str) -> list:
+    """Apply one merge left-to-right greedily (the BPE contract)."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def train_py(word_freq: dict, n_merges: int) -> list:
+    """Reference trainer over a {word: freq} dict."""
+    vocab = {w: list(w) + [EOW] for w in word_freq}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, syms in vocab.items():
+            f = word_freq[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if best[1] < 2:
+            break  # nothing repeats: further merges are noise
+        a, b = best[0]
+        merges.append((a, b))
+        vocab = {w: merge_word(s, a, b) for w, s in vocab.items()}
+    return merges
+
+
+def encode_word(word: str, merges: list) -> list:
+    syms = list(word) + [EOW]
+    for a, b in merges:
+        syms = merge_word(syms, a, b)
+    return syms
+
+
+# ------------------------------------------------------------- spark
+
+def _char_syms(word_col) -> "F.Column":
+    """word → array of single chars + the end-of-word marker."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word_col)),
+        lambda i: F.substring(word_col, i, 1))
+    return F.concat(chars, F.array(F.lit(EOW)))
+
+
+def _apply_merge(syms, a: str, b: str) -> "F.Column":
+    """JVM array fold replaying ``merge_word``: state is
+    (out, pending); pending==a meeting b merges, else flushes."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"))
+
+    def step(acc, s):
+        merged = acc["pend"].isNotNull() & (acc["pend"] == a) & (s == b)
+        flush = F.when(acc["pend"].isNotNull(),
+                       F.concat(acc["out"], F.array(acc["pend"]))) \
+            .otherwise(acc["out"])
+        return F.struct(
+            F.when(merged,
+                   F.concat(acc["out"], F.array(F.lit(a + b))))
+            .otherwise(flush).alias("out"),
+            F.when(merged, F.lit(None).cast("string"))
+            .otherwise(s).alias("pend"))
+
+    def finish(acc):
+        return F.when(acc["pend"].isNotNull(),
+                      F.concat(acc["out"], F.array(acc["pend"]))) \
+            .otherwise(acc["out"])
+
+    return F.aggregate(syms, init, step, finish)
+
+
+def word_dict(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(word, freq) over the corpus — one explode + hash-agg."""
+    return (df.select(F.explode(F.split(F.col(text_col), r"\s+"))
+                      .alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word").agg(F.count("*").alias("freq")))
+
+
+def bpe_train(df: DataFrame, id_col: str, text_col: str,
+              n_merges: int = 24) -> list:
+    """Train ``n_merges`` BPE merges distributed; returns the ordered
+    merges list (the only thing that ever reaches the driver).  Stops
+    early when no adjacent pair repeats (weighted count < 2)."""
+    wd = word_dict(df, id_col, text_col)
+    vocab = wd.select("word", "freq",
+                      _char_syms(F.col("word")).alias("syms"))
+    vocab = vocab.localCheckpoint()
+    merges = []
+    for r in range(n_merges):
+        pairs = (vocab.select(
+            "freq",
+            F.explode(F.transform(
+                F.sequence(F.lit(1),
+                           F.greatest(F.size("syms") - 1, F.lit(1))),
+                lambda i: F.struct(
+                    F.try_element_at("syms", i).alias("a"),
+                    F.try_element_at("syms", i + 1).alias("b"))))
+            .alias("p"))
+            .filter(F.col("p.b").isNotNull())
+            .groupBy("p.a", "p.b").agg(F.sum("freq").alias("cnt")))
+        top = (pairs.orderBy(F.col("cnt").desc(),
+                             F.col("a").asc(), F.col("b").asc())
+               .limit(1).collect())
+        if not top or top[0]["cnt"] < 2:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        vocab = vocab.select(
+            "word", "freq", _apply_merge(F.col("syms"), a, b).alias("syms"))
+        if (r + 1) % 4 == 0:
+            vocab = vocab.localCheckpoint()  # truncate k-deep lineage
+    return merges
+
+
+def bpe_word_tokens(df: DataFrame, id_col: str, text_col: str,
+                    merges: list) -> DataFrame:
+    """(word, n_tokens, tokens) for every distinct corpus word under
+    the trained merges — the tokenizer's working table, applied as
+    chained JVM folds (one per merge, over the vocabulary-sized dict,
+    never the corpus)."""
+    wd = word_dict(df, id_col, text_col)
+    syms = _char_syms(F.col("word"))
+    out = wd.select("word", "freq", syms.alias("syms"))
+    for i, (a, b) in enumerate(merges):
+        out = out.select("word", "freq",
+                         _apply_merge(F.col("syms"), a, b).alias("syms"))
+        if (i + 1) % 4 == 0:
+            out = out.localCheckpoint()
+    return out.select("word", "freq",
+                      F.size("syms").cast("long").alias("n_tokens"),
+                      F.col("syms").alias("tokens"))
+
+
+def bpe_token_count(df: DataFrame, id_col: str, text_col: str,
+                    merges: list) -> DataFrame:
+    """Per-document token count under the trained BPE: the per-WORD
+    counts broadcast back onto one corpus postings pass (the corpus
+    is never re-tokenized symbol-by-symbol; at 100 TB the only big
+    job is the postings scan + per-doc sum)."""
+    wt = bpe_word_tokens(df, id_col, text_col, merges) \
+        .select("word", "n_tokens")
+    tok = (df.select(F.col(id_col).alias("doc"),
+                     F.explode(F.split(F.col(text_col), r"\s+"))
+                     .alias("word"))
+           .filter(F.col("word") != ""))
+    per = (tok.join(F.broadcast(wt), "word")
+           .groupBy("doc").agg(F.sum("n_tokens").alias("bpe_tokens"),
+                               F.count("*").alias("n_words")))
+    return (df.select(F.col(id_col).alias("doc")).join(per, "doc", "left")
+            .select(F.col("doc").alias(id_col),
+                    F.coalesce("n_words", F.lit(0)).cast("long")
+                    .alias("n_words"),
+                    F.coalesce("bpe_tokens", F.lit(0)).cast("long")
+                    .alias("bpe_tokens")))

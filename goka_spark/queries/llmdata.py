@@ -166,6 +166,23 @@ def nb_quality_classify(spark: SparkSession, sf: str) -> DataFrame:
                          train_pred=F.col("doc") % 3 == 0)
 
 
+def bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc token counts under a corpus-trained BPE vocabulary
+    (functions/bpe.py): training is 16 distributed pair-count rounds
+    over the word dict, merge application is a JVM array fold, and
+    the corpus pass is one broadcast word→n_tokens join.  Fully
+    hash-verified although BPE is an iterative algorithm: merges are
+    a pure function of (word dict, tie order), so the oracle
+    re-trains them in pure Python and verifies counts via a literal
+    vocabulary table — the recomputable-quantizer idiom extended to
+    subword training."""
+    from goka_spark.functions import bpe as B
+
+    docs = load(spark, sf, "documents")["documents"]
+    merges = B.bpe_train(docs, "doc_id", "text", n_merges=16)
+    return B.bpe_token_count(docs, "doc_id", "text", merges)
+
+
 def line_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
     """C4-style line-rule cleaning (T.line_quality_filter): the
     reshaped 10-word-line corpus loses its short tail lines
@@ -890,6 +907,7 @@ QUERIES = {
     "vocab_coverage": vocab_coverage,
     "perplexity_buckets": perplexity_buckets,
     "line_quality_filter": line_quality_filter,
+    "bpe_token_count": bpe_token_count,
     "doc_lm_score": doc_lm_score,
     "corpus_importance_weights": corpus_importance_weights,
     "embedding_cosine_topk": embedding_cosine_topk,
@@ -1923,6 +1941,42 @@ ORACLES["nb_quality_classify"] = f"""
            CAST(COALESCE(s, 0) + prior_e6 > 0 AS BIGINT) AS predicted
     FROM d LEFT JOIN scored USING (doc), prior
 """
+
+def _bpe_oracle(n_merges: int = 16) -> str:
+    """DuckDB twin of bpe_token_count: re-train bit-identical merges
+    in pure Python from the same word dict (train_py == the Spark
+    rounds — pinned by tests), apply them to the vocabulary, embed
+    the word→n_tokens table as literals, and replay the per-doc sum
+    in SQL."""
+    import duckdb
+
+    from goka_spark.functions import bpe as B
+
+    sf_dir = _ivf_oracle_sf()
+    wf = dict(duckdb.sql(
+        f"SELECT w, COUNT(*) FROM (SELECT UNNEST({_WORDS}) AS w "
+        f"FROM '{sf_dir}/documents.parquet') GROUP BY w").fetchall())
+    merges = B.train_py(wf, n_merges)
+    counts = {w: len(B.encode_word(w, merges)) for w in wf}
+    values = ", ".join(
+        "('{}', {})".format(w.replace("'", "''"), c)
+        for w, c in sorted(counts.items()))
+    return f"""
+        WITH wt(word, n_tokens) AS (VALUES {values}),
+        d AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+        tok AS (SELECT doc_id, UNNEST(words) AS word FROM d),
+        per AS (
+          SELECT doc_id, COUNT(*) AS n_words, SUM(n_tokens) AS bpe
+          FROM tok JOIN wt USING (word) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
+               CAST(COALESCE(bpe, 0) AS BIGINT) AS bpe_tokens
+        FROM d LEFT JOIN per USING (doc_id)
+    """
+
+
+ORACLES["bpe_token_count"] = _bpe_oracle
 
 ORACLES["line_quality_filter"] = f"""
     WITH d AS (

@@ -206,3 +206,54 @@ def test_shuffle_matches_reference(ids, n_shards, _spark):
         for pos, i in enumerate(
                 sorted(members, key=lambda x: (keys[x], x)), start=1):
             assert got[i] == (s, pos), i
+
+
+# --------------------------------------------------------------- bpe
+
+@given(corpus=st.lists(
+    st.lists(st.sampled_from(["low", "lower", "lowest", "new", "newer",
+                              "wide", "widest", "a", "ab"]),
+             min_size=1, max_size=10),
+    min_size=1, max_size=6),
+    n_merges=st.integers(min_value=1, max_value=12))
+@settings(max_examples=6, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_train_matches_reference(corpus, n_merges, _spark):
+    """Distributed training == pure-Python training, merge for merge,
+    and per-doc token counts == reference encode."""
+    from goka_spark.functions import bpe as B
+
+    df = _docs(_spark, corpus)
+    wf = {}
+    for ws in corpus:
+        for w in ws:
+            wf[w] = wf.get(w, 0) + 1
+    m_spark = B.bpe_train(df, "doc_id", "text", n_merges=n_merges)
+    m_py = B.train_py(wf, n_merges)
+    assert m_spark == m_py
+    got = {r["doc_id"]: r["bpe_tokens"] for r in
+           B.bpe_token_count(df, "doc_id", "text", m_spark).collect()}
+    for i, ws in enumerate(corpus):
+        ref = sum(len(B.encode_word(w, m_py)) for w in ws)
+        assert got[i] == ref, i
+
+
+def test_bpe_early_stop_when_nothing_repeats(_spark):
+    from goka_spark.functions import bpe as B
+
+    df = _spark.createDataFrame([(0, "ab cd ef")],
+                                "doc_id long, text string")
+    # every adjacent pair is unique (freq 1) -> zero merges
+    assert B.bpe_train(df, "doc_id", "text", n_merges=8) == []
+
+
+def test_bpe_merge_fold_is_greedy_left_to_right(_spark):
+    """'aaa' under merge (a,a) -> [aa, a, </w>], never [a, aa]."""
+    from goka_spark.functions import bpe as B
+
+    df = _spark.createDataFrame([("aaa",)], "word string")
+    out = df.select(
+        B._apply_merge(B._char_syms(F.col("word")), "a", "a")
+        .alias("s")).first()["s"]
+    assert out == ["aa", "a", B.EOW]
+    assert B.merge_word(list("aaa") + [B.EOW], "a", "a") == out
