@@ -21,6 +21,9 @@ from goka_spark.queries import analytics, core, llmdata
 # slot 50 are best-effort.
 _FRONT = [
     # (a) round-6 new — never certified
+    "bpe_token_count",
+    "perplexity_buckets",
+    "line_quality_filter",
     "embedding_knn_graph",
     "gopher_repetition",
     "nb_quality_classify",
