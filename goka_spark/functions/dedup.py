@@ -1060,3 +1060,41 @@ def near_decontaminate(corpus: DataFrame, benchmark: DataFrame,
         F.when(F.col("verdict") == "exact_dup", "contaminated_exact")
          .when(F.col("verdict") == "near_dup", "contaminated_near")
          .otherwise("clean").alias("verdict"))
+
+
+def exact_dedup_prioritized(df: DataFrame, id_col: str, text_col: str,
+                            source_col: str,
+                            priority: "tuple[str, ...]" = ()) -> DataFrame:
+    """Multi-source exact dedup with a SOURCE PRIORITY policy — the
+    corpus-merge shape: when the same text appears in several sources
+    (a Wikipedia dump inside a web crawl, a mirrored site), keep the
+    copy from the most trusted source, not just the smallest id.
+    ``priority`` lists sources best-first; unlisted sources rank
+    after all listed ones, ties break (source ASC, id ASC) so the
+    winner is engine-deterministic.
+
+    Returns one row per distinct text: ``(text_md5, keep_id,
+    keep_source, dup_cnt, n_sources)``.  Scale shape: one hash-agg
+    for the group stats + one per-group window (partitions bounded by
+    the duplicate-group size) on the same md5 exchange."""
+    from pyspark.sql.window import Window
+
+    rank = F.lit(len(priority))
+    for i, s in enumerate(reversed(priority)):
+        rank = F.when(F.col(source_col) == s,
+                      F.lit(len(priority) - 1 - i)).otherwise(rank)
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy("_m").orderBy(
+        "_rank", F.col(source_col), F.col(id_col))
+    r = (df.select(F.col(id_col), F.col(source_col),
+                   h.alias("_m"), rank.alias("_rank"))
+         .withColumn("_rn", F.row_number().over(w)))
+    g = (df.groupBy(h.alias("_m"))
+         .agg(F.count("*").alias("dup_cnt"),
+              F.count_distinct(F.col(source_col)).alias("n_sources")))
+    return (r.filter(F.col("_rn") == 1).join(g, "_m")
+            .select(F.col("_m").alias("text_md5"),
+                    F.col(id_col).alias("keep_id"),
+                    F.col(source_col).alias("keep_source"),
+                    F.col("dup_cnt").cast("long"),
+                    F.col("n_sources").cast("long")))

@@ -166,6 +166,31 @@ def nb_quality_classify(spark: SparkSession, sf: str) -> DataFrame:
                          train_pred=F.col("doc") % 3 == 0)
 
 
+def lang_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset-card language audit: declared ``lang`` column vs the
+    lang_id prediction, confusion counts per (source, lang,
+    pred_lang) — the released-corpus sanity table for "does the
+    metadata match the content".  One scan (the predictor is pure
+    Column exprs) + one map-side-combined hash-agg."""
+    docs = load(spark, sf, "documents")["documents"]
+    return (docs.select("source", "lang",
+                        T.lang_id(F.col("text")).alias("pred_lang"))
+            .groupBy("source", "lang", "pred_lang")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.when(F.col("lang") != F.col("pred_lang"), 1)
+                       .otherwise(0)).alias("n_mismatch")))
+
+
+def dedup_exact_prioritized(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-priority exact dedup (D.exact_dedup_prioritized): keep
+    the most-trusted source's copy of each duplicated text (src5 >
+    src1 > everything else, ties by source/id) — the multi-source
+    corpus-merge policy."""
+    docs = load(spark, sf, "documents")["documents"]
+    return D.exact_dedup_prioritized(docs, "doc_id", "text", "source",
+                                     priority=("src5", "src1"))
+
+
 def bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
     """Per-doc token counts under a corpus-trained BPE vocabulary
     (functions/bpe.py): training is 16 distributed pair-count rounds
@@ -908,6 +933,8 @@ QUERIES = {
     "perplexity_buckets": perplexity_buckets,
     "line_quality_filter": line_quality_filter,
     "bpe_token_count": bpe_token_count,
+    "lang_audit": lang_audit,
+    "dedup_exact_prioritized": dedup_exact_prioritized,
     "doc_lm_score": doc_lm_score,
     "corpus_importance_weights": corpus_importance_weights,
     "embedding_cosine_topk": embedding_cosine_topk,
@@ -1941,6 +1968,48 @@ ORACLES["nb_quality_classify"] = f"""
            CAST(COALESCE(s, 0) + prior_e6 > 0 AS BIGINT) AS predicted
     FROM d LEFT JOIN scored USING (doc), prior
 """
+
+ORACLES["lang_audit"] = f"""
+    WITH pred AS (
+      SELECT source, lang,
+             CASE
+               WHEN {_sw_hits(_SW['en'])} >= {_sw_hits(_SW['de'])}
+                AND {_sw_hits(_SW['en'])} >= {_sw_hits(_SW['es'])}
+                AND {_sw_hits(_SW['en'])} >= {_sw_hits(_SW['fr'])} THEN 'en'
+               WHEN {_sw_hits(_SW['de'])} >= {_sw_hits(_SW['es'])}
+                AND {_sw_hits(_SW['de'])} >= {_sw_hits(_SW['fr'])} THEN 'de'
+               WHEN {_sw_hits(_SW['es'])} >= {_sw_hits(_SW['fr'])} THEN 'es'
+               ELSE 'fr'
+             END AS pred_lang
+      FROM documents
+    )
+    SELECT source, lang, pred_lang, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN lang <> pred_lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatch
+    FROM pred GROUP BY source, lang, pred_lang
+"""
+
+ORACLES["dedup_exact_prioritized"] = """
+    WITH g AS (
+      SELECT md5(text) AS m, COUNT(*) AS dup_cnt,
+             COUNT(DISTINCT source) AS n_sources
+      FROM documents GROUP BY md5(text)
+    ), r AS (
+      SELECT md5(text) AS m, doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(text)
+               ORDER BY CASE source WHEN 'src5' THEN 0
+                                    WHEN 'src1' THEN 1
+                                    ELSE 2 END,
+                        source, doc_id) AS rn
+      FROM documents
+    )
+    SELECT m AS text_md5, doc_id AS keep_id, source AS keep_source,
+           CAST(dup_cnt AS BIGINT) AS dup_cnt,
+           CAST(n_sources AS BIGINT) AS n_sources
+    FROM r JOIN g USING (m) WHERE rn = 1
+"""
+
 
 def _bpe_oracle(n_merges: int = 16) -> str:
     """DuckDB twin of bpe_token_count: re-train bit-identical merges

@@ -300,3 +300,22 @@ def test_shuffle_salt_rerolls_order(spark, sf_dir):
     b = C.shuffle_order(docs, "doc_id", 4, salt="b")
     same = (a.join(b, ["doc_id", "shard", "pos"]).count())
     assert same < docs.count() * 0.2  # overwhelmingly re-rolled
+
+
+# ------------------------------------------- exact_dedup_prioritized
+
+def test_priority_beats_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "same text", "srcA"), (2, "same text", "srcB"),
+         (3, "same text", "srcB"), (9, "other", "srcA")],
+        ["doc_id", "text", "source"])
+    out = {x["dup_cnt"]: x for x in D.exact_dedup_prioritized(
+        df, "doc_id", "text", "source", priority=("srcB",)).collect()}
+    grp = out[3]
+    # srcB outranks srcA despite doc 1 having the smaller id
+    assert grp["keep_id"] == 2 and grp["keep_source"] == "srcB"
+    assert grp["n_sources"] == 2
+    # empty priority falls back to (source, id) order
+    plain = {x["dup_cnt"]: x for x in D.exact_dedup_prioritized(
+        df, "doc_id", "text", "source").collect()}
+    assert plain[3]["keep_id"] == 1 and plain[3]["keep_source"] == "srcA"
