@@ -529,44 +529,47 @@ def gopher_repetition(df, id_col: str, text_col: str,
     char counts — chars(gram) = len(gram) - (n-1) spaces), so the
     DuckDB oracle hash-matches with zero float hazard.
 
-    Scale shape: ONE token scan builds every n-gram size at once
-    (window ``lead`` up to max(n)-1 — no per-n re-scan), one
-    (doc, n, gram) hash-agg, a per-doc top-k window, and a coverage
-    join bounded by positions × n.  Everything is keyed by doc — at
-    100 TB the heavy aggs all partial-aggregate map-side."""
+    Scale shape: tokens, per-doc totals, AND every n-gram size are
+    all built scan-stage from the words array (array slices — no
+    token window, no per-branch window shuffle: the first cut used
+    window leads and its consumers re-scanned + re-windowed the
+    corpus 8×; this one's only windows are the tiny per-(doc,n)
+    top-gram ranks).  One (doc, n, gram) hash-agg, a coverage join
+    bounded by positions × n.  Everything is keyed by doc — at 100 TB
+    the heavy aggs all partial-aggregate map-side."""
     from pyspark.sql.window import Window
 
     ns = sorted(set(top_ns) | set(dup_ns))
-    max_n = max(ns)
 
-    tok = (df.select(F.col(id_col).alias("doc"),
-                     F.col(text_col).alias("_t"))
-           .select("doc", F.posexplode(F.split(F.col("_t"), r"\s+"))
-                   .alias("_p", "_w"))
-           .filter(F.col("_w") != ""))
-    win = Window.partitionBy("doc").orderBy("_p")
-    leads = {j: F.lead("_w", j).over(win) for j in range(1, max_n)}
-    base = tok.select(
-        "doc", F.col("_w"),
-        F.length("_w").alias("_wlen"),
-        F.row_number().over(win).alias("pos"),
-        F.count("*").over(Window.partitionBy("doc")).alias("_nw"),
-        *[leads[j].alias(f"_l{j}") for j in range(1, max_n)])
+    warr = F.filter(F.split(F.col(text_col), r"\s+"),
+                    lambda w: w != "")
+    src = df.select(F.col(id_col).alias("doc"),
+                    warr.alias("_ws"),
+                    F.split(F.col(text_col), sep).alias("_lns"))
 
-    totals = base.groupBy("doc").agg(
-        F.max("_nw").cast("long").alias("n_words"),
-        F.sum("_wlen").cast("long").alias("chars"))
+    totals = (src.select(
+        "doc",
+        F.size("_ws").cast("long").alias("n_words"),
+        F.aggregate("_ws", F.lit(0).cast("long"),
+                    lambda a, w: a + F.length(w)).alias("chars"))
+        .filter(F.col("n_words") > 0))
 
-    gram_structs = F.array(*[
-        F.struct(F.lit(n).alias("n"),
-                 F.concat_ws(" ", "_w",
-                             *[f"_l{j}" for j in range(1, n)]).alias("gram"))
-        for n in ns])
-    grams = (base.select("doc", "pos", "_nw",
-                         F.explode(gram_structs).alias("g"))
-             .select("doc", "pos", "_nw", "g.n", "g.gram")
-             .filter(F.col("pos") <= F.col("_nw") - (F.col("n") - 1))
-             .drop("_nw"))
+    tok = (src.select("doc", F.posexplode("_ws").alias("_p0", "_w"))
+           .select("doc", (F.col("_p0") + 1).alias("pos"),
+                   F.length("_w").alias("_wlen")))
+
+    def _gram_structs(n):
+        seq = F.when(F.size("_ws") >= n,
+                     F.sequence(F.lit(1), F.size("_ws") - (n - 1))) \
+            .otherwise(F.array().cast("array<int>"))
+        return F.transform(seq, lambda i: F.struct(
+            F.lit(n).alias("n"), i.alias("pos"),
+            F.array_join(F.slice("_ws", i, n), " ").alias("gram")))
+
+    grams = (src.select("doc", F.explode(F.flatten(F.array(
+                *[_gram_structs(n) for n in ns]))).alias("g"))
+             .select("doc", F.col("g.pos").alias("pos"),
+                     F.col("g.n").alias("n"), F.col("g.gram").alias("gram")))
 
     cnts = grams.groupBy("doc", "n", "gram").agg(F.count("*").alias("cnt"))
 
@@ -590,7 +593,7 @@ def gopher_repetition(df, id_col: str, text_col: str,
                            F.col("pos"),
                            F.col("pos") + F.col("n") - 1)).alias("i"))
            .distinct())
-    covch = (cov.join(base.select("doc", F.col("pos").alias("i"), "_wlen"),
+    covch = (cov.join(tok.select("doc", F.col("pos").alias("i"), "_wlen"),
                       ["doc", "i"])
              .groupBy("doc", "n").agg(F.sum("_wlen").alias("_cch"))
              .join(totals, "doc")
@@ -601,8 +604,7 @@ def gopher_repetition(df, id_col: str, text_col: str,
         F.max(F.when(F.col("n") == n, F.col("v")))
         .alias(f"dup{n}_frac_e6") for n in dup_ns])
 
-    lines = (df.select(F.col(id_col).alias("doc"),
-                       F.explode(F.split(F.col(text_col), sep)).alias("_ln"))
+    lines = (src.select("doc", F.explode("_lns").alias("_ln"))
              .filter(F.col("_ln") != ""))
     lc = lines.groupBy("doc", "_ln").agg(F.count("*").alias("cnt"))
     lstat = lc.groupBy("doc").agg(
