@@ -192,3 +192,55 @@ def shuffle_order(df: DataFrame, id_col: str, n_shards: int,
                       shard.alias("shard"))
             .withColumn("pos", F.row_number().over(w).cast("long"))
             .select(id_col, "shard", "pos"))
+
+
+class CorpusStatsSink:
+    """Streaming dataset-card profile — the ingest-monitoring twin of
+    the batch ``corpus_stats`` query (goka's stats.go role for a
+    document stream): a ``foreachBatch`` sink that writes each
+    micro-batch's PARTIAL per-(source, lang) stats to
+    ``out_path/epoch_id=N`` and lets ``read()`` merge them.
+
+    Why partials, not a running total: every aggregate kept here is
+    associative (count / sum / min / max), so per-epoch partials
+    merge exactly at read time — and an epoch overwrite is
+    retry-idempotent (the ExactlyOnceBatchSink layout) with no
+    read-modify-write race on a running table.  The merge cost is
+    #epochs × #groups rows — trivial next to the stream itself.
+
+    ``read()`` returns exactly the batch ``corpus_stats`` schema, so
+    a dashboard can swap between the live table and a batch backfill
+    without schema changes."""
+
+    def __init__(self, out_path: str, id_col: str, text_col: str,
+                 group_cols: "tuple[str, ...]" = ("source", "lang")):
+        self.out_path = out_path.rstrip("/")
+        self.id_col, self.text_col = id_col, text_col
+        self.group_cols = list(group_cols)
+
+    def _partial(self, df: DataFrame) -> DataFrame:
+        n_chars = F.length(F.col(self.text_col))
+        tokens = F.size(F.filter(
+            F.split(F.col(self.text_col), r"\s+"), lambda w: w != ""))
+        return (df.groupBy(*self.group_cols)
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum(tokens.cast("long")).alias("total_tokens"),
+                     F.sum(n_chars.cast("long")).alias("total_chars"),
+                     F.min(n_chars.cast("long")).alias("min_chars"),
+                     F.max(n_chars.cast("long")).alias("max_chars")))
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        (self._partial(batch_df).write.mode("overwrite")
+         .parquet(f"{self.out_path}/epoch_id={int(epoch_id)}"))
+
+    def read(self, spark) -> DataFrame:
+        parts = spark.read.parquet(self.out_path)
+        return (parts.groupBy(*self.group_cols)
+                .agg(F.sum("n_docs").cast("long").alias("n_docs"),
+                     F.sum("total_tokens").cast("long")
+                     .alias("total_tokens"),
+                     F.sum("total_chars").cast("long").alias("total_chars"),
+                     F.min("min_chars").cast("long").alias("min_chars"),
+                     F.max("max_chars").cast("long").alias("max_chars"))
+                .withColumn("mean_chars", F.round(
+                    F.col("total_chars") / F.col("n_docs"), 4)))

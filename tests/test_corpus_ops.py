@@ -319,3 +319,46 @@ def test_priority_beats_min_id(spark):
     plain = {x["dup_cnt"]: x for x in D.exact_dedup_prioritized(
         df, "doc_id", "text", "source").collect()}
     assert plain[3]["keep_id"] == 1 and plain[3]["keep_source"] == "srcA"
+
+
+# --------------------------------------------------- CorpusStatsSink
+
+def test_streaming_corpus_stats_equals_batch(spark, tmp_path):
+    """Two micro-batches through the stats sink merge to exactly the
+    batch profile of the full data (associative partials)."""
+    from goka_spark.streaming.runtime import stream_from_dir
+
+    rows1 = [(1, "alpha beta gamma", "srcA", "en"),
+             (2, "delta", "srcA", "en")]
+    rows2 = [(3, "spark streaming stats", "srcA", "en"),
+             (4, "ein zwei drei vier", "srcB", "de")]
+    schema = "doc_id long, text string, source string, lang string"
+    src = str(tmp_path / "topic")
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    sink = C.CorpusStatsSink(str(tmp_path / "stats"), "doc_id", "text")
+    q = (stream_from_dir(spark, src, schema).writeStream
+         .foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    live = {(r["source"], r["lang"]): r for r in sink.read(spark).collect()}
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    ref = {(r["source"], r["lang"]): r
+           for r in sink._partial(batch)
+           .withColumn("mean_chars",
+                       F.round(F.col("total_chars") / F.col("n_docs"), 4))
+           .collect()}
+    assert set(live) == set(ref)
+    for k in ref:
+        for c in ("n_docs", "total_tokens", "total_chars",
+                  "min_chars", "max_chars", "mean_chars"):
+            assert live[k][c] == ref[k][c], (k, c)
