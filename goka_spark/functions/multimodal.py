@@ -376,3 +376,75 @@ def image_features(df: DataFrame, id_col: str = "doc_id",
 
     return df.select(id_col, blob_col).mapInPandas(
         run, "doc_id long, features array<double>")
+
+
+def ppm_encode_quad(width: int, height: int, seed: int) -> bytes:
+    """P6 image with a seed-shifted quadratic TEXTURE: gray pixel i
+    is ((i+seed)²) % 256.  Unlike the linear ramp (whose gradient
+    signs are seed-invariant — every ramp has the same dHash), the
+    quadratic's wrap pattern shifts with the seed, so different seeds
+    give separable perceptual hashes while staying closed-form for
+    the SQL oracle."""
+    import numpy as np
+
+    i = np.arange(width * height, dtype=np.int64) + seed
+    vals = (i * i) % 256
+    pixels = np.repeat(vals.astype(np.uint8), 3)
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels.tobytes()
+
+
+def encode_ppm_quad(df: DataFrame, id_col: str, width_col: str,
+                    height_col: str, seed_col: str) -> DataFrame:
+    """Materialize quad-textured P6 blobs per row (Arrow-batched)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "blob": [ppm_encode_quad(int(w), int(h), int(s))
+                         for w, h, s in zip(pdf[width_col],
+                                            pdf[height_col],
+                                            pdf[seed_col])]})
+
+    return df.select(id_col, width_col, height_col, seed_col) \
+        .mapInPandas(run, "doc_id long, blob binary")
+
+
+def image_dhash(df: DataFrame, id_col: str = "doc_id",
+                blob_col: str = "blob", grid: int = 8) -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL decoded images —
+    the standard near-duplicate fingerprint for image corpora (resize
+    to a tiny (grid+1)×grid grid, hash the horizontal gradient
+    signs): robust to re-encoding and scaling, cheap enough to run on
+    every image of a crawl.
+
+    The decode is the real P6 parser (``ppm_parse``), the resize uses
+    the SAME floor index map as ``resize_ppm`` (``(i*src)//dst``), the
+    luma proxy is the red channel (the encoder writes equal channels),
+    and only 63 gradient bits pack (signed-BIGINT-safe — the
+    simhash63 discipline), little-endian by bit index.  Because the
+    synthetic pixels are a closed-form function of (seed, index), a
+    SQL oracle reproduces the hash bit-for-bit WITHOUT decoding —
+    which is exactly what makes the whole decode+resize+hash path
+    driver-verifiable.  Arrow-batched; two numpy gathers per image."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, b in zip(pdf[id_col], pdf[blob_col]):
+                w, h, _, pix = ppm_parse(bytes(b))
+                gray = pix[:, :, 0].astype(np.int64)
+                ys = (np.arange(grid) * h) // grid
+                xs = (np.arange(grid + 1) * w) // (grid + 1)
+                g = gray[ys[:, None], xs[None, :]]
+                bits = (g[:, :-1] > g[:, 1:]).flatten()[:63]
+                hval = 0
+                for k, v in enumerate(bits):
+                    if v:
+                        hval |= 1 << k
+                out.append((int(i), hval))
+            yield pd.DataFrame(out, columns=["doc_id", "dhash"])
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run, "doc_id long, dhash long")

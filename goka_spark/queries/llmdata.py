@@ -642,6 +642,34 @@ def multimodal_decode_ppm(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "width", "height", F.round("mean_r", 4).alias("mean_r"))
 
 
+def image_dhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Image near-duplicate dedup via perceptual dHash over REAL
+    decoded P6 blobs (M.image_dhash): the multimodal twin of
+    dedup_exact.  Image content is keyed by doc_id % 50 (the quad
+    TEXTURE law — ramps all share one dHash, textures separate),
+    planting ~n/50-sized duplicate groups the hash must recover;
+    grouping is one window over the 63-bit fingerprint.  The oracle
+    reproduces decode→resize→hash in closed form from the
+    (seed, index) pixel law — the full binary pipeline is
+    hash-verified."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf, "documents")["documents"]
+    rep = F.col("doc_id") % 50
+    dims = docs.select(
+        "doc_id",
+        (F.lit(4) + rep % 13).cast("int").alias("w"),
+        (F.lit(3) + rep % 7).cast("int").alias("h"),
+        rep.alias("seed"))
+    blobs = M.encode_ppm_quad(dims, "doc_id", "w", "h", "seed")
+    hashes = M.image_dhash(blobs)
+    w = Window.partitionBy("dhash")
+    return hashes.select(
+        "doc_id", "dhash",
+        F.min("doc_id").over(w).alias("keep_id"),
+        F.count("*").over(w).alias("dup_cnt"))
+
+
 def multimodal_decode_wav(spark: SparkSession, sf: str) -> DataFrame:
     """REAL audio codec end-to-end: build a true RIFF/WAVE PCM16 blob
     per document, chunk-walk parse it back, emit sample count + RMS
@@ -935,6 +963,7 @@ QUERIES = {
     "bpe_token_count": bpe_token_count,
     "lang_audit": lang_audit,
     "dedup_exact_prioritized": dedup_exact_prioritized,
+    "image_dhash_dedup": image_dhash_dedup,
     "doc_lm_score": doc_lm_score,
     "corpus_importance_weights": corpus_importance_weights,
     "embedding_cosine_topk": embedding_cosine_topk,
@@ -1642,6 +1671,34 @@ ORACLES["multimodal_decode_ppm"] = """
              range(0, (4 + doc_id % 13) * (3 + doc_id % 7)),
              i -> CAST((doc_id * 31 + i) % 256 AS DOUBLE))), 4) AS mean_r
     FROM documents
+"""
+
+ORACLES["image_dhash_dedup"] = """
+    WITH p AS (
+      SELECT doc_id,
+             4 + (doc_id % 50) % 13 AS w,
+             3 + (doc_id % 50) % 7 AS h,
+             doc_id % 50 AS seed
+      FROM documents
+    ), idx AS (
+      -- sampled source index + seed for both sides of each gradient
+      SELECT doc_id, k,
+             ((((k // 8) * h) // 8) * w + (((k % 8) * w) // 9)) + seed
+               AS a,
+             ((((k // 8) * h) // 8) * w + ((((k % 8) + 1) * w) // 9))
+               + seed AS b
+      FROM p, UNNEST(range(0, 63)) AS t(k)
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN (a * a) % 256 > (b * b) % 256
+                           THEN (CAST(1 AS BIGINT) << k)
+                           ELSE 0 END) AS BIGINT) AS dhash
+      FROM idx GROUP BY doc_id
+    )
+    SELECT doc_id, dhash,
+           MIN(doc_id) OVER (PARTITION BY dhash) AS keep_id,
+           COUNT(*) OVER (PARTITION BY dhash) AS dup_cnt
+    FROM hashed
 """
 
 ORACLES["multimodal_decode_wav"] = """

@@ -729,3 +729,40 @@ def test_gram_oracles_handle_empty_docs(spark):
                 s[c], o[c] = s[c].round(6), o[c].round(6)
         pd.testing.assert_frame_equal(
             s, o.astype(s.dtypes.to_dict()), check_dtype=False)
+
+
+def test_image_dhash_scale_invariant(spark):
+    """dHash of an image == dHash of its 2x nearest-neighbor upscale
+    (floor-division index maps compose: (i*2w//9)//2 == i*w//9) — the
+    perceptual-hash property that makes it a near-dup fingerprint."""
+    dims = spark.createDataFrame(
+        [(1, 6, 5, 7), (2, 9, 4, 11)], ["doc_id", "w", "h", "seed"])
+    blobs = M.encode_ppm(dims, "doc_id", "w", "h", "seed")
+    orig = {r["doc_id"]: r["dhash"]
+            for r in M.image_dhash(blobs).collect()}
+    up = M.resize_ppm(blobs, 18, 10)  # 2x of the 9x5... any integer up
+    # resize each to 2x its own dims instead: do per-size frames
+    for (i, w, h, s) in [(1, 6, 5, 7), (2, 9, 4, 11)]:
+        one = spark.createDataFrame([(i, w, h, s)],
+                                    ["doc_id", "w", "h", "seed"])
+        b1 = M.encode_ppm(one, "doc_id", "w", "h", "seed")
+        b2 = M.resize_ppm(b1, 2 * w, 2 * h)
+        h2 = M.image_dhash(b2).first()["dhash"]
+        assert h2 == orig[i], i
+
+
+def test_image_dhash_separates_content(spark):
+    """Different seeds give different hashes (planted dup groups in
+    the registry query rely on hash equality <=> same content)."""
+    dims = spark.createDataFrame(
+        [(i, 8, 6, i) for i in range(20)], ["doc_id", "w", "h", "seed"])
+    hs = [r["dhash"] for r in
+          M.image_dhash(M.encode_ppm_quad(
+              dims, "doc_id", "w", "h", "seed")).collect()]
+    assert len(set(hs)) >= 18  # near-unique across contents
+    # and the linear RAMP law is exactly why quad exists: all ramps
+    # share gradient signs, collapsing to almost one hash
+    ramps = [r["dhash"] for r in
+             M.image_dhash(M.encode_ppm(
+                 dims, "doc_id", "w", "h", "seed")).collect()]
+    assert len(set(ramps)) <= 3
