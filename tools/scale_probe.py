@@ -245,6 +245,33 @@ def main():
             f"20-query probed-cell union covers ALL codes at x{f} "
             f"(n_cells={n_cells}) — batched ANN reads lost IO pruning")
 
+        # Gopher repetition (r6): scan-stage grams + doc-keyed aggs,
+        # no text self-join — expect ~linear in corpus tokens
+        r["gopher_repetition"] = timed("gopher", TXT.gopher_repetition(
+            sdocs, "doc_id", "text"))
+
+        # NB classifier (r6): one postings pass + two hash-aggs +
+        # broadcast coefficient table — expect ~linear
+        r["nb_classify"] = timed("nb", TXT.nb_classify(
+            sdocs, "doc_id", "text",
+            label=F.length("text") >= 300,
+            train_pred=F.col("doc") % 3 == 0))
+
+        # distributed BPE (r6): training rounds run on the word DICT
+        # (vocabulary-sized — the salting grows it ×f here, real
+        # corpora grow it ~log), so train time tracks the dict; the
+        # corpus-side count is one broadcast join — expect ~linear
+        from goka_spark.functions import bpe as BPE
+        t0 = time.time()
+        merges = BPE.bpe_train(sdocs, "doc_id", "text", n_merges=8)
+        r["bpe_train"] = round(time.time() - t0, 2)
+        r["bpe_count"] = timed("bpec", BPE.bpe_token_count(
+            sdocs, "doc_id", "text", merges))
+
+        # cluster-local kNN graph (r6): Σ_c n_c² pairs; with
+        # n_cells ≈ √n that is n·√n — expect ~n^1.5, never n²
+        r["knn_graph"] = timed("knn", ANN.knn_graph(idx, k=5))
+
         # PyFold last: its Python workers pressure memory for later jobs
         gpy = define_group("p", input_stream("t", key="user_id"),
                            persist(PyFold(
