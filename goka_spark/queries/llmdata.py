@@ -166,6 +166,70 @@ def nb_quality_classify(spark: SparkSession, sf: str) -> DataFrame:
                          train_pred=F.col("doc") % 3 == 0)
 
 
+def corpus_quality_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The round-6 flagship composition — a modern pretraining
+    quality pipeline with one auditable FIRST-FAILING-GATE verdict
+    per document, every stage individually hash-verified elsewhere
+    and the composition hash-verified here:
+
+      benchmark    doc is in the eval slice (doc_id % 97 == 0) —
+                   excluded from training, used as the decontamination
+                   reference
+      repetition   Gopher repetition rules (top/dup n-gram char
+                   fractions — raw text has no newlines, so the line
+                   rules pass trivially and the gram rules decide)
+      entropy      degenerate-text floor: word entropy < 1.0 nat
+      blocklist    >5% blocklisted tokens (integer cross-product test)
+      perplexity   CCNet tail tercile under the corpus bigram LM
+      contaminated shares a 3-gram with any benchmark doc
+      exact_dup    not the min-id keeper of its md5 text group
+      kept         survived everything
+
+    Scale shape: the gates are two postings passes (grams, LM) +
+    scan-stage columns + one broadcast benchmark semi-join + one md5
+    hash-agg; every join is keyed by doc."""
+    docs = load(spark, sf, "documents")["documents"]
+    rep = T.gopher_repetition(docs, "doc_id", "text") \
+        .select("doc_id", F.col("keep").alias("_rep_keep"))
+    ent = T.word_entropy(docs, "doc_id", "text") \
+        .select("doc_id", F.col("entropy").alias("_ent"))
+    # 12% ratio: the synthetic vocab is only 31 words, so the three
+    # blocked terms run ~10% dense — 5% (the C4-ish default used by
+    # the standalone blocklist_filter query) would drown every other
+    # gate in this corpus
+    blk = T.blocklist_hits(docs, "doc_id", "text", BLOCK_TERMS,
+                           max_ratio_e6=120_000) \
+        .select("doc_id", F.col("keep").alias("_blk_keep"))
+    ppl = T.perplexity_buckets(docs, "doc_id", "text") \
+        .select("doc_id", F.col("bucket").alias("_ppl"))
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corp = docs.filter(F.col("doc_id") % 97 != 0)
+    dec = D.decontaminate(corp, bench, "doc_id", "text", n=3) \
+        .select("doc_id", F.col("n_hits").alias("_hits"))
+    keep_ids = (docs.groupBy(F.md5("text").alias("_h"))
+                .agg(F.min("doc_id").alias("_keep_id")))
+    dup = (docs.select("doc_id", F.md5("text").alias("_h"))
+           .join(keep_ids, "_h")
+           .select("doc_id", "_keep_id"))
+    out = (docs.select("doc_id")
+           .join(rep, "doc_id", "left")
+           .join(ent, "doc_id", "left")
+           .join(blk, "doc_id", "left")
+           .join(ppl, "doc_id", "left")
+           .join(dec, "doc_id", "left")
+           .join(dup, "doc_id", "left"))
+    return out.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 97 == 0, "benchmark")
+        .when(F.coalesce("_rep_keep", F.lit(0)) == 0, "repetition")
+        .when(F.col("_ent").isNull() | (F.col("_ent") < 1.0), "entropy")
+        .when(~F.coalesce("_blk_keep", F.lit(True)), "blocklist")
+        .when(F.col("_ppl") == "tail", "perplexity")
+        .when(F.coalesce("_hits", F.lit(0)) > 0, "contaminated")
+        .when(F.col("_keep_id") != F.col("doc_id"), "exact_dup")
+        .otherwise("kept").alias("verdict"))
+
+
 def lang_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Dataset-card language audit: declared ``lang`` column vs the
     lang_id prediction, confusion counts per (source, lang,
@@ -964,6 +1028,7 @@ QUERIES = {
     "lang_audit": lang_audit,
     "dedup_exact_prioritized": dedup_exact_prioritized,
     "image_dhash_dedup": image_dhash_dedup,
+    "corpus_quality_pipeline": corpus_quality_pipeline,
     "doc_lm_score": doc_lm_score,
     "corpus_importance_weights": corpus_importance_weights,
     "embedding_cosine_topk": embedding_cosine_topk,
@@ -2965,4 +3030,121 @@ ORACLES["near_decontaminate"] = f"""
                   THEN 'contaminated_near'
                 ELSE 'clean' END AS verdict
     FROM documents WHERE doc_id % 97 <> 0
+"""
+
+
+# composed from the individually-verified stage oracles: the LM CTEs
+# (d/lm), the gopher gram CTEs, entropy, blocklist, contamination,
+# and the md5 keeper — first-failing-gate CASE mirrors the Spark plan.
+# Raw text has no newlines, so the gopher LINE rules pass trivially
+# (single line per doc) and only the gram rules decide `repetition`.
+ORACLES["corpus_quality_pipeline"] = f"""
+    WITH {_LM_CTES}, th AS (
+      SELECT quantile_cont(avg_logprob, [1.0/3.0, 2.0/3.0]) AS b
+      FROM lm WHERE n_bigrams > 0
+    ), gg AS ({_GOPHER_REP_GRAMS}
+    ), gcnt AS (
+      SELECT doc_id, n, gram, COUNT(*) AS cnt FROM gg GROUP BY ALL
+    ), gtot AS (
+      SELECT doc_id, COUNT(*) AS n_words, SUM(strlen(wrd)) AS chars
+      FROM (SELECT doc_id, UNNEST(words) AS wrd FROM d) GROUP BY doc_id
+    ), gtop AS (
+      SELECT doc_id, n, cnt, strlen(gram) - (n - 1) AS gch,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                                ORDER BY cnt DESC, gram) AS rn
+      FROM gcnt
+    ), gtopp AS (
+      SELECT t.doc_id,
+             MAX(CASE WHEN n = 2 THEN v END) AS t2,
+             MAX(CASE WHEN n = 3 THEN v END) AS t3,
+             MAX(CASE WHEN n = 4 THEN v END) AS t4
+      FROM (SELECT g.doc_id, n,
+                   (cnt * gch * 1000000) // greatest(chars, 1) AS v
+            FROM gtop g JOIN gtot USING (doc_id)
+            WHERE rn = 1 AND n IN (2, 3, 4)) t
+      GROUP BY t.doc_id
+    ), gdupp AS (
+      SELECT gg.doc_id, gg.n, gg.pos
+      FROM gg JOIN gcnt USING (doc_id, n, gram)
+      WHERE cnt >= 2 AND gg.n IN (5, 10)
+    ), gcov AS (
+      SELECT DISTINCT doc_id, n, CAST(j AS BIGINT) AS i
+      FROM gdupp, UNNEST(range(pos, pos + n)) AS t(j)
+    ), gcovch AS (
+      SELECT c.doc_id, c.n, SUM(strlen(t.wrd)) AS cch
+      FROM gcov c JOIN (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos, words[i] AS wrd
+        FROM d, UNNEST(range(1, len(words) + 1)) AS t(i)) t
+        ON t.doc_id = c.doc_id AND t.pos = c.i
+      GROUP BY c.doc_id, c.n
+    ), gdupv AS (
+      SELECT cc.doc_id,
+             MAX(CASE WHEN n = 5 THEN v END) AS d5,
+             MAX(CASE WHEN n = 10 THEN v END) AS d10
+      FROM (SELECT c.doc_id, n,
+                   (cch * 1000000) // greatest(chars, 1) AS v
+            FROM gcovch c JOIN gtot USING (doc_id)) cc
+      GROUP BY cc.doc_id
+    ), grep AS (
+      SELECT t.doc_id,
+             CASE WHEN COALESCE(t2, 0) <= 200000
+                   AND COALESCE(t3, 0) <= 180000
+                   AND COALESCE(t4, 0) <= 160000
+                   AND COALESCE(d5, 0) <= 150000
+                   AND COALESCE(d10, 0) <= 100000
+                  THEN 1 ELSE 0 END AS rep_keep
+      FROM gtot t
+      LEFT JOIN gtopp USING (doc_id)
+      LEFT JOIN gdupv USING (doc_id)
+    ), eent AS (
+      SELECT doc_id,
+             CASE WHEN SUM(cnt) > 0
+                  THEN ln(SUM(cnt))
+                       - CAST(SUM(CAST(FLOOR(1e6 * cnt * ln(cnt) + 0.5)
+                                       AS BIGINT)) AS DOUBLE)
+                         / 1e6 / SUM(cnt)
+             END AS ent
+      FROM (SELECT doc_id, wrd, COUNT(*) AS cnt
+            FROM (SELECT doc_id, UNNEST(words) AS wrd FROM d)
+            GROUP BY doc_id, wrd)
+      GROUP BY doc_id
+    ), blk AS (
+      SELECT doc_id,
+             len(list_filter(words, w -> list_contains({_BLOCK_SQL}, w)))
+               * 1000000 <= 120000 * len(words) AS bkeep
+      FROM d
+    ), csh AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+               range(1, greatest(len(words) - 2, 1) + 1),
+               i -> array_to_string(words[i:i+2], ' ')))) AS sh
+      FROM d
+    ), chit AS (
+      SELECT doc_id, COUNT(*) AS hits
+      FROM csh JOIN (SELECT DISTINCT sh FROM csh WHERE doc_id % 97 = 0)
+        USING (sh)
+      WHERE doc_id % 97 <> 0 GROUP BY doc_id
+    ), ddoc AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text))
+               AS keep_id
+      FROM documents
+    )
+    SELECT dd.doc_id,
+           CASE WHEN dd.doc_id % 97 = 0 THEN 'benchmark'
+                WHEN COALESCE(rep_keep, 0) = 0 THEN 'repetition'
+                WHEN ent IS NULL OR ent < 1.0 THEN 'entropy'
+                WHEN NOT COALESCE(bkeep, TRUE) THEN 'blocklist'
+                WHEN (CASE WHEN lm.n_bigrams = 0 THEN 'unscored'
+                           WHEN lm.avg_logprob >= b[2] THEN 'head'
+                           WHEN lm.avg_logprob >= b[1] THEN 'middle'
+                           ELSE 'tail' END) = 'tail' THEN 'perplexity'
+                WHEN COALESCE(hits, 0) > 0 THEN 'contaminated'
+                WHEN keep_id <> dd.doc_id THEN 'exact_dup'
+                ELSE 'kept' END AS verdict
+    FROM documents dd
+    LEFT JOIN grep USING (doc_id)
+    LEFT JOIN eent USING (doc_id)
+    LEFT JOIN blk USING (doc_id)
+    LEFT JOIN lm USING (doc_id)
+    LEFT JOIN chit USING (doc_id)
+    LEFT JOIN ddoc USING (doc_id), th
 """
