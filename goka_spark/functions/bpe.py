@@ -122,7 +122,7 @@ def _apply_merge(syms, a: str, b: str) -> "F.Column":
     return F.aggregate(syms, init, step, finish)
 
 
-def word_dict(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def word_dict(df: DataFrame, text_col: str) -> DataFrame:
     """(word, freq) over the corpus — one explode + hash-agg."""
     return (df.select(F.explode(F.split(F.col(text_col), r"\s+"))
                       .alias("word"))
@@ -135,7 +135,7 @@ def bpe_train(df: DataFrame, id_col: str, text_col: str,
     """Train ``n_merges`` BPE merges distributed; returns the ordered
     merges list (the only thing that ever reaches the driver).  Stops
     early when no adjacent pair repeats (weighted count < 2)."""
-    wd = word_dict(df, id_col, text_col)
+    wd = word_dict(df, text_col)
     vocab = wd.select("word", "freq",
                       _char_syms(F.col("word")).alias("syms"))
     vocab = vocab.localCheckpoint()
@@ -172,7 +172,7 @@ def bpe_word_tokens(df: DataFrame, id_col: str, text_col: str,
     the trained merges — the tokenizer's working table, applied as
     chained JVM folds (one per merge, over the vocabulary-sized dict,
     never the corpus)."""
-    wd = word_dict(df, id_col, text_col)
+    wd = word_dict(df, text_col)
     syms = _char_syms(F.col("word"))
     out = wd.select("word", "freq", syms.alias("syms"))
     for i, (a, b) in enumerate(merges):

@@ -240,9 +240,8 @@ def lang_audit(spark: SparkSession, sf: str) -> DataFrame:
     return (docs.select("source", "lang",
                         T.lang_id(F.col("text")).alias("pred_lang"))
             .groupBy("source", "lang", "pred_lang")
-            .agg(F.count("*").alias("n"),
-                 F.sum(F.when(F.col("lang") != F.col("pred_lang"), 1)
-                       .otherwise(0)).alias("n_mismatch")))
+            .agg(F.count("*").alias("n"))
+            .withColumn("mismatch", F.col("lang") != F.col("pred_lang")))
 
 
 def dedup_exact_prioritized(spark: SparkSession, sf: str) -> DataFrame:
@@ -275,9 +274,11 @@ def bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
 def line_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
     """C4-style line-rule cleaning (T.line_quality_filter): the
     reshaped 10-word-line corpus loses its short tail lines
-    (min_words=6) and any line carrying a blocklisted token; the
-    survivors rebuild in order.  Composes with line_dedup (same
-    output contract); string-exact oracle."""
+    (min_words=6); the survivors rebuild in order.  The punctuation
+    and blocklist rules are unit-tested (test_line_quality_rules) —
+    the synthetic corpus has no punctuation to exercise them here.
+    Composes with line_dedup (same output contract); string-exact
+    oracle."""
     docs = load(spark, sf, "documents")["documents"]
     words = F.split(F.trim(F.col("text")), r"\s+")
     n_lines = F.greatest(F.ceil(F.size(words) / 10.0).cast("int"), F.lit(1))
@@ -2106,8 +2107,7 @@ ORACLES["lang_audit"] = f"""
       FROM documents
     )
     SELECT source, lang, pred_lang, COUNT(*) AS n,
-           CAST(SUM(CASE WHEN lang <> pred_lang THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_mismatch
+           lang <> pred_lang AS mismatch
     FROM pred GROUP BY source, lang, pred_lang
 """
 
@@ -2241,13 +2241,13 @@ ORACLES["gopher_repetition"] = f"""
       SELECT doc_id, CAST(i AS BIGINT) AS pos, words[i] AS wrd
       FROM d, UNNEST(range(1, len(words) + 1)) AS t(i)
     ), totals AS (
-      SELECT doc_id, COUNT(*) AS n_words, SUM(strlen(wrd)) AS chars
+      SELECT doc_id, COUNT(*) AS n_words, SUM(length(wrd)) AS chars
       FROM tok GROUP BY doc_id
     ), g AS ({_GOPHER_REP_GRAMS}
     ), cnts AS (
       SELECT doc_id, n, gram, COUNT(*) AS cnt FROM g GROUP BY ALL
     ), top AS (
-      SELECT doc_id, n, cnt, strlen(gram) - (n - 1) AS gch,
+      SELECT doc_id, n, cnt, length(gram) - (n - 1) AS gch,
              ROW_NUMBER() OVER (PARTITION BY doc_id, n
                                 ORDER BY cnt DESC, gram) AS rn
       FROM cnts
@@ -2270,7 +2270,7 @@ ORACLES["gopher_repetition"] = f"""
       SELECT DISTINCT doc_id, n, CAST(j AS BIGINT) AS i
       FROM dupp, UNNEST(range(pos, pos + n)) AS t(j)
     ), covch AS (
-      SELECT c.doc_id, c.n, SUM(strlen(t.wrd)) AS cch
+      SELECT c.doc_id, c.n, SUM(length(t.wrd)) AS cch
       FROM cov c JOIN tok t ON t.doc_id = c.doc_id AND t.pos = c.i
       GROUP BY c.doc_id, c.n
     ), dupv AS (
@@ -2296,9 +2296,9 @@ ORACLES["gopher_repetition"] = f"""
       SELECT doc_id,
              (SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) * 1000000)
                // greatest(SUM(cnt), 1) AS dlf,
-             (SUM(CASE WHEN cnt >= 2 THEN cnt * strlen(line) ELSE 0 END)
+             (SUM(CASE WHEN cnt >= 2 THEN cnt * length(line) ELSE 0 END)
                * 1000000)
-               // greatest(SUM(cnt * strlen(line)), 1) AS dlcf
+               // greatest(SUM(cnt * length(line)), 1) AS dlcf
       FROM lc GROUP BY doc_id
     )
     SELECT t.doc_id,
@@ -3046,10 +3046,10 @@ ORACLES["corpus_quality_pipeline"] = f"""
     ), gcnt AS (
       SELECT doc_id, n, gram, COUNT(*) AS cnt FROM gg GROUP BY ALL
     ), gtot AS (
-      SELECT doc_id, COUNT(*) AS n_words, SUM(strlen(wrd)) AS chars
+      SELECT doc_id, COUNT(*) AS n_words, SUM(length(wrd)) AS chars
       FROM (SELECT doc_id, UNNEST(words) AS wrd FROM d) GROUP BY doc_id
     ), gtop AS (
-      SELECT doc_id, n, cnt, strlen(gram) - (n - 1) AS gch,
+      SELECT doc_id, n, cnt, length(gram) - (n - 1) AS gch,
              ROW_NUMBER() OVER (PARTITION BY doc_id, n
                                 ORDER BY cnt DESC, gram) AS rn
       FROM gcnt
@@ -3071,7 +3071,7 @@ ORACLES["corpus_quality_pipeline"] = f"""
       SELECT DISTINCT doc_id, n, CAST(j AS BIGINT) AS i
       FROM gdupp, UNNEST(range(pos, pos + n)) AS t(j)
     ), gcovch AS (
-      SELECT c.doc_id, c.n, SUM(strlen(t.wrd)) AS cch
+      SELECT c.doc_id, c.n, SUM(length(t.wrd)) AS cch
       FROM gcov c JOIN (
         SELECT doc_id, CAST(i AS BIGINT) AS pos, words[i] AS wrd
         FROM d, UNNEST(range(1, len(words) + 1)) AS t(i)) t

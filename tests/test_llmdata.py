@@ -740,8 +740,7 @@ def test_image_dhash_scale_invariant(spark):
     blobs = M.encode_ppm(dims, "doc_id", "w", "h", "seed")
     orig = {r["doc_id"]: r["dhash"]
             for r in M.image_dhash(blobs).collect()}
-    up = M.resize_ppm(blobs, 18, 10)  # 2x of the 9x5... any integer up
-    # resize each to 2x its own dims instead: do per-size frames
+    # resize each to 2x its own dims: per-size frames
     for (i, w, h, s) in [(1, 6, 5, 7), (2, 9, 4, 11)]:
         one = spark.createDataFrame([(i, w, h, s)],
                                     ["doc_id", "w", "h", "seed"])
