@@ -243,3 +243,36 @@ def test_line_quality_rules(spark):
     sub = T.line_quality_filter(df, "doc_id", "text", min_words=4,
                                 blocklist=["spa"]).first()
     assert sub["lines_removed"] == 1
+
+
+# ------------------------------------------------ perplexity_buckets
+
+def test_perplexity_terciles_are_even(spark, docs):
+    out = T.perplexity_buckets(docs, "doc_id", "text")
+    counts = {r["bucket"]: r["n"] for r in
+              out.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+    scored = sum(v for k, v in counts.items() if k != "unscored")
+    for b in ("head", "middle", "tail"):
+        assert abs(counts.get(b, 0) - scored / 3) <= 2, counts
+    # bucket thresholds are inclusive-ordered: every head doc scores
+    # >= every tail doc
+    lm = T.lm_logprob(docs, "doc_id", "text") \
+        .select("doc_id", "avg_logprob",
+                F.col("n_bigrams").alias("_nb"))
+    j = out.select("doc_id", "bucket").join(lm, "doc_id") \
+        .filter(F.col("_nb") > 0)
+    head_min = j.filter(F.col("bucket") == "head") \
+        .agg(F.min("avg_logprob")).first()[0]
+    tail_max = j.filter(F.col("bucket") == "tail") \
+        .agg(F.max("avg_logprob")).first()[0]
+    assert head_min >= tail_max
+
+
+def test_line_quality_noop_rule_roundtrips(spark):
+    """min_words=0 keeps every line and rebuilds the text exactly."""
+    df = spark.createDataFrame(
+        [(1, "first line here\n\nthird after an empty line")],
+        ["doc_id", "text"])
+    r = T.line_quality_filter(df, "doc_id", "text", min_words=0).first()
+    assert r["clean_text"] == "first line here\n\nthird after an empty line"
+    assert r["lines_removed"] == 0
