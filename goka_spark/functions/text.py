@@ -529,17 +529,19 @@ def gopher_repetition(df, id_col: str, text_col: str,
     char counts — chars(gram) = len(gram) - (n-1) spaces), so the
     DuckDB oracle hash-matches with zero float hazard.
 
-    Scale shape: tokens, per-doc totals, AND every n-gram size are
-    all built scan-stage from the words array (array slices — no
-    token window, no per-branch window shuffle: the first cut used
-    window leads and its consumers re-scanned + re-windowed the
-    corpus 8×; this one's only windows are the tiny per-(doc,n)
-    top-gram ranks).  One (doc, n, gram) hash-agg, a coverage join
-    bounded by positions × n.  Everything is keyed by doc — at 100 TB
-    the heavy aggs all partial-aggregate map-side."""
+    Scale shape: tokens and per-doc totals are scan-stage from the
+    words array (no window); every n-gram size comes from ONE
+    window-lead pass (codegen concat of lead columns — measured ~2×
+    faster than interpreted array slices, and its only consumers are
+    the gram hash-agg and the dup join, so the corpus is never
+    re-windowed per branch the way the first cut's 8 windows did).
+    One (doc, n, gram) hash-agg, a coverage join bounded by
+    positions × n.  Everything is keyed by doc — at 100 TB the heavy
+    aggs all partial-aggregate map-side."""
     from pyspark.sql.window import Window
 
     ns = sorted(set(top_ns) | set(dup_ns))
+    max_n = max(ns)
 
     warr = F.filter(F.split(F.col(text_col), r"\s+"),
                     lambda w: w != "")
@@ -556,20 +558,26 @@ def gopher_repetition(df, id_col: str, text_col: str,
 
     tok = (src.select("doc", F.posexplode("_ws").alias("_p0", "_w"))
            .select("doc", (F.col("_p0") + 1).alias("pos"),
-                   F.length("_w").alias("_wlen")))
+                   F.col("_w"), F.length("_w").alias("_wlen")))
 
-    def _gram_structs(n):
-        seq = F.when(F.size("_ws") >= n,
-                     F.sequence(F.lit(1), F.size("_ws") - (n - 1))) \
-            .otherwise(F.array().cast("array<int>"))
-        return F.transform(seq, lambda i: F.struct(
-            F.lit(n).alias("n"), i.alias("pos"),
-            F.array_join(F.slice("_ws", i, n), " ").alias("gram")))
-
-    grams = (src.select("doc", F.explode(F.flatten(F.array(
-                *[_gram_structs(n) for n in ns]))).alias("g"))
-             .select("doc", F.col("g.pos").alias("pos"),
-                     F.col("g.n").alias("n"), F.col("g.gram").alias("gram")))
+    win = Window.partitionBy("doc").orderBy("pos")
+    g0 = tok.select(
+        "doc", "pos", "_w",
+        *[F.lead("_w", j).over(win).alias(f"_l{j}")
+          for j in range(1, max_n)])
+    # gram n valid iff the (n-1)-ahead word exists (no count window)
+    gram_structs = F.array(*[
+        F.struct(F.lit(n).alias("n"),
+                 (F.lit(n == 1) | F.col(f"_l{n - 1}").isNotNull())
+                 .alias("ok"),
+                 F.concat_ws(" ", "_w",
+                             *[f"_l{j}" for j in range(1, n)]).alias("gram"))
+        for n in ns])
+    grams = (g0.select("doc", "pos",
+                       F.explode(gram_structs).alias("g"))
+             .filter(F.col("g.ok"))
+             .select("doc", "pos", F.col("g.n").alias("n"),
+                     F.col("g.gram").alias("gram")))
 
     cnts = grams.groupBy("doc", "n", "gram").agg(F.count("*").alias("cnt"))
 
