@@ -438,3 +438,58 @@ def test_exactly_once_sink_file_uri(spark, tmp_path):
         sink(df, e)
     assert sink._committed() == {0, 1, 2}
     assert sink.read(spark).count() == 6  # 2 rows x 3 distinct epochs
+
+
+def test_streaming_session_window_merges_across_batches(spark, tmp_path):
+    """Streaming SESSION windows (stateful merging windows): a
+    session split across two micro-batches merges into one, and the
+    closed sessions equal the batch ``W.session`` over the same rows.
+    Watermark advances via a late flush key so append mode emits."""
+    import datetime as dt
+
+    from goka_spark.operators import windows as W
+
+    def ev(key, second, v=1):
+        return (key, dt.datetime(2026, 1, 1, 10, 0, 0)
+                + dt.timedelta(seconds=second), v)
+
+    schema = "key string, ts timestamp, v long"
+    src = str(tmp_path / "sess_topic")
+    batch1 = [ev("a", 0), ev("a", 30), ev("b", 10)]
+    batch2 = [ev("a", 60), ev("flush", 30 * 60)]
+    spark.createDataFrame(batch1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = stream_from_dir(spark, src, schema).withWatermark("ts", "10 seconds")
+    agg = (stream.groupBy(F.session_window("ts", "1 minute"), "key")
+           .agg(F.count("*").alias("cnt"))
+           .select("key",
+                   F.unix_micros(F.col("session_window.start"))
+                   .alias("start"), "cnt"))
+    q = (agg.writeStream.format("memory").queryName("sess_live")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        live = {(r.key, r.start): r.cnt
+                for r in spark.sql("select * from sess_live").collect()}
+    finally:
+        q.stop()
+
+    # the a-session spanning both micro-batches merged: one session
+    # of 3 events ending 60s after the last event
+    ref_rows = batch1 + batch2
+    ref = {(r["key"], r["start"]): r["cnt"]
+           for r in W.session(
+               spark.createDataFrame(ref_rows, schema), "ts", "1 minute",
+               ["key"], {"cnt": F.count("*")})
+           .select("key", F.col("session_start_us").alias("start"),
+                   "cnt").collect()}
+    closed = {k: v for k, v in ref.items() if k[0] != "flush"}
+    assert {k: v for k, v in live.items() if k[0] != "flush"} == closed
+    a_sessions = [k for k in live if k[0] == "a"]
+    assert len(a_sessions) == 1 and live[a_sessions[0]] == 3
