@@ -1098,3 +1098,52 @@ def exact_dedup_prioritized(df: DataFrame, id_col: str, text_col: str,
                     F.col(source_col).alias("keep_source"),
                     F.col("dup_cnt").cast("long"),
                     F.col("n_sources").cast("long")))
+
+
+def cms_sketch(items: DataFrame, item_col: str, depth: int = 4,
+               width: int = 1024) -> DataFrame:
+    """Count-Min Sketch over an item stream (Cormode & Muthukrishnan
+    2005) — the bounded-memory frequency summary for cardinalities
+    where an exact (item, count) table no longer fits: ``depth``
+    independent md5-derived hash rows × ``width`` counters, update =
+    +1 in one bucket per row, estimate = min over rows (never an
+    undercount).  depth·width integers regardless of item count —
+    the sketch SHIPS (broadcast, merge across shards by cell-wise
+    add) where a 100-TB exact dictionary cannot.
+
+    md5(row ‖ item) derives the row hashes, so a SQL twin reproduces
+    every counter bit-identically (the engine-portable hash
+    discipline) — unlike HLL, this sketch is exact-integer state and
+    fully oracle-verifiable.  One explode-free pass per row unioned
+    into a single (row, bucket) hash-agg; linear, map-side combined."""
+    rows = None
+    for r in range(depth):
+        b = (F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"r{r}:"), F.col(item_col))),
+                1, 8), 16, 10).cast("long") % width)
+        one = items.select(F.lit(r).alias("row"), b.alias("bucket"))
+        rows = one if rows is None else rows.unionByName(one)
+    return (rows.groupBy("row", "bucket")
+            .agg(F.count("*").alias("cnt")))
+
+
+def cms_estimate(sketch: DataFrame, queries: DataFrame,
+                 item_col: str, depth: int = 4,
+                 width: int = 1024) -> DataFrame:
+    """Point-query the sketch for each item in ``queries``: min over
+    the depth rows of the hashed bucket's counter.  The sketch is
+    depth·width rows — broadcast; estimates never undercount
+    (est >= true count, the CMS guarantee)."""
+    q = queries.select(F.col(item_col))
+    expanded = None
+    for r in range(depth):
+        b = (F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"r{r}:"), F.col(item_col))),
+                1, 8), 16, 10).cast("long") % width)
+        one = q.select(item_col, F.lit(r).alias("row"),
+                       b.alias("bucket"))
+        expanded = one if expanded is None else expanded.unionByName(one)
+    return (expanded.join(F.broadcast(sketch), ["row", "bucket"], "left")
+            .groupBy(item_col)
+            .agg(F.min(F.coalesce("cnt", F.lit(0)))
+                 .cast("long").alias("cms_est")))

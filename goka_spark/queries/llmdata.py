@@ -963,6 +963,25 @@ def blocklist_filter(spark: SparkSession, sf: str) -> DataFrame:
     return T.blocklist_hits(docs, "doc_id", "text", BLOCK_TERMS)
 
 
+def ngram_cms_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min Sketch demo on corpus 3-gram occurrences: build the
+    4×1024 sketch, point-query the exact top-20 grams (common_ngrams'
+    deterministic total order), return (ngram, df, cms_est) — est >=
+    true by the CMS guarantee (property-tested), equality whenever
+    the bucket had no collisions.  Unlike the HLL row (rows-only),
+    this sketch is exact-integer state: the oracle replays every
+    counter bit-identically from the md5 row hashes."""
+    docs = load(spark, sf, "documents")["documents"]
+    postings = D.shingle_postings(docs, "doc_id", "text", 3)
+    sketch = D.cms_sketch(postings, "sh")
+    top = D.common_ngrams(docs, "doc_id", "text", n=3, k=20, min_df=2)
+    est = D.cms_estimate(sketch, top.select(F.col("ngram").alias("sh")),
+                         "sh")
+    return (top.join(est.select(F.col("sh").alias("ngram"), "cms_est"),
+                     "ngram")
+            .select("ngram", "df", "cms_est"))
+
+
 def common_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-wide heavy-hitter trigrams (D.common_ngrams): exact
     global top-20 by document frequency under a total order (df DESC,
@@ -998,6 +1017,7 @@ QUERIES = {
     "near_decontaminate": near_decontaminate,
     "blocklist_filter": blocklist_filter,
     "common_ngrams": common_ngrams,
+    "ngram_cms_estimate": ngram_cms_estimate,
     "cluster_balanced_sample": cluster_balanced_sample,
     "corpus_split": corpus_split,
     "corpus_shuffle": corpus_shuffle,
@@ -2571,6 +2591,40 @@ ORACLES["blocklist_filter"] = f"""
            len(list_filter(ws, w -> list_contains({_BLOCK_SQL}, w)))
              * 1000000 <= 50000 * len(ws) AS keep
     FROM (SELECT doc_id, {_WORDS} AS ws FROM documents)
+"""
+
+ORACLES["ngram_cms_estimate"] = f"""
+    WITH d AS (
+      SELECT doc_id AS doc, list_distinct(list_transform(
+               range(1, greatest(len(words) - 2, 1) + 1),
+               i -> array_to_string(words[i:i+2], ' '))) AS shs
+      FROM (SELECT doc_id, {_WORDS} AS words FROM documents)
+      WHERE len(words) >= 1
+    ), sh AS (
+      SELECT doc, UNNEST(shs) AS sh FROM d
+    ), dfc AS (
+      SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh
+    ), top AS (
+      SELECT sh AS ngram, df FROM (
+        SELECT sh, df, ROW_NUMBER() OVER (ORDER BY df DESC, sh) AS rn
+        FROM dfc WHERE df >= 2) WHERE rn <= 20
+    ), cms AS (
+      SELECT r, CAST('0x' || substr(md5('r' || r || ':' || sh), 1, 8)
+                     AS BIGINT) % 1024 AS b, COUNT(*) AS c
+      FROM sh CROSS JOIN (SELECT UNNEST(range(0, 4)) AS r)
+      GROUP BY r, b
+    ), est AS (
+      SELECT ngram, MIN(COALESCE(c, 0)) AS cms_est
+      FROM (SELECT t.ngram, q.r,
+                   CAST('0x' || substr(md5('r' || q.r || ':' || t.ngram),
+                                       1, 8) AS BIGINT) % 1024 AS b
+            FROM top t CROSS JOIN (SELECT UNNEST(range(0, 4)) AS r) q) x
+      LEFT JOIN cms ON cms.r = x.r AND cms.b = x.b
+      GROUP BY ngram
+    )
+    SELECT t.ngram, CAST(t.df AS BIGINT) AS df,
+           CAST(e.cms_est AS BIGINT) AS cms_est
+    FROM top t JOIN est e USING (ngram)
 """
 
 ORACLES["common_ngrams"] = f"""

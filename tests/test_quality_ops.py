@@ -276,3 +276,33 @@ def test_line_quality_noop_rule_roundtrips(spark):
     r = T.line_quality_filter(df, "doc_id", "text", min_words=0).first()
     assert r["clean_text"] == "first line here\n\nthird after an empty line"
     assert r["lines_removed"] == 0
+
+
+# ------------------------------------------------- count-min sketch
+
+def test_cms_never_undercounts(spark, docs):
+    """est >= true for EVERY distinct item (the CMS guarantee), and
+    est == true for items whose buckets had no collisions."""
+    postings = D.shingle_postings(docs, "doc_id", "text", 3)
+    sk = D.cms_sketch(postings, "sh", depth=4, width=512)
+    truth = postings.groupBy("sh").agg(F.count("*").alias("df"))
+    est = D.cms_estimate(sk, truth.select("sh"), "sh",
+                         depth=4, width=512)
+    j = truth.join(est, "sh")
+    under = j.filter(F.col("cms_est") < F.col("df")).count()
+    assert under == 0
+    # overcount is bounded by the CMS expectation: per row ~N/width,
+    # the min over 4 rows well under it on average
+    n = postings.count()
+    avg_over = j.agg(F.avg(F.col("cms_est") - F.col("df"))).first()[0]
+    assert avg_over <= 3 * n / 512
+
+
+def test_cms_sketch_is_bounded(spark, docs):
+    postings = D.shingle_postings(docs, "doc_id", "text", 3)
+    sk = D.cms_sketch(postings, "sh", depth=4, width=256)
+    assert sk.count() <= 4 * 256
+    # total mass per row == number of postings
+    n = postings.count()
+    per_row = sk.groupBy("row").agg(F.sum("cnt").alias("m")).collect()
+    assert all(r["m"] == n for r in per_row)
