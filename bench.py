@@ -60,6 +60,8 @@ HEADLINE = [
     "gopher_repetition",
     "nb_quality_classify",
     "embedding_knn_graph",
+    "image_dhash_dedup",
+    "ngram_cms_estimate",
 ]
 
 

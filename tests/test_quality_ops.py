@@ -306,3 +306,20 @@ def test_cms_sketch_is_bounded(spark, docs):
     n = postings.count()
     per_row = sk.groupBy("row").agg(F.sum("cnt").alias("m")).collect()
     assert all(r["m"] == n for r in per_row)
+
+
+def test_cms_sketches_merge_cellwise(spark, docs):
+    """sketch(A) + sketch(B) cell-wise == sketch(A ∪ B): the
+    distributive property that lets every shard sketch independently
+    and a driver (or tree-reduce) merge depth×width integers."""
+    postings = D.shingle_postings(docs, "doc_id", "text", 3)
+    a = postings.filter(F.col("doc") % 2 == 0)
+    b = postings.filter(F.col("doc") % 2 != 0)
+    merged = (D.cms_sketch(a, "sh", width=256)
+              .unionByName(D.cms_sketch(b, "sh", width=256))
+              .groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt")))
+    whole = D.cms_sketch(postings, "sh", width=256)
+    diff = (merged.join(whole, ["row", "bucket"], "full")
+            .filter(F.coalesce(merged["cnt"], F.lit(0))
+                    != F.coalesce(whole["cnt"], F.lit(0))).count())
+    assert diff == 0
