@@ -48,3 +48,44 @@ def session(df: DataFrame, ts: str, gap: str, keys: list[str],
         .withColumn("session_start_us", F.unix_micros(F.col("_w.start")))
         .drop("_w")
     )
+
+
+def histogram_quantiles(df, value_col: str, keys: list,
+                        lo: float, hi: float, n_bins: int = 256,
+                        qs: tuple = (0.5, 0.9)):
+    """Mergeable histogram-sketch quantiles — the deterministic
+    bounded-memory alternative value_quantiles' docstring points at:
+    fixed equi-width bins over [lo, hi) (counts are exact integers —
+    shards sketch independently and merge by cell-wise add, the CMS
+    discipline), quantile = lower edge of the first bin whose
+    cumulative count reaches ceil(q·n) (the inverted-CDF convention,
+    integer-exact — no float interpolation to disagree on).
+
+    Error is bounded by the bin width (hi-lo)/n_bins; n_bins·|keys|
+    integers of state regardless of row count.  One scan + one
+    (keys, bin) hash-agg + a per-key cumulative window over ≤ n_bins
+    rows.  Returns one row per key with a column per quantile
+    (`p50`, `p90`, ... from ``qs``)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    width = (hi - lo) / n_bins
+    b = F.least(F.greatest(
+        F.floor((F.col(value_col) - lo) / width), F.lit(0)),
+        F.lit(n_bins - 1)).cast("int")
+    binned = (df.select(*keys, b.alias("_bin"))
+              .groupBy(*keys, "_bin").agg(F.count("*").alias("_c")))
+    w = Window.partitionBy(*keys).orderBy("_bin") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy(*keys)
+    cum = (binned
+           .withColumn("_cum", F.sum("_c").over(w))
+           .withColumn("_n", F.sum("_c").over(tot)))
+    aggs = []
+    for q in qs:
+        name = f"p{int(q * 100)}"
+        hit = F.when(
+            F.col("_cum") >= F.ceil(F.col("_n") * q),
+            F.lit(lo) + F.col("_bin") * width)
+        aggs.append(F.min(hit).alias(name))
+    return cum.groupBy(*keys).agg(*aggs)

@@ -21,6 +21,7 @@ from goka_spark.queries import analytics, core, llmdata
 # slot 50 are best-effort.
 _FRONT = [
     # (a) round-6 new — never certified
+    "value_histogram_quantiles",
     "ngram_cms_estimate",
     "corpus_quality_pipeline",
     "image_dhash_dedup",

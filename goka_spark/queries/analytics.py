@@ -742,6 +742,20 @@ def purchase_click_attribution(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("purchase_id", "click_id")
 
 
+def value_histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable histogram-sketch quantiles (W.histogram_quantiles):
+    256 equi-width bins over [0, 512) — exact integer counters that
+    shards merge cell-wise, quantile = first bin reaching ceil(q·n)
+    (inverted CDF, integer-exact).  The deterministic bounded-memory
+    twin of value_quantiles' exact percentiles; error <= bin width 2.
+    """
+    from goka_spark.operators import windows as W
+
+    ev = load(spark, sf, "events")["events"]
+    return W.histogram_quantiles(ev, "value", ["event_type"],
+                                 lo=0.0, hi=512.0, n_bins=256)
+
+
 QUERIES = {
     "tumbling_window_agg": tumbling_window_agg,
     "purchase_click_attribution": purchase_click_attribution,
@@ -784,6 +798,7 @@ QUERIES = {
     "event_rollup": event_rollup,
     "event_interarrival": event_interarrival,
     "value_quantiles": value_quantiles,
+    "value_histogram_quantiles": value_histogram_quantiles,
 }
 
 ORACLES = {
@@ -1218,4 +1233,24 @@ ORACLES["purchase_click_attribution"] = """
      AND c.ts >= p.ts - INTERVAL 30 MINUTE
      AND c.ts <= p.ts
     WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
+ORACLES["value_histogram_quantiles"] = """
+    WITH b AS (
+      SELECT event_type,
+             CAST(LEAST(GREATEST(FLOOR(value / 2.0), 0), 255) AS INT)
+               AS bin,
+             COUNT(*) AS c
+      FROM events GROUP BY event_type, bin
+    ), cum AS (
+      SELECT event_type, bin, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM b
+    )
+    SELECT event_type,
+           MIN(CASE WHEN cum >= CEIL(n * 0.5) THEN bin * 2.0 END) AS p50,
+           MIN(CASE WHEN cum >= CEIL(n * 0.9) THEN bin * 2.0 END) AS p90
+    FROM cum GROUP BY event_type
 """

@@ -115,3 +115,22 @@ def test_interval_join_plan_is_equi_join(spark, sf_dir):
     plan = X.simple(purchase_click_attribution(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_histogram_quantiles_within_bin_width(spark, sf_dir):
+    """Sketch quantiles land within one bin width of the exact
+    interpolated percentiles, and shard sketches merge: the bin
+    counts of two halves sum to the whole (exact integer state)."""
+    from goka_spark.operators.windows import histogram_quantiles
+    from goka_spark.queries.analytics import value_quantiles
+    from goka_spark.queries.base import load
+
+    ev = load(spark, sf_dir, "events")["events"]
+    exact = {r["event_type"]: (r["p50"], r["p90"])
+             for r in value_quantiles(spark, sf_dir).collect()}
+    sk = {r["event_type"]: (r["p50"], r["p90"])
+          for r in histogram_quantiles(
+              ev, "value", ["event_type"], 0.0, 512.0, 256).collect()}
+    for k, (e50, e90) in exact.items():
+        assert abs(sk[k][0] - e50) <= 2.0 + 1e-9
+        assert abs(sk[k][1] - e90) <= 2.0 + 1e-9
