@@ -1147,3 +1147,35 @@ def cms_estimate(sketch: DataFrame, queries: DataFrame,
             .groupBy(item_col)
             .agg(F.min(F.coalesce("cnt", F.lit(0)))
                  .cast("long").alias("cms_est")))
+
+
+class CmsSink:
+    """Streaming Count-Min sketch — a live frequency monitor over an
+    unbounded stream (heavy-hitter n-grams of an ingest feed, hot
+    keys of a topic) in depth×width integers of state per epoch:
+    a ``foreachBatch`` sink writing each micro-batch's PARTIAL sketch
+    to ``out_path/epoch_id=N``; ``read()`` merges cell-wise (the
+    tested distributive property) into the exact sketch of everything
+    seen.  Epoch overwrite is retry-idempotent — the CorpusStatsSink
+    layout applied to sketch state."""
+
+    def __init__(self, out_path: str, item_col: str,
+                 depth: int = 4, width: int = 1024):
+        self.out_path = out_path.rstrip("/")
+        self.item_col = item_col
+        self.depth, self.width = depth, width
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        sk = cms_sketch(batch_df, self.item_col, self.depth, self.width)
+        (sk.write.mode("overwrite")
+         .parquet(f"{self.out_path}/epoch_id={int(epoch_id)}"))
+
+    def read(self, spark) -> DataFrame:
+        parts = spark.read.parquet(self.out_path)
+        return (parts.groupBy("row", "bucket")
+                .agg(F.sum("cnt").alias("cnt")))
+
+    def estimate(self, spark, queries: DataFrame,
+                 item_col: str) -> DataFrame:
+        return cms_estimate(self.read(spark), queries, item_col,
+                            self.depth, self.width)

@@ -323,3 +323,42 @@ def test_cms_sketches_merge_cellwise(spark, docs):
             .filter(F.coalesce(merged["cnt"], F.lit(0))
                     != F.coalesce(whole["cnt"], F.lit(0))).count())
     assert diff == 0
+
+
+def test_streaming_cms_sink_equals_batch_sketch(spark, tmp_path):
+    """Two micro-batches through the CMS sink merge to exactly the
+    batch sketch of the union, and estimates never undercount."""
+    from goka_spark.streaming.runtime import stream_from_dir
+
+    schema = "doc_id long, sh string"
+    rows1 = [(1, "a b c"), (2, "a b c"), (3, "x y z")]
+    rows2 = [(4, "a b c"), (5, "p q r")]
+    src = str(tmp_path / "grams")
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    sink = D.CmsSink(str(tmp_path / "cms"), "sh", depth=4, width=64)
+    q = (stream_from_dir(spark, src, schema).writeStream
+         .foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    whole = D.cms_sketch(
+        spark.createDataFrame(rows1 + rows2, schema), "sh",
+        depth=4, width=64)
+    live = sink.read(spark)
+    diff = (live.join(whole, ["row", "bucket"], "full")
+            .filter(F.coalesce(live["cnt"], F.lit(0))
+                    != F.coalesce(whole["cnt"], F.lit(0))).count())
+    assert diff == 0
+    est = {r["sh"]: r["cms_est"] for r in sink.estimate(
+        spark, spark.createDataFrame([("a b c",), ("p q r",)], ["sh"]),
+        "sh").collect()}
+    assert est["a b c"] >= 3 and est["p q r"] >= 1
