@@ -272,6 +272,17 @@ def main():
         # n_cells ≈ √n that is n·√n — expect ~n^1.5, never n²
         r["knn_graph"] = timed("knn", ANN.knn_graph(idx, k=5))
 
+        # Count-Min sketch (r6): one (row, bucket) hash-agg, state
+        # depth×width regardless of rows — expect ~linear build
+        sk_postings = D.shingle_postings(sdocs, "doc_id", "text", 3)
+        r["cms_sketch"] = timed("cms", D.cms_sketch(sk_postings, "sh"))
+
+        # histogram-sketch quantiles (r6): one scan + bounded per-key
+        # cumulative windows — expect ~linear
+        from goka_spark.operators import windows as WIN
+        r["hist_quantiles"] = timed("hq", WIN.histogram_quantiles(
+            ev, "value", ["event_type"], 0.0, 512.0, 256))
+
         # PyFold last: its Python workers pressure memory for later jobs
         gpy = define_group("p", input_stream("t", key="user_id"),
                            persist(PyFold(
