@@ -1179,3 +1179,44 @@ class CmsSink:
                  item_col: str) -> DataFrame:
         return cms_estimate(self.read(spark), queries, item_col,
                             self.depth, self.width)
+
+
+HLL_M = 256  #: registers; stderr ~= 1.04/sqrt(m) ~= 6.5%
+
+
+def hll_registers(items: DataFrame, key_cols: list, item_col: str) -> DataFrame:
+    """Engine-portable HyperLogLog registers (Flajolet et al. 2007):
+    md5 splits into an 8-bit register index + a 48-bit tail whose
+    leading-zero run sets the register value (max-aggregated) — the
+    ``dedup_minhash_verified`` discipline applied to cardinality:
+    Spark's builtin HLL sketch is engine-opaque (rows-only in the
+    driver gate), but THESE registers are exact integers any engine
+    reproduces bit-identically from md5, so the whole sketch is
+    oracle-verifiable.  Registers merge across shards by cell-wise
+    MAX (tested).  One hash-agg; ≤ m rows per key."""
+    h = F.md5(F.col(item_col).cast("string"))
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    x = F.conv(F.substring(h, 3, 12), 16, 10).cast("long")
+    val = F.when(x > 0, F.lit(49) - F.length(F.bin(x))) \
+        .otherwise(F.lit(49)).cast("int")
+    return (items.select(*key_cols, reg.alias("reg"), val.alias("val"))
+            .groupBy(*key_cols, "reg").agg(F.max("val").alias("r")))
+
+
+def hll_estimate(regs: DataFrame, key_cols: list,
+                 m: int = HLL_M) -> DataFrame:
+    """Cardinality estimate from the registers: harmonic mean with
+    the standard alpha bias constant + the small-range linear
+    counting correction.  The estimate is a deterministic double from
+    exact integer registers — identical in any engine."""
+    alpha = 0.7213 / (1 + 1.079 / m)
+    per = regs.groupBy(*key_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("_s"),
+        F.count("*").alias("_present"))
+    s = F.col("_s") + (F.lit(m) - F.col("_present"))  # absent regs = 0
+    zeros = (F.lit(m) - F.col("_present")).cast("double")
+    raw = F.lit(alpha * m * m) / s
+    est = F.when((raw <= 2.5 * m) & (zeros > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)) \
+        .otherwise(raw)
+    return per.select(*key_cols, F.round(est, 4).alias("hll_est"))

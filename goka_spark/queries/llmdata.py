@@ -963,6 +963,23 @@ def blocklist_filter(spark: SparkSession, sf: str) -> DataFrame:
     return T.blocklist_hits(docs, "doc_id", "text", BLOCK_TERMS)
 
 
+def hll_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Engine-portable HyperLogLog (D.hll_registers/hll_estimate):
+    unlike approx_distinct_users (Spark's opaque builtin sketch,
+    rows-only), these md5-derived registers and the deterministic
+    estimate formula reproduce bit-identically in DuckDB — the
+    verified twin that proves the HLL algebra, alongside the exact
+    distinct count for accuracy auditing."""
+    ev = load(spark, sf, "events")["events"]
+    regs = D.hll_registers(ev, ["event_type"], "user_id")
+    est = D.hll_estimate(regs, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct"))
+    return exact.join(est, "event_type") \
+        .select("event_type", F.col("exact_distinct").cast("long"),
+                "hll_est")
+
+
 def ngram_cms_estimate(spark: SparkSession, sf: str) -> DataFrame:
     """Count-Min Sketch demo on corpus 3-gram occurrences: build the
     4×1024 sketch, point-query the exact top-20 grams (common_ngrams'
@@ -1018,6 +1035,7 @@ QUERIES = {
     "blocklist_filter": blocklist_filter,
     "common_ngrams": common_ngrams,
     "ngram_cms_estimate": ngram_cms_estimate,
+    "hll_distinct_users": hll_distinct_users,
     "cluster_balanced_sample": cluster_balanced_sample,
     "corpus_split": corpus_split,
     "corpus_shuffle": corpus_shuffle,
@@ -2591,6 +2609,40 @@ ORACLES["blocklist_filter"] = f"""
            len(list_filter(ws, w -> list_contains({_BLOCK_SQL}, w)))
              * 1000000 <= 50000 * len(ws) AS keep
     FROM (SELECT doc_id, {_WORDS} AS ws FROM documents)
+"""
+
+ORACLES["hll_distinct_users"] = """
+    WITH h AS (
+      SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+    ), rv AS (
+      SELECT event_type,
+             CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) AS reg,
+             CASE WHEN CAST(('0x' || substr(hx, 3, 12)) AS BIGINT) > 0
+                  THEN 49 - length(bin(
+                         CAST(('0x' || substr(hx, 3, 12)) AS BIGINT)))
+                  ELSE 49 END AS val
+      FROM h
+    ), regs AS (
+      SELECT event_type, reg, MAX(val) AS r FROM rv GROUP BY event_type, reg
+    ), per AS (
+      SELECT event_type,
+             SUM(POWER(2.0, -r)) + (256 - COUNT(*)) AS s,
+             CAST(256 - COUNT(*) AS DOUBLE) AS zeros
+      FROM regs GROUP BY event_type
+    ), est AS (
+      SELECT event_type,
+             CASE WHEN (0.7213 / (1 + 1.079/256)) * 256 * 256 / s
+                       <= 2.5 * 256 AND zeros > 0
+                  THEN ROUND(256.0 * ln(256.0 / zeros), 4)
+                  ELSE ROUND((0.7213 / (1 + 1.079/256)) * 256 * 256 / s, 4)
+             END AS hll_est
+      FROM per
+    )
+    SELECT e.event_type,
+           CAST(x.exact_distinct AS BIGINT) AS exact_distinct, e.hll_est
+    FROM est e JOIN (SELECT event_type,
+                            COUNT(DISTINCT user_id) AS exact_distinct
+                     FROM events GROUP BY event_type) x USING (event_type)
 """
 
 ORACLES["ngram_cms_estimate"] = f"""

@@ -362,3 +362,27 @@ def test_streaming_cms_sink_equals_batch_sketch(spark, tmp_path):
         spark, spark.createDataFrame([("a b c",), ("p q r",)], ["sh"]),
         "sh").collect()}
     assert est["a b c"] >= 3 and est["p q r"] >= 1
+
+
+# ------------------------------------------------------ portable HLL
+
+def test_hll_accuracy_and_merge(spark):
+    """Estimate within the m=256 error envelope on three magnitudes,
+    and shard registers merge by cell-wise MAX (== whole)."""
+    for n in (100, 1000, 10000):
+        df = spark.range(n).select(
+            F.lit("k").alias("g"), F.col("id").alias("u"))
+        est = D.hll_estimate(
+            D.hll_registers(df, ["g"], "u"), ["g"]).first()["hll_est"]
+        assert abs(est - n) / n < 0.2, (n, est)
+    df = spark.range(2000).select(F.lit("k").alias("g"),
+                                  F.col("id").alias("u"))
+    a = D.hll_registers(df.filter(F.col("u") % 2 == 0), ["g"], "u")
+    b = D.hll_registers(df.filter(F.col("u") % 2 != 0), ["g"], "u")
+    merged = (a.unionByName(b).groupBy("g", "reg")
+              .agg(F.max("r").alias("r")))
+    whole = D.hll_registers(df, ["g"], "u")
+    diff = (merged.join(whole, ["g", "reg"], "full")
+            .filter(F.coalesce(merged["r"], F.lit(0))
+                    != F.coalesce(whole["r"], F.lit(0))).count())
+    assert diff == 0
