@@ -206,3 +206,37 @@ def bpe_token_count(df: DataFrame, id_col: str, text_col: str,
                     .alias("n_words"),
                     F.coalesce("bpe_tokens", F.lit(0)).cast("long")
                     .alias("bpe_tokens")))
+
+
+def bpe_encode(df: DataFrame, id_col: str, text_col: str,
+               merges: list) -> DataFrame:
+    """The tokenizer's actual OUTPUT: each document's full subword
+    sequence under the trained merges, as ``(id, n_tokens,
+    token_str)`` with tokens space-joined in document order (the
+    string form keeps the driver's value-hash simple; split on ' '
+    to recover the sequence — subwords never contain spaces).
+
+    Plan: the per-WORD token table (vocabulary-sized, JVM folds)
+    broadcasts onto one corpus postings pass; each doc rebuilds by
+    sorting its (pos, tokens) pairs and flattening — bounded by
+    document length, never a global window.  At 100 TB the only big
+    job is the postings scan + per-doc agg."""
+    wt = bpe_word_tokens(df, id_col, text_col, merges) \
+        .select("word", "tokens")
+    tok = (df.select(F.col(id_col).alias("doc"),
+                     F.posexplode(F.split(F.col(text_col), r"\s+"))
+                     .alias("pos", "word"))
+           .filter(F.col("word") != ""))
+    per = (tok.join(F.broadcast(wt), "word")
+           .groupBy("doc")
+           .agg(F.flatten(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("pos", "tokens"))),
+                        lambda s: s["tokens"])).alias("_toks")))
+    return (df.select(F.col(id_col).alias("doc")).join(per, "doc", "left")
+            .select(F.col("doc").alias(id_col),
+                    F.coalesce(F.size("_toks"), F.lit(0)).cast("long")
+                    .alias("n_tokens"),
+                    F.coalesce(F.array_join("_toks", " "), F.lit(""))
+                    .alias("token_str")))

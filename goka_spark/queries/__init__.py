@@ -21,6 +21,7 @@ from goka_spark.queries import analytics, core, llmdata
 # slot 50 are best-effort.
 _FRONT = [
     # (a) round-6 new — never certified
+    "bpe_encode_docs",
     "hll_distinct_users",
     "value_histogram_quantiles",
     "ngram_cms_estimate",

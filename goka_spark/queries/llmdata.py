@@ -271,6 +271,19 @@ def bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
     return B.bpe_token_count(docs, "doc_id", "text", merges)
 
 
+def bpe_encode_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """The tokenizer's actual output (B.bpe_encode): every document's
+    full subword sequence under the corpus-trained merges — the frame
+    a training loader consumes.  Same recomputable-merges oracle as
+    bpe_token_count, extended to the literal word→subwords table and
+    an ordered per-doc rebuild; string-exact hash match."""
+    from goka_spark.functions import bpe as B
+
+    docs = load(spark, sf, "documents")["documents"]
+    merges = B.bpe_train(docs, "doc_id", "text", n_merges=16)
+    return B.bpe_encode(docs, "doc_id", "text", merges)
+
+
 def line_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
     """C4-style line-rule cleaning (T.line_quality_filter): the
     reshaped 10-word-line corpus loses its short tail lines
@@ -1064,6 +1077,7 @@ QUERIES = {
     "perplexity_buckets": perplexity_buckets,
     "line_quality_filter": line_quality_filter,
     "bpe_token_count": bpe_token_count,
+    "bpe_encode_docs": bpe_encode_docs,
     "lang_audit": lang_audit,
     "dedup_exact_prioritized": dedup_exact_prioritized,
     "image_dhash_dedup": image_dhash_dedup,
@@ -2206,6 +2220,46 @@ def _bpe_oracle(n_merges: int = 16) -> str:
 
 
 ORACLES["bpe_token_count"] = _bpe_oracle
+
+
+def _bpe_encode_oracle(n_merges: int = 16) -> str:
+    """DuckDB twin of bpe_encode_docs: the recomputed merges encode
+    the vocabulary in pure Python; the word→subword-string table
+    embeds as literals; the per-doc sequence is an ordered rebuild."""
+    import duckdb
+
+    from goka_spark.functions import bpe as B
+
+    sf_dir = _ivf_oracle_sf()
+    wf = dict(duckdb.sql(
+        f"SELECT w, COUNT(*) FROM (SELECT UNNEST({_WORDS}) AS w "
+        f"FROM '{sf_dir}/documents.parquet') GROUP BY w").fetchall())
+    merges = B.train_py(wf, n_merges)
+    enc = {w: B.encode_word(w, merges) for w in wf}
+    values = ", ".join(
+        "('{}', {}, '{}')".format(
+            w.replace("'", "''"), len(t),
+            " ".join(t).replace("'", "''"))
+        for w, t in sorted(enc.items()))
+    return f"""
+        WITH wt(word, n_tok, tstr) AS (VALUES {values}),
+        d AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+        tok AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos, words[i] AS word
+          FROM d, UNNEST(range(1, len(words) + 1)) AS t(i)
+        ), per AS (
+          SELECT doc_id, SUM(n_tok) AS n_tokens,
+                 string_agg(tstr, ' ' ORDER BY pos) AS token_str
+          FROM tok JOIN wt USING (word) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+               COALESCE(token_str, '') AS token_str
+        FROM d LEFT JOIN per USING (doc_id)
+    """
+
+
+ORACLES["bpe_encode_docs"] = _bpe_encode_oracle
 
 ORACLES["line_quality_filter"] = f"""
     WITH d AS (

@@ -257,3 +257,26 @@ def test_bpe_merge_fold_is_greedy_left_to_right(_spark):
         .alias("s")).first()["s"]
     assert out == ["aa", "a", B.EOW]
     assert B.merge_word(list("aaa") + [B.EOW], "a", "a") == out
+
+
+@given(corpus=st.lists(
+    st.lists(st.sampled_from(["low", "lower", "new", "wide", "a"]),
+             min_size=1, max_size=8),
+    min_size=1, max_size=5))
+@settings(max_examples=5, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_encode_matches_reference(corpus, _spark):
+    """Per-doc token sequences == reference encode, in order."""
+    from goka_spark.functions import bpe as B
+
+    df = _docs(_spark, corpus)
+    wf = {}
+    for ws in corpus:
+        for w in ws:
+            wf[w] = wf.get(w, 0) + 1
+    merges = B.train_py(wf, 8)
+    got = {r["doc_id"]: r["token_str"] for r in
+           B.bpe_encode(df, "doc_id", "text", merges).collect()}
+    for i, ws in enumerate(corpus):
+        ref = " ".join(" ".join(B.encode_word(w, merges)) for w in ws)
+        assert got[i] == ref, i
