@@ -1114,16 +1114,21 @@ def cms_sketch(items: DataFrame, item_col: str, depth: int = 4,
     md5(row ‖ item) derives the row hashes, so a SQL twin reproduces
     every counter bit-identically (the engine-portable hash
     discipline) — unlike HLL, this sketch is exact-integer state and
-    fully oracle-verifiable.  One explode-free pass per row unioned
-    into a single (row, bucket) hash-agg; linear, map-side combined."""
-    rows = None
-    for r in range(depth):
-        b = (F.conv(F.substring(
+    fully oracle-verifiable.  ONE scan of the item stream: the depth
+    (row, bucket) cells per item are built as an inline struct array
+    and exploded (generate, not re-scan), then one (row, bucket)
+    hash-agg with map-side combine — at 100 TB the gram stream is the
+    dominant cost, so scanning it depth× (the pre-r7 union shape) was
+    4× the necessary IO."""
+    rows = items.select(F.explode(F.array(*[
+        F.struct(
+            F.lit(r).alias("row"),
+            (F.conv(F.substring(
                 F.md5(F.concat(F.lit(f"r{r}:"), F.col(item_col))),
-                1, 8), 16, 10).cast("long") % width)
-        one = items.select(F.lit(r).alias("row"), b.alias("bucket"))
-        rows = one if rows is None else rows.unionByName(one)
-    return (rows.groupBy("row", "bucket")
+                1, 8), 16, 10).cast("long") % width).alias("bucket"))
+        for r in range(depth)])).alias("_rb"))
+    return (rows.groupBy(F.col("_rb.row").alias("row"),
+                         F.col("_rb.bucket").alias("bucket"))
             .agg(F.count("*").alias("cnt")))
 
 
@@ -1133,16 +1138,17 @@ def cms_estimate(sketch: DataFrame, queries: DataFrame,
     """Point-query the sketch for each item in ``queries``: min over
     the depth rows of the hashed bucket's counter.  The sketch is
     depth·width rows — broadcast; estimates never undercount
-    (est >= true count, the CMS guarantee)."""
-    q = queries.select(F.col(item_col))
-    expanded = None
-    for r in range(depth):
-        b = (F.conv(F.substring(
+    (est >= true count, the CMS guarantee).  One scan of the query
+    stream (explode, not a depth-way union)."""
+    expanded = (queries.select(F.col(item_col), F.explode(F.array(*[
+        F.struct(
+            F.lit(r).alias("row"),
+            (F.conv(F.substring(
                 F.md5(F.concat(F.lit(f"r{r}:"), F.col(item_col))),
-                1, 8), 16, 10).cast("long") % width)
-        one = q.select(item_col, F.lit(r).alias("row"),
-                       b.alias("bucket"))
-        expanded = one if expanded is None else expanded.unionByName(one)
+                1, 8), 16, 10).cast("long") % width).alias("bucket"))
+        for r in range(depth)])).alias("_rb"))
+        .select(item_col, F.col("_rb.row").alias("row"),
+                F.col("_rb.bucket").alias("bucket")))
     return (expanded.join(F.broadcast(sketch), ["row", "bucket"], "left")
             .groupBy(item_col)
             .agg(F.min(F.coalesce("cnt", F.lit(0)))
@@ -1207,16 +1213,58 @@ def hll_estimate(regs: DataFrame, key_cols: list,
                  m: int = HLL_M) -> DataFrame:
     """Cardinality estimate from the registers: harmonic mean with
     the standard alpha bias constant + the small-range linear
-    counting correction.  The estimate is a deterministic double from
-    exact integer registers — identical in any engine."""
+    counting correction.
+
+    The harmonic sum Σ2^-r is aggregated as an exact BIGINT
+    Σ2^(49-r) (r ∈ [1,49] ⇒ terms ≤ 2^48; ≤256 registers ⇒ sum
+    < 2^56 < 2^63 — no overflow), absent registers added as
+    (m-present)·2^49, and the whole divided by 2^49 ONCE: one
+    deterministic rounding instead of an aggregation-order-dependent
+    float summation, so the estimate is bit-identical in any engine
+    regardless of partial-agg order (a double SUM(2^-r) was
+    order-dependent by 1 ulp under a wide register spread)."""
     alpha = 0.7213 / (1 + 1.079 / m)
     per = regs.groupBy(*key_cols).agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("_s"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 49 - r)")).alias("_si"),
         F.count("*").alias("_present"))
-    s = F.col("_s") + (F.lit(m) - F.col("_present"))  # absent regs = 0
+    s_int = (F.col("_si")
+             + (F.lit(m) - F.col("_present")) * F.lit(2 ** 49))
+    s = s_int.cast("double") / F.lit(float(2 ** 49))  # one rounding
     zeros = (F.lit(m) - F.col("_present")).cast("double")
     raw = F.lit(alpha * m * m) / s
     est = F.when((raw <= 2.5 * m) & (zeros > 0),
                  F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)) \
         .otherwise(raw)
     return per.select(*key_cols, F.round(est, 4).alias("hll_est"))
+
+
+class HllSink:
+    """Streaming HyperLogLog — live distinct-cardinality monitoring
+    over an unbounded stream (distinct users per event type, distinct
+    urls per source) in ≤ m integers of state per key per epoch: a
+    ``foreachBatch`` sink writing each micro-batch's PARTIAL registers
+    to ``out_path/epoch_id=N``; ``read()`` merges cell-wise by MAX
+    (the tested HLL merge law) into exactly the registers of
+    everything seen, so ``estimate()`` equals the batch estimate of
+    the whole stream.  Epoch overwrite is retry-idempotent — the
+    CmsSink layout applied to HLL state (registers merge by MAX where
+    CMS cells merge by SUM; both are commutative monoids, which is
+    what makes shard-then-merge exact)."""
+
+    def __init__(self, out_path: str, key_cols: list, item_col: str):
+        self.out_path = out_path.rstrip("/")
+        self.key_cols = list(key_cols)
+        self.item_col = item_col
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        regs = hll_registers(batch_df, self.key_cols, self.item_col)
+        (regs.write.mode("overwrite")
+         .parquet(f"{self.out_path}/epoch_id={int(epoch_id)}"))
+
+    def read(self, spark) -> DataFrame:
+        parts = spark.read.parquet(self.out_path)
+        return (parts.groupBy(*self.key_cols, "reg")
+                .agg(F.max("r").alias("r")))
+
+    def estimate(self, spark) -> DataFrame:
+        return hll_estimate(self.read(spark), self.key_cols)

@@ -2693,8 +2693,13 @@ ORACLES["hll_distinct_users"] = """
     ), regs AS (
       SELECT event_type, reg, MAX(val) AS r FROM rv GROUP BY event_type, reg
     ), per AS (
+      -- exact BIGINT harmonic sum: SUM(2^(49-r)) + absent*2^49,
+      -- divided by 2^49 once (order-independent, matches Spark)
       SELECT event_type,
-             SUM(POWER(2.0, -r)) + (256 - COUNT(*)) AS s,
+             CAST(SUM(CAST(1 AS BIGINT) << (49 - r))
+                  + (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 49)
+                  AS DOUBLE) / CAST(CAST(1 AS BIGINT) << 49 AS DOUBLE)
+               AS s,
              CAST(256 - COUNT(*) AS DOUBLE) AS zeros
       FROM regs GROUP BY event_type
     ), est AS (
@@ -3259,6 +3264,23 @@ ORACLES["corpus_quality_pipeline"] = f"""
                    (cch * 1000000) // greatest(chars, 1) AS v
             FROM gcovch c JOIN gtot USING (doc_id)) cc
       GROUP BY cc.doc_id
+    ), pln AS (
+      -- raw-text line stats (split on newline, empties structural) so
+      -- the oracle checks the SAME full keep verdict Spark's
+      -- gopher_repetition computes — not just the gram half — even if
+      -- a doc ever carries repeated newline-delimited lines
+      SELECT doc_id, line, COUNT(*) AS cnt
+      FROM (SELECT doc_id, UNNEST(string_split(text, chr(10))) AS line
+            FROM documents)
+      WHERE line <> '' GROUP BY doc_id, line
+    ), plst AS (
+      SELECT doc_id,
+             (SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) * 1000000)
+               // greatest(SUM(cnt), 1) AS dlf,
+             (SUM(CASE WHEN cnt >= 2 THEN cnt * length(line) ELSE 0 END)
+               * 1000000)
+               // greatest(SUM(cnt * length(line)), 1) AS dlcf
+      FROM pln GROUP BY doc_id
     ), grep AS (
       SELECT t.doc_id,
              CASE WHEN COALESCE(t2, 0) <= 200000
@@ -3266,10 +3288,13 @@ ORACLES["corpus_quality_pipeline"] = f"""
                    AND COALESCE(t4, 0) <= 160000
                    AND COALESCE(d5, 0) <= 150000
                    AND COALESCE(d10, 0) <= 100000
+                   AND COALESCE(dlf, 0) <= 300000
+                   AND COALESCE(dlcf, 0) <= 200000
                   THEN 1 ELSE 0 END AS rep_keep
       FROM gtot t
       LEFT JOIN gtopp USING (doc_id)
       LEFT JOIN gdupv USING (doc_id)
+      LEFT JOIN plst USING (doc_id)
     ), eent AS (
       SELECT doc_id,
              CASE WHEN SUM(cnt) > 0
@@ -3292,6 +3317,7 @@ ORACLES["corpus_quality_pipeline"] = f"""
                range(1, greatest(len(words) - 2, 1) + 1),
                i -> array_to_string(words[i:i+2], ' ')))) AS sh
       FROM d
+      WHERE len(words) >= 1  -- empty-doc guard: Spark emits no shingle
     ), chit AS (
       SELECT doc_id, COUNT(*) AS hits
       FROM csh JOIN (SELECT DISTINCT sh FROM csh WHERE doc_id % 97 = 0)

@@ -386,3 +386,77 @@ def test_hll_accuracy_and_merge(spark):
             .filter(F.coalesce(merged["r"], F.lit(0))
                     != F.coalesce(whole["r"], F.lit(0))).count())
     assert diff == 0
+
+
+def test_cms_sketch_single_scan_plan(spark, docs):
+    """r7: the sketch must scan the item stream ONCE (explode of a
+    depth-length struct array), not depth× (the pre-r7 union shape) —
+    at 100 TB the gram stream is the dominant cost."""
+    postings = D.shingle_postings(docs, "doc_id", "text", 3)
+    plan = D.cms_sketch(postings, "sh", depth=4, width=256) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Union") == 0
+    assert plan.count("Generate explode") == 1
+    # same single-scan discipline on the estimate side
+    q = spark.createDataFrame([("a b c",)], ["sh"])
+    sk = D.cms_sketch(postings, "sh", depth=4, width=256)
+    eplan = D.cms_estimate(sk, q, "sh", depth=4, width=256) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert eplan.count("Union") == 0
+
+
+def test_hll_estimate_partition_order_invariant(spark):
+    """r7 (ADVICE): the harmonic sum is aggregated as an exact BIGINT
+    Σ2^(49-r), so the estimate is bit-identical regardless of
+    partition count / partial-agg order — including a register spread
+    wide enough (r=1 … r=49) that a double summation differed by
+    1 ulp."""
+    rows = ([("k", 0, 1)] * 1 + [("k", i, 1) for i in range(1, 200)]
+            + [("k", 200, 49)])
+    df = spark.createDataFrame(rows, "g string, reg int, r int") \
+        .groupBy("g", "reg").agg(F.max("r").alias("r"))
+    ests = set()
+    for parts in (1, 7, 32):
+        e = D.hll_estimate(df.repartition(parts), ["g"]).first()["hll_est"]
+        ests.add(e)
+    assert len(ests) == 1, ests
+
+
+def test_streaming_hll_sink_equals_batch(spark, tmp_path):
+    """Two micro-batches through the HLL sink merge (cell-wise MAX)
+    to exactly the batch registers of the union, so the streamed
+    estimate equals the batch estimate."""
+    from goka_spark.streaming.runtime import stream_from_dir
+
+    schema = "event_type string, user_id long"
+    rows1 = [("click", i) for i in range(200)] + [("view", 7)]
+    rows2 = [("click", i) for i in range(100, 400)] + [("view", 9)]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    sink = D.HllSink(str(tmp_path / "hll"), ["event_type"], "user_id")
+    q = (stream_from_dir(spark, src, schema).writeStream
+         .foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    whole_df = spark.createDataFrame(rows1 + rows2, schema)
+    whole = D.hll_registers(whole_df, ["event_type"], "user_id")
+    live = sink.read(spark)
+    diff = (live.join(whole, ["event_type", "reg"], "full")
+            .filter(F.coalesce(live["r"], F.lit(-1))
+                    != F.coalesce(whole["r"], F.lit(-1))).count())
+    assert diff == 0
+    got = {r["event_type"]: r["hll_est"]
+           for r in sink.estimate(spark).collect()}
+    want = {r["event_type"]: r["hll_est"]
+            for r in D.hll_estimate(whole, ["event_type"]).collect()}
+    assert got == want
