@@ -9,83 +9,41 @@ plan and the oracle SQL (driver hash-compares by column name).
 from goka_spark.queries import analytics, core, llmdata
 
 # The driver's correctness run records exactly the first 50 registry
-# entries and stops (CORRECTNESS_r04 has 50 rows).  Rotate per round so
-# no key's driver row goes >2 rounds stale.  Round 6: NO r05 driver
-# correctness file was ever recorded, so the r5 rotation was never
-# consumed — every key ordered for r5 is still uncertified.  Order:
-# (a) the round-6 operators (newest code first); (b) every round-5
-# operator (none has a driver row); (c) keys whose implementation or
-# oracle changed after their last driver row (ANN index o1-rewire +
-# XXH64 oracle flips + unpersist/empty-doc-guard touched paths);
-# (d) the r03-stale block, highest-churn first.  Trailing entries past
-# slot 50 are best-effort.
+# entries and stops.  Rotate per round so no key's driver row goes
+# >2 rounds stale.  Round 7 (per the r6 verdict's #1 ask): (a) the
+# three keys whose implementation or oracle changed THIS round
+# (single-scan CMS, integer-exact HLL, pipeline oracle line-CTEs) —
+# their r06 rows no longer certify current code; (b) ALL 41 keys whose
+# latest driver row is r03 (highest-churn first per the verdict);
+# (c) six r04 keys to fill the 50 — with r06∪r07 this leaves no key's
+# certification older than r04.  Trailing entries past slot 50 are
+# best-effort (the remaining r04 block, queued for r8).
 _FRONT = [
-    # (a) round-6 new — never certified
-    "bpe_encode_docs",
-    "hll_distinct_users",
-    "value_histogram_quantiles",
+    # (a) impl/oracle changed in r7 — re-certify
     "ngram_cms_estimate",
+    "hll_distinct_users",
     "corpus_quality_pipeline",
-    "image_dhash_dedup",
-    "lang_audit",
-    "dedup_exact_prioritized",
-    "bpe_token_count",
-    "perplexity_buckets",
-    "line_quality_filter",
-    "embedding_knn_graph",
-    "gopher_repetition",
-    "nb_quality_classify",
-    "corpus_shuffle",
-    "vocab_coverage",
-    # (b) round-5 new — never certified (no r05 run was recorded)
-    "dedup_semantic",
-    "corpus_split",
-    "corpus_domain_mix",
-    "dedup_incremental",
-    "bloom_decontaminate",
-    "doc_entropy",
-    "blocklist_filter",
-    "common_ngrams",
-    "cluster_balanced_sample",
-    "near_decontaminate",
-    "ngram_containment_pairs",
-    "embedding_cluster_assign",
-    "decontaminate_spans",
-    "corpus_weighted_sample",
-    "corpus_stats",
-    "minhash_containment_est",
-    "source_overlap_matrix",
-    "dup_span_remove",
-    "embedding_pca_project",
-    "decontaminate_span_remove",
-    # (c) impl/oracle changed after their last driver row
-    "embedding_ivf_ann",
-    "embedding_pq_ann",
-    "embedding_ivf_pq_ann",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "doc_repetition",
-    "corpus_filter_pipeline",
-    "dedup_embedding_cosine",
-    "ngram_jaccard_auto",
-    "dup_span_extract",
-    "corpus_importance_weights",
-    "doc_lm_score",
-    # (d) r03-stale — last driver row three rounds old
-    "proc_count_per_key",
-    "proc_agg_state",
+    # (b) the r03-stale block (latest driver row three rounds old)
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_prefix",
+    "dedup_clusters",
+    "benchmark_decontaminate",
     "proc_latest_n",
     "proc_fold_generic",
     "stream_table_join",
     "stream_lookup_join",
     "output_stream",
     "proc_headers_native",
-    "ngram_jaccard_pairs",
     "embedding_cosine_topk",
     "lang_id",
-    "dedup_clusters",
-    "benchmark_decontaminate",
-    # ---- best-effort tail past the ~50 cap (r07 front candidates)
+    "doc_quality_score",
+    "token_count",
+    "text_normalize",
+    "pii_scrub",
+    "doc_fingerprint",
+    "dup_ngram_coverage",
+    "tfidf_keywords",
+    "quality_gopher",
     "corpus_sample",
     "corpus_shard_pack",
     "dedup_minhash_verified",
@@ -94,27 +52,61 @@ _FRONT = [
     "multimodal_decode_ppm",
     "multimodal_decode_wav",
     "multimodal_frame_sample",
-    "text_normalize",
-    "pii_scrub",
-    "dup_ngram_coverage",
-    "tfidf_keywords",
-    "quality_gopher",
-    "purchase_click_attribution",
-    "q13_order_count_distribution",
-    "q4_order_priority",
-    "q12_ship_delay_buckets",
-    "q9_profit_by_nation_year",
-    "q16_supplier_count_by_part",
-    "q11_important_parts",
     "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q9_profit_by_nation_year",
+    "q11_important_parts",
+    "q12_ship_delay_buckets",
+    "q13_order_count_distribution",
+    "q16_supplier_count_by_part",
     "q20_excess_shippers",
     "q21_waiting_suppliers",
     "event_rollup",
     "event_interarrival",
     "value_quantiles",
-    "ngram_jaccard_prefix",
-    "token_count",
-    "doc_fingerprint",
+    "purchase_click_attribution",
+    # (c) r04 keys filling out the 50
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "dedup_exact",
+    "as_of_join",
+    "top_k_per_group",
+    # ---- best-effort tail past the ~50 cap (r8 front: rest of r04)
+    "tumbling_window_agg",
+    "hopping_window_agg",
+    "session_window_agg",
+    "running_total_per_user",
+    "event_sessionize",
+    "distinct_users_per_type",
+    "event_type_pivot",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q7_volume_shipping",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_discounted_brand",
+    "funnel_conversion",
+    "user_retention_cohort",
+    "event_dedup_window",
+    "q22_no_order_customers",
+    "above_avg_balance",
+    "semi_join_active_parts",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "loopback_rekey",
+    "view_point_get",
+    "view_range_scan",
+    "view_iterate_all",
+    "visitor_apply",
+    "proc_delete_key",
+    "multi_input_merge",
+    "proc_headers",
+    "codec_roundtrip",
+    "proc_last_state",
+    "line_dedup",
+    "embedding_lsh_ann",
 ]
 
 
