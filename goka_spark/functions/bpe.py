@@ -240,3 +240,107 @@ def bpe_encode(df: DataFrame, id_col: str, text_col: str,
                     .alias("n_tokens"),
                     F.coalesce(F.array_join("_toks", " "), F.lit(""))
                     .alias("token_str")))
+
+
+# ----------------------------------------------------- batched train
+# The scale mode (r7): classic BPE is one Spark job per merge — a
+# 32k-vocab tokenizer would be ~30k sequential driver round-trips.
+# Batched training accepts up to ``batch`` SYMBOL-DISJOINT pairs per
+# count round (the SentencePiece-style acceleration): if two pairs
+# share no symbol and neither equals the other's merged output, then
+# applying one cannot create or destroy adjacencies of the other, so
+# every accepted pair's count is exactly what a classic re-count
+# would have produced.  The batched merges list can still differ from
+# the classic ORDER (a classic round may pick a pair the batch round
+# created, e.g. ("ab","c") right after ("a","b")) — so the classic
+# loop stays the default and the batched trainer is the documented
+# scale mode, with its own pure-Python twin for the recomputable
+# oracle.  ``batch=1`` degenerates to the classic algorithm exactly
+# (property-tested).
+
+def _select_disjoint(cands, limit: int):
+    """Greedy accept pairs in (cnt DESC, a, b) order while their
+    symbols + merged outputs stay pairwise disjoint.  Pure function —
+    shared verbatim by the Spark trainer and the Python twin."""
+    used, accepted = set(), []
+    for a, b, cnt in cands:
+        if len(accepted) >= limit:
+            break
+        if cnt < 2:
+            break  # nothing below this repeats: candidates are sorted
+        if a in used or b in used or (a + b) in used:
+            continue  # interacts with an accepted pair; next round
+        accepted.append((a, b))
+        used |= {a, b, a + b}
+    return accepted
+
+
+def train_batched_py(word_freq: dict, n_merges: int,
+                     batch: int = 8) -> list:
+    """Pure-Python twin of ``bpe_train_batched`` (the oracle
+    re-trainer)."""
+    vocab = {w: list(w) + [EOW] for w in word_freq}
+    merges = []
+    while len(merges) < n_merges:
+        counts = {}
+        for w, syms in vocab.items():
+            f = word_freq[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        cands = [(a, b, c) for (a, b), c in sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0]))]
+        # the bounded candidate window is part of the algorithm: the
+        # Spark side collects only the top 4*batch rows, so the twin
+        # must truncate identically or greedy depth could diverge
+        cands = cands[:max(4 * batch, 8)]
+        accepted = _select_disjoint(
+            cands, min(batch, n_merges - len(merges)))
+        if not accepted:
+            break
+        for a, b in accepted:
+            vocab = {w: merge_word(s, a, b) for w, s in vocab.items()}
+        merges.extend(accepted)
+    return merges
+
+
+def bpe_train_batched(df: DataFrame, id_col: str, text_col: str,
+                      n_merges: int = 256, batch: int = 8) -> list:
+    """Train up to ``n_merges`` merges in ~n_merges/batch driver
+    rounds: each round is ONE weighted pair-count job, one bounded
+    collect of the top candidates (4·batch rows — candidate list,
+    never the dict), a driver-side disjoint greedy, and one chained
+    JVM fold applying the whole batch to the vocabulary.  State on
+    the driver stays the merges list."""
+    wd = word_dict(df, text_col)
+    vocab = wd.select("word", "freq",
+                      _char_syms(F.col("word")).alias("syms"))
+    vocab = vocab.localCheckpoint()
+    merges = []
+    while len(merges) < n_merges:
+        pairs = (vocab.select(
+            "freq",
+            F.explode(F.transform(
+                F.sequence(F.lit(1),
+                           F.greatest(F.size("syms") - 1, F.lit(1))),
+                lambda i: F.struct(
+                    F.try_element_at("syms", i).alias("a"),
+                    F.try_element_at("syms", i + 1).alias("b"))))
+            .alias("p"))
+            .filter(F.col("p.b").isNotNull())
+            .groupBy("p.a", "p.b").agg(F.sum("freq").alias("cnt")))
+        cands = [(r["a"], r["b"], r["cnt"]) for r in
+                 pairs.orderBy(F.col("cnt").desc(),
+                               F.col("a").asc(), F.col("b").asc())
+                 .limit(max(4 * batch, 8)).collect()]
+        accepted = _select_disjoint(
+            cands, min(batch, n_merges - len(merges)))
+        if not accepted:
+            break
+        col = F.col("syms")
+        for a, b in accepted:
+            col = _apply_merge(col, a, b)
+        vocab = vocab.select("word", "freq", col.alias("syms")) \
+            .localCheckpoint()  # one job per ROUND, lineage truncated
+        merges.extend(accepted)
+    return merges

@@ -280,3 +280,87 @@ def test_bpe_encode_matches_reference(corpus, _spark):
     for i, ws in enumerate(corpus):
         ref = " ".join(" ".join(B.encode_word(w, merges)) for w in ws)
         assert got[i] == ref, i
+
+
+@given(corpus=st.lists(
+    st.lists(st.sampled_from(["low", "lower", "lowest", "new", "newer",
+                              "wide", "widest", "a", "ab"]),
+             min_size=1, max_size=10),
+    min_size=1, max_size=6),
+    n_merges=st.integers(min_value=1, max_value=12),
+    batch=st.integers(min_value=1, max_value=4))
+@settings(max_examples=6, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_train_batched_matches_twin(corpus, n_merges, batch, _spark):
+    """r7 scale mode: the batched trainer == its pure-Python twin,
+    merge for merge (the recomputable-oracle contract), on random
+    corpora across batch sizes."""
+    from goka_spark.functions import bpe as B
+
+    df = _docs(_spark, corpus)
+    wf = {}
+    for ws in corpus:
+        for w in ws:
+            wf[w] = wf.get(w, 0) + 1
+    m_spark = B.bpe_train_batched(df, "doc_id", "text",
+                                  n_merges=n_merges, batch=batch)
+    m_py = B.train_batched_py(wf, n_merges, batch=batch)
+    assert m_spark == m_py
+    # encoding under batched merges still matches reference encode
+    got = {r["doc_id"]: r["bpe_tokens"] for r in
+           B.bpe_token_count(df, "doc_id", "text", m_spark).collect()}
+    for i, ws in enumerate(corpus):
+        ref = sum(len(B.encode_word(w, m_py)) for w in ws)
+        assert got[i] == ref, i
+
+
+@given(corpus=st.lists(
+    st.lists(st.sampled_from(["low", "lower", "new", "wide", "a"]),
+             min_size=1, max_size=8),
+    min_size=1, max_size=5),
+    n_merges=st.integers(min_value=1, max_value=10))
+@settings(max_examples=5, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_batched_batch1_equals_classic(corpus, n_merges, _spark):
+    """batch=1 degenerates to the classic algorithm exactly — one
+    top pair per count round — so the scale mode is a strict
+    generalization (Python twins only; the Spark parity is covered
+    by the twin tests on both sides)."""
+    from goka_spark.functions import bpe as B
+
+    wf = {}
+    for ws in corpus:
+        for w in ws:
+            wf[w] = wf.get(w, 0) + 1
+    assert B.train_batched_py(wf, n_merges, batch=1) == \
+        B.train_py(wf, n_merges)
+
+
+def test_bpe_batched_round_count(_spark):
+    """256 merges on a rich corpus train in far fewer count rounds
+    than merges: each round accepts up to ``batch`` disjoint pairs
+    (the verdict's n_merges/m driver-round target).  Measured by
+    counting pair-count jobs via the twin's round structure."""
+    from goka_spark.functions import bpe as B
+
+    # synthetic word dict rich enough for many disjoint merges
+    words = {}
+    import itertools
+    for i, (a, b) in enumerate(itertools.product("abcdefgh", "ijklmnop")):
+        words[a + b + "qz"[i % 2]] = 5 + (i % 7)
+    rounds = 0
+    orig = B._select_disjoint
+
+    def counting(cands, limit):
+        nonlocal rounds
+        rounds += 1
+        return orig(cands, limit)
+
+    B._select_disjoint = counting
+    try:
+        merges = B.train_batched_py(words, 48, batch=8)
+    finally:
+        B._select_disjoint = orig
+    assert len(merges) >= 24
+    assert rounds <= len(merges)  # strictly fewer rounds than merges
+    assert rounds <= (len(merges) + 7) // 8 + 6  # ~n/m + skip slack
