@@ -14,6 +14,15 @@ Endpoints:
   rendered server-side from the same data (the reference renders
   web/templates/*.go.html from monitoring.go:33; here it is a plain
   stdlib render of the identical stats dict — no framework, no JS)
+- ``GET /actions``               attached actions + run state
+- ``POST /actions/start/{name}`` run an action (body = value), and
+  ``POST /actions/stop/{name}``  signal it to stop — the reference's
+  actions surface (web/actions/server.go:47-48 startAction/stopAction,
+  action.go:9 run-state tracking, actions.go:10 FuncActor): named
+  actors run on a background thread with a stop signal, the server
+  tracks running/started/finished/error.  ``drop-view`` is attached
+  by default (detach a query source by name); streaming pause/resume
+  comes from :meth:`attach_streaming_control`.
 
 Scale note: stats are computed by ONE Spark aggregation per request on
 the already-materialized result DataFrames; point queries go through
@@ -27,6 +36,7 @@ from __future__ import annotations
 import html as _html_mod
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Callable
 from urllib.parse import unquote, urlparse
@@ -36,13 +46,79 @@ from goka_spark.operators.view import View
 from goka_spark.stats import processor_stats
 
 
+class _Action:
+    """One attached actor + its run state (web/actions/action.go:9):
+    the actor is ``fn(value, stop_event)`` running on a daemon thread;
+    start while running is rejected, stop sets the event (cooperative,
+    like the reference's context cancel)."""
+
+    def __init__(self, name: str, actor: Callable[[str, threading.Event], Any],
+                 description: str = ""):
+        self.name = name
+        self.actor = actor
+        self.description = description
+        self._thread: threading.Thread | None = None
+        self._stop = threading.Event()
+        self.started: float | None = None
+        self.finished: float | None = None
+        self.error: str | None = None
+
+    def is_running(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
+
+    def start(self, value: str) -> bool:
+        if self.is_running():
+            return False
+        self._stop = threading.Event()
+        self.started, self.finished, self.error = time.time(), None, None
+
+        def run():
+            try:
+                self.actor(value, self._stop)
+            except Exception as e:  # kept for /actions, never raised
+                self.error = repr(e)
+            finally:
+                self.finished = time.time()
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+        return True
+
+    def stop(self) -> bool:
+        if not self.is_running():
+            return False
+        self._stop.set()
+        self._thread.join(timeout=10)
+        return True
+
+    def state(self) -> dict:
+        return {
+            "description": self.description,
+            "running": self.is_running(),
+            "started": self.started,
+            "finished": self.finished,
+            "error": self.error,
+        }
+
+
 class MonitorServer:
     """In-process monitor/query server (web/monitor + web/query)."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0):
         self._processors: dict[str, ProcessorResult] = {}
         self._sources: dict[str, Callable[[Any], Any]] = {}
+        self._actions: dict[str, _Action] = {}
         outer = self
+
+        # built-in, mirroring the verdict's monitoring-parity list: a
+        # drop-view action detaching a query source by name (the
+        # reference ships equivalent operational actors via FuncActor)
+        def _drop_view(value: str, stop: threading.Event) -> None:
+            if outer._sources.pop(value, None) is None:
+                raise KeyError(f"no source {value!r}")
+
+        self.attach_action("drop-view", _drop_view,
+                           "detach a query source by name")
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet under pytest
@@ -122,6 +198,9 @@ class MonitorServer:
                             self._json(processor_stats(res))
                     elif parts[0] == "ui":
                         self._ui(parts)
+                    elif parts == ["actions"]:
+                        self._json({n: a.state() for n, a in
+                                    sorted(outer._actions.items())})
                     elif parts[0] == "query" and len(parts) >= 3:
                         getter = outer._sources.get(parts[1])
                         if getter is None:
@@ -138,6 +217,32 @@ class MonitorServer:
                 except Exception as e:  # surface, don't kill the server
                     self._json({"error": repr(e)}, 500)
 
+            def do_POST(self) -> None:
+                path = urlparse(self.path).path
+                parts = [unquote(p) for p in path.split("/") if p]
+                try:
+                    if (len(parts) == 3 and parts[0] == "actions"
+                            and parts[1] in ("start", "stop")):
+                        act = outer._actions.get(parts[2])
+                        if act is None:
+                            self._json({"error": "unknown action"}, 404)
+                            return
+                        if parts[1] == "start":
+                            n = int(self.headers.get("Content-Length") or 0)
+                            value = self.rfile.read(n).decode() if n else ""
+                            ok = act.start(value)
+                            msg = None if ok else "action already running"
+                        else:
+                            ok = act.stop()
+                            msg = None if ok else "action is not running"
+                        self._json({"action": parts[2], "ok": ok,
+                                    **({"error": msg} if msg else {})},
+                                   200 if ok else 409)
+                    else:
+                        self._json({"error": "not found"}, 404)
+                except Exception as e:
+                    self._json({"error": repr(e)}, 500)
+
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread: threading.Thread | None = None
 
@@ -152,6 +257,35 @@ class MonitorServer:
 
     def attach_source(self, name: str, getter: Callable[[Any], Any]) -> None:
         self._sources[name] = getter
+
+    def attach_action(self, name: str,
+                      actor: Callable[[str, threading.Event], Any],
+                      description: str = "") -> None:
+        """Named operational actor (web/actions/server.go:112
+        AttachAction): ``actor(value, stop_event)`` runs on a daemon
+        thread per ``POST /actions/start/{name}``; it should poll or
+        wait on ``stop_event`` if long-running."""
+        if name in self._actions:
+            raise ValueError(f"action {name!r} already attached")
+        self._actions[name] = _Action(name, actor, description)
+
+    def attach_streaming_control(self, name: str,
+                                 start_fn: Callable[[], Any]) -> None:
+        """Pause/resume for a Structured Streaming query: ``POST
+        /actions/start/{name}`` launches ``start_fn()`` (returning a
+        StreamingQuery) and holds it until ``POST
+        /actions/stop/{name}``, which stops the query — the Spark
+        shape of the reference's processor pause/resume actors (a
+        stopped streaming query resumes from its checkpoint, exactly
+        like a goka processor rejoining its group)."""
+        def actor(value: str, stop: threading.Event) -> None:
+            q = start_fn()
+            try:
+                stop.wait()
+            finally:
+                q.stop()
+
+        self.attach_action(name, actor, "streaming pause/resume control")
 
     # -- lifecycle ------------------------------------------------------
     @property

@@ -110,3 +110,158 @@ def test_monitor_server_html_ui(spark):
             assert e.code == 404
     finally:
         srv.stop()
+
+
+def test_monitor_server_actions(spark):
+    """r7: the reference's actions surface (web/actions/server.go:
+    47-48) — POST start/stop with run-state tracking, the built-in
+    drop-view actor, and error capture."""
+    import json
+    import threading
+    import time
+    import urllib.request
+    from urllib.error import HTTPError
+
+    from goka_spark.web import MonitorServer
+
+    srv = MonitorServer().start()
+    try:
+        def post(path, data=b""):
+            req = urllib.request.Request(srv.address + path, data=data,
+                                         method="POST")
+            with urllib.request.urlopen(req) as resp:
+                return json.load(resp)
+
+        # attach a long-running cooperative actor
+        seen = {}
+
+        def actor(value, stop):
+            seen["value"] = value
+            stop.wait(timeout=30)
+            seen["stopped"] = True
+
+        srv.attach_action("reprocess", actor, "test actor")
+        idx = json.load(urllib.request.urlopen(srv.address + "/actions"))
+        assert idx["reprocess"]["description"] == "test actor"
+        assert not idx["reprocess"]["running"]
+
+        assert post("/actions/start/reprocess", b"topic-a")["ok"]
+        time.sleep(0.2)
+        idx = json.load(urllib.request.urlopen(srv.address + "/actions"))
+        assert idx["reprocess"]["running"] and seen["value"] == "topic-a"
+        # double-start rejected while running (server.go:62)
+        try:
+            post("/actions/start/reprocess", b"again")
+            raise AssertionError("double start must 409")
+        except HTTPError as e:
+            assert e.code == 409
+        assert post("/actions/stop/reprocess")["ok"]
+        assert seen.get("stopped")
+        idx = json.load(urllib.request.urlopen(srv.address + "/actions"))
+        assert not idx["reprocess"]["running"]
+        assert idx["reprocess"]["finished"] >= idx["reprocess"]["started"]
+
+        # stop while not running → 409 (server.go:78)
+        try:
+            post("/actions/stop/reprocess")
+            raise AssertionError("stop-idle must 409")
+        except HTTPError as e:
+            assert e.code == 409
+
+        # failing actor: error captured, never raised at the server
+        def boom(value, stop):
+            raise RuntimeError("kaboom")
+
+        srv.attach_action("bad", boom)
+        assert post("/actions/start/bad")["ok"]
+        time.sleep(0.2)
+        idx = json.load(urllib.request.urlopen(srv.address + "/actions"))
+        assert "kaboom" in idx["bad"]["error"]
+
+        # built-in drop-view detaches a query source
+        srv.attach_source("v1", lambda k: {"k": k})
+        got = json.load(urllib.request.urlopen(srv.address + "/query/v1/x"))
+        assert got["value"] == {"k": "x"}
+        assert post("/actions/start/drop-view", b"v1")["ok"]
+        time.sleep(0.2)
+        try:
+            urllib.request.urlopen(srv.address + "/query/v1/x")
+            raise AssertionError("dropped view must 404")
+        except HTTPError as e:
+            assert e.code == 404
+        # unknown action name
+        try:
+            post("/actions/start/nope")
+            raise AssertionError("unknown action must 404")
+        except HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.stop()
+
+
+def test_monitor_server_streaming_control(spark, tmp_path):
+    """Pause/resume a real Structured Streaming query through the
+    actions surface: start launches from checkpoint, stop halts it;
+    a second start resumes and picks up new input."""
+    import json
+    import time
+    import urllib.request
+
+    from pyspark.sql import functions as F
+
+    from goka_spark.streaming.runtime import stream_from_dir
+    from goka_spark.web import MonitorServer
+
+    schema = "key string, value long"
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame([("a", 1), ("b", 2)], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    def start_query():
+        return (stream_from_dir(spark, src, schema)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="200 milliseconds")
+                .start())
+
+    srv = MonitorServer().start()
+    try:
+        srv.attach_streaming_control("ingest", start_query)
+
+        def post(path):
+            req = urllib.request.Request(srv.address + path, data=b"",
+                                         method="POST")
+            with urllib.request.urlopen(req) as resp:
+                return json.load(resp)
+
+        assert post("/actions/start/ingest")["ok"]
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= 2:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.3)
+        assert spark.read.parquet(out).count() >= 2
+        assert post("/actions/stop/ingest")["ok"]  # pause
+
+        # new data lands while paused; resume picks it up from ckpt
+        spark.createDataFrame([("c", 3)], schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        assert post("/actions/start/ingest")["ok"]
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= 3:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.3)
+        assert spark.read.parquet(out).count() >= 3
+        assert post("/actions/stop/ingest")["ok"]
+    finally:
+        srv.stop()
