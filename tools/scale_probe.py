@@ -112,17 +112,36 @@ def main():
         # the plan.  Salting (word suffix / coordinate rotation) keeps
         # within-copy structure and decorrelates copies, so output and
         # runtime should both grow ~linearly.
+        #
+        # MATERIALIZED to parquet (r7): feeding operators the lazy
+        # f-branch union-of-transforms was the r6 probe's 16x→64x
+        # "superlinear bend" — an operator referencing the corpus
+        # k times (incremental_dedup: corpus twice, batch thrice)
+        # re-evaluated the f-branch salting transform per reference,
+        # and at 64 branches the union also falls out of whole-stage
+        # codegen, multiplying the per-row constant.  A real pipeline's
+        # corpus is a TABLE, not a transform plan; measured with
+        # parquet input the three flagged ops scale ~linearly
+        # (dedup_incremental 5.2→15.7 s, sig_store_adhoc 4.2→15.6 s
+        # at 16x→64x — see SCALE.md).
         base_docs = load(spark, BASE, "documents")["documents"]
-        doc_parts = []
-        for i in range(f):
-            doc_parts.append(
-                base_docs.withColumn("doc_id", F.col("doc_id") + i * 10_000_000)
-                .withColumn("text", F.array_join(
-                    F.transform(F.split("text", " "),
-                                lambda w: F.concat(w, F.lit(f"_{i}"))), " ")))
-        sdocs = doc_parts[0]
-        for p in doc_parts[1:]:
-            sdocs = sdocs.unionByName(p)
+        sd_path = f"{WORK}/sdocs_x{f}"
+        if not os.path.exists(sd_path):
+            doc_parts = []
+            for i in range(f):
+                doc_parts.append(
+                    base_docs
+                    .withColumn("doc_id", F.col("doc_id") + i * 10_000_000)
+                    .withColumn("text", F.array_join(
+                        F.transform(F.split("text", " "),
+                                    lambda w: F.concat(w, F.lit(f"_{i}"))),
+                        " ")))
+            sd = doc_parts[0]
+            for p in doc_parts[1:]:
+                sd = sd.unionByName(p)
+            sd.repartition(max(f, 8)).write.mode("overwrite") \
+                .parquet(sd_path)
+        sdocs = spark.read.parquet(sd_path)
         r["ngram_jaccard"] = timed("ngram", D.ngram_jaccard_pairs(
             sdocs, "doc_id", "text", n=3, threshold=0.05, max_df="auto"))
 
@@ -176,19 +195,27 @@ def main():
         from goka_spark.functions import similarity as SIM
         emb = load(spark, BASE, "embeddings")["embeddings"]
         dim = 64
-        emb_parts = []
-        for i in range(f):
-            # rotation is orthogonal: within-copy cosines unchanged,
-            # cross-copy pairs decorrelated
-            emb_parts.append(
-                emb.withColumn("vec_id", F.col("vec_id") + i * 10_000_000)
-                .withColumn("embedding", F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda j: F.element_at(
-                        F.col("embedding"), ((j + F.lit(i)) % dim) + 1))))
-        emb_f = emb_parts[0]
-        for p in emb_parts[1:]:
-            emb_f = emb_f.unionByName(p)
+        # materialized like sdocs (r7): the lazy f-branch rotation was
+        # re-scanned by every k-means iteration of the quantizer train
+        # (ann_index_build 0.4 s→166 s at 16x→64x in the r6 probe)
+        emb_path = f"{WORK}/emb_x{f}"
+        if not os.path.exists(emb_path):
+            emb_parts = []
+            for i in range(f):
+                # rotation is orthogonal: within-copy cosines
+                # unchanged, cross-copy pairs decorrelated
+                emb_parts.append(
+                    emb.withColumn("vec_id", F.col("vec_id") + i * 10_000_000)
+                    .withColumn("embedding", F.transform(
+                        F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda j: F.element_at(
+                            F.col("embedding"), ((j + F.lit(i)) % dim) + 1))))
+            ef = emb_parts[0]
+            for p in emb_parts[1:]:
+                ef = ef.unionByName(p)
+            ef.repartition(max(f, 8)).write.mode("overwrite") \
+                .parquet(emb_path)
+        emb_f = spark.read.parquet(emb_path)
         # LSH scaling law: candidate pairs per band ≈ n²/2^bits, so
         # bits must grow with log2(n) to hold bucket occupancy (and
         # therefore per-item cost) constant — +2 bits per 4× corpus.
