@@ -1268,3 +1268,32 @@ class HllSink:
 
     def estimate(self, spark) -> DataFrame:
         return hll_estimate(self.read(spark), self.key_cols)
+
+
+def ngram_novelty(df: DataFrame, id_col: str, text_col: str,
+                  n: int = 3) -> DataFrame:
+    """First-occurrence novelty score — the streaming-ingest view of
+    duplication: for each document, the fraction of its DISTINCT
+    n-grams whose earliest appearance in the corpus (min doc id over
+    the gram's postings) is this document.  Boilerplate-heavy or
+    near-duplicate docs arriving after their sources score low; the
+    first copy scores high — the per-doc complement of
+    ``dup_ngram_coverage``'s corpus-wide view, and the batch twin of
+    what an ingest pipeline computes against its signature store.
+
+    Scale shape: one distinct-postings pass, one min hash-agg per
+    gram, one postings-sized equi-join back, one per-doc count agg —
+    all keyed by gram or doc, linear in postings, map-side combined.
+    The score is an exact 1e6-scaled integer (novel·1e6 DIV grams)."""
+    sh = shingle_postings(df, id_col, text_col, n)
+    firsts = sh.groupBy("sh").agg(F.min("doc").alias("_first"))
+    per = (sh.join(firsts, "sh")
+           .groupBy("doc")
+           .agg(F.count("*").alias("n_grams"),
+                F.sum(F.when(F.col("_first") == F.col("doc"), 1)
+                      .otherwise(0)).alias("novel")))
+    return per.select(
+        F.col("doc").alias(id_col),
+        F.col("n_grams").cast("long"),
+        F.col("novel").cast("long"),
+        F.expr("(novel * 1000000L) DIV n_grams").alias("novelty_e6"))

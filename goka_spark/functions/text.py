@@ -185,10 +185,9 @@ def tfidf_topk(df, id_col: str, text_col: str, k: int = 5):
     )
 
 
-def shard_pack(df, id_col: str, tok_col: str, budget: int):
-    """Pack documents into fixed-token-budget training shards:
-    ``shard_id = floor(prefix_tokens_before_doc / budget)`` over the
-    global ``id_col`` order.
+def _global_prefix_sum(df, id_col: str, tok_col: str):
+    """``(id, tok, _cum_before)`` — exclusive prefix sum of ``tok``
+    over the global ``id_col`` order, WITHOUT a global window.
 
     A naive global window (``Window.orderBy(id)`` with no partition)
     funnels ALL rows through one task — a non-starter at corpus
@@ -218,10 +217,56 @@ def shard_pack(df, id_col: str, tok_col: str, budget: int):
         F.col("_pid"))
     w = (Window.partitionBy("_pid").orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, -1))
-    cum_before = F.coalesce(F.sum(tok_col).over(w), F.lit(0)) + off
-    return (part.withColumn("shard_id",
-                            F.floor(cum_before / F.lit(budget)))
+    cum = F.coalesce(F.sum(tok_col).over(w), F.lit(0)) + off
+    return part.withColumn("_cum_before", cum.cast("long"))
+
+
+def shard_pack(df, id_col: str, tok_col: str, budget: int):
+    """Pack documents into fixed-token-budget training shards:
+    ``shard_id = floor(prefix_tokens_before_doc / budget)`` over the
+    global ``id_col`` order — the two-pass prefix sum of
+    :func:`_global_prefix_sum` (never a global single-task window).
+    """
+    from pyspark.sql import functions as F
+
+    return (_global_prefix_sum(df, id_col, tok_col)
+            .withColumn("shard_id",
+                        F.floor(F.col("_cum_before") / F.lit(budget)))
             .select(F.col(id_col), F.col("shard_id")))
+
+
+def pack_sequences(df, id_col: str, tok_col: str, seq_len: int):
+    """Concat-and-chunk sequence packing — the GPT-pretraining data
+    layout: documents concatenate in global ``id_col`` order into one
+    token stream cut into fixed ``seq_len`` training sequences; a doc
+    may END inside one sequence and continue in the next.  Returns
+    one row per doc with its placement:
+
+    - ``first_seq`` / ``last_seq``: sequence ids the doc spans
+      (``floor(cum_before / L)`` / ``floor((cum_before+tok-1) / L)``)
+    - ``seq_offset``: token offset of the doc's first token inside
+      ``first_seq`` (``cum_before % L``)
+    - ``n_seqs``: ``last_seq - first_seq + 1``
+
+    Enough for a writer to emit every sequence's (doc, slice) list by
+    grouping this table on the sequence id range.  Same scalable
+    prefix-sum core as :func:`shard_pack`; zero-token docs are
+    dropped (they occupy no place in the stream).  At 100 TB the only
+    shuffle is the range partition by id."""
+    from pyspark.sql import functions as F
+
+    L = F.lit(seq_len)
+    out = (_global_prefix_sum(df, id_col, tok_col)
+           .filter(F.col(tok_col) >= 1))
+    first = F.floor(F.col("_cum_before") / L)
+    last = F.floor((F.col("_cum_before") + F.col(tok_col) - 1) / L)
+    return out.select(
+        F.col(id_col),
+        F.col(tok_col).cast("long").alias("tok"),
+        first.cast("long").alias("first_seq"),
+        last.cast("long").alias("last_seq"),
+        (F.col("_cum_before") % L).cast("long").alias("seq_offset"),
+        (last - first + 1).cast("long").alias("n_seqs"))
 
 
 def line_dedup_filter(df, id_col: str, text_col: str, min_df: int = 2,

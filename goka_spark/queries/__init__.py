@@ -19,7 +19,9 @@ from goka_spark.queries import analytics, core, llmdata
 # certification older than r04.  Trailing entries past slot 50 are
 # best-effort (the remaining r04 block, queued for r8).
 _FRONT = [
-    # (a) impl/oracle changed in r7 — re-certify
+    # (a) new in r7 / impl-or-oracle changed in r7 — certify first
+    "corpus_pack_sequences",
+    "ngram_novelty",
     "ngram_cms_estimate",
     "hll_distinct_users",
     "corpus_quality_pipeline",
@@ -70,9 +72,9 @@ _FRONT = [
     "q3_shipping_priority",
     "q5_local_supplier",
     "dedup_exact",
+    # ---- best-effort tail past the ~50 cap (r8 front: rest of r04)
     "as_of_join",
     "top_k_per_group",
-    # ---- best-effort tail past the ~50 cap (r8 front: rest of r04)
     "tumbling_window_agg",
     "hopping_window_agg",
     "session_window_agg",

@@ -981,6 +981,28 @@ def doc_entropy(spark: SparkSession, sf: str) -> DataFrame:
     return T.word_entropy(docs, "doc_id", "text")
 
 
+def corpus_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (T.pack_sequences): docs
+    concatenate in doc_id order into a token stream cut into fixed
+    2048-token training sequences; each doc's placement (first/last
+    sequence id, offset, span) comes from the same scalable two-pass
+    prefix sum as corpus_shard_pack — never a global single-task
+    window."""
+    docs = load(spark, sf, "documents")["documents"]
+    toks = docs.select(
+        "doc_id", T.ws_token_count(F.col("text")).cast("long").alias("tok"))
+    return T.pack_sequences(toks, "doc_id", "tok", seq_len=2048)
+
+
+def ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """First-occurrence novelty (D.ngram_novelty): fraction of each
+    doc's distinct 3-grams first seen in this doc (min doc_id over
+    the gram postings) — the per-doc ingest-order complement of
+    dup_ngram_coverage.  Exact 1e6-scaled integers."""
+    docs = load(spark, sf, "documents")["documents"]
+    return D.ngram_novelty(docs, "doc_id", "text", n=3)
+
+
 def blocklist_filter(spark: SparkSession, sf: str) -> DataFrame:
     """Blocklist-term screening (T.blocklist_hits): exact-token hits
     against a broadcast-literal term list; keep verdict is the integer
@@ -1058,6 +1080,8 @@ def near_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES = {
     "doc_entropy": doc_entropy,
+    "corpus_pack_sequences": corpus_pack_sequences,
+    "ngram_novelty": ngram_novelty,
     "near_decontaminate": near_decontaminate,
     "blocklist_filter": blocklist_filter,
     "common_ngrams": common_ngrams,
@@ -1662,6 +1686,48 @@ ORACLES["corpus_shard_pack"] = f"""
                 / 4096.0) AS BIGINT) AS shard_id
     FROM (SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS tok
           FROM documents)
+"""
+
+ORACLES["corpus_pack_sequences"] = f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, tok,
+             COALESCE(SUM(tok) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum
+      FROM t
+    )
+    SELECT doc_id, tok,
+           CAST(cum // 2048 AS BIGINT) AS first_seq,
+           CAST((cum + tok - 1) // 2048 AS BIGINT) AS last_seq,
+           CAST(cum % 2048 AS BIGINT) AS seq_offset,
+           CAST((cum + tok - 1) // 2048 - cum // 2048 + 1 AS BIGINT)
+             AS n_seqs
+    FROM c WHERE tok >= 1
+"""
+
+ORACLES["ngram_novelty"] = f"""
+    WITH sh AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+               range(1, greatest(len(words) - 2, 1) + 1),
+               i -> array_to_string(words[i:i+2], ' ')))) AS sh
+      FROM (SELECT doc_id, {_WORDS} AS words FROM documents)
+      WHERE len(words) >= 1  -- empty docs emit no postings in Spark
+    ), firsts AS (
+      SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS novel,
+           CAST((SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                 * 1000000)
+                // COUNT(*) AS BIGINT) AS novelty_e6
+    FROM sh s JOIN firsts f USING (sh)
+    GROUP BY s.doc_id
 """
 
 ORACLES["benchmark_decontaminate"] = f"""

@@ -765,3 +765,37 @@ def test_image_dhash_separates_content(spark):
              M.image_dhash(M.encode_ppm(
                  dims, "doc_id", "w", "h", "seed")).collect()]
     assert len(set(ramps)) <= 3
+
+
+def test_pack_sequences_reference(spark):
+    """r7 concat-and-chunk packing vs a pure-Python reference: spans,
+    offsets and boundary crossings all exact; zero-token docs drop."""
+    toks = [(0, 100), (1, 2000), (2, 48), (3, 0), (4, 5000), (5, 1)]
+    df = spark.createDataFrame(toks, "doc_id long, tok long")
+    got = {r.doc_id: (r.first_seq, r.last_seq, r.seq_offset, r.n_seqs)
+           for r in T.pack_sequences(df, "doc_id", "tok", 2048).collect()}
+    cum, want = 0, {}
+    for d, t in toks:
+        if t >= 1:
+            first, last = cum // 2048, (cum + t - 1) // 2048
+            want[d] = (first, last, cum % 2048, last - first + 1)
+        cum += t
+    assert got == want
+    # doc 4 (5000 tokens starting at 2148) spans 3 sequences
+    assert got[4][3] == 3
+    assert 3 not in got  # zero-token doc occupies no stream position
+
+
+def test_ngram_novelty_first_copy_wins(spark):
+    """The earliest doc scores 1.0; an exact later duplicate scores
+    0; a half-overlapping doc scores its fresh fraction."""
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e"),        # all 3 shingles first seen here
+         (2, "a b c d e"),        # exact dup — zero novel
+         (3, "a b c x y z")],     # shares 'a b c'; 3 of 4 novel
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_grams, r.novel, r.novelty_e6)
+           for r in D.ngram_novelty(corpus, "doc_id", "text", 3).collect()}
+    assert got[1] == (3, 3, 1_000_000)
+    assert got[2] == (3, 0, 0)
+    assert got[3] == (4, 3, 750_000)
