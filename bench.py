@@ -62,6 +62,9 @@ HEADLINE = [
     "embedding_knn_graph",
     "image_dhash_dedup",
     "ngram_cms_estimate",
+    # round 7 additions
+    "corpus_pack_sequences",
+    "ngram_novelty",
 ]
 
 

@@ -1281,11 +1281,18 @@ def ngram_novelty(df: DataFrame, id_col: str, text_col: str,
     ``dup_ngram_coverage``'s corpus-wide view, and the batch twin of
     what an ingest pipeline computes against its signature store.
 
-    Scale shape: one distinct-postings pass, one min hash-agg per
-    gram, one postings-sized equi-join back, one per-doc count agg —
-    all keyed by gram or doc, linear in postings, map-side combined.
-    The score is an exact 1e6-scaled integer (novel·1e6 DIV grams)."""
-    sh = shingle_postings(df, id_col, text_col, n)
+    Scale shape: ONE postings pass — the explicit repartition("sh")
+    is load-bearing (the ``_ngram_pair_counts`` discipline): the min
+    hash-agg and the join probe side have identical plans up to that
+    exchange, so ReuseExchange materializes the shingle construction
+    once (without it the scan + shingle windows run twice, plan-
+    asserted in tests); the agg and the join both consume the
+    sh-partitioning with zero further exchange.  Then one per-doc
+    count agg.  Linear in postings, map-side combined.  The score is
+    an exact 1e6-scaled integer (novel·1e6 DIV grams)."""
+    sh = (shingle_postings(df, id_col, text_col, n, distinct=False)
+          .repartition("sh")
+          .dropDuplicates(["doc", "sh"]))
     firsts = sh.groupBy("sh").agg(F.min("doc").alias("_first"))
     per = (sh.join(firsts, "sh")
            .groupBy("doc")

@@ -348,3 +348,16 @@ def test_gopher_repetition_partial_agg(spark, sf_dir):
     plan = X.simple(df)
     assert X.has_partial_aggregation(df)
     assert "CartesianProduct" not in plan
+
+
+def test_ngram_novelty_reuses_postings_exchange(spark, sf_dir):
+    """r7: the min-per-gram aggregate and the join probe side must
+    share ONE materialized postings exchange (the shingle windows are
+    the dominant cost — without the explicit repartition('sh') the
+    scan + shingle construction ran twice); AQE performs the reuse at
+    runtime, so assert on the EXECUTED plan."""
+    df = llmdata.ngram_novelty(spark, sf_dir)
+    assert "CartesianProduct" not in X.simple(df)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
