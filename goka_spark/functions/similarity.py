@@ -842,3 +842,46 @@ def cluster_balanced_sample(df: DataFrame, id_col: str, vec_col: str,
                     F.col("cluster").cast("long").alias("cluster"),
                     F.col("n_cluster").cast("long").alias("n_cluster"),
                     (slot < F.col("rate_e6")).alias("keep")))
+
+
+def hard_negative_topk(corpus: DataFrame, queries: DataFrame,
+                       id_col: str, vec_col: str, label_col: str,
+                       k: int = 5,
+                       dim: Optional[int] = None) -> DataFrame:
+    """Contrastive hard-negative mining — the training-data op behind
+    embedding-model fine-tuning (in-batch negatives are easy; the
+    gradient signal lives in the most-similar DIFFERENT-class items):
+    for each query (anchor), the top-k corpus vectors by cosine whose
+    ``label_col`` differs from the anchor's.
+
+    Same scale shape as :func:`cosine_topk` (broadcast anchor set,
+    one corpus scan, per-query window merge keeping ≤k per
+    partition); the label inequality rides the join condition so
+    same-class rows never reach the scorer.  For anchor sets beyond
+    the broadcast bound, run per label-pair through the IVF index
+    (``ann_index``) — candidates from probed cells, filtered by
+    label, re-ranked exactly."""
+    q = _normalized(queries.select(F.col(id_col).alias("query_id"),
+                                   F.col(vec_col)),
+                    "query_id", F.col(vec_col)) \
+        .withColumnRenamed("_v", "_qv") \
+        .join(queries.select(F.col(id_col).alias("query_id"),
+                             F.col(label_col).alias("_ql")), "query_id")
+    c = _normalized(corpus.select(F.col(id_col).alias("neighbor_id"),
+                                  F.col(vec_col)),
+                    "neighbor_id", F.col(vec_col)) \
+        .withColumnRenamed("_v", "_cv") \
+        .join(corpus.select(F.col(id_col).alias("neighbor_id"),
+                            F.col(label_col).alias("_cl")), "neighbor_id")
+    scored = (c.join(F.broadcast(q), F.col("_ql") != F.col("_cl"))
+              .withColumn("cos", dot(F.col("_qv"), F.col("_cv"), dim)))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id",
+                    F.col("_ql").alias("query_label"),
+                    "neighbor_id",
+                    F.col("_cl").alias("neighbor_label"),
+                    F.round("cos", 4).alias("cos"),
+                    F.col("rk").cast("long").alias("rk")))

@@ -22,6 +22,7 @@ _FRONT = [
     # (a) new in r7 / impl-or-oracle changed in r7 — certify first
     "corpus_pack_sequences",
     "ngram_novelty",
+    "embedding_hard_negatives",
     "ngram_cms_estimate",
     "hll_distinct_users",
     "corpus_quality_pipeline",
@@ -71,8 +72,8 @@ _FRONT = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
-    "dedup_exact",
     # ---- best-effort tail past the ~50 cap (r8 front: rest of r04)
+    "dedup_exact",
     "as_of_join",
     "top_k_per_group",
     "tumbling_window_agg",

@@ -380,6 +380,17 @@ def embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     return S.cosine_topk_arrow(emb, queries, "vec_id", "embedding", k=5)
 
 
+def embedding_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive hard-negative mining (S.hard_negative_topk): per
+    anchor, the top-5 most-similar vectors with a DIFFERENT label —
+    broadcast anchors, one corpus scan, per-anchor window; the label
+    inequality rides the join so same-class rows never score."""
+    emb = load(spark, sf, "embeddings")["embeddings"]
+    anchors = emb.filter(F.col("vec_id") < 20)
+    return S.hard_negative_topk(emb, anchors, "vec_id", "embedding",
+                                "label", k=5)
+
+
 def embedding_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
     """Random-hyperplane LSH ANN.  Hash-verified: the seeded planes
     are constants, so the oracle (_lsh_ann_oracle) embeds them as
@@ -1123,6 +1134,7 @@ QUERIES = {
     "doc_lm_score": doc_lm_score,
     "corpus_importance_weights": corpus_importance_weights,
     "embedding_cosine_topk": embedding_cosine_topk,
+    "embedding_hard_negatives": embedding_hard_negatives,
     "embedding_lsh_ann": embedding_lsh_ann,
     "embedding_ivf_ann": embedding_ivf_ann,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -1301,6 +1313,19 @@ ORACLES = {
                    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
                             c.vec_id) AS rk
           FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 20
+        ) WHERE rk <= 5
+    """,
+    "embedding_hard_negatives": """
+        SELECT query_id, query_label, neighbor_id, neighbor_label,
+               ROUND(cos, 4) AS cos, rk FROM (
+          SELECT q.vec_id AS query_id, q.label AS query_label,
+                 c.vec_id AS neighbor_id, c.label AS neighbor_label,
+                 list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                            c.vec_id) AS rk
+          FROM embeddings q JOIN embeddings c ON q.label <> c.label
           WHERE q.vec_id < 20
         ) WHERE rk <= 5
     """,

@@ -799,3 +799,24 @@ def test_ngram_novelty_first_copy_wins(spark):
     assert got[1] == (3, 3, 1_000_000)
     assert got[2] == (3, 0, 0)
     assert got[3] == (4, 3, 750_000)
+
+
+def test_hard_negative_topk_excludes_same_label(spark):
+    """r7 contrastive mining: neighbors always carry a different
+    label than the anchor, ranking is by true cosine, and the
+    same-class nearest vector (cos≈1) never appears."""
+    rows = [
+        (0, [1.0, 0.0], 0),   # anchor
+        (1, [0.99, 0.14], 0),  # same class, most similar — excluded
+        (2, [0.9, 0.44], 1),   # hard negative (closest other-class)
+        (3, [0.0, 1.0], 1),
+        (4, [-1.0, 0.0], 2),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    out = S.hard_negative_topk(
+        emb, emb.filter(F.col("vec_id") == 0),
+        "vec_id", "embedding", "label", k=2).collect()
+    assert [r.neighbor_id for r in out] == [2, 3]
+    assert all(r.query_label == 0 and r.neighbor_label != 0 for r in out)
+    assert out[0].cos > out[1].cos
