@@ -59,6 +59,7 @@ class _Action:
         self.description = description
         self._thread: threading.Thread | None = None
         self._stop = threading.Event()
+        self._lock = threading.Lock()  # ThreadingHTTPServer: concurrent POSTs
         self.started: float | None = None
         self.finished: float | None = None
         self.error: str | None = None
@@ -67,6 +68,10 @@ class _Action:
         return self._thread is not None and self._thread.is_alive()
 
     def start(self, value: str) -> bool:
+        with self._lock:
+            return self._start_locked(value)
+
+    def _start_locked(self, value: str) -> bool:
         if self.is_running():
             return False
         self._stop = threading.Event()
