@@ -11,18 +11,21 @@ from goka_spark.queries import analytics, core, llmdata
 # The driver's correctness run records exactly the first 50 registry
 # entries and stops.  Rotate per round so no key's driver row goes
 # >2 rounds stale.  Round 7 (per the r6 verdict's #1 ask): (a) the
-# three keys whose implementation or oracle changed THIS round
-# (single-scan CMS, integer-exact HLL, pipeline oracle line-CTEs) —
-# their r06 rows no longer certify current code; (b) ALL 41 keys whose
-# latest driver row is r03 (highest-churn first per the verdict);
-# (c) six r04 keys to fill the 50 — with r06∪r07 this leaves no key's
-# certification older than r04.  Trailing entries past slot 50 are
-# best-effort (the remaining r04 block, queued for r8).
+# four keys NEW this round (pack_sequences, ngram_novelty,
+# hard_negatives, bpe batched) plus the three whose implementation
+# or oracle changed (single-scan CMS, integer-exact HLL, pipeline
+# oracle line-CTEs) — r06 rows no longer certify those; (b) ALL 41
+# keys whose latest driver row is r03 (highest-churn first per the
+# verdict); (c) two r04 keys to fill the 50 — with r06∪r07 this
+# leaves no key's certification older than r04.  Trailing entries
+# past slot 50 are best-effort (the remaining r04 block, queued for
+# r8).
 _FRONT = [
     # (a) new in r7 / impl-or-oracle changed in r7 — certify first
     "corpus_pack_sequences",
     "ngram_novelty",
     "embedding_hard_negatives",
+    "bpe_token_count_batched",
     "ngram_cms_estimate",
     "hll_distinct_users",
     "corpus_quality_pipeline",
@@ -71,8 +74,8 @@ _FRONT = [
     # (c) r04 keys filling out the 50
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier",
     # ---- best-effort tail past the ~50 cap (r8 front: rest of r04)
+    "q5_local_supplier",
     "dedup_exact",
     "as_of_join",
     "top_k_per_group",

@@ -286,6 +286,25 @@ def _bpe_merges(docs, sf: str, n_merges: int = 16) -> list:
     return _BPE_MERGES[key]
 
 
+def bpe_token_count_batched(spark: SparkSession, sf: str) -> DataFrame:
+    """The r7 vocab-scale trainer, driver-verified end to end: 48
+    merges trained with bpe_train_batched (up to 8 symbol-disjoint
+    pairs per pair-count job — ~n/8 driver rounds instead of one job
+    per merge), counts via the same broadcast word→n_tokens corpus
+    pass.  The oracle re-trains the SAME batched algorithm in pure
+    Python (train_batched_py, property-pinned to the Spark rounds)
+    — the recomputable-merges idiom covering the scale mode, not
+    just the classic loop."""
+    from goka_spark.functions import bpe as B
+
+    docs = load(spark, sf, "documents")["documents"]
+    key = (sf, "batched", 48, 8)
+    if key not in _BPE_MERGES:
+        _BPE_MERGES[key] = B.bpe_train_batched(
+            docs, "doc_id", "text", n_merges=48, batch=8)
+    return B.bpe_token_count(docs, "doc_id", "text", _BPE_MERGES[key])
+
+
 def bpe_encode_docs(spark: SparkSession, sf: str) -> DataFrame:
     """The tokenizer's actual output (B.bpe_encode): every document's
     full subword sequence under the corpus-trained merges — the frame
@@ -1126,6 +1145,7 @@ QUERIES = {
     "perplexity_buckets": perplexity_buckets,
     "line_quality_filter": line_quality_filter,
     "bpe_token_count": bpe_token_count,
+    "bpe_token_count_batched": bpe_token_count_batched,
     "bpe_encode_docs": bpe_encode_docs,
     "lang_audit": lang_audit,
     "dedup_exact_prioritized": dedup_exact_prioritized,
@@ -2290,12 +2310,13 @@ ORACLES["dedup_exact_prioritized"] = """
 """
 
 
-def _bpe_oracle(n_merges: int = 16) -> str:
+def _bpe_oracle(n_merges: int = 16, batch: "int | None" = None) -> str:
     """DuckDB twin of bpe_token_count: re-train bit-identical merges
     in pure Python from the same word dict (train_py == the Spark
     rounds — pinned by tests), apply them to the vocabulary, embed
     the word→n_tokens table as literals, and replay the per-doc sum
-    in SQL."""
+    in SQL.  ``batch`` retrains with the batched twin instead (the
+    r7 scale mode) — same recomputability contract."""
     import duckdb
 
     from goka_spark.functions import bpe as B
@@ -2304,7 +2325,8 @@ def _bpe_oracle(n_merges: int = 16) -> str:
     wf = dict(duckdb.sql(
         f"SELECT w, COUNT(*) FROM (SELECT UNNEST({_WORDS}) AS w "
         f"FROM '{sf_dir}/documents.parquet') GROUP BY w").fetchall())
-    merges = B.train_py(wf, n_merges)
+    merges = (B.train_batched_py(wf, n_merges, batch=batch)
+              if batch else B.train_py(wf, n_merges))
     counts = {w: len(B.encode_word(w, merges)) for w in wf}
     values = ", ".join(
         "('{}', {})".format(w.replace("'", "''"), c)
@@ -2325,6 +2347,7 @@ def _bpe_oracle(n_merges: int = 16) -> str:
 
 
 ORACLES["bpe_token_count"] = _bpe_oracle
+ORACLES["bpe_token_count_batched"] = lambda: _bpe_oracle(48, batch=8)
 
 
 def _bpe_encode_oracle(n_merges: int = 16) -> str:
