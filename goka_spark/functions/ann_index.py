@@ -594,6 +594,52 @@ def semantic_dedup(index: ANNIndex, threshold: float,
         (F.col("node") == F.col("cluster_id")).alias("is_kept"))
 
 
+def centroid_outliers(index: ANNIndex, frac_denom: int = 20) -> DataFrame:
+    """Per-cluster OUTLIER flagging over the indexed corpus — the
+    prototype-distance pruning signal of D4-style embedding curation
+    (SemDeDup removes a cluster's redundant CORE; this surfaces the
+    other tail: the ceil(n_c / ``frac_denom``) LEAST-central vectors
+    of each IVF cell — mislabeled, noisy, or off-distribution docs
+    that sit far from every prototype).
+
+    Exactness discipline: the score is the left-associative unit-dot
+    to the vector's own cell centroid, ranked on its ROUND(·,4) form
+    (ties → vec_id) so the rank is engine-deterministic, and the
+    outlier cutoff is pure integer arithmetic ((n + d-1) div d — no
+    double 0.05·n boundary).  One broadcast join against the
+    n_cells-row centroid table + windows bounded by the √n cell size;
+    codes come partition-pruned from the persisted table with zero
+    recompute."""
+    if frac_denom <= 0:
+        raise ValueError("frac_denom must be positive")
+    from goka_spark.functions.similarity import dot
+
+    spark = index.spark
+    # persisted centroids are raw Lloyd means — unit-normalize like
+    # every similarity consumer (cosine needs the unit prototype)
+    nc = index.centroids / np.linalg.norm(index.centroids, axis=1,
+                                          keepdims=True)
+    cdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(nc)],
+        "cell int, _c array<double>")
+    v = index.codes().select(F.col("id").alias("vec_id"), "cell",
+                             F.col("vec").alias("_v"))
+    scored = (v.join(F.broadcast(cdf), "cell")
+              .withColumn("sim_c",
+                          F.round(dot(F.col("_v"), F.col("_c")), 4)))
+    w = Window.partitionBy("cell").orderBy("sim_c", "vec_id")
+    wc = Window.partitionBy("cell")
+    return (scored
+            .withColumn("_rn", F.row_number().over(w).cast("long"))
+            .withColumn("_n", F.count("*").over(wc))
+            .select(F.col("vec_id"),
+                    F.col("cell").cast("long").alias("cluster"),
+                    F.col("sim_c"),
+                    (F.col("_rn") <= F.expr(
+                        f"(_n + {frac_denom - 1}L) div {frac_denom}L"))
+                    .alias("is_outlier")))
+
+
 def knn_graph(index: ANNIndex, k: int = 5) -> DataFrame:
     """Cluster-local k-NN graph over the indexed corpus — each
     vector's top-``k`` nearest neighbors BY EXACT COSINE among the

@@ -54,17 +54,54 @@ def hash_split(df: DataFrame, id_col: str,
     Adding documents later never moves an existing document between
     splits (assignment depends only on the id), which is the property
     that keeps eval sets stable across corpus refreshes."""
+    slot = hash_slot(F.col(id_col), SPLIT_MOD, salt)
+    return df.select(F.col(id_col), _split_expr(slot, splits).alias("split"))
+
+
+def _split_expr(slot: Column, splits) -> Column:
+    """Consecutive permille slot ranges → split name (shared by
+    :func:`hash_split` and :func:`leakage_safe_split`)."""
     splits = list(splits)
     total = sum(p for _, p in splits)
     if total != SPLIT_MOD:
         raise ValueError(f"split permilles must sum to {SPLIT_MOD}, got {total}")
-    slot = hash_slot(F.col(id_col), SPLIT_MOD, salt)
     expr = None
     hi = 0
     for name, permille in splits:
         hi += permille
         expr = F.when(slot < hi, name) if expr is None else expr.when(slot < hi, name)
-    return df.select(F.col(id_col), expr.alias("split"))
+    return expr
+
+
+def leakage_safe_split(df: DataFrame, id_col: str, cc: DataFrame,
+                       splits: list[tuple[str, int]] = (("train", 980),
+                                                        ("validation", 10),
+                                                        ("test", 10)),
+                       salt: str = "split-v1") -> DataFrame:
+    """:func:`hash_split` with the anti-leakage guard every eval set
+    needs: the membership slot is computed on the near-dup CLUSTER
+    representative (the connected-components min-label from the dedup
+    pair graph), so two near-duplicate documents can never straddle
+    the train/eval boundary — the classic contamination path where a
+    paraphrase of a test document sits in train.  Docs absent from
+    the pair graph are their own singleton cluster (slot on their own
+    id — identical to plain hash_split for the non-duplicated bulk).
+
+    Returns ``(id, cluster_id, split)``.  Stability: adding documents
+    never moves an existing SINGLETON between splits; a doc that
+    gains a near-dup partner follows its cluster (that is the point).
+
+    Scale shape: one left join against the (small) cc frame + a pure
+    Column policy — no extra shuffle over hash_split itself."""
+    labeled = (
+        df.select(F.col(id_col))
+        .join(cc.select(F.col("node").alias(id_col), "cluster_id"),
+              id_col, "left")
+        .withColumn("cluster_id",
+                    F.coalesce(F.col("cluster_id"), F.col(id_col))))
+    slot = hash_slot(F.col("cluster_id"), SPLIT_MOD, salt)
+    return labeled.select(F.col(id_col), F.col("cluster_id"),
+                          _split_expr(slot, splits).alias("split"))
 
 
 def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
@@ -125,6 +162,14 @@ def mixture_rates(df: DataFrame, domain_col: str,
     wdf = spark.createDataFrame(w_rows, f"{domain_col} string, w long")
     counts = df.groupBy(domain_col).agg(F.count("*").alias("n_docs"))
     j = counts.join(F.broadcast(wdf), domain_col, "left").fillna({"w": 0})
+    return _rates_from_weighted_counts(j, domain_col)
+
+
+def _rates_from_weighted_counts(j: DataFrame, domain_col: str) -> DataFrame:
+    """(domain, n_docs, w) → (domain, n_docs, target, rate_e6): the
+    limiting-domain / integer-rate arithmetic shared by
+    :func:`mixture_rates` (literal weights) and
+    :func:`temperature_rates` (count-derived weights)."""
     # `div` is Spark's integer division — exact on longs, unlike `/`
     # which routes through double and loses bits past 2^53 (real risk:
     # n_docs * 1e6 overflows double precision at ~1e9 docs/domain)
@@ -163,6 +208,53 @@ def domain_mix(df: DataFrame, id_col: str, domain_col: str,
             .select(F.col(id_col), F.col(domain_col), F.col("rate_e6")))
 
 
+def _isqrt(x: Column) -> Column:
+    """Exact integer sqrt: floor(sqrt(x)) on BIGINT with a ±1
+    correction around the double estimate, so the result is
+    bit-identical in any engine regardless of libm rounding (double
+    sqrt of a ≤2^63 integer is off by at most one after floor)."""
+    s0 = F.floor(F.sqrt(x.cast("double"))).cast("long")
+    s1 = s0 - F.when(s0 * s0 > x, F.lit(1)).otherwise(F.lit(0))
+    return s1 + F.when((s1 + 1) * (s1 + 1) <= x, F.lit(1)).otherwise(F.lit(0))
+
+
+def temperature_rates(df: DataFrame, domain_col: str) -> DataFrame:
+    """Per-domain keep rates for TEMPERATURE-smoothed sampling at
+    α = 1/2 — the multilingual-pretraining mixture policy (weight a
+    domain by n^α instead of n, α<1, so head domains shrink and tail
+    domains keep relatively more; mBERT/XLM-era exponent-smoothed
+    sampling).  α is fixed at 1/2 because it is the exponent that
+    admits EXACT integer arithmetic: w_d = isqrt(n_d · 10^6)
+    (= floor(√n_d · 1000) up to the integer-sqrt floor), computed
+    in-plan with :func:`_isqrt` — no libm pow, no driver collect, and
+    any engine reproduces the policy bit-for-bit.  Other exponents
+    belong in :func:`mixture_rates` via driver-computed literal
+    weights.
+
+    The weights then flow through the same limiting-domain
+    arithmetic as :func:`mixture_rates`: the domain that runs out of
+    documents first under its weight is kept whole, every other
+    down-samples to match.  Returns (domain, n_docs, target,
+    rate_e6).  One count aggregate (one row per domain); n_d·10^6
+    stays under 2^63 for up to ~9·10^12 docs per domain."""
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("n_docs"))
+    j = counts.withColumn("w", _isqrt(F.col("n_docs") * RATE_MOD))
+    return _rates_from_weighted_counts(j, domain_col)
+
+
+def temperature_mix(df: DataFrame, id_col: str, domain_col: str,
+                    salt: str = "tmix-v1") -> DataFrame:
+    """Apply :func:`temperature_rates` — keep a document iff its md5
+    slot falls under its domain's α=1/2 smoothed rate.  Same scan +
+    tiny-aggregate + broadcast-join shape as :func:`domain_mix`."""
+    rates = temperature_rates(df, domain_col)
+    slot = hash_slot(F.col(id_col), RATE_MOD, salt)
+    return (df.join(F.broadcast(rates), domain_col)
+            .withColumn("_slot", slot)
+            .filter(F.col("_slot") < F.col("rate_e6"))
+            .select(F.col(id_col), F.col(domain_col), F.col("rate_e6")))
+
+
 def shuffle_order(df: DataFrame, id_col: str, n_shards: int,
                   salt: str = "shuffle-v1") -> DataFrame:
     """Deterministic global training-order shuffle — the "randomize
@@ -192,6 +284,54 @@ def shuffle_order(df: DataFrame, id_col: str, n_shards: int,
                       shard.alias("shard"))
             .withColumn("pos", F.row_number().over(w).cast("long"))
             .select(id_col, "shard", "pos"))
+
+
+def length_bucket_batches(df: DataFrame, id_col: str, len_col: str,
+                          batch_size: int, n_shards: int,
+                          max_bucket_pow: int = 12,
+                          salt: str = "batch-v1") -> DataFrame:
+    """Length-bucketed batch assignment — the loader-side layout that
+    keeps padding waste low: documents of similar token length are
+    grouped into fixed-size batches so each batch pads to ITS max
+    length, not the corpus max.
+
+    Policy, all exact integer / hash arithmetic:
+    - bucket = the power-of-two length class (0 for len<2, k for
+      2^k ≤ len < 2^(k+1), capped at ``max_bucket_pow``) — FIXED
+      boundaries as an integer CASE ladder, deliberately not length
+      quantiles: quantile boundaries need a corpus sort/percentile
+      pass and shift whenever data is added, power-of-two classes are
+      stable, shuffle-free, and within 2× padding waste by
+      construction.
+    - shard = md5 slot of the id (the loader-worker axis), so batch
+      formation is shard-local — exactly how a distributed data
+      loader forms batches (each worker batches its own stream;
+      no global coordination).
+    - pos = md5-rank within (bucket, shard) — the shuffle_order
+      discipline: windows span ~n/(buckets·n_shards) rows; size
+      ``n_shards`` so a partition fits one task, never a global sort.
+    - batch = (pos-1) // batch_size; the last batch per (bucket,
+      shard) may be short (the loader drops or pads it).
+
+    Returns ``(id, bucket, shard, batch)``."""
+    from pyspark.sql.window import Window
+
+    if batch_size <= 0 or n_shards <= 0:
+        raise ValueError("batch_size and n_shards must be positive")
+    ln = F.col(len_col)
+    bucket = F.lit(max_bucket_pow)
+    for k in range(max_bucket_pow - 1, -1, -1):
+        bucket = F.when(ln < (1 << (k + 1)), F.lit(k)).otherwise(bucket)
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    shard = (F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+             % n_shards)
+    w = Window.partitionBy("bucket", "shard").orderBy("_key", id_col)
+    return (df.select(F.col(id_col), bucket.alias("bucket"),
+                      key.alias("_key"), shard.alias("shard"))
+            .withColumn("_pos", F.row_number().over(w).cast("long"))
+            # integer div, the repo-wide exactness discipline
+            .withColumn("batch", F.expr(f"(_pos - 1L) div {batch_size}L"))
+            .select(id_col, "bucket", "shard", "batch"))
 
 
 class CorpusStatsSink:

@@ -857,6 +857,42 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
+def cluster_keep(docs: DataFrame, id_col: str, weight_col: str,
+                 cc: DataFrame) -> DataFrame:
+    """One keep/drop verdict per DOCUMENT from near-dup clusters —
+    the canonicalization step after :func:`connected_components`:
+    every document gets its cluster id (docs absent from the pair
+    graph are their own singleton cluster) and the cluster's kept
+    representative ``keep_id`` = the member with the LARGEST
+    ``weight_col`` (ties → smallest id).  "Keep the longest copy" is
+    the standard fuzzy-dedup policy (truncated scrapes lose to the
+    full article); pass a quality score as the weight for
+    quality-prioritized retention instead.
+
+    Reference parity: goka resolves one winner per key group the same
+    way — a deterministic fold over the group (processor.go) — here
+    the group is the near-dup cluster and the fold is arg-max.
+
+    Scale shape: one broadcast-size left join (cc covers only docs
+    that appear in some pair — at web scale a few % of the corpus),
+    one per-cluster max_by hash aggregate (map-side combined, one row
+    per cluster), one equi-join back on cluster_id.  No windows over
+    the corpus, no driver state."""
+    labeled = (
+        docs.select(F.col(id_col), F.col(weight_col))
+        .join(cc.select(F.col("node").alias(id_col), "cluster_id"),
+              id_col, "left")
+        .withColumn("cluster_id",
+                    F.coalesce(F.col("cluster_id"), F.col(id_col))))
+    # max struct = max weight, then max(-id) = min id on ties
+    best = labeled.groupBy("cluster_id").agg(
+        F.max_by(F.col(id_col),
+                 F.struct(F.col(weight_col),
+                          (-F.col(id_col)).alias("_neg"))).alias("keep_id"))
+    return (labeled.join(best, "cluster_id")
+            .select(F.col(id_col), F.col("cluster_id"), F.col("keep_id")))
+
+
 def band_keys(sigs: DataFrame, id_col: str, bands: int = 4,
               rows_per_band: int = 4) -> DataFrame:
     """LSH band keys as JOINED SIGNATURE STRINGS — ``(id, band,

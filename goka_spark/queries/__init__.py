@@ -113,6 +113,13 @@ _FRONT = [
     "proc_last_state",
     "line_dedup",
     "embedding_lsh_ann",
+    # new mid-r7 (C82-C85) — past the cap on purpose: the r7 front is
+    # reserved for the verdict's r03-stale block; these certify in r8
+    "dedup_minhash_keep",
+    "split_leakage_safe",
+    "corpus_temperature_mix",
+    "length_bucket_batches",
+    "embedding_outliers",
 ]
 
 

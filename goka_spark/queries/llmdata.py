@@ -503,6 +503,18 @@ def embedding_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
     return A.knn_graph(idx, k=5)
 
 
+def embedding_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cluster outlier flags (A.centroid_outliers): the 5%
+    least-central vectors of each IVF cell by cosine-to-centroid —
+    the D4-style noise/off-distribution pruning signal, read from
+    the persisted index with zero recompute.  Rank on ROUND(·,4),
+    integer ceil cutoff — engine-deterministic end to end;
+    hash-verified via the recomputable-quantizer oracle."""
+    emb = load(spark, sf, "embeddings")["embeddings"]
+    idx = _ann_index(spark, sf, emb)
+    return A.centroid_outliers(idx)
+
+
 def embedding_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     """PCA dimensionality reduction over the embedding corpus (the
     D4-style whitening pre-step): top-8 components fit on the
@@ -557,16 +569,50 @@ def doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
                         F.lit(0.0)).alias("rep_ratio")))
 
 
+#: CC labels over the Jaccard pair graph, memoized per (app, sf):
+#: dedup_clusters and split_leakage_safe consume the SAME graph —
+#: the CC loop's localCheckpoints keep the frame valid for the
+#: session's lifetime, so the expensive pair mining + iterative CC
+#: runs once per session, not once per consuming query.
+_CC_MEMO: dict = {}
+
+
+def _jaccard_cc(spark: SparkSession, docs: DataFrame, sf: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _CC_MEMO:
+        pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                      threshold=0.05, max_df=50)
+        _CC_MEMO[key] = D.connected_components(pairs)
+    return _CC_MEMO[key]
+
+
 def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup CLUSTERS, not just pairs: connected components over
     the ngram-Jaccard pair graph, min doc_id as the cluster
     representative — the step that turns pair mining into a keep/drop
     decision per document."""
     docs = load(spark, sf, "documents")["documents"]
-    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
-                                  threshold=0.05, max_df=50)
-    cc = D.connected_components(pairs)
+    cc = _jaccard_cc(spark, docs, sf)
     return cc.select(F.col("node").alias("doc_id"), F.col("cluster_id"))
+
+
+def dedup_minhash_keep(spark: SparkSession, sf: str) -> DataFrame:
+    """The COMPLETE production fuzzy-dedup pipeline in one verdict
+    frame — MinHash signatures (xxhash64, the production path) → LSH
+    band candidates → connected components → keep-the-longest-copy
+    canonicalization (D.cluster_keep: arg-max n_chars, ties → min
+    doc_id; singletons keep themselves).  This is the end-to-end
+    shape of the big public corpus dedups (near-dup cluster then one
+    representative), distinct from dedup_clusters (jaccard-verified
+    pair graph, label only): here the GRAPH is the raw band-collision
+    graph and the output is the per-doc keep/drop decision.
+    Hash-verified via the XXH64-in-SQL signature oracle + recursive
+    CC + the same arg-max policy."""
+    docs = load(spark, sf, "documents")["documents"]
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", num_perm=32,
+                                bands=8)
+    cc = D.connected_components(pairs)
+    return D.cluster_keep(docs, "doc_id", "n_chars", cc)
 
 
 def dedup_minhash_verified(spark: SparkSession, sf: str) -> DataFrame:
@@ -890,6 +936,47 @@ def corpus_split(spark: SparkSession, sf: str) -> DataFrame:
     return C.hash_split(docs, "doc_id")
 
 
+def split_leakage_safe(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/validation/test split
+    (C.leakage_safe_split): the md5-slot membership of corpus_split
+    computed on the near-dup CLUSTER representative instead of the
+    doc id, so a paraphrase of a test document can never sit in train
+    — the contamination guard every eval split needs.  Reuses the
+    session-memoized Jaccard CC labels (same graph as
+    dedup_clusters); singleton docs split exactly as corpus_split
+    does."""
+    docs = load(spark, sf, "documents")["documents"]
+    cc = _jaccard_cc(spark, docs, sf)
+    return C.leakage_safe_split(docs, "doc_id", cc)
+
+
+def length_bucket_batches(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-bucketed batch layout (C.length_bucket_batches): docs
+    bucketed by power-of-two token-length class, dealt to 4 loader
+    shards by md5 slot, batches of 16 formed shard-locally by
+    md5-rank — the padding-efficient loader layout, derivable by any
+    engine from (ids, lengths, salt) alone.  Fixed integer bucket
+    boundaries (no quantile sort); windows span one (bucket, shard)
+    cell, never the corpus."""
+    docs = load(spark, sf, "documents")["documents"]
+    with_len = docs.select(
+        "doc_id", T.ws_token_count(F.col("text")).alias("n_tok"))
+    return C.length_bucket_batches(with_len, "doc_id", "n_tok",
+                                   batch_size=16, n_shards=4)
+
+
+def corpus_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """α=1/2 temperature-smoothed domain mixture
+    (C.temperature_mix): weight each source by isqrt(n·10^6) —
+    exact-integer √n smoothing, the multilingual-sampling policy that
+    shrinks head domains — then the same limiting-domain integer-rate
+    arithmetic and md5-slot membership as corpus_domain_mix.  No libm
+    pow anywhere: the policy is bit-reproducible in any engine (the
+    partial-agg-order discipline the HLL estimate follows)."""
+    docs = load(spark, sf, "documents")["documents"]
+    return C.temperature_mix(docs, "doc_id", "source")
+
+
 def corpus_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic training-order shuffle (C.shuffle_order): shard
     and within-shard position from md5(doc_id||salt) — the corpus
@@ -1119,8 +1206,12 @@ QUERIES = {
     "hll_distinct_users": hll_distinct_users,
     "cluster_balanced_sample": cluster_balanced_sample,
     "corpus_split": corpus_split,
+    "split_leakage_safe": split_leakage_safe,
+    "length_bucket_batches": length_bucket_batches,
     "corpus_shuffle": corpus_shuffle,
     "corpus_domain_mix": corpus_domain_mix,
+    "corpus_temperature_mix": corpus_temperature_mix,
+    "dedup_minhash_keep": dedup_minhash_keep,
     "corpus_weighted_sample": corpus_weighted_sample,
     "corpus_stats": corpus_stats,
     "source_overlap_matrix": source_overlap_matrix,
@@ -1161,6 +1252,7 @@ QUERIES = {
     "dedup_semantic": dedup_semantic,
     "embedding_cluster_assign": embedding_cluster_assign,
     "embedding_knn_graph": embedding_knn_graph,
+    "embedding_outliers": embedding_outliers,
     "embedding_pca_project": embedding_pca_project,
     "lang_id": lang_id,
     "doc_quality_score": doc_quality_score,
@@ -1531,6 +1623,26 @@ ORACLES["dedup_clusters"] = f"""
     FROM reach GROUP BY node
 """
 
+# leakage-safe split: the dedup_clusters CC as a nested CTE, singleton
+# docs their own cluster, then corpus_split's md5-slot policy computed
+# on the CLUSTER id instead of the doc id.
+ORACLES["split_leakage_safe"] = f"""
+    WITH cl AS ({ORACLES["dedup_clusters"]}),
+    fl AS (
+      SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN cl USING (doc_id)
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN slot < 980 THEN 'train'
+                WHEN slot < 990 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, cluster_id,
+                 CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)
+                                          || 'split-v1'), 1, 8))
+                      AS BIGINT) % 1000 AS slot
+          FROM fl)
+"""
+
 def _minhash_oracle(num_perm: int = 16) -> str:
     """DuckDB twin of minhash_signatures(base_hash='md5'): identical
     permutation constants (same seeded _perm_params), identical
@@ -1722,6 +1834,58 @@ def _minhash_containment_oracle(num_perm: int = 32, bands: int = 8,
 
 
 ORACLES["minhash_containment_est"] = _minhash_containment_oracle
+
+
+def _minhash_keep_oracle(num_perm: int = 32, bands: int = 8) -> str:
+    """DuckDB twin of dedup_minhash_keep: the XXH64 signature CTEs →
+    band candidates by slice equality (≡ Spark's xxhash64-of-slice
+    bucket join) → recursive-CTE connected components → the
+    keep-the-longest arg-max (n_chars DESC, doc_id ASC) with
+    singleton docs as their own cluster."""
+    r = num_perm // bands
+    return f"""
+    WITH RECURSIVE {_xxh_sigs_ctes(num_perm)},
+    bb AS (
+      SELECT doc_id, band, mh[band * {r} + 1 : band * {r} + {r}] AS bk
+      FROM arr, (SELECT UNNEST(range(0, {bands})) AS band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bb a JOIN bb b
+        ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM cand
+      UNION SELECT id_b, id_a FROM cand
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+      SELECT node, node AS label FROM nodes
+      UNION
+      SELECT e.a AS node, r.label FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    cl AS (
+      SELECT node AS doc_id, MIN(label) AS cluster_id
+      FROM reach GROUP BY node
+    ),
+    fl AS (
+      SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+             d.n_chars
+      FROM documents d LEFT JOIN cl USING (doc_id)
+    ),
+    best AS (
+      SELECT cluster_id, doc_id AS keep_id,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM fl
+    )
+    SELECT f.doc_id, f.cluster_id, b.keep_id
+    FROM fl f JOIN best b
+      ON b.cluster_id = f.cluster_id AND b.rn = 1
+    """
+
+
+ORACLES["dedup_minhash_keep"] = _minhash_keep_oracle
 
 ORACLES["corpus_shard_pack"] = f"""
     SELECT doc_id,
@@ -2697,6 +2861,61 @@ ORACLES["corpus_domain_mix"] = f"""
                AS BIGINT) % 1000000 < rate_e6
 """
 
+# α=1/2 temperature mix: the domain_mix oracle with weights derived
+# in-query — wt = exact isqrt(n·10^6) (floor-corrected double sqrt,
+# the same ±1 adjustment the Spark _isqrt Column performs), then the
+# identical limiting-domain // arithmetic and md5-slot membership.
+ORACLES["corpus_temperature_mix"] = """
+    WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY source),
+    sq0 AS (SELECT source, n_docs, n_docs * 1000000 AS x,
+                   CAST(FLOOR(SQRT(CAST(n_docs * 1000000 AS DOUBLE)))
+                        AS BIGINT) AS s0
+            FROM c),
+    sq1 AS (SELECT source, n_docs, x,
+                   s0 - CASE WHEN s0 * s0 > x THEN 1 ELSE 0 END AS s1
+            FROM sq0),
+    j AS (SELECT source, n_docs,
+                 s1 + CASE WHEN (s1 + 1) * (s1 + 1) <= x
+                      THEN 1 ELSE 0 END AS wt
+          FROM sq1),
+    jr AS (SELECT source, n_docs, wt, (n_docs * 1000000) // wt AS r
+           FROM j),
+    lim AS (SELECT n_docs AS n_l, wt AS w_l FROM jr
+            ORDER BY r, source LIMIT 1),
+    rates AS (SELECT source,
+                     CAST(CASE WHEN n_docs > 0
+                          THEN (((n_l * wt) // w_l) * 1000000) // n_docs
+                          END AS BIGINT) AS rate_e6
+              FROM jr CROSS JOIN lim)
+    SELECT doc_id, source, rate_e6
+    FROM documents JOIN rates USING (source)
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                   || 'tmix-v1'), 1, 8))
+               AS BIGINT) % 1000000 < rate_e6
+"""
+
+ORACLES["length_bucket_batches"] = f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR) || 'batch-v1') AS key
+      FROM documents
+    ), b AS (
+      SELECT doc_id, key,
+             CASE {' '.join(f"WHEN n_tok < {1 << (k + 1)} THEN {k}"
+                            for k in range(12))}
+                  ELSE 12 END AS bucket,
+             CAST('0x' || substr(key, 1, 8) AS BIGINT) % 4 AS shard
+      FROM t
+    )
+    SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
+           CAST(shard AS BIGINT) AS shard,
+           CAST((ROW_NUMBER() OVER (PARTITION BY bucket, shard
+                                    ORDER BY key, doc_id) - 1) // 16
+                AS BIGINT) AS batch
+    FROM b
+"""
+
 # band keys from the md5-minhash twin: DuckDB rebuilds band_key =
 # the band's 4 signature values joined by '-' (string_agg ORDER BY
 # perm), the engine-portable form band_keys() emits Spark-side.
@@ -3095,6 +3314,37 @@ def _cluster_assign_oracle(dim: int = 64) -> str:
 
 
 ORACLES["embedding_cluster_assign"] = _cluster_assign_oracle
+
+
+def _outliers_oracle(dim: int = 64, frac_denom: int = 20) -> str:
+    """DuckDB twin of embedding_outliers: recomputed centroid
+    literals → each vector's own-cell dot (the max of its sims list)
+    rounded to 4, per-cell ascending rank with vec_id ties, integer
+    ceil cutoff — the same arithmetic order as the Spark plan."""
+    _, ctes = _ivf_cells_ctes(dim)
+    return f"""
+        WITH {ctes},
+        sc AS (
+          SELECT vec_id,
+                 CAST(list_position(s, list_aggregate(s, 'max')) - 1
+                      AS BIGINT) AS cluster,
+                 ROUND(list_aggregate(s, 'max'), 4) AS sim_c
+          FROM sims
+        ),
+        ranked AS (
+          SELECT vec_id, cluster, sim_c,
+                 ROW_NUMBER() OVER (PARTITION BY cluster
+                                    ORDER BY sim_c, vec_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY cluster) AS n
+          FROM sc
+        )
+        SELECT vec_id, cluster, sim_c,
+               rn <= (n + {frac_denom - 1}) // {frac_denom} AS is_outlier
+        FROM ranked
+    """
+
+
+ORACLES["embedding_outliers"] = _outliers_oracle
 
 
 def _knn_graph_oracle(k: int = 5, dim: int = 64) -> str:

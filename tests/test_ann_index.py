@@ -197,3 +197,29 @@ def test_centroids_recomputable_out_of_engine(spark, sf_dir, index):
     books_twin = S.subspace_kmeans(X, *idx.books.shape[:2], seed=42,
                                    max_iter=10)
     assert np.array_equal(books_twin, idx.books)
+
+
+def test_centroid_outliers_shape_and_cutoff(spark, sf_dir, index):
+    """Per cell: exactly ceil(n_c/20) rows flagged, and every flagged
+    sim is <= every unflagged sim (rank on the rounded score)."""
+    idx, emb, _, _ = index
+    out = A.centroid_outliers(idx).collect()
+    assert len(out) == emb.count()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cluster"], []).append(r)
+    for cell, rows in by_cell.items():
+        n = len(rows)
+        flagged = [r for r in rows if r["is_outlier"]]
+        assert len(flagged) == -(-n // 20), cell
+        if flagged and len(flagged) < n:
+            worst_kept = max(r["sim_c"] for r in flagged)
+            best_dropped = min(r["sim_c"] for r in rows
+                               if not r["is_outlier"])
+            assert worst_kept <= best_dropped
+
+
+def test_centroid_outliers_validates_args(index):
+    idx, _, _, _ = index
+    with pytest.raises(ValueError):
+        A.centroid_outliers(idx, frac_denom=0)

@@ -1,0 +1,178 @@
+"""Round-7 curation operators: cluster-representative dedup,
+leakage-safe splits, temperature mixing, length-bucketed batching.
+
+Oracle hash-equivalence runs in tools/verify_local.py / the driver;
+these tests pin the SEMANTICS on planted inputs the synthetic corpus
+can't exercise (real near-dup clusters, tie-breaks, exact isqrt
+boundaries, batch-shape invariants).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from goka_spark.functions import corpus as C
+from goka_spark.functions import dedup as D
+from goka_spark.queries.base import load
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents")["documents"]
+
+
+# ------------------------------------------------- cluster_keep
+
+def test_cluster_keep_picks_heaviest_ties_min_id(spark):
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (4, 7)], "doc_id long, n_chars long")
+    cc = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "node long, cluster_id long")
+    out = {r["doc_id"]: (r["cluster_id"], r["keep_id"])
+           for r in D.cluster_keep(docs, "doc_id", "n_chars", cc).collect()}
+    # weight 9 tie between 2 and 3 -> min id 2 wins; 4 is a singleton
+    assert out == {1: (1, 2), 2: (1, 2), 3: (1, 2), 4: (4, 4)}
+
+
+def test_dedup_minhash_keep_planted_near_dups(spark):
+    base = " ".join(f"tok{i}" for i in range(60))
+    rows = [
+        (1, base + " tail one extra words here", None),
+        (2, base, None),                       # near-dup of 1, shorter
+        (3, " ".join(f"other{i}" for i in range(40)), None),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, len(t)) for i, t, _ in rows],
+        "doc_id long, text string, n_chars long")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", num_perm=32,
+                                bands=8)
+    cc = D.connected_components(pairs)
+    out = {r["doc_id"]: r["keep_id"]
+           for r in D.cluster_keep(docs, "doc_id", "n_chars", cc).collect()}
+    assert out[1] == 1 and out[2] == 1        # longer copy kept
+    assert out[3] == 3                         # distinct doc untouched
+
+
+# ------------------------------------------- leakage-safe split
+
+def test_leakage_safe_split_keeps_cluster_together(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long")
+    # plant clusters {0..9} and {100, 101}
+    cc = spark.createDataFrame(
+        [(i, 0) for i in range(10)] + [(100, 100), (101, 100)],
+        "node long, cluster_id long")
+    out = C.leakage_safe_split(docs, "doc_id", cc)
+    per_cluster = (out.groupBy("cluster_id")
+                   .agg(F.countDistinct("split").alias("k")).collect())
+    assert all(r["k"] == 1 for r in per_cluster)
+    assert out.count() == 200
+    assert out.select("doc_id").distinct().count() == 200
+
+
+def test_leakage_safe_split_singletons_match_hash_split(spark, docs):
+    empty_cc = spark.createDataFrame([], "node long, cluster_id long")
+    a = C.leakage_safe_split(docs, "doc_id", empty_cc)
+    b = C.hash_split(docs, "doc_id")
+    moved = (a.alias("a").join(b.alias("b"), "doc_id")
+             .filter(F.col("a.split") != F.col("b.split")).count())
+    assert moved == 0
+
+
+# ------------------------------------------- temperature mixing
+
+def test_isqrt_exact_at_boundaries(spark):
+    vals = []
+    for k in (1, 7, 1000, 31623, 3037000498):  # last: isqrt(2^63-1) region
+        for x in (k * k - 1, k * k, k * k + 1):
+            if 0 < x < 2 ** 63:
+                vals.append(x)
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    out = df.select("x", C._isqrt(F.col("x")).alias("s")).collect()
+    for r in out:
+        assert r["s"] == math.isqrt(r["x"]), r["x"]
+
+
+def test_temperature_rates_exact_policy(spark):
+    rows = ([("a", i) for i in range(100)]
+            + [("b", i) for i in range(400)]
+            + [("c", i) for i in range(2500)])
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    rates = {r["source"]: (r["n_docs"], r["target"], r["rate_e6"])
+             for r in C.temperature_rates(df, "source").collect()}
+    # w = isqrt(n*1e6): a 10000, b 20000, c 50000; limiting = a
+    # targets: a 100, b 100*20000//10000=200, c 100*50000//10000=500
+    assert rates["a"] == (100, 100, 1_000_000)
+    assert rates["b"] == (400, 200, 500_000)
+    assert rates["c"] == (2500, 500, 200_000)
+
+
+def test_temperature_rates_match_pure_python(docs):
+    got = {r["source"]: (r["target"], r["rate_e6"])
+           for r in C.temperature_rates(docs, "source").collect()}
+    counts = {r["source"]: r["n"]
+              for r in docs.groupBy("source").agg(
+                  F.count("*").alias("n")).collect()}
+    w = {s: math.isqrt(n * 1_000_000) for s, n in counts.items()}
+    n_l, w_l = min(
+        ((counts[s], w[s]) for s in counts),
+        key=lambda t: ((t[0] * 1_000_000) // t[1],))
+    for s, n in counts.items():
+        t = n_l * w[s] // w_l
+        assert got[s] == (t, t * 1_000_000 // n), s
+
+
+def test_temperature_flattens_toward_tail(spark):
+    """α=1/2 keeps MORE of the tail relative to the head than the
+    proportional mix: rate ratio tail/head must exceed the inverse
+    size ratio's square root, not its full value."""
+    rows = ([("head", i) for i in range(10000)]
+            + [("tail", i) for i in range(100)])
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    r = {x["source"]: x["rate_e6"]
+         for x in C.temperature_rates(df, "source").collect()}
+    assert r["tail"] == 1_000_000          # limiting domain kept whole
+    # head keeps ~sqrt(100/10000)=10% under alpha=1/2 (vs 1% proportional)
+    assert 90_000 <= r["head"] <= 110_000
+
+
+# -------------------------------------------- length bucketing
+
+def test_length_bucket_boundaries(spark):
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate([1, 2, 3, 4, 7, 8, 4095, 4096, 99999])],
+        "doc_id long, n_tok long")
+    out = {r["doc_id"]: r["bucket"]
+           for r in C.length_bucket_batches(
+               df, "doc_id", "n_tok", batch_size=4, n_shards=1).collect()}
+    assert [out[i] for i in range(9)] == [0, 1, 1, 2, 2, 3, 11, 12, 12]
+
+
+def test_length_bucket_batches_shape(docs):
+    with_len = docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"))
+    out = C.length_bucket_batches(with_len, "doc_id", "n_tok",
+                                  batch_size=16, n_shards=4)
+    assert out.count() == docs.count()
+    sizes = out.groupBy("bucket", "shard", "batch").count()
+    assert sizes.filter(F.col("count") > 16).count() == 0
+    # all but the last batch of each (bucket, shard) run are full
+    short = sizes.filter(F.col("count") < 16)
+    last = (sizes.groupBy("bucket", "shard")
+            .agg(F.max("batch").alias("batch")))
+    not_last = short.join(last, ["bucket", "shard", "batch"], "left_anti")
+    assert not_last.count() == 0
+
+
+def test_length_bucket_batches_deterministic(docs):
+    with_len = docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"))
+    a = C.length_bucket_batches(with_len, "doc_id", "n_tok", 16, 4).collect()
+    b = C.length_bucket_batches(with_len, "doc_id", "n_tok", 16, 4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_length_bucket_batches_validates_args(docs):
+    with pytest.raises(ValueError):
+        C.length_bucket_batches(docs, "doc_id", "n_chars", 0, 4)
