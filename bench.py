@@ -65,6 +65,8 @@ HEADLINE = [
     # round 7 additions
     "corpus_pack_sequences",
     "ngram_novelty",
+    "dedup_minhash_keep",
+    "embedding_outliers",
 ]
 
 

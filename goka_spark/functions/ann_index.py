@@ -277,6 +277,73 @@ def append_vectors(index: ANNIndex, batch: DataFrame, id_col: str,
     return int(batch.count())
 
 
+def compact_index(index: ANNIndex, files_per_cell: int = 1) -> dict:
+    """Codes-table compaction — the small-files maintenance op the
+    append-based ingestion loop needs at scale: every
+    :func:`append_vectors` micro-batch adds one parquet file per
+    touched ``cell=`` dir, and after thousands of batches a probed
+    read opens thousands of tiny files (the classic object-store
+    small-files tax — per-file open/seek dominates and scan
+    throughput collapses; the same reason streaming tables run
+    OPTIMIZE/compaction jobs).  Rewrites the codes table to
+    ``files_per_cell`` file(s) per cell partition: row content
+    bit-identical, partition layout — and therefore probe pruning —
+    unchanged.
+
+    One shuffle hash-partitioned on (cell, id-slot): each cell lands
+    wholly in one task (files_per_cell=1) or in ``files_per_cell``
+    deterministic slices, so output file count is bounded by design,
+    never by input file count.  Publish is swap-by-rename on the
+    Hadoop FS (old dir renamed aside, compacted dir renamed in, old
+    deleted) — the build's publish discipline; readers that already
+    listed the old files keep reading them through the swap.  Refuses
+    shared-cache fingerprint-keyed indexes for the same single-writer
+    reason as append_vectors.
+
+    Returns ``{"files_before", "files_after", "rows"}``."""
+    if files_per_cell <= 0:
+        raise ValueError("files_per_cell must be positive")
+    cache_root = default_cache_dir().rstrip("/")
+    if index.path.rstrip("/").startswith(cache_root + "/"):
+        raise ValueError(
+            "compact_index would rewrite a fingerprint-keyed index in "
+            f"the shared cache ({index.path}); own the index dir "
+            "(explicit cache_dir) to run maintenance on it.")
+    spark = index.spark
+    codes_dir = _join(index.path, "codes")
+    fs, jvm, _ = _hfs(spark, codes_dir)
+    P = jvm.org.apache.hadoop.fs.Path
+
+    def n_files(d: str) -> int:
+        it = fs.listFiles(P(d), True)
+        n = 0
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    before = n_files(codes_dir)
+    df = spark.read.parquet(codes_dir)
+    rows = int(df.count())
+    tmp = codes_dir + f".compact{os.getpid()}"
+    (df.repartition(F.col("cell"),
+                    F.pmod(F.xxhash64("id"), F.lit(files_per_cell)))
+       .write.mode("overwrite").partitionBy("cell").parquet(tmp))
+    old = codes_dir + f".old{os.getpid()}"
+    if not fs.rename(P(codes_dir), P(old)):
+        fs.delete(P(tmp), True)
+        raise RuntimeError(f"compact_index: could not move {codes_dir} "
+                           "aside (concurrent maintenance?)")
+    if not fs.rename(P(tmp), P(codes_dir)):
+        # restore the original table before giving up
+        fs.rename(P(old), P(codes_dir))
+        fs.delete(P(tmp), True)
+        raise RuntimeError(f"compact_index: could not publish {tmp}")
+    fs.delete(P(old), True)
+    return {"files_before": before, "files_after": n_files(codes_dir),
+            "rows": rows}
+
+
 def dedup_batch_vectors(index: ANNIndex, batch: DataFrame, id_col: str,
                         vec_col: str, threshold: float = 0.9,
                         n_probe: int = 1) -> DataFrame:

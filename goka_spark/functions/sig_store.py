@@ -143,6 +143,31 @@ class SignatureStore:
         self.append(fresh, id_col, text_col)
         return verdicts
 
+    def compact(self) -> dict:
+        """Small-files maintenance (twin of ``ann_index.
+        compact_index``): every ingest micro-batch appends one file
+        per touched bucket, so a long-running ingestion loop degrades
+        probe scans to thousands of tiny file opens.  Rewrite each
+        signature table through a staging table hash-partitioned on
+        its bucket key (repartition and bucketBy share Spark's
+        Murmur3 ``hash() pmod n``, so every task holds whole buckets
+        and the rewrite lands ~one file per bucket), then swap via
+        catalog rename — the table NAME the probes join against never
+        changes, and the bucket spec (and so the zero-exchange probe
+        plan) is preserved.  Returns per-table row counts."""
+        stats = {}
+        for tbl, key in ((self.md5_table, "h"), (self.band_table, "bk")):
+            staged = f"{tbl}_compacting"
+            self.spark.sql(f"DROP TABLE IF EXISTS {staged}")
+            df = self.spark.table(tbl).repartition(self.buckets, F.col(key))
+            (df.write.mode("overwrite").bucketBy(self.buckets, key)
+             .saveAsTable(staged))
+            stats[tbl] = self.spark.table(staged).count()
+            self.spark.sql(f"DROP TABLE {tbl}")
+            self.spark.sql(f"ALTER TABLE {staged} RENAME TO {tbl}")
+            self.spark.catalog.refreshTable(tbl)
+        return stats
+
     def drop(self) -> None:
         for t in (self.md5_table, self.band_table):
             self.spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -84,3 +84,45 @@ def test_append_refuses_shared_cache(spark, sf_dir, appended):
                         idx.centroids, idx.books)
     with pytest.raises(ValueError, match="fingerprint-keyed"):
         A.append_vectors(shared, batch, "vec_id", "embedding")
+
+
+def test_compact_preserves_rows_and_pruning(spark, sf_dir, tmp_path_factory):
+    """After several appends fragment the cell dirs, compaction must
+    leave row CONTENT identical, cut the file count to one per cell,
+    and keep probed partition pruning working."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    base = emb.filter(F.col("vec_id") < 200)
+    cache = str(tmp_path_factory.mktemp("ann_compact"))
+    fp = A.dataset_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = A.build_or_load(spark, base, "vec_id", "embedding",
+                          fingerprint=fp, cache_dir=cache)
+    for lo in (200, 300, 400):
+        A.append_vectors(
+            idx, emb.filter((F.col("vec_id") >= lo)
+                            & (F.col("vec_id") < lo + 100)),
+            "vec_id", "embedding")
+    want = sorted((r["id"], r["cell"], tuple(r["codes"]))
+                  for r in idx.codes().collect())
+    stats = A.compact_index(idx)
+    got = sorted((r["id"], r["cell"], tuple(r["codes"]))
+                 for r in idx.codes().collect())
+    assert got == want
+    assert stats["rows"] == len(want)
+    n_cells = idx.codes().select("cell").distinct().count()
+    assert stats["files_after"] == n_cells
+    assert stats["files_after"] < stats["files_before"]
+    # probed read on the compacted table still prunes and still answers
+    cell0 = idx.codes().select("cell").first()["cell"]
+    pruned = idx.codes([int(cell0)])
+    assert pruned.count() > 0
+    assert pruned.filter(F.col("cell") != cell0).count() == 0
+
+
+def test_compact_refuses_shared_cache(spark, sf_dir):
+    from goka_spark.queries.llmdata import _ann_index
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    idx = _ann_index(spark, sf_dir, emb)
+    with pytest.raises(ValueError):
+        A.compact_index(idx)
+    with pytest.raises(ValueError):
+        A.compact_index(idx, files_per_cell=0)

@@ -150,3 +150,51 @@ def test_streaming_ingest_sink_with_quality_gate(spark, tmp_path, store):
     assert got[11] == "new"
     assert got[20] == "rejected"      # gated again, not exact_dup —
     assert got[21] == "exact_dup"     # junk never entered the store
+
+
+def test_compact_preserves_contents_verdicts_and_bucketing(spark, sf_dir, store):
+    """Compaction is an IO rewrite, not new semantics: table contents
+    and probe verdicts are unchanged, the file count drops to ~one
+    per bucket, and the probe scan stays bucketed (zero-exchange
+    regime preserved)."""
+    import os
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    store.build(docs.filter(F.col("doc_id") % 10 == 5), "doc_id", "text")
+    for m in (6, 7, 8):                       # fragment: 3 append files/bucket
+        store.append(docs.filter(F.col("doc_id") % 10 == m),
+                     "doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+
+    def table_files(tbl):
+        loc = spark.sql(f"DESCRIBE EXTENDED {tbl}").filter(
+            "col_name = 'Location'").first()["data_type"]
+        path = loc.replace("file:", "")
+        return sum(1 for _, _, fs in os.walk(path)
+                   for f in fs if f.endswith(".parquet") or "part-" in f)
+
+    before_rows = sorted(map(tuple, spark.table(store.md5_table).collect()))
+    before_verdicts = sorted(map(tuple, store.dedup_batch(
+        batch, "doc_id", "text").collect()))
+    files_before = table_files(store.md5_table)
+
+    stats = store.compact()
+
+    assert stats[store.md5_table] == len(before_rows)
+    assert sorted(map(tuple, spark.table(store.md5_table).collect())) \
+        == before_rows
+    assert sorted(map(tuple, store.dedup_batch(
+        batch, "doc_id", "text").collect())) == before_verdicts
+    assert table_files(store.md5_table) < files_before
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = store.dedup_batch(batch, "doc_id", "text")
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    scans = [l for l in plan.splitlines()
+             if "FileScan" in l and "t_sig_store" in l]
+    assert scans and all("Bucketed: true" in l for l in scans), plan

@@ -299,6 +299,30 @@ def main():
         # n_cells ≈ √n that is n·√n — expect ~n^1.5, never n²
         r["knn_graph"] = timed("knn", ANN.knn_graph(idx, k=5))
 
+        # fuzzy-dedup keep pipeline (r7): sigs + band equi-join + CC
+        # over the collision graph + one arg-max join per cluster —
+        # pairs are within-copy only under salting, CC rounds bounded
+        # by cluster diameter — expect ~linear
+        kp_pairs = D.minhash_lsh_pairs(sdocs, "doc_id", "text",
+                                       num_perm=32, bands=8)
+        kp_cc = D.connected_components(kp_pairs)
+        r["minhash_keep"] = timed("keep", D.cluster_keep(
+            sdocs, "doc_id", "n_chars", kp_cc))
+
+        # temperature mix / length-bucket batches (r7): pure scans +
+        # domain-sized aggregates / (bucket, shard)-bounded windows —
+        # expect ~linear
+        from goka_spark.functions import corpus as CORP
+        r["temperature_mix"] = timed("tmix", CORP.temperature_mix(
+            sdocs, "doc_id", "source"))
+        wl = sdocs.select("doc_id", F.length("text").alias("n_tok"))
+        r["length_batches"] = timed("lb", CORP.length_bucket_batches(
+            wl, "doc_id", "n_tok", batch_size=16, n_shards=8))
+
+        # centroid outliers (r7): zero-recompute indexed read +
+        # broadcast centroid join + √n-cell windows — expect ~linear
+        r["centroid_outliers"] = timed("outl", ANN.centroid_outliers(idx))
+
         # Count-Min sketch (r6): one (row, bucket) hash-agg, state
         # depth×width regardless of rows — expect ~linear build
         sk_postings = D.shingle_postings(sdocs, "doc_id", "text", 3)
