@@ -286,6 +286,43 @@ def shuffle_order(df: DataFrame, id_col: str, n_shards: int,
             .select(id_col, "shard", "pos"))
 
 
+def release_manifest(df: DataFrame, id_col: str, text_col: str,
+                     n_shards: int = 8) -> DataFrame:
+    """Dataset-release manifest — one row per (split, shard) with doc
+    and token counts plus an ORDER-DEFINED content digest: md5 over
+    the shard's per-doc text md5s joined in training order.  This is
+    the artifact a release ships next to the data so any consumer —
+    the loader, a mirror, an auditor — can verify it holds exactly
+    the documents the release intended, in the intended order, with
+    one pass and no doc-level diffing.
+
+    Composes the hash policies (:func:`hash_split` membership,
+    :func:`shuffle_order` shard/position), so the manifest is a pure
+    function of (ids, texts, salts): any engine derives the identical
+    digests.  Scale shape: one scan + the shard hash-partition; the
+    per-group ordered fold runs inside one (split, shard) group —
+    size ``n_shards`` so a shard's md5 strings fit a task (the
+    shard_pack discipline), never a global sort."""
+    from goka_spark.functions.text import ws_token_count
+
+    sp = hash_split(df, id_col)
+    order = shuffle_order(df, id_col, n_shards)
+    base = (df.select(
+                F.col(id_col),
+                F.md5(F.encode(F.col(text_col), "UTF-8")).alias("_h"),
+                ws_token_count(F.col(text_col)).cast("long").alias("_t"))
+            .join(sp, id_col).join(order, id_col))
+    return (base.groupBy("split", "shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("_t").alias("n_tokens"),
+                 F.md5(F.array_join(
+                     F.transform(
+                         F.sort_array(F.collect_list(
+                             F.struct(F.col("pos"), F.col("_h")))),
+                         lambda s: s["_h"]),
+                     "|")).alias("digest")))
+
+
 def length_bucket_batches(df: DataFrame, id_col: str, len_col: str,
                           batch_size: int, n_shards: int,
                           max_bucket_pow: int = 12,

@@ -120,6 +120,7 @@ _FRONT = [
     "corpus_temperature_mix",
     "length_bucket_batches",
     "embedding_outliers",
+    "release_manifest",
 ]
 
 

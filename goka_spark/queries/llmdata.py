@@ -965,6 +965,17 @@ def length_bucket_batches(spark: SparkSession, sf: str) -> DataFrame:
                                    batch_size=16, n_shards=4)
 
 
+def release_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(split, shard) release manifest (C.release_manifest): doc
+    and token counts plus an order-defined digest — md5 over the
+    shard's per-doc text md5s joined in training order.  The shipped
+    artifact any consumer verifies a dataset release against; a pure
+    function of (ids, texts, salts), so the oracle derives identical
+    digests via string_agg ORDER BY pos."""
+    docs = load(spark, sf, "documents")["documents"]
+    return C.release_manifest(docs, "doc_id", "text")
+
+
 def corpus_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
     """α=1/2 temperature-smoothed domain mixture
     (C.temperature_mix): weight each source by isqrt(n·10^6) —
@@ -1212,6 +1223,7 @@ QUERIES = {
     "corpus_domain_mix": corpus_domain_mix,
     "corpus_temperature_mix": corpus_temperature_mix,
     "dedup_minhash_keep": dedup_minhash_keep,
+    "release_manifest": release_manifest,
     "corpus_weighted_sample": corpus_weighted_sample,
     "corpus_stats": corpus_stats,
     "source_overlap_matrix": source_overlap_matrix,
@@ -2893,6 +2905,43 @@ ORACLES["corpus_temperature_mix"] = """
     WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
                                    || 'tmix-v1'), 1, 8))
                AS BIGINT) % 1000000 < rate_e6
+"""
+
+# release manifest: hash_split membership + shuffle_order shard/pos
+# (both oracles inlined), digest = md5 of the pos-ordered per-doc md5s
+ORACLES["release_manifest"] = f"""
+    WITH sp AS (
+      SELECT doc_id,
+             CASE WHEN slot < 980 THEN 'train'
+                  WHEN slot < 990 THEN 'validation'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                            || 'split-v1'), 1, 8))
+                        AS BIGINT) % 1000 AS slot
+            FROM documents)
+    ), k AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || 'shuffle-v1') AS key
+      FROM documents
+    ), ord AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(key, 1, 8) AS BIGINT) % 8
+                  AS BIGINT) AS shard,
+             CAST(ROW_NUMBER() OVER (
+                    PARTITION BY CAST('0x' || substr(key, 1, 8) AS BIGINT) % 8
+                    ORDER BY key, doc_id) AS BIGINT) AS pos
+      FROM k
+    ), b AS (
+      SELECT d.doc_id, md5(d.text) AS h,
+             CAST(len({_WORDS}) AS BIGINT) AS t,
+             sp.split, ord.shard, ord.pos
+      FROM documents d JOIN sp USING (doc_id) JOIN ord USING (doc_id)
+    )
+    SELECT split, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t) AS BIGINT) AS n_tokens,
+           md5(string_agg(h, '|' ORDER BY pos)) AS digest
+    FROM b GROUP BY split, shard
 """
 
 ORACLES["length_bucket_batches"] = f"""

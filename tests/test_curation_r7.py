@@ -176,3 +176,31 @@ def test_length_bucket_batches_deterministic(docs):
 def test_length_bucket_batches_validates_args(docs):
     with pytest.raises(ValueError):
         C.length_bucket_batches(docs, "doc_id", "n_chars", 0, 4)
+
+
+# -------------------------------------------- release manifest
+
+def test_release_manifest_detects_tampering(spark):
+    docs = spark.createDataFrame(
+        [(i, f"some document text number {i} with words") for i in range(80)],
+        "doc_id long, text string")
+    base = {(r["split"], r["shard"]): r["digest"]
+            for r in C.release_manifest(docs, "doc_id", "text").collect()}
+    mutated = docs.withColumn(
+        "text", F.when(F.col("doc_id") == 7, F.lit("tampered"))
+                 .otherwise(F.col("text")))
+    after = {(r["split"], r["shard"]): r["digest"]
+             for r in C.release_manifest(mutated, "doc_id", "text").collect()}
+    assert set(base) == set(after)
+    diffs = {k for k in base if base[k] != after[k]}
+    assert len(diffs) == 1          # only doc 7's (split, shard) digest moves
+
+
+def test_release_manifest_partitioning_invariant(spark, docs):
+    a = sorted(map(tuple,
+                   C.release_manifest(docs, "doc_id", "text").collect()))
+    b = sorted(map(tuple,
+                   C.release_manifest(docs.repartition(13), "doc_id",
+                                      "text").collect()))
+    assert a == b
+    assert sum(r[2] for r in a) == docs.count()   # n_docs covers corpus
