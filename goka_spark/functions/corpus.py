@@ -323,6 +323,59 @@ def release_manifest(df: DataFrame, id_col: str, text_col: str,
                      "|")).alias("digest")))
 
 
+def split_contamination_audit(df: DataFrame, id_col: str,
+                              text_col: str, shingle: int = 3,
+                              splits=(("train", 980), ("validation", 10),
+                                      ("test", 10)),
+                              salt: str = "split-v1") -> DataFrame:
+    """Post-split leakage AUDIT — for every eval (non-train) document,
+    how much of its content already sits in the train split: the
+    fraction of its distinct word ``shingle``-grams that occur in ANY
+    train document.  This is the release-gate check run AFTER
+    :func:`hash_split` (or any split policy): decontamination removes
+    known benchmarks from train, but only an audit like this catches
+    organic overlap — boilerplate, mirrored pages, templated text —
+    that makes eval numbers look better than they are.
+
+    One row per eval doc: ``(id, split, n_sh, hits,
+    contamination_e6)`` where ``contamination_e6 =
+    floor(1e6 * hits / n_sh)`` (0 for shingle-less docs).
+
+    Scale shape: distinct shingle postings (codegen window pass) +
+    one equi-join of eval postings against the distinct train shingle
+    set — an inverted-index semi-join on the shingle key, linear in
+    postings, never eval×train; the verdict agg is a doc-keyed
+    hash-agg with map-side combine."""
+    from goka_spark.functions.dedup import shingle_postings
+
+    sp = hash_split(df, id_col, list(splits), salt)
+    post = (shingle_postings(df, id_col, text_col, n=shingle)
+            .join(sp.withColumnRenamed(id_col, "doc"), "doc"))
+    train_sh = (post.filter(F.col("split") == "train")
+                .select("sh").distinct())
+    ev = post.filter(F.col("split") != "train")
+    hits = (ev.join(train_sh, "sh", "left_semi")
+            .groupBy("doc").agg(F.count("*").alias("hits")))
+    per = (ev.groupBy("doc", "split")
+           .agg(F.count("*").alias("n_sh"))
+           .join(hits, "doc", "left")
+           .withColumn("hits", F.coalesce(F.col("hits"), F.lit(0))))
+    # eval docs with no shingles (empty text) still appear, at 0
+    empty = (sp.filter(F.col("split") != "train")
+             .join(post.select("doc").distinct()
+                   .withColumnRenamed("doc", id_col), id_col, "left_anti")
+             .select(F.col(id_col).alias("doc"), "split",
+                     F.lit(0).cast("long").alias("n_sh"),
+                     F.lit(0).cast("long").alias("hits")))
+    return (per.unionByName(empty)
+            .select(F.col("doc").alias(id_col), "split",
+                    F.col("n_sh").cast("long"), F.col("hits").cast("long"),
+                    F.when(F.col("n_sh") > 0,
+                           F.floor(F.col("hits") * 1000000
+                                   / F.col("n_sh").cast("double")))
+                     .otherwise(0).cast("long").alias("contamination_e6")))
+
+
 def length_bucket_batches(df: DataFrame, id_col: str, len_col: str,
                           batch_size: int, n_shards: int,
                           max_bucket_pow: int = 12,

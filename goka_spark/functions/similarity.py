@@ -885,3 +885,53 @@ def hard_negative_topk(corpus: DataFrame, queries: DataFrame,
                     F.col("_cl").alias("neighbor_label"),
                     F.round("cos", 4).alias("cos"),
                     F.col("rk").cast("long").alias("rk")))
+
+
+def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Scalar int8 quantization of an embedding column — the 4×
+    memory/IO reduction every vector store applies before ANN serving
+    (FAISS ``ScalarQuantizer QT_8bit``): per-DIMENSION global
+    [min, max] ranges, each coordinate encoded to
+    ``q = clamp(floor((x - mn) * 255 / (mx - mn)), 0, 255)``.
+    Against PQ (``pq_encode``) this is the transparent low-loss tier:
+    no codebook training, decode is two flops, recall loss near zero.
+
+    Returns one row per vector: ``(id, codes_md5, recon_mse)`` —
+    the md5 of the '|'-joined code bytes (the auditable content
+    digest of the quantized artifact; any engine re-derives it) and
+    the round-trip reconstruction error under the midpoint decode
+    ``x̂ = mn + (q + 0.5)·(mx − mn)/255`` (ROUND(·, 6)).
+
+    Scale shape: one posexplode + per-dimension min/max hash-agg
+    (map-side combined — shuffle is dim × partitions rows, nothing
+    like the corpus), ranges rejoined as a broadcast dim-row array,
+    then a single scan encodes; no collect of vector data."""
+    mm = (df.select(F.posexplode(_as_double(F.col(vec_col)))
+                    .alias("_d", "_x"))
+          .groupBy("_d")
+          .agg(F.min("_x").alias("_mn"), F.max("_x").alias("_mx")))
+    rng = (mm.groupBy()
+           .agg(F.sort_array(F.collect_list(F.struct("_d", "_mn", "_mx")))
+                .alias("_s"))
+           .select(F.transform("_s", lambda s: s["_mn"]).alias("_mns"),
+                   F.transform("_s", lambda s: s["_mx"] - s["_mn"])
+                    .alias("_rgs")))
+    enc = (df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+           .join(F.broadcast(rng))
+           .withColumn("_q", F.zip_with(
+               F.zip_with("_v", "_mns", lambda x, m: x - m), "_rgs",
+               lambda d, r: F.when(r > 0, F.least(
+                   F.lit(255), F.greatest(F.lit(0),
+                                          F.floor(d * 255.0 / r))))
+                             .otherwise(0).cast("long"))))
+    err = F.zip_with(
+        F.zip_with("_v", "_mns", lambda x, m: x - m),
+        F.zip_with("_q", "_rgs",
+                   lambda q, r: (q + 0.5) * r / 255.0),
+        lambda d, xh: (d - xh) * (d - xh))
+    return enc.select(
+        F.col(id_col),
+        F.md5(F.array_join(F.col("_q").cast("array<string>"), "|"))
+         .alias("codes_md5"),
+        F.round(F.aggregate(err, F.lit(0.0), lambda a, x: a + x)
+                / F.size("_v"), 6).alias("recon_mse"))

@@ -876,3 +876,57 @@ def line_quality_filter(df, id_col: str, text_col: str,
                     (F.col("lines_total")
                      - F.coalesce("_kept", F.lit(0)))
                     .cast("long").alias("lines_removed")))
+
+
+def vocab_growth(df, id_col: str, text_col: str,
+                 n_points: int = 10):
+    """Vocabulary-growth curve (Heaps' law audit): at ``n_points``
+    id-space checkpoints, how many documents / whitespace tokens have
+    been ingested and how large the distinct-word vocabulary has
+    grown.  Sub-linear growth (V ≈ K·nᵝ, β≈0.5) is the healthy
+    natural-text signature; a curve that bends flat early means
+    boilerplate/duplication, one that stays linear means noise or id
+    churn — the one-glance corpus-composition diagnostic.
+
+    Checkpoints are VALUE-space deciles of the id range
+    (``c_k = mn + ceil(span·k/n) − 1``, exact integer arithmetic) —
+    a pure function of (min, max), so no global sort or row-ranking
+    anywhere and any engine derives identical checkpoints.
+
+    Returns ``n_points`` rows ``(checkpoint, n_docs, cum_tokens,
+    vocab_size)``, all exact integers.  Scale shape: one postings
+    pass → per-word min-id hash-agg (vocabulary-sized), one per-doc
+    token-count scan, each joined to the broadcast n-row checkpoint
+    frame on ``first <= c`` (an n-way replicate of already-reduced
+    frames, map-side combined) — never a sort, never a window over
+    the corpus."""
+    if n_points < 1:
+        raise ValueError("n_points must be >= 1")
+    ck = (df.agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
+          .select("_mn", "_mx",
+                  F.explode(F.sequence(F.lit(1), F.lit(n_points)))
+                   .alias("_k"))
+          .select(F.expr(f"_mn + ((_mx - _mn + 1) * _k + {n_points} - 1) "
+                         f"DIV {n_points} - 1").alias("checkpoint"))
+          .distinct())  # tiny id-spans can repeat a checkpoint value
+    first = (df.select(F.col(id_col).alias("_doc"),
+                       F.explode(words(F.col(text_col))).alias("_w"))
+             .groupBy("_w").agg(F.min("_doc").alias("_first")))
+    vocab = (first.join(F.broadcast(ck),
+                        F.col("_first") <= F.col("checkpoint"))
+             .groupBy("checkpoint")
+             .agg(F.count("*").alias("vocab_size")))
+    per_doc = df.select(F.col(id_col).alias("_doc"),
+                        ws_token_count(F.col(text_col)).cast("long")
+                         .alias("_t"))
+    docs = (per_doc.join(F.broadcast(ck),
+                         F.col("_doc") <= F.col("checkpoint"))
+            .groupBy("checkpoint")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("_t").alias("cum_tokens")))
+    return (docs.join(vocab, "checkpoint", "left")
+            .select(F.col("checkpoint").cast("long"),
+                    F.col("n_docs").cast("long"),
+                    F.col("cum_tokens").cast("long"),
+                    F.coalesce(F.col("vocab_size"), F.lit(0))
+                     .cast("long").alias("vocab_size")))

@@ -121,6 +121,9 @@ _FRONT = [
     "length_bucket_batches",
     "embedding_outliers",
     "release_manifest",
+    "split_contamination_audit",
+    "vocab_growth",
+    "embedding_quantize_int8",
 ]
 
 

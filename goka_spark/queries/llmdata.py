@@ -976,6 +976,36 @@ def release_manifest(spark: SparkSession, sf: str) -> DataFrame:
     return C.release_manifest(docs, "doc_id", "text")
 
 
+def split_contamination_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Post-split leakage audit (C.split_contamination_audit): per
+    eval doc, the fraction of its distinct 3-gram shingles present in
+    ANY train document — the organic-overlap check that runs after
+    the split policy, catching the boilerplate/mirror leakage that
+    benchmark decontamination never sees.  Inverted-index semi-join
+    on the shingle key, never eval×train."""
+    docs = load(spark, sf, "documents")["documents"]
+    return C.split_contamination_audit(docs, "doc_id", "text")
+
+
+def vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve (T.vocab_growth): docs /
+    cumulative tokens / distinct-vocabulary size at 10 exact id-space
+    checkpoints — the corpus-composition diagnostic (sub-linear
+    growth is healthy text; early-flat means duplication).  One
+    postings min-agg + broadcast checkpoint join; no sort anywhere."""
+    docs = load(spark, sf, "documents")["documents"]
+    return T.vocab_growth(docs, "doc_id", "text")
+
+
+def embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar int8 quantization (S.quantize_int8): per-dimension
+    global [min,max] ranges, coordinates to 0..255 codes — the 4×
+    serving-tier compression (FAISS SQ8 analog).  Emits the per-vector
+    code digest + midpoint-decode reconstruction MSE."""
+    emb = load(spark, sf, "embeddings")["embeddings"]
+    return S.quantize_int8(emb, "vec_id", "embedding")
+
+
 def corpus_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
     """α=1/2 temperature-smoothed domain mixture
     (C.temperature_mix): weight each source by isqrt(n·10^6) —
@@ -1224,6 +1254,9 @@ QUERIES = {
     "corpus_temperature_mix": corpus_temperature_mix,
     "dedup_minhash_keep": dedup_minhash_keep,
     "release_manifest": release_manifest,
+    "split_contamination_audit": split_contamination_audit,
+    "vocab_growth": vocab_growth,
+    "embedding_quantize_int8": embedding_quantize_int8,
     "corpus_weighted_sample": corpus_weighted_sample,
     "corpus_stats": corpus_stats,
     "source_overlap_matrix": source_overlap_matrix,
@@ -2942,6 +2975,119 @@ ORACLES["release_manifest"] = f"""
            CAST(SUM(t) AS BIGINT) AS n_tokens,
            md5(string_agg(h, '|' ORDER BY pos)) AS digest
     FROM b GROUP BY split, shard
+"""
+
+# split contamination audit: hash_split membership (inlined) +
+# distinct 3-gram postings; hits = eval postings whose shingle occurs
+# in ANY train doc; shingle-less eval docs appear with zeros
+ORACLES["split_contamination_audit"] = f"""
+    WITH sp AS (
+      SELECT doc_id,
+             CASE WHEN slot < 980 THEN 'train'
+                  WHEN slot < 990 THEN 'validation'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                            || 'split-v1'), 1, 8))
+                        AS BIGINT) % 1000 AS slot
+            FROM documents)
+    ), d AS (
+      SELECT doc_id, {_WORDS} AS words FROM documents
+    ), post AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+               range(1, greatest(len(words) - 2, 1) + 1),
+               i -> array_to_string(words[i:i+2], ' ')))) AS sh
+      FROM d WHERE len(words) >= 1
+    ), tr AS (
+      SELECT DISTINCT sh FROM post JOIN sp USING (doc_id)
+      WHERE split = 'train'
+    ), agg AS (
+      SELECT p.doc_id, sp.split,
+             COUNT(*) AS n_sh,
+             COALESCE(SUM(CASE WHEN t.sh IS NOT NULL THEN 1 END), 0)
+               AS hits
+      FROM post p JOIN sp USING (doc_id)
+      LEFT JOIN tr t USING (sh)
+      WHERE sp.split <> 'train'
+      GROUP BY p.doc_id, sp.split
+    )
+    SELECT doc_id, split, CAST(n_sh AS BIGINT) AS n_sh,
+           CAST(hits AS BIGINT) AS hits,
+           CAST(FLOOR(hits * 1000000 / CAST(n_sh AS DOUBLE)) AS BIGINT)
+             AS contamination_e6
+    FROM agg
+    UNION ALL
+    SELECT sp.doc_id, sp.split, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM sp
+    WHERE split <> 'train'
+      AND doc_id NOT IN (SELECT DISTINCT doc_id FROM post)
+"""
+
+# vocab growth: value-space decile checkpoints (exact integer
+# arithmetic on the id range), per-word first-occurrence min-agg
+ORACLES["vocab_growth"] = f"""
+    WITH mm AS (
+      SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents
+    ), ck AS (
+      SELECT DISTINCT mn + ((mx - mn + 1) * k + 9) // 10 - 1
+               AS checkpoint
+      FROM mm, generate_series(1, 10) t(k)
+    ), fw AS (
+      SELECT w, MIN(doc_id) AS first
+      FROM (SELECT doc_id, UNNEST({_WORDS}) AS w FROM documents)
+      GROUP BY w
+    ), v AS (
+      SELECT checkpoint, COUNT(*) AS vocab_size
+      FROM fw JOIN ck ON first <= checkpoint GROUP BY checkpoint
+    ), dts AS (
+      SELECT checkpoint, COUNT(*) AS n_docs, SUM(t) AS cum_tokens
+      FROM (SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS t
+            FROM documents)
+      JOIN ck ON doc_id <= checkpoint GROUP BY checkpoint
+    )
+    SELECT CAST(checkpoint AS BIGINT) AS checkpoint,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(COALESCE(vocab_size, 0) AS BIGINT) AS vocab_size
+    FROM dts LEFT JOIN v USING (checkpoint)
+"""
+
+# int8 scalar quantization: per-dim global [min,max], code =
+# clamp(floor((x-mn)*255/rg)), digest over '|'-joined codes, midpoint
+# decode MSE via an ordered left fold (bit-identical to F.aggregate)
+ORACLES["embedding_quantize_int8"] = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), mm AS (
+      SELECT d, MIN(x) AS mn, MAX(x) AS mx
+      FROM (SELECT UNNEST(v) AS x,
+                   UNNEST(range(1, len(v) + 1)) AS d FROM e)
+      GROUP BY d
+    ), r AS (
+      SELECT list(mn ORDER BY d) AS mns,
+             list(mx - mn ORDER BY d) AS rgs
+      FROM mm
+    ), q AS (
+      SELECT vec_id, v, mns, rgs,
+             list_transform(range(1, len(v) + 1),
+               i -> CASE WHEN rgs[i] > 0
+                    THEN CAST(LEAST(255, GREATEST(0,
+                         FLOOR((v[i] - mns[i]) * 255.0 / rgs[i])))
+                         AS BIGINT)
+                    ELSE 0 END) AS qs
+      FROM e, r
+    )
+    SELECT vec_id,
+           md5(array_to_string(qs, '|')) AS codes_md5,
+           ROUND(list_reduce(list_prepend(0.0,
+                   list_transform(range(1, len(v) + 1),
+                     i -> ((v[i] - mns[i])
+                           - (qs[i] + 0.5) * rgs[i] / 255.0)
+                          * ((v[i] - mns[i])
+                             - (qs[i] + 0.5) * rgs[i] / 255.0))),
+                 (a, x) -> a + x) / len(v), 6) AS recon_mse
+    FROM q
 """
 
 ORACLES["length_bucket_batches"] = f"""

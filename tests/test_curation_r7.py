@@ -204,3 +204,92 @@ def test_release_manifest_partitioning_invariant(spark, docs):
                                       "text").collect()))
     assert a == b
     assert sum(r[2] for r in a) == docs.count()   # n_docs covers corpus
+
+
+# ---------------------------------- split contamination audit
+
+def test_split_contamination_planted_overlap(spark):
+    # craft ids so split assignment is known, then plant overlap
+    from goka_spark.functions.corpus import hash_slot
+    ids = spark.range(0, 4000).select(F.col("id").alias("doc_id"))
+    slots = {r["doc_id"]: r["s"] for r in ids.select(
+        "doc_id", hash_slot(F.col("doc_id"), 1000, "split-v1")
+        .alias("s")).collect()}
+    train_id = next(i for i, s in slots.items() if s < 980)
+    eval_ids = [i for i, s in slots.items() if s >= 980][:2]
+    shared = "alpha beta gamma delta epsilon"          # 3 shingles
+    rows = [(train_id, shared)]
+    rows.append((eval_ids[0], shared))                 # fully leaked
+    rows.append((eval_ids[1], "zeta eta theta iota kappa"))  # clean
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in C.split_contamination_audit(
+        docs, "doc_id", "text").collect()}
+    assert set(out) == set(eval_ids)                   # eval rows only
+    leaked, clean = out[eval_ids[0]], out[eval_ids[1]]
+    assert leaked["hits"] == leaked["n_sh"] == 3
+    assert leaked["contamination_e6"] == 1_000_000
+    assert clean["hits"] == 0 and clean["contamination_e6"] == 0
+
+
+def test_split_contamination_empty_eval_doc(spark):
+    from goka_spark.functions.corpus import hash_slot
+    ids = spark.range(0, 4000).select(F.col("id").alias("doc_id"))
+    slots = {r["doc_id"]: r["s"] for r in ids.select(
+        "doc_id", hash_slot(F.col("doc_id"), 1000, "split-v1")
+        .alias("s")).collect()}
+    ev = next(i for i, s in slots.items() if s >= 980)
+    tr = next(i for i, s in slots.items() if s < 980)
+    docs = spark.createDataFrame(
+        [(tr, "some words here"), (ev, "")], "doc_id long, text string")
+    out = C.split_contamination_audit(docs, "doc_id", "text").collect()
+    assert len(out) == 1 and out[0]["doc_id"] == ev
+    assert out[0]["n_sh"] == 0 and out[0]["contamination_e6"] == 0
+
+
+# ------------------------------------------------- vocab growth
+
+def test_vocab_growth_curve_monotone_and_exact(spark):
+    from goka_spark.functions.text import vocab_growth
+    rows = [(i, " ".join(f"w{j}" for j in range(i + 1))) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(map(tuple, vocab_growth(docs, "doc_id", "text").collect()))
+    assert [r[0] for r in out] == [1, 3, 5, 7, 9, 11, 13, 15, 17, 19]
+    # doc i introduces exactly word w{i}: vocab == n_docs at each point
+    for c, n_docs, cum_tok, vocab in out:
+        assert n_docs == c + 1
+        assert vocab == c + 1                      # w0..wc seen so far
+        assert cum_tok == (c + 1) * (c + 2) // 2   # doc i has i+1 tokens
+    with pytest.raises(ValueError):
+        vocab_growth(docs, "doc_id", "text", n_points=0)
+
+
+# --------------------------------------------- int8 quantization
+
+def test_quantize_int8_codes_and_error(spark):
+    from goka_spark.functions import similarity as S
+    rows = [(1, [0.0, 10.0]), (2, [5.0, 20.0]), (3, [10.0, 30.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in
+           S.quantize_int8(emb, "vec_id", "embedding").collect()}
+    import hashlib
+    # dim0 range [0,10]: codes 0,127,255; dim1 range [10,30]: 0,127,255
+    def h(codes):
+        return hashlib.md5("|".join(map(str, codes)).encode()).hexdigest()
+    assert out[1]["codes_md5"] == h([0, 0])
+    assert out[2]["codes_md5"] == h([127, 127])
+    assert out[3]["codes_md5"] == h([255, 255])
+    # max reconstruction offset is half a step -> mse bounded by step^2
+    for r in out.values():
+        assert 0 <= r["recon_mse"] <= (20 / 255.0) ** 2
+
+
+def test_quantize_int8_constant_dim_is_zero_code(spark):
+    from goka_spark.functions import similarity as S
+    emb = spark.createDataFrame(
+        [(1, [3.0, 1.0]), (2, [3.0, 2.0])],
+        "vec_id long, embedding array<float>")
+    import hashlib
+    out = {r["vec_id"]: r["codes_md5"] for r in
+           S.quantize_int8(emb, "vec_id", "embedding").collect()}
+    assert out[1] == hashlib.md5(b"0|0").hexdigest()   # flat dim -> 0
+    assert out[2] == hashlib.md5(b"0|255").hexdigest()
