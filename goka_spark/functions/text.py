@@ -577,12 +577,18 @@ def gopher_repetition(df, id_col: str, text_col: str,
     Scale shape: tokens and per-doc totals are scan-stage from the
     words array (no window); every n-gram size comes from ONE
     window-lead pass (codegen concat of lead columns — measured ~2×
-    faster than interpreted array slices, and its only consumers are
-    the gram hash-agg and the dup join, so the corpus is never
-    re-windowed per branch the way the first cut's 8 windows did).
-    One (doc, n, gram) hash-agg, a coverage join bounded by
-    positions × n.  Everything is keyed by doc — at 100 TB the heavy
-    aggs all partial-aggregate map-side."""
+    faster than interpreted array slices).  The (doc, n, gram)
+    hash-agg carries the dup-n position lists alongside the counts,
+    so NO join ever touches a postings-sized frame: dup coverage
+    explodes positions of the (rare) cnt>=2 grams only, folds to a
+    per-(doc, n) covered-position set, and prices it against a
+    per-doc word-length ARRAY — every join in the plan is doc-keyed
+    between doc-sized frames.  (The first cut joined grams back to
+    the count table and cov back to the token table; at 64× probe
+    scale AQE turned the sub-threshold-compressed count side into a
+    >1 GiB in-memory broadcast and the build OOMed — corpus-sized
+    frames must never be join-build sides.)  Everything is keyed by
+    doc — at 100 TB the heavy aggs all partial-aggregate map-side."""
     from pyspark.sql.window import Window
 
     ns = sorted(set(top_ns) | set(dup_ns))
@@ -602,8 +608,7 @@ def gopher_repetition(df, id_col: str, text_col: str,
         .filter(F.col("n_words") > 0))
 
     tok = (src.select("doc", F.posexplode("_ws").alias("_p0", "_w"))
-           .select("doc", (F.col("_p0") + 1).alias("pos"),
-                   F.col("_w"), F.length("_w").alias("_wlen")))
+           .select("doc", (F.col("_p0") + 1).alias("pos"), F.col("_w")))
 
     win = Window.partitionBy("doc").orderBy("pos")
     g0 = tok.select(
@@ -624,7 +629,12 @@ def gopher_repetition(df, id_col: str, text_col: str,
              .select("doc", "pos", F.col("g.n").alias("n"),
                      F.col("g.gram").alias("gram")))
 
-    cnts = grams.groupBy("doc", "n", "gram").agg(F.count("*").alias("cnt"))
+    # one agg serves both rule families: counts for top-n, position
+    # lists (dup ns only — `when` nulls are skipped) for coverage
+    cnts = grams.groupBy("doc", "n", "gram").agg(
+        F.count("*").alias("cnt"),
+        F.collect_list(F.when(F.col("n").isin(list(dup_ns)),
+                              F.col("pos"))).alias("_ps"))
 
     wtop = Window.partitionBy("doc", "n").orderBy(
         F.col("cnt").desc(), F.col("gram"))
@@ -638,17 +648,21 @@ def gopher_repetition(df, id_col: str, text_col: str,
         F.max(F.when(F.col("n") == n, F.col("v")))
         .alias(f"top{n}_frac_e6") for n in top_ns])
 
-    dupp = (grams.join(cnts.filter(F.col("cnt") >= 2), ["doc", "n", "gram"])
-            .filter(F.col("n").isin(list(dup_ns)))
-            .select("doc", "n", "pos"))
-    cov = (dupp.select("doc", "n",
-                       F.explode(F.sequence(
-                           F.col("pos"),
-                           F.col("pos") + F.col("n") - 1)).alias("i"))
-           .distinct())
-    covch = (cov.join(tok.select("doc", F.col("pos").alias("i"), "_wlen"),
-                      ["doc", "i"])
-             .groupBy("doc", "n").agg(F.sum("_wlen").alias("_cch"))
+    covset = (cnts.filter((F.col("cnt") >= 2)
+                          & F.col("n").isin(list(dup_ns)))
+              .select("doc", "n", F.explode("_ps").alias("_p"))
+              .select("doc", "n",
+                      F.explode(F.sequence(
+                          F.col("_p"),
+                          F.col("_p") + F.col("n") - 1)).alias("i"))
+              .groupBy("doc", "n")
+              .agg(F.collect_set("i").alias("_is")))
+    wlens = src.select("doc", F.transform("_ws", F.length).alias("_wl"))
+    covch = (covset.join(wlens, "doc")
+             .select("doc", "n",
+                     F.aggregate("_is", F.lit(0).cast("long"),
+                                 lambda a, i: a + F.element_at("_wl", i))
+                     .alias("_cch"))
              .join(totals, "doc")
              .select("doc", "n",
                      F.expr("(_cch * 1000000L) DIV greatest(chars, 1L)")

@@ -29,6 +29,7 @@ _FRONT = [
     "ngram_cms_estimate",
     "hll_distinct_users",
     "corpus_quality_pipeline",
+    "gopher_repetition",  # r7 refactor: no postings-sized join sides
     # (b) the r03-stale block (latest driver row three rounds old)
     "ngram_jaccard_pairs",
     "ngram_jaccard_prefix",
