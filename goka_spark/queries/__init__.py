@@ -125,6 +125,8 @@ _FRONT = [
     "split_contamination_audit",
     "vocab_growth",
     "embedding_quantize_int8",
+    "unigram_token_count",
+    "unigram_encode_docs",
 ]
 
 

@@ -286,6 +286,46 @@ def _bpe_merges(docs, sf: str, n_merges: int = 16) -> list:
     return _BPE_MERGES[key]
 
 
+#: unigram pieces are a pure function of (corpus word dict, hparams)
+#: — memo per sf so the count and encode queries train once
+_UNI_PIECES: dict = {}
+
+
+def _uni_pieces(docs, sf: str) -> dict:
+    from goka_spark.functions import unigram as U
+
+    if sf not in _UNI_PIECES:
+        _UNI_PIECES[sf] = U.unigram_train(docs, "doc_id", "text")
+    return _UNI_PIECES[sf]
+
+
+def unigram_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc token counts under a corpus-trained unigram-LM
+    vocabulary (functions/unigram.py — the SentencePiece-family twin
+    of BPE, hard-EM with integer micro-nat Viterbi costs): training
+    is a substring-seed hash-agg + 3 EM rounds over the word DICT,
+    the corpus pass is one broadcast word→n_tokens join.  Fully
+    hash-verified: pieces are a pure function of (word dict,
+    hparams), so the oracle re-trains them in pure Python and
+    verifies counts via a literal vocabulary table."""
+    from goka_spark.functions import unigram as U
+
+    docs = load(spark, sf, "documents")["documents"]
+    return U.unigram_token_count(docs, "doc_id", "text",
+                                 _uni_pieces(docs, sf))
+
+
+def unigram_encode_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Full per-doc subword sequences under the trained unigram
+    vocabulary — string-exact against the pure-Python re-training
+    (the bpe_encode_docs contract for the second codec family)."""
+    from goka_spark.functions import unigram as U
+
+    docs = load(spark, sf, "documents")["documents"]
+    return U.unigram_encode(docs, "doc_id", "text",
+                            _uni_pieces(docs, sf))
+
+
 def bpe_token_count_batched(spark: SparkSession, sf: str) -> DataFrame:
     """The r7 vocab-scale trainer, driver-verified end to end: 48
     merges trained with bpe_train_batched (up to 8 symbol-disjoint
@@ -1281,6 +1321,8 @@ QUERIES = {
     "perplexity_buckets": perplexity_buckets,
     "line_quality_filter": line_quality_filter,
     "bpe_token_count": bpe_token_count,
+    "unigram_token_count": unigram_token_count,
+    "unigram_encode_docs": unigram_encode_docs,
     "bpe_token_count_batched": bpe_token_count_batched,
     "bpe_encode_docs": bpe_encode_docs,
     "lang_audit": lang_audit,
@@ -2597,6 +2639,76 @@ def _bpe_encode_oracle(n_merges: int = 16) -> str:
 
 
 ORACLES["bpe_encode_docs"] = _bpe_encode_oracle
+
+
+def _uni_word_table() -> dict:
+    """Re-train the unigram vocabulary in pure Python from the same
+    word dict (train_py == the Spark EM rounds — pinned by tests) and
+    Viterbi-encode every dict word; shared by both unigram oracles."""
+    import duckdb
+
+    from goka_spark.functions import unigram as U
+
+    sf_dir = _ivf_oracle_sf()
+    wf = dict(duckdb.sql(
+        f"SELECT w, COUNT(*) FROM (SELECT UNNEST({_WORDS}) AS w "
+        f"FROM '{sf_dir}/documents.parquet') GROUP BY w").fetchall())
+    pieces = U.train_py(wf)
+    costs = U.piece_costs(pieces)
+    return {w: U.viterbi_py(w, costs) for w in wf}
+
+
+def _uni_count_oracle() -> str:
+    """DuckDB twin of unigram_token_count — literal word→n_tokens
+    table from the recomputed vocabulary, per-doc sum in SQL."""
+    enc = _uni_word_table()
+    values = ", ".join(
+        "('{}', {})".format(w.replace("'", "''"), len(t))
+        for w, t in sorted(enc.items()))
+    return f"""
+        WITH wt(word, n_tokens) AS (VALUES {values}),
+        d AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+        tok AS (SELECT doc_id, UNNEST(words) AS word FROM d),
+        per AS (
+          SELECT doc_id, COUNT(*) AS n_words, SUM(n_tokens) AS uni
+          FROM tok JOIN wt USING (word) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
+               CAST(COALESCE(uni, 0) AS BIGINT) AS uni_tokens
+        FROM d LEFT JOIN per USING (doc_id)
+    """
+
+
+def _uni_encode_oracle() -> str:
+    """DuckDB twin of unigram_encode_docs — string-exact ordered
+    rebuild from the literal word→subwords table."""
+    enc = _uni_word_table()
+    values = ", ".join(
+        "('{}', {}, '{}')".format(
+            w.replace("'", "''"), len(t),
+            " ".join(t).replace("'", "''"))
+        for w, t in sorted(enc.items()))
+    return f"""
+        WITH wt(word, n_tok, tstr) AS (VALUES {values}),
+        d AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+        tok AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos, words[i] AS word
+          FROM d, UNNEST(range(1, len(words) + 1)) AS t(i)
+        ), per AS (
+          SELECT doc_id, SUM(n_tok) AS n_tokens,
+                 string_agg(tstr, ' ' ORDER BY pos) AS token_str
+          FROM tok JOIN wt USING (word) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+               COALESCE(token_str, '') AS token_str
+        FROM d LEFT JOIN per USING (doc_id)
+    """
+
+
+ORACLES["unigram_token_count"] = _uni_count_oracle
+ORACLES["unigram_encode_docs"] = _uni_encode_oracle
 
 ORACLES["line_quality_filter"] = f"""
     WITH d AS (
