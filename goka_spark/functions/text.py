@@ -648,21 +648,27 @@ def gopher_repetition(df, id_col: str, text_col: str,
         F.max(F.when(F.col("n") == n, F.col("v")))
         .alias(f"top{n}_frac_e6") for n in top_ns])
 
-    covset = (cnts.filter((F.col("cnt") >= 2)
-                          & F.col("n").isin(list(dup_ns)))
-              .select("doc", "n", F.explode("_ps").alias("_p"))
-              .select("doc", "n",
-                      F.explode(F.sequence(
-                          F.col("_p"),
-                          F.col("_p") + F.col("n") - 1)).alias("i"))
-              .groupBy("doc", "n")
-              .agg(F.collect_set("i").alias("_is")))
-    wlens = src.select("doc", F.transform("_ws", F.length).alias("_wl"))
-    covch = (covset.join(wlens, "doc")
+    # covered-position chars need each position's WORD length — the
+    # gram string already holds its words, so lengths derive from the
+    # gram itself and coverage is two hash-aggs with no join at all
+    # (the first cut joined a per-doc word-length array; at 64× that
+    # docs×avg_len frame was itself a broadcast-conversion hazard)
+    covch = (cnts.filter((F.col("cnt") >= 2)
+                         & F.col("n").isin(list(dup_ns)))
              .select("doc", "n",
-                     F.aggregate("_is", F.lit(0).cast("long"),
-                                 lambda a, i: a + F.element_at("_wl", i))
-                     .alias("_cch"))
+                     F.transform(F.split("gram", " "), F.length)
+                     .alias("_ls"),
+                     F.explode("_ps").alias("_p"))
+             .select("doc", "n",
+                     F.explode(F.transform(
+                         F.sequence(F.lit(0), F.col("n") - 1),
+                         lambda j: F.struct(
+                             (F.col("_p") + j).alias("i"),
+                             F.try_element_at("_ls", (j + 1).cast("int"))
+                             .alias("wl")))).alias("s"))
+             .groupBy("doc", "n", F.col("s.i"))
+             .agg(F.max("s.wl").alias("_wl"))  # dedup overlaps
+             .groupBy("doc", "n").agg(F.sum("_wl").alias("_cch"))
              .join(totals, "doc")
              .select("doc", "n",
                      F.expr("(_cch * 1000000L) DIV greatest(chars, 1L)")
