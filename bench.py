@@ -67,6 +67,9 @@ HEADLINE = [
     "ngram_novelty",
     "dedup_minhash_keep",
     "embedding_outliers",
+    "split_contamination_audit",
+    "unigram_token_count",
+    "embedding_quantize_int8",
 ]
 
 

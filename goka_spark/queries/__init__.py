@@ -127,6 +127,8 @@ _FRONT = [
     "embedding_quantize_int8",
     "unigram_token_count",
     "unigram_encode_docs",
+    "tokenizer_fertility",
+    "ann_recall_eval",
 ]
 
 

@@ -492,6 +492,79 @@ def embedding_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
                       "vec_id", "embedding", k=5, n_probe=4)
 
 
+def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN quality gate: recall@5 of the persisted IVF index
+    (n_probe=4) against the exact brute-force top-5, per query —
+    the evaluation every approximate index needs BEFORE serving
+    replaces exact search at scale.  Self-matches are excluded on
+    both sides (IVF fetches k=6 and re-ranks after dropping self).
+    Fully hash-verified: both the approximate AND the exact side are
+    engine-recomputable (centroid-literal IVF oracle + brute-force
+    SQL), so the driver checks the recall numbers themselves."""
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    idx = _ann_index(spark, sf, emb)
+    a6 = (A.ivf_topk(idx, emb, queries, "vec_id", "embedding",
+                     k=6, n_probe=4)
+          .filter(F.col("neighbor_id") != F.col("query_id")))
+    w = Window.partitionBy("query_id").orderBy("rk")
+    approx = (a6.withColumn("_r2", F.row_number().over(w))
+              .filter(F.col("_r2") <= 5)
+              .select("query_id", "neighbor_id"))
+    exact = (S.cosine_topk_arrow(emb, queries, "vec_id", "embedding",
+                                 k=5)
+             .select("query_id", "neighbor_id"))
+    hits = (approx.join(exact, ["query_id", "neighbor_id"])
+            .groupBy("query_id").agg(F.count("*").alias("n_hits")))
+    return (queries.select(F.col("vec_id").alias("query_id"))
+            .join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0)) * 200000)
+                    .cast("long").alias("recall_e6")))
+
+
+def tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-SOURCE tokenizer fertility (tokens per word) under BOTH
+    trained subword models — the cross-domain efficiency report that
+    drives tokenizer choice (a domain with fertility ≫ corpus mean
+    is paying more compute per word).  Reuses the session-memoized
+    BPE merges and unigram pieces (each trains once per sf); the
+    corpus pass is one postings scan + two broadcast word→n_tokens
+    joins + a per-source hash-agg.  Fertility in exact integer
+    micro-units (tokens·1e6 DIV words)."""
+    from goka_spark.functions import bpe as B
+    from goka_spark.functions import unigram as U
+
+    docs = load(spark, sf, "documents")["documents"]
+    bw = (B.bpe_word_tokens(docs, "doc_id", "text",
+                            _bpe_merges(docs, sf))
+          .select("word", F.col("n_tokens").alias("_bt")))
+    uw = (U.unigram_word_tokens(docs, "doc_id", "text",
+                                _uni_pieces(docs, sf))
+          .select("word", F.col("n_tokens").alias("_ut")))
+    tok = (docs.select("source",
+                       F.explode(F.split(F.col("text"), r"\s+"))
+                       .alias("word"))
+           .filter(F.col("word") != ""))
+    return (tok.join(F.broadcast(bw), "word")
+            .join(F.broadcast(uw), "word")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_words"),
+                 F.sum("_bt").alias("bpe_tokens"),
+                 F.sum("_ut").alias("uni_tokens"))
+            .select("source", F.col("n_words").cast("long"),
+                    F.col("bpe_tokens").cast("long"),
+                    F.col("uni_tokens").cast("long"),
+                    F.expr("bpe_tokens * 1000000L DIV n_words")
+                    .cast("long").alias("bpe_fertility_e6"),
+                    F.expr("uni_tokens * 1000000L DIV n_words")
+                    .cast("long").alias("uni_fertility_e6")))
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     """Full-corpus near-pair mining, LSH-banded (no cross join): the
     oracle replicates the coordinate-sign banding bit-exactly, so the
@@ -1323,6 +1396,8 @@ QUERIES = {
     "bpe_token_count": bpe_token_count,
     "unigram_token_count": unigram_token_count,
     "unigram_encode_docs": unigram_encode_docs,
+    "tokenizer_fertility": tokenizer_fertility,
+    "ann_recall_eval": ann_recall_eval,
     "bpe_token_count_batched": bpe_token_count_batched,
     "bpe_encode_docs": bpe_encode_docs,
     "lang_audit": lang_audit,
@@ -2641,21 +2716,28 @@ def _bpe_encode_oracle(n_merges: int = 16) -> str:
 ORACLES["bpe_encode_docs"] = _bpe_encode_oracle
 
 
+_UNI_ORACLE_MEMO: dict = {}
+
+
 def _uni_word_table() -> dict:
     """Re-train the unigram vocabulary in pure Python from the same
     word dict (train_py == the Spark EM rounds — pinned by tests) and
-    Viterbi-encode every dict word; shared by both unigram oracles."""
+    Viterbi-encode every dict word; shared by the unigram + fertility
+    oracles (memoized per sf)."""
     import duckdb
 
     from goka_spark.functions import unigram as U
 
     sf_dir = _ivf_oracle_sf()
-    wf = dict(duckdb.sql(
-        f"SELECT w, COUNT(*) FROM (SELECT UNNEST({_WORDS}) AS w "
-        f"FROM '{sf_dir}/documents.parquet') GROUP BY w").fetchall())
-    pieces = U.train_py(wf)
-    costs = U.piece_costs(pieces)
-    return {w: U.viterbi_py(w, costs) for w in wf}
+    if sf_dir not in _UNI_ORACLE_MEMO:
+        wf = dict(duckdb.sql(
+            f"SELECT w, COUNT(*) FROM (SELECT UNNEST({_WORDS}) AS w "
+            f"FROM '{sf_dir}/documents.parquet') GROUP BY w").fetchall())
+        pieces = U.train_py(wf)
+        costs = U.piece_costs(pieces)
+        _UNI_ORACLE_MEMO[sf_dir] = {w: U.viterbi_py(w, costs)
+                                    for w in wf}
+    return _UNI_ORACLE_MEMO[sf_dir]
 
 
 def _uni_count_oracle() -> str:
@@ -2709,6 +2791,75 @@ def _uni_encode_oracle() -> str:
 
 ORACLES["unigram_token_count"] = _uni_count_oracle
 ORACLES["unigram_encode_docs"] = _uni_encode_oracle
+
+
+def _fertility_oracle() -> str:
+    """DuckDB twin of tokenizer_fertility: BOTH vocabularies
+    re-trained in pure Python, word→(bpe, unigram) token counts as
+    one literal table, per-source sums + integer fertility in SQL."""
+    import duckdb
+
+    from goka_spark.functions import bpe as B
+
+    sf_dir = _ivf_oracle_sf()
+    wf = dict(duckdb.sql(
+        f"SELECT w, COUNT(*) FROM (SELECT UNNEST({_WORDS}) AS w "
+        f"FROM '{sf_dir}/documents.parquet') GROUP BY w").fetchall())
+    merges = B.train_py(wf, 16)
+    uni = _uni_word_table()
+    values = ", ".join(
+        "('{}', {}, {})".format(w.replace("'", "''"),
+                                len(B.encode_word(w, merges)),
+                                len(uni[w]))
+        for w in sorted(wf))
+    return f"""
+        WITH wt(word, bt, ut) AS (VALUES {values}),
+        tok AS (SELECT source, UNNEST({_WORDS}) AS word
+                FROM documents)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(bt) AS BIGINT) AS bpe_tokens,
+               CAST(SUM(ut) AS BIGINT) AS uni_tokens,
+               CAST(SUM(bt) * 1000000 // COUNT(*) AS BIGINT)
+                 AS bpe_fertility_e6,
+               CAST(SUM(ut) * 1000000 // COUNT(*) AS BIGINT)
+                 AS uni_fertility_e6
+        FROM tok JOIN wt USING (word) GROUP BY source
+    """
+
+
+ORACLES["tokenizer_fertility"] = _fertility_oracle
+
+
+def _ann_recall_oracle() -> str:
+    """DuckDB twin of ann_recall_eval: the centroid-literal IVF
+    oracle at k=6 (self dropped, re-ranked to 5) intersected with the
+    brute-force exact top-5 — recall is recomputed end to end, not
+    assumed."""
+    ivf6 = _ivf_ann_oracle(k=6)
+    exact = ORACLES["embedding_cosine_topk"]
+    return f"""
+        WITH ivf6 AS ({ivf6}), appr AS (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY rk) AS r2
+          FROM ivf6 WHERE neighbor_id <> query_id
+        ), ex AS ({exact}), h AS (
+          SELECT a.query_id, COUNT(*) AS n_hits
+          FROM appr a JOIN ex
+            ON a.query_id = ex.query_id
+           AND a.neighbor_id = ex.neighbor_id
+          WHERE a.r2 <= 5 GROUP BY a.query_id
+        )
+        SELECT q.vec_id AS query_id,
+               CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+               CAST(COALESCE(n_hits, 0) * 200000 AS BIGINT)
+                 AS recall_e6
+        FROM embeddings q LEFT JOIN h ON q.vec_id = h.query_id
+        WHERE q.vec_id < 20
+    """
+
+
+ORACLES["ann_recall_eval"] = _ann_recall_oracle
 
 ORACLES["line_quality_filter"] = f"""
     WITH d AS (

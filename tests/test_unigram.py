@@ -90,3 +90,22 @@ def test_token_count_and_encode_consistent(spark):
         # concatenating the pieces recovers the original text
         assert enc[d]["token_str"].replace(" ", "") == \
             rows[d - 1][1].replace(" ", "")
+
+
+def test_fertility_and_recall_invariants(spark, sf_dir):
+    """Registry-level invariants for the r7 evaluation surfaces:
+    fertility >= 1.0 (every word is >= 1 token) and recall in
+    [0, 1] with hits <= k."""
+    from goka_spark.queries.llmdata import (ann_recall_eval,
+                                            tokenizer_fertility)
+    fert = tokenizer_fertility(spark, sf_dir).collect()
+    assert fert, "at least one source"
+    for r in fert:
+        assert r["bpe_fertility_e6"] >= 1_000_000
+        assert r["uni_fertility_e6"] >= 1_000_000
+        assert r["bpe_tokens"] >= r["n_words"]
+    rec = ann_recall_eval(spark, sf_dir).collect()
+    assert len(rec) == 20
+    for r in rec:
+        assert 0 <= r["n_hits"] <= 5
+        assert r["recall_e6"] == r["n_hits"] * 200_000
