@@ -129,6 +129,7 @@ _FRONT = [
     "unigram_encode_docs",
     "tokenizer_fertility",
     "ann_recall_eval",
+    "event_transitions",
 ]
 
 

@@ -756,8 +756,38 @@ def value_histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
                                  lo=0.0, hi=512.0, n_bins=256)
 
 
+def event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Markov transition matrix over per-user event sequences: for
+    every (event_type → next_event_type) pair, the occurrence count
+    and the row-conditional probability in exact integer micro-units
+    (cnt·1e6 DIV from-type total).  The session-flow diagnostic
+    behind funnel design — which step follows which, and how often.
+
+    Scale shape: one exchange on user_id for the lead window (order
+    ts, event_id — a total order, so any engine derives the same
+    successor), then a (type, type)-keyed hash-agg with map-side
+    combine; the per-from-type totals join is a types-sized frame."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = (ev.select("user_id", "event_type",
+                     F.lead("event_type").over(w)
+                     .alias("next_event_type"))
+           .filter(F.col("next_event_type").isNotNull()))
+    cnt = (nxt.groupBy("event_type", "next_event_type")
+           .agg(F.count("*").alias("cnt")))
+    tot = cnt.groupBy("event_type").agg(F.sum("cnt").alias("_tot"))
+    return (cnt.join(tot, "event_type")
+            .select("event_type", "next_event_type",
+                    F.col("cnt").cast("long"),
+                    F.expr("cnt * 1000000L DIV _tot").cast("long")
+                    .alias("prob_e6")))
+
+
 QUERIES = {
     "tumbling_window_agg": tumbling_window_agg,
+    "event_transitions": event_transitions,
     "purchase_click_attribution": purchase_click_attribution,
     "hopping_window_agg": hopping_window_agg,
     "session_window_agg": session_window_agg,
@@ -1253,4 +1283,24 @@ ORACLES["value_histogram_quantiles"] = """
            MIN(CASE WHEN cum >= CEIL(n * 0.5) THEN bin * 2.0 END) AS p50,
            MIN(CASE WHEN cum >= CEIL(n * 0.9) THEN bin * 2.0 END) AS p90
     FROM cum GROUP BY event_type
+"""
+
+ORACLES["event_transitions"] = """
+    WITH nx AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)
+               AS next_event_type
+      FROM events
+    ), c AS (
+      SELECT event_type, next_event_type, COUNT(*) AS cnt
+      FROM nx WHERE next_event_type IS NOT NULL
+      GROUP BY event_type, next_event_type
+    ), t AS (
+      SELECT event_type, SUM(cnt) AS tot FROM c GROUP BY event_type
+    )
+    SELECT c.event_type, c.next_event_type,
+           CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt * 1000000 // tot AS BIGINT) AS prob_e6
+    FROM c JOIN t USING (event_type)
 """

@@ -361,3 +361,18 @@ def test_ngram_novelty_reuses_postings_exchange(spark, sf_dir):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed
+
+
+def test_gopher_repetition_no_postings_sized_join(spark, sf_dir):
+    """r7 regression pin for the 64x broadcast OOM: duplicate-gram
+    coverage must come from the count aggregate itself (position
+    lists) + gram-derived word lengths — NEVER a join whose build
+    side is postings-sized (grams or a per-doc length array).  The
+    plan's only joins are the doc-keyed ones among doc-sized frames:
+    top⋈totals, cov⋈totals, totals⋈topp⋈dupv⋈lstat = exactly 5."""
+    from goka_spark.queries.llmdata import gopher_repetition
+    df = gopher_repetition(spark, sf_dir)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert logical.count("Join ") == 5, logical
+    # position lists ride the existing count agg (no grams re-join)
+    assert "collect_list" in logical
