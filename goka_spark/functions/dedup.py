@@ -1340,3 +1340,52 @@ def ngram_novelty(df: DataFrame, id_col: str, text_col: str,
         F.col("n_grams").cast("long"),
         F.col("novel").cast("long"),
         F.expr("(novel * 1000000L) DIV n_grams").alias("novelty_e6"))
+
+
+def minhash_est_error(df: "DataFrame", id_col: str, text_col: str,
+                      num_perm: int = 16) -> "DataFrame":
+    """MinHash CALIBRATION report — the text-side twin of the ANN
+    recall gate: over the deterministic adjacent pairing
+    (id, id+1), the signature-estimated Jaccard vs the exact
+    shingle-set Jaccard and their absolute error, all in exact
+    integer micro-units (est = matches·1e6 DIV num_perm; exact =
+    |∩|·1e6 DIV |∪|).  This is how you validate num_perm before
+    trusting LSH verdicts at scale: E[err] ~ 1/√num_perm, and the
+    report measures it on YOUR corpus, not the textbook bound.
+
+    Uses the md5 base hash so every number is engine-recomputable
+    (the xxhash64 production path shares the permutation algebra —
+    dedup_minhash_verified pins it).  Scale shape: one signature
+    hash-agg + one shingle-set hash-agg + a self equi-join on id+1
+    (one exchange, never all-pairs); per-pair work is bounded by
+    document length.  At 100 TB run it on a hash-sampled slice —
+    the pairing is a pure id function, so the sample is reproducible.
+    """
+    from goka_spark.functions.text import all_shingles
+
+    sigs = minhash_signatures(df, id_col, text_col,
+                              num_perm=num_perm, base_hash="md5")
+    shs = df.select(F.col(id_col).alias("_d"),
+                    F.array_distinct(all_shingles(F.col(text_col)))
+                    .alias("_shs"))
+    a = (sigs.select(F.col(id_col).alias("doc_a"),
+                     F.col("minhash").alias("_ma"))
+         .join(shs.withColumnRenamed("_d", "doc_a")
+               .withColumnRenamed("_shs", "_sa"), "doc_a"))
+    b = (sigs.select(F.col(id_col).alias("doc_b"),
+                     F.col("minhash").alias("_mb"))
+         .join(shs.withColumnRenamed("_d", "doc_b")
+               .withColumnRenamed("_shs", "_sb"), "doc_b"))
+    pairs = a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+    matches = F.size(F.filter(
+        F.zip_with("_ma", "_mb", lambda x, y: x == y),
+        lambda eq: eq))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    est = (matches.cast("long") * 1000000 / F.lit(num_perm)).cast("long")
+    exact = F.floor(inter.cast("long") * 1000000
+                    / union.cast("double")).cast("long")
+    return (pairs.select(
+        "doc_a", "doc_b",
+        est.alias("est_e6"), exact.alias("exact_e6"),
+        F.abs(est - exact).cast("long").alias("abs_err_e6")))

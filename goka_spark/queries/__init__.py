@@ -130,6 +130,7 @@ _FRONT = [
     "tokenizer_fertility",
     "ann_recall_eval",
     "event_transitions",
+    "minhash_est_error",
 ]
 
 

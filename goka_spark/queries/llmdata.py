@@ -743,6 +743,17 @@ def dedup_minhash_verified(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.posexplode("minhash").alias("perm", "sig"))
 
 
+def minhash_est_error(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash calibration (D.minhash_est_error): estimated vs exact
+    Jaccard and their absolute error over the deterministic (id,
+    id+1) pairing — the measured-on-YOUR-corpus answer to "is
+    num_perm=16 enough before trusting LSH verdicts".  Signature
+    algebra and shingle sets both engine-recomputable (md5 base
+    hash), so the error numbers themselves are hash-verified."""
+    docs = load(spark, sf, "documents")["documents"]
+    return D.minhash_est_error(docs, "doc_id", "text", num_perm=16)
+
+
 def dedup_simhash_verified(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash with the md5-derived 60-bit word hash — the SAME
     bit-vote aggregate as dedup_simhash but with a base hash DuckDB
@@ -1427,6 +1438,7 @@ QUERIES = {
     "corpus_sample": corpus_sample,
     "corpus_shard_pack": corpus_shard_pack,
     "dedup_minhash_verified": dedup_minhash_verified,
+    "minhash_est_error": minhash_est_error,
     "dedup_simhash_verified": dedup_simhash_verified,
     "multimodal_decode": multimodal_decode,
     "multimodal_decode_ppm": multimodal_decode_ppm,
@@ -1834,6 +1846,43 @@ def _minhash_oracle(num_perm: int = 16) -> str:
 
 
 ORACLES["dedup_minhash_verified"] = _minhash_oracle()
+
+
+def _minhash_err_oracle(num_perm: int = 16) -> str:
+    """DuckDB twin of minhash_est_error: the signature oracle as a
+    CTE (same permutation constants), adjacent-id pairing, exact
+    Jaccard from shingle-list intersection."""
+    sig = _minhash_oracle(num_perm)
+    step = 1000000 // num_perm
+    return f"""
+    WITH s AS ({sig}), d AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(words) - 2, 1) + 1),
+               i -> array_to_string(words[i:i+2], ' '))) AS shs
+      FROM (SELECT doc_id, {_WORDS} AS words FROM documents)
+    ), m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             SUM(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) AS mt
+      FROM s a JOIN s b
+        ON b.doc_id = a.doc_id + 1 AND a.perm = b.perm
+      GROUP BY a.doc_id, b.doc_id
+    ), j AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.shs, b.shs)) AS i_,
+             len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))
+               AS u_
+      FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+    )
+    SELECT doc_a, doc_b,
+           CAST(mt * {step} AS BIGINT) AS est_e6,
+           CAST(i_ * 1000000 // u_ AS BIGINT) AS exact_e6,
+           CAST(ABS(mt * {step} - i_ * 1000000 // u_) AS BIGINT)
+             AS abs_err_e6
+    FROM m JOIN j USING (doc_a, doc_b)
+    """
+
+
+ORACLES["minhash_est_error"] = _minhash_err_oracle()
 
 
 # --- XXH64-in-SQL oracles (late r5) ---------------------------------

@@ -293,3 +293,19 @@ def test_quantize_int8_constant_dim_is_zero_code(spark):
            S.quantize_int8(emb, "vec_id", "embedding").collect()}
     assert out[1] == hashlib.md5(b"0|0").hexdigest()   # flat dim -> 0
     assert out[2] == hashlib.md5(b"0|255").hexdigest()
+
+
+# --------------------------------------------- minhash calibration
+
+def test_minhash_est_error_planted_extremes(spark):
+    same = " ".join(f"w{i}" for i in range(30))
+    other = " ".join(f"z{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, same), (2, same), (3, other)], "doc_id long, text string")
+    out = {(r["doc_a"], r["doc_b"]): r for r in
+           D.minhash_est_error(docs, "doc_id", "text").collect()}
+    dup, dis = out[(1, 2)], out[(2, 3)]
+    assert dup["est_e6"] == dup["exact_e6"] == 1_000_000
+    assert dup["abs_err_e6"] == 0
+    assert dis["exact_e6"] == 0          # disjoint shingle sets
+    assert dis["abs_err_e6"] == dis["est_e6"]
