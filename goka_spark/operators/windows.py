@@ -89,3 +89,98 @@ def histogram_quantiles(df, value_col: str, keys: list,
             F.lit(lo) + F.col("_bin") * width)
         aggs.append(F.min(hit).alias(name))
     return cum.groupBy(*keys).agg(*aggs)
+
+
+def event_transition_counts(df, user_col: str, ts_col: str,
+                            type_col: str):
+    """(from, to) successor counts over per-user ``ts``-ordered
+    sequences — the batch kernel `queries.analytics.event_transitions`
+    and the streaming `TransitionSink` share.  One user-keyed lead
+    window under a total (ts, type) order + a types-sized hash-agg."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, type_col)
+    return (df.select(F.col(user_col),
+                      F.col(type_col).alias("event_type"),
+                      F.lead(type_col).over(w).alias("next_event_type"))
+            .filter(F.col("next_event_type").isNotNull())
+            .groupBy("event_type", "next_event_type")
+            .agg(F.count("*").alias("cnt")))
+
+
+class TransitionSink:
+    """Streaming Markov transition matrix — the live face of the
+    batch `event_transitions` query, with the one piece a
+    stateless-per-epoch sink cannot fake: the LAST event of each user
+    in epoch N must pair with their FIRST event in epoch N+1, so the
+    sink carries a users-sized last-event state table between epochs.
+
+    Layout (ExactlyOnceBatchSink discipline — every write is a whole
+    epoch directory, retry-idempotent):
+
+      out/pairs/epoch_id=N   (event_type, next_event_type, cnt)
+                             partials — associative, merge by SUM
+      out/last/epoch_id=N    (user, ts, event_type) — the FULL
+                             updated last-event table as of epoch N
+
+    ``read()`` merges the pair partials and returns exactly the
+    batch query's schema (counts + integer micro-unit conditional
+    probability), so dashboards swap live/batch without changes.
+
+    Ordering contract: epochs must not interleave a user's
+    timestamps (true for ts-ordered sources and for watermarked
+    streams read in order); within an epoch any order is fine —
+    the window sorts.  Scale: per epoch one users-sized state merge
+    + the same lead window the batch kernel runs."""
+
+    def __init__(self, out_path: str, user_col: str = "user_id",
+                 ts_col: str = "ts", type_col: str = "event_type"):
+        self.out = out_path.rstrip("/")
+        self.user_col, self.ts_col = user_col, ts_col
+        self.type_col = type_col
+
+    def _last_state(self, spark, before_epoch: int):
+        import os
+        cand = []
+        base = f"{self.out}/last"
+        if os.path.isdir(base):
+            for d in os.listdir(base):
+                if d.startswith("epoch_id="):
+                    e = int(d.split("=")[1])
+                    if e < before_epoch:
+                        cand.append(e)
+        if not cand:
+            return None
+        return spark.read.parquet(f"{base}/epoch_id={max(cand)}")
+
+    def __call__(self, batch_df, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        epoch_id = int(epoch_id)
+        ev = batch_df.select(F.col(self.user_col).alias("user"),
+                             F.col(self.ts_col).alias("ts"),
+                             F.col(self.type_col).alias("event_type"))
+        prev = self._last_state(spark, epoch_id)
+        # a prev-state row is ONE event per user, so unioning it adds
+        # exactly the boundary pair (state → first batch event) and
+        # nothing already counted in prior epochs
+        seq = ev if prev is None else prev.unionByName(ev)
+        pairs = event_transition_counts(seq, "user", "ts", "event_type")
+        (pairs.write.mode("overwrite")
+         .parquet(f"{self.out}/pairs/epoch_id={epoch_id}"))
+        last = (seq.groupBy("user")
+                .agg(F.max(F.struct("ts", "event_type")).alias("_m"))
+                .select("user", F.col("_m.ts").alias("ts"),
+                        F.col("_m.event_type").alias("event_type")))
+        (last.write.mode("overwrite")
+         .parquet(f"{self.out}/last/epoch_id={epoch_id}"))
+
+    def read(self, spark):
+        parts = spark.read.parquet(f"{self.out}/pairs")
+        cnt = (parts.groupBy("event_type", "next_event_type")
+               .agg(F.sum("cnt").alias("cnt")))
+        tot = cnt.groupBy("event_type").agg(F.sum("cnt").alias("_tot"))
+        return (cnt.join(tot, "event_type")
+                .select("event_type", "next_event_type",
+                        F.col("cnt").cast("long"),
+                        F.expr("cnt * 1000000L DIV _tot").cast("long")
+                        .alias("prob_e6")))

@@ -134,3 +134,52 @@ def test_histogram_quantiles_within_bin_width(spark, sf_dir):
     for k, (e50, e90) in exact.items():
         assert abs(sk[k][0] - e50) <= 2.0 + 1e-9
         assert abs(sk[k][1] - e90) <= 2.0 + 1e-9
+
+
+# ---------------------------------------------------- TransitionSink
+
+def test_streaming_transitions_equal_batch(spark, tmp_path):
+    """Three ts-ordered micro-batches through TransitionSink merge to
+    exactly the batch transition matrix — including the cross-epoch
+    boundary pairs the last-event state table exists for."""
+    from goka_spark.operators.windows import (TransitionSink,
+                                              event_transition_counts)
+
+    rows = [(u, t, f"e{(u * 7 + t) % 3}")
+            for u in range(5) for t in range(9)]
+    schema = "user_id long, ts long, event_type string"
+    full = spark.createDataFrame(rows, schema)
+
+    sink = TransitionSink(str(tmp_path / "trans"))
+    for i, lo in enumerate((0, 3, 6)):   # ts-ordered epoch chunks
+        chunk = [r for r in rows if lo <= r[1] < lo + 3]
+        sink(spark.createDataFrame(chunk, schema), i)
+
+    live = {(r["event_type"], r["next_event_type"]): (r["cnt"], r["prob_e6"])
+            for r in sink.read(spark).collect()}
+    cnt = event_transition_counts(full, "user_id", "ts", "event_type")
+    tot = {r["event_type"]: r["t"] for r in
+           cnt.groupBy("event_type").agg(F.sum("cnt").alias("t")).collect()}
+    ref = {(r["event_type"], r["next_event_type"]):
+           (r["cnt"], r["cnt"] * 1_000_000 // tot[r["event_type"]])
+           for r in cnt.collect()}
+    assert live == ref
+    # every user contributes len-1 transitions: boundaries included
+    assert sum(v[0] for v in live.values()) == 5 * 8
+
+
+def test_transition_sink_epoch_retry_idempotent(spark, tmp_path):
+    """Re-running an epoch (foreachBatch retry contract) must not
+    double-count: the epoch directory is overwritten whole."""
+    from goka_spark.operators.windows import TransitionSink
+
+    schema = "user_id long, ts long, event_type string"
+    sink = TransitionSink(str(tmp_path / "t2"))
+    b0 = spark.createDataFrame([(1, 0, "a"), (1, 1, "b")], schema)
+    b1 = spark.createDataFrame([(1, 2, "c")], schema)
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)                                   # retry
+    out = {(r["event_type"], r["next_event_type"]): r["cnt"]
+           for r in sink.read(spark).collect()}
+    assert out == {("a", "b"): 1, ("b", "c"): 1}
