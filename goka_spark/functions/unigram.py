@@ -168,8 +168,16 @@ def unigram_train(df: DataFrame, id_col: str, text_col: str,
                 _substrings(F.col("word"), max_len)).alias("piece"),
                 F.col("freq"))
             .groupBy("piece").agg(F.sum("freq").alias("cnt")))
-    chars = {r["piece"]: r["cnt"]
-             for r in subs.filter(F.length("piece") == 1).collect()}
+    # bounded-collect discipline: the alphabet is the one frame here
+    # without a structural cap — guard it loudly instead of OOMing
+    alphabet_cap = 100_000
+    char_rows = (subs.filter(F.length("piece") == 1)
+                 .limit(alphabet_cap + 1).collect())
+    if len(char_rows) > alphabet_cap:
+        raise ValueError(
+            f"alphabet exceeds {alphabet_cap} distinct characters — "
+            "not natural-language text; refusing the driver collect")
+    chars = {r["piece"]: r["cnt"] for r in char_rows}
     multi = {r["piece"]: r["cnt"]
              for r in subs.filter(F.length("piece") > 1)
              .orderBy(F.col("cnt").desc(), F.col("piece"))
