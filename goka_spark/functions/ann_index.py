@@ -744,3 +744,74 @@ def knn_graph(index: ANNIndex, k: int = 5) -> DataFrame:
             .select("vec_id", "neighbor_id",
                     F.round("_raw", 4).alias("cos"),
                     F.col("rank").cast("long").alias("rank")))
+
+
+def ivf_nprobe_sweep(index: ANNIndex, corpus: DataFrame,
+                     queries: DataFrame, id_col: str, vec_col: str,
+                     k: int = 5, probes: "tuple[int, ...]" = (1, 2, 4, 8),
+                     max_queries: int = S.MAX_BROADCAST_QUERIES) -> DataFrame:
+    """The n_probe TUNING CURVE: recall@k of the IVF index against
+    exact brute-force top-k at every probe depth in ``probes``, from
+    ONE candidate scan — the measurement that turns "n_probe=4" from
+    folklore into a corpus-specific accuracy/IO trade you can defend.
+
+    Plan: probe once at max(probes) keeping each cell's PROBE RANK,
+    score the probed-cell candidates once (file-pruned read, exact
+    cosines), then each smaller depth is a rank filter + per-query
+    window over the already-scored frame — never a re-scan, never a
+    re-probe.  Both sides exclude self; recall in exact integer
+    micro-units (hits · 1e6 DIV k).  One row per (query, n_probe)."""
+    from pyspark.sql.window import Window
+
+    max_p = max(probes)
+    q_ids, qm, raw = _collect_queries(queries, id_col, vec_col,
+                                      max_queries)
+    qcells = _probe(index, qm, max_p)
+    probed = sorted({int(c) for r in qcells for c in r})
+    spark = index.spark
+    q = spark.createDataFrame(
+        [(int(qid), raw[i], [int(c) for c in qcells[i]])
+         for i, qid in enumerate(q_ids)],
+        "query_id long, _qraw array<double>, cells array<int>")
+    q = (q.withColumn("_n", S.norm(F.col("_qraw")))
+         .withColumn("_qv", F.transform("_qraw",
+                                        lambda x: x / F.col("_n")))
+         .drop("_qraw", "_n")
+         .select("query_id", "_qv",
+                 F.posexplode("cells").alias("_cr", "cell")))
+    c = index.codes(probed).select(
+        F.col("id").alias("neighbor_id"), "cell",
+        F.col("vec").alias("_cv"))
+    scored = (c.join(F.broadcast(q), "cell")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      (F.col("_cr") + 1).alias("cell_rk"),
+                      S.dot(F.col("_cv"), F.col("_qv")).alias("cos"))
+              .localCheckpoint())  # scored once, consumed len(probes)×
+    exact = (S.cosine_topk_arrow(corpus, queries, id_col, vec_col, k=k)
+             .select("query_id", "neighbor_id").localCheckpoint())
+    qf = spark.createDataFrame([(int(i),) for i in q_ids],
+                               "query_id long")
+    step = 1000000 // k
+    outs = []
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id"))
+    for p in probes:
+        top = (scored.filter(F.col("cell_rk") <= p)
+               .withColumn("rk", F.row_number().over(w))
+               .filter(F.col("rk") <= k)
+               .select("query_id", "neighbor_id"))
+        hits = (top.join(exact, ["query_id", "neighbor_id"])
+                .groupBy("query_id").agg(F.count("*").alias("n_hits")))
+        outs.append(
+            qf.join(hits, "query_id", "left")
+            .select("query_id",
+                    F.lit(p).cast("long").alias("n_probe"),
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0)) * step)
+                    .cast("long").alias("recall_e6")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -131,6 +131,7 @@ _FRONT = [
     "ann_recall_eval",
     "event_transitions",
     "minhash_est_error",
+    "ann_nprobe_sweep",
 ]
 
 

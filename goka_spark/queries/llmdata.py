@@ -527,6 +527,20 @@ def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
                     .cast("long").alias("recall_e6")))
 
 
+def ann_nprobe_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """n_probe tuning curve (A.ivf_nprobe_sweep): recall@5 at probe
+    depths 1/2/4/8 from ONE probed-candidate scan with cell ranks —
+    the corpus-specific accuracy/IO trade behind the n_probe=4
+    default.  Hash-verified: the oracle replays the probe ranking
+    from the recomputed centroid literals and the exact side from
+    brute-force SQL."""
+    emb = load(spark, sf, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    return A.ivf_nprobe_sweep(_ann_index(spark, sf, emb), emb,
+                              queries, "vec_id", "embedding",
+                              k=5, probes=(1, 2, 4, 8))
+
+
 def tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
     """Per-SOURCE tokenizer fertility (tokens per word) under BOTH
     trained subword models — the cross-domain efficiency report that
@@ -1409,6 +1423,7 @@ QUERIES = {
     "unigram_encode_docs": unigram_encode_docs,
     "tokenizer_fertility": tokenizer_fertility,
     "ann_recall_eval": ann_recall_eval,
+    "ann_nprobe_sweep": ann_nprobe_sweep,
     "bpe_token_count_batched": bpe_token_count_batched,
     "bpe_encode_docs": bpe_encode_docs,
     "lang_audit": lang_audit,
@@ -2909,6 +2924,58 @@ def _ann_recall_oracle() -> str:
 
 
 ORACLES["ann_recall_eval"] = _ann_recall_oracle
+
+
+def _nprobe_sweep_oracle(k: int = 5,
+                         probes: "tuple[int, ...]" = (1, 2, 4, 8),
+                         dim: int = 64, n_queries: int = 20) -> str:
+    """DuckDB twin of ann_nprobe_sweep: one probe ranking at
+    max(probes) from the recomputed centroid literals, per-depth
+    rank-filter + top-k, intersected with the brute-force exact
+    top-k."""
+    n_cells, ctes = _ivf_cells_ctes(dim)
+    pair_dot = " + ".join(f"(a.v[{i + 1}] * p.qv[{i + 1}])"
+                          for i in range(dim))
+    max_p, step = max(probes), 1000000 // k
+    per_p = "\n UNION ALL \n".join(f"""
+        SELECT q.vec_id AS query_id, CAST({p} AS BIGINT) AS n_probe,
+               CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+               CAST(COALESCE(h.n, 0) * {step} AS BIGINT) AS recall_e6
+        FROM embeddings q LEFT JOIN (
+          SELECT r.query_id, COUNT(*) AS n
+          FROM (SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY raw_cos DESC, neighbor_id) AS rk
+                FROM scored WHERE cell_rk <= {p}) r
+          JOIN ex ON r.query_id = ex.query_id
+                 AND r.neighbor_id = ex.neighbor_id
+          WHERE r.rk <= {k} GROUP BY r.query_id
+        ) h ON q.vec_id = h.query_id
+        WHERE q.vec_id < {n_queries}""" for p in probes)
+    exact = ORACLES["embedding_cosine_topk"]
+    return f"""
+        WITH {ctes}, qx AS (
+          SELECT vec_id AS query_id, v AS qv,
+                 UNNEST(s) AS sim, UNNEST(range(0, {n_cells})) AS c
+          FROM sims WHERE vec_id < {n_queries}
+        ), probes AS (
+          SELECT query_id, qv, c AS cell, rn AS cell_rk
+          FROM (SELECT query_id, qv, c, sim,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, c) AS rn
+                FROM qx)
+          WHERE rn <= {max_p}
+        ), scored AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id, p.cell_rk,
+                 ({pair_dot}) AS raw_cos
+          FROM assigned a JOIN probes p
+            ON a.cell = p.cell AND a.vec_id <> p.query_id
+        ), ex AS ({exact})
+        {per_p}
+    """
+
+
+ORACLES["ann_nprobe_sweep"] = _nprobe_sweep_oracle
 
 ORACLES["line_quality_filter"] = f"""
     WITH d AS (

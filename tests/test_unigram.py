@@ -109,3 +109,17 @@ def test_fertility_and_recall_invariants(spark, sf_dir):
     for r in rec:
         assert 0 <= r["n_hits"] <= 5
         assert r["recall_e6"] == r["n_hits"] * 200_000
+
+
+def test_nprobe_sweep_monotone(spark, sf_dir):
+    """Recall must be nondecreasing in n_probe (smaller probe sets
+    are subsets) and n_probe=max covers at least what n_probe=1 did."""
+    from goka_spark.queries.llmdata import ann_nprobe_sweep
+    rows = ann_nprobe_sweep(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], {})[r["n_probe"]] = r["n_hits"]
+    assert len(by_q) == 20
+    for q, h in by_q.items():
+        assert sorted(h) == [1, 2, 4, 8]
+        assert h[1] <= h[2] <= h[4] <= h[8], (q, h)
