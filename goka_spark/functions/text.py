@@ -950,3 +950,58 @@ def vocab_growth(df, id_col: str, text_col: str,
                     F.col("cum_tokens").cast("long"),
                     F.coalesce(F.col("vocab_size"), F.lit(0))
                      .cast("long").alias("vocab_size")))
+
+
+def bigram_pmi_topk(df, id_col: str, text_col: str,
+                    min_count: int = 5, k: int = 20):
+    """Collocation mining: the top-``k`` adjacent word pairs by
+    pointwise mutual information — PMI(a,b) = ln(p(ab)/(p(a)p(b)))
+    with p(ab) over bigram occurrences and p(·) over word
+    occurrences.  High-PMI pairs are the multi-word expressions a
+    tokenizer/phrase normalizer should treat as units; the classic
+    corpus-exploration signal (Church & Hanks 1990).
+
+    Engine-portable number discipline: the ln argument is assembled
+    as ONE exact-integer ratio — cnt_ab·N²  /  (B·cnt_a·cnt_b), all
+    counts BIGINT so both products are exact doubles — and the score
+    is the established micro-nat integerization
+    ``floor(1e6·ln(x) + 0.5)`` (the doc_entropy precedent), so the
+    oracle hash-matches without float drift.  ``min_count`` bounds
+    the tail (and keeps rare-pair PMI noise out, the standard
+    practice).
+
+    Scale shape: one postings pass for word counts, one window-lead
+    pass for bigram counts (both hash-aggs with map-side combine),
+    two vocabulary-sized count joins, scalar N/B as one-row broadcast
+    cross joins, and a global TakeOrdered(k) — never a full sort."""
+    from goka_spark.functions.dedup import shingle_postings
+
+    uni = (df.select(F.explode(words(F.col(text_col))).alias("w"))
+           .groupBy("w").agg(F.count("*").alias("c")))
+    n_tot = uni.agg(F.sum("c").cast("long").alias("_n"))
+    bi = (shingle_postings(df, id_col, text_col, n=2, distinct=False)
+          .filter(F.col("sh").contains(" "))   # 1-word docs: no bigram
+          .groupBy("sh").agg(F.count("*").alias("cnt_ab")))
+    b_tot = bi.agg(F.sum("cnt_ab").cast("long").alias("_b"))
+    pairs = (bi.filter(F.col("cnt_ab") >= min_count)
+             .select(F.split("sh", " ").getItem(0).alias("w1"),
+                     F.split("sh", " ").getItem(1).alias("w2"),
+                     F.col("cnt_ab").cast("long"))
+             .join(uni.select(F.col("w").alias("w1"),
+                              F.col("c").cast("long").alias("_ca")), "w1")
+             .join(uni.select(F.col("w").alias("w2"),
+                              F.col("c").cast("long").alias("_cb")), "w2")
+             .crossJoin(F.broadcast(n_tot))
+             .crossJoin(F.broadcast(b_tot)))
+    # per-FACTOR double casts, fixed association: integer products
+    # overflow long at corpus scale (DuckDB would promote to HUGEINT
+    # and diverge); identical double expressions stay bit-identical
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    x = ((d("cnt_ab") * d("_n") * d("_n"))
+         / (d("_b") * d("_ca") * d("_cb")))
+    return (pairs.select(
+        "w1", "w2", "cnt_ab",
+        F.floor(F.log(x) * 1000000 + F.lit(0.5)).cast("long")
+        .alias("pmi_e6"))
+        .orderBy(F.col("pmi_e6").desc(), "w1", "w2")
+        .limit(k))

@@ -132,6 +132,7 @@ _FRONT = [
     "event_transitions",
     "minhash_est_error",
     "ann_nprobe_sweep",
+    "bigram_pmi_topk",
 ]
 
 

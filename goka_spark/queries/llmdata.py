@@ -1114,6 +1114,17 @@ def release_manifest(spark: SparkSession, sf: str) -> DataFrame:
     return C.release_manifest(docs, "doc_id", "text")
 
 
+def bigram_pmi_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Collocation mining (T.bigram_pmi_topk): top-20 adjacent word
+    pairs by PMI, min_count=5 — the multi-word-expression discovery
+    signal (Church & Hanks 1990).  Micro-nat integerization over one
+    exact-integer ratio; two hash-agg passes + vocabulary-sized count
+    joins + TakeOrdered(k)."""
+    docs = load(spark, sf, "documents")["documents"]
+    return T.bigram_pmi_topk(docs, "doc_id", "text",
+                             min_count=5, k=20)
+
+
 def split_contamination_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Post-split leakage audit (C.split_contamination_audit): per
     eval doc, the fraction of its distinct 3-gram shingles present in
@@ -1393,6 +1404,7 @@ QUERIES = {
     "dedup_minhash_keep": dedup_minhash_keep,
     "release_manifest": release_manifest,
     "split_contamination_audit": split_contamination_audit,
+    "bigram_pmi_topk": bigram_pmi_topk,
     "vocab_growth": vocab_growth,
     "embedding_quantize_int8": embedding_quantize_int8,
     "corpus_weighted_sample": corpus_weighted_sample,
@@ -3359,6 +3371,39 @@ ORACLES["release_manifest"] = f"""
 # split contamination audit: hash_split membership (inlined) +
 # distinct 3-gram postings; hits = eval postings whose shingle occurs
 # in ANY train doc; shingle-less eval docs appear with zeros
+# bigram PMI: micro-nat integerization of one exact-integer ratio,
+# per-factor double casts in fixed association (matches the Column
+# expression bit-for-bit); bigrams only from docs with >= 2 words
+ORACLES["bigram_pmi_topk"] = f"""
+    WITH d AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    uni AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT UNNEST(words) AS w FROM d) GROUP BY w
+    ), nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    bi AS (
+      SELECT sh, COUNT(*) AS cnt_ab FROM (
+        SELECT array_to_string(words[i:i+1], ' ') AS sh
+        FROM d, UNNEST(range(1, greatest(len(words) - 1, 0) + 1)) t(i)
+        WHERE len(words) >= 2
+      ) GROUP BY sh
+    ), bt AS (SELECT CAST(SUM(cnt_ab) AS BIGINT) AS b FROM bi),
+    p AS (
+      SELECT string_split(sh, ' ')[1] AS w1,
+             string_split(sh, ' ')[2] AS w2, cnt_ab
+      FROM bi WHERE cnt_ab >= 5
+    )
+    SELECT w1, w2, CAST(cnt_ab AS BIGINT) AS cnt_ab,
+           CAST(FLOOR(ln(
+             (CAST(cnt_ab AS DOUBLE) * CAST(n AS DOUBLE)
+              * CAST(n AS DOUBLE))
+             / (CAST(b AS DOUBLE) * CAST(ca.c AS DOUBLE)
+                * CAST(cb.c AS DOUBLE))) * 1000000 + 0.5) AS BIGINT)
+             AS pmi_e6
+    FROM p JOIN uni ca ON p.w1 = ca.w JOIN uni cb ON p.w2 = cb.w,
+         nt, bt
+    ORDER BY pmi_e6 DESC, w1, w2 LIMIT 20
+"""
+
 ORACLES["split_contamination_audit"] = f"""
     WITH sp AS (
       SELECT doc_id,

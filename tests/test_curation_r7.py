@@ -309,3 +309,25 @@ def test_minhash_est_error_planted_extremes(spark):
     assert dup["abs_err_e6"] == 0
     assert dis["exact_e6"] == 0          # disjoint shingle sets
     assert dis["abs_err_e6"] == dis["est_e6"]
+
+
+# ---------------------------------------------------- bigram PMI
+
+def test_bigram_pmi_planted_collocation(spark):
+    from goka_spark.functions.text import bigram_pmi_topk
+    # words that ONLY ever occur inside one pair (quick-fox, lazy-dog
+    # etc.) are perfect collocations — PMI must rank all of them above
+    # every pair sharing the promiscuous "the"/"new"/"york" tokens
+    rows = [(i, "the quick fox saw new york and the lazy dog in new york")
+            for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bigram_pmi_topk(docs, "doc_id", "text", min_count=5, k=8) \
+        .collect()
+    vals = [r["pmi_e6"] for r in out]
+    assert vals == sorted(vals, reverse=True)
+    top4 = {(r["w1"], r["w2"]) for r in out[:4]}
+    assert top4 == {("quick", "fox"), ("fox", "saw"),
+                    ("lazy", "dog"), ("dog", "in")}
+    ny = next(r for r in out if (r["w1"], r["w2"]) == ("new", "york"))
+    assert ny["cnt_ab"] == 20
+    assert ny["pmi_e6"] < out[0]["pmi_e6"]   # frequent -> lower PMI
