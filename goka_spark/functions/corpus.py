@@ -474,3 +474,51 @@ class CorpusStatsSink:
                      F.max("max_chars").cast("long").alias("max_chars"))
                 .withColumn("mean_chars", F.round(
                     F.col("total_chars") / F.col("n_docs"), 4)))
+
+
+def span_corruption_masks(df: DataFrame, id_col: str, text_col: str,
+                          noise_e6: int = 150000, span_len: int = 3,
+                          salt: str = "mask-v1") -> DataFrame:
+    """T5-style span-corruption PLAN (Raffel et al. 2020 §3.1.4 —
+    the "mask ~15% of tokens in mean-length-3 spans" objective), as a
+    deterministic hash policy instead of an RNG: the doc's token
+    range is cut into ``n_spans`` equal blocks and each block masks
+    one ``span_len``-token span at an md5-derived offset — so spans
+    never overlap BY CONSTRUCTION (no greedy iteration to replicate)
+    and any engine derives the identical mask layout from
+    (id, salt).  Exact integer arithmetic throughout:
+    masked = (n·noise_e6 + 5e5) DIV 1e6 (round-half-up),
+    n_spans = (2·masked + span_len) DIV (2·span_len).
+
+    One row per doc: (id, n_tokens, n_spans, mask_starts[1-based],
+    masked_e6 = realized masked-token millionths).  Pure Column
+    expressions — at 100 TB this is scan-stage work, no shuffle at
+    all."""
+    from goka_spark.functions.text import ws_token_count
+
+    n = ws_token_count(F.col(text_col)).cast("long")
+    masked = (n * noise_e6 + 500000) / F.lit(1000000)
+    masked = F.floor(masked).cast("long")
+    n_spans = F.floor((2 * masked + span_len)
+                      / F.lit(2 * span_len)).cast("long")
+    block = F.when(n_spans > 0, (n / n_spans).cast("long")) \
+        .otherwise(F.lit(0))
+    denom = F.greatest(block - span_len + 1, F.lit(1))
+    doc_s = F.col(id_col).cast("string")
+    starts = F.when(n_spans > 0, F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda b: b * block + 1 + (
+            F.conv(F.substring(
+                F.md5(F.concat(doc_s, F.lit("-"), b.cast("string"),
+                               F.lit(salt))), 1, 8), 16, 10)
+            .cast("long") % denom))) \
+        .otherwise(F.array().cast("array<bigint>"))
+    return df.select(
+        F.col(id_col), n.alias("n_tokens"),
+        F.coalesce(n_spans, F.lit(0)).alias("n_spans"),
+        # '|'-joined string form: keeps the driver's value-hash simple
+        # (the bpe_encode token_str discipline); split to recover
+        F.array_join(starts.cast("array<string>"), "|")
+         .alias("mask_starts"),
+        F.when(n > 0, (n_spans * span_len * 1000000 / n).cast("long"))
+         .otherwise(0).cast("long").alias("masked_e6"))

@@ -133,6 +133,8 @@ _FRONT = [
     "minhash_est_error",
     "ann_nprobe_sweep",
     "bigram_pmi_topk",
+    "span_corruption_masks",
+    "contrastive_pairs",
 ]
 
 

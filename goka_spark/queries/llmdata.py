@@ -735,11 +735,38 @@ def dedup_minhash_keep(spark: SparkSession, sf: str) -> DataFrame:
     graph and the output is the per-doc keep/drop decision.
     Hash-verified via the XXH64-in-SQL signature oracle + recursive
     CC + the same arg-max policy."""
-    docs = load(spark, sf, "documents")["documents"]
-    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", num_perm=32,
-                                bands=8)
-    cc = D.connected_components(pairs)
-    return D.cluster_keep(docs, "doc_id", "n_chars", cc)
+    return _keep_frame(spark, sf)
+
+
+#: the keep pipeline (sigs → bands → CC → arg-max) is a pure function
+#: of the corpus — memo per sf so dedup_minhash_keep and
+#: contrastive_pairs run it once per session
+_KEEP_MEMO: dict = {}
+
+
+def _keep_frame(spark: SparkSession, sf: str) -> DataFrame:
+    if sf not in _KEEP_MEMO:
+        docs = load(spark, sf, "documents")["documents"]
+        pairs = D.minhash_lsh_pairs(docs, "doc_id", "text",
+                                    num_perm=32, bands=8)
+        cc = D.connected_components(pairs)
+        _KEEP_MEMO[sf] = (D.cluster_keep(docs, "doc_id", "n_chars", cc)
+                          .localCheckpoint())
+    return _KEEP_MEMO[sf]
+
+
+def contrastive_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Retrieval-training positives mined from the dedup byproduct:
+    every non-canonical near-dup pairs with its cluster's kept
+    representative — (anchor, positive) pairs for contrastive
+    fine-tuning, free with the dedup run (the negatives half is
+    C81's embedding_hard_negatives).  Reuses the session-memoized
+    keep frame; the filter is a pure Column predicate."""
+    k = _keep_frame(spark, sf)
+    return (k.filter(F.col("doc_id") != F.col("keep_id"))
+            .select(F.col("doc_id").alias("anchor_id"),
+                    F.col("keep_id").alias("positive_id"),
+                    F.col("cluster_id")))
 
 
 def dedup_minhash_verified(spark: SparkSession, sf: str) -> DataFrame:
@@ -1114,6 +1141,16 @@ def release_manifest(spark: SparkSession, sf: str) -> DataFrame:
     return C.release_manifest(docs, "doc_id", "text")
 
 
+def span_corruption_masks(spark: SparkSession, sf: str) -> DataFrame:
+    """T5 span-corruption plan (C.span_corruption_masks): ~15% of
+    tokens in length-3 spans, one span per equal block at an
+    md5-derived offset — non-overlapping by construction, exact
+    integer arithmetic, scan-stage only (no shuffle).  mask_starts
+    ships '|'-joined (the bpe token_str discipline)."""
+    docs = load(spark, sf, "documents")["documents"]
+    return C.span_corruption_masks(docs, "doc_id", "text")
+
+
 def bigram_pmi_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Collocation mining (T.bigram_pmi_topk): top-20 adjacent word
     pairs by PMI, min_count=5 — the multi-word-expression discovery
@@ -1405,6 +1442,8 @@ QUERIES = {
     "release_manifest": release_manifest,
     "split_contamination_audit": split_contamination_audit,
     "bigram_pmi_topk": bigram_pmi_topk,
+    "span_corruption_masks": span_corruption_masks,
+    "contrastive_pairs": contrastive_pairs,
     "vocab_growth": vocab_growth,
     "embedding_quantize_int8": embedding_quantize_int8,
     "corpus_weighted_sample": corpus_weighted_sample,
@@ -3374,6 +3413,47 @@ ORACLES["release_manifest"] = f"""
 # bigram PMI: micro-nat integerization of one exact-integer ratio,
 # per-factor double casts in fixed association (matches the Column
 # expression bit-for-bit); bigrams only from docs with >= 2 words
+# span corruption: round-half-up masked count, block partition,
+# md5-offset span per block -- all integer, mirrors the Column expr
+ORACLES["span_corruption_masks"] = f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS n FROM documents
+    ), s AS (
+      SELECT doc_id, n,
+             (2 * ((n * 150000 + 500000) // 1000000) + 3) // 6
+               AS n_spans
+      FROM t
+    ), b AS (
+      SELECT doc_id, n, n_spans,
+             CASE WHEN n_spans > 0 THEN n // n_spans ELSE 0 END AS blk
+      FROM s
+    )
+    SELECT doc_id, n AS n_tokens, n_spans,
+           CASE WHEN n_spans > 0 THEN array_to_string(
+             list_transform(range(0, n_spans), b2 ->
+               b2 * blk + 1 +
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-'
+                     || CAST(b2 AS VARCHAR) || 'mask-v1'), 1, 8))
+                    AS BIGINT) % greatest(blk - 2, 1)), '|')
+           ELSE '' END AS mask_starts,
+           CASE WHEN n > 0 THEN n_spans * 3 * 1000000 // n
+                ELSE 0 END AS masked_e6
+    FROM b
+"""
+
+
+def _contrastive_oracle() -> str:
+    """DuckDB twin of contrastive_pairs: the keep-pipeline oracle
+    filtered to non-canonical members."""
+    keep = _minhash_keep_oracle()
+    return f"""
+        SELECT doc_id AS anchor_id, keep_id AS positive_id, cluster_id
+        FROM ({keep}) WHERE doc_id <> keep_id
+    """
+
+
+ORACLES["contrastive_pairs"] = _contrastive_oracle
+
 ORACLES["bigram_pmi_topk"] = f"""
     WITH d AS (SELECT doc_id, {_WORDS} AS words FROM documents),
     uni AS (

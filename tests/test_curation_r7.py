@@ -331,3 +331,80 @@ def test_bigram_pmi_planted_collocation(spark):
     ny = next(r for r in out if (r["w1"], r["w2"]) == ("new", "york"))
     assert ny["cnt_ab"] == 20
     assert ny["pmi_e6"] < out[0]["pmi_e6"]   # frequent -> lower PMI
+
+
+# ----------------------------------------- span corruption masks
+
+def _starts(row):
+    return ([int(x) for x in row["mask_starts"].split("|")]
+            if row["mask_starts"] else [])
+
+
+def test_span_corruption_counts_and_bounds(spark):
+    # n=100 -> masked = round(15.0) = 15, n_spans = (30+3)//6 = 5,
+    # block = 20: exactly one span per 20-token block, each start in
+    # [b*20+1, b*20+18] so every span sits inside its own block
+    docs = spark.createDataFrame(
+        [(7, " ".join(f"w{i}" for i in range(100)))],
+        "doc_id long, text string")
+    r = C.span_corruption_masks(docs, "doc_id", "text").collect()[0]
+    assert (r["n_tokens"], r["n_spans"]) == (100, 5)
+    st = _starts(r)
+    assert len(st) == 5
+    for b, s in enumerate(st):
+        assert b * 20 + 1 <= s <= b * 20 + 18
+    # non-overlapping by construction, all spans inside the doc
+    for a, b2 in zip(st, st[1:]):
+        assert a + 3 <= b2
+    assert st[-1] + 2 <= 100
+    assert r["masked_e6"] == 5 * 3 * 1_000_000 // 100  # exactly 15%
+
+
+def test_span_corruption_round_half_up_and_tiny_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"),                       # n=3: masked=0 -> no spans
+         (2, " ".join(["t"] * 10)),          # n=10: masked=2, spans=1
+         (3, "")],                           # empty doc
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           C.span_corruption_masks(docs, "doc_id", "text").collect()}
+    assert out[1]["n_spans"] == 0 and out[1]["mask_starts"] == ""
+    assert out[1]["masked_e6"] == 0
+    assert out[2]["n_spans"] == 1
+    s = _starts(out[2])[0]
+    assert 1 <= s <= 8 and s + 2 <= 10
+    assert out[3]["n_tokens"] == 0 and out[3]["n_spans"] == 0
+
+
+def test_span_corruption_deterministic_and_salted(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"x{j}" for j in range(40))) for i in range(20)],
+        "doc_id long, text string")
+    a = {r["doc_id"]: r["mask_starts"] for r in
+         C.span_corruption_masks(docs, "doc_id", "text").collect()}
+    b = {r["doc_id"]: r["mask_starts"] for r in
+         C.span_corruption_masks(docs, "doc_id", "text").collect()}
+    assert a == b                      # pure function of (id, salt)
+    c = {r["doc_id"]: r["mask_starts"] for r in
+         C.span_corruption_masks(docs, "doc_id", "text",
+                                 salt="other").collect()}
+    assert any(a[k] != c[k] for k in a)   # salt moves the offsets
+
+
+# ----------------------------------------- contrastive pairs
+
+def test_contrastive_pairs_planted_cluster(spark):
+    # 1 and 2 are identical (one cluster; rep = longer-or-min-id),
+    # 3 is a singleton -> exactly one (anchor, positive) pair
+    same = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, same, 30), (2, same, 30),
+         (3, " ".join(f"z{i}" for i in range(30)), 30)],
+        "doc_id long, text string, n_chars long")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text",
+                                num_perm=32, bands=8)
+    cc = D.connected_components(pairs)
+    keep = D.cluster_keep(docs, "doc_id", "n_chars", cc)
+    out = (keep.filter(F.col("doc_id") != F.col("keep_id"))
+           .select("doc_id", "keep_id").collect())
+    assert [(r["doc_id"], r["keep_id"]) for r in out] == [(2, 1)]
