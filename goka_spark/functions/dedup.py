@@ -1389,3 +1389,62 @@ def minhash_est_error(df: "DataFrame", id_col: str, text_col: str,
         "doc_a", "doc_b",
         est.alias("est_e6"), exact.alias("exact_e6"),
         F.abs(est - exact).cast("long").alias("abs_err_e6")))
+
+
+def minhash_band_sweep(df: "DataFrame", id_col: str, text_col: str,
+                       num_perm: int = 32,
+                       band_list: "tuple[int, ...]" = (2, 4, 8, 16),
+                       threshold: float = 0.5,
+                       max_df: "int | None" = 50) -> "DataFrame":
+    """LSH band-tuning curve (MMDS ch.3 S-curve, MEASURED) — the
+    text-side twin of the ANN n_probe sweep: for each candidate
+    banding (b, r = num_perm/b) of ONE shared signature frame, the
+    realized candidate-pair volume plus precision and recall against
+    exact-Jaccard-≥-threshold ground truth.  This is the report that
+    picks a banding BEFORE a corpus-scale dedup run commits to one:
+    `optimal_bands` gives the textbook S-curve midpoint; this
+    measures false-positive volume (= wasted verification work) and
+    missed-pair count on YOUR corpus.
+
+    One signature hash-agg (localCheckpointed) feeds every banding —
+    re-bandings are slice+hash projections, never re-hash the corpus.
+    Ground truth is the df-pruned exact-Jaccard join with the SAME
+    pruning policy as :func:`ngram_jaccard_pairs`, so "recall" is
+    measured against the pairs an exact pass would emit.  At 100 TB
+    run the sweep on a hash-sampled slice: permissive bandings (r=2)
+    exist to be REJECTED by this report, not to run corpus-wide.
+    """
+    from functools import reduce
+
+    sigs = minhash_signatures(df, id_col, text_col, num_perm) \
+        .localCheckpoint(eager=False)
+    truth = (ngram_jaccard_pairs(df, id_col, text_col, n=3,
+                                 threshold=threshold, max_df=max_df)
+             .select("id_a", "id_b", F.lit(1).alias("_t"))
+             .localCheckpoint(eager=False))
+    total = truth.agg(F.count("*").alias("n_true_total"))
+
+    rows = []
+    for b in band_list:
+        if num_perm % b:
+            raise ValueError(f"bands={b} does not divide num_perm={num_perm}")
+        r = num_perm // b
+        cand = lsh_candidate_pairs(lsh_bands(sigs, id_col, b, r), id_col)
+        agg = (cand.join(truth, ["id_a", "id_b"], "left")
+               .agg(F.count("*").alias("n_candidates"),
+                    F.coalesce(F.sum("_t"), F.lit(0)).cast("long")
+                     .alias("n_true_pairs")))
+        rows.append(agg.select(F.lit(b).alias("bands"),
+                               F.lit(r).alias("rows_per_band"),
+                               "n_candidates", "n_true_pairs"))
+    sweep = reduce(lambda x, y: x.unionByName(y), rows) \
+        .crossJoin(F.broadcast(total))
+    return sweep.select(
+        "bands", "rows_per_band", "n_candidates", "n_true_pairs",
+        "n_true_total",
+        F.expr("CASE WHEN n_candidates > 0 THEN n_true_pairs * "
+               "CAST(1000000 AS BIGINT) div n_candidates "
+               "ELSE CAST(0 AS BIGINT) END").alias("precision_e6"),
+        F.expr("CASE WHEN n_true_total > 0 THEN n_true_pairs * "
+               "CAST(1000000 AS BIGINT) div n_true_total "
+               "ELSE CAST(0 AS BIGINT) END").alias("recall_e6"))

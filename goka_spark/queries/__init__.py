@@ -135,6 +135,7 @@ _FRONT = [
     "bigram_pmi_topk",
     "span_corruption_masks",
     "contrastive_pairs",
+    "minhash_band_sweep",
 ]
 
 

@@ -795,6 +795,19 @@ def minhash_est_error(spark: SparkSession, sf: str) -> DataFrame:
     return D.minhash_est_error(docs, "doc_id", "text", num_perm=16)
 
 
+def minhash_band_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH band-tuning curve (D.minhash_band_sweep): candidate
+    volume, precision and recall at bandings (2,16) (4,8) (8,4)
+    (16,2) of one shared 32-perm signature frame, against exact
+    Jaccard ≥ 0.5 ground truth under the ngram_jaccard_pairs pruning
+    policy — the measured S-curve that picks (b, r) before a
+    corpus-scale dedup commits to a banding.  Hash-verified via the
+    XXH64-in-SQL signature replay + slice-equality band candidates +
+    the list_intersect exact-Jaccard twin."""
+    docs = load(spark, sf, "documents")["documents"]
+    return D.minhash_band_sweep(docs, "doc_id", "text", num_perm=32)
+
+
 def dedup_simhash_verified(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash with the md5-derived 60-bit word hash — the SAME
     bit-vote aggregate as dedup_simhash but with a base hash DuckDB
@@ -1505,6 +1518,7 @@ QUERIES = {
     "corpus_shard_pack": corpus_shard_pack,
     "dedup_minhash_verified": dedup_minhash_verified,
     "minhash_est_error": minhash_est_error,
+    "minhash_band_sweep": minhash_band_sweep,
     "dedup_simhash_verified": dedup_simhash_verified,
     "multimodal_decode": multimodal_decode,
     "multimodal_decode_ppm": multimodal_decode_ppm,
@@ -2163,6 +2177,80 @@ def _minhash_keep_oracle(num_perm: int = 32, bands: int = 8) -> str:
 
 
 ORACLES["dedup_minhash_keep"] = _minhash_keep_oracle
+
+
+def _band_sweep_oracle(num_perm: int = 32,
+                       band_list: "tuple[int, ...]" = (2, 4, 8, 16)) -> str:
+    """DuckDB twin of minhash_band_sweep: XXH64 signature CTEs once,
+    slice-equality band candidates per config (≡ Spark's
+    xxhash64-of-slice bucket join), ground truth = the
+    ngram_jaccard_pairs oracle's df-pruned candidates + full-set
+    list_intersect Jaccard at ROUND(·,4) ≥ 0.5."""
+    cfg_ctes, cfg_rows = [], []
+    for b in band_list:
+        r = num_perm // b
+        cfg_ctes.append(f"""
+    bb{b} AS (
+      SELECT doc_id, band, mh[band * {r} + 1 : band * {r} + {r}] AS bk
+      FROM arr, (SELECT UNNEST(range(0, {b})) AS band)
+    ),
+    c{b} AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM bb{b} a JOIN bb{b} b2
+        ON a.band = b2.band AND a.bk = b2.bk AND a.doc_id < b2.doc_id
+    ),
+    r{b} AS (
+      SELECT {b} AS bands, {r} AS rows_per_band,
+             CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(COALESCE(SUM(CASE WHEN t.id_a IS NOT NULL
+                                    THEN 1 END), 0) AS BIGINT)
+               AS n_true_pairs
+      FROM c{b} c LEFT JOIN truth t
+        ON t.id_a = c.id_a AND t.id_b = c.id_b
+    )""")
+        cfg_rows.append(f"SELECT * FROM r{b}")
+    union = " UNION ALL ".join(cfg_rows)
+    return f"""
+    WITH {_xxh_sigs_ctes(num_perm)},
+    shs AS (
+      SELECT doc_id AS doc, list(s) AS shs FROM inner_sh GROUP BY doc_id
+    ),
+    dfc AS (
+      SELECT s FROM (SELECT s, COUNT(*) AS cnt FROM inner_sh GROUP BY s)
+      WHERE cnt <= 50
+    ),
+    pruned AS (
+      SELECT doc_id AS doc, i.s FROM inner_sh i JOIN dfc USING (s)
+    ),
+    candj AS (
+      SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+      FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc < b.doc
+    ),
+    truth AS (
+      SELECT id_a, id_b FROM candj c
+      JOIN shs a ON a.doc = c.id_a
+      JOIN shs b ON b.doc = c.id_b
+      WHERE ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+            / (len(a.shs) + len(b.shs)
+               - len(list_intersect(a.shs, b.shs))), 4) >= 0.5
+    ),
+    tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_total FROM truth),
+    {",".join(cfg_ctes)}
+    SELECT bands, rows_per_band, n_candidates, n_true_pairs,
+           n_true_total,
+           CASE WHEN n_candidates > 0
+                THEN CAST(n_true_pairs * 1000000 // n_candidates
+                          AS BIGINT)
+                ELSE 0 END AS precision_e6,
+           CASE WHEN n_true_total > 0
+                THEN CAST(n_true_pairs * 1000000 // n_true_total
+                          AS BIGINT)
+                ELSE 0 END AS recall_e6
+    FROM ({union}) CROSS JOIN tt
+    """
+
+
+ORACLES["minhash_band_sweep"] = _band_sweep_oracle
 
 ORACLES["corpus_shard_pack"] = f"""
     SELECT doc_id,

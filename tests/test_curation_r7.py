@@ -408,3 +408,35 @@ def test_contrastive_pairs_planted_cluster(spark):
     out = (keep.filter(F.col("doc_id") != F.col("keep_id"))
            .select("doc_id", "keep_id").collect())
     assert [(r["doc_id"], r["keep_id"]) for r in out] == [(2, 1)]
+
+
+# ----------------------------------------- minhash band sweep
+
+def test_band_sweep_planted_extremes(spark):
+    # docs 1/2 identical (J=1: every banding catches them, so recall
+    # = 1e6 at all four configs); 3/4 disjoint from everything (never
+    # candidates, never truth)
+    same = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, same), (2, same),
+         (3, " ".join(f"y{i}" for i in range(30))),
+         (4, " ".join(f"z{i}" for i in range(30)))],
+        "doc_id long, text string")
+    out = {r["bands"]: r for r in
+           D.minhash_band_sweep(docs, "doc_id", "text",
+                                num_perm=32).collect()}
+    assert set(out) == {2, 4, 8, 16}
+    for b, r in out.items():
+        assert r["rows_per_band"] == 32 // b
+        assert r["n_true_total"] == 1          # only the (1,2) pair
+        assert r["n_true_pairs"] == 1          # J=1 always collides
+        assert r["recall_e6"] == 1_000_000
+        assert r["n_candidates"] >= 1
+        assert 0 <= r["precision_e6"] <= 1_000_000
+
+
+def test_band_sweep_rejects_bad_banding(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        D.minhash_band_sweep(docs, "doc_id", "text", num_perm=32,
+                             band_list=(3,)).collect()
