@@ -1005,3 +1005,61 @@ def bigram_pmi_topk(df, id_col: str, text_col: str,
         .alias("pmi_e6"))
         .orderBy(F.col("pmi_e6").desc(), "w1", "w2")
         .limit(k))
+
+
+def zipf_fit(df, id_col: str, text_col: str, k: int = 100):
+    """Zipf's-law fit: least-squares slope of ln(frequency) against
+    ln(rank) over the top-``k`` words — the one-number corpus-health
+    diagnostic (natural text sits near slope −1; slope ≫ −1 means
+    templated/duplicated text flattened the head, slope ≪ −1 means a
+    gutted tail, e.g. over-aggressive filtering).
+
+    Engine-portable discipline (the bigram-PMI precedent): each
+    point is ONE ln of an exact integer (rank, count) rounded to
+    micro-nats, every regression sum is then EXACT integer
+    arithmetic (order-independent — no float accumulation anywhere),
+    and the final slope/intercept/r² ratios use per-factor double
+    casts in fixed association, so any engine reproduces the numbers
+    bit-for-bit.  Long-range bound: the cross products stay under
+    2^63 for k ≤ 100 and counts up to ~10^17 words.
+
+    Scale shape: one postings hash-agg for word counts (map-side
+    combine), a TakeOrdered(k) — never a full vocab sort — and a
+    k-row single-partition window for ranks.  One output row."""
+    from pyspark.sql.window import Window
+
+    uni = (df.select(F.explode(words(F.col(text_col))).alias("w"))
+           .groupBy("w").agg(F.count("*").cast("long").alias("c")))
+    top = uni.orderBy(F.col("c").desc(), "w").limit(k)
+    # k rows: the global window is bounded by construction
+    rk = F.row_number().over(Window.orderBy(F.col("c").desc(), "w"))
+    pts = top.select(
+        F.floor(F.log(rk.cast("double")) * 1000000 + F.lit(0.5))
+         .cast("long").alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * 1000000 + F.lit(0.5))
+         .cast("long").alias("y"))
+    s = pts.agg(F.count("*").cast("long").alias("m"),
+                F.sum("x").cast("long").alias("sx"),
+                F.sum("y").cast("long").alias("sy"),
+                F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+                F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"))
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast("double")
+    den = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")) \
+        .cast("double")
+    deny = (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")) \
+        .cast("double")
+    slope = num / den
+    zero = F.lit(0).cast("long")
+    return s.select(
+        F.col("m").alias("n_points"),
+        F.when(den > 0, F.floor(slope * 1000000 + F.lit(0.5))
+               .cast("long")).otherwise(zero).alias("slope_e6"),
+        F.when(den > 0, F.floor(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("m").cast("double") + F.lit(0.5))
+            .cast("long")).otherwise(zero).alias("intercept_e6"),
+        F.when((den > 0) & (deny > 0), F.floor(
+            (num * num) / (den * deny) * 1000000 + F.lit(0.5))
+            .cast("long")).otherwise(zero).alias("r2_e6"))

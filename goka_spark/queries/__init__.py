@@ -136,6 +136,7 @@ _FRONT = [
     "span_corruption_masks",
     "contrastive_pairs",
     "minhash_band_sweep",
+    "zipf_fit",
 ]
 
 

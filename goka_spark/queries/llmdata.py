@@ -795,6 +795,17 @@ def minhash_est_error(spark: SparkSession, sf: str) -> DataFrame:
     return D.minhash_est_error(docs, "doc_id", "text", num_perm=16)
 
 
+def zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf's-law regression (T.zipf_fit): ln(freq) vs ln(rank) over
+    the top-100 words — slope near −1e6 micro-nats is healthy text;
+    a flat head flags template/duplication damage.  Per-point lns of
+    exact integers, exact-integer regression sums, per-factor double
+    casts for the final ratios (the bigram-PMI discipline), so the
+    slope itself hash-verifies."""
+    docs = load(spark, sf, "documents")["documents"]
+    return T.zipf_fit(docs, "doc_id", "text")
+
+
 def minhash_band_sweep(spark: SparkSession, sf: str) -> DataFrame:
     """LSH band-tuning curve (D.minhash_band_sweep): candidate
     volume, precision and recall at bandings (2,16) (4,8) (8,4)
@@ -1519,6 +1530,7 @@ QUERIES = {
     "dedup_minhash_verified": dedup_minhash_verified,
     "minhash_est_error": minhash_est_error,
     "minhash_band_sweep": minhash_band_sweep,
+    "zipf_fit": zipf_fit,
     "dedup_simhash_verified": dedup_simhash_verified,
     "multimodal_decode": multimodal_decode,
     "multimodal_decode_ppm": multimodal_decode_ppm,
@@ -2251,6 +2263,61 @@ def _band_sweep_oracle(num_perm: int = 32,
 
 
 ORACLES["minhash_band_sweep"] = _band_sweep_oracle
+
+# zipf fit: per-point ln of exact integers -> micro-nats, regression
+# sums in exact integer arithmetic, final ratios via per-factor
+# double casts in the same association as the Column expression
+ORACLES["zipf_fit"] = f"""
+    WITH uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT UNNEST({{_W}}) AS w FROM documents) GROUP BY w
+    ),
+    top AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r
+      FROM uni ORDER BY c DESC, w LIMIT 100
+    ),
+    pts AS (
+      SELECT CAST(FLOOR(ln(CAST(r AS DOUBLE)) * 1000000 + 0.5)
+                  AS BIGINT) AS x,
+             CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5)
+                  AS BIGINT) AS y
+      FROM top
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pts
+    )
+    SELECT m AS n_points,
+           CASE WHEN CAST(m * sxx - sx * sx AS DOUBLE) > 0
+                THEN CAST(FLOOR(
+                  CAST(m * sxy - sx * sy AS DOUBLE)
+                  / CAST(m * sxx - sx * sx AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT)
+                ELSE 0 END AS slope_e6,
+           CASE WHEN CAST(m * sxx - sx * sx AS DOUBLE) > 0
+                THEN CAST(FLOOR(
+                  (CAST(sy AS DOUBLE)
+                   - CAST(m * sxy - sx * sy AS DOUBLE)
+                     / CAST(m * sxx - sx * sx AS DOUBLE)
+                     * CAST(sx AS DOUBLE))
+                  / CAST(m AS DOUBLE) + 0.5) AS BIGINT)
+                ELSE 0 END AS intercept_e6,
+           CASE WHEN CAST(m * sxx - sx * sx AS DOUBLE) > 0
+                 AND CAST(m * syy - sy * sy AS DOUBLE) > 0
+                THEN CAST(FLOOR(
+                  (CAST(m * sxy - sx * sy AS DOUBLE)
+                   * CAST(m * sxy - sx * sy AS DOUBLE))
+                  / (CAST(m * sxx - sx * sx AS DOUBLE)
+                     * CAST(m * syy - sy * sy AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT)
+                ELSE 0 END AS r2_e6
+    FROM s
+""".replace("{_W}", _WORDS)
 
 ORACLES["corpus_shard_pack"] = f"""
     SELECT doc_id,

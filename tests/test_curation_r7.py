@@ -440,3 +440,38 @@ def test_band_sweep_rejects_bad_banding(spark):
     with pytest.raises(ValueError):
         D.minhash_band_sweep(docs, "doc_id", "text", num_perm=32,
                              band_list=(3,)).collect()
+
+
+# ---------------------------------------------------- zipf fit
+
+def test_zipf_fit_exact_power_law(spark):
+    # plant counts c(r) = 2^(10-r) for ranks 1..8 on ln-spaced...
+    # simpler: c(r) = K / r exactly at ranks 1,2,4,8 -> slope == -1.
+    # Build a corpus where word w_r appears 840/r times (840 =
+    # lcm-friendly): ln c = ln 840 - ln r, a PERFECT -1 line at
+    # every rank, so slope_e6 ~= -1e6 and r2_e6 ~= 1e6.
+    from goka_spark.functions.text import zipf_fit
+    rows = []
+    did = 0
+    for r in range(1, 9):
+        for _ in range(840 // r):
+            rows.append((did, f"w{r:02d}"))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = zipf_fit(docs, "doc_id", "text", k=8).collect()[0]
+    assert out["n_points"] == 8
+    assert abs(out["slope_e6"] + 1_000_000) < 200      # micro-nat rounding
+    assert out["r2_e6"] >= 999_999
+    # intercept ~= ln(840) in micro-nats
+    import math
+    assert abs(out["intercept_e6"] - round(math.log(840) * 1e6)) < 300
+
+
+def test_zipf_fit_flat_head_is_zero_slope(spark):
+    from goka_spark.functions.text import zipf_fit
+    # every word equally frequent -> slope 0, r2 degenerate -> 0
+    rows = [(i, f"w{i % 5}") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = zipf_fit(docs, "doc_id", "text", k=5).collect()[0]
+    assert out["slope_e6"] == 0
+    assert out["r2_e6"] == 0           # deny == 0 guard
