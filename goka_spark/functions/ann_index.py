@@ -815,3 +815,51 @@ def ivf_nprobe_sweep(index: ANNIndex, corpus: DataFrame,
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def ivf_balance_report(index: ANNIndex) -> DataFrame:
+    """Index-health report for the persisted IVF index — the
+    OPERATIONAL diagnostic behind every probe-cost claim: per cell,
+    its population, its fill fraction, and the spread of
+    cosine-to-own-centroid (quantization quality).  A cell at 20×
+    the mean fill is a hot partition that degrades probed reads
+    toward scans (and flags quantizer staleness after heavy
+    append_vectors churn → time to retrain/re-bucket); a low mean
+    centroid cosine means the frozen quantizer no longer fits the
+    data distribution.
+
+    Exactness discipline: per-vector similarity integerized FIRST
+    (ROUND(dot·10⁴) — one engine-identical rounding), so every cell
+    aggregate is EXACT integer arithmetic with no order-dependent
+    float accumulation; fill is integer micro-units; the mean is one
+    FLOOR of an exact-ratio double.  Scale shape: one broadcast join
+    against the n_cells-row centroid table + one hash-agg over the
+    codes table (map-side combine) — no windows, no shuffle beyond
+    the √n-row cell rollup."""
+    from goka_spark.functions.similarity import dot
+
+    spark = index.spark
+    nc = index.centroids / np.linalg.norm(index.centroids, axis=1,
+                                          keepdims=True)
+    cdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(nc)],
+        "cell int, _c array<double>")
+    v = index.codes().select("cell", F.col("vec").alias("_v"))
+    sim_e4 = F.round(dot(F.col("_v"), F.col("_c")) * 10000, 0) \
+        .cast("long")
+    per_cell = (v.join(F.broadcast(cdf), "cell")
+                .select("cell", sim_e4.alias("_s"))
+                .groupBy(F.col("cell").cast("long").alias("cluster"))
+                .agg(F.count("*").alias("n_vectors"),
+                     F.sum("_s").alias("_ss"),
+                     F.min("_s").alias("min_sim_e4"),
+                     F.max("_s").alias("max_sim_e4")))
+    total = per_cell.agg(F.sum("n_vectors").alias("_tot"))
+    return (per_cell.crossJoin(F.broadcast(total))
+            .select("cluster", "n_vectors",
+                    F.expr("n_vectors * CAST(1000000 AS BIGINT) div _tot")
+                     .alias("fill_e6"),
+                    F.floor(F.col("_ss").cast("double")
+                            / F.col("n_vectors").cast("double"))
+                     .cast("long").alias("mean_sim_e4"),
+                    "min_sim_e4", "max_sim_e4"))

@@ -137,6 +137,7 @@ _FRONT = [
     "contrastive_pairs",
     "minhash_band_sweep",
     "zipf_fit",
+    "ivf_balance_report",
 ]
 
 

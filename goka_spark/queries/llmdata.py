@@ -617,6 +617,18 @@ def embedding_cluster_assign(spark: SparkSession, sf: str) -> DataFrame:
     return c.withColumn("cluster_size", F.count("*").over(w))
 
 
+def ivf_balance_report(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF index-health report (A.ivf_balance_report): per-cell
+    population, fill micro-fraction, and the min/mean/max of
+    cosine-to-own-centroid — the skew + quantizer-staleness
+    diagnostic read from the persisted index with zero recompute.
+    Per-vector sims integerized before aggregation (no float
+    accumulation), so the report hash-verifies via the
+    recomputable-quantizer oracle."""
+    emb = load(spark, sf, "embeddings")["embeddings"]
+    return A.ivf_balance_report(_ann_index(spark, sf, emb))
+
+
 def embedding_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
     """Cluster-local k-NN graph (the SemDeDup/D4 neighborhood
     structure): each vector's top-5 exact-cosine neighbors among the
@@ -1531,6 +1543,7 @@ QUERIES = {
     "minhash_est_error": minhash_est_error,
     "minhash_band_sweep": minhash_band_sweep,
     "zipf_fit": zipf_fit,
+    "ivf_balance_report": ivf_balance_report,
     "dedup_simhash_verified": dedup_simhash_verified,
     "multimodal_decode": multimodal_decode,
     "multimodal_decode_ppm": multimodal_decode_ppm,
@@ -4199,6 +4212,43 @@ def _outliers_oracle(dim: int = 64, frac_denom: int = 20) -> str:
 
 
 ORACLES["embedding_outliers"] = _outliers_oracle
+
+
+def _ivf_balance_oracle(dim: int = 64) -> str:
+    """DuckDB twin of ivf_balance_report: recomputed centroid
+    literals → own-cell sim (max of the sims list) integerized at
+    ROUND(·e4) per vector, then exact-integer cell aggregates, the
+    same fill/mean arithmetic as the Column plan."""
+    _, ctes = _ivf_cells_ctes(dim)
+    return f"""
+        WITH {ctes},
+        sc AS (
+          SELECT vec_id,
+                 CAST(list_position(s, list_aggregate(s, 'max')) - 1
+                      AS BIGINT) AS cluster,
+                 CAST(ROUND(list_aggregate(s, 'max') * 10000, 0)
+                      AS BIGINT) AS se4
+          FROM sims
+        ),
+        pc AS (
+          SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+                 CAST(SUM(se4) AS BIGINT) AS ss,
+                 CAST(MIN(se4) AS BIGINT) AS min_sim_e4,
+                 CAST(MAX(se4) AS BIGINT) AS max_sim_e4
+          FROM sc GROUP BY cluster
+        ),
+        tt AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS tot FROM pc)
+        SELECT cluster, n_vectors,
+               CAST(n_vectors * 1000000 // tot AS BIGINT) AS fill_e6,
+               CAST(FLOOR(CAST(ss AS DOUBLE)
+                          / CAST(n_vectors AS DOUBLE)) AS BIGINT)
+                 AS mean_sim_e4,
+               min_sim_e4, max_sim_e4
+        FROM pc CROSS JOIN tt
+    """
+
+
+ORACLES["ivf_balance_report"] = _ivf_balance_oracle
 
 
 def _knn_graph_oracle(k: int = 5, dim: int = 64) -> str:

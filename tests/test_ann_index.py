@@ -223,3 +223,22 @@ def test_centroid_outliers_validates_args(index):
     idx, _, _, _ = index
     with pytest.raises(ValueError):
         A.centroid_outliers(idx, frac_denom=0)
+
+
+def test_ivf_balance_report_invariants(spark, sf_dir, index):
+    """Fill fractions tile the corpus, counts reconcile with the
+    codes table, and every cell's sim stats are internally ordered."""
+    idx, emb, _, _ = index
+    rows = A.ivf_balance_report(idx).collect()
+    n_total = emb.count()
+    assert sum(r["n_vectors"] for r in rows) == n_total
+    # integer-div fills under-count by < 1 unit per cell
+    fsum = sum(r["fill_e6"] for r in rows)
+    assert 1_000_000 - len(rows) < fsum <= 1_000_000
+    for r in rows:
+        assert r["fill_e6"] == r["n_vectors"] * 1_000_000 // n_total
+        assert r["min_sim_e4"] <= r["mean_sim_e4"] <= r["max_sim_e4"]
+        assert r["max_sim_e4"] <= 10_000   # cosine bound (e4 units)
+    # cells are the index's cells, no phantom clusters
+    cells = {r["cluster"] for r in rows}
+    assert cells <= set(range(len(idx.centroids)))
