@@ -66,15 +66,33 @@ def histogram_quantiles(df, value_col: str, keys: list,
     (keys, bin) hash-agg + a per-key cumulative window over ≤ n_bins
     rows.  Returns one row per key with a column per quantile
     (`p50`, `p90`, ... from ``qs``)."""
+    binned = histogram_bins(df, value_col, keys, lo, hi, n_bins)
+    return quantiles_from_bins(binned, keys, lo, hi, n_bins, qs)
+
+
+def histogram_bins(df, value_col: str, keys: list,
+                   lo: float, hi: float, n_bins: int = 256):
+    """The sketch KERNEL batch and streaming share: exact integer
+    (keys, bin) counters over fixed equi-width bins — an associative
+    partial that merges across shards/epochs by cell-wise SUM."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     width = (hi - lo) / n_bins
     b = F.least(F.greatest(
         F.floor((F.col(value_col) - lo) / width), F.lit(0)),
         F.lit(n_bins - 1)).cast("int")
-    binned = (df.select(*keys, b.alias("_bin"))
-              .groupBy(*keys, "_bin").agg(F.count("*").alias("_c")))
+    return (df.select(*keys, b.alias("_bin"))
+            .groupBy(*keys, "_bin").agg(F.count("*").alias("_c")))
+
+
+def quantiles_from_bins(binned, keys: list, lo: float, hi: float,
+                        n_bins: int, qs: tuple = (0.5, 0.9)):
+    """Inverted-CDF readout over merged bin counters (first bin whose
+    cumulative count reaches ceil(q·n)); ≤ n_bins rows per key."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    width = (hi - lo) / n_bins
     w = Window.partitionBy(*keys).orderBy("_bin") \
         .rowsBetween(Window.unboundedPreceding, 0)
     tot = Window.partitionBy(*keys)
@@ -89,6 +107,47 @@ def histogram_quantiles(df, value_col: str, keys: list,
             F.lit(lo) + F.col("_bin") * width)
         aggs.append(F.min(hit).alias(name))
     return cum.groupBy(*keys).agg(*aggs)
+
+
+class HistogramSink:
+    """Streaming histogram-sketch — the live face of the batch
+    ``histogram_quantiles`` query and the SUM-monoid sibling of
+    CmsSink (cell-wise SUM) and HllSink (cell-wise MAX): a
+    ``foreachBatch`` sink writing each micro-batch's (keys, bin)
+    integer counters to ``out_path/epoch_id=N``; ``read()`` merges
+    epochs by cell-wise SUM into exactly the batch counters of
+    everything seen (associative + commutative, so shard-then-merge
+    is exact), and ``quantiles()`` returns the batch query's schema
+    — dashboards swap live/batch without changes.  Epoch overwrite
+    is retry-idempotent (the ExactlyOnceBatchSink discipline);
+    state is ≤ n_bins·|keys| integers per epoch regardless of rows.
+    """
+
+    def __init__(self, out_path: str, value_col: str, keys: list,
+                 lo: float, hi: float, n_bins: int = 256,
+                 qs: tuple = (0.5, 0.9)):
+        self.out_path = out_path.rstrip("/")
+        self.value_col = value_col
+        self.keys = list(keys)
+        self.lo, self.hi, self.n_bins, self.qs = lo, hi, n_bins, qs
+
+    def __call__(self, batch_df, epoch_id: int) -> None:
+        bins = histogram_bins(batch_df, self.value_col, self.keys,
+                              self.lo, self.hi, self.n_bins)
+        (bins.write.mode("overwrite")
+         .parquet(f"{self.out_path}/epoch_id={int(epoch_id)}"))
+
+    def read(self, spark):
+        from pyspark.sql import functions as F
+
+        parts = spark.read.parquet(self.out_path)
+        return (parts.groupBy(*self.keys, "_bin")
+                .agg(F.sum("_c").alias("_c")))
+
+    def quantiles(self, spark):
+        return quantiles_from_bins(self.read(spark), self.keys,
+                                   self.lo, self.hi, self.n_bins,
+                                   self.qs)
 
 
 def event_transition_counts(df, user_col: str, ts_col: str,

@@ -30,6 +30,7 @@ _FRONT = [
     "hll_distinct_users",
     "corpus_quality_pipeline",
     "gopher_repetition",  # r7 refactor: no postings-sized join sides
+    "value_histogram_quantiles",  # r7 refactor: shared sketch kernel
     # (b) the r03-stale block (latest driver row three rounds old)
     "ngram_jaccard_pairs",
     "ngram_jaccard_prefix",

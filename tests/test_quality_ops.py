@@ -460,3 +460,50 @@ def test_streaming_hll_sink_equals_batch(spark, tmp_path):
     want = {r["event_type"]: r["hll_est"]
             for r in D.hll_estimate(whole, ["event_type"]).collect()}
     assert got == want
+
+
+def test_streaming_histogram_sink_equals_batch(spark, tmp_path):
+    """Two micro-batches through the histogram sink merge (cell-wise
+    SUM) to exactly the batch bin counters of the union, so the
+    streamed quantiles equal the batch quantiles."""
+    from goka_spark.operators import windows as W
+    from goka_spark.streaming.runtime import stream_from_dir
+
+    schema = "event_type string, value double"
+    rows1 = [("click", float(v)) for v in range(0, 300, 3)]
+    rows2 = [("click", float(v)) for v in range(100, 512, 2)] \
+        + [("view", 400.0)] * 10
+    src = str(tmp_path / "events")
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    sink = W.HistogramSink(str(tmp_path / "hist"), "value",
+                           ["event_type"], lo=0.0, hi=512.0,
+                           n_bins=256)
+    q = (stream_from_dir(spark, src, schema).writeStream
+         .foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    whole_df = spark.createDataFrame(rows1 + rows2, schema)
+    whole = W.histogram_bins(whole_df, "value", ["event_type"],
+                             0.0, 512.0, 256)
+    live = sink.read(spark)
+    diff = (live.join(whole, ["event_type", "_bin"], "full")
+            .filter(F.coalesce(live["_c"], F.lit(-1))
+                    != F.coalesce(whole["_c"], F.lit(-1))).count())
+    assert diff == 0
+    got = {r["event_type"]: (r["p50"], r["p90"])
+           for r in sink.quantiles(spark).collect()}
+    want = {r["event_type"]: (r["p50"], r["p90"])
+            for r in W.histogram_quantiles(
+                whole_df, "value", ["event_type"],
+                lo=0.0, hi=512.0, n_bins=256).collect()}
+    assert got == want
