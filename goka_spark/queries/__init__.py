@@ -139,6 +139,7 @@ _FRONT = [
     "minhash_band_sweep",
     "zipf_fit",
     "ivf_balance_report",
+    "key_skew_report",
 ]
 
 

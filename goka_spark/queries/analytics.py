@@ -756,6 +756,38 @@ def value_histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
                                  lo=0.0, hi=512.0, n_bins=256)
 
 
+def key_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Hot-key diagnostic — the measurement that decides whether a
+    user-keyed shuffle needs salting BEFORE the straggler appears
+    (the measurement face of tools/skew_probe + the salted_join
+    tool): the top-20 user_ids by event count, each with its share
+    of all rows (integer micro-units) and its multiple of the mean
+    per-key load (per-factor double casts in fixed association — the
+    PMI discipline, since cnt·n_keys overflows long at corpus scale).
+
+    Scale shape: one user-keyed hash-agg with map-side combine +
+    TakeOrdered(20) — never a global sort; scalar totals ride one
+    broadcast one-row cross join; the rank window is bounded to the
+    20 collected rows."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf, "events")["events"]
+    cnt = (ev.groupBy("user_id")
+           .agg(F.count("*").cast("long").alias("cnt")))
+    tot = cnt.agg(F.sum("cnt").cast("long").alias("_tot"),
+                  F.count("*").cast("long").alias("_nk"))
+    top = (cnt.orderBy(F.col("cnt").desc(), "user_id").limit(20)
+           .crossJoin(F.broadcast(tot)))
+    rnk = F.row_number().over(
+        Window.orderBy(F.col("cnt").desc(), "user_id")).cast("long")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return top.select(
+        rnk.alias("rank"), "user_id", "cnt",
+        F.expr("cnt * 1000000L DIV _tot").alias("share_e6"),
+        F.floor(d("cnt") * d("_nk") / d("_tot") * 1000000)
+         .cast("long").alias("x_mean_e6"))
+
+
 def event_transitions(spark: SparkSession, sf: str) -> DataFrame:
     """Markov transition matrix over per-user event sequences: for
     every (event_type → next_event_type) pair, the occurrence count
@@ -829,6 +861,7 @@ QUERIES = {
     "event_interarrival": event_interarrival,
     "value_quantiles": value_quantiles,
     "value_histogram_quantiles": value_histogram_quantiles,
+    "key_skew_report": key_skew_report,
 }
 
 ORACLES = {
@@ -1283,6 +1316,30 @@ ORACLES["value_histogram_quantiles"] = """
            MIN(CASE WHEN cum >= CEIL(n * 0.5) THEN bin * 2.0 END) AS p50,
            MIN(CASE WHEN cum >= CEIL(n * 0.9) THEN bin * 2.0 END) AS p90
     FROM cum GROUP BY event_type
+"""
+
+ORACLES["key_skew_report"] = """
+    WITH c AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    ),
+    t AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS nk
+      FROM c
+    ),
+    top AS (
+      SELECT user_id, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id)
+                  AS BIGINT) AS rank
+      FROM c ORDER BY cnt DESC, user_id LIMIT 20
+    )
+    SELECT rank, user_id, cnt,
+           CAST(cnt * 1000000 // tot AS BIGINT) AS share_e6,
+           CAST(FLOOR(CAST(cnt AS DOUBLE) * CAST(nk AS DOUBLE)
+                      / CAST(tot AS DOUBLE) * 1000000) AS BIGINT)
+             AS x_mean_e6
+    FROM top CROSS JOIN t
 """
 
 ORACLES["event_transitions"] = """

@@ -475,3 +475,31 @@ def test_zipf_fit_flat_head_is_zero_slope(spark):
     out = zipf_fit(docs, "doc_id", "text", k=5).collect()[0]
     assert out["slope_e6"] == 0
     assert out["r2_e6"] == 0           # deny == 0 guard
+
+
+# ------------------------------------------------ key skew report
+
+def test_key_skew_report_planted_hot_key(spark, monkeypatch, tmp_path):
+    from goka_spark.queries.analytics import key_skew_report
+    import goka_spark.queries.base as B
+    # 1 hot user with 80 events, 20 cold users with 1 each:
+    # share = 80%, mean load = 100/21, hot multiple ~ 16.8x
+    rows = [(i, 1, "click", float(i), None) for i in range(80)] + \
+           [(80 + u, 100 + u, "view", 1.0, None) for u in range(20)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "value double, ts timestamp")
+    src = str(tmp_path / "events.parquet")
+    ev.write.parquet(src)
+    orig = B.load
+    monkeypatch.setattr(B, "load", lambda s, sf, *t: {
+        "events": s.read.parquet(src)})
+    import goka_spark.queries.analytics as QA
+    monkeypatch.setattr(QA, "load", B.load)
+    out = key_skew_report(spark, "ignored").collect()
+    assert out[0]["rank"] == 1 and out[0]["user_id"] == 1
+    assert out[0]["cnt"] == 80
+    assert out[0]["share_e6"] == 80 * 1_000_000 // 100
+    assert out[0]["x_mean_e6"] == int(80 * 21 / 100 * 1_000_000)
+    assert len(out) == 20                      # top-20 cap hit: 21 keys
+    assert [r["rank"] for r in out] == list(range(1, 21))
