@@ -1033,11 +1033,22 @@ def zipf_fit(df, id_col: str, text_col: str, k: int = 100):
     top = uni.orderBy(F.col("c").desc(), "w").limit(k)
     # k rows: the global window is bounded by construction
     rk = F.row_number().over(Window.orderBy(F.col("c").desc(), "w"))
-    pts = top.select(
-        F.floor(F.log(rk.cast("double")) * 1000000 + F.lit(0.5))
-         .cast("long").alias("x"),
-        F.floor(F.log(F.col("c").cast("double")) * 1000000 + F.lit(0.5))
-         .cast("long").alias("y"))
+    pts = top.select(rk.alias("_xr"), F.col("c").alias("_yr"))
+    return loglog_fit(pts, "_xr", "_yr")
+
+
+def loglog_fit(pts, x_col: str, y_col: str):
+    """Shared log-log least-squares kernel (zipf_fit / heaps_fit):
+    per-point micro-nat lns of exact integers, EXACT-integer
+    regression sums (order-independent), per-factor double casts in
+    fixed association for the final slope/intercept/r² ratios —
+    engine-reproducible bit-for-bit.  Expects positive integer
+    columns; one output row."""
+    pts = pts.select(
+        F.floor(F.log(F.col(x_col).cast("double")) * 1000000
+                + F.lit(0.5)).cast("long").alias("x"),
+        F.floor(F.log(F.col(y_col).cast("double")) * 1000000
+                + F.lit(0.5)).cast("long").alias("y"))
     s = pts.agg(F.count("*").cast("long").alias("m"),
                 F.sum("x").cast("long").alias("sx"),
                 F.sum("y").cast("long").alias("sy"),
@@ -1063,3 +1074,20 @@ def zipf_fit(df, id_col: str, text_col: str, k: int = 100):
         F.when((den > 0) & (deny > 0), F.floor(
             (num * num) / (den * deny) * 1000000 + F.lit(0.5))
             .cast("long")).otherwise(zero).alias("r2_e6"))
+
+
+def heaps_fit(df, id_col: str, text_col: str, n_points: int = 10):
+    """Heaps'-law fit: V = K·Nᵝ — the log-log slope of distinct
+    vocabulary against cumulative tokens over the vocab_growth
+    checkpoints.  β ≈ 0.4–0.6 is natural text; β near 0 means the
+    corpus stopped teaching new words (duplication / template
+    saturation — the numeric form of vocab_growth's "early-flat"
+    read), β near 1 is noise/UUID-like text.  Same exactness
+    discipline and output row as :func:`zipf_fit` (shared
+    :func:`loglog_fit` kernel); cost is vocab_growth's one postings
+    min-agg + broadcast checkpoint join over ``n_points`` rows."""
+    g = vocab_growth(df, id_col, text_col, n_points)
+    pts = (g.filter((F.col("cum_tokens") > 0)
+                    & (F.col("vocab_size") > 0))
+           .select("cum_tokens", "vocab_size"))
+    return loglog_fit(pts, "cum_tokens", "vocab_size")

@@ -140,6 +140,7 @@ _FRONT = [
     "zipf_fit",
     "ivf_balance_report",
     "key_skew_report",
+    "heaps_fit",
 ]
 
 

@@ -818,6 +818,17 @@ def zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
     return T.zipf_fit(docs, "doc_id", "text")
 
 
+def heaps_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps'-law regression (T.heaps_fit): ln(vocab) vs ln(cum
+    tokens) over the 10 vocab_growth checkpoints — β (slope) ≈
+    0.4–0.6 is natural text, near-0 = duplication saturated the
+    vocabulary, near-1 = UUID-like noise.  Shares zipf_fit's
+    loglog_fit kernel: exact-integer sums, per-factor double casts —
+    the β itself hash-verifies."""
+    docs = load(spark, sf, "documents")["documents"]
+    return T.heaps_fit(docs, "doc_id", "text")
+
+
 def minhash_band_sweep(spark: SparkSession, sf: str) -> DataFrame:
     """LSH band-tuning curve (D.minhash_band_sweep): candidate
     volume, precision and recall at bandings (2,16) (4,8) (8,4)
@@ -1543,6 +1554,7 @@ QUERIES = {
     "minhash_est_error": minhash_est_error,
     "minhash_band_sweep": minhash_band_sweep,
     "zipf_fit": zipf_fit,
+    "heaps_fit": heaps_fit,
     "ivf_balance_report": ivf_balance_report,
     "dedup_simhash_verified": dedup_simhash_verified,
     "multimodal_decode": multimodal_decode,
@@ -3724,6 +3736,60 @@ ORACLES["vocab_growth"] = f"""
            CAST(COALESCE(vocab_size, 0) AS BIGINT) AS vocab_size
     FROM dts LEFT JOIN v USING (checkpoint)
 """
+
+
+
+# heaps fit: the vocab_growth oracle as the point source, then the
+# identical log-log regression arithmetic as the zipf_fit oracle
+def _heaps_oracle() -> str:
+    vg = ORACLES["vocab_growth"]
+    return f"""
+    WITH vg AS ({vg}),
+    pts AS (
+      SELECT CAST(FLOOR(ln(CAST(cum_tokens AS DOUBLE)) * 1000000
+                        + 0.5) AS BIGINT) AS x,
+             CAST(FLOOR(ln(CAST(vocab_size AS DOUBLE)) * 1000000
+                        + 0.5) AS BIGINT) AS y
+      FROM vg WHERE cum_tokens > 0 AND vocab_size > 0
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pts
+    )
+    SELECT m AS n_points,
+           CASE WHEN CAST(m * sxx - sx * sx AS DOUBLE) > 0
+                THEN CAST(FLOOR(
+                  CAST(m * sxy - sx * sy AS DOUBLE)
+                  / CAST(m * sxx - sx * sx AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT)
+                ELSE 0 END AS slope_e6,
+           CASE WHEN CAST(m * sxx - sx * sx AS DOUBLE) > 0
+                THEN CAST(FLOOR(
+                  (CAST(sy AS DOUBLE)
+                   - CAST(m * sxy - sx * sy AS DOUBLE)
+                     / CAST(m * sxx - sx * sx AS DOUBLE)
+                     * CAST(sx AS DOUBLE))
+                  / CAST(m AS DOUBLE) + 0.5) AS BIGINT)
+                ELSE 0 END AS intercept_e6,
+           CASE WHEN CAST(m * sxx - sx * sx AS DOUBLE) > 0
+                 AND CAST(m * syy - sy * sy AS DOUBLE) > 0
+                THEN CAST(FLOOR(
+                  (CAST(m * sxy - sx * sy AS DOUBLE)
+                   * CAST(m * sxy - sx * sy AS DOUBLE))
+                  / (CAST(m * sxx - sx * sx AS DOUBLE)
+                     * CAST(m * syy - sy * sy AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT)
+                ELSE 0 END AS r2_e6
+    FROM s
+    """
+
+
+ORACLES["heaps_fit"] = _heaps_oracle
 
 # int8 scalar quantization: per-dim global [min,max], code =
 # clamp(floor((x-mn)*255/rg)), digest over '|'-joined codes, midpoint

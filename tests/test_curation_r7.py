@@ -503,3 +503,26 @@ def test_key_skew_report_planted_hot_key(spark, monkeypatch, tmp_path):
     assert out[0]["x_mean_e6"] == int(80 * 21 / 100 * 1_000_000)
     assert len(out) == 20                      # top-20 cap hit: 21 keys
     assert [r["rank"] for r in out] == list(range(1, 21))
+
+
+# ---------------------------------------------------- heaps fit
+
+def test_heaps_fit_pure_power_law(spark):
+    # vocab(N) = N (every token a new word): slope beta == 1 exactly
+    from goka_spark.functions.text import heaps_fit
+    rows = [(i, " ".join(f"u{i}_{j}" for j in range(10)))
+            for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = heaps_fit(docs, "doc_id", "text").collect()[0]
+    assert out["n_points"] == 10
+    assert abs(out["slope_e6"] - 1_000_000) < 5
+    assert out["r2_e6"] >= 999_999
+
+
+def test_heaps_fit_saturated_vocab_near_zero_slope(spark):
+    # fixed 5-word vocabulary: vocab flat after the first checkpoint
+    from goka_spark.functions.text import heaps_fit
+    rows = [(i, "a b c d e") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = heaps_fit(docs, "doc_id", "text").collect()[0]
+    assert out["slope_e6"] == 0        # ln(vocab) constant -> slope 0
