@@ -522,3 +522,55 @@ def span_corruption_masks(df: DataFrame, id_col: str, text_col: str,
          .alias("mask_starts"),
         F.when(n > 0, (n_spans * span_len * 1000000 / n).cast("long"))
          .otherwise(0).cast("long").alias("masked_e6"))
+
+
+def token_budget_plan(df: DataFrame, id_col: str, text_col: str,
+                      domain_col: str,
+                      budget_mult_e6: int = 2000000,
+                      max_epochs: int = 4) -> DataFrame:
+    """Data-constrained scaling PLANNER (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models": repeating data past
+    ~4 epochs has sharply diminishing returns): given a training
+    budget of ``budget_mult_e6``·total-corpus-tokens /1e6, the α=1/2
+    temperature-smoothed per-source token allocation, the epoch
+    count that allocation implies, and the ``max_epochs`` repetition
+    verdict — the report that fixes the final mixture BEFORE a run
+    burns compute on over-repeated sources.
+
+    Exactness discipline: per-source token totals are one hash-agg
+    of exact longs; weights are the temperature_rates integer policy
+    (isqrt(n_tokens·10^6) — no libm pow); the budget/allocation/
+    epoch ratios use per-factor double casts in fixed association
+    (budget·w overflows long at corpus scale — exact while the
+    operands stay under 2^53 ≈ 9·10^15 tokens).  Everything after
+    the first agg is a sources-sized frame; one broadcast one-row
+    cross join for the totals."""
+    from goka_spark.functions.text import ws_token_count
+
+    toks = (df.groupBy(domain_col)
+            .agg(F.sum(ws_token_count(F.col(text_col)).cast("long"))
+                 .cast("long").alias("n_tokens")))
+    j = toks.withColumn("_w", _isqrt(F.col("n_tokens") * RATE_MOD))
+    sums = j.agg(F.sum("n_tokens").cast("long").alias("_tot"),
+                 F.sum("_w").cast("long").alias("_sw"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    b = (j.crossJoin(F.broadcast(sums))
+         .withColumn("_budget", F.floor(
+             d("_tot") * F.lit(float(budget_mult_e6))
+             / F.lit(1000000.0)).cast("long"))
+         .withColumn("alloc_tokens", F.when(
+             F.col("_sw") > 0,
+             F.floor(d("_budget") * d("_w") / d("_sw")).cast("long"))
+             .otherwise(F.lit(0).cast("long"))))
+    epochs = F.when(F.col("n_tokens") > 0, F.floor(
+        d("alloc_tokens") / d("n_tokens") * 1000000).cast("long")) \
+        .otherwise(F.lit(0).cast("long"))
+    return (b.withColumn("epochs_e6", epochs)
+            .select(F.col(domain_col), "n_tokens",
+                    F.expr("_w * 1000000L DIV _sw").alias("share_e6"),
+                    "alloc_tokens", "epochs_e6",
+                    (F.col("epochs_e6")
+                     > F.lit(max_epochs * 1000000)).alias("capped"),
+                    F.least(F.col("alloc_tokens"),
+                            F.col("n_tokens") * max_epochs)
+                    .alias("capped_alloc_tokens")))

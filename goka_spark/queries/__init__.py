@@ -141,6 +141,7 @@ _FRONT = [
     "ivf_balance_report",
     "key_skew_report",
     "heaps_fit",
+    "token_budget_plan",
 ]
 
 

@@ -818,6 +818,16 @@ def zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
     return T.zipf_fit(docs, "doc_id", "text")
 
 
+def token_budget_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-constrained scaling planner (C.token_budget_plan): a 2×
+    total-tokens training budget allocated across sources by the
+    α=1/2 temperature policy, with the implied epoch count and the
+    4-epoch repetition verdict per source — exact-integer weights
+    (isqrt policy), per-factor double-cast ratios, hash-verified."""
+    docs = load(spark, sf, "documents")["documents"]
+    return C.token_budget_plan(docs, "doc_id", "text", "source")
+
+
 def heaps_fit(spark: SparkSession, sf: str) -> DataFrame:
     """Heaps'-law regression (T.heaps_fit): ln(vocab) vs ln(cum
     tokens) over the 10 vocab_growth checkpoints — β (slope) ≈
@@ -1555,6 +1565,7 @@ QUERIES = {
     "minhash_band_sweep": minhash_band_sweep,
     "zipf_fit": zipf_fit,
     "heaps_fit": heaps_fit,
+    "token_budget_plan": token_budget_plan,
     "ivf_balance_report": ivf_balance_report,
     "dedup_simhash_verified": dedup_simhash_verified,
     "multimodal_decode": multimodal_decode,
@@ -3790,6 +3801,60 @@ def _heaps_oracle() -> str:
 
 
 ORACLES["heaps_fit"] = _heaps_oracle
+
+
+# token budget plan: per-source token totals, the temperature_mix
+# isqrt weight dance on TOKENS, then the identical per-factor
+# double-cast budget/alloc/epoch arithmetic as the Column plan
+ORACLES["token_budget_plan"] = f"""
+    WITH c AS (
+      SELECT source, CAST(SUM(len({_WORDS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    sq0 AS (SELECT source, n_tokens, n_tokens * 1000000 AS x,
+                   CAST(FLOOR(SQRT(CAST(n_tokens * 1000000 AS DOUBLE)))
+                        AS BIGINT) AS s0
+            FROM c),
+    sq1 AS (SELECT source, n_tokens, x,
+                   s0 - CASE WHEN s0 * s0 > x THEN 1 ELSE 0 END AS s1
+            FROM sq0),
+    j AS (SELECT source, n_tokens,
+                 s1 + CASE WHEN (s1 + 1) * (s1 + 1) <= x
+                      THEN 1 ELSE 0 END AS wt
+          FROM sq1),
+    s AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot,
+                 CAST(SUM(wt) AS BIGINT) AS sw FROM j),
+    b AS (
+      SELECT source, n_tokens, wt, sw,
+             CAST(FLOOR(CAST(tot AS DOUBLE) * 2000000.0 / 1000000.0)
+                  AS BIGINT) AS budget
+      FROM j CROSS JOIN s
+    ),
+    a AS (
+      SELECT source, n_tokens, wt, sw,
+             CASE WHEN sw > 0
+                  THEN CAST(FLOOR(CAST(budget AS DOUBLE)
+                                  * CAST(wt AS DOUBLE)
+                                  / CAST(sw AS DOUBLE)) AS BIGINT)
+                  ELSE 0 END AS alloc_tokens
+      FROM b
+    ),
+    e AS (
+      SELECT source, n_tokens, wt, sw, alloc_tokens,
+             CASE WHEN n_tokens > 0
+                  THEN CAST(FLOOR(CAST(alloc_tokens AS DOUBLE)
+                                  / CAST(n_tokens AS DOUBLE)
+                                  * 1000000) AS BIGINT)
+                  ELSE 0 END AS epochs_e6
+      FROM a
+    )
+    SELECT source, n_tokens,
+           CAST(wt * 1000000 // sw AS BIGINT) AS share_e6,
+           alloc_tokens, epochs_e6,
+           epochs_e6 > 4000000 AS capped,
+           LEAST(alloc_tokens, n_tokens * 4) AS capped_alloc_tokens
+    FROM e
+"""
 
 # int8 scalar quantization: per-dim global [min,max], code =
 # clamp(floor((x-mn)*255/rg)), digest over '|'-joined codes, midpoint

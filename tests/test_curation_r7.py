@@ -526,3 +526,35 @@ def test_heaps_fit_saturated_vocab_near_zero_slope(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = heaps_fit(docs, "doc_id", "text").collect()[0]
     assert out["slope_e6"] == 0        # ln(vocab) constant -> slope 0
+
+
+# ---------------------------------------------- token budget plan
+
+def test_token_budget_plan_two_source_algebra(spark):
+    # source A: 100 docs x 16 tokens = 1600; source B: 1 doc x 16.
+    # weights = isqrt(n_tok * 1e6): A = 40000*1000? isqrt(1.6e9) etc.
+    # Verify exact recomputation in python, plus the 4-epoch verdict:
+    # B's temperature share over-allocates a tiny source -> capped.
+    import math
+    from goka_spark.functions.corpus import token_budget_plan
+    txt = " ".join(["t"] * 16)
+    rows = [(i, txt, "A") for i in range(100)] + [(1000, txt, "B")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in token_budget_plan(
+        docs, "doc_id", "text", "source").collect()}
+    na, nb = 1600, 16
+    wa, wb = math.isqrt(na * 10**6), math.isqrt(nb * 10**6)
+    tot, sw = na + nb, wa + wb
+    budget = math.floor(float(tot) * 2000000.0 / 1000000.0)
+    for src, n, w in (("A", na, wa), ("B", nb, wb)):
+        r = out[src]
+        assert r["n_tokens"] == n
+        assert r["share_e6"] == w * 10**6 // sw
+        alloc = math.floor(float(budget) * float(w) / float(sw))
+        assert r["alloc_tokens"] == alloc
+        assert r["epochs_e6"] == math.floor(
+            float(alloc) / float(n) * 1000000)
+        assert r["capped_alloc_tokens"] == min(alloc, n * 4)
+    # the tiny source gets ~9% of a 2x budget -> ~18 epochs: capped
+    assert out["B"]["capped"] and not out["A"]["capped"]
+    assert out["B"]["capped_alloc_tokens"] == nb * 4
