@@ -376,3 +376,21 @@ def test_gopher_repetition_no_postings_sized_join(spark, sf_dir):
     assert logical.count("Join ") == 5, logical
     # position lists ride the existing count agg (no grams re-join)
     assert "collect_list" in logical
+
+
+def test_span_corruption_is_scan_stage_only(spark, sf_dir):
+    """The T5 mask plan is pure Column work: ZERO exchanges — at
+    100 TB it rides the ingest scan for free."""
+    df = llmdata.span_corruption_masks(spark, sf_dir)
+    assert X.num_shuffles(df) == 0, X.simple(df)
+    schema = X.read_schemas(df)[0]
+    assert "n_chars" not in schema       # column pruning holds
+
+
+def test_key_skew_report_partial_agg_no_global_sort(spark, sf_dir):
+    """Hot-key report: map-side-combined user agg and a TakeOrdered,
+    never a global Sort node."""
+    df = analytics.key_skew_report(spark, sf_dir)
+    assert X.has_partial_aggregation(df)
+    plan = X.simple(df)
+    assert "TakeOrderedAndProject" in plan
