@@ -12,7 +12,15 @@ mile between a filtered corpus and a training run:
   4. length-bucketed loader batches (power-of-two length classes,
      shard-local fixed batches — padding-efficient by construction),
   5. store maintenance: compact the append-fragmented ANN codes
-     table (the OPTIMIZE job every incremental ingestion needs).
+     table (the OPTIMIZE job every incremental ingestion needs),
+  6. token-budget plan: allocate a 2x-tokens training budget across
+     sources under the temperature policy and flag any source the
+     allocation would repeat past 4 epochs (data-constrained scaling),
+  7. corpus-health gates: Zipf slope (flat head = duplication damage)
+     and Heaps beta (near-0 = vocabulary saturated by duplication),
+  8. training-objective plan: T5 span-corruption masks derived as a
+     pure hash policy (non-overlapping by construction), plus the
+     contrastive (anchor, positive) pairs the dedup run yields free.
 
 Every verdict is a pure function of (ids, content, salt): any engine
 re-derives the same release from the same corpus — the property the
@@ -70,6 +78,31 @@ batches = C.length_bucket_batches(with_len, "doc_id", "n_tok",
 n_batches = batches.select("bucket", "shard", "batch").distinct().count()
 print(f"loader layout: {n_batches} batches over "
       f"{batches.select('bucket').distinct().count()} length buckets")
+
+# 6. token budget plan -------------------------------------------------
+plan = C.token_budget_plan(docs, "doc_id", "text", "source")
+hot = plan.filter("capped").count()
+print(f"budget plan: {plan.count()} sources, {hot} would exceed "
+      f"4 epochs under a 2x-token budget (capped)")
+
+# 7. corpus health: Zipf + Heaps --------------------------------------
+from goka_spark.functions import text as T
+z = T.zipf_fit(docs, "doc_id", "text").first()
+h = T.heaps_fit(docs, "doc_id", "text").first()
+print(f"health: zipf slope {z['slope_e6'] / 1e6:+.3f} "
+      f"(r2 {z['r2_e6'] / 1e6:.3f}), heaps beta "
+      f"{h['slope_e6'] / 1e6:.3f}")
+
+# 8. objective plan: span masks + contrastive positives ---------------
+masks = C.span_corruption_masks(docs, "doc_id", "text")
+mstats = masks.agg(F.sum("n_spans").alias("s"),
+                   F.sum("n_tokens").alias("t")).first()
+print(f"span corruption: {mstats['s']} spans over {mstats['t']} "
+      f"tokens (~{3 * mstats['s'] * 100 // max(mstats['t'], 1)}% masked)")
+pos = (keep.filter(F.col("doc_id") != F.col("keep_id"))
+       .select(F.col("doc_id").alias("anchor"),
+               F.col("keep_id").alias("positive")))
+print(f"contrastive positives from dedup byproduct: {pos.count()} pairs")
 
 # 5. maintenance: compact an append-fragmented index ------------------
 with tempfile.TemporaryDirectory() as tmp:

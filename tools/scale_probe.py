@@ -334,6 +334,28 @@ def main():
         r["hist_quantiles"] = timed("hq", WIN.histogram_quantiles(
             ev, "value", ["event_type"], 0.0, 512.0, 256))
 
+        # span corruption masks (r7): pure scan-stage Columns, zero
+        # shuffle — expect strictly linear
+        r["span_corruption"] = timed("span", CORP.span_corruption_masks(
+            sdocs, "doc_id", "text"))
+
+        # zipf fit (r7): one postings hash-agg + TakeOrdered(100) +
+        # a 100-row regression — expect ~linear in tokens
+        r["zipf_fit"] = timed("zipf", TXT.zipf_fit(
+            sdocs, "doc_id", "text"))
+
+        # token budget plan (r7): one token hash-agg then a
+        # sources-sized frame — expect ~linear
+        r["token_budget_plan"] = timed("tbp", CORP.token_budget_plan(
+            sdocs, "doc_id", "text", "source"))
+
+        # LSH band sweep (r7): one signature pass + 4 band self-joins
+        # + the df-pruned exact-truth join (the ngram_jaccard core) —
+        # expect ~ngram_jaccard plus a signatures-sized constant;
+        # under salting the candidate joins stay within-copy
+        r["band_sweep"] = timed("bsw", D.minhash_band_sweep(
+            sdocs, "doc_id", "text", num_perm=32))
+
         # PyFold last: its Python workers pressure memory for later jobs
         gpy = define_group("p", input_stream("t", key="user_id"),
                            persist(PyFold(
