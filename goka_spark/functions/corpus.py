@@ -574,3 +574,48 @@ def token_budget_plan(df: DataFrame, id_col: str, text_col: str,
                     F.least(F.col("alloc_tokens"),
                             F.col("n_tokens") * max_epochs)
                     .alias("capped_alloc_tokens")))
+
+
+def dataset_card(df: DataFrame, id_col: str, text_col: str,
+                 lang_col: str = "lang") -> DataFrame:
+    """One-row dataset card — the summary block a released corpus
+    ships with (datasheets-for-datasets practice): volume (docs,
+    tokens, distinct vocabulary), exact-duplicate rate, dominant
+    language share, and the two health regressions (Zipf slope =
+    head duplication damage, Heaps β = vocabulary saturation).
+    Every number is the already-verified primitive it names —
+    the card is a crossJoin of one-row frames, not new arithmetic.
+
+    Scale shape: three corpus passes (scalar aggs, the vocab
+    hash-agg, the regressions' postings aggs), then 1-row joins.
+    All integer/micro-unit discipline; hash-verifies end to end."""
+    from goka_spark.functions.text import (heaps_fit, ws_token_count,
+                                           words, zipf_fit)
+
+    base = df.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(ws_token_count(F.col(text_col)).cast("long"))
+         .cast("long").alias("n_tokens"),
+        F.countDistinct(F.md5(F.col(text_col))).cast("long")
+         .alias("_uniq"))
+    vocab = (df.select(F.explode(words(F.col(text_col))).alias("_w"))
+             .agg(F.countDistinct("_w").cast("long")
+                  .alias("vocab_size")))
+    lang = (df.groupBy(F.col(lang_col).alias("top_lang"))
+            .agg(F.count("*").cast("long").alias("_lc"))
+            .orderBy(F.col("_lc").desc(), "top_lang").limit(1))
+    z = zipf_fit(df, id_col, text_col) \
+        .select(F.col("slope_e6").alias("zipf_slope_e6"))
+    h = heaps_fit(df, id_col, text_col) \
+        .select(F.col("slope_e6").alias("heaps_beta_e6"))
+    card = (base.crossJoin(F.broadcast(vocab))
+            .crossJoin(F.broadcast(lang))
+            .crossJoin(F.broadcast(z))
+            .crossJoin(F.broadcast(h)))
+    return card.select(
+        "n_docs", "n_tokens", "vocab_size",
+        F.expr("(n_docs - _uniq) * 1000000L DIV n_docs")
+         .alias("dup_rate_e6"),
+        "top_lang",
+        F.expr("_lc * 1000000L DIV n_docs").alias("top_lang_share_e6"),
+        "zipf_slope_e6", "heaps_beta_e6")

@@ -142,6 +142,7 @@ _FRONT = [
     "key_skew_report",
     "heaps_fit",
     "token_budget_plan",
+    "dataset_card",
 ]
 
 

@@ -818,6 +818,15 @@ def zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
     return T.zipf_fit(docs, "doc_id", "text")
 
 
+def dataset_card(spark: SparkSession, sf: str) -> DataFrame:
+    """One-row dataset card (C.dataset_card): volume, exact-dup
+    rate, dominant-language share, Zipf slope and Heaps β — the
+    release summary composed from already-verified primitives as
+    1-row crossJoins; hash-verified end to end."""
+    docs = load(spark, sf, "documents")["documents"]
+    return C.dataset_card(docs, "doc_id", "text")
+
+
 def token_budget_plan(spark: SparkSession, sf: str) -> DataFrame:
     """Data-constrained scaling planner (C.token_budget_plan): a 2×
     total-tokens training budget allocated across sources by the
@@ -1566,6 +1575,7 @@ QUERIES = {
     "zipf_fit": zipf_fit,
     "heaps_fit": heaps_fit,
     "token_budget_plan": token_budget_plan,
+    "dataset_card": dataset_card,
     "ivf_balance_report": ivf_balance_report,
     "dedup_simhash_verified": dedup_simhash_verified,
     "multimodal_decode": multimodal_decode,
@@ -3855,6 +3865,42 @@ ORACLES["token_budget_plan"] = f"""
            LEAST(alloc_tokens, n_tokens * 4) AS capped_alloc_tokens
     FROM e
 """
+
+# dataset card: composition of the zipf/heaps oracles (as CTEs) with
+# scalar volume/dup/lang aggregates -- same 1-row crossJoin algebra
+def _dataset_card_oracle() -> str:
+    z = ORACLES["zipf_fit"]
+    h = _heaps_oracle()
+    return f"""
+    WITH base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len({_WORDS})) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS uniq
+      FROM documents
+    ),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS vocab_size
+      FROM (SELECT UNNEST({_WORDS}) AS w FROM documents)
+    ),
+    lng AS (
+      SELECT lang AS top_lang, CAST(COUNT(*) AS BIGINT) AS lc
+      FROM documents GROUP BY lang ORDER BY lc DESC, lang LIMIT 1
+    ),
+    zf AS ({z}), hf AS ({h})
+    SELECT n_docs, n_tokens, vocab_size,
+           CAST((n_docs - uniq) * 1000000 // n_docs AS BIGINT)
+             AS dup_rate_e6,
+           top_lang,
+           CAST(lc * 1000000 // n_docs AS BIGINT)
+             AS top_lang_share_e6,
+           zf.slope_e6 AS zipf_slope_e6,
+           hf.slope_e6 AS heaps_beta_e6
+    FROM base CROSS JOIN vocab CROSS JOIN lng CROSS JOIN zf CROSS JOIN hf
+    """
+
+
+ORACLES["dataset_card"] = _dataset_card_oracle
+
 
 # int8 scalar quantization: per-dim global [min,max], code =
 # clamp(floor((x-mn)*255/rg)), digest over '|'-joined codes, midpoint

@@ -558,3 +558,23 @@ def test_token_budget_plan_two_source_algebra(spark):
     # the tiny source gets ~9% of a 2x budget -> ~18 epochs: capped
     assert out["B"]["capped"] and not out["A"]["capped"]
     assert out["B"]["capped_alloc_tokens"] == nb * 4
+
+
+# ---------------------------------------------------- dataset card
+
+def test_dataset_card_planted_facts(spark):
+    from goka_spark.functions.corpus import dataset_card
+    # 4 docs: 2 exact dups, langs en/en/de/en -> dup rate 25%,
+    # top lang en at 75%
+    rows = [(1, "a b c", "en"), (2, "a b c", "en"),
+            (3, "x y", "de"), (4, "p q r s", "en")]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, text string, lang string")
+    r = dataset_card(docs, "doc_id", "text").collect()[0]
+    assert r["n_docs"] == 4 and r["n_tokens"] == 3 + 3 + 2 + 4
+    assert r["vocab_size"] == 9          # a b c x y p q r s
+    assert r["dup_rate_e6"] == 1 * 1_000_000 // 4
+    assert r["top_lang"] == "en"
+    assert r["top_lang_share_e6"] == 750_000
+    assert isinstance(r["zipf_slope_e6"], int)
+    assert isinstance(r["heaps_beta_e6"], int)
