@@ -1448,3 +1448,47 @@ def minhash_band_sweep(df: "DataFrame", id_col: str, text_col: str,
         F.expr("CASE WHEN n_true_total > 0 THEN n_true_pairs * "
                "CAST(1000000 AS BIGINT) div n_true_total "
                "ELSE CAST(0 AS BIGINT) END").alias("recall_e6"))
+
+
+def simhash_hamming_histogram(df: "DataFrame", id_col: str,
+                              text_col: str, bands: int = 8,
+                              base_hash: str = "md5") -> "DataFrame":
+    """SimHash CALIBRATION histogram — the missing member of the
+    measurement trio (minhash_est_error calibrates MinHash,
+    ann_recall_eval the ANN index): the distribution of exact
+    Hamming distances over the banded candidate pairs.  Healthy
+    corpora show a bimodal shape — a near-dup spike at low distance
+    and the random background centered near nbits/2 — and the valley
+    between them is where ``max_hamming`` belongs; a corpus with no
+    valley means SimHash verdicts can't be trusted at any threshold.
+
+    Same banded blocking as :func:`simhash_near_pairs` (pigeonhole:
+    pairs within hamming ≤ bands-1 are always candidates, so the
+    left tail of the histogram is COMPLETE — exactly the region a
+    threshold decision reads).  ``base_hash='md5'`` keeps every
+    count engine-recomputable.  Scale shape: one bit-vote hash-agg,
+    one band equi-join (never all-pairs), one tiny histogram agg."""
+    s = simhash(df, id_col, text_col, base_hash=base_hash)
+    nbits = 60 if base_hash == "md5" else 63
+    width = nbits // bands + 1
+    chunks = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright("simhash", b * width).bitwiseAND(
+                F.lit((1 << width) - 1)).alias("chunk"),
+        )
+        for b in range(bands)
+    ])
+    blocked = s.select(id_col, "simhash", F.explode(chunks).alias("bb")) \
+               .select(id_col, "simhash", "bb.band", "bb.chunk")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(b, on=["band", "chunk"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                hamming64(F.col("a.simhash"),
+                          F.col("b.simhash")).alias("hamming"))
+        .distinct())
+    return (pairs.groupBy(F.col("hamming").cast("long").alias("hamming"))
+            .agg(F.count("*").cast("long").alias("n_pairs")))

@@ -143,6 +143,7 @@ _FRONT = [
     "heaps_fit",
     "token_budget_plan",
     "dataset_card",
+    "simhash_hamming_histogram",
 ]
 
 

@@ -818,6 +818,16 @@ def zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
     return T.zipf_fit(docs, "doc_id", "text")
 
 
+def simhash_hamming_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash calibration (D.simhash_hamming_histogram): Hamming-
+    distance distribution over banded candidates — the bimodal
+    valley that justifies max_hamming before dedup trusts it; left
+    tail complete by pigeonhole.  md5 base hash: every count
+    hash-verifies via the bit-vote SQL twin."""
+    docs = load(spark, sf, "documents")["documents"]
+    return D.simhash_hamming_histogram(docs, "doc_id", "text")
+
+
 def dataset_card(spark: SparkSession, sf: str) -> DataFrame:
     """One-row dataset card (C.dataset_card): volume, exact-dup
     rate, dominant-language share, Zipf slope and Heaps β — the
@@ -1576,6 +1586,7 @@ QUERIES = {
     "heaps_fit": heaps_fit,
     "token_budget_plan": token_budget_plan,
     "dataset_card": dataset_card,
+    "simhash_hamming_histogram": simhash_hamming_histogram,
     "ivf_balance_report": ivf_balance_report,
     "dedup_simhash_verified": dedup_simhash_verified,
     "multimodal_decode": multimodal_decode,
@@ -3900,6 +3911,42 @@ def _dataset_card_oracle() -> str:
 
 
 ORACLES["dataset_card"] = _dataset_card_oracle
+
+
+# simhash hamming histogram: the verified 60-bit simhash CTE, banded
+# blocking by shift/mask chunk equality (same width arithmetic as the
+# Column plan), exact xor bit_count per distinct candidate pair
+ORACLES["simhash_hamming_histogram"] = f"""
+    WITH w AS (
+      SELECT doc_id, UNNEST({_WORDS}) AS w FROM documents
+    ), h AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+      FROM w
+    ), votes AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN (SELECT UNNEST(range(0, 60)) AS j)
+      GROUP BY doc_id, j
+    ), sims AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    ), bb AS (
+      SELECT doc_id, simhash, band,
+             (simhash >> (band * 8)) & 255 AS chunk
+      FROM sims CROSS JOIN (SELECT UNNEST(range(0, 8)) AS band)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM bb a JOIN bb b
+        ON a.band = b.band AND a.chunk = b.chunk
+       AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(hamming AS BIGINT) AS hamming,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM cand GROUP BY hamming
+"""
 
 
 # int8 scalar quantization: per-dim global [min,max], code =

@@ -578,3 +578,22 @@ def test_dataset_card_planted_facts(spark):
     assert r["top_lang_share_e6"] == 750_000
     assert isinstance(r["zipf_slope_e6"], int)
     assert isinstance(r["heaps_beta_e6"], int)
+
+
+# ------------------------------------- simhash hamming histogram
+
+def test_simhash_histogram_planted_extremes(spark):
+    # identical docs -> a hamming=0 candidate pair; the histogram's
+    # left tail is complete by pigeonhole so it MUST appear
+    same = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, same), (2, same),
+         (3, " ".join(f"z{i}" for i in range(30)))],
+        "doc_id long, text string")
+    out = {r["hamming"]: r["n_pairs"] for r in
+           D.simhash_hamming_histogram(docs, "doc_id", "text")
+           .collect()}
+    assert out.get(0, 0) >= 1              # the planted dup pair
+    assert all(0 <= h <= 60 for h in out)  # 60-bit md5 variant bound
+    # pairs counted once across bands (identical docs share ALL 8)
+    assert out[0] == 1
