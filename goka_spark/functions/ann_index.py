@@ -863,3 +863,46 @@ def ivf_balance_report(index: ANNIndex) -> DataFrame:
                             / F.col("n_vectors").cast("double"))
                      .cast("long").alias("mean_sim_e4"),
                     "min_sim_e4", "max_sim_e4"))
+
+
+def probe_max_cos(index: ANNIndex, queries: DataFrame, id_col: str,
+                  vec_col: str, n_probe: int = 4,
+                  neighbor_where: "Column | None" = None,
+                  max_queries: int = S.MAX_BROADCAST_QUERIES) -> DataFrame:
+    """Per-query MAX exact cosine over the probed cells of the
+    persisted index, with an optional predicate on ``neighbor_id``
+    (the building block for split-leakage audits: restrict
+    neighbors to the train slice).  Same file-pruned probed read,
+    bit-identical unit-fold cosines, and self-exclusion as
+    :func:`ivf_topk`; queries with no qualifying neighbor in their
+    probed cells come back with a NULL cosine (LEFT join from the
+    query frame — the audit must list every audited vector)."""
+    q_ids, qm, raw = _collect_queries(queries, id_col, vec_col,
+                                      max_queries)
+    qcells = _probe(index, qm, n_probe)
+    probed = sorted({int(c) for r in qcells for c in r})
+    spark = index.spark
+    q = spark.createDataFrame(
+        [(int(qid), raw[i], [int(c) for c in qcells[i]])
+         for i, qid in enumerate(q_ids)],
+        "query_id long, _qraw array<double>, cells array<int>")
+    q = (q.withColumn("_n", S.norm(F.col("_qraw")))
+         .withColumn("_qv", F.transform("_qraw",
+                                        lambda x: x / F.col("_n")))
+         .drop("_qraw", "_n")
+         .withColumn("cell", F.explode("cells")).drop("cells"))
+    c = index.codes(probed).select(
+        F.col("id").alias("neighbor_id"), "cell",
+        F.col("vec").alias("_cv"))
+    scored = (c.join(F.broadcast(q), "cell")
+              .filter(F.col("query_id") != F.col("neighbor_id")))
+    if neighbor_where is not None:
+        scored = scored.filter(neighbor_where)
+    agg = (scored
+           .withColumn("_cos", S.dot(F.col("_cv"), F.col("_qv")))
+           .groupBy("query_id")
+           .agg(F.max("_cos").alias("_mx")))
+    qf = spark.createDataFrame([(int(i),) for i in q_ids],
+                               "query_id long")
+    return (qf.join(agg, "query_id", "left")
+            .select("query_id", F.round("_mx", 4).alias("max_cos")))

@@ -144,6 +144,7 @@ _FRONT = [
     "token_budget_plan",
     "dataset_card",
     "simhash_hamming_histogram",
+    "embedding_split_audit",
 ]
 
 

@@ -818,6 +818,35 @@ def zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
     return T.zipf_fit(docs, "doc_id", "text")
 
 
+def embedding_split_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space split-leakage audit (A.probe_max_cos) — the
+    semantic twin of split_contamination_audit: for every TEST-split
+    vector (md5 slot ≥ 990, the corpus_split policy on vec_id), its
+    max exact cosine to any TRAIN-split vector (slot < 980) within
+    its probed IVF cells, plus the >0.3 leak verdict (the
+    dedup_semantic threshold).  A test doc whose near-twin sits in
+    train inflates eval — this is the release gate that catches it
+    in embedding space, where paraphrases evade every n-gram audit.
+
+    Scale shape: file-pruned probed read (~n_probe/√n of codes per
+    query), train filter as a pure md5-slot Column on the neighbor
+    id, one max agg; LEFT join keeps zero-candidate test vectors in
+    the report (NULL cosine).  Hash-verified via the probe-replay
+    centroid-literal oracle."""
+    emb = load(spark, sf, "embeddings")["embeddings"]
+    idx = _ann_index(spark, sf, emb)
+    slot_q = C.hash_slot(F.col("vec_id"), 1000, "split-v1")
+    testq = emb.filter(slot_q >= 990)
+    slot_n = C.hash_slot(F.col("neighbor_id"), 1000, "split-v1")
+    out = A.probe_max_cos(idx, testq, "vec_id", "embedding",
+                          n_probe=4, neighbor_where=slot_n < 980)
+    return out.select(
+        F.col("query_id").alias("vec_id"),
+        F.col("max_cos").alias("max_train_cos"),
+        F.coalesce(F.col("max_cos") > 0.3, F.lit(False))
+         .alias("leaked"))
+
+
 def simhash_hamming_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash calibration (D.simhash_hamming_histogram): Hamming-
     distance distribution over banded candidates — the bimodal
@@ -1587,6 +1616,7 @@ QUERIES = {
     "token_budget_plan": token_budget_plan,
     "dataset_card": dataset_card,
     "simhash_hamming_histogram": simhash_hamming_histogram,
+    "embedding_split_audit": embedding_split_audit,
     "ivf_balance_report": ivf_balance_report,
     "dedup_simhash_verified": dedup_simhash_verified,
     "multimodal_decode": multimodal_decode,
@@ -3947,6 +3977,50 @@ ORACLES["simhash_hamming_histogram"] = f"""
            CAST(COUNT(*) AS BIGINT) AS n_pairs
     FROM cand GROUP BY hamming
 """
+
+
+def _split_audit_oracle(n_probe: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of embedding_split_audit: centroid-literal probe
+    replay for the md5-slot test queries, train-slot neighbor filter,
+    MAX exact cosine, LEFT JOIN keeping zero-candidate queries."""
+    n_cells, ctes = _ivf_cells_ctes(dim)
+    pair_dot = " + ".join(f"(a.v[{i + 1}] * p.qv[{i + 1}])"
+                          for i in range(dim))
+
+    def slot(c):
+        return (f"CAST(('0x' || substr(md5(CAST({c} AS VARCHAR) "
+                f"|| 'split-v1'), 1, 8)) AS BIGINT) % 1000")
+
+    return f"""
+        WITH {ctes}, qx AS (
+          SELECT vec_id AS query_id, v AS qv,
+                 UNNEST(s) AS sim, UNNEST(range(0, {n_cells})) AS c
+          FROM sims WHERE {slot('vec_id')} >= 990
+        ), probes AS (
+          SELECT query_id, qv, c AS cell
+          FROM (SELECT query_id, qv, c, sim,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, c) AS rn
+                FROM qx)
+          WHERE rn <= {n_probe}
+        ), scored AS (
+          SELECT p.query_id, ({pair_dot}) AS raw_cos
+          FROM assigned a JOIN probes p
+            ON a.cell = p.cell AND a.vec_id <> p.query_id
+          WHERE {slot('a.vec_id')} < 980
+        ), mx AS (
+          SELECT query_id, ROUND(MAX(raw_cos), 4) AS max_train_cos
+          FROM scored GROUP BY query_id
+        ), qs AS (
+          SELECT DISTINCT query_id FROM qx
+        )
+        SELECT qs.query_id AS vec_id, mx.max_train_cos,
+               COALESCE(mx.max_train_cos > 0.3, FALSE) AS leaked
+        FROM qs LEFT JOIN mx USING (query_id)
+    """
+
+
+ORACLES["embedding_split_audit"] = _split_audit_oracle
 
 
 # int8 scalar quantization: per-dim global [min,max], code =

@@ -242,3 +242,25 @@ def test_ivf_balance_report_invariants(spark, sf_dir, index):
     # cells are the index's cells, no phantom clusters
     cells = {r["cluster"] for r in rows}
     assert cells <= set(range(len(idx.centroids)))
+
+
+def test_probe_max_cos_neighbor_filter_and_nulls(spark, sf_dir, index):
+    """The predicate restricts candidates; an impossible predicate
+    yields NULL cosines for EVERY query (LEFT-join contract)."""
+    idx, emb, _, _ = index
+    q = emb.filter(F.col("vec_id") < 5)
+    allc = {r["query_id"]: r["max_cos"] for r in
+            A.probe_max_cos(idx, q, "vec_id", "embedding").collect()}
+    assert set(allc) == set(range(5))
+    evens = {r["query_id"]: r["max_cos"] for r in
+             A.probe_max_cos(idx, q, "vec_id", "embedding",
+                             neighbor_where=F.col("neighbor_id") % 2
+                             == 0).collect()}
+    # restricting candidates can only lower (or keep) the max
+    for k in allc:
+        if evens[k] is not None and allc[k] is not None:
+            assert evens[k] <= allc[k]
+    none = A.probe_max_cos(idx, q, "vec_id", "embedding",
+                           neighbor_where=F.lit(False)).collect()
+    assert len(none) == 5
+    assert all(r["max_cos"] is None for r in none)
