@@ -619,3 +619,83 @@ def dataset_card(df: DataFrame, id_col: str, text_col: str,
         "top_lang",
         F.expr("_lc * 1000000L DIV n_docs").alias("top_lang_share_e6"),
         "zipf_slope_e6", "heaps_beta_e6")
+
+
+def quality_gate_counts(df: DataFrame, id_col: str, text_col: str,
+                        blocklist_terms: "tuple[str, ...]" = ("spam",),
+                        entropy_floor_e6: int = 1000000) -> DataFrame:
+    """Per-gate (n_pass, n_docs) counters for the three STATELESS
+    per-document quality gates — the kernel the batch and streaming
+    faces share: Gopher repetition keep, word-entropy floor,
+    blocklist ratio.  Stateless per doc ⇒ the counters are a SUM
+    monoid over any sharding of the corpus (what makes the streaming
+    sink exact).  One row per gate."""
+    from goka_spark.functions.text import (blocklist_keep,
+                                           gopher_repetition,
+                                           word_entropy)
+
+    rep = gopher_repetition(df, id_col, text_col) \
+        .select(F.col(id_col).alias("_d"), F.col("keep").alias("_rep"))
+    ent = word_entropy(df, id_col, text_col) \
+        .select(F.col(id_col).alias("_d"),
+                ((F.col("n_tokens") > 0)
+                 & (F.coalesce(F.col("entropy"), F.lit(0.0))
+                    >= entropy_floor_e6 / 1e6)).alias("_ent"))
+    base = df.select(F.col(id_col).alias("_d"),
+                     blocklist_keep(F.col(text_col),
+                                    list(blocklist_terms)).alias("_blk"))
+    j = base.join(rep, "_d").join(ent, "_d")
+    # gopher's keep is a 0/1 long; normalize every verdict to boolean
+    g = j.select(F.explode(F.array(
+        F.struct(F.lit("repetition").alias("gate"),
+                 F.col("_rep").cast("boolean").alias("ok")),
+        F.struct(F.lit("entropy").alias("gate"),
+                 F.col("_ent").cast("boolean").alias("ok")),
+        F.struct(F.lit("blocklist").alias("gate"),
+                 F.col("_blk").cast("boolean").alias("ok")))).alias("_g")) \
+        .select("_g.gate", "_g.ok")
+    return (g.groupBy("gate")
+            .agg(F.sum(F.when(F.col("ok"), 1).otherwise(0))
+                 .cast("long").alias("n_pass"),
+                 F.count("*").cast("long").alias("n_docs")))
+
+
+class QualityGateSink:
+    """Streaming quality-gate monitor — live FILTER-RATE telemetry
+    for an ingest stream (the production alarm for upstream
+    crawler/source drift: a gate whose pass rate moves between
+    epochs means the input changed, not the pipeline): a
+    ``foreachBatch`` sink writing each micro-batch's per-gate
+    (n_pass, n_docs) counters to ``out_path/epoch_id=N``; the gates
+    are per-document STATELESS verdicts, so ``read()`` merges epochs
+    by SUM into exactly the batch counters of everything seen
+    (stream ≡ batch tested), and ``rates()`` adds the integer
+    micro-unit pass rate.  Epoch overwrite is retry-idempotent (the
+    ExactlyOnceBatchSink discipline); state is 3 rows per epoch."""
+
+    def __init__(self, out_path: str, id_col: str, text_col: str,
+                 blocklist_terms: "tuple[str, ...]" = ("spam",),
+                 entropy_floor_e6: int = 1000000):
+        self.out_path = out_path.rstrip("/")
+        self.id_col, self.text_col = id_col, text_col
+        self.blocklist_terms = tuple(blocklist_terms)
+        self.entropy_floor_e6 = entropy_floor_e6
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        counts = quality_gate_counts(batch_df, self.id_col,
+                                     self.text_col,
+                                     self.blocklist_terms,
+                                     self.entropy_floor_e6)
+        (counts.write.mode("overwrite")
+         .parquet(f"{self.out_path}/epoch_id={int(epoch_id)}"))
+
+    def read(self, spark) -> DataFrame:
+        parts = spark.read.parquet(self.out_path)
+        return (parts.groupBy("gate")
+                .agg(F.sum("n_pass").cast("long").alias("n_pass"),
+                     F.sum("n_docs").cast("long").alias("n_docs")))
+
+    def rates(self, spark) -> DataFrame:
+        return self.read(spark).select(
+            "gate", "n_pass", "n_docs",
+            F.expr("n_pass * 1000000L DIV n_docs").alias("pass_e6"))

@@ -362,3 +362,47 @@ def test_streaming_corpus_stats_equals_batch(spark, tmp_path):
         for c in ("n_docs", "total_tokens", "total_chars",
                   "min_chars", "max_chars", "mean_chars"):
             assert live[k][c] == ref[k][c], (k, c)
+
+
+def test_streaming_quality_gate_sink_equals_batch(spark, tmp_path):
+    """Two micro-batches through the gate sink merge (SUM) to exactly
+    the batch per-gate counters of the union — the gates are
+    stateless per doc, which is what makes the telemetry exact."""
+    from goka_spark.functions import corpus as C
+    from pyspark.sql import functions as F
+    from goka_spark.streaming.runtime import stream_from_dir
+
+    schema = "doc_id long, text string"
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    rows1 = [(i, good + f" t{i}") for i in range(40)] \
+        + [(100, "spam spam spam spam")]          # fails blocklist+rep
+    rows2 = [(200 + i, good + f" u{i}") for i in range(30)] \
+        + [(300, "x x x x x x x x")]              # fails entropy+rep
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    sink = C.QualityGateSink(str(tmp_path / "gates"), "doc_id", "text")
+    q = (stream_from_dir(spark, src, schema).writeStream
+         .foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    whole = C.quality_gate_counts(
+        spark.createDataFrame(rows1 + rows2, schema), "doc_id", "text")
+    want = {r["gate"]: (r["n_pass"], r["n_docs"])
+            for r in whole.collect()}
+    got = {r["gate"]: (r["n_pass"], r["n_docs"])
+           for r in sink.read(spark).collect()}
+    assert got == want
+    assert set(got) == {"repetition", "entropy", "blocklist"}
+    assert all(n == 72 for _, n in got.values())
+    rates = {r["gate"]: r["pass_e6"] for r in sink.rates(spark).collect()}
+    assert rates["blocklist"] == 71 * 1_000_000 // 72
