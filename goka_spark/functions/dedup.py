@@ -1492,3 +1492,65 @@ def simhash_hamming_histogram(df: "DataFrame", id_col: str,
         .distinct())
     return (pairs.groupBy(F.col("hamming").cast("long").alias("hamming"))
             .agg(F.count("*").cast("long").alias("n_pairs")))
+
+
+def winnow_fingerprints(df: "DataFrame", id_col: str, text_col: str,
+                        k: int = 3, w: int = 4) -> "DataFrame":
+    """Winnowing document fingerprints (Schleimer, Wilkerson &
+    Aiken 2003 — the MOSS local fingerprinting algorithm): hash every
+    positional word ``k``-gram, slide a window of ``w`` consecutive
+    hashes, and select each window's RIGHTMOST minimal hash.  The
+    guarantee that makes this the plagiarism/quotation detector of
+    record: any shared run of at least w+k-1 words between two
+    documents yields at least one IDENTICAL selected (gram hash), so
+    matching fingerprint values can never miss a long-enough overlap
+    — while storing only ~2/(w+1) of the grams.
+
+    Engine-exact selection without an RNG or an ordered fold: the
+    rightmost argmin of a window is derived positionally —
+    ``pos = i + wl − position(reverse(slice), min(slice)) + 1`` —
+    pure array algebra any engine replays bit-for-bit (md5 base
+    hash).  Selected (pos, hash) pairs pack into one BIGINT
+    (pos·2³² + h) for exact distinct/sort.  Short docs collapse to
+    one window over all grams (the word_shingles convention).
+
+    Scale shape: pure scan-stage Columns — per-doc O(len·w) work,
+    ZERO shuffle; the fingerprint string is the join key downstream
+    overlap detectors explode on."""
+    from goka_spark.functions.text import words
+
+    ws = words(F.col(text_col))
+    L = F.greatest(F.size(ws) - (k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(0), L - 1),
+        lambda i: F.array_join(F.slice(ws, i + 1, k), " "))
+    hs = F.transform(grams, lambda g: F.conv(
+        F.substring(F.md5(g), 1, 8), 16, 10).cast("long"))
+    # TWO projections, load-bearing: the hash array is referenced by
+    # every window expression below, and CollapseProject keeps a
+    # multi-referenced non-cheap alias materialized — inlined, each
+    # window re-hashes the whole doc (O(L²) interpreted md5s;
+    # measured 140 s → 3 s at sf0.001 for this split alone)
+    d1 = df.select(F.col(id_col), hs.alias("_hs"),
+                   L.cast("long").alias("_L"))
+    hsc = F.col("_hs")
+    n_win = F.greatest(F.col("_L") - (w - 1), F.lit(1))
+    wl = F.least(F.lit(w), F.col("_L"))
+
+    def _key(i):
+        s = F.slice(hsc, i + 1, wl)
+        m = F.array_min(s)
+        pos = i + wl - F.array_position(F.reverse(s), m) + 1
+        return pos.cast("long") * F.lit(4294967296) + m
+
+    keys = F.array_sort(F.array_distinct(
+        F.transform(F.sequence(F.lit(0), n_win - 1), _key)))
+    fps = F.array_join(F.transform(
+        keys, lambda kk: F.concat(
+            (kk / F.lit(4294967296)).cast("long").cast("string"),
+            F.lit(":"),
+            (kk % F.lit(4294967296)).cast("string"))), "|")
+    return d1.select(
+        F.col(id_col), F.col("_L").alias("n_grams"),
+        F.size(keys).cast("long").alias("n_fingerprints"),
+        fps.alias("fingerprints"))

@@ -145,6 +145,7 @@ _FRONT = [
     "dataset_card",
     "simhash_hamming_histogram",
     "embedding_split_audit",
+    "winnow_fingerprints",
 ]
 
 

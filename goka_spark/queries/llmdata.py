@@ -818,6 +818,17 @@ def zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
     return T.zipf_fit(docs, "doc_id", "text")
 
 
+def winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """MOSS winnowing fingerprints (D.winnow_fingerprints, Schleimer
+    et al. 2003): rightmost-min-per-window selected k-gram hashes —
+    any ≥ w+k−1-word overlap between docs shares a fingerprint, at
+    ~2/(w+1) storage.  Pure scan-stage array algebra (md5 base, the
+    positional argmin derived by reverse-position — no fold), so the
+    full fingerprint string hash-verifies."""
+    docs = load(spark, sf, "documents")["documents"]
+    return D.winnow_fingerprints(docs, "doc_id", "text")
+
+
 def embedding_split_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-space split-leakage audit (A.probe_max_cos) — the
     semantic twin of split_contamination_audit: for every TEST-split
@@ -1617,6 +1628,7 @@ QUERIES = {
     "dataset_card": dataset_card,
     "simhash_hamming_histogram": simhash_hamming_histogram,
     "embedding_split_audit": embedding_split_audit,
+    "winnow_fingerprints": winnow_fingerprints,
     "ivf_balance_report": ivf_balance_report,
     "dedup_simhash_verified": dedup_simhash_verified,
     "multimodal_decode": multimodal_decode,
@@ -4021,6 +4033,50 @@ def _split_audit_oracle(n_probe: int = 4, dim: int = 64) -> str:
 
 
 ORACLES["embedding_split_audit"] = _split_audit_oracle
+
+
+# winnowing: positional k-gram md5 hashes, rightmost window argmin by
+# the reverse-position formula, pos*2^32+h packing -- the identical
+# array algebra as the Column plan
+ORACLES["winnow_fingerprints"] = f"""
+    WITH d AS (
+      SELECT doc_id, {_WORDS} AS ws FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
+                            i -> array_to_string(ws[i:i+2], ' '))
+               AS grams
+      FROM d
+    ), h AS (
+      SELECT doc_id,
+             list_transform(grams, g2 ->
+               CAST(('0x' || substr(md5(g2), 1, 8)) AS BIGINT)) AS hs
+      FROM g
+    ), p AS (
+      SELECT doc_id, hs, CAST(len(hs) AS BIGINT) AS L,
+             greatest(len(hs) - 3, 1) AS n_win,
+             least(4, len(hs)) AS wl
+      FROM h
+    ), sel AS (
+      SELECT doc_id, L,
+             list_sort(list_distinct(list_transform(
+               range(0, n_win), i ->
+                 CAST(i + wl
+                      - list_position(
+                          list_reverse(hs[i+1:i+wl]),
+                          list_aggregate(hs[i+1:i+wl], 'min'))
+                      + 1 AS BIGINT) * 4294967296
+                 + list_aggregate(hs[i+1:i+wl], 'min')))) AS ks
+      FROM p
+    )
+    SELECT doc_id, L AS n_grams,
+           CAST(len(ks) AS BIGINT) AS n_fingerprints,
+           array_to_string(list_transform(ks, k2 ->
+             CAST(k2 // 4294967296 AS VARCHAR) || ':'
+             || CAST(k2 % 4294967296 AS VARCHAR)), '|')
+             AS fingerprints
+    FROM sel
+"""
 
 
 # int8 scalar quantization: per-dim global [min,max], code =

@@ -597,3 +597,61 @@ def test_simhash_histogram_planted_extremes(spark):
     assert all(0 <= h <= 60 for h in out)  # 60-bit md5 variant bound
     # pairs counted once across bands (identical docs share ALL 8)
     assert out[0] == 1
+
+
+# --------------------------------------------- winnowing (MOSS)
+
+def test_winnow_guarantee_shared_run_shares_a_fingerprint(spark):
+    # Schleimer et al. guarantee: any shared run of >= w+k-1 = 6
+    # words yields at least one identical selected (pos-independent)
+    # gram hash.  Docs share a 10-word run embedded at different
+    # offsets; their fingerprint HASH sets must intersect.
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, "x1 x2 x3 " + shared + " y1 y2"),
+         (2, "z1 " + shared + " q1 q2 q3 q4")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           D.winnow_fingerprints(docs, "doc_id", "text").collect()}
+
+    def hashes(r):
+        return {p.split(":")[1] for p in r["fingerprints"].split("|")}
+
+    assert hashes(out[1]) & hashes(out[2])
+    # density: ~2/(w+1) of grams selected, never more than n_windows
+    for r in out.values():
+        assert 1 <= r["n_fingerprints"] <= r["n_grams"]
+
+
+def test_winnow_rightmost_min_and_short_docs(spark):
+    import hashlib
+    docs = spark.createDataFrame(
+        [(1, "a b c"),            # 1 gram -> 1 window -> 1 fingerprint
+         (2, "a b"),              # short doc: collapsed single gram
+         (3, "")],                # empty: the '' gram convention
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           D.winnow_fingerprints(docs, "doc_id", "text").collect()}
+    h = int(hashlib.md5(b"a b c").hexdigest()[:8], 16)
+    assert out[1]["fingerprints"] == f"1:{h}"
+    assert out[1]["n_grams"] == 1 and out[1]["n_fingerprints"] == 1
+    h2 = int(hashlib.md5(b"a b").hexdigest()[:8], 16)
+    assert out[2]["fingerprints"] == f"1:{h2}"
+    h3 = int(hashlib.md5(b"").hexdigest()[:8], 16)
+    assert out[3]["fingerprints"] == f"1:{h3}"
+
+
+def test_winnow_rightmost_tie_break(spark):
+    # duplicate the same 3-gram so equal hashes occur inside one
+    # window: the RIGHTMOST minimal position must be selected
+    docs = spark.createDataFrame(
+        [(1, "m m m m m m")],     # all grams identical -> all h equal
+        "doc_id long, text string")
+    r = D.winnow_fingerprints(docs, "doc_id", "text").collect()[0]
+    # L=4 grams, windows [1..4]: each window's rightmost min = its
+    # last position -> selected positions {4} for the single full
+    # window at i=0 plus... n_win = 1: positions: i=0 window covers
+    # 1..4, rightmost min = 4
+    assert r["n_grams"] == 4
+    assert r["fingerprints"].split("|")[0].startswith("4:")
+    assert r["n_fingerprints"] == 1
