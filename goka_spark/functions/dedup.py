@@ -1517,6 +1517,29 @@ def winnow_fingerprints(df: "DataFrame", id_col: str, text_col: str,
     Scale shape: pure scan-stage Columns — per-doc O(len·w) work,
     ZERO shuffle; the fingerprint string is the join key downstream
     overlap detectors explode on."""
+    d2 = _winnow_keys(df, id_col, text_col, k, w)
+    fps = F.array_join(F.transform(
+        F.col("_ks"), lambda kk: F.concat(
+            (kk / F.lit(4294967296)).cast("long").cast("string"),
+            F.lit(":"),
+            (kk % F.lit(4294967296)).cast("string"))), "|")
+    return d2.select(
+        F.col(id_col), F.col("_L").alias("n_grams"),
+        F.size("_ks").cast("long").alias("n_fingerprints"),
+        fps.alias("fingerprints"))
+
+
+def _winnow_keys(df: "DataFrame", id_col: str, text_col: str,
+                 k: int, w: int) -> "DataFrame":
+    """(id, _L, _ks): the sorted packed (pos·2³²+h) winnowing keys.
+
+    THREE projections, each load-bearing: the hash array and then
+    the keys array are multi-referenced non-cheap aliases, and
+    CollapseProject keeps those materialized — inlined, every window
+    (or every downstream filter/generator after predicate pushdown)
+    re-hashes the whole doc: O(L²) interpreted md5s, measured 140 s
+    vs 3 s at sf0.001.  Downstream consumers must reference _ks, not
+    rebuild it."""
     from goka_spark.functions.text import words
 
     ws = words(F.col(text_col))
@@ -1526,11 +1549,6 @@ def winnow_fingerprints(df: "DataFrame", id_col: str, text_col: str,
         lambda i: F.array_join(F.slice(ws, i + 1, k), " "))
     hs = F.transform(grams, lambda g: F.conv(
         F.substring(F.md5(g), 1, 8), 16, 10).cast("long"))
-    # TWO projections, load-bearing: the hash array is referenced by
-    # every window expression below, and CollapseProject keeps a
-    # multi-referenced non-cheap alias materialized — inlined, each
-    # window re-hashes the whole doc (O(L²) interpreted md5s;
-    # measured 140 s → 3 s at sf0.001 for this split alone)
     d1 = df.select(F.col(id_col), hs.alias("_hs"),
                    L.cast("long").alias("_L"))
     hsc = F.col("_hs")
@@ -1545,12 +1563,44 @@ def winnow_fingerprints(df: "DataFrame", id_col: str, text_col: str,
 
     keys = F.array_sort(F.array_distinct(
         F.transform(F.sequence(F.lit(0), n_win - 1), _key)))
-    fps = F.array_join(F.transform(
-        keys, lambda kk: F.concat(
-            (kk / F.lit(4294967296)).cast("long").cast("string"),
-            F.lit(":"),
-            (kk % F.lit(4294967296)).cast("string"))), "|")
-    return d1.select(
-        F.col(id_col), F.col("_L").alias("n_grams"),
-        F.size(keys).cast("long").alias("n_fingerprints"),
-        fps.alias("fingerprints"))
+    return d1.select(F.col(id_col), F.col("_L"), keys.alias("_ks"))
+
+
+def winnow_overlap_pairs(df: "DataFrame", id_col: str, text_col: str,
+                         k: int = 3, w: int = 4,
+                         min_shared: int = 2) -> "DataFrame":
+    """Document-overlap pairs via winnowing — the MOSS detector
+    itself: docs sharing ≥ ``min_shared`` selected fingerprint
+    HASHES (position-independent, so moved/quoted passages still
+    match).  By the winnowing guarantee every ≥ w+k−1-word shared
+    run contributes at least one shared fingerprint, so long
+    overlaps are never missed while the index holds only ~2/(w+1)
+    of the grams — the cheap-at-100 TB complement of
+    ngram_containment_pairs (which weighs ALL grams).
+
+    Scale shape: the fingerprint pass is scan-stage
+    (:func:`winnow_fingerprints`); detection is one explode to a
+    (hash, doc) inverted index + one equi-join self-pair + a count
+    agg — identical discipline to the shingle index, on a ~2/(w+1)×
+    smaller posting list."""
+    # consume the KEYS ARRAY directly — no string round-trip.
+    # explode_OUTER is load-bearing: plain explode triggers
+    # InferFiltersFromGenerate, which injects size(_ks) > 0 with the
+    # whole keys expression INLINED below the projections — the
+    # O(L²) re-hash _winnow_keys exists to prevent (measured 74 s vs
+    # 2 s at sf0.001).  _ks is never empty, so outer adds no rows;
+    # min_shared already rejects the single-''-gram pairs empty docs
+    # would contribute.
+    kf = _winnow_keys(df, id_col, text_col, k, w)
+    posts = (kf.select(F.col(id_col).alias("doc"),
+                       F.explode_outer("_ks").alias("_k"))
+             .select("doc",
+                     (F.col("_k") % F.lit(4294967296)).alias("h"))
+             .distinct())
+    a, b = posts.alias("a"), posts.alias("b")
+    return (a.join(b, "h")
+            .filter(F.col("a.doc") < F.col("b.doc"))
+            .groupBy(F.col("a.doc").alias("id_a"),
+                     F.col("b.doc").alias("id_b"))
+            .agg(F.count("*").cast("long").alias("shared_fp"))
+            .filter(F.col("shared_fp") >= min_shared))

@@ -146,6 +146,7 @@ _FRONT = [
     "simhash_hamming_histogram",
     "embedding_split_audit",
     "winnow_fingerprints",
+    "winnow_overlap_pairs",
 ]
 
 

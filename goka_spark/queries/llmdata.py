@@ -829,6 +829,15 @@ def winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     return D.winnow_fingerprints(docs, "doc_id", "text")
 
 
+def winnow_overlap_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MOSS overlap detection (D.winnow_overlap_pairs): doc pairs
+    sharing ≥ 2 winnowing fingerprint hashes — long shared runs are
+    never missed (the selection guarantee), on a ~2/(w+1)-sized
+    posting list; inverted-index equi-join, never all-pairs."""
+    docs = load(spark, sf, "documents")["documents"]
+    return D.winnow_overlap_pairs(docs, "doc_id", "text")
+
+
 def embedding_split_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-space split-leakage audit (A.probe_max_cos) — the
     semantic twin of split_contamination_audit: for every TEST-split
@@ -1629,6 +1638,7 @@ QUERIES = {
     "simhash_hamming_histogram": simhash_hamming_histogram,
     "embedding_split_audit": embedding_split_audit,
     "winnow_fingerprints": winnow_fingerprints,
+    "winnow_overlap_pairs": winnow_overlap_pairs,
     "ivf_balance_report": ivf_balance_report,
     "dedup_simhash_verified": dedup_simhash_verified,
     "multimodal_decode": multimodal_decode,
@@ -4076,6 +4086,24 @@ ORACLES["winnow_fingerprints"] = f"""
              || CAST(k2 % 4294967296 AS VARCHAR)), '|')
              AS fingerprints
     FROM sel
+"""
+
+
+# winnow overlap: the winnowing oracle's selected-hash lists, unnested
+# to a distinct (doc, hash) inverted index, self-joined on hash
+ORACLES["winnow_overlap_pairs"] = f"""
+    WITH fpq AS ({ORACLES["winnow_fingerprints"]}),
+    posts AS (
+      SELECT DISTINCT doc_id AS doc,
+             CAST(string_split(UNNEST(string_split(fingerprints, '|')),
+                               ':')[2] AS BIGINT) AS h
+      FROM fpq WHERE n_fingerprints > 0
+    )
+    SELECT a.doc AS id_a, b.doc AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fp
+    FROM posts a JOIN posts b ON a.h = b.h AND a.doc < b.doc
+    GROUP BY a.doc, b.doc
+    HAVING COUNT(*) >= 2
 """
 
 

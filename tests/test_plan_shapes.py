@@ -394,3 +394,31 @@ def test_key_skew_report_partial_agg_no_global_sort(spark, sf_dir):
     assert X.has_partial_aggregation(df)
     plan = X.simple(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_winnow_overlap_no_rehash_in_filters(spark, sf_dir):
+    """Regression guard for the InferFiltersFromGenerate pathology:
+    no Filter node may contain the md5 gram-hash expression (an
+    inferred size(keys) > 0 pushed below the projections re-hashes
+    every doc O(L²) — measured 74 s vs 3 s at sf0.001)."""
+    df = llmdata.winnow_overlap_pairs(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if line.strip().startswith(("Filter", "*(") ) and "Filter" in line:
+            assert "md5" not in line, line[:300]
+
+
+def test_winnow_overlap_detects_planted_quotation(spark):
+    """A 12-word passage quoted inside an unrelated doc must pair
+    (the w+k-1 guarantee), disjoint docs must not."""
+    from goka_spark.functions import dedup as D
+    quote = " ".join(f"q{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, quote + " tail1 tail2 tail3 tail4 tail5"),
+         (2, "lead1 lead2 lead3 " + quote),
+         (3, " ".join(f"z{i}" for i in range(20)))],
+        "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r["shared_fp"] for r in
+           D.winnow_overlap_pairs(docs, "doc_id", "text").collect()}
+    assert (1, 2) in out
+    assert all(p == (1, 2) for p in out)
