@@ -147,6 +147,7 @@ _FRONT = [
     "embedding_split_audit",
     "winnow_fingerprints",
     "winnow_overlap_pairs",
+    "event_volume_anomalies",
 ]
 
 

@@ -788,6 +788,39 @@ def key_skew_report(spark: SparkSession, sf: str) -> DataFrame:
          .cast("long").alias("x_mean_e6"))
 
 
+def event_volume_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly volume spike detection — the pipeline-health monitor
+    every ingest dashboard carries: per event type, hourly counts
+    flagged when they sit more than 3σ above that type's mean hourly
+    volume.  The z-test is EXACT integer algebra (no float mean/std
+    to drift between engines): with d = c·n − Σc (the deviation
+    scaled by n buckets), spike ⟺ d > 0 ∧ d²·n > 9·(n·Σc² − (Σc)²)
+    — the squared 3σ inequality cleared of denominators.  Bounds:
+    exact while c·n < ~3·10⁹ per type (hourly counts × bucket count)
+    — true for any per-hour monitoring window; shard the window if
+    a type exceeds it.
+
+    Scale shape: one (type, hour) hash-agg with map-side combine,
+    one types-sized moment aggregate, one broadcast join back —
+    never a window over the bucket stream."""
+    ev = load(spark, sf, "events")["events"]
+    cnt = (ev.groupBy("event_type",
+                      F.date_trunc("hour", "ts").alias("_h"))
+           .agg(F.count("*").cast("long").alias("cnt")))
+    mom = (cnt.groupBy("event_type")
+           .agg(F.count("*").cast("long").alias("_n"),
+                F.sum("cnt").cast("long").alias("_s"),
+                F.sum(F.col("cnt") * F.col("cnt")).cast("long")
+                .alias("_s2")))
+    j = cnt.join(F.broadcast(mom), "event_type")
+    d = F.col("cnt") * F.col("_n") - F.col("_s")
+    var_n3 = F.col("_n") * F.col("_s2") - F.col("_s") * F.col("_s")
+    return j.select(
+        "event_type", F.unix_micros("_h").alias("hour_us"), "cnt",
+        F.expr("_s * 100L DIV _n").alias("mean_e2"),
+        ((d > 0) & (d * d * F.col("_n") > 9 * var_n3)).alias("is_spike"))
+
+
 def event_transitions(spark: SparkSession, sf: str) -> DataFrame:
     """Markov transition matrix over per-user event sequences: for
     every (event_type → next_event_type) pair, the occurrence count
@@ -862,6 +895,7 @@ QUERIES = {
     "value_quantiles": value_quantiles,
     "value_histogram_quantiles": value_histogram_quantiles,
     "key_skew_report": key_skew_report,
+    "event_volume_anomalies": event_volume_anomalies,
 }
 
 ORACLES = {
@@ -1316,6 +1350,26 @@ ORACLES["value_histogram_quantiles"] = """
            MIN(CASE WHEN cum >= CEIL(n * 0.5) THEN bin * 2.0 END) AS p50,
            MIN(CASE WHEN cum >= CEIL(n * 0.9) THEN bin * 2.0 END) AS p90
     FROM cum GROUP BY event_type
+"""
+
+ORACLES["event_volume_anomalies"] = """
+    WITH c AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, h
+    ),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cnt) AS BIGINT) AS s,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_type, epoch_us(c.h) AS hour_us, c.cnt,
+           CAST(s * 100 // n AS BIGINT) AS mean_e2,
+           (c.cnt * n - s) > 0
+             AND (c.cnt * n - s) * (c.cnt * n - s) * n
+                 > 9 * (n * s2 - s * s) AS is_spike
+    FROM c JOIN m ON m.event_type = c.event_type
 """
 
 ORACLES["key_skew_report"] = """

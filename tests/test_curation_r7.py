@@ -655,3 +655,43 @@ def test_winnow_rightmost_tie_break(spark):
     assert r["n_grams"] == 4
     assert r["fingerprints"].split("|")[0].startswith("4:")
     assert r["n_fingerprints"] == 1
+
+
+# ----------------------------------------- event volume anomalies
+
+def test_event_volume_anomalies_planted_spike(spark, monkeypatch,
+                                              tmp_path):
+    import datetime as dt
+    import goka_spark.queries.base as B
+    import goka_spark.queries.analytics as QA
+    from goka_spark.queries.analytics import event_volume_anomalies
+    # 23 quiet hours of 10 events + one 500-event hour: only that
+    # hour may flag; exact integer z-test verified in python
+    rows, eid = [], 0
+    for h in range(24):
+        n = 500 if h == 12 else 10
+        for i in range(n):
+            rows.append((eid, 1, "click", 1.0,
+                         dt.datetime(2024, 1, 1, h, 0, i % 60)))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "value double, ts timestamp")
+    src = str(tmp_path / "ev.parquet")
+    ev.write.parquet(src)
+    monkeypatch.setattr(B, "load", lambda s, sf, *t: {
+        "events": s.read.parquet(src)})
+    monkeypatch.setattr(QA, "load", B.load)
+    out = {r["hour_us"]: r for r in
+           event_volume_anomalies(spark, "x").collect()}
+    assert len(out) == 24
+    spikes = [r for r in out.values() if r["is_spike"]]
+    assert len(spikes) == 1 and spikes[0]["cnt"] == 500
+    # python replay of the exact inequality
+    cs = [500 if h == 12 else 10 for h in range(24)]
+    n, s, s2 = 24, sum(cs), sum(c * c for c in cs)
+    d = 500 * n - s
+    assert d > 0 and d * d * n > 9 * (n * s2 - s * s)
+    d10 = 10 * n - s
+    assert not (d10 > 0)
+    assert all(r["mean_e2"] == s * 100 // n for r in out.values())
