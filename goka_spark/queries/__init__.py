@@ -148,6 +148,7 @@ _FRONT = [
     "winnow_fingerprints",
     "winnow_overlap_pairs",
     "event_volume_anomalies",
+    "doc_length_quantiles",
 ]
 
 

@@ -818,6 +818,23 @@ def zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
     return T.zipf_fit(docs, "doc_id", "text")
 
 
+def doc_length_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source token-length p50/p90 via the mergeable histogram
+    sketch (W.histogram_quantiles over ws_token_count, 128 bins on
+    [0, 256)) — the data-driven input to loader batch sizing and the
+    length_bucket boundaries; same integer inverted-CDF discipline
+    as value_histogram_quantiles, sketched per shard and merged."""
+    from goka_spark.functions.text import ws_token_count
+    from goka_spark.operators import windows as W
+
+    docs = load(spark, sf, "documents")["documents"]
+    d = docs.select("source",
+                    ws_token_count(F.col("text")).cast("double")
+                    .alias("_n"))
+    return W.histogram_quantiles(d, "_n", ["source"],
+                                 lo=0.0, hi=256.0, n_bins=128)
+
+
 def winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     """MOSS winnowing fingerprints (D.winnow_fingerprints, Schleimer
     et al. 2003): rightmost-min-per-window selected k-gram hashes —
@@ -1637,6 +1654,7 @@ QUERIES = {
     "dataset_card": dataset_card,
     "simhash_hamming_histogram": simhash_hamming_histogram,
     "embedding_split_audit": embedding_split_audit,
+    "doc_length_quantiles": doc_length_quantiles,
     "winnow_fingerprints": winnow_fingerprints,
     "winnow_overlap_pairs": winnow_overlap_pairs,
     "ivf_balance_report": ivf_balance_report,
@@ -4104,6 +4122,29 @@ ORACLES["winnow_overlap_pairs"] = f"""
     FROM posts a JOIN posts b ON a.h = b.h AND a.doc < b.doc
     GROUP BY a.doc, b.doc
     HAVING COUNT(*) >= 2
+"""
+
+
+# doc length quantiles: the value_histogram arithmetic on per-doc
+# token counts -- 128 bins of width 2 on [0, 256), inverted CDF
+ORACLES["doc_length_quantiles"] = f"""
+    WITH b AS (
+      SELECT source,
+             CAST(LEAST(GREATEST(FLOOR(CAST(len({_WORDS}) AS DOUBLE)
+                                       / 2.0), 0), 127) AS INT)
+               AS bin,
+             COUNT(*) AS c
+      FROM documents GROUP BY source, bin
+    ), cum AS (
+      SELECT source, bin, c,
+             SUM(c) OVER (PARTITION BY source ORDER BY bin) AS cum,
+             SUM(c) OVER (PARTITION BY source) AS n
+      FROM b
+    )
+    SELECT source,
+           MIN(CASE WHEN cum >= CEIL(n * 0.5) THEN bin * 2.0 END) AS p50,
+           MIN(CASE WHEN cum >= CEIL(n * 0.9) THEN bin * 2.0 END) AS p90
+    FROM cum GROUP BY source
 """
 
 
