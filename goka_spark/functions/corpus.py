@@ -623,7 +623,8 @@ def dataset_card(df: DataFrame, id_col: str, text_col: str,
 
 def quality_gate_counts(df: DataFrame, id_col: str, text_col: str,
                         blocklist_terms: "tuple[str, ...]" = ("spam",),
-                        entropy_floor_e6: int = 1000000) -> DataFrame:
+                        entropy_floor_e6: int = 1000000,
+                        group_cols: "tuple[str, ...]" = ()) -> DataFrame:
     """Per-gate (n_pass, n_docs) counters for the three STATELESS
     per-document quality gates — the kernel the batch and streaming
     faces share: Gopher repetition keep, word-entropy floor,
@@ -641,20 +642,21 @@ def quality_gate_counts(df: DataFrame, id_col: str, text_col: str,
                 ((F.col("n_tokens") > 0)
                  & (F.coalesce(F.col("entropy"), F.lit(0.0))
                     >= entropy_floor_e6 / 1e6)).alias("_ent"))
-    base = df.select(F.col(id_col).alias("_d"),
+    gcols = list(group_cols)
+    base = df.select(F.col(id_col).alias("_d"), *gcols,
                      blocklist_keep(F.col(text_col),
                                     list(blocklist_terms)).alias("_blk"))
     j = base.join(rep, "_d").join(ent, "_d")
     # gopher's keep is a 0/1 long; normalize every verdict to boolean
-    g = j.select(F.explode(F.array(
+    g = j.select(*gcols, F.explode(F.array(
         F.struct(F.lit("repetition").alias("gate"),
                  F.col("_rep").cast("boolean").alias("ok")),
         F.struct(F.lit("entropy").alias("gate"),
                  F.col("_ent").cast("boolean").alias("ok")),
         F.struct(F.lit("blocklist").alias("gate"),
                  F.col("_blk").cast("boolean").alias("ok")))).alias("_g")) \
-        .select("_g.gate", "_g.ok")
-    return (g.groupBy("gate")
+        .select(*gcols, "_g.gate", "_g.ok")
+    return (g.groupBy(*gcols, "gate")
             .agg(F.sum(F.when(F.col("ok"), 1).otherwise(0))
                  .cast("long").alias("n_pass"),
                  F.count("*").cast("long").alias("n_docs")))

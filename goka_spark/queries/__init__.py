@@ -149,6 +149,7 @@ _FRONT = [
     "winnow_overlap_pairs",
     "event_volume_anomalies",
     "doc_length_quantiles",
+    "source_quality_matrix",
 ]
 
 

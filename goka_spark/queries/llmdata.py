@@ -818,6 +818,22 @@ def zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
     return T.zipf_fit(docs, "doc_id", "text")
 
 
+def source_quality_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source × per-gate pass rates (C.quality_gate_counts keyed
+    by source) — the batch, HASH-VERIFIED twin of the
+    QualityGateSink kernel and the table that tells you WHICH feed
+    is rotting when the sink's live rates drift: repetition /
+    entropy / blocklist pass counts and integer micro-unit rates per
+    source.  Composes three individually-verified per-doc oracles."""
+    docs = load(spark, sf, "documents")["documents"]
+    m = C.quality_gate_counts(docs, "doc_id", "text",
+                              tuple(BLOCK_TERMS),
+                              group_cols=("source",))
+    return m.select("source", "gate", "n_pass", "n_docs",
+                    F.expr("n_pass * 1000000L DIV n_docs")
+                    .alias("pass_e6"))
+
+
 def doc_length_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source token-length p50/p90 via the mergeable histogram
     sketch (W.histogram_quantiles over ws_token_count, 128 bins on
@@ -1655,6 +1671,7 @@ QUERIES = {
     "simhash_hamming_histogram": simhash_hamming_histogram,
     "embedding_split_audit": embedding_split_audit,
     "doc_length_quantiles": doc_length_quantiles,
+    "source_quality_matrix": source_quality_matrix,
     "winnow_fingerprints": winnow_fingerprints,
     "winnow_overlap_pairs": winnow_overlap_pairs,
     "ivf_balance_report": ivf_balance_report,
@@ -4146,6 +4163,43 @@ ORACLES["doc_length_quantiles"] = f"""
            MIN(CASE WHEN cum >= CEIL(n * 0.9) THEN bin * 2.0 END) AS p90
     FROM cum GROUP BY source
 """
+
+
+# source quality matrix: the three per-doc gate oracles composed as
+# CTEs, unioned to (source, gate, ok) and aggregated -- the batch
+# hash-verified twin of the QualityGateSink kernel
+def _source_quality_oracle() -> str:
+    return f"""
+    WITH rep AS ({ORACLES["gopher_repetition"]}),
+    ent AS ({ORACLES["doc_entropy"]}),
+    blk AS ({ORACLES["blocklist_filter"]}),
+    j AS (
+      SELECT d.source,
+             rep.keep = 1 AS rep_ok,
+             ent.n_tokens > 0
+               AND COALESCE(ent.entropy, 0) >= 1.0 AS ent_ok,
+             blk.keep AS blk_ok
+      FROM documents d
+      JOIN rep ON rep.doc_id = d.doc_id
+      JOIN ent ON ent.doc_id = d.doc_id
+      JOIN blk ON blk.doc_id = d.doc_id
+    ),
+    u AS (
+      SELECT source, 'repetition' AS gate, rep_ok AS ok FROM j
+      UNION ALL SELECT source, 'entropy', ent_ok FROM j
+      UNION ALL SELECT source, 'blocklist', blk_ok FROM j
+    )
+    SELECT source, gate,
+           CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS pass_e6
+    FROM u GROUP BY source, gate
+    """
+
+
+ORACLES["source_quality_matrix"] = _source_quality_oracle
 
 
 # int8 scalar quantization: per-dim global [min,max], code =
