@@ -1382,13 +1382,19 @@ def minhash_est_error(df: "DataFrame", id_col: str, text_col: str,
         lambda eq: eq))
     inter = F.size(F.array_intersect("_sa", "_sb"))
     union = F.size("_sa") + F.size("_sb") - inter
-    est = (matches.cast("long") * 1000000 / F.lit(num_perm)).cast("long")
-    exact = F.floor(inter.cast("long") * 1000000
-                    / union.cast("double")).cast("long")
+    # exact INTEGER arithmetic on both sides (matches the oracle's
+    # `mt * step` / `i_ * 1e6 // u_`): float division here diverged
+    # from the oracle whenever num_perm does not divide 1e6 (ADVICE)
     return (pairs.select(
         "doc_a", "doc_b",
-        est.alias("est_e6"), exact.alias("exact_e6"),
-        F.abs(est - exact).cast("long").alias("abs_err_e6")))
+        (matches.cast("long") * F.lit(1000000 // num_perm))
+        .alias("est_e6"),
+        inter.cast("long").alias("_i"), union.cast("long").alias("_u"))
+        .select(
+            "doc_a", "doc_b", F.col("est_e6").cast("long"),
+            F.expr("(_i * 1000000L) DIV _u").alias("exact_e6"),
+            F.abs(F.col("est_e6") - F.expr("(_i * 1000000L) DIV _u"))
+            .cast("long").alias("abs_err_e6")))
 
 
 def minhash_band_sweep(df: "DataFrame", id_col: str, text_col: str,

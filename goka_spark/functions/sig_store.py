@@ -154,10 +154,26 @@ class SignatureStore:
         and the rewrite lands ~one file per bucket), then swap via
         catalog rename — the table NAME the probes join against never
         changes, and the bucket spec (and so the zero-exchange probe
-        plan) is preserved.  Returns per-table row counts."""
+        plan) is preserved.  Returns per-table row counts.
+
+        Crash window: publish is DROP(tbl) then RENAME(staged → tbl)
+        — a crash between the two leaves NO table under the production
+        name (the data survives only in ``tbl_compacting``).  The
+        window is self-healing: re-running ``compact()`` detects the
+        orphan (staging exists, production missing) and finishes the
+        interrupted rename before starting a new rewrite, so the
+        recovery procedure is simply "run compact again".  Concurrent
+        probes inside the window still fail on a missing table —
+        single-writer maintenance op, like the ANN compactor."""
         stats = {}
         for tbl, key in ((self.md5_table, "h"), (self.band_table, "bk")):
             staged = f"{tbl}_compacting"
+            if (self.spark.catalog.tableExists(staged)
+                    and not self.spark.catalog.tableExists(tbl)):
+                # orphan from a crash inside a previous publish:
+                # the staging table IS the current data — promote it
+                self.spark.sql(f"ALTER TABLE {staged} RENAME TO {tbl}")
+                self.spark.catalog.refreshTable(tbl)
             self.spark.sql(f"DROP TABLE IF EXISTS {staged}")
             df = self.spark.table(tbl).repartition(self.buckets, F.col(key))
             (df.write.mode("overwrite").bucketBy(self.buckets, key)

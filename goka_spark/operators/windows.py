@@ -151,14 +151,19 @@ class HistogramSink:
 
 
 def event_transition_counts(df, user_col: str, ts_col: str,
-                            type_col: str):
+                            type_col: str, id_col: str = None):
     """(from, to) successor counts over per-user ``ts``-ordered
     sequences — the batch kernel `queries.analytics.event_transitions`
     and the streaming `TransitionSink` share.  One user-keyed lead
-    window under a total (ts, type) order + a types-sized hash-agg."""
+    window + a types-sized hash-agg.  ``id_col`` (an event id) breaks
+    same-user ts ties into the SAME total (ts, id) order the batch
+    query uses — without it tied timestamps could order differently
+    between the batch and streaming faces (ADVICE r7); when the
+    source has no id column the fallback tiebreak is the type."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(user_col).orderBy(ts_col, type_col)
+    tie = F.col(id_col) if id_col else F.col(type_col)
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), tie)
     return (df.select(F.col(user_col),
                       F.col(type_col).alias("event_type"),
                       F.lead(type_col).over(w).alias("next_event_type"))
@@ -187,48 +192,64 @@ class TransitionSink:
     probability), so dashboards swap live/batch without changes.
 
     Ordering contract: epochs must not interleave a user's
-    timestamps (true for ts-ordered sources and for watermarked
-    streams read in order); within an epoch any order is fine —
-    the window sorts.  Scale: per epoch one users-sized state merge
+    (ts, event_id) order (true for ts-ordered sources and for
+    watermarked streams read in order; same-ts ties are fine as long
+    as ids are assigned in arrival order); within an epoch any order
+    is fine — the window sorts under the SAME (ts, event_id) total
+    order the batch query uses, so stream ≡ batch holds on tied
+    timestamps too (ADVICE r7).  Scale: per epoch one users-sized state merge
     + the same lead window the batch kernel runs."""
 
     def __init__(self, out_path: str, user_col: str = "user_id",
-                 ts_col: str = "ts", type_col: str = "event_type"):
+                 ts_col: str = "ts", type_col: str = "event_type",
+                 id_col: str = "event_id"):
         self.out = out_path.rstrip("/")
         self.user_col, self.ts_col = user_col, ts_col
-        self.type_col = type_col
+        self.type_col, self.id_col = type_col, id_col
 
     def _last_state(self, spark, before_epoch: int):
-        import os
+        # list epoch dirs through the Hadoop FS API (the changelog.py
+        # discipline — os.listdir is wrong on hdfs:// / s3a:// where
+        # isdir is always False and prev state would silently read as
+        # None, dropping cross-epoch boundary pairs; ADVICE r7)
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        base = jvm.org.apache.hadoop.fs.Path(f"{self.out}/last")
+        fs = base.getFileSystem(hconf)
         cand = []
-        base = f"{self.out}/last"
-        if os.path.isdir(base):
-            for d in os.listdir(base):
-                if d.startswith("epoch_id="):
-                    e = int(d.split("=")[1])
+        if fs.exists(base):
+            for st in fs.listStatus(base):
+                name = st.getPath().getName()
+                if name.startswith("epoch_id="):
+                    e = int(name.split("=")[1])
                     if e < before_epoch:
                         cand.append(e)
         if not cand:
             return None
-        return spark.read.parquet(f"{base}/epoch_id={max(cand)}")
+        return spark.read.parquet(
+            f"{self.out}/last/epoch_id={max(cand)}")
 
     def __call__(self, batch_df, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         epoch_id = int(epoch_id)
         ev = batch_df.select(F.col(self.user_col).alias("user"),
                              F.col(self.ts_col).alias("ts"),
+                             F.col(self.id_col).alias("event_id"),
                              F.col(self.type_col).alias("event_type"))
         prev = self._last_state(spark, epoch_id)
         # a prev-state row is ONE event per user, so unioning it adds
         # exactly the boundary pair (state → first batch event) and
         # nothing already counted in prior epochs
         seq = ev if prev is None else prev.unionByName(ev)
-        pairs = event_transition_counts(seq, "user", "ts", "event_type")
+        pairs = event_transition_counts(seq, "user", "ts",
+                                        "event_type", id_col="event_id")
         (pairs.write.mode("overwrite")
          .parquet(f"{self.out}/pairs/epoch_id={epoch_id}"))
         last = (seq.groupBy("user")
-                .agg(F.max(F.struct("ts", "event_type")).alias("_m"))
+                .agg(F.max(F.struct("ts", "event_id", "event_type"))
+                     .alias("_m"))
                 .select("user", F.col("_m.ts").alias("ts"),
+                        F.col("_m.event_id").alias("event_id"),
                         F.col("_m.event_type").alias("event_type")))
         (last.write.mode("overwrite")
          .parquet(f"{self.out}/last/epoch_id={epoch_id}"))

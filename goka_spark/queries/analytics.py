@@ -832,16 +832,13 @@ def event_transitions(spark: SparkSession, sf: str) -> DataFrame:
     ts, event_id — a total order, so any engine derives the same
     successor), then a (type, type)-keyed hash-agg with map-side
     combine; the per-from-type totals join is a types-sized frame."""
-    from pyspark.sql.window import Window
+    from goka_spark.operators.windows import event_transition_counts
 
     ev = load(spark, sf, "events")["events"]
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    nxt = (ev.select("user_id", "event_type",
-                     F.lead("event_type").over(w)
-                     .alias("next_event_type"))
-           .filter(F.col("next_event_type").isNotNull()))
-    cnt = (nxt.groupBy("event_type", "next_event_type")
-           .agg(F.count("*").alias("cnt")))
+    # literally the TransitionSink kernel (same (ts, event_id) total
+    # order on ties — stream ≡ batch by shared code, ADVICE r7)
+    cnt = event_transition_counts(ev, "user_id", "ts", "event_type",
+                                  id_col="event_id")
     tot = cnt.groupBy("event_type").agg(F.sum("cnt").alias("_tot"))
     return (cnt.join(tot, "event_type")
             .select("event_type", "next_event_type",

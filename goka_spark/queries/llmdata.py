@@ -751,20 +751,27 @@ def dedup_minhash_keep(spark: SparkSession, sf: str) -> DataFrame:
 
 
 #: the keep pipeline (sigs → bands → CC → arg-max) is a pure function
-#: of the corpus — memo per sf so dedup_minhash_keep and
-#: contrastive_pairs run it once per session
+#: of the corpus — memo per (applicationId, sf) so dedup_minhash_keep
+#: and contrastive_pairs run it once per session.  The appId key is
+#: load-bearing, not cosmetic (same reason as _CC_MEMO): the value is
+#: a localCheckpoint()ed DataFrame whose checkpoint RDD dies with its
+#: SparkContext — keyed by sf alone, a session restart in the same
+#: process would hand back a dead frame (ADVICE r7).  The BPE/unigram
+#: memos below are exempt on purpose: they hold plain Python training
+#: artifacts (merge lists / piece dicts), context-free by value.
 _KEEP_MEMO: dict = {}
 
 
 def _keep_frame(spark: SparkSession, sf: str) -> DataFrame:
-    if sf not in _KEEP_MEMO:
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _KEEP_MEMO:
         docs = load(spark, sf, "documents")["documents"]
         pairs = D.minhash_lsh_pairs(docs, "doc_id", "text",
                                     num_perm=32, bands=8)
         cc = D.connected_components(pairs)
-        _KEEP_MEMO[sf] = (D.cluster_keep(docs, "doc_id", "n_chars", cc)
-                          .localCheckpoint())
-    return _KEEP_MEMO[sf]
+        _KEEP_MEMO[key] = (D.cluster_keep(docs, "doc_id", "n_chars", cc)
+                           .localCheckpoint())
+    return _KEEP_MEMO[key]
 
 
 def contrastive_pairs(spark: SparkSession, sf: str) -> DataFrame:

@@ -695,3 +695,25 @@ def test_event_volume_anomalies_planted_spike(spark, monkeypatch,
     d10 = 10 * n - s
     assert not (d10 > 0)
     assert all(r["mean_e2"] == s * 100 // n for r in out.values())
+
+
+def test_keep_memo_keyed_by_application_id(spark, sf_dir):
+    """Session-lifetime memo discipline (ADVICE r7): _KEEP_MEMO caches
+    a localCheckpoint()ed frame that dies with its SparkContext, so
+    the memo key MUST include the applicationId — a frame cached under
+    a previous (stopped) session's appId must not be returned after a
+    restart.  Simulated restart: seed the memo under a foreign appId
+    and assert _keep_frame computes a fresh frame instead of
+    returning the stale sentinel."""
+    from goka_spark.queries import llmdata as L
+
+    sentinel = object()
+    L._KEEP_MEMO.clear()
+    L._KEEP_MEMO[("app-from-a-dead-context", sf_dir)] = sentinel
+    try:
+        got = L._keep_frame(spark, sf_dir)
+        assert got is not sentinel
+        assert (spark.sparkContext.applicationId, sf_dir) in L._KEEP_MEMO
+        assert got.count() > 0              # live, actionable frame
+    finally:
+        L._KEEP_MEMO.pop(("app-from-a-dead-context", sf_dir), None)

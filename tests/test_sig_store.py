@@ -198,3 +198,32 @@ def test_compact_preserves_contents_verdicts_and_bucketing(spark, sf_dir, store)
     scans = [l for l in plan.splitlines()
              if "FileScan" in l and "t_sig_store" in l]
     assert scans and all("Bucketed: true" in l for l in scans), plan
+
+
+def test_compact_self_heals_orphaned_staging(spark, store):
+    """Crash-window recovery (ADVICE r7): a crash between compact's
+    DROP(tbl) and RENAME(staged → tbl) leaves the data only under
+    ``tbl_compacting``.  Re-running compact() must detect the orphan,
+    finish the interrupted publish, and leave verdicts identical —
+    the documented recovery procedure is "run compact again"."""
+    store.build(_df(spark, [(1, "seed corpus document about spark plans"),
+                            (2, "another unrelated seed about joins")]),
+                "doc_id", "text")
+    batch = _df(spark, [(9, "seed corpus document about spark plans"),
+                        (10, "a brand new document about bloom filters")])
+    want = sorted(map(tuple, store.dedup_batch(
+        batch, "doc_id", "text").collect()))
+
+    # simulate the crash: production name gone, data stranded in the
+    # staging table (exactly the state after DROP, before RENAME)
+    for tbl in (store.md5_table, store.band_table):
+        spark.sql(f"ALTER TABLE {tbl} RENAME TO {tbl}_compacting")
+        assert not spark.catalog.tableExists(tbl)
+
+    stats = store.compact()                      # heals, then compacts
+    assert stats[store.md5_table] == 2
+    assert sorted(map(tuple, store.dedup_batch(
+        batch, "doc_id", "text").collect())) == want
+    for tbl in (store.md5_table, store.band_table):
+        assert spark.catalog.tableExists(tbl)
+        assert not spark.catalog.tableExists(f"{tbl}_compacting")

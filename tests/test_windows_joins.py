@@ -145,19 +145,23 @@ def test_streaming_transitions_equal_batch(spark, tmp_path):
     from goka_spark.operators.windows import (TransitionSink,
                                               event_transition_counts)
 
-    rows = [(u, t, f"e{(u * 7 + t) % 3}")
+    # ts = t // 2 gives same-user TIED timestamps, disambiguated by
+    # the event id — the tie case where stream and batch previously
+    # could disagree (ADVICE r7)
+    rows = [(u, t // 2, u * 100 + t, f"e{(u * 7 + t) % 3}")
             for u in range(5) for t in range(9)]
-    schema = "user_id long, ts long, event_type string"
+    schema = "user_id long, ts long, event_id long, event_type string"
     full = spark.createDataFrame(rows, schema)
 
     sink = TransitionSink(str(tmp_path / "trans"))
-    for i, lo in enumerate((0, 3, 6)):   # ts-ordered epoch chunks
-        chunk = [r for r in rows if lo <= r[1] < lo + 3]
+    for i, lo in enumerate((0, 3, 6)):   # id-ordered epoch chunks
+        chunk = [r for r in rows if lo <= r[2] % 100 < lo + 3]
         sink(spark.createDataFrame(chunk, schema), i)
 
     live = {(r["event_type"], r["next_event_type"]): (r["cnt"], r["prob_e6"])
             for r in sink.read(spark).collect()}
-    cnt = event_transition_counts(full, "user_id", "ts", "event_type")
+    cnt = event_transition_counts(full, "user_id", "ts", "event_type",
+                                  id_col="event_id")
     tot = {r["event_type"]: r["t"] for r in
            cnt.groupBy("event_type").agg(F.sum("cnt").alias("t")).collect()}
     ref = {(r["event_type"], r["next_event_type"]):
@@ -173,10 +177,10 @@ def test_transition_sink_epoch_retry_idempotent(spark, tmp_path):
     double-count: the epoch directory is overwritten whole."""
     from goka_spark.operators.windows import TransitionSink
 
-    schema = "user_id long, ts long, event_type string"
+    schema = "user_id long, ts long, event_id long, event_type string"
     sink = TransitionSink(str(tmp_path / "t2"))
-    b0 = spark.createDataFrame([(1, 0, "a"), (1, 1, "b")], schema)
-    b1 = spark.createDataFrame([(1, 2, "c")], schema)
+    b0 = spark.createDataFrame([(1, 0, 0, "a"), (1, 1, 1, "b")], schema)
+    b1 = spark.createDataFrame([(1, 2, 2, "c")], schema)
     sink(b0, 0)
     sink(b1, 1)
     sink(b1, 1)                                   # retry
