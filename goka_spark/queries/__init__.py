@@ -21,102 +21,13 @@ from goka_spark.queries import analytics, core, llmdata
 # past slot 50 are best-effort (the remaining r04 block, queued for
 # r8).
 _FRONT = [
-    # (a) new in r7 / impl-or-oracle changed in r7 — certify first
-    "corpus_pack_sequences",
-    "ngram_novelty",
-    "embedding_hard_negatives",
-    "bpe_token_count_batched",
-    "ngram_cms_estimate",
-    "hll_distinct_users",
-    "corpus_quality_pipeline",
-    "gopher_repetition",  # r7 refactor: no postings-sized join sides
-    "value_histogram_quantiles",  # r7 refactor: shared sketch kernel
-    # (b) the r03-stale block (latest driver row three rounds old)
-    "ngram_jaccard_pairs",
-    "ngram_jaccard_prefix",
-    "dedup_clusters",
-    "benchmark_decontaminate",
-    "proc_latest_n",
-    "proc_fold_generic",
-    "stream_table_join",
-    "stream_lookup_join",
-    "output_stream",
-    "proc_headers_native",
-    "embedding_cosine_topk",
-    "lang_id",
-    "doc_quality_score",
-    "token_count",
-    "text_normalize",
-    "pii_scrub",
-    "doc_fingerprint",
-    "dup_ngram_coverage",
-    "tfidf_keywords",
-    "quality_gopher",
-    "corpus_sample",
-    "corpus_shard_pack",
-    "dedup_minhash_verified",
-    "dedup_simhash_verified",
-    "multimodal_decode",
-    "multimodal_decode_ppm",
-    "multimodal_decode_wav",
-    "multimodal_frame_sample",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q9_profit_by_nation_year",
-    "q11_important_parts",
-    "q12_ship_delay_buckets",
-    "q13_order_count_distribution",
-    "q16_supplier_count_by_part",
-    "q20_excess_shippers",
-    "q21_waiting_suppliers",
-    "event_rollup",
-    "event_interarrival",
-    "value_quantiles",
-    "purchase_click_attribution",
-    # (c) r04 keys filling out the 50
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    # ---- best-effort tail past the ~50 cap (r8 front: rest of r04)
-    "q5_local_supplier",
-    "dedup_exact",
-    "as_of_join",
-    "top_k_per_group",
-    "tumbling_window_agg",
-    "hopping_window_agg",
-    "session_window_agg",
-    "running_total_per_user",
-    "event_sessionize",
-    "distinct_users_per_type",
-    "event_type_pivot",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q7_volume_shipping",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_discounted_brand",
-    "funnel_conversion",
-    "user_retention_cohort",
-    "event_dedup_window",
-    "q22_no_order_customers",
-    "above_avg_balance",
-    "semi_join_active_parts",
-    "q8_market_share",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "loopback_rekey",
-    "view_point_get",
-    "view_range_scan",
-    "view_iterate_all",
-    "visitor_apply",
-    "proc_delete_key",
-    "multi_input_merge",
-    "proc_headers",
-    "codec_roundtrip",
-    "proc_last_state",
-    "line_dedup",
-    "embedding_lsh_ann",
-    # new mid-r7 (C82-C85) — past the cap on purpose: the r7 front is
-    # reserved for the verdict's r03-stale block; these certify in r8
+    # Round 8 rotation (r7 verdict ask #1): (a) the 33 keys that have
+    # NEVER had a driver row (late-r7 additions queued behind the
+    # 50-slot cap; all judge-verified green at sf0.01 in the r7
+    # audit) — certify first.  event_transitions and
+    # minhash_est_error additionally CHANGED this round (shared
+    # (ts, event_id) kernel; integer est_e6), so their slots are
+    # doubly required.
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",
@@ -130,8 +41,8 @@ _FRONT = [
     "unigram_encode_docs",
     "tokenizer_fertility",
     "ann_recall_eval",
-    "event_transitions",
-    "minhash_est_error",
+    "event_transitions",  # r8 impl change: shared TransitionSink kernel
+    "minhash_est_error",  # r8 impl change: integer est_e6/exact_e6
     "ann_nprobe_sweep",
     "bigram_pmi_topk",
     "span_corruption_masks",
@@ -150,6 +61,50 @@ _FRONT = [
     "event_volume_anomalies",
     "doc_length_quantiles",
     "source_quality_matrix",
+    # (b) 17 of the r04-stale block (latest driver row four rounds
+    # old) filling out the 50 — windowed B-block + view/codec
+    # A-block + the dedup/ANN pair the verdict named first
+    "tumbling_window_agg",
+    "hopping_window_agg",
+    "session_window_agg",
+    "running_total_per_user",
+    "event_sessionize",
+    "distinct_users_per_type",
+    "event_type_pivot",
+    "top_k_per_group",
+    "as_of_join",
+    "dedup_exact",
+    "line_dedup",
+    "embedding_lsh_ann",
+    "view_point_get",
+    "view_range_scan",
+    "view_iterate_all",
+    "codec_roundtrip",
+    "loopback_rekey",
+    # ---- best-effort tail past the ~50 cap: the REMAINING r04-stale
+    # keys, first in line for the r9 front (verdict: r9 clears the
+    # remainder; after r9 no key's latest row is older than r07)
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_discounted_brand",
+    "q22_no_order_customers",
+    "funnel_conversion",
+    "user_retention_cohort",
+    "event_dedup_window",
+    "above_avg_balance",
+    "semi_join_active_parts",
+    "visitor_apply",
+    "proc_delete_key",
+    "multi_input_merge",
+    "proc_headers",
+    "proc_last_state",
 ]
 
 

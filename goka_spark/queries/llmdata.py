@@ -299,6 +299,25 @@ def _uni_pieces(docs, sf: str) -> dict:
     return _UNI_PIECES[sf]
 
 
+def warm_tokenizers(spark: SparkSession, sf: str) -> None:
+    """Populate every tokenizer-training memo (classic BPE, batched
+    BPE, unigram pieces) for ``sf``.  bench.py calls this in its
+    UNCOUNTED warmup (the ANN index build-or-hit precedent) so the
+    timed tokenizer queries measure APPLY cost only — vocabulary
+    training is a one-time build artifact, and before this hook the
+    sweep row that happened to run first paid the whole training bill
+    (sweep-order-dependent numbers; r7 verdict)."""
+    from goka_spark.functions import bpe as B
+
+    docs = load(spark, sf, "documents")["documents"]
+    _bpe_merges(docs, sf)
+    key = (sf, "batched", 48, 8)
+    if key not in _BPE_MERGES:
+        _BPE_MERGES[key] = B.bpe_train_batched(
+            docs, "doc_id", "text", n_merges=48, batch=8)
+    _uni_pieces(docs, sf)
+
+
 def unigram_token_count(spark: SparkSession, sf: str) -> DataFrame:
     """Per-doc token counts under a corpus-trained unigram-LM
     vocabulary (functions/unigram.py — the SentencePiece-family twin

@@ -356,6 +356,32 @@ def main():
         r["band_sweep"] = timed("bsw", D.minhash_band_sweep(
             sdocs, "doc_id", "text", num_perm=32))
 
+        # heaps fit (r7): n_points log-spaced prefix-vocab aggs over
+        # the postings frame — expect ~linear × n_points
+        r["heaps_fit"] = timed("heaps", TXT.heaps_fit(
+            sdocs, "doc_id", "text"))
+
+        # winnowing (r7): fingerprint selection is a scan-stage
+        # window min per position (linear in tokens); the overlap
+        # pair join is an equi-join on selected fingerprints only
+        # (~2/(w+1) of grams survive) — expect ~linear under salting
+        r["winnow_fingerprints"] = timed("wfp", D.winnow_fingerprints(
+            sdocs, "doc_id", "text"))
+        r["winnow_pairs"] = timed("wpr", D.winnow_overlap_pairs(
+            sdocs, "doc_id", "text"))
+
+        # unigram-LM tokenizer (r7): hard-EM rounds run on the word
+        # DICT (vocabulary-sized, like BPE train); the corpus count
+        # is one broadcast word→tokens join — train tracks dict
+        # growth (×f under salting; ~log on real corpora), apply
+        # ~linear
+        from goka_spark.functions import unigram as UNI
+        t0 = time.time()
+        pieces = UNI.unigram_train(sdocs, "doc_id", "text")
+        r["unigram_train"] = round(time.time() - t0, 2)
+        r["unigram_count"] = timed("ucnt", UNI.unigram_token_count(
+            sdocs, "doc_id", "text", pieces))
+
         # PyFold last: its Python workers pressure memory for later jobs
         gpy = define_group("p", input_stream("t", key="user_id"),
                            persist(PyFold(
