@@ -701,3 +701,76 @@ class QualityGateSink:
         return self.read(spark).select(
             "gate", "n_pass", "n_docs",
             F.expr("n_pass * 1000000L DIV n_docs").alias("pass_e6"))
+
+
+def doc_chunk(df: DataFrame, id_col: str, text_col: str,
+              chunk: int = 64, stride: int = 48) -> DataFrame:
+    """Overlapping token-window chunking — the loader/RAG step that
+    turns documents into fixed-size training or retrieval units:
+    chunk ``i`` covers words [i·stride, i·stride + chunk) of the
+    whitespace token sequence, so consecutive chunks overlap by
+    ``chunk - stride`` tokens (context continuity across boundaries).
+    Every document with ≥1 token emits ≥1 chunk; empty docs emit
+    none (documented, matches the oracle).  Output: (doc_id,
+    chunk_idx, n_tokens, chunk_text).
+
+    Contrast with ``corpus_pack_sequences`` (packs WHOLE short docs
+    into budget bins): chunking SPLITS long docs at a fixed window —
+    real pipelines run chunk → pack.
+
+    Scale shape: pure scan stage — split, one ``sequence`` of chunk
+    starts per doc (⌈n/stride⌉ elements, bounded by doc length), one
+    posexplode, ``slice``/``array_join`` per chunk.  Zero shuffles,
+    zero joins, whole-stage codegen end to end; at 100 TB this is
+    free ingest-pass work exactly like span_corruption_masks.
+
+    Reference: goka has no chunker (messages are already units);
+    this is the C-block loader surface.
+    """
+    words = F.filter(F.split(F.col(text_col), r"\s+"),
+                     lambda w: w != "")
+    n = F.size("_ws")
+    starts = F.when(
+        n > 0,
+        F.sequence(F.lit(0),
+                   # last chunk start: largest multiple of stride < n
+                   ((n - 1) / F.lit(stride)).cast("int") * F.lit(stride),
+                   F.lit(stride)))
+    return (df.select(F.col(id_col), words.alias("_ws"))
+            .select(F.col(id_col), F.col("_ws"),
+                    F.posexplode(starts).alias("chunk_idx", "_s"))
+            .select(F.col(id_col),
+                    F.col("chunk_idx").cast("long"),
+                    F.least(F.lit(chunk), F.size("_ws") - F.col("_s"))
+                    .cast("long").alias("n_tokens"),
+                    F.array_join(
+                        F.slice("_ws", F.col("_s") + 1, chunk), " ")
+                    .alias("chunk_text")))
+
+
+def release_diff(old: DataFrame, new: DataFrame, id_col: str,
+                 text_col: str) -> DataFrame:
+    """Release-to-release delta report — the audit step between two
+    corpus versions: per doc id, whether it was ``added`` (id only in
+    the new release), ``removed`` (only in the old), ``changed``
+    (both, different content hash) or ``unchanged``.  Run before
+    publishing to bound retraining blast radius and to catch
+    accidental mass deletions; pairs with ``release_manifest`` (the
+    per-release digest this diff explains).
+
+    Scale shape: each side reduces to (id, md5) in its scan stage —
+    the full-outer join then carries two hashes per doc, never text;
+    one shuffle on the id, no skew (ids are unique per side).  At
+    100 TB the join input is ~64 bytes/doc — the diff of two
+    petabyte releases moves terabytes, not petabytes.
+    """
+    o = old.select(F.col(id_col),
+                   F.md5(F.col(text_col).cast("string")).alias("_ho"))
+    n = new.select(F.col(id_col),
+                   F.md5(F.col(text_col).cast("string")).alias("_hn"))
+    return (o.join(n, id_col, "full_outer")
+            .select(F.col(id_col),
+                    F.when(F.col("_ho").isNull(), "added")
+                     .when(F.col("_hn").isNull(), "removed")
+                     .when(F.col("_ho") == F.col("_hn"), "unchanged")
+                     .otherwise("changed").alias("status")))

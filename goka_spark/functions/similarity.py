@@ -935,3 +935,70 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
          .alias("codes_md5"),
         F.round(F.aggregate(err, F.lit(0.0), lambda a, x: a + x)
                 / F.size("_v"), 6).alias("recon_mse"))
+
+
+def matryoshka_recall(emb: DataFrame, id_col: str, vec_col: str,
+                      dims: tuple = (8, 16, 32), k: int = 5,
+                      n_queries: int = 20) -> DataFrame:
+    """Truncated-dimension retrieval calibration (Kusupati et al.
+    2022, Matryoshka representation learning): for each prefix
+    dimensionality ``d``, brute-force cosine top-k using only the
+    first ``d`` coordinates, compared against the full-dimension
+    top-k — recall@k per dim tells you how short a prefix the
+    serving index can store before retrieval quality collapses
+    (an IVF/PQ memory-budget decision, measured on YOUR vectors).
+
+    Exactness: cosines are left-associative double folds on both
+    engines (the _lsh_ann_oracle idiom — sum/(sqrt(ssq_a)·sqrt(ssq_b))
+    term for term), ranking breaks ties by neighbor id, and the
+    output is pure integer arithmetic: recall_e6 =
+    overlap·1e6 DIV (k·n_queries).
+
+    Scale shape: ONE corpus scan scores every (query, dim) pair —
+    the query side is a broadcast ≤ n_queries rows, per-row work is
+    |dims|+1 bounded folds; per-dim top-k is a (dim, query)-keyed
+    window over k·n_queries·partitions candidates.  The corpus is
+    never self-joined; at 100 TB this is the cosine_topk plan with a
+    |dims|-way explode on the broadcast side of the score."""
+    dims = sorted(set(int(d) for d in dims))
+    full_dim = None  # marker: full vector
+    q = (emb.select(F.col(id_col).alias("query_id"),
+                    _as_double(F.col(vec_col)).alias("_qv"))
+         .filter(F.col("query_id") < n_queries))
+    c = emb.select(F.col(id_col).alias("neighbor_id"),
+                   _as_double(F.col(vec_col)).alias("_cv"))
+    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+
+    def cos_at(d):
+        if d is None:
+            a, b = F.col("_qv"), F.col("_cv")
+        else:
+            a, b = F.slice("_qv", 1, d), F.slice("_cv", 1, d)
+        return dot(a, b) / (norm(a) * norm(b))
+
+    entries = [F.struct(F.lit(d if d is not None else 0).alias("_d"),
+                        cos_at(d).alias("_cos"))
+               for d in dims + [full_dim]]
+    scored = pairs.select(
+        "query_id", "neighbor_id",
+        F.explode(F.array(*entries)).alias("_e")
+    ).select("query_id", "neighbor_id",
+             F.col("_e._d").alias("_d"), F.col("_e._cos").alias("_cos"))
+    w = Window.partitionBy("_d", "query_id") \
+        .orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    top = (scored.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") <= k)
+           .select("_d", "query_id", "neighbor_id"))
+    full_top = top.filter(F.col("_d") == 0) \
+        .select("query_id", "neighbor_id")
+    trunc = top.filter(F.col("_d") != 0)
+    hits = (trunc.join(full_top, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("_d").agg(F.count("*").alias("_hit")))
+    base = trunc.groupBy("_d").agg(F.count("*").alias("_n"))
+    return (base.join(hits, "_d", "left")
+            .select(F.col("_d").cast("long").alias("dim"),
+                    F.col("_n").cast("long").alias("n_top"),
+                    F.coalesce("_hit", F.lit(0)).cast("long")
+                    .alias("n_overlap"),
+                    F.expr("(coalesce(_hit, 0) * 1000000L) DIV _n")
+                    .alias("recall_e6")))

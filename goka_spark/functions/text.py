@@ -1091,3 +1091,84 @@ def heaps_fit(df, id_col: str, text_col: str, n_points: int = 10):
                     & (F.col("vocab_size") > 0))
            .select("cum_tokens", "vocab_size"))
     return loglog_fit(pts, "cum_tokens", "vocab_size")
+
+
+def source_divergence_matrix(df, id_col: str, text_col: str,
+                             source_col: str):
+    """Pairwise Jensen–Shannon divergence between per-source unigram
+    word distributions — the mixture-design diagnostic: JS near 0
+    means two sources are near-duplicates at the vocabulary level
+    (down-weight one), JS near ln 2 means disjoint registers (both
+    earn their mixture slots).  This is the corpus-level complement
+    of source_overlap_matrix (which counts shared DOCUMENTS; this
+    compares the LANGUAGE the sources are written in).
+
+    Exactness discipline (word_entropy's idiom, applied pairwise):
+    with p = c_a/N_a, q = c_b/N_b over each pair's SHARED words, the
+    per-word term ½·(p·ln(2p/(p+q)) + q·ln(2q/(p+q))) is integerized
+    ONCE to micro-nats; the per-pair Σ is an exact integer sum.  The
+    one-sided mass never needs a word loop: every word present only
+    in a contributes ½·p·ln 2, so the whole tail is
+    ½·ln 2·((N_a−S_a)/N_a + (N_b−S_b)/N_b) with S = the exact integer
+    shared-count sums — deterministic double arithmetic on identical
+    integers in any engine.
+
+    Scale shape: one postings hash-agg → (source, word, cnt) with
+    map-side combine; ONE self equi-join on word restricted to
+    source_a < source_b (shared-vocab × pairs rows — sources are
+    few by design; document counts can be 100 TB, the SOURCE list is
+    a config-sized set); a pairs-sized hash-agg; broadcast totals.
+    Never a word×word or doc×doc product.
+
+    Output: (source_a, source_b, shared_words, js_e6) — js in
+    micro-nats, 0 ≤ js_e6 ≤ 693148 (= ln 2)."""
+    from goka_spark.functions.dedup import _fan_out
+
+    w = (_fan_out(df).select(
+            F.col(source_col).alias("src"),
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("_w"))
+         .filter(F.col("_w") != ""))
+    cnt = w.groupBy("src", "_w").agg(F.count("*").alias("cnt"))
+    tot = cnt.groupBy("src").agg(F.sum("cnt").alias("n_tok"))
+    a = (cnt.join(tot, "src")
+         .select(F.col("src").alias("source_a"), F.col("_w"),
+                 F.col("cnt").alias("ca"), F.col("n_tok").alias("na")))
+    b = (cnt.join(tot, "src")
+         .select(F.col("src").alias("source_b"), F.col("_w"),
+                 F.col("cnt").alias("cb"), F.col("n_tok").alias("nb")))
+    both = a.join(b, ["_w"]).filter(F.col("source_a") < F.col("source_b"))
+    # per-word JS term in micro-nats, integerized once (identical
+    # double expression in the oracle; ln on doubles is IEEE-exact
+    # for identical inputs, and ca/na/cb/nb are exact integers)
+    p = F.col("ca") / F.col("na")
+    q = F.col("cb") / F.col("nb")
+    term_e6 = F.floor(
+        1e6 * 0.5 * (p * F.log(2.0 * p / (p + q))
+                     + q * F.log(2.0 * q / (p + q))) + F.lit(0.5)) \
+        .cast("long")
+    shared = (both.groupBy("source_a", "source_b")
+              .agg(F.count("*").alias("_sw"),
+                   F.sum(term_e6).alias("_t_e6"),
+                   F.sum("ca").alias("_sa"), F.sum("cb").alias("_sb")))
+    # EVERY source pair gets a row — built from the sources-sized
+    # totals frame (broadcast cross of a config-sized set), so fully
+    # disjoint pairs report js = ln 2 instead of silently vanishing
+    # from the matrix (a zero-shared-word pair never appears in the
+    # word equi-join above)
+    ta = tot.select(F.col("src").alias("source_a"),
+                    F.col("n_tok").alias("_na"))
+    tb = tot.select(F.col("src").alias("source_b"),
+                    F.col("n_tok").alias("_nb"))
+    pairs = (ta.crossJoin(F.broadcast(tb))
+             .filter(F.col("source_a") < F.col("source_b"))
+             .join(shared, ["source_a", "source_b"], "left"))
+    tail_e6 = F.floor(
+        1e6 * 0.5 * float(__import__("math").log(2.0))
+        * ((F.col("_na") - F.coalesce("_sa", F.lit(0))) / F.col("_na")
+           + (F.col("_nb") - F.coalesce("_sb", F.lit(0))) / F.col("_nb"))
+        + F.lit(0.5)).cast("long")
+    return pairs.select(
+        "source_a", "source_b",
+        F.coalesce("_sw", F.lit(0)).cast("long").alias("shared_words"),
+        (F.coalesce("_t_e6", F.lit(0)) + tail_e6).cast("long")
+        .alias("js_e6"))

@@ -105,6 +105,15 @@ _FRONT = [
     "multi_input_merge",
     "proc_headers",
     "proc_last_state",
+    # new in r8 (C114-C118) — past the cap on purpose (the r8 front is
+    # reserved for the never-certified + r04-stale blocks); locally
+    # oracle-verified at sf0.001 AND sf0.01, certify with the driver
+    # in r9
+    "doc_chunk",
+    "release_diff",
+    "source_divergence_matrix",
+    "cluster_size_histogram",
+    "embedding_matryoshka_eval",
 ]
 
 

@@ -5119,3 +5119,231 @@ ORACLES["corpus_quality_pipeline"] = f"""
     LEFT JOIN chit USING (doc_id)
     LEFT JOIN ddoc USING (doc_id), th
 """
+
+
+# --- round 8 additions (C114-C118) ----------------------------------
+
+def doc_chunk(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping token-window chunking (C.doc_chunk): chunk i covers
+    words [i·stride, i·stride+chunk) — the loader/RAG step that turns
+    documents into fixed-size units.  Pure scan stage (zero shuffle,
+    zero joins); chunk=16/stride=12 here so the test corpus's short
+    docs still exercise multi-chunk overlap."""
+    docs = load(spark, sf, "documents")["documents"]
+    return C.doc_chunk(docs, "doc_id", "text", chunk=16, stride=12)
+
+
+def release_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Release-to-release delta (C.release_diff) over a deterministic
+    simulated next release: docs with id%17==0 removed, id%13==0
+    edited (text + ' v2'), id%19==0 re-added under id+10_000_000 —
+    the audit that bounds a release's retraining blast radius.  The
+    join carries (id, md5) only, never text."""
+    docs = load(spark, sf, "documents")["documents"]
+    new_base = docs.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0,
+               F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")).alias("text"))
+    added = docs.filter(F.col("doc_id") % 19 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    return C.release_diff(docs, new_base.unionByName(added),
+                          "doc_id", "text")
+
+
+def source_divergence_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between per-source unigram
+    distributions (T.source_divergence_matrix) in exact integer
+    micro-nats — the mixture-design diagnostic telling you which
+    sources speak the same language (near-0) vs disjoint registers
+    (near ln 2 = 693147)."""
+    docs = load(spark, sf, "documents")["documents"]
+    return T.source_divergence_matrix(docs, "doc_id", "text", "source")
+
+
+def cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup cluster SIZE distribution over the session-memoized
+    Jaccard CC graph (same graph as dedup_clusters /
+    split_leakage_safe — pair mining + CC run once per session):
+    singleton docs count as size-1 clusters, so n_docs sums to the
+    corpus.  The one-page answer to "how duplicated is this corpus,
+    and is it a long tail or a few megaclusters?"."""
+    docs = load(spark, sf, "documents")["documents"]
+    cc = _jaccard_cc(spark, docs, sf)
+    labeled = (docs.select("doc_id")
+               .join(cc.withColumnRenamed("node", "doc_id"),
+                     "doc_id", "left")
+               .select("doc_id",
+                       F.coalesce("cluster_id", "doc_id")
+                       .alias("cluster_id")))
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count("*").alias("n_clusters"))
+            .select(F.col("cluster_size").cast("long"),
+                    F.col("n_clusters").cast("long"),
+                    (F.col("cluster_size") * F.col("n_clusters"))
+                    .cast("long").alias("n_docs")))
+
+
+def embedding_matryoshka_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Truncated-dimension retrieval calibration
+    (S.matryoshka_recall): recall@5 of prefix-dim brute cosine top-k
+    (dims 8/16/32) against the full 64-dim top-k over the standard
+    20-query set — how short a serving prefix survives before
+    retrieval quality collapses.  Integer outputs only; cosines are
+    left-associative folds matching the oracle bit-for-bit."""
+    emb = load(spark, sf, "embeddings")["embeddings"]
+    return S.matryoshka_recall(emb, "vec_id", "embedding",
+                               dims=(8, 16, 32), k=5, n_queries=20)
+
+
+QUERIES["doc_chunk"] = doc_chunk
+QUERIES["release_diff"] = release_diff
+QUERIES["source_divergence_matrix"] = source_divergence_matrix
+QUERIES["cluster_size_histogram"] = cluster_size_histogram
+QUERIES["embedding_matryoshka_eval"] = embedding_matryoshka_eval
+
+
+ORACLES["doc_chunk"] = f"""
+    WITH ws AS (
+      SELECT doc_id, {_WORDS} AS words FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(LEAST(16, len(words) - i * 12) AS BIGINT) AS n_tokens,
+           array_to_string(words[i * 12 + 1 : i * 12 + 16], ' ')
+             AS chunk_text
+    FROM ws, UNNEST(range(0, ((len(words) - 1) // 12) + 1)) AS t(i)
+    WHERE len(words) > 0
+"""
+
+ORACLES["release_diff"] = """
+    WITH old AS (
+      SELECT doc_id, md5(text) AS ho FROM documents
+    ), new_base AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                      ELSE text END) AS hn
+      FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, md5(text) AS hn
+      FROM documents WHERE doc_id % 19 = 0
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.ho IS NULL THEN 'added'
+                WHEN n.hn IS NULL THEN 'removed'
+                WHEN o.ho = n.hn THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM old o FULL OUTER JOIN new_base n ON o.doc_id = n.doc_id
+"""
+
+ORACLES["source_divergence_matrix"] = f"""
+    WITH w AS (
+      SELECT source AS src, UNNEST({_WORDS}) AS wd FROM documents
+    ), cnt AS (
+      SELECT src, wd, COUNT(*) AS cnt FROM w GROUP BY src, wd
+    ), tot AS (
+      SELECT src, CAST(SUM(cnt) AS BIGINT) AS n_tok FROM cnt GROUP BY src
+    ), sides AS (
+      SELECT c.src, wd, cnt, n_tok FROM cnt c JOIN tot USING (src)
+    ), pairwise AS (
+      SELECT a.src AS source_a, b.src AS source_b,
+             a.cnt AS ca, a.n_tok AS na, b.cnt AS cb, b.n_tok AS nb,
+             (a.cnt::DOUBLE / a.n_tok::DOUBLE) AS p,
+             (b.cnt::DOUBLE / b.n_tok::DOUBLE) AS q
+      FROM sides a JOIN sides b USING (wd)
+      WHERE a.src < b.src
+    ), shared AS (
+      SELECT source_a, source_b,
+             COUNT(*) AS sw,
+             CAST(SUM(CAST(FLOOR(500000.0 *
+                 (p * LN(2.0 * p / (p + q)) + q * LN(2.0 * q / (p + q)))
+                 + 0.5) AS BIGINT)) AS BIGINT) AS t_e6,
+             CAST(SUM(ca) AS BIGINT) AS sa, CAST(SUM(cb) AS BIGINT) AS sb
+      FROM pairwise GROUP BY source_a, source_b
+    ), allpairs AS (
+      SELECT a.src AS source_a, b.src AS source_b,
+             a.n_tok AS na, b.n_tok AS nb
+      FROM tot a JOIN tot b ON a.src < b.src
+    )
+    SELECT source_a, source_b,
+           CAST(COALESCE(sw, 0) AS BIGINT) AS shared_words,
+           CAST(COALESCE(t_e6, 0) + CAST(FLOOR(346573.59027997265 *
+               (((na - COALESCE(sa, 0)) / na)
+                + ((nb - COALESCE(sb, 0)) / nb)) + 0.5) AS BIGINT)
+             AS BIGINT) AS js_e6
+    FROM allpairs LEFT JOIN shared USING (source_a, source_b)
+"""
+
+ORACLES["cluster_size_histogram"] = f"""
+    WITH cl AS ({ORACLES["dedup_clusters"]}),
+    fl AS (
+      SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN cl USING (doc_id)
+    ), sizes AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size FROM fl
+      GROUP BY cluster_id
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+"""
+
+
+def _matryoshka_oracle(dims=(8, 16, 32), full: int = 64, k: int = 5,
+                       n_queries: int = 20) -> str:
+    """DuckDB twin of matryoshka_recall: prefix dots/norms as explicit
+    left-associative term sums (the _lsh_ann_oracle idiom) per dim,
+    ranking ties by neighbor id, pure integer recall output."""
+
+    def pdot(d):
+        return " + ".join(
+            f"(c.v[{i + 1}] * q.v[{i + 1}])" for i in range(d))
+
+    def psq(v, d):
+        return " + ".join(
+            f"({v}[{i + 1}] * {v}[{i + 1}])" for i in range(d))
+
+    cases_cos = " ".join(
+        f"WHEN {d} THEN ({pdot(d)}) / (SQRT({psq('q.v', d)}) * "
+        f"SQRT({psq('c.v', d)}))"
+        for d in list(dims) + [full])
+    dim_rows = ", ".join(f"({d})" for d in [0] + sorted(dims))
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, d.dim,
+             CASE (CASE d.dim WHEN 0 THEN {full} ELSE d.dim END)
+               {cases_cos} END AS cos
+      FROM e c
+      JOIN e q ON q.vec_id < {n_queries} AND q.vec_id <> c.vec_id
+      CROSS JOIN (VALUES {dim_rows}) d(dim)
+    ), ranked AS (
+      SELECT dim, query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY dim, query_id
+                                ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ), top AS (
+      SELECT dim, query_id, neighbor_id FROM ranked WHERE rk <= {k}
+    ), hits AS (
+      SELECT t.dim, COUNT(*) AS hit
+      FROM top t JOIN (SELECT query_id, neighbor_id FROM top
+                       WHERE dim = 0) f
+        USING (query_id, neighbor_id)
+      WHERE t.dim <> 0 GROUP BY t.dim
+    ), base AS (
+      SELECT dim, COUNT(*) AS n FROM top WHERE dim <> 0 GROUP BY dim
+    )
+    SELECT CAST(b.dim AS BIGINT) AS dim, CAST(b.n AS BIGINT) AS n_top,
+           CAST(COALESCE(h.hit, 0) AS BIGINT) AS n_overlap,
+           CAST((COALESCE(h.hit, 0) * 1000000) // b.n AS BIGINT)
+             AS recall_e6
+    FROM base b LEFT JOIN hits h ON b.dim = h.dim
+    """
+
+
+ORACLES["embedding_matryoshka_eval"] = _matryoshka_oracle()

@@ -1,0 +1,141 @@
+"""Round-8 curation operators: doc_chunk, release_diff,
+source_divergence_matrix, cluster_size_histogram, matryoshka_recall.
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+from goka_spark.functions import corpus as C
+from goka_spark.functions import similarity as S
+from goka_spark.functions import text as T
+
+
+# ------------------------------------------------------- doc_chunk
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_doc_chunk_covers_and_overlaps(spark):
+    """Chunks tile the token sequence at stride intervals, overlap by
+    chunk−stride tokens, and reconstruct the document exactly when
+    de-overlapped."""
+    words = [f"w{i}" for i in range(40)]
+    df = _docs(spark, [(1, " ".join(words))])
+    out = sorted(
+        (r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+        for r in C.doc_chunk(df, "doc_id", "text",
+                             chunk=16, stride=12).collect())
+    # starts 0,12,24,36 → 4 chunks; last has 40-36=4 tokens
+    assert [c[0] for c in out] == [0, 1, 2, 3]
+    assert [c[1] for c in out] == [16, 16, 16, 4]
+    for idx, n, text in out:
+        assert text.split(" ") == words[idx * 12: idx * 12 + 16]
+    # de-overlap: first `stride` tokens of each chunk + the tail
+    rebuilt = []
+    for idx, n, text in out:
+        rebuilt.extend(text.split(" ")[:12])
+    rebuilt.extend(out[-1][2].split(" ")[12:])
+    assert rebuilt == words
+
+
+def test_doc_chunk_short_and_empty_docs(spark):
+    """A doc shorter than one chunk emits exactly one chunk; an empty
+    doc emits none (the documented contract)."""
+    df = _docs(spark, [(1, "a b c"), (2, ""), (3, "   ")])
+    out = C.doc_chunk(df, "doc_id", "text", chunk=16, stride=12) \
+        .collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_id"], r["chunk_idx"], r["n_tokens"],
+            r["chunk_text"]) == (1, 0, 3, "a b c")
+
+
+# ----------------------------------------------------- release_diff
+
+def test_release_diff_statuses(spark):
+    old = _docs(spark, [(1, "same"), (2, "was this"), (3, "gone")])
+    new = _docs(spark, [(1, "same"), (2, "now this"), (4, "fresh")])
+    got = {r["doc_id"]: r["status"]
+           for r in C.release_diff(old, new, "doc_id", "text").collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "added"}
+
+
+# ------------------------------------- source_divergence_matrix
+
+def test_js_divergence_identical_and_disjoint(spark):
+    """Two sources with identical word distributions → JS 0; disjoint
+    vocabularies → JS = ln 2 (both to within the 1-µnat rounding)."""
+    rows = [
+        (1, "a b c a", "s1"), (2, "a b c a", "s2"),       # identical
+        (3, "x y z", "s3"), (4, "p q r", "s4"),           # disjoint
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    got = {(r["source_a"], r["source_b"]): (r["shared_words"], r["js_e6"])
+           for r in T.source_divergence_matrix(
+               df, "doc_id", "text", "source").collect()}
+    # every pair present: 4 sources → 6 rows
+    assert len(got) == 6
+    assert got[("s1", "s2")] == (3, 0)      # identical → JS 0
+    ln2_e6 = int(round(1e6 * math.log(2)))
+    shared, js = got[("s3", "s4")]
+    assert shared == 0                       # fully disjoint
+    assert abs(js - ln2_e6) <= 2             # → JS = ln 2
+
+
+def test_js_divergence_partial_overlap_bounds(spark):
+    """A half-overlapping pair lands strictly between 0 and ln 2 and
+    is symmetric in the source order."""
+    rows = [(1, "a a b b", "s1"), (2, "a a c c", "s2")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    out = T.source_divergence_matrix(df, "doc_id", "text",
+                                     "source").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source_a"], r["source_b"]) == ("s1", "s2")
+    assert r["shared_words"] == 1          # only 'a' shared
+    ln2_e6 = int(round(1e6 * math.log(2)))
+    assert 0 < r["js_e6"] < ln2_e6
+    # exact value: p_a = q_a = 1/2 shared mass with equal weight →
+    # term 0; tails are 1/2 each → js = ln2/2
+    assert abs(r["js_e6"] - ln2_e6 // 2) <= 2
+
+
+# ------------------------------------------------ matryoshka_recall
+
+def test_matryoshka_prefix_determined_neighbors(spark):
+    """Vectors whose ordering is fully decided by the first two
+    coordinates: every prefix dim ≥ 2 must reach recall 1e6."""
+    import random
+    rnd = random.Random(7)
+    rows = []
+    for i in range(30):
+        # dominant 2-d head, tiny tail noise
+        head = [math.cos(i / 5.0), math.sin(i / 5.0)]
+        tail = [rnd.uniform(-1e-4, 1e-4) for _ in range(6)]
+        rows.append((i, [float(x) for x in head + tail]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["dim"]: r["recall_e6"]
+           for r in S.matryoshka_recall(
+               emb, "vec_id", "embedding", dims=(2, 4),
+               k=3, n_queries=5).collect()}
+    assert set(out) == {2, 4}
+    assert out[4] == 1_000_000
+    assert out[2] >= 900_000  # 1e-4 tail can flip a boundary tie
+
+
+# ------------------------------------------- cluster_size_histogram
+
+def test_cluster_size_histogram_sums_to_corpus(spark, sf_dir):
+    from goka_spark.queries.llmdata import cluster_size_histogram
+    from goka_spark.queries.base import load
+
+    n_docs = load(spark, sf_dir, "documents")["documents"].count()
+    hist = cluster_size_histogram(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in hist) == n_docs
+    assert all(r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+               for r in hist)
