@@ -986,9 +986,14 @@ def matryoshka_recall(emb: DataFrame, id_col: str, vec_col: str,
              F.col("_e._d").alias("_d"), F.col("_e._cos").alias("_cos"))
     w = Window.partitionBy("_d", "query_id") \
         .orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    # materialize the tiny top-k frame ((|dims|+1)·n_queries·k rows):
+    # three consumers read it (full set, trunc set, counts) and
+    # without the barrier each would re-run the corpus-scoring scan
+    # (the plan showed 3 BroadcastNestedLoopJoins over the corpus)
     top = (scored.withColumn("rk", F.row_number().over(w))
            .filter(F.col("rk") <= k)
-           .select("_d", "query_id", "neighbor_id"))
+           .select("_d", "query_id", "neighbor_id")
+           .localCheckpoint(eager=True))
     full_top = top.filter(F.col("_d") == 0) \
         .select("query_id", "neighbor_id")
     trunc = top.filter(F.col("_d") != 0)

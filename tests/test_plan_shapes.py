@@ -422,3 +422,47 @@ def test_winnow_overlap_detects_planted_quotation(spark):
            D.winnow_overlap_pairs(docs, "doc_id", "text").collect()}
     assert (1, 2) in out
     assert all(p == (1, 2) for p in out)
+
+
+def test_doc_chunk_zero_shuffle(spark, sf_dir):
+    """Chunking is pure scan-stage work — zero exchanges (the
+    span_corruption_masks contract): at 100 TB it rides the ingest
+    scan for free."""
+    from goka_spark.functions.corpus import doc_chunk
+    from goka_spark.queries.base import load
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    df = doc_chunk(docs, "doc_id", "text")
+    assert X.num_shuffles(df) == 0, X.simple(df)
+
+
+def test_release_diff_carries_hashes_not_text(spark, sf_dir):
+    """The diff join input is (id, md5) — the text column must not
+    cross the exchange (the 64-bytes-per-doc claim)."""
+    from goka_spark.functions.corpus import release_diff
+    from goka_spark.queries.base import load
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    df = release_diff(docs, docs, "doc_id", "text")
+    plan = X.simple(df)
+    ex = [l for l in plan.splitlines() if "Exchange" in l]
+    assert ex and all("text" not in l for l in ex), plan
+
+
+def test_matryoshka_one_scoring_scan(spark, sf_dir):
+    """The corpus-scoring join is a broadcast of the ≤ n_queries side
+    (BroadcastNestedLoopJoin over the != predicate is fine — the
+    build side is 20 rows), the top-k is a WindowGroupLimit partial
+    top-k, and the scoring scan runs ONCE: the downstream recall
+    arithmetic reads the checkpointed 400-row top frame, not the
+    corpus."""
+    from goka_spark.functions.similarity import matryoshka_recall
+    from goka_spark.queries.base import load
+
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    df = matryoshka_recall(emb, "vec_id", "embedding")
+    plan = X.simple(df)
+    assert "CartesianProduct" not in plan
+    # post-checkpoint plan must not rescan/rescore the corpus
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "aggregate(zip_with" not in plan, plan
