@@ -1007,3 +1007,34 @@ def matryoshka_recall(emb: DataFrame, id_col: str, vec_col: str,
                     .alias("n_overlap"),
                     F.expr("(coalesce(_hit, 0) * 1000000L) DIV _n")
                     .alias("recall_e6")))
+
+
+def embedding_dim_stats(emb: DataFrame, id_col: str,
+                        vec_col: str) -> DataFrame:
+    """Per-dimension moment report — the embedding-QA pass you run
+    BEFORE building an index: dead dimensions (zero variance),
+    mean-shifted dims (un-centered encoder output), clipped ranges.
+    One posexplode + one dims-sized hash-agg; every statistic is an
+    exact integer (each element quantized ONCE to e6 fixed point;
+    sums are exact longs — order-proof across engines, unlike a
+    double SUM).  ssq_e12 stays inside int64 up to ~1e5 vectors ×
+    unit-scale values; beyond that aggregate the same quantized
+    column as DECIMAL(38,0) — the report is dims-sized either way.
+
+    Output: (dim 1-based, n, mean_e6, min_e6, max_e6, ssq_e12)."""
+    v_e6 = F.floor(F.col("_v") * 1e6 + F.lit(0.5)).cast("long")
+    return (emb.select(F.posexplode(_as_double(F.col(vec_col)))
+                       .alias("_d", "_v"))
+            .select((F.col("_d") + 1).alias("_dim"), v_e6.alias("_e"))
+            .groupBy("_dim")
+            .agg(F.count("*").alias("n"),
+                 F.sum("_e").alias("_s"),
+                 F.min("_e").alias("min_e6"),
+                 F.max("_e").alias("max_e6"),
+                 F.sum(F.col("_e") * F.col("_e")).alias("ssq_e12"))
+            .select(F.col("_dim").cast("long").alias("dim"),
+                    F.col("n").cast("long"),
+                    F.expr("_s DIV n").alias("mean_e6"),
+                    F.col("min_e6").cast("long"),
+                    F.col("max_e6").cast("long"),
+                    F.col("ssq_e12").cast("long")))

@@ -1172,3 +1172,55 @@ def source_divergence_matrix(df, id_col: str, text_col: str,
         F.coalesce("_sw", F.lit(0)).cast("long").alias("shared_words"),
         (F.coalesce("_t_e6", F.lit(0)) + tail_e6).cast("long")
         .alias("js_e6"))
+
+
+def bigram_cond_entropy(df, id_col: str, text_col: str,
+                        source_col: str):
+    """Per-source bigram conditional entropy H(w₂|w₁) in exact integer
+    micro-nats — the corpus-health signal between doc_entropy
+    (unigram, per-doc) and the zipf/heaps fits: natural prose sits
+    ~3-6 nats; template/generated text collapses toward 0 (the next
+    word is predictable), shuffled/noise text approaches the unigram
+    entropy (w₁ tells you nothing).  H = (Σc₁·ln c₁ − Σc₁₂·ln c₁₂)/N
+    over within-doc adjacent word pairs.
+
+    Exactness: word_entropy's idiom — each distinct bigram's (and
+    first-word marginal's) c·ln c term integerized once to
+    micro-nats, exact integer sums, one integer DIV by N.
+
+    Scale shape: bigram construction is scan-stage (a bounded
+    transform over the word array, no window); then ONE
+    (source, w1, w2) hash-agg with map-side combine, a (source, w1)
+    rollup of those counts, and a sources-sized reduce.  Linear in
+    corpus tokens, no joins, no text shuffle beyond the gram agg."""
+    from goka_spark.functions.dedup import _fan_out
+
+    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    big = (_fan_out(df).select(
+            F.col(source_col).alias("src"), ws.alias("_ws"))
+           .select("src", F.explode(F.when(
+               F.size("_ws") >= 2,
+               F.expr("transform(sequence(1, size(_ws) - 1), "
+                      "i -> struct(element_at(_ws, i) AS w1, "
+                      "element_at(_ws, i + 1) AS w2))")
+           ).otherwise(F.expr("array()"))).alias("_b"))
+           .select("src", F.col("_b.w1").alias("w1"),
+                   F.col("_b.w2").alias("w2")))
+    c12 = big.groupBy("src", "w1", "w2").agg(F.count("*").alias("c12"))
+    t12 = F.floor(1e6 * F.col("c12") * F.log(F.col("c12"))
+                  + F.lit(0.5)).cast("long")
+    per1 = (c12.groupBy("src", "w1")
+            .agg(F.sum("c12").alias("c1"),
+                 F.sum(t12).alias("_t12")))
+    t1 = F.floor(1e6 * F.col("c1") * F.log(F.col("c1"))
+                 + F.lit(0.5)).cast("long")
+    per_src = (per1.groupBy("src")
+               .agg(F.sum("c1").alias("n_bigrams"),
+                    F.count("*").alias("vocab_w1"),
+                    F.sum(t1).alias("_s1"),
+                    F.sum("_t12").alias("_s12")))
+    return per_src.select(
+        F.col("src").alias(source_col),
+        F.col("n_bigrams").cast("long"),
+        F.col("vocab_w1").cast("long"),
+        F.expr("(_s1 - _s12) DIV n_bigrams").alias("h_cond_e6"))

@@ -114,6 +114,9 @@ _FRONT = [
     "source_divergence_matrix",
     "cluster_size_histogram",
     "embedding_matryoshka_eval",
+    "chunk_pack_pipeline",
+    "bigram_cond_entropy",
+    "embedding_dim_stats",
 ]
 
 

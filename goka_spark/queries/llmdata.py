@@ -5347,3 +5347,133 @@ def _matryoshka_oracle(dims=(8, 16, 32), full: int = 64, k: int = 5,
 
 
 ORACLES["embedding_matryoshka_eval"] = _matryoshka_oracle()
+
+
+# --- round 8 additions, second batch (C119-C121) --------------------
+
+def chunk_pack_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed loader pipeline chunk → pack (C.doc_chunk feeding
+    T.pack_sequences): documents split into overlapping 16-token
+    chunks (stride 12), then the chunk stream packed into fixed
+    128-token training sequences in global (doc, chunk) order — the
+    end-to-end path a pretraining loader actually runs.  The pack
+    order rides a synthetic cid = doc_id·1e6 + chunk_idx (test ids
+    are small; a petabyte run would key the same two-pass prefix sum
+    by the (doc_id, chunk_idx) composite instead).  Every chunk has
+    ≥1 token so the packer drops nothing."""
+    docs = load(spark, sf, "documents")["documents"]
+    chunks = C.doc_chunk(docs, "doc_id", "text", chunk=16, stride=12)
+    toks = chunks.select(
+        (F.col("doc_id") * 1_000_000 + F.col("chunk_idx")).alias("cid"),
+        F.col("n_tokens").alias("tok"))
+    packed = T.pack_sequences(toks, "cid", "tok", seq_len=128)
+    return packed.select(
+        F.expr("cid DIV 1000000").alias("doc_id"),
+        (F.col("cid") % 1_000_000).cast("long").alias("chunk_idx"),
+        "tok", "first_seq", "last_seq", "seq_offset", "n_seqs")
+
+
+def bigram_cond_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source bigram conditional entropy H(w2|w1) in exact integer
+    micro-nats (T.bigram_cond_entropy) — predictability of the next
+    word given the previous one: template text collapses toward 0,
+    natural prose sits mid-range.  Corpus-health family with
+    zipf_fit / heaps_fit / doc_entropy."""
+    docs = load(spark, sf, "documents")["documents"]
+    return T.bigram_cond_entropy(docs, "doc_id", "text", "source")
+
+
+def embedding_dim_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension embedding moments (S.embedding_dim_stats): dead
+    dims, mean shift, clipped ranges — the QA pass before any index
+    build.  Every statistic is an exact integer (elements quantized
+    once to e6 fixed point, integer sums)."""
+    emb = load(spark, sf, "embeddings")["embeddings"]
+    return S.embedding_dim_stats(emb, "vec_id", "embedding")
+
+
+QUERIES["chunk_pack_pipeline"] = chunk_pack_pipeline
+QUERIES["bigram_cond_entropy"] = bigram_cond_entropy
+QUERIES["embedding_dim_stats"] = embedding_dim_stats
+
+
+ORACLES["chunk_pack_pipeline"] = f"""
+    WITH ws AS (
+      SELECT doc_id, {_WORDS} AS words FROM documents
+    ), ch AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             CAST(LEAST(16, len(words) - i * 12) AS BIGINT) AS tok
+      FROM ws, UNNEST(range(0, ((len(words) - 1) // 12) + 1)) AS t(i)
+      WHERE len(words) > 0
+    ), t AS (
+      SELECT doc_id * 1000000 + chunk_idx AS cid, doc_id, chunk_idx,
+             tok
+      FROM ch
+    ), c AS (
+      SELECT cid, doc_id, chunk_idx, tok,
+             COALESCE(SUM(tok) OVER (
+               ORDER BY cid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum
+      FROM t
+    )
+    SELECT doc_id, chunk_idx, tok,
+           CAST(cum // 128 AS BIGINT) AS first_seq,
+           CAST((cum + tok - 1) // 128 AS BIGINT) AS last_seq,
+           CAST(cum % 128 AS BIGINT) AS seq_offset,
+           CAST((cum + tok - 1) // 128 - cum // 128 + 1 AS BIGINT)
+             AS n_seqs
+    FROM c
+"""
+
+ORACLES["bigram_cond_entropy"] = f"""
+    WITH w AS (
+      SELECT source AS src, {_WORDS} AS words FROM documents
+    ), b AS (
+      SELECT src, words[i] AS w1, words[i + 1] AS w2
+      FROM w, UNNEST(range(1, len(words))) AS t(i)
+      WHERE len(words) >= 2
+    ), c12 AS (
+      SELECT src, w1, w2, COUNT(*) AS c12 FROM b GROUP BY src, w1, w2
+    ), per1 AS (
+      SELECT src, w1, CAST(SUM(c12) AS BIGINT) AS c1,
+             CAST(SUM(CAST(FLOOR(1000000.0 * c12 * LN(c12) + 0.5)
+                           AS BIGINT)) AS BIGINT) AS t12
+      FROM c12 GROUP BY src, w1
+    ), per_src AS (
+      SELECT src, CAST(SUM(c1) AS BIGINT) AS n_bigrams,
+             CAST(COUNT(*) AS BIGINT) AS vocab_w1,
+             CAST(SUM(CAST(FLOOR(1000000.0 * c1 * LN(c1) + 0.5)
+                           AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(t12) AS BIGINT) AS s12
+      FROM per1 GROUP BY src
+    )
+    SELECT src AS source, n_bigrams, vocab_w1,
+           CAST((s1 - s12) // n_bigrams AS BIGINT) AS h_cond_e6
+    FROM per_src
+"""
+
+# Spark's DIV truncates toward zero; DuckDB's // floors — they differ
+# on negative numerators (mean of a negative-mean dimension), so the
+# oracle emulates truncation explicitly.
+ORACLES["embedding_dim_stats"] = """
+    WITH x AS (
+      SELECT i AS dim,
+             CAST(FLOOR(embedding[i]::DOUBLE * 1000000.0 + 0.5)
+                  AS BIGINT) AS e
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ), agg AS (
+      SELECT CAST(dim AS BIGINT) AS dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(e) AS BIGINT) AS s,
+             CAST(MIN(e) AS BIGINT) AS min_e6,
+             CAST(MAX(e) AS BIGINT) AS max_e6,
+             CAST(SUM(e * e) AS BIGINT) AS ssq_e12
+      FROM x GROUP BY dim
+    )
+    SELECT dim, n,
+           CAST(CASE WHEN s >= 0 THEN s // n
+                     ELSE -((-s) // n) END AS BIGINT) AS mean_e6,
+           min_e6, max_e6, ssq_e12
+    FROM agg
+"""

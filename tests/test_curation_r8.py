@@ -139,3 +139,65 @@ def test_cluster_size_histogram_sums_to_corpus(spark, sf_dir):
     assert sum(r["n_docs"] for r in hist) == n_docs
     assert all(r["n_docs"] == r["cluster_size"] * r["n_clusters"]
                for r in hist)
+
+
+# ------------------------------------------------ bigram_cond_entropy
+
+def test_bigram_entropy_deterministic_vs_uniform(spark):
+    """Fully predictable successors → H = 0; w1 that tells you
+    nothing about w2 → H = ln(n_choices)."""
+    rows = [
+        # s1: 'a' is always followed by 'b', 'b' by 'a' → H = 0
+        (1, "a b a b a b a b", "s1"),
+        # s2: 'x' followed by p/q equally → H = ln 2
+        (2, "x p x q x p x q x p x q x p x q", "s2"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    from goka_spark.functions.text import bigram_cond_entropy
+
+    got = {r["source"]: r for r in bigram_cond_entropy(
+        df, "doc_id", "text", "source").collect()}
+    assert got["s1"]["h_cond_e6"] == 0
+    # s2 bigrams: (x,p)*4 (x,q)*4 (p,x)*4 (q,x)*3 — x's successors
+    # split 4/4 → x contributes 8·ln2; p,q deterministic → 0.
+    # H = 8·ln2 / 15
+    import math
+    want = int(8 * math.log(2) * 1e6) // 15
+    assert abs(got["s2"]["h_cond_e6"] - want) <= 2
+
+
+# ----------------------------------------------- embedding_dim_stats
+
+def test_embedding_dim_stats_exact(spark):
+    rows = [(1, [1.0, -2.0]), (2, [3.0, -4.0]), (3, [5.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from goka_spark.functions.similarity import embedding_dim_stats
+
+    got = {r["dim"]: r for r in embedding_dim_stats(
+        emb, "vec_id", "embedding").collect()}
+    assert got[1]["n"] == 3 and got[1]["mean_e6"] == 3_000_000
+    assert (got[1]["min_e6"], got[1]["max_e6"]) == (1_000_000, 5_000_000)
+    assert got[1]["ssq_e12"] == (1 + 9 + 25) * 10**12
+    # negative mean: sum = -6e6, n = 3 → -2e6 (truncating DIV)
+    assert got[2]["mean_e6"] == -2_000_000
+    assert got[2]["min_e6"] == -4_000_000 and got[2]["max_e6"] == 0
+
+
+# ----------------------------------------------- chunk_pack_pipeline
+
+def test_chunk_pack_covers_all_chunks_contiguously(spark, sf_dir):
+    """Packed chunk placements tile the token stream: offsets are
+    consistent with the running total and every chunk is placed."""
+    from goka_spark.queries.llmdata import chunk_pack_pipeline
+
+    out = sorted(
+        ((r["doc_id"], r["chunk_idx"]), r["tok"], r["first_seq"],
+         r["seq_offset"], r["n_seqs"])
+        for r in chunk_pack_pipeline(spark, sf_dir).collect())
+    cum = 0
+    for (_id, tok, first, off, nseq) in out:
+        assert first == cum // 128
+        assert off == cum % 128
+        assert nseq == (cum + tok - 1) // 128 - first + 1
+        cum += tok
