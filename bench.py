@@ -70,6 +70,11 @@ HEADLINE = [
     "split_contamination_audit",
     "unigram_token_count",
     "embedding_quantize_int8",
+    # round 8 additions
+    "doc_chunk",
+    "chunk_pack_pipeline",
+    "source_divergence_matrix",
+    "embedding_matryoshka_eval",
 ]
 
 

@@ -1610,3 +1610,58 @@ def winnow_overlap_pairs(df: "DataFrame", id_col: str, text_col: str,
                      F.col("b.doc").alias("id_b"))
             .agg(F.count("*").cast("long").alias("shared_fp"))
             .filter(F.col("shared_fp") >= min_shared))
+
+
+def jaccard_threshold_sweep(df: "DataFrame", id_col: str,
+                            text_col: str, n: int = 3,
+                            thresholds: "tuple[float, ...]" =
+                            (0.05, 0.1, 0.2, 0.4, 0.6, 0.8),
+                            max_df: "int | str | None" = 50,
+                            budget: int = 32) -> "DataFrame":
+    """Jaccard threshold-sensitivity curve — the exact-similarity twin
+    of :func:`minhash_band_sweep`: for each candidate threshold, how
+    many pairs and how many distinct documents the dedup decision
+    would touch.  This is how you pick the threshold BEFORE running a
+    corpus-wide dedup — the elbow where n_docs stops falling is where
+    near-dups end and topical similarity begins.
+
+    One `_ngram_pair_counts` pass feeds every threshold (the pair
+    frame is scored once with an exact integer Jaccard
+    ``shared·1e6 DIV union`` — no float compare ambiguity); per
+    threshold the rollup is a count + a distinct-doc count over the
+    exploded pair ids.  Thresholds with zero pairs still report
+    (0, 0) rows — a silent absence would read as "not measured".
+
+    Scale: the sweep costs one df-pruned postings join (the
+    ngram_jaccard budget discipline) + |thresholds| small rollups;
+    at 100 TB run it on the same hash-sampled slice as
+    minhash_band_sweep and apply the chosen threshold corpus-wide.
+    """
+    pc = _ngram_pair_counts(df, id_col, text_col, n, max_df, budget)
+    jac = pc.select(
+        "id_a", "id_b",
+        F.expr("(_shared * 1000000L) DIV (_sz_a + _sz_b - _shared)")
+        .alias("_jac_e6"))
+    th_e6 = [int(round(t * 1e6)) for t in thresholds]
+    hits = jac.select(
+        "id_a", "id_b",
+        F.explode(F.filter(
+            F.array(*[F.lit(t) for t in th_e6]),
+            lambda t: F.col("_jac_e6") >= t)).alias("threshold_e6"))
+    n_pairs = hits.groupBy("threshold_e6").agg(
+        F.count("*").alias("_np"))
+    n_docs = (hits.select("threshold_e6",
+                          F.explode(F.array("id_a", "id_b")).alias("_d"))
+              .distinct()
+              .groupBy("threshold_e6").agg(F.count("*").alias("_nd")))
+    spark = df.sparkSession
+    base = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in th_e6]))
+        .alias("threshold_e6"))
+    return (base.join(n_pairs, "threshold_e6", "left")
+            .join(n_docs, "threshold_e6", "left")
+            .select(F.col("threshold_e6").cast("long"),
+                    F.coalesce("_np", F.lit(0)).cast("long")
+                    .alias("n_pairs"),
+                    F.coalesce("_nd", F.lit(0)).cast("long")
+                    .alias("n_docs")))

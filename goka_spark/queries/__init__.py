@@ -10,16 +10,7 @@ from goka_spark.queries import analytics, core, llmdata
 
 # The driver's correctness run records exactly the first 50 registry
 # entries and stops.  Rotate per round so no key's driver row goes
-# >2 rounds stale.  Round 7 (per the r6 verdict's #1 ask): (a) the
-# four keys NEW this round (pack_sequences, ngram_novelty,
-# hard_negatives, bpe batched) plus the three whose implementation
-# or oracle changed (single-scan CMS, integer-exact HLL, pipeline
-# oracle line-CTEs) — r06 rows no longer certify those; (b) ALL 41
-# keys whose latest driver row is r03 (highest-churn first per the
-# verdict); (c) two r04 keys to fill the 50 — with r06∪r07 this
-# leaves no key's certification older than r04.  Trailing entries
-# past slot 50 are best-effort (the remaining r04 block, queued for
-# r8).
+# >2 rounds stale.
 _FRONT = [
     # Round 8 rotation (r7 verdict ask #1): (a) the 33 keys that have
     # NEVER had a driver row (late-r7 additions queued behind the
@@ -117,6 +108,7 @@ _FRONT = [
     "chunk_pack_pipeline",
     "bigram_cond_entropy",
     "embedding_dim_stats",
+    "dedup_threshold_sweep",
 ]
 
 

@@ -5477,3 +5477,64 @@ ORACLES["embedding_dim_stats"] = """
            min_e6, max_e6, ssq_e12
     FROM agg
 """
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Jaccard threshold-sensitivity curve (D.jaccard_threshold_sweep)
+    — pairs and touched docs per candidate threshold from ONE
+    df-pruned postings join; the exact-similarity twin of
+    minhash_band_sweep, and the report you read before committing a
+    corpus-wide dedup threshold."""
+    docs = load(spark, sf, "documents")["documents"]
+    return D.jaccard_threshold_sweep(docs, "doc_id", "text")
+
+
+QUERIES["dedup_threshold_sweep"] = dedup_threshold_sweep
+
+ORACLES["dedup_threshold_sweep"] = """
+    WITH d AS (
+      SELECT doc_id AS doc, list_distinct(list_transform(
+               range(1, greatest(len(words) - 2, 1) + 1),
+               i -> array_to_string(words[i:i+2], ' '))) AS shs
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+                                       w -> w <> '') AS words
+            FROM documents)
+    ), sh AS (
+      SELECT doc, UNNEST(shs) AS sh FROM d
+    ), dfc AS (
+      SELECT sh FROM (SELECT sh, COUNT(*) AS cnt FROM sh GROUP BY sh)
+      WHERE cnt <= 50
+    ), pruned AS (
+      SELECT doc, s.sh FROM sh s JOIN dfc USING (sh)
+    ), cand AS (
+      SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+      FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc < b.doc
+    ), jac AS (
+      SELECT id_a, id_b,
+             (len(list_intersect(a.shs, b.shs)) * 1000000)
+               // (len(a.shs) + len(b.shs)
+                   - len(list_intersect(a.shs, b.shs))) AS jac_e6
+      FROM cand c JOIN d a ON a.doc = c.id_a JOIN d b ON b.doc = c.id_b
+    ), th AS (
+      SELECT * FROM (VALUES (50000), (100000), (200000), (400000),
+                            (600000), (800000)) t(threshold_e6)
+    ), hits AS (
+      SELECT threshold_e6, id_a, id_b FROM jac JOIN th
+        ON jac_e6 >= threshold_e6
+    ), np AS (
+      SELECT threshold_e6, COUNT(*) AS n_pairs FROM hits
+      GROUP BY threshold_e6
+    ), nd AS (
+      SELECT threshold_e6, COUNT(*) AS n_docs FROM (
+        SELECT DISTINCT threshold_e6, doc FROM (
+          SELECT threshold_e6, id_a AS doc FROM hits
+          UNION ALL
+          SELECT threshold_e6, id_b AS doc FROM hits))
+      GROUP BY threshold_e6
+    )
+    SELECT CAST(th.threshold_e6 AS BIGINT) AS threshold_e6,
+           CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(nd.n_docs, 0) AS BIGINT) AS n_docs
+    FROM th LEFT JOIN np USING (threshold_e6)
+    LEFT JOIN nd USING (threshold_e6)
+"""

@@ -201,3 +201,29 @@ def test_chunk_pack_covers_all_chunks_contiguously(spark, sf_dir):
         assert off == cum % 128
         assert nseq == (cum + tok - 1) // 128 - first + 1
         cum += tok
+
+
+# ---------------------------------------------- jaccard_threshold_sweep
+
+def test_threshold_sweep_monotone_and_complete(spark):
+    """Counts are non-increasing in the threshold, every requested
+    threshold reports a row (zero-pair thresholds report (0, 0)),
+    and a planted near-dup pair survives exactly up to its true
+    Jaccard."""
+    from goka_spark.functions.dedup import jaccard_threshold_sweep
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    rows = [(1, base), (2, base + " tail9"),   # near-identical pair
+            (3, " ".join(f"other{i}" for i in range(30)))]
+    df = _docs(spark, rows)
+    out = {r["threshold_e6"]: (r["n_pairs"], r["n_docs"])
+           for r in jaccard_threshold_sweep(
+               df, "doc_id", "text",
+               thresholds=(0.1, 0.5, 0.9, 0.999)).collect()}
+    assert set(out) == {100000, 500000, 900000, 999000}
+    pair_counts = [out[t][0] for t in sorted(out)]
+    assert pair_counts == sorted(pair_counts, reverse=True)
+    # docs 1,2 share 28 of 30 trigram starts → jaccard ≈ 0.93
+    assert out[100000] == (1, 2)
+    assert out[900000] == (1, 2)
+    assert out[999000] == (0, 0)
