@@ -448,3 +448,44 @@ def image_dhash(df: DataFrame, id_col: str = "doc_id",
 
     return df.select(id_col, blob_col).mapInPandas(
         run, "doc_id long, dhash long")
+
+
+def wav_silence_report(df: DataFrame, id_col: str = "doc_id",
+                       blob_col: str = "blob", window: int = 20,
+                       silence_mean_abs: int = 8192) -> DataFrame:
+    """Windowed silence detection over decoded PCM16 — the audio-
+    pipeline trimming/VAD precursor: the signal is cut into full
+    ``window``-sample frames; a frame is silent when its mean |sample|
+    is below ``silence_mean_abs``.  The comparison is done on the
+    INTEGER per-window Σ|s| (sum < thresh·window), so every output is
+    an exact integer any engine reproduces — no float energy in the
+    decision path.  Output: (doc_id, n_windows, n_silent, silent_e6,
+    max_abs); the trailing partial window is excluded (documented).
+
+    Same Arrow-batched mapInPandas shape as decode_wav_meta — real
+    parse, numpy per batch, never per-row Python."""
+    import numpy as np
+
+    thresh_sum = int(silence_mean_abs) * int(window)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[blob_col]):
+                _, _, _, samples = wav_parse(bytes(b))
+                nw = len(samples) // window
+                a = np.abs(samples[:nw * window].astype("i8")) \
+                    .reshape(nw, window)
+                sums = a.sum(axis=1)
+                n_silent = int((sums < thresh_sum).sum())
+                rows.append((int(i), nw, n_silent,
+                             n_silent * 1_000_000 // nw if nw else 0,
+                             int(np.abs(samples.astype("i8")).max())
+                             if len(samples) else 0))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_windows", "n_silent", "silent_e6",
+                "max_abs"])
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run, "doc_id long, n_windows long, n_silent long, "
+             "silent_e6 long, max_abs long")

@@ -96,7 +96,7 @@ _FRONT = [
     "multi_input_merge",
     "proc_headers",
     "proc_last_state",
-    # new in r8 (C114-C118) — past the cap on purpose (the r8 front is
+    # new in r8 (C114-C123) — past the cap on purpose (the r8 front is
     # reserved for the never-certified + r04-stale blocks); locally
     # oracle-verified at sf0.001 AND sf0.01, certify with the driver
     # in r9
@@ -109,6 +109,7 @@ _FRONT = [
     "bigram_cond_entropy",
     "embedding_dim_stats",
     "dedup_threshold_sweep",
+    "multimodal_silence",
 ]
 
 

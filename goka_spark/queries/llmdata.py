@@ -5538,3 +5538,49 @@ ORACLES["dedup_threshold_sweep"] = """
     FROM th LEFT JOIN np USING (threshold_e6)
     LEFT JOIN nd USING (threshold_e6)
 """
+
+
+def multimodal_silence(spark: SparkSession, sf: str) -> DataFrame:
+    """Windowed silence detection over REAL decoded PCM16 audio
+    (M.wav_silence_report): 20-sample frames, silent when the integer
+    Σ|s| is below mean·window — the VAD/trimming precursor of an
+    audio training pipeline, with every output an exact integer.
+    Extends the C30 wav family from whole-clip stats to per-window
+    analysis."""
+    docs = load(spark, sf, "documents")["documents"]
+    spec = docs.select(
+        "doc_id",
+        (F.lit(100) + F.col("doc_id") % 50).cast("int").alias("n"),
+        F.col("doc_id").alias("seed"))
+    blobs = M.encode_wav(spec, "doc_id", "n", "seed", rate=8000)
+    return M.wav_silence_report(blobs)
+
+
+QUERIES["multimodal_silence"] = multimodal_silence
+
+# closed-form twin of the deterministic PCM16 signal
+# s_i = (seed·7 + i·13) % 65536 − 32768 with seed = doc_id: per-window
+# integer |s| sums compared against mean_abs·window = 8192·20
+ORACLES["multimodal_silence"] = """
+    WITH w AS (
+      SELECT doc_id,
+             (100 + doc_id % 50) // 20 AS nw,
+             list_transform(
+               range(0, (100 + doc_id % 50) // 20),
+               wi -> list_sum(list_transform(
+                 range(wi * 20, wi * 20 + 20),
+                 i -> ABS((doc_id * 7 + i * 13) % 65536 - 32768)))) AS sums,
+             list_max(list_transform(
+               range(0, 100 + doc_id % 50),
+               i -> ABS((doc_id * 7 + i * 13) % 65536 - 32768))) AS mx
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(nw AS BIGINT) AS n_windows,
+           CAST(len(list_filter(sums, s -> s < 163840)) AS BIGINT)
+             AS n_silent,
+           CAST(len(list_filter(sums, s -> s < 163840)) * 1000000 // nw
+                AS BIGINT) AS silent_e6,
+           CAST(mx AS BIGINT) AS max_abs
+    FROM w
+"""

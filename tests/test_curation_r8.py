@@ -227,3 +227,29 @@ def test_threshold_sweep_monotone_and_complete(spark):
     assert out[100000] == (1, 2)
     assert out[900000] == (1, 2)
     assert out[999000] == (0, 0)
+
+
+# ---------------------------------------------- wav silence report
+
+def test_wav_silence_planted_signal(spark):
+    """A blob that is half silence (zeros) and half full-scale square
+    wave: window accounting must be exact."""
+    import struct
+
+    from goka_spark.functions.multimodal import wav_silence_report
+
+    # hand-built RIFF/WAVE PCM16 mono: 40 zero samples then 40
+    # samples of ±20000
+    samples = [0] * 40 + [20000 if i % 2 == 0 else -20000
+                          for i in range(40)]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                   16000, 2, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    df = spark.createDataFrame([(1, hdr + data)],
+                               "doc_id long, blob binary")
+    r = wav_silence_report(df).collect()[0]
+    assert (r["n_windows"], r["n_silent"]) == (4, 2)
+    assert r["silent_e6"] == 500_000
+    assert r["max_abs"] == 20000
