@@ -110,6 +110,7 @@ _FRONT = [
     "embedding_dim_stats",
     "dedup_threshold_sweep",
     "multimodal_silence",
+    "quality_gate_ablation",
 ]
 
 

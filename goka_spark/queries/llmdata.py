@@ -5584,3 +5584,127 @@ ORACLES["multimodal_silence"] = """
            CAST(mx AS BIGINT) AS max_abs
     FROM w
 """
+
+
+def quality_gate_ablation(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate ABLATION report over the C72 pipeline's six gates: for
+    each gate, how many (non-benchmark) docs fail it when evaluated
+    INDEPENDENTLY, and how many fail ONLY it — the marginal value
+    that tells you which gates earn their compute and which are
+    redundant with the rest of the stack.  (C72 reports the ordered
+    first-failing verdict; this evaluates every gate on every doc.)
+
+    Deliberately does NOT refactor corpus_quality_pipeline into a
+    shared helper: C72 carries a driver certification and stays
+    byte-identical; the oracle here is derived from C72's verified
+    oracle by swapping only the final SELECT, so the gate CTEs are
+    literally the same text.  Scale shape identical to C72 (the same
+    two postings passes + scan columns + broadcast semi-join +
+    md5 hash-agg), plus one 6-way explode of a per-doc struct and a
+    6-row aggregate."""
+    docs = load(spark, sf, "documents")["documents"]
+    rep = T.gopher_repetition(docs, "doc_id", "text") \
+        .select("doc_id", F.col("keep").alias("_rep_keep"))
+    ent = T.word_entropy(docs, "doc_id", "text") \
+        .select("doc_id", F.col("entropy").alias("_ent"))
+    blk = T.blocklist_hits(docs, "doc_id", "text", BLOCK_TERMS,
+                           max_ratio_e6=120_000) \
+        .select("doc_id", F.col("keep").alias("_blk_keep"))
+    ppl = T.perplexity_buckets(docs, "doc_id", "text") \
+        .select("doc_id", F.col("bucket").alias("_ppl"))
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corp = docs.filter(F.col("doc_id") % 97 != 0)
+    dec = D.decontaminate(corp, bench, "doc_id", "text", n=3) \
+        .select("doc_id", F.col("n_hits").alias("_hits"))
+    keep_ids = (docs.groupBy(F.md5("text").alias("_h"))
+                .agg(F.min("doc_id").alias("_keep_id")))
+    dup = (docs.select("doc_id", F.md5("text").alias("_h"))
+           .join(keep_ids, "_h")
+           .select("doc_id", "_keep_id"))
+    out = (corp.select("doc_id")
+           .join(rep, "doc_id", "left")
+           .join(ent, "doc_id", "left")
+           .join(blk, "doc_id", "left")
+           .join(ppl, "doc_id", "left")
+           .join(dec, "doc_id", "left")
+           .join(dup, "doc_id", "left"))
+    b = lambda c: c.cast("int")
+    flags = out.select(
+        "doc_id",
+        b(F.coalesce("_rep_keep", F.lit(0)) == 0).alias("f_repetition"),
+        b(F.col("_ent").isNull() | (F.col("_ent") < 1.0)).alias("f_entropy"),
+        b(~F.coalesce("_blk_keep", F.lit(True))).alias("f_blocklist"),
+        b(F.coalesce(F.col("_ppl") == "tail", F.lit(False)))
+        .alias("f_perplexity"),
+        b(F.coalesce("_hits", F.lit(0)) > 0).alias("f_contaminated"),
+        b(F.col("_keep_id") != F.col("doc_id")).alias("f_exact_dup"))
+    gates = ["repetition", "entropy", "blocklist", "perplexity",
+             "contaminated", "exact_dup"]
+    nf = sum(F.col(f"f_{g}") for g in gates)
+    ex = flags.select(
+        nf.alias("_nf"),
+        F.explode(F.array(*[
+            F.struct(F.lit(g).alias("_g"),
+                     F.col(f"f_{g}").alias("_f")) for g in gates]))
+        .alias("_e"))
+    return (ex.groupBy(F.col("_e._g").alias("gate"))
+            .agg(F.sum("_e._f").cast("long").alias("n_fail"),
+                 F.sum(((F.col("_e._f") == 1) & (F.col("_nf") == 1))
+                       .cast("long")).cast("long")
+                 .alias("n_unique_fail")))
+
+
+QUERIES["quality_gate_ablation"] = quality_gate_ablation
+
+
+def _ablation_oracle() -> str:
+    """C72's verified oracle with ONLY the final SELECT swapped: the
+    gate CTEs are byte-identical, so this oracle inherits the
+    pipeline oracle's verification surface."""
+    qp = ORACLES["corpus_quality_pipeline"]
+    ctes = qp[:qp.rindex("SELECT dd.doc_id,")]
+    return ctes + """SELECT gate,
+           CAST(SUM(f) AS BIGINT) AS n_fail,
+           CAST(SUM(CASE WHEN f = 1 AND nf = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unique_fail
+    FROM (
+      SELECT u.gate, u.f,
+             f_repetition + f_entropy + f_blocklist + f_perplexity
+               + f_contaminated + f_exact_dup AS nf
+      FROM (
+        SELECT dd.doc_id,
+               CASE WHEN COALESCE(rep_keep, 0) = 0 THEN 1 ELSE 0 END
+                 AS f_repetition,
+               CASE WHEN ent IS NULL OR ent < 1.0 THEN 1 ELSE 0 END
+                 AS f_entropy,
+               CASE WHEN NOT COALESCE(bkeep, TRUE) THEN 1 ELSE 0 END
+                 AS f_blocklist,
+               CASE WHEN (CASE WHEN lm.n_bigrams = 0 THEN 'unscored'
+                               WHEN lm.avg_logprob >= b[2] THEN 'head'
+                               WHEN lm.avg_logprob >= b[1] THEN 'middle'
+                               ELSE 'tail' END) = 'tail'
+                    THEN 1 ELSE 0 END AS f_perplexity,
+               CASE WHEN COALESCE(hits, 0) > 0 THEN 1 ELSE 0 END
+                 AS f_contaminated,
+               CASE WHEN keep_id <> dd.doc_id THEN 1 ELSE 0 END
+                 AS f_exact_dup
+        FROM documents dd
+        LEFT JOIN grep USING (doc_id)
+        LEFT JOIN eent USING (doc_id)
+        LEFT JOIN blk USING (doc_id)
+        LEFT JOIN lm USING (doc_id)
+        LEFT JOIN chit USING (doc_id)
+        LEFT JOIN ddoc USING (doc_id), th
+        WHERE dd.doc_id % 97 <> 0
+      ) fl, UNNEST([
+        {'gate': 'repetition',   'f': fl.f_repetition},
+        {'gate': 'entropy',      'f': fl.f_entropy},
+        {'gate': 'blocklist',    'f': fl.f_blocklist},
+        {'gate': 'perplexity',   'f': fl.f_perplexity},
+        {'gate': 'contaminated', 'f': fl.f_contaminated},
+        {'gate': 'exact_dup',    'f': fl.f_exact_dup}]) AS t(u)
+    ) GROUP BY gate
+    """
+
+
+ORACLES["quality_gate_ablation"] = _ablation_oracle
