@@ -774,3 +774,37 @@ def release_diff(old: DataFrame, new: DataFrame, id_col: str,
                      .when(F.col("_hn").isNull(), "removed")
                      .when(F.col("_ho") == F.col("_hn"), "unchanged")
                      .otherwise("changed").alias("status")))
+
+
+def chunk_dup_report(df: DataFrame, id_col: str, text_col: str,
+                     chunk: int = 12) -> DataFrame:
+    """Chunk-granular exact-duplicate report — boilerplate detection
+    at the unit a RAG store or packing loader actually serves:
+    documents are split into NON-overlapping ``chunk``-token windows
+    (``doc_chunk`` with stride = chunk, so no chunk duplicates its
+    own neighbor by construction) and a chunk instance counts as
+    duplicated when its md5 appears ≥2 times corpus-wide.  Per doc:
+    chunk count, duplicated-instance count, and the duplicated
+    fraction in exact integer ppm — the signal that catches shared
+    headers/footers/licenses that doc-level exact dedup (which needs
+    the WHOLE text equal) never sees.  Empty docs emit no chunks and
+    are absent from the report (doc_chunk contract).
+
+    Scale shape: the chunk scan is doc_chunk's zero-shuffle stage;
+    the frequency side reduces every chunk to one 32-byte md5 before
+    its hash-agg, and the count join is an equi-join on that hash —
+    at 100 TB the shuffled bytes are ~32 B/chunk, never chunk text.
+    Reference: goka's per-message hashing (hashutils.go) applied at
+    sub-document granularity; the C-block loader surface.
+    """
+    ch = doc_chunk(df, id_col, text_col, chunk=chunk, stride=chunk)
+    h = ch.select(F.col(id_col), F.md5("chunk_text").alias("_h"))
+    cnt = h.groupBy("_h").agg(F.count("*").alias("_cnt"))
+    return (h.join(cnt, "_h")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_chunks"),
+                 F.sum((F.col("_cnt") >= 2).cast("long"))
+                 .cast("long").alias("n_dup_chunks"))
+            .select(F.col(id_col), "n_chunks", "n_dup_chunks",
+                    F.expr("n_dup_chunks * 1000000 DIV n_chunks")
+                    .cast("long").alias("dup_e6")))

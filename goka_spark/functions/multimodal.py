@@ -489,3 +489,60 @@ def wav_silence_report(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, blob_col).mapInPandas(
         run, "doc_id long, n_windows long, n_silent long, "
              "silent_e6 long, max_abs long")
+
+
+def encode_ppm_stream_quad(df: DataFrame, id_col: str, n_frames_col: str,
+                           width: int, height: int,
+                           seed_mod: int = 3) -> DataFrame:
+    """Quad-textured frame stream: frame ``j`` of row ``id`` uses quad
+    seed ``(id + j) % seed_mod``, so streams contain REPEATED frames
+    (the static-scene analog) that a frame-level dedup must find —
+    and different seeds stay perceptually separable (the quad-texture
+    law of ``ppm_encode_quad``)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, nf in zip(pdf[id_col], pdf[n_frames_col]):
+                blob = b"".join(
+                    ppm_encode_quad(width, height, (int(i) + j) % seed_mod)
+                    for j in range(int(nf)))
+                out.append((int(i), blob))
+            yield pd.DataFrame(out, columns=["doc_id", "blob"])
+
+    return df.select(id_col, n_frames_col) \
+        .mapInPandas(run, "doc_id long, blob binary")
+
+
+def frame_dhash(df: DataFrame, id_col: str = "doc_id",
+                blob_col: str = "blob", grid: int = 8) -> DataFrame:
+    """Per-FRAME perceptual dHash over a parsed frame stream —
+    ``image_dhash``'s exact kernel (floor-map resize, red-channel
+    luma, 63 little-endian gradient bits) applied to every frame of
+    the concatenated-P6 video analog.  The unit of near-dup detection
+    moves from the image to the frame: static scenes and looped
+    segments collapse onto one hash.  Arrow-batched ``mapInPandas``;
+    output (doc_id, frame_idx, dhash)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, b in zip(pdf[id_col], pdf[blob_col]):
+                for j, pix in enumerate(ppm_stream_parse(bytes(b))):
+                    h_, w_ = pix.shape[0], pix.shape[1]
+                    gray = pix[:, :, 0].astype(np.int64)
+                    ys = (np.arange(grid) * h_) // grid
+                    xs = (np.arange(grid + 1) * w_) // (grid + 1)
+                    g = gray[ys[:, None], xs[None, :]]
+                    bits = (g[:, :-1] > g[:, 1:]).flatten()[:63]
+                    hval = 0
+                    for k, v in enumerate(bits):
+                        if v:
+                            hval |= 1 << k
+                    out.append((int(i), j, hval))
+            yield pd.DataFrame(out, columns=["doc_id", "frame_idx",
+                                             "dhash"])
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run, "doc_id long, frame_idx long, dhash long")

@@ -1038,3 +1038,51 @@ def embedding_dim_stats(emb: DataFrame, id_col: str,
                     F.col("min_e6").cast("long"),
                     F.col("max_e6").cast("long"),
                     F.col("ssq_e12").cast("long")))
+
+
+def cosine_threshold_sweep(df: DataFrame, id_col: str, vec_col: str,
+                           thresholds=(0.3, 0.5, 0.7, 0.8, 0.9, 0.95),
+                           bands: int = 8, bits: int = 8) -> DataFrame:
+    """Cosine threshold-sensitivity curve — the embedding twin of
+    ``jaccard_threshold_sweep`` (and of ``minhash_band_sweep``'s
+    banding curve): pair volume and touched-vector count per
+    candidate dedup threshold, all from ONE LSH-banded scored pass
+    (``cosine_near_pairs_lsh`` at the LOWEST threshold; higher
+    thresholds are pure filters over the same scored frame, never
+    re-banded re-scans).  The report you read before committing a
+    corpus-wide semantic-dedup threshold: where the pair count
+    cliffs, near-dup structure ends and topical similarity begins.
+
+    Determinism: pair cosines are the bit-reproducible sequential
+    fold both engines already hash-agree on (C12); thresholds ride
+    as exact e4 integers and are compared via ``cos >
+    threshold_e4 / 10000.0`` — IEEE division is correctly rounded,
+    so both engines compare against the identical double.  Zero-pair
+    thresholds still report (0, 0) rows.
+
+    Scale shape: the candidate pass is the banded equi-join (~n²/2^bits
+    per band, ``bits`` grows with log₂ n); the sweep adds one
+    6-row broadcast join + two hash-aggs over the pairs frame.
+    """
+    base = cosine_near_pairs_lsh(df, id_col, vec_col,
+                                 threshold=min(thresholds),
+                                 bands=bands, bits=bits)
+    spark = df.sparkSession
+    th = spark.createDataFrame(
+        [(int(round(t * 10000)),) for t in sorted(thresholds)],
+        "threshold_e4 long")
+    hits = (base.crossJoin(F.broadcast(th))
+            .filter(F.col("cos") > F.col("threshold_e4") / 10000.0))
+    np_ = hits.groupBy("threshold_e4").agg(
+        F.count("*").alias("_np"))
+    nd = (hits.select("threshold_e4",
+                      F.explode(F.array("id_a", "id_b")).alias("_d"))
+          .groupBy("threshold_e4")
+          .agg(F.countDistinct("_d").alias("_nd")))
+    return (th.join(np_, "threshold_e4", "left")
+            .join(nd, "threshold_e4", "left")
+            .select("threshold_e4",
+                    F.coalesce("_np", F.lit(0)).cast("long")
+                    .alias("n_pairs"),
+                    F.coalesce("_nd", F.lit(0)).cast("long")
+                    .alias("n_docs")))

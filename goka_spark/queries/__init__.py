@@ -111,6 +111,14 @@ _FRONT = [
     "dedup_threshold_sweep",
     "multimodal_silence",
     "quality_gate_ablation",
+    # C125-C130 (late r8): locally oracle-verified at sf0.001 AND
+    # sf0.01, certify with the driver in r9
+    "chunk_dedup",
+    "release_token_drift",
+    "lang_id_eval",
+    "quality_calibration",
+    "multimodal_frame_dedup",
+    "cosine_threshold_sweep",
 ]
 
 

@@ -5708,3 +5708,363 @@ def _ablation_oracle() -> str:
 
 
 ORACLES["quality_gate_ablation"] = _ablation_oracle
+
+
+# ---------------------------------------------------------------- r8b
+
+
+def chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Chunk-granular exact-duplicate report (C.chunk_dup_report):
+    non-overlapping 12-token chunks, a chunk instance is duplicated
+    when its md5 appears ≥2 times corpus-wide; per doc the chunk
+    count, duplicated count and exact-ppm duplicated fraction — the
+    boilerplate signal (shared headers/licenses) that doc-level
+    exact dedup never sees.  Empty docs emit no chunks (doc_chunk
+    contract) and are absent."""
+    docs = load(spark, sf, "documents")["documents"]
+    return C.chunk_dup_report(docs, "doc_id", "text", chunk=12)
+
+
+QUERIES["chunk_dedup"] = chunk_dedup
+
+ORACLES["chunk_dedup"] = f"""
+    WITH ws AS (
+      SELECT doc_id, {_WORDS} AS words FROM documents
+    ), ch AS (
+      SELECT doc_id,
+             md5(array_to_string(words[i * 12 + 1 : i * 12 + 12], ' '))
+               AS h
+      FROM ws, UNNEST(range(0, ((len(words) - 1) // 12) + 1)) AS t(i)
+      WHERE len(words) > 0
+    ), cnt AS (
+      SELECT h, COUNT(*) AS c FROM ch GROUP BY h
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) * 1000000
+                  // COUNT(*) AS BIGINT) AS dup_e6
+    FROM ch JOIN cnt USING (h)
+    GROUP BY doc_id
+"""
+
+
+def release_token_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary-level drift between two releases: the Jensen-Shannon
+    divergence of the old vs new unigram distributions in exact
+    integer micro-nats — the release-QA twin of release_diff (which
+    counts CHANGED DOCS; this measures how much the LANGUAGE moved —
+    a tiny js over many changed docs is formatting churn; a large js
+    over few docs is a content-mix shift worth a retrain decision).
+    Reuses the source_divergence_matrix kernel with the two releases
+    tagged as the 'source' axis; the simulated next release follows
+    release_diff's deterministic law (drop %17, edit %13 with ' v2',
+    re-add %19 under new ids)."""
+    docs = load(spark, sf, "documents")["documents"]
+    new_base = docs.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0,
+               F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")).alias("text"))
+    added = docs.filter(F.col("doc_id") % 19 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    tagged = (docs.select("doc_id", "text", F.lit("old").alias("rel"))
+              .unionByName(new_base.unionByName(added)
+                           .select("doc_id", "text",
+                                   F.lit("new").alias("rel"))))
+    out = T.source_divergence_matrix(tagged, "doc_id", "text", "rel")
+    return out.select(F.col("source_a").alias("release_a"),
+                      F.col("source_b").alias("release_b"),
+                      "shared_words", "js_e6")
+
+
+QUERIES["release_token_drift"] = release_token_drift
+
+ORACLES["release_token_drift"] = f"""
+    WITH rel AS (
+      SELECT 'old' AS src, text FROM documents
+      UNION ALL
+      SELECT 'new' AS src,
+             CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT 'new' AS src, text FROM documents WHERE doc_id % 19 = 0
+    ), w AS (
+      SELECT src, UNNEST({_WORDS}) AS wd FROM rel
+    ), cnt AS (
+      SELECT src, wd, COUNT(*) AS cnt FROM w GROUP BY src, wd
+    ), tot AS (
+      SELECT src, CAST(SUM(cnt) AS BIGINT) AS n_tok FROM cnt GROUP BY src
+    ), sides AS (
+      SELECT c.src, wd, cnt, n_tok FROM cnt c JOIN tot USING (src)
+    ), pairwise AS (
+      SELECT a.src AS source_a, b.src AS source_b,
+             a.cnt AS ca, a.n_tok AS na, b.cnt AS cb, b.n_tok AS nb,
+             (a.cnt::DOUBLE / a.n_tok::DOUBLE) AS p,
+             (b.cnt::DOUBLE / b.n_tok::DOUBLE) AS q
+      FROM sides a JOIN sides b USING (wd)
+      WHERE a.src < b.src
+    ), shared AS (
+      SELECT source_a, source_b,
+             COUNT(*) AS sw,
+             CAST(SUM(CAST(FLOOR(500000.0 *
+                 (p * LN(2.0 * p / (p + q)) + q * LN(2.0 * q / (p + q)))
+                 + 0.5) AS BIGINT)) AS BIGINT) AS t_e6,
+             CAST(SUM(ca) AS BIGINT) AS sa, CAST(SUM(cb) AS BIGINT) AS sb
+      FROM pairwise GROUP BY source_a, source_b
+    ), allpairs AS (
+      SELECT a.src AS source_a, b.src AS source_b,
+             a.n_tok AS na, b.n_tok AS nb
+      FROM tot a JOIN tot b ON a.src < b.src
+    )
+    SELECT source_a AS release_a, source_b AS release_b,
+           CAST(COALESCE(sw, 0) AS BIGINT) AS shared_words,
+           CAST(COALESCE(t_e6, 0) + CAST(FLOOR(346573.59027997265 *
+               (((na - COALESCE(sa, 0)) / na)
+                + ((nb - COALESCE(sb, 0)) / nb)) + 0.5) AS BIGINT)
+             AS BIGINT) AS js_e6
+    FROM allpairs LEFT JOIN shared USING (source_a, source_b)
+"""
+
+
+def lang_id_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Classifier evaluation of the lang_id heuristic against the
+    labeled ``lang`` column: per labeled language, tp/fp/fn and
+    precision/recall/F1 in exact integer ppm — the metric sheet you
+    read before trusting the heuristic as a corpus filter (lang_audit
+    C68 gives the raw confusion counts; this is the derived eval).
+    One corpus scan (pure-Column predictor) + one (lang, pred)
+    hash-agg; everything after is a languages-sized frame.  F1 is
+    computed from the ppm integers (2·p·r DIV (p+r)) so both engines
+    truncate identically; a never-predicted language reports
+    precision 0, not NULL."""
+    docs = load(spark, sf, "documents")["documents"]
+    per = (docs.select("lang", T.lang_id(F.col("text")).alias("pred"))
+           .groupBy("lang", "pred").agg(F.count("*").alias("n")))
+    langs = per.select(F.col("lang")).distinct()
+    tp = (per.filter(F.col("lang") == F.col("pred"))
+          .select("lang", F.col("n").alias("tp")))
+    fp = (per.filter(F.col("lang") != F.col("pred"))
+          .groupBy(F.col("pred").alias("lang"))
+          .agg(F.sum("n").alias("fp")))
+    fn = (per.filter(F.col("lang") != F.col("pred"))
+          .groupBy("lang").agg(F.sum("n").alias("fn")))
+    j = (langs.join(tp, "lang", "left").join(fp, "lang", "left")
+         .join(fn, "lang", "left")
+         .select("lang",
+                 F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+                 F.coalesce("fp", F.lit(0)).cast("long").alias("fp"),
+                 F.coalesce("fn", F.lit(0)).cast("long").alias("fn")))
+    prec = F.expr("CASE WHEN tp + fp = 0 THEN 0 "
+                  "ELSE tp * 1000000 DIV (tp + fp) END")
+    rec = F.expr("CASE WHEN tp + fn = 0 THEN 0 "
+                 "ELSE tp * 1000000 DIV (tp + fn) END")
+    out = j.select("lang", "tp", "fp", "fn",
+                   prec.cast("long").alias("prec_e6"),
+                   rec.cast("long").alias("rec_e6"))
+    return out.select(
+        "*",
+        F.expr("CASE WHEN prec_e6 + rec_e6 = 0 THEN 0 "
+               "ELSE 2 * prec_e6 * rec_e6 DIV (prec_e6 + rec_e6) END")
+        .cast("long").alias("f1_e6"))
+
+
+QUERIES["lang_id_eval"] = lang_id_eval
+
+ORACLES["lang_id_eval"] = f"""
+    WITH pred AS (
+      SELECT lang,
+             CASE
+               WHEN {_sw_hits(_SW['en'])} >= {_sw_hits(_SW['de'])}
+                AND {_sw_hits(_SW['en'])} >= {_sw_hits(_SW['es'])}
+                AND {_sw_hits(_SW['en'])} >= {_sw_hits(_SW['fr'])} THEN 'en'
+               WHEN {_sw_hits(_SW['de'])} >= {_sw_hits(_SW['es'])}
+                AND {_sw_hits(_SW['de'])} >= {_sw_hits(_SW['fr'])} THEN 'de'
+               WHEN {_sw_hits(_SW['es'])} >= {_sw_hits(_SW['fr'])} THEN 'es'
+               ELSE 'fr'
+             END AS p
+      FROM documents
+    ), per AS (
+      SELECT lang, p, COUNT(*) AS n FROM pred GROUP BY lang, p
+    ), base AS (
+      SELECT l.lang,
+             COALESCE(tp.tp, 0) AS tp,
+             COALESCE(fp.fp, 0) AS fp,
+             COALESCE(fn.fn, 0) AS fn
+      FROM (SELECT DISTINCT lang FROM per) l
+      LEFT JOIN (SELECT lang, n AS tp FROM per WHERE lang = p) tp
+        USING (lang)
+      LEFT JOIN (SELECT p AS lang, SUM(n) AS fp FROM per
+                 WHERE lang <> p GROUP BY p) fp USING (lang)
+      LEFT JOIN (SELECT lang, SUM(n) AS fn FROM per
+                 WHERE lang <> p GROUP BY lang) fn USING (lang)
+    ), m AS (
+      SELECT lang, tp, fp, fn,
+             CASE WHEN tp + fp = 0 THEN 0
+                  ELSE tp * 1000000 // (tp + fp) END AS prec_e6,
+             CASE WHEN tp + fn = 0 THEN 0
+                  ELSE tp * 1000000 // (tp + fn) END AS rec_e6
+      FROM base
+    )
+    SELECT lang, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           CAST(prec_e6 AS BIGINT) AS prec_e6,
+           CAST(rec_e6 AS BIGINT) AS rec_e6,
+           CAST(CASE WHEN prec_e6 + rec_e6 = 0 THEN 0
+                     ELSE 2 * prec_e6 * rec_e6 // (prec_e6 + rec_e6)
+                END AS BIGINT) AS f1_e6
+    FROM m
+"""
+
+
+def quality_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Calibration curve of the heuristic quality score (C8) against
+    a cheap proxy label (n_chars >= 300, the NB classifier's label):
+    per score-decile bucket, doc count and proxy-positive rate in
+    exact integer ppm — the monotonicity check you read before using
+    the score as a corpus filter threshold (a well-calibrated score
+    has pos_rate rising with bucket; a flat curve means the score is
+    noise for this corpus).  One scan (pure-Column score) + one
+    10-row hash-agg; bucket = min(floor(q·10), 9) on the SAME
+    rounded double both engines already hash-agree on (C8)."""
+    docs = load(spark, sf, "documents")["documents"]
+    b = docs.select(
+        F.least(F.floor(T.quality_score(F.col("text")) * 10),
+                F.lit(9)).cast("long").alias("bucket"),
+        (F.col("n_chars") >= 300).cast("long").alias("pos"))
+    return (b.groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("pos").cast("long").alias("n_pos"))
+            .select("bucket", "n_docs", "n_pos",
+                    F.expr("n_pos * 1000000 DIV n_docs")
+                    .cast("long").alias("pos_rate_e6")))
+
+
+QUERIES["quality_calibration"] = quality_calibration
+
+ORACLES["quality_calibration"] = f"""
+    WITH q AS (
+      SELECT ROUND(
+               0.5 * LEAST(n_words / 64.0, 1.0)
+             + 0.25 * LEAST(sw / GREATEST(n_words, 1.0) * 4, 1.0)
+             + 0.25 * (1 - LEAST(punct / GREATEST(n_chars_d, 1.0) * 4,
+                                 1.0)), 4) AS q,
+             CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS pos
+      FROM (
+        SELECT doc_id, n_chars,
+               CAST(len({_WORDS}) AS DOUBLE) AS n_words,
+               CAST(length(text) AS DOUBLE) AS n_chars_d,
+               CAST(len(regexp_extract_all(text, '[^\\w\\s]'))
+                 AS DOUBLE) AS punct,
+               CAST({_sw_hits(_SW['en'])} AS DOUBLE) AS sw
+        FROM documents
+      )
+    )
+    SELECT CAST(LEAST(FLOOR(q * 10), 9) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(pos) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_e6
+    FROM q GROUP BY 1
+"""
+
+
+def multimodal_frame_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-level near-duplicate report over REAL decoded frame
+    streams (M.frame_dhash): each document becomes a concatenated P6
+    stream of 2 + doc_id%4 quad-textured 9x8 frames whose seed law
+    (doc_id + j) % 3 plants repeated frames (the static-scene
+    analog); per stream, frame count vs distinct perceptual dHashes —
+    the dedup that collapses loops/stills before frames reach a
+    vision encoder.  The whole decode→resize→hash path is verified:
+    the oracle recomputes every frame's 63-bit hash in closed form
+    from the (seed, index) pixel law (w=9/h=8 makes the floor resize
+    the identity map, so the SQL stays readable)."""
+    docs = load(spark, sf, "documents")["documents"]
+    spec = docs.select(
+        "doc_id", (F.lit(2) + F.col("doc_id") % 4).cast("int").alias("nf"))
+    blobs = M.encode_ppm_stream_quad(spec, "doc_id", "nf",
+                                     width=9, height=8, seed_mod=3)
+    fh = M.frame_dhash(blobs)
+    return (fh.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_frames"),
+                 F.countDistinct("dhash").cast("long").alias("n_distinct"))
+            .select("doc_id", "n_frames", "n_distinct",
+                    (F.col("n_frames") - F.col("n_distinct"))
+                    .cast("long").alias("n_dup_frames")))
+
+
+QUERIES["multimodal_frame_dedup"] = multimodal_frame_dedup
+
+ORACLES["multimodal_frame_dedup"] = """
+    WITH f AS (
+      SELECT doc_id, j, (doc_id + j) % 3 AS seed
+      FROM documents, (SELECT UNNEST(range(0, 6)) AS j)
+      WHERE j < 2 + doc_id % 4
+    ), idx AS (
+      -- w=9, h=8, grid=8: resize is identity, pixel (r,c) sits at
+      -- flat index r*9+c; bit k compares columns k%8 and k%8+1 of
+      -- row k//8 under the quad law ((i+seed)^2) % 256
+      SELECT doc_id, j, k,
+             (k // 8) * 9 + (k % 8) + seed AS a
+      FROM f, UNNEST(range(0, 63)) AS t(k)
+    ), hashed AS (
+      SELECT doc_id, j,
+             CAST(SUM(CASE WHEN (a * a) % 256 > ((a + 1) * (a + 1)) % 256
+                           THEN (CAST(1 AS BIGINT) << k)
+                           ELSE 0 END) AS BIGINT) AS dhash
+      FROM idx GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(COUNT(DISTINCT dhash) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT dhash) AS BIGINT)
+             AS n_dup_frames
+    FROM hashed GROUP BY doc_id
+"""
+
+
+def cosine_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space dedup threshold curve
+    (S.cosine_threshold_sweep): pairs + touched vectors per cosine
+    threshold from ONE LSH-banded scored pass — the semantic twin of
+    dedup_threshold_sweep (C122), read before committing a
+    corpus-wide SemDeDup threshold."""
+    emb = load(spark, sf, "embeddings")["embeddings"]
+    return S.cosine_threshold_sweep(emb, "vec_id", "embedding")
+
+
+QUERIES["cosine_threshold_sweep"] = cosine_threshold_sweep
+
+
+def _cosine_sweep_oracle() -> str:
+    pairs = _c12_oracle(threshold=0.3)
+    return f"""
+    WITH pairs AS ({pairs}),
+    th AS (
+      SELECT * FROM (VALUES (3000), (5000), (7000), (8000), (9000),
+                            (9500)) t(threshold_e4)
+    ), hits AS (
+      SELECT threshold_e4, id_a, id_b FROM pairs JOIN th
+        ON cos > threshold_e4 / 10000.0
+    ), np AS (
+      SELECT threshold_e4, COUNT(*) AS n_pairs FROM hits
+      GROUP BY threshold_e4
+    ), nd AS (
+      SELECT threshold_e4, COUNT(*) AS n_docs FROM (
+        SELECT DISTINCT threshold_e4, d FROM (
+          SELECT threshold_e4, id_a AS d FROM hits
+          UNION ALL
+          SELECT threshold_e4, id_b AS d FROM hits))
+      GROUP BY threshold_e4
+    )
+    SELECT CAST(th.threshold_e4 AS BIGINT) AS threshold_e4,
+           CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(nd.n_docs, 0) AS BIGINT) AS n_docs
+    FROM th LEFT JOIN np USING (threshold_e4)
+    LEFT JOIN nd USING (threshold_e4)
+    """
+
+
+ORACLES["cosine_threshold_sweep"] = _cosine_sweep_oracle

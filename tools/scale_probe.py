@@ -382,6 +382,85 @@ def main():
         r["unigram_count"] = timed("ucnt", UNI.unigram_token_count(
             sdocs, "doc_id", "text", pieces))
 
+        # ---- r8 family ----
+        # doc_chunk: pure scan stage (split + sequence of starts +
+        # posexplode), zero shuffle — expect strictly linear
+        from goka_spark.functions import multimodal as MM
+        r["doc_chunk"] = timed("chunk", CORP.doc_chunk(
+            sdocs, "doc_id", "text", chunk=16, stride=12))
+
+        # chunk→pack composition: the chunk scan feeding the two-pass
+        # distributed prefix sum (partition-sums frame is
+        # partitions-sized) — expect ~linear
+        ck = CORP.doc_chunk(sdocs, "doc_id", "text", chunk=16, stride=12)
+        r["chunk_pack"] = timed("cpk", TXT.pack_sequences(
+            ck.select((F.col("doc_id") * 1_000_000 + F.col("chunk_idx"))
+                      .alias("cid"), F.col("n_tokens").alias("tok")),
+            "cid", "tok", seq_len=128))
+
+        # release diff: each side reduces to (id, md5) in its scan
+        # stage before the full-outer join — expect ~linear
+        new_rel = sdocs.filter(F.col("doc_id") % 17 != 0).select(
+            "doc_id",
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text")).alias("text")).unionByName(
+            sdocs.filter(F.col("doc_id") % 19 == 0).select(
+                (F.col("doc_id") + 100_000_000).alias("doc_id"), "text"))
+        r["release_diff"] = timed("rdiff", CORP.release_diff(
+            sdocs, new_rel, "doc_id", "text"))
+
+        # pairwise source JSD: one postings hash-agg + a<b word
+        # equi-join + pairs-sized agg — sources are config-sized,
+        # expect ~linear in tokens
+        r["source_divergence"] = timed("jsd", TXT.source_divergence_matrix(
+            sdocs, "doc_id", "text", "source"))
+
+        # cluster-size histogram over the CC labels (graph reused from
+        # the keep probe) — rollup is clusters-sized, expect ~linear
+        lab = (sdocs.select("doc_id")
+               .join(kp_cc.withColumnRenamed("node", "doc_id"),
+                     "doc_id", "left")
+               .select(F.coalesce("cluster_id", "doc_id").alias("cid")))
+        r["cluster_size_hist"] = timed(
+            "csh",
+            lab.groupBy("cid").agg(F.count("*").alias("sz"))
+            .groupBy("sz").agg(F.count("*").alias("n")))
+
+        # matryoshka recall: ONE corpus scan scores every (query, dim)
+        # pair against the broadcast 20-query set — expect ~linear
+        r["matryoshka"] = timed("mat", SIM.matryoshka_recall(
+            emb_f, "vec_id", "embedding", dims=(8, 16, 32), k=5,
+            n_queries=20))
+
+        # bigram conditional entropy: scan-stage bigram arrays + two
+        # hash-aggs — expect ~linear in tokens
+        r["bigram_cond_entropy"] = timed("bce", TXT.bigram_cond_entropy(
+            sdocs, "doc_id", "text", "source"))
+
+        # per-dimension embedding moments: posexplode + dims-sized
+        # hash-agg — expect ~linear
+        r["embedding_dim_stats"] = timed("dstat", SIM.embedding_dim_stats(
+            emb_f, "vec_id", "embedding"))
+
+        # exact-Jaccard threshold sweep: ONE df-pruned postings join
+        # feeds every threshold — expect ~ngram_jaccard
+        r["threshold_sweep"] = timed("tsw", D.jaccard_threshold_sweep(
+            sdocs, "doc_id", "text"))
+
+        # windowed silence over synthesized-then-decoded PCM16:
+        # Arrow-batched mapInPandas, per-clip work bounded —
+        # expect ~linear in clips.  (quality_gate_ablation is not
+        # probed separately: its plan is C72's already-probed kernels
+        # — gopher_repetition, doc_entropy, bloom probe, md5 dedup —
+        # plus a 6-way struct explode and a 6-row agg.)
+        sil_spec = sdocs.select(
+            "doc_id",
+            (F.lit(100) + F.col("doc_id") % 50).cast("int").alias("n"),
+            F.col("doc_id").alias("seed"))
+        r["wav_silence"] = timed("sil", MM.wav_silence_report(
+            MM.encode_wav(sil_spec, "doc_id", "n", "seed", rate=8000)))
+
         # PyFold last: its Python workers pressure memory for later jobs
         gpy = define_group("p", input_stream("t", key="user_id"),
                            persist(PyFold(
