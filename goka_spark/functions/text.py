@@ -97,6 +97,32 @@ def scrub_pii(text: Column) -> Column:
     return F.regexp_replace(out, F.lit(URL_RE), F.lit("<URL>"))
 
 
+SCRIPT_RE = r"(?s)<script[^>]*>.*?</script>"
+STYLE_RE = r"(?s)<style[^>]*>.*?</style>"
+TAG_RE = r"<[^>]*>"
+# decoded in order; &amp; LAST so freshly-decoded ampersands are never
+# re-interpreted (the standard entity-decode discipline)
+MARKUP_ENTITIES = (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                   ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"))
+
+
+def strip_markup(text: Column) -> Column:
+    """HTML/markup → training text (the WET-extraction analog every
+    web-crawl pipeline runs before any quality gate): drop
+    script/style blocks wholesale, strip remaining tags (replaced by
+    a space so adjacent words never fuse), decode the six core
+    entities, collapse whitespace.  Pure Column expr — stays in
+    whole-stage codegen, and every pattern is RE2-safe (no
+    backreferences), so a SQL oracle can replay the identical chain.
+    Reference: the C-block text-curation surface; CommonCrawl WET."""
+    out = F.regexp_replace(text, SCRIPT_RE, " ")
+    out = F.regexp_replace(out, STYLE_RE, " ")
+    out = F.regexp_replace(out, TAG_RE, " ")
+    for ent, ch in MARKUP_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
 def all_shingles(text: Column, n: int = 3) -> Column:
     """ALL n-word shingles including repeats (word_shingles dedupes);
     the denominator for repetition scoring."""

@@ -119,6 +119,11 @@ _FRONT = [
     "quality_calibration",
     "multimodal_frame_dedup",
     "cosine_threshold_sweep",
+    # C131-C133 (late r8): locally oracle-verified at sf0.001 AND
+    # sf0.01, certify with the driver in r9
+    "multimodal_zcr",
+    "html_strip",
+    "release_quality_drift",
 ]
 
 

@@ -5586,6 +5586,114 @@ ORACLES["multimodal_silence"] = """
 """
 
 
+def multimodal_zcr(spark: SparkSession, sf: str) -> DataFrame:
+    """Zero-crossing-rate report over REAL decoded PCM16 audio
+    (M.wav_zcr_report): a crossing is a strict sign-bit flip between
+    adjacent samples, so n_crossings and zcr_e6 are exact integers —
+    the voiced/unvoiced (tone-vs-noise) discriminator next to C123's
+    energy-based silence report.  Same decode path, same Arrow batch
+    shape; the whole parse→numpy→count pipeline is verified because
+    the oracle recomputes every sign bit from the (seed, i) sample
+    law in closed form."""
+    docs = load(spark, sf, "documents")["documents"]
+    spec = docs.select(
+        "doc_id",
+        (F.lit(100) + F.col("doc_id") % 50).cast("int").alias("n"),
+        F.col("doc_id").alias("seed"))
+    blobs = M.encode_wav(spec, "doc_id", "n", "seed", rate=8000)
+    return M.wav_zcr_report(blobs)
+
+
+QUERIES["multimodal_zcr"] = multimodal_zcr
+
+# closed-form twin: sign bit of s_i = (doc_id*7 + i*13) % 65536 − 32768;
+# crossings compare adjacent sign bits (DuckDB lists are 1-indexed)
+ORACLES["multimodal_zcr"] = """
+    WITH s AS (
+      SELECT doc_id, (100 + doc_id % 50) AS n,
+             list_transform(
+               range(0, 100 + doc_id % 50),
+               i -> CASE WHEN (doc_id * 7 + i * 13) % 65536 - 32768 < 0
+                         THEN 1 ELSE 0 END) AS neg
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n,
+             len(list_filter(range(0, n - 1),
+                             i -> neg[i + 1] != neg[i + 2])) AS nc
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(nc AS BIGINT) AS n_crossings,
+           CAST(nc * 1000000 // (n - 1) AS BIGINT) AS zcr_e6
+    FROM c
+"""
+
+# deterministic markup wrapper shared by the html_strip query and its
+# oracle: script + style blocks, nested tags, and all six entities
+_HTML_PRE = ('<html><head><style>p { color: red; }</style></head>'
+             '<body><h1 class="title">Doc ')
+_HTML_MID = '</h1><p>'
+_HTML_SCRIPT = '</p><script type="text/javascript">var id = '
+_HTML_POST = (';</script><div class="footer">&lt;auto&gt; &amp; '
+              '&quot;mirrored&quot;&nbsp;&#39;n&#39;</div></body></html>')
+
+
+def html_strip(spark: SparkSession, sf: str) -> DataFrame:
+    """Markup removal (T.strip_markup) — the WET-extraction step a
+    web-crawl pipeline runs before any quality gate: each document is
+    wrapped in a deterministic HTML shell (style block, heading,
+    sentence-split <p> paragraphs, a script block, and all six core
+    entities), then stripped back to text.  Returns the cleaned text
+    plus the markup-overhead character count; the oracle replays the
+    identical RE2-safe regex/entity chain in SQL, so the whole
+    strip path is engine-verified."""
+    docs = load(spark, sf, "documents")["documents"]
+    html = F.concat(
+        F.lit(_HTML_PRE), F.col("doc_id").cast("string"),
+        F.lit(_HTML_MID),
+        F.replace(F.col("text"), F.lit(". "), F.lit(".</p> <p>")),
+        F.lit(_HTML_SCRIPT), F.col("doc_id").cast("string"),
+        F.lit(_HTML_POST))
+    clean = T.strip_markup(html)
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        (F.length(html) - F.length(clean)).cast("long")
+        .alias("n_markup_chars"))
+
+
+QUERIES["html_strip"] = html_strip
+
+ORACLES["html_strip"] = r"""
+    WITH h AS (
+      SELECT doc_id,
+             '__PRE__' || CAST(doc_id AS VARCHAR) || '__MID__'
+               || replace(text, '. ', '.</p> <p>')
+               || '__SCRIPT__' || CAST(doc_id AS VARCHAR) || '__POST__'
+               AS html
+      FROM documents
+    ), s AS (
+      SELECT doc_id, html,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(regexp_replace(regexp_replace(html,
+                   '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                   '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                 '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+               '\s+', ' ', 'g')) AS clean
+      FROM h
+    )
+    SELECT doc_id, clean AS clean_text,
+           CAST(length(html) - length(clean) AS BIGINT) AS n_markup_chars
+    FROM s
+""".replace("__PRE__", _HTML_PRE).replace("__MID__", _HTML_MID) \
+   .replace("__SCRIPT__", _HTML_SCRIPT.replace("'", "''")) \
+   .replace("__POST__", _HTML_POST.replace("'", "''"))
+
+
 def quality_gate_ablation(spark: SparkSession, sf: str) -> DataFrame:
     """Gate ABLATION report over the C72 pipeline's six gates: for
     each gate, how many (non-benchmark) docs fail it when evaluated
@@ -5967,6 +6075,93 @@ ORACLES["quality_calibration"] = f"""
            CAST(SUM(pos) AS BIGINT) AS n_pos,
            CAST(SUM(pos) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_e6
     FROM q GROUP BY 1
+"""
+
+
+def release_quality_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-COMPOSITION drift between releases: per score-decile
+    bucket (C128's law on C8's rounded score), old- vs new-release
+    doc counts, each release's bucket share in exact integer ppm, and
+    the share delta — the release gate that catches a quality-mix
+    regression (e.g. a scraper change flooding low buckets) that
+    release_diff's changed-doc count and release_token_drift's
+    vocabulary JSD both miss.  The simulated next release follows
+    release_diff's deterministic law (drop %17, edit %13 with ' v2',
+    re-add %19 under new ids).
+
+    Scale shape: one scan per release side (pure-Column score) + a
+    10-row hash-agg + a broadcast one-row totals join — nothing
+    grows beyond the bucket count."""
+    docs = load(spark, sf, "documents")["documents"]
+    new_rel = docs.filter(F.col("doc_id") % 17 != 0).select(
+        F.when(F.col("doc_id") % 13 == 0,
+               F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")).alias("text")).unionByName(
+        docs.filter(F.col("doc_id") % 19 == 0).select("text"))
+    bucket = F.least(F.floor(T.quality_score(F.col("text")) * 10),
+                     F.lit(9)).cast("long").alias("bucket")
+    tagged = (docs.select(bucket, F.lit(1).alias("is_old"),
+                          F.lit(0).alias("is_new"))
+              .unionByName(new_rel.select(bucket, F.lit(0).alias("is_old"),
+                                          F.lit(1).alias("is_new"))))
+    per = tagged.groupBy("bucket").agg(
+        F.sum("is_old").cast("long").alias("n_old"),
+        F.sum("is_new").cast("long").alias("n_new"))
+    totals = per.agg(F.sum("n_old").alias("_to"),
+                     F.sum("n_new").alias("_tn"))
+    return (per.crossJoin(F.broadcast(totals))
+            .select("bucket", "n_old", "n_new",
+                    F.expr("n_old * 1000000 DIV _to").cast("long")
+                    .alias("share_old_e6"),
+                    F.expr("n_new * 1000000 DIV _tn").cast("long")
+                    .alias("share_new_e6"),
+                    (F.expr("n_new * 1000000 DIV _tn")
+                     - F.expr("n_old * 1000000 DIV _to")).cast("long")
+                    .alias("delta_e6")))
+
+
+QUERIES["release_quality_drift"] = release_quality_drift
+
+ORACLES["release_quality_drift"] = f"""
+    WITH rel AS (
+      SELECT 1 AS is_old, 0 AS is_new, text FROM documents
+      UNION ALL
+      SELECT 0, 1,
+             CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT 0, 1, text FROM documents WHERE doc_id % 19 = 0
+    ), q AS (
+      SELECT is_old, is_new,
+             LEAST(FLOOR(ROUND(
+               0.5 * LEAST(n_words / 64.0, 1.0)
+             + 0.25 * LEAST(sw / GREATEST(n_words, 1.0) * 4, 1.0)
+             + 0.25 * (1 - LEAST(punct / GREATEST(n_chars_d, 1.0) * 4,
+                                 1.0)), 4) * 10), 9) AS bucket
+      FROM (
+        SELECT is_old, is_new,
+               CAST(len({_WORDS}) AS DOUBLE) AS n_words,
+               CAST(length(text) AS DOUBLE) AS n_chars_d,
+               CAST(len(regexp_extract_all(text, '[^\\w\\s]'))
+                 AS DOUBLE) AS punct,
+               CAST({_sw_hits(_SW['en'])} AS DOUBLE) AS sw
+        FROM rel
+      )
+    ), per AS (
+      SELECT CAST(bucket AS BIGINT) AS bucket,
+             CAST(SUM(is_old) AS BIGINT) AS n_old,
+             CAST(SUM(is_new) AS BIGINT) AS n_new
+      FROM q GROUP BY 1
+    ), tot AS (
+      SELECT SUM(n_old) AS t_old, SUM(n_new) AS t_new FROM per
+    )
+    SELECT bucket, n_old, n_new,
+           CAST(n_old * 1000000 // t_old AS BIGINT) AS share_old_e6,
+           CAST(n_new * 1000000 // t_new AS BIGINT) AS share_new_e6,
+           CAST(n_new * 1000000 // t_new - n_old * 1000000 // t_old
+                AS BIGINT) AS delta_e6
+    FROM per, tot
 """
 
 

@@ -51,6 +51,122 @@ def timed(label, df):
     return round(time.time() - t0, 2)
 
 
+def r8_family(r, sdocs, emb_f, kp_cc):
+    """The round-8 operator family, callable from the full sweep or
+    from the focused runner (scale_probe_r8.py) so late additions get
+    their 1x-64x rows without re-timing the whole board."""
+    from goka_spark.functions import corpus as CORP
+    from goka_spark.functions import dedup as D
+    from goka_spark.functions import multimodal as MM
+    from goka_spark.functions import similarity as SIM
+    from goka_spark.functions import text as TXT
+
+    # doc_chunk: pure scan stage (split + sequence of starts +
+    # posexplode), zero shuffle — expect strictly linear
+    r["doc_chunk"] = timed("chunk", CORP.doc_chunk(
+        sdocs, "doc_id", "text", chunk=16, stride=12))
+
+    # chunk→pack composition: the chunk scan feeding the two-pass
+    # distributed prefix sum (partition-sums frame is
+    # partitions-sized) — expect ~linear
+    ck = CORP.doc_chunk(sdocs, "doc_id", "text", chunk=16, stride=12)
+    r["chunk_pack"] = timed("cpk", TXT.pack_sequences(
+        ck.select((F.col("doc_id") * 1_000_000 + F.col("chunk_idx"))
+                  .alias("cid"), F.col("n_tokens").alias("tok")),
+        "cid", "tok", seq_len=128))
+
+    # chunk-granular dup report: chunk scan reduced to 32 B md5s
+    # before the count hash-agg + equi-join — expect ~linear in
+    # chunks (the shuffled bytes are hashes, never chunk text)
+    r["chunk_dup"] = timed("cdup", CORP.chunk_dup_report(
+        sdocs, "doc_id", "text", chunk=12))
+
+    # release diff: each side reduces to (id, md5) in its scan
+    # stage before the full-outer join — expect ~linear
+    new_rel = sdocs.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0,
+               F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")).alias("text")).unionByName(
+        sdocs.filter(F.col("doc_id") % 19 == 0).select(
+            (F.col("doc_id") + 100_000_000).alias("doc_id"), "text"))
+    r["release_diff"] = timed("rdiff", CORP.release_diff(
+        sdocs, new_rel, "doc_id", "text"))
+
+    # pairwise source JSD: one postings hash-agg + a<b word
+    # equi-join + pairs-sized agg — sources are config-sized,
+    # expect ~linear in tokens.  (release_token_drift is this same
+    # kernel with releases as the source axis — not probed twice.)
+    r["source_divergence"] = timed("jsd", TXT.source_divergence_matrix(
+        sdocs, "doc_id", "text", "source"))
+
+    # cluster-size histogram over the CC labels (graph reused from
+    # the keep probe) — rollup is clusters-sized, expect ~linear
+    lab = (sdocs.select("doc_id")
+           .join(kp_cc.withColumnRenamed("node", "doc_id"),
+                 "doc_id", "left")
+           .select(F.coalesce("cluster_id", "doc_id").alias("cid")))
+    r["cluster_size_hist"] = timed(
+        "csh",
+        lab.groupBy("cid").agg(F.count("*").alias("sz"))
+        .groupBy("sz").agg(F.count("*").alias("n")))
+
+    # matryoshka recall: ONE corpus scan scores every (query, dim)
+    # pair against the broadcast 20-query set — expect ~linear
+    r["matryoshka"] = timed("mat", SIM.matryoshka_recall(
+        emb_f, "vec_id", "embedding", dims=(8, 16, 32), k=5,
+        n_queries=20))
+
+    # bigram conditional entropy: scan-stage bigram arrays + two
+    # hash-aggs — expect ~linear in tokens
+    r["bigram_cond_entropy"] = timed("bce", TXT.bigram_cond_entropy(
+        sdocs, "doc_id", "text", "source"))
+
+    # per-dimension embedding moments: posexplode + dims-sized
+    # hash-agg — expect ~linear
+    r["embedding_dim_stats"] = timed("dstat", SIM.embedding_dim_stats(
+        emb_f, "vec_id", "embedding"))
+
+    # exact-Jaccard threshold sweep: ONE df-pruned postings join
+    # feeds every threshold — expect ~ngram_jaccard
+    r["threshold_sweep"] = timed("tsw", D.jaccard_threshold_sweep(
+        sdocs, "doc_id", "text"))
+
+    # cosine threshold sweep: one LSH-banded scored pass at the
+    # lowest threshold; higher thresholds are filters over the same
+    # frame — expect ~cosine_lsh_pairs
+    r["cos_threshold_sweep"] = timed("ctsw", SIM.cosine_threshold_sweep(
+        emb_f, "vec_id", "embedding"))
+
+    # windowed silence over synthesized-then-decoded PCM16:
+    # Arrow-batched mapInPandas, per-clip work bounded —
+    # expect ~linear in clips.  (quality_gate_ablation is not
+    # probed separately: its plan is C72's already-probed kernels
+    # — gopher_repetition, doc_entropy, bloom probe, md5 dedup —
+    # plus a 6-way struct explode and a 6-row agg.  lang_id_eval and
+    # quality_calibration are one scan + a languages-/10-row hash-agg
+    # over already-probed scoring columns.)
+    sil_spec = sdocs.select(
+        "doc_id",
+        (F.lit(100) + F.col("doc_id") % 50).cast("int").alias("n"),
+        F.col("doc_id").alias("seed"))
+    r["wav_silence"] = timed("sil", MM.wav_silence_report(
+        MM.encode_wav(sil_spec, "doc_id", "n", "seed", rate=8000)))
+
+    # frame-level dHash dedup over concatenated P6 streams: decode +
+    # per-frame hash in one Arrow pass, then a doc hash-agg —
+    # expect ~linear in frames
+    fspec = sdocs.select(
+        "doc_id", (F.lit(2) + F.col("doc_id") % 4).cast("int").alias("nf"))
+    fblobs = MM.encode_ppm_stream_quad(fspec, "doc_id", "nf",
+                                       width=9, height=8, seed_mod=3)
+    r["frame_dedup"] = timed(
+        "fdd",
+        MM.frame_dhash(fblobs).groupBy("doc_id")
+        .agg(F.count("*").alias("n_frames"),
+             F.countDistinct("dhash").alias("n_distinct")))
+
+
 def main():
     factors = [int(x) for x in sys.argv[1:]] or [1, 4, 16]
     spark = get_session("scale_probe")
@@ -382,84 +498,8 @@ def main():
         r["unigram_count"] = timed("ucnt", UNI.unigram_token_count(
             sdocs, "doc_id", "text", pieces))
 
-        # ---- r8 family ----
-        # doc_chunk: pure scan stage (split + sequence of starts +
-        # posexplode), zero shuffle — expect strictly linear
-        from goka_spark.functions import multimodal as MM
-        r["doc_chunk"] = timed("chunk", CORP.doc_chunk(
-            sdocs, "doc_id", "text", chunk=16, stride=12))
-
-        # chunk→pack composition: the chunk scan feeding the two-pass
-        # distributed prefix sum (partition-sums frame is
-        # partitions-sized) — expect ~linear
-        ck = CORP.doc_chunk(sdocs, "doc_id", "text", chunk=16, stride=12)
-        r["chunk_pack"] = timed("cpk", TXT.pack_sequences(
-            ck.select((F.col("doc_id") * 1_000_000 + F.col("chunk_idx"))
-                      .alias("cid"), F.col("n_tokens").alias("tok")),
-            "cid", "tok", seq_len=128))
-
-        # release diff: each side reduces to (id, md5) in its scan
-        # stage before the full-outer join — expect ~linear
-        new_rel = sdocs.filter(F.col("doc_id") % 17 != 0).select(
-            "doc_id",
-            F.when(F.col("doc_id") % 13 == 0,
-                   F.concat(F.col("text"), F.lit(" v2")))
-            .otherwise(F.col("text")).alias("text")).unionByName(
-            sdocs.filter(F.col("doc_id") % 19 == 0).select(
-                (F.col("doc_id") + 100_000_000).alias("doc_id"), "text"))
-        r["release_diff"] = timed("rdiff", CORP.release_diff(
-            sdocs, new_rel, "doc_id", "text"))
-
-        # pairwise source JSD: one postings hash-agg + a<b word
-        # equi-join + pairs-sized agg — sources are config-sized,
-        # expect ~linear in tokens
-        r["source_divergence"] = timed("jsd", TXT.source_divergence_matrix(
-            sdocs, "doc_id", "text", "source"))
-
-        # cluster-size histogram over the CC labels (graph reused from
-        # the keep probe) — rollup is clusters-sized, expect ~linear
-        lab = (sdocs.select("doc_id")
-               .join(kp_cc.withColumnRenamed("node", "doc_id"),
-                     "doc_id", "left")
-               .select(F.coalesce("cluster_id", "doc_id").alias("cid")))
-        r["cluster_size_hist"] = timed(
-            "csh",
-            lab.groupBy("cid").agg(F.count("*").alias("sz"))
-            .groupBy("sz").agg(F.count("*").alias("n")))
-
-        # matryoshka recall: ONE corpus scan scores every (query, dim)
-        # pair against the broadcast 20-query set — expect ~linear
-        r["matryoshka"] = timed("mat", SIM.matryoshka_recall(
-            emb_f, "vec_id", "embedding", dims=(8, 16, 32), k=5,
-            n_queries=20))
-
-        # bigram conditional entropy: scan-stage bigram arrays + two
-        # hash-aggs — expect ~linear in tokens
-        r["bigram_cond_entropy"] = timed("bce", TXT.bigram_cond_entropy(
-            sdocs, "doc_id", "text", "source"))
-
-        # per-dimension embedding moments: posexplode + dims-sized
-        # hash-agg — expect ~linear
-        r["embedding_dim_stats"] = timed("dstat", SIM.embedding_dim_stats(
-            emb_f, "vec_id", "embedding"))
-
-        # exact-Jaccard threshold sweep: ONE df-pruned postings join
-        # feeds every threshold — expect ~ngram_jaccard
-        r["threshold_sweep"] = timed("tsw", D.jaccard_threshold_sweep(
-            sdocs, "doc_id", "text"))
-
-        # windowed silence over synthesized-then-decoded PCM16:
-        # Arrow-batched mapInPandas, per-clip work bounded —
-        # expect ~linear in clips.  (quality_gate_ablation is not
-        # probed separately: its plan is C72's already-probed kernels
-        # — gopher_repetition, doc_entropy, bloom probe, md5 dedup —
-        # plus a 6-way struct explode and a 6-row agg.)
-        sil_spec = sdocs.select(
-            "doc_id",
-            (F.lit(100) + F.col("doc_id") % 50).cast("int").alias("n"),
-            F.col("doc_id").alias("seed"))
-        r["wav_silence"] = timed("sil", MM.wav_silence_report(
-            MM.encode_wav(sil_spec, "doc_id", "n", "seed", rate=8000)))
+        # ---- r8 family (shared with scale_probe_r8.py) ----
+        r8_family(r, sdocs, emb_f, kp_cc)
 
         # PyFold last: its Python workers pressure memory for later jobs
         gpy = define_group("p", input_stream("t", key="user_id"),
@@ -484,7 +524,10 @@ def main():
     if os.path.exists(out_path):
         with open(out_path) as fh:
             prev = json.load(fh)
-        prev.update({str(k): v for k, v in results.items()})
+        # deep-merge per factor so a focused run (scale_probe_r8.py)
+        # adds rows without clobbering the factor's existing board
+        for k, v in results.items():
+            prev.setdefault(str(k), {}).update(v)
         results = prev
     with open(out_path, "w") as fh:
         json.dump(results, fh, indent=1)
