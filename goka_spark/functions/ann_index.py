@@ -865,6 +865,57 @@ def ivf_balance_report(index: ANNIndex) -> DataFrame:
                     "min_sim_e4", "max_sim_e4"))
 
 
+def cell_margin_report(index: ANNIndex,
+                       ambiguous_e4: int = 500) -> DataFrame:
+    """Assignment-CONFIDENCE report — the simplified-silhouette twin
+    of :func:`ivf_balance_report`: per vector, the margin between its
+    own-centroid cosine and its best OTHER-centroid cosine (both
+    integerized at ROUND(·10⁴) first, so the margin and every cell
+    aggregate are exact integers); per cell, the population, the
+    floored mean margin, the minimum margin, and how many vectors sit
+    within ``ambiguous_e4`` of another prototype.  A cell whose mean
+    margin collapses toward 0 is not a real cluster (re-train or
+    merge); ambiguous vectors are the ones SemDeDup/D4-style pruning
+    decisions should not trust.
+
+    Exactness discipline: the sims list is one left-associative
+    unit-dot per centroid (the same fold every similarity consumer
+    uses), own cell is the first-max argmax (numpy-argsort
+    tie-break), and rounding is monotone so margin ≥ 0 by
+    construction.  Scale shape: n_cells dots per vector in one scan
+    stage against broadcast centroid LITERALS (n·√n flops — the
+    standard IVF law), then one cells-sized hash-agg with map-side
+    combine; no windows, no joins, no driver vector collect."""
+    spark = index.spark
+    nc = index.centroids / np.linalg.norm(index.centroids, axis=1,
+                                          keepdims=True)
+    n_cells = nc.shape[0]
+    sims = F.array(*[
+        S.dot(F.col("_v"), F.array(*[F.lit(float(x)) for x in row]))
+        for row in nc])
+    v = index.codes().select(F.col("vec").alias("_v")) \
+        .withColumn("_s", sims)
+    per_vec = v.selectExpr(
+        "cast(array_position(_s, array_max(_s)) as int) as _pos",
+        "transform(_s, x -> cast(round(x * 10000, 0) as bigint)) as _se4",
+    ).selectExpr(
+        "cast(_pos - 1 as bigint) as cluster",
+        "element_at(_se4, _pos) - array_max("
+        "  filter(_se4, (x, i) -> i != _pos - 1)) as _margin",
+    )
+    return (per_vec.groupBy("cluster")
+            .agg(F.count("*").cast("long").alias("n_vectors"),
+                 F.sum("_margin").alias("_sm"),
+                 F.min("_margin").cast("long").alias("min_margin_e4"),
+                 F.sum((F.col("_margin") < ambiguous_e4).cast("long"))
+                 .cast("long").alias("n_ambiguous"))
+            .select("cluster", "n_vectors",
+                    F.floor(F.col("_sm").cast("double")
+                            / F.col("n_vectors").cast("double"))
+                    .cast("long").alias("mean_margin_e4"),
+                    "min_margin_e4", "n_ambiguous"))
+
+
 def probe_max_cos(index: ANNIndex, queries: DataFrame, id_col: str,
                   vec_col: str, n_probe: int = 4,
                   neighbor_where: "Column | None" = None,

@@ -124,6 +124,7 @@ _FRONT = [
     "multimodal_zcr",
     "html_strip",
     "release_quality_drift",
+    "embedding_cell_margins",
 ]
 
 

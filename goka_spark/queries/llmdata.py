@@ -648,6 +648,20 @@ def ivf_balance_report(spark: SparkSession, sf: str) -> DataFrame:
     return A.ivf_balance_report(_ann_index(spark, sf, emb))
 
 
+def embedding_cell_margins(spark: SparkSession, sf: str) -> DataFrame:
+    """Assignment-confidence / simplified-silhouette report over the
+    persisted IVF index (A.cell_margin_report): per cell, population,
+    floored mean own-vs-best-other centroid-cosine margin, minimum
+    margin, and the count of ambiguous vectors (margin < 0.05) —
+    the cluster-separation diagnostic read before trusting
+    SemDeDup/D4-style per-cluster pruning.  Margins are integerized
+    at ROUND(·10^4) per vector before any aggregation, so the whole
+    report is exact-integer and hash-verifies via the
+    recomputable-quantizer oracle."""
+    emb = load(spark, sf, "embeddings")["embeddings"]
+    return A.cell_margin_report(_ann_index(spark, sf, emb))
+
+
 def embedding_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
     """Cluster-local k-NN graph (the SemDeDup/D4 neighborhood
     structure): each vector's top-5 exact-cosine neighbors among the
@@ -1701,6 +1715,7 @@ QUERIES = {
     "winnow_fingerprints": winnow_fingerprints,
     "winnow_overlap_pairs": winnow_overlap_pairs,
     "ivf_balance_report": ivf_balance_report,
+    "embedding_cell_margins": embedding_cell_margins,
     "dedup_simhash_verified": dedup_simhash_verified,
     "multimodal_decode": multimodal_decode,
     "multimodal_decode_ppm": multimodal_decode_ppm,
@@ -4752,6 +4767,41 @@ def _ivf_balance_oracle(dim: int = 64) -> str:
 
 
 ORACLES["ivf_balance_report"] = _ivf_balance_oracle
+
+
+def _cell_margin_oracle(dim: int = 64, ambiguous_e4: int = 500) -> str:
+    """DuckDB twin of embedding_cell_margins: recomputed centroid
+    literals → per-vector sims list, first-max argmax cell, margin =
+    own ROUND(·e4) minus the max ROUND(·e4) over the other cells
+    (1-based list_filter index mirrors Spark's 0-based filter), then
+    the same exact-integer cell aggregates."""
+    _, ctes = _ivf_cells_ctes(dim)
+    return f"""
+        WITH {ctes},
+        m AS (
+          SELECT vec_id,
+                 list_position(s, list_aggregate(s, 'max')) AS pos,
+                 list_transform(s, x -> CAST(ROUND(x * 10000, 0)
+                                             AS BIGINT)) AS se4
+          FROM sims
+        ), mm AS (
+          SELECT CAST(pos - 1 AS BIGINT) AS cluster,
+                 se4[pos] - list_aggregate(
+                   list_filter(se4, (x, i) -> i != pos), 'max') AS margin
+          FROM m
+        )
+        SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(FLOOR(CAST(SUM(margin) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+                 AS mean_margin_e4,
+               CAST(MIN(margin) AS BIGINT) AS min_margin_e4,
+               CAST(SUM(CASE WHEN margin < {ambiguous_e4} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ambiguous
+        FROM mm GROUP BY cluster
+    """
+
+
+ORACLES["embedding_cell_margins"] = _cell_margin_oracle
 
 
 def _knn_graph_oracle(k: int = 5, dim: int = 64) -> str:

@@ -264,3 +264,37 @@ def test_probe_max_cos_neighbor_filter_and_nulls(spark, sf_dir, index):
                            neighbor_where=F.lit(False)).collect()
     assert len(none) == 5
     assert all(r["max_cos"] is None for r in none)
+
+
+def test_cell_margin_report_invariants(spark, sf_dir, index):
+    """Margins are non-negative by construction (rounding is
+    monotone, own cell is the argmax), counts reconcile with the
+    codes table, ambiguous counts respect the threshold, and the
+    floored mean sits inside [min, own-bound]."""
+    idx, emb, _, _ = index
+    rows = A.cell_margin_report(idx).collect()
+    assert sum(r["n_vectors"] for r in rows) == emb.count()
+    for r in rows:
+        assert 0 <= r["min_margin_e4"] <= r["mean_margin_e4"] <= 20_000
+        assert 0 <= r["n_ambiguous"] <= r["n_vectors"]
+    # clusters come from the index's cells, no phantom clusters
+    assert {r["cluster"] for r in rows} <= set(range(len(idx.centroids)))
+
+
+def test_cell_margin_report_threshold_monotone(spark, sf_dir, index):
+    """Raising the ambiguity threshold can only add flagged vectors
+    (per cluster), and an impossible threshold flags nothing."""
+    idx, emb, _, _ = index
+    lo = {r["cluster"]: r["n_ambiguous"]
+          for r in A.cell_margin_report(idx, ambiguous_e4=0).collect()}
+    mid = {r["cluster"]: r["n_ambiguous"]
+           for r in A.cell_margin_report(idx, ambiguous_e4=500).collect()}
+    hi = {r["cluster"]: r["n_ambiguous"]
+          for r in A.cell_margin_report(idx,
+                                        ambiguous_e4=30_000).collect()}
+    n = {r["cluster"]: r["n_vectors"]
+         for r in A.cell_margin_report(idx).collect()}
+    assert all(v == 0 for v in lo.values())  # margin >= 0 strictly
+    for c in mid:
+        assert lo[c] <= mid[c] <= hi[c]
+        assert hi[c] == n[c]  # every margin < 3.0 in e4 units
