@@ -105,6 +105,12 @@ def main() -> None:
     # ANN queries below measure query cost against the built index
     _ann_index(spark, sf_dir,
                load(spark, sf_dir, "embeddings")["embeddings"])
+    # ...and one probed query against it: the first probed read pays
+    # ~4.5 s of scoring-stage/Arrow init that the index build alone
+    # does not warm (r8 verdict ask #2 — embedding_ivf_ann read
+    # 7.07 s cold vs 2.47 s warm; plan unchanged)
+    qs["embedding_ivf_ann"](spark, sf_dir) \
+        .write.format("noop").mode("overwrite").save()
     # tokenizer vocab training is the same kind of build artifact:
     # train the memoized BPE/batched-BPE/unigram vocabularies here so
     # every timed tokenizer row is APPLY-only and sweep-order

@@ -183,8 +183,27 @@ def distinct_users_per_type(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
-    """HLL++ approximate distinct (rows-only: estimates differ across
-    engines by design; the scale path for 100 TB cardinalities)."""
+    """Approximate distinct users per event type, served by the
+    engine-portable HyperLogLog kernel (functions/dedup.py
+    hll_registers/hll_estimate): md5-derived registers + the
+    deterministic estimate formula reproduce bit-identically in
+    DuckDB, so this is hash-verified where Spark's opaque builtin
+    sketch could only ever be rows-only (r8 verdict ask #3).  Same
+    one-shuffle shape as the builtin: partial register maxes map-side,
+    256 registers per group reduce-side — the 100 TB cardinality
+    path.  Builtin twin kept as approx_distinct_users_builtin."""
+    from goka_spark.functions import dedup as D
+    ev = load(spark, sf, "events")["events"]
+    regs = D.hll_registers(ev, ["event_type"], "user_id")
+    return D.hll_estimate(regs, ["event_type"]) \
+        .select("event_type", F.col("hll_est").alias("approx_users"))
+
+
+def approx_distinct_users_builtin(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark's builtin HLL++ sketch (rows-only by design: the sketch
+    is engine-opaque, estimates differ across engines). Kept as the
+    builtin-surface twin of approx_distinct_users, which serves the
+    verified portable kernel."""
     ev = load(spark, sf, "events")["events"]
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
@@ -863,6 +882,7 @@ QUERIES = {
     "top_k_per_group": top_k_per_group,
     "distinct_users_per_type": distinct_users_per_type,
     "approx_distinct_users": approx_distinct_users,
+    "approx_distinct_users_builtin": approx_distinct_users_builtin,
     "event_type_pivot": event_type_pivot,
     "as_of_join": as_of_join_q,
     "q7_volume_shipping": q7_volume_shipping,
@@ -1013,7 +1033,40 @@ ORACLES = {
         SELECT event_type, COUNT(DISTINCT user_id) AS users
         FROM events GROUP BY event_type
     """,
-    # approx_distinct_users: rows-only (engine-specific HLL estimates)
+    # approx_distinct_users: portable-HLL replay (same register/
+    # estimate algebra as the hll_distinct_users twin in llmdata.py);
+    # approx_distinct_users_builtin stays rows-only (opaque sketch)
+    "approx_distinct_users": """
+        WITH h AS (
+          SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+        ), rv AS (
+          SELECT event_type,
+                 CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) AS reg,
+                 CASE WHEN CAST(('0x' || substr(hx, 3, 12)) AS BIGINT) > 0
+                      THEN 49 - length(bin(
+                             CAST(('0x' || substr(hx, 3, 12)) AS BIGINT)))
+                      ELSE 49 END AS val
+          FROM h
+        ), regs AS (
+          SELECT event_type, reg, MAX(val) AS r
+          FROM rv GROUP BY event_type, reg
+        ), per AS (
+          SELECT event_type,
+                 CAST(SUM(CAST(1 AS BIGINT) << (49 - r))
+                      + (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 49)
+                      AS DOUBLE) / CAST(CAST(1 AS BIGINT) << 49 AS DOUBLE)
+                   AS s,
+                 CAST(256 - COUNT(*) AS DOUBLE) AS zeros
+          FROM regs GROUP BY event_type
+        )
+        SELECT event_type,
+               CASE WHEN (0.7213 / (1 + 1.079/256)) * 256 * 256 / s
+                         <= 2.5 * 256 AND zeros > 0
+                    THEN ROUND(256.0 * ln(256.0 / zeros), 4)
+                    ELSE ROUND((0.7213 / (1 + 1.079/256)) * 256 * 256 / s, 4)
+               END AS approx_users
+        FROM per
+    """,
     "event_type_pivot": """
         SELECT CAST(user_id AS VARCHAR) AS key,
                COUNT(*) FILTER (event_type = 'click') AS n_click,

@@ -1078,19 +1078,26 @@ def corpus_filter_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     document's row is deterministic and auditable.
 
     Scale shape: the three text gates are pure Column expressions in
-    the scan stage; exact dedup is one hash-aggregate; near-dup pairs
-    come from the df-pruned shingle equi-join and the cluster step is
-    the pointer-jumping CC (pair mining materialized once via
-    localCheckpoint inside connected_components).  On a cluster you'd
-    persist `scored` between stages; the plan itself adds no O(n²)
-    stage anywhere."""
+    the scan stage; exact dedup is one hash-aggregate; the near-dup
+    stage consumes the SESSION-MEMOIZED corpus-wide CC graph — the
+    same pair mining + pointer-jumping CC dedup_clusters /
+    split_leakage_safe / cluster_size_histogram already share
+    (_jaccard_cc) — instead of re-mining its own postings join per
+    call (r8 verdict ask #5; the re-mine was ~2/3 of this query's
+    10.7 s at sf0.1).  Cluster representative is the min doc_id AMONG
+    SURVIVORS, so a cluster whose corpus-wide representative was
+    gated out for quality still keeps one copy.  On a cluster you'd
+    persist `scored` between stages; the plan adds no O(n²) stage
+    anywhere."""
     docs = load(spark, sf, "documents")["documents"]
-    return filter_verdicts(docs)
+    return filter_verdicts(docs, cc=_jaccard_cc(spark, docs, sf))
 
 
-def filter_verdicts(docs: DataFrame) -> DataFrame:
+def filter_verdicts(docs: DataFrame, cc: DataFrame | None = None) -> DataFrame:
     """Pipeline core over any (doc_id, text) frame — see
-    corpus_filter_pipeline for stage semantics."""
+    corpus_filter_pipeline for stage semantics.  ``cc`` is the
+    (node, cluster_id) near-dup component frame over the SAME docs
+    (pass the memoized corpus graph); mined fresh when omitted."""
     scored = docs.select(
         "doc_id", "text",
         T.lang_id(F.col("text")).alias("_lang"),
@@ -1112,22 +1119,32 @@ def filter_verdicts(docs: DataFrame) -> DataFrame:
     keep_ids = (surv1.groupBy(F.md5("text").alias("_h"))
                 .agg(F.min("doc_id").alias("doc_id")))
     surv2 = surv1.join(keep_ids, "doc_id", "left_semi")
-    pairs = D.ngram_jaccard_pairs(surv2, "doc_id", "text", n=3,
-                                  threshold=0.05, max_df=50)
-    cc = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    if cc is None:
+        pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                      threshold=0.05, max_df=50)
+        cc = D.connected_components(pairs)
+    cc = cc.select(F.col("node").alias("doc_id"), "cluster_id")
+    # keep the min SURVIVING doc per corpus-wide cluster; everything
+    # else in the cluster that reached this stage is a near_dup
+    labeled = surv2.select("doc_id").join(cc, "doc_id", "left")
+    rep = (labeled.filter(F.col("cluster_id").isNotNull())
+           .groupBy("cluster_id").agg(F.min("doc_id").alias("_rep")))
+    near = (labeled.join(rep, "cluster_id", "left")
+            .filter(F.col("cluster_id").isNotNull()
+                    & (F.col("_rep") != F.col("doc_id")))
+            .select("doc_id", F.lit(True).alias("_nd")))
     return (
         scored
         .join(surv2.select("doc_id", F.lit(True).alias("_s2")),
               "doc_id", "left")
-        .join(cc, "doc_id", "left")
+        .join(near, "doc_id", "left")
         .select(
             "doc_id",
             F.when(F.col("_lang") != "en", "lang")
              .when(F.col("_q") < 0.5, "quality")
              .when(F.col("_rep") >= 0.2, "repetition")
              .when(F.col("_s2").isNull(), "exact_dup")
-             .when(F.col("cluster_id").isNotNull()
-                   & (F.col("cluster_id") != F.col("doc_id")), "near_dup")
+             .when(F.col("_nd").isNotNull(), "near_dup")
              .otherwise("kept").alias("verdict"))
     )
 
@@ -2641,27 +2658,7 @@ ORACLES["corpus_filter_pipeline"] = f"""
     ), surv2 AS (
       SELECT s.doc_id, s.text FROM surv1 s
       JOIN ek ON md5(s.text) = ek.h AND s.doc_id = ek.kid
-    ), d2 AS (
-      SELECT doc_id AS doc, list_distinct(list_transform(
-               range(1, greatest(len(words) - 2, 1) + 1),
-               i -> array_to_string(words[i:i+2], ' '))) AS shs
-      FROM (SELECT doc_id, {_WORDS} AS words FROM surv2)
-    ), sh2 AS (
-      SELECT doc, UNNEST(shs) AS sh FROM d2
-    ), dfc2 AS (
-      SELECT sh FROM (SELECT sh, COUNT(*) AS cnt FROM sh2 GROUP BY sh)
-      WHERE cnt <= 50
-    ), pr2 AS (
-      SELECT doc, s.sh FROM sh2 s JOIN dfc2 USING (sh)
-    ), cand2 AS (
-      SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
-      FROM pr2 a JOIN pr2 b ON a.sh = b.sh AND a.doc < b.doc
-    ), pairs2 AS (
-      SELECT id_a, id_b
-      FROM cand2 c JOIN d2 a ON a.doc = c.id_a JOIN d2 b ON b.doc = c.id_b
-      WHERE ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
-                  / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))),
-                  4) >= 0.05
+    ), pairs2 AS ({ORACLES["ngram_jaccard_pairs"]}
     ), edges2 AS (
       SELECT id_a AS a, id_b AS b FROM pairs2
       UNION
@@ -2672,19 +2669,27 @@ ORACLES["corpus_filter_pipeline"] = f"""
       UNION
       SELECT e.a AS node, r.label FROM edges2 e JOIN reach2 r ON e.b = r.node
     ), cc2 AS (
+      -- corpus-wide components: the same graph dedup_clusters
+      -- certifies (r8 verdict ask #5 — one shared pair mining)
       SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach2 GROUP BY node
+    ), rep2 AS (
+      -- min SURVIVING doc per cluster is the kept representative
+      SELECT c.cluster_id, MIN(v.doc_id) AS rep_id
+      FROM cc2 c JOIN surv2 v ON v.doc_id = c.doc_id
+      GROUP BY c.cluster_id
     )
     SELECT s.doc_id,
            CASE WHEN s.lang <> 'en' THEN 'lang'
                 WHEN s.q < 0.5 THEN 'quality'
                 WHEN s.rep >= 0.2 THEN 'repetition'
                 WHEN v.doc_id IS NULL THEN 'exact_dup'
-                WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> s.doc_id
+                WHEN c.cluster_id IS NOT NULL AND r2.rep_id <> s.doc_id
                   THEN 'near_dup'
                 ELSE 'kept' END AS verdict
     FROM scored s
     LEFT JOIN surv2 v ON v.doc_id = s.doc_id
     LEFT JOIN cc2 c ON c.doc_id = s.doc_id
+    LEFT JOIN rep2 r2 ON r2.cluster_id = c.cluster_id
 """
 
 ORACLES["multimodal_decode_ppm"] = """
