@@ -112,6 +112,7 @@ class MonitorServer:
     def __init__(self, host: str = "127.0.0.1", port: int = 0):
         self._processors: dict[str, ProcessorResult] = {}
         self._sources: dict[str, Callable[[Any], Any]] = {}
+        self._views: set[str] = set()
         self._actions: dict[str, _Action] = {}
         outer = self
 
@@ -121,6 +122,7 @@ class MonitorServer:
         def _drop_view(value: str, stop: threading.Event) -> None:
             if outer._sources.pop(value, None) is None:
                 raise KeyError(f"no source {value!r}")
+            outer._views.discard(value)
 
         self.attach_action("drop-view", _drop_view,
                            "detach a query source by name")
@@ -160,13 +162,19 @@ class MonitorServer:
                     procs = "".join(
                         f"<li><a href='/ui/processor/{esc(n)}'>{esc(n)}"
                         "</a></li>" for n in sorted(outer._processors))
+                    views = "".join(
+                        f"<li>{esc(n)} — query at /query/{esc(n)}/&lt;key&gt;"
+                        "</li>" for n in sorted(outer._views))
                     srcs = "".join(
                         f"<li>{esc(n)} — query at /query/{esc(n)}/&lt;key&gt;"
-                        "</li>" for n in sorted(outer._sources))
+                        "</li>" for n in sorted(outer._sources)
+                        if n not in outer._views)
                     self._page(
                         "goka_spark monitor",
                         f"<h2>Processors</h2><ul>{procs or '<li>none</li>'}"
-                        f"</ul><h2>Query sources</h2>"
+                        f"</ul><h2>Views</h2>"
+                        f"<ul>{views or '<li>none</li>'}</ul>"
+                        f"<h2>Query sources</h2>"
                         f"<ul>{srcs or '<li>none</li>'}</ul>")
                 elif parts[1] == "processor" and len(parts) == 3:
                     res = outer._processors.get(parts[2])
@@ -191,10 +199,18 @@ class MonitorServer:
                 parts = [unquote(p) for p in path.split("/") if p]
                 try:
                     if not parts:
-                        self._json({
-                            "processors": sorted(outer._processors),
-                            "sources": sorted(outer._sources),
-                        })
+                        # browsers get the HTML index (the reference's
+                        # monitor root renders index.go.html); API
+                        # clients keep the JSON contract
+                        accept = self.headers.get("Accept", "")
+                        if "text/html" in accept:
+                            self._ui(["ui"])
+                        else:
+                            self._json({
+                                "processors": sorted(outer._processors),
+                                "sources": sorted(outer._sources),
+                                "views": sorted(outer._views),
+                            })
                     elif parts[:2] == ["data", "processor"] and len(parts) == 3:
                         res = outer._processors.get(parts[2])
                         if res is None:
@@ -259,6 +275,7 @@ class MonitorServer:
     def attach_view(self, name: str, view: View) -> None:
         """A View is both a monitorable source and a query getter."""
         self._sources[name] = view.get
+        self._views.add(name)
 
     def attach_source(self, name: str, getter: Callable[[Any], Any]) -> None:
         self._sources[name] = getter

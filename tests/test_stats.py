@@ -36,6 +36,7 @@ def test_monitor_server_endpoints(spark):
     """web/monitor + web/query parity: index, processor stats, and
     point key lookup over HTTP (examples/8-monitoring)."""
     import json
+    import urllib.request
     from urllib.request import urlopen
     from urllib.error import HTTPError
 
@@ -55,7 +56,19 @@ def test_monitor_server_endpoints(spark):
         srv.attach_view("mon-table", View(r.table))
 
         idx = json.load(urlopen(srv.address + "/"))
-        assert idx == {"processors": ["mon"], "sources": ["mon-table"]}
+        assert idx == {"processors": ["mon"], "sources": ["mon-table"],
+                       "views": ["mon-table"]}
+
+        # a browser (Accept: text/html) gets the HTML index at / —
+        # the reference's monitor root renders index.go.html
+        req = urllib.request.Request(
+            srv.address + "/", headers={"Accept": "text/html"})
+        with urlopen(req) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith("text/html")
+            root_page = resp.read().decode()
+        assert "mon" in root_page and "mon-table" in root_page
+        assert "<h2>Views</h2>" in root_page
 
         st = json.load(urlopen(srv.address + "/data/processor/mon"))
         assert st["group"] == "mon" and st["table"]["keys"] == 2
