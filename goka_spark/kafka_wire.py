@@ -1,0 +1,791 @@
+"""Socket-level Kafka wire protocol — TopicManager/Producer/Consumer
+over raw TCP, plus an in-process loopback broker for contract tests.
+
+goka's transport is Kafka via sarama (topic_manager.go:39
+NewTopicManager, producer.go:25 NewProducer / producer.go:64 Emit /
+producer.go:78 EmitWithHeaders).  This container has neither a broker
+nor a Kafka client library, so the wire path is proven as far as a
+container can: both halves of the PUBLIC Kafka binary protocol
+(the Apache Kafka protocol guide — kafka.apache.org/protocol) are
+implemented here from scratch and exercised against each other over a
+loopback socket.  On a real cluster the client classes speak to a real
+broker unchanged for the implemented API subset.
+
+Implemented APIs (fixed old versions, non-flexible encoding):
+- ApiVersions v0 (key 18)
+- Metadata v0 (key 3)
+- CreateTopics v0 (key 19)
+- Produce v3 (key 0) carrying RecordBatch v2 (magic=2, CRC32C,
+  zigzag-varint records, per-record headers — the current on-disk /
+  on-wire record format, KIP-98)
+- Fetch v4 (key 1) returning RecordBatch v2
+
+Partitioning follows sarama's default hash partitioner used by goka
+(FNV-1a 32-bit over the key, non-negative modulo partition count) so
+key → partition matches what a goka producer on the same topic does.
+
+Scale note: this is the control/transport plane, not a data plane —
+bulk data movement stays in Spark's kafka connector (sources.py
+kafka_source/kafka_sink builders); these classes exist for topic
+management, emitter parity, and wire-contract proof.
+"""
+
+from __future__ import annotations
+
+import io
+import socket
+import struct
+import threading
+from dataclasses import dataclass, field
+from typing import Optional
+
+# ---------------------------------------------------------------------------
+# CRC32C (Castagnoli, reflected poly 0x82F63B78) — required by
+# RecordBatch v2.  Table-driven, pure stdlib.
+# ---------------------------------------------------------------------------
+
+def _crc32c_table() -> list[int]:
+    table = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+        table.append(c)
+    return table
+
+
+_CRC32C_TABLE = _crc32c_table()
+
+
+def crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def fnv1a_32(data: bytes) -> int:
+    """FNV-1a 32-bit — sarama's default hash partitioner (what goka's
+    producer uses to map key → partition)."""
+    h = 0x811C9DC5
+    for b in data:
+        h = ((h ^ b) * 0x01000193) & 0xFFFFFFFF
+    return h
+
+
+def partition_for_key(key: bytes, num_partitions: int) -> int:
+    """sarama hashPartitioner.Partition: int32(hash) % n, negated if
+    negative."""
+    h = fnv1a_32(key)
+    if h >= 1 << 31:
+        h -= 1 << 32
+    p = h % num_partitions
+    return p if p >= 0 else p + num_partitions
+
+
+# ---------------------------------------------------------------------------
+# Primitive wire encoding (big-endian; Kafka protocol guide "types")
+# ---------------------------------------------------------------------------
+
+class _Writer:
+    def __init__(self) -> None:
+        self._b = io.BytesIO()
+
+    def raw(self, data: bytes) -> "_Writer":
+        self._b.write(data)
+        return self
+
+    def int8(self, v: int) -> "_Writer":
+        return self.raw(struct.pack(">b", v))
+
+    def int16(self, v: int) -> "_Writer":
+        return self.raw(struct.pack(">h", v))
+
+    def int32(self, v: int) -> "_Writer":
+        return self.raw(struct.pack(">i", v))
+
+    def uint32(self, v: int) -> "_Writer":
+        return self.raw(struct.pack(">I", v))
+
+    def int64(self, v: int) -> "_Writer":
+        return self.raw(struct.pack(">q", v))
+
+    def string(self, s: Optional[str]) -> "_Writer":
+        if s is None:
+            return self.int16(-1)
+        data = s.encode()
+        return self.int16(len(data)).raw(data)
+
+    def bytes_(self, b: Optional[bytes]) -> "_Writer":
+        if b is None:
+            return self.int32(-1)
+        return self.int32(len(b)).raw(b)
+
+    def varint(self, v: int) -> "_Writer":
+        """Zigzag varint (record batch v2 record fields)."""
+        z = (v << 1) ^ (v >> 63)
+        while True:
+            b = z & 0x7F
+            z >>= 7
+            if z:
+                self.raw(bytes([b | 0x80]))
+            else:
+                return self.raw(bytes([b]))
+
+    def array(self, items, enc) -> "_Writer":
+        self.int32(len(items))
+        for it in items:
+            enc(self, it)
+        return self
+
+    def getvalue(self) -> bytes:
+        return self._b.getvalue()
+
+
+class _Reader:
+    def __init__(self, data: bytes) -> None:
+        self._b = io.BytesIO(data)
+
+    def raw(self, n: int) -> bytes:
+        out = self._b.read(n)
+        if len(out) != n:
+            raise EOFError("short read in kafka frame")
+        return out
+
+    def int8(self) -> int:
+        return struct.unpack(">b", self.raw(1))[0]
+
+    def int16(self) -> int:
+        return struct.unpack(">h", self.raw(2))[0]
+
+    def int32(self) -> int:
+        return struct.unpack(">i", self.raw(4))[0]
+
+    def uint32(self) -> int:
+        return struct.unpack(">I", self.raw(4))[0]
+
+    def int64(self) -> int:
+        return struct.unpack(">q", self.raw(8))[0]
+
+    def string(self) -> Optional[str]:
+        n = self.int16()
+        return None if n < 0 else self.raw(n).decode()
+
+    def bytes_(self) -> Optional[bytes]:
+        n = self.int32()
+        return None if n < 0 else self.raw(n)
+
+    def varint(self) -> int:
+        z, shift = 0, 0
+        while True:
+            b = self.raw(1)[0]
+            z |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        return (z >> 1) ^ -(z & 1)
+
+    def array(self, dec) -> list:
+        return [dec(self) for _ in range(self.int32())]
+
+    def remaining(self) -> int:
+        pos = self._b.tell()
+        self._b.seek(0, io.SEEK_END)
+        end = self._b.tell()
+        self._b.seek(pos)
+        return end - pos
+
+
+# ---------------------------------------------------------------------------
+# RecordBatch v2 (KIP-98 message format)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Record:
+    offset: int
+    timestamp: int
+    key: Optional[bytes]
+    value: Optional[bytes]
+    headers: list[tuple[str, bytes]] = field(default_factory=list)
+
+
+def encode_record_batch(base_offset: int, records: list[Record]) -> bytes:
+    """One RecordBatch v2: offsets/timestamps become deltas against
+    the first record; CRC32C covers attributes..records."""
+    base_ts = records[0].timestamp
+    max_ts = max(r.timestamp for r in records)
+    body = _Writer()
+    body.int16(0)                                   # attributes
+    body.int32(len(records) - 1)                    # lastOffsetDelta
+    body.int64(base_ts)
+    body.int64(max_ts)
+    body.int64(-1)                                  # producerId
+    body.int16(-1)                                  # producerEpoch
+    body.int32(-1)                                  # baseSequence
+    body.int32(len(records))
+    for i, r in enumerate(records):
+        rec = _Writer()
+        rec.int8(0)                                 # record attributes
+        rec.varint(r.timestamp - base_ts)
+        rec.varint(i)                               # offsetDelta
+        for blob in (r.key, r.value):
+            if blob is None:
+                rec.varint(-1)
+            else:
+                rec.varint(len(blob))
+                rec.raw(blob)
+        rec.varint(len(r.headers))
+        for hk, hv in r.headers:
+            hkb = hk.encode()
+            rec.varint(len(hkb))
+            rec.raw(hkb)
+            if hv is None:
+                rec.varint(-1)
+            else:
+                rec.varint(len(hv))
+                rec.raw(hv)
+        payload = rec.getvalue()
+        body.varint(len(payload))
+        body.raw(payload)
+    body_b = body.getvalue()
+    out = _Writer()
+    out.int64(base_offset)
+    out.int32(4 + 1 + 4 + len(body_b))              # batchLength
+    out.int32(-1)                                   # partitionLeaderEpoch
+    out.int8(2)                                     # magic
+    out.uint32(crc32c(body_b))
+    out.raw(body_b)
+    return out.getvalue()
+
+
+def decode_record_batches(data: bytes) -> list[Record]:
+    """Decode a concatenation of RecordBatch v2 frames, validating
+    each batch's CRC32C (corruption raises)."""
+    rd = _Reader(data)
+    out: list[Record] = []
+    while rd.remaining() >= 17:
+        base_offset = rd.int64()
+        batch_len = rd.int32()
+        if rd.remaining() < batch_len:
+            break  # partial trailing batch (fetch truncation) — legal
+        rd.int32()                                   # leader epoch
+        magic = rd.int8()
+        if magic != 2:
+            raise ValueError(f"unsupported record batch magic {magic}")
+        crc = rd.uint32()
+        body = rd.raw(batch_len - 4 - 1 - 4)
+        if crc32c(body) != crc:
+            raise ValueError("record batch CRC32C mismatch")
+        br = _Reader(body)
+        br.int16()                                   # attributes
+        br.int32()                                   # lastOffsetDelta
+        base_ts = br.int64()
+        br.int64()                                   # maxTimestamp
+        br.int64()                                   # producerId
+        br.int16()                                   # producerEpoch
+        br.int32()                                   # baseSequence
+        n = br.int32()
+        for _ in range(n):
+            ln = br.varint()
+            rr = _Reader(br.raw(ln))
+            rr.int8()
+            ts_delta = rr.varint()
+            off_delta = rr.varint()
+            klen = rr.varint()
+            key = rr.raw(klen) if klen >= 0 else None
+            vlen = rr.varint()
+            value = rr.raw(vlen) if vlen >= 0 else None
+            headers = []
+            for _ in range(rr.varint()):
+                hk = rr.raw(rr.varint()).decode()
+                hvlen = rr.varint()
+                headers.append((hk, rr.raw(hvlen) if hvlen >= 0 else None))
+            out.append(Record(base_offset + off_delta, base_ts + ts_delta,
+                              key, value, headers))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Client connection + request framing
+# ---------------------------------------------------------------------------
+
+API_PRODUCE, API_FETCH, API_METADATA = 0, 1, 3
+API_API_VERSIONS, API_CREATE_TOPICS = 18, 19
+
+ERR_NONE = 0
+ERR_UNKNOWN_TOPIC = 3
+ERR_TOPIC_EXISTS = 36
+
+
+class KafkaConnection:
+    """One broker TCP connection; frames requests with the standard
+    header (api_key, api_version, correlation_id, client_id)."""
+
+    def __init__(self, host: str, port: int,
+                 client_id: str = "goka-spark") -> None:
+        self._sock = socket.create_connection((host, port), timeout=30)
+        self._client_id = client_id
+        self._corr = 0
+        self._lock = threading.Lock()
+
+    def close(self) -> None:
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+    def _read_exact(self, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = self._sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("broker closed connection")
+            buf += chunk
+        return buf
+
+    def request(self, api_key: int, api_version: int,
+                payload: bytes) -> _Reader:
+        with self._lock:
+            self._corr += 1
+            corr = self._corr
+            head = (_Writer().int16(api_key).int16(api_version)
+                    .int32(corr).string(self._client_id).getvalue())
+            frame = head + payload
+            self._sock.sendall(struct.pack(">i", len(frame)) + frame)
+            size = struct.unpack(">i", self._read_exact(4))[0]
+            resp = self._read_exact(size)
+        rd = _Reader(resp)
+        got_corr = rd.int32()
+        if got_corr != corr:
+            raise ValueError(f"correlation id mismatch: {got_corr} != {corr}")
+        return rd
+
+
+def _parse_addr(broker: str) -> tuple[str, int]:
+    host, _, port = broker.rpartition(":")
+    return host or "127.0.0.1", int(port)
+
+
+class WireTopicManager:
+    """topic_manager.go parity over the wire protocol: Partitions via
+    Metadata, ensure* via CreateTopics with the reference's
+    check-then-create + partition-mismatch policy
+    (topic_manager.go:171 ensureExists, :298 EnsureStreamExists,
+    :317 EnsureTableExists).  mismatch: 'fail' | 'warn' | 'ignore'
+    (TMConfigMismatchBehavior)."""
+
+    def __init__(self, brokers: list[str], mismatch: str = "fail") -> None:
+        host, port = _parse_addr(brokers[0])
+        self._conn = KafkaConnection(host, port)
+        self._mismatch = mismatch
+
+    def close(self) -> None:
+        self._conn.close()
+
+    def api_versions(self) -> dict[int, tuple[int, int]]:
+        rd = self._conn.request(API_API_VERSIONS, 0, b"")
+        err = rd.int16()
+        if err:
+            raise RuntimeError(f"ApiVersions error {err}")
+        out = {}
+        for _ in range(rd.int32()):
+            k, lo, hi = rd.int16(), rd.int16(), rd.int16()
+            out[k] = (lo, hi)
+        return out
+
+    def _metadata(self, topics: list[str]) -> dict:
+        w = _Writer().array(topics, lambda wr, t: wr.string(t))
+        rd = self._conn.request(API_METADATA, 0, w.getvalue())
+        brokers = rd.array(lambda r: (r.int32(), r.string(), r.int32()))
+        meta = {}
+        for _ in range(rd.int32()):
+            terr = rd.int16()
+            name = rd.string()
+            parts = []
+            for _ in range(rd.int32()):
+                rd.int16()                       # partition error
+                pid = rd.int32()
+                rd.int32()                       # leader
+                rd.array(lambda r: r.int32())    # replicas
+                rd.array(lambda r: r.int32())    # isr
+                parts.append(pid)
+            meta[name] = (terr, sorted(parts))
+        return {"brokers": brokers, "topics": meta}
+
+    def partitions(self, topic: str) -> list[int]:
+        terr, parts = self._metadata([topic])["topics"].get(topic,
+                                                            (ERR_UNKNOWN_TOPIC,
+                                                             []))
+        if terr == ERR_UNKNOWN_TOPIC:
+            return []
+        if terr:
+            raise RuntimeError(f"metadata error {terr} for {topic!r}")
+        return parts
+
+    def topic_exists(self, topic: str) -> bool:
+        return bool(self.partitions(topic))
+
+    def create_topic(self, topic: str, npar: int, rfactor: int = 1,
+                     config: Optional[dict[str, str]] = None) -> None:
+        def enc_topic(w: _Writer, t: str) -> None:
+            w.string(t).int32(npar).int16(rfactor)
+            w.array([], lambda *_: None)         # replica assignments
+            w.array(sorted((config or {}).items()),
+                    lambda wr, kv: wr.string(kv[0]).string(kv[1]))
+
+        w = _Writer().array([topic], enc_topic).int32(10_000)
+        rd = self._conn.request(API_CREATE_TOPICS, 0, w.getvalue())
+        for _ in range(rd.int32()):
+            name, err = rd.string(), rd.int16()
+            if err not in (ERR_NONE, ERR_TOPIC_EXISTS):
+                raise RuntimeError(f"CreateTopics error {err} for {name!r}")
+
+    def ensure_topic_exists(self, topic: str, npar: int, rfactor: int = 1,
+                            config: Optional[dict[str, str]] = None) -> None:
+        parts = self.partitions(topic)
+        if not parts:
+            self.create_topic(topic, npar, rfactor, config)
+            return
+        if len(parts) != npar:
+            msg = (f"partition count mismatch for topic {topic!r}: "
+                   f"need {npar}, existing has {len(parts)}")
+            if self._mismatch == "fail":
+                raise ValueError(msg)
+            if self._mismatch == "warn":
+                import warnings
+                warnings.warn(msg, stacklevel=2)
+
+    def ensure_stream_exists(self, topic: str, npar: int) -> None:
+        self.ensure_topic_exists(topic, npar, config={
+            "cleanup.policy": "delete"})
+
+    def ensure_table_exists(self, topic: str, npar: int) -> None:
+        self.ensure_topic_exists(topic, npar, config={
+            "cleanup.policy": "compact"})
+
+
+class WireProducer:
+    """producer.go parity: Emit/EmitWithHeaders with the sarama hash
+    partitioner (FNV-1a), synchronous acks (the reference's Promise
+    resolves on the produce response — here the call returns the
+    assigned (partition, base_offset))."""
+
+    def __init__(self, brokers: list[str]) -> None:
+        host, port = _parse_addr(brokers[0])
+        self._conn = KafkaConnection(host, port)
+        self._tm = WireTopicManager(brokers)
+        self._npar: dict[str, int] = {}
+
+    def close(self) -> None:
+        self._conn.close()
+        self._tm.close()
+
+    def _partitions(self, topic: str) -> int:
+        if topic not in self._npar:
+            parts = self._tm.partitions(topic)
+            if not parts:
+                raise ValueError(f"unknown topic {topic!r}")
+            self._npar[topic] = len(parts)
+        return self._npar[topic]
+
+    def emit(self, topic: str, key: str, value: bytes,
+             headers: Optional[dict[str, bytes]] = None,
+             timestamp_ms: int = 0,
+             partition: Optional[int] = None) -> tuple[int, int]:
+        if partition is None:
+            partition = partition_for_key(key.encode(),
+                                          self._partitions(topic))
+        batch = encode_record_batch(0, [Record(
+            0, timestamp_ms, key.encode(), value,
+            sorted((headers or {}).items()))])
+
+        def enc_topic(w: _Writer, t: str) -> None:
+            w.string(t)
+            w.array([partition],
+                    lambda wr, p: wr.int32(p).bytes_(batch))
+
+        w = _Writer()
+        w.string(None)                           # transactional_id
+        w.int16(-1)                              # acks=all
+        w.int32(10_000)                          # timeout
+        w.array([topic], enc_topic)
+        rd = self._conn.request(API_PRODUCE, 3, w.getvalue())
+        base_offset, err = -1, 0
+        for _ in range(rd.int32()):
+            rd.string()
+            for _ in range(rd.int32()):
+                rd.int32()
+                err = rd.int16()
+                base_offset = rd.int64()
+                rd.int64()                       # log_append_time
+        if err:
+            raise RuntimeError(f"Produce error {err}")
+        return partition, base_offset
+
+
+class WireConsumer:
+    """Minimal fetch path (partition consumer): returns decoded
+    records from the requested offset, CRC-checked."""
+
+    def __init__(self, brokers: list[str]) -> None:
+        host, port = _parse_addr(brokers[0])
+        self._conn = KafkaConnection(host, port)
+
+    def close(self) -> None:
+        self._conn.close()
+
+    def fetch(self, topic: str, partition: int, offset: int,
+              max_bytes: int = 1 << 20) -> list[Record]:
+        w = _Writer()
+        w.int32(-1)                              # replica_id
+        w.int32(100)                             # max_wait_ms
+        w.int32(1)                               # min_bytes
+        w.int32(max_bytes)                       # max_bytes (v3+)
+        w.int8(0)                                # isolation_level (v4+)
+
+        def enc_topic(wr: _Writer, t: str) -> None:
+            wr.string(t)
+            wr.array([partition], lambda w2, p: w2.int32(p)
+                     .int64(offset).int32(max_bytes))
+
+        w.array([topic], enc_topic)
+        rd = self._conn.request(API_FETCH, 4, w.getvalue())
+        rd.int32()                               # throttle_time
+        records: list[Record] = []
+        for _ in range(rd.int32()):
+            rd.string()
+            for _ in range(rd.int32()):
+                rd.int32()                       # partition
+                err = rd.int16()
+                rd.int64()                       # high watermark
+                rd.int64()                       # last_stable_offset (v4)
+                rd.array(lambda r: (r.int64(), r.int64()))  # aborted txns
+                data = rd.bytes_() or b""
+                if err:
+                    raise RuntimeError(f"Fetch error {err}")
+                records.extend(r for r in decode_record_batches(data)
+                               if r.offset >= offset)
+        return records
+
+
+# ---------------------------------------------------------------------------
+# In-process fake broker (server half of the same protocol)
+# ---------------------------------------------------------------------------
+
+class FakeBroker:
+    """Loopback Kafka broker speaking the same API subset — enough for
+    the contract tests to exercise TopicManager/Producer/Consumer over
+    a real socket.  Single node, in-memory log per (topic, partition).
+    """
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0) -> None:
+        self._srv = socket.create_server((host, port))
+        self._host, self._port = self._srv.getsockname()[:2]
+        #: topic -> {"config": {...}, "parts": [[Record, ...], ...]}
+        self.topics: dict[str, dict] = {}
+        self._lock = threading.Lock()
+        self._threads: list[threading.Thread] = []
+        self._stop = threading.Event()
+
+    # -- lifecycle --
+    @property
+    def address(self) -> str:
+        return f"{self._host}:{self._port}"
+
+    def start(self) -> "FakeBroker":
+        t = threading.Thread(target=self._accept_loop, daemon=True)
+        t.start()
+        self._threads.append(t)
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        try:
+            self._srv.close()
+        except OSError:
+            pass
+
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            t = threading.Thread(target=self._serve, args=(conn,),
+                                 daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def _serve(self, conn: socket.socket) -> None:
+        try:
+            while True:
+                head = b""
+                while len(head) < 4:
+                    chunk = conn.recv(4 - len(head))
+                    if not chunk:
+                        return
+                    head += chunk
+                size = struct.unpack(">i", head)[0]
+                buf = b""
+                while len(buf) < size:
+                    chunk = conn.recv(size - len(buf))
+                    if not chunk:
+                        return
+                    buf += chunk
+                rd = _Reader(buf)
+                api_key, api_version = rd.int16(), rd.int16()
+                corr = rd.int32()
+                rd.string()                      # client_id
+                body = self._dispatch(api_key, api_version, rd)
+                frame = struct.pack(">i", corr) + body
+                conn.sendall(struct.pack(">i", len(frame)) + frame)
+        except (ConnectionError, OSError, EOFError):
+            pass
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    # -- request handlers --
+    def _dispatch(self, api_key: int, version: int, rd: _Reader) -> bytes:
+        if api_key == API_API_VERSIONS:
+            return self._api_versions()
+        if api_key == API_METADATA:
+            return self._metadata(rd)
+        if api_key == API_CREATE_TOPICS:
+            return self._create_topics(rd)
+        if api_key == API_PRODUCE:
+            return self._produce(rd)
+        if api_key == API_FETCH:
+            return self._fetch(rd)
+        raise ValueError(f"unsupported api_key {api_key}")
+
+    def _api_versions(self) -> bytes:
+        supported = [(API_PRODUCE, 3, 3), (API_FETCH, 4, 4),
+                     (API_METADATA, 0, 0), (API_API_VERSIONS, 0, 0),
+                     (API_CREATE_TOPICS, 0, 0)]
+        return (_Writer().int16(0)
+                .array(supported, lambda w, s: w.int16(s[0])
+                       .int16(s[1]).int16(s[2]))
+                .getvalue())
+
+    def _metadata(self, rd: _Reader) -> bytes:
+        asked = rd.array(lambda r: r.string())
+        with self._lock:
+            names = asked if asked else sorted(self.topics)
+            w = _Writer()
+            w.array([(0, self._host, self._port)],
+                    lambda wr, b: wr.int32(b[0]).string(b[1]).int32(b[2]))
+            w.int32(len(names))
+            for name in names:
+                t = self.topics.get(name)
+                if t is None:
+                    w.int16(ERR_UNKNOWN_TOPIC).string(name).int32(0)
+                    continue
+                w.int16(0).string(name)
+                w.int32(len(t["parts"]))
+                for pid in range(len(t["parts"])):
+                    w.int16(0).int32(pid).int32(0)
+                    w.array([0], lambda wr, r: wr.int32(r))
+                    w.array([0], lambda wr, r: wr.int32(r))
+        return w.getvalue()
+
+    def _create_topics(self, rd: _Reader) -> bytes:
+        results = []
+        with self._lock:
+            for _ in range(rd.int32()):
+                name = rd.string()
+                npar = rd.int32()
+                rd.int16()                       # replication factor
+                for _ in range(rd.int32()):      # replica assignments
+                    rd.int32()
+                    rd.array(lambda r: r.int32())
+                config = {}
+                for _ in range(rd.int32()):
+                    ck = rd.string()
+                    config[ck] = rd.string()
+                if name in self.topics:
+                    results.append((name, ERR_TOPIC_EXISTS))
+                else:
+                    self.topics[name] = {
+                        "config": config,
+                        "parts": [[] for _ in range(npar)],
+                    }
+                    results.append((name, 0))
+        rd.int32()                               # timeout
+        return (_Writer()
+                .array(results, lambda w, r: w.string(r[0]).int16(r[1]))
+                .getvalue())
+
+    def _produce(self, rd: _Reader) -> bytes:
+        rd.string()                              # transactional_id
+        rd.int16()                               # acks
+        rd.int32()                               # timeout
+        out = []
+        with self._lock:
+            for _ in range(rd.int32()):
+                name = rd.string()
+                parts_out = []
+                for _ in range(rd.int32()):
+                    pid = rd.int32()
+                    data = rd.bytes_() or b""
+                    topic = self.topics.get(name)
+                    if topic is None or pid >= len(topic["parts"]):
+                        parts_out.append((pid, ERR_UNKNOWN_TOPIC, -1))
+                        continue
+                    log = topic["parts"][pid]
+                    base = len(log)
+                    for rec in decode_record_batches(data):
+                        log.append(Record(len(log), rec.timestamp,
+                                          rec.key, rec.value, rec.headers))
+                    parts_out.append((pid, 0, base))
+                out.append((name, parts_out))
+        w = _Writer()
+        w.int32(len(out))
+        for name, parts_out in out:
+            w.string(name)
+            w.array(parts_out, lambda wr, p: wr.int32(p[0]).int16(p[1])
+                    .int64(p[2]).int64(-1))
+        w.int32(0)                               # throttle
+        return w.getvalue()
+
+    def _fetch(self, rd: _Reader) -> bytes:
+        rd.int32()                               # replica_id
+        rd.int32()                               # max_wait
+        rd.int32()                               # min_bytes
+        rd.int32()                               # max_bytes
+        rd.int8()                                # isolation
+        out = []
+        with self._lock:
+            for _ in range(rd.int32()):
+                name = rd.string()
+                parts_out = []
+                for _ in range(rd.int32()):
+                    pid = rd.int32()
+                    offset = rd.int64()
+                    rd.int32()                   # partition max_bytes
+                    topic = self.topics.get(name)
+                    if topic is None or pid >= len(topic["parts"]):
+                        parts_out.append((pid, ERR_UNKNOWN_TOPIC, 0, b""))
+                        continue
+                    log = topic["parts"][pid]
+                    tail = log[offset:]
+                    data = (encode_record_batch(offset, [
+                        Record(i, r.timestamp, r.key, r.value, r.headers)
+                        for i, r in enumerate(tail)])
+                        if tail else b"")
+                    parts_out.append((pid, 0, len(log), data))
+                out.append((name, parts_out))
+        w = _Writer()
+        w.int32(0)                               # throttle
+        w.int32(len(out))
+        for name, parts_out in out:
+            w.string(name)
+            w.int32(len(parts_out))
+            for pid, err, hw, data in parts_out:
+                w.int32(pid).int16(err).int64(hw)
+                w.int64(hw)                      # last_stable_offset
+                w.array([], lambda *_: None)     # aborted txns
+                w.bytes_(data)
+        return w.getvalue()
