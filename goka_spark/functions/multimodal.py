@@ -530,19 +530,24 @@ def wav_zcr_report(df: DataFrame, id_col: str = "doc_id",
 
 def encode_ppm_stream_quad(df: DataFrame, id_col: str, n_frames_col: str,
                            width: int, height: int,
-                           seed_mod: int = 3) -> DataFrame:
+                           seed_mod: int = 3,
+                           shot_len: int = 1) -> DataFrame:
     """Quad-textured frame stream: frame ``j`` of row ``id`` uses quad
-    seed ``(id + j) % seed_mod``, so streams contain REPEATED frames
-    (the static-scene analog) that a frame-level dedup must find —
-    and different seeds stay perceptually separable (the quad-texture
-    law of ``ppm_encode_quad``)."""
+    seed ``(id + j // shot_len) % seed_mod``, so streams contain
+    REPEATED frames (the static-scene analog) that a frame-level
+    dedup must find — and different seeds stay perceptually separable
+    (the quad-texture law of ``ppm_encode_quad``).  ``shot_len > 1``
+    holds each seed for that many consecutive frames, producing SHOTS
+    (the cut-detection workload); the default 1 is the original
+    per-frame law (j // 1 == j)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for i, nf in zip(pdf[id_col], pdf[n_frames_col]):
                 blob = b"".join(
-                    ppm_encode_quad(width, height, (int(i) + j) % seed_mod)
+                    ppm_encode_quad(width, height,
+                                    (int(i) + j // shot_len) % seed_mod)
                     for j in range(int(nf)))
                 out.append((int(i), blob))
             yield pd.DataFrame(out, columns=["doc_id", "blob"])
@@ -583,3 +588,51 @@ def frame_dhash(df: DataFrame, id_col: str = "doc_id",
 
     return df.select(id_col, blob_col).mapInPandas(
         run, "doc_id long, frame_idx long, dhash long")
+
+
+def image_wht_hash(df: DataFrame, id_col: str = "doc_id",
+                   blob_col: str = "blob", grid: int = 8) -> DataFrame:
+    """Frequency-domain perceptual hash over REAL decoded images —
+    the pHash family (resize tiny, transform to the frequency domain,
+    hash coefficient signs), with the 2-D Walsh–Hadamard transform in
+    place of pHash's DCT: H has ±1 entries, so every coefficient is
+    an EXACT integer of the pixel values and the whole
+    decode→resize→transform→hash path is bit-replayable by a SQL
+    oracle (a float DCT would put 64 cosine roundings between the
+    pixels and each sign bit).  WHT(u,v) = Σ_{r,c} pix(r,c)·
+    (−1)^{popcount(r&u)+popcount(c&v)} — the same sequency analysis
+    pHash reads, complementary to dHash's spatial gradients (dHash
+    sees local edges; WHT sees global texture/frequency structure).
+
+    Decode is the real P6 parser, resize the same floor index map as
+    ``image_dhash``, luma the red channel; 63 sign bits pack (DC
+    coefficient (0,0) skipped — it is mean brightness, the bit every
+    normalization would flip), little-endian by coefficient index
+    u·grid+v−1.  Arrow-batched; one (64×64)·n_images integer matmul
+    per batch via the Sylvester-construction Hadamard matrix."""
+    import numpy as np
+
+    hm = np.array([[1]], dtype=np.int64)
+    while hm.shape[0] < grid:
+        hm = np.block([[hm, hm], [hm, -hm]])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, b in zip(pdf[id_col], pdf[blob_col]):
+                w, h, _, pix = ppm_parse(bytes(b))
+                gray = pix[:, :, 0].astype(np.int64)
+                ys = (np.arange(grid) * h) // grid
+                xs = (np.arange(grid) * w) // grid
+                g = gray[ys[:, None], xs[None, :]]
+                coef = hm @ g @ hm                 # exact integers
+                bits = (coef.flatten()[1:64] > 0)
+                hval = 0
+                for k, v in enumerate(bits):
+                    if v:
+                        hval |= 1 << k
+                out.append((int(i), hval))
+            yield pd.DataFrame(out, columns=["doc_id", "wht_hash"])
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run, "doc_id long, wht_hash long")

@@ -1250,3 +1250,122 @@ def bigram_cond_entropy(df, id_col: str, text_col: str,
         F.col("n_bigrams").cast("long"),
         F.col("vocab_w1").cast("long"),
         F.expr("(_s1 - _s12) DIV n_bigrams").alias("h_cond_e6"))
+
+
+def boilerplate_by_source(df, id_col: str, text_col: str,
+                          source_col: str = "source",
+                          ratio_e6: int = 50_000, min_df: int = 3,
+                          sep: str = "\n"):
+    """SOURCE-relative boilerplate-line report — the CCNet/domain
+    shape of line dedup: a line is boilerplate within its source
+    (nav bar, footer, license header) when it appears in a large
+    FRACTION of that source's documents, not merely in >= k docs
+    corpus-wide (``line_dedup_filter``'s global rule).  Rule, all
+    integers: boiler(line, src) iff df·1e6 >= ratio_e6·n_docs(src)
+    AND df >= min_df.
+
+    Returns ``(id, n_lines, n_boiler, keep_ratio_e6)`` per document
+    (empty lines structural, uncounted).  Scale shape: one posexplode
+    over lines keyed by md5 (narrow shuffle rows), one per-(source,
+    line) distinct-doc hash-agg, a sources-sized doc-count agg
+    broadcast onto it, and one per-doc sum — linear in total lines,
+    no window, no all-pairs."""
+    lines = df.select(
+        F.col(id_col).alias("_id"), F.col(source_col).alias("_src"),
+        F.explode(F.split(F.col(text_col), sep)).alias("_ln")) \
+        .filter(F.col("_ln") != "") \
+        .select("_id", "_src", F.md5(F.encode("_ln", "UTF-8")).alias("_h"))
+    dfc = lines.groupBy("_src", "_h") \
+        .agg(F.count_distinct("_id").alias("_df"))
+    nsrc = df.groupBy(F.col(source_col).alias("_src")) \
+        .agg(F.count("*").alias("_n"))
+    boiler = (dfc.join(F.broadcast(nsrc), "_src")
+              .filter((F.col("_df") * 1_000_000 >= ratio_e6 * F.col("_n"))
+                      & (F.col("_df") >= min_df))
+              .select("_src", "_h", F.lit(True).alias("_b")))
+    per_doc = (lines.join(boiler, ["_src", "_h"], "left")
+               .groupBy("_id")
+               .agg(F.count("*").alias("n_lines"),
+                    F.sum(F.col("_b").isNotNull().cast("long"))
+                    .alias("n_boiler")))
+    return (df.select(F.col(id_col).alias("_id"))
+            .join(per_doc, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce("n_lines", F.lit(0)).cast("long")
+                    .alias("n_lines"),
+                    F.coalesce("n_boiler", F.lit(0)).cast("long")
+                    .alias("n_boiler"),
+                    F.when(F.coalesce("n_lines", F.lit(0)) == 0,
+                           F.lit(1_000_000).cast("long"))
+                     .otherwise(F.expr(
+                         "(n_lines - n_boiler) * 1000000L DIV n_lines"))
+                    .alias("keep_ratio_e6")))
+
+
+def logreg_features(df, id_col: str, text_col: str, label):
+    """The fixed 4-feature frame logreg_train consumes: bias,
+    length score, punctuation score, distinct-word ratio — every
+    value a deterministic double both engines derive identically
+    from integer counts (the quality_score feature family)."""
+    w = words(F.col(text_col))
+    n_words = F.size(w).cast("double")
+    n_chars = F.length(F.col(text_col)).cast("double")
+    punct = F.size(F.regexp_extract_all(
+        F.col(text_col), F.lit(r"[^\w\s]"), 0)).cast("double")
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.lit(1.0).alias("x0"),
+        F.least(n_words / F.lit(64.0), F.lit(1.0)).alias("x1"),
+        F.least(punct / F.greatest(n_chars, F.lit(1.0)) * 4,
+                F.lit(1.0)).alias("x2"),
+        (F.size(F.array_distinct(w)).cast("double")
+         / F.greatest(n_words, F.lit(1.0))).alias("x3"),
+        label.cast("double").alias("y"))
+
+
+def logreg_train(df, id_col: str, text_col: str, label,
+                 iters: int = 8, lr: float = 1.0):
+    """Distributed logistic regression by full-batch gradient descent
+    — the Spark-idiomatic linear-classifier trainer (each iteration
+    is ONE map-side-combined aggregation; weights broadcast back as
+    literals), the SGD half that ``nb_classify`` deliberately skips.
+
+    Float discipline (the dsir_importance idiom, taken one step
+    further): every document's per-feature gradient contribution is
+    integerized to micro-units — ``floor(1e6·(σ(w·x)−y)·x_k + 0.5)``
+    — so the gradient reduce is an EXACT integer sum and the weight
+    recurrence ``w_k ← w_k − lr·G_k/(1e6·n)`` is the same double
+    arithmetic in any engine: the whole training trajectory is
+    deterministic and SQL-replayable (quantized-gradient descent, the
+    oracle-able cousin of QSGD/1-bit-SGD gradient compression).  Only
+    σ's exp() must agree at libm quality, the ln() precedent.
+
+    Driver loop is ``iters`` rounds of a 4-value collect — bounded
+    model-size pulls, the tokenizer-training discipline, never
+    per-row.  Returns ``(weights, n, acc_e6)``; the prediction rule
+    for accuracy is the EXACT form z >= 0 (σ monotone), no float
+    threshold hazard."""
+    feats = logreg_train_frame(df, id_col, text_col, label)
+    feats = feats.localCheckpoint(eager=False)
+    n = feats.count()
+    ws = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(iters):
+        z = ((F.lit(ws[0]) * F.col("x0") + F.lit(ws[1]) * F.col("x1"))
+             + F.lit(ws[2]) * F.col("x2")) + F.lit(ws[3]) * F.col("x3")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        grads = feats.agg(*[
+            F.sum(F.floor(F.lit(1e6) * (p - F.col("y")) * F.col(f"x{k}")
+                          + F.lit(0.5)).cast("long")).alias(f"g{k}")
+            for k in range(4)
+        ]).collect()[0]
+        ws = [ws[k] - lr * grads[f"g{k}"] / (1e6 * n) for k in range(4)]
+    z = ((F.lit(ws[0]) * F.col("x0") + F.lit(ws[1]) * F.col("x1"))
+         + F.lit(ws[2]) * F.col("x2")) + F.lit(ws[3]) * F.col("x3")
+    acc = feats.agg(F.sum(((z >= 0) == (F.col("y") == 1.0))
+                          .cast("long")).alias("c")).collect()[0]["c"]
+    return ws, n, acc * 1_000_000 // n
+
+
+def logreg_train_frame(df, id_col: str, text_col: str, label):
+    """Alias kept separate so tests can inspect the feature frame."""
+    return logreg_features(df, id_col, text_col, label)

@@ -71,6 +71,10 @@ _FRONT = [
     "corpus_filter_pipeline",
     # (d) new r9 operators — locally oracle-verified at sf0.001 AND
     # sf0.01 before being placed inside the 50-slot front.
+    "boilerplate_strip",
+    "logreg_quality_train",
+    "video_shot_boundaries",
+    "image_wht_dedup",
     # ---- best-effort tail past the ~50 cap (latest rows r6/r7/r8,
     # nothing here is older than two rounds after this rotation)
     "dedup_minhash_keep",

@@ -6318,3 +6318,250 @@ def _cosine_sweep_oracle() -> str:
 
 
 ORACLES["cosine_threshold_sweep"] = _cosine_sweep_oracle
+
+
+# -- round 9 additions (C135-C138) -----------------------------------
+
+def boilerplate_strip(spark: SparkSession, sf: str) -> DataFrame:
+    """SOURCE-relative boilerplate-line report (T.boilerplate_by_
+    source) — the CCNet/domain-level cleanup that line_dedup's global
+    min_df rule can't express: a footer repeated across 4% of ONE
+    source's docs is boilerplate even if corpus-wide it is rare.
+    Docs reshaped into deterministic 10-word lines (the line_dedup
+    reshaping); rule boiler(line, src) iff df·1e6 >= 40000·n_docs(src)
+    AND df >= 2, all integers.  Scan-stage line explode keyed by md5,
+    one per-(source, line) hash-agg, sources-sized broadcast — linear
+    in lines at any corpus size."""
+    docs = load(spark, sf, "documents")["documents"]
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.greatest(F.ceil(F.size(w) / 10.0).cast("int"), F.lit(1))
+    reshaped = docs.select(
+        "doc_id", "source",
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), n_lines - 1),
+                        lambda i: F.array_join(
+                            F.slice(w, i * 10 + 1, 10), " ")),
+            "\n").alias("text"))
+    return T.boilerplate_by_source(reshaped, "doc_id", "text", "source",
+                                   ratio_e6=40_000, min_df=2)
+
+
+QUERIES["boilerplate_strip"] = boilerplate_strip
+
+ORACLES["boilerplate_strip"] = f"""
+    WITH d AS (
+      SELECT doc_id, source, {_WORDS} AS words FROM documents
+    ), resh AS (
+      SELECT doc_id, source, list_transform(
+        range(0, greatest(CAST(ceil(len(words) / 10.0) AS INT), 1)),
+        i -> array_to_string(words[i*10+1:i*10+10], ' ')) AS lines
+      FROM d
+    ), ln AS (
+      SELECT doc_id, source, md5(line) AS h
+      FROM resh, UNNEST(lines) AS t(line) WHERE line <> ''
+    ), dfc AS (
+      SELECT source, h, COUNT(DISTINCT doc_id) AS df
+      FROM ln GROUP BY source, h
+    ), nsrc AS (
+      SELECT source, COUNT(*) AS n FROM d GROUP BY source
+    ), boiler AS (
+      SELECT source, h FROM dfc JOIN nsrc USING (source)
+      WHERE df * 1000000 >= 40000 * n AND df >= 2
+    ), per_doc AS (
+      SELECT l.doc_id, COUNT(*) AS n_lines,
+             SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+      FROM ln l LEFT JOIN boiler b USING (source, h)
+      GROUP BY l.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(COALESCE(p.n_boiler, 0) AS BIGINT) AS n_boiler,
+           CAST(CASE WHEN COALESCE(p.n_lines, 0) = 0 THEN 1000000
+                ELSE (p.n_lines - p.n_boiler) * 1000000 // p.n_lines
+                END AS BIGINT) AS keep_ratio_e6
+    FROM d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def logreg_quality_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed logistic regression (T.logreg_train): 8 rounds of
+    full-batch quantized-gradient descent where each round is ONE
+    map-side-combined aggregation (gradient contributions integerized
+    to micro-units, so the reduce is an exact integer sum and the
+    whole training trajectory replays bit-identically in SQL — the
+    QSGD/1-bit-SGD gradient-compression idea used for determinism
+    instead of bandwidth).  Features are the quality_score family
+    (bias, length, punctuation, distinct-ratio); weak label
+    lang = 'en'.  Output: the four learned weights plus the exact
+    z >= 0 training accuracy.  Scale: each iteration is a single scan
+    + 4-long aggregate, model state is 4 doubles broadcast as
+    literals — the linear-classifier trainer at any corpus size."""
+    docs = load(spark, sf, "documents")["documents"]
+    ws, n, acc_e6 = T.logreg_train(docs, "doc_id", "text",
+                                   F.col("lang") == "en")
+    rows = [("bias", ws[0]), ("x_len", ws[1]), ("x_punct", ws[2]),
+            ("x_distinct", ws[3]), ("_train_acc", acc_e6 / 1e6)]
+    return spark.createDataFrame(rows, "feature string, weight double")
+
+
+QUERIES["logreg_quality_train"] = logreg_quality_train
+
+
+def _logreg_oracle() -> str:
+    z = "(((a*x0 + b*x1) + c*x2) + e*x3)"
+    grad = ", ".join(
+        f"SUM(FLOOR(1e6 * (1/(1 + EXP(-{z})) - y) * x{k} + 0.5)) AS g{k}"
+        for k in range(4))
+    ctes = ["w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c, 0.0 AS e)"]
+    for i in range(1, 9):
+        ctes.append(f"g{i} AS (SELECT {grad} FROM d, w{i - 1})")
+        ctes.append(
+            f"w{i} AS (SELECT a - (1.0*g0)/(1e6*n) AS a, "
+            f"b - (1.0*g1)/(1e6*n) AS b, c - (1.0*g2)/(1e6*n) AS c, "
+            f"e - (1.0*g3)/(1e6*n) AS e FROM w{i - 1}, g{i}, n)")
+    return f"""
+    WITH d AS (
+      SELECT 1.0 AS x0,
+             LEAST(len(ws) / 64.0, 1.0) AS x1,
+             LEAST(punct / GREATEST(chars, 1.0) * 4, 1.0) AS x2,
+             len(list_distinct(ws))
+               / GREATEST(CAST(len(ws) AS DOUBLE), 1.0) AS x3,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM (SELECT lang, {{words}} AS ws,
+                   CAST(length(text) AS DOUBLE) AS chars,
+                   CAST(len(regexp_extract_all(text, '[^\\w\\s]'))
+                        AS DOUBLE) AS punct
+            FROM documents)
+    ), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                    COUNT(*) AS n_int FROM d),
+    {', '.join(ctes)},
+    acc AS (
+      SELECT SUM(CASE WHEN ({z} >= 0) = (y = 1.0)
+                 THEN 1 ELSE 0 END) AS hits
+      FROM d, w8
+    )
+    SELECT 'bias' AS feature, a AS weight FROM w8
+    UNION ALL SELECT 'x_len', b FROM w8
+    UNION ALL SELECT 'x_punct', c FROM w8
+    UNION ALL SELECT 'x_distinct', e FROM w8
+    UNION ALL SELECT '_train_acc',
+      CAST(hits * 1000000 // n_int AS DOUBLE) / 1e6 FROM acc, n
+    """.replace("{words}", _WORDS)
+
+
+ORACLES["logreg_quality_train"] = _logreg_oracle()
+
+
+def video_shot_boundaries(spark: SparkSession, sf: str) -> DataFrame:
+    """Shot-boundary (cut) detection over REAL decoded frame streams:
+    each document becomes a 9x8 quad-textured P6 stream of
+    4 + doc_id%5 frames with shot_len=2 (M.encode_ppm_stream_quad's
+    seed held for 2 consecutive frames — the static-shot analog);
+    boundaries are frames whose perceptual dHash differs from the
+    previous frame's.  The detection signal is the SAME frame_dhash
+    kernel C129 certifies, consumed through a per-stream lag — shots
+    collapse to (n_frames, n_shots) per video, the sampling unit a
+    frame pipeline keys on.  Per-doc window is bounded by the frame
+    count (≤ 8), never corpus-wide; decode is Arrow-batched."""
+    from pyspark.sql import Window
+    docs = load(spark, sf, "documents")["documents"]
+    spec = docs.select(
+        "doc_id", (F.lit(4) + F.col("doc_id") % 5).cast("int").alias("nf"))
+    blobs = M.encode_ppm_stream_quad(spec, "doc_id", "nf",
+                                     width=9, height=8, seed_mod=5,
+                                     shot_len=2)
+    fh = M.frame_dhash(blobs)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    b = fh.withColumn("_prev", F.lag("dhash").over(w))
+    return (b.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_frames"),
+                 (F.lit(1) + F.sum(
+                     (F.col("_prev").isNotNull()
+                      & (F.col("dhash") != F.col("_prev"))).cast("long")))
+                 .cast("long").alias("n_shots")))
+
+
+QUERIES["video_shot_boundaries"] = video_shot_boundaries
+
+ORACLES["video_shot_boundaries"] = """
+    WITH f AS (
+      SELECT doc_id, j, (doc_id + j // 2) % 5 AS seed
+      FROM documents, (SELECT UNNEST(range(0, 9)) AS j)
+      WHERE j < 4 + doc_id % 5
+    ), idx AS (
+      -- w=9, h=8, grid=8: resize is identity; bit k compares columns
+      -- k%8 and k%8+1 of row k//8 under the quad law ((i+seed)^2)%256
+      SELECT doc_id, j, k,
+             (k // 8) * 9 + (k % 8) + seed AS a
+      FROM f, UNNEST(range(0, 63)) AS t(k)
+    ), hashed AS (
+      SELECT doc_id, j,
+             CAST(SUM(CASE WHEN (a * a) % 256 > ((a + 1) * (a + 1)) % 256
+                           THEN (CAST(1 AS BIGINT) << k)
+                           ELSE 0 END) AS BIGINT) AS dhash
+      FROM idx GROUP BY doc_id, j
+    ), lagged AS (
+      SELECT doc_id, dhash,
+             LAG(dhash) OVER (PARTITION BY doc_id ORDER BY j) AS prev
+      FROM hashed
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND dhash <> prev
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_shots
+    FROM lagged GROUP BY doc_id
+"""
+
+
+def image_wht_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Frequency-domain perceptual image dedup (M.image_wht_hash):
+    8x8 quad-textured P6 images with seed doc_id % 57, hashed by the
+    sign pattern of their 2-D Walsh-Hadamard coefficients — the pHash
+    family with an integer-exact transform, complementary to C71's
+    spatial-gradient dHash.  Same-seed images collide exactly; keep
+    the min doc_id per hash group.  The oracle recomputes all 63 sign
+    bits per DISTINCT seed in closed form (57 seeds x 64 coefficients
+    x 64 pixels) and joins docs on the seed — decode, identity
+    resize, transform and packing all replayed."""
+    docs = load(spark, sf, "documents")["documents"]
+    spec = docs.select(
+        "doc_id", F.lit(8).alias("w8"), F.lit(8).alias("h8"),
+        (F.col("doc_id") % 57).cast("int").alias("seed"))
+    blobs = M.encode_ppm_quad(spec, "doc_id", "w8", "h8", "seed")
+    hashed = M.image_wht_hash(blobs)
+    from pyspark.sql import Window
+    w = Window.partitionBy("wht_hash")
+    return hashed.select(
+        "doc_id", "wht_hash",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"))
+
+
+QUERIES["image_wht_dedup"] = image_wht_dedup
+
+ORACLES["image_wht_dedup"] = """
+    WITH seeds AS (
+      SELECT DISTINCT doc_id % 57 AS seed FROM documents
+    ), coef AS (
+      -- WHT(u,v) = sum_{r,c} pix(r,c) * (-1)^(pc(r&u)+pc(c&v)),
+      -- pix from the quad law ((r*8+c+seed)^2) % 256 (8x8: identity
+      -- resize, flat index r*8+c)
+      SELECT seed, u, v,
+             SUM(((r * 8 + c + seed) * (r * 8 + c + seed)) % 256
+                 * CASE WHEN (bit_count(CAST(r AS BIGINT) & u)
+                              + bit_count(CAST(c AS BIGINT) & v)) % 2 = 0
+                        THEN 1 ELSE -1 END) AS x
+      FROM seeds,
+           UNNEST(range(0, 8)) t1(u), UNNEST(range(0, 8)) t2(v),
+           UNNEST(range(0, 8)) t3(r), UNNEST(range(0, 8)) t4(c)
+      GROUP BY seed, u, v
+    ), hashes AS (
+      SELECT seed,
+             CAST(SUM(CASE WHEN x > 0
+                           THEN CAST(1 AS BIGINT) << (u * 8 + v - 1)
+                           ELSE 0 END) AS BIGINT) AS wht_hash
+      FROM coef WHERE u * 8 + v >= 1 GROUP BY seed
+    )
+    SELECT d.doc_id, h.wht_hash,
+           d.doc_id = MIN(d.doc_id) OVER (PARTITION BY h.wht_hash) AS keep
+    FROM documents d JOIN hashes h ON d.doc_id % 57 = h.seed
+"""
