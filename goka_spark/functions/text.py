@@ -1369,3 +1369,23 @@ def logreg_train(df, id_col: str, text_col: str, label,
 def logreg_train_frame(df, id_col: str, text_col: str, label):
     """Alias kept separate so tests can inspect the feature frame."""
     return logreg_features(df, id_col, text_col, label)
+
+
+def lang_confidence(df, id_col: str, text_col: str):
+    """Language-ID with a CONFIDENCE margin — the abstention signal
+    every lang-gated pipeline needs before trusting ``lang_id``'s
+    hard argmax on short/ambiguous docs: per doc, the winning
+    language (lang_id's fixed tie order, unchanged), its stopword
+    vote count, and the margin over the runner-up (top − second of
+    the four vote counts via one sorted array — all exact integers).
+    margin = 0 flags a tie the fixed order broke arbitrarily; gate on
+    ``margin >= k`` to route low-confidence docs to a heavier
+    classifier.  Pure scan-stage Columns, zero shuffle."""
+    votes = [stopword_hits(F.col(text_col), lang).cast("long")
+             for lang in ("en", "de", "es", "fr")]
+    arr = F.array_sort(F.array(*votes))
+    return df.select(
+        F.col(id_col),
+        lang_id(F.col(text_col)).alias("lang"),
+        F.element_at(arr, 4).alias("top_votes"),
+        (F.element_at(arr, 4) - F.element_at(arr, 3)).alias("margin"))

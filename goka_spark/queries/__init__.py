@@ -75,8 +75,12 @@ _FRONT = [
     "logreg_quality_train",
     "video_shot_boundaries",
     "image_wht_dedup",
-    # ---- best-effort tail past the ~50 cap (latest rows r6/r7/r8,
-    # nothing here is older than two rounds after this rotation)
+    # ---- best-effort tail past the ~50 cap: first the late-r9
+    # additions (locally oracle-verified at sf0.001+sf0.01; certify
+    # r10), then keys whose latest rows are r6/r7/r8 (nothing is
+    # older than two rounds after this rotation)
+    "weighted_jaccard_pairs",
+    "doc_lang_confidence",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

@@ -6565,3 +6565,78 @@ ORACLES["image_wht_dedup"] = """
            d.doc_id = MIN(d.doc_id) OVER (PARTITION BY h.wht_hash) AS keep
     FROM documents d JOIN hashes h ON d.doc_id % 57 = h.seed
 """
+
+
+def weighted_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiset (weighted) Jaccard refinement of the certified
+    candidate pair set (D.weighted_jaccard_pairs): exact integer
+    wj_e6 = Σmin·1e6 DIV Σmax on word-count vectors for every pair
+    ngram_jaccard_pairs (C4) reports — the repeat-rate-aware score
+    Broder set resemblance saturates on.  Candidates never re-mined;
+    word counts one hash-agg reused by both join sides."""
+    docs = load(spark, sf, "documents")["documents"]
+    return D.weighted_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                    threshold=0.05, max_df=50)
+
+
+QUERIES["weighted_jaccard_pairs"] = weighted_jaccard_pairs
+
+ORACLES["weighted_jaccard_pairs"] = f"""
+    WITH pairs AS (
+      SELECT id_a, id_b FROM ({ORACLES["ngram_jaccard_pairs"]})
+    ), wc AS (
+      SELECT doc_id AS doc, w, COUNT(*) AS c
+      FROM (SELECT doc_id, UNNEST({_WORDS}) AS w FROM documents)
+      GROUP BY doc, w
+    ), tots AS (
+      SELECT doc, SUM(c) AS tot FROM wc GROUP BY doc
+    ), smin AS (
+      SELECT p.id_a, p.id_b, SUM(LEAST(a.c, b.c)) AS smin
+      FROM pairs p
+      JOIN wc a ON a.doc = p.id_a
+      JOIN wc b ON b.doc = p.id_b AND b.w = a.w
+      GROUP BY p.id_a, p.id_b
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(COALESCE(s.smin, 0) * 1000000
+                // (ta.tot + tb.tot - COALESCE(s.smin, 0)) AS BIGINT)
+             AS wj_e6
+    FROM pairs p
+    LEFT JOIN smin s USING (id_a, id_b)
+    JOIN tots ta ON ta.doc = p.id_a
+    JOIN tots tb ON tb.doc = p.id_b
+"""
+
+
+def doc_lang_confidence(spark: SparkSession, sf: str) -> DataFrame:
+    """lang_id plus its abstention signal (T.lang_confidence): winning
+    language, top stopword vote count, and the exact integer margin
+    over the runner-up — margin 0 marks ties the fixed order broke.
+    Pure scan-stage Columns, zero shuffle at any scale."""
+    docs = load(spark, sf, "documents")["documents"]
+    return T.lang_confidence(docs, "doc_id", "text")
+
+
+QUERIES["doc_lang_confidence"] = doc_lang_confidence
+
+ORACLES["doc_lang_confidence"] = f"""
+    WITH v AS (
+      SELECT doc_id,
+             CAST({_sw_hits(_SW['en'])} AS BIGINT) AS s_en,
+             CAST({_sw_hits(_SW['de'])} AS BIGINT) AS s_de,
+             CAST({_sw_hits(_SW['es'])} AS BIGINT) AS s_es,
+             CAST({_sw_hits(_SW['fr'])} AS BIGINT) AS s_fr
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE
+             WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+             WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+             WHEN s_es >= s_fr THEN 'es'
+             ELSE 'fr'
+           END AS lang,
+           list_sort([s_en, s_de, s_es, s_fr])[4] AS top_votes,
+           list_sort([s_en, s_de, s_es, s_fr])[4]
+             - list_sort([s_en, s_de, s_es, s_fr])[3] AS margin
+    FROM v
+"""

@@ -130,3 +130,49 @@ def test_stream_quad_default_shot_len_unchanged(spark):
                                  seed_mod=3).collect()[0].blob
     want = b"".join(M.ppm_encode_quad(9, 8, (5 + j) % 3) for j in range(3))
     assert bytes(a) == want
+
+
+def test_weighted_jaccard_refines_set_jaccard(spark):
+    """Two docs over the SAME vocabulary at similar repeat rates
+    score high weighted Jaccard; a doc sharing the vocab once inside
+    much more noise scores low — while their SET similarity to the
+    base is identical."""
+    from goka_spark.functions import dedup as D
+
+    base = "alpha beta gamma delta " * 8
+    same_rate = "alpha beta gamma delta " * 7 + "alpha beta gamma delta"
+    rows = [(1, base), (2, same_rate)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.wj_e6
+           for r in D.weighted_jaccard_pairs(
+               docs, "doc_id", "text", n=3, threshold=0.05,
+               max_df=None).collect()}
+    # identical multisets -> wj = 1.0 exactly
+    assert got[(1, 2)] == 1_000_000
+
+
+def test_weighted_jaccard_counts_repeats(spark):
+    """wj = sum(min)/sum(max) on counts: a={x:4,y:4}, b={x:4,y:1}
+    -> 5/8 even though the SET jaccard is 1.0."""
+    from goka_spark.functions import dedup as D
+
+    a = "wordx wordy " * 4
+    b = "wordx " * 4 + "wordy"
+    docs = spark.createDataFrame([(1, a), (2, b)],
+                                 "doc_id long, text string")
+    got = D.weighted_jaccard_pairs(docs, "doc_id", "text", n=2,
+                                   threshold=0.01, max_df=None).collect()
+    assert [(r.id_a, r.id_b, r.wj_e6) for r in got] == [(1, 2, 625_000)]
+
+
+def test_lang_confidence_margin_and_tie(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog of it is in"),   # clear en
+         (2, "la la la"),                          # es/fr tie -> es, margin 0
+         (3, "xyz qrs")],                          # all zero -> en, margin 0
+        "doc_id long, text string")
+    got = {r.doc_id: (r.lang, r.top_votes, r.margin)
+           for r in T.lang_confidence(docs, "doc_id", "text").collect()}
+    assert got[1][0] == "en" and got[1][2] > 0
+    assert got[2] == ("es", 3, 0)
+    assert got[3] == ("en", 0, 0)
