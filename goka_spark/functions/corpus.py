@@ -808,3 +808,68 @@ def chunk_dup_report(df: DataFrame, id_col: str, text_col: str,
             .select(F.col(id_col), "n_chunks", "n_dup_chunks",
                     F.expr("n_dup_chunks * 1000000 DIV n_chunks")
                     .cast("long").alias("dup_e6")))
+
+
+class BoilerplateSink:
+    """Streaming boilerplate-line MODEL builder — the ingest-time twin
+    of ``text.boilerplate_by_source`` (C135): a ``foreachBatch`` sink
+    accumulating per-(source, line-md5) document frequencies and
+    per-source doc counts, merged at read time into the boilerplate
+    table a production pipeline broadcasts to strip incoming docs.
+
+    Associativity argument (the CorpusStatsSink discipline): each doc
+    arrives in exactly ONE micro-batch, so per-epoch distinct-doc
+    line counts and source doc counts are disjoint and SUM-merge
+    exactly; an epoch overwrite is retry-idempotent
+    (ExactlyOnceBatchSink layout).  The doc-count rows ride the same
+    parquet with a NULL line hash (one marker row per source per
+    epoch), keeping read() a single scan.
+
+    ``read()`` returns ``(source, line_h, df, n_src_docs, boiler)``
+    under the exact C135 rule df·1e6 >= ratio_e6·n AND df >= min_df —
+    byte-comparable to the batch-derived table over the same data."""
+
+    def __init__(self, out_path: str, id_col: str, text_col: str,
+                 source_col: str = "source", sep: str = "\n",
+                 ratio_e6: int = 40_000, min_df: int = 2):
+        self.out_path = out_path.rstrip("/")
+        self.id_col, self.text_col = id_col, text_col
+        self.source_col, self.sep = source_col, sep
+        self.ratio_e6, self.min_df = ratio_e6, min_df
+
+    def _partial(self, df: DataFrame) -> DataFrame:
+        lines = (df.select(
+            F.col(self.id_col).alias("_id"),
+            F.col(self.source_col).alias("source"),
+            F.explode(F.split(F.col(self.text_col), self.sep))
+            .alias("_ln"))
+            .filter(F.col("_ln") != "")
+            .select("_id", "source",
+                    F.md5(F.encode("_ln", "UTF-8")).alias("line_h")))
+        dfc = (lines.groupBy("source", "line_h")
+               .agg(F.count_distinct("_id").cast("long").alias("df"),
+                    F.lit(0).cast("long").alias("n_docs")))
+        marks = (df.groupBy(F.col(self.source_col).alias("source"))
+                 .agg(F.lit(None).cast("string").alias("line_h"),
+                      F.lit(0).cast("long").alias("df"),
+                      F.count("*").cast("long").alias("n_docs"))
+                 .select("source", "line_h", "df", "n_docs"))
+        return dfc.unionByName(marks)
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        (self._partial(batch_df).write.mode("overwrite")
+         .parquet(f"{self.out_path}/epoch_id={int(epoch_id)}"))
+
+    def read(self, spark) -> DataFrame:
+        parts = spark.read.parquet(self.out_path)
+        nsrc = (parts.filter(F.col("line_h").isNull())
+                .groupBy("source")
+                .agg(F.sum("n_docs").cast("long").alias("n_src_docs")))
+        dfs = (parts.filter(F.col("line_h").isNotNull())
+               .groupBy("source", "line_h")
+               .agg(F.sum("df").cast("long").alias("df")))
+        return (dfs.join(F.broadcast(nsrc), "source")
+                .select("source", "line_h", "df", "n_src_docs",
+                        ((F.col("df") * 1_000_000
+                          >= self.ratio_e6 * F.col("n_src_docs"))
+                         & (F.col("df") >= self.min_df)).alias("boiler")))

@@ -176,3 +176,58 @@ def test_lang_confidence_margin_and_tie(spark):
     assert got[1][0] == "en" and got[1][2] > 0
     assert got[2] == ("es", 3, 0)
     assert got[3] == ("en", 0, 0)
+
+
+def test_streaming_boilerplate_sink_equals_batch(spark, tmp_path):
+    """Two micro-batches through BoilerplateSink merge to exactly the
+    batch-derived boilerplate table (docs are epoch-disjoint, so the
+    distinct-doc line counts SUM-merge), and the boiler verdicts
+    match T.boilerplate_by_source's rule on the union."""
+    from goka_spark.functions import corpus as C
+    from goka_spark.streaming.runtime import stream_from_dir
+
+    schema = "doc_id long, source string, text string"
+    rows1 = [(1, "a", "nav bar\nbody one"), (2, "a", "nav bar\nbody two")]
+    rows2 = [(3, "a", "nav bar\nbody three"), (4, "b", "nav bar\nother")]
+    src = str(tmp_path / "topic")
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    sink = C.BoilerplateSink(str(tmp_path / "bp"), "doc_id", "text",
+                             ratio_e6=40_000, min_df=2)
+    q = (stream_from_dir(spark, src, schema).writeStream
+         .foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    live = {(r.source, r.line_h): (r.df, r.n_src_docs, r.boiler)
+            for r in sink.read(spark).collect()}
+    union = spark.createDataFrame(rows1 + rows2, schema)
+    # batch reference: same counts via one pass over the union
+    lines = (union.select(
+        "doc_id", "source",
+        F.explode(F.split("text", "\n")).alias("ln"))
+        .filter(F.col("ln") != "")
+        .select("doc_id", "source", F.md5(F.encode("ln", "UTF-8"))
+                .alias("line_h")))
+    nsrc = union.groupBy("source").agg(F.count("*").alias("n"))
+    ref = {(r.source, r.line_h): (r.df, r.n, r.boiler)
+           for r in (lines.groupBy("source", "line_h")
+                     .agg(F.count_distinct("doc_id").alias("df"))
+                     .join(nsrc, "source")
+                     .select("source", "line_h", "df", "n",
+                             ((F.col("df") * 1_000_000 >= 40_000 * F.col("n"))
+                              & (F.col("df") >= 2)).alias("boiler"))
+                     ).collect()}
+    assert live == ref
+    # the nav bar is boiler in src a (3/3 docs), not in src b (1 doc)
+    nav_h = [k for k, v in ref.items() if v[0] >= 2]
+    assert any(live[k][2] for k in nav_h if k[0] == "a")
+    assert all(not v[2] for k, v in live.items() if k[0] == "b")
