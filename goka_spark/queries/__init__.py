@@ -81,6 +81,8 @@ _FRONT = [
     # older than two rounds after this rotation)
     "weighted_jaccard_pairs",
     "doc_lang_confidence",
+    "dedup_savings_report",
+    "char_ngram_lang_id",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

@@ -6640,3 +6640,138 @@ ORACLES["doc_lang_confidence"] = f"""
              - list_sort([s_en, s_de, s_es, s_fr])[3] AS margin
     FROM v
 """
+
+
+def dedup_savings_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source token-SAVINGS report for the production fuzzy-dedup
+    pipeline: joins the session-memoized keep frame (C82's minhash →
+    LSH → CC → keep-the-longest verdicts, certified) with whitespace
+    token counts and aggregates what dedup actually buys per source —
+    docs dropped, tokens dropped, exact savings_e6 — the number a
+    data lead reads before paying for a corpus-wide dedup at 100 TB.
+    One token scan + the memoized verdicts + a sources-sized agg."""
+    docs = load(spark, sf, "documents")["documents"]
+    keep = _keep_frame(spark, sf)
+    toks = docs.select(
+        "doc_id", "source",
+        F.size(F.filter(F.split(F.col("text"), r"\s+"),
+                        lambda w: w != "")).cast("long").alias("_tk"))
+    j = toks.join(
+        keep.select("doc_id",
+                    (F.col("doc_id") == F.col("keep_id")).alias("_k")),
+        "doc_id")
+    return (j.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum((~F.col("_k")).cast("long")).cast("long")
+                 .alias("n_dropped"),
+                 F.sum("_tk").cast("long").alias("tokens_total"),
+                 F.sum(F.when(F.col("_k"), F.col("_tk")).otherwise(0))
+                 .cast("long").alias("tokens_kept"))
+            .withColumn("savings_e6", F.expr(
+                "(tokens_total - tokens_kept) * 1000000L "
+                "DIV greatest(tokens_total, 1L)").cast("long")))
+
+
+QUERIES["dedup_savings_report"] = dedup_savings_report
+
+ORACLES["dedup_savings_report"] = f"""
+    WITH keepf AS (
+      SELECT doc_id, keep_id FROM ({_minhash_keep_oracle()})
+    ), toks AS (
+      SELECT doc_id, source, CAST(len({_WORDS}) AS BIGINT) AS tk
+      FROM documents
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN k.keep_id <> t.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(t.tk) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN k.keep_id = t.doc_id THEN t.tk ELSE 0 END)
+                AS BIGINT) AS tokens_kept,
+           CAST((SUM(t.tk) - SUM(CASE WHEN k.keep_id = t.doc_id
+                                 THEN t.tk ELSE 0 END)) * 1000000
+                // GREATEST(SUM(t.tk), 1) AS BIGINT) AS savings_e6
+    FROM toks t JOIN keepf k USING (doc_id)
+    GROUP BY t.source
+"""
+
+
+def char_ngram_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """textcat-style char-TRIGRAM language ID (Cavnar & Trenkle 1994
+    n-gram profiles) — the classifier family real lang-ID tools
+    (fastText/CLD) build on, complementary to C7's stopword votes:
+    per labeled language, the top-20 char trigrams by corpus count
+    (ties by trigram asc — exact deterministic profile); each doc
+    votes |doc's trigram set ∩ profile(L)| and takes the argmax
+    (ties → lang asc).  Returns (doc_id, pred_lang, votes, correct).
+    Scale shape: one scan-stage trigram explode, a langs-sized
+    profile agg broadcast back, one per-(doc, lang) count and a
+    4-language-bounded argmax struct — linear in characters."""
+    from pyspark.sql import Window
+    docs = load(spark, sf, "documents")["documents"]
+    tri = (docs.select(
+        "doc_id", "lang",
+        F.explode(F.transform(
+            F.sequence(F.lit(1),
+                       F.greatest(F.length("text") - 2, F.lit(1))),
+            lambda i: F.substring(F.col("text"), i, 3))).alias("g"))
+        .filter(F.length("g") == 3))
+    prof = (tri.groupBy("lang", "g").agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("lang")
+                .orderBy(F.col("c").desc(), F.col("g"))))
+            .filter(F.col("rn") <= 20)
+            .select(F.col("lang").alias("plang"), "g"))
+    doc_grams = tri.select("doc_id", "g").distinct()
+    votes = (doc_grams.join(F.broadcast(prof), "g")
+             .groupBy("doc_id", "plang")
+             .agg(F.count("*").alias("votes")))
+    wd = Window.partitionBy("doc_id").orderBy(F.col("votes").desc(),
+                                              F.col("plang"))
+    best = (votes.withColumn("rn", F.row_number().over(wd))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "plang", "votes"))
+    return (docs.select("doc_id", "lang")
+            .join(best, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("plang"), F.lit("unknown"))
+                    .alias("pred_lang"),
+                    F.coalesce(F.col("votes"), F.lit(0)).cast("long")
+                    .alias("votes"),
+                    (F.coalesce(F.col("plang"), F.lit("unknown"))
+                     == F.col("lang")).alias("correct")))
+
+
+QUERIES["char_ngram_lang_id"] = char_ngram_lang_id
+
+ORACLES["char_ngram_lang_id"] = """
+    WITH tri AS (
+      SELECT doc_id, lang, substr(text, i, 3) AS g
+      FROM documents,
+           UNNEST(range(1, greatest(length(text) - 2, 1) + 1)) AS t(i)
+      WHERE length(substr(text, i, 3)) = 3
+    ), prof AS (
+      SELECT lang AS plang, g FROM (
+        SELECT lang, g, ROW_NUMBER() OVER (
+          PARTITION BY lang ORDER BY COUNT(*) DESC, g) AS rn
+        FROM tri GROUP BY lang, g
+      ) WHERE rn <= 20
+    ), dg AS (
+      SELECT DISTINCT doc_id, g FROM tri
+    ), votes AS (
+      SELECT d.doc_id, p.plang, COUNT(*) AS votes
+      FROM dg d JOIN prof p USING (g)
+      GROUP BY d.doc_id, p.plang
+    ), best AS (
+      SELECT doc_id, plang, votes FROM (
+        SELECT doc_id, plang, votes, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY votes DESC, plang) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           COALESCE(b.plang, 'unknown') AS pred_lang,
+           CAST(COALESCE(b.votes, 0) AS BIGINT) AS votes,
+           COALESCE(b.plang, 'unknown') = d.lang AS correct
+    FROM documents d LEFT JOIN best b USING (doc_id)
+"""
