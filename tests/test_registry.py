@@ -26,9 +26,12 @@ def test_rows_only_set_is_intentional():
     # literals); round 5 removed every remaining ANN key + SemDeDup
     # (oracle-recomputable quantizers), then late r5 removed the
     # xxhash64 signature keys too — XXH64 itself is implemented in
-    # the oracle SQL (queries/xxh_sql.py).  What remains is a sketch
-    # estimate (HLL) or side-effectful (emitter/changelog writes).
+    # the oracle SQL (queries/xxh_sql.py).  Round 9 flipped
+    # approx_distinct_users to the portable-HLL kernel (hash-verified)
+    # and kept Spark's opaque builtin sketch as a rows-only twin.
+    # What remains is the opaque builtin estimate or side-effectful
+    # (emitter/changelog writes).
     assert rows_only == {
-        "approx_distinct_users", "emitter_roundtrip",
+        "approx_distinct_users_builtin", "emitter_roundtrip",
         "changelog_compaction",
     }
