@@ -1711,3 +1711,38 @@ def weighted_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                     F.expr("coalesce(_smin, 0) * 1000000L "
                            "DIV (_ta + _tb - coalesce(_smin, 0))")
                     .cast("long").alias("wj_e6")))
+
+
+def hash_near_pairs(hashed: DataFrame, id_col: str, hash_col: str,
+                    max_hamming: int = 7, bands: int = 8) -> DataFrame:
+    """Banded hamming near-pair join over ANY 63-bit fingerprint
+    column — the simhash_near_pairs blocking generalized so perceptual
+    hashes (image dHash/WHT, frame hashes) get the same no-false-
+    negative pigeonhole guarantee: with ``max_hamming <= bands - 1``
+    any qualifying pair shares at least one intact band, so the
+    banded equi-join is COMPLETE and the exact ``bit_count(xor)``
+    filter inside blocks makes it precise."""
+    width = 63 // bands + 1
+    chunks = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(hash_col, b * width).bitwiseAND(
+                F.lit((1 << width) - 1)).alias("chunk"),
+        )
+        for b in range(bands)
+    ])
+    blocked = hashed.select(id_col, hash_col,
+                            F.explode(chunks).alias("bb")) \
+        .select(id_col, hash_col, "bb.band", "bb.chunk")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(b, on=["band", "chunk"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                hamming64(F.col(f"a.{hash_col}"),
+                          F.col(f"b.{hash_col}")).cast("long")
+                .alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

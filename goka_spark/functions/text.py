@@ -1389,3 +1389,61 @@ def lang_confidence(df, id_col: str, text_col: str):
         lang_id(F.col(text_col)).alias("lang"),
         F.element_at(arr, 4).alias("top_votes"),
         (F.element_at(arr, 4) - F.element_at(arr, 3)).alias("margin"))
+
+
+def lm_heldout_logprob(train, test, id_col: str, text_col: str):
+    """``lm_logprob``'s eval twin with a true TRAIN/TEST split: the
+    Laplace bigram LM is fit on ``train`` only and scores ``test``,
+    which forces the unseen-transition law self-scoring never hits —
+    p(w|prev) = (c(prev,w)+1) / (c(prev)+V) with BOTH counts allowed
+    to be 0 (prev unseen in train ⇒ uniform 1/V).  Same micro-nat
+    float discipline: log-probs integerized once per distinct test
+    transition, per-doc accumulation an exact integer sum.
+
+    Plan: train transitions (posexplode + window lead) → two
+    hash-aggs + vocab count; test transitions once; scoring joins are
+    LEFT so unseen transitions keep their smoothed mass.  Linear in
+    tokens both sides; model state never leaves the cluster."""
+    from pyspark.sql.window import Window
+
+    from goka_spark.functions.dedup import _fan_out
+
+    def transitions(df):
+        w = (_fan_out(df).select(
+                F.col(id_col).alias("doc"),
+                F.posexplode(F.split(F.col(text_col), r"\s+"))
+                 .alias("_p", "_w"))
+             .filter(F.col("_w") != ""))
+        win = Window.partitionBy("doc").orderBy("_p")
+        return w, (w.select("doc", F.col("_w").alias("prev"),
+                            F.lead("_w", 1).over(win).alias("wrd"))
+                   .filter(F.col("wrd").isNotNull()))
+
+    tr_w, tr_pairs = transitions(train)
+    _, te_pairs = transitions(test)
+    cpw = tr_pairs.groupBy("prev", "wrd").agg(F.count("*").alias("cpw"))
+    cp = cpw.groupBy("prev").agg(F.sum("cpw").alias("cp"))
+    vocab = tr_w.agg(F.count_distinct("_w").alias("v"))
+    te_tr = te_pairs.groupBy("doc", "prev", "wrd") \
+        .agg(F.count("*").alias("cnt"))
+    lp = (te_tr.select("prev", "wrd").distinct()
+          .join(cpw, ["prev", "wrd"], "left")
+          .join(cp, "prev", "left")
+          .crossJoin(F.broadcast(vocab))
+          .select("prev", "wrd",
+                  F.floor(1e6 * F.log(
+                      (F.coalesce(F.col("cpw"), F.lit(0)) + 1)
+                      / (F.coalesce(F.col("cp"), F.lit(0)) + F.col("v")))
+                      + 0.5).cast("long").alias("lp_e6")))
+    scored = (te_tr.join(lp, ["prev", "wrd"])
+              .groupBy("doc")
+              .agg(F.sum(F.col("cnt") * F.col("lp_e6"))
+                   .alias("logprob_e6"),
+                   F.sum("cnt").alias("n_bigrams")))
+    return (test.select(F.col(id_col).alias("doc"))
+            .join(scored, "doc", "left")
+            .select(F.col("doc").alias(id_col),
+                    F.coalesce("n_bigrams", F.lit(0)).cast("long")
+                    .alias("n_bigrams"),
+                    F.coalesce("logprob_e6", F.lit(0)).cast("long")
+                    .alias("logprob_e6")))

@@ -83,6 +83,8 @@ _FRONT = [
     "doc_lang_confidence",
     "dedup_savings_report",
     "char_ngram_lang_id",
+    "image_wht_near_pairs",
+    "lm_heldout_eval",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

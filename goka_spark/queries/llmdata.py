@@ -6775,3 +6775,132 @@ ORACLES["char_ngram_lang_id"] = """
            COALESCE(b.plang, 'unknown') = d.lang AS correct
     FROM documents d LEFT JOIN best b USING (doc_id)
 """
+
+
+def image_wht_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """NEAR-duplicate image pairs over the WHT perceptual hashes
+    (D.hash_near_pairs on C138's fingerprints): banded hamming
+    blocking with max_hamming = bands-1, so the pigeonhole guarantee
+    makes the banded equi-join COMPLETE — the oracle is therefore the
+    plain all-pairs hamming ≤ 7 over the closed-form per-seed hashes,
+    and the driver verifies recall, not just precision (the C3
+    simhash discipline applied to images).  Same-seed images sit at
+    hamming 0; cross-seed survivors are the true near-texture pairs."""
+    docs = load(spark, sf, "documents")["documents"]
+    spec = docs.select(
+        "doc_id", F.lit(8).alias("w8"), F.lit(8).alias("h8"),
+        (F.col("doc_id") % 57).cast("int").alias("seed"))
+    hashed = M.image_wht_hash(
+        M.encode_ppm_quad(spec, "doc_id", "w8", "h8", "seed"))
+    return D.hash_near_pairs(hashed, "doc_id", "wht_hash",
+                             max_hamming=7, bands=8)
+
+
+QUERIES["image_wht_near_pairs"] = image_wht_near_pairs
+
+ORACLES["image_wht_near_pairs"] = """
+    WITH seeds AS (
+      SELECT DISTINCT doc_id % 57 AS seed FROM documents
+    ), coef AS (
+      SELECT seed, u, v,
+             SUM(((r * 8 + c + seed) * (r * 8 + c + seed)) % 256
+                 * CASE WHEN (bit_count(CAST(r AS BIGINT) & u)
+                              + bit_count(CAST(c AS BIGINT) & v)) % 2 = 0
+                        THEN 1 ELSE -1 END) AS x
+      FROM seeds,
+           UNNEST(range(0, 8)) t1(u), UNNEST(range(0, 8)) t2(v),
+           UNNEST(range(0, 8)) t3(r), UNNEST(range(0, 8)) t4(c)
+      GROUP BY seed, u, v
+    ), hashes AS (
+      SELECT seed,
+             CAST(SUM(CASE WHEN x > 0
+                           THEN CAST(1 AS BIGINT) << (u * 8 + v - 1)
+                           ELSE 0 END) AS BIGINT) AS wht_hash
+      FROM coef WHERE u * 8 + v >= 1 GROUP BY seed
+    ), hd AS (
+      SELECT d.doc_id, h.wht_hash
+      FROM documents d JOIN hashes h ON d.doc_id % 57 = h.seed
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.wht_hash, b.wht_hash)) AS BIGINT)
+             AS hamming
+    FROM hd a JOIN hd b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.wht_hash, b.wht_hash)) <= 7
+"""
+
+
+def lm_heldout_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """HELD-OUT language-model evaluation — the eval half doc_lm_score
+    (C36) deliberately skips (it scores the corpus under a model
+    trained on ITSELF): train the Laplace bigram LM on doc_id % 7 != 0,
+    score the held-out ~14% per source, with the unseen-transition law
+    a held-out eval forces — p = (c+1)/(c_prev + V) where both counts
+    may be 0 (prev unseen in train ⇒ p = 1/V).  Micro-nat
+    integerization per distinct transition, exact integer per-source
+    mean.  The number that tells you whether a source is DRIFTING from
+    the corpus the model knows — per source: (n_docs, n_bigrams,
+    mean_lp_e6)."""
+    docs = load(spark, sf, "documents")["documents"]
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    test = docs.filter(F.col("doc_id") % 7 == 0)
+    scored = T.lm_heldout_logprob(train, test, "doc_id", "text")
+    per_doc = scored.join(test.select("doc_id", "source"), "doc_id")
+    return (per_doc.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+                 F.expr("sum(logprob_e6) DIV greatest(sum(n_bigrams), 1L)")
+                 .cast("long").alias("mean_lp_e6")))
+
+
+QUERIES["lm_heldout_eval"] = lm_heldout_eval
+
+ORACLES["lm_heldout_eval"] = f"""
+    WITH tr AS (
+      SELECT doc_id, i, words[i] AS prev, words[i + 1] AS wrd
+      FROM (SELECT doc_id, {_WORDS} AS words FROM documents
+            WHERE doc_id % 7 <> 0),
+           UNNEST(range(1, greatest(len(words), 1))) AS t(i)
+      WHERE len(words) >= 2
+    ), te AS (
+      SELECT doc_id, i, words[i] AS prev, words[i + 1] AS wrd
+      FROM (SELECT doc_id, {_WORDS} AS words FROM documents
+            WHERE doc_id % 7 = 0),
+           UNNEST(range(1, greatest(len(words), 1))) AS t(i)
+      WHERE len(words) >= 2
+    ), cpw AS (
+      SELECT prev, wrd, COUNT(*) AS cpw FROM tr GROUP BY prev, wrd
+    ), cp AS (
+      SELECT prev, SUM(cpw) AS cp FROM cpw GROUP BY prev
+    ), vocab AS (
+      SELECT COUNT(DISTINCT w) AS v
+      FROM (SELECT UNNEST({_WORDS}) AS w FROM documents
+            WHERE doc_id % 7 <> 0)
+    ), te_tr AS (
+      SELECT doc_id, prev, wrd, COUNT(*) AS cnt
+      FROM te GROUP BY doc_id, prev, wrd
+    ), lp AS (
+      SELECT t.prev, t.wrd,
+             CAST(FLOOR(1e6 * ln((COALESCE(c.cpw, 0) + 1)
+                                 / (COALESCE(p.cp, 0) + v.v)) + 0.5)
+                  AS BIGINT) AS lp_e6
+      FROM (SELECT DISTINCT prev, wrd FROM te_tr) t
+      LEFT JOIN cpw c USING (prev, wrd)
+      LEFT JOIN cp p USING (prev)
+      CROSS JOIN vocab v
+    ), per_doc AS (
+      SELECT t.doc_id,
+             SUM(t.cnt * l.lp_e6) AS logprob_e6,
+             SUM(t.cnt) AS n_bigrams
+      FROM te_tr t JOIN lp l USING (prev, wrd)
+      GROUP BY t.doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(COALESCE(p.n_bigrams, 0)) AS BIGINT) AS n_bigrams,
+           CAST(SUM(COALESCE(p.logprob_e6, 0))
+                // GREATEST(SUM(COALESCE(p.n_bigrams, 0)), 1)
+                AS BIGINT) AS mean_lp_e6
+    FROM (SELECT doc_id, source FROM documents WHERE doc_id % 7 = 0) d
+    LEFT JOIN per_doc p USING (doc_id)
+    GROUP BY d.source
+"""

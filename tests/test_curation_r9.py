@@ -231,3 +231,53 @@ def test_streaming_boilerplate_sink_equals_batch(spark, tmp_path):
     nav_h = [k for k, v in ref.items() if v[0] >= 2]
     assert any(live[k][2] for k in nav_h if k[0] == "a")
     assert all(not v[2] for k, v in live.items() if k[0] == "b")
+
+
+def test_hash_near_pairs_pigeonhole_complete(spark):
+    """With max_hamming <= bands-1 the banded join must find EVERY
+    qualifying pair: verify against brute force on crafted hashes
+    (pairs at hamming 0, 3, 7 and one just over at 8)."""
+    from goka_spark.functions import dedup as D
+
+    base = 0b101010101010101010101010101010101010101010101010101010101010101
+    rows = [(1, base), (2, base),                     # hamming 0
+            (3, base ^ 0b111),                        # hamming 3 vs 1/2
+            (4, base ^ ((1 << 62) | (1 << 31) | (1 << 15) | (1 << 7)
+                        | 0b111)),                    # hamming 7 vs 3
+            (5, base ^ ((1 << 60) | (1 << 53) | (1 << 46) | (1 << 39)
+                        | (1 << 32) | (1 << 25) | (1 << 18) | (1 << 11)))]
+    hashed = spark.createDataFrame(rows, "doc_id long, h long")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in D.hash_near_pairs(hashed, "doc_id", "h",
+                                      max_hamming=7, bands=8).collect()}
+
+    def pc(x):
+        return bin(x).count("1")
+
+    want = {(a, b): pc(ha ^ hb)
+            for i, (a, ha) in enumerate(rows)
+            for b, hb in rows[i + 1:]
+            if pc(ha ^ hb) <= 7}
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] == 0
+    assert (1, 3) in got and got[(1, 3)] == 3
+    # doc 5 is at hamming 8 from 1/2 (one flip per band: every band
+    # broken) — correctly absent
+    assert not any(5 in k for k in got)
+
+
+def test_lm_heldout_unseen_transitions_score_uniform(spark):
+    """A test doc whose words never appear in train must score every
+    transition at ln(1/V) (both counts 0) — the law self-scoring
+    never exercises."""
+    import math
+    train = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "aa bb dd ee")],
+        "doc_id long, text string")
+    test = spark.createDataFrame([(10, "zz yy xx")],
+                                 "doc_id long, text string")
+    got = T.lm_heldout_logprob(train, test, "doc_id", "text").collect()[0]
+    v = 5  # distinct train words
+    lp = math.floor(1e6 * math.log(1 / v) + 0.5)
+    assert got.n_bigrams == 2
+    assert got.logprob_e6 == 2 * lp
