@@ -1447,3 +1447,104 @@ def lm_heldout_logprob(train, test, id_col: str, text_col: str):
                     .alias("n_bigrams"),
                     F.coalesce("logprob_e6", F.lit(0)).cast("long")
                     .alias("logprob_e6")))
+
+
+def lm_stupid_backoff(train, test, id_col: str, text_col: str,
+                      alpha_e6: int = 400_000):
+    """Trigram STUPID BACKOFF scoring with a train/test split (Brants
+    et al. 2007, "Large Language Models in Machine Translation" — the
+    score designed FOR distributed n-gram LMs: no discounting
+    normalization, every statistic a raw count an engine can
+    hash-aggregate):
+
+        S(w3|w1,w2) = c(w1w2w3)/c(w1w2)            if trigram seen
+                    = α·c(w2w3)/c(w2)               elif bigram seen
+                    = α²·(c(w3)+1)/(N+V)            else (Laplace OOV
+                                                    floor; pure SB has
+                                                    no OOV story)
+        α = 0.4.
+
+    Backoff selects the LONGEST observed context instead of mixing —
+    exactly the branch structure a CASE expression (and a SQL twin)
+    replays, and the split makes every branch live (self-scoring
+    would always take the trigram branch).  Micro-nat discipline:
+    ln(S) integerized once per distinct test trigram TYPE, per-doc
+    accumulation an exact integer sum.
+
+    Plan: posexplode + two window leads per side; four count tables
+    (trigram, bigram, unigram, totals) from train; scoring is left
+    joins on the type and one per-doc sum — linear in tokens, counts
+    never leave the cluster."""
+    from pyspark.sql.window import Window
+
+    from goka_spark.functions.dedup import _fan_out
+
+    alpha = alpha_e6 / 1e6
+
+    def toks(df):
+        return (_fan_out(df).select(
+                    F.col(id_col).alias("doc"),
+                    F.posexplode(F.split(F.col(text_col), r"\s+"))
+                     .alias("_p", "_w"))
+                .filter(F.col("_w") != ""))
+
+    def trigrams(w):
+        win = Window.partitionBy("doc").orderBy("_p")
+        return (w.select("doc", F.col("_w").alias("w1"),
+                         F.lead("_w", 1).over(win).alias("w2"),
+                         F.lead("_w", 2).over(win).alias("w3"))
+                .filter(F.col("w3").isNotNull()))
+
+    tr_w = toks(train)
+    win = Window.partitionBy("doc").orderBy("_p")
+    tr_tri = trigrams(tr_w)
+    c3 = tr_tri.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    big = (tr_w.select("doc", F.col("_w").alias("a"),
+                       F.lead("_w", 1).over(win).alias("b"))
+           .filter(F.col("b").isNotNull()))
+    c2 = big.groupBy("a", "b").agg(F.count("*").alias("c2"))
+    c1 = tr_w.groupBy("_w").agg(F.count("*").alias("c1"))
+    tot = tr_w.agg(F.count("*").alias("nn"),
+                   F.count_distinct("_w").alias("v"))
+
+    doc_tri = trigrams(toks(test)).groupBy("doc", "w1", "w2", "w3") \
+        .agg(F.count("*").alias("cnt"))
+    types = doc_tri.select("w1", "w2", "w3").distinct()
+    scored_types = (
+        types
+        .join(c3, ["w1", "w2", "w3"], "left")
+        .join(c2.select(F.col("a").alias("w1"), F.col("b").alias("w2"),
+                        F.col("c2").alias("c12")), ["w1", "w2"], "left")
+        .join(c2.select(F.col("a").alias("w2"), F.col("b").alias("w3"),
+                        F.col("c2").alias("c23")), ["w2", "w3"], "left")
+        .join(c1.select(F.col("_w").alias("w2"),
+                        F.col("c1").alias("cw2")), "w2", "left")
+        .join(c1.select(F.col("_w").alias("w3"),
+                        F.col("c1").alias("cw3")), "w3", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "w3",
+            F.floor(1e6 * F.log(
+                F.when(F.coalesce(F.col("c3"), F.lit(0)) > 0,
+                       F.col("c3") / F.col("c12"))
+                 .when(F.coalesce(F.col("c23"), F.lit(0)) > 0,
+                       F.lit(alpha) * F.col("c23") / F.col("cw2"))
+                 .otherwise(F.lit(alpha) * F.lit(alpha)
+                            * (F.coalesce(F.col("cw3"), F.lit(0)) + 1)
+                            / (F.col("nn") + F.col("v")))) + 0.5)
+            .cast("long").alias("ls_e6")))
+    scored = (doc_tri.join(scored_types, ["w1", "w2", "w3"])
+              .groupBy("doc")
+              .agg(F.sum(F.col("cnt") * F.col("ls_e6"))
+                   .alias("logscore_e6"),
+                   F.sum("cnt").alias("n_trigrams")))
+    return (test.select(F.col(id_col).alias("doc"))
+            .join(scored, "doc", "left")
+            .select(F.col("doc").alias(id_col),
+                    F.coalesce("n_trigrams", F.lit(0)).cast("long")
+                    .alias("n_trigrams"),
+                    F.coalesce("logscore_e6", F.lit(0)).cast("long")
+                    .alias("logscore_e6"),
+                    F.expr("coalesce(logscore_e6, 0L) DIV "
+                           "greatest(coalesce(n_trigrams, 0L), 1L)")
+                    .cast("long").alias("mean_e6")))

@@ -85,6 +85,7 @@ _FRONT = [
     "char_ngram_lang_id",
     "image_wht_near_pairs",
     "lm_heldout_eval",
+    "lm_backoff_score",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

@@ -6904,3 +6904,91 @@ ORACLES["lm_heldout_eval"] = f"""
     LEFT JOIN per_doc p USING (doc_id)
     GROUP BY d.source
 """
+
+
+def lm_backoff_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc trigram stupid-backoff scores on the held-out split
+    (T.lm_stupid_backoff, Brants et al. 2007): train on doc_id%7 != 0,
+    score the held-out docs — the longest-observed-context branch
+    structure (trigram → α·bigram → α²·Laplace-OOV-floor) replayed
+    branch-for-branch by the oracle's CASE.  The deeper-context twin
+    of C36's smoothed bigram and C145's held-out eval."""
+    docs = load(spark, sf, "documents")["documents"]
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    test = docs.filter(F.col("doc_id") % 7 == 0)
+    return T.lm_stupid_backoff(train, test, "doc_id", "text")
+
+
+QUERIES["lm_backoff_score"] = lm_backoff_score
+
+ORACLES["lm_backoff_score"] = f"""
+    WITH trw AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS p, words[i] AS w
+      FROM (SELECT doc_id, {_WORDS} AS words FROM documents
+            WHERE doc_id % 7 <> 0),
+           UNNEST(range(1, len(words) + 1)) AS t(i)
+    ), trtri AS (
+      SELECT doc_id, words[i] AS w1, words[i + 1] AS w2,
+             words[i + 2] AS w3
+      FROM (SELECT doc_id, {_WORDS} AS words FROM documents
+            WHERE doc_id % 7 <> 0),
+           UNNEST(range(1, greatest(len(words) - 1, 1))) AS t(i)
+      WHERE len(words) >= 3
+    ), tetri AS (
+      SELECT doc_id, words[i] AS w1, words[i + 1] AS w2,
+             words[i + 2] AS w3
+      FROM (SELECT doc_id, {_WORDS} AS words FROM documents
+            WHERE doc_id % 7 = 0),
+           UNNEST(range(1, greatest(len(words) - 1, 1))) AS t(i)
+      WHERE len(words) >= 3
+    ), trbig AS (
+      SELECT words[i] AS a, words[i + 1] AS b
+      FROM (SELECT doc_id, {_WORDS} AS words FROM documents
+            WHERE doc_id % 7 <> 0),
+           UNNEST(range(1, greatest(len(words), 1))) AS t(i)
+      WHERE len(words) >= 2
+    ), c3 AS (
+      SELECT w1, w2, w3, COUNT(*) AS c3 FROM trtri GROUP BY w1, w2, w3
+    ), c2 AS (
+      SELECT a, b, COUNT(*) AS c2 FROM trbig GROUP BY a, b
+    ), c1 AS (
+      SELECT w, COUNT(*) AS c1 FROM trw GROUP BY w
+    ), tot AS (
+      SELECT COUNT(*) AS nn, COUNT(DISTINCT w) AS v FROM trw
+    ), te_tr AS (
+      SELECT doc_id, w1, w2, w3, COUNT(*) AS cnt
+      FROM tetri GROUP BY doc_id, w1, w2, w3
+    ), lp AS (
+      SELECT t.w1, t.w2, t.w3,
+             CAST(FLOOR(1e6 * ln(
+               CASE WHEN COALESCE(g.c3, 0) > 0
+                      THEN g.c3 / b12.c2
+                    WHEN COALESCE(b23.c2, 0) > 0
+                      THEN CAST(0.4 AS DOUBLE) * b23.c2 / u2.c1
+                    ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+                         * (COALESCE(u3.c1, 0) + 1)
+                         / (tot.nn + tot.v)
+               END) + 0.5) AS BIGINT) AS ls_e6
+      FROM (SELECT DISTINCT w1, w2, w3 FROM te_tr) t
+      LEFT JOIN c3 g USING (w1, w2, w3)
+      LEFT JOIN c2 b12 ON b12.a = t.w1 AND b12.b = t.w2
+      LEFT JOIN c2 b23 ON b23.a = t.w2 AND b23.b = t.w3
+      LEFT JOIN c1 u2 ON u2.w = t.w2
+      LEFT JOIN c1 u3 ON u3.w = t.w3
+      CROSS JOIN tot
+    ), per_doc AS (
+      SELECT t.doc_id,
+             SUM(t.cnt * l.ls_e6) AS logscore_e6,
+             SUM(t.cnt) AS n_trigrams
+      FROM te_tr t JOIN lp l USING (w1, w2, w3)
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+           CAST(COALESCE(p.logscore_e6, 0) AS BIGINT) AS logscore_e6,
+           CAST(COALESCE(p.logscore_e6, 0)
+                // GREATEST(COALESCE(p.n_trigrams, 0), 1)
+                AS BIGINT) AS mean_e6
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) d
+    LEFT JOIN per_doc p USING (doc_id)
+"""

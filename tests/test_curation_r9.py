@@ -281,3 +281,27 @@ def test_lm_heldout_unseen_transitions_score_uniform(spark):
     lp = math.floor(1e6 * math.log(1 / v) + 0.5)
     assert got.n_bigrams == 2
     assert got.logprob_e6 == 2 * lp
+
+
+def test_stupid_backoff_branch_structure(spark):
+    """Craft train/test so each branch fires: a trigram seen in
+    train scores c3/c12; an unseen trigram with a seen (w2,w3) bigram
+    takes the alpha branch; a fully-OOV word takes the Laplace
+    floor."""
+    import math
+    train = spark.createDataFrame(
+        [(1, "a b c d"), (2, "b c d e")], "doc_id long, text string")
+    # test doc: trigram 'a b c' seen (branch 1: c3=1, c12=1);
+    # trigram 'x b c' unseen but bigram 'b c' seen (branch 2:
+    # c23=2, c(b)=2); trigram 'q q zz' fully OOV (branch 3)
+    test = spark.createDataFrame(
+        [(10, "a b c"), (11, "x b c"), (12, "q q zz")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.logscore_e6
+           for r in T.lm_stupid_backoff(train, test,
+                                        "doc_id", "text").collect()}
+    nn, v = 8, 5  # train tokens, train vocab
+    assert got[10] == math.floor(1e6 * math.log(1 / 1) + 0.5)
+    assert got[11] == math.floor(1e6 * math.log(0.4 * 2 / 2) + 0.5)
+    assert got[12] == math.floor(
+        1e6 * math.log(0.4 * 0.4 * 1 / (nn + v)) + 0.5)

@@ -205,3 +205,45 @@ def test_fetched_records_through_spark_processor(spark, broker):
         cons.close()
         prod.close()
         tm.close()
+
+
+# -- property tests (hypothesis) --------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from goka_spark.kafka_wire import _Reader, _Writer
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+@settings(max_examples=300, deadline=None)
+def test_zigzag_varint_roundtrip(v):
+    data = _Writer().varint(v).getvalue()
+    assert _Reader(data).varint() == v
+
+
+@given(st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2**40),          # timestamp
+        st.one_of(st.none(), st.binary(max_size=64)),        # key
+        st.one_of(st.none(), st.binary(max_size=256)),       # value
+        st.lists(st.tuples(st.text(max_size=8),
+                           st.one_of(st.none(),
+                                     st.binary(max_size=16))),
+                 max_size=3)),
+    min_size=1, max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_record_batch_roundtrip_property(recs):
+    records = [Record(0, ts, k, v, hs) for ts, k, v, hs in recs]
+    base = 1234
+    back = decode_record_batches(encode_record_batch(base, records))
+    assert len(back) == len(records)
+    for i, (r, (ts, k, v, hs)) in enumerate(zip(back, recs)):
+        assert r.offset == base + i
+        assert (r.timestamp, r.key, r.value, r.headers) == (ts, k, v, hs)
+
+
+@given(st.binary(max_size=128), st.integers(min_value=1, max_value=1024))
+@settings(max_examples=200, deadline=None)
+def test_partitioner_always_in_range(key, n):
+    assert 0 <= partition_for_key(key, n) < n
