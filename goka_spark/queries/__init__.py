@@ -86,6 +86,8 @@ _FRONT = [
     "image_wht_near_pairs",
     "lm_heldout_eval",
     "lm_backoff_score",
+    "ohlc_bars",
+    "time_weighted_avg",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

@@ -1465,3 +1465,107 @@ ORACLES["event_transitions"] = """
            CAST(cnt * 1000000 // tot AS BIGINT) AS prob_e6
     FROM c JOIN t USING (event_type)
 """
+
+
+def ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
+    """OHLC candlestick rollup per (event_type, 1-hour window) — the
+    classic time-series bar aggregation (open/close by deterministic
+    (ts, event_id) order, high/low, volume).  One windowed hash-agg
+    with map-side combine; open/close via max_by/min_by on a struct so
+    ties break on event_id in both engines.  value integerized at e2
+    (the data's native precision) so every output is an exact
+    integer."""
+    ev = load(spark, sf, "events")["events"]
+    v_e2 = F.round(F.col("value") * 100).cast("long")
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return (ev.groupBy(F.window("ts", "1 hour").alias("_w"), "event_type")
+            .agg(F.min_by(v_e2, ordk).alias("open_e2"),
+                 F.max(v_e2).alias("high_e2"),
+                 F.min(v_e2).alias("low_e2"),
+                 F.max_by(v_e2, ordk).alias("close_e2"),
+                 F.count("*").alias("volume"))
+            .withColumn("window_start_us", F.unix_micros(F.col("_w.start")))
+            .drop("_w"))
+
+
+def time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-WEIGHTED average value per user (the TimescaleDB
+    time_weight('LOCF') shape): each observation holds until the next
+    one, so the mean weights each value by its holding interval —
+    what a plain AVG gets wrong whenever sampling is irregular
+    (exactly the events table's shape).  Exact integers end to end:
+    per-step weight = Δt in microseconds (long), value integerized at
+    e2, twa_e2 = Σ(v_e2·Δt_us) DIV ΣΔt_us.  Per-user lead window
+    (bounded by the user's own events) + one hash-agg; users with one
+    event have no held interval and report their value directly."""
+    ev = load(spark, sf, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = (ev.select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v_e2"))
+        .withColumn("_nxt", F.lead(F.unix_micros(F.col("ts"))).over(w))
+        .withColumn("_dt", F.col("_nxt") - F.unix_micros(F.col("ts"))))
+    held = stepped.filter(F.col("_dt").isNotNull())
+    agg = (held.groupBy("user_id")
+           .agg(F.sum(F.col("v_e2") * F.col("_dt")).alias("_num"),
+                F.sum("_dt").alias("_den"),
+                F.count("*").alias("_steps")))
+    last = (stepped.filter(F.col("_nxt").isNull())
+            .select("user_id", F.col("v_e2").alias("_last")))
+    return (last.join(agg, "user_id", "left")
+            .select(F.col("user_id").cast("string").alias("key"),
+                    (F.coalesce("_steps", F.lit(0)) + 1).cast("long")
+                    .alias("n_events"),
+                    F.when(F.col("_den").isNotNull(),
+                           F.expr("_num DIV _den"))
+                     .otherwise(F.col("_last")).cast("long")
+                    .alias("twa_e2")))
+
+
+QUERIES["ohlc_bars"] = ohlc_bars
+QUERIES["time_weighted_avg"] = time_weighted_avg
+
+ORACLES["ohlc_bars"] = """
+    WITH v AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS w,
+             ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS v_e2
+      FROM events
+    ), ranked AS (
+      SELECT event_type, w, v_e2,
+             ROW_NUMBER() OVER (PARTITION BY event_type, w
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, w
+                                ORDER BY ts DESC, event_id DESC) AS rn_z
+      FROM v
+    )
+    SELECT event_type,
+           MAX(CASE WHEN rn_a = 1 THEN v_e2 END) AS open_e2,
+           MAX(v_e2) AS high_e2,
+           MIN(v_e2) AS low_e2,
+           MAX(CASE WHEN rn_z = 1 THEN v_e2 END) AS close_e2,
+           COUNT(*) AS volume,
+           epoch_us(w) AS window_start_us
+    FROM ranked GROUP BY event_type, w
+"""
+
+ORACLES["time_weighted_avg"] = """
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS t_us,
+             CAST(ROUND(value * 100) AS BIGINT) AS v_e2,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), held AS (
+      SELECT user_id, SUM(v_e2 * (nxt - t_us)) AS num,
+             SUM(nxt - t_us) AS den, COUNT(*) AS steps
+      FROM s WHERE nxt IS NOT NULL GROUP BY user_id
+    ), lastv AS (
+      SELECT user_id, v_e2 AS lastv FROM s WHERE nxt IS NULL
+    )
+    SELECT CAST(l.user_id AS VARCHAR) AS key,
+           CAST(COALESCE(h.steps, 0) + 1 AS BIGINT) AS n_events,
+           CAST(CASE WHEN h.den IS NOT NULL THEN h.num // h.den
+                ELSE l.lastv END AS BIGINT) AS twa_e2
+    FROM lastv l LEFT JOIN held h USING (user_id)
+"""
