@@ -1689,9 +1689,14 @@ def weighted_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     list; word counts are one hash-agg reused by both join sides."""
     from goka_spark.functions.text import words as _words
 
+    # the candidate list is bounded (df-pruned, threshold-filtered)
+    # and consumed by THREE downstream joins — materialize it so the
+    # mining subtree isn't replicated per consumer (measured 196
+    # exchanges in the un-checkpointed plan; localCheckpoint per the
+    # _ngram_pair_counts discipline)
     pairs = ngram_jaccard_pairs(df, id_col, text_col, n=n,
                                 threshold=threshold, max_df=max_df) \
-        .select("id_a", "id_b")
+        .select("id_a", "id_b").localCheckpoint(eager=False)
     wc = (df.select(F.col(id_col).alias("doc"),
                     F.explode(_words(F.col(text_col))).alias("w"))
           .groupBy("doc", "w").agg(F.count("*").alias("c")))

@@ -1424,8 +1424,11 @@ def lm_heldout_logprob(train, test, id_col: str, text_col: str):
     cpw = tr_pairs.groupBy("prev", "wrd").agg(F.count("*").alias("cpw"))
     cp = cpw.groupBy("prev").agg(F.sum("cpw").alias("cp"))
     vocab = tr_w.agg(F.count_distinct("_w").alias("v"))
+    # te_tr feeds both the lp build and the scoring join — keep the
+    # test-transition table materialized instead of re-deriving the
+    # window pass per consumer
     te_tr = te_pairs.groupBy("doc", "prev", "wrd") \
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.count("*").alias("cnt")).localCheckpoint(eager=False)
     lp = (te_tr.select("prev", "wrd").distinct()
           .join(cpw, ["prev", "wrd"], "left")
           .join(cp, "prev", "left")
@@ -1508,7 +1511,7 @@ def lm_stupid_backoff(train, test, id_col: str, text_col: str,
                    F.count_distinct("_w").alias("v"))
 
     doc_tri = trigrams(toks(test)).groupBy("doc", "w1", "w2", "w3") \
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.count("*").alias("cnt")).localCheckpoint(eager=False)
     types = doc_tri.select("w1", "w2", "w3").distinct()
     scored_types = (
         types

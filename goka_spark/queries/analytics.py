@@ -1505,17 +1505,18 @@ def time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("v_e2"))
         .withColumn("_nxt", F.lead(F.unix_micros(F.col("ts"))).over(w))
         .withColumn("_dt", F.col("_nxt") - F.unix_micros(F.col("ts"))))
-    held = stepped.filter(F.col("_dt").isNotNull())
-    agg = (held.groupBy("user_id")
-           .agg(F.sum(F.col("v_e2") * F.col("_dt")).alias("_num"),
-                F.sum("_dt").alias("_den"),
-                F.count("*").alias("_steps")))
-    last = (stepped.filter(F.col("_nxt").isNull())
-            .select("user_id", F.col("v_e2").alias("_last")))
-    return (last.join(agg, "user_id", "left")
+    # ONE window + ONE agg, no self-join: the held-interval sums and
+    # the last observation come out of the same groupBy (max_by on the
+    # deterministic (ts, event_id) order)
+    return (stepped.groupBy("user_id")
+            .agg(F.count("*").alias("_n"),
+                 F.sum(F.when(F.col("_dt").isNotNull(),
+                              F.col("v_e2") * F.col("_dt"))).alias("_num"),
+                 F.sum("_dt").alias("_den"),
+                 F.max_by("v_e2", F.struct("ts", "event_id"))
+                 .alias("_last"))
             .select(F.col("user_id").cast("string").alias("key"),
-                    (F.coalesce("_steps", F.lit(0)) + 1).cast("long")
-                    .alias("n_events"),
+                    F.col("_n").cast("long").alias("n_events"),
                     F.when(F.col("_den").isNotNull(),
                            F.expr("_num DIV _den"))
                      .otherwise(F.col("_last")).cast("long")
