@@ -466,3 +466,33 @@ def test_matryoshka_one_scoring_scan(spark, sf_dir):
     # post-checkpoint plan must not rescan/rescore the corpus
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "aggregate(zip_with" not in plan, plan
+
+
+def test_ohlc_bars_single_shuffle_partial_agg(spark, sf_dir):
+    """OHLC is ONE windowed hash-agg: a single exchange on
+    (window, event_type) with map-side combine."""
+    df = analytics.ohlc_bars(spark, sf_dir)
+    assert X.num_shuffles(df) <= 1, X.simple(df)
+    assert X.has_partial_aggregation(df)
+
+
+def test_time_weighted_avg_single_shuffle(spark, sf_dir):
+    """TWA = one per-user window + one agg on the same key — the
+    window's exchange is the only one (no self-join for the last
+    observation)."""
+    df = analytics.time_weighted_avg(spark, sf_dir)
+    assert X.num_shuffles(df) <= 1, X.simple(df)
+
+
+def test_boilerplate_strip_broadcasts_source_counts(spark, sf_dir):
+    """The sources-sized doc-count table must broadcast onto the
+    per-(source, line) frequency table, never shuffle-join it."""
+    df = llmdata.boilerplate_strip(spark, sf_dir)
+    assert X.has_broadcast_join(df)
+
+
+def test_char_ngram_lang_id_broadcasts_profile(spark, sf_dir):
+    """The langs x 20-gram profile is broadcast onto the doc-gram
+    postings (a shuffle join would move the whole postings table)."""
+    df = llmdata.char_ngram_lang_id(spark, sf_dir)
+    assert X.has_broadcast_join(df)
