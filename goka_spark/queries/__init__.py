@@ -88,6 +88,7 @@ _FRONT = [
     "lm_backoff_score",
     "ohlc_bars",
     "time_weighted_avg",
+    "conversion_delay_buckets",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

@@ -1570,3 +1570,63 @@ ORACLES["time_weighted_avg"] = """
                 ELSE l.lastv END AS BIGINT) AS twa_e2
     FROM lastv l LEFT JOIN held h USING (user_id)
 """
+
+
+def conversion_delay_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Click→purchase CONVERSION-DELAY distribution — the funnel-
+    latency report next to B20's conversion rate and B41's
+    attribution pairs: for each purchase, the delay since the same
+    user's LATEST preceding click (the as-of union+window kernel, one
+    hash exchange), bucketed into fixed latency bands on the exact
+    integer delay in seconds.  Purchases with no prior click count in
+    'never'.  One as-of pass + a bands-sized hash-agg."""
+    ev = load(spark, sf, "events")["events"]
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("event_id").alias("purchase_id"),
+                         "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts",
+                      F.col("event_id").alias("cid"),
+                      F.unix_micros("ts").alias("click_us")))
+    j = as_of_join(purchases, clicks, on="user_id", left_ts="ts",
+                   right_ts="ts", value_cols=["click_us"], tiebreak="cid")
+    delay_s = ((F.unix_micros("ts") - F.col("asof_click_us"))
+               / F.lit(1_000_000)).cast("long")
+    bucket = (F.when(F.col("asof_click_us").isNull(), "never")
+              .when(delay_s < 60, "lt_1m")
+              .when(delay_s < 300, "lt_5m")
+              .when(delay_s < 3600, "lt_1h")
+              .when(delay_s < 21600, "lt_6h")
+              .otherwise("ge_6h"))
+    return (j.select(bucket.alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").cast("long").alias("cnt")))
+
+
+QUERIES["conversion_delay_buckets"] = conversion_delay_buckets
+
+ORACLES["conversion_delay_buckets"] = """
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, ts, epoch_us(ts) AS p_us
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts, event_id AS cid, epoch_us(ts) AS click_us
+      FROM events WHERE event_type = 'click'
+    ), ao AS (
+      SELECT p.purchase_id, p.p_us,
+             (SELECT c.click_us FROM c
+              WHERE c.user_id = p.user_id AND c.ts <= p.ts
+              ORDER BY c.ts DESC, c.cid DESC LIMIT 1) AS click_us
+      FROM p
+    ), lab AS (
+      SELECT CASE
+               WHEN click_us IS NULL THEN 'never'
+               WHEN (p_us - click_us) // 1000000 < 60 THEN 'lt_1m'
+               WHEN (p_us - click_us) // 1000000 < 300 THEN 'lt_5m'
+               WHEN (p_us - click_us) // 1000000 < 3600 THEN 'lt_1h'
+               WHEN (p_us - click_us) // 1000000 < 21600 THEN 'lt_6h'
+               ELSE 'ge_6h'
+             END AS bucket
+      FROM ao
+    )
+    SELECT bucket, COUNT(*) AS cnt FROM lab GROUP BY bucket
+"""
