@@ -134,10 +134,17 @@ class ANNIndex:
     def codes(self, probe_cells: "list[int] | None" = None) -> DataFrame:
         """The encoded corpus.  With ``probe_cells``, partition
         pruning makes non-probed cells physically unread (the scan's
-        PartitionFilters, not a post-read mask)."""
+        PartitionFilters, not a post-read mask).  Tombstoned ids
+        (delete_vectors) are anti-joined out — the filter only enters
+        the plan when a tombstone table exists, so an index that never
+        deleted keeps its exact pre-delete plan."""
         df = self.spark.read.parquet(_join(self.path, "codes"))
         if probe_cells is not None:
             df = df.filter(F.col("cell").isin([int(c) for c in probe_cells]))
+        tomb_dir = _join(self.path, "tombstones")
+        if _exists(self.spark, tomb_dir):
+            tomb = self.spark.read.parquet(tomb_dir).select("id").distinct()
+            df = df.join(F.broadcast(tomb), "id", "left_anti")
         return df
 
 
@@ -277,6 +284,31 @@ def append_vectors(index: ANNIndex, batch: DataFrame, id_col: str,
     return int(batch.count())
 
 
+def delete_vectors(index: ANNIndex, ids: DataFrame, id_col: str) -> int:
+    """FAISS ``remove_ids`` analog, tombstone-based: deleted ids are
+    appended to a small ``tombstones/`` table next to the codes and
+    anti-joined out of every read (``ANNIndex.codes``) — an O(deleted)
+    broadcast filter, NEVER a rewrite of the cell-partitioned codes on
+    the delete path.  Physical removal happens at the next
+    :func:`compact_index` (the standard tombstone→compaction
+    lifecycle: LSM deletes, Delta/Iceberg delete files, FAISS
+    IDSelector all make the same trade — deletes are metadata until
+    maintenance).
+
+    Same single-writer guard as append_vectors: refuses
+    fingerprint-keyed indexes under the shared cache root.  Returns
+    the number of tombstones written."""
+    cache_root = default_cache_dir().rstrip("/")
+    if index.path.rstrip("/").startswith(cache_root + "/"):
+        raise ValueError(
+            "delete_vectors would mutate a fingerprint-keyed index in "
+            f"the shared cache ({index.path}); build with an explicit "
+            "cache_dir you own to use deletion.")
+    out = ids.select(F.col(id_col).cast("long").alias("id")).distinct()
+    out.write.mode("append").parquet(_join(index.path, "tombstones"))
+    return int(out.count())
+
+
 def compact_index(index: ANNIndex, files_per_cell: int = 1) -> dict:
     """Codes-table compaction — the small-files maintenance op the
     append-based ingestion loop needs at scale: every
@@ -324,6 +356,15 @@ def compact_index(index: ANNIndex, files_per_cell: int = 1) -> dict:
 
     before = n_files(codes_dir)
     df = spark.read.parquet(codes_dir)
+    # apply pending tombstones during the rewrite (delete_vectors):
+    # compaction is where logical deletes become physical, after which
+    # the tombstone table is cleared
+    tomb_dir = _join(index.path, "tombstones")
+    had_tombstones = _exists(spark, tomb_dir)
+    if had_tombstones:
+        tomb = spark.read.parquet(tomb_dir).select("id").distinct() \
+            .localCheckpoint()
+        df = df.join(F.broadcast(tomb), "id", "left_anti")
     rows = int(df.count())
     tmp = codes_dir + f".compact{os.getpid()}"
     (df.repartition(F.col("cell"),
@@ -340,6 +381,10 @@ def compact_index(index: ANNIndex, files_per_cell: int = 1) -> dict:
         fs.delete(P(tmp), True)
         raise RuntimeError(f"compact_index: could not publish {tmp}")
     fs.delete(P(old), True)
+    if had_tombstones:
+        # the rewrite materialized the deletes; stale tombstones would
+        # otherwise re-filter (harmlessly but forever) on every read
+        fs.delete(P(tomb_dir), True)
     return {"files_before": before, "files_after": n_files(codes_dir),
             "rows": rows}
 
