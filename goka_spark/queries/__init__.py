@@ -89,6 +89,7 @@ _FRONT = [
     "ohlc_bars",
     "time_weighted_avg",
     "conversion_delay_buckets",
+    "user_path_topk",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

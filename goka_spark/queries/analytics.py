@@ -1602,6 +1602,57 @@ def conversion_delay_buckets(spark: SparkSession, sf: str) -> DataFrame:
             .groupBy("bucket").agg(F.count("*").cast("long").alias("cnt")))
 
 
+def user_path_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 most common user JOURNEYS — each user's first five
+    event types in (ts, event_id) order joined into a path string,
+    ranked by how many users share it (the product-analytics "top
+    paths" report beside B43's one-step transition matrix).  Scale
+    shape: a per-user row_number window keeps only each user's first
+    5 events BEFORE the collect (bounded state per user — never
+    collect_list over a user's whole history), and the groupBy that
+    follows reuses the window's user_id hash partitioning, so the
+    whole query is ONE exchange; the final rank runs over the tiny
+    path-cardinality aggregate (≤ |event types|^5 rows).  Ties rank
+    deterministically by (n_users DESC, path ASC)."""
+    ev = load(spark, sf, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (ev.select("user_id", "ts", "event_id", "event_type")
+             .withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") <= 5))
+    per_user = steps.groupBy("user_id").agg(
+        F.concat_ws(">", F.transform(
+            F.array_sort(F.collect_list(F.struct("_rn", "event_type"))),
+            lambda s: s["event_type"])).alias("path"))
+    counts = per_user.groupBy("path").agg(
+        F.count("*").cast("long").alias("n_users"))
+    rk = Window.orderBy(F.desc("n_users"), F.asc("path"))
+    return (counts
+            .withColumn("rank", F.row_number().over(rk).cast("long"))
+            .filter(F.col("rank") <= 20)
+            .select("rank", "path", "n_users"))
+
+
+QUERIES["user_path_topk"] = user_path_topk
+
+ORACLES["user_path_topk"] = """
+    WITH pu AS (
+      SELECT user_id,
+             array_to_string(
+               (list(event_type ORDER BY ts, event_id))[1:5], '>')
+               AS path
+      FROM events GROUP BY user_id
+    ), c AS (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM pu GROUP BY path
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_users DESC, path)
+                AS BIGINT) AS rank,
+           path, n_users
+    FROM c
+    QUALIFY rank <= 20
+"""
+
+
 QUERIES["conversion_delay_buckets"] = conversion_delay_buckets
 
 ORACLES["conversion_delay_buckets"] = """
