@@ -150,6 +150,88 @@ class HistogramSink:
                                    self.qs)
 
 
+def ohlc_partials(df, ts_col: str = "ts", keys: list = None,
+                  value_col: str = "value", id_col: str = "event_id",
+                  duration: str = "1 hour"):
+    """Mergeable OHLC bars — the kernel the batch ``ohlc_bars`` query
+    and the streaming ``OhlcSink`` share: per (keys, window) candle
+    with open/close chosen by the deterministic (ts, id) total order,
+    PLUS the carried order keys (``_open_ord``/``_close_ord``) that
+    make partials a true monoid — two partial candles merge into
+    exactly the candle of their union (open = the open of the
+    earlier-ordered partial, high/low = max/min, volume = sum), so
+    shard-then-merge and epoch-then-merge are exact.  Value
+    integerized at e2; ONE windowed hash-agg with map-side combine."""
+    keys = ["event_type"] if keys is None else list(keys)
+    v_e2 = F.round(F.col(value_col) * 100).cast("long")
+    t_us = F.unix_micros(F.col(ts_col))
+    ordk = F.struct(F.col(ts_col), F.col(id_col))
+    ord_s = F.struct(t_us.alias("us"), F.col(id_col).alias("id"))
+    return (df.groupBy(F.window(ts_col, duration).alias("_w"), *keys)
+            .agg(F.min_by(v_e2, ordk).alias("open_e2"),
+                 F.max(v_e2).alias("high_e2"),
+                 F.min(v_e2).alias("low_e2"),
+                 F.max_by(v_e2, ordk).alias("close_e2"),
+                 F.count("*").alias("volume"),
+                 F.min(ord_s).alias("_open_ord"),
+                 F.max(ord_s).alias("_close_ord"))
+            .withColumn("window_start_us", F.unix_micros(F.col("_w.start")))
+            .drop("_w"))
+
+
+def ohlc_merge(parts, keys: list = None):
+    """Merge partial candles (associative + commutative): open/close
+    follow the carried (ts, id) order keys, high/low/volume are
+    max/min/sum.  Output keeps the partial schema, so merges nest."""
+    keys = ["event_type"] if keys is None else list(keys)
+    return (parts.groupBy(*keys, "window_start_us")
+            .agg(F.min_by("open_e2", "_open_ord").alias("open_e2"),
+                 F.max("high_e2").alias("high_e2"),
+                 F.min("low_e2").alias("low_e2"),
+                 F.max_by("close_e2", "_close_ord").alias("close_e2"),
+                 F.sum("volume").alias("volume"),
+                 F.min("_open_ord").alias("_open_ord"),
+                 F.max("_close_ord").alias("_close_ord"))
+            .select(*keys, "open_e2", "high_e2", "low_e2", "close_e2",
+                    "volume", "_open_ord", "_close_ord",
+                    "window_start_us"))
+
+
+class OhlcSink:
+    """Streaming OHLC candlesticks — the live face of the batch
+    ``ohlc_bars`` query (B47) and the carried-order sibling of
+    HistogramSink's SUM monoid: each micro-batch's partial candles
+    (with their ``_open_ord``/``_close_ord`` order keys) land in
+    ``out_path/epoch_id=N``; ``read()`` merges epochs into exactly
+    the batch candles of everything seen — the order keys are what
+    lets a later epoch's earlier-timestamped event still win the
+    open (out-of-order epochs merge correctly; no ordering contract
+    needed, unlike TransitionSink).  Epoch overwrite is
+    retry-idempotent; state is one row per live (keys, window) per
+    epoch."""
+
+    def __init__(self, out_path: str, ts_col: str = "ts",
+                 keys: list = None, value_col: str = "value",
+                 id_col: str = "event_id", duration: str = "1 hour"):
+        self.out = out_path.rstrip("/")
+        self.ts_col, self.value_col = ts_col, value_col
+        self.id_col, self.duration = id_col, duration
+        self.keys = ["event_type"] if keys is None else list(keys)
+
+    def __call__(self, batch_df, epoch_id: int) -> None:
+        parts = ohlc_partials(batch_df, self.ts_col, self.keys,
+                              self.value_col, self.id_col, self.duration)
+        (parts.write.mode("overwrite")
+         .parquet(f"{self.out}/epoch_id={int(epoch_id)}"))
+
+    def read(self, spark):
+        """Merged candles in the batch query's exact schema."""
+        parts = spark.read.parquet(self.out)
+        return (ohlc_merge(parts, self.keys)
+                .select(*self.keys, "open_e2", "high_e2", "low_e2",
+                        "close_e2", "volume", "window_start_us"))
+
+
 def event_transition_counts(df, user_col: str, ts_col: str,
                             type_col: str, id_col: str = None):
     """(from, to) successor counts over per-user ``ts``-ordered

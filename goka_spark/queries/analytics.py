@@ -1474,18 +1474,13 @@ def ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
     with map-side combine; open/close via max_by/min_by on a struct so
     ties break on event_id in both engines.  value integerized at e2
     (the data's native precision) so every output is an exact
-    integer."""
+    integer.  Serves W.ohlc_partials — the mergeable kernel the
+    streaming OhlcSink shares — with the carried order keys
+    projected away."""
     ev = load(spark, sf, "events")["events"]
-    v_e2 = F.round(F.col("value") * 100).cast("long")
-    ordk = F.struct(F.col("ts"), F.col("event_id"))
-    return (ev.groupBy(F.window("ts", "1 hour").alias("_w"), "event_type")
-            .agg(F.min_by(v_e2, ordk).alias("open_e2"),
-                 F.max(v_e2).alias("high_e2"),
-                 F.min(v_e2).alias("low_e2"),
-                 F.max_by(v_e2, ordk).alias("close_e2"),
-                 F.count("*").alias("volume"))
-            .withColumn("window_start_us", F.unix_micros(F.col("_w.start")))
-            .drop("_w"))
+    return (W.ohlc_partials(ev)
+            .select("event_type", "open_e2", "high_e2", "low_e2",
+                    "close_e2", "volume", "window_start_us"))
 
 
 def time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:

@@ -136,6 +136,60 @@ def test_histogram_quantiles_within_bin_width(spark, sf_dir):
         assert abs(sk[k][1] - e90) <= 2.0 + 1e-9
 
 
+# --------------------------------------------------------- OhlcSink
+
+def test_streaming_ohlc_equals_batch(spark, sf_dir, tmp_path):
+    """Epoch-chunked events through OhlcSink merge to exactly the
+    batch ohlc_bars candles — with the epochs deliberately fed OUT of
+    time order: the carried (ts, id) order keys let a later epoch's
+    earlier event still win the open, the contract TransitionSink
+    cannot offer."""
+    from goka_spark.operators.windows import OhlcSink
+    from goka_spark.queries.analytics import ohlc_bars
+    from goka_spark.queries.base import load
+
+    ev = load(spark, sf_dir, "events")["events"]
+    sink = OhlcSink(str(tmp_path / "ohlc"))
+    # 3 epochs by event_id residue — each epoch spans ALL windows, so
+    # every candle exercises a real multi-epoch merge; residue order
+    # (2, 0, 1) scrambles time order across epochs on purpose
+    for i, res in enumerate((2, 0, 1)):
+        sink(ev.filter(F.col("event_id") % 3 == res), i)
+
+    cols = ["event_type", "open_e2", "high_e2", "low_e2",
+            "close_e2", "volume", "window_start_us"]
+    live = sorted(tuple(r[c] for c in cols)
+                  for r in sink.read(spark).collect())
+    ref = sorted(tuple(r[c] for c in cols)
+                 for r in ohlc_bars(spark, sf_dir).collect())
+    assert live == ref
+
+
+def test_ohlc_sink_epoch_retry_idempotent(spark, tmp_path):
+    """Re-running an epoch (foreachBatch retry contract) must not
+    inflate volume or move open/close: whole-epoch overwrite."""
+    from goka_spark.operators.windows import OhlcSink
+
+    from datetime import datetime as dt
+
+    schema = "ts timestamp, event_id long, event_type string, value double"
+    sink = OhlcSink(str(tmp_path / "o2"))
+    b0 = spark.createDataFrame(
+        [(dt(2024, 1, 1, 0, 10), 1, "a", 5.0),
+         (dt(2024, 1, 1, 0, 20), 2, "a", 9.0)], schema)
+    b1 = spark.createDataFrame(
+        [(dt(2024, 1, 1, 0, 5), 3, "a", 7.0)], schema)   # earlier ts!
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)                                   # retry
+    row = sink.read(spark).collect()
+    assert len(row) == 1
+    r = row[0]
+    # the later-epoch, earlier-ts event wins the open; volume exact
+    assert (r.open_e2, r.high_e2, r.low_e2, r.close_e2, r.volume) == \
+        (700, 900, 500, 900, 3)
+
+
 # ---------------------------------------------------- TransitionSink
 
 def test_streaming_transitions_equal_batch(spark, tmp_path):
