@@ -90,6 +90,9 @@ _FRONT = [
     "time_weighted_avg",
     "conversion_delay_buckets",
     "user_path_topk",
+    "url_normalize",
+    "url_domain_stats",
+    "host_cap_sample",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

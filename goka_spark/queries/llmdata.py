@@ -6992,3 +6992,100 @@ ORACLES["lm_backoff_score"] = f"""
     FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) d
     LEFT JOIN per_doc p USING (doc_id)
 """
+
+# ---- URL curation (C148-C150) --------------------------------------
+
+from goka_spark.functions import urls as U
+
+
+def url_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization (C148, functions/urls.py) — the first
+    dedup any crawl corpus runs: per doc a deterministic synthetic
+    messy URL (uppercase hosts, default ports, utm_*/fbclid tracking
+    params, fragments, trailing slashes; three consecutive doc_ids
+    share one logical page) and its canonical form + host.  Pure
+    scan-stage regex/array Columns — ZERO shuffle, zero UDF
+    (plan-asserted) — and the oracle replays the identical RE2-safe
+    chain in SQL, so the canonicalizer itself is engine-verified."""
+    docs = load(spark, sf, "documents")["documents"]
+    url = U.synthetic_url(F.col("doc_id"), F.col("source"))
+    return docs.select(
+        "doc_id", url.alias("url"),
+        U.canonical_url(url).alias("url_canonical"),
+        U.canonical_host(url).alias("host"))
+
+
+def url_domain_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain crawl dedup report (C149): docs per canonical host,
+    distinct canonical URLs, and the URL-level duplicate count their
+    difference implies — the table that decides which domains get
+    content-hash dedup at all (a host whose URLs are already unique
+    skips it).  One hash-agg over the scan-stage canonicalizer."""
+    urls = url_normalize(spark, sf)
+    return (urls.groupBy("host")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.countDistinct("url_canonical").cast("long")
+                 .alias("n_unique"),
+                 (F.count("*") - F.countDistinct("url_canonical"))
+                 .cast("long").alias("n_dup")))
+
+
+def host_cap_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain document cap (C150) — the anti-domination rule
+    every crawl mix applies (no single host may flood the corpus):
+    keep at most 8 docs per canonical host, chosen by the
+    deterministic (md5(doc_id), doc_id) order so the sample is
+    reproducible and unbiased by doc_id locality.  One host-keyed
+    row_number window (the B7 top-k-per-group shape — per-host state
+    is the cap, never the host's full history... the sort is
+    per-partition and hot hosts stay bounded by the window's
+    partial-ordering spill, the standard cap shape at scale)."""
+    from pyspark.sql import Window
+
+    urls = url_normalize(spark, sf)
+    w = Window.partitionBy("host").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (urls
+            .withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= 8)
+            .select("doc_id", "host", "rk"))
+
+
+QUERIES["url_normalize"] = url_normalize
+QUERIES["url_domain_stats"] = url_domain_stats
+QUERIES["host_cap_sample"] = host_cap_sample
+
+_URL_CTE = f"""
+    WITH u AS (
+      SELECT doc_id, {U.SYNTH_URL_SQL} AS url
+      FROM documents
+    ), n AS (
+      SELECT doc_id, url,
+             {U.canon_sql('url')} AS url_canonical,
+             {U.host_sql('url')} AS host
+      FROM u
+    )
+"""
+
+ORACLES["url_normalize"] = _URL_CTE + """
+    SELECT doc_id, url, url_canonical, host FROM n
+"""
+
+ORACLES["url_domain_stats"] = _URL_CTE + """
+    SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT url_canonical) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT url_canonical) AS BIGINT)
+             AS n_dup
+    FROM n GROUP BY host
+"""
+
+ORACLES["host_cap_sample"] = _URL_CTE + """
+    SELECT doc_id, host, rk FROM (
+      SELECT doc_id, host,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY host
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS BIGINT) AS rk
+      FROM n
+    ) WHERE rk <= 8
+"""

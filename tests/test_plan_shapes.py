@@ -496,3 +496,19 @@ def test_char_ngram_lang_id_broadcasts_profile(spark, sf_dir):
     postings (a shuffle join would move the whole postings table)."""
     df = llmdata.char_ngram_lang_id(spark, sf_dir)
     assert X.has_broadcast_join(df)
+
+
+def test_url_normalize_is_scan_only(spark, sf_dir):
+    """The canonicalizer is pure scan-stage Columns: no exchange, no
+    UDF — the whole op rides the parquet scan."""
+    df = llmdata.url_normalize(spark, sf_dir)
+    plan = X.simple(df)
+    assert X.num_shuffles(df) == 0, plan
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_host_cap_sample_single_shuffle(spark, sf_dir):
+    """The per-host cap is ONE exchange (the row_number window's) on
+    the canonical host."""
+    df = llmdata.host_cap_sample(spark, sf_dir)
+    assert X.num_shuffles(df) <= 1, X.simple(df)
