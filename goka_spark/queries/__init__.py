@@ -93,6 +93,7 @@ _FRONT = [
     "url_normalize",
     "url_domain_stats",
     "host_cap_sample",
+    "max_drawdown",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

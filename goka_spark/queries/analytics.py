@@ -1627,6 +1627,51 @@ def user_path_topk(spark: SparkSession, sf: str) -> DataFrame:
             .select("rank", "path", "n_users"))
 
 
+def max_drawdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximum drawdown per user — the classic risk statistic over
+    each user's value series in (ts, event_id) order: running peak
+    via a prefix-max window, drawdown = peak − value, report the
+    worst one (plus the peak and the series length).  Exact integers
+    at the data's native e2 precision.  Same single-exchange shape as
+    time_weighted_avg: the prefix-max window and the per-user agg
+    share the user_id hash partitioning — ONE shuffle total."""
+    ev = load(spark, sf, "events")["events"]
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    v_e2 = F.round(F.col("value") * 100).cast("long")
+    stepped = ev.select(
+        "user_id", v_e2.alias("_v"),
+        (F.max(v_e2).over(w) - v_e2).alias("_dd"))
+    return (stepped.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.max("_v").alias("peak_e2"),
+                 F.max("_dd").alias("max_drawdown_e2"))
+            .select(F.col("user_id").cast("string").alias("key"),
+                    F.col("n_events").cast("long"),
+                    F.col("peak_e2").cast("long"),
+                    F.col("max_drawdown_e2").cast("long")))
+
+
+QUERIES["max_drawdown"] = max_drawdown
+
+ORACLES["max_drawdown"] = """
+    WITH s AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS v,
+             MAX(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS peak
+      FROM events
+    )
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(v) AS BIGINT) AS peak_e2,
+           CAST(MAX(peak - v) AS BIGINT) AS max_drawdown_e2
+    FROM s GROUP BY user_id
+"""
+
+
 QUERIES["user_path_topk"] = user_path_topk
 
 ORACLES["user_path_topk"] = """

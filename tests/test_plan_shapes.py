@@ -512,3 +512,10 @@ def test_host_cap_sample_single_shuffle(spark, sf_dir):
     the canonical host."""
     df = llmdata.host_cap_sample(spark, sf_dir)
     assert X.num_shuffles(df) <= 1, X.simple(df)
+
+
+def test_max_drawdown_single_shuffle(spark, sf_dir):
+    """Prefix-max window + per-user agg share the user_id hash
+    partitioning: one exchange total (the TWA discipline)."""
+    df = analytics.max_drawdown(spark, sf_dir)
+    assert X.num_shuffles(df) <= 1, X.simple(df)
