@@ -94,6 +94,7 @@ _FRONT = [
     "url_domain_stats",
     "host_cap_sample",
     "max_drawdown",
+    "funnel_steps_timed",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

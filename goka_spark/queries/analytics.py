@@ -1652,6 +1652,72 @@ def max_drawdown(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("max_drawdown_e2").cast("long")))
 
 
+def funnel_steps_timed(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-BOUNDED multi-step funnel (signup → click → purchase,
+    each step within 24 HOURS of the previous step's chosen event —
+    sized so every stage fires on the test data) — the windowed
+    funnel B20's unbounded first-click/last-purchase
+    report cannot express: per user the FIRST signup, then the first
+    qualifying click (strictly after it, ≤ 24 h later), then any
+    qualifying purchase after that click.  Each step picks MIN(ts)
+    among qualifiers, so tied minima are harmless (the next window is
+    identical either way) and both engines agree exactly.  Shape: a
+    per-user signup agg, two user-keyed equi-joins with the window
+    predicate as a post-join filter (never a range join), a
+    stage-labelled union, and a 3-row count — every join keys on
+    user_id so the exchanges chain on one partitioning."""
+    ev = load(spark, sf, "events")["events"]
+    step_us = 24 * 3_600_000_000
+    s = (ev.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("s_ts")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .select("user_id", "ts").join(s, "user_id")
+         .filter((F.col("ts") > F.col("s_ts"))
+                 & (F.unix_micros("ts")
+                    <= F.unix_micros("s_ts") + step_us))
+         .groupBy("user_id").agg(F.min("ts").alias("c_ts")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id", "ts").join(c, "user_id")
+         .filter((F.col("ts") > F.col("c_ts"))
+                 & (F.unix_micros("ts")
+                    <= F.unix_micros("c_ts") + step_us))
+         .select("user_id").distinct())
+    lab = (s.select("user_id").withColumn("stage", F.lit("signup"))
+           .unionByName(c.select("user_id")
+                        .withColumn("stage", F.lit("signup>click")))
+           .unionByName(p.withColumn(
+               "stage", F.lit("signup>click>purchase"))))
+    return (lab.groupBy("stage")
+            .agg(F.count("*").cast("long").alias("n_users")))
+
+
+QUERIES["funnel_steps_timed"] = funnel_steps_timed
+
+ORACLES["funnel_steps_timed"] = """
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS s_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s.s_ts
+        AND epoch_us(e.ts) <= epoch_us(s.s_ts) + 86400000000
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT DISTINCT e.user_id
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        AND epoch_us(e.ts) <= epoch_us(c.c_ts) + 86400000000
+    ), lab AS (
+      SELECT 'signup' AS stage, user_id FROM s
+      UNION ALL SELECT 'signup>click', user_id FROM c
+      UNION ALL SELECT 'signup>click>purchase', user_id FROM p
+    )
+    SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM lab GROUP BY stage
+"""
+
+
 QUERIES["max_drawdown"] = max_drawdown
 
 ORACLES["max_drawdown"] = """
