@@ -29,20 +29,23 @@ _HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 _REST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$"
 
 
-def synthetic_url(doc_id: Column, source: Column) -> Column:
+def synthetic_url(doc_id: Column) -> Column:
     """Deterministic messy URL for a doc: three consecutive doc_ids
     share one logical page (base = doc_id DIV 3) and the residue
     doc_id % 6 picks the noise variant — plain, uppercased host,
     explicit default port, tracking params, fragment, or trailing
-    slash + mixed params.  Variants 0-4 canonicalize to the same
-    string; variant 5 keeps its non-tracking ``id=7`` param."""
+    slash + mixed params.  The host derives from the shared page id
+    only (NOT per-row columns like source — those differ across the
+    three docs of a page and would defeat the collapse).  Variants
+    0-2 canonicalize to one string, 3-4 to the same, 5 keeps its
+    non-tracking ``id=7`` param."""
     d = doc_id.cast("long")
     # exact integer floor-div: the numerator is divisible by 3, so the
     # double division is exact for any realistic id range (< 2^53)
     base = ((d - d % 3) / 3).cast("long")
     tld = (F.when(base % 3 == 0, "com")
            .when(base % 3 == 1, "org").otherwise("net"))
-    host = F.concat(source, (base % 7).cast("string"),
+    host = F.concat(F.lit("site"), (base % 140).cast("string"),
                     F.lit(".example."), tld)
     path = F.concat(F.lit("/p/"), base.cast("string"))
     v = doc_id.cast("long") % 6
@@ -114,7 +117,7 @@ SYNTH_URL_SQL = """
              || '/?id=7&utm_medium=email'
       END
 """.replace("__HOST__",
-            "(source || CAST((doc_id // 3) % 7 AS VARCHAR)"
+            "('site' || CAST((doc_id // 3) % 140 AS VARCHAR)"
             " || '.example.' || CASE (doc_id // 3) % 3"
             " WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END)") \
    .replace("__PATH__", "('/p/' || CAST(doc_id // 3 AS VARCHAR))")

@@ -95,6 +95,7 @@ _FRONT = [
     "host_cap_sample",
     "max_drawdown",
     "funnel_steps_timed",
+    "dedup_url_keep",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

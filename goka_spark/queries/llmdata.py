@@ -7008,7 +7008,7 @@ def url_normalize(spark: SparkSession, sf: str) -> DataFrame:
     (plan-asserted) — and the oracle replays the identical RE2-safe
     chain in SQL, so the canonicalizer itself is engine-verified."""
     docs = load(spark, sf, "documents")["documents"]
-    url = U.synthetic_url(F.col("doc_id"), F.col("source"))
+    url = U.synthetic_url(F.col("doc_id"))
     return docs.select(
         "doc_id", url.alias("url"),
         U.canonical_url(url).alias("url_canonical"),
@@ -7088,4 +7088,32 @@ ORACLES["host_cap_sample"] = _URL_CTE + """
                AS BIGINT) AS rk
       FROM n
     ) WHERE rk <= 8
+"""
+
+
+def dedup_url_keep(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-URL dedup KEEP list (C151) — the decision layer over
+    C148: per canonical URL keep exactly one doc (lowest doc_id — the
+    first-crawled convention) and emit a verdict for every doc, the
+    same keep/drop contract as dedup_minhash_keep so downstream
+    pipelines swap URL-level and content-level dedup freely.  One
+    url_canonical-keyed row_number window — single exchange; at
+    100 TB this is the cheap pre-filter that runs BEFORE any content
+    hash (a third of a crawl disappears here)."""
+    from pyspark.sql import Window
+
+    urls = url_normalize(spark, sf)
+    w = Window.partitionBy("url_canonical").orderBy("doc_id")
+    return (urls
+            .withColumn("keep", (F.row_number().over(w) == 1))
+            .select("doc_id", "url_canonical", "keep"))
+
+
+QUERIES["dedup_url_keep"] = dedup_url_keep
+
+ORACLES["dedup_url_keep"] = _URL_CTE + """
+    SELECT doc_id, url_canonical,
+           ROW_NUMBER() OVER (PARTITION BY url_canonical
+                              ORDER BY doc_id) = 1 AS keep
+    FROM n
 """

@@ -43,7 +43,7 @@ def main():
         r = {}
 
         # scan-stage canonicalizer — must ride the scan, ~linear
-        url = U.synthetic_url(F.col("doc_id"), F.col("source"))
+        url = U.synthetic_url(F.col("doc_id"))
         norm = docs.select(
             "doc_id", url.alias("url"),
             U.canonical_url(url).alias("url_canonical"),
