@@ -29,11 +29,20 @@ def as_of_join(
     value_cols: list[str],
     tolerance: Optional[Column] = None,
     tiebreak: Optional[str] = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach ``value_cols`` from the latest right
     row of the same ``on`` key with ``right_ts <= left_ts`` (backward
-    as-of).  Ties on right_ts resolved by ``tiebreak`` (largest wins).
-    """
+    as-of, the default) or — with ``direction="forward"`` — the
+    EARLIEST right row with ``right_ts >= left_ts`` (the pandas
+    ``merge_asof(direction=...)`` / kdb window-join pair).  Ties on
+    right_ts resolved by ``tiebreak`` (largest wins) in both
+    directions.  Same single-exchange union+window kernel either way:
+    forward just flips the traversal order, it is NOT a second
+    shuffle."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, "
+                         f"got {direction!r}")
     l2 = left.withColumn("_ats", F.col(left_ts)).withColumn(
         "_tag", F.lit(1)).withColumn("_tb", F.lit(None).cast("long"))
     r2 = right.select(
@@ -44,10 +53,15 @@ def as_of_join(
     ).withColumn("_tag", F.lit(0))
     both = l2.unionByName(r2, allowMissingColumns=True)
     # build rows (_tag=0) sort before probe rows at equal ts ⇒ a right
-    # row at exactly left_ts is visible to that left row.
+    # row at exactly left_ts is visible to that left row.  Forward
+    # traverses ts DESC, so "last non-null seen" is the smallest
+    # right_ts >= left_ts; _tb stays ASC so the largest tiebreak is
+    # still the last (winning) row within a tied-ts run.
+    ats = F.col("_ats").desc() if direction == "forward" \
+        else F.col("_ats").asc()
     w = (
         Window.partitionBy(on)
-        .orderBy("_ats", "_tag", "_tb")
+        .orderBy(ats, F.col("_tag").asc(), F.col("_tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = both
@@ -59,7 +73,12 @@ def as_of_join(
         F.when(F.col("_tag") == 0, F.col("_ats")), ignorenulls=True).over(w))
     out = out.filter(F.col("_tag") == 1)
     if tolerance is not None:
-        keep = F.col("_asof_ts") >= (F.col("_ats").cast("timestamp") - tolerance)
+        if direction == "forward":
+            keep = F.col("_asof_ts") <= (
+                F.col("_ats").cast("timestamp") + tolerance)
+        else:
+            keep = F.col("_asof_ts") >= (
+                F.col("_ats").cast("timestamp") - tolerance)
         for c in value_cols:
             out = out.withColumn(f"asof_{c}", F.when(keep, F.col(f"asof_{c}")))
     drop = ["_ats", "_tag", "_tb", "_asof_ts"] + [f"_v_{c}" for c in value_cols]

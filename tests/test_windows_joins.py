@@ -61,6 +61,67 @@ def test_as_of_tolerance(spark):
     assert out.first().asof_val is None
 
 
+def test_as_of_forward_and_ties(spark):
+    """direction='forward' attaches the EARLIEST right row at or
+    after each left ts; ties still resolve to the largest tiebreak;
+    keys with nothing ahead get null."""
+    left = spark.createDataFrame(
+        [("u", _ts(10), 100), ("u", _ts(25), 101), ("v", _ts(5), 102)],
+        "k string, ts timestamp, ev long")
+    right = spark.createDataFrame(
+        [("u", _ts(10), 7), ("u", _ts(10), 8), ("u", _ts(20), 9)],
+        "k string, ts timestamp, val long")
+    out = as_of_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                     value_cols=["val"], tiebreak="val",
+                     direction="forward")
+    got = {r.ev: r.asof_val for r in out.collect()}
+    # ev=100 at ts10: right rows AT ts10 qualify, tie → max val (8)
+    # ev=101 at ts25: nothing at or after → None; v: no match → None
+    assert got == {100: 8, 101: None, 102: None}
+
+
+def test_as_of_forward_tolerance(spark):
+    left = spark.createDataFrame(
+        [("u", _ts(0), 1), ("u", _ts(15), 2)],
+        "k string, ts timestamp, ev long")
+    right = spark.createDataFrame(
+        [("u", _ts(20), 5)], "k string, ts timestamp, val long")
+    out = as_of_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                     value_cols=["val"], direction="forward",
+                     tolerance=F.expr("INTERVAL 10 MINUTES"))
+    got = {r.ev: r.asof_val for r in out.collect()}
+    # ev=1: match is 20 min ahead > tolerance → nulled; ev=2: 5 min → kept
+    assert got == {1: None, 2: 5}
+
+
+def test_as_of_forward_matches_bruteforce(spark, sf_dir):
+    """Forward as-of on the real events table (purchases → next
+    click) agrees with a brute-force min-over-qualifiers join."""
+    from goka_spark.queries.base import load
+
+    ev = load(spark, sf_dir, "events")["events"]
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts",
+                         F.col("event_id").alias("pid")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", F.col("event_id").alias("cid"),
+                      F.unix_micros("ts").alias("c_us")))
+    out = as_of_join(purchases, clicks, on="user_id", left_ts="ts",
+                     right_ts="ts", value_cols=["c_us"],
+                     tiebreak="cid", direction="forward")
+    got = {r.pid: r.asof_c_us for r in out.collect()}
+    brute = (purchases.select("user_id", F.col("ts").alias("p_ts"), "pid")
+             .join(clicks.select("user_id", F.col("ts").alias("k_ts"),
+                                 "c_us"), "user_id")
+             .filter(F.col("k_ts") >= F.col("p_ts"))
+             .groupBy("pid")
+             .agg(F.min("c_us").alias("c_us")))
+    ref = {r.pid: r.c_us for r in brute.collect()}
+    for pid, want in ref.items():
+        assert got[pid] == want
+    assert all(v is None for p, v in got.items() if p not in ref)
+
+
 def test_salted_join(spark):
     big = spark.createDataFrame([("k", i) for i in range(100)], "j string, n long")
     small = spark.createDataFrame([("k", "payload")], "j string, p string")
