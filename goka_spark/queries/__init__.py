@@ -96,6 +96,7 @@ _FRONT = [
     "max_drawdown",
     "funnel_steps_timed",
     "dedup_url_keep",
+    "activation_delay_buckets",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

@@ -1627,6 +1627,69 @@ def user_path_topk(spark: SparkSession, sf: str) -> DataFrame:
             .select("rank", "path", "n_users"))
 
 
+def activation_delay_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Signup → first-purchase ACTIVATION latency distribution — the
+    forward twin of B49's conversion delay: for each signup, the
+    delay until the same user's EARLIEST following purchase via
+    as_of_join(direction="forward") (one hash exchange, the same
+    union+window kernel traversed in reverse), exact integer delay
+    bucketed into activation bands; signups never followed by a
+    purchase count in 'never'.  Forward ties (purchase at the signup
+    instant) resolve to the largest event_id in both engines."""
+    ev = load(spark, sf, "events")["events"]
+    signups = (ev.filter(F.col("event_type") == "signup")
+               .select("user_id", F.col("event_id").alias("signup_id"),
+                       "ts"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts",
+                         F.col("event_id").alias("pid"),
+                         F.unix_micros("ts").alias("p_us")))
+    j = as_of_join(signups, purchases, on="user_id", left_ts="ts",
+                   right_ts="ts", value_cols=["p_us"], tiebreak="pid",
+                   direction="forward")
+    delay_s = ((F.col("asof_p_us") - F.unix_micros("ts"))
+               / F.lit(1_000_000)).cast("long")
+    bucket = (F.when(F.col("asof_p_us").isNull(), "never")
+              .when(delay_s < 3600, "lt_1h")
+              .when(delay_s < 21600, "lt_6h")
+              .when(delay_s < 86400, "lt_24h")
+              .when(delay_s < 259200, "lt_72h")
+              .otherwise("ge_72h"))
+    return (j.select(bucket.alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").cast("long").alias("cnt")))
+
+
+QUERIES["activation_delay_buckets"] = activation_delay_buckets
+
+ORACLES["activation_delay_buckets"] = """
+    WITH s AS (
+      SELECT user_id, event_id AS signup_id, ts, epoch_us(ts) AS s_us
+      FROM events WHERE event_type = 'signup'
+    ), p AS (
+      SELECT user_id, ts, event_id AS pid, epoch_us(ts) AS p_us
+      FROM events WHERE event_type = 'purchase'
+    ), ao AS (
+      SELECT s.signup_id, s.s_us,
+             (SELECT p.p_us FROM p
+              WHERE p.user_id = s.user_id AND p.ts >= s.ts
+              ORDER BY p.ts ASC, p.pid DESC LIMIT 1) AS p_us
+      FROM s
+    ), lab AS (
+      SELECT CASE
+               WHEN p_us IS NULL THEN 'never'
+               WHEN (p_us - s_us) // 1000000 < 3600 THEN 'lt_1h'
+               WHEN (p_us - s_us) // 1000000 < 21600 THEN 'lt_6h'
+               WHEN (p_us - s_us) // 1000000 < 86400 THEN 'lt_24h'
+               WHEN (p_us - s_us) // 1000000 < 259200 THEN 'lt_72h'
+               ELSE 'ge_72h'
+             END AS bucket
+      FROM ao
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lab GROUP BY bucket
+"""
+
+
 def max_drawdown(spark: SparkSession, sf: str) -> DataFrame:
     """Maximum drawdown per user — the classic risk statistic over
     each user's value series in (ts, event_id) order: running peak
