@@ -232,6 +232,75 @@ class OhlcSink:
                         "close_e2", "volume", "window_start_us"))
 
 
+class DrawdownSink:
+    """Streaming maximum drawdown — the live face of the batch
+    ``max_drawdown`` query (B52).  Drawdown is NOT a plain monoid
+    (the running peak crosses epoch boundaries), but under the
+    TransitionSink ordering contract (epochs don't interleave a
+    user's time order) the per-epoch partials
+
+        (n, peak_e2, min_e2, mdd_e2)
+
+    merge EXACTLY: for ordered epochs A then B,
+    ``mdd(AB) = max(mdd_A, mdd_B, peak_A − min_B)`` — the only
+    cross-boundary drawdowns are a prior peak against a later
+    minimum, and maxima/minima are order-free.  ``read()`` realizes
+    this with one prefix-peak window over each user's epoch-ordered
+    partials + one agg (same single-exchange discipline as the batch
+    query; state is one row per (user, epoch), never the raw
+    series).  Epoch overwrite is retry-idempotent."""
+
+    def __init__(self, out_path: str, user_col: str = "user_id",
+                 ts_col: str = "ts", value_col: str = "value",
+                 id_col: str = "event_id"):
+        self.out = out_path.rstrip("/")
+        self.user_col, self.ts_col = user_col, ts_col
+        self.value_col, self.id_col = value_col, id_col
+
+    def __call__(self, batch_df, epoch_id: int) -> None:
+        from pyspark.sql.window import Window as Wnd
+
+        v_e2 = F.round(F.col(self.value_col) * 100).cast("long")
+        w = (Wnd.partitionBy(self.user_col)
+             .orderBy(self.ts_col, self.id_col)
+             .rowsBetween(Wnd.unboundedPreceding, Wnd.currentRow))
+        stepped = batch_df.select(
+            F.col(self.user_col).alias("user"), v_e2.alias("_v"),
+            (F.max(v_e2).over(w) - v_e2).alias("_dd"))
+        part = (stepped.groupBy("user")
+                .agg(F.count("*").alias("n"),
+                     F.max("_v").alias("peak_e2"),
+                     F.min("_v").alias("min_e2"),
+                     F.max("_dd").alias("mdd_e2")))
+        (part.write.mode("overwrite")
+         .parquet(f"{self.out}/epoch_id={int(epoch_id)}"))
+
+    def read(self, spark):
+        """Merged per-user drawdown in the batch query's schema."""
+        from pyspark.sql.window import Window as Wnd
+
+        parts = spark.read.parquet(self.out)
+        # prior-epoch running peak (strictly before this epoch); the
+        # cross-boundary drawdown is that peak against this epoch's min
+        wp = (Wnd.partitionBy("user").orderBy("epoch_id")
+              .rowsBetween(Wnd.unboundedPreceding, -1))
+        staged = parts.withColumn("_prev_peak",
+                                  F.max("peak_e2").over(wp))
+        cross = F.when(F.col("_prev_peak").isNotNull(),
+                       F.col("_prev_peak") - F.col("min_e2"))
+        return (staged
+                .withColumn("_mdd", F.greatest(
+                    F.col("mdd_e2"), F.coalesce(cross, F.lit(0))))
+                .groupBy("user")
+                .agg(F.sum("n").alias("n_events"),
+                     F.max("peak_e2").alias("peak_e2"),
+                     F.max("_mdd").alias("max_drawdown_e2"))
+                .select(F.col("user").cast("string").alias("key"),
+                        F.col("n_events").cast("long"),
+                        F.col("peak_e2").cast("long"),
+                        F.col("max_drawdown_e2").cast("long")))
+
+
 def event_transition_counts(df, user_col: str, ts_col: str,
                             type_col: str, id_col: str = None):
     """(from, to) successor counts over per-user ``ts``-ordered

@@ -251,6 +251,58 @@ def test_ohlc_sink_epoch_retry_idempotent(spark, tmp_path):
         (700, 900, 500, 900, 3)
 
 
+# ------------------------------------------------------ DrawdownSink
+
+def test_streaming_drawdown_equals_batch(spark, sf_dir, tmp_path):
+    """Time-ordered epoch chunks through DrawdownSink merge to
+    exactly the batch max_drawdown rows — including drawdowns that
+    SPAN epochs (a peak in epoch N against a trough in epoch N+k),
+    which the cross-boundary peak-minus-min term exists for."""
+    from goka_spark.operators.windows import DrawdownSink
+    from goka_spark.queries.analytics import max_drawdown
+    from goka_spark.queries.base import load
+
+    ev = load(spark, sf_dir, "events")["events"]
+    # 3 contiguous time slices (the ordered-epoch contract)
+    row = ev.selectExpr("percentile(unix_micros(ts), 0.33) AS lo",
+                        "percentile(unix_micros(ts), 0.66) AS hi").first()
+    lo, hi = int(row.lo), int(row.hi)
+    sink = DrawdownSink(str(tmp_path / "dd"))
+    us = F.unix_micros("ts")
+    sink(ev.filter(us <= lo), 0)
+    sink(ev.filter((us > lo) & (us <= hi)), 1)
+    sink(ev.filter(us > hi), 2)
+
+    cols = ["key", "n_events", "peak_e2", "max_drawdown_e2"]
+    live = sorted(tuple(r[c] for c in cols)
+                  for r in sink.read(spark).collect())
+    ref = sorted(tuple(r[c] for c in cols)
+                 for r in max_drawdown(spark, sf_dir).collect())
+    assert live == ref
+
+
+def test_drawdown_sink_cross_epoch_and_retry(spark, tmp_path):
+    """A peak in epoch 0 against a trough in epoch 2 must surface
+    (no within-epoch drawdown reaches it), and an epoch retry must
+    not change anything."""
+    from goka_spark.operators.windows import DrawdownSink
+    from datetime import datetime as dt
+
+    schema = ("ts timestamp, event_id long, user_id long, "
+              "value double")
+    sink = DrawdownSink(str(tmp_path / "d2"))
+    mk = lambda m, i, v: (dt(2024, 1, 1, 0, m), i, 1, v)
+    sink(spark.createDataFrame([mk(0, 1, 50.0), mk(1, 2, 90.0)],
+                               schema), 0)          # peak 9000
+    sink(spark.createDataFrame([mk(2, 3, 80.0)], schema), 1)
+    b2 = spark.createDataFrame([mk(3, 4, 10.0)], schema)  # trough 1000
+    sink(b2, 2)
+    sink(b2, 2)                                     # retry
+    r = sink.read(spark).collect()[0]
+    assert (r.key, r.n_events, r.peak_e2, r.max_drawdown_e2) == \
+        ("1", 4, 9000, 8000)
+
+
 # ---------------------------------------------------- TransitionSink
 
 def test_streaming_transitions_equal_batch(spark, tmp_path):
