@@ -97,6 +97,7 @@ _FRONT = [
     "funnel_steps_timed",
     "dedup_url_keep",
     "activation_delay_buckets",
+    "retention_triangle",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

@@ -1627,6 +1627,46 @@ def user_path_topk(spark: SparkSession, sf: str) -> DataFrame:
             .select("rank", "path", "n_users"))
 
 
+def retention_triangle(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly retention TRIANGLE — the standard product-analytics
+    cohort matrix B21's one-row-per-cohort summary cannot express:
+    users bucketed by first-active week (epoch-week = days-since-
+    1970 DIV 7, pure integer arithmetic so engines cannot disagree
+    on week boundaries), and for every (cohort_week, week_offset)
+    the count of cohort users active that week.  Shape: one distinct
+    (user, week) hash-agg, a per-user min (cohort) agg on the same
+    key, an equi-join back, and the final small agg — user-keyed
+    throughout, no window."""
+    ev = load(spark, sf, "events")["events"]
+    wk = (F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+          / 7).cast("long")
+    uw = (ev.select("user_id", wk.alias("wk")).distinct())
+    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    return (uw.join(cohort, "user_id")
+            .groupBy(F.col("cw").alias("cohort_week"),
+                     (F.col("wk") - F.col("cw")).alias("week_offset"))
+            .agg(F.count("*").cast("long").alias("n_users")))
+
+
+QUERIES["retention_triangle"] = retention_triangle
+
+ORACLES["retention_triangle"] = """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+               AS wk
+      FROM events
+    ), c AS (
+      SELECT user_id, MIN(wk) AS cw FROM uw GROUP BY user_id
+    )
+    SELECT CAST(cw AS BIGINT) AS cohort_week,
+           CAST(wk - cw AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM uw JOIN c USING (user_id)
+    GROUP BY cw, wk - cw
+"""
+
+
 def activation_delay_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """Signup → first-purchase ACTIVATION latency distribution — the
     forward twin of B49's conversion delay: for each signup, the
