@@ -98,6 +98,7 @@ _FRONT = [
     "dedup_url_keep",
     "activation_delay_buckets",
     "retention_triangle",
+    "stickiness_dau_mau",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

@@ -1627,6 +1627,56 @@ def user_path_topk(spark: SparkSession, sf: str) -> DataFrame:
             .select("rank", "path", "n_users"))
 
 
+def stickiness_dau_mau(spark: SparkSession, sf: str) -> DataFrame:
+    """DAU / trailing-30-day-MAU stickiness per active day — the
+    engagement ratio every consumer product tracks.  The trailing
+    distinct is computed by the BOUNDED-explode shape (each distinct
+    (user, day) contributes to the 30 days it can influence —
+    constant factor 30, linear overall, never a per-day rescan of
+    30 days of raw events; the 100 TB alternative is the HLL sketch,
+    but at constant 30 the exact form is cheap), then one distinct
+    count per day restricted to days that actually had activity.
+    stickiness_e6 = DAU·1e6 DIV MAU, exact integers throughout."""
+    ev = load(spark, sf, "events")["events"]
+    days = (ev.select("user_id", F.to_date("ts").alias("d"))
+            .distinct())
+    dau = days.groupBy("d").agg(F.count("*").cast("long").alias("dau"))
+    contrib = days.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 29)))
+        .alias("md"))
+    mau = (contrib.distinct()
+           .join(dau.select(F.col("d").alias("md")), "md")
+           .groupBy("md").agg(F.count("*").cast("long").alias("mau")))
+    return (dau.join(mau, dau["d"] == mau["md"])
+            .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                    "dau", "mau",
+                    F.expr("dau * 1000000L DIV mau").cast("long")
+                    .alias("stickiness_e6")))
+
+
+QUERIES["stickiness_dau_mau"] = stickiness_dau_mau
+
+ORACLES["stickiness_dau_mau"] = """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), dau AS (
+      SELECT d, COUNT(*) AS dau FROM ud GROUP BY d
+    ), mau AS (
+      SELECT m.d, COUNT(DISTINCT u.user_id) AS mau
+      FROM dau m JOIN ud u
+        ON u.d BETWEEN m.d - 29 AND m.d
+      GROUP BY m.d
+    )
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(mau.mau AS BIGINT) AS mau,
+           CAST(dau.dau * 1000000 // mau.mau AS BIGINT)
+             AS stickiness_e6
+    FROM dau JOIN mau USING (d)
+"""
+
+
 def retention_triangle(spark: SparkSession, sf: str) -> DataFrame:
     """Weekly retention TRIANGLE — the standard product-analytics
     cohort matrix B21's one-row-per-cohort summary cannot express:
