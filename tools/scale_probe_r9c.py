@@ -86,6 +86,31 @@ def main():
             F.count("*").alias("n"), F.max("_v").alias("p"),
             F.max("_dd").alias("m")))
 
+        # bounded-explode stickiness: constant-30 fanout — ~linear
+        days = (ev.select("user_id", F.to_date("ts").alias("d"))
+                .distinct())
+        dau = days.groupBy("d").agg(F.count("*").alias("dau"))
+        contrib = days.select(
+            "user_id",
+            F.explode(F.sequence(F.col("d"), F.date_add("d", 29)))
+            .alias("md"))
+        mau = (contrib.distinct()
+               .join(dau.select(F.col("d").alias("md")), "md")
+               .groupBy("md").agg(F.count("*").alias("mau")))
+        r["stickiness"] = timed("st", dau.join(
+            mau, dau["d"] == mau["md"]))
+
+        # retention triangle: distinct + same-key min + equi-join
+        wk = (F.datediff(F.to_date("ts"),
+                         F.lit("1970-01-01").cast("date")) / 7) \
+            .cast("long")
+        uw = ev.select("user_id", wk.alias("wk")).distinct()
+        cohort = uw.groupBy("user_id").agg(F.min("wk").alias("cw"))
+        r["retention_tri"] = timed("rt", uw.join(cohort, "user_id")
+                                   .groupBy("cw", (F.col("wk")
+                                                   - F.col("cw")))
+                                   .agg(F.count("*").alias("n")))
+
         results[f] = r
         print(f, json.dumps(r))
         spark.catalog.clearCache()
