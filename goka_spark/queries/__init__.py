@@ -99,6 +99,7 @@ _FRONT = [
     "activation_delay_buckets",
     "retention_triangle",
     "stickiness_dau_mau",
+    "stickiness_hll",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

@@ -7117,3 +7117,81 @@ ORACLES["dedup_url_keep"] = _URL_CTE + """
                               ORDER BY doc_id) = 1 AS keep
     FROM n
 """
+
+
+def stickiness_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketched stickiness (C152) — the 100 TB face of B57: exact
+    DAU (cheap) beside a trailing-30-day MAU estimated from the
+    engine-portable HLL kernel (C75's md5 registers).  The scale
+    design: ONE register agg per day (≤ m=256 integers), registers
+    exploded onto the ≤30 days they influence and MAX-merged — per
+    day the trailing-window state is 30·m integers regardless of
+    user count, where B57's exact form shuffles every (user, day)
+    pair.  Registers and the harmonic-sum estimate reproduce
+    bit-identically in DuckDB, so unlike Spark's builtin sketch this
+    approximate op is still hash-verified."""
+    ev = load(spark, sf, "events")["events"]
+    ev2 = ev.select(F.to_date("ts").alias("dt"), "user_id")
+    days = ev2.select("dt").distinct()
+    dau = (ev2.distinct().groupBy("dt")
+           .agg(F.count("*").cast("long").alias("dau")))
+    regs = D.hll_registers(ev2, ["dt"], "user_id")
+    contrib = (regs.select(
+        F.explode(F.sequence(F.col("dt"), F.date_add("dt", 29)))
+        .alias("md"), "reg", "r")
+        .join(days.select(F.col("dt").alias("md")), "md"))
+    merged = contrib.groupBy("md", "reg").agg(F.max("r").alias("r"))
+    mau = D.hll_estimate(merged, ["md"])
+    return (dau.join(mau, dau["dt"] == mau["md"])
+            .select(F.date_format("dt", "yyyy-MM-dd").alias("day"),
+                    "dau", F.col("hll_est").alias("mau_hll")))
+
+
+QUERIES["stickiness_hll"] = stickiness_hll
+
+ORACLES["stickiness_hll"] = """
+    WITH ud AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT d FROM ud
+    ), dau AS (
+      SELECT d, COUNT(*) AS dau FROM ud GROUP BY d
+    ), h AS (
+      SELECT d, md5(CAST(user_id AS VARCHAR)) AS hx FROM ud
+    ), rv AS (
+      SELECT d,
+             CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) AS reg,
+             CASE WHEN CAST(('0x' || substr(hx, 3, 12)) AS BIGINT) > 0
+                  THEN 49 - length(bin(
+                         CAST(('0x' || substr(hx, 3, 12)) AS BIGINT)))
+                  ELSE 49 END AS val
+      FROM h
+    ), regs AS (
+      SELECT d, reg, MAX(val) AS r FROM rv GROUP BY d, reg
+    ), contrib AS (
+      SELECT dd.d AS md, rg.reg, rg.r
+      FROM regs rg JOIN days dd ON rg.d BETWEEN dd.d - 29 AND dd.d
+    ), merged AS (
+      SELECT md, reg, MAX(r) AS r FROM contrib GROUP BY md, reg
+    ), per AS (
+      SELECT md,
+             CAST(SUM(CAST(1 AS BIGINT) << (49 - r))
+                  + (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 49)
+                  AS DOUBLE) / CAST(CAST(1 AS BIGINT) << 49 AS DOUBLE)
+               AS s,
+             CAST(256 - COUNT(*) AS DOUBLE) AS zeros
+      FROM merged GROUP BY md
+    ), est AS (
+      SELECT md,
+             CASE WHEN (0.7213 / (1 + 1.079/256)) * 256 * 256 / s
+                       <= 2.5 * 256 AND zeros > 0
+                  THEN ROUND(256.0 * ln(256.0 / zeros), 4)
+                  ELSE ROUND((0.7213 / (1 + 1.079/256)) * 256 * 256 / s,
+                             4)
+             END AS mau_hll
+      FROM per
+    )
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day,
+           CAST(dau.dau AS BIGINT) AS dau, est.mau_hll
+    FROM dau JOIN est ON est.md = dau.d
+"""
