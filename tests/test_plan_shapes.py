@@ -519,3 +519,14 @@ def test_max_drawdown_single_shuffle(spark, sf_dir):
     partitioning: one exchange total (the TWA discipline)."""
     df = analytics.max_drawdown(spark, sf_dir)
     assert X.num_shuffles(df) <= 1, X.simple(df)
+
+
+def test_stickiness_hll_no_python_udf(spark, sf_dir):
+    """The sketch path is pure Column algebra (md5/conv/bin): no
+    Python UDF, no cartesian — the register explode is the only
+    fanout and it is bounded by 30 x 256 rows per day."""
+    df = llmdata.stickiness_hll(spark, sf_dir)
+    plan = X.simple(df)
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
