@@ -75,6 +75,11 @@ HEADLINE = [
     "chunk_pack_pipeline",
     "source_divergence_matrix",
     "embedding_matryoshka_eval",
+    # round 9 additions (compare per-query: set grew 43 -> 47)
+    "time_weighted_avg",
+    "url_normalize",
+    "dedup_url_keep",
+    "user_path_topk",
 ]
 
 
