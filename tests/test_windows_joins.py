@@ -251,6 +251,54 @@ def test_ohlc_sink_epoch_retry_idempotent(spark, tmp_path):
         (700, 900, 500, 900, 3)
 
 
+def test_ohlc_sink_live_stream(spark, tmp_path):
+    """OhlcSink under a REAL Structured Streaming query (file source
+    + foreachBatch): two appends, merged candles equal one batch pass
+    over the union."""
+    from datetime import datetime as dt
+
+    from goka_spark.operators.windows import OhlcSink, ohlc_partials
+    from goka_spark.streaming.runtime import stream_from_dir
+
+    schema = ("ts timestamp, event_id long, event_type string, "
+              "value double")
+    rows1 = [(dt(2024, 1, 1, 0, 5), 1, "a", 7.0),
+             (dt(2024, 1, 1, 0, 40), 2, "a", 3.0)]
+    rows2 = [(dt(2024, 1, 1, 0, 20), 3, "a", 9.5),
+             (dt(2024, 1, 1, 1, 10), 4, "a", 1.0)]
+    src = str(tmp_path / "topic")
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    sink = OhlcSink(str(tmp_path / "ohlc"))
+    q = (stream_from_dir(spark, src, schema).writeStream
+         .foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    union = spark.createDataFrame(rows1 + rows2, schema)
+    cols = ["event_type", "open_e2", "high_e2", "low_e2",
+            "close_e2", "volume", "window_start_us"]
+    ref = sorted(tuple(r[c] for c in cols)
+                 for r in ohlc_partials(union).select(*cols).collect())
+    live = sorted(tuple(r[c] for c in cols)
+                  for r in sink.read(spark).collect())
+    assert live == ref
+    # the second epoch's 00:20 event sits INSIDE the first epoch's
+    # hour-0 candle: open stays epoch-0's 00:05 (700), high comes
+    # from epoch-1 (950), close is epoch-0's 00:40 (300)
+    hour0 = min(live, key=lambda r: r[6])
+    assert (hour0[1], hour0[2], hour0[3], hour0[4], hour0[5]) == \
+        (700, 950, 300, 300, 3)
+
+
 # ------------------------------------------------------ DrawdownSink
 
 def test_streaming_drawdown_equals_batch(spark, sf_dir, tmp_path):
