@@ -100,6 +100,7 @@ _FRONT = [
     "retention_triangle",
     "stickiness_dau_mau",
     "stickiness_hll",
+    "user_activity_deciles",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

@@ -1627,6 +1627,81 @@ def user_path_topk(spark: SparkSession, sf: str) -> DataFrame:
             .select("rank", "path", "n_users"))
 
 
+def user_activity_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """Activity DECILES — what share of events the top 10% / bottom
+    10% of users generate (the engagement-concentration report).
+    Scale-correct shape: deciles are NOT assigned per user via a
+    global NTILE window (single-partition over every user — the
+    anti-pattern); instead the users-sized count table collapses to
+    a count-FREQUENCY table (one row per distinct activity level,
+    ≪ users), a tiny cumulative window orders it, and each level's
+    users are split across decile index ranges
+    [⌊(d−1)·n/10⌋, ⌊d·n/10⌋) by exact interval intersection — pure
+    integer arithmetic both engines replay verbatim.  Users at equal
+    activity are interchangeable, so the aggregate split is exact
+    without any per-user ordering."""
+    ev = load(spark, sf, "events")["events"]
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    freq = per_user.groupBy("cnt").agg(F.count("*").alias("u"))
+    w = (Window.orderBy(F.desc("cnt"))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    tot = Window.partitionBy()
+    staged = (freq
+              .withColumn("cum0", F.coalesce(F.sum("u").over(w),
+                                             F.lit(0)))
+              .withColumn("n", F.sum("u").over(tot)))
+    d = F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile")
+    ex = staged.select("cnt", "u", "cum0", "n", d)
+    lo = F.expr("(decile - 1) * n DIV 10")
+    hi = F.expr("decile * n DIV 10")
+    take = (F.least(hi, F.col("cum0") + F.col("u"))
+            - F.greatest(lo, F.col("cum0")))
+    agg = (ex.withColumn("take", take).filter(F.col("take") > 0)
+           .groupBy(F.col("decile").cast("long").alias("decile"))
+           .agg(F.sum("take").cast("long").alias("n_users"),
+                F.sum(F.col("take") * F.col("cnt")).cast("long")
+                .alias("n_events")))
+    # share over total events: a 10-row window, not another scan
+    return agg.withColumn("share_e6", F.expr(
+        "CAST(n_events * 1000000L DIV (SUM(n_events) OVER ()) "
+        "AS BIGINT)"))
+
+
+QUERIES["user_activity_deciles"] = user_activity_deciles
+
+ORACLES["user_activity_deciles"] = """
+    WITH pu AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ), freq AS (
+      SELECT cnt, COUNT(*) AS u FROM pu GROUP BY cnt
+    ), staged AS (
+      SELECT cnt, u,
+             COALESCE(SUM(u) OVER (ORDER BY cnt DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum0,
+             SUM(u) OVER () AS n
+      FROM freq
+    ), ex AS (
+      SELECT cnt, u, cum0, n, d.decile
+      FROM staged, (SELECT UNNEST(range(1, 11)) AS decile) d
+    ), took AS (
+      SELECT decile, cnt,
+             LEAST(decile * n // 10, cum0 + u)
+               - GREATEST((decile - 1) * n // 10, cum0) AS take
+      FROM ex
+    ), agg AS (
+      SELECT decile,
+             CAST(SUM(take) AS BIGINT) AS n_users,
+             CAST(SUM(take * cnt) AS BIGINT) AS n_events
+      FROM took WHERE take > 0 GROUP BY decile
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_users, n_events,
+           CAST(n_events * 1000000 // (SUM(n_events) OVER ())
+                AS BIGINT) AS share_e6
+    FROM agg
+"""
+
+
 def stickiness_dau_mau(spark: SparkSession, sf: str) -> DataFrame:
     """DAU / trailing-30-day-MAU stickiness per active day — the
     engagement ratio every consumer product tracks.  The trailing
