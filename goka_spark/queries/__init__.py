@@ -101,6 +101,7 @@ _FRONT = [
     "stickiness_dau_mau",
     "stickiness_hll",
     "user_activity_deciles",
+    "activity_gini",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

@@ -1669,6 +1669,59 @@ def user_activity_deciles(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES["user_activity_deciles"] = user_activity_deciles
 
+def activity_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of user activity — the single
+    inequality number beside B58's decile table, computed EXACTLY
+    from the same count-frequency shape (never a per-user global
+    sort): for users sorted ascending by count, G = (2·Σi·xᵢ)/(n·S)
+    − (n+1)/n; a frequency row (count c, u users, k users below)
+    contributes c·(u·k + u(u+1)/2) to Σi·xᵢ in closed form because
+    tied users are interchangeable.  All terms are exact BIGINTs;
+    gini_e6 = (2A − (n+1)S)·1e6 DIV (nS).  One users-sized hash-agg,
+    one tiny frequency agg + cumulative window, one 1-row result."""
+    ev = load(spark, sf, "events")["events"]
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    freq = per_user.groupBy("cnt").agg(F.count("*").alias("u"))
+    w = (Window.orderBy("cnt")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    staged = freq.withColumn(
+        "k", F.coalesce(F.sum("u").over(w), F.lit(0)))
+    a = F.sum(F.col("cnt") * (F.col("u") * F.col("k")
+                              + F.expr("u * (u + 1) DIV 2")))
+    return (staged.agg(
+        F.sum(F.col("u")).alias("_n"),
+        F.sum(F.col("cnt") * F.col("u")).alias("_s"),
+        a.alias("_a"))
+        .select(F.col("_n").cast("long").alias("n_users"),
+                F.col("_s").cast("long").alias("n_events"),
+                F.expr("(2 * _a - (_n + 1) * _s) * 1000000L "
+                       "DIV (_n * _s)").cast("long")
+                .alias("gini_e6")))
+
+
+QUERIES["activity_gini"] = activity_gini
+
+ORACLES["activity_gini"] = """
+    WITH pu AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ), freq AS (
+      SELECT cnt, COUNT(*) AS u FROM pu GROUP BY cnt
+    ), staged AS (
+      SELECT cnt, u,
+             COALESCE(SUM(u) OVER (ORDER BY cnt ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS k
+      FROM freq
+    )
+    SELECT CAST(SUM(u) AS BIGINT) AS n_users,
+           CAST(SUM(cnt * u) AS BIGINT) AS n_events,
+           CAST((2 * SUM(cnt * (u * k + u * (u + 1) // 2))
+                 - (SUM(u) + 1) * SUM(cnt * u)) * 1000000
+                // (SUM(u) * SUM(cnt * u)) AS BIGINT) AS gini_e6
+    FROM staged
+"""
+
+
 ORACLES["user_activity_deciles"] = """
     WITH pu AS (
       SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
