@@ -102,6 +102,7 @@ _FRONT = [
     "stickiness_hll",
     "user_activity_deciles",
     "activity_gini",
+    "rfm_segments",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

@@ -1669,6 +1669,69 @@ def user_activity_deciles(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES["user_activity_deciles"] = user_activity_deciles
 
+def rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM SEGMENTATION — the classic marketing cut: per user,
+    Recency (days since last event, measured against the corpus max
+    ts), Frequency (event count), Monetary (exact Σvalue_e2), each
+    banded by fixed thresholds (fixed, not data-derived quantiles —
+    segment definitions must be stable across releases to be
+    comparable), users counted per segment with exact totals.  The
+    corpus max ts is a one-row broadcast (the scalar-join house
+    pattern), the rest is one users-sized hash-agg + a
+    segments-sized rollup."""
+    ev = load(spark, sf, "events")["events"]
+    mx = ev.agg(F.max(F.unix_micros("ts")).alias("_mx"))
+    per_user = (ev.groupBy("user_id")
+                .agg(F.max(F.unix_micros("ts")).alias("_last"),
+                     F.count("*").alias("_f"),
+                     F.sum(F.round(F.col("value") * 100).cast("long"))
+                     .alias("_m"))
+                .crossJoin(F.broadcast(mx)))
+    rdays = F.expr("(_mx - _last) DIV 86400000000")
+    r_b = (F.when(rdays == 0, "r_hot").otherwise("r_cool"))
+    f_b = (F.when(F.col("_f") >= 70, "f_high")
+           .when(F.col("_f") >= 55, "f_mid").otherwise("f_low"))
+    m_b = (F.when(F.col("_m") >= 400_000, "m_high")
+           .when(F.col("_m") >= 280_000, "m_mid").otherwise("m_low"))
+    return (per_user
+            .select(F.concat_ws("/", r_b, f_b, m_b).alias("segment"),
+                    "_f", "_m")
+            .groupBy("segment")
+            .agg(F.count("*").cast("long").alias("n_users"),
+                 F.sum("_f").cast("long").alias("n_events"),
+                 F.sum("_m").cast("long").alias("value_e2")))
+
+
+QUERIES["rfm_segments"] = rfm_segments
+
+ORACLES["rfm_segments"] = """
+    WITH mx AS (
+      SELECT MAX(epoch_us(ts)) AS m FROM events
+    ), pu AS (
+      SELECT user_id, MAX(epoch_us(ts)) AS last,
+             COUNT(*) AS f,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS mval
+      FROM events GROUP BY user_id
+    ), lab AS (
+      SELECT (CASE WHEN (mx.m - last) // 86400000000 = 0
+                   THEN 'r_hot' ELSE 'r_cool' END)
+             || '/' ||
+             (CASE WHEN f >= 70 THEN 'f_high'
+                   WHEN f >= 55 THEN 'f_mid' ELSE 'f_low' END)
+             || '/' ||
+             (CASE WHEN mval >= 400000 THEN 'm_high'
+                   WHEN mval >= 280000 THEN 'm_mid'
+                   ELSE 'm_low' END) AS segment,
+             f, mval
+      FROM pu, mx
+    )
+    SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(f) AS BIGINT) AS n_events,
+           CAST(SUM(mval) AS BIGINT) AS value_e2
+    FROM lab GROUP BY segment
+"""
+
+
 def activity_gini(spark: SparkSession, sf: str) -> DataFrame:
     """Gini coefficient of user activity — the single
     inequality number beside B58's decile table, computed EXACTLY
