@@ -60,6 +60,13 @@ def main():
     (Q.max_drawdown(spark, sf)
      .orderBy(F.desc("max_drawdown_e2")).show(5))
 
+    print("== engagement concentration (deciles + Gini) ==")
+    Q.user_activity_deciles(spark, sf).orderBy("decile").show()
+    Q.activity_gini(spark, sf).show()
+
+    print("== RFM segments ==")
+    Q.rfm_segments(spark, sf).orderBy(F.desc("n_users")).show()
+
     # -- streaming faces: feed epoch chunks, read back batch-exact --
     ev = load(spark, sf, "events")["events"]
     with tempfile.TemporaryDirectory() as tmp:
