@@ -122,6 +122,11 @@ _FRONT = [
     "codec_roundtrip",
     "loopback_rekey",
 ]
+# r10 rotation plan: promote to the front (a) every key between
+# "weighted_jaccard_pairs" and "rfm_segments" in the tail above —
+# the r9 additions that have never had a driver row (all locally
+# oracle-verified at sf0.001 AND sf0.01, most also at sf0.1);
+# (b) then the oldest-certified keys (r6 vintage after this round).
 
 
 
