@@ -103,6 +103,7 @@ _FRONT = [
     "user_activity_deciles",
     "activity_gini",
     "rfm_segments",
+    "host_quality_report",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

@@ -7195,3 +7195,48 @@ ORACLES["stickiness_hll"] = """
            CAST(dau.dau AS BIGINT) AS dau, est.mau_hll
     FROM dau JOIN est ON est.md = dau.d
 """
+
+
+def host_quality_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-DOMAIN quality table (C153) — the crawl-prioritization
+    join of the URL layer (C148's canonical host) with the certified
+    C8 quality kernel: docs per host, mean quality (integerized at
+    the kernel's native e4 rounding, mean as exact BIGINT DIV), and
+    the low-quality count (< 0.5) — the table that decides which
+    domains get re-crawled, capped, or dropped.  ONE scan computes
+    both host and score (the host is doc_id-derived), one hash-agg;
+    the oracle nests the certified quality SQL unchanged."""
+    docs = load(spark, sf, "documents")["documents"]
+    from goka_spark.functions import urls as _U
+
+    host = _U.canonical_host(_U.synthetic_url(F.col("doc_id")))
+    q_e4 = F.round(T.quality_score(F.col("text")) * 10000).cast("long")
+    return (docs.select(host.alias("host"), q_e4.alias("_q"))
+            .groupBy("host")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.expr("SUM(_q) DIV COUNT(*)").cast("long")
+                 .alias("mean_q_e4"),
+                 F.sum(F.when(F.col("_q") < 5000, 1).otherwise(0))
+                 .cast("long").alias("n_low")))
+
+
+QUERIES["host_quality_report"] = host_quality_report
+
+ORACLES["host_quality_report"] = f"""
+    WITH uu AS (
+      SELECT doc_id, {U.SYNTH_URL_SQL} AS url FROM documents
+    ), nn AS (
+      SELECT doc_id, {U.host_sql('url')} AS host FROM uu
+    ), qq AS (
+      {ORACLES["doc_quality_score"]}
+    ), jj AS (
+      SELECT nn.host,
+             CAST(ROUND(qq.quality * 10000) AS BIGINT) AS q_e4
+      FROM nn JOIN qq USING (doc_id)
+    )
+    SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(q_e4) // COUNT(*) AS BIGINT) AS mean_q_e4,
+           CAST(SUM(CASE WHEN q_e4 < 5000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low
+    FROM jj GROUP BY host
+"""
