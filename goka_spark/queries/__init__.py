@@ -104,6 +104,7 @@ _FRONT = [
     "activity_gini",
     "rfm_segments",
     "host_quality_report",
+    "dedup_funnel_report",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

@@ -7240,3 +7240,58 @@ ORACLES["host_quality_report"] = f"""
                 AS BIGINT) AS n_low
     FROM jj GROUP BY host
 """
+
+
+def dedup_funnel_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Staged dedup FUNNEL (C154) — how many docs survive each
+    dedup stage, in the order a production pipeline runs them
+    (cheapest first): raw → canonical-URL keep (C151) → exact
+    content keep (md5, lowest doc_id) ON THE URL SURVIVORS.  The
+    ordering matters: content dedup only pays for docs the URL
+    stage could not collapse, which is exactly the cost argument
+    for running the URL stage first.  Two window stages on
+    different keys + three 1-row counts; survivors of each stage
+    feed the next, so the numbers compose (monotone non-increasing,
+    pinned by the oracle)."""
+    from pyspark.sql import Window
+
+    urls = url_normalize(spark, sf)
+    docs = load(spark, sf, "documents")["documents"]
+    wu = Window.partitionBy("url_canonical").orderBy("doc_id")
+    url_keep = (urls.withColumn("_rn", F.row_number().over(wu))
+                .filter(F.col("_rn") == 1).select("doc_id"))
+    surv = docs.join(url_keep, "doc_id")
+    wx = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    exact_keep = (surv.withColumn("_rn", F.row_number().over(wx))
+                  .filter(F.col("_rn") == 1).select("doc_id"))
+    raw_n = docs.agg(F.count("*").alias("n")) \
+        .select(F.lit("raw").alias("stage"), F.col("n"))
+    url_n = url_keep.agg(F.count("*").alias("n")) \
+        .select(F.lit("url").alias("stage"), F.col("n"))
+    ex_n = exact_keep.agg(F.count("*").alias("n")) \
+        .select(F.lit("url+exact").alias("stage"), F.col("n"))
+    return (raw_n.unionByName(url_n).unionByName(ex_n)
+            .select("stage", F.col("n").cast("long").alias("n_docs")))
+
+
+QUERIES["dedup_funnel_report"] = dedup_funnel_report
+
+ORACLES["dedup_funnel_report"] = _URL_CTE + """
+    , uk AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY url_canonical
+                                          ORDER BY doc_id) AS rn
+        FROM n) WHERE rn = 1
+    ), ek AS (
+      SELECT d.doc_id FROM (
+        SELECT d.doc_id, ROW_NUMBER() OVER (PARTITION BY md5(d.text)
+                                            ORDER BY d.doc_id) AS rn
+        FROM documents d JOIN uk USING (doc_id)) d WHERE rn = 1
+    )
+    SELECT 'raw' AS stage,
+           CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs
+    UNION ALL
+    SELECT 'url', CAST(COUNT(*) AS BIGINT) FROM uk
+    UNION ALL
+    SELECT 'url+exact', CAST(COUNT(*) AS BIGINT) FROM ek
+"""
