@@ -105,6 +105,7 @@ _FRONT = [
     "rfm_segments",
     "host_quality_report",
     "dedup_funnel_report",
+    "user_active_time",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

@@ -1669,6 +1669,68 @@ def user_activity_deciles(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES["user_activity_deciles"] = user_activity_deciles
 
+def user_active_time(spark: SparkSession, sf: str) -> DataFrame:
+    """Total ACTIVE time per user — the engagement-time metric: the
+    B12 sessionize islands (new session when the gap to the previous
+    event exceeds 30 min) aggregated to durations: sessions counted,
+    per-session span (last − first event, exact micros) summed and
+    averaged (BIGINT DIV).  One user-keyed lag window + one
+    (user, session) agg + one user agg — all on the same hash
+    partitioning, ONE exchange."""
+    ev = load(spark, sf, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1) \
+        .otherwise(0)
+    run = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    sess = (ev.select("user_id", "ts", "event_id")
+            .withColumn("_sid", F.sum(new_s).over(run)))
+    per_sess = (sess.groupBy("user_id", "_sid")
+                .agg((F.max(F.unix_micros("ts"))
+                      - F.min(F.unix_micros("ts"))).alias("_dur")))
+    return (per_sess.groupBy("user_id")
+            .agg(F.count("*").alias("n_sessions"),
+                 F.sum("_dur").alias("active_us"))
+            .select(F.col("user_id").cast("string").alias("key"),
+                    F.col("n_sessions").cast("long"),
+                    F.col("active_us").cast("long"),
+                    F.expr("active_us DIV n_sessions").cast("long")
+                    .alias("mean_session_us")))
+
+
+QUERIES["user_active_time"] = user_active_time
+
+ORACLES["user_active_time"] = """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts)
+                       - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                       > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ), ps AS (
+      SELECT user_id, sid,
+             MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS dur
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(dur) AS BIGINT) AS active_us,
+           CAST(SUM(dur) // COUNT(*) AS BIGINT) AS mean_session_us
+    FROM ps GROUP BY user_id
+"""
+
+
 def rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
     """RFM SEGMENTATION — the classic marketing cut: per user,
     Recency (days since last event, measured against the corpus max
