@@ -530,3 +530,20 @@ def test_stickiness_hll_no_python_udf(spark, sf_dir):
     assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_user_active_time_single_shuffle(spark, sf_dir):
+    """Lag window + (user, session) agg + user agg share the user_id
+    partitioning: one exchange total."""
+    df = analytics.user_active_time(spark, sf_dir)
+    assert X.num_shuffles(df) <= 1, X.simple(df)
+
+
+def test_rfm_segments_broadcasts_corpus_max(spark, sf_dir):
+    """The corpus max ts joins as the BROADCAST build side of a
+    one-row nested-loop (the scalar-join house pattern) — never a
+    shuffled CartesianProduct."""
+    df = analytics.rfm_segments(spark, sf_dir)
+    plan = X.simple(df)
+    assert "BroadcastNestedLoopJoin BuildRight" in plan, plan
+    assert "CartesianProduct" not in plan
