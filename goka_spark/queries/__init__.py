@@ -106,6 +106,7 @@ _FRONT = [
     "host_quality_report",
     "dedup_funnel_report",
     "user_active_time",
+    "volume_anomalies_robust",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

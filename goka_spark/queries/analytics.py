@@ -840,6 +840,45 @@ def event_volume_anomalies(spark: SparkSession, sf: str) -> DataFrame:
         ((d > 0) & (d * d * F.col("_n") > 9 * var_n3)).alias("is_spike"))
 
 
+def volume_anomalies_robust(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly volume spikes by MEDIAN/MAD — the robust twin of B46's
+    mean/3σ monitor: a handful of huge hours poisons a mean baseline
+    (the spike inflates the very σ that should flag it), while the
+    median and the median absolute deviation ignore them.  Exact
+    integer throughout: the LOWER median (k-th smallest,
+    k = (n+1) DIV 2 — no midpoint averaging to disagree on) via a
+    row_number over each type's hourly counts, MAD the same over
+    |c − med|, spike ⟺ (c − med)·10000 > 44478·mad ∧ c > med
+    (3·1.4826 ≈ 4.4478 scaled to e4).  Two tiny windows over the
+    (type, hour) aggregate + a broadcast join — the bucket table is
+    hours-sized, never the event stream."""
+    ev = load(spark, sf, "events")["events"]
+    cnt = (ev.groupBy("event_type",
+                      F.date_trunc("hour", "ts").alias("_h"))
+           .agg(F.count("*").cast("long").alias("cnt")))
+    wk = Window.partitionBy("event_type").orderBy("cnt", "_h")
+    ranked = (cnt
+              .withColumn("_rn", F.row_number().over(wk))
+              .withColumn("_n", F.count("*").over(
+                  Window.partitionBy("event_type"))))
+    med = (ranked.filter(F.col("_rn") == F.expr("(_n + 1) DIV 2"))
+           .select("event_type", F.col("cnt").alias("med")))
+    dev = (cnt.join(F.broadcast(med), "event_type")
+           .withColumn("_dev", F.abs(F.col("cnt") - F.col("med"))))
+    wd = Window.partitionBy("event_type").orderBy("_dev", "_h")
+    mad = (dev.withColumn("_rn", F.row_number().over(wd))
+           .withColumn("_n", F.count("*").over(
+               Window.partitionBy("event_type")))
+           .filter(F.col("_rn") == F.expr("(_n + 1) DIV 2"))
+           .select("event_type", F.col("_dev").alias("mad")))
+    j = dev.join(F.broadcast(mad), "event_type")
+    spike = ((F.col("cnt") > F.col("med"))
+             & ((F.col("cnt") - F.col("med")) * 10000
+                > 44478 * F.col("mad")))
+    return j.select("event_type", F.unix_micros("_h").alias("hour_us"),
+                    "cnt", "med", "mad", spike.alias("is_spike"))
+
+
 def event_transitions(spark: SparkSession, sf: str) -> DataFrame:
     """Markov transition matrix over per-user event sequences: for
     every (event_type → next_event_type) pair, the occurrence count
@@ -2192,4 +2231,41 @@ ORACLES["conversion_delay_buckets"] = """
       FROM ao
     )
     SELECT bucket, COUNT(*) AS cnt FROM lab GROUP BY bucket
+"""
+
+
+QUERIES["volume_anomalies_robust"] = volume_anomalies_robust
+
+ORACLES["volume_anomalies_robust"] = """
+    WITH c AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, h
+    ), rk AS (
+      SELECT event_type, h, cnt,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cnt, h) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+    ), med AS (
+      SELECT event_type, cnt AS med FROM rk WHERE rn = (n + 1) // 2
+    ), dev AS (
+      SELECT c.event_type, c.h, c.cnt, m.med,
+             ABS(c.cnt - m.med) AS d
+      FROM c JOIN med m USING (event_type)
+    ), rk2 AS (
+      SELECT event_type, d,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY d, h) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM dev
+    ), mad AS (
+      SELECT event_type, d AS mad FROM rk2 WHERE rn = (n + 1) // 2
+    )
+    SELECT dev.event_type, epoch_us(dev.h) AS hour_us, dev.cnt,
+           dev.med, CAST(mad.mad AS BIGINT) AS mad,
+           (dev.cnt > dev.med
+            AND (dev.cnt - dev.med) * 10000 > 44478 * mad.mad)
+             AS is_spike
+    FROM dev JOIN mad USING (event_type)
 """
