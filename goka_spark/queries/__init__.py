@@ -107,6 +107,7 @@ _FRONT = [
     "dedup_funnel_report",
     "user_active_time",
     "volume_anomalies_robust",
+    "seasonality_profile",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

@@ -2269,3 +2269,45 @@ ORACLES["volume_anomalies_robust"] = """
              AS is_spike
     FROM dev JOIN mad USING (event_type)
 """
+
+
+def seasonality_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal heatmap table — events per (type, day-of-week, hour)
+    with each cell's share of its type (integer micro-units): the
+    when-do-users-show-up profile behind send-time optimization and
+    capacity planning.  Day-of-week is computed as pure integer
+    arithmetic ((epoch_days + 3) % 7, Monday = 0 — 1970-01-01 was a
+    Thursday) because the engines' dayofweek() builtins disagree on
+    numbering; hour from the same UTC timestamp both engines store.
+    One hash-agg + a types-sized broadcast total."""
+    ev = load(spark, sf, "events")["events"]
+    dow = ((F.datediff(F.to_date("ts"),
+                       F.lit("1970-01-01").cast("date")) + 3) % 7) \
+        .cast("long")
+    cell = (ev.groupBy(F.col("event_type"), dow.alias("dow"),
+                       F.hour("ts").cast("long").alias("hour"))
+            .agg(F.count("*").cast("long").alias("cnt")))
+    tot = cell.groupBy("event_type").agg(F.sum("cnt").alias("_t"))
+    return (cell.join(F.broadcast(tot), "event_type")
+            .select("event_type", "dow", "hour", "cnt",
+                    F.expr("cnt * 1000000L DIV _t").cast("long")
+                    .alias("share_e6")))
+
+
+QUERIES["seasonality_profile"] = seasonality_profile
+
+ORACLES["seasonality_profile"] = """
+    WITH cell AS (
+      SELECT event_type,
+             (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              + 3) % 7 AS dow,
+             hour(ts) AS hour, COUNT(*) AS cnt
+      FROM events GROUP BY event_type, dow, hour
+    ), tot AS (
+      SELECT event_type, SUM(cnt) AS t FROM cell GROUP BY event_type
+    )
+    SELECT cell.event_type, CAST(dow AS BIGINT) AS dow,
+           CAST(hour AS BIGINT) AS hour, CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt * 1000000 // t AS BIGINT) AS share_e6
+    FROM cell JOIN tot USING (event_type)
+"""
