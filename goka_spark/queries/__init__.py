@@ -108,6 +108,7 @@ _FRONT = [
     "user_active_time",
     "volume_anomalies_robust",
     "seasonality_profile",
+    "cohort_ltv_curve",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

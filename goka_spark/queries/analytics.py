@@ -2311,3 +2311,60 @@ ORACLES["seasonality_profile"] = """
            CAST(cnt * 1000000 // t AS BIGINT) AS share_e6
     FROM cell JOIN tot USING (event_type)
 """
+
+
+def cohort_ltv_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort LTV CURVE (r9) — B56's retention triangle with money:
+    per (cohort_week, week_offset), active users, the value they
+    generated that week (exact Σvalue_e2), and the cohort's
+    CUMULATIVE value through that offset — the curve whose plateau
+    is the cohort's lifetime value.  Same shape as the triangle
+    (distinct-week agg + same-key min + equi-join) plus one
+    cumulative window over the tiny (cohort, offset) aggregate."""
+    ev = load(spark, sf, "events")["events"]
+    wk = (F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+          / 7).cast("long")
+    uw = (ev.select("user_id", wk.alias("wk"),
+                    F.round(F.col("value") * 100).cast("long")
+                    .alias("v_e2"))
+          .groupBy("user_id", "wk")
+          .agg(F.sum("v_e2").alias("v_e2")))
+    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    cell = (uw.join(cohort, "user_id")
+            .groupBy(F.col("cw").alias("cohort_week"),
+                     (F.col("wk") - F.col("cw")).alias("week_offset"))
+            .agg(F.count("*").cast("long").alias("n_users"),
+                 F.sum("v_e2").cast("long").alias("value_e2")))
+    wc = (Window.partitionBy("cohort_week").orderBy("week_offset")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    return cell.withColumn(
+        "cum_value_e2", F.sum("value_e2").over(wc).cast("long"))
+
+
+QUERIES["cohort_ltv_curve"] = cohort_ltv_curve
+
+ORACLES["cohort_ltv_curve"] = """
+    WITH uw AS (
+      SELECT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+               AS wk,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS v_e2
+      FROM events GROUP BY user_id, wk
+    ), c AS (
+      SELECT user_id, MIN(wk) AS cw FROM uw GROUP BY user_id
+    ), cell AS (
+      SELECT cw AS cohort_week, wk - cw AS week_offset,
+             COUNT(*) AS n_users, SUM(v_e2) AS value_e2
+      FROM uw JOIN c USING (user_id)
+      GROUP BY cw, wk - cw
+    )
+    SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(value_e2 AS BIGINT) AS value_e2,
+           CAST(SUM(value_e2) OVER (PARTITION BY cohort_week
+                                    ORDER BY week_offset
+                                    ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_value_e2
+    FROM cell
+"""
