@@ -109,6 +109,7 @@ _FRONT = [
     "volume_anomalies_robust",
     "seasonality_profile",
     "cohort_ltv_curve",
+    "new_vs_returning",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

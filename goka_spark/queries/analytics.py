@@ -2368,3 +2368,51 @@ ORACLES["cohort_ltv_curve"] = """
                 AS BIGINT) AS cum_value_e2
     FROM cell
 """
+
+
+def new_vs_returning(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily NEW vs RETURNING split (r9) — the growth dashboard's
+    first row: per active day, users seen for the first time that
+    day vs users who had been seen before, with each group's event
+    volume.  First-seen day via one per-user min; the daily split is
+    a (user, day) distinct + equi-join + small agg — user-keyed
+    exchanges throughout."""
+    ev = load(spark, sf, "events")["events"]
+    ud = (ev.select("user_id", F.to_date("ts").alias("d"))
+          .groupBy("user_id", "d")
+          .agg(F.count("*").cast("long").alias("ev")))
+    first = ud.groupBy("user_id").agg(F.min("d").alias("fd"))
+    j = ud.join(first, "user_id")
+    is_new = (F.col("d") == F.col("fd"))
+    return (j.groupBy(F.date_format("d", "yyyy-MM-dd").alias("day"))
+            .agg(F.sum(F.when(is_new, 1).otherwise(0)).cast("long")
+                 .alias("new_users"),
+                 F.sum(F.when(~is_new, 1).otherwise(0)).cast("long")
+                 .alias("returning_users"),
+                 F.sum(F.when(is_new, F.col("ev")).otherwise(0))
+                 .cast("long").alias("new_events"),
+                 F.sum(F.when(~is_new, F.col("ev")).otherwise(0))
+                 .cast("long").alias("returning_events")))
+
+
+QUERIES["new_vs_returning"] = new_vs_returning
+
+ORACLES["new_vs_returning"] = """
+    WITH ud AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS ev
+      FROM events GROUP BY user_id, d
+    ), f AS (
+      SELECT user_id, MIN(d) AS fd FROM ud GROUP BY user_id
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(SUM(CASE WHEN d = fd THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(SUM(CASE WHEN d = fd THEN 0 ELSE 1 END) AS BIGINT)
+             AS returning_users,
+           CAST(SUM(CASE WHEN d = fd THEN ev ELSE 0 END) AS BIGINT)
+             AS new_events,
+           CAST(SUM(CASE WHEN d = fd THEN 0 ELSE ev END) AS BIGINT)
+             AS returning_events
+    FROM ud JOIN f USING (user_id)
+    GROUP BY d
+"""
