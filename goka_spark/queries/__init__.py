@@ -110,6 +110,7 @@ _FRONT = [
     "seasonality_profile",
     "cohort_ltv_curve",
     "new_vs_returning",
+    "source_domain_diversity",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

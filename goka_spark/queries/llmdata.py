@@ -7295,3 +7295,51 @@ ORACLES["dedup_funnel_report"] = _URL_CTE + """
     UNION ALL
     SELECT 'url+exact', CAST(COUNT(*) AS BIGINT) FROM ek
 """
+
+
+def source_domain_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain DIVERSITY per source (C155) — is a source dominated by
+    a handful of sites?  Inverse-Simpson effective domain count over
+    each source's host distribution, in exact integers: with n_i
+    docs on host i and N total, simpson_e6 = Σn_i²·1e6 DIV N² (the
+    collision probability) and eff_domains_e2 = N²·100 DIV Σn_i²
+    (the number of equally-loaded domains that would look like
+    this).  The crawl-mix health number beside C149's per-host dup
+    stats.  Two hash-aggs on the scan-stage host column."""
+    docs = load(spark, sf, "documents")["documents"]
+    from goka_spark.functions import urls as _U
+
+    host = _U.canonical_host(_U.synthetic_url(F.col("doc_id")))
+    per_host = (docs.select("source", host.alias("host"))
+                .groupBy("source", "host")
+                .agg(F.count("*").alias("n")))
+    return (per_host.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_hosts"),
+                 F.sum("n").alias("_N"),
+                 F.sum(F.col("n") * F.col("n")).alias("_s2"))
+            .select("source", "n_hosts",
+                    F.col("_N").cast("long").alias("n_docs"),
+                    F.expr("_s2 * 1000000L DIV (_N * _N)").cast("long")
+                    .alias("simpson_e6"),
+                    F.expr("_N * _N * 100L DIV _s2").cast("long")
+                    .alias("eff_domains_e2")))
+
+
+QUERIES["source_domain_diversity"] = source_domain_diversity
+
+ORACLES["source_domain_diversity"] = f"""
+    WITH uu AS (
+      SELECT doc_id, source, {U.SYNTH_URL_SQL} AS url FROM documents
+    ), nn AS (
+      SELECT source, {U.host_sql('url')} AS host FROM uu
+    ), ph AS (
+      SELECT source, host, COUNT(*) AS n FROM nn GROUP BY source, host
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_hosts,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(SUM(n * n) * 1000000 // (SUM(n) * SUM(n)) AS BIGINT)
+             AS simpson_e6,
+           CAST(SUM(n) * SUM(n) * 100 // SUM(n * n) AS BIGINT)
+             AS eff_domains_e2
+    FROM ph GROUP BY source
+"""
