@@ -111,6 +111,7 @@ _FRONT = [
     "cohort_ltv_curve",
     "new_vs_returning",
     "source_domain_diversity",
+    "hourly_session_concurrency",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

@@ -2416,3 +2416,65 @@ ORACLES["new_vs_returning"] = """
     FROM ud JOIN f USING (user_id)
     GROUP BY d
 """
+
+
+def hourly_session_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    """Concurrent SESSIONS per hour (r9) — the capacity-planning
+    series: how many user sessions (B12's 30-min-gap islands) were
+    live in each hour.  Each session explodes onto the hours its
+    [first, last] span covers — a BOUNDED fanout (span is capped by
+    real user activity; the all-hours alternative rescans every
+    session per hour) — then one hash-agg per hour.  Peak hours are
+    the rows with max active_sessions."""
+    ev = load(spark, sf, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1) \
+        .otherwise(0)
+    run = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    sess = (ev.select("user_id", "ts", "event_id")
+            .withColumn("_sid", F.sum(new_s).over(run))
+            .groupBy("user_id", "_sid")
+            .agg(F.date_trunc("hour", F.min("ts")).alias("_h0"),
+                 F.date_trunc("hour", F.max("ts")).alias("_h1")))
+    hours = F.explode(F.sequence(
+        F.col("_h0"), F.col("_h1"),
+        F.expr("INTERVAL 1 HOUR"))).alias("_h")
+    return (sess.select(hours)
+            .groupBy(F.unix_micros("_h").alias("hour_us"))
+            .agg(F.count("*").cast("long").alias("active_sessions")))
+
+
+QUERIES["hourly_session_concurrency"] = hourly_session_concurrency
+
+ORACLES["hourly_session_concurrency"] = """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts)
+                       - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                       > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ), ps AS (
+      SELECT user_id, sid,
+             date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1
+      FROM s GROUP BY user_id, sid
+    ), hrs AS (
+      SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM ps
+    )
+    SELECT epoch_us(h) AS hour_us,
+           CAST(COUNT(*) AS BIGINT) AS active_sessions
+    FROM hrs GROUP BY h
+"""
