@@ -112,6 +112,7 @@ _FRONT = [
     "new_vs_returning",
     "source_domain_diversity",
     "hourly_session_concurrency",
+    "weekly_growth",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

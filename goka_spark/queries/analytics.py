@@ -2478,3 +2478,47 @@ ORACLES["hourly_session_concurrency"] = """
            CAST(COUNT(*) AS BIGINT) AS active_sessions
     FROM hrs GROUP BY h
 """
+
+
+def weekly_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Week-over-week GROWTH per event type (r9) — the trend number
+    on every metrics review: per (type, epoch-week) counts with the
+    previous week's count and the exact integer growth rate
+    ((c − prev)·1e6 DIV prev; null on a type's first week).  Weeks
+    by the same integer arithmetic as B56; one hash-agg + a lag
+    window over the tiny (type, week) table."""
+    ev = load(spark, sf, "events")["events"]
+    wk = (F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+          / 7).cast("long")
+    cell = (ev.groupBy("event_type", wk.alias("week"))
+            .agg(F.count("*").cast("long").alias("cnt")))
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("cnt").over(w)
+    return (cell.withColumn("prev_cnt", prev.cast("long"))
+            .withColumn("growth_e6",
+                        F.when(prev.isNotNull(),
+                               F.expr("(cnt - prev_cnt) * 1000000L "
+                                      "DIV prev_cnt")).cast("long")))
+
+
+QUERIES["weekly_growth"] = weekly_growth
+
+ORACLES["weekly_growth"] = """
+    WITH cell AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+               AS week,
+             COUNT(*) AS cnt
+      FROM events GROUP BY event_type, week
+    )
+    SELECT event_type, CAST(week AS BIGINT) AS week,
+           CAST(cnt AS BIGINT) AS cnt,
+           CAST(LAG(cnt) OVER (PARTITION BY event_type ORDER BY week)
+                AS BIGINT) AS prev_cnt,
+           CAST((cnt - LAG(cnt) OVER (PARTITION BY event_type
+                                      ORDER BY week)) * 1000000
+                // LAG(cnt) OVER (PARTITION BY event_type
+                                  ORDER BY week) AS BIGINT)
+             AS growth_e6
+    FROM cell
+"""
