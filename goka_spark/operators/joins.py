@@ -30,6 +30,7 @@ def as_of_join(
     tolerance: Optional[Column] = None,
     tiebreak: Optional[str] = None,
     direction: str = "backward",
+    _match_ts: Optional[str] = None,
 ) -> DataFrame:
     """For each left row, attach ``value_cols`` from the latest right
     row of the same ``on`` key with ``right_ts <= left_ts`` (backward
@@ -40,9 +41,37 @@ def as_of_join(
     directions.  Same single-exchange union+window kernel either way:
     forward just flips the traversal order, it is NOT a second
     shuffle."""
+    if direction == "nearest":
+        # the pandas third direction: closest right row by |Δt|, an
+        # exact-distance tie going to the BACKWARD match (documented;
+        # pandas leaves it unspecified).  Composed from the two
+        # directed passes — each keeps its match timestamp — so
+        # nearest costs two window passes, not a new kernel.
+        b = as_of_join(left, right, on, left_ts, right_ts, value_cols,
+                       tolerance, tiebreak, "backward",
+                       _match_ts="_b_ts")
+        for c in value_cols:
+            b = b.withColumnRenamed(f"asof_{c}", f"_b_{c}")
+        f2 = as_of_join(b, right, on, left_ts, right_ts, value_cols,
+                        tolerance, tiebreak, "forward",
+                        _match_ts="_f_ts")
+        lt = F.unix_micros(F.col(left_ts))
+        bd = lt - F.unix_micros(F.col("_b_ts"))
+        fd = F.unix_micros(F.col("_f_ts")) - lt
+        use_b = (F.col("_b_ts").isNotNull()
+                 & (F.col("_f_ts").isNull() | (bd <= fd)))
+        out = f2
+        for c in value_cols:
+            out = out.withColumn(
+                f"asof_{c}",
+                F.when(use_b, F.col(f"_b_{c}"))
+                .otherwise(F.col(f"asof_{c}")))
+        return out.drop("_b_ts", "_f_ts",
+                        *[f"_b_{c}" for c in value_cols])
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, "
-                         f"got {direction!r}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest, "
+            f"got {direction!r}")
     l2 = left.withColumn("_ats", F.col(left_ts)).withColumn(
         "_tag", F.lit(1)).withColumn("_tb", F.lit(None).cast("long"))
     r2 = right.select(
@@ -81,6 +110,13 @@ def as_of_join(
                 F.col("_ats").cast("timestamp") - tolerance)
         for c in value_cols:
             out = out.withColumn(f"asof_{c}", F.when(keep, F.col(f"asof_{c}")))
+    if _match_ts is not None:
+        # keep the matched right-row timestamp (nulled outside the
+        # tolerance window, like the values)
+        kept = F.col("_asof_ts")
+        if tolerance is not None:
+            kept = F.when(keep, kept)
+        out = out.withColumn(_match_ts, kept)
     drop = ["_ats", "_tag", "_tb", "_asof_ts"] + [f"_v_{c}" for c in value_cols]
     return out.drop(*drop)
 

@@ -122,6 +122,40 @@ def test_as_of_forward_matches_bruteforce(spark, sf_dir):
     assert all(v is None for p, v in got.items() if p not in ref)
 
 
+def test_as_of_nearest(spark):
+    """direction='nearest' picks the closer of the backward/forward
+    matches; an exact-distance tie goes to the backward one; one-sided
+    keys fall back to whichever side exists."""
+    left = spark.createDataFrame(
+        [("u", _ts(10), 1),    # back@8 (d=2) vs fwd@20 (d=10) -> 8
+         ("u", _ts(19), 2),    # back@8 (d=11) vs fwd@20 (d=1) -> 20
+         ("u", _ts(14), 3),    # tie d=6/d=6 -> backward (8)
+         ("v", _ts(5), 4),     # only forward exists
+         ("w", _ts(5), 5)],    # no matches at all
+        "k string, ts timestamp, ev long")
+    right = spark.createDataFrame(
+        [("u", _ts(8), 80), ("u", _ts(20), 200), ("v", _ts(9), 90)],
+        "k string, ts timestamp, val long")
+    out = as_of_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                     value_cols=["val"], direction="nearest")
+    got = {r.ev: r.asof_val for r in out.collect()}
+    assert got == {1: 80, 2: 200, 3: 80, 4: 90, 5: None}
+
+
+def test_as_of_nearest_tolerance(spark):
+    """Tolerance applies per direction before the nearest choice: a
+    close forward match wins when the backward one is out of range."""
+    left = spark.createDataFrame(
+        [("u", _ts(60), 1)], "k string, ts timestamp, ev long")
+    right = spark.createDataFrame(
+        [("u", _ts(0), 5), ("u", _ts(65), 7)],
+        "k string, ts timestamp, val long")
+    out = as_of_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                     value_cols=["val"], direction="nearest",
+                     tolerance=F.expr("INTERVAL 10 MINUTES"))
+    assert out.first().asof_val == 7
+
+
 def test_salted_join(spark):
     big = spark.createDataFrame([("k", i) for i in range(100)], "j string, n long")
     small = spark.createDataFrame([("k", "payload")], "j string, p string")
