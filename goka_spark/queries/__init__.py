@@ -113,6 +113,7 @@ _FRONT = [
     "source_domain_diversity",
     "hourly_session_concurrency",
     "weekly_growth",
+    "peak_concurrency",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

@@ -2522,3 +2522,81 @@ ORACLES["weekly_growth"] = """
              AS growth_e6
     FROM cell
 """
+
+
+def peak_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT peak concurrent sessions (r9) — the sweep-line upgrade
+    of B66's hourly grain: +1/−1 deltas at session starts/ends,
+    running-sum maximum over the global time order via the
+    DISTRIBUTED two-pass prefix sum (functions/text.py's
+    range-partition + per-partition offsets kernel — never a
+    single-task global window).  Starts sort before ends at the same
+    instant (key = 2·t_us for starts, 2·t_us+1 for ends), and since
+    equal keys carry equal deltas, tie order cannot change the set
+    of running values — peak and its first time are engine-exact.
+    One row: the peak and when it first happened."""
+    from goka_spark.functions.text import _global_prefix_sum
+
+    ev = load(spark, sf, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1) \
+        .otherwise(0)
+    run = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    sess = (ev.select("user_id", "ts", "event_id")
+            .withColumn("_sid", F.sum(new_s).over(run))
+            .groupBy("user_id", "_sid")
+            .agg(F.min(F.unix_micros("ts")).alias("s_us"),
+                 F.max(F.unix_micros("ts")).alias("e_us")))
+    deltas = (sess.select((F.col("s_us") * 2).alias("k"),
+                          F.lit(1).alias("d"))
+              .unionByName(sess.select(
+                  (F.col("e_us") * 2 + 1).alias("k"),
+                  F.lit(-1).alias("d"))))
+    ps = _global_prefix_sum(deltas, "k", "d")
+    runv = (ps.withColumn("_run", F.col("_cum_before") + F.col("d"))
+            .select("k", "_run"))
+    peak = runv.agg(F.max("_run").alias("_p"))
+    return (runv.join(F.broadcast(peak), runv["_run"] == peak["_p"])
+            .agg(F.max("_run").cast("long").alias("peak_sessions"),
+                 F.expr("MIN(k) DIV 2").cast("long")
+                 .alias("first_peak_us")))
+
+
+QUERIES["peak_concurrency"] = peak_concurrency
+
+ORACLES["peak_concurrency"] = """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts)
+                       - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                       > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ), ps AS (
+      SELECT MIN(epoch_us(ts)) AS s_us, MAX(epoch_us(ts)) AS e_us
+      FROM s GROUP BY user_id, sid
+    ), deltas AS (
+      SELECT s_us * 2 AS k, 1 AS d FROM ps
+      UNION ALL
+      SELECT e_us * 2 + 1 AS k, -1 AS d FROM ps
+    ), runv AS (
+      SELECT k, SUM(d) OVER (ORDER BY k
+                             ROWS UNBOUNDED PRECEDING) AS run
+      FROM deltas
+    )
+    SELECT CAST(MAX(run) AS BIGINT) AS peak_sessions,
+           CAST(MIN(CASE WHEN run = (SELECT MAX(run) FROM runv)
+                         THEN k END) // 2 AS BIGINT) AS first_peak_us
+    FROM runv
+"""
