@@ -301,6 +301,124 @@ class DrawdownSink:
                         F.col("max_drawdown_e2").cast("long")))
 
 
+class SessionizeSink:
+    """Streaming gap-sessionization with CROSS-EPOCH stitching — the
+    stateful sink the 30-min-gap islands need when a session spans a
+    micro-batch boundary: an open-session state table (user,
+    session_start, last_event, count) carries between epochs; each
+    epoch seeds its island computation with a pseudo-event at the
+    stored last_event so the first in-gap island CONTINUES the stored
+    session (start and counts inherited), an out-of-gap first island
+    CLOSES it, and each user's final island stays open for the next
+    epoch.  ``read()`` returns closed sessions from every epoch plus
+    the latest open table — exactly the batch islands of everything
+    seen (tested, including boundary-spanning sessions).
+
+    Layout (ExactlyOnceBatchSink discipline, whole-epoch overwrite,
+    retry-idempotent):
+
+      out/closed/epoch_id=N  sessions closed BY epoch N
+      out/open/epoch_id=N    the FULL open-session table as of N
+
+    Ordering contract: epochs must not interleave a user's
+    (ts, event_id) order (the TransitionSink contract)."""
+
+    GAP_US = 30 * 60 * 1_000_000
+
+    def __init__(self, out_path: str, user_col: str = "user_id",
+                 ts_col: str = "ts", id_col: str = "event_id",
+                 gap_us: int = None):
+        self.out = out_path.rstrip("/")
+        self.user_col, self.ts_col, self.id_col = user_col, ts_col, id_col
+        self.gap_us = gap_us or self.GAP_US
+
+    def _latest(self, spark, sub: str, before_epoch: int):
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        base = jvm.org.apache.hadoop.fs.Path(f"{self.out}/{sub}")
+        fs = base.getFileSystem(hconf)
+        cand = []
+        if fs.exists(base):
+            for st in fs.listStatus(base):
+                name = st.getPath().getName()
+                if name.startswith("epoch_id="):
+                    e = int(name.split("=")[1])
+                    if e < before_epoch:
+                        cand.append(e)
+        if not cand:
+            return None
+        return spark.read.parquet(
+            f"{self.out}/{sub}/epoch_id={max(cand)}")
+
+    def __call__(self, batch_df, epoch_id: int) -> None:
+        from pyspark.sql.window import Window as Wnd
+
+        spark = batch_df.sparkSession
+        epoch_id = int(epoch_id)
+        ev = batch_df.select(
+            F.col(self.user_col).alias("user"),
+            F.unix_micros(F.col(self.ts_col)).alias("t"),
+            F.col(self.id_col).cast("long").alias("eid"),
+            F.lit(None).cast("long").alias("p_start"),
+            F.lit(None).cast("long").alias("p_n"))
+        prev = self._latest(spark, "open", epoch_id)
+        if prev is not None:
+            pseudo = prev.select(
+                "user", F.col("last_us").alias("t"),
+                F.lit(-1).cast("long").alias("eid"),
+                F.col("start_us").alias("p_start"),
+                F.col("n").alias("p_n"))
+            ev = pseudo.unionByName(ev)
+        w = Wnd.partitionBy("user").orderBy("t", "eid")
+        gap = F.col("t") - F.lag("t").over(w)
+        new_s = F.when(gap.isNull() | (gap > self.gap_us), 1).otherwise(0)
+        run = w.rowsBetween(Wnd.unboundedPreceding, 0)
+        isl = (ev.withColumn("_sid", F.sum(new_s).over(run))
+               .groupBy("user", "_sid")
+               .agg(F.max("p_start").alias("p_start"),
+                    F.max("p_n").alias("p_n"),
+                    F.min(F.when(F.col("eid") >= 0, F.col("t")))
+                    .alias("real_min"),
+                    F.max("t").alias("end_us"),
+                    F.sum(F.when(F.col("eid") >= 0, 1).otherwise(0))
+                    .alias("n_real"))
+               .select(
+                   "user", "_sid",
+                   F.coalesce("p_start", "real_min").alias("start_us"),
+                   F.col("end_us").alias("last_us"),
+                   (F.coalesce(F.col("p_n"), F.lit(0))
+                    + F.col("n_real")).alias("n")))
+        mx = isl.groupBy("user").agg(F.max("_sid").alias("_mx"))
+        j = isl.join(mx, "user")
+        closed = (j.filter(F.col("_sid") < F.col("_mx"))
+                  .select("user", "start_us",
+                          F.col("last_us").alias("end_us"), "n"))
+        open_t = (j.filter(F.col("_sid") == F.col("_mx"))
+                  .select("user", "start_us", "last_us", "n"))
+        (closed.write.mode("overwrite")
+         .parquet(f"{self.out}/closed/epoch_id={epoch_id}"))
+        (open_t.write.mode("overwrite")
+         .parquet(f"{self.out}/open/epoch_id={epoch_id}"))
+        self._last_epoch = epoch_id
+
+    def read(self, spark):
+        """All sessions of everything seen: closed epochs + the
+        latest open table (still-open sessions included)."""
+        open_t = self._latest(spark, "open", 1 << 62)
+        jvm = spark._jvm
+        cpath = jvm.org.apache.hadoop.fs.Path(f"{self.out}/closed")
+        fs = cpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        out = None
+        if fs.exists(cpath):
+            out = (spark.read.parquet(f"{self.out}/closed")
+                   .select("user", "start_us", "end_us", "n"))
+        if open_t is not None:
+            op = open_t.select("user", "start_us",
+                               F.col("last_us").alias("end_us"), "n")
+            out = op if out is None else out.unionByName(op)
+        return out
+
+
 def event_transition_counts(df, user_col: str, ts_col: str,
                             type_col: str, id_col: str = None):
     """(from, to) successor counts over per-user ``ts``-ordered

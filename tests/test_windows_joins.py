@@ -385,6 +385,80 @@ def test_drawdown_sink_cross_epoch_and_retry(spark, tmp_path):
         ("1", 4, 9000, 8000)
 
 
+# --------------------------------------------------- SessionizeSink
+
+def _batch_sessions(spark, ev):
+    """Reference: the batch 30-min-gap islands as (user, start, end, n)."""
+    from pyspark.sql.window import Window as Wnd
+
+    w = Wnd.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1) \
+        .otherwise(0)
+    run = w.rowsBetween(Wnd.unboundedPreceding, 0)
+    return (ev.select("user_id", "ts", "event_id")
+            .withColumn("_sid", F.sum(new_s).over(run))
+            .groupBy("user_id", "_sid")
+            .agg(F.min(F.unix_micros("ts")).alias("start_us"),
+                 F.max(F.unix_micros("ts")).alias("end_us"),
+                 F.count("*").alias("n")))
+
+
+def test_sessionize_sink_equals_batch(spark, sf_dir, tmp_path):
+    """Three time-ordered epoch slices through SessionizeSink yield
+    exactly the batch islands — including sessions that SPAN slice
+    boundaries, which the open-session state table stitches."""
+    from goka_spark.operators.windows import SessionizeSink
+    from goka_spark.queries.base import load
+
+    ev = load(spark, sf_dir, "events")["events"]
+    row = ev.selectExpr("percentile(unix_micros(ts), 0.33) AS lo",
+                        "percentile(unix_micros(ts), 0.66) AS hi").first()
+    lo, hi = int(row.lo), int(row.hi)
+    us = F.unix_micros("ts")
+    sink = SessionizeSink(str(tmp_path / "sess"))
+    sink(ev.filter(us <= lo), 0)
+    sink(ev.filter((us > lo) & (us <= hi)), 1)
+    sink(ev.filter(us > hi), 2)
+
+    live = sorted((r.user, r.start_us, r.end_us, r.n)
+                  for r in sink.read(spark).collect())
+    ref = sorted((r.user_id, r.start_us, r.end_us, r.n)
+                 for r in _batch_sessions(spark, ev).collect())
+    assert live == ref
+
+
+def test_sessionize_sink_stitch_close_retry(spark, tmp_path):
+    """A session continuing across the boundary inherits its start
+    and count; an out-of-gap first event closes the stored session;
+    an epoch retry changes nothing."""
+    from datetime import datetime as dt
+
+    from goka_spark.operators.windows import SessionizeSink
+
+    schema = "ts timestamp, event_id long, user_id long"
+    mk = lambda mi, i, u: (dt(2024, 1, 1, mi // 60, mi % 60), i, u)
+    sink = SessionizeSink(str(tmp_path / "s2"))
+    # user 1: events at :00 and :10 — session open at epoch end
+    # user 2: event at :00 only
+    sink(spark.createDataFrame(
+        [mk(0, 1, 1), mk(10, 2, 1), mk(0, 3, 2)], schema), 0)
+    # user 1 continues at :25 (gap 15m < 30m) — same session;
+    # user 2 reappears at :50 (gap 50m) — stored session closes
+    b1 = spark.createDataFrame([mk(25, 4, 1), mk(50, 5, 2)], schema)
+    sink(b1, 1)
+    sink(b1, 1)                                   # retry
+    got = {(r.user, r.start_us, r.end_us, r.n)
+           for r in sink.read(spark).collect()}
+    m = 60_000_000
+    epoch0 = 1704067200 * 1_000_000
+    assert got == {
+        (1, epoch0, epoch0 + 25 * m, 3),          # stitched session
+        (2, epoch0, epoch0, 1),                   # closed by the gap
+        (2, epoch0 + 50 * m, epoch0 + 50 * m, 1),  # new open session
+    }
+
+
 # ---------------------------------------------------- TransitionSink
 
 def test_streaming_transitions_equal_batch(spark, tmp_path):
