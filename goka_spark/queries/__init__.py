@@ -114,6 +114,7 @@ _FRONT = [
     "hourly_session_concurrency",
     "weekly_growth",
     "peak_concurrency",
+    "session_funnel",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

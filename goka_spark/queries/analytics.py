@@ -2600,3 +2600,96 @@ ORACLES["peak_concurrency"] = """
                          THEN k END) // 2 AS BIGINT) AS first_peak_us
     FROM runv
 """
+
+
+def session_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """WITHIN-SESSION funnel (r9) — signup → click → purchase all
+    inside one 30-min-gap session, in order: the intent-flow question
+    B53's cross-session time-window funnel cannot answer.  Ordered
+    reachability via running-flag windows over the (ts, event_id)
+    total order: a click counts only if a signup happened STRICTLY
+    BEFORE it in the same session (rowsBetween(…, -1)), a purchase
+    only after such a click — three windows + one agg, all on the
+    user partitioning, ONE exchange."""
+    ev = load(spark, sf, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1) \
+        .otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = (ev.select("user_id", "ts", "event_id", "event_type")
+            .withColumn("_sid", F.sum(new_s).over(run)))
+    ws = Window.partitionBy("user_id", "_sid").orderBy("ts", "event_id")
+    before = ws.rowsBetween(Window.unboundedPreceding, -1)
+    is_s = F.when(F.col("event_type") == "signup", 1).otherwise(0)
+    f2 = F.when((F.col("event_type") == "click")
+                & (F.coalesce(F.max(is_s).over(before), F.lit(0)) == 1),
+                1).otherwise(0)
+    staged = sess.withColumn("_f2", f2)
+    f3 = F.when((F.col("event_type") == "purchase")
+                & (F.coalesce(F.max(F.col("_f2")).over(before),
+                              F.lit(0)) == 1),
+                1).otherwise(0)
+    per = (staged.withColumn("_f3", f3)
+           .groupBy("user_id", "_sid")
+           .agg(F.max(is_s).alias("s1"), F.max("_f2").alias("s2"),
+                F.max("_f3").alias("s3")))
+    return per.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("s1").cast("long").alias("with_signup"),
+        F.sum("s2").cast("long").alias("signup_then_click"),
+        F.sum("s3").cast("long").alias("full_funnel"))
+
+
+QUERIES["session_funnel"] = session_funnel
+
+ORACLES["session_funnel"] = """
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts)
+                       - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                       > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ), st AS (
+      SELECT user_id, sid, ts, event_id, event_type,
+             CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS is_s,
+             CASE WHEN event_type = 'click'
+                  AND COALESCE(MAX(CASE WHEN event_type = 'signup'
+                                        THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id, sid
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) = 1
+                  THEN 1 ELSE 0 END AS f2
+      FROM s
+    ), st3 AS (
+      SELECT user_id, sid, is_s, f2,
+             CASE WHEN event_type = 'purchase'
+                  AND COALESCE(MAX(f2)
+                        OVER (PARTITION BY user_id, sid
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) = 1
+                  THEN 1 ELSE 0 END AS f3
+      FROM st
+    ), per AS (
+      SELECT user_id, sid, MAX(is_s) AS s1, MAX(f2) AS s2,
+             MAX(f3) AS s3
+      FROM st3 GROUP BY user_id, sid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(s1) AS BIGINT) AS with_signup,
+           CAST(SUM(s2) AS BIGINT) AS signup_then_click,
+           CAST(SUM(s3) AS BIGINT) AS full_funnel
+    FROM per
+"""
