@@ -115,6 +115,7 @@ _FRONT = [
     "weekly_growth",
     "peak_concurrency",
     "session_funnel",
+    "token_burstiness",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

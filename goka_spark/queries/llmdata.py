@@ -7343,3 +7343,58 @@ ORACLES["source_domain_diversity"] = f"""
              AS eff_domains_e2
     FROM ph GROUP BY source
 """
+
+
+def token_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Token BURSTINESS (C156) — the variance-to-mean ratio of each
+    top token's per-doc count (Church & Gale's burstiness): function
+    words spread evenly (VMR ≈ 1, Poisson), content words clump
+    (VMR ≫ 1) — the corpus-linguistics diagnostic behind stopword
+    lists and keyword weighting.  Exact integers: over ALL N docs
+    (absent docs count 0, which only the N in the formula sees),
+    vmr_e6 = (N·Σc² − (Σc)²)·1e6 DIV (N·Σc).  Top-20 tokens by the
+    deterministic (df DESC, token ASC) order; one postings hash-agg
+    + a token-sized agg + a one-row broadcast N."""
+    docs = load(spark, sf, "documents")["documents"]
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    tok = (docs.select("doc_id", F.explode(words).alias("w"))
+           .groupBy("doc_id", "w").agg(F.count("*").alias("c")))
+    stats = (tok.groupBy("w")
+             .agg(F.count("*").alias("df"),
+                  F.sum("c").alias("s"),
+                  F.sum(F.col("c") * F.col("c")).alias("s2")))
+    from pyspark.sql import Window as _W
+
+    rk = _W.orderBy(F.desc("df"), F.asc("w"))
+    top = (stats.withColumn("_rn", F.row_number().over(rk))
+           .filter(F.col("_rn") <= 20))
+    n_docs = docs.agg(F.count("*").alias("_N"))
+    return (top.crossJoin(F.broadcast(n_docs))
+            .select(F.col("w").alias("token"),
+                    F.col("df").cast("long"),
+                    F.col("s").cast("long").alias("occurrences"),
+                    F.expr("(_N * s2 - s * s) * 1000000L DIV (_N * s)")
+                    .cast("long").alias("vmr_e6")))
+
+
+QUERIES["token_burstiness"] = token_burstiness
+
+ORACLES["token_burstiness"] = f"""
+    WITH tok AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM (
+        SELECT doc_id, UNNEST({_WORDS}) AS w FROM documents
+      ) GROUP BY doc_id, w
+    ), stats AS (
+      SELECT w, COUNT(*) AS df, SUM(c) AS s, SUM(c * c) AS s2
+      FROM tok GROUP BY w
+    ), top AS (
+      SELECT w, df, s, s2,
+             ROW_NUMBER() OVER (ORDER BY df DESC, w) AS rn
+      FROM stats
+    ), nd AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT w AS token, CAST(df AS BIGINT) AS df,
+           CAST(s AS BIGINT) AS occurrences,
+           CAST((n * s2 - s * s) * 1000000 // (n * s) AS BIGINT)
+             AS vmr_e6
+    FROM top, nd WHERE rn <= 20
+"""
