@@ -116,6 +116,7 @@ _FRONT = [
     "peak_concurrency",
     "session_funnel",
     "token_burstiness",
+    "vocab_coverage_curve",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

@@ -7398,3 +7398,61 @@ ORACLES["token_burstiness"] = f"""
              AS vmr_e6
     FROM top, nd WHERE rn <= 20
 """
+
+
+def vocab_coverage_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary COVERAGE curve (C157) — what share of corpus
+    tokens the top-k vocabulary covers, at k ∈ {100, 1000, 10000}:
+    the tokenizer-budget curve beside C64's fixed-vocab OOV check
+    and C65's Zipf slope (Zipf predicts its shape; this measures
+    it).  Exact integers: unigram counts ordered by the
+    deterministic (count DESC, word ASC) total order, cumulative
+    sums over the types-sized vocab table (types ≪ corpus — the
+    standard vocab-window discipline), share_e6 = covered·1e6 DIV
+    total."""
+    docs = load(spark, sf, "documents")["documents"]
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    uni = (docs.select(F.explode(words).alias("w"))
+           .groupBy("w").agg(F.count("*").alias("c")))
+    from pyspark.sql import Window as _W
+
+    rk = _W.orderBy(F.desc("c"), F.asc("w"))
+    run = rk.rowsBetween(_W.unboundedPreceding, 0)
+    tot = _W.partitionBy()
+    staged = (uni.withColumn("_rn", F.row_number().over(rk))
+              .withColumn("_cum", F.sum("c").over(run))
+              .withColumn("_tot", F.sum("c").over(tot))
+              .withColumn("_n", F.count("*").over(tot)))
+    ks = F.explode(F.array(F.lit(100), F.lit(1000), F.lit(10000))) \
+        .alias("k")
+    return (staged.select("_rn", "_cum", "_tot", "_n", ks)
+            .filter(F.col("_rn") == F.least(F.col("k"), F.col("_n")))
+            .select(F.col("k").cast("long"),
+                    F.col("_rn").cast("long").alias("n_types_used"),
+                    F.col("_cum").cast("long").alias("tokens_covered"),
+                    F.expr("_cum * 1000000L DIV _tot").cast("long")
+                    .alias("share_e6")))
+
+
+QUERIES["vocab_coverage_curve"] = vocab_coverage_curve
+
+ORACLES["vocab_coverage_curve"] = f"""
+    WITH uni AS (
+      SELECT w, COUNT(*) AS c FROM (
+        SELECT UNNEST({_WORDS}) AS w FROM documents
+      ) GROUP BY w
+    ), staged AS (
+      SELECT w, c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rn,
+             SUM(c) OVER (ORDER BY c DESC, w
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER () AS tot,
+             COUNT(*) OVER () AS n
+      FROM uni
+    ), ks AS (SELECT UNNEST([100, 1000, 10000]) AS k)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(rn AS BIGINT) AS n_types_used,
+           CAST(cum AS BIGINT) AS tokens_covered,
+           CAST(cum * 1000000 // tot AS BIGINT) AS share_e6
+    FROM staged, ks WHERE rn = LEAST(k, n)
+"""
