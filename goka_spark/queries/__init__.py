@@ -117,6 +117,7 @@ _FRONT = [
     "session_funnel",
     "token_burstiness",
     "vocab_coverage_curve",
+    "type_mix_drift",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

@@ -2693,3 +2693,58 @@ ORACLES["session_funnel"] = """
            CAST(SUM(s3) AS BIGINT) AS full_funnel
     FROM per
 """
+
+
+def type_mix_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-MIX drift per week (r9) — the composition-shift monitor:
+    each week's event-type shares against the corpus baseline share,
+    with the exact integer drift |week_share − overall_share| in
+    micro-units — a sustained drift is an instrumentation or product
+    change the volume monitors (B46/B62) cannot see because totals
+    look normal.  One (type, week) hash-agg + tiny broadcast
+    baselines."""
+    ev = load(spark, sf, "events")["events"]
+    wk = (F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+          / 7).cast("long")
+    cell = (ev.groupBy("event_type", wk.alias("week"))
+            .agg(F.count("*").alias("cnt")))
+    wtot = cell.groupBy("week").agg(F.sum("cnt").alias("wt"))
+    ttot = cell.groupBy("event_type").agg(F.sum("cnt").alias("tt"))
+    gtot = cell.agg(F.sum("cnt").alias("gt"))
+    return (cell.join(F.broadcast(wtot), "week")
+            .join(F.broadcast(ttot), "event_type")
+            .crossJoin(F.broadcast(gtot))
+            .select("event_type", F.col("week").cast("long"),
+                    F.col("cnt").cast("long"),
+                    F.expr("cnt * 1000000L DIV wt").cast("long")
+                    .alias("week_share_e6"),
+                    F.expr("tt * 1000000L DIV gt").cast("long")
+                    .alias("overall_share_e6"),
+                    F.abs(F.expr("cnt * 1000000L DIV wt")
+                          - F.expr("tt * 1000000L DIV gt"))
+                    .cast("long").alias("drift_e6")))
+
+
+QUERIES["type_mix_drift"] = type_mix_drift
+
+ORACLES["type_mix_drift"] = """
+    WITH cell AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+               AS week,
+             COUNT(*) AS cnt
+      FROM events GROUP BY event_type, week
+    ), wtot AS (
+      SELECT week, SUM(cnt) AS wt FROM cell GROUP BY week
+    ), ttot AS (
+      SELECT event_type, SUM(cnt) AS tt FROM cell GROUP BY event_type
+    ), gtot AS (SELECT SUM(cnt) AS gt FROM cell)
+    SELECT cell.event_type, CAST(week AS BIGINT) AS week,
+           CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt * 1000000 // wt AS BIGINT) AS week_share_e6,
+           CAST(tt * 1000000 // gt AS BIGINT) AS overall_share_e6,
+           CAST(ABS(cnt * 1000000 // wt - tt * 1000000 // gt)
+                AS BIGINT) AS drift_e6
+    FROM cell
+    JOIN wtot USING (week) JOIN ttot USING (event_type), gtot
+"""
