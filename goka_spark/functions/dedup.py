@@ -1612,6 +1612,41 @@ def winnow_overlap_pairs(df: "DataFrame", id_col: str, text_col: str,
             .filter(F.col("shared_fp") >= min_shared))
 
 
+def edit_distance_pairs(df: "DataFrame", id_col: str, text_col: str,
+                        k: int = 3, w: int = 4, min_shared: int = 2,
+                        max_dist: int = 512) -> "DataFrame":
+    """Exact EDIT-DISTANCE verification of winnowing candidates —
+    the character-level near-dup verdict the token-set metrics
+    (Jaccard, containment) cannot give: Levenshtein counts the
+    actual insert/delete/substitute edits, so reordered-but-same-
+    vocabulary docs score low while lightly-edited copies score
+    high.  Returns (id_a, id_b, shared_fp, edit_dist, sim_e6) with
+    sim_e6 = (maxlen − dist)·1e6 DIV maxlen.
+
+    Scale shape: candidates come from the winnowing inverted-index
+    equi-join (:func:`winnow_overlap_pairs` — never all-pairs); the
+    verify stage joins the bounded pair list back to the text column
+    twice and runs Spark's threshold-capped ``levenshtein`` —
+    O(len·max_dist) per pair instead of O(len²), returning −1 above
+    the cap so far-apart candidates are never fully scored.  The
+    whole thing is hash-aggs + hash-joins + a scan-stage expression,
+    no UDF."""
+    cand = winnow_overlap_pairs(df, id_col, text_col, k, w, min_shared)
+    ta = df.select(F.col(id_col).alias("id_a"),
+                   F.col(text_col).alias("_ta"))
+    tb = df.select(F.col(id_col).alias("id_b"),
+                   F.col(text_col).alias("_tb"))
+    return (cand.join(ta, "id_a").join(tb, "id_b")
+            .withColumn("_d", F.levenshtein("_ta", "_tb", max_dist))
+            .filter(F.col("_d") >= 0)
+            .withColumn("_mx", F.greatest(F.length("_ta"),
+                                          F.length("_tb")))
+            .select("id_a", "id_b", "shared_fp",
+                    F.col("_d").cast("long").alias("edit_dist"),
+                    F.expr("(_mx - _d) * 1000000L DIV _mx")
+                    .cast("long").alias("sim_e6")))
+
+
 def jaccard_threshold_sweep(df: "DataFrame", id_col: str,
                             text_col: str, n: int = 3,
                             thresholds: "tuple[float, ...]" =

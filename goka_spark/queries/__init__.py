@@ -118,6 +118,7 @@ _FRONT = [
     "token_burstiness",
     "vocab_coverage_curve",
     "type_mix_drift",
+    "edit_distance_pairs",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

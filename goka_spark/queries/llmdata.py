@@ -911,6 +911,20 @@ def winnow_overlap_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return D.winnow_overlap_pairs(docs, "doc_id", "text")
 
 
+def edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance near-dup verdicts (C158,
+    D.edit_distance_pairs): winnowing candidates verified by exact
+    threshold-capped Levenshtein — the character-level metric that
+    separates lightly-edited copies (high sim) from same-vocabulary
+    reshuffles (low sim), which every token-set metric conflates.
+    Both stages engine-exact: the winnow index is the md5 oracle
+    kernel, and DuckDB's levenshtein matches Spark's for distances
+    within the cap (values above the cap are filtered in BOTH
+    engines, so the −1 fast-path never reaches the compare)."""
+    docs = load(spark, sf, "documents")["documents"]
+    return D.edit_distance_pairs(docs, "doc_id", "text")
+
+
 def embedding_split_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-space split-leakage audit (A.probe_max_cos) — the
     semantic twin of split_contamination_audit: for every TEST-split
@@ -1731,6 +1745,7 @@ QUERIES = {
     "source_quality_matrix": source_quality_matrix,
     "winnow_fingerprints": winnow_fingerprints,
     "winnow_overlap_pairs": winnow_overlap_pairs,
+    "edit_distance_pairs": edit_distance_pairs,
     "ivf_balance_report": ivf_balance_report,
     "embedding_cell_margins": embedding_cell_margins,
     "dedup_simhash_verified": dedup_simhash_verified,
@@ -4185,6 +4200,25 @@ ORACLES["winnow_overlap_pairs"] = f"""
     FROM posts a JOIN posts b ON a.h = b.h AND a.doc < b.doc
     GROUP BY a.doc, b.doc
     HAVING COUNT(*) >= 2
+"""
+
+
+# edit-distance verify: the winnow-candidate oracle joined back to
+# the texts, DuckDB's levenshtein (same unit-cost Wagner-Fischer
+# semantics as Spark's) with the cap applied as a WHERE so the
+# surviving rows and values match the threshold-capped Spark plan
+ORACLES["edit_distance_pairs"] = f"""
+    WITH cand AS ({ORACLES["winnow_overlap_pairs"]})
+    SELECT id_a, id_b, shared_fp,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+           CAST((greatest(length(a.text), length(b.text))
+                 - levenshtein(a.text, b.text)) * 1000000
+                // greatest(length(a.text), length(b.text))
+                AS BIGINT) AS sim_e6
+    FROM cand
+    JOIN documents a ON a.doc_id = cand.id_a
+    JOIN documents b ON b.doc_id = cand.id_b
+    WHERE levenshtein(a.text, b.text) <= 512
 """
 
 

@@ -305,3 +305,44 @@ def test_stupid_backoff_branch_structure(spark):
     assert got[11] == math.floor(1e6 * math.log(0.4 * 2 / 2) + 0.5)
     assert got[12] == math.floor(
         1e6 * math.log(0.4 * 0.4 * 1 / (nn + v)) + 0.5)
+
+
+# ------------------------------------------- edit-distance verify
+
+
+def test_edit_distance_pairs_scores_and_cap(spark):
+    """Three docs sharing a long run so winnowing pairs them all:
+    a lightly-edited copy scores high sim with the exact edit count,
+    while the cap turns a far pair into a dropped row (the −1
+    fast-path) — the branch the driver corpus never fires."""
+    from goka_spark.functions import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    near = base.replace("lazy", "sleepy", 1)          # one word edit
+    far = base + "x" * 300                            # >cap tail
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string")
+
+    got = {(r.id_a, r.id_b): r
+           for r in D.edit_distance_pairs(
+               docs, "doc_id", "text", max_dist=100).collect()}
+    # base↔near: exact Levenshtein is 4 ('lazy'→'sleepy': 2 subs +
+    # 2 inserts), sim close to 1e6
+    r12 = got[(1, 2)]
+    assert r12.edit_dist == 4
+    mx = max(len(base), len(near))
+    assert r12.sim_e6 == (mx - 4) * 1_000_000 // mx
+    # the far doc shares fingerprints with both (common prefix run)
+    # but its 300-char tail exceeds max_dist=100 → capped out
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_edit_distance_pairs_identical_docs(spark):
+    """Exact copies: distance 0, sim exactly 1e6."""
+    from goka_spark.functions import dedup as D
+
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id long, text string")
+    r = D.edit_distance_pairs(docs, "doc_id", "text").collect()[0]
+    assert (r.id_a, r.id_b, r.edit_dist, r.sim_e6) == (1, 2, 0, 1_000_000)
