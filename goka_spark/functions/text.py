@@ -1551,3 +1551,47 @@ def lm_stupid_backoff(train, test, id_col: str, text_col: str,
                     F.expr("coalesce(logscore_e6, 0L) DIV "
                            "greatest(coalesce(n_trigrams, 0L), 1L)")
                     .cast("long").alias("mean_e6")))
+
+
+def readability_fre(df, id_col: str, text_col: str):
+    """Flesch reading ease + Flesch-Kincaid grade per document — the
+    classic curation signal for audience level (too-hard and
+    too-trivial tails both hurt a pretraining mix).  Syllables are
+    the standard vowel-group heuristic, computed WITHOUT exploding
+    words: vowel groups never span a space, so the per-word sum of
+    groups equals ONE whole-text regexp count, and the per-word
+    floor of 1 adds (W − vowel-words) via a second count whose
+    greedy ``[aeiouy][^ ]*`` consumes to word end (exactly one match
+    per vowel-bearing word).  Three scalar regexp counts per row —
+    scan-stage, whole-stage codegen, zero shuffle.
+
+    Exact integers (micro-unit discipline, both engines truncate
+    identically on positives … and the FRE/FKGL terms are positive):
+    fre_e3  = 206835 − 1015·W DIV S − 84600·Syl DIV W
+    fkgl_e3 = 390·W DIV S + 11800·Syl DIV W − 15590
+    with S, W floored at 1 so empty docs stay defined."""
+    w_arr = F.filter(F.split(F.col(text_col), " "),
+                     lambda w: w != "")
+    t = df.select(
+        F.col(id_col),
+        F.size(w_arr).cast("long").alias("n_words"),
+        F.regexp_count(F.col(text_col), F.lit("[.!?]+"))
+        .cast("long").alias("_sent"),
+        F.regexp_count(F.col(text_col), F.lit("[aeiouy]+"))
+        .cast("long").alias("_vg"),
+        F.regexp_count(F.col(text_col), F.lit("[aeiouy][^ ]*"))
+        .cast("long").alias("_vw"),
+    )
+    return t.select(
+        id_col, "n_words",
+        F.expr("greatest(_sent, 1L)").alias("n_sentences"),
+        F.expr("_vg + (n_words - _vw)").alias("n_syllables"),
+        F.expr(
+            "206835L - 1015L * n_words DIV greatest(_sent, 1L)"
+            " - 84600L * (_vg + (n_words - _vw))"
+            " DIV greatest(n_words, 1L)").alias("fre_e3"),
+        F.expr(
+            "390L * n_words DIV greatest(_sent, 1L)"
+            " + 11800L * (_vg + (n_words - _vw))"
+            " DIV greatest(n_words, 1L) - 15590L").alias("fkgl_e3"),
+    )

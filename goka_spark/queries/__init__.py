@@ -119,6 +119,7 @@ _FRONT = [
     "vocab_coverage_curve",
     "type_mix_drift",
     "edit_distance_pairs",
+    "readability_fre",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

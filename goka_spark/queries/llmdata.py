@@ -911,6 +911,16 @@ def winnow_overlap_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return D.winnow_overlap_pairs(docs, "doc_id", "text")
 
 
+def readability_fre(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch reading-ease + FK grade level per doc (C159,
+    T.readability_fre) — audience-level curation signal.  Three
+    scalar regexp counts per row (the no-explode syllable identity:
+    vowel groups never span a space), exact integer micro-unit
+    formulas replayed verbatim by the oracle."""
+    docs = load(spark, sf, "documents")["documents"]
+    return T.readability_fre(docs, "doc_id", "text")
+
+
 def edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Edit-distance near-dup verdicts (C158,
     D.edit_distance_pairs): winnowing candidates verified by exact
@@ -1746,6 +1756,7 @@ QUERIES = {
     "winnow_fingerprints": winnow_fingerprints,
     "winnow_overlap_pairs": winnow_overlap_pairs,
     "edit_distance_pairs": edit_distance_pairs,
+    "readability_fre": readability_fre,
     "ivf_balance_report": ivf_balance_report,
     "embedding_cell_margins": embedding_cell_margins,
     "dedup_simhash_verified": dedup_simhash_verified,
@@ -4200,6 +4211,34 @@ ORACLES["winnow_overlap_pairs"] = f"""
     FROM posts a JOIN posts b ON a.h = b.h AND a.doc < b.doc
     GROUP BY a.doc, b.doc
     HAVING COUNT(*) >= 2
+"""
+
+
+# readability: the whole-text syllable identity (vowel groups never
+# span a space; greedy '[aeiouy][^ ]*' hits once per vowel-bearing
+# word) and the exact integer FRE/FKGL arithmetic
+ORACLES["readability_fre"] = f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({_WORDS}) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+               AS sent,
+             CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT)
+               AS vg,
+             CAST(len(regexp_extract_all(text, '[aeiouy][^ ]*'))
+                  AS BIGINT) AS vw
+      FROM documents
+    )
+    SELECT doc_id, n_words,
+           CAST(greatest(sent, 1) AS BIGINT) AS n_sentences,
+           CAST(vg + (n_words - vw) AS BIGINT) AS n_syllables,
+           CAST(206835 - 1015 * n_words // greatest(sent, 1)
+                - 84600 * (vg + (n_words - vw))
+                  // greatest(n_words, 1) AS BIGINT) AS fre_e3,
+           CAST(390 * n_words // greatest(sent, 1)
+                + 11800 * (vg + (n_words - vw))
+                  // greatest(n_words, 1) - 15590 AS BIGINT) AS fkgl_e3
+    FROM t
 """
 
 

@@ -346,3 +346,40 @@ def test_edit_distance_pairs_identical_docs(spark):
         [(1, t), (2, t)], "doc_id long, text string")
     r = D.edit_distance_pairs(docs, "doc_id", "text").collect()[0]
     assert (r.id_a, r.id_b, r.edit_dist, r.sim_e6) == (1, 2, 0, 1_000_000)
+
+
+# ------------------------------------------------- readability
+
+
+def test_readability_fre_closed_form(spark):
+    """Real sentences (the branch the synthetic corpus never fires):
+    counts and both scores match the hand-computed closed form with
+    truncating integer division."""
+    txt = "the cat sat on the mat. it was flat!"
+    docs = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    r = T.readability_fre(docs, "doc_id", "text").collect()[0]
+    # 9 words, 2 sentences, every word one vowel group -> 9 syllables
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (9, 2, 9)
+    assert r.fre_e3 == 206835 - 1015 * 9 // 2 - 84600 * 9 // 9
+    assert r.fkgl_e3 == 390 * 9 // 2 + 11800 * 9 // 9 - 15590
+
+
+def test_readability_fre_vowelless_and_empty(spark):
+    """Vowel-less words take the floor-of-1 syllable (the W − Wv
+    term); the empty doc stays defined via the S, W floors."""
+    docs = spark.createDataFrame([(1, "xyz qrs brr"), (2, "")],
+                                 "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           T.readability_fre(docs, "doc_id", "text").collect()}
+    assert got[1].n_syllables == 3          # 0 groups + 3 floors
+    assert got[2].n_words == 0 and got[2].fre_e3 == 206835
+
+
+def test_readability_syllable_groups_not_letters(spark):
+    """'beautiful' -> eau counts ONE group ('bEAUtifUl' = 3), the
+    property separating the group heuristic from vowel-letter
+    counting."""
+    docs = spark.createDataFrame([(1, "beautiful")],
+                                 "doc_id long, text string")
+    r = T.readability_fre(docs, "doc_id", "text").collect()[0]
+    assert r.n_syllables == 3
