@@ -118,6 +118,7 @@ _FRONT = [
     "token_burstiness",
     "vocab_coverage_curve",
     "type_mix_drift",
+    "event_cooccurrence_lift",
     "edit_distance_pairs",
     "readability_fre",
     "dedup_minhash_keep",

@@ -2748,3 +2748,68 @@ ORACLES["type_mix_drift"] = """
     FROM cell
     JOIN wtot USING (week) JOIN ttot USING (event_type), gtot
 """
+
+
+def event_cooccurrence_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-type CO-OCCURRENCE lift per user (B72) — the
+    market-basket question over behaviors: which event types show up
+    in the SAME users far more (or less) often than independence
+    predicts.  lift_e6 = n_ab·N·1e6 DIV (n_a·n_b) with n_x = users
+    who did x, n_ab = users who did both, N = all users — >1e6 means
+    the behaviors attract, <1e6 they repel (e.g. error↔purchase).
+
+    Scale shape: one distinct on (user, type) — a hash-agg — then a
+    SELF-JOIN ON THE USER KEY (co-partitioned, per-user fan-out
+    bounded by the type-count T, so the pair stage is ≤ T²/2 rows
+    per user, never all-pairs over users), tiny type marginals +
+    one-row N broadcast onto the T²-sized pair table.  Exact BIGINT
+    arithmetic holds while n_ab·N ≤ 9.2e12 (plenty at any per-shard
+    grain; shard-and-merge beyond)."""
+    ev = load(spark, sf, "events")["events"]
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = (a.join(b, "user_id")
+             .filter(F.col("a.event_type") < F.col("b.event_type"))
+             .groupBy(F.col("a.event_type").alias("type_a"),
+                      F.col("b.event_type").alias("type_b"))
+             .agg(F.count("*").alias("n_ab")))
+    marg = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    n_users = ut.select("user_id").distinct() \
+        .agg(F.count("*").alias("_N"))
+    return (pairs
+            .join(F.broadcast(marg.withColumnsRenamed(
+                {"event_type": "type_a", "n": "n_a"})), "type_a")
+            .join(F.broadcast(marg.withColumnsRenamed(
+                {"event_type": "type_b", "n": "n_b"})), "type_b")
+            .crossJoin(F.broadcast(n_users))
+            .select("type_a", "type_b",
+                    F.col("n_ab").cast("long"),
+                    F.expr("n_ab * 1000000L DIV _N").cast("long")
+                    .alias("support_e6"),
+                    F.expr("n_ab * _N * 1000000L DIV (n_a * n_b)")
+                    .cast("long").alias("lift_e6")))
+
+
+QUERIES["event_cooccurrence_lift"] = event_cooccurrence_lift
+
+ORACLES["event_cooccurrence_lift"] = """
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_ab
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY type_a, type_b
+    ), marg AS (
+      SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type
+    ), nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut)
+    SELECT type_a, type_b, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(n_ab * 1000000 // n_users AS BIGINT) AS support_e6,
+           CAST(n_ab * n_users * 1000000 // (ma.n * mb.n) AS BIGINT)
+             AS lift_e6
+    FROM pairs
+    JOIN marg ma ON ma.event_type = pairs.type_a
+    JOIN marg mb ON mb.event_type = pairs.type_b, nu
+"""

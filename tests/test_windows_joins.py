@@ -510,3 +510,31 @@ def test_transition_sink_epoch_retry_idempotent(spark, tmp_path):
     out = {(r["event_type"], r["next_event_type"]): r["cnt"]
            for r in sink.read(spark).collect()}
     assert out == {("a", "b"): 1, ("b", "c"): 1}
+
+
+def test_event_cooccurrence_lift_closed_form(spark, tmp_path, monkeypatch):
+    """Crafted user×type incidence with a KNOWN non-unit lift (the
+    saturated driver corpus pins every pair at exactly 1e6):
+    n_a=3, n_b=3, n_ab=2, N=4 → lift = 2·4·1e6 // 9 = 888888,
+    support = 500000; the a-only/b-only users prove the distinct
+    stage collapses repeats."""
+    from goka_spark.queries.analytics import event_cooccurrence_lift
+    import goka_spark.queries.analytics as QA
+    import goka_spark.queries.base as B
+
+    rows = [(1, 1, "a"), (2, 1, "b"), (3, 1, "a"),   # user 1: both (+repeat)
+            (4, 2, "a"),                             # user 2: a only
+            (5, 3, "b"),                             # user 3: b only
+            (6, 4, "a"), (7, 4, "b")]                # user 4: both
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string")
+    src = str(tmp_path / "events.parquet")
+    ev.write.parquet(src)
+    monkeypatch.setattr(QA, "load",
+                        lambda s, sf, *t: {"events": s.read.parquet(src)})
+    out = event_cooccurrence_lift(spark, "ignored").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.type_a, r.type_b, r.n_ab) == ("a", "b", 2)
+    assert r.support_e6 == 500_000
+    assert r.lift_e6 == 2 * 4 * 1_000_000 // (3 * 3)
