@@ -121,6 +121,7 @@ _FRONT = [
     "event_cooccurrence_lift",
     "edit_distance_pairs",
     "readability_fre",
+    "encoding_anomalies",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

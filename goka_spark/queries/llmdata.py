@@ -911,6 +911,40 @@ def winnow_overlap_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return D.winnow_overlap_pairs(docs, "doc_id", "text")
 
 
+def encoding_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source ENCODING-ARTIFACT audit (C160) — the ingest-health
+    check crawl pipelines run before any text gate: docs containing
+    U+FFFD replacement chars (decoder already gave up), stray C0
+    controls (binary-in-text), UTF-8-read-as-Latin-1 mojibake
+    ('Ã'+continuation range — 'cafÃ©'), and NBSP (HTML extraction
+    residue).  clean_e6 = docs with none of them ·1e6 DIV n_docs.
+    Four scalar regexp/contains predicates per row — scan-stage
+    codegen, one hash-agg; the oracle uses the same RE2-compatible
+    patterns (hex escapes only, so the SQL text carries no control
+    bytes).  Test corpus is clean by construction; every artifact
+    branch is unit-tested with planted strings."""
+    docs = load(spark, sf, "documents")["documents"]
+    repl = F.col("text").contains(chr(0xFFFD))
+    ctrl = F.col("text").rlike(r"[\x00-\x08\x0B\x0C\x0E-\x1F]")
+    moji = F.col("text").rlike(r"Ã[\x{0080}-\x{00BF}]|â€")
+    nbsp = F.col("text").contains(chr(0xA0))
+    one = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    return (docs.select("source", repl.alias("_r"), ctrl.alias("_c"),
+                        moji.alias("_m"), nbsp.alias("_n"))
+            .groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 one(F.col("_r")).alias("n_replacement"),
+                 one(F.col("_c")).alias("n_control"),
+                 one(F.col("_m")).alias("n_mojibake"),
+                 one(F.col("_n")).alias("n_nbsp"),
+                 one(~(F.col("_r") | F.col("_c") | F.col("_m")
+                       | F.col("_n"))).alias("_cl"))
+            .select("source", "n_docs", "n_replacement", "n_control",
+                    "n_mojibake", "n_nbsp",
+                    F.expr("_cl * 1000000L DIV n_docs").cast("long")
+                    .alias("clean_e6")))
+
+
 def readability_fre(spark: SparkSession, sf: str) -> DataFrame:
     """Flesch reading-ease + FK grade level per doc (C159,
     T.readability_fre) — audience-level curation signal.  Three
@@ -1757,6 +1791,7 @@ QUERIES = {
     "winnow_overlap_pairs": winnow_overlap_pairs,
     "edit_distance_pairs": edit_distance_pairs,
     "readability_fre": readability_fre,
+    "encoding_anomalies": encoding_anomalies,
     "ivf_balance_report": ivf_balance_report,
     "embedding_cell_margins": embedding_cell_margins,
     "dedup_simhash_verified": dedup_simhash_verified,
@@ -4211,6 +4246,32 @@ ORACLES["winnow_overlap_pairs"] = f"""
     FROM posts a JOIN posts b ON a.h = b.h AND a.doc < b.doc
     GROUP BY a.doc, b.doc
     HAVING COUNT(*) >= 2
+"""
+
+
+# encoding audit: same artifact predicates, RE2 hex/{codepoint}
+# escapes (semantically identical to the Java \\u escapes Spark-side)
+ORACLES["encoding_anomalies"] = r"""
+    WITH t AS (
+      SELECT source,
+             regexp_matches(text, '\x{FFFD}') AS r,
+             regexp_matches(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]') AS c,
+             regexp_matches(text, 'Ã[\x{0080}-\x{00BF}]|â€') AS m,
+             regexp_matches(text, '\x{00A0}') AS n
+      FROM documents
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_replacement,
+           CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_control,
+           CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mojibake,
+           CAST(SUM(CASE WHEN n THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nbsp,
+           CAST(SUM(CASE WHEN NOT (r OR c OR m OR n) THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS clean_e6
+    FROM t GROUP BY source
 """
 
 

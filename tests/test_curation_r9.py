@@ -383,3 +383,49 @@ def test_readability_syllable_groups_not_letters(spark):
                                  "doc_id long, text string")
     r = T.readability_fre(docs, "doc_id", "text").collect()[0]
     assert r.n_syllables == 3
+
+
+# --------------------------------------------- encoding audit
+
+
+def test_encoding_anomalies_each_artifact_fires(spark, tmp_path, monkeypatch):
+    """Planted artifacts (the clean driver corpus never fires any):
+    replacement char, bell control, Latin-1 mojibake, NBSP, and one
+    clean doc -> each counter 1, clean_e6 = 1/5."""
+    import goka_spark.queries.llmdata as QL
+    from goka_spark.queries.llmdata import encoding_anomalies
+
+    rows = [(1, "s", "bad � here"),
+            (2, "s", "binary \x07 leak"),
+            (3, "s", "cafÃ© mojibake"),
+            (4, "s", "html residue"),
+            (5, "s", "perfectly clean")]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, source string, text string")
+    src = str(tmp_path / "documents.parquet")
+    docs.write.parquet(src)
+    monkeypatch.setattr(QL, "load",
+                        lambda s, sf, *t: {"documents":
+                                           s.read.parquet(src)})
+    r = encoding_anomalies(spark, "ignored").collect()[0]
+    assert (r.n_docs, r.n_replacement, r.n_control,
+            r.n_mojibake, r.n_nbsp) == (5, 1, 1, 1, 1)
+    assert r.clean_e6 == 1_000_000 // 5
+
+
+def test_encoding_anomalies_tab_newline_not_control(spark, tmp_path,
+                                                    monkeypatch):
+    """Tabs/newlines/CR are legitimate text, NOT C0 artifacts — the
+    class must exclude \\x09, \\x0A, \\x0D."""
+    import goka_spark.queries.llmdata as QL
+    from goka_spark.queries.llmdata import encoding_anomalies
+
+    docs = spark.createDataFrame([(1, "s", "a\tb\nc\rd")],
+                                 "doc_id long, source string, text string")
+    src = str(tmp_path / "documents.parquet")
+    docs.write.parquet(src)
+    monkeypatch.setattr(QL, "load",
+                        lambda s, sf, *t: {"documents":
+                                           s.read.parquet(src)})
+    r = encoding_anomalies(spark, "ignored").collect()[0]
+    assert r.n_control == 0 and r.clean_e6 == 1_000_000
