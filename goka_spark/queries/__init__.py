@@ -119,6 +119,7 @@ _FRONT = [
     "vocab_coverage_curve",
     "type_mix_drift",
     "event_cooccurrence_lift",
+    "growth_accounting",
     "edit_distance_pairs",
     "readability_fre",
     "encoding_anomalies",

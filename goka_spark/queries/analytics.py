@@ -2813,3 +2813,100 @@ ORACLES["event_cooccurrence_lift"] = """
     JOIN marg ma ON ma.event_type = pairs.type_a
     JOIN marg mb ON mb.event_type = pairs.type_b, nu
 """
+
+
+def growth_accounting(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly GROWTH ACCOUNTING (B73) — the canonical user-state
+    decomposition every growth team runs: per week, actives split
+    into new (first week ever), retained (also active last week) and
+    resurrected (active before, skipped ≥1 week), plus churned
+    (active last week, absent this week).  The identity
+    active = new + retained + resurrected holds by construction;
+    churn can land on weeks with zero actives (everyone left), which
+    the full-outer week join keeps.
+
+    Scale shape: distinct (user, week) hash-agg, ONE user-keyed
+    window (lag + lead + running first-week), then two week-keyed
+    hash-aggs full-outer-joined — no self-joins, no per-week scans.
+    The censoring rule (nobody churns after the corpus's last week)
+    broadcasts a one-row max."""
+    from pyspark.sql import Window as _W
+
+    ev = load(spark, sf, "events")["events"]
+    uw = (ev.select("user_id",
+                    F.expr("datediff(to_date(ts), DATE '1970-01-01')"
+                           " div 7").alias("week"))
+          .distinct())
+    w = _W.partitionBy("user_id").orderBy("week")
+    seq = (uw.withColumn("_prev", F.lag("week").over(w))
+           .withColumn("_next", F.lead("week").over(w)))
+    states = (seq.groupBy("week")
+              .agg(F.sum(F.when(F.col("_prev").isNull(), 1)
+                         .otherwise(0)).cast("long").alias("n_new"),
+                   F.sum(F.when(F.col("_prev") == F.col("week") - 1, 1)
+                         .otherwise(0)).cast("long").alias("n_retained"),
+                   F.sum(F.when(F.col("_prev") < F.col("week") - 1, 1)
+                         .otherwise(0)).cast("long")
+                   .alias("n_resurrected"),
+                   F.count("*").cast("long").alias("n_active")))
+    mx = uw.agg(F.max("week").alias("_mx"))
+    churn = (seq.crossJoin(F.broadcast(mx))
+             .filter((F.col("week") < F.col("_mx"))
+                     & (F.coalesce(F.col("_next"),
+                                   F.lit(4611686018427387904))
+                        != F.col("week") + 1))
+             .groupBy((F.col("week") + 1).alias("week"))
+             .agg(F.count("*").cast("long").alias("n_churned")))
+    return (states.join(churn, "week", "full")
+            .select(F.col("week").cast("long"),
+                    F.coalesce("n_new", F.lit(0)).cast("long")
+                    .alias("n_new"),
+                    F.coalesce("n_retained", F.lit(0)).cast("long")
+                    .alias("n_retained"),
+                    F.coalesce("n_resurrected", F.lit(0)).cast("long")
+                    .alias("n_resurrected"),
+                    F.coalesce("n_churned", F.lit(0)).cast("long")
+                    .alias("n_churned"),
+                    F.coalesce("n_active", F.lit(0)).cast("long")
+                    .alias("n_active")))
+
+
+QUERIES["growth_accounting"] = growth_accounting
+
+ORACLES["growth_accounting"] = """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+               AS week
+      FROM events
+    ), seq AS (
+      SELECT user_id, week,
+             LAG(week) OVER (PARTITION BY user_id ORDER BY week)
+               AS prev,
+             LEAD(week) OVER (PARTITION BY user_id ORDER BY week)
+               AS nxt
+      FROM uw
+    ), states AS (
+      SELECT week,
+             SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS n_new,
+             SUM(CASE WHEN prev = week - 1 THEN 1 ELSE 0 END)
+               AS n_retained,
+             SUM(CASE WHEN prev < week - 1 THEN 1 ELSE 0 END)
+               AS n_resurrected,
+             COUNT(*) AS n_active
+      FROM seq GROUP BY week
+    ), mx AS (SELECT MAX(week) AS m FROM uw),
+    churn AS (
+      SELECT week + 1 AS week, COUNT(*) AS n_churned
+      FROM seq, mx
+      WHERE week < m AND COALESCE(nxt, 4611686018427387904) != week + 1
+      GROUP BY week + 1
+    )
+    SELECT CAST(COALESCE(states.week, churn.week) AS BIGINT) AS week,
+           CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+           CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained,
+           CAST(COALESCE(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+           CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned,
+           CAST(COALESCE(n_active, 0) AS BIGINT) AS n_active
+    FROM states FULL OUTER JOIN churn ON states.week = churn.week
+"""

@@ -538,3 +538,34 @@ def test_event_cooccurrence_lift_closed_form(spark, tmp_path, monkeypatch):
     assert (r.type_a, r.type_b, r.n_ab) == ("a", "b", 2)
     assert r.support_e6 == 500_000
     assert r.lift_e6 == 2 * 4 * 1_000_000 // (3 * 3)
+
+
+def test_growth_accounting_lifecycle(spark, tmp_path, monkeypatch):
+    """Crafted lifecycles (the saturated driver corpus has every user
+    active every week): churn, resurrection, censoring at the last
+    week, and the active = new+retained+resurrected identity."""
+    from goka_spark.queries.analytics import growth_accounting
+    import goka_spark.queries.analytics as QA
+    from datetime import datetime
+
+    def ts(week, day=0):
+        # week k of 1970 → datetime inside it (day 0 = Thursday epoch)
+        return datetime.utcfromtimestamp((week * 7 + day) * 86400)
+
+    rows = [(1, 1, ts(1)), (2, 1, ts(2)), (3, 1, ts(4)),   # gap at 3
+            (4, 2, ts(1)),                                  # one-week user
+            (5, 3, ts(2)), (6, 3, ts(3)), (7, 3, ts(4))]
+    ev = spark.createDataFrame(rows,
+                               "event_id long, user_id long, ts timestamp")
+    src = str(tmp_path / "events.parquet")
+    ev.write.parquet(src)
+    monkeypatch.setattr(QA, "load",
+                        lambda s, sf, *t: {"events": s.read.parquet(src)})
+    got = {r.week: r for r in growth_accounting(spark, "ignored").collect()}
+    assert (got[1].n_new, got[1].n_churned, got[1].n_active) == (2, 0, 2)
+    assert (got[2].n_new, got[2].n_retained, got[2].n_churned) == (1, 1, 1)
+    assert (got[3].n_retained, got[3].n_churned) == (1, 1)   # u1 churns @3
+    assert (got[4].n_resurrected, got[4].n_retained) == (1, 1)
+    assert 5 not in got                      # censored: max week is 4
+    for r in got.values():
+        assert r.n_active == r.n_new + r.n_retained + r.n_resurrected
