@@ -123,6 +123,7 @@ _FRONT = [
     "edit_distance_pairs",
     "readability_fre",
     "encoding_anomalies",
+    "template_prefix_clusters",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

@@ -911,6 +911,31 @@ def winnow_overlap_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return D.winnow_overlap_pairs(docs, "doc_id", "text")
 
 
+def template_prefix_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Template DETECTION by shared opening (C161) — crawl corpora
+    are full of machine-generated families ("404 not found …",
+    "You need JavaScript …", listing skeletons) that near-dup
+    metrics miss when the tails differ; docs sharing their first k
+    words form a cluster, big clusters are template families headed
+    for review or downweighting.  Reports each cluster's prefix,
+    size, lowest doc_id as the canonical representative, and corpus
+    share in micro-units.  One scan-stage slice + one hash-agg +
+    a one-row broadcast total — linear, no pairs anywhere."""
+    docs = load(spark, sf, "documents")["documents"]
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    pref = F.array_join(F.slice(words, 1, 3), " ")
+    cl = (docs.select(pref.alias("prefix"), "doc_id")
+          .groupBy("prefix")
+          .agg(F.count("*").cast("long").alias("n_docs"),
+               F.min("doc_id").cast("long").alias("rep_doc_id"))
+          .filter(F.col("n_docs") >= 2))
+    tot = docs.agg(F.count("*").alias("_N"))
+    return (cl.crossJoin(F.broadcast(tot))
+            .select("prefix", "n_docs", "rep_doc_id",
+                    F.expr("n_docs * 1000000L DIV _N").cast("long")
+                    .alias("share_e6")))
+
+
 def encoding_anomalies(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source ENCODING-ARTIFACT audit (C160) — the ingest-health
     check crawl pipelines run before any text gate: docs containing
@@ -1792,6 +1817,7 @@ QUERIES = {
     "edit_distance_pairs": edit_distance_pairs,
     "readability_fre": readability_fre,
     "encoding_anomalies": encoding_anomalies,
+    "template_prefix_clusters": template_prefix_clusters,
     "ivf_balance_report": ivf_balance_report,
     "embedding_cell_margins": embedding_cell_margins,
     "dedup_simhash_verified": dedup_simhash_verified,
@@ -4246,6 +4272,22 @@ ORACLES["winnow_overlap_pairs"] = f"""
     FROM posts a JOIN posts b ON a.h = b.h AND a.doc < b.doc
     GROUP BY a.doc, b.doc
     HAVING COUNT(*) >= 2
+"""
+
+
+ORACLES["template_prefix_clusters"] = f"""
+    WITH p AS (
+      SELECT doc_id,
+             array_to_string({_WORDS}[1:3], ' ') AS prefix
+      FROM documents
+    ), cl AS (
+      SELECT prefix, COUNT(*) AS n_docs, MIN(doc_id) AS rep_doc_id
+      FROM p GROUP BY prefix HAVING COUNT(*) >= 2
+    ), t AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT prefix, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(rep_doc_id AS BIGINT) AS rep_doc_id,
+           CAST(n_docs * 1000000 // n AS BIGINT) AS share_e6
+    FROM cl, t
 """
 
 

@@ -429,3 +429,30 @@ def test_encoding_anomalies_tab_newline_not_control(spark, tmp_path,
                                            s.read.parquet(src)})
     r = encoding_anomalies(spark, "ignored").collect()[0]
     assert r.n_control == 0 and r.clean_e6 == 1_000_000
+
+
+def test_template_prefix_clusters_short_docs_and_threshold(spark, tmp_path,
+                                                           monkeypatch):
+    """Docs shorter than the prefix length cluster on their full
+    text; singletons are dropped; share is over ALL docs."""
+    import goka_spark.queries.llmdata as QL
+    from goka_spark.queries.llmdata import template_prefix_clusters
+
+    rows = [(1, "404 not found page a"),
+            (2, "404 not found page b"),
+            (3, "404 not found elsewhere"),
+            (4, "hi there"), (5, "hi there"),      # short: whole text
+            (6, "unique opening words entirely")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "documents.parquet")
+    docs.write.parquet(src)
+    monkeypatch.setattr(QL, "load",
+                        lambda s, sf, *t: {"documents":
+                                           s.read.parquet(src)})
+    got = {r.prefix: r for r in
+           template_prefix_clusters(spark, "ignored").collect()}
+    assert got["404 not found"].n_docs == 3
+    assert got["404 not found"].rep_doc_id == 1
+    assert got["404 not found"].share_e6 == 3 * 1_000_000 // 6
+    assert got["hi there"].n_docs == 2
+    assert len(got) == 2                      # singleton dropped
