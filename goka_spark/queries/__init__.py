@@ -120,6 +120,7 @@ _FRONT = [
     "type_mix_drift",
     "event_cooccurrence_lift",
     "growth_accounting",
+    "seasonal_anomalies",
     "edit_distance_pairs",
     "readability_fre",
     "encoding_anomalies",

@@ -2910,3 +2910,86 @@ ORACLES["growth_accounting"] = """
            CAST(COALESCE(n_active, 0) AS BIGINT) AS n_active
     FROM states FULL OUTER JOIN churn ON states.week = churn.week
 """
+
+
+def seasonal_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    """SEASONALLY-ADJUSTED volume anomalies (B74) — B45/B62 flag "is
+    this hour big", this one flags "is this hour big FOR a Monday
+    9am": each (type, date, hour) cell is scored against the
+    median/MAD of its OWN (type, weekday, hour-of-day) bucket across
+    the corpus's weeks, so the daily/weekly rhythm B63 profiles
+    stops producing false alarms and a quiet-hour incident stops
+    hiding under the busy-hour baseline.  Same exact-integer robust
+    discipline as B62: lower median (k = (n+1) DIV 2), MAD over
+    |c − med|, spike ⟺ (c − med)·10000 > 44478·mad ∧ c > med.
+    Engine-neutral weekday (epoch_days + 3) % 7 (0 = Monday).
+
+    Scale shape: the cell table is (types × days × 24)-sized — built
+    by ONE hash-agg over the stream; both medians are windows over
+    that small frame partitioned by the ~types×168 bucket key, and
+    the bucket stats broadcast back.  Nothing touches raw events
+    twice."""
+    ev = load(spark, sf, "events")["events"]
+    cell = (ev.groupBy("event_type", F.to_date("ts").alias("_d"),
+                       F.hour("ts").alias("hod"))
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .withColumn("dow", F.expr(
+                "(datediff(_d, DATE '1970-01-01') + 3) % 7")))
+    key = ["event_type", "dow", "hod"]
+    wk = Window.partitionBy(*key).orderBy("cnt", "_d")
+    med = (cell.withColumn("_rn", F.row_number().over(wk))
+           .withColumn("_n", F.count("*").over(Window.partitionBy(*key)))
+           .filter(F.col("_rn") == F.expr("(_n + 1) DIV 2"))
+           .select(*key, F.col("cnt").alias("med")))
+    dev = (cell.join(F.broadcast(med), key)
+           .withColumn("_dev", F.abs(F.col("cnt") - F.col("med"))))
+    wd = Window.partitionBy(*key).orderBy("_dev", "_d")
+    mad = (dev.withColumn("_rn", F.row_number().over(wd))
+           .withColumn("_n", F.count("*").over(Window.partitionBy(*key)))
+           .filter(F.col("_rn") == F.expr("(_n + 1) DIV 2"))
+           .select(*key, F.col("_dev").alias("mad")))
+    j = dev.join(F.broadcast(mad), key)
+    spike = ((F.col("cnt") > F.col("med"))
+             & ((F.col("cnt") - F.col("med")) * 10000
+                > 44478 * F.col("mad")))
+    return j.select("event_type",
+                    F.date_format("_d", "yyyy-MM-dd").alias("day"),
+                    F.col("hod").cast("long"),
+                    F.col("dow").cast("long"),
+                    "cnt", "med", "mad", spike.alias("is_spike"))
+
+
+QUERIES["seasonal_anomalies"] = seasonal_anomalies
+
+ORACLES["seasonal_anomalies"] = """
+    WITH cell AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(hour(ts) AS BIGINT) AS hod, COUNT(*) AS cnt
+      FROM events GROUP BY event_type, d, hod
+    ), c2 AS (
+      SELECT *,
+             (date_diff('day', DATE '1970-01-01', d) + 3) % 7 AS dow
+      FROM cell
+    ), med AS (
+      SELECT event_type, dow, hod, cnt AS med FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, dow, hod
+                                     ORDER BY cnt, d) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type, dow, hod) AS n
+        FROM c2) WHERE rn = (n + 1) // 2
+    ), dev AS (
+      SELECT c2.*, med, ABS(cnt - med) AS adev
+      FROM c2 JOIN med USING (event_type, dow, hod)
+    ), mad AS (
+      SELECT event_type, dow, hod, adev AS mad FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, dow, hod
+                                     ORDER BY adev, d) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type, dow, hod) AS n
+        FROM dev) WHERE rn = (n + 1) // 2
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           CAST(hod AS BIGINT) AS hod, CAST(dow AS BIGINT) AS dow,
+           CAST(cnt AS BIGINT) AS cnt, CAST(med AS BIGINT) AS med,
+           CAST(mad AS BIGINT) AS mad,
+           cnt > med AND (cnt - med) * 10000 > 44478 * mad AS is_spike
+    FROM dev JOIN mad USING (event_type, dow, hod)
+"""
