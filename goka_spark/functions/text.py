@@ -1595,3 +1595,59 @@ def readability_fre(df, id_col: str, text_col: str):
             " + 11800L * (_vg + (n_words - _vw))"
             " DIV greatest(n_words, 1L) - 15590L").alias("fkgl_e3"),
     )
+
+
+def skipgram_pmi_topk(df, id_col: str, text_col: str,
+                      window: int = 4, min_count: int = 5,
+                      k: int = 20):
+    """Windowed CO-OCCURRENCE collocations — bigram_pmi_topk sees
+    only adjacent pairs, so "neural … network" with an adjective in
+    between never scores; this is the word2vec-style symmetric
+    window: every unordered pair within ``window`` positions, scored
+    by the same exact-ratio micro-nat PMI.
+
+    Scale shape: pair generation is SCAN-STAGE array algebra — for
+    each offset o the pair list is zip_with(ws, shift-o(ws)) of two
+    slices, flattened across offsets — O(L·window) rows per doc with
+    NO doc self-join (the naive doc-keyed self-join materializes
+    O(L²) before its band filter).  Pairs pack as 'min max' strings
+    (words cannot contain the space separator), so one hash-agg
+    counts them; unigram marginals, one-row totals broadcast, global
+    TakeOrdered(k) — the bigram_pmi shape throughout."""
+    ws = words(F.col(text_col))
+
+    def po(o):
+        ln = F.greatest(F.size(ws) - F.lit(o), F.lit(0))
+        return F.zip_with(
+            F.slice(ws, 1, ln), F.slice(ws, o + 1, ln),
+            lambda x, y: F.concat_ws(" ", F.least(x, y),
+                                     F.greatest(x, y)))
+
+    prs = F.flatten(F.array(*[po(o) for o in range(1, window + 1)]))
+    pc = (df.select(F.explode(prs).alias("pr"))
+          .groupBy("pr").agg(F.count("*").alias("cnt_ab")))
+    t_tot = pc.agg(F.sum("cnt_ab").cast("long").alias("_t"))
+    uni = (df.select(F.explode(ws).alias("w"))
+           .groupBy("w").agg(F.count("*").alias("c")))
+    n_tot = uni.agg(F.sum("c").cast("long").alias("_n"))
+    pairs = (pc.filter(F.col("cnt_ab") >= min_count)
+             .select(F.split("pr", " ").getItem(0).alias("w1"),
+                     F.split("pr", " ").getItem(1).alias("w2"),
+                     F.col("cnt_ab").cast("long"))
+             .join(uni.select(F.col("w").alias("w1"),
+                              F.col("c").cast("long").alias("_ca")),
+                   "w1")
+             .join(uni.select(F.col("w").alias("w2"),
+                              F.col("c").cast("long").alias("_cb")),
+                   "w2")
+             .crossJoin(F.broadcast(n_tot))
+             .crossJoin(F.broadcast(t_tot)))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    x = ((d("cnt_ab") * d("_n") * d("_n"))
+         / (d("_t") * d("_ca") * d("_cb")))
+    return (pairs.select(
+        "w1", "w2", "cnt_ab",
+        F.floor(F.log(x) * 1000000 + F.lit(0.5)).cast("long")
+        .alias("pmi_e6"))
+        .orderBy(F.col("pmi_e6").desc(), "w1", "w2")
+        .limit(k))

@@ -125,6 +125,7 @@ _FRONT = [
     "readability_fre",
     "encoding_anomalies",
     "template_prefix_clusters",
+    "skipgram_pmi_topk",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

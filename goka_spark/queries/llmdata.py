@@ -911,6 +911,16 @@ def winnow_overlap_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return D.winnow_overlap_pairs(docs, "doc_id", "text")
 
 
+def skipgram_pmi_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Windowed-co-occurrence collocations (C162,
+    T.skipgram_pmi_topk) — the word2vec-style symmetric-window PMI
+    that catches discontinuous multi-word expressions adjacent-only
+    C97 misses.  Scan-stage zip_with pair generation (no doc
+    self-join), exact-ratio micro-nat scores, TakeOrdered(20)."""
+    docs = load(spark, sf, "documents")["documents"]
+    return T.skipgram_pmi_topk(docs, "doc_id", "text")
+
+
 def template_prefix_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Template DETECTION by shared opening (C161) — crawl corpora
     are full of machine-generated families ("404 not found …",
@@ -1818,6 +1828,7 @@ QUERIES = {
     "readability_fre": readability_fre,
     "encoding_anomalies": encoding_anomalies,
     "template_prefix_clusters": template_prefix_clusters,
+    "skipgram_pmi_topk": skipgram_pmi_topk,
     "ivf_balance_report": ivf_balance_report,
     "embedding_cell_margins": embedding_cell_margins,
     "dedup_simhash_verified": dedup_simhash_verified,
@@ -4272,6 +4283,40 @@ ORACLES["winnow_overlap_pairs"] = f"""
     FROM posts a JOIN posts b ON a.h = b.h AND a.doc < b.doc
     GROUP BY a.doc, b.doc
     HAVING COUNT(*) >= 2
+"""
+
+
+# skipgram PMI: nested list_transform pair generation (offsets 1..4,
+# 'min max' string packing), then the bigram_pmi count/ratio algebra
+ORACLES["skipgram_pmi_topk"] = f"""
+    WITH d AS (
+      SELECT doc_id, {_WORDS} AS ws FROM documents
+    ), prs AS (
+      SELECT UNNEST(flatten(list_transform([1, 2, 3, 4], o ->
+               list_transform(range(1, greatest(len(ws) - o, 0) + 1),
+                 i -> least(ws[i], ws[i + o]) || ' '
+                      || greatest(ws[i], ws[i + o]))))) AS pr
+      FROM d
+    ), pc AS (
+      SELECT pr, COUNT(*) AS cnt_ab FROM prs GROUP BY pr
+    ), tt AS (SELECT SUM(cnt_ab) AS t FROM pc),
+    uni AS (
+      SELECT w, COUNT(*) AS c FROM (
+        SELECT UNNEST({_WORDS}) AS w FROM documents) GROUP BY w
+    ), nn AS (SELECT SUM(c) AS n FROM uni)
+    SELECT string_split(pr, ' ')[1] AS w1,
+           string_split(pr, ' ')[2] AS w2,
+           CAST(cnt_ab AS BIGINT) AS cnt_ab,
+           CAST(FLOOR(LN((CAST(cnt_ab AS DOUBLE) * CAST(n AS DOUBLE)
+                          * CAST(n AS DOUBLE))
+                         / (CAST(t AS DOUBLE) * CAST(ca.c AS DOUBLE)
+                            * CAST(cb.c AS DOUBLE))) * 1000000 + 0.5)
+                AS BIGINT) AS pmi_e6
+    FROM pc
+    JOIN uni ca ON ca.w = string_split(pr, ' ')[1]
+    JOIN uni cb ON cb.w = string_split(pr, ' ')[2], tt, nn
+    WHERE cnt_ab >= 5
+    ORDER BY pmi_e6 DESC, w1, w2 LIMIT 20
 """
 
 

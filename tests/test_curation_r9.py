@@ -456,3 +456,21 @@ def test_template_prefix_clusters_short_docs_and_threshold(spark, tmp_path,
     assert got["404 not found"].share_e6 == 3 * 1_000_000 // 6
     assert got["hi there"].n_docs == 2
     assert len(got) == 2                      # singleton dropped
+
+
+def test_skipgram_pairs_window_and_symmetry(spark):
+    """'neural X network' repeated: the (network, neural) pair is
+    invisible to adjacent-only PMI but co-occurs at offset 2 here;
+    counts are per occurrence, pair key is sorted, window caps at 4."""
+    doc = "neural very network " * 6          # 18 words
+    docs = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    got = {(r.w1, r.w2): r.cnt_ab
+           for r in T.skipgram_pmi_topk(
+               docs, "doc_id", "text", min_count=1, k=100).collect()}
+    # offsets for (neural, network): +2 within a block (6), network→
+    # neural +1 across blocks (5), network→neural +4 (4) = 15
+    assert got[("network", "neural")] == 15
+    # 'very very' needs offset 3 between consecutive blocks: 5 times
+    assert got[("very", "very")] == 5
+    # same-word pairs at offset 3: the period of the template
+    assert got[("neural", "neural")] == 5
