@@ -126,6 +126,7 @@ _FRONT = [
     "encoding_anomalies",
     "template_prefix_clusters",
     "skipgram_pmi_topk",
+    "hapax_ratio",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

@@ -911,6 +911,32 @@ def winnow_overlap_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return D.winnow_overlap_pairs(docs, "doc_id", "text")
 
 
+def hapax_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """HAPAX LEGOMENA profile per source (C163) — the share of
+    once-occurring word types, the corpus-linguistics health number
+    Heaps'-law fitting (C104) assumes: natural prose runs ~40-60%
+    hapax types; heavy duplication crushes it (copies never mint new
+    types) and OCR/mojibake damage inflates it (junk tokens are all
+    unique).  Per source: types, tokens, hapax types, hapax share of
+    types and of tokens — exact integers, hapax_types_e6 = h·1e6 DIV
+    types.  Two hash-aggs over the (source, word) postings, nothing
+    pair-shaped."""
+    docs = load(spark, sf, "documents")["documents"]
+    w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    wc = (docs.select("source", F.explode(w).alias("w"))
+          .groupBy("source", "w").agg(F.count("*").alias("c")))
+    return (wc.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_types"),
+                 F.sum("c").cast("long").alias("n_tokens"),
+                 F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                 .cast("long").alias("n_hapax"))
+            .select("source", "n_types", "n_tokens", "n_hapax",
+                    F.expr("n_hapax * 1000000L DIV n_types")
+                    .cast("long").alias("hapax_types_e6"),
+                    F.expr("n_hapax * 1000000L DIV n_tokens")
+                    .cast("long").alias("hapax_tokens_e6")))
+
+
 def skipgram_pmi_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Windowed-co-occurrence collocations (C162,
     T.skipgram_pmi_topk) — the word2vec-style symmetric-window PMI
@@ -1829,6 +1855,7 @@ QUERIES = {
     "encoding_anomalies": encoding_anomalies,
     "template_prefix_clusters": template_prefix_clusters,
     "skipgram_pmi_topk": skipgram_pmi_topk,
+    "hapax_ratio": hapax_ratio,
     "ivf_balance_report": ivf_balance_report,
     "embedding_cell_margins": embedding_cell_margins,
     "dedup_simhash_verified": dedup_simhash_verified,
@@ -4283,6 +4310,24 @@ ORACLES["winnow_overlap_pairs"] = f"""
     FROM posts a JOIN posts b ON a.h = b.h AND a.doc < b.doc
     GROUP BY a.doc, b.doc
     HAVING COUNT(*) >= 2
+"""
+
+
+ORACLES["hapax_ratio"] = f"""
+    WITH wc AS (
+      SELECT source, w, COUNT(*) AS c FROM (
+        SELECT source, UNNEST({_WORDS}) AS w FROM documents
+      ) GROUP BY source, w
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS hapax_types_e6,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+                // SUM(c) AS BIGINT) AS hapax_tokens_e6
+    FROM wc GROUP BY source
 """
 
 
