@@ -1597,12 +1597,21 @@ def winnow_overlap_pairs(df: "DataFrame", id_col: str, text_col: str,
     # 2 s at sf0.001).  _ks is never empty, so outer adds no rows;
     # min_shared already rejects the single-''-gram pairs empty docs
     # would contribute.
-    kf = _winnow_keys(df, id_col, text_col, k, w)
+    kf = _winnow_keys(_fan_out(df), id_col, text_col, k, w)
     posts = (kf.select(F.col(id_col).alias("doc"),
                        F.explode_outer("_ks").alias("_k"))
              .select("doc",
                      (F.col("_k") % F.lit(4294967296)).alias("h"))
              .distinct())
+    # the posting list is small in BYTES, so AQE coalesces the
+    # distinct's shuffle to 1-2 partitions — but the h-bucket
+    # self-join below is the expensive stage (each bucket of d docs
+    # expands d² candidate rows).  Pin its parallelism with an
+    # explicit h-keyed repartition (honored by AQE); both aliases
+    # share it, so the join adds no further exchange.  Measured
+    # 9.1 s → 2.0 s at sf0.1 on local[32].
+    posts = posts.repartition(
+        posts.sparkSession.sparkContext.defaultParallelism, "h")
     a, b = posts.alias("a"), posts.alias("b")
     return (a.join(b, "h")
             .filter(F.col("a.doc") < F.col("b.doc"))
@@ -1631,12 +1640,33 @@ def edit_distance_pairs(df: "DataFrame", id_col: str, text_col: str,
     the cap so far-apart candidates are never fully scored.  The
     whole thing is hash-aggs + hash-joins + a scan-stage expression,
     no UDF."""
+    # every downstream stage (winnow key construction AND the
+    # O(len·cap)-per-row Levenshtein on the join output) inherits the
+    # scan's partitioning — a single-file local scan serializes the
+    # whole verify (measured 13 s for 8k pairs with 32 idle cores).
+    # _fan_out is a no-op on a real many-file corpus.
+    df = _fan_out(df)
     cand = winnow_overlap_pairs(df, id_col, text_col, k, w, min_shared)
     ta = df.select(F.col(id_col).alias("id_a"),
                    F.col(text_col).alias("_ta"))
     tb = df.select(F.col(id_col).alias("id_b"),
                    F.col(text_col).alias("_tb"))
-    return (cand.join(ta, "id_a").join(tb, "id_b")
+    joined = cand.join(ta, "id_a").join(tb, "id_b")
+    # Two optimizer moves serialize the expensive scoring if left
+    # alone (measured 13 s for 8k pairs, 32 idle cores): the
+    # `_d >= 0` filter merges INTO the broadcast-join condition —
+    # evaluating Levenshtein twice (join condition + projection) —
+    # and AQE coalesces the byte-tiny pair frame to ~3 partitions,
+    # blind to the O(len·cap) CPU per row.  A lazy localCheckpoint
+    # on the bounded candidate frame (the corpus_filter_pipeline
+    # precedent) is a barrier neither rule crosses; the explicit
+    # repartition under it spreads the scoring across cores.
+    # Measured 13 s → ~1 s; at 100 TB the frame is bounded by the
+    # candidate count, the same budget the verify stage itself pays.
+    sc = joined.sparkSession.sparkContext
+    joined = (joined.repartition(sc.defaultParallelism)
+              .localCheckpoint(eager=False))
+    return (joined
             .withColumn("_d", F.levenshtein("_ta", "_tb", max_dist))
             .filter(F.col("_d") >= 0)
             .withColumn("_mx", F.greatest(F.length("_ta"),
