@@ -419,6 +419,138 @@ class SessionizeSink:
         return out
 
 
+class GrowthAccountingSink:
+    """Streaming GROWTH ACCOUNTING — the cross-epoch face of the
+    B73 batch query: per week, actives split into new / retained /
+    resurrected plus churned, accumulated across micro-batches with
+    a tiny per-user state table (first_wk, last_wk — two longs, not
+    the week set).  Each epoch seeds every known user with a pseudo
+    row at its stored last week, so a lag window classifies the
+    epoch's (user, week) rows exactly as the batch lag does: gap 0 =
+    already counted, gap 1 = retained, gap >1 = resurrected (and the
+    user churned at prev+1).  Brand-new users classify as new on
+    their first row.  Trailing churn (a user's LAST week before the
+    corpus max) is right-censored exactly like the batch query: it
+    is derived at ``read()`` time from the state table, never
+    emitted early — so a user who later returns was never
+    double-counted.
+
+    Layout (ExactlyOnceBatchSink discipline, whole-epoch overwrite,
+    retry-idempotent):
+
+      out/weekly/epoch_id=N  per-week state deltas from epoch N
+      out/state/epoch_id=N   the FULL (user, first_wk, last_wk) table
+
+    Ordering contract: a user's weeks must not interleave across
+    epochs (the TransitionSink/SessionizeSink contract); re-seeing
+    the stored last week is fine and counts nothing twice."""
+
+    def __init__(self, out_path: str, user_col: str = "user_id",
+                 ts_col: str = "ts"):
+        self.out = out_path.rstrip("/")
+        self.user_col, self.ts_col = user_col, ts_col
+
+    _latest = SessionizeSink._latest
+
+    def __call__(self, batch_df, epoch_id: int) -> None:
+        from pyspark.sql.window import Window as Wnd
+
+        spark = batch_df.sparkSession
+        epoch_id = int(epoch_id)
+        uw = (batch_df.select(
+            F.col(self.user_col).alias("user"),
+            F.expr(f"datediff(to_date({self.ts_col}), "
+                   "DATE '1970-01-01') div 7").alias("wk"))
+            .distinct()
+            .withColumn("_seed", F.lit(0)))
+        prev = self._latest(spark, "state", epoch_id)
+        if prev is not None:
+            uw = uw.unionByName(prev.select(
+                "user", F.col("last_wk").alias("wk"),
+                F.lit(1).alias("_seed")))
+        # seed sorts before an equal-week real row → that row sees
+        # gap 0 and counts nothing (the re-seen-week contract)
+        w = Wnd.partitionBy("user").orderBy("wk", F.desc("_seed"))
+        rows = (uw.withColumn("_prev", F.lag("wk").over(w))
+                .filter(F.col("_seed") == 0))
+        gap = F.col("wk") - F.col("_prev")
+        cls = (rows
+               .withColumn("_new", F.col("_prev").isNull()
+                           .cast("long"))
+               .withColumn("_ret", (gap == 1).cast("long"))
+               .withColumn("_res", (gap > 1).cast("long")))
+        weekly = (cls.filter((F.col("_new") == 1) | (F.col("_ret") == 1)
+                             | (F.col("_res") == 1))
+                  .groupBy("wk")
+                  .agg(F.sum("_new").alias("n_new"),
+                       F.sum("_ret").alias("n_retained"),
+                       F.sum("_res").alias("n_resurrected"),
+                       F.lit(0).cast("long").alias("n_churned")))
+        churn = (cls.filter(gap > 1)
+                 .groupBy((F.col("_prev") + 1).alias("wk"))
+                 .agg(F.count("*").cast("long").alias("n_churned"),
+                      F.lit(0).cast("long").alias("n_new"),
+                      F.lit(0).cast("long").alias("n_retained"),
+                      F.lit(0).cast("long").alias("n_resurrected")))
+        deltas = (weekly.unionByName(churn)
+                  .groupBy("wk")
+                  .agg(F.sum("n_new").alias("n_new"),
+                       F.sum("n_retained").alias("n_retained"),
+                       F.sum("n_resurrected").alias("n_resurrected"),
+                       F.sum("n_churned").alias("n_churned")))
+        batch_state = (uw.groupBy("user")
+                       .agg(F.min(F.when(F.col("_seed") == 0,
+                                         F.col("wk"))).alias("_bfirst"),
+                            F.max("wk").alias("last_wk")))
+        if prev is not None:
+            state = (batch_state.join(
+                prev.select("user", F.col("first_wk").alias("_pfirst")),
+                "user", "full")
+                .select("user",
+                        F.least(F.coalesce("_pfirst", F.lit(1 << 60)),
+                                F.coalesce("_bfirst", F.lit(1 << 60)))
+                        .alias("first_wk"),
+                        F.col("last_wk")))
+        else:
+            state = batch_state.select(
+                "user", F.col("_bfirst").alias("first_wk"), "last_wk")
+        (deltas.write.mode("overwrite")
+         .parquet(f"{self.out}/weekly/epoch_id={epoch_id}"))
+        (state.write.mode("overwrite")
+         .parquet(f"{self.out}/state/epoch_id={epoch_id}"))
+        self._last_epoch = epoch_id
+
+    def read(self, spark):
+        """The B73 table over everything seen: summed epoch deltas
+        plus the read-time right-censored trailing churn."""
+        deltas = (spark.read.parquet(f"{self.out}/weekly")
+                  .groupBy("wk")
+                  .agg(F.sum("n_new").alias("n_new"),
+                       F.sum("n_retained").alias("n_retained"),
+                       F.sum("n_resurrected").alias("n_resurrected"),
+                       F.sum("n_churned").alias("n_churned")))
+        state = self._latest(spark, "state", 1 << 62)
+        mx = state.agg(F.max("last_wk").alias("_mx"))
+        trailing = (state.crossJoin(F.broadcast(mx))
+                    .filter(F.col("last_wk") < F.col("_mx"))
+                    .groupBy((F.col("last_wk") + 1).alias("wk"))
+                    .agg(F.count("*").cast("long").alias("_tc")))
+        return (deltas.join(trailing, "wk", "full")
+                .select(F.col("wk").cast("long").alias("week"),
+                        F.coalesce("n_new", F.lit(0)).cast("long")
+                        .alias("n_new"),
+                        F.coalesce("n_retained", F.lit(0)).cast("long")
+                        .alias("n_retained"),
+                        F.coalesce("n_resurrected", F.lit(0))
+                        .cast("long").alias("n_resurrected"),
+                        (F.coalesce("n_churned", F.lit(0))
+                         + F.coalesce("_tc", F.lit(0))).cast("long")
+                        .alias("n_churned"))
+                .withColumn("n_active",
+                            (F.col("n_new") + F.col("n_retained")
+                             + F.col("n_resurrected")).cast("long")))
+
+
 def event_transition_counts(df, user_col: str, ts_col: str,
                             type_col: str, id_col: str = None):
     """(from, to) successor counts over per-user ``ts``-ordered

@@ -569,3 +569,62 @@ def test_growth_accounting_lifecycle(spark, tmp_path, monkeypatch):
     assert 5 not in got                      # censored: max week is 4
     for r in got.values():
         assert r.n_active == r.n_new + r.n_retained + r.n_resurrected
+
+
+# --------------------------------------------- GrowthAccountingSink
+
+def test_growth_sink_equals_batch(spark, sf_dir, tmp_path, monkeypatch):
+    """Three time-ordered epoch slices through GrowthAccountingSink
+    yield exactly the B73 batch table — including right-censored
+    trailing churn, derived at read() time from the state table."""
+    from goka_spark.operators.windows import GrowthAccountingSink
+    from goka_spark.queries.analytics import growth_accounting
+    import goka_spark.queries.analytics as QA
+    from goka_spark.queries.base import load
+
+    ev = load(spark, sf_dir, "events")["events"]
+    row = ev.selectExpr("percentile(unix_micros(ts), 0.33) AS lo",
+                        "percentile(unix_micros(ts), 0.66) AS hi").first()
+    lo, hi = int(row.lo), int(row.hi)
+    us = F.unix_micros("ts")
+    sink = GrowthAccountingSink(str(tmp_path / "ga"))
+    sink(ev.filter(us <= lo), 0)
+    sink(ev.filter((us > lo) & (us <= hi)), 1)
+    sink(ev.filter(us > hi), 2)
+
+    live = sorted(tuple(r) for r in sink.read(spark).collect())
+    monkeypatch.setattr(QA, "load", lambda s, sf, *t: {"events": ev})
+    ref = sorted(tuple(r) for r in growth_accounting(spark, "x").collect())
+    assert live == ref
+
+
+def test_growth_sink_boundary_lifecycle_and_retry(spark, tmp_path):
+    """Crafted cross-epoch lifecycles: a user retained across the
+    boundary, one churning + resurrecting across it, a week re-seen
+    in the next epoch counting nothing, and an epoch retry changing
+    nothing."""
+    from datetime import datetime as dt, timedelta
+
+    from goka_spark.operators.windows import GrowthAccountingSink
+
+    schema = "user_id long, ts timestamp"
+    wk = lambda k, d=0: dt(1970, 1, 1) + timedelta(days=7 * k + d)
+    sink = GrowthAccountingSink(str(tmp_path / "ga2"))
+    # epoch 0: u1 weeks 1,2; u2 week 1; u3 week 2
+    sink(spark.createDataFrame(
+        [(1, wk(1)), (1, wk(2)), (2, wk(1)), (3, wk(2))], schema), 0)
+    # epoch 1: u1 week 3 (retained across boundary); u2 week 4
+    # (resurrected across boundary, churned @2); u3 week 2 AGAIN
+    # (re-seen, counts nothing) and week 4 (resurrected, churned @3)
+    b1 = spark.createDataFrame(
+        [(1, wk(3)), (2, wk(4)), (3, wk(2, 1)), (3, wk(4))], schema)
+    sink(b1, 1)
+    sink(b1, 1)                                   # retry
+    got = {r.week: (r.n_new, r.n_retained, r.n_resurrected,
+                    r.n_churned, r.n_active)
+           for r in sink.read(spark).collect()}
+    assert got[1] == (2, 0, 0, 0, 2)              # u1, u2 new
+    assert got[2] == (1, 1, 0, 1, 2)              # u3 new, u1 ret, u2 churn@2
+    assert got[3] == (0, 1, 0, 1, 1)              # u1 ret, u3 churn@3
+    # u2+u3 resurrect @4; u1 (last wk 3 < max 4) trail-churns @4
+    assert got[4] == (0, 0, 2, 1, 2)
