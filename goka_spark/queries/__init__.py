@@ -127,6 +127,7 @@ _FRONT = [
     "template_prefix_clusters",
     "skipgram_pmi_topk",
     "hapax_ratio",
+    "lsh_vs_edit_eval",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

@@ -911,6 +911,60 @@ def winnow_overlap_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return D.winnow_overlap_pairs(docs, "doc_id", "text")
 
 
+def lsh_vs_edit_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-vs-EDIT calibration (C164) — C95 scores MinHash against
+    exact Jaccard; this scores the full BANDED LSH verdict against
+    the character-level edit labels C158 produces, answering the
+    question a dedup owner actually asks: "if I trust band
+    collisions, how many lightly-edited copies do I miss (recall)
+    and how much unrelated text do I pull in (precision)?".  Over
+    the winnow-candidate universe (the pairs with edit labels):
+    label = sim_e6 ≥ θ for θ ∈ {700k, 800k, 900k}, prediction =
+    ≥1 shared (band, band_key) under the engine-portable md5
+    signature banding (16 perms × 4 bands).  tp/fp/fn + integer
+    precision/recall per θ.
+
+    Scale shape: the edit frame is bounded by winnow candidates;
+    the prediction side is the standard banded equi-join (linear in
+    postings, never all-pairs); one left join on the pair key + a
+    3-row explode + one tiny agg."""
+    docs = load(spark, sf, "documents")["documents"]
+    ed = D.edit_distance_pairs(docs, "doc_id", "text")
+    sigs = D.minhash_signatures(docs, "doc_id", "text", num_perm=16,
+                                base_hash="md5")
+    bk = D.band_keys(sigs, "doc_id", bands=4, rows_per_band=4)
+    a, b = bk.alias("a"), bk.alias("b")
+    pred = (a.join(b, ["band", "band_key"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"))
+            .distinct()
+            .withColumn("_pred", F.lit(1)))
+    j = (ed.join(pred, ["id_a", "id_b"], "left")
+         .select("sim_e6", F.coalesce("_pred", F.lit(0)).alias("_p")))
+    th = F.explode(F.array(F.lit(700000), F.lit(800000),
+                           F.lit(900000))).alias("theta_e6")
+    lab = (F.col("sim_e6") >= F.col("theta_e6")).cast("long")
+    return (j.select("sim_e6", "_p", th)
+            .withColumn("_l", lab)
+            .groupBy("theta_e6")
+            .agg(F.count("*").cast("long").alias("n_pairs"),
+                 F.sum("_l").cast("long").alias("n_label"),
+                 F.sum("_p").cast("long").alias("n_pred"),
+                 F.sum(F.col("_l") * F.col("_p")).cast("long")
+                 .alias("tp"))
+            .select(F.col("theta_e6").cast("long"), "n_pairs",
+                    "n_label", "n_pred", "tp",
+                    (F.col("n_pred") - F.col("tp")).cast("long")
+                    .alias("fp"),
+                    (F.col("n_label") - F.col("tp")).cast("long")
+                    .alias("fn"),
+                    F.expr("tp * 1000000L DIV greatest(n_pred, 1L)")
+                    .cast("long").alias("precision_e6"),
+                    F.expr("tp * 1000000L DIV greatest(n_label, 1L)")
+                    .cast("long").alias("recall_e6")))
+
+
 def hapax_ratio(spark: SparkSession, sf: str) -> DataFrame:
     """HAPAX LEGOMENA profile per source (C163) — the share of
     once-occurring word types, the corpus-linguistics health number
@@ -1856,6 +1910,7 @@ QUERIES = {
     "template_prefix_clusters": template_prefix_clusters,
     "skipgram_pmi_topk": skipgram_pmi_topk,
     "hapax_ratio": hapax_ratio,
+    "lsh_vs_edit_eval": lsh_vs_edit_eval,
     "ivf_balance_report": ivf_balance_report,
     "embedding_cell_margins": embedding_cell_margins,
     "dedup_simhash_verified": dedup_simhash_verified,
@@ -4311,6 +4366,57 @@ ORACLES["winnow_overlap_pairs"] = f"""
     GROUP BY a.doc, b.doc
     HAVING COUNT(*) >= 2
 """
+
+
+# LSH-vs-edit calibration: the edit-pair oracle + the md5 signature
+# CTE banded by string_agg keys, confusion counts per theta
+def _lsh_vs_edit_oracle() -> str:
+    sig = _minhash_oracle(16)
+    return f"""
+    WITH ed AS ({ORACLES["edit_distance_pairs"]}),
+    s AS ({sig}),
+    bk AS (
+      SELECT doc_id, perm // 4 AS band,
+             string_agg(CAST(sig AS VARCHAR), '-' ORDER BY perm)
+               AS band_key
+      FROM s GROUP BY doc_id, perm // 4
+    ),
+    pred AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bk a JOIN bk b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    j AS (
+      SELECT ed.sim_e6,
+             CASE WHEN pred.id_a IS NULL THEN 0 ELSE 1 END AS p
+      FROM ed LEFT JOIN pred USING (id_a, id_b)
+    ),
+    th AS (SELECT UNNEST([700000, 800000, 900000]) AS theta_e6),
+    c AS (
+      SELECT theta_e6, COUNT(*) AS n_pairs,
+             SUM(CASE WHEN sim_e6 >= theta_e6 THEN 1 ELSE 0 END)
+               AS n_label,
+             SUM(p) AS n_pred,
+             SUM(CASE WHEN sim_e6 >= theta_e6 THEN p ELSE 0 END) AS tp
+      FROM j, th GROUP BY theta_e6
+    )
+    SELECT CAST(theta_e6 AS BIGINT) AS theta_e6,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_label AS BIGINT) AS n_label,
+           CAST(n_pred AS BIGINT) AS n_pred,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(n_pred - tp AS BIGINT) AS fp,
+           CAST(n_label - tp AS BIGINT) AS fn,
+           CAST(tp * 1000000 // greatest(n_pred, 1) AS BIGINT)
+             AS precision_e6,
+           CAST(tp * 1000000 // greatest(n_label, 1) AS BIGINT)
+             AS recall_e6
+    FROM c
+    """
+
+
+ORACLES["lsh_vs_edit_eval"] = _lsh_vs_edit_oracle
 
 
 ORACLES["hapax_ratio"] = f"""

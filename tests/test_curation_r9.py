@@ -474,3 +474,30 @@ def test_skipgram_pairs_window_and_symmetry(spark):
     assert got[("very", "very")] == 5
     # same-word pairs at offset 3: the period of the template
     assert got[("neural", "neural")] == 5
+
+
+def test_lsh_vs_edit_eval_confusion_wiring(spark, tmp_path, monkeypatch):
+    """An exact copy is a tp at every theta; a prefix-sharing far
+    doc is a labeled-universe pair with label 0 — precision/recall
+    arithmetic pins the confusion wiring."""
+    import goka_spark.queries.llmdata as QL
+    from goka_spark.queries.llmdata import lsh_vs_edit_eval
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    far = base + "completely different continuation " * 8
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, far)], "doc_id long, text string")
+    src = str(tmp_path / "documents.parquet")
+    docs.write.parquet(src)
+    monkeypatch.setattr(QL, "load",
+                        lambda s, sf, *t: {"documents":
+                                           s.read.parquet(src)})
+    got = {r.theta_e6: r for r in lsh_vs_edit_eval(spark, "x").collect()}
+    for th, r in got.items():
+        # pair (1,2): sim 1e6 -> labeled dup at every theta, and an
+        # identical signature collides in every band -> tp
+        assert r.tp >= 1
+        assert r.precision_e6 == r.tp * 1_000_000 // max(r.n_pred, 1)
+        assert r.recall_e6 == r.tp * 1_000_000 // max(r.n_label, 1)
+        assert r.n_pairs == r.tp + r.fp + r.fn + (
+            r.n_pairs - r.n_label - r.fp)
