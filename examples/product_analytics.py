@@ -18,6 +18,13 @@ plus the two streaming faces whose epoch partials merge EXACTLY:
                               right)
   8. DrawdownSink           — cross-epoch drawdown from
                               (peak, min, mdd) partials
+  9. GrowthAccountingSink   — weekly new/retained/resurrected/
+                              churned states stitched across epochs
+                              (== the batch growth_accounting table)
+
+and three more batch reports: growth_accounting,
+seasonal_anomalies (weekday-hour-adjusted spikes) and
+event_cooccurrence_lift (behavior market-basket).
 
 Run: python examples/product_analytics.py [sf_dir]
 """
@@ -30,7 +37,8 @@ sys.path.insert(0, ".")
 from pyspark.sql import functions as F
 
 from goka_spark import get_session
-from goka_spark.operators.windows import DrawdownSink, OhlcSink
+from goka_spark.operators.windows import (DrawdownSink,
+                                          GrowthAccountingSink, OhlcSink)
 from goka_spark.queries import analytics as Q
 from goka_spark.queries.base import load
 
@@ -86,6 +94,23 @@ def main():
         dd(ev.filter(us > int(row.mid)), 1)
         print("== live drawdown (cross-epoch peaks included) ==")
         dd.read(spark).orderBy(F.desc("max_drawdown_e2")).show(5)
+
+        ga = GrowthAccountingSink(f"{tmp}/ga")
+        ga(ev.filter(us <= int(row.mid)), 0)
+        ga(ev.filter(us > int(row.mid)), 1)
+        print("== live growth accounting (== batch B73 table) ==")
+        ga.read(spark).orderBy("week").show()
+
+    print("== weekly growth accounting (batch) ==")
+    Q.growth_accounting(spark, sf).orderBy("week").show()
+
+    print("== seasonally-adjusted anomalies (spikes only) ==")
+    (Q.seasonal_anomalies(spark, sf)
+     .filter("is_spike").orderBy(F.desc("cnt")).show(5))
+
+    print("== behavior co-occurrence lift ==")
+    (Q.event_cooccurrence_lift(spark, sf)
+     .orderBy(F.desc("lift_e6")).show())
 
 
 if __name__ == "__main__":
