@@ -121,6 +121,7 @@ _FRONT = [
     "event_cooccurrence_lift",
     "growth_accounting",
     "seasonal_anomalies",
+    "activation_correlates",
     "edit_distance_pairs",
     "readability_fre",
     "encoding_anomalies",

@@ -2993,3 +2993,99 @@ ORACLES["seasonal_anomalies"] = """
            cnt > med AND (cnt - med) * 10000 > 44478 * mad AS is_spike
     FROM dev JOIN mad USING (event_type, dow, hod)
 """
+
+
+def activation_correlates(spark: SparkSession, sf: str) -> DataFrame:
+    """ACTIVATION correlates (B76) — the "aha moment" table: for
+    each event type, the week-1 retention rate of users who did it
+    in their FIRST week vs users who did not, and the lift between
+    the two.  The discovery analysis behind every activation metric
+    ("users who X in week 0 retain 2× better").  Retention target:
+    active in first_week + 1 (B73's retained definition applied to
+    the cohort's second week).
+
+    Scale shape: one distinct (user, week), one per-user min, one
+    distinct (user, week-0 type) — all user-keyed hash-aggs/joins —
+    then a types-sized aggregate with a one-row cohort broadcast.
+    The per-type rows compare WITH vs WITHOUT via cohort-total
+    subtraction, so no anti-join is ever materialized."""
+    ev = load(spark, sf, "events")["events"]
+    uw = (ev.select("user_id",
+                    F.expr("datediff(to_date(ts), DATE '1970-01-01')"
+                           " div 7").alias("wk"))
+          .distinct())
+    first = uw.groupBy("user_id").agg(F.min("wk").alias("fw"))
+    ret = (uw.join(first, "user_id")
+           .groupBy("user_id")
+           .agg(F.max((F.col("wk") == F.col("fw") + 1).cast("long"))
+                .alias("retained")))
+    cohort = (first.join(ret, "user_id")
+              .agg(F.count("*").cast("long").alias("_n"),
+                   F.sum("retained").cast("long").alias("_r")))
+    w0types = (ev.select("user_id",
+                         F.expr("datediff(to_date(ts), DATE "
+                                "'1970-01-01') div 7").alias("wk"),
+                         "event_type")
+               .join(first, "user_id")
+               .filter(F.col("wk") == F.col("fw"))
+               .select("user_id", "event_type").distinct())
+    per_type = (w0types.join(ret, "user_id")
+                .groupBy("event_type")
+                .agg(F.count("*").cast("long").alias("n_with"),
+                     F.sum("retained").cast("long").alias("ret_with")))
+    return (per_type.crossJoin(F.broadcast(cohort))
+            .select(
+                "event_type", "n_with",
+                F.expr("ret_with * 1000000L DIV n_with").cast("long")
+                .alias("ret_with_e6"),
+                (F.col("_n") - F.col("n_with")).cast("long")
+                .alias("n_without"),
+                F.expr("(_r - ret_with) * 1000000L"
+                       " DIV greatest(_n - n_with, 1L)").cast("long")
+                .alias("ret_without_e6"),
+                F.expr("(ret_with * 1000000L DIV n_with) * 1000L"
+                       " DIV greatest((_r - ret_with) * 1000000L"
+                       " DIV greatest(_n - n_with, 1L), 1L)")
+                .cast("long").alias("lift_e3")))
+
+
+QUERIES["activation_correlates"] = activation_correlates
+
+ORACLES["activation_correlates"] = """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+               AS wk
+      FROM events
+    ), first AS (
+      SELECT user_id, MIN(wk) AS fw FROM uw GROUP BY user_id
+    ), ret AS (
+      SELECT uw.user_id,
+             MAX(CASE WHEN wk = fw + 1 THEN 1 ELSE 0 END) AS retained
+      FROM uw JOIN first USING (user_id) GROUP BY uw.user_id
+    ), cohort AS (
+      SELECT COUNT(*) AS n, SUM(retained) AS r FROM ret
+    ), w0 AS (
+      SELECT DISTINCT e.user_id, e.event_type
+      FROM (SELECT user_id, event_type,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(ts AS DATE)) // 7 AS wk
+            FROM events) e
+      JOIN first ON first.user_id = e.user_id AND e.wk = first.fw
+    ), pt AS (
+      SELECT event_type, COUNT(*) AS n_with,
+             SUM(retained) AS ret_with
+      FROM w0 JOIN ret USING (user_id) GROUP BY event_type
+    )
+    SELECT event_type, CAST(n_with AS BIGINT) AS n_with,
+           CAST(ret_with * 1000000 // n_with AS BIGINT)
+             AS ret_with_e6,
+           CAST(n - n_with AS BIGINT) AS n_without,
+           CAST((r - ret_with) * 1000000 // greatest(n - n_with, 1)
+                AS BIGINT) AS ret_without_e6,
+           CAST((ret_with * 1000000 // n_with) * 1000
+                // greatest((r - ret_with) * 1000000
+                            // greatest(n - n_with, 1), 1) AS BIGINT)
+             AS lift_e3
+    FROM pt, cohort
+"""

@@ -628,3 +628,38 @@ def test_growth_sink_boundary_lifecycle_and_retry(spark, tmp_path):
     assert got[3] == (0, 1, 0, 1, 1)              # u1 ret, u3 churn@3
     # u2+u3 resurrect @4; u1 (last wk 3 < max 4) trail-churns @4
     assert got[4] == (0, 0, 2, 1, 2)
+
+
+def test_activation_correlates_lift(spark, tmp_path, monkeypatch):
+    """Crafted cohort where the 'a' behavior genuinely predicts
+    retention (the saturated driver corpus pins every lift at 1):
+    with-a retention 2/2, without-a 1/3."""
+    from goka_spark.queries.analytics import activation_correlates
+    import goka_spark.queries.analytics as QA
+    from datetime import datetime, timedelta
+
+    wk = lambda k: datetime(1970, 1, 1) + timedelta(days=7 * k)
+    rows = [
+        (1, "a", wk(0)), (1, "x", wk(1)),     # did a, retained
+        (2, "a", wk(0)), (2, "x", wk(1)),     # did a, retained
+        (3, "x", wk(0)), (3, "x", wk(1)),     # no a, retained
+        (4, "x", wk(0)),                      # no a, churned
+        (5, "x", wk(0)),                      # no a, churned
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp")
+    src = str(tmp_path / "events.parquet")
+    ev.write.parquet(src)
+    monkeypatch.setattr(QA, "load",
+                        lambda s, sf, *t: {"events": s.read.parquet(src)})
+    got = {r.event_type: r
+           for r in activation_correlates(spark, "x").collect()}
+    a = got["a"]
+    assert (a.n_with, a.ret_with_e6) == (2, 1_000_000)
+    assert (a.n_without, a.ret_without_e6) == (3, 333_333)
+    assert a.lift_e3 == 1_000_000 * 1000 // 333_333      # ≈3.0×
+    # 'x' in week 0: only users 3,4,5 (users 1,2 did x in week 1,
+    # which is NOT their first week) — 1/3 retained with, 2/2 without
+    x = got["x"]
+    assert (x.n_with, x.ret_with_e6) == (3, 333_333)
+    assert (x.n_without, x.ret_without_e6) == (2, 1_000_000)
