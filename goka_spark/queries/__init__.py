@@ -129,6 +129,7 @@ _FRONT = [
     "skipgram_pmi_topk",
     "hapax_ratio",
     "lsh_vs_edit_eval",
+    "dup_cluster_source_purity",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

@@ -5613,6 +5613,40 @@ def cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
                     .cast("long").alias("n_docs")))
 
 
+def dup_cluster_source_purity(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source SYNDICATION detection (C165) — over the
+    session-memoized Jaccard CC graph, how many distinct sources
+    each multi-doc near-dup cluster spans: pure clusters (1 source)
+    are internal re-posts the per-source dedup already handles;
+    multi-source clusters are mirrors/wire-copy — the content you
+    must dedup GLOBALLY, and the reason per-source sharding of a
+    dedup pipeline silently under-deletes.  Reports the (cluster
+    size × n_sources) histogram plus the doc volume in each cell.
+    Costs one join + two hash-aggs beyond the shared CC graph."""
+    docs = load(spark, sf, "documents")["documents"]
+    cc = _jaccard_cc(spark, docs, sf)
+    labeled = (docs.select("doc_id", "source")
+               .join(cc.withColumnRenamed("node", "doc_id"),
+                     "doc_id", "left")
+               .select("source",
+                       F.coalesce("cluster_id", "doc_id")
+                       .alias("cluster_id")))
+    per_cl = labeled.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"),
+        F.countDistinct("source").alias("n_sources"))
+    return (per_cl.filter(F.col("cluster_size") >= 2)
+            .groupBy("cluster_size", "n_sources")
+            .agg(F.count("*").alias("n_clusters"))
+            .select(F.col("cluster_size").cast("long"),
+                    F.col("n_sources").cast("long"),
+                    F.col("n_clusters").cast("long"),
+                    (F.col("cluster_size") * F.col("n_clusters"))
+                    .cast("long").alias("n_docs")))
+
+
+QUERIES["dup_cluster_source_purity"] = dup_cluster_source_purity
+
+
 def embedding_matryoshka_eval(spark: SparkSession, sf: str) -> DataFrame:
     """Truncated-dimension retrieval calibration
     (S.matryoshka_recall): recall@5 of prefix-dim brute cosine top-k
@@ -5716,6 +5750,26 @@ ORACLES["cluster_size_histogram"] = f"""
            CAST(COUNT(*) AS BIGINT) AS n_clusters,
            CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
     FROM sizes GROUP BY cluster_size
+"""
+
+
+ORACLES["dup_cluster_source_purity"] = f"""
+    WITH cl AS ({ORACLES["dedup_clusters"]}),
+    fl AS (
+      SELECT d.source,
+             COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN cl USING (doc_id)
+    ), per_cl AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size,
+             COUNT(DISTINCT source) AS n_sources
+      FROM fl GROUP BY cluster_id
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(n_sources AS BIGINT) AS n_sources,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM per_cl WHERE cluster_size >= 2
+    GROUP BY cluster_size, n_sources
 """
 
 
