@@ -130,6 +130,7 @@ _FRONT = [
     "hapax_ratio",
     "lsh_vs_edit_eval",
     "dup_cluster_source_purity",
+    "pii_audit_matrix",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",

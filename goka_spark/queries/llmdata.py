@@ -5613,6 +5613,50 @@ def cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
                     .cast("long").alias("n_docs")))
 
 
+def pii_audit_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """PII AUDIT before the scrub (C166) — per-source rates of each
+    PII class so a release owner knows WHAT C14's scrubber will
+    touch and which feed is leaking: emails and URLs use the exact
+    patterns `scrub_pii` rewrites (audit and scrub can never
+    disagree), plus the phone / IPv4 classes the scrubber docstring
+    marks as extensions.  Same planted-PII convention as the C14
+    oracle (every 10th doc gains a synthetic email+URL — the corpus
+    itself is clean), so the rates are non-trivial and
+    hash-verified; phone/IP fire in unit tests.  Four scalar regexp
+    predicates + one hash-agg."""
+    from goka_spark.functions.text import EMAIL_RE, URL_RE
+
+    docs = load(spark, sf, "documents")["documents"]
+    planted = F.when(F.col("doc_id") % 10 == 0,
+                     F.concat(F.col("text"),
+                              F.lit(" contact bob@example.com or"
+                                    " https://x.io/a"))) \
+        .otherwise(F.col("text"))
+    t = docs.select("source", planted.alias("_t"))
+    flags = t.select(
+        "source",
+        F.col("_t").rlike(EMAIL_RE).alias("_em"),
+        F.col("_t").rlike(URL_RE).alias("_ur"),
+        F.col("_t").rlike(r"\b\d{3}[-.]\d{3}[-.]\d{4}\b").alias("_ph"),
+        F.col("_t").rlike(r"\b(\d{1,3}\.){3}\d{1,3}\b").alias("_ip"))
+    c = lambda x: F.sum(F.col(x).cast("long"))  # noqa: E731
+    return (flags.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 c("_em").alias("n_email"),
+                 c("_ur").alias("n_url"),
+                 c("_ph").alias("n_phone"),
+                 c("_ip").alias("n_ip"),
+                 F.sum((F.col("_em") | F.col("_ur") | F.col("_ph")
+                        | F.col("_ip")).cast("long")).alias("_any"))
+            .select("source", "n_docs", "n_email", "n_url",
+                    "n_phone", "n_ip",
+                    F.expr("_any * 1000000L DIV n_docs").cast("long")
+                    .alias("any_pii_e6")))
+
+
+QUERIES["pii_audit_matrix"] = pii_audit_matrix
+
+
 def dup_cluster_source_purity(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-source SYNDICATION detection (C165) — over the
     session-memoized Jaccard CC graph, how many distinct sources
@@ -5750,6 +5794,37 @@ ORACLES["cluster_size_histogram"] = f"""
            CAST(COUNT(*) AS BIGINT) AS n_clusters,
            CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
     FROM sizes GROUP BY cluster_size
+"""
+
+
+ORACLES["pii_audit_matrix"] = r"""
+    WITH t AS (
+      SELECT source,
+             CASE WHEN doc_id % 10 = 0
+                  THEN text || ' contact bob@example.com or https://x.io/a'
+                  ELSE text END AS tx
+      FROM documents
+    ), f AS (
+      SELECT source,
+             regexp_matches(tx,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS em,
+             regexp_matches(tx, 'https?://[^\s]+') AS ur,
+             regexp_matches(tx, '\b\d{3}[-.]\d{3}[-.]\d{4}\b') AS ph,
+             regexp_matches(tx, '\b(\d{1,3}\.){3}\d{1,3}\b') AS ip
+      FROM t
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN em THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_email,
+           CAST(SUM(CASE WHEN ur THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_url,
+           CAST(SUM(CASE WHEN ph THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_phone,
+           CAST(SUM(CASE WHEN ip THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ip,
+           CAST(SUM(CASE WHEN em OR ur OR ph OR ip THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS any_pii_e6
+    FROM f GROUP BY source
 """
 
 

@@ -501,3 +501,27 @@ def test_lsh_vs_edit_eval_confusion_wiring(spark, tmp_path, monkeypatch):
         assert r.recall_e6 == r.tp * 1_000_000 // max(r.n_label, 1)
         assert r.n_pairs == r.tp + r.fp + r.fn + (
             r.n_pairs - r.n_label - r.fp)
+
+
+def test_pii_audit_phone_ip_classes(spark, tmp_path, monkeypatch):
+    """Phone and IPv4 classes (never planted by the driver
+    convention) fire on crafted docs; the word-boundary keeps a
+    version string from counting as an IP."""
+    import goka_spark.queries.llmdata as QL
+    from goka_spark.queries.llmdata import pii_audit_matrix
+
+    rows = [(1, "s", "call 555-867-5309 now"),
+            (2, "s", "server at 192.168.1.77 down"),
+            (3, "s", "nothing sensitive here")]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, source string, text string")
+    src = str(tmp_path / "documents.parquet")
+    docs.write.parquet(src)
+    monkeypatch.setattr(QL, "load",
+                        lambda s, sf, *t: {"documents":
+                                           s.read.parquet(src)})
+    r = pii_audit_matrix(spark, "x").collect()[0]
+    assert (r.n_phone, r.n_ip) == (1, 1)
+    # doc 1,2 have pii; doc 3 clean BUT doc_id%10==0 planting never
+    # applies (ids 1-3) -> any = 2/3
+    assert r.any_pii_e6 == 2 * 1_000_000 // 3
