@@ -122,6 +122,7 @@ _FRONT = [
     "growth_accounting",
     "seasonal_anomalies",
     "activation_correlates",
+    "engagement_mix_by_decile",
     "edit_distance_pairs",
     "readability_fre",
     "encoding_anomalies",

@@ -3089,3 +3089,83 @@ ORACLES["activation_correlates"] = """
              AS lift_e3
     FROM pt, cohort
 """
+
+
+def engagement_mix_by_decile(spark: SparkSession, sf: str) -> DataFrame:
+    """Engagement MIX by activity decile (B77) — do heavy users do
+    proportionally more purchasing or just more clicking?  The
+    composition question B58's concentration report can't answer.
+    Per (activity decile, event type): events and the share of the
+    decile's volume in micro-units.
+
+    Per-user decile assignment stays scale-correct: NO global NTILE
+    (the single-partition anti-pattern) — the users-sized count
+    table collapses to the count-frequency form (B58's kernel), a
+    tiny cumulative window gives each activity level its rank
+    offset, and each user's rank is offset + row_number within its
+    OWN level (a cnt-partitioned window, never global); decile =
+    (rank·10 − 1) DIV n + 1 with rank 1-based.  Ties broken by
+    user_id so both engines assign identically."""
+    ev = load(spark, sf, "events")["events"]
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    freq = per_user.groupBy("cnt").agg(F.count("*").alias("u"))
+    wcum = (Window.orderBy(F.desc("cnt"))
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (freq.withColumn("cum0", F.coalesce(F.sum("u").over(wcum),
+                                               F.lit(0)))
+            .withColumn("n", F.sum("u").over(Window.partitionBy())))
+    wlvl = Window.partitionBy("cnt").orderBy("user_id")
+    ranked = (per_user.withColumn("_rn", F.row_number().over(wlvl))
+              .join(F.broadcast(offs.select("cnt", "cum0", "n")),
+                    "cnt")
+              .select("user_id",
+                      F.expr("((cum0 + _rn) * 10 - 1) DIV n + 1")
+                      .alias("decile")))
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("e"))
+    mix = (ut.join(ranked, "user_id")
+           .groupBy("decile", "event_type")
+           .agg(F.sum("e").cast("long").alias("n_events")))
+    return (mix.select(F.col("decile").cast("long"), "event_type",
+                       "n_events",
+                       F.expr("CAST(n_events * 1000000L DIV "
+                              "(SUM(n_events) OVER (PARTITION BY "
+                              "decile)) AS BIGINT)")
+                       .alias("share_e6")))
+
+
+QUERIES["engagement_mix_by_decile"] = engagement_mix_by_decile
+
+ORACLES["engagement_mix_by_decile"] = """
+    WITH pu AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ), freq AS (
+      SELECT cnt, COUNT(*) AS u FROM pu GROUP BY cnt
+    ), offs AS (
+      SELECT cnt,
+             COALESCE(SUM(u) OVER (ORDER BY cnt DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum0,
+             SUM(u) OVER () AS n
+      FROM freq
+    ), ranked AS (
+      SELECT pu.user_id,
+             ((cum0 + ROW_NUMBER() OVER (PARTITION BY pu.cnt
+                                         ORDER BY pu.user_id))
+              * 10 - 1) // n + 1 AS decile
+      FROM pu JOIN offs ON offs.cnt = pu.cnt
+    ), ut AS (
+      SELECT user_id, event_type, COUNT(*) AS e
+      FROM events GROUP BY user_id, event_type
+    ), mix AS (
+      SELECT decile, event_type, SUM(e) AS n_events
+      FROM ut JOIN ranked USING (user_id)
+      GROUP BY decile, event_type
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, event_type,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_events * 1000000 //
+                (SUM(n_events) OVER (PARTITION BY decile)) AS BIGINT)
+             AS share_e6
+    FROM mix
+"""

@@ -663,3 +663,37 @@ def test_activation_correlates_lift(spark, tmp_path, monkeypatch):
     x = got["x"]
     assert (x.n_with, x.ret_with_e6) == (3, 333_333)
     assert (x.n_without, x.ret_without_e6) == (2, 1_000_000)
+
+
+def test_engagement_mix_decile_assignment(spark, tmp_path, monkeypatch):
+    """20 users, user k has k events of one type: user 20,19 land in
+    decile 1 (rank·10−1 DIV n +1), user 1 in decile 10; per-decile
+    shares are exact."""
+    from goka_spark.queries.analytics import engagement_mix_by_decile
+    import goka_spark.queries.analytics as QA
+    from datetime import datetime
+
+    rows = []
+    eid = 0
+    for u in range(1, 21):
+        for i in range(u):
+            eid += 1
+            rows.append((eid, u, "buy" if u > 10 else "view",
+                         datetime(2024, 1, 1)))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "ts timestamp")
+    src = str(tmp_path / "events.parquet")
+    ev.write.parquet(src)
+    monkeypatch.setattr(QA, "load",
+                        lambda s, sf, *t: {"events": s.read.parquet(src)})
+    got = {(r.decile, r.event_type): (r.n_events, r.share_e6)
+           for r in engagement_mix_by_decile(spark, "x").collect()}
+    # decile 1 = ranks 1-2 = users 20,19 (both 'buy'): 39 events
+    assert got[(1, "buy")] == (39, 1_000_000)
+    # decile 10 = ranks 19-20 = users 2,1 ('view'): 3 events
+    assert got[(10, "view")] == (3, 1_000_000)
+    # decile 5 = ranks 9-10 = users 12,11: 'buy' 23 events
+    assert got[(5, "buy")] == (23, 1_000_000)
+    # decile 6 = ranks 11-12 = users 10,9: 'view'
+    assert got[(6, "view")] == (19, 1_000_000)
