@@ -132,6 +132,7 @@ _FRONT = [
     "lsh_vs_edit_eval",
     "dup_cluster_source_purity",
     "pii_audit_matrix",
+    "sample_mix_chi2",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",
@@ -152,7 +153,7 @@ _FRONT = [
     "loopback_rekey",
 ]
 # r10 rotation plan: promote to the front (a) every key between
-# "weighted_jaccard_pairs" and "rfm_segments" in the tail above —
+# "weighted_jaccard_pairs" and "sample_mix_chi2" in the tail above —
 # the r9 additions that have never had a driver row (all locally
 # oracle-verified at sf0.001 AND sf0.01, most also at sf0.1);
 # (b) then the oldest-certified keys (r6 vintage after this round).

@@ -5613,6 +5613,43 @@ def cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
                     .cast("long").alias("n_docs")))
 
 
+def sample_mix_chi2(spark: SparkSession, sf: str) -> DataFrame:
+    """Sampler BIAS validation (C167) — before trusting any
+    hash-sampled eval slice, check the sample kept the source mix:
+    a 10% md5-slot sample (C22's deterministic sampler, uniform
+    rate) against the full corpus, per source: full/sample shares,
+    |drift|, and the exact-integer chi-square term
+    (m·N − n·M)²·1e6 DIV (N·n·M) — Σ over sources ~ χ²(k−1) under
+    the null, so a huge term names the biased stratum.  Everything
+    engine-exact (the sampler IS a hash test — no RNG); two
+    hash-aggs + a one-row broadcast.  BIGINT products hold while
+    m·N ≤ 3e9-ish per stratum; shard-and-merge the counts beyond."""
+    docs = load(spark, sf, "documents")["documents"]
+    slot = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                              1, 8), 16, 10).cast("long") % 100
+    t = docs.select("source", (slot < 10).cast("long").alias("_in"))
+    per = (t.groupBy("source")
+           .agg(F.count("*").cast("long").alias("n_full"),
+                F.sum("_in").cast("long").alias("n_samp")))
+    tot = per.agg(F.sum("n_full").alias("_N"), F.sum("n_samp").alias("_M"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("source", "n_full", "n_samp",
+                    F.expr("n_full * 1000000L DIV _N").cast("long")
+                    .alias("share_full_e6"),
+                    F.expr("n_samp * 1000000L DIV greatest(_M, 1L)")
+                    .cast("long").alias("share_samp_e6"),
+                    F.abs(F.expr("n_samp * 1000000L DIV greatest(_M, 1L)"
+                                 " - n_full * 1000000L DIV _N"))
+                    .cast("long").alias("drift_e6"),
+                    F.expr("(n_samp * _N - n_full * _M)"
+                           " * (n_samp * _N - n_full * _M) * 1000000L"
+                           " DIV (_N * n_full * greatest(_M, 1L))")
+                    .cast("long").alias("chi2_term_e6")))
+
+
+QUERIES["sample_mix_chi2"] = sample_mix_chi2
+
+
 def pii_audit_matrix(spark: SparkSession, sf: str) -> DataFrame:
     """PII AUDIT before the scrub (C166) — per-source rates of each
     PII class so a release owner knows WHAT C14's scrubber will
@@ -5794,6 +5831,33 @@ ORACLES["cluster_size_histogram"] = f"""
            CAST(COUNT(*) AS BIGINT) AS n_clusters,
            CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
     FROM sizes GROUP BY cluster_size
+"""
+
+
+ORACLES["sample_mix_chi2"] = """
+    WITH t AS (
+      SELECT source,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                             1, 8)) AS BIGINT) % 100 < 10
+                  THEN 1 ELSE 0 END AS s
+      FROM documents
+    ), per AS (
+      SELECT source, COUNT(*) AS n_full, SUM(s) AS n_samp
+      FROM t GROUP BY source
+    ), tot AS (
+      SELECT SUM(n_full) AS nn, SUM(n_samp) AS mm FROM per
+    )
+    SELECT source, CAST(n_full AS BIGINT) AS n_full,
+           CAST(n_samp AS BIGINT) AS n_samp,
+           CAST(n_full * 1000000 // nn AS BIGINT) AS share_full_e6,
+           CAST(n_samp * 1000000 // greatest(mm, 1) AS BIGINT)
+             AS share_samp_e6,
+           CAST(ABS(n_samp * 1000000 // greatest(mm, 1)
+                    - n_full * 1000000 // nn) AS BIGINT) AS drift_e6,
+           CAST((n_samp * nn - n_full * mm) * (n_samp * nn - n_full * mm)
+                * 1000000 // (nn * n_full * greatest(mm, 1)) AS BIGINT)
+             AS chi2_term_e6
+    FROM per, tot
 """
 
 
