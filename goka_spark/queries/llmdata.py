@@ -5613,6 +5613,43 @@ def cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
                     .cast("long").alias("n_docs")))
 
 
+def text_vs_embedding_consistency(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-modal CONSISTENCY audit (C168) — near-identical texts
+    must have near-identical embeddings: over the winnow-candidate
+    pairs (which carry C158's exact edit similarity), the
+    (edit-sim bucket × embedding-cosine bucket) contingency table.
+    Mass on the high-edit/low-cosine diagonal corner is an embedding
+    pipeline bug (stale vectors, wrong id join, truncation) — the
+    check that catches it BEFORE SemDeDup quietly under-merges.
+    Buckets: edit sim_e6 DIV 200k (0-4, exact integer), cosine
+    rounded to 4 dp (the C12 engine-agreement discipline) then
+    decile-binned over [−1, 1] — identical double arithmetic on the
+    identically-rounded value in both engines.  Pair frame is
+    winnow-bounded; two id joins + one hash-agg."""
+    t = load(spark, sf, "documents", "embeddings")
+    docs, emb = t["documents"], t["embeddings"]
+    ed = D.edit_distance_pairs(docs, "doc_id", "text")
+    v = S._normalized(emb.select(F.col("vec_id").alias("_id"),
+                                 F.col("embedding")),
+                      "_id", F.col("embedding"))
+    va = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    j = (ed.join(va, "id_a").join(vb, "id_b")
+         .withColumn("cos", F.round(S.dot(F.col("_va"),
+                                          F.col("_vb")), 4)))
+    ebin = F.expr("least(sim_e6 DIV 200000, 4L)")
+    cbin = F.least(F.greatest(F.floor((F.col("cos") + 1.0) * 5.0),
+                              F.lit(0)), F.lit(9))
+    return (j.select(ebin.alias("edit_bin"), cbin.alias("cos_bin"))
+            .groupBy("edit_bin", "cos_bin")
+            .agg(F.count("*").cast("long").alias("n_pairs"))
+            .select(F.col("edit_bin").cast("long"),
+                    F.col("cos_bin").cast("long"), "n_pairs"))
+
+
+QUERIES["text_vs_embedding_consistency"] = text_vs_embedding_consistency
+
+
 def sample_mix_chi2(spark: SparkSession, sf: str) -> DataFrame:
     """Sampler BIAS validation (C167) — before trusting any
     hash-sampled eval slice, check the sample kept the source mix:
@@ -5832,6 +5869,30 @@ ORACLES["cluster_size_histogram"] = f"""
            CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
     FROM sizes GROUP BY cluster_size
 """
+
+
+# lazy: the edit-pair oracle it composes over is defined further down
+def _tve_oracle() -> str:
+    return """
+    WITH ed AS ({ED}),
+    j AS (
+      SELECT ed.sim_e6,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 4)
+               AS cos
+      FROM ed
+      JOIN embeddings a ON a.vec_id = ed.id_a
+      JOIN embeddings b ON b.vec_id = ed.id_b
+    )
+    SELECT CAST(LEAST(sim_e6 // 200000, 4) AS BIGINT) AS edit_bin,
+           CAST(LEAST(GREATEST(FLOOR((cos + 1.0) * 5.0), 0), 9)
+                AS BIGINT) AS cos_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM j GROUP BY edit_bin, cos_bin
+""".replace("{ED}", ORACLES["edit_distance_pairs"])
+
+
+ORACLES["text_vs_embedding_consistency"] = _tve_oracle
 
 
 ORACLES["sample_mix_chi2"] = """
