@@ -419,6 +419,86 @@ class SessionizeSink:
         return out
 
 
+def seasonal_cells(ev, type_col: str = "event_type",
+                   ts_col: str = "ts"):
+    """(type, date, hour-of-day, weekday) → count — the cell table
+    B74 and SeasonalBaselineSink score.  ADDITIVE: summing per-epoch
+    cell tables equals the whole-stream cell table, which is what
+    makes the streaming face exact.  Weekday is the engine-neutral
+    (epoch_days + 3) % 7 (0 = Monday)."""
+    return (ev.groupBy(F.col(type_col).alias("event_type"),
+                       F.to_date(ts_col).alias("_d"),
+                       F.hour(ts_col).alias("hod"))
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .withColumn("dow", F.expr(
+                "(datediff(_d, DATE '1970-01-01') + 3) % 7")))
+
+
+def seasonal_score(cell):
+    """Median/MAD scoring of a seasonal cell table: each (type,
+    date, hour) against its OWN (type, weekday, hour-of-day) bucket
+    across weeks — B62's exact-integer robust discipline (lower
+    median k = (n+1) DIV 2, spike ⟺ (c−med)·1e4 > 44478·mad ∧
+    c > med).  Two windows over the small cell frame + broadcast
+    stats back."""
+    from pyspark.sql.window import Window
+
+    key = ["event_type", "dow", "hod"]
+    wk = Window.partitionBy(*key).orderBy("cnt", "_d")
+    med = (cell.withColumn("_rn", F.row_number().over(wk))
+           .withColumn("_n", F.count("*").over(Window.partitionBy(*key)))
+           .filter(F.col("_rn") == F.expr("(_n + 1) DIV 2"))
+           .select(*key, F.col("cnt").alias("med")))
+    dev = (cell.join(F.broadcast(med), key)
+           .withColumn("_dev", F.abs(F.col("cnt") - F.col("med"))))
+    wd = Window.partitionBy(*key).orderBy("_dev", "_d")
+    mad = (dev.withColumn("_rn", F.row_number().over(wd))
+           .withColumn("_n", F.count("*").over(Window.partitionBy(*key)))
+           .filter(F.col("_rn") == F.expr("(_n + 1) DIV 2"))
+           .select(*key, F.col("_dev").alias("mad")))
+    j = dev.join(F.broadcast(mad), key)
+    spike = ((F.col("cnt") > F.col("med"))
+             & ((F.col("cnt") - F.col("med")) * 10000
+                > 44478 * F.col("mad")))
+    return j.select("event_type",
+                    F.date_format("_d", "yyyy-MM-dd").alias("day"),
+                    F.col("hod").cast("long"),
+                    F.col("dow").cast("long"),
+                    "cnt", "med", "mad", spike.alias("is_spike"))
+
+
+class SeasonalBaselineSink:
+    """Streaming face of B74 — the per-epoch cell tables are
+    ADDITIVE (counts per (type, date, hour)), so merging epoch
+    partials and scoring the merged frame reproduces the batch
+    seasonal_anomalies table EXACTLY; no carried classification
+    state at all, just the tiny cell partials.
+
+    Layout (whole-epoch overwrite, retry-idempotent):
+
+      out/cells/epoch_id=N  the epoch's cell counts
+
+    read() sums every epoch's partials and runs the same
+    seasonal_score kernel the batch query uses — stream ≡ batch by
+    shared code, not by parallel implementations."""
+
+    def __init__(self, out_path: str, type_col: str = "event_type",
+                 ts_col: str = "ts"):
+        self.out = out_path.rstrip("/")
+        self.type_col, self.ts_col = type_col, ts_col
+
+    def __call__(self, batch_df, epoch_id: int) -> None:
+        cells = seasonal_cells(batch_df, self.type_col, self.ts_col)
+        (cells.write.mode("overwrite")
+         .parquet(f"{self.out}/cells/epoch_id={int(epoch_id)}"))
+
+    def read(self, spark):
+        merged = (spark.read.parquet(f"{self.out}/cells")
+                  .groupBy("event_type", "_d", "hod", "dow")
+                  .agg(F.sum("cnt").cast("long").alias("cnt")))
+        return seasonal_score(merged)
+
+
 class GrowthAccountingSink:
     """Streaming GROWTH ACCOUNTING — the cross-epoch face of the
     B73 batch query: per week, actives split into new / retained /

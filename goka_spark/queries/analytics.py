@@ -2929,34 +2929,11 @@ def seasonal_anomalies(spark: SparkSession, sf: str) -> DataFrame:
     that small frame partitioned by the ~types×168 bucket key, and
     the bucket stats broadcast back.  Nothing touches raw events
     twice."""
+    from goka_spark.operators.windows import (seasonal_cells,
+                                              seasonal_score)
+
     ev = load(spark, sf, "events")["events"]
-    cell = (ev.groupBy("event_type", F.to_date("ts").alias("_d"),
-                       F.hour("ts").alias("hod"))
-            .agg(F.count("*").cast("long").alias("cnt"))
-            .withColumn("dow", F.expr(
-                "(datediff(_d, DATE '1970-01-01') + 3) % 7")))
-    key = ["event_type", "dow", "hod"]
-    wk = Window.partitionBy(*key).orderBy("cnt", "_d")
-    med = (cell.withColumn("_rn", F.row_number().over(wk))
-           .withColumn("_n", F.count("*").over(Window.partitionBy(*key)))
-           .filter(F.col("_rn") == F.expr("(_n + 1) DIV 2"))
-           .select(*key, F.col("cnt").alias("med")))
-    dev = (cell.join(F.broadcast(med), key)
-           .withColumn("_dev", F.abs(F.col("cnt") - F.col("med"))))
-    wd = Window.partitionBy(*key).orderBy("_dev", "_d")
-    mad = (dev.withColumn("_rn", F.row_number().over(wd))
-           .withColumn("_n", F.count("*").over(Window.partitionBy(*key)))
-           .filter(F.col("_rn") == F.expr("(_n + 1) DIV 2"))
-           .select(*key, F.col("_dev").alias("mad")))
-    j = dev.join(F.broadcast(mad), key)
-    spike = ((F.col("cnt") > F.col("med"))
-             & ((F.col("cnt") - F.col("med")) * 10000
-                > 44478 * F.col("mad")))
-    return j.select("event_type",
-                    F.date_format("_d", "yyyy-MM-dd").alias("day"),
-                    F.col("hod").cast("long"),
-                    F.col("dow").cast("long"),
-                    "cnt", "med", "mad", spike.alias("is_spike"))
+    return seasonal_score(seasonal_cells(ev))
 
 
 QUERIES["seasonal_anomalies"] = seasonal_anomalies

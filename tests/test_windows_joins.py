@@ -697,3 +697,32 @@ def test_engagement_mix_decile_assignment(spark, tmp_path, monkeypatch):
     assert got[(5, "buy")] == (23, 1_000_000)
     # decile 6 = ranks 11-12 = users 10,9: 'view'
     assert got[(6, "view")] == (19, 1_000_000)
+
+
+def test_seasonal_baseline_sink_equals_batch(spark, sf_dir, tmp_path,
+                                             monkeypatch):
+    """Three epoch slices through SeasonalBaselineSink score to
+    exactly the batch seasonal_anomalies table — additive cell
+    partials + the shared scoring kernel."""
+    from goka_spark.operators.windows import SeasonalBaselineSink
+    from goka_spark.queries.analytics import seasonal_anomalies
+    import goka_spark.queries.analytics as QA
+    from goka_spark.queries.base import load
+
+    ev = load(spark, sf_dir, "events")["events"]
+    row = ev.selectExpr("percentile(unix_micros(ts), 0.33) AS lo",
+                        "percentile(unix_micros(ts), 0.66) AS hi").first()
+    lo, hi = int(row.lo), int(row.hi)
+    us = F.unix_micros("ts")
+    sink = SeasonalBaselineSink(str(tmp_path / "sb"))
+    # a cell (same type+hour) can SPAN slices: the additive merge
+    # must recombine it before scoring
+    sink(ev.filter(us <= lo), 0)
+    sink(ev.filter((us > lo) & (us <= hi)), 1)
+    b2 = ev.filter(us > hi)
+    sink(b2, 2)
+    sink(b2, 2)                                  # retry
+    live = sorted(tuple(r) for r in sink.read(spark).collect())
+    monkeypatch.setattr(QA, "load", lambda s, sf, *t: {"events": ev})
+    ref = sorted(tuple(r) for r in seasonal_anomalies(spark, "x").collect())
+    assert live == ref
