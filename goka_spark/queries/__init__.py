@@ -134,6 +134,7 @@ _FRONT = [
     "pii_audit_matrix",
     "sample_mix_chi2",
     "text_vs_embedding_consistency",
+    "gate_bias_by_length",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",
@@ -154,8 +155,8 @@ _FRONT = [
     "loopback_rekey",
 ]
 # r10 rotation plan: promote to the front (a) every key between
-# "weighted_jaccard_pairs" and "text_vs_embedding_consistency" in
-# the tail above —
+# "weighted_jaccard_pairs" and "gate_bias_by_length" in the tail
+# above —
 # the r9 additions that have never had a driver row (all locally
 # oracle-verified at sf0.001 AND sf0.01, most also at sf0.1);
 # (b) then the oldest-certified keys (r6 vintage after this round).

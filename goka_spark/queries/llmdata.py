@@ -4620,6 +4620,42 @@ def _source_quality_oracle() -> str:
 ORACLES["source_quality_matrix"] = _source_quality_oracle
 
 
+def _gate_bias_oracle() -> str:
+    """The three per-doc gate oracles composed as CTEs (the C113
+    pattern) grouped by the token-length bucket instead of source."""
+    return f"""
+    WITH rep AS ({ORACLES["gopher_repetition"]}),
+    ent AS ({ORACLES["doc_entropy"]}),
+    blk AS ({ORACLES["blocklist_filter"]}),
+    j AS (
+      SELECT LEAST(len({_WORDS}) // 32, 4) AS len_bucket,
+             rep.keep = 1 AS rep_ok,
+             ent.n_tokens > 0
+               AND COALESCE(ent.entropy, 0) >= 1.0 AS ent_ok,
+             blk.keep AS blk_ok
+      FROM documents d
+      JOIN rep ON rep.doc_id = d.doc_id
+      JOIN ent ON ent.doc_id = d.doc_id
+      JOIN blk ON blk.doc_id = d.doc_id
+    ),
+    u AS (
+      SELECT len_bucket, 'repetition' AS gate, rep_ok AS ok FROM j
+      UNION ALL SELECT len_bucket, 'entropy', ent_ok FROM j
+      UNION ALL SELECT len_bucket, 'blocklist', blk_ok FROM j
+    )
+    SELECT CAST(len_bucket AS BIGINT) AS len_bucket, gate,
+           CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS pass_e6
+    FROM u GROUP BY len_bucket, gate
+    """
+
+
+ORACLES["gate_bias_by_length"] = _gate_bias_oracle
+
+
 # int8 scalar quantization: per-dim global [min,max], code =
 # clamp(floor((x-mn)*255/rg)), digest over '|'-joined codes, midpoint
 # decode MSE via an ordered left fold (bit-identical to F.aggregate)
@@ -5611,6 +5647,32 @@ def cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("n_clusters").cast("long"),
                     (F.col("cluster_size") * F.col("n_clusters"))
                     .cast("long").alias("n_docs")))
+
+
+def gate_bias_by_length(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate BIAS by document length (C169) — quality gates tuned on
+    average docs quietly slaughter one length tail (repetition
+    ratios inflate on short docs, entropy floors punish them too;
+    long docs hit ratio caps).  Per (token-length bucket, gate):
+    pass counts and rates — the audit that says WHICH gate to
+    re-tune before a filter pass reshapes the length distribution.
+    Same composed kernel as C113's per-source matrix
+    (C.quality_gate_counts), grouped by least(tokens DIV 32, 4)."""
+    docs = load(spark, sf, "documents")["documents"]
+    d2 = docs.withColumn(
+        "len_bucket",
+        F.least(F.expr("CAST(size(filter(split(text, ' '), "
+                       "w -> w != '')) AS BIGINT) DIV 32"), F.lit(4)))
+    m = C.quality_gate_counts(d2, "doc_id", "text",
+                              tuple(BLOCK_TERMS),
+                              group_cols=("len_bucket",))
+    return m.select(F.col("len_bucket").cast("long"), "gate",
+                    "n_pass", "n_docs",
+                    F.expr("n_pass * 1000000L DIV n_docs")
+                    .alias("pass_e6"))
+
+
+QUERIES["gate_bias_by_length"] = gate_bias_by_length
 
 
 def text_vs_embedding_consistency(spark: SparkSession, sf: str) -> DataFrame:
