@@ -4656,6 +4656,34 @@ def _gate_bias_oracle() -> str:
 ORACLES["gate_bias_by_length"] = _gate_bias_oracle
 
 
+def _curriculum_oracle() -> str:
+    return f"""
+    WITH r AS ({ORACLES["readability_fre"]}),
+    p AS (
+      SELECT CASE WHEN fkgl_e3 < 0 THEN 0
+                  WHEN fkgl_e3 < 4000 THEN 1
+                  WHEN fkgl_e3 < 8000 THEN 2 ELSE 3 END AS phase,
+             n_words, fkgl_e3
+      FROM r
+    ), agg AS (
+      SELECT phase, COUNT(*) AS n_docs, SUM(n_words) AS n_tokens,
+             SUM(fkgl_e3) AS fk
+      FROM p GROUP BY phase
+    ), tot AS (SELECT SUM(n_tokens) AS t FROM agg)
+    SELECT CAST(phase AS BIGINT) AS phase,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens * 1000000 // greatest(t, 1) AS BIGINT)
+             AS token_share_e6,
+           CAST((fk + n_docs * 1000000) // n_docs - 1000000 AS BIGINT)
+             AS mean_fkgl_e3
+    FROM agg, tot
+    """
+
+
+ORACLES["curriculum_phases"] = _curriculum_oracle
+
+
 # int8 scalar quantization: per-dim global [min,max], code =
 # clamp(floor((x-mn)*255/rg)), digest over '|'-joined codes, midpoint
 # decode MSE via an ordered left fold (bit-identical to F.aggregate)
@@ -5647,6 +5675,43 @@ def cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("n_clusters").cast("long"),
                     (F.col("cluster_size") * F.col("n_clusters"))
                     .cast("long").alias("n_docs")))
+
+
+def curriculum_phases(spark: SparkSession, sf: str) -> DataFrame:
+    """CURRICULUM assembly (C170) — stage training data easy→hard
+    (curriculum learning): each doc lands in a difficulty phase by
+    fixed FK-grade thresholds (C159's fkgl_e3 at <0 / <4000 /
+    <8000 / ≥8000 — fixed cutoffs, not quantiles, so phase
+    membership is stable when the corpus grows and the assignment
+    never needs a global sort).  Per phase: docs, tokens, token
+    share, mean grade — the loader's phase-schedule input.  Two
+    scan-stage expression sets + one hash-agg + a one-row
+    broadcast."""
+    docs = load(spark, sf, "documents")["documents"]
+    r = T.readability_fre(docs, "doc_id", "text")
+    phase = (F.when(F.col("fkgl_e3") < 0, 0)
+             .when(F.col("fkgl_e3") < 4000, 1)
+             .when(F.col("fkgl_e3") < 8000, 2)
+             .otherwise(3))
+    agg = (r.select(phase.alias("phase"), "n_words", "fkgl_e3")
+           .groupBy("phase")
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_words").cast("long").alias("n_tokens"),
+                F.sum("fkgl_e3").alias("_fk")))
+    tot = agg.agg(F.sum("n_tokens").alias("_T"))
+    return (agg.crossJoin(F.broadcast(tot))
+            .select(F.col("phase").cast("long"), "n_docs", "n_tokens",
+                    F.expr("n_tokens * 1000000L DIV greatest(_T, 1L)")
+                    .cast("long").alias("token_share_e6"),
+                    # _fk can be NEGATIVE (fkgl floors at −15590):
+                    # Spark DIV truncates, DuckDB // floors — shift
+                    # to non-negative so both compute floor(_fk/n)
+                    F.expr("(_fk + n_docs * 1000000L) DIV n_docs"
+                           " - 1000000L").cast("long")
+                    .alias("mean_fkgl_e3")))
+
+
+QUERIES["curriculum_phases"] = curriculum_phases
 
 
 def gate_bias_by_length(spark: SparkSession, sf: str) -> DataFrame:
