@@ -1664,10 +1664,10 @@ def edit_distance_pairs(df: "DataFrame", id_col: str, text_col: str,
     # Measured 13 s → ~1 s; at 100 TB the frame is bounded by the
     # candidate count, the same budget the verify stage itself pays.
     sc = joined.sparkSession.sparkContext
-    joined = (joined.repartition(sc.defaultParallelism)
+    scored = (joined.repartition(sc.defaultParallelism)
+              .withColumn("_d", F.levenshtein("_ta", "_tb", max_dist))
               .localCheckpoint(eager=False))
-    return (joined
-            .withColumn("_d", F.levenshtein("_ta", "_tb", max_dist))
+    return (scored
             .filter(F.col("_d") >= 0)
             .withColumn("_mx", F.greatest(F.length("_ta"),
                                           F.length("_tb")))

@@ -547,3 +547,18 @@ def test_rfm_segments_broadcasts_corpus_max(spark, sf_dir):
     plan = X.simple(df)
     assert "BroadcastNestedLoopJoin BuildRight" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_edit_distance_levenshtein_evaluated_once_and_wide(spark, sf_dir):
+    """Two optimizer pathologies this plan must never regress to:
+    the `_d >= 0` filter merging into the join condition and
+    predicate pushdown re-substituting the `_d` alias — both
+    re-evaluate Levenshtein per row — and the byte-tiny pair frame
+    being scored on AQE-coalesced partitions.  The scoring sits
+    BELOW the lazy localCheckpoint (materialized once, on the
+    explicit fan-out): the post-checkpoint plan must contain NO
+    levenshtein call at all, just the RDD barrier."""
+    df = llmdata.edit_distance_pairs(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("levenshtein") == 0, plan
+    assert "LogicalRDD" in plan, plan
