@@ -636,3 +636,31 @@ def image_wht_hash(df: DataFrame, id_col: str = "doc_id",
 
     return df.select(id_col, blob_col).mapInPandas(
         run, "doc_id long, wht_hash long")
+
+
+def image_moment_stats(df: DataFrame, id_col: str = "doc_id",
+                       blob_col: str = "blob") -> DataFrame:
+    """Per-image gray-channel integer moments from REAL decoded P6
+    pixels: (n_pixels, sum, sum-of-squares) — the exact-arithmetic
+    inputs every contrast/exposure gate needs (pixel values are
+    small ints, so the sums are exact and a closed-form oracle can
+    replay them).  Arrow-batched; gray = the red channel (the quad
+    encoder writes r=g=b)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns, s1, s2 = [], [], []
+            for b in pdf[blob_col]:
+                _, _, _, px = ppm_parse(bytes(b))
+                gray = px.reshape(-1, 3)[:, 0].astype(np.int64)
+                ns.append(int(gray.size))
+                s1.append(int(gray.sum()))
+                s2.append(int((gray * gray).sum()))
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "n_pixels": ns, "px_sum": s1, "px_sum2": s2,
+            })
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run, "doc_id long, n_pixels long, px_sum long, px_sum2 long")

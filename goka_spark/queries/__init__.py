@@ -136,6 +136,7 @@ _FRONT = [
     "text_vs_embedding_consistency",
     "gate_bias_by_length",
     "curriculum_phases",
+    "image_contrast_score",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",
@@ -156,7 +157,7 @@ _FRONT = [
     "loopback_rekey",
 ]
 # r10 rotation plan: promote to the front (a) every key between
-# "weighted_jaccard_pairs" and "curriculum_phases" in the tail
+# "weighted_jaccard_pairs" and "image_contrast_score" in the tail
 # above —
 # the r9 additions that have never had a driver row (all locally
 # oracle-verified at sf0.001 AND sf0.01, most also at sf0.1);

@@ -4656,6 +4656,36 @@ def _gate_bias_oracle() -> str:
 ORACLES["gate_bias_by_length"] = _gate_bias_oracle
 
 
+# image contrast: the quad pixel law ((i+seed)² % 256) replayed in
+# closed form — decode, gray moments, variance, flat gate
+ORACLES["image_contrast_score"] = """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 251 = 0 THEN 1
+                  ELSE (4 + doc_id % 13) * (3 + doc_id % 7) END AS n,
+             doc_id AS seed
+      FROM documents
+    ), px AS (
+      SELECT doc_id, n,
+             list_transform(range(0, n),
+                            i -> ((i + seed) * (i + seed)) % 256) AS ps
+      FROM d
+    ), s AS (
+      SELECT doc_id, n,
+             list_aggregate(ps, 'sum') AS s1,
+             list_aggregate(list_transform(ps, p -> p * p), 'sum') AS s2
+      FROM px
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_pixels,
+           CAST(s1 * 1000000 // n AS BIGINT) AS mean_e6,
+           CAST((n * s2 - s1 * s1) * 1000000 // (n * n) AS BIGINT)
+             AS var_e6,
+           (n * s2 - s1 * s1) * 1000000 // (n * n) < 100000000
+             AS is_flat
+    FROM s
+"""
+
+
 def _curriculum_oracle() -> str:
     return f"""
     WITH r AS ({ORACLES["readability_fre"]}),
@@ -5675,6 +5705,44 @@ def cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("n_clusters").cast("long"),
                     (F.col("cluster_size") * F.col("n_clusters"))
                     .cast("long").alias("n_docs")))
+
+
+def image_contrast_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Image CONTRAST gate (C171, M.image_moment_stats) — the
+    multimodal twin of the text entropy floor: flat/blank frames
+    (variance ≈ 0) carry no training signal and a contrast gate
+    drops them before feature extraction.  Exact integers off real
+    decoded P6 pixels: mean_e6 = Σp·1e6 DIV N, var_e6 =
+    (N·Σp² − (Σp)²)·1e6 DIV N², is_flat ⟺ var_e6 < 100·1e6
+    (variance under 100 gray² — the quad texture keeps real images
+    far above it, and every doc_id % 251 == 0 gets a 1×1 image,
+    genuinely zero-variance, so the gate branch fires on driver
+    data).  The oracle replays decode→moments in closed form from
+    the (seed, index) pixel law."""
+    docs = load(spark, sf, "documents")["documents"]
+    flat = (F.col("doc_id") % 251 == 0)
+    dims = docs.select(
+        "doc_id",
+        F.when(flat, F.lit(1))
+        .otherwise(F.lit(4) + F.col("doc_id") % 13)
+        .cast("int").alias("w"),
+        F.when(flat, F.lit(1))
+        .otherwise(F.lit(3) + F.col("doc_id") % 7)
+        .cast("int").alias("h"),
+        F.col("doc_id").alias("seed"))
+    blobs = M.encode_ppm_quad(dims, "doc_id", "w", "h", "seed")
+    stats = M.image_moment_stats(blobs)
+    return (stats.select(
+        "doc_id", "n_pixels",
+        F.expr("px_sum * 1000000L DIV n_pixels").cast("long")
+        .alias("mean_e6"),
+        F.expr("(n_pixels * px_sum2 - px_sum * px_sum) * 1000000L"
+               " DIV (n_pixels * n_pixels)").cast("long")
+        .alias("var_e6"))
+        .withColumn("is_flat", F.col("var_e6") < 100 * 1_000_000))
+
+
+QUERIES["image_contrast_score"] = image_contrast_score
 
 
 def curriculum_phases(spark: SparkSession, sf: str) -> DataFrame:
