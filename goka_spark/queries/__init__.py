@@ -137,6 +137,7 @@ _FRONT = [
     "gate_bias_by_length",
     "curriculum_phases",
     "image_contrast_score",
+    "wav_headroom",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",
@@ -157,8 +158,7 @@ _FRONT = [
     "loopback_rekey",
 ]
 # r10 rotation plan: promote to the front (a) every key between
-# "weighted_jaccard_pairs" and "image_contrast_score" in the tail
-# above —
+# "weighted_jaccard_pairs" and "wav_headroom" in the tail above —
 # the r9 additions that have never had a driver row (all locally
 # oracle-verified at sf0.001 AND sf0.01, most also at sf0.1);
 # (b) then the oldest-certified keys (r6 vintage after this round).

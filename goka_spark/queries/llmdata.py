@@ -4656,6 +4656,29 @@ def _gate_bias_oracle() -> str:
 ORACLES["gate_bias_by_length"] = _gate_bias_oracle
 
 
+# audio headroom: the PCM sample law replayed in closed form
+ORACLES["wav_headroom"] = """
+    WITH d AS (
+      SELECT doc_id, 100 + doc_id % 50 AS n, doc_id AS seed
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n,
+             list_transform(range(0, n),
+               i -> abs(((seed * 7 + i * 13) % 65536) - 32768)) AS a
+      FROM d
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+           CAST(list_aggregate(list_transform(a,
+                  x -> CASE WHEN x >= 30000 THEN 1 ELSE 0 END),
+                'sum') AS BIGINT) AS n_hot,
+           CAST(list_aggregate(a, 'max') AS BIGINT) AS peak_abs,
+           CAST(list_aggregate(list_transform(a,
+                  x -> CASE WHEN x >= 30000 THEN 1 ELSE 0 END),
+                'sum') * 1000000 // n AS BIGINT) AS hot_e6
+    FROM s
+"""
+
+
 # image contrast: the quad pixel law ((i+seed)² % 256) replayed in
 # closed form — decode, gray moments, variance, flat gate
 ORACLES["image_contrast_score"] = """
@@ -5705,6 +5728,27 @@ def cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("n_clusters").cast("long"),
                     (F.col("cluster_size") * F.col("n_clusters"))
                     .cast("long").alias("n_docs")))
+
+
+def wav_headroom(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio HEADROOM / clipping gate (C172, M.wav_headroom_report)
+    — completes the audio-quality trio beside C123 silence and C131
+    ZCR: per clip, samples within 2768 of the int16 rails
+    (|s| ≥ 30000), peak amplitude, hot share in micro-units — a hot
+    clip was recorded clipped and poisons spectral features.
+    All-integer outputs off real RIFF parses; the oracle replays
+    the PCM sample law ((seed·7 + i·13) % 65536 − 32768) in closed
+    form."""
+    docs = load(spark, sf, "documents")["documents"]
+    spec = docs.select(
+        "doc_id",
+        (F.lit(100) + F.col("doc_id") % 50).cast("int").alias("n"),
+        F.col("doc_id").alias("seed"))
+    blobs = M.encode_wav(spec, "doc_id", "n", "seed", rate=8000)
+    return M.wav_headroom_report(blobs)
+
+
+QUERIES["wav_headroom"] = wav_headroom
 
 
 def image_contrast_score(spark: SparkSession, sf: str) -> DataFrame:
