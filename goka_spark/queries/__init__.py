@@ -123,6 +123,7 @@ _FRONT = [
     "seasonal_anomalies",
     "activation_correlates",
     "engagement_mix_by_decile",
+    "error_impact",
     "edit_distance_pairs",
     "readability_fre",
     "encoding_anomalies",

@@ -3146,3 +3146,88 @@ ORACLES["engagement_mix_by_decile"] = """
              AS share_e6
     FROM mix
 """
+
+
+def error_impact(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-level ERROR impact (B79) — does hitting an error end
+    the visit?  Sessions (30-min islands) split by whether they
+    contain an error event: count, mean events per session, mean
+    duration, and the rage-quit rate (sessions whose LAST event is
+    the error).  The reliability number an on-call review wants next
+    to B46's volume spikes — errors that don't shorten sessions are
+    cosmetic, errors that end them are churn.
+
+    One user-keyed lag window (sessionize) + per-session agg on the
+    same partitioning + a 2-row output agg.  Means are exact
+    integers: ·1e2/·1e0 micro-unit discipline, duration in seconds
+    DIV by session count."""
+    ev = load(spark, sf, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) \
+        - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1) \
+        .otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = (ev.withColumn("_sid", F.sum(new_s).over(run))
+            .groupBy("user_id", "_sid")
+            .agg(F.count("*").cast("long").alias("n_ev"),
+                 F.max(F.when(F.col("event_type") == "error", 1)
+                       .otherwise(0)).alias("has_err"),
+                 (F.max(F.unix_micros("ts"))
+                  - F.min(F.unix_micros("ts"))).alias("dur_us"),
+                 F.max_by("event_type",
+                          F.struct(F.col("ts"), F.col("event_id")))
+                 .alias("last_type")))
+    return (sess.groupBy(F.col("has_err").cast("long").alias("has_error"))
+            .agg(F.count("*").cast("long").alias("n_sessions"),
+                 F.expr("sum(n_ev) * 100L DIV count(*)").cast("long")
+                 .alias("mean_events_e2"),
+                 F.expr("sum(dur_us DIV 1000000) DIV count(*)")
+                 .cast("long").alias("mean_duration_s"),
+                 F.expr("sum(CASE WHEN last_type = 'error' THEN 1 "
+                        "ELSE 0 END) * 1000000L DIV count(*)")
+                 .cast("long").alias("rage_quit_e6")))
+
+
+QUERIES["error_impact"] = error_impact
+
+ORACLES["error_impact"] = """
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                       > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sid AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS s
+      FROM seq
+    ), sess AS (
+      SELECT user_id, s, COUNT(*) AS n_ev,
+             MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS has_err,
+             MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS dur_us
+      FROM sid GROUP BY user_id, s
+    ), last AS (
+      SELECT user_id, s, event_type AS last_type FROM (
+        SELECT user_id, s, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, s
+                                  ORDER BY ts DESC, event_id DESC)
+                 AS rn
+        FROM sid) WHERE rn = 1
+    ), sess2 AS (
+      SELECT sess.*, last.last_type
+      FROM sess JOIN last USING (user_id, s)
+    )
+    SELECT CAST(has_err AS BIGINT) AS has_error,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_ev) * 100 // COUNT(*) AS BIGINT)
+             AS mean_events_e2,
+           CAST(SUM(dur_us // 1000000) // COUNT(*) AS BIGINT)
+             AS mean_duration_s,
+           CAST(SUM(CASE WHEN last_type = 'error' THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS rage_quit_e6
+    FROM sess2 GROUP BY has_err
+"""
