@@ -139,6 +139,7 @@ _FRONT = [
     "curriculum_phases",
     "image_contrast_score",
     "wav_headroom",
+    "chain_merge_audit",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",
@@ -159,7 +160,8 @@ _FRONT = [
     "loopback_rekey",
 ]
 # r10 rotation plan: promote to the front (a) every key between
-# "weighted_jaccard_pairs" and "wav_headroom" in the tail above —
+# "weighted_jaccard_pairs" and "chain_merge_audit" in the tail
+# above —
 # the r9 additions that have never had a driver row (all locally
 # oracle-verified at sf0.001 AND sf0.01, most also at sf0.1);
 # (b) then the oldest-certified keys (r6 vintage after this round).

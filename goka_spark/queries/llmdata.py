@@ -2271,6 +2271,27 @@ ORACLES["dedup_clusters"] = f"""
     FROM reach GROUP BY node
 """
 
+ORACLES["chain_merge_audit"] = f"""
+    WITH cl AS ({ORACLES["dedup_clusters"]}),
+    pairs AS ({ORACLES["ngram_jaccard_pairs"]}),
+    sizes AS (
+      SELECT cluster_id, COUNT(*) AS s FROM cl GROUP BY cluster_id
+    ),
+    edges AS (
+      SELECT cl.cluster_id, COUNT(*) AS d
+      FROM pairs JOIN cl ON cl.doc_id = pairs.id_a
+      GROUP BY cl.cluster_id
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(s AS BIGINT) AS size,
+           CAST(d AS BIGINT) AS n_edges,
+           CAST(s * (s - 1) // 2 AS BIGINT) AS n_possible,
+           CAST((s * (s - 1) // 2 - d) * 1000000
+                // (s * (s - 1) // 2) AS BIGINT) AS chain_e6
+    FROM sizes JOIN edges USING (cluster_id)
+"""
+
+
 # leakage-safe split: the dedup_clusters CC as a nested CTE, singleton
 # docs their own cluster, then corpus_split's md5-slot policy computed
 # on the CLUSTER id instead of the doc id.
@@ -5728,6 +5749,39 @@ def cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("n_clusters").cast("long"),
                     (F.col("cluster_size") * F.col("n_clusters"))
                     .cast("long").alias("n_docs")))
+
+
+def chain_merge_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster CHAINING audit (C173) — connected components merge
+    A~B and B~C into one cluster even when A and C share nothing;
+    a little chaining is what transitive dedup is FOR, a lot means
+    the threshold is too loose and the keep-one policy is deleting
+    non-duplicates.  Per multi-doc cluster: size, direct similarity
+    edges, possible pairs s(s−1) DIV 2, and chain_e6 = missing-edge
+    share — clusters near 1e6 are long chains, near 0 are cliques.
+    Reuses the session-memoized CC graph + one pair recount; the
+    edge join is on the pair list (bounded), never all-pairs."""
+    docs = load(spark, sf, "documents")["documents"]
+    cc = _jaccard_cc(spark, docs, sf)
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                  threshold=0.05, max_df=50)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("size"))
+    edges = (pairs.join(cc.selectExpr("node AS id_a", "cluster_id"),
+                        "id_a")
+             .groupBy("cluster_id")
+             .agg(F.count("*").cast("long").alias("n_edges")))
+    return (sizes.join(edges, "cluster_id")
+            .select(F.col("cluster_id").cast("long"), "size",
+                    "n_edges",
+                    F.expr("size * (size - 1) DIV 2").cast("long")
+                    .alias("n_possible"),
+                    F.expr("(size * (size - 1) DIV 2 - n_edges)"
+                           " * 1000000L DIV (size * (size - 1) DIV 2)")
+                    .cast("long").alias("chain_e6")))
+
+
+QUERIES["chain_merge_audit"] = chain_merge_audit
 
 
 def wav_headroom(spark: SparkSession, sf: str) -> DataFrame:
