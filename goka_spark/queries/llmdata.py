@@ -2271,6 +2271,46 @@ ORACLES["dedup_clusters"] = f"""
     FROM reach GROUP BY node
 """
 
+def _source_health_oracle() -> str:
+    """Composes the standalone audit oracles per source; the
+    template share is the per-source prefix variant (share of a
+    source's docs whose first-3-words prefix repeats WITHIN it)."""
+    return f"""
+    WITH enc AS ({ORACLES["encoding_anomalies"]}),
+    pii AS ({ORACLES["pii_audit_matrix"]}),
+    hap AS ({ORACLES["hapax_ratio"]}),
+    fre0 AS ({ORACLES["readability_fre"]}),
+    fre AS (
+      SELECT d.source,
+             (SUM(fkgl_dummy.fre_e3) + COUNT(*) * 1000000000)
+               // COUNT(*) - 1000000000 AS mean_fre_e3
+      FROM fre0 fkgl_dummy JOIN documents d USING (doc_id)
+      GROUP BY d.source
+    ),
+    pc AS (
+      SELECT source, array_to_string({_WORDS}[1:3], ' ') AS p,
+             COUNT(*) AS c
+      FROM documents GROUP BY source, p
+    ),
+    tmpl AS (
+      SELECT source,
+             SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1000000
+               // SUM(c) AS templated_e6
+      FROM pc GROUP BY source
+    )
+    SELECT enc.source, enc.n_docs, enc.clean_e6,
+           pii.any_pii_e6, hap.hapax_types_e6,
+           CAST(fre.mean_fre_e3 AS BIGINT) AS mean_fre_e3,
+           CAST(tmpl.templated_e6 AS BIGINT) AS templated_e6
+    FROM enc
+    JOIN pii USING (source) JOIN hap USING (source)
+    JOIN fre USING (source) JOIN tmpl USING (source)
+    """
+
+
+ORACLES["source_health_report"] = _source_health_oracle
+
+
 ORACLES["chain_merge_audit"] = f"""
     WITH cl AS ({ORACLES["dedup_clusters"]}),
     pairs AS ({ORACLES["ngram_jaccard_pairs"]}),
@@ -5749,6 +5789,50 @@ def cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("n_clusters").cast("long"),
                     (F.col("cluster_size") * F.col("n_clusters"))
                     .cast("long").alias("n_docs")))
+
+
+def source_health_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Source HEALTH one-pager (C174) — the morning dashboard of a
+    corpus operation, one row per source composing the audits this
+    round added: doc volume, clean-encoding rate (C160), any-PII
+    rate (C166), hapax type share (C163), mean reading ease (C159),
+    template-cluster doc share (C161).  Each number is the SAME
+    kernel the standalone audit runs (and its oracle composes the
+    standalone oracles), so the dashboard can never disagree with
+    the deep-dive.  Five scan-stage passes + per-source hash-aggs
+    joined on the tiny source key."""
+    enc = encoding_anomalies(spark, sf).select("source", "n_docs",
+                                               "clean_e6")
+    pii = pii_audit_matrix(spark, sf).select("source", "any_pii_e6")
+    hap = hapax_ratio(spark, sf).select("source", "hapax_types_e6")
+    docs = load(spark, sf, "documents")["documents"]
+    fre = (T.readability_fre(docs, "doc_id", "text")
+           .join(docs.select("doc_id", "source"), "doc_id")
+           .groupBy("source")
+           .agg(F.sum("fre_e3").alias("_f"),
+                F.count("*").alias("_n"))
+           .select("source",
+                   F.expr("(_f + _n * 1000000000L) DIV _n - 1000000000L")
+                   .cast("long").alias("mean_fre_e3")))
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    pref = F.array_join(F.slice(words, 1, 3), " ")
+    pc = (docs.select("source", pref.alias("_p"))
+          .groupBy("source", "_p")
+          .agg(F.count("*").alias("_c")))
+    tmpl = (pc.groupBy("source")
+            .agg(F.sum(F.when(F.col("_c") >= 2, F.col("_c"))
+                       .otherwise(0)).alias("_t"),
+                 F.sum("_c").alias("_n"))
+            .select("source",
+                    F.expr("_t * 1000000L DIV _n").cast("long")
+                    .alias("templated_e6")))
+    return (enc.join(pii, "source").join(hap, "source")
+            .join(fre, "source").join(tmpl, "source")
+            .select("source", "n_docs", "clean_e6", "any_pii_e6",
+                    "hapax_types_e6", "mean_fre_e3", "templated_e6"))
+
+
+QUERIES["source_health_report"] = source_health_report
 
 
 def chain_merge_audit(spark: SparkSession, sf: str) -> DataFrame:
