@@ -72,4 +72,16 @@ mixed = C.domain_mix(docs, "doc_id", "source",
                      {f"src{i}": 20 - i for i in range(20)})
 print(f"domain mix kept {mixed.count()} docs toward the target weights")
 
+# ---- 6. the r9 audit layer: one health table per source ----
+from goka_spark.queries.llmdata import (curriculum_phases,
+                                        source_health_report)
+
+print("\nsource health (encoding / PII / hapax / readability /"
+      " templates):")
+(source_health_report(spark, sf)
+ .orderBy(F.desc("n_docs")).show(6, truncate=False))
+
+print("curriculum phases (easy->hard token budget):")
+curriculum_phases(spark, sf).orderBy("phase").show()
+
 spark.stop()
