@@ -141,6 +141,7 @@ _FRONT = [
     "wav_headroom",
     "chain_merge_audit",
     "source_health_report",
+    "tokenizer_stability",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",
@@ -161,7 +162,7 @@ _FRONT = [
     "loopback_rekey",
 ]
 # r10 rotation plan: promote to the front (a) every key between
-# "weighted_jaccard_pairs" and "source_health_report" in the tail
+# "weighted_jaccard_pairs" and "tokenizer_stability" in the tail
 # above —
 # the r9 additions that have never had a driver row (all locally
 # oracle-verified at sf0.001 AND sf0.01, most also at sf0.1);

@@ -299,6 +299,25 @@ def _uni_pieces(docs, sf: str) -> dict:
     return _UNI_PIECES[sf]
 
 
+def _half_merges(docs, sf: str, n_merges: int = 16) -> tuple:
+    """The two half-corpus BPE merge tables C175 compares — memoized
+    per sf (training is a one-time build artifact, the _bpe_merges
+    contract)."""
+    from goka_spark.functions import bpe as B
+
+    key = (sf, "halves", n_merges)
+    if key not in _BPE_MERGES:
+        slot = F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16, 10).cast("long") % 100
+        _BPE_MERGES[key] = (
+            B.bpe_train(docs.filter(slot < 50), "doc_id", "text",
+                        n_merges=n_merges),
+            B.bpe_train(docs.filter(slot >= 50), "doc_id", "text",
+                        n_merges=n_merges))
+    return _BPE_MERGES[key]
+
+
 def warm_tokenizers(spark: SparkSession, sf: str) -> None:
     """Populate every tokenizer-training memo (classic BPE, batched
     BPE, unigram pieces) for ``sf``.  bench.py calls this in its
@@ -316,6 +335,7 @@ def warm_tokenizers(spark: SparkSession, sf: str) -> None:
         _BPE_MERGES[key] = B.bpe_train_batched(
             docs, "doc_id", "text", n_merges=48, batch=8)
     _uni_pieces(docs, sf)
+    _half_merges(docs, sf)
 
 
 def unigram_token_count(spark: SparkSession, sf: str) -> DataFrame:
@@ -2270,6 +2290,51 @@ ORACLES["dedup_clusters"] = f"""
     SELECT node AS doc_id, MIN(label) AS cluster_id
     FROM reach GROUP BY node
 """
+
+def _tokenizer_stability_oracle(n_merges: int = 16) -> str:
+    """Retrain both halves bit-identically in Python (train_py ==
+    the Spark rounds — the C67 recomputability contract) and embed
+    the expected comparison table as literals."""
+    import duckdb
+
+    from goka_spark.functions import bpe as B
+
+    sf_dir = _ivf_oracle_sf()
+    halves = []
+    for cond in ("< 50", ">= 50"):
+        wf = dict(duckdb.sql(
+            f"SELECT w, COUNT(*) FROM (SELECT UNNEST({_WORDS}) AS w "
+            f"FROM '{sf_dir}/documents.parquet' WHERE "
+            f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+            f" AS BIGINT) % 100 {cond}) GROUP BY w").fetchall())
+        halves.append(B.train_py(wf, n_merges))
+    ma, mb = halves
+    sa, sb = set(ma), set(mb)
+    rows = []
+    for i in range(max(len(ma), len(mb))):
+        pa = " ".join(ma[i]) if i < len(ma) else None
+        pb = " ".join(mb[i]) if i < len(mb) else None
+        qa = "'" + pa.replace("'", "''") + "'" if pa is not None \
+            else "NULL"
+        qb = "'" + pb.replace("'", "''") + "'" if pb is not None \
+            else "NULL"
+        rows.append("({}, {}, {}, {}, {}, {})".format(
+            i + 1, qa, qb,
+            1 if (pa is not None and pa == pb) else 0,
+            1 if (i < len(ma) and ma[i] in sb) else 0,
+            1 if (i < len(mb) and mb[i] in sa) else 0))
+    return f"""
+    SELECT CAST(rank AS BIGINT) AS rank, merge_a, merge_b,
+           CAST(rank_match AS BIGINT) AS rank_match,
+           CAST(a_in_b AS BIGINT) AS a_in_b,
+           CAST(b_in_a AS BIGINT) AS b_in_a
+    FROM (VALUES {", ".join(rows)})
+      t(rank, merge_a, merge_b, rank_match, a_in_b, b_in_a)
+    """
+
+
+ORACLES["tokenizer_stability"] = _tokenizer_stability_oracle
+
 
 def _source_health_oracle() -> str:
     """Composes the standalone audit oracles per source; the
@@ -5789,6 +5854,38 @@ def cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("n_clusters").cast("long"),
                     (F.col("cluster_size") * F.col("n_clusters"))
                     .cast("long").alias("n_docs")))
+
+
+def tokenizer_stability(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer STABILITY to resampling (C175) — train the same
+    16-merge BPE on two disjoint md5-slot halves of the corpus and
+    compare merge tables rank by rank: a tokenizer whose early
+    merges flip under a coin-flip resample will also drift between
+    releases, and every downstream token count with it.  Per rank:
+    both merges, exact-rank agreement, and set membership each way
+    (late-rank reorderings are benign; disappearances are not).
+    Distributed training per half (the C67 trainer — loops over the
+    word dict, never the corpus); merges are driver-side by design,
+    the comparison is vocab-rank-sized."""
+    docs = load(spark, sf, "documents")["documents"]
+    ma, mb = _half_merges(docs, sf)
+    sa, sb = set(ma), set(mb)
+    rows = []
+    for i in range(max(len(ma), len(mb))):
+        pa = " ".join(ma[i]) if i < len(ma) else None
+        pb = " ".join(mb[i]) if i < len(mb) else None
+        rows.append((
+            i + 1, pa, pb,
+            1 if (pa is not None and pa == pb) else 0,
+            1 if (i < len(ma) and ma[i] in sb) else 0,
+            1 if (i < len(mb) and mb[i] in sa) else 0,
+        ))
+    return spark.createDataFrame(
+        rows, "rank long, merge_a string, merge_b string, "
+              "rank_match long, a_in_b long, b_in_a long")
+
+
+QUERIES["tokenizer_stability"] = tokenizer_stability
 
 
 def source_health_report(spark: SparkSession, sf: str) -> DataFrame:
