@@ -124,6 +124,7 @@ _FRONT = [
     "activation_correlates",
     "engagement_mix_by_decile",
     "error_impact",
+    "session_depth_funnel",
     "edit_distance_pairs",
     "readability_fre",
     "encoding_anomalies",

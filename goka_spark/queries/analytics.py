@@ -3231,3 +3231,78 @@ ORACLES["error_impact"] = """
                 * 1000000 // COUNT(*) AS BIGINT) AS rage_quit_e6
     FROM sess2 GROUP BY has_err
 """
+
+
+def session_depth_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Session DEPTH vs conversion (B80) — do deeper sessions buy?
+    Sessions (30-min islands) bucketed by event depth (1 / 2-3 /
+    4-7 / 8+), each bucket's share of sessions and purchase rate —
+    the engagement-depth argument every funnel review leans on, and
+    the denominator check B20's step funnel can't give (it never
+    sees sessions that skipped the funnel entirely).
+
+    Same single user-keyed window as B79/event_sessionize, then a
+    4-row output agg; depth buckets via exact integer thresholds."""
+    ev = load(spark, sf, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) \
+        - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1) \
+        .otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = (ev.withColumn("_sid", F.sum(new_s).over(run))
+            .groupBy("user_id", "_sid")
+            .agg(F.count("*").alias("n_ev"),
+                 F.max(F.when(F.col("event_type") == "purchase", 1)
+                       .otherwise(0)).alias("conv")))
+    bucket = (F.when(F.col("n_ev") == 1, "1")
+              .when(F.col("n_ev") <= 3, "2-3")
+              .when(F.col("n_ev") <= 7, "4-7")
+              .otherwise("8+"))
+    agg = (sess.groupBy(bucket.alias("depth"))
+           .agg(F.count("*").cast("long").alias("n_sessions"),
+                F.sum("conv").cast("long").alias("n_converted")))
+    tot = agg.agg(F.sum("n_sessions").alias("_T"))
+    return (agg.crossJoin(F.broadcast(tot))
+            .select("depth", "n_sessions",
+                    F.expr("n_sessions * 1000000L DIV _T").cast("long")
+                    .alias("share_e6"),
+                    "n_converted",
+                    F.expr("n_converted * 1000000L DIV n_sessions")
+                    .cast("long").alias("conv_e6")))
+
+
+QUERIES["session_depth_funnel"] = session_depth_funnel
+
+ORACLES["session_depth_funnel"] = """
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                       > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sid AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS s
+      FROM seq
+    ), sess AS (
+      SELECT user_id, s, COUNT(*) AS n_ev,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM sid GROUP BY user_id, s
+    ), agg AS (
+      SELECT CASE WHEN n_ev = 1 THEN '1'
+                  WHEN n_ev <= 3 THEN '2-3'
+                  WHEN n_ev <= 7 THEN '4-7' ELSE '8+' END AS depth,
+             COUNT(*) AS n_sessions, SUM(conv) AS n_converted
+      FROM sess GROUP BY depth
+    ), tot AS (SELECT SUM(n_sessions) AS t FROM agg)
+    SELECT depth, CAST(n_sessions AS BIGINT) AS n_sessions,
+           CAST(n_sessions * 1000000 // t AS BIGINT) AS share_e6,
+           CAST(n_converted AS BIGINT) AS n_converted,
+           CAST(n_converted * 1000000 // n_sessions AS BIGINT)
+             AS conv_e6
+    FROM agg, tot
+"""
