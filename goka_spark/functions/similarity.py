@@ -887,6 +887,22 @@ def hard_negative_topk(corpus: DataFrame, queries: DataFrame,
                     F.col("rk").cast("long").alias("rk")))
 
 
+def _int8_ranges(df: DataFrame, vec_col: str) -> DataFrame:
+    """One-row frame of per-dimension (min, range) arrays — the
+    global SQ8 quantizer state quantize_int8 and quantized_recall
+    share.  One posexplode + dims-sized hash-agg."""
+    mm = (df.select(F.posexplode(_as_double(F.col(vec_col)))
+                    .alias("_d", "_x"))
+          .groupBy("_d")
+          .agg(F.min("_x").alias("_mn"), F.max("_x").alias("_mx")))
+    return (mm.groupBy()
+            .agg(F.sort_array(F.collect_list(
+                F.struct("_d", "_mn", "_mx"))).alias("_s"))
+            .select(F.transform("_s", lambda s: s["_mn"]).alias("_mns"),
+                    F.transform("_s", lambda s: s["_mx"] - s["_mn"])
+                    .alias("_rgs")))
+
+
 def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Scalar int8 quantization of an embedding column — the 4×
     memory/IO reduction every vector store applies before ANN serving
@@ -906,16 +922,7 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     (map-side combined — shuffle is dim × partitions rows, nothing
     like the corpus), ranges rejoined as a broadcast dim-row array,
     then a single scan encodes; no collect of vector data."""
-    mm = (df.select(F.posexplode(_as_double(F.col(vec_col)))
-                    .alias("_d", "_x"))
-          .groupBy("_d")
-          .agg(F.min("_x").alias("_mn"), F.max("_x").alias("_mx")))
-    rng = (mm.groupBy()
-           .agg(F.sort_array(F.collect_list(F.struct("_d", "_mn", "_mx")))
-                .alias("_s"))
-           .select(F.transform("_s", lambda s: s["_mn"]).alias("_mns"),
-                   F.transform("_s", lambda s: s["_mx"] - s["_mn"])
-                    .alias("_rgs")))
+    rng = _int8_ranges(df, vec_col)
     enc = (df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
            .join(F.broadcast(rng))
            .withColumn("_q", F.zip_with(
@@ -1086,3 +1093,76 @@ def cosine_threshold_sweep(df: DataFrame, id_col: str, vec_col: str,
                     .alias("n_pairs"),
                     F.coalesce("_nd", F.lit(0)).cast("long")
                     .alias("n_docs")))
+
+
+def quantized_recall(emb: DataFrame, id_col: str, vec_col: str,
+                     k: int = 5, n_queries: int = 20) -> DataFrame:
+    """Int8 SERVING-TIER retrieval calibration — the deploy decision
+    quantize_int8's MSE cannot answer: after SQ8 midpoint decode
+    (x̂ = mn + (q + 0.5)·rg/255, the exact artifact a serving index
+    stores), does brute cosine top-k still return the full-precision
+    top-k?  recall@k over the standard ≤ n_queries query set — the
+    matryoshka_recall harness with the quantized vector as the
+    variant instead of a prefix slice.
+
+    Exactness: the decode chain is the same left-to-right double
+    arithmetic in both engines ((x−mn)·255/rg → floor → clamp →
+    +0.5 → ·rg → /255 → +mn, each element independently), cosines
+    are left-associative folds vs explicit term sums, ranking ties
+    by neighbor id.  Scale shape: one ranges agg (dims-sized) +
+    ONE corpus scan scoring both variants against the broadcast
+    query set — the corpus is never self-joined."""
+    rng = _int8_ranges(emb, vec_col)
+    base = (emb.select(F.col(id_col).alias("_id"),
+                       _as_double(F.col(vec_col)).alias("_v"))
+            .join(F.broadcast(rng)))
+    d_ = F.zip_with("_v", "_mns", lambda x, m: x - m)
+    q_ = F.zip_with(d_, F.col("_rgs"),
+                    lambda d, r: F.when(r > 0, F.least(
+                        F.lit(255), F.greatest(
+                            F.lit(0), F.floor(d * 255.0 / r))))
+                    .otherwise(0).cast("long"))
+    delta = F.zip_with(q_, F.col("_rgs"),
+                       lambda q, r: (q + 0.5) * r / 255.0)
+    xhat = F.zip_with(F.col("_mns"), delta, lambda m, t: m + t)
+    vx = base.select("_id", "_v", xhat.alias("_x"))
+    qs = (vx.filter(F.col("_id") < n_queries)
+          .select(F.col("_id").alias("query_id"),
+                  F.col("_v").alias("_qv"), F.col("_x").alias("_qx")))
+    cs = vx.select(F.col("_id").alias("neighbor_id"),
+                   F.col("_v").alias("_cv"), F.col("_x").alias("_cx"))
+    pairs = cs.join(F.broadcast(qs),
+                    F.col("query_id") != F.col("neighbor_id"))
+    entries = [
+        F.struct(F.lit(0).alias("_var"),
+                 (dot(F.col("_qv"), F.col("_cv"))
+                  / (norm(F.col("_qv")) * norm(F.col("_cv"))))
+                 .alias("_cos")),
+        F.struct(F.lit(1).alias("_var"),
+                 (dot(F.col("_qx"), F.col("_cx"))
+                  / (norm(F.col("_qx")) * norm(F.col("_cx"))))
+                 .alias("_cos")),
+    ]
+    scored = (pairs.select("query_id", "neighbor_id",
+                           F.explode(F.array(*entries)).alias("_e"))
+              .select("query_id", "neighbor_id",
+                      F.col("_e._var").alias("_var"),
+                      F.col("_e._cos").alias("_cos")))
+    w = Window.partitionBy("_var", "query_id") \
+        .orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    top = (scored.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") <= k)
+           .select("_var", "query_id", "neighbor_id")
+           .localCheckpoint(eager=True))
+    full_top = top.filter(F.col("_var") == 0) \
+        .select("query_id", "neighbor_id")
+    qt = top.filter(F.col("_var") == 1)
+    hits = (qt.join(full_top, ["query_id", "neighbor_id"],
+                    "left_semi")
+            .agg(F.count("*").alias("_hit")))
+    base = qt.agg(F.count("*").alias("_n"))
+    return (base.crossJoin(F.broadcast(hits))
+            .select(F.col("_n").cast("long").alias("n_top"),
+                    F.col("_hit").cast("long").alias("n_overlap"),
+                    F.expr("_hit * 1000000L DIV greatest(_n, 1L)")
+                    .cast("long").alias("recall_e6")))

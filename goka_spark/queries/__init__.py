@@ -143,6 +143,7 @@ _FRONT = [
     "chain_merge_audit",
     "source_health_report",
     "tokenizer_stability",
+    "quantized_recall_eval",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",
@@ -163,7 +164,7 @@ _FRONT = [
     "loopback_rekey",
 ]
 # r10 rotation plan: promote to the front (a) every key between
-# "weighted_jaccard_pairs" and "tokenizer_stability" in the tail
+# "weighted_jaccard_pairs" and "quantized_recall_eval" in the tail
 # above —
 # the r9 additions that have never had a driver row (all locally
 # oracle-verified at sf0.001 AND sf0.01, most also at sf0.1);

@@ -2291,6 +2291,76 @@ ORACLES["dedup_clusters"] = f"""
     FROM reach GROUP BY node
 """
 
+def _quantized_recall_oracle(k: int = 5, n_queries: int = 20,
+                             dim: int = 64) -> str:
+    """DuckDB twin of quantized_recall: per-dim (min, range) as list
+    literals recomputed from THIS sf's parquet (the recomputed-
+    quantizer contract), element-wise decode via list_transform
+    (order-free per element), cosines as explicit left-associative
+    term sums over the raw and decoded lists."""
+    import duckdb
+
+    sf_dir = _ivf_oracle_sf()
+    rows = duckdb.sql(
+        f"SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM ("
+        f"SELECT UNNEST(CAST(embedding AS DOUBLE[])) AS x, "
+        f"UNNEST(range(1, len(embedding) + 1)) AS d "
+        f"FROM '{sf_dir}/embeddings.parquet') GROUP BY d ORDER BY d"
+    ).fetchall()
+    mns = "[" + ", ".join(repr(r[1]) for r in rows) + "]"
+    rgs = "[" + ", ".join(repr(r[2] - r[1]) for r in rows) + "]"
+
+    def pdot(va, vb):
+        return " + ".join(f"({va}[{i + 1}] * {vb}[{i + 1}])"
+                          for i in range(dim))
+
+    return f"""
+    WITH mr AS (SELECT {mns}::DOUBLE[] AS mns, {rgs}::DOUBLE[] AS rgs),
+    e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), ex AS (
+      SELECT vec_id, v,
+             list_transform(range(1, {dim} + 1), i ->
+               mns[i] + (CASE WHEN rgs[i] > 0
+                 THEN least(255, greatest(0,
+                        floor((v[i] - mns[i]) * 255 / rgs[i])))
+                 ELSE 0 END + 0.5) * rgs[i] / 255) AS x
+      FROM e, mr
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, t.var,
+             CASE t.var
+               WHEN 0 THEN ({pdot('q.v', 'c.v')})
+                 / (SQRT({pdot('q.v', 'q.v')})
+                    * SQRT({pdot('c.v', 'c.v')}))
+               ELSE ({pdot('q.x', 'c.x')})
+                 / (SQRT({pdot('q.x', 'q.x')})
+                    * SQRT({pdot('c.x', 'c.x')}))
+             END AS cos
+      FROM ex c
+      JOIN ex q ON q.vec_id < {n_queries} AND q.vec_id <> c.vec_id
+      CROSS JOIN (VALUES (0), (1)) t(var)
+    ), ranked AS (
+      SELECT var, query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY var, query_id
+                                ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ), top AS (
+      SELECT var, query_id, neighbor_id FROM ranked WHERE rk <= {k}
+    ), hit AS (
+      SELECT COUNT(*) AS h
+      FROM top t JOIN (SELECT query_id, neighbor_id FROM top
+                       WHERE var = 0) f USING (query_id, neighbor_id)
+      WHERE t.var = 1
+    ), base AS (SELECT COUNT(*) AS n FROM top WHERE var = 1)
+    SELECT CAST(n AS BIGINT) AS n_top, CAST(h AS BIGINT) AS n_overlap,
+           CAST(h * 1000000 // greatest(n, 1) AS BIGINT) AS recall_e6
+    FROM base, hit
+    """
+
+
+ORACLES["quantized_recall_eval"] = _quantized_recall_oracle
+
+
 def _tokenizer_stability_oracle(n_merges: int = 16) -> str:
     """Retrain both halves bit-identically in Python (train_py ==
     the Spark rounds — the C67 recomputability contract) and embed
@@ -5854,6 +5924,22 @@ def cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("n_clusters").cast("long"),
                     (F.col("cluster_size") * F.col("n_clusters"))
                     .cast("long").alias("n_docs")))
+
+
+def quantized_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 serving-tier RECALL (C176, S.quantized_recall) — the
+    deploy decision C91's reconstruction MSE cannot answer: after
+    the SQ8 midpoint decode (exactly what a serving index stores),
+    does brute cosine top-5 still return the full-precision top-5
+    over the standard 20-query set?  The matryoshka harness with
+    the quantized vector as the variant; decode chain, fold order
+    and tie ranking all engine-identical, so the recall number
+    itself hash-verifies."""
+    emb = load(spark, sf, "embeddings")["embeddings"]
+    return S.quantized_recall(emb, "vec_id", "embedding")
+
+
+QUERIES["quantized_recall_eval"] = quantized_recall_eval
 
 
 def tokenizer_stability(spark: SparkSession, sf: str) -> DataFrame:
