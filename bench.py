@@ -80,6 +80,9 @@ HEADLINE = [
     "url_normalize",
     "dedup_url_keep",
     "user_path_topk",
+    # round 9 session-3 representatives (set grew 47 -> 49)
+    "growth_accounting",
+    "source_health_report",
 ]
 
 
