@@ -2291,6 +2291,38 @@ ORACLES["dedup_clusters"] = f"""
     FROM reach GROUP BY node
 """
 
+def _deletion_audit_oracle() -> str:
+    """The XXH64 keep oracle's drop set joined back to both texts,
+    DuckDB levenshtein with the same cap sentinel as the plan."""
+    return f"""
+    WITH k AS ({_minhash_keep_oracle()}),
+    d AS (
+      SELECT k.doc_id, k.keep_id, a.text AS td, b.text AS tk
+      FROM k
+      JOIN documents a ON a.doc_id = k.doc_id
+      JOIN documents b ON b.doc_id = k.keep_id
+      WHERE k.doc_id <> k.keep_id
+    ), s AS (
+      SELECT doc_id, keep_id,
+             CASE WHEN levenshtein(td, tk) > 512 THEN -1
+                  ELSE levenshtein(td, tk) END AS edit_dist,
+             CASE WHEN levenshtein(td, tk) > 512 THEN -1
+                  ELSE (greatest(length(td), length(tk))
+                        - levenshtein(td, tk)) * 1000000
+                       // greatest(length(td), length(tk)) END
+               AS sim_e6
+      FROM d
+    )
+    SELECT doc_id, keep_id, CAST(edit_dist AS BIGINT) AS edit_dist,
+           CAST(sim_e6 AS BIGINT) AS sim_e6,
+           sim_e6 < 700000 AS false_delete
+    FROM s
+    """
+
+
+ORACLES["dedup_deletion_audit"] = _deletion_audit_oracle
+
+
 def _quantized_recall_oracle(k: int = 5, n_queries: int = 20,
                              dim: int = 64) -> str:
     """DuckDB twin of quantized_recall: per-dim (min, range) as list
@@ -5924,6 +5956,45 @@ def cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("n_clusters").cast("long"),
                     (F.col("cluster_size") * F.col("n_clusters"))
                     .cast("long").alias("n_docs")))
+
+
+def dedup_deletion_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """What did dedup actually DELETE (C177) — the post-hoc audit of
+    the production keep pipeline (C82): every dropped doc scored by
+    capped Levenshtein against ITS OWN KEEPER.  sim near 1e6 = a
+    true near-copy, good riddance; sim below ~0.7 (or beyond the
+    cap, sentinel −1) = the band-collision graph chained away a doc
+    that is NOT a copy of its representative — the deletion-side
+    complement of C173's structural chaining view and C164's
+    candidate-level calibration.  false_delete flags them.
+
+    Scale shape: the pair list is exactly the DROP set (one row per
+    deleted doc — the thing you audit is small by construction);
+    two id joins + the C158 checkpoint-barrier scoring."""
+    keep = _keep_frame(spark, sf)
+    docs = load(spark, sf, "documents")["documents"]
+    dropped = keep.filter(F.col("doc_id") != F.col("keep_id")) \
+        .select("doc_id", "keep_id")
+    ta = docs.select("doc_id", F.col("text").alias("_td"))
+    tk = docs.select(F.col("doc_id").alias("keep_id"),
+                     F.col("text").alias("_tk"))
+    joined = dropped.join(ta, "doc_id").join(tk, "keep_id")
+    sc = joined.sparkSession.sparkContext
+    scored = (joined.repartition(sc.defaultParallelism)
+              .withColumn("_d", F.levenshtein("_td", "_tk", 512))
+              .localCheckpoint(eager=False))
+    sim = F.when(F.col("_d") >= 0,
+                 F.expr("(greatest(length(_td), length(_tk)) - _d)"
+                        " * 1000000L DIV greatest(length(_td),"
+                        " length(_tk))")).otherwise(F.lit(-1))
+    return (scored
+            .select("doc_id", "keep_id",
+                    F.col("_d").cast("long").alias("edit_dist"),
+                    sim.cast("long").alias("sim_e6"))
+            .withColumn("false_delete", F.col("sim_e6") < 700000))
+
+
+QUERIES["dedup_deletion_audit"] = dedup_deletion_audit
 
 
 def quantized_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
