@@ -125,6 +125,7 @@ _FRONT = [
     "engagement_mix_by_decile",
     "error_impact",
     "session_depth_funnel",
+    "revenue_gini",
     "edit_distance_pairs",
     "readability_fre",
     "encoding_anomalies",

@@ -3306,3 +3306,75 @@ ORACLES["session_depth_funnel"] = """
              AS conv_e6
     FROM agg, tot
 """
+
+
+def revenue_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini of REVENUE concentration (B81) — B59 measures event
+    inequality; this measures the money: per-user purchase value
+    summed in exact cents (value·100 rounded ONCE per event, the
+    OHLC quantization discipline), then the same count-frequency
+    closed form (tied users interchangeable) — "what share of
+    revenue rides on the whale tail" with a top-decile share
+    alongside.  One users-sized hash-agg, one frequency agg +
+    cumulative window, 1-row output."""
+    ev = load(spark, sf, "events")["events"]
+    v_e2 = F.round(F.col("value") * 100).cast("long")
+    per_user = (ev.filter(F.col("event_type") == "purchase")
+                .groupBy("user_id")
+                .agg(F.sum(v_e2).alias("rev")))
+    freq = per_user.groupBy("rev").agg(F.count("*").alias("u"))
+    w = (Window.orderBy("rev")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    staged = (freq.withColumn(
+        "k", F.coalesce(F.sum("u").over(w), F.lit(0)))
+        .withColumn("n", F.sum("u").over(Window.partitionBy())))
+    a = F.sum(F.col("rev") * (F.col("u") * F.col("k")
+                              + F.expr("u * (u + 1) DIV 2")))
+    # top-decile revenue share from the same staged frame: users
+    # with rank > n - n DIV 10 (the richest ⌊n/10⌋), split across
+    # the boundary frequency row by exact interval intersection
+    return (staged.agg(
+        F.sum(F.col("u")).alias("_n"),
+        F.sum(F.col("rev") * F.col("u")).alias("_s"),
+        a.alias("_a"),
+        F.sum(F.greatest(
+            F.lit(0),
+            F.least(F.col("u"),
+                    F.col("k") + F.col("u")
+                    - (F.col("n") - F.expr("n DIV 10"))))
+          * F.col("rev")).alias("_t"))
+        .select(F.col("_n").cast("long").alias("n_buyers"),
+                F.col("_s").cast("long").alias("revenue_e2"),
+                F.expr("(2 * _a - (_n + 1) * _s) * 1000000L "
+                       "DIV (_n * _s)").cast("long").alias("gini_e6"),
+                F.expr("_t * 1000000L DIV _s").cast("long")
+                .alias("top_decile_share_e6")))
+
+
+QUERIES["revenue_gini"] = revenue_gini
+
+ORACLES["revenue_gini"] = """
+    WITH pu AS (
+      SELECT user_id,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS rev
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), freq AS (
+      SELECT rev, COUNT(*) AS u FROM pu GROUP BY rev
+    ), staged AS (
+      SELECT rev, u,
+             COALESCE(SUM(u) OVER (ORDER BY rev
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS k,
+             SUM(u) OVER () AS n
+      FROM freq
+    )
+    SELECT CAST(SUM(u) AS BIGINT) AS n_buyers,
+           CAST(SUM(rev * u) AS BIGINT) AS revenue_e2,
+           CAST((2 * SUM(rev * (u * k + u * (u + 1) // 2))
+                 - (SUM(u) + 1) * SUM(rev * u)) * 1000000
+                // (SUM(u) * SUM(rev * u)) AS BIGINT) AS gini_e6,
+           CAST(SUM(GREATEST(0, LEAST(u, k + u - (n - n // 10)))
+                    * rev) * 1000000 // SUM(rev * u) AS BIGINT)
+             AS top_decile_share_e6
+    FROM staged
+"""

@@ -130,3 +130,42 @@ def test_growth_accounting_matches_simulation_random(spark, tmp_path,
     # the identity: every row's active = new + retained + resurrected
     for r in growth_accounting(spark, "x").collect():
         assert r.n_active == r.n_new + r.n_retained + r.n_resurrected
+
+
+def test_revenue_gini_matches_textbook_random(spark, tmp_path, monkeypatch):
+    """Random per-user revenues: the frequency closed form + the
+    top-decile interval split equal a brute-force sorted-list
+    computation."""
+    from datetime import datetime
+
+    import goka_spark.queries.analytics as QA
+    from goka_spark.queries.analytics import revenue_gini
+
+    rng = random.Random(23)
+    rows = []
+    eid = 0
+    revs = {}
+    for u in range(1, 31):
+        total = 0
+        for _ in range(rng.randint(1, 4)):
+            eid += 1
+            v = rng.randint(1, 500) / 7.0
+            total += round(v * 100)
+            rows.append((eid, u, "purchase", v, datetime(2024, 1, 1)))
+        revs[u] = total
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "value double, ts timestamp")
+    src = str(tmp_path / "events.parquet")
+    ev.write.parquet(src)
+    monkeypatch.setattr(QA, "load",
+                        lambda s, sf, *t: {"events": s.read.parquet(src)})
+    r = revenue_gini(spark, "x").collect()[0]
+
+    xs = sorted(revs.values())
+    n, s = len(xs), sum(xs)
+    a = sum((i + 1) * x for i, x in enumerate(xs))
+    assert r.n_buyers == n and r.revenue_e2 == s
+    assert r.gini_e6 == (2 * a - (n + 1) * s) * 1_000_000 // (n * s)
+    top = sum(xs[n - n // 10:])
+    assert r.top_decile_share_e6 == top * 1_000_000 // s
