@@ -2291,6 +2291,100 @@ ORACLES["dedup_clusters"] = f"""
     FROM reach GROUP BY node
 """
 
+def _winnow_sweep_oracle() -> str:
+    """The winnow fingerprint oracle generalized over (k, w): same
+    positional-md5 / rightmost-argmin / pos·2³²+h packing algebra,
+    parameterized constants, one UNION ALL arm per setting."""
+    arms = []
+    for k, w in _WINNOW_PARAMS:
+        arms.append(f"""
+    SELECT CAST({k} AS BIGINT) AS k, CAST({w} AS BIGINT) AS w,
+           CAST(s.n_docs AS BIGINT) AS n_docs,
+           CAST(s.total_grams AS BIGINT) AS total_grams,
+           CAST(s.total_fps AS BIGINT) AS total_fps,
+           CAST(s.total_fps * 1000000 // s.total_grams AS BIGINT)
+             AS density_e6,
+           CAST(p.n_pairs AS BIGINT) AS n_pairs
+    FROM (
+      WITH d AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+      g AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(ws) - {k - 1}, 1)
+                                       + 1),
+                              i -> array_to_string(ws[i:i+{k - 1}],
+                                                   ' ')) AS grams
+        FROM d
+      ), h AS (
+        SELECT doc_id,
+               list_transform(grams, g2 ->
+                 CAST(('0x' || substr(md5(g2), 1, 8)) AS BIGINT)) AS hs
+        FROM g
+      ), p AS (
+        SELECT doc_id, hs, CAST(len(hs) AS BIGINT) AS L,
+               greatest(len(hs) - {w - 1}, 1) AS n_win,
+               least({w}, len(hs)) AS wl
+        FROM h
+      ), sel AS (
+        SELECT doc_id, L,
+               list_sort(list_distinct(list_transform(
+                 range(0, n_win), i ->
+                   CAST(i + wl
+                        - list_position(
+                            list_reverse(hs[i+1:i+wl]),
+                            list_aggregate(hs[i+1:i+wl], 'min'))
+                        + 1 AS BIGINT) * 4294967296
+                   + list_aggregate(hs[i+1:i+wl], 'min')))) AS ks
+        FROM p
+      )
+      SELECT COUNT(*) AS n_docs, SUM(L) AS total_grams,
+             SUM(len(ks)) AS total_fps
+      FROM sel
+    ) s CROSS JOIN (
+      WITH d AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+      g AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(ws) - {k - 1}, 1)
+                                       + 1),
+                              i -> array_to_string(ws[i:i+{k - 1}],
+                                                   ' ')) AS grams
+        FROM d
+      ), h AS (
+        SELECT doc_id,
+               list_transform(grams, g2 ->
+                 CAST(('0x' || substr(md5(g2), 1, 8)) AS BIGINT)) AS hs
+        FROM g
+      ), p AS (
+        SELECT doc_id, hs,
+               greatest(len(hs) - {w - 1}, 1) AS n_win,
+               least({w}, len(hs)) AS wl
+        FROM h
+      ), sel AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(0, n_win), i ->
+                   (CAST(i + wl
+                        - list_position(
+                            list_reverse(hs[i+1:i+wl]),
+                            list_aggregate(hs[i+1:i+wl], 'min'))
+                        + 1 AS BIGINT) * 4294967296
+                   + list_aggregate(hs[i+1:i+wl], 'min'))
+                   % 4294967296)) AS hh
+        FROM p
+      ), posts AS (
+        SELECT DISTINCT doc_id AS doc, UNNEST(hh) AS h2 FROM sel
+      ), shared AS (
+        SELECT a.doc AS da, b.doc AS db
+        FROM posts a JOIN posts b ON a.h2 = b.h2 AND a.doc < b.doc
+        GROUP BY da, db HAVING COUNT(*) >= 2
+      )
+      SELECT COUNT(*) AS n_pairs FROM shared
+    ) p""")
+    return " UNION ALL ".join(arms)
+
+
+ORACLES["winnow_param_sweep"] = _winnow_sweep_oracle
+
+
 def _deletion_audit_oracle() -> str:
     """The XXH64 keep oracle's drop set joined back to both texts,
     DuckDB levenshtein with the same cap sentinel as the plan."""
@@ -5956,6 +6050,60 @@ def cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("n_clusters").cast("long"),
                     (F.col("cluster_size") * F.col("n_clusters"))
                     .cast("long").alias("n_docs")))
+
+
+_WINNOW_PARAMS = ((3, 4), (3, 8), (4, 4))
+
+
+def winnow_param_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing (k, w) CALIBRATION (C178) — the C100/C122-style
+    measured-on-YOUR-corpus sweep for the MOSS family: per (k-gram,
+    window) setting, fingerprint density (theory: ≈ 2/(w+1) of
+    grams), distinct posting volume, and the candidate-pair count
+    at min_shared=2 — the index-size vs recall dial C110/C111 run
+    at one fixed point.  Reuses the parameterized _winnow_keys
+    kernel per setting; each is one scan + one posting join, the
+    sweep is |params| of them over the SAME corpus scan shape."""
+    docs = load(spark, sf, "documents")["documents"]
+    outs = []
+    for k, w in _WINNOW_PARAMS:
+        kf = D._winnow_keys(D._fan_out(docs), "doc_id", "text", k, w)
+        posts = (kf.select(F.col("doc_id").alias("doc"),
+                           F.explode_outer("_ks").alias("_k"))
+                 .select("doc",
+                         (F.col("_k") % F.lit(4294967296)).alias("h"))
+                 .distinct())
+        posts = posts.repartition(
+            posts.sparkSession.sparkContext.defaultParallelism, "h")
+        a, b = posts.alias("a"), posts.alias("b")
+        pairs = (a.join(b, "h")
+                 .filter(F.col("a.doc") < F.col("b.doc"))
+                 .groupBy(F.col("a.doc"), F.col("b.doc"))
+                 .agg(F.count("*").alias("_c"))
+                 .filter(F.col("_c") >= 2)
+                 .agg(F.count("*").alias("n_pairs")))
+        stats = (kf.select(
+            F.col("_L").alias("_g"), F.size("_ks").alias("_f"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("_g").alias("total_grams"),
+                 F.sum("_f").alias("total_fps")))
+        outs.append(
+            stats.crossJoin(F.broadcast(pairs))
+            .select(F.lit(k).cast("long").alias("k"),
+                    F.lit(w).cast("long").alias("w"),
+                    F.col("n_docs").cast("long"),
+                    F.col("total_grams").cast("long"),
+                    F.col("total_fps").cast("long"),
+                    F.expr("total_fps * 1000000L DIV total_grams")
+                    .cast("long").alias("density_e6"),
+                    F.col("n_pairs").cast("long")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+QUERIES["winnow_param_sweep"] = winnow_param_sweep
 
 
 def dedup_deletion_audit(spark: SparkSession, sf: str) -> DataFrame:
