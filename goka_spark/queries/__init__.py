@@ -147,6 +147,7 @@ _FRONT = [
     "quantized_recall_eval",
     "dedup_deletion_audit",
     "winnow_param_sweep",
+    "dup_quality_compare",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",
@@ -167,7 +168,7 @@ _FRONT = [
     "loopback_rekey",
 ]
 # r10 rotation plan: promote to the front (a) every key between
-# "weighted_jaccard_pairs" and "winnow_param_sweep" in the tail
+# "weighted_jaccard_pairs" and "dup_quality_compare" in the tail
 # above —
 # the r9 additions that have never had a driver row (all locally
 # oracle-verified at sf0.001 AND sf0.01, most also at sf0.1);

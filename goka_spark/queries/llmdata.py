@@ -2291,6 +2291,26 @@ ORACLES["dedup_clusters"] = f"""
     FROM reach GROUP BY node
 """
 
+def _dup_quality_oracle() -> str:
+    return f"""
+    WITH k AS ({_minhash_keep_oracle()}),
+    q AS ({ORACLES["doc_quality_score"]}),
+    j AS (
+      SELECT k.doc_id <> k.keep_id AS dropped,
+             CAST(FLOOR(q.quality * 10000 + 0.5) AS BIGINT) AS qe4,
+             d.n_chars AS c
+      FROM k JOIN q USING (doc_id) JOIN documents d USING (doc_id)
+    )
+    SELECT dropped, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(qe4) // COUNT(*) AS BIGINT) AS mean_quality_e4,
+           CAST(SUM(c) // COUNT(*) AS BIGINT) AS mean_chars
+    FROM j GROUP BY dropped
+    """
+
+
+ORACLES["dup_quality_compare"] = _dup_quality_oracle
+
+
 def _winnow_sweep_oracle() -> str:
     """The winnow fingerprint oracle generalized over (k, w): same
     positional-md5 / rightmost-argmin / pos·2³²+h packing algebra,
@@ -6050,6 +6070,36 @@ def cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("n_clusters").cast("long"),
                     (F.col("cluster_size") * F.col("n_clusters"))
                     .cast("long").alias("n_docs")))
+
+
+def dup_quality_compare(spark: SparkSession, sf: str) -> DataFrame:
+    """Are the DUPLICATES the bad docs (C179)?  The keep pipeline
+    deletes by length, not quality — this audit checks what that
+    policy actually removes: kept vs dropped docs compared on count,
+    mean quality score (each doc's C8 score quantized ONCE to e4,
+    exact integer mean), and mean length.  If dropped ≈ kept the
+    dedup is quality-neutral (pure redundancy removal); a big gap
+    means the near-dup clusters concentrate in one quality tier and
+    the keep policy choice matters.  Memoized keep frame + one
+    scan + a 2-row agg."""
+    docs = load(spark, sf, "documents")["documents"]
+    keep = _keep_frame(spark, sf)
+    q_e4 = F.floor(T.quality_score(F.col("text")) * 10000
+                   + F.lit(0.5)).cast("long")
+    d = (docs.select("doc_id", q_e4.alias("_q"),
+                     F.col("n_chars").cast("long").alias("_c"))
+         .join(keep.select("doc_id",
+                           (F.col("doc_id") != F.col("keep_id"))
+                           .alias("dropped")), "doc_id"))
+    return (d.groupBy("dropped")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.expr("sum(_q) DIV count(*)").cast("long")
+                 .alias("mean_quality_e4"),
+                 F.expr("sum(_c) DIV count(*)").cast("long")
+                 .alias("mean_chars")))
+
+
+QUERIES["dup_quality_compare"] = dup_quality_compare
 
 
 _WINNOW_PARAMS = ((3, 4), (3, 8), (4, 4))
