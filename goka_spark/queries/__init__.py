@@ -126,6 +126,7 @@ _FRONT = [
     "error_impact",
     "session_depth_funnel",
     "revenue_gini",
+    "daily_arpu",
     "edit_distance_pairs",
     "readability_fre",
     "encoding_anomalies",

@@ -3378,3 +3378,56 @@ ORACLES["revenue_gini"] = """
              AS top_decile_share_e6
     FROM staged
 """
+
+
+def daily_arpu(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily ARPU + purchase conversion (B82) — the revenue line
+    beside B65's new/returning split: per active day, distinct
+    actives, distinct purchasers, revenue in exact cents (one
+    quantization per event), ARPU = revenue DIV actives and the
+    buyer conversion rate.  Two day-keyed hash-aggs joined on the
+    tiny day key — the stream is scanned once per measure."""
+    ev = load(spark, sf, "events")["events"]
+    v_e2 = F.round(F.col("value") * 100).cast("long")
+    act = (ev.groupBy(F.to_date("ts").alias("_d"))
+           .agg(F.countDistinct("user_id").alias("actives")))
+    buy = (ev.filter(F.col("event_type") == "purchase")
+           .groupBy(F.to_date("ts").alias("_d"))
+           .agg(F.countDistinct("user_id").alias("buyers"),
+                F.sum(v_e2).alias("rev_e2")))
+    return (act.join(buy, "_d", "left")
+            .select(F.date_format("_d", "yyyy-MM-dd").alias("day"),
+                    F.col("actives").cast("long"),
+                    F.coalesce("buyers", F.lit(0)).cast("long")
+                    .alias("buyers"),
+                    F.coalesce("rev_e2", F.lit(0)).cast("long")
+                    .alias("revenue_e2"),
+                    F.expr("coalesce(rev_e2, 0L) DIV actives")
+                    .cast("long").alias("arpu_e2"),
+                    F.expr("coalesce(buyers, 0L) * 1000000L"
+                           " DIV actives").cast("long")
+                    .alias("conversion_e6")))
+
+
+QUERIES["daily_arpu"] = daily_arpu
+
+ORACLES["daily_arpu"] = """
+    WITH act AS (
+      SELECT CAST(ts AS DATE) AS d,
+             COUNT(DISTINCT user_id) AS actives
+      FROM events GROUP BY d
+    ), buy AS (
+      SELECT CAST(ts AS DATE) AS d,
+             COUNT(DISTINCT user_id) AS buyers,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS rev
+      FROM events WHERE event_type = 'purchase' GROUP BY d
+    )
+    SELECT strftime(act.d, '%Y-%m-%d') AS day,
+           CAST(actives AS BIGINT) AS actives,
+           CAST(COALESCE(buyers, 0) AS BIGINT) AS buyers,
+           CAST(COALESCE(rev, 0) AS BIGINT) AS revenue_e2,
+           CAST(COALESCE(rev, 0) // actives AS BIGINT) AS arpu_e2,
+           CAST(COALESCE(buyers, 0) * 1000000 // actives AS BIGINT)
+             AS conversion_e6
+    FROM act LEFT JOIN buy ON act.d = buy.d
+"""
