@@ -149,6 +149,7 @@ _FRONT = [
     "dedup_deletion_audit",
     "winnow_param_sweep",
     "dup_quality_compare",
+    "bloom_fpr_calibration",
     "dedup_minhash_keep",
     "split_leakage_safe",
     "corpus_temperature_mix",
@@ -169,7 +170,7 @@ _FRONT = [
     "loopback_rekey",
 ]
 # r10 rotation plan: promote to the front (a) every key between
-# "weighted_jaccard_pairs" and "dup_quality_compare" in the tail
+# "weighted_jaccard_pairs" and "bloom_fpr_calibration" in the tail
 # above —
 # the r9 additions that have never had a driver row (all locally
 # oracle-verified at sf0.001 AND sf0.01, most also at sf0.1);

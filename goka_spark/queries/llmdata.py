@@ -2291,6 +2291,44 @@ ORACLES["dedup_clusters"] = f"""
     FROM reach GROUP BY node
 """
 
+ORACLES["bloom_fpr_calibration"] = f"""
+    WITH sh AS (
+      SELECT DISTINCT UNNEST(list_transform(
+               range(1, greatest(len(ws) - 2, 1) + 1),
+               i -> array_to_string(ws[i:i+2], ' '))) AS sh
+      FROM (SELECT {_WORDS} AS ws FROM documents WHERE doc_id % 97 = 0)
+    ), ks(j) AS (VALUES (0), (1), (2)),
+    bits AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || sh),
+                                  1, 8)) AS BIGINT) % 131072 AS pos
+      FROM sh CROSS JOIN ks
+    ), nb AS (SELECT COUNT(*) AS b FROM bits),
+    ng AS (SELECT COUNT(*) AS g FROM sh),
+    probes AS (
+      SELECT 'nm:' || CAST(i AS VARCHAR) AS sh, j,
+             CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+                   'nm:' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 131072 AS pos
+      FROM range(0, 10000) r(i) CROSS JOIN ks
+    ), fp AS (
+      SELECT COUNT(*) AS f FROM (
+        SELECT sh FROM probes JOIN bits USING (pos)
+        GROUP BY sh HAVING COUNT(*) = 3)
+    )
+    SELECT CAST(131072 AS BIGINT) AS m_bits, CAST(3 AS BIGINT) AS k,
+           CAST(g AS BIGINT) AS n_grams,
+           CAST(b AS BIGINT) AS n_set_bits,
+           CAST(b * 1000000 // 131072 AS BIGINT) AS fill_e6,
+           CAST(10000 AS BIGINT) AS n_probes,
+           CAST(f AS BIGINT) AS n_fp,
+           CAST(f * 1000000 // 10000 AS BIGINT) AS fpr_measured_e6,
+           CAST(b * b * b * 1000000 // (131072::BIGINT * 131072
+                * 131072) AS BIGINT) AS fpr_theory_e6
+    FROM nb, ng, fp
+"""
+
+
 def _dup_quality_oracle() -> str:
     return f"""
     WITH k AS ({_minhash_keep_oracle()}),
@@ -6070,6 +6108,54 @@ def cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("n_clusters").cast("long"),
                     (F.col("cluster_size") * F.col("n_clusters"))
                     .cast("long").alias("n_docs")))
+
+
+def bloom_fpr_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom false-positive CALIBRATION (C180) — the C95-style
+    "measure your sketch" pass for the C40 decontamination filter:
+    build the same benchmark filter (3-gram shingles of the
+    doc_id % 97 == 0 docs, m = 131072, k = 3), probe it with 10,000
+    deterministic GUARANTEED non-members ('nm:{i}' — the ':' can
+    never appear in a space-joined shingle), and report the measured
+    FPR beside the exact fill-ratio theory fpr = (set/m)³ — all
+    integers, so the calibration itself hash-verifies.  A measured
+    rate far off theory means hash-position clustering; far above
+    target means the filter is undersized for the benchmark."""
+    m_bits, k = 131072, 3
+    docs = load(spark, sf, "documents")["documents"]
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    grams = (bench.select(F.explode(D.word_shingles(
+        F.col("text"), 3)).alias("sh")).distinct())
+    bits = (D.bloom_bits(grams, "sh", m_bits, k)
+            .select("pos").distinct())
+    n_bits = bits.agg(F.count("*").alias("_b"))
+    n_grams = grams.agg(F.count("*").alias("_g"))
+    probes = spark.range(10_000).select(
+        F.concat(F.lit("nm:"), F.col("id").cast("string"))
+        .alias("sh"))
+    hits = (D.bloom_bits(probes, "sh", m_bits, k)
+            .join(bits, "pos")
+            .groupBy("sh").agg(F.count("*").alias("_k"))
+            .filter(F.col("_k") == k)
+            .agg(F.count("*").alias("_fp")))
+    return (n_bits.crossJoin(F.broadcast(n_grams))
+            .crossJoin(F.broadcast(hits))
+            .select(F.lit(m_bits).cast("long").alias("m_bits"),
+                    F.lit(k).cast("long").alias("k"),
+                    F.col("_g").cast("long").alias("n_grams"),
+                    F.col("_b").cast("long").alias("n_set_bits"),
+                    F.expr(f"_b * 1000000L DIV {m_bits}").cast("long")
+                    .alias("fill_e6"),
+                    F.lit(10_000).cast("long").alias("n_probes"),
+                    F.col("_fp").cast("long").alias("n_fp"),
+                    F.expr("_fp * 1000000L DIV 10000").cast("long")
+                    .alias("fpr_measured_e6"),
+                    F.expr(f"_b * _b * _b * 1000000L DIV "
+                           f"({m_bits}L * {m_bits}L * {m_bits}L)")
+                    .cast("long").alias("fpr_theory_e6")))
+
+
+QUERIES["bloom_fpr_calibration"] = bloom_fpr_calibration
 
 
 def dup_quality_compare(spark: SparkSession, sf: str) -> DataFrame:
