@@ -612,6 +612,12 @@ def image_wht_hash(df: DataFrame, id_col: str = "doc_id",
     per batch via the Sylvester-construction Hadamard matrix."""
     import numpy as np
 
+    # Sylvester doubling only produces power-of-two orders; any other
+    # grid would overshoot and fail the matmul with an opaque shape
+    # error downstream (r9 ADVICE)
+    if grid <= 0 or grid & (grid - 1):
+        raise ValueError(
+            f"image_wht_hash grid must be a power of two, got {grid}")
     hm = np.array([[1]], dtype=np.int64)
     while hm.shape[0] < grid:
         hm = np.block([[hm, hm], [hm, -hm]])

@@ -36,6 +36,7 @@ import io
 import socket
 import struct
 import threading
+import time
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -74,13 +75,18 @@ def fnv1a_32(data: bytes) -> int:
 
 
 def partition_for_key(key: bytes, num_partitions: int) -> int:
-    """sarama hashPartitioner.Partition: int32(hash) % n, negated if
-    negative."""
+    """sarama hashPartitioner.Partition: ``int32(hash) % n`` with Go's
+    *truncated* modulo, negated if negative (reference view.go:307-310
+    does the same for key → partition lookup).  Go's ``%`` truncates
+    toward zero, so for a negative int32 hash the Go result is
+    ``-(|h| % n)`` which the negation turns into ``|h| % n`` — i.e.
+    abs-before-mod.  Python's floor ``%`` would disagree for roughly
+    half of all keys, silently breaking cross-client co-partitioning
+    against a real sarama/goka producer."""
     h = fnv1a_32(key)
     if h >= 1 << 31:
         h -= 1 << 32
-    p = h % num_partitions
-    return p if p >= 0 else p + num_partitions
+    return (-h if h < 0 else h) % num_partitions
 
 
 # ---------------------------------------------------------------------------
@@ -313,8 +319,63 @@ API_PRODUCE, API_FETCH, API_METADATA = 0, 1, 3
 API_API_VERSIONS, API_CREATE_TOPICS = 18, 19
 
 ERR_NONE = 0
+ERR_OFFSET_OUT_OF_RANGE = 1
 ERR_UNKNOWN_TOPIC = 3
+ERR_LEADER_NOT_AVAILABLE = 5
+ERR_NOT_LEADER = 6
+ERR_REQUEST_TIMED_OUT = 7
 ERR_TOPIC_EXISTS = 36
+
+#: Error codes a sarama-style client retries after backoff (leadership
+#: moves / timeouts resolve themselves); everything else surfaces.
+RETRIABLE_ERRORS = frozenset({
+    ERR_LEADER_NOT_AVAILABLE, ERR_NOT_LEADER, ERR_REQUEST_TIMED_OUT,
+})
+
+_ERR_NAMES = {
+    ERR_OFFSET_OUT_OF_RANGE: "OFFSET_OUT_OF_RANGE",
+    ERR_UNKNOWN_TOPIC: "UNKNOWN_TOPIC_OR_PARTITION",
+    ERR_LEADER_NOT_AVAILABLE: "LEADER_NOT_AVAILABLE",
+    ERR_NOT_LEADER: "NOT_LEADER_FOR_PARTITION",
+    ERR_REQUEST_TIMED_OUT: "REQUEST_TIMED_OUT",
+    ERR_TOPIC_EXISTS: "TOPIC_ALREADY_EXISTS",
+}
+
+
+class KafkaWireError(RuntimeError):
+    """A broker error response, carrying the wire error code."""
+
+    def __init__(self, api: str, code: int) -> None:
+        name = _ERR_NAMES.get(code, str(code))
+        super().__init__(f"{api} error {code} ({name})")
+        self.code = code
+
+    @property
+    def retriable(self) -> bool:
+        return self.code in RETRIABLE_ERRORS
+
+
+class SimpleBackoff:
+    """Reference simple_backoff.go:10 semantics: each ``duration()``
+    call returns the current wait then grows it by ``step`` until
+    ``max``; ``reset()`` returns to zero.  (First call returns 0 —
+    the first retry is immediate, exactly like the Go original.)"""
+
+    def __init__(self, step: float = 0.05, max_: float = 1.0) -> None:
+        self._step, self._max = step, max_
+        self._current = 0.0
+        self._lock = threading.Lock()
+
+    def reset(self) -> None:
+        with self._lock:
+            self._current = 0.0
+
+    def duration(self) -> float:
+        with self._lock:
+            value = self._current
+            if self._current + self._step <= self._max:
+                self._current += self._step
+            return value
 
 
 class KafkaConnection:
@@ -470,11 +531,14 @@ class WireProducer:
     resolves on the produce response — here the call returns the
     assigned (partition, base_offset))."""
 
-    def __init__(self, brokers: list[str]) -> None:
+    def __init__(self, brokers: list[str], max_retries: int = 3,
+                 backoff: Optional[SimpleBackoff] = None) -> None:
         host, port = _parse_addr(brokers[0])
         self._conn = KafkaConnection(host, port)
         self._tm = WireTopicManager(brokers)
         self._npar: dict[str, int] = {}
+        self._max_retries = max_retries
+        self._backoff = backoff or SimpleBackoff()
 
     def close(self) -> None:
         self._conn.close()
@@ -504,38 +568,57 @@ class WireProducer:
             w.array([partition],
                     lambda wr, p: wr.int32(p).bytes_(batch))
 
-        w = _Writer()
-        w.string(None)                           # transactional_id
-        w.int16(-1)                              # acks=all
-        w.int32(10_000)                          # timeout
-        w.array([topic], enc_topic)
-        rd = self._conn.request(API_PRODUCE, 3, w.getvalue())
-        base_offset, err = -1, 0
-        for _ in range(rd.int32()):
-            rd.string()
+        payload = (_Writer()
+                   .string(None)                 # transactional_id
+                   .int16(-1)                    # acks=all
+                   .int32(10_000)                # timeout
+                   .array([topic], enc_topic)
+                   .getvalue())
+        # Retriable broker errors (NOT_LEADER etc.) are retried with
+        # the reference's incremental backoff (producer.go:64 returns
+        # the promise error; goka's processor retries via
+        # simple_backoff.go:10) — non-retriable codes surface typed.
+        self._backoff.reset()
+        for attempt in range(self._max_retries + 1):
+            rd = self._conn.request(API_PRODUCE, 3, payload)
+            base_offset, err = -1, 0
             for _ in range(rd.int32()):
-                rd.int32()
-                err = rd.int16()
-                base_offset = rd.int64()
-                rd.int64()                       # log_append_time
-        if err:
-            raise RuntimeError(f"Produce error {err}")
-        return partition, base_offset
+                rd.string()
+                for _ in range(rd.int32()):
+                    rd.int32()
+                    err = rd.int16()
+                    base_offset = rd.int64()
+                    rd.int64()                   # log_append_time
+            if not err:
+                return partition, base_offset
+            if err not in RETRIABLE_ERRORS or attempt == self._max_retries:
+                raise KafkaWireError("Produce", err)
+            time.sleep(self._backoff.duration())
+        raise AssertionError("unreachable")
 
 
 class WireConsumer:
     """Minimal fetch path (partition consumer): returns decoded
     records from the requested offset, CRC-checked."""
 
-    def __init__(self, brokers: list[str]) -> None:
+    def __init__(self, brokers: list[str], max_retries: int = 3,
+                 backoff: Optional[SimpleBackoff] = None) -> None:
         host, port = _parse_addr(brokers[0])
         self._conn = KafkaConnection(host, port)
+        self._max_retries = max_retries
+        self._backoff = backoff or SimpleBackoff()
 
     def close(self) -> None:
         self._conn.close()
 
     def fetch(self, topic: str, partition: int, offset: int,
               max_bytes: int = 1 << 20) -> list[Record]:
+        """Fetch from ``offset``.  A response truncated at the
+        partition ``max_bytes`` limit is legal Kafka behavior — the
+        partial trailing batch is dropped by the decoder and the
+        caller re-fetches from the last offset it got.  Retriable
+        errors back off and retry; OFFSET_OUT_OF_RANGE / unknown
+        topic raise typed errors."""
         w = _Writer()
         w.int32(-1)                              # replica_id
         w.int32(100)                             # max_wait_ms
@@ -549,23 +632,32 @@ class WireConsumer:
                      .int64(offset).int32(max_bytes))
 
         w.array([topic], enc_topic)
-        rd = self._conn.request(API_FETCH, 4, w.getvalue())
-        rd.int32()                               # throttle_time
-        records: list[Record] = []
-        for _ in range(rd.int32()):
-            rd.string()
+        payload = w.getvalue()
+        self._backoff.reset()
+        for attempt in range(self._max_retries + 1):
+            rd = self._conn.request(API_FETCH, 4, payload)
+            rd.int32()                           # throttle_time
+            records: list[Record] = []
+            err = 0
             for _ in range(rd.int32()):
-                rd.int32()                       # partition
-                err = rd.int16()
-                rd.int64()                       # high watermark
-                rd.int64()                       # last_stable_offset (v4)
-                rd.array(lambda r: (r.int64(), r.int64()))  # aborted txns
-                data = rd.bytes_() or b""
-                if err:
-                    raise RuntimeError(f"Fetch error {err}")
-                records.extend(r for r in decode_record_batches(data)
-                               if r.offset >= offset)
-        return records
+                rd.string()
+                for _ in range(rd.int32()):
+                    rd.int32()                   # partition
+                    err = rd.int16()
+                    rd.int64()                   # high watermark
+                    rd.int64()                   # last_stable_offset (v4)
+                    rd.array(lambda r: (r.int64(), r.int64()))  # txns
+                    data = rd.bytes_() or b""
+                    if err:
+                        continue
+                    records.extend(r for r in decode_record_batches(data)
+                                   if r.offset >= offset)
+            if not err:
+                return records
+            if err not in RETRIABLE_ERRORS or attempt == self._max_retries:
+                raise KafkaWireError("Fetch", err)
+            time.sleep(self._backoff.duration())
+        raise AssertionError("unreachable")
 
 
 # ---------------------------------------------------------------------------
@@ -586,6 +678,19 @@ class FakeBroker:
         self._lock = threading.Lock()
         self._threads: list[threading.Thread] = []
         self._stop = threading.Event()
+        #: api name ("produce"|"fetch") -> queued error codes; each
+        #: queued code fails exactly one subsequent request — lets
+        #: tests exercise NOT_LEADER / timeout retry paths a real
+        #: broker produces during leadership moves.
+        self._inject: dict[str, list[int]] = {"produce": [], "fetch": []}
+
+    def inject_error(self, api: str, code: int, times: int = 1) -> None:
+        with self._lock:
+            self._inject[api].extend([code] * times)
+
+    def _pop_injected(self, api: str) -> Optional[int]:
+        q = self._inject[api]
+        return q.pop(0) if q else None
 
     # -- lifecycle --
     @property
@@ -724,6 +829,7 @@ class FakeBroker:
         rd.int32()                               # timeout
         out = []
         with self._lock:
+            injected = self._pop_injected("produce")
             for _ in range(rd.int32()):
                 name = rd.string()
                 parts_out = []
@@ -731,6 +837,9 @@ class FakeBroker:
                     pid = rd.int32()
                     data = rd.bytes_() or b""
                     topic = self.topics.get(name)
+                    if injected is not None:
+                        parts_out.append((pid, injected, -1))
+                        continue
                     if topic is None or pid >= len(topic["parts"]):
                         parts_out.append((pid, ERR_UNKNOWN_TOPIC, -1))
                         continue
@@ -758,23 +867,39 @@ class FakeBroker:
         rd.int8()                                # isolation
         out = []
         with self._lock:
+            injected = self._pop_injected("fetch")
             for _ in range(rd.int32()):
                 name = rd.string()
                 parts_out = []
                 for _ in range(rd.int32()):
                     pid = rd.int32()
                     offset = rd.int64()
-                    rd.int32()                   # partition max_bytes
+                    part_max = rd.int32()        # partition max_bytes
                     topic = self.topics.get(name)
+                    if injected is not None:
+                        parts_out.append((pid, injected, 0, b""))
+                        continue
                     if topic is None or pid >= len(topic["parts"]):
                         parts_out.append((pid, ERR_UNKNOWN_TOPIC, 0, b""))
                         continue
                     log = topic["parts"][pid]
+                    if offset > len(log):
+                        # past the high watermark — real brokers answer
+                        # OFFSET_OUT_OF_RANGE, not an empty batch
+                        parts_out.append((pid, ERR_OFFSET_OUT_OF_RANGE,
+                                          len(log), b""))
+                        continue
                     tail = log[offset:]
-                    data = (encode_record_batch(offset, [
-                        Record(i, r.timestamp, r.key, r.value, r.headers)
-                        for i, r in enumerate(tail)])
-                        if tail else b"")
+                    # one batch per record so a max_bytes cut yields a
+                    # decodable prefix + partial trailing batch, like a
+                    # real broker's size-limited response
+                    data = b"".join(
+                        encode_record_batch(offset + i, [
+                            Record(0, r.timestamp, r.key, r.value,
+                                   r.headers)])
+                        for i, r in enumerate(tail))
+                    if len(data) > part_max:
+                        data = data[:part_max]   # partial response
                     parts_out.append((pid, 0, len(log), data))
                 out.append((name, parts_out))
         w = _Writer()

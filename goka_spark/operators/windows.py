@@ -416,6 +416,11 @@ class SessionizeSink:
             op = open_t.select("user", "start_us",
                                F.col("last_us").alias("end_us"), "n")
             out = op if out is None else out.unionByName(op)
+        if out is None:
+            # nothing written yet — empty frame, not AttributeError
+            # downstream (r9 ADVICE)
+            return spark.createDataFrame(
+                [], "user string, start_us long, end_us long, n long")
         return out
 
 
@@ -603,6 +608,12 @@ class GrowthAccountingSink:
     def read(self, spark):
         """The B73 table over everything seen: summed epoch deltas
         plus the read-time right-censored trailing churn."""
+        if self._latest(spark, "state", 1 << 62) is None:
+            # nothing written yet — empty frame, not AttributeError
+            # downstream (r9 ADVICE)
+            return spark.createDataFrame(
+                [], "week long, n_new long, n_retained long, "
+                    "n_resurrected long, n_churned long, n_active long")
         deltas = (spark.read.parquet(f"{self.out}/weekly")
                   .groupBy("wk")
                   .agg(F.sum("n_new").alias("n_new"),

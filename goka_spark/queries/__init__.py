@@ -12,169 +12,143 @@ from goka_spark.queries import analytics, core, llmdata
 # entries and stops.  Rotate per round so no key's driver row goes
 # >2 rounds stale.
 _FRONT = [
-    # Round 9 rotation (r8 verdict ask #1): (a) the 21 keys that have
-    # NEVER had a driver row (r8 additions past the 50-slot cap;
-    # judge-sampled 10/10 PASS at sf0.01 in the r8 audit) — certify
-    # first.
-    "doc_chunk",
-    "release_diff",
-    "source_divergence_matrix",
-    "cluster_size_histogram",
-    "embedding_matryoshka_eval",
-    "chunk_pack_pipeline",
-    "bigram_cond_entropy",
-    "embedding_dim_stats",
-    "dedup_threshold_sweep",
-    "multimodal_silence",
-    "quality_gate_ablation",
-    "chunk_dedup",
-    "release_token_drift",
-    "lang_id_eval",
-    "quality_calibration",
-    "multimodal_frame_dedup",
-    "cosine_threshold_sweep",
-    "multimodal_zcr",
-    "html_strip",
-    "release_quality_drift",
-    "embedding_cell_margins",
-    # (b) the 23 r04-stale hash-verified keys (latest driver row four
-    # rounds old) — after this round no registry key's newest row is
-    # older than r7.
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_discounted_brand",
-    "q22_no_order_customers",
-    "funnel_conversion",
-    "user_retention_cohort",
-    "event_dedup_window",
-    "above_avg_balance",
-    "semi_join_active_parts",
-    "visitor_apply",
-    "proc_delete_key",
-    "multi_input_merge",
-    "proc_headers",
-    "proc_last_state",
-    # (c) keys CHANGED this round: approx_distinct_users now serves
-    # the portable-HLL kernel (r8 verdict ask #3 — first-ever hash
-    # oracle for it); corpus_filter_pipeline reuses the memoized CC
-    # graph (ask #5).
-    "approx_distinct_users",
-    "corpus_filter_pipeline",
-    # (d) new r9 operators — locally oracle-verified at sf0.001 AND
-    # sf0.01 before being placed inside the 50-slot front.
-    "boilerplate_strip",
-    "logreg_quality_train",
-    "video_shot_boundaries",
-    "image_wht_dedup",
-    # ---- best-effort tail past the ~50 cap: first the late-r9
-    # additions (locally oracle-verified at sf0.001+sf0.01; certify
-    # r10), then keys whose latest rows are r6/r7/r8 (nothing is
-    # older than two rounds after this rotation)
-    "weighted_jaccard_pairs",
-    "doc_lang_confidence",
-    "dedup_savings_report",
-    "char_ngram_lang_id",
+    # Round 10 rotation (r9 verdict ask #1): all 50 slots go to
+    # never-certified r9 keys — 72 keys have never had a driver row
+    # (+76 registry growth in r9 vs the 50-slot cap).  Highest-risk
+    # first: the ops with novel oracle machinery the verdict named
+    # explicitly, then the rest of the never-certified set.  All 50
+    # are locally oracle-verified at sf0.01 before this rotation was
+    # committed (tools/verify_local.py).
+    # (a) verdict-named novel-oracle ops
+    "seasonal_anomalies",
+    "edit_distance_pairs",
+    "lsh_vs_edit_eval",
+    "stickiness_hll",
+    "peak_concurrency",
     "image_wht_near_pairs",
-    "lm_heldout_eval",
     "lm_backoff_score",
-    "ohlc_bars",
-    "time_weighted_avg",
-    "conversion_delay_buckets",
-    "user_path_topk",
+    "lm_heldout_eval",
+    "winnow_param_sweep",
+    "dedup_deletion_audit",
+    "user_activity_deciles",
+    "revenue_gini",
+    "activity_gini",
     "url_normalize",
     "url_domain_stats",
     "host_cap_sample",
-    "max_drawdown",
-    "funnel_steps_timed",
     "dedup_url_keep",
+    "session_funnel",
+    "growth_accounting",
+    # (b) remaining never-certified keys with non-trivial oracle
+    # machinery (weighted minhash, interval weighting, path mining,
+    # CC audits, PMI/chi2/correlation, ANN recall, bloom theory)
+    "weighted_jaccard_pairs",
+    "char_ngram_lang_id",
+    "doc_lang_confidence",
+    "dedup_savings_report",
+    "ohlc_bars",
+    "time_weighted_avg",
+    "max_drawdown",
+    "user_path_topk",
+    "conversion_delay_buckets",
+    "funnel_steps_timed",
     "activation_delay_buckets",
     "retention_triangle",
     "stickiness_dau_mau",
-    "stickiness_hll",
-    "user_activity_deciles",
-    "activity_gini",
     "rfm_segments",
     "host_quality_report",
     "dedup_funnel_report",
-    "user_active_time",
     "volume_anomalies_robust",
+    "event_cooccurrence_lift",
+    "activation_correlates",
+    "template_prefix_clusters",
+    "skipgram_pmi_topk",
+    "dup_cluster_source_purity",
+    "sample_mix_chi2",
+    "text_vs_embedding_consistency",
+    "chain_merge_audit",
+    "tokenizer_stability",
+    "quantized_recall_eval",
+    "dup_quality_compare",
+    "bloom_fpr_calibration",
+    "pii_audit_matrix",
+    "session_depth_funnel",
+    # ---- 50-slot cap reached.  Best-effort tail: (c) the 22
+    # never-certified keys that queue for r11 (simple agg shapes;
+    # all locally oracle-verified), then (d) the 44 r6-stale keys so
+    # any extra driver slots refresh the oldest rows first.
+    "user_active_time",
     "seasonality_profile",
     "cohort_ltv_curve",
     "new_vs_returning",
     "source_domain_diversity",
     "hourly_session_concurrency",
     "weekly_growth",
-    "peak_concurrency",
-    "session_funnel",
     "token_burstiness",
     "vocab_coverage_curve",
     "type_mix_drift",
-    "event_cooccurrence_lift",
-    "growth_accounting",
-    "seasonal_anomalies",
-    "activation_correlates",
     "engagement_mix_by_decile",
     "error_impact",
-    "session_depth_funnel",
-    "revenue_gini",
     "daily_arpu",
-    "edit_distance_pairs",
     "readability_fre",
     "encoding_anomalies",
-    "template_prefix_clusters",
-    "skipgram_pmi_topk",
     "hapax_ratio",
-    "lsh_vs_edit_eval",
-    "dup_cluster_source_purity",
-    "pii_audit_matrix",
-    "sample_mix_chi2",
-    "text_vs_embedding_consistency",
     "gate_bias_by_length",
     "curriculum_phases",
     "image_contrast_score",
     "wav_headroom",
-    "chain_merge_audit",
     "source_health_report",
-    "tokenizer_stability",
-    "quantized_recall_eval",
-    "dedup_deletion_audit",
-    "winnow_param_sweep",
-    "dup_quality_compare",
-    "bloom_fpr_calibration",
-    "dedup_minhash_keep",
-    "split_leakage_safe",
-    "corpus_temperature_mix",
-    "unigram_token_count",
-    "tokenizer_fertility",
-    "event_transitions",
-    "minhash_est_error",
-    "tumbling_window_agg",
-    "hopping_window_agg",
-    "session_window_agg",
-    "running_total_per_user",
-    "event_sessionize",
-    "dedup_exact",
-    "line_dedup",
-    "embedding_lsh_ann",
-    "view_point_get",
-    "codec_roundtrip",
-    "loopback_rekey",
+    "approx_distinct_users_builtin",
+    # (d) r6-stale keys (oldest driver rows in the registry)
+    "proc_count_per_key",
+    "proc_agg_state",
+    "doc_entropy",
+    "near_decontaminate",
+    "blocklist_filter",
+    "common_ngrams",
+    "cluster_balanced_sample",
+    "corpus_split",
+    "corpus_shuffle",
+    "corpus_domain_mix",
+    "corpus_weighted_sample",
+    "corpus_stats",
+    "source_overlap_matrix",
+    "dedup_incremental",
+    "bloom_decontaminate",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ngram_jaccard_auto",
+    "ngram_containment_pairs",
+    "minhash_containment_est",
+    "dup_span_extract",
+    "dup_span_remove",
+    "decontaminate_spans",
+    "decontaminate_span_remove",
+    "nb_quality_classify",
+    "vocab_coverage",
+    "perplexity_buckets",
+    "line_quality_filter",
+    "bpe_token_count",
+    "bpe_encode_docs",
+    "lang_audit",
+    "dedup_exact_prioritized",
+    "image_dhash_dedup",
+    "doc_lm_score",
+    "corpus_importance_weights",
+    "embedding_ivf_ann",
+    "dedup_embedding_cosine",
+    "dedup_semantic",
+    "embedding_cluster_assign",
+    "embedding_knn_graph",
+    "embedding_pca_project",
+    "doc_repetition",
+    "embedding_pq_ann",
+    "embedding_ivf_pq_ann",
 ]
-# r10 rotation plan: promote to the front (a) every key between
-# "weighted_jaccard_pairs" and "bloom_fpr_calibration" in the tail
-# above —
-# the r9 additions that have never had a driver row (all locally
-# oracle-verified at sf0.001 AND sf0.01, most also at sf0.1);
-# (b) then the oldest-certified keys (r6 vintage after this round).
+# r11 rotation plan: promote (c) — the 22 remaining never-certified
+# keys — into the front, then fill the rest of the 50 slots from (d),
+# the r6-stale vintage.  After r11 every key has a driver row and
+# nothing is older than r8.
 
 
 

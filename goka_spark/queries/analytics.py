@@ -16,6 +16,36 @@ from goka_spark.operators import windows as W
 from goka_spark.operators.joins import as_of_join
 from goka_spark.queries.base import load
 
+#: Hard cap on the count-frequency frame the inequality kernels
+#: (B58 deciles / B59 activity gini / B81 revenue gini) may feed
+#: through their UNPARTITIONED cumulative window.  The frame is one
+#: row per DISTINCT activity level (bounded by the max per-key count,
+#: ≪ number of keys), so 4M rows is orders of magnitude above any
+#: legitimate use — the guard exists so the kernel CANNOT silently be
+#: reused on a high-cardinality value column where a single-partition
+#: window would become the bottleneck (r9 verdict ask #4).
+FREQ_WINDOW_BOUND = 1 << 22
+
+
+def _guard_freq_window(df: DataFrame, order_col,
+                       bound: int = FREQ_WINDOW_BOUND) -> DataFrame:
+    """Fail loudly if ``df`` (a count-frequency frame about to enter a
+    global cumulative window ordered by ``order_col``) exceeds
+    ``bound`` rows.  Piggybacks a ``row_number`` on the SAME
+    partition/order as the kernel's window — no extra exchange, scan
+    or driver collect; ``assert_true`` raises mid-window the moment
+    row ``bound + 1`` is produced."""
+    rn = F.row_number().over(Window.orderBy(order_col))
+    guard = F.assert_true(
+        rn <= F.lit(bound),
+        F.lit(f"count-frequency frame exceeds FREQ_WINDOW_BOUND "
+              f"({bound}): this inequality kernel runs an "
+              f"unpartitioned cumulative window and must only see "
+              f"distinct-level-sized input"))
+    return (df.withColumn("_fw_guard", guard)
+            .filter(F.col("_fw_guard").isNull())
+            .drop("_fw_guard"))
+
 
 # -- windowed (B1-B3, B11-B12) ---------------------------------------
 
@@ -1681,7 +1711,9 @@ def user_activity_deciles(spark: SparkSession, sf: str) -> DataFrame:
     without any per-user ordering."""
     ev = load(spark, sf, "events")["events"]
     per_user = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
-    freq = per_user.groupBy("cnt").agg(F.count("*").alias("u"))
+    freq = _guard_freq_window(
+        per_user.groupBy("cnt").agg(F.count("*").alias("u")),
+        F.desc("cnt"))
     w = (Window.orderBy(F.desc("cnt"))
          .rowsBetween(Window.unboundedPreceding, -1))
     tot = Window.partitionBy()
@@ -1845,7 +1877,8 @@ def activity_gini(spark: SparkSession, sf: str) -> DataFrame:
     one tiny frequency agg + cumulative window, one 1-row result."""
     ev = load(spark, sf, "events")["events"]
     per_user = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
-    freq = per_user.groupBy("cnt").agg(F.count("*").alias("u"))
+    freq = _guard_freq_window(
+        per_user.groupBy("cnt").agg(F.count("*").alias("u")), "cnt")
     w = (Window.orderBy("cnt")
          .rowsBetween(Window.unboundedPreceding, -1))
     staged = freq.withColumn(
@@ -3322,7 +3355,8 @@ def revenue_gini(spark: SparkSession, sf: str) -> DataFrame:
     per_user = (ev.filter(F.col("event_type") == "purchase")
                 .groupBy("user_id")
                 .agg(F.sum(v_e2).alias("rev")))
-    freq = per_user.groupBy("rev").agg(F.count("*").alias("u"))
+    freq = _guard_freq_window(
+        per_user.groupBy("rev").agg(F.count("*").alias("u")), "rev")
     w = (Window.orderBy("rev")
          .rowsBetween(Window.unboundedPreceding, -1))
     staged = (freq.withColumn(

@@ -6492,8 +6492,10 @@ def curriculum_phases(spark: SparkSession, sf: str) -> DataFrame:
                     F.expr("n_tokens * 1000000L DIV greatest(_T, 1L)")
                     .cast("long").alias("token_share_e6"),
                     # _fk can be NEGATIVE (fkgl floors at −15590):
-                    # Spark DIV truncates, DuckDB // floors — shift
-                    # to non-negative so both compute floor(_fk/n)
+                    # both Spark DIV and DuckDB // truncate toward
+                    # zero, but the mean here is defined as
+                    # floor(_fk/n) — shift to non-negative so both
+                    # engines compute the floor, not the truncation
                     F.expr("(_fk + n_docs * 1000000L) DIV n_docs"
                            " - 1000000L").cast("long")
                     .alias("mean_fkgl_e3")))

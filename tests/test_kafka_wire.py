@@ -47,6 +47,29 @@ def test_fnv1a_known_vectors():
     assert fnv1a_32(b"foobar") == 0xBF9CF968
 
 
+def test_partitioner_matches_sarama_pinned_values():
+    """Key → partition pinned to sarama hashPartitioner semantics
+    (Go's TRUNCATED modulo on the signed int32 hash, then negate):
+    int32(fnv1a('user-0')) = -162301177, and Go -162301177 % 3 = -1
+    → partition 1.  Python's floor modulo would give 2 — the r9
+    ADVICE bug.  Values below recomputed by hand from the public FNV
+    constants + Go modulo rules (reference view.go:307-310)."""
+    pins = {
+        # (key, num_partitions) -> sarama partition
+        (b"user-0", 3): 1,   # negative int32 hash: floor-mod would say 2
+        (b"user-0", 8): 1,
+        (b"user-1", 3): 0,
+        (b"user-1", 8): 4,
+        (b"user-2", 5): 4,
+        (b"user-3", 12): 2,
+        (b"", 8): 3,         # int32(0x811C9DC5) is negative too
+        (b"hello", 5): 3,    # positive int32 hash: both modulos agree
+        (b"key", 12): 4,
+    }
+    for (key, n), want in pins.items():
+        assert partition_for_key(key, n) == want, (key, n)
+
+
 def test_partitioner_non_negative_and_stable():
     got = [partition_for_key(f"user-{i}".encode(), 8) for i in range(100)]
     assert all(0 <= p < 8 for p in got)
@@ -154,6 +177,137 @@ def test_emit_unknown_topic_errors(broker):
             prod.emit("nope", "k", b"v")
     finally:
         prod.close()
+
+
+# -- error paths + retry/backoff (r9 verdict ask #5) -------------------
+
+def test_simple_backoff_reference_semantics():
+    """simple_backoff.go:10: Duration() returns the CURRENT value then
+    grows by step until max; Reset() zeroes."""
+    from goka_spark.kafka_wire import SimpleBackoff
+    b = SimpleBackoff(step=0.1, max_=0.25)
+    assert [round(b.duration(), 10) for _ in range(5)] == \
+        [0.0, 0.1, 0.2, 0.2, 0.2]          # 0.2+0.1 > max → stays
+    b.reset()
+    assert b.duration() == 0.0
+
+
+def test_fetch_unknown_topic_raises_typed(broker):
+    from goka_spark.kafka_wire import KafkaWireError
+    cons = WireConsumer([broker.address])
+    try:
+        with pytest.raises(KafkaWireError,
+                           match="UNKNOWN_TOPIC_OR_PARTITION") as ei:
+            cons.fetch("ghost", 0, 0)
+        assert not ei.value.retriable
+    finally:
+        cons.close()
+
+
+def test_fetch_offset_out_of_range(broker):
+    from goka_spark.kafka_wire import KafkaWireError
+    tm = WireTopicManager([broker.address])
+    prod = WireProducer([broker.address])
+    cons = WireConsumer([broker.address])
+    try:
+        tm.ensure_stream_exists("oor", 1)
+        prod.emit("oor", "k", b"v")
+        # at the high watermark → empty, NOT an error (legal poll)
+        assert cons.fetch("oor", 0, 1) == []
+        # past it → OFFSET_OUT_OF_RANGE, like a real broker
+        with pytest.raises(KafkaWireError, match="OFFSET_OUT_OF_RANGE"):
+            cons.fetch("oor", 0, 2)
+    finally:
+        cons.close()
+        prod.close()
+        tm.close()
+
+
+def test_produce_retries_not_leader_then_succeeds(broker):
+    from goka_spark.kafka_wire import ERR_NOT_LEADER, SimpleBackoff
+    tm = WireTopicManager([broker.address])
+    prod = WireProducer([broker.address], max_retries=3,
+                        backoff=SimpleBackoff(step=0.001, max_=0.002))
+    cons = WireConsumer([broker.address])
+    try:
+        tm.ensure_stream_exists("moving", 2)
+        broker.inject_error("produce", ERR_NOT_LEADER, times=2)
+        part, off = prod.emit("moving", "k1", b"v1")
+        assert off == 0
+        got = cons.fetch("moving", part, 0)
+        assert [(r.key, r.value) for r in got] == [(b"k1", b"v1")]
+    finally:
+        cons.close()
+        prod.close()
+        tm.close()
+
+
+def test_produce_retries_exhausted_raises(broker):
+    from goka_spark.kafka_wire import (ERR_NOT_LEADER, KafkaWireError,
+                                       SimpleBackoff)
+    tm = WireTopicManager([broker.address])
+    prod = WireProducer([broker.address], max_retries=2,
+                        backoff=SimpleBackoff(step=0.001, max_=0.002))
+    try:
+        tm.ensure_stream_exists("gone", 1)
+        broker.inject_error("produce", ERR_NOT_LEADER, times=10)
+        with pytest.raises(KafkaWireError,
+                           match="NOT_LEADER_FOR_PARTITION") as ei:
+            prod.emit("gone", "k", b"v")
+        assert ei.value.retriable  # retriable code, retries exhausted
+    finally:
+        prod.close()
+        tm.close()
+
+
+def test_fetch_retries_leader_not_available(broker):
+    from goka_spark.kafka_wire import ERR_LEADER_NOT_AVAILABLE, SimpleBackoff
+    tm = WireTopicManager([broker.address])
+    prod = WireProducer([broker.address])
+    cons = WireConsumer([broker.address], max_retries=3,
+                        backoff=SimpleBackoff(step=0.001, max_=0.002))
+    try:
+        tm.ensure_stream_exists("flaky", 1)
+        prod.emit("flaky", "k", b"v", partition=0)
+        broker.inject_error("fetch", ERR_LEADER_NOT_AVAILABLE, times=2)
+        got = cons.fetch("flaky", 0, 0)
+        assert [(r.key, r.value) for r in got] == [(b"k", b"v")]
+    finally:
+        cons.close()
+        prod.close()
+        tm.close()
+
+
+def test_fetch_partial_response_truncated_at_max_bytes(broker):
+    """A size-limited fetch returns a decodable prefix + partial
+    trailing batch; the client drops the partial tail and resumes
+    from the last full offset — the standard Kafka pagination loop."""
+    tm = WireTopicManager([broker.address])
+    prod = WireProducer([broker.address])
+    cons = WireConsumer([broker.address])
+    try:
+        tm.ensure_stream_exists("big", 1)
+        for i in range(10):
+            prod.emit("big", f"k{i}", b"x" * 100, partition=0)
+        full = cons.fetch("big", 0, 0)
+        assert len(full) == 10
+        # cap well below the full response: get SOME but not all
+        part_resp = cons.fetch("big", 0, 0, max_bytes=400)
+        assert 0 < len(part_resp) < 10
+        # offsets are a dense prefix (no holes from the truncation)
+        assert [r.offset for r in part_resp] == list(range(len(part_resp)))
+        # the pagination loop recovers everything
+        got, off = [], 0
+        while off < 10:
+            page = cons.fetch("big", 0, off, max_bytes=400)
+            assert page, "stuck: empty page below high watermark"
+            got.extend(page)
+            off = page[-1].offset + 1
+        assert [r.key for r in got] == [f"k{i}".encode() for i in range(10)]
+    finally:
+        cons.close()
+        prod.close()
+        tm.close()
 
 
 # -- socket transport feeding the Spark wire path ---------------------

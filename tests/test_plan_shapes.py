@@ -562,3 +562,33 @@ def test_edit_distance_levenshtein_evaluated_once_and_wide(spark, sf_dir):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.lower().count("levenshtein") == 0, plan
     assert "LogicalRDD" in plan, plan
+
+
+def test_freq_window_guard_caps_unpartitioned_window(spark, sf_dir):
+    """r9 verdict ask #4: the inequality kernels (B58/B59/B81) run
+    an UNPARTITIONED cumulative window over the count-frequency
+    frame — safe only because that frame is distinct-levels-sized.
+    The guard must (a) pass values through untouched under the
+    bound, (b) fail loudly the moment the frame exceeds it, so the
+    kernel can't silently be reused on a high-cardinality column."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from goka_spark.queries.analytics import _guard_freq_window
+
+    freq = spark.range(10).select(F.col("id").alias("cnt"),
+                                  F.lit(3).alias("u"))
+    ok = _guard_freq_window(freq, "cnt", bound=10)
+    assert [r.cnt for r in ok.orderBy("cnt").collect()] == list(range(10))
+    over = _guard_freq_window(freq, "cnt", bound=5)
+    with pytest.raises(Exception, match="FREQ_WINDOW_BOUND"):
+        over.collect()
+
+
+def test_activity_gini_guard_adds_no_exchange(spark, sf_dir):
+    """The guard piggybacks row_number on the kernel's own window
+    partition/order — the plan must keep exactly the kernel's
+    exchanges (events→per_user, per_user→freq, freq→single) and not
+    add one."""
+    df = analytics.activity_gini(spark, sf_dir)
+    assert X.num_shuffles(df) <= 3, X.simple(df)

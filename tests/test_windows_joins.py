@@ -571,6 +571,21 @@ def test_growth_accounting_lifecycle(spark, tmp_path, monkeypatch):
         assert r.n_active == r.n_new + r.n_retained + r.n_resurrected
 
 
+def test_empty_sinks_read_empty_frames(spark, tmp_path):
+    """read() before any epoch was written returns an EMPTY frame
+    with the output schema — not AttributeError off a None state
+    (r9 ADVICE)."""
+    from goka_spark.operators.windows import (GrowthAccountingSink,
+                                              SessionizeSink)
+    s = SessionizeSink(str(tmp_path / "empty_sess")).read(spark)
+    assert s.count() == 0
+    assert s.columns == ["user", "start_us", "end_us", "n"]
+    g = GrowthAccountingSink(str(tmp_path / "empty_ga")).read(spark)
+    assert g.count() == 0
+    assert g.columns == ["week", "n_new", "n_retained",
+                         "n_resurrected", "n_churned", "n_active"]
+
+
 # --------------------------------------------- GrowthAccountingSink
 
 def test_growth_sink_equals_batch(spark, sf_dir, tmp_path, monkeypatch):
