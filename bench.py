@@ -125,6 +125,13 @@ def main() -> None:
     # independent (r7 verdict: whichever row ran first paid training)
     from goka_spark.queries.llmdata import warm_tokenizers
     warm_tokenizers(spark, sf_dir)
+    # session-memoized graph artifacts (Jaccard CC labels, minhash
+    # keep frame): one-per-session builds that otherwise bill the
+    # first sweep row that touches them (r9 verdict ask #3 —
+    # cluster_size_histogram 10.7 s cold vs 0.38 s warm was purely
+    # which query ran first)
+    from goka_spark.queries.llmdata import warm_graph_artifacts
+    warm_graph_artifacts(spark, sf_dir)
 
     def run(name: str) -> float:
         t0 = time.time()

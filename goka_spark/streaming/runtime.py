@@ -208,3 +208,180 @@ class ExactlyOnceBatchSink:
     def read(self, spark: SparkSession) -> DataFrame:
         """All committed rows (partition column ``epoch_id`` dropped)."""
         return spark.read.parquet(FS.uri_join(self.path, "data")).drop("epoch_id")
+
+
+# ---------------------------------------------------------------------------
+# View lifecycle observation (reference view.go:15 ViewState,
+# :449 CurrentState, :475 ObserveStateChanges, :431 Recovered)
+# ---------------------------------------------------------------------------
+
+class ViewState(int):
+    """goka's view state machine constants (view.go:19-28)."""
+
+
+VIEW_STATE_IDLE = ViewState(0)
+VIEW_STATE_INITIALIZING = ViewState(1)
+VIEW_STATE_CONNECTING = ViewState(2)
+VIEW_STATE_CATCHUP = ViewState(3)
+VIEW_STATE_RUNNING = ViewState(4)
+
+_VIEW_STATE_NAMES = {
+    VIEW_STATE_IDLE: "Idle",
+    VIEW_STATE_INITIALIZING: "Initializing",
+    VIEW_STATE_CONNECTING: "Connecting",
+    VIEW_STATE_CATCHUP: "CatchUp",
+    VIEW_STATE_RUNNING: "Running",
+}
+
+
+def view_state_name(s: int) -> str:
+    return _VIEW_STATE_NAMES.get(int(s), str(int(s)))
+
+
+class StateChangeObserver:
+    """Channel-of-states (view.go:475): read transitions from ``C``
+    (a ``queue.Queue`` of ViewState); call ``stop()`` when done.
+    Unlike the Go original there is no deadlock risk — the queue is
+    unbounded — but ``stop()`` still detaches it from the tracker."""
+
+    def __init__(self, unsubscribe) -> None:
+        import queue
+
+        self.C: "queue.Queue[int]" = queue.Queue()
+        self._unsubscribe = unsubscribe
+
+    def stop(self) -> None:
+        self._unsubscribe(self)
+
+
+class ViewStateTracker:
+    """Lifecycle observation for a streaming View/table query — the
+    parity surface for goka's ``View.CurrentState`` /
+    ``ObserveStateChanges`` / ``Recovered`` (view.go:449/475/431).
+
+    Spark's StreamingQueryListener events map onto the goka state
+    machine:
+
+    - query started                      → Initializing
+    - progress with input rows           → CatchUp (replaying backlog)
+    - progress with zero input / idle    → Running (caught up at the
+      source head — goka's "all partitions recovered")
+    - terminated with exception          → Connecting (a restart from
+      checkpoint is the Spark analog of goka's reconnect loop)
+    - terminated cleanly                 → Idle
+
+    Like goka's Recovered(), ``recovered`` latches true the first
+    time Running is reached and stays true while the query lives.
+    Attach with ``tracker.attach(spark)`` BEFORE ``start()``;
+    detach on teardown."""
+
+    def __init__(self, query_name: str) -> None:
+        import threading as _t
+
+        self._name = query_name
+        self._lock = _t.Lock()
+        self._cv = _t.Condition(self._lock)
+        self._state: int = VIEW_STATE_IDLE
+        self._recovered = False
+        self._observers: list[StateChangeObserver] = []
+        self._listener = None
+        self._qid: str = ""
+
+    # -- goka-parity API --
+    def current_state(self) -> int:
+        with self._lock:
+            return self._state
+
+    def recovered(self) -> bool:
+        with self._lock:
+            return self._recovered
+
+    def observe_state_changes(self) -> StateChangeObserver:
+        obs = StateChangeObserver(self._unsubscribe)
+        with self._lock:
+            self._observers.append(obs)
+        return obs
+
+    def wait_for_state(self, state: int, timeout: float = 30.0) -> bool:
+        """WaitForState (view.go:104 WaitRunning is
+        ``wait_for_state(VIEW_STATE_RUNNING)``)."""
+        deadline_state = int(state)
+        with self._cv:
+            return self._cv.wait_for(
+                lambda: self._state == deadline_state, timeout)
+
+    def wait_running(self, timeout: float = 30.0) -> bool:
+        return self.wait_for_state(VIEW_STATE_RUNNING, timeout)
+
+    # -- wiring --
+    def _unsubscribe(self, obs: StateChangeObserver) -> None:
+        with self._lock:
+            if obs in self._observers:
+                self._observers.remove(obs)
+
+    def _set(self, state: int) -> None:
+        with self._cv:
+            if state == self._state:
+                return  # signal semantics: notify on CHANGE only
+            self._state = state
+            if state == VIEW_STATE_RUNNING:
+                self._recovered = True
+            if state == VIEW_STATE_IDLE:
+                self._recovered = False
+            observers = list(self._observers)
+            self._cv.notify_all()
+        for obs in observers:
+            obs.C.put(state)
+
+    def attach(self, spark: SparkSession) -> "ViewStateTracker":
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        tracker = self
+
+        class _Listener(StreamingQueryListener):
+            # Idle/Terminated events carry no query NAME, only ids —
+            # remember the id from the started event to match them.
+            def onQueryStarted(self, event) -> None:
+                if event.name == tracker._name:
+                    tracker._qid = str(event.id)
+                    tracker._set(VIEW_STATE_INITIALIZING)
+
+            def onQueryProgress(self, event) -> None:
+                p = event.progress
+                if p.name != tracker._name:
+                    return
+                if p.numInputRows > 0:
+                    tracker._set(VIEW_STATE_CATCHUP)
+                else:
+                    tracker._set(VIEW_STATE_RUNNING)
+
+            def onQueryIdle(self, event) -> None:
+                if str(event.id) != tracker._qid:
+                    return
+                # idle = no new data at the source head: caught up
+                tracker._set(VIEW_STATE_RUNNING)
+
+            def onQueryTerminated(self, event) -> None:
+                if str(event.id) != tracker._qid:
+                    return
+                if event.exception is not None:
+                    # failed — a checkpoint restart reconnects
+                    tracker._set(VIEW_STATE_CONNECTING)
+                else:
+                    tracker._set(VIEW_STATE_IDLE)
+
+        self._listener = _Listener()
+        spark.streams.addListener(self._listener)
+        return self
+
+    def detach(self, spark: SparkSession) -> None:
+        if self._listener is not None:
+            spark.streams.removeListener(self._listener)
+            self._listener = None
+
+    def state_dict(self) -> dict:
+        """JSON shape for web.MonitorServer's view-state endpoint."""
+        with self._lock:
+            return {"state": view_state_name(self._state),
+                    "state_id": int(self._state),
+                    "recovered": self._recovered}

@@ -114,6 +114,8 @@ class MonitorServer:
         self._sources: dict[str, Callable[[Any], Any]] = {}
         self._views: set[str] = set()
         self._actions: dict[str, _Action] = {}
+        #: name -> ViewStateTracker (streaming View lifecycle)
+        self._view_states: dict[str, Any] = {}
         outer = self
 
         # built-in, mirroring the verdict's monitoring-parity list: a
@@ -211,6 +213,16 @@ class MonitorServer:
                                 "sources": sorted(outer._sources),
                                 "views": sorted(outer._views),
                             })
+                    elif (parts[:2] == ["data", "view-state"]
+                          and len(parts) == 3):
+                        tr = outer._view_states.get(parts[2])
+                        if tr is None:
+                            self._json({"error": "unknown view"}, 404)
+                        else:
+                            self._json(tr.state_dict())
+                    elif parts == ["data", "view-state"]:
+                        self._json({n: t.state_dict() for n, t in
+                                    sorted(outer._view_states.items())})
                     elif parts[:2] == ["data", "processor"] and len(parts) == 3:
                         res = outer._processors.get(parts[2])
                         if res is None:
@@ -279,6 +291,15 @@ class MonitorServer:
 
     def attach_source(self, name: str, getter: Callable[[Any], Any]) -> None:
         self._sources[name] = getter
+
+    def attach_view_state(self, name: str, tracker: Any) -> None:
+        """Surface a streaming View's lifecycle (reference
+        view.go:449 CurrentState / :475 ObserveStateChanges) — GET
+        ``/data/view-state/{name}`` returns
+        ``{"state": "Running", "state_id": 4, "recovered": true}``,
+        the health-check/metrics polling shape the Go API documents
+        for CurrentState."""
+        self._view_states[name] = tracker
 
     def attach_action(self, name: str,
                       actor: Callable[[str, threading.Event], Any],

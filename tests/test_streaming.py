@@ -493,3 +493,76 @@ def test_streaming_session_window_merges_across_batches(spark, tmp_path):
     assert {k: v for k, v in live.items() if k[0] != "flush"} == closed
     a_sessions = [k for k in live if k[0] == "a"]
     assert len(a_sessions) == 1 and live[a_sessions[0]] == 3
+
+
+def test_view_state_lifecycle_catchup_to_running(spark, tmp_path):
+    """View lifecycle parity (reference view.go:449 CurrentState /
+    :475 ObserveStateChanges / :431 Recovered): a live query walks
+    Idle → Initializing → CatchUp → Running; recovered() latches at
+    Running; observers see the transitions ON A CHANNEL in order;
+    a clean stop returns to Idle.  Surfaced over HTTP via
+    MonitorServer.attach_view_state."""
+    import json as _json
+    import urllib.request
+
+    from goka_spark.streaming.runtime import (
+        VIEW_STATE_CATCHUP,
+        VIEW_STATE_IDLE,
+        VIEW_STATE_INITIALIZING,
+        VIEW_STATE_RUNNING,
+        ViewStateTracker,
+    )
+    from goka_spark.web import MonitorServer
+
+    src = str(tmp_path / "topic")
+    _write_batch(spark, src, _rows(0, 4, "a"))
+
+    tracker = ViewStateTracker("view_state_q").attach(spark)
+    assert tracker.current_state() == VIEW_STATE_IDLE
+    assert not tracker.recovered()
+    obs = tracker.observe_state_changes()
+
+    web = MonitorServer().start()
+    web.attach_view_state("clicks-view", tracker)
+
+    g = define_group("vsl", input_stream("t"),
+                     persist(AggFold({"cnt": F.count("*")})))
+    q = StreamingProcessor(g).start_table(
+        {"t": stream_from_dir(spark, src, SCHEMA)},
+        queryName="view_state_q",
+        checkpoint=str(tmp_path / "ckpt_vs"),
+    )
+    try:
+        q.processAllAvailable()
+        # WaitRunning (view.go:104): the no-data microbatch after the
+        # backlog flips the tracker to Running
+        assert tracker.wait_running(timeout=60), tracker.current_state()
+        assert tracker.recovered()
+
+        # the observer channel saw the walk in order, no duplicates
+        seen = []
+        while len(seen) < 3:
+            seen.append(obs.C.get(timeout=30))
+        assert seen == [VIEW_STATE_INITIALIZING, VIEW_STATE_CATCHUP,
+                        VIEW_STATE_RUNNING]
+
+        # health-check surface: the poll shape CurrentState documents
+        with urllib.request.urlopen(
+                f"{web.address}/data/view-state/clicks-view") as r:
+            body = _json.load(r)
+        assert body == {"state": "Running", "state_id": 4,
+                        "recovered": True}
+
+        # late arrivals put the view back into CatchUp, then Running
+        _write_batch(spark, src, _rows(4, 6, "a"))
+        q.processAllAvailable()
+        assert tracker.wait_running(timeout=60)
+        assert obs.C.get(timeout=30) == VIEW_STATE_CATCHUP
+        assert obs.C.get(timeout=30) == VIEW_STATE_RUNNING
+    finally:
+        obs.stop()
+        q.stop()
+        web.stop()
+    assert tracker.wait_for_state(VIEW_STATE_IDLE, timeout=60)
+    assert not tracker.recovered()
+    tracker.detach(spark)
