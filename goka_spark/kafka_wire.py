@@ -11,14 +11,23 @@ implemented here from scratch and exercised against each other over a
 loopback socket.  On a real cluster the client classes speak to a real
 broker unchanged for the implemented API subset.
 
-Implemented APIs (fixed old versions, non-flexible encoding):
-- ApiVersions v0 (key 18)
-- Metadata v0 (key 3)
-- CreateTopics v0 (key 19)
-- Produce v3 (key 0) carrying RecordBatch v2 (magic=2, CRC32C,
+Implemented APIs — each in TWO wire versions, negotiated per broker
+via the ApiVersions handshake (modern-first with KIP-511 downgrade):
+- ApiVersions v0 / v3 (key 18)
+- Metadata v0 / v12 (key 3)
+- CreateTopics v0 / v7 (key 19)
+- Produce v3 / v9 (key 0) carrying RecordBatch v2 (magic=2, CRC32C,
   zigzag-varint records, per-record headers — the current on-disk /
   on-wire record format, KIP-98)
-- Fetch v4 (key 1) returning RecordBatch v2
+- Fetch v4 / v12 (key 1) returning RecordBatch v2
+The modern versions use the KIP-482 FLEXIBLE encoding: compact
+(varint length+1) strings/bytes/arrays, tagged-field blocks, request
+header v2 / response header v1 (ApiVersions responses stay header v0
+so negotiation never depends on its own outcome).  Error paths:
+typed KafkaWireError codes, OFFSET_OUT_OF_RANGE, UNKNOWN_TOPIC,
+retriable NOT_LEADER/timeout with the reference's incremental
+backoff (simple_backoff.go:10), max_bytes-truncated partial fetch
+responses.
 
 Partitioning follows sarama's default hash partitioner used by goka
 (FNV-1a 32-bit over the key, non-negative modulo partition count) so
@@ -144,6 +153,44 @@ class _Writer:
             enc(self, it)
         return self
 
+    # -- flexible-version (KIP-482) encodings: unsigned varints,
+    # length+1 "compact" strings/bytes/arrays, tagged-field blocks --
+
+    def uvarint(self, v: int) -> "_Writer":
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                self.raw(bytes([b | 0x80]))
+            else:
+                return self.raw(bytes([b]))
+
+    def compact_string(self, s: Optional[str]) -> "_Writer":
+        if s is None:
+            return self.uvarint(0)
+        data = s.encode()
+        return self.uvarint(len(data) + 1).raw(data)
+
+    def compact_bytes(self, b: Optional[bytes]) -> "_Writer":
+        if b is None:
+            return self.uvarint(0)
+        return self.uvarint(len(b) + 1).raw(b)
+
+    def compact_array(self, items, enc) -> "_Writer":
+        if items is None:
+            return self.uvarint(0)
+        self.uvarint(len(items) + 1)
+        for it in items:
+            enc(self, it)
+        return self
+
+    def tags(self) -> "_Writer":
+        """Empty tagged-field block (we define no tagged fields)."""
+        return self.uvarint(0)
+
+    def uuid(self, b: bytes = b"\x00" * 16) -> "_Writer":
+        return self.raw(b)
+
     def getvalue(self) -> bytes:
         return self._b.getvalue()
 
@@ -193,6 +240,41 @@ class _Reader:
 
     def array(self, dec) -> list:
         return [dec(self) for _ in range(self.int32())]
+
+    # -- flexible-version (KIP-482) decodings --
+
+    def uvarint(self) -> int:
+        v, shift = 0, 0
+        while True:
+            b = self.raw(1)[0]
+            v |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return v
+            shift += 7
+
+    def compact_string(self) -> Optional[str]:
+        n = self.uvarint()
+        return None if n == 0 else self.raw(n - 1).decode()
+
+    def compact_bytes(self) -> Optional[bytes]:
+        n = self.uvarint()
+        return None if n == 0 else self.raw(n - 1)
+
+    def compact_array(self, dec) -> Optional[list]:
+        n = self.uvarint()
+        return None if n == 0 else [dec(self) for _ in range(n - 1)]
+
+    def tags(self) -> None:
+        """Skip a tagged-field block (tag, size, opaque payload)."""
+        for _ in range(self.uvarint()):
+            self.uvarint()              # tag
+            self.raw(self.uvarint())    # size + payload
+
+    def uuid(self) -> bytes:
+        return self.raw(16)
+
+    def bool_(self) -> bool:
+        return self.raw(1)[0] != 0
 
     def remaining(self) -> int:
         pos = self._b.tell()
@@ -318,6 +400,37 @@ def decode_record_batches(data: bytes) -> list[Record]:
 API_PRODUCE, API_FETCH, API_METADATA = 0, 1, 3
 API_API_VERSIONS, API_CREATE_TOPICS = 18, 19
 
+#: First FLEXIBLE version per API (KIP-482: compact encodings +
+#: tagged fields + request header v2 / response header v1).
+FLEXIBLE_SINCE = {
+    API_PRODUCE: 9,
+    API_FETCH: 12,
+    API_METADATA: 9,
+    API_API_VERSIONS: 3,
+    API_CREATE_TOPICS: 5,
+}
+
+#: The two versions each client speaks per API: the legacy fixed
+#: version (pre-KIP-482 encoding) and the modern flexible one.
+#: ApiVersions negotiation picks per-API: modern if the broker's
+#: advertised range covers it, else legacy.
+LEGACY_VERSION = {
+    API_PRODUCE: 3,
+    API_FETCH: 4,
+    API_METADATA: 0,
+    API_API_VERSIONS: 0,
+    API_CREATE_TOPICS: 0,
+}
+MODERN_VERSION = {
+    API_PRODUCE: 9,
+    API_FETCH: 12,
+    API_METADATA: 12,
+    API_API_VERSIONS: 3,
+    API_CREATE_TOPICS: 7,
+}
+
+ERR_UNSUPPORTED_VERSION = 35
+
 ERR_NONE = 0
 ERR_OFFSET_OUT_OF_RANGE = 1
 ERR_UNKNOWN_TOPIC = 3
@@ -406,12 +519,21 @@ class KafkaConnection:
 
     def request(self, api_key: int, api_version: int,
                 payload: bytes) -> _Reader:
+        """Frame and send one request; return a reader positioned at
+        the response body.  Flexible versions (KIP-482) use request
+        header v2 (tagged fields after client_id) and response header
+        v1 — EXCEPT ApiVersions, whose response header is pinned to
+        v0 regardless of version so that version negotiation itself
+        never depends on the negotiation's outcome."""
+        flexible = api_version >= FLEXIBLE_SINCE.get(api_key, 1 << 30)
         with self._lock:
             self._corr += 1
             corr = self._corr
-            head = (_Writer().int16(api_key).int16(api_version)
-                    .int32(corr).string(self._client_id).getvalue())
-            frame = head + payload
+            hw = (_Writer().int16(api_key).int16(api_version)
+                  .int32(corr).string(self._client_id))
+            if flexible:
+                hw.tags()                # request header v2
+            frame = hw.getvalue() + payload
             self._sock.sendall(struct.pack(">i", len(frame)) + frame)
             size = struct.unpack(">i", self._read_exact(4))[0]
             resp = self._read_exact(size)
@@ -419,12 +541,57 @@ class KafkaConnection:
         got_corr = rd.int32()
         if got_corr != corr:
             raise ValueError(f"correlation id mismatch: {got_corr} != {corr}")
+        if flexible and api_key != API_API_VERSIONS:
+            rd.tags()                    # response header v1
         return rd
 
 
 def _parse_addr(broker: str) -> tuple[str, int]:
     host, _, port = broker.rpartition(":")
     return host or "127.0.0.1", int(port)
+
+
+def api_version_ranges(conn: KafkaConnection) -> dict[int, tuple[int, int]]:
+    """ApiVersions handshake, modern-first: try v3 (flexible); an
+    old broker answers UNSUPPORTED_VERSION with a v0-encoded body, in
+    which case retry with v0 — exactly the downgrade dance real
+    clients implement (KIP-511)."""
+    req = (_Writer().compact_string("goka-spark")
+           .compact_string("1.0").tags().getvalue())
+    rd = conn.request(API_API_VERSIONS, 3, req)
+    err = rd.int16()
+    if err == ERR_UNSUPPORTED_VERSION:
+        rd0 = conn.request(API_API_VERSIONS, 0, b"")
+        err0 = rd0.int16()
+        if err0:
+            raise KafkaWireError("ApiVersions", err0)
+        return {k: (lo, hi) for k, lo, hi in
+                rd0.array(lambda r: (r.int16(), r.int16(), r.int16()))}
+    if err:
+        raise KafkaWireError("ApiVersions", err)
+    out = {}
+    n = rd.uvarint()
+    for _ in range(max(n - 1, 0)):
+        k, lo, hi = rd.int16(), rd.int16(), rd.int16()
+        rd.tags()
+        out[k] = (lo, hi)
+    rd.int32()                           # throttle (after array in v3)
+    rd.tags()
+    return out
+
+
+def negotiate_versions(conn: KafkaConnection) -> dict[int, int]:
+    """Pick the wire version this client uses per API: the MODERN
+    flexible version when the broker's advertised range covers it,
+    else the legacy fixed version — so the same client classes speak
+    old brokers (pre-KIP-482) and modern ones."""
+    ranges = api_version_ranges(conn)
+    out = {}
+    for api, legacy in LEGACY_VERSION.items():
+        modern = MODERN_VERSION[api]
+        lo, hi = ranges.get(api, (legacy, legacy))
+        out[api] = modern if lo <= modern <= hi else legacy
+    return out
 
 
 class WireTopicManager:
@@ -439,6 +606,8 @@ class WireTopicManager:
         host, port = _parse_addr(brokers[0])
         self._conn = KafkaConnection(host, port)
         self._mismatch = mismatch
+        #: negotiated per-API wire versions (modern ⇄ legacy)
+        self.versions = negotiate_versions(self._conn)
 
     def close(self) -> None:
         self._conn.close()
@@ -455,6 +624,9 @@ class WireTopicManager:
         return out
 
     def _metadata(self, topics: list[str]) -> dict:
+        ver = self.versions[API_METADATA]
+        if ver >= FLEXIBLE_SINCE[API_METADATA]:
+            return self._metadata_flexible(topics, ver)
         w = _Writer().array(topics, lambda wr, t: wr.string(t))
         rd = self._conn.request(API_METADATA, 0, w.getvalue())
         brokers = rd.array(lambda r: (r.int32(), r.string(), r.int32()))
@@ -473,6 +645,48 @@ class WireTopicManager:
             meta[name] = (terr, sorted(parts))
         return {"brokers": brokers, "topics": meta}
 
+    def _metadata_flexible(self, topics: list[str], ver: int) -> dict:
+        """Metadata v12 (flexible): compact encodings, topic ids,
+        tagged fields."""
+        w = _Writer().compact_array(
+            topics, lambda wr, t: wr.uuid().compact_string(t).tags())
+        w.int8(0)                        # allow_auto_topic_creation
+        w.int8(0)                        # include_topic_authorized_ops
+        w.tags()
+        rd = self._conn.request(API_METADATA, ver, w.getvalue())
+        rd.int32()                       # throttle
+        brokers = []
+        for _ in range(max(rd.uvarint() - 1, 0)):
+            node, host = rd.int32(), rd.compact_string()
+            port = rd.int32()
+            rd.compact_string()          # rack
+            rd.tags()
+            brokers.append((node, host, port))
+        rd.compact_string()              # cluster_id
+        rd.int32()                       # controller_id
+        meta = {}
+        for _ in range(max(rd.uvarint() - 1, 0)):
+            terr = rd.int16()
+            name = rd.compact_string()
+            rd.uuid()                    # topic_id
+            rd.bool_()                   # is_internal
+            parts = []
+            for _ in range(max(rd.uvarint() - 1, 0)):
+                rd.int16()               # partition error
+                pid = rd.int32()
+                rd.int32()               # leader
+                rd.int32()               # leader_epoch
+                rd.compact_array(lambda r: r.int32())  # replicas
+                rd.compact_array(lambda r: r.int32())  # isr
+                rd.compact_array(lambda r: r.int32())  # offline
+                rd.tags()
+                parts.append(pid)
+            rd.int32()                   # topic_authorized_operations
+            rd.tags()
+            meta[name] = (terr, sorted(parts))
+        rd.tags()
+        return {"brokers": brokers, "topics": meta}
+
     def partitions(self, topic: str) -> list[int]:
         terr, parts = self._metadata([topic])["topics"].get(topic,
                                                             (ERR_UNKNOWN_TOPIC,
@@ -488,6 +702,38 @@ class WireTopicManager:
 
     def create_topic(self, topic: str, npar: int, rfactor: int = 1,
                      config: Optional[dict[str, str]] = None) -> None:
+        ver = self.versions[API_CREATE_TOPICS]
+        if ver >= FLEXIBLE_SINCE[API_CREATE_TOPICS]:
+            def enc_topic7(w: _Writer, t: str) -> None:
+                w.compact_string(t).int32(npar).int16(rfactor)
+                w.compact_array([], lambda *_: None)  # assignments
+                w.compact_array(
+                    sorted((config or {}).items()),
+                    lambda wr, kv: wr.compact_string(kv[0])
+                    .compact_string(kv[1]).tags())
+                w.tags()
+
+            w = (_Writer().compact_array([topic], enc_topic7)
+                 .int32(10_000).int8(0).tags())  # timeout, validate_only
+            rd = self._conn.request(API_CREATE_TOPICS, ver, w.getvalue())
+            rd.int32()                   # throttle
+            for _ in range(max(rd.uvarint() - 1, 0)):
+                name = rd.compact_string()
+                rd.uuid()                # topic_id
+                err = rd.int16()
+                rd.compact_string()      # error_message
+                rd.int32()               # num_partitions
+                rd.int16()               # replication_factor
+                cfgs = rd.compact_array(
+                    lambda r: (r.compact_string(), r.compact_string(),
+                               r.bool_(), r.int8(), r.bool_(), r.tags()))
+                del cfgs
+                rd.tags()
+                if err not in (ERR_NONE, ERR_TOPIC_EXISTS):
+                    raise KafkaWireError(f"CreateTopics({name!r})", err)
+            rd.tags()
+            return
+
         def enc_topic(w: _Writer, t: str) -> None:
             w.string(t).int32(npar).int16(rfactor)
             w.array([], lambda *_: None)         # replica assignments
@@ -539,6 +785,7 @@ class WireProducer:
         self._npar: dict[str, int] = {}
         self._max_retries = max_retries
         self._backoff = backoff or SimpleBackoff()
+        self.versions = negotiate_versions(self._conn)
 
     def close(self) -> None:
         self._conn.close()
@@ -568,33 +815,72 @@ class WireProducer:
             w.array([partition],
                     lambda wr, p: wr.int32(p).bytes_(batch))
 
-        payload = (_Writer()
-                   .string(None)                 # transactional_id
-                   .int16(-1)                    # acks=all
-                   .int32(10_000)                # timeout
-                   .array([topic], enc_topic)
-                   .getvalue())
+        ver = self.versions[API_PRODUCE]
+        if ver >= FLEXIBLE_SINCE[API_PRODUCE]:
+            def enc_topic9(w: _Writer, t: str) -> None:
+                w.compact_string(t)
+                w.compact_array(
+                    [partition],
+                    lambda wr, p: wr.int32(p).compact_bytes(batch).tags())
+                w.tags()
+
+            payload = (_Writer()
+                       .compact_string(None)     # transactional_id
+                       .int16(-1)                # acks=all
+                       .int32(10_000)            # timeout
+                       .compact_array([topic], enc_topic9)
+                       .tags().getvalue())
+        else:
+            payload = (_Writer()
+                       .string(None)             # transactional_id
+                       .int16(-1)                # acks=all
+                       .int32(10_000)            # timeout
+                       .array([topic], enc_topic)
+                       .getvalue())
         # Retriable broker errors (NOT_LEADER etc.) are retried with
         # the reference's incremental backoff (producer.go:64 returns
         # the promise error; goka's processor retries via
         # simple_backoff.go:10) — non-retriable codes surface typed.
         self._backoff.reset()
         for attempt in range(self._max_retries + 1):
-            rd = self._conn.request(API_PRODUCE, 3, payload)
-            base_offset, err = -1, 0
-            for _ in range(rd.int32()):
-                rd.string()
+            rd = self._conn.request(API_PRODUCE, ver, payload)
+            if ver >= FLEXIBLE_SINCE[API_PRODUCE]:
+                base_offset, err = self._parse_produce_v9(rd)
+            else:
+                base_offset, err = -1, 0
                 for _ in range(rd.int32()):
-                    rd.int32()
-                    err = rd.int16()
-                    base_offset = rd.int64()
-                    rd.int64()                   # log_append_time
+                    rd.string()
+                    for _ in range(rd.int32()):
+                        rd.int32()
+                        err = rd.int16()
+                        base_offset = rd.int64()
+                        rd.int64()               # log_append_time
             if not err:
                 return partition, base_offset
             if err not in RETRIABLE_ERRORS or attempt == self._max_retries:
                 raise KafkaWireError("Produce", err)
             time.sleep(self._backoff.duration())
         raise AssertionError("unreachable")
+
+    @staticmethod
+    def _parse_produce_v9(rd: _Reader) -> tuple[int, int]:
+        base_offset, err = -1, 0
+        for _ in range(max(rd.uvarint() - 1, 0)):
+            rd.compact_string()                  # topic
+            for _ in range(max(rd.uvarint() - 1, 0)):
+                rd.int32()                       # partition index
+                err = rd.int16()
+                base_offset = rd.int64()
+                rd.int64()                       # log_append_time
+                rd.int64()                       # log_start_offset
+                rd.compact_array(
+                    lambda r: (r.int32(), r.compact_string(), r.tags()))
+                rd.compact_string()              # error_message
+                rd.tags()
+            rd.tags()
+        rd.int32()                               # throttle
+        rd.tags()
+        return base_offset, err
 
 
 class WireConsumer:
@@ -607,6 +893,7 @@ class WireConsumer:
         self._conn = KafkaConnection(host, port)
         self._max_retries = max_retries
         self._backoff = backoff or SimpleBackoff()
+        self.versions = negotiate_versions(self._conn)
 
     def close(self) -> None:
         self._conn.close()
@@ -619,39 +906,93 @@ class WireConsumer:
         caller re-fetches from the last offset it got.  Retriable
         errors back off and retry; OFFSET_OUT_OF_RANGE / unknown
         topic raise typed errors."""
-        w = _Writer()
-        w.int32(-1)                              # replica_id
-        w.int32(100)                             # max_wait_ms
-        w.int32(1)                               # min_bytes
-        w.int32(max_bytes)                       # max_bytes (v3+)
-        w.int8(0)                                # isolation_level (v4+)
+        ver = self.versions[API_FETCH]
+        if ver >= FLEXIBLE_SINCE[API_FETCH]:
+            w = _Writer()
+            w.int32(-1)                          # replica_id
+            w.int32(100)                         # max_wait_ms
+            w.int32(1)                           # min_bytes
+            w.int32(max_bytes)                   # max_bytes
+            w.int8(0)                            # isolation_level
+            w.int32(0)                           # session_id
+            w.int32(-1)                          # session_epoch
 
-        def enc_topic(wr: _Writer, t: str) -> None:
-            wr.string(t)
-            wr.array([partition], lambda w2, p: w2.int32(p)
-                     .int64(offset).int32(max_bytes))
+            def enc_topic12(wr: _Writer, t: str) -> None:
+                wr.compact_string(t)
+                wr.compact_array(
+                    [partition],
+                    lambda w2, p: w2.int32(p).int32(-1).int64(offset)
+                    .int32(-1).int64(-1).int32(max_bytes).tags())
+                wr.tags()
 
-        w.array([topic], enc_topic)
+            w.compact_array([topic], enc_topic12)
+            w.compact_array([], lambda *_: None)  # forgotten topics
+            w.compact_string("")                 # rack_id
+            w.tags()
+        else:
+            w = _Writer()
+            w.int32(-1)                          # replica_id
+            w.int32(100)                         # max_wait_ms
+            w.int32(1)                           # min_bytes
+            w.int32(max_bytes)                   # max_bytes (v3+)
+            w.int8(0)                            # isolation_level (v4+)
+
+            def enc_topic(wr: _Writer, t: str) -> None:
+                wr.string(t)
+                wr.array([partition], lambda w2, p: w2.int32(p)
+                         .int64(offset).int32(max_bytes))
+
+            w.array([topic], enc_topic)
         payload = w.getvalue()
         self._backoff.reset()
         for attempt in range(self._max_retries + 1):
-            rd = self._conn.request(API_FETCH, 4, payload)
-            rd.int32()                           # throttle_time
+            rd = self._conn.request(API_FETCH, ver, payload)
             records: list[Record] = []
             err = 0
-            for _ in range(rd.int32()):
-                rd.string()
+            if ver >= FLEXIBLE_SINCE[API_FETCH]:
+                rd.int32()                       # throttle_time
+                top_err = rd.int16()
+                rd.int32()                       # session_id
+                if top_err:
+                    err = top_err
+                else:
+                    for _ in range(max(rd.uvarint() - 1, 0)):
+                        rd.compact_string()
+                        for _ in range(max(rd.uvarint() - 1, 0)):
+                            rd.int32()           # partition
+                            err = rd.int16()
+                            rd.int64()           # high watermark
+                            rd.int64()           # last_stable_offset
+                            rd.int64()           # log_start_offset
+                            rd.compact_array(
+                                lambda r: (r.int64(), r.int64(),
+                                           r.tags()))  # aborted txns
+                            rd.int32()           # preferred_read_replica
+                            data = rd.compact_bytes() or b""
+                            rd.tags()
+                            if err:
+                                continue
+                            records.extend(
+                                r for r in decode_record_batches(data)
+                                if r.offset >= offset)
+                        rd.tags()
+                    rd.tags()
+            else:
+                rd.int32()                       # throttle_time
                 for _ in range(rd.int32()):
-                    rd.int32()                   # partition
-                    err = rd.int16()
-                    rd.int64()                   # high watermark
-                    rd.int64()                   # last_stable_offset (v4)
-                    rd.array(lambda r: (r.int64(), r.int64()))  # txns
-                    data = rd.bytes_() or b""
-                    if err:
-                        continue
-                    records.extend(r for r in decode_record_batches(data)
-                                   if r.offset >= offset)
+                    rd.string()
+                    for _ in range(rd.int32()):
+                        rd.int32()               # partition
+                        err = rd.int16()
+                        rd.int64()               # high watermark
+                        rd.int64()               # last_stable_offset
+                        rd.array(lambda r: (r.int64(), r.int64()))
+                        data = rd.bytes_() or b""
+                        if err:
+                            continue
+                        records.extend(
+                            r for r in decode_record_batches(data)
+                            if r.offset >= offset)
             if not err:
                 return records
             if err not in RETRIABLE_ERRORS or attempt == self._max_retries:
@@ -670,7 +1011,14 @@ class FakeBroker:
     a real socket.  Single node, in-memory log per (topic, partition).
     """
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0) -> None:
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 modern: bool = False) -> None:
+        #: modern=True advertises + serves the FLEXIBLE versions
+        #: (Produce v9 / Fetch v12 / Metadata v12 / CreateTopics v7 /
+        #: ApiVersions v3, KIP-482 encodings); modern=False is a
+        #: pre-KIP-482 broker that answers ApiVersions v3 with
+        #: UNSUPPORTED_VERSION — the downgrade path clients negotiate.
+        self.modern = modern
         self._srv = socket.create_server((host, port))
         self._host, self._port = self._srv.getsockname()[:2]
         #: topic -> {"config": {...}, "parts": [[Record, ...], ...]}
@@ -741,8 +1089,15 @@ class FakeBroker:
                 api_key, api_version = rd.int16(), rd.int16()
                 corr = rd.int32()
                 rd.string()                      # client_id
+                flexible = api_version >= FLEXIBLE_SINCE.get(
+                    api_key, 1 << 30)
+                if flexible:
+                    rd.tags()                    # request header v2
                 body = self._dispatch(api_key, api_version, rd)
-                frame = struct.pack(">i", corr) + body
+                head = struct.pack(">i", corr)
+                if flexible and api_key != API_API_VERSIONS:
+                    head += b"\x00"              # response header v1
+                frame = head + body
                 conn.sendall(struct.pack(">i", len(frame)) + frame)
         except (ConnectionError, OSError, EOFError):
             pass
@@ -755,27 +1110,50 @@ class FakeBroker:
     # -- request handlers --
     def _dispatch(self, api_key: int, version: int, rd: _Reader) -> bytes:
         if api_key == API_API_VERSIONS:
-            return self._api_versions()
+            return self._api_versions(version)
         if api_key == API_METADATA:
-            return self._metadata(rd)
+            return self._metadata(rd, version)
         if api_key == API_CREATE_TOPICS:
-            return self._create_topics(rd)
+            return self._create_topics(rd, version)
         if api_key == API_PRODUCE:
-            return self._produce(rd)
+            return self._produce(rd, version)
         if api_key == API_FETCH:
-            return self._fetch(rd)
+            return self._fetch(rd, version)
         raise ValueError(f"unsupported api_key {api_key}")
 
-    def _api_versions(self) -> bytes:
-        supported = [(API_PRODUCE, 3, 3), (API_FETCH, 4, 4),
-                     (API_METADATA, 0, 0), (API_API_VERSIONS, 0, 0),
-                     (API_CREATE_TOPICS, 0, 0)]
+    def _supported(self) -> list[tuple[int, int, int]]:
+        if self.modern:
+            return [(k, LEGACY_VERSION[k], MODERN_VERSION[k])
+                    for k in sorted(LEGACY_VERSION)]
+        return [(API_PRODUCE, 3, 3), (API_FETCH, 4, 4),
+                (API_METADATA, 0, 0), (API_API_VERSIONS, 0, 0),
+                (API_CREATE_TOPICS, 0, 0)]
+
+    def _api_versions(self, version: int) -> bytes:
+        supported = self._supported()
+        max_ver = 3 if self.modern else 0
+        if version > max_ver:
+            # real brokers answer an unknown ApiVersions version with
+            # a v0-ENCODED body carrying UNSUPPORTED_VERSION + their
+            # ranges (KIP-511) — that is what makes the downgrade
+            # handshake possible at all
+            return (_Writer().int16(ERR_UNSUPPORTED_VERSION)
+                    .array(supported, lambda w, s: w.int16(s[0])
+                           .int16(s[1]).int16(s[2]))
+                    .getvalue())
+        if version >= 3:
+            w = _Writer().int16(0)
+            w.compact_array(supported, lambda wr, s: wr.int16(s[0])
+                            .int16(s[1]).int16(s[2]).tags())
+            return w.int32(0).tags().getvalue()  # throttle, tags
         return (_Writer().int16(0)
                 .array(supported, lambda w, s: w.int16(s[0])
                        .int16(s[1]).int16(s[2]))
                 .getvalue())
 
-    def _metadata(self, rd: _Reader) -> bytes:
+    def _metadata(self, rd: _Reader, version: int = 0) -> bytes:
+        if version >= FLEXIBLE_SINCE[API_METADATA]:
+            return self._metadata_flexible(rd)
         asked = rd.array(lambda r: r.string())
         with self._lock:
             names = asked if asked else sorted(self.topics)
@@ -796,7 +1174,54 @@ class FakeBroker:
                     w.array([0], lambda wr, r: wr.int32(r))
         return w.getvalue()
 
-    def _create_topics(self, rd: _Reader) -> bytes:
+    def _metadata_flexible(self, rd: _Reader) -> bytes:
+        asked_raw = rd.compact_array(
+            lambda r: (r.uuid(), r.compact_string(), r.tags()))
+        rd.int8()                                # allow_auto_create
+        rd.int8()                                # include_authorized_ops
+        rd.tags()
+        asked = [t[1] for t in (asked_raw or [])]
+        with self._lock:
+            names = asked if asked else sorted(self.topics)
+            w = _Writer()
+            w.int32(0)                           # throttle
+            w.compact_array(
+                [(0, self._host, self._port)],
+                lambda wr, b: wr.int32(b[0]).compact_string(b[1])
+                .int32(b[2]).compact_string(None).tags())
+            w.compact_string("fake-cluster")
+            w.int32(0)                           # controller_id
+            w.uvarint(len(names) + 1)
+            for name in names:
+                t = self.topics.get(name)
+                if t is None:
+                    (w.int16(ERR_UNKNOWN_TOPIC).compact_string(name)
+                     .uuid().int8(0).uvarint(1).int32(-2147483648).tags())
+                    continue
+                w.int16(0).compact_string(name).uuid().int8(0)
+                w.uvarint(len(t["parts"]) + 1)
+                for pid in range(len(t["parts"])):
+                    w.int16(0).int32(pid).int32(0).int32(0)
+                    w.compact_array([0], lambda wr, r: wr.int32(r))
+                    w.compact_array([0], lambda wr, r: wr.int32(r))
+                    w.compact_array([], lambda wr, r: wr.int32(r))
+                    w.tags()
+                w.int32(-2147483648)             # authorized_operations
+                w.tags()
+        return w.tags().getvalue()
+
+    def _create_one(self, name: str, npar: int, config: dict) -> int:
+        if name in self.topics:
+            return ERR_TOPIC_EXISTS
+        self.topics[name] = {
+            "config": config,
+            "parts": [[] for _ in range(npar)],
+        }
+        return 0
+
+    def _create_topics(self, rd: _Reader, version: int = 0) -> bytes:
+        if version >= FLEXIBLE_SINCE[API_CREATE_TOPICS]:
+            return self._create_topics_flexible(rd)
         results = []
         with self._lock:
             for _ in range(rd.int32()):
@@ -810,20 +1235,61 @@ class FakeBroker:
                 for _ in range(rd.int32()):
                     ck = rd.string()
                     config[ck] = rd.string()
-                if name in self.topics:
-                    results.append((name, ERR_TOPIC_EXISTS))
-                else:
-                    self.topics[name] = {
-                        "config": config,
-                        "parts": [[] for _ in range(npar)],
-                    }
-                    results.append((name, 0))
+                results.append((name, self._create_one(name, npar, config)))
         rd.int32()                               # timeout
         return (_Writer()
                 .array(results, lambda w, r: w.string(r[0]).int16(r[1]))
                 .getvalue())
 
-    def _produce(self, rd: _Reader) -> bytes:
+    def _create_topics_flexible(self, rd: _Reader) -> bytes:
+        results = []                             # (name, err, npar, rf)
+        with self._lock:
+            for _ in range(max(rd.uvarint() - 1, 0)):
+                name = rd.compact_string()
+                npar = rd.int32()
+                rf = rd.int16()
+                rd.compact_array(
+                    lambda r: (r.int32(),
+                               r.compact_array(lambda r2: r2.int32()),
+                               r.tags()))
+                config = {}
+                for _ in range(max(rd.uvarint() - 1, 0)):
+                    ck = rd.compact_string()
+                    config[ck] = rd.compact_string()
+                    rd.tags()
+                rd.tags()
+                results.append((name, self._create_one(name, npar, config),
+                                npar, rf))
+        rd.int32()                               # timeout
+        rd.int8()                                # validate_only
+        rd.tags()
+        w = _Writer().int32(0)                   # throttle
+        w.uvarint(len(results) + 1)
+        for name, err, npar, rf in results:
+            (w.compact_string(name).uuid().int16(err)
+             .compact_string(None).int32(npar).int16(rf)
+             .compact_array(None, lambda *_: None)   # configs (null)
+             .tags())
+        return w.tags().getvalue()
+
+    def _append(self, name: str, pid: int, data: bytes,
+                injected: Optional[int]) -> tuple[int, int, int]:
+        """Shared produce append → (pid, err, base_offset)."""
+        topic = self.topics.get(name)
+        if injected is not None:
+            return (pid, injected, -1)
+        if topic is None or pid >= len(topic["parts"]):
+            return (pid, ERR_UNKNOWN_TOPIC, -1)
+        log = topic["parts"][pid]
+        base = len(log)
+        for rec in decode_record_batches(data):
+            log.append(Record(len(log), rec.timestamp,
+                              rec.key, rec.value, rec.headers))
+        return (pid, 0, base)
+
+    def _produce(self, rd: _Reader, version: int = 3) -> bytes:
+        if version >= FLEXIBLE_SINCE[API_PRODUCE]:
+            return self._produce_flexible(rd)
         rd.string()                              # transactional_id
         rd.int16()                               # acks
         rd.int32()                               # timeout
@@ -836,19 +1302,8 @@ class FakeBroker:
                 for _ in range(rd.int32()):
                     pid = rd.int32()
                     data = rd.bytes_() or b""
-                    topic = self.topics.get(name)
-                    if injected is not None:
-                        parts_out.append((pid, injected, -1))
-                        continue
-                    if topic is None or pid >= len(topic["parts"]):
-                        parts_out.append((pid, ERR_UNKNOWN_TOPIC, -1))
-                        continue
-                    log = topic["parts"][pid]
-                    base = len(log)
-                    for rec in decode_record_batches(data):
-                        log.append(Record(len(log), rec.timestamp,
-                                          rec.key, rec.value, rec.headers))
-                    parts_out.append((pid, 0, base))
+                    parts_out.append(self._append(name, pid, data,
+                                                  injected))
                 out.append((name, parts_out))
         w = _Writer()
         w.int32(len(out))
@@ -859,7 +1314,67 @@ class FakeBroker:
         w.int32(0)                               # throttle
         return w.getvalue()
 
-    def _fetch(self, rd: _Reader) -> bytes:
+    def _produce_flexible(self, rd: _Reader) -> bytes:
+        rd.compact_string()                      # transactional_id
+        rd.int16()                               # acks
+        rd.int32()                               # timeout
+        out = []
+        with self._lock:
+            injected = self._pop_injected("produce")
+            for _ in range(max(rd.uvarint() - 1, 0)):
+                name = rd.compact_string()
+                parts_out = []
+                for _ in range(max(rd.uvarint() - 1, 0)):
+                    pid = rd.int32()
+                    data = rd.compact_bytes() or b""
+                    rd.tags()
+                    parts_out.append(self._append(name, pid, data,
+                                                  injected))
+                rd.tags()
+                out.append((name, parts_out))
+        rd.tags()
+        w = _Writer()
+        w.uvarint(len(out) + 1)
+        for name, parts_out in out:
+            w.compact_string(name)
+            w.compact_array(
+                parts_out,
+                lambda wr, p: wr.int32(p[0]).int16(p[1]).int64(p[2])
+                .int64(-1).int64(0)
+                .compact_array([], lambda *_: None)  # record_errors
+                .compact_string(None).tags())        # error_message
+            w.tags()
+        w.int32(0)                               # throttle
+        return w.tags().getvalue()
+
+    def _read_log(self, name: str, pid: int, offset: int, part_max: int,
+                  injected: Optional[int]) -> tuple[int, int, int, bytes]:
+        """Shared fetch read → (pid, err, high_watermark, data)."""
+        topic = self.topics.get(name)
+        if injected is not None:
+            return (pid, injected, 0, b"")
+        if topic is None or pid >= len(topic["parts"]):
+            return (pid, ERR_UNKNOWN_TOPIC, 0, b"")
+        log = topic["parts"][pid]
+        if offset > len(log):
+            # past the high watermark — real brokers answer
+            # OFFSET_OUT_OF_RANGE, not an empty batch
+            return (pid, ERR_OFFSET_OUT_OF_RANGE, len(log), b"")
+        tail = log[offset:]
+        # one batch per record so a max_bytes cut yields a decodable
+        # prefix + partial trailing batch, like a real broker's
+        # size-limited response
+        data = b"".join(
+            encode_record_batch(offset + i, [
+                Record(0, r.timestamp, r.key, r.value, r.headers)])
+            for i, r in enumerate(tail))
+        if len(data) > part_max:
+            data = data[:part_max]               # partial response
+        return (pid, 0, len(log), data)
+
+    def _fetch(self, rd: _Reader, version: int = 4) -> bytes:
+        if version >= FLEXIBLE_SINCE[API_FETCH]:
+            return self._fetch_flexible(rd)
         rd.int32()                               # replica_id
         rd.int32()                               # max_wait
         rd.int32()                               # min_bytes
@@ -875,32 +1390,8 @@ class FakeBroker:
                     pid = rd.int32()
                     offset = rd.int64()
                     part_max = rd.int32()        # partition max_bytes
-                    topic = self.topics.get(name)
-                    if injected is not None:
-                        parts_out.append((pid, injected, 0, b""))
-                        continue
-                    if topic is None or pid >= len(topic["parts"]):
-                        parts_out.append((pid, ERR_UNKNOWN_TOPIC, 0, b""))
-                        continue
-                    log = topic["parts"][pid]
-                    if offset > len(log):
-                        # past the high watermark — real brokers answer
-                        # OFFSET_OUT_OF_RANGE, not an empty batch
-                        parts_out.append((pid, ERR_OFFSET_OUT_OF_RANGE,
-                                          len(log), b""))
-                        continue
-                    tail = log[offset:]
-                    # one batch per record so a max_bytes cut yields a
-                    # decodable prefix + partial trailing batch, like a
-                    # real broker's size-limited response
-                    data = b"".join(
-                        encode_record_batch(offset + i, [
-                            Record(0, r.timestamp, r.key, r.value,
-                                   r.headers)])
-                        for i, r in enumerate(tail))
-                    if len(data) > part_max:
-                        data = data[:part_max]   # partial response
-                    parts_out.append((pid, 0, len(log), data))
+                    parts_out.append(self._read_log(
+                        name, pid, offset, part_max, injected))
                 out.append((name, parts_out))
         w = _Writer()
         w.int32(0)                               # throttle
@@ -914,3 +1405,53 @@ class FakeBroker:
                 w.array([], lambda *_: None)     # aborted txns
                 w.bytes_(data)
         return w.getvalue()
+
+    def _fetch_flexible(self, rd: _Reader) -> bytes:
+        rd.int32()                               # replica_id
+        rd.int32()                               # max_wait
+        rd.int32()                               # min_bytes
+        rd.int32()                               # max_bytes
+        rd.int8()                                # isolation
+        rd.int32()                               # session_id
+        rd.int32()                               # session_epoch
+        out = []
+        with self._lock:
+            injected = self._pop_injected("fetch")
+            for _ in range(max(rd.uvarint() - 1, 0)):
+                name = rd.compact_string()
+                parts_out = []
+                for _ in range(max(rd.uvarint() - 1, 0)):
+                    pid = rd.int32()
+                    rd.int32()                   # current_leader_epoch
+                    offset = rd.int64()
+                    rd.int32()                   # last_fetched_epoch
+                    rd.int64()                   # log_start_offset
+                    part_max = rd.int32()
+                    rd.tags()
+                    parts_out.append(self._read_log(
+                        name, pid, offset, part_max, injected))
+                rd.tags()
+                out.append((name, parts_out))
+        rd.compact_array(lambda r: (r.compact_string(),
+                                    r.compact_array(lambda r2: r2.int32()),
+                                    r.tags()))   # forgotten topics
+        rd.compact_string()                      # rack_id
+        rd.tags()
+        w = _Writer()
+        w.int32(0)                               # throttle
+        w.int16(0)                               # top-level error
+        w.int32(0)                               # session_id
+        w.uvarint(len(out) + 1)
+        for name, parts_out in out:
+            w.compact_string(name)
+            w.uvarint(len(parts_out) + 1)
+            for pid, err, hw, data in parts_out:
+                w.int32(pid).int16(err).int64(hw)
+                w.int64(hw)                      # last_stable_offset
+                w.int64(0)                       # log_start_offset
+                w.compact_array([], lambda *_: None)  # aborted txns
+                w.int32(-1)                      # preferred_read_replica
+                w.compact_bytes(data)
+                w.tags()
+            w.tags()
+        return w.tags().getvalue()

@@ -401,3 +401,131 @@ def test_record_batch_roundtrip_property(recs):
 @settings(max_examples=200, deadline=None)
 def test_partitioner_always_in_range(key, n):
     assert 0 <= partition_for_key(key, n) < n
+
+
+# -- flexible versions (KIP-482) + negotiation (KIP-511) ---------------
+
+@pytest.fixture()
+def modern_broker():
+    b = FakeBroker(modern=True).start()
+    yield b
+    b.stop()
+
+
+def test_uvarint_compact_roundtrip():
+    from goka_spark.kafka_wire import _Reader, _Writer
+    for v in (0, 1, 127, 128, 300, 16383, 16384, 1 << 31):
+        assert _Reader(_Writer().uvarint(v).getvalue()).uvarint() == v
+    for s in (None, "", "x", "héllo", "a" * 300):
+        got = _Reader(_Writer().compact_string(s).getvalue()) \
+            .compact_string()
+        assert got == s
+    for b in (None, b"", b"\x00\xff" * 200):
+        got = _Reader(_Writer().compact_bytes(b).getvalue()) \
+            .compact_bytes()
+        assert got == b
+    # tagged-field blocks we emit are empty and skippable
+    rd = _Reader(_Writer().tags().int32(7).getvalue())
+    rd.tags()
+    assert rd.int32() == 7
+
+
+def test_negotiation_picks_modern_on_modern_broker(modern_broker):
+    from goka_spark.kafka_wire import MODERN_VERSION
+    tm = WireTopicManager([modern_broker.address])
+    try:
+        assert tm.versions == MODERN_VERSION
+    finally:
+        tm.close()
+
+
+def test_negotiation_downgrades_on_legacy_broker(broker):
+    from goka_spark.kafka_wire import LEGACY_VERSION
+    tm = WireTopicManager([broker.address])
+    try:
+        assert tm.versions == LEGACY_VERSION
+    finally:
+        tm.close()
+
+
+def test_flexible_end_to_end_roundtrip(modern_broker):
+    """The full TopicManager → Produce v9 → Fetch v12 loop over the
+    flexible encodings: compact strings/arrays, tagged fields,
+    request header v2 / response header v1."""
+    tm = WireTopicManager([modern_broker.address])
+    prod = WireProducer([modern_broker.address])
+    cons = WireConsumer([modern_broker.address])
+    try:
+        assert not tm.topic_exists("flex")
+        tm.ensure_stream_exists("flex", 4)
+        assert tm.partitions("flex") == [0, 1, 2, 3]
+        with pytest.raises(ValueError, match="partition count mismatch"):
+            tm.ensure_stream_exists("flex", 8)
+        sent = {}
+        for i in range(20):
+            key = f"user-{i % 7}"
+            part, off = prod.emit(
+                "flex", key, f"payload-{i}".encode(),
+                headers={"trace": f"t-{i}".encode()},
+                timestamp_ms=1_700_000_000_000 + i)
+            assert part == partition_for_key(key.encode(), 4)
+            sent.setdefault(part, []).append((off, key, f"payload-{i}"))
+        for part, rows in sent.items():
+            assert [r[0] for r in rows] == list(range(len(rows)))
+            got = cons.fetch("flex", part, 0)
+            assert [(r.offset, r.key.decode(), r.value.decode())
+                    for r in got] == rows
+            assert all(dict(r.headers)["trace"].startswith(b"t-")
+                       for r in got)
+    finally:
+        cons.close()
+        prod.close()
+        tm.close()
+
+
+def test_flexible_error_paths(modern_broker):
+    """OFFSET_OUT_OF_RANGE / retriable NOT_LEADER behave identically
+    under the flexible codecs."""
+    from goka_spark.kafka_wire import (ERR_NOT_LEADER, KafkaWireError,
+                                       SimpleBackoff)
+    tm = WireTopicManager([modern_broker.address])
+    prod = WireProducer([modern_broker.address], max_retries=3,
+                        backoff=SimpleBackoff(step=0.001, max_=0.002))
+    cons = WireConsumer([modern_broker.address])
+    try:
+        tm.ensure_stream_exists("flex-err", 1)
+        modern_broker.inject_error("produce", ERR_NOT_LEADER, times=2)
+        part, off = prod.emit("flex-err", "k", b"v")
+        assert (part, off) == (0, 0)
+        with pytest.raises(KafkaWireError, match="OFFSET_OUT_OF_RANGE"):
+            cons.fetch("flex-err", 0, 5)
+        with pytest.raises(KafkaWireError,
+                           match="UNKNOWN_TOPIC_OR_PARTITION"):
+            cons.fetch("ghost", 0, 0)
+    finally:
+        cons.close()
+        prod.close()
+        tm.close()
+
+
+def test_flexible_partial_fetch_pagination(modern_broker):
+    tm = WireTopicManager([modern_broker.address])
+    prod = WireProducer([modern_broker.address])
+    cons = WireConsumer([modern_broker.address])
+    try:
+        tm.ensure_stream_exists("flex-big", 1)
+        for i in range(10):
+            prod.emit("flex-big", f"k{i}", b"x" * 100, partition=0)
+        part_resp = cons.fetch("flex-big", 0, 0, max_bytes=400)
+        assert 0 < len(part_resp) < 10
+        got, off = [], 0
+        while off < 10:
+            page = cons.fetch("flex-big", 0, off, max_bytes=400)
+            assert page
+            got.extend(page)
+            off = page[-1].offset + 1
+        assert [r.key for r in got] == [f"k{i}".encode() for i in range(10)]
+    finally:
+        cons.close()
+        prod.close()
+        tm.close()
