@@ -566,3 +566,47 @@ def test_view_state_lifecycle_catchup_to_running(spark, tmp_path):
     assert tracker.wait_for_state(VIEW_STATE_IDLE, timeout=60)
     assert not tracker.recovered()
     tracker.detach(spark)
+
+
+def test_view_state_connecting_on_query_failure(spark, tmp_path):
+    """A query that dies with an exception leaves the tracker in
+    Connecting (the checkpoint-restart analog of goka's reconnect
+    loop), and a restarted query walks back to Running — goka's
+    view outage lifecycle."""
+    from goka_spark.streaming.runtime import (
+        VIEW_STATE_CONNECTING,
+        ViewStateTracker,
+    )
+
+    src = str(tmp_path / "topic")
+    _write_batch(spark, src, _rows(0, 3, "a"))
+
+    tracker = ViewStateTracker("vs_crash_q").attach(spark)
+
+    def boom(batch_df, epoch_id):
+        raise RuntimeError("injected sink failure")
+
+    q = (stream_from_dir(spark, src, SCHEMA)
+         .writeStream.queryName("vs_crash_q")
+         .option("checkpointLocation", str(tmp_path / "ckpt_crash"))
+         .foreachBatch(boom).start())
+    try:
+        q.awaitTermination(60)
+    except Exception:
+        pass  # the injected failure surfaces here — expected
+    assert tracker.wait_for_state(VIEW_STATE_CONNECTING, timeout=60), \
+        tracker.current_state()
+    assert not tracker.recovered()
+
+    # recovery: same checkpoint, healthy sink → CatchUp → Running
+    q2 = (stream_from_dir(spark, src, SCHEMA)
+          .writeStream.queryName("vs_crash_q")
+          .option("checkpointLocation", str(tmp_path / "ckpt_crash"))
+          .foreachBatch(lambda df, eid: None).start())
+    try:
+        q2.processAllAvailable()
+        assert tracker.wait_running(timeout=60), tracker.current_state()
+        assert tracker.recovered()
+    finally:
+        q2.stop()
+        tracker.detach(spark)
