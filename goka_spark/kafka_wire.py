@@ -20,6 +20,12 @@ via the ApiVersions handshake (modern-first with KIP-511 downgrade):
   zigzag-varint records, per-record headers — the current on-disk /
   on-wire record format, KIP-98)
 - Fetch v4 / v12 (key 1) returning RecordBatch v2
+- Consumer-group membership at fixed sarama-era versions:
+  FindCoordinator v0 / JoinGroup v0 / SyncGroup v0 / Heartbeat v0 /
+  LeaveGroup v0 / OffsetCommit v2 (generation-fenced) /
+  OffsetFetch v1, with goka's CopartitioningStrategy plan
+  (copartition_strategy.go:51) and sarama's public member
+  metadata/assignment blob layouts
 The modern versions use the KIP-482 FLEXIBLE encoding: compact
 (varint length+1) strings/bytes/arrays, tagged-field blocks, request
 header v2 / response header v1 (ApiVersions responses stay header v0
@@ -399,6 +405,9 @@ def decode_record_batches(data: bytes) -> list[Record]:
 
 API_PRODUCE, API_FETCH, API_METADATA = 0, 1, 3
 API_API_VERSIONS, API_CREATE_TOPICS = 18, 19
+API_OFFSET_COMMIT, API_OFFSET_FETCH, API_FIND_COORDINATOR = 8, 9, 10
+API_JOIN_GROUP, API_HEARTBEAT, API_LEAVE_GROUP, API_SYNC_GROUP = \
+    11, 12, 13, 14
 
 #: First FLEXIBLE version per API (KIP-482: compact encodings +
 #: tagged fields + request header v2 / response header v1).
@@ -437,6 +446,9 @@ ERR_UNKNOWN_TOPIC = 3
 ERR_LEADER_NOT_AVAILABLE = 5
 ERR_NOT_LEADER = 6
 ERR_REQUEST_TIMED_OUT = 7
+ERR_ILLEGAL_GENERATION = 22
+ERR_UNKNOWN_MEMBER_ID = 25
+ERR_REBALANCE_IN_PROGRESS = 27
 ERR_TOPIC_EXISTS = 36
 
 #: Error codes a sarama-style client retries after backoff (leadership
@@ -451,6 +463,9 @@ _ERR_NAMES = {
     ERR_LEADER_NOT_AVAILABLE: "LEADER_NOT_AVAILABLE",
     ERR_NOT_LEADER: "NOT_LEADER_FOR_PARTITION",
     ERR_REQUEST_TIMED_OUT: "REQUEST_TIMED_OUT",
+    ERR_ILLEGAL_GENERATION: "ILLEGAL_GENERATION",
+    ERR_UNKNOWN_MEMBER_ID: "UNKNOWN_MEMBER_ID",
+    ERR_REBALANCE_IN_PROGRESS: "REBALANCE_IN_PROGRESS",
     ERR_TOPIC_EXISTS: "TOPIC_ALREADY_EXISTS",
 }
 
@@ -1002,6 +1017,250 @@ class WireConsumer:
 
 
 # ---------------------------------------------------------------------------
+# Consumer-group membership (the transport half of goka's processor
+# rebalance).  APIs: FindCoordinator v0, JoinGroup v0, SyncGroup v0,
+# Heartbeat v0, LeaveGroup v0, OffsetCommit v2, OffsetFetch v1 —
+# the fixed versions sarama-era clients speak.  Member metadata /
+# assignment blobs use sarama's public ConsumerGroupMemberMetadata /
+# ConsumerGroupMemberAssignment layouts so the bytes interoperate.
+# ---------------------------------------------------------------------------
+
+def encode_member_metadata(topics: list[str],
+                           userdata: bytes = b"") -> bytes:
+    """sarama ConsumerGroupMemberMetadata v0: version, topics,
+    userdata."""
+    w = _Writer().int16(0)
+    w.array(sorted(topics), lambda wr, t: wr.string(t))
+    return w.bytes_(userdata).getvalue()
+
+
+def decode_member_metadata(data: bytes) -> list[str]:
+    rd = _Reader(data)
+    rd.int16()                                   # version
+    topics = rd.array(lambda r: r.string())
+    return topics
+
+
+def encode_member_assignment(assignment: dict[str, list[int]],
+                             userdata: bytes = b"") -> bytes:
+    """sarama ConsumerGroupMemberAssignment v0: version, topic →
+    partitions, userdata."""
+    w = _Writer().int16(0)
+    w.array(sorted(assignment.items()),
+            lambda wr, kv: wr.string(kv[0])
+            .array(sorted(kv[1]), lambda w2, p: w2.int32(p)))
+    return w.bytes_(userdata).getvalue()
+
+
+def decode_member_assignment(data: bytes) -> dict[str, list[int]]:
+    if not data:
+        return {}
+    rd = _Reader(data)
+    rd.int16()                                   # version
+    out = {}
+    for _ in range(rd.int32()):
+        t = rd.string()
+        out[t] = rd.array(lambda r: r.int32())
+    return out
+
+
+def copartitioning_plan(members: dict[str, list[str]],
+                        topics: dict[str, list[int]],
+                        strict: bool = False) -> dict[str, dict[str, list[int]]]:
+    """goka's CopartitioningStrategy.Plan (copartition_strategy.go:51):
+    all topics must expose the SAME partition set; members and
+    partitions sort; each member gets one contiguous partition range
+    (min = ⌊idx·step + 0.5⌋) applied to EVERY topic it requested —
+    the invariant that keeps a processor's joins shuffle-free.
+    ``strict`` mirrors StrictCopartitioningStrategy
+    (copartition_strategy.go:37): fail when members request
+    different topic sets (group-name clash)."""
+    import math
+
+    all_parts: list[int] = []
+    for t, parts in topics.items():
+        if not all_parts:
+            all_parts = sorted(parts)
+        elif set(all_parts) != set(parts):
+            raise ValueError(
+                f"not all topics are copartitioned: {topics!r}")
+    all_topics = sorted(topics)
+    if strict:
+        for m, req in members.items():
+            if sorted(req) != all_topics:
+                raise ValueError(
+                    f"members request different topic sets "
+                    f"(group-name clash?): {members!r}")
+    all_members = sorted(members)
+    step = len(all_parts) / len(all_members)
+    plan: dict[str, dict[str, list[int]]] = {}
+    for idx, member in enumerate(all_members):
+        lo = int(math.floor(idx * step + 0.5))
+        hi = int(math.floor((idx + 1) * step + 0.5))
+        plan[member] = {t: all_parts[lo:hi] for t in members[member]}
+    return plan
+
+
+class WireGroupMember:
+    """One consumer-group member over the wire — the membership loop
+    a goka processor runs (processor.go Run → sarama consumer group
+    session): FindCoordinator → JoinGroup → (leader plans via the
+    copartitioning strategy) → SyncGroup → Heartbeat / OffsetCommit
+    → on REBALANCE_IN_PROGRESS rejoin → LeaveGroup on shutdown."""
+
+    def __init__(self, brokers: list[str], group: str,
+                 topics: list[str], strict: bool = False) -> None:
+        host, port = _parse_addr(brokers[0])
+        self._bootstrap = KafkaConnection(host, port)
+        self.group = group
+        self.topics = sorted(topics)
+        self.strict = strict
+        self.member_id = ""
+        self.generation = -1
+        self.is_leader = False
+        self.assignment: dict[str, list[int]] = {}
+        self._tm = WireTopicManager(brokers)
+        self._conn = self._find_coordinator()
+
+    def close(self) -> None:
+        self._conn.close()
+        self._bootstrap.close()
+        self._tm.close()
+
+    # -- coordinator --
+    def _find_coordinator(self) -> KafkaConnection:
+        rd = self._bootstrap.request(
+            API_FIND_COORDINATOR, 0,
+            _Writer().string(self.group).getvalue())
+        err = rd.int16()
+        if err:
+            raise KafkaWireError("FindCoordinator", err)
+        rd.int32()                               # node_id
+        host, port = rd.string(), rd.int32()
+        return KafkaConnection(host, port)
+
+    # -- membership --
+    def join(self) -> dict[str, list[int]]:
+        """JoinGroup (+SyncGroup as leader or follower) until an
+        assignment is handed out; returns {topic: [partitions]}."""
+        meta = encode_member_metadata(self.topics)
+        w = (_Writer().string(self.group)
+             .int32(30_000)                      # session timeout
+             .string(self.member_id)
+             .string("consumer")
+             .array([("copartition", meta)],
+                    lambda wr, p: wr.string(p[0]).bytes_(p[1])))
+        rd = self._conn.request(API_JOIN_GROUP, 0, w.getvalue())
+        err = rd.int16()
+        if err == ERR_UNKNOWN_MEMBER_ID:
+            self.member_id = ""                  # evicted: rejoin fresh
+            return self.join()
+        if err:
+            raise KafkaWireError("JoinGroup", err)
+        self.generation = rd.int32()
+        rd.string()                              # group protocol
+        leader = rd.string()
+        self.member_id = rd.string()
+        members = {m: decode_member_metadata(blob) for m, blob in
+                   rd.array(lambda r: (r.string(), r.bytes_()))}
+        self.is_leader = leader == self.member_id
+        assignments = {}
+        if self.is_leader:
+            topic_parts = {}
+            for t in sorted({t for req in members.values() for t in req}):
+                topic_parts[t] = self._tm.partitions(t)
+            plan = copartitioning_plan(members, topic_parts,
+                                       strict=self.strict)
+            assignments = {m: encode_member_assignment(p)
+                           for m, p in plan.items()}
+        return self._sync(assignments)
+
+    def _sync(self, assignments: dict[str, bytes]) -> dict[str, list[int]]:
+        backoff = SimpleBackoff(step=0.01, max_=0.1)
+        while True:
+            w = (_Writer().string(self.group).int32(self.generation)
+                 .string(self.member_id)
+                 .array(sorted(assignments.items()),
+                        lambda wr, kv: wr.string(kv[0]).bytes_(kv[1])))
+            rd = self._conn.request(API_SYNC_GROUP, 0, w.getvalue())
+            err = rd.int16()
+            if err == ERR_REBALANCE_IN_PROGRESS:
+                # leader hasn't synced this generation yet — wait
+                time.sleep(backoff.duration())
+                continue
+            if err:
+                raise KafkaWireError("SyncGroup", err)
+            self.assignment = decode_member_assignment(rd.bytes_() or b"")
+            return self.assignment
+
+    def heartbeat(self) -> bool:
+        """True = all good; False = group rebalancing, call join()."""
+        w = (_Writer().string(self.group).int32(self.generation)
+             .string(self.member_id))
+        rd = self._conn.request(API_HEARTBEAT, 0, w.getvalue())
+        err = rd.int16()
+        if err in (ERR_REBALANCE_IN_PROGRESS, ERR_ILLEGAL_GENERATION):
+            return False
+        if err == ERR_UNKNOWN_MEMBER_ID:
+            self.member_id = ""
+            return False
+        if err:
+            raise KafkaWireError("Heartbeat", err)
+        return True
+
+    def leave(self) -> None:
+        w = _Writer().string(self.group).string(self.member_id)
+        rd = self._conn.request(API_LEAVE_GROUP, 0, w.getvalue())
+        err = rd.int16()
+        if err:
+            raise KafkaWireError("LeaveGroup", err)
+
+    # -- offsets --
+    def commit_offsets(self, offsets: dict[tuple[str, int], int]) -> None:
+        """OffsetCommit v2 under (group, generation, member) — the
+        broker fences commits from stale generations, goka's
+        exactly-once-per-rebalance guarantee."""
+        by_topic: dict[str, list[tuple[int, int]]] = {}
+        for (t, p), off in sorted(offsets.items()):
+            by_topic.setdefault(t, []).append((p, off))
+        w = (_Writer().string(self.group).int32(self.generation)
+             .string(self.member_id).int64(-1))  # retention: broker default
+        w.array(sorted(by_topic.items()),
+                lambda wr, kv: wr.string(kv[0])
+                .array(kv[1], lambda w2, po: w2.int32(po[0])
+                       .int64(po[1]).string(None)))
+        rd = self._conn.request(API_OFFSET_COMMIT, 2, w.getvalue())
+        for _ in range(rd.int32()):
+            rd.string()
+            for _ in range(rd.int32()):
+                rd.int32()
+                err = rd.int16()
+                if err:
+                    raise KafkaWireError("OffsetCommit", err)
+
+    def fetch_offsets(self, topic: str,
+                      partitions: list[int]) -> dict[int, int]:
+        """OffsetFetch v1: committed offset per partition (-1 when
+        nothing committed)."""
+        w = (_Writer().string(self.group)
+             .array([topic], lambda wr, t: wr.string(t)
+                    .array(partitions, lambda w2, p: w2.int32(p))))
+        rd = self._conn.request(API_OFFSET_FETCH, 1, w.getvalue())
+        out: dict[int, int] = {}
+        for _ in range(rd.int32()):
+            rd.string()
+            for _ in range(rd.int32()):
+                pid = rd.int32()
+                off = rd.int64()
+                rd.string()                      # metadata
+                err = rd.int16()
+                if err:
+                    raise KafkaWireError("OffsetFetch", err)
+                out[pid] = off
+        return out
+
+
+# ---------------------------------------------------------------------------
 # In-process fake broker (server half of the same protocol)
 # ---------------------------------------------------------------------------
 
@@ -1031,6 +1290,13 @@ class FakeBroker:
         #: tests exercise NOT_LEADER / timeout retry paths a real
         #: broker produces during leadership moves.
         self._inject: dict[str, list[int]] = {"produce": [], "fetch": []}
+        #: group coordinator state: group ->
+        #: {generation, members {mid: metadata}, leader,
+        #:  joined (mids re-joined this generation),
+        #:  assignments {mid: blob} | None, assign_gen,
+        #:  offsets {(topic, pid): offset}}
+        self.groups: dict[str, dict] = {}
+        self._member_seq = 0
 
     def inject_error(self, api: str, code: int, times: int = 1) -> None:
         with self._lock:
@@ -1119,15 +1385,36 @@ class FakeBroker:
             return self._produce(rd, version)
         if api_key == API_FETCH:
             return self._fetch(rd, version)
+        if api_key == API_FIND_COORDINATOR:
+            return self._find_coordinator(rd)
+        if api_key == API_JOIN_GROUP:
+            return self._join_group(rd)
+        if api_key == API_SYNC_GROUP:
+            return self._sync_group(rd)
+        if api_key == API_HEARTBEAT:
+            return self._heartbeat(rd)
+        if api_key == API_LEAVE_GROUP:
+            return self._leave_group(rd)
+        if api_key == API_OFFSET_COMMIT:
+            return self._offset_commit(rd)
+        if api_key == API_OFFSET_FETCH:
+            return self._offset_fetch(rd)
         raise ValueError(f"unsupported api_key {api_key}")
+
+    #: group-coordinator APIs are served at ONE fixed sarama-era
+    #: version each (no flexible variants implemented)
+    _GROUP_APIS = [(API_OFFSET_COMMIT, 2, 2), (API_OFFSET_FETCH, 1, 1),
+                   (API_FIND_COORDINATOR, 0, 0), (API_JOIN_GROUP, 0, 0),
+                   (API_HEARTBEAT, 0, 0), (API_LEAVE_GROUP, 0, 0),
+                   (API_SYNC_GROUP, 0, 0)]
 
     def _supported(self) -> list[tuple[int, int, int]]:
         if self.modern:
-            return [(k, LEGACY_VERSION[k], MODERN_VERSION[k])
-                    for k in sorted(LEGACY_VERSION)]
-        return [(API_PRODUCE, 3, 3), (API_FETCH, 4, 4),
-                (API_METADATA, 0, 0), (API_API_VERSIONS, 0, 0),
-                (API_CREATE_TOPICS, 0, 0)]
+            return sorted([(k, LEGACY_VERSION[k], MODERN_VERSION[k])
+                           for k in LEGACY_VERSION] + self._GROUP_APIS)
+        return sorted([(API_PRODUCE, 3, 3), (API_FETCH, 4, 4),
+                       (API_METADATA, 0, 0), (API_API_VERSIONS, 0, 0),
+                       (API_CREATE_TOPICS, 0, 0)] + self._GROUP_APIS)
 
     def _api_versions(self, version: int) -> bytes:
         supported = self._supported()
@@ -1346,6 +1633,161 @@ class FakeBroker:
             w.tags()
         w.int32(0)                               # throttle
         return w.tags().getvalue()
+
+    # -- group coordinator (FindCoordinator/Join/Sync/Heartbeat/
+    # Leave/OffsetCommit/OffsetFetch, fixed sarama-era versions) --
+
+    def _group(self, name: str) -> dict:
+        return self.groups.setdefault(name, {
+            "generation": 0, "members": {}, "leader": "",
+            "joined": set(), "assignments": None, "assign_gen": -1,
+            "offsets": {},
+        })
+
+    def _find_coordinator(self, rd: _Reader) -> bytes:
+        rd.string()                              # group key
+        return (_Writer().int16(0).int32(0)
+                .string(self._host).int32(self._port).getvalue())
+
+    def _join_group(self, rd: _Reader) -> bytes:
+        group = rd.string()
+        rd.int32()                               # session timeout
+        member_id = rd.string()
+        rd.string()                              # protocol type
+        protocols = rd.array(lambda r: (r.string(), r.bytes_()))
+        proto_name, meta = protocols[0]
+        with self._lock:
+            g = self._group(group)
+            if not member_id:
+                self._member_seq += 1
+                member_id = f"member-{self._member_seq}"
+            changed = (member_id not in g["members"]
+                       or g["members"][member_id] != meta)
+            g["members"][member_id] = meta
+            if changed:
+                # membership/subscription change: new generation,
+                # everyone must rejoin (their heartbeats will say
+                # REBALANCE_IN_PROGRESS)
+                g["generation"] += 1
+                g["joined"] = {member_id}
+                g["assignments"] = None
+            else:
+                g["joined"].add(member_id)
+            if g["leader"] not in g["members"]:
+                g["leader"] = sorted(g["members"])[0]
+            w = (_Writer().int16(0).int32(g["generation"])
+                 .string(proto_name).string(g["leader"])
+                 .string(member_id))
+            # only the leader receives the member list (Kafka
+            # semantics — it is the one computing the plan)
+            members = (sorted(g["members"].items())
+                       if member_id == g["leader"] else [])
+            w.array(members,
+                    lambda wr, kv: wr.string(kv[0]).bytes_(kv[1]))
+        return w.getvalue()
+
+    def _sync_group(self, rd: _Reader) -> bytes:
+        group = rd.string()
+        generation = rd.int32()
+        member_id = rd.string()
+        assignments = rd.array(lambda r: (r.string(), r.bytes_()))
+        with self._lock:
+            g = self._group(group)
+            if member_id not in g["members"]:
+                return _Writer().int16(ERR_UNKNOWN_MEMBER_ID) \
+                    .bytes_(b"").getvalue()
+            if generation != g["generation"]:
+                return _Writer().int16(ERR_ILLEGAL_GENERATION) \
+                    .bytes_(b"").getvalue()
+            if assignments:                      # the leader's plan
+                g["assignments"] = dict(assignments)
+                g["assign_gen"] = generation
+            if (g["assignments"] is None
+                    or g["assign_gen"] != g["generation"]):
+                # follower synced before the leader: retry later
+                return _Writer().int16(ERR_REBALANCE_IN_PROGRESS) \
+                    .bytes_(b"").getvalue()
+            blob = g["assignments"].get(member_id, b"")
+        return _Writer().int16(0).bytes_(blob).getvalue()
+
+    def _heartbeat(self, rd: _Reader) -> bytes:
+        group = rd.string()
+        generation = rd.int32()
+        member_id = rd.string()
+        with self._lock:
+            g = self._group(group)
+            if member_id not in g["members"]:
+                err = ERR_UNKNOWN_MEMBER_ID
+            elif (generation != g["generation"]
+                  or member_id not in g["joined"]):
+                err = ERR_REBALANCE_IN_PROGRESS
+            else:
+                err = 0
+        return _Writer().int16(err).getvalue()
+
+    def _leave_group(self, rd: _Reader) -> bytes:
+        group = rd.string()
+        member_id = rd.string()
+        with self._lock:
+            g = self._group(group)
+            if member_id not in g["members"]:
+                return _Writer().int16(ERR_UNKNOWN_MEMBER_ID).getvalue()
+            del g["members"][member_id]
+            g["generation"] += 1
+            g["joined"] = set()
+            g["assignments"] = None
+            if g["members"] and g["leader"] == member_id:
+                g["leader"] = sorted(g["members"])[0]
+        return _Writer().int16(0).getvalue()
+
+    def _offset_commit(self, rd: _Reader) -> bytes:
+        group = rd.string()
+        generation = rd.int32()
+        member_id = rd.string()
+        rd.int64()                               # retention
+        out = []
+        with self._lock:
+            g = self._group(group)
+            # generation fencing (a stale member's commit after a
+            # rebalance must not clobber the new owner's progress);
+            # memberless simple consumers (generation -1) bypass it
+            fenced = 0
+            if generation >= 0 and member_id:
+                if member_id not in g["members"]:
+                    fenced = ERR_UNKNOWN_MEMBER_ID
+                elif generation != g["generation"]:
+                    fenced = ERR_ILLEGAL_GENERATION
+            for _ in range(rd.int32()):
+                name = rd.string()
+                parts = []
+                for _ in range(rd.int32()):
+                    pid = rd.int32()
+                    off = rd.int64()
+                    rd.string()                  # metadata
+                    if not fenced:
+                        g["offsets"][(name, pid)] = off
+                    parts.append((pid, fenced))
+                out.append((name, parts))
+        w = _Writer().int32(len(out))
+        for name, parts in out:
+            w.string(name)
+            w.array(parts, lambda wr, p: wr.int32(p[0]).int16(p[1]))
+        return w.getvalue()
+
+    def _offset_fetch(self, rd: _Reader) -> bytes:
+        group = rd.string()
+        asked = rd.array(lambda r: (r.string(),
+                                    r.array(lambda r2: r2.int32())))
+        with self._lock:
+            g = self._group(group)
+            w = _Writer().int32(len(asked))
+            for name, parts in asked:
+                w.string(name)
+                w.int32(len(parts))
+                for pid in parts:
+                    off = g["offsets"].get((name, pid), -1)
+                    w.int32(pid).int64(off).string(None).int16(0)
+        return w.getvalue()
 
     def _read_log(self, name: str, pid: int, offset: int, part_max: int,
                   injected: Optional[int]) -> tuple[int, int, int, bytes]:

@@ -529,3 +529,178 @@ def test_flexible_partial_fetch_pagination(modern_broker):
         cons.close()
         prod.close()
         tm.close()
+
+
+# -- consumer-group membership (goka processor rebalance transport) ----
+
+def test_copartitioning_plan_matches_goka_semantics():
+    """Pinned to CopartitioningStrategy.Plan (copartition_strategy.go:51):
+    sorted members, one contiguous range each (min = ⌊idx·step+0.5⌋),
+    the SAME range for every topic — including the rolling-upgrade
+    example from the reference's own doc comment."""
+    from goka_spark.kafka_wire import copartitioning_plan
+
+    # even split
+    plan = copartitioning_plan({"a": ["x", "y"], "b": ["x", "y"]},
+                               {"x": [0, 1, 2, 3], "y": [3, 2, 1, 0]})
+    assert plan == {"a": {"x": [0, 1], "y": [0, 1]},
+                    "b": {"x": [2, 3], "y": [2, 3]}}
+    # uneven split: 5 partitions / 2 members -> 3 + 2
+    plan = copartitioning_plan({"a": ["x"], "b": ["x"]},
+                               {"x": [0, 1, 2, 3, 4]})
+    assert plan == {"a": {"x": [0, 1, 2]}, "b": {"x": [3, 4]}}
+    # the reference doc-comment example (rolling upgrade, differing
+    # topic sets): A gets X[0,1]; B gets X[2] and Y[2]
+    plan = copartitioning_plan({"A": ["X"], "B": ["X", "Y"]},
+                               {"X": [0, 1, 2], "Y": [0, 1, 2]})
+    assert plan == {"A": {"X": [0, 1]}, "B": {"X": [2], "Y": [2]}}
+    # non-copartitioned topics refuse
+    with pytest.raises(ValueError, match="copartitioned"):
+        copartitioning_plan({"a": ["x"]}, {"x": [0, 1], "y": [0, 1, 2]})
+    # strict mode refuses inconsistent subscriptions
+    with pytest.raises(ValueError, match="group-name clash"):
+        copartitioning_plan({"A": ["X"], "B": ["X", "Y"]},
+                            {"X": [0, 1, 2], "Y": [0, 1, 2]},
+                            strict=True)
+
+
+def test_group_single_member_lifecycle(broker):
+    from goka_spark.kafka_wire import WireGroupMember
+    tm = WireTopicManager([broker.address])
+    tm.ensure_stream_exists("gx", 4)
+    tm.ensure_stream_exists("gy", 4)
+    m = WireGroupMember([broker.address], "grp-1", ["gx", "gy"])
+    try:
+        got = m.join()
+        assert m.is_leader
+        assert got == {"gx": [0, 1, 2, 3], "gy": [0, 1, 2, 3]}
+        assert m.heartbeat()
+        m.commit_offsets({("gx", 0): 7, ("gx", 2): 3, ("gy", 1): 9})
+        assert m.fetch_offsets("gx", [0, 1, 2, 3]) == {
+            0: 7, 1: -1, 2: 3, 3: -1}
+        m.leave()
+    finally:
+        m.close()
+        tm.close()
+
+
+def test_group_rebalance_two_members_copartitioned(broker):
+    """m2 joining forces m1's heartbeat to REBALANCE_IN_PROGRESS;
+    after both rejoin, the 4 partitions split 2/2 with the SAME
+    ranges on both topics (goka's copartition invariant), and a
+    leave hands everything back."""
+    import threading
+
+    from goka_spark.kafka_wire import WireGroupMember
+    tm = WireTopicManager([broker.address])
+    tm.ensure_stream_exists("rx", 4)
+    tm.ensure_stream_exists("ry", 4)
+    m1 = WireGroupMember([broker.address], "grp-2", ["rx", "ry"])
+    m2 = WireGroupMember([broker.address], "grp-2", ["rx", "ry"])
+    try:
+        assert m1.join() == {"rx": [0, 1, 2, 3], "ry": [0, 1, 2, 3]}
+        # m2's join blocks in sync until the leader replans — run it
+        # on a thread like a real second processor instance
+        t2 = threading.Thread(target=m2.join)
+        t2.start()
+        # m1 discovers the rebalance via heartbeat and rejoins
+        deadline = __import__("time").time() + 10
+        while m1.heartbeat():
+            assert __import__("time").time() < deadline, "no rebalance"
+        a1 = m1.join()
+        t2.join(timeout=10)
+        assert not t2.is_alive()
+        a2 = m2.assignment
+        # copartitioned 2/2 split, deterministic by member id order
+        ids = sorted([(m1.member_id, a1), (m2.member_id, a2)])
+        assert ids[0][1] == {"rx": [0, 1], "ry": [0, 1]}
+        assert ids[1][1] == {"rx": [2, 3], "ry": [2, 3]}
+        assert m1.heartbeat() and m2.heartbeat()
+        # m2 leaves: m1 rebalances back to everything
+        m2.leave()
+        while m1.heartbeat():
+            assert __import__("time").time() < deadline + 10
+        assert m1.join() == {"rx": [0, 1, 2, 3], "ry": [0, 1, 2, 3]}
+    finally:
+        m1.close()
+        m2.close()
+        tm.close()
+
+
+def test_group_offset_commit_generation_fencing(broker):
+    """A commit from a stale generation must not clobber the new
+    owner's progress — ILLEGAL_GENERATION, goka's exactly-once-per-
+    rebalance guarantee."""
+    import threading
+
+    from goka_spark.kafka_wire import KafkaWireError, WireGroupMember
+    tm = WireTopicManager([broker.address])
+    tm.ensure_stream_exists("fz", 2)
+    m1 = WireGroupMember([broker.address], "grp-3", ["fz"])
+    m2 = WireGroupMember([broker.address], "grp-3", ["fz"])
+    try:
+        m1.join()
+        m1.commit_offsets({("fz", 0): 5})
+        stale_gen = m1.generation
+        t2 = threading.Thread(target=m2.join)
+        t2.start()
+        while m1.heartbeat():
+            pass
+        m1.join()                        # m1 now at the new generation
+        t2.join(timeout=10)
+        m1.generation = stale_gen        # simulate a zombie commit
+        with pytest.raises(KafkaWireError, match="ILLEGAL_GENERATION"):
+            m1.commit_offsets({("fz", 0): 99})
+        assert m1.fetch_offsets("fz", [0]) == {0: 5}  # not clobbered
+    finally:
+        m1.close()
+        m2.close()
+        tm.close()
+
+
+def test_group_consume_resume_end_to_end(broker):
+    """The full goka processor transport loop: produce keyed records,
+    a group member consumes ITS assigned partitions, commits, dies;
+    a successor in the same group resumes from the committed offsets
+    and sees only the tail."""
+    from goka_spark.kafka_wire import WireGroupMember
+    tm = WireTopicManager([broker.address])
+    prod = WireProducer([broker.address])
+    cons = WireConsumer([broker.address])
+    tm.ensure_stream_exists("ez", 4)
+    for i in range(20):
+        prod.emit("ez", f"user-{i % 7}", f"v{i}".encode())
+    m1 = WireGroupMember([broker.address], "grp-4", ["ez"])
+    try:
+        assign = m1.join()
+        seen = {}
+        for pid in assign["ez"]:
+            start = m1.fetch_offsets("ez", [pid])[pid]
+            recs = cons.fetch("ez", pid, max(start, 0))
+            if recs:
+                seen[pid] = len(recs)
+                m1.commit_offsets({("ez", pid): recs[-1].offset + 1})
+        assert sum(seen.values()) == 20   # single member owns all 4
+        m1.leave()
+        m1.close()
+        # successor resumes: everything is committed, nothing replays
+        m2 = WireGroupMember([broker.address], "grp-4", ["ez"])
+        try:
+            assign2 = m2.join()
+            total = 0
+            for pid in assign2["ez"]:
+                start = m2.fetch_offsets("ez", [pid])[pid]
+                assert start >= 0         # offsets survived the member
+                total += len(cons.fetch("ez", pid, start))
+            assert total == 0
+            # new records arrive: only the tail is consumed
+            prod.emit("ez", "user-0", b"late", partition=0)
+            start = m2.fetch_offsets("ez", [0])[0]
+            tail = cons.fetch("ez", 0, start)
+            assert [r.value for r in tail] == [b"late"]
+        finally:
+            m2.close()
+    finally:
+        cons.close()
+        prod.close()
+        tm.close()
