@@ -45,3 +45,31 @@ def processor_stats(result: ProcessorResult) -> dict[str, Any]:
         "output_counts": {t: df.count() for t, df in result.outputs.items()},
         "table": table_stats(result),
     }
+
+
+def view_stats(tracker, query=None) -> dict[str, Any]:
+    """ViewStats analog (stats.go:54 PartitionProcStats / :74
+    TableStats carried by View.Stats, view.go:481): the lifecycle
+    state + recovery flag from the ``ViewStateTracker`` and, when the
+    live StreamingQuery is provided, the InputStats-shaped progress
+    numbers (rows, rates, batch timing) from its last progress —
+    Spark's analog of per-partition offset/lag counters."""
+    from goka_spark.streaming.runtime import view_state_name
+
+    out: dict[str, Any] = {
+        "state": view_state_name(tracker.current_state()),
+        "recovered": tracker.recovered(),
+    }
+    if query is not None:
+        lp = query.lastProgress or {}
+        dur = lp.get("durationMs") or {}
+        out["input"] = {
+            "batch_id": lp.get("batchId", -1),
+            "num_input_rows": lp.get("numInputRows", 0),
+            "input_rows_per_second": lp.get("inputRowsPerSecond", 0.0),
+            "processed_rows_per_second":
+                lp.get("processedRowsPerSecond", 0.0),
+            "trigger_duration_ms": dur.get("triggerExecution", 0),
+        }
+        out["active"] = query.isActive
+    return out

@@ -215,13 +215,18 @@ class MonitorServer:
                             })
                     elif (parts[:2] == ["data", "view-state"]
                           and len(parts) == 3):
-                        tr = outer._view_states.get(parts[2])
-                        if tr is None:
+                        pair = outer._view_states.get(parts[2])
+                        if pair is None:
                             self._json({"error": "unknown view"}, 404)
                         else:
-                            self._json(tr.state_dict())
+                            tr, q = pair
+                            body = tr.state_dict()
+                            if q is not None:
+                                from goka_spark.stats import view_stats
+                                body.update(view_stats(tr, q))
+                            self._json(body)
                     elif parts == ["data", "view-state"]:
-                        self._json({n: t.state_dict() for n, t in
+                        self._json({n: t.state_dict() for n, (t, _) in
                                     sorted(outer._view_states.items())})
                     elif parts[:2] == ["data", "processor"] and len(parts) == 3:
                         res = outer._processors.get(parts[2])
@@ -292,14 +297,17 @@ class MonitorServer:
     def attach_source(self, name: str, getter: Callable[[Any], Any]) -> None:
         self._sources[name] = getter
 
-    def attach_view_state(self, name: str, tracker: Any) -> None:
+    def attach_view_state(self, name: str, tracker: Any,
+                          query: Any = None) -> None:
         """Surface a streaming View's lifecycle (reference
         view.go:449 CurrentState / :475 ObserveStateChanges) — GET
         ``/data/view-state/{name}`` returns
         ``{"state": "Running", "state_id": 4, "recovered": true}``,
         the health-check/metrics polling shape the Go API documents
-        for CurrentState."""
-        self._view_states[name] = tracker
+        for CurrentState.  Pass the live StreamingQuery too and the
+        endpoint adds the View.Stats analog (stats.view_stats:
+        input rows/rates/batch timing from query progress)."""
+        self._view_states[name] = (tracker, query)
 
     def attach_action(self, name: str,
                       actor: Callable[[str, threading.Event], Any],

@@ -610,3 +610,43 @@ def test_view_state_connecting_on_query_failure(spark, tmp_path):
     finally:
         q2.stop()
         tracker.detach(spark)
+
+
+def test_view_stats_endpoint_with_live_query(spark, tmp_path):
+    """View.Stats parity (view.go:481 Stats → stats.go TableStats/
+    InputStats): attaching the live query alongside the tracker makes
+    /data/view-state/{name} carry the progress-derived input stats."""
+    import json as _json
+    import urllib.request
+
+    from goka_spark.stats import view_stats
+    from goka_spark.streaming.runtime import ViewStateTracker
+    from goka_spark.web import MonitorServer
+
+    src = str(tmp_path / "topic")
+    _write_batch(spark, src, _rows(0, 6, "a"))
+
+    tracker = ViewStateTracker("vstats_q").attach(spark)
+    web = MonitorServer().start()
+    g = define_group("vstats", input_stream("t"),
+                     persist(AggFold({"cnt": F.count("*")})))
+    q = StreamingProcessor(g).start_table(
+        {"t": stream_from_dir(spark, src, SCHEMA)},
+        queryName="vstats_q", checkpoint=str(tmp_path / "ckpt_vstats"))
+    web.attach_view_state("clicks", tracker, q)
+    try:
+        q.processAllAvailable()
+        assert tracker.wait_running(timeout=60)
+        s = view_stats(tracker, q)
+        assert s["state"] == "Running" and s["recovered"] and s["active"]
+        assert s["input"]["batch_id"] >= 0
+        with urllib.request.urlopen(
+                f"{web.address}/data/view-state/clicks") as r:
+            body = _json.load(r)
+        assert body["recovered"] is True
+        assert body["active"] is True
+        assert "num_input_rows" in body["input"]
+    finally:
+        q.stop()
+        web.stop()
+        tracker.detach(spark)
