@@ -171,11 +171,19 @@ class MonitorServer:
                         f"<li>{esc(n)} — query at /query/{esc(n)}/&lt;key&gt;"
                         "</li>" for n in sorted(outer._sources)
                         if n not in outer._views)
+                    vstates = "".join(
+                        f"<li>{esc(n)} — "
+                        f"{esc(t.state_dict()['state'])}"
+                        f"{' (recovered)' if t.state_dict()['recovered'] else ''}"
+                        f" — JSON at /data/view-state/{esc(n)}</li>"
+                        for n, (t, _) in sorted(outer._view_states.items()))
                     self._page(
                         "goka_spark monitor",
                         f"<h2>Processors</h2><ul>{procs or '<li>none</li>'}"
                         f"</ul><h2>Views</h2>"
                         f"<ul>{views or '<li>none</li>'}</ul>"
+                        f"<h2>View lifecycle</h2>"
+                        f"<ul>{vstates or '<li>none</li>'}</ul>"
                         f"<h2>Query sources</h2>"
                         f"<ul>{srcs or '<li>none</li>'}</ul>")
                 elif parts[1] == "processor" and len(parts) == 3:
