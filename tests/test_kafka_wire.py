@@ -704,3 +704,27 @@ def test_group_consume_resume_end_to_end(broker):
         cons.close()
         prod.close()
         tm.close()
+
+
+@given(st.integers(min_value=1, max_value=32),
+       st.integers(min_value=1, max_value=8),
+       st.integers(min_value=1, max_value=3))
+@settings(max_examples=200, deadline=None)
+def test_copartitioning_plan_properties(nparts, nmembers, ntopics):
+    """Invariants of the copartitioning plan for uniform
+    subscriptions: every partition of every topic assigned EXACTLY
+    once; each member's range contiguous; all topics carry the SAME
+    range per member (the copartition invariant); deterministic."""
+    from goka_spark.kafka_wire import copartitioning_plan
+    topics = {f"t{i}": list(range(nparts)) for i in range(ntopics)}
+    members = {f"m{i:02d}": sorted(topics) for i in range(nmembers)}
+    plan = copartitioning_plan(members, topics, strict=True)
+    assert plan == copartitioning_plan(members, topics)  # deterministic
+    for t in topics:
+        got = sorted(p for m in plan for p in plan[m].get(t, []))
+        assert got == list(range(nparts)), (t, got)      # exactly once
+    for m, per_topic in plan.items():
+        ranges = {tuple(ps) for ps in per_topic.values()}
+        assert len(ranges) == 1                          # same range
+        ps = next(iter(ranges))
+        assert list(ps) == list(range(ps[0], ps[-1] + 1)) if ps else True
