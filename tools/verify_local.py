@@ -46,6 +46,13 @@ def main() -> int:
     spark = get_session("verify_local")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
 
+    # --front N: verify exactly the first N registry keys — the slice
+    # the driver's 50-slot correctness gate will record
+    if only and next(iter(only)).startswith("--front"):
+        arg = next(iter(only))
+        n = int(arg.split("=")[1]) if "=" in arg else 50
+        only = set(list(qs)[:n])
+
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
