@@ -157,6 +157,40 @@ def to_kafka_records(df: DataFrame, topic: str, num_partitions: int = 32,
     )
 
 
+def poll_group_records(spark, member, consumer):
+    """One micro-batch of the goka processor transport loop
+    (processor.go Run: claim partitions → consume → process →
+    commit): fetch every partition the group ASSIGNED this member
+    from its committed offset, lift the records into the connector
+    wire frame (KAFKA_WIRE_SCHEMA), and return
+    ``(frame, next_offsets)``.  After the batch is durably processed,
+    pass ``next_offsets`` to ``member.commit_offsets()`` — the
+    commit-AFTER-process order that makes the loop at-least-once,
+    exactly like goka's offset handling.
+
+    ``member`` is a ``kafka_wire.WireGroupMember`` whose ``join()``
+    already ran; ``consumer`` a ``kafka_wire.WireConsumer`` on the
+    same cluster.  Control plane only — on a real cluster the bulk
+    plane is Spark's Kafka connector (``kafka_source``); this path
+    exists for goka-parity processors driven by the wire protocol."""
+    import datetime as _dt
+
+    rows, next_off = [], {}
+    for topic, parts in sorted(member.assignment.items()):
+        for pid in sorted(parts):
+            start = max(member.fetch_offsets(topic, [pid])[pid], 0)
+            for r in consumer.fetch(topic, pid, start):
+                rows.append((
+                    r.key, r.value,
+                    [(hk, hv) for hk, hv in r.headers] or None,
+                    topic, pid, r.offset,
+                    _dt.datetime.fromtimestamp(r.timestamp / 1000,
+                                               _dt.timezone.utc),
+                    1))
+                next_off[(topic, pid)] = r.offset + 1
+    return spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA), next_off
+
+
 def from_kafka_records(df: DataFrame, codec=None,
                        value_schema: Optional[str] = None,
                        value_col: str = "value",

@@ -728,3 +728,52 @@ def test_copartitioning_plan_properties(nparts, nmembers, ntopics):
         assert len(ranges) == 1                          # same range
         ps = next(iter(ranges))
         assert list(ps) == list(range(ps[0], ps[-1] + 1)) if ps else True
+
+
+def test_poll_group_records_processor_loop(spark, broker):
+    """The complete goka processor loop with the transport half real:
+    group membership assigns partitions, poll_group_records lifts the
+    wire records into the connector frame, a Processor folds them,
+    offsets commit AFTER processing, and the next poll sees only new
+    records (at-least-once, commit-after-process)."""
+    from pyspark.sql import functions as F
+
+    from goka_spark import AggFold, define_group, input_stream, persist
+    from goka_spark.kafka_wire import WireGroupMember
+    from goka_spark.operators.processor import Processor
+    from goka_spark.sources import from_kafka_records, poll_group_records
+
+    tm = WireTopicManager([broker.address])
+    prod = WireProducer([broker.address])
+    cons = WireConsumer([broker.address])
+    tm.ensure_stream_exists("pg", 4)
+    for i in range(12):
+        prod.emit("pg", f"u{i % 3}", ('{"value": %d.0}' % i).encode(),
+                  timestamp_ms=1_700_000_000_000 + i * 1000)
+    m = WireGroupMember([broker.address], "pg-grp", ["pg"])
+    try:
+        m.join()
+        wire, next_off = poll_group_records(spark, m, cons)
+        topic = from_kafka_records(wire, value_schema="value double")
+        g = define_group("pg-fold", input_stream("pg"),
+                         persist(AggFold({"cnt": F.count("*"),
+                                          "sum_value": F.sum("value")})))
+        res = Processor(g).run({"pg": topic})
+        got = {r.key: (r.cnt, r.sum_value) for r in res.table.collect()}
+        assert got == {"u0": (4, 18.0), "u1": (4, 22.0), "u2": (4, 26.0)}
+        m.commit_offsets(next_off)
+        # nothing new: the next poll is empty
+        wire2, next2 = poll_group_records(spark, m, cons)
+        assert wire2.count() == 0 and next2 == {}
+        # a late record: only the tail arrives
+        prod.emit("pg", "u0", b'{"value": 99.0}',
+                  timestamp_ms=1_700_000_100_000)
+        wire3, next3 = poll_group_records(spark, m, cons)
+        assert wire3.count() == 1
+        pid = partition_for_key(b"u0", 4)
+        assert next3 == {("pg", pid): next_off[("pg", pid)] + 1}
+    finally:
+        m.close()
+        cons.close()
+        prod.close()
+        tm.close()
