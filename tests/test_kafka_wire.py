@@ -777,3 +777,30 @@ def test_poll_group_records_processor_loop(spark, broker):
         cons.close()
         prod.close()
         tm.close()
+
+
+def test_group_strict_mode_rejects_mixed_subscriptions(broker):
+    """StrictCopartitioningStrategy (copartition_strategy.go:37): a
+    leader in strict mode refuses to plan when members subscribe to
+    different topic sets — the group-name-clash tripwire."""
+    import threading
+
+    from goka_spark.kafka_wire import WireGroupMember
+    tm = WireTopicManager([broker.address])
+    tm.ensure_stream_exists("sx", 2)
+    tm.ensure_stream_exists("sy", 2)
+    m1 = WireGroupMember([broker.address], "grp-strict", ["sx"],
+                         strict=True)
+    m2 = WireGroupMember([broker.address], "grp-strict", ["sx", "sy"])
+    try:
+        m1.join()
+        t2 = threading.Thread(target=m2.join, daemon=True)
+        t2.start()
+        while m1.heartbeat():
+            pass
+        with pytest.raises(ValueError, match="group-name clash"):
+            m1.join()                    # m1 is the strict leader
+    finally:
+        m1.close()
+        m2.close()
+        tm.close()
