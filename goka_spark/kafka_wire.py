@@ -1077,13 +1077,17 @@ def copartitioning_plan(members: dict[str, list[str]],
     different topic sets (group-name clash)."""
     import math
 
-    all_parts: list[int] = []
+    all_parts: Optional[list[int]] = None
     for t, parts in topics.items():
-        if not all_parts:
+        if all_parts is None:
             all_parts = sorted(parts)
         elif set(all_parts) != set(parts):
+            # None sentinel (not truthiness): a first topic with ZERO
+            # partitions must fail this check like any other mismatch,
+            # not be skipped as "not yet set"
             raise ValueError(
                 f"not all topics are copartitioned: {topics!r}")
+    all_parts = all_parts or []
     all_topics = sorted(topics)
     if strict:
         for m, req in members.items():
@@ -1175,9 +1179,18 @@ class WireGroupMember:
                            for m, p in plan.items()}
         return self._sync(assignments)
 
-    def _sync(self, assignments: dict[str, bytes]) -> dict[str, list[int]]:
+    def _sync(self, assignments: dict[str, bytes],
+              max_wait: float = 30.0) -> dict[str, list[int]]:
+        """Follower sync parks until the leader's plan lands — but
+        BOUNDED: if the leader dies between JoinGroup and SyncGroup
+        the group stays planless for this generation, and an
+        unbounded retry would hang the processor thread forever."""
         backoff = SimpleBackoff(step=0.01, max_=0.1)
+        deadline = time.monotonic() + max_wait
         while True:
+            if time.monotonic() > deadline:
+                raise KafkaWireError("SyncGroup",
+                                     ERR_REBALANCE_IN_PROGRESS)
             w = (_Writer().string(self.group).int32(self.generation)
                  .string(self.member_id)
                  .array(sorted(assignments.items()),
@@ -1805,14 +1818,24 @@ class FakeBroker:
         tail = log[offset:]
         # one batch per record so a max_bytes cut yields a decodable
         # prefix + partial trailing batch, like a real broker's
-        # size-limited response
-        data = b"".join(
-            encode_record_batch(offset + i, [
+        # size-limited response.  KIP-74: the FIRST batch is always
+        # returned whole even when it alone exceeds max_bytes —
+        # otherwise a consumer whose limit is smaller than one record
+        # gets an empty, errorless response at the same offset
+        # forever (livelock, indistinguishable from "caught up").
+        chunks = []
+        size = 0
+        for i, r in enumerate(tail):
+            b = encode_record_batch(offset + i, [
                 Record(0, r.timestamp, r.key, r.value, r.headers)])
-            for i, r in enumerate(tail))
-        if len(data) > part_max:
-            data = data[:part_max]               # partial response
-        return (pid, 0, len(log), data)
+            if chunks and size + len(b) > part_max:
+                # past the limit: emit a partial trailing batch so
+                # clients exercise their truncation tolerance
+                chunks.append(b[:max(part_max - size, 1)])
+                break
+            chunks.append(b)
+            size += len(b)
+        return (pid, 0, len(log), b"".join(chunks))
 
     def _fetch(self, rd: _Reader, version: int = 4) -> bytes:
         if version >= FLEXIBLE_SINCE[API_FETCH]:

@@ -608,7 +608,8 @@ class GrowthAccountingSink:
     def read(self, spark):
         """The B73 table over everything seen: summed epoch deltas
         plus the read-time right-censored trailing churn."""
-        if self._latest(spark, "state", 1 << 62) is None:
+        state = self._latest(spark, "state", 1 << 62)
+        if state is None:
             # nothing written yet — empty frame, not AttributeError
             # downstream (r9 ADVICE)
             return spark.createDataFrame(
@@ -620,7 +621,6 @@ class GrowthAccountingSink:
                        F.sum("n_retained").alias("n_retained"),
                        F.sum("n_resurrected").alias("n_resurrected"),
                        F.sum("n_churned").alias("n_churned")))
-        state = self._latest(spark, "state", 1 << 62)
         mx = state.agg(F.max("last_wk").alias("_mx"))
         trailing = (state.crossJoin(F.broadcast(mx))
                     .filter(F.col("last_wk") < F.col("_mx"))

@@ -177,8 +177,9 @@ def poll_group_records(spark, member, consumer):
 
     rows, next_off = [], {}
     for topic, parts in sorted(member.assignment.items()):
+        committed = member.fetch_offsets(topic, sorted(parts))
         for pid in sorted(parts):
-            start = max(member.fetch_offsets(topic, [pid])[pid], 0)
+            start = max(committed[pid], 0)
             for r in consumer.fetch(topic, pid, start):
                 rows.append((
                     r.key, r.value,

@@ -336,6 +336,9 @@ class ViewStateTracker:
     def attach(self, spark: SparkSession) -> "ViewStateTracker":
         from pyspark.sql.streaming import StreamingQueryListener
 
+        # re-attach must not leak the previous listener (it would
+        # keep firing duplicate transitions for the session's life)
+        self.detach(spark)
         tracker = self
 
         class _Listener(StreamingQueryListener):

@@ -804,3 +804,73 @@ def test_group_strict_mode_rejects_mixed_subscriptions(broker):
         m1.close()
         m2.close()
         tm.close()
+
+
+def test_fetch_first_batch_always_whole_no_livelock(broker):
+    """KIP-74: when even the FIRST batch exceeds max_bytes the broker
+    must return it whole — otherwise a consumer whose limit is
+    smaller than one record spins at the same offset forever with an
+    empty, errorless response (review finding, fixed)."""
+    tm = WireTopicManager([broker.address])
+    prod = WireProducer([broker.address])
+    cons = WireConsumer([broker.address])
+    try:
+        tm.ensure_stream_exists("huge", 1)
+        prod.emit("huge", "k", b"x" * 500, partition=0)
+        prod.emit("huge", "k2", b"y" * 500, partition=0)
+        got = cons.fetch("huge", 0, 0, max_bytes=100)
+        assert [r.value for r in got] == [b"x" * 500]
+        got2 = cons.fetch("huge", 0, 1, max_bytes=100)
+        assert [r.value for r in got2] == [b"y" * 500]
+    finally:
+        cons.close()
+        prod.close()
+        tm.close()
+
+
+def test_copartitioning_plan_empty_topic_order_independent():
+    """A topic with ZERO partitions must fail the copartition check
+    regardless of dict insertion order (review finding: truthiness
+    treated a leading empty list as 'not yet set')."""
+    from goka_spark.kafka_wire import copartitioning_plan
+    for topics in ({"a": [], "b": [0, 1]}, {"b": [0, 1], "a": []}):
+        with pytest.raises(ValueError, match="copartitioned"):
+            copartitioning_plan({"m": ["a", "b"]}, topics)
+
+
+def test_group_sync_times_out_without_leader_plan(broker):
+    """A follower whose leader died between JoinGroup and SyncGroup
+    must not hang forever — bounded retry, then a typed error."""
+    from goka_spark.kafka_wire import (ERR_REBALANCE_IN_PROGRESS,
+                                       KafkaWireError, WireGroupMember)
+    tm = WireTopicManager([broker.address])
+    tm.ensure_stream_exists("tz", 1)
+    m1 = WireGroupMember([broker.address], "grp-dead", ["tz"])
+    m2 = WireGroupMember([broker.address], "grp-dead", ["tz"])
+    try:
+        m1.join()
+        # m2 joins as a follower (bumping the generation); m1 — the
+        # leader — never rejoins/syncs, so no plan ever lands for
+        # the new generation.  Send the raw JoinGroup, then drive
+        # the follower sync with a short bound: typed error, no hang.
+        from goka_spark.kafka_wire import (API_JOIN_GROUP, _Writer,
+                                           encode_member_metadata)
+        meta = encode_member_metadata(m2.topics)
+        w = (_Writer().string(m2.group).int32(30_000)
+             .string("").string("consumer")
+             .array([("copartition", meta)],
+                    lambda wr, p: wr.string(p[0]).bytes_(p[1])))
+        rd = m2._conn.request(API_JOIN_GROUP, 0, w.getvalue())
+        assert rd.int16() == 0
+        m2.generation = rd.int32()
+        rd.string()                      # protocol
+        rd.string()                      # leader (= m1)
+        m2.member_id = rd.string()
+        with pytest.raises(KafkaWireError,
+                           match="REBALANCE_IN_PROGRESS") as ei:
+            m2._sync({}, max_wait=0.3)
+        assert ei.value.code == ERR_REBALANCE_IN_PROGRESS
+    finally:
+        m1.close()
+        m2.close()
+        tm.close()

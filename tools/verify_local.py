@@ -46,12 +46,14 @@ def main() -> int:
     spark = get_session("verify_local")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
 
-    # --front N: verify exactly the first N registry keys — the slice
-    # the driver's 50-slot correctness gate will record
-    if only and next(iter(only)).startswith("--front"):
-        arg = next(iter(only))
+    # --front[=N]: verify exactly the first N registry keys — the
+    # slice the driver's 50-slot correctness gate will record.
+    # Scan ALL args (set iteration order is hash-randomized).
+    front = [a for a in only if a.startswith("--front")]
+    if front:
+        arg = front[0]
         n = int(arg.split("=")[1]) if "=" in arg else 50
-        only = set(list(qs)[:n])
+        only = (only - set(front)) | set(list(qs)[:n])
 
     con = duckdb.connect()
     for t in TABLES:
