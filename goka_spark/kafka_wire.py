@@ -877,6 +877,28 @@ class WireProducer:
             time.sleep(self._backoff.duration())
         raise AssertionError("unreachable")
 
+    def emit_async(self, topic: str, key: str, value: bytes,
+                   headers: Optional[dict[str, bytes]] = None,
+                   timestamp_ms: int = 0,
+                   partition: Optional[int] = None) -> Promise:
+        """goka Emitter.Emit parity (emitter.go:93 returns a Promise;
+        producer.go:64's promise resolves on the produce response):
+        the produce runs on a daemon thread; ``then(cb)`` fires with
+        the error (or None) and ``wait()`` is EmitSync.  Retries and
+        typed errors behave exactly like the synchronous ``emit``."""
+        p = Promise()
+
+        def run() -> None:
+            try:
+                p.finish(self.emit(topic, key, value, headers=headers,
+                                   timestamp_ms=timestamp_ms,
+                                   partition=partition), None)
+            except Exception as e:       # resolve, never raise on thread
+                p.finish(None, e)
+
+        threading.Thread(target=run, daemon=True).start()
+        return p
+
     @staticmethod
     def _parse_produce_v9(rd: _Reader) -> tuple[int, int]:
         base_offset, err = -1, 0
@@ -896,6 +918,54 @@ class WireProducer:
         rd.int32()                               # throttle
         rd.tags()
         return base_offset, err
+
+
+class Promise:
+    """promise.go:10 — Then callbacks fire exactly once on finish;
+    a callback chained AFTER resolution runs immediately (same
+    already-finished semantics as the Go original).  ``msg`` carries
+    the (partition, base_offset) the produce response resolved to."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._done = threading.Event()
+        self._callbacks: list = []
+        self.msg: Optional[tuple[int, int]] = None
+        self.err: Optional[Exception] = None
+
+    def then(self, callback) -> "Promise":
+        """Chain ``callback(err)`` (promise.go:48 Then)."""
+        return self.then_with_message(lambda _msg, err: callback(err))
+
+    def then_with_message(self, callback) -> "Promise":
+        """Chain ``callback(msg, err)`` (promise.go:55
+        ThenWithMessage)."""
+        with self._lock:
+            if self._done.is_set():
+                callback(self.msg, self.err)
+            else:
+                self._callbacks.append(callback)
+        return self
+
+    def finish(self, msg, err) -> "Promise":
+        with self._lock:
+            if self._done.is_set():
+                return self              # resolve once
+            self.msg, self.err = msg, err
+            callbacks, self._callbacks = self._callbacks, []
+            self._done.set()
+        for cb in callbacks:
+            cb(msg, err)
+        return self
+
+    def wait(self, timeout: Optional[float] = None) -> "Promise":
+        """Block until resolved; raise the error if one landed —
+        the EmitSync shape (emitter.go:119)."""
+        if not self._done.wait(timeout):
+            raise TimeoutError("promise not resolved in time")
+        if self.err is not None:
+            raise self.err
+        return self
 
 
 class WireConsumer:

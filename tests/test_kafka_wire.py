@@ -874,3 +874,50 @@ def test_group_sync_times_out_without_leader_plan(broker):
         m1.close()
         m2.close()
         tm.close()
+
+
+# -- Promise / async emit (promise.go, emitter.go Emit vs EmitSync) ----
+
+def test_promise_then_before_and_after_resolution():
+    from goka_spark.kafka_wire import Promise
+    p = Promise()
+    seen = []
+    p.then(lambda err: seen.append(("before", err)))
+    p.finish((2, 7), None)
+    p.finish((9, 9), RuntimeError("late"))      # resolve-once: ignored
+    p.then(lambda err: seen.append(("after", err)))   # fires NOW
+    p.then_with_message(lambda msg, err: seen.append(("msg", msg)))
+    assert seen == [("before", None), ("after", None), ("msg", (2, 7))]
+    assert p.wait(1).msg == (2, 7)
+
+
+def test_emit_async_resolves_and_emit_sync_shape(broker):
+    from goka_spark.kafka_wire import KafkaWireError, WireProducer
+    tm = WireTopicManager([broker.address])
+    prod = WireProducer([broker.address])
+    cons = WireConsumer([broker.address])
+    try:
+        tm.ensure_stream_exists("pp", 4)
+        results = []
+        ps = [prod.emit_async("pp", f"user-{i}", f"v{i}".encode())
+              .then_with_message(lambda msg, err: results.append(
+                  (msg, err)))
+              for i in range(5)]
+        for p in ps:
+            p.wait(10)                   # EmitSync = Emit().wait()
+        assert len(results) == 5 and all(e is None for _, e in results)
+        # promises resolved to the broker-confirmed (partition, offset)
+        for i, p in enumerate(ps):
+            part, off = p.msg
+            assert part == partition_for_key(f"user-{i}".encode(), 4)
+            got = cons.fetch("pp", part, off)
+            assert got[0].value == f"v{i}".encode()
+        # failure path: the promise carries the typed error
+        bad = prod.emit_async("ghost-topic", "k", b"v")
+        with pytest.raises(ValueError, match="unknown topic"):
+            bad.wait(10)
+        assert bad.err is not None
+    finally:
+        cons.close()
+        prod.close()
+        tm.close()
