@@ -592,3 +592,17 @@ def test_activity_gini_guard_adds_no_exchange(spark, sf_dir):
     add one."""
     df = analytics.activity_gini(spark, sf_dir)
     assert X.num_shuffles(df) <= 3, X.simple(df)
+
+
+def test_front_queries_have_no_cartesian_products(spark, sf_dir):
+    """Blanket 100 TB guard over the r10 certification front: none of
+    the newly certified queries may plan a CartesianProduct — every
+    pairing must come from an equi-join, a broadcast, or a postings
+    join.  (Exchange counts vary by design — iterative CC audits
+    legitimately plan dozens — but a cartesian is never right.)"""
+    from goka_spark.queries import all_queries
+
+    qs = all_queries()
+    for key in list(qs)[:50]:
+        plan = X.simple(qs[key](spark, sf_dir))
+        assert "CartesianProduct" not in plan, key
