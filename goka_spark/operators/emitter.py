@@ -22,6 +22,10 @@ from pyspark.sql import functions as F
 from goka_spark.codecs import Codec
 
 
+class EmitterAlreadyClosedError(RuntimeError):
+    """errors.go:11 ErrEmitterAlreadyClosed: Emit after Finish."""
+
+
 class Emitter:
     def __init__(self, spark: SparkSession, topic_path: str,
                  codec: Optional[Codec] = None, value_col: str = "value",
@@ -34,11 +38,16 @@ class Emitter:
         # per-emit headers (per-emit keys win, headers.go Merged)
         self.default_headers = default_headers
         self._buffer: list[tuple[str, Any, Optional[dict[str, bytes]]]] = []
+        self._closed = False
 
     def emit(self, key: Any, value: Any,
              headers: Optional[dict[str, bytes]] = None) -> None:
         """Buffered single-record emit (Emitter.Emit, emitter.go:93;
-        EmitWithHeaders, emitter.go:60 — headers are raw bytes)."""
+        EmitWithHeaders, emitter.go:60 — headers are raw bytes).
+        Raises EmitterAlreadyClosedError after ``finish()``
+        (emitter.go:79 rejects new emits once finished)."""
+        if self._closed:
+            raise EmitterAlreadyClosedError("emitter already closed")
         if self.codec is not None:
             # parity with goka: value must round-trip through the codec
             value = self.codec.decode(self.codec.encode(value))
@@ -48,9 +57,11 @@ class Emitter:
 
     def emit_sync(self, key: Any, value: Any,
                   headers: Optional[dict[str, bytes]] = None) -> None:
-        """Emitter.EmitSync (emitter.go:119): emit + flush immediately."""
+        """Emitter.EmitSync (emitter.go:119): emit + flush
+        immediately.  Like the Go EmitSync, does NOT close — only
+        ``finish()`` does."""
         self.emit(key, value, headers)
-        self.finish()
+        self.flush()
 
     def emit_dataframe(self, df: DataFrame, key: Optional[str] = None,
                        mode: str = "append") -> None:
@@ -60,7 +71,14 @@ class Emitter:
         df.write.mode(mode).parquet(self.topic_path)
 
     def finish(self) -> None:
-        """Flush buffered records (Emitter.Finish, emitter.go:124).
+        """Emitter.Finish (emitter.go:124): flush all pending records
+        and CLOSE — subsequent emits raise EmitterAlreadyClosedError
+        (emitter.go:79)."""
+        self.flush()
+        self._closed = True
+
+    def flush(self) -> None:
+        """Flush buffered records without closing.
         If any record carries headers the topic schema grows a
         ``headers map<string,binary>`` column (headers.go:8)."""
         if not self._buffer:

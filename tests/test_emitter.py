@@ -64,3 +64,23 @@ def test_emitter_default_headers_merge(spark, tmp_path):
     got = {r.key: dict(r.headers) for r in em.read().collect()}
     assert got["a"] == {"src": b"emitter", "v": b"1"}
     assert got["b"] == {"src": b"emitter", "v": b"2"}
+
+
+def test_emit_after_finish_rejected(spark, tmp_path):
+    """errors.go:11 ErrEmitterAlreadyClosed / emitter.go:79: Finish
+    closes — later emits raise; EmitSync only flushes and leaves the
+    emitter usable (matching the Go API split)."""
+    import pytest
+
+    from goka_spark.operators.emitter import EmitterAlreadyClosedError
+
+    em = Emitter(spark, str(tmp_path / "topic"), codec=Int64Codec())
+    em.emit_sync("a", 1)
+    em.emit_sync("b", 2)                 # EmitSync does not close
+    em.finish()
+    with pytest.raises(EmitterAlreadyClosedError):
+        em.emit("c", 3)
+    with pytest.raises(EmitterAlreadyClosedError):
+        em.emit_sync("d", 4)
+    got = {r.key: r.value for r in em.read().collect()}
+    assert got == {"a": 1, "b": 2}
