@@ -1183,12 +1183,14 @@ class WireGroupMember:
     → on REBALANCE_IN_PROGRESS rejoin → LeaveGroup on shutdown."""
 
     def __init__(self, brokers: list[str], group: str,
-                 topics: list[str], strict: bool = False) -> None:
+                 topics: list[str], strict: bool = False,
+                 session_timeout_ms: int = 30_000) -> None:
         host, port = _parse_addr(brokers[0])
         self._bootstrap = KafkaConnection(host, port)
         self.group = group
         self.topics = sorted(topics)
         self.strict = strict
+        self.session_timeout_ms = session_timeout_ms
         self.member_id = ""
         self.generation = -1
         self.is_leader = False
@@ -1219,7 +1221,7 @@ class WireGroupMember:
         assignment is handed out; returns {topic: [partitions]}."""
         meta = encode_member_metadata(self.topics)
         w = (_Writer().string(self.group)
-             .int32(30_000)                      # session timeout
+             .int32(self.session_timeout_ms)
              .string(self.member_id)
              .string("consumer")
              .array([("copartition", meta)],
@@ -1724,8 +1726,34 @@ class FakeBroker:
         return self.groups.setdefault(name, {
             "generation": 0, "members": {}, "leader": "",
             "joined": set(), "assignments": None, "assign_gen": -1,
-            "offsets": {},
+            "offsets": {}, "deadlines": {},
         })
+
+    def _touch(self, g: dict, member_id: str,
+               timeout_ms: Optional[int] = None) -> None:
+        if timeout_ms is not None:
+            g.setdefault("timeouts", {})[member_id] = timeout_ms
+        t = g.get("timeouts", {}).get(member_id, 30_000)
+        g["deadlines"][member_id] = time.monotonic() + t / 1000.0
+
+    def _evict_expired(self, g: dict, caller: str = "") -> None:
+        """Session-timeout eviction, done lazily on each group
+        request (a real coordinator's DelayedHeartbeat sweep): a
+        member whose heartbeat stopped past its session timeout is
+        removed and the group rebalances — this is how a crashed
+        LEADER eventually unblocks parked followers."""
+        now = time.monotonic()
+        dead = [m for m, dl in g["deadlines"].items()
+                if m != caller and dl < now and m in g["members"]]
+        for m in dead:
+            del g["members"][m]
+            g["deadlines"].pop(m, None)
+        if dead:
+            g["generation"] += 1
+            g["joined"] = set()
+            g["assignments"] = None
+            if g["members"] and g["leader"] not in g["members"]:
+                g["leader"] = sorted(g["members"])[0]
 
     def _find_coordinator(self, rd: _Reader) -> bytes:
         rd.string()                              # group key
@@ -1734,7 +1762,7 @@ class FakeBroker:
 
     def _join_group(self, rd: _Reader) -> bytes:
         group = rd.string()
-        rd.int32()                               # session timeout
+        session_timeout = rd.int32()
         member_id = rd.string()
         rd.string()                              # protocol type
         protocols = rd.array(lambda r: (r.string(), r.bytes_()))
@@ -1744,6 +1772,8 @@ class FakeBroker:
             if not member_id:
                 self._member_seq += 1
                 member_id = f"member-{self._member_seq}"
+            self._evict_expired(g, caller=member_id)
+            self._touch(g, member_id, session_timeout)
             changed = (member_id not in g["members"]
                        or g["members"][member_id] != meta)
             g["members"][member_id] = meta
@@ -1779,6 +1809,7 @@ class FakeBroker:
             if member_id not in g["members"]:
                 return _Writer().int16(ERR_UNKNOWN_MEMBER_ID) \
                     .bytes_(b"").getvalue()
+            self._touch(g, member_id)    # sync retries keep it alive
             if generation != g["generation"]:
                 return _Writer().int16(ERR_ILLEGAL_GENERATION) \
                     .bytes_(b"").getvalue()
@@ -1799,12 +1830,14 @@ class FakeBroker:
         member_id = rd.string()
         with self._lock:
             g = self._group(group)
+            self._evict_expired(g, caller=member_id)
             if member_id not in g["members"]:
                 err = ERR_UNKNOWN_MEMBER_ID
             elif (generation != g["generation"]
                   or member_id not in g["joined"]):
                 err = ERR_REBALANCE_IN_PROGRESS
             else:
+                self._touch(g, member_id)
                 err = 0
         return _Writer().int16(err).getvalue()
 

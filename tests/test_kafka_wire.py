@@ -921,3 +921,32 @@ def test_emit_async_resolves_and_emit_sync_shape(broker):
         cons.close()
         prod.close()
         tm.close()
+
+
+def test_group_session_timeout_evicts_dead_member(broker):
+    """A member that stops heartbeating past its session timeout is
+    evicted lazily on the next group request (the coordinator's
+    DelayedHeartbeat sweep) — the survivor rebalances to everything
+    and the zombie's next heartbeat reads UNKNOWN_MEMBER_ID.  This is
+    also how a crashed LEADER eventually unblocks parked followers."""
+    import time as _time
+
+    from goka_spark.kafka_wire import WireGroupMember
+    tm = WireTopicManager([broker.address])
+    tm.ensure_stream_exists("ev", 4)
+    dead = WireGroupMember([broker.address], "grp-ev", ["ev"],
+                           session_timeout_ms=300)
+    live = WireGroupMember([broker.address], "grp-ev", ["ev"],
+                           session_timeout_ms=30_000)
+    try:
+        dead.join()                      # sole member, owns all 4
+        _time.sleep(0.4)                 # ...then stops heartbeating
+        got = live.join()                # eviction fires on this join
+        assert got == {"ev": [0, 1, 2, 3]}
+        assert live.is_leader
+        assert not dead.heartbeat()      # zombie: UNKNOWN_MEMBER_ID
+        assert dead.member_id == ""      # client reset for a fresh join
+    finally:
+        dead.close()
+        live.close()
+        tm.close()
