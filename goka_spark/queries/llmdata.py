@@ -7068,9 +7068,10 @@ ORACLES["bigram_cond_entropy"] = f"""
     FROM per_src
 """
 
-# Spark's DIV truncates toward zero; DuckDB's // floors — they differ
-# on negative numerators (mean of a negative-mean dimension), so the
-# oracle emulates truncation explicitly.
+# Both Spark's DIV and DuckDB's // truncate toward zero (verified:
+# SELECT -7 // 2 = -3 in DuckDB), so they agree on negative
+# numerators; the CASE below spells the truncation out so the
+# intended semantics survive edits regardless of engine defaults.
 ORACLES["embedding_dim_stats"] = """
     WITH x AS (
       SELECT i AS dim,
