@@ -20,6 +20,13 @@ via the ApiVersions handshake (modern-first with KIP-511 downgrade):
   zigzag-varint records, per-record headers — the current on-disk /
   on-wire record format, KIP-98)
 - Fetch v4 / v12 (key 1) returning RecordBatch v2
+- ListOffsets v1 (key 2): OFFSET_OLDEST (retained log start) /
+  OFFSET_NEWEST (high watermark) / timestamp lookup — sarama
+  client.GetOffset, what goka's topic_manager.go:131 GetOffset and
+  partition_table.go:243 findOffsetToLoad resume clamp call
+- RecordBatch compression: gzip (stdlib) encode+decode via the
+  attributes codec bits; snappy/lz4/zstd arrive as a typed
+  UnsupportedCodecError (no codec libraries in this container)
 - Consumer-group membership at fixed sarama-era versions:
   FindCoordinator v0 / JoinGroup v0 / SyncGroup v0 / Heartbeat v0 /
   LeaveGroup v0 / OffsetCommit v2 (generation-fenced) /
@@ -47,6 +54,7 @@ management, emitter parity, and wire-contract proof.
 
 from __future__ import annotations
 
+import gzip as _gzip
 import io
 import socket
 import struct
@@ -303,13 +311,44 @@ class Record:
     headers: list[tuple[str, bytes]] = field(default_factory=list)
 
 
-def encode_record_batch(base_offset: int, records: list[Record]) -> bytes:
+# RecordBatch v2 compression codecs (attributes bits 0-2).  gzip is
+# the one codec the Python stdlib provides (Kafka's gzip codec IS a
+# standard gzip stream — java.util.zip.GZIPOutputStream); snappy uses
+# xerial framing, lz4 the Kafka-LZ4 frame, zstd libzstd — none in the
+# stdlib, so those decode to a typed error instead of garbage.
+CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY, CODEC_LZ4, CODEC_ZSTD = 0, 1, 2, 3, 4
+_CODEC_NAMES = {CODEC_NONE: "none", CODEC_GZIP: "gzip",
+                CODEC_SNAPPY: "snappy", CODEC_LZ4: "lz4",
+                CODEC_ZSTD: "zstd"}
+_CODEC_IDS = {v: k for k, v in _CODEC_NAMES.items()}
+
+
+class UnsupportedCodecError(ValueError):
+    """A RecordBatch arrived compressed with a codec this pure-stdlib
+    implementation cannot decode (snappy/lz4/zstd).  Typed so callers
+    can tell 'need a codec library' apart from wire corruption."""
+
+    def __init__(self, codec: int) -> None:
+        self.codec = codec
+        super().__init__(
+            f"record batch compressed with unsupported codec "
+            f"{_CODEC_NAMES.get(codec, codec)!r} — only none/gzip are "
+            f"available without external libraries")
+
+
+def encode_record_batch(base_offset: int, records: list[Record],
+                        codec: int = CODEC_NONE) -> bytes:
     """One RecordBatch v2: offsets/timestamps become deltas against
-    the first record; CRC32C covers attributes..records."""
+    the first record; CRC32C covers attributes..records.  With
+    ``codec=CODEC_GZIP`` the records section is compressed per the
+    batch format (the header fields through recordCount stay
+    uncompressed; CRC covers the final, compressed bytes)."""
+    if codec not in (CODEC_NONE, CODEC_GZIP):
+        raise UnsupportedCodecError(codec)
     base_ts = records[0].timestamp
     max_ts = max(r.timestamp for r in records)
     body = _Writer()
-    body.int16(0)                                   # attributes
+    body.int16(codec)                               # attributes
     body.int32(len(records) - 1)                    # lastOffsetDelta
     body.int64(base_ts)
     body.int64(max_ts)
@@ -317,6 +356,7 @@ def encode_record_batch(base_offset: int, records: list[Record]) -> bytes:
     body.int16(-1)                                  # producerEpoch
     body.int32(-1)                                  # baseSequence
     body.int32(len(records))
+    recs = _Writer()
     for i, r in enumerate(records):
         rec = _Writer()
         rec.int8(0)                                 # record attributes
@@ -339,8 +379,12 @@ def encode_record_batch(base_offset: int, records: list[Record]) -> bytes:
                 rec.varint(len(hv))
                 rec.raw(hv)
         payload = rec.getvalue()
-        body.varint(len(payload))
-        body.raw(payload)
+        recs.varint(len(payload))
+        recs.raw(payload)
+    recs_b = recs.getvalue()
+    if codec == CODEC_GZIP:
+        recs_b = _gzip.compress(recs_b)
+    body.raw(recs_b)
     body_b = body.getvalue()
     out = _Writer()
     out.int64(base_offset)
@@ -371,7 +415,7 @@ def decode_record_batches(data: bytes) -> list[Record]:
         if crc32c(body) != crc:
             raise ValueError("record batch CRC32C mismatch")
         br = _Reader(body)
-        br.int16()                                   # attributes
+        attributes = br.int16()
         br.int32()                                   # lastOffsetDelta
         base_ts = br.int64()
         br.int64()                                   # maxTimestamp
@@ -379,6 +423,11 @@ def decode_record_batches(data: bytes) -> list[Record]:
         br.int16()                                   # producerEpoch
         br.int32()                                   # baseSequence
         n = br.int32()
+        codec = attributes & 0x07
+        if codec:
+            if codec != CODEC_GZIP:
+                raise UnsupportedCodecError(codec)
+            br = _Reader(_gzip.decompress(br.raw(br.remaining())))
         for _ in range(n):
             ln = br.varint()
             rr = _Reader(br.raw(ln))
@@ -403,7 +452,7 @@ def decode_record_batches(data: bytes) -> list[Record]:
 # Client connection + request framing
 # ---------------------------------------------------------------------------
 
-API_PRODUCE, API_FETCH, API_METADATA = 0, 1, 3
+API_PRODUCE, API_FETCH, API_LIST_OFFSETS, API_METADATA = 0, 1, 2, 3
 API_API_VERSIONS, API_CREATE_TOPICS = 18, 19
 API_OFFSET_COMMIT, API_OFFSET_FETCH, API_FIND_COORDINATOR = 8, 9, 10
 API_JOIN_GROUP, API_HEARTBEAT, API_LEAVE_GROUP, API_SYNC_GROUP = \
@@ -609,6 +658,60 @@ def negotiate_versions(conn: KafkaConnection) -> dict[int, int]:
     return out
 
 
+# sarama's public sentinel timestamps for ListOffsets (OffsetNewest /
+# OffsetOldest) — the values goka passes to GetOffset
+# (topic_manager.go:131, partition_table.go:244/248).
+OFFSET_NEWEST, OFFSET_OLDEST = -1, -2
+#: partition_table.go offsetNotStored: "no offset in local storage"
+OFFSET_NOT_STORED = -1
+
+
+def _list_offset(conn: KafkaConnection, topic: str, partition: int,
+                 at: int) -> int:
+    """ListOffsets v1 (key 2): resolve OFFSET_OLDEST (log start,
+    moves forward under retention/compaction) or OFFSET_NEWEST (high
+    watermark) — or the first offset at/after a real timestamp."""
+    w = _Writer()
+    w.int32(-1)                                  # replica_id
+    w.array([topic], lambda wr, t: wr.string(t)
+            .array([partition], lambda w2, p: w2.int32(p).int64(at)))
+    rd = conn.request(API_LIST_OFFSETS, 1, w.getvalue())
+    offset = -1
+    for _ in range(rd.int32()):
+        rd.string()                              # topic
+        for _ in range(rd.int32()):
+            rd.int32()                           # partition
+            err = rd.int16()
+            if err:
+                raise KafkaWireError("ListOffsets", err)
+            rd.int64()                           # timestamp
+            offset = rd.int64()
+    return offset
+
+
+def find_offset_to_load(client, topic: str, partition: int,
+                        stored_offset: int) -> tuple[int, int]:
+    """partition_table.go:243 findOffsetToLoad: given the offset of
+    the last record processed locally (``OFFSET_NOT_STORED`` when
+    none), return ``(start, hwm)`` — resume from ``stored+1``, but
+    never below the broker's oldest retained offset (log compaction /
+    retention may have removed offsets we stored: partition_table.go:265),
+    and never past the high watermark (partition_table.go:299 pretends
+    recovered when local state is at/after hwm).  ``client`` is
+    anything with ``get_offset`` (WireTopicManager / WireConsumer)."""
+    oldest = client.get_offset(topic, partition, OFFSET_OLDEST)
+    hwm = client.get_offset(topic, partition, OFFSET_NEWEST)
+    if stored_offset == OFFSET_NOT_STORED:
+        start = oldest
+    else:
+        start = stored_offset + 1
+    if start < oldest:
+        start = oldest
+    if start > hwm:
+        start = hwm
+    return start, hwm
+
+
 class WireTopicManager:
     """topic_manager.go parity over the wire protocol: Partitions via
     Metadata, ensure* via CreateTopics with the reference's
@@ -637,6 +740,11 @@ class WireTopicManager:
             k, lo, hi = rd.int16(), rd.int16(), rd.int16()
             out[k] = (lo, hi)
         return out
+
+    def get_offset(self, topic: str, partition: int, at: int) -> int:
+        """topic_manager.go:131 GetOffset — OFFSET_OLDEST /
+        OFFSET_NEWEST / timestamp via ListOffsets."""
+        return _list_offset(self._conn, topic, partition, at)
 
     def _metadata(self, topics: list[str]) -> dict:
         ver = self.versions[API_METADATA]
@@ -793,13 +901,19 @@ class WireProducer:
     assigned (partition, base_offset))."""
 
     def __init__(self, brokers: list[str], max_retries: int = 3,
-                 backoff: Optional[SimpleBackoff] = None) -> None:
+                 backoff: Optional[SimpleBackoff] = None,
+                 compression: str = "none") -> None:
         host, port = _parse_addr(brokers[0])
         self._conn = KafkaConnection(host, port)
         self._tm = WireTopicManager(brokers)
         self._npar: dict[str, int] = {}
         self._max_retries = max_retries
         self._backoff = backoff or SimpleBackoff()
+        #: sarama config.Producer.Compression — "none" or "gzip"
+        #: (the stdlib codecs); snappy/lz4/zstd raise typed
+        if compression not in _CODEC_IDS:
+            raise ValueError(f"unknown compression {compression!r}")
+        self._codec = _CODEC_IDS[compression]
         self.versions = negotiate_versions(self._conn)
 
     def close(self) -> None:
@@ -823,7 +937,7 @@ class WireProducer:
                                           self._partitions(topic))
         batch = encode_record_batch(0, [Record(
             0, timestamp_ms, key.encode(), value,
-            sorted((headers or {}).items()))])
+            sorted((headers or {}).items()))], codec=self._codec)
 
         def enc_topic(w: _Writer, t: str) -> None:
             w.string(t)
@@ -982,6 +1096,12 @@ class WireConsumer:
 
     def close(self) -> None:
         self._conn.close()
+
+    def get_offset(self, topic: str, partition: int, at: int) -> int:
+        """sarama client.GetOffset on the consumer connection —
+        resolve OFFSET_OLDEST / OFFSET_NEWEST before fetching (what
+        partition_table.go:244/248 does on every load)."""
+        return _list_offset(self._conn, topic, partition, at)
 
     def fetch(self, topic: str, partition: int, offset: int,
               max_bytes: int = 1 << 20) -> list[Record]:
@@ -1375,6 +1495,10 @@ class FakeBroker:
         #: tests exercise NOT_LEADER / timeout retry paths a real
         #: broker produces during leadership moves.
         self._inject: dict[str, list[int]] = {"produce": [], "fetch": []}
+        #: codec for fetch-response batches (CODEC_NONE / CODEC_GZIP)
+        #: — real brokers hand back whatever the log segment holds,
+        #: so consumers must decode compressed batches
+        self.fetch_codec = CODEC_NONE
         #: group coordinator state: group ->
         #: {generation, members {mid: metadata}, leader,
         #:  joined (mids re-joined this generation),
@@ -1470,6 +1594,8 @@ class FakeBroker:
             return self._produce(rd, version)
         if api_key == API_FETCH:
             return self._fetch(rd, version)
+        if api_key == API_LIST_OFFSETS:
+            return self._list_offsets(rd)
         if api_key == API_FIND_COORDINATOR:
             return self._find_coordinator(rd)
         if api_key == API_JOIN_GROUP:
@@ -1486,12 +1612,12 @@ class FakeBroker:
             return self._offset_fetch(rd)
         raise ValueError(f"unsupported api_key {api_key}")
 
-    #: group-coordinator APIs are served at ONE fixed sarama-era
-    #: version each (no flexible variants implemented)
+    #: group-coordinator APIs + ListOffsets are served at ONE fixed
+    #: sarama-era version each (no flexible variants implemented)
     _GROUP_APIS = [(API_OFFSET_COMMIT, 2, 2), (API_OFFSET_FETCH, 1, 1),
                    (API_FIND_COORDINATOR, 0, 0), (API_JOIN_GROUP, 0, 0),
                    (API_HEARTBEAT, 0, 0), (API_LEAVE_GROUP, 0, 0),
-                   (API_SYNC_GROUP, 0, 0)]
+                   (API_SYNC_GROUP, 0, 0), (API_LIST_OFFSETS, 1, 1)]
 
     def _supported(self) -> list[tuple[int, int, int]]:
         if self.modern:
@@ -1588,8 +1714,26 @@ class FakeBroker:
         self.topics[name] = {
             "config": config,
             "parts": [[] for _ in range(npar)],
+            # log-start offset per partition: retention/compaction
+            # moves it forward (truncate_before); offsets below it
+            # answer OFFSET_OUT_OF_RANGE like a real broker
+            "starts": [0] * npar,
         }
         return 0
+
+    def truncate_before(self, name: str, pid: int, offset: int) -> None:
+        """Simulate retention / log compaction dropping everything
+        below ``offset``: the log-start moves forward, committed
+        offsets below it become unfetchable (the scenario
+        partition_table.go:265 clamps against)."""
+        with self._lock:
+            t = self.topics[name]
+            start = t["starts"][pid]
+            if offset <= start:
+                return
+            t["parts"][pid] = [r for r in t["parts"][pid]
+                               if r.offset >= offset]
+            t["starts"][pid] = offset
 
     def _create_topics(self, rd: _Reader, version: int = 0) -> bytes:
         if version >= FLEXIBLE_SINCE[API_CREATE_TOPICS]:
@@ -1653,9 +1797,10 @@ class FakeBroker:
         if topic is None or pid >= len(topic["parts"]):
             return (pid, ERR_UNKNOWN_TOPIC, -1)
         log = topic["parts"][pid]
-        base = len(log)
+        start = topic["starts"][pid]
+        base = start + len(log)
         for rec in decode_record_batches(data):
-            log.append(Record(len(log), rec.timestamp,
+            log.append(Record(start + len(log), rec.timestamp,
                               rec.key, rec.value, rec.headers))
         return (pid, 0, base)
 
@@ -1914,11 +2059,14 @@ class FakeBroker:
         if topic is None or pid >= len(topic["parts"]):
             return (pid, ERR_UNKNOWN_TOPIC, 0, b"")
         log = topic["parts"][pid]
-        if offset > len(log):
-            # past the high watermark — real brokers answer
+        start = topic["starts"][pid]
+        hw = start + len(log)
+        if offset > hw or offset < start:
+            # past the high watermark, or below the retained log
+            # start (retention/compaction) — real brokers answer
             # OFFSET_OUT_OF_RANGE, not an empty batch
-            return (pid, ERR_OFFSET_OUT_OF_RANGE, len(log), b"")
-        tail = log[offset:]
+            return (pid, ERR_OFFSET_OUT_OF_RANGE, hw, b"")
+        tail = log[offset - start:]
         # one batch per record so a max_bytes cut yields a decodable
         # prefix + partial trailing batch, like a real broker's
         # size-limited response.  KIP-74: the FIRST batch is always
@@ -1930,7 +2078,8 @@ class FakeBroker:
         size = 0
         for i, r in enumerate(tail):
             b = encode_record_batch(offset + i, [
-                Record(0, r.timestamp, r.key, r.value, r.headers)])
+                Record(0, r.timestamp, r.key, r.value, r.headers)],
+                codec=self.fetch_codec)
             if chunks and size + len(b) > part_max:
                 # past the limit: emit a partial trailing batch so
                 # clients exercise their truncation tolerance
@@ -1938,7 +2087,43 @@ class FakeBroker:
                 break
             chunks.append(b)
             size += len(b)
-        return (pid, 0, len(log), b"".join(chunks))
+        return (pid, 0, hw, b"".join(chunks))
+
+    def _list_offsets(self, rd: _Reader) -> bytes:
+        """ListOffsets v1: OFFSET_OLDEST → log start (moves under
+        truncate_before), OFFSET_NEWEST → high watermark, a real
+        timestamp → first offset whose record timestamp is >= it."""
+        rd.int32()                               # replica_id
+        out = []
+        with self._lock:
+            for _ in range(rd.int32()):
+                name = rd.string()
+                parts_out = []
+                for _ in range(rd.int32()):
+                    pid = rd.int32()
+                    at = rd.int64()
+                    t = self.topics.get(name)
+                    if t is None or pid >= len(t["parts"]):
+                        parts_out.append((pid, ERR_UNKNOWN_TOPIC, -1))
+                        continue
+                    start = t["starts"][pid]
+                    hw = start + len(t["parts"][pid])
+                    if at == OFFSET_OLDEST:
+                        off = start
+                    elif at == OFFSET_NEWEST:
+                        off = hw
+                    else:
+                        off = next((r.offset for r in t["parts"][pid]
+                                    if r.timestamp >= at), -1)
+                    parts_out.append((pid, 0, off))
+                out.append((name, parts_out))
+        w = _Writer()
+        w.int32(len(out))
+        for name, parts_out in out:
+            w.string(name)
+            w.array(parts_out, lambda wr, p: wr.int32(p[0]).int16(p[1])
+                    .int64(-1).int64(p[2]))
+        return w.getvalue()
 
     def _fetch(self, rd: _Reader, version: int = 4) -> bytes:
         if version >= FLEXIBLE_SINCE[API_FETCH]:

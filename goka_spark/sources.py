@@ -175,11 +175,23 @@ def poll_group_records(spark, member, consumer):
     exists for goka-parity processors driven by the wire protocol."""
     import datetime as _dt
 
+    from goka_spark.kafka_wire import OFFSET_NOT_STORED, find_offset_to_load
+
     rows, next_off = [], {}
     for topic, parts in sorted(member.assignment.items()):
         committed = member.fetch_offsets(topic, sorted(parts))
         for pid in sorted(parts):
-            start = max(committed[pid], 0)
+            # Kafka committed offsets are next-to-consume (-1 = none);
+            # goka's findOffsetToLoad takes the last PROCESSED offset
+            # and clamps the resume point into [oldest, hwm] so a
+            # committed offset below the retained log start (retention
+            # / compaction ran) resumes at oldest instead of dying on
+            # OFFSET_OUT_OF_RANGE (partition_table.go:243).
+            stored = committed[pid] - 1 if committed[pid] >= 0 \
+                else OFFSET_NOT_STORED
+            start, hwm = find_offset_to_load(consumer, topic, pid, stored)
+            if start >= hwm:
+                continue                     # caught up — nothing new
             for r in consumer.fetch(topic, pid, start):
                 rows.append((
                     r.key, r.value,
