@@ -19,6 +19,7 @@ from goka_spark.codecs import (BytesCodec, Codec, Int64Codec, JsonCodec,
 from goka_spark.graph import (
     GroupGraph,
     define_group,
+    group_table,
     input_stream,
     inputs,
     join,
@@ -26,6 +27,9 @@ from goka_spark.graph import (
     loop,
     output,
     persist,
+    reset_suffixes,
+    set_loop_suffix,
+    set_table_suffix,
     visitor,
 )
 from goka_spark.operators.folds import AggFold, PyFold, ReduceFold
@@ -57,9 +61,13 @@ __all__ = [
     "input_stream",
     "inputs",
     "join",
+    "group_table",
     "lookup",
     "loop",
     "output",
     "persist",
+    "reset_suffixes",
+    "set_loop_suffix",
+    "set_table_suffix",
     "visitor",
 ]

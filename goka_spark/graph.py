@@ -29,6 +29,48 @@ from goka_spark.codecs import Codec
 ColumnLike = Union[str, Column]
 Transform = Callable[[DataFrame], DataFrame]
 
+# Topic-name suffixes for the group table / loop stream.  goka exposes
+# these as process-global knobs (graph.go:19 SetTableSuffix, :25
+# SetLoopSuffix, :31 ResetSuffixes) so deployments with their own
+# topic-naming conventions can rename "<group>-table"/"<group>-loop";
+# like the reference, the CURRENT suffix is read when DefineGroup runs
+# (graph.go:476 tableName / :481 loopName evaluate it at call time).
+_DEFAULT_TABLE_SUFFIX = "-table"
+_DEFAULT_LOOP_SUFFIX = "-loop"
+_table_suffix = _DEFAULT_TABLE_SUFFIX
+_loop_suffix = _DEFAULT_LOOP_SUFFIX
+
+
+def set_table_suffix(suffix: str) -> None:
+    """goka SetTableSuffix (graph.go:19)."""
+    global _table_suffix
+    _table_suffix = suffix
+
+
+def set_loop_suffix(suffix: str) -> None:
+    """goka SetLoopSuffix (graph.go:25)."""
+    global _loop_suffix
+    _loop_suffix = suffix
+
+
+def reset_suffixes() -> None:
+    """goka ResetSuffixes (graph.go:31)."""
+    global _table_suffix, _loop_suffix
+    _table_suffix = _DEFAULT_TABLE_SUFFIX
+    _loop_suffix = _DEFAULT_LOOP_SUFFIX
+
+
+def group_table(group: str) -> str:
+    """goka GroupTable (graph.go:472): the table-topic name of a
+    group under the current suffix."""
+    return f"{group}{_table_suffix}"
+
+
+def loop_stream(group: str) -> str:
+    """goka loopName (graph.go:481): the loop-topic name of a group
+    under the current suffix."""
+    return f"{group}{_loop_suffix}"
+
 
 @dataclass
 class Edge:
@@ -201,19 +243,29 @@ class GroupGraph:
     loop_edge: Optional[LoopEdge] = None
     visitor_edges: list[VisitorEdge] = field(default_factory=list)
 
+    #: topic names stamped by define_group under the suffixes current
+    #: at definition time (like goka, where DefineGroup evaluates
+    #: tableName/loopName then; a later SetTableSuffix does not rename
+    #: an already-defined graph's topics)
+    _table_topic: Optional[str] = None
+    _loop_topic: Optional[str] = None
+
     @property
     def group_table(self) -> str:
-        """Table-topic name, goka's ``<group>-table`` (graph.go:17)."""
-        return f"{self.group}-table"
+        """Table-topic name, goka's ``<group><table-suffix>``
+        (graph.go:472 GroupTable, :476 tableName)."""
+        return self._table_topic or group_table(self.group)
 
     @property
     def loop_stream(self) -> str:
-        return f"{self.group}-loop"
+        return self._loop_topic or loop_stream(self.group)
 
 
 def define_group(group: str, *edges: Any) -> GroupGraph:
     """Build + validate a GroupGraph (goka DefineGroup, graph.go:128-215)."""
     g = GroupGraph(group=group)
+    g._table_topic = group_table(group)
+    g._loop_topic = loop_stream(group)
     flat: list[Any] = []
     for e in edges:
         flat.extend(e if isinstance(e, list) else [e])
@@ -223,7 +275,7 @@ def define_group(group: str, *edges: Any) -> GroupGraph:
         elif isinstance(e, PersistEdge):
             if g.persist_edge is not None:
                 raise ValueError("only one Persist edge allowed")
-            e.topic = f"{group}-table"
+            e.topic = g._table_topic
             g.persist_edge = e
         elif isinstance(e, OutputEdge):
             g.output_edges.append(e)
@@ -234,7 +286,7 @@ def define_group(group: str, *edges: Any) -> GroupGraph:
         elif isinstance(e, LoopEdge):
             if g.loop_edge is not None:
                 raise ValueError("only one Loop edge allowed")
-            e.topic = f"{group}-loop"
+            e.topic = g._loop_topic
             g.loop_edge = e
         elif isinstance(e, VisitorEdge):
             g.visitor_edges.append(e)
