@@ -51,3 +51,27 @@ def header_string(name: str, headers: Column | str = HEADERS) -> Column:
 
 def header_long(name: str, headers: Column | str = HEADERS) -> Column:
     return header_string(name, headers).cast("long")
+
+
+def merge_headers(*cols: Column | str) -> Column:
+    """goka ``Headers.Merged`` (headers.go:22) as a column expression:
+    merge any number of ``map<string,binary>`` header columns, LATER
+    keys overriding earlier ones; NULL/empty inputs are tolerated and
+    an all-empty merge yields NULL (so the result can feed an emit
+    directly, like the reference's nil return).
+
+    Header maps are tiny (a handful of keys), so the per-row
+    later-wins dedup below is O(k²) on k headers — negligible, and it
+    keeps the whole merge inside JVM codegen (no UDF)."""
+    entries = F.concat(*[
+        F.coalesce(
+            F.map_entries(F.col(c) if isinstance(c, str) else c),
+            F.array().cast("array<struct<key:string,value:binary>>"))
+        for c in cols])
+    rev = F.reverse(entries)            # later-wins ⇒ keep FIRST in rev
+    deduped = F.filter(
+        rev, lambda e, i: ~F.exists(
+            F.slice(rev, F.lit(1), i),
+            lambda p: p["key"] == e["key"]))
+    return F.when(F.size(deduped) > 0,
+                  F.map_from_entries(F.reverse(deduped)))

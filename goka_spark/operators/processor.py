@@ -71,7 +71,13 @@ class Processor:
     AQE coalesces, which is what you want at scale.
     """
 
-    def __init__(self, graph: GroupGraph, num_partitions: Optional[int] = None):
+    def __init__(self, graph: GroupGraph, num_partitions: Optional[int] = None,
+                 graph_hook=None):
+        if graph_hook is not None:
+            # goka WithGroupGraphHook (options.go:278): observe or
+            # mutate the graph before the processor compiles it —
+            # what monitoring/tooling integrations attach through
+            graph_hook(graph)
         self.graph = graph
         self.num_partitions = num_partitions
 

@@ -167,3 +167,41 @@ def test_persist_update_callback_hook(spark):
                     "total", F.least(F.col("total"), F.lit(5.0)))))
     got = {r.key: r.total for r in Processor(g).run({"t": df}).table.collect()}
     assert got == {"a": 3.0, "b": 5.0}  # b capped by the update hook
+
+
+def test_group_graph_hook(spark):
+    """WithGroupGraphHook (options.go:278): the hook sees (and may
+    mutate) the graph before the processor compiles it."""
+    from goka_spark import AggFold, Processor, define_group, input_stream, persist
+    from goka_spark.graph import output
+    from pyspark.sql import functions as F
+
+    g = define_group("hooked", input_stream("t", key="k"),
+                     persist(AggFold({"c": F.count("*")})))
+    seen = []
+
+    def hook(gg):
+        seen.append(gg.group)
+        gg.output_edges.append(output("audit"))
+
+    Processor(g, graph_hook=hook)
+    assert seen == ["hooked"]
+    assert [e.topic for e in g.output_edges] == ["audit"]
+
+
+def test_merge_headers_reference_semantics(spark):
+    """Headers.Merged (headers.go:22): later keys override earlier,
+    NULL/empty maps tolerated, all-empty merge yields NULL."""
+    from goka_spark.headers import make_headers, merge_headers
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(
+        make_headers(a=F.lit("1"), b=F.lit("x")).alias("h1"),
+        make_headers(b=F.lit("y"), c=F.lit("3")).alias("h2"),
+        F.lit(None).cast("map<string,binary>").alias("h3"))
+    row = df.select(
+        merge_headers("h1", "h2", "h3").alias("m"),
+        merge_headers("h3", "h3").alias("empty")).collect()[0]
+    assert {k: bytes(v) for k, v in row.m.items()} == \
+        {"a": b"1", "b": b"y", "c": b"3"}
+    assert row.empty is None
