@@ -401,7 +401,9 @@ def _ngram_pair_counts(df: DataFrame, id_col: str, text_col: str,
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.05,
                         max_df: "int | str | None" = None,
-                        budget: int = 32) -> DataFrame:
+                        budget: int = 32,
+                        pair_counts: "DataFrame | None" = None
+                        ) -> DataFrame:
     """Similarity self-join via a document-frequency-pruned inverted
     index, exact Jaccard on the full shingle sets.
 
@@ -419,7 +421,12 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     :func:`auto_max_df`.  Costs one extra postings pass (the
     histogram aggregate), the same contract as AQE runtime stats.
     """
-    pairs = _ngram_pair_counts(df, id_col, text_col, n, max_df, budget)
+    # pair_counts: an already-mined _ngram_pair_counts frame for the
+    # SAME (df, n, max_df, budget) — lets sessions share the one
+    # expensive candidate pass across consumers (pairs / threshold
+    # sweep / CC graph); the projection below is identical either way
+    pairs = pair_counts if pair_counts is not None else \
+        _ngram_pair_counts(df, id_col, text_col, n, max_df, budget)
     return (
         pairs
         .withColumn("jaccard", F.round(
@@ -1682,7 +1689,9 @@ def jaccard_threshold_sweep(df: "DataFrame", id_col: str,
                             thresholds: "tuple[float, ...]" =
                             (0.05, 0.1, 0.2, 0.4, 0.6, 0.8),
                             max_df: "int | str | None" = 50,
-                            budget: int = 32) -> "DataFrame":
+                            budget: int = 32,
+                            pair_counts: "DataFrame | None" = None
+                            ) -> "DataFrame":
     """Jaccard threshold-sensitivity curve — the exact-similarity twin
     of :func:`minhash_band_sweep`: for each candidate threshold, how
     many pairs and how many distinct documents the dedup decision
@@ -1702,7 +1711,8 @@ def jaccard_threshold_sweep(df: "DataFrame", id_col: str,
     at 100 TB run it on the same hash-sampled slice as
     minhash_band_sweep and apply the chosen threshold corpus-wide.
     """
-    pc = _ngram_pair_counts(df, id_col, text_col, n, max_df, budget)
+    pc = pair_counts if pair_counts is not None else \
+        _ngram_pair_counts(df, id_col, text_col, n, max_df, budget)
     jac = pc.select(
         "id_a", "id_b",
         F.expr("(_shared * 1000000L) DIV (_sz_a + _sz_b - _shared)")

@@ -49,8 +49,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Full corpus (no id cap): stop-shingle pruning (max_df) keeps the
     inverted-index self-join linear in shingle count."""
     docs = load(spark, sf, "documents")["documents"]
-    return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
-                                 threshold=0.05, max_df=50)
+    return _jaccard_pairs(spark, docs, sf)
 
 
 def ngram_jaccard_auto(spark: SparkSession, sf: str) -> DataFrame:
@@ -814,12 +813,40 @@ def doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
 #: runs once per session, not once per consuming query.
 _CC_MEMO: dict = {}
 
+#: the corpus-standard candidate-pair frame — _ngram_pair_counts at
+#: (n=3, max_df=50, budget=32), the expensive df-pruned postings join
+#: FIVE consumers run identically (the ngram_jaccard_pairs query, the
+#: threshold sweep, the CC graph build, chain_merge_audit's edge
+#: recount, filter_verdicts' fallback).  Like _CC_MEMO it is mined
+#: once per session and localCheckpoint()ed; every consumer applies
+#: its own cheap arithmetic projection, so the values are unchanged
+#: by construction (and re-verified against the unchanged oracles).
+_PC_MEMO: dict = {}
+
+
+def _pair_counts(spark: SparkSession, docs: DataFrame,
+                 sf: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _PC_MEMO:
+        _PC_MEMO[key] = D._ngram_pair_counts(
+            docs, "doc_id", "text", 3, 50, 32).localCheckpoint(
+                eager=False)
+    return _PC_MEMO[key]
+
+
+def _jaccard_pairs(spark: SparkSession, docs: DataFrame,
+                   sf: str) -> DataFrame:
+    """The (id_a, id_b, jaccard) pairs at the corpus-standard 0.05
+    threshold — a cheap projection over the memoized pair counts."""
+    return D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.05, max_df=50,
+        pair_counts=_pair_counts(spark, docs, sf))
+
 
 def _jaccard_cc(spark: SparkSession, docs: DataFrame, sf: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf)
     if key not in _CC_MEMO:
-        pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
-                                      threshold=0.05, max_df=50)
+        pairs = _jaccard_pairs(spark, docs, sf)
         _CC_MEMO[key] = D.connected_components(pairs)
     return _CC_MEMO[key]
 
@@ -6431,8 +6458,7 @@ def chain_merge_audit(spark: SparkSession, sf: str) -> DataFrame:
     edge join is on the pair list (bounded), never all-pairs."""
     docs = load(spark, sf, "documents")["documents"]
     cc = _jaccard_cc(spark, docs, sf)
-    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
-                                  threshold=0.05, max_df=50)
+    pairs = _jaccard_pairs(spark, docs, sf)
     sizes = cc.groupBy("cluster_id").agg(
         F.count("*").cast("long").alias("size"))
     edges = (pairs.join(cc.selectExpr("node AS id_a", "cluster_id"),
@@ -7131,7 +7157,9 @@ def dedup_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
     minhash_band_sweep, and the report you read before committing a
     corpus-wide dedup threshold."""
     docs = load(spark, sf, "documents")["documents"]
-    return D.jaccard_threshold_sweep(docs, "doc_id", "text")
+    return D.jaccard_threshold_sweep(
+        docs, "doc_id", "text",
+        pair_counts=_pair_counts(spark, docs, sf))
 
 
 QUERIES["dedup_threshold_sweep"] = dedup_threshold_sweep
