@@ -1465,7 +1465,9 @@ def minhash_band_sweep(df: "DataFrame", id_col: str, text_col: str,
 
 def simhash_hamming_histogram(df: "DataFrame", id_col: str,
                               text_col: str, bands: int = 8,
-                              base_hash: str = "md5") -> "DataFrame":
+                              base_hash: str = "md5",
+                              sig: "DataFrame | None" = None
+                              ) -> "DataFrame":
     """SimHash CALIBRATION histogram — the missing member of the
     measurement trio (minhash_est_error calibrates MinHash,
     ann_recall_eval the ANN index): the distribution of exact
@@ -1480,8 +1482,12 @@ def simhash_hamming_histogram(df: "DataFrame", id_col: str,
     left tail of the histogram is COMPLETE — exactly the region a
     threshold decision reads).  ``base_hash='md5'`` keeps every
     count engine-recomputable.  Scale shape: one bit-vote hash-agg,
-    one band equi-join (never all-pairs), one tiny histogram agg."""
-    s = simhash(df, id_col, text_col, base_hash=base_hash)
+    one band equi-join (never all-pairs), one tiny histogram agg.
+    ``sig``: an already-computed ``simhash`` frame for the SAME
+    (df, base_hash) — lets sessions share the bit-vote aggregate with
+    other signature consumers; the banding below is identical."""
+    s = sig if sig is not None else \
+        simhash(df, id_col, text_col, base_hash=base_hash)
     nbits = 60 if base_hash == "md5" else 63
     width = nbits // bands + 1
     chunks = F.array(*[

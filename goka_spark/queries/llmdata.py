@@ -381,6 +381,8 @@ def warm_graph_artifacts(spark: SparkSession, sf: str) -> None:
     # the C72/C124 shared gate-signal frame (r10): six gates once per
     # session instead of once per consuming query
     _gate_signals(spark, sf).count()
+    # the md5 SimHash signature frame (C20/C107 share the bit votes)
+    _simhash_md5(spark, docs, sf).count()
 
 
 def unigram_token_count(spark: SparkSession, sf: str) -> DataFrame:
@@ -851,6 +853,24 @@ def _jaccard_cc(spark: SparkSession, docs: DataFrame, sf: str) -> DataFrame:
     return _CC_MEMO[key]
 
 
+#: the md5-based 60-bit SimHash signature frame — the bit-vote
+#: aggregate (60 conditional sums over every exploded word) is the
+#: expensive half of both dedup_simhash_verified (returns it) and
+#: simhash_hamming_histogram (bands it); one build per session, same
+#: determinism argument as the memos above.
+_SIMHASH_MD5_MEMO: dict = {}
+
+
+def _simhash_md5(spark: SparkSession, docs: DataFrame,
+                 sf: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _SIMHASH_MD5_MEMO:
+        _SIMHASH_MD5_MEMO[key] = D.simhash(
+            docs, "doc_id", "text",
+            base_hash="md5").localCheckpoint(eager=False)
+    return _SIMHASH_MD5_MEMO[key]
+
+
 def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup CLUSTERS, not just pairs: connected components over
     the ngram-Jaccard pair graph, min doc_id as the cluster
@@ -1213,7 +1233,8 @@ def simhash_hamming_histogram(spark: SparkSession, sf: str) -> DataFrame:
     tail complete by pigeonhole.  md5 base hash: every count
     hash-verifies via the bit-vote SQL twin."""
     docs = load(spark, sf, "documents")["documents"]
-    return D.simhash_hamming_histogram(docs, "doc_id", "text")
+    return D.simhash_hamming_histogram(
+        docs, "doc_id", "text", sig=_simhash_md5(spark, docs, sf))
 
 
 def dataset_card(spark: SparkSession, sf: str) -> DataFrame:
@@ -1265,7 +1286,7 @@ def dedup_simhash_verified(spark: SparkSession, sf: str) -> DataFrame:
     implements bit-identically, so the full fingerprint is
     hash-verified (xxhash64/63-bit stays the production default)."""
     docs = load(spark, sf, "documents")["documents"]
-    return D.simhash(docs, "doc_id", "text", base_hash="md5")
+    return _simhash_md5(spark, docs, sf)
 
 
 def benchmark_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
