@@ -1141,3 +1141,28 @@ def test_poll_group_records_clamps_to_log_start(spark, broker):
         cons.close()
         prod.close()
         tm.close()
+
+
+@given(st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2**40),          # timestamp
+        st.one_of(st.none(), st.binary(max_size=64)),        # key
+        st.one_of(st.none(), st.binary(max_size=256)),       # value
+        st.lists(st.tuples(st.text(max_size=8),
+                           st.one_of(st.none(),
+                                     st.binary(max_size=16))),
+                 max_size=3)),
+    min_size=1, max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_record_batch_gzip_roundtrip_property(recs):
+    """Every batch that roundtrips uncompressed roundtrips gzip'd —
+    same records, same offsets, CRC validated by the decoder."""
+    from goka_spark.kafka_wire import CODEC_GZIP
+    records = [Record(0, ts, k, v, hs) for ts, k, v, hs in recs]
+    base = 77
+    back = decode_record_batches(
+        encode_record_batch(base, records, codec=CODEC_GZIP))
+    assert len(back) == len(records)
+    for i, (r, (ts, k, v, hs)) in enumerate(zip(back, recs)):
+        assert r.offset == base + i
+        assert (r.timestamp, r.key, r.value, r.headers) == (ts, k, v, hs)

@@ -205,3 +205,39 @@ def test_merge_headers_reference_semantics(spark):
     assert {k: bytes(v) for k, v in row.m.items()} == \
         {"a": b"1", "b": b"y", "c": b"3"}
     assert row.empty is None
+
+
+def test_merge_headers_matches_dict_merge_model(spark):
+    """Model check: merge_headers over N generated cases equals
+    Python's dict-merge (the reference semantics of Headers.Merged —
+    later dicts override, empties skipped, all-empty → None)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from goka_spark.headers import merge_headers
+
+    rng = random.Random(20260816)
+    keys = ["a", "b", "c", "d", "e"]
+    cases = []
+    for i in range(60):
+        maps = []
+        for _ in range(3):
+            if rng.random() < 0.25:
+                maps.append(None)                 # NULL map
+            else:
+                maps.append({k: bytes([rng.randrange(256)])
+                             for k in rng.sample(keys, rng.randrange(0, 4))})
+        cases.append((i, *maps))
+    df = spark.createDataFrame(
+        cases, "i long, h1 map<string,binary>, h2 map<string,binary>, "
+               "h3 map<string,binary>")
+    got = {r.i: (None if r.m is None else
+                 {k: bytes(v) for k, v in r.m.items()})
+           for r in df.select("i", merge_headers("h1", "h2", "h3")
+                              .alias("m")).collect()}
+    for i, h1, h2, h3 in cases:
+        want = {}
+        for m in (h1, h2, h3):
+            want.update(m or {})
+        assert got[i] == (want or None), (i, h1, h2, h3)
