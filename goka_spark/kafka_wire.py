@@ -1729,6 +1729,9 @@ class FakeBroker:
         with self._lock:
             t = self.topics[name]
             start = t["starts"][pid]
+            # clamp to the high watermark: a real broker's retention
+            # can empty the log but never invent future offsets
+            offset = min(offset, start + len(t["parts"][pid]))
             if offset <= start:
                 return
             t["parts"][pid] = [r for r in t["parts"][pid]

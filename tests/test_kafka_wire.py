@@ -1166,3 +1166,24 @@ def test_record_batch_gzip_roundtrip_property(recs):
     for i, (r, (ts, k, v, hs)) in enumerate(zip(back, recs)):
         assert r.offset == base + i
         assert (r.timestamp, r.key, r.value, r.headers) == (ts, k, v, hs)
+
+
+def test_truncate_before_clamps_to_high_watermark(broker):
+    """Retention can empty a log but never invent future offsets:
+    truncating past the hwm clamps, and the next produce continues
+    at the hwm."""
+    from goka_spark.kafka_wire import OFFSET_NEWEST, OFFSET_OLDEST
+    tm = WireTopicManager([broker.address])
+    prod = WireProducer([broker.address])
+    try:
+        tm.ensure_stream_exists("tc", 1)
+        for i in range(3):
+            prod.emit("tc", f"k{i}", b"v", partition=0)
+        broker.truncate_before("tc", 0, 99)      # way past hwm=3
+        assert tm.get_offset("tc", 0, OFFSET_OLDEST) == 3
+        assert tm.get_offset("tc", 0, OFFSET_NEWEST) == 3
+        _, off = prod.emit("tc", "k", b"late", partition=0)
+        assert off == 3                           # continues at hwm
+    finally:
+        prod.close()
+        tm.close()
