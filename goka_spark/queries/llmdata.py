@@ -176,6 +176,34 @@ def nb_quality_classify(spark: SparkSession, sf: str) -> DataFrame:
 #: keys re-verified against their unchanged oracles after this share.
 _GATE_MEMO: dict = {}
 
+#: full-frame memos for the two gate inputs that are ALSO standalone
+#: registry queries with the identical call (C65 perplexity_buckets,
+#: C21 benchmark_decontaminate) — one build serves the standalone key
+#: and the _gate_signals projection.
+_PPL_MEMO: dict = {}
+_DEC_MEMO: dict = {}
+
+
+def _ppl_full(spark: SparkSession, sf: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _PPL_MEMO:
+        docs = load(spark, sf, "documents")["documents"]
+        _PPL_MEMO[key] = T.perplexity_buckets(
+            docs, "doc_id", "text").localCheckpoint(eager=False)
+    return _PPL_MEMO[key]
+
+
+def _dec_full(spark: SparkSession, sf: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _DEC_MEMO:
+        docs = load(spark, sf, "documents")["documents"]
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        corp = docs.filter(F.col("doc_id") % 97 != 0)
+        _DEC_MEMO[key] = D.decontaminate(
+            corp, bench, "doc_id", "text",
+            n=3).localCheckpoint(eager=False)
+    return _DEC_MEMO[key]
+
 
 def _gate_signals(spark: SparkSession, sf: str) -> DataFrame:
     """(doc_id, _rep_keep, _ent, _blk_keep, _ppl, _hits, _keep_id):
@@ -193,11 +221,9 @@ def _gate_signals(spark: SparkSession, sf: str) -> DataFrame:
         blk = T.blocklist_hits(docs, "doc_id", "text", BLOCK_TERMS,
                                max_ratio_e6=120_000) \
             .select("doc_id", F.col("keep").alias("_blk_keep"))
-        ppl = T.perplexity_buckets(docs, "doc_id", "text") \
+        ppl = _ppl_full(spark, sf) \
             .select("doc_id", F.col("bucket").alias("_ppl"))
-        bench = docs.filter(F.col("doc_id") % 97 == 0)
-        corp = docs.filter(F.col("doc_id") % 97 != 0)
-        dec = D.decontaminate(corp, bench, "doc_id", "text", n=3) \
+        dec = _dec_full(spark, sf) \
             .select("doc_id", F.col("n_hits").alias("_hits"))
         keep_ids = (docs.groupBy(F.md5("text").alias("_h"))
                     .agg(F.min("doc_id").alias("_keep_id")))
@@ -469,8 +495,7 @@ def perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
     (T.perplexity_buckets): exact interpolated tercile boundaries
     over the corpus-LM mean log-prob, broadcast onto a scan-stage
     bucket assignment; short docs 'unscored'."""
-    docs = load(spark, sf, "documents")["documents"]
-    return T.perplexity_buckets(docs, "doc_id", "text")
+    return _ppl_full(spark, sf)
 
 
 def gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
@@ -1295,10 +1320,7 @@ def benchmark_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     production uses longer n-grams — n is a parameter).  The
     benchmark shingle set broadcasts — at 100 TB the corpus side is a
     linear scan + one per-doc count aggregate."""
-    docs = load(spark, sf, "documents")["documents"]
-    bench = docs.filter(F.col("doc_id") % 97 == 0)
-    corpus = docs.filter(F.col("doc_id") % 97 != 0)
-    return D.decontaminate(corpus, bench, "doc_id", "text", n=3)
+    return _dec_full(spark, sf)
 
 
 def decontaminate_spans(spark: SparkSession, sf: str) -> DataFrame:

@@ -142,8 +142,16 @@ def test_q21_single_lineitem_aggregate(spark, sf_dir):
 
 def test_ngram_join_has_no_cartesian(spark, sf_dir):
     """The similarity self-join is an equi-join on the shingle key —
-    the plan may never degrade to a cartesian/nested-loop product."""
-    plan = X.simple(llmdata.ngram_jaccard_pairs(spark, sf_dir))
+    the plan may never degrade to a cartesian/nested-loop product.
+    Pins the KERNEL's plan (what a cluster runs at 100 TB); the
+    registry query serves the same values from a session memo whose
+    checkpoint hides the lineage."""
+    from goka_spark.functions import dedup as D
+    from goka_spark.queries.base import load
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    plan = X.simple(D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                          threshold=0.05, max_df=50))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -151,8 +159,16 @@ def test_ngram_join_has_no_cartesian(spark, sf_dir):
 def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
     """The benchmark shingle set (MBs) must ride a broadcast join —
     a shuffle join here would move the whole corpus posting list
-    against a tiny build side."""
-    plan = X.simple(llmdata.benchmark_decontaminate(spark, sf_dir))
+    against a tiny build side.  Pins the KERNEL's plan (the registry
+    query serves the memoized frame)."""
+    from goka_spark.functions import dedup as D
+    from goka_spark.queries.base import load
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corp = docs.filter(F.col("doc_id") % 97 != 0)
+    plan = X.simple(D.decontaminate(corp, bench, "doc_id", "text", n=3))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
@@ -318,9 +334,13 @@ def test_nb_classifier_broadcasts_model(spark, sf_dir):
 
 
 def test_perplexity_buckets_broadcast_thresholds(spark, sf_dir):
-    from goka_spark.queries.llmdata import perplexity_buckets
-    df = perplexity_buckets(spark, sf_dir)
-    plan = X.simple(df)
+    """Pins the KERNEL's plan (the registry query serves the memoized
+    frame, whose checkpoint hides the lineage)."""
+    from goka_spark.functions import text as T
+    from goka_spark.queries.base import load
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    plan = X.simple(T.perplexity_buckets(docs, "doc_id", "text"))
     # the 1-row tercile frame rides a broadcast nested-loop join;
     # bucket assignment itself is scan-stage
     assert "Broadcast" in plan
