@@ -60,6 +60,28 @@ g = define_group("clicks-fold", input_stream("clicks"),
                                   "sum_value": F.sum("value")})))
 Processor(g).run({"clicks": topic}).table.orderBy("key").show()
 
+# -- retention recovery + compression (r10 additions) -----------------
+# A gzip-compressing producer (sarama config.Producer.Compression)
+# interoperates over the same socket...
+from goka_spark.kafka_wire import (OFFSET_NEWEST, OFFSET_OLDEST,
+                                   WireProducer as _WP,
+                                   find_offset_to_load)
+
+gz = _WP([broker.address], compression="gzip")
+gz.emit("clicks", "user-0", b'{"value": 99.0}', partition=0)
+print("gzip emit ok; hwm now",
+      tm.get_offset("clicks", 0, OFFSET_NEWEST))
+
+# ...and when retention outruns a stored offset, the reference's
+# findOffsetToLoad clamp (partition_table.go:243) resumes at the
+# broker's oldest retained offset instead of OFFSET_OUT_OF_RANGE:
+broker.truncate_before("clicks", 0, 3)
+start, hwm = find_offset_to_load(tm, "clicks", 0, stored_offset=0)
+print(f"stored=0 but oldest={tm.get_offset('clicks', 0, OFFSET_OLDEST)}"
+      f" -> resume at {start} (hwm {hwm})")
+assert start == 3
+gz.close()
+
 for c in (cons, prod, tm):
     c.close()
 broker.stop()
