@@ -1187,3 +1187,34 @@ def test_truncate_before_clamps_to_high_watermark(broker):
     finally:
         prod.close()
         tm.close()
+
+
+def test_poll_group_records_with_gzip_broker(spark, broker):
+    """The full processor transport loop decodes gzip fetch responses:
+    gzip producer -> broker -> gzip-serving fetch -> group member ->
+    Spark wire frame."""
+    from goka_spark.kafka_wire import CODEC_GZIP, WireGroupMember
+    from goka_spark.sources import poll_group_records
+    tm = WireTopicManager([broker.address])
+    prod = WireProducer([broker.address], compression="gzip")
+    cons = WireConsumer([broker.address])
+    tm.ensure_stream_exists("gzp", 2)
+    for i in range(8):
+        prod.emit("gzp", f"user-{i % 3}", f"v{i}".encode(),
+                  headers={"n": str(i).encode()})
+    broker.fetch_codec = CODEC_GZIP
+    m = WireGroupMember([broker.address], "grp-gzp", ["gzp"])
+    try:
+        m.join()
+        frame, nxt = poll_group_records(spark, m, cons)
+        rows = frame.collect()
+        assert len(rows) == 8
+        assert sorted(bytes(r.value) for r in rows) == \
+            sorted(f"v{i}".encode() for i in range(8))
+        assert sum(nxt.values()) == 8
+    finally:
+        broker.fetch_codec = 0
+        m.close()
+        cons.close()
+        prod.close()
+        tm.close()
