@@ -1218,3 +1218,30 @@ def test_poll_group_records_with_gzip_broker(spark, broker):
         cons.close()
         prod.close()
         tm.close()
+
+
+def test_gzip_on_modern_flexible_broker(modern_broker):
+    """Compressed batches ride the KIP-482 flexible encodings too:
+    gzip producer over Produce v9 / gzip-serving Fetch v12 on a
+    modern broker, with ListOffsets resolving through negotiation."""
+    from goka_spark.kafka_wire import (CODEC_GZIP, FLEXIBLE_SINCE,
+                                       API_PRODUCE, OFFSET_NEWEST)
+    tm = WireTopicManager([modern_broker.address])
+    prod = WireProducer([modern_broker.address], compression="gzip")
+    cons = WireConsumer([modern_broker.address])
+    try:
+        assert prod.versions[API_PRODUCE] >= FLEXIBLE_SINCE[API_PRODUCE]
+        tm.ensure_stream_exists("mgz", 1)
+        for i in range(5):
+            prod.emit("mgz", f"k{i}", (f"v{i}" * 40).encode(),
+                      partition=0)
+        modern_broker.fetch_codec = CODEC_GZIP
+        got = cons.fetch("mgz", 0, 1)
+        assert [(r.offset, r.value) for r in got] == \
+            [(i, (f"v{i}" * 40).encode()) for i in range(1, 5)]
+        assert tm.get_offset("mgz", 0, OFFSET_NEWEST) == 5
+    finally:
+        modern_broker.fetch_codec = 0
+        cons.close()
+        prod.close()
+        tm.close()
