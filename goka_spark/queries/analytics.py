@@ -629,13 +629,25 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     Correlated min subquery → window min over the part key (no
     second join against the aggregate)."""
     t = load(spark, sf, "part", "supplier", "lineitem")
+    # exact-integer arithmetic end to end: float SUM order differs
+    # between engines, and quotients landing EXACTLY on a 4-dp
+    # half-way point (sf0.1: 162551 cents / 40 qty = 40.63775) round
+    # differently — Spark rounds the decimal string, DuckDB the
+    # binary double.  Sum exact cents/quantities, apply half-up in
+    # integer algebra ((200c + q) DIV 2q = round(100c/q)), and only
+    # THEN divide by the 1e4 scale — both engines see identical
+    # integers and perform the identical final division.
     unit = (
         t["lineitem"]
         .join(F.broadcast(t["part"].filter(F.col("p_size") == 15)),
               F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_partkey", "l_suppkey")
-        .agg(F.round(F.sum("l_extendedprice") / F.sum("l_quantity"), 4)
-             .alias("unit_price"))
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
+                   .cast("long")).alias("_cents"),
+             F.sum(F.col("l_quantity").cast("long")).alias("_qty"))
+        .select("p_partkey", "l_suppkey",
+                (F.expr("(200 * _cents + _qty) DIV (2 * _qty)")
+                 / 10000.0).alias("unit_price"))
     )
     w = Window.partitionBy("p_partkey")
     return (
@@ -1358,11 +1370,17 @@ ORACLES["q11_important_parts"] = """
 """
 
 ORACLES["q2_min_cost_supplier"] = """
-    WITH unit AS (
+    WITH sums AS (
       SELECT p_partkey, l_suppkey,
-             ROUND(SUM(l_extendedprice) / SUM(l_quantity), 4) AS unit_price
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS c,
+             SUM(CAST(l_quantity AS BIGINT)) AS q
       FROM lineitem JOIN part ON l_partkey = p_partkey AND p_size = 15
       GROUP BY p_partkey, l_suppkey
+    ), unit AS (
+      SELECT p_partkey, l_suppkey,
+             CAST((200 * c + q) // (2 * q) AS BIGINT) / 10000.0
+               AS unit_price
+      FROM sums
     )
     SELECT p_partkey, s_name, unit_price
     FROM (SELECT *, MIN(unit_price) OVER (PARTITION BY p_partkey) AS m
