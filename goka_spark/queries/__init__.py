@@ -12,14 +12,88 @@ from goka_spark.queries import analytics, core, llmdata
 # entries and stops.  Rotate per round so no key's driver row goes
 # >2 rounds stale.
 _FRONT = [
-    # Round 10 rotation (r9 verdict ask #1): all 50 slots go to
-    # never-certified r9 keys — 72 keys have never had a driver row
-    # (+76 registry growth in r9 vs the 50-slot cap).  Highest-risk
-    # first: the ops with novel oracle machinery the verdict named
-    # explicitly, then the rest of the never-certified set.  All 50
-    # are locally oracle-verified at sf0.01 before this rotation was
-    # committed (tools/verify_local.py).
-    # (a) verdict-named novel-oracle ops
+    # Round 11 rotation (r10 verdict ask #1): close the certification
+    # backlog completely.  Slots 1-22 = the last 22 never-certified
+    # keys (21 oracle-bearing + the rows-only approx-distinct builtin
+    # twin); slots 23-50 = the oldest r6-stale vintage.  After this
+    # round every registry key has a driver CORRECTNESS row and the
+    # oldest vintage is r6 on only 16 keys (queued first for r12).
+    # All 50 were pre-verified at sf0.1 (one scale above the driver's
+    # gate) before this rotation was staged, and re-verified at
+    # sf0.01 this round before commit (tools/verify_local.py).
+    # (a) the 22 never-certified keys
+    "user_active_time",
+    "seasonality_profile",
+    "cohort_ltv_curve",
+    "new_vs_returning",
+    "source_domain_diversity",
+    "hourly_session_concurrency",
+    "weekly_growth",
+    "token_burstiness",
+    "vocab_coverage_curve",
+    "type_mix_drift",
+    "engagement_mix_by_decile",
+    "error_impact",
+    "daily_arpu",
+    "readability_fre",
+    "encoding_anomalies",
+    "hapax_ratio",
+    "gate_bias_by_length",
+    "curriculum_phases",
+    "image_contrast_score",
+    "wav_headroom",
+    "source_health_report",
+    "approx_distinct_users_builtin",
+    # (b) 28 r6-stale keys (oldest driver rows; several were
+    # refactored since r6 — memoized pair-counts/gate-signal cores)
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ngram_jaccard_auto",
+    "ngram_containment_pairs",
+    "minhash_containment_est",
+    "dup_span_extract",
+    "dup_span_remove",
+    "dedup_incremental",
+    "bloom_decontaminate",
+    "near_decontaminate",
+    "blocklist_filter",
+    "common_ngrams",
+    "cluster_balanced_sample",
+    "corpus_split",
+    "corpus_shuffle",
+    "corpus_domain_mix",
+    "corpus_weighted_sample",
+    "corpus_stats",
+    "source_overlap_matrix",
+    "doc_entropy",
+    "decontaminate_spans",
+    "decontaminate_span_remove",
+    "nb_quality_classify",
+    "vocab_coverage",
+    "perplexity_buckets",
+    "line_quality_filter",
+    "proc_count_per_key",
+    "proc_agg_state",
+    # ---- 50-slot cap reached.  Best-effort tail: (c) the 16
+    # remaining r6-stale keys so any extra driver slots refresh the
+    # oldest rows first (these lead the r12 front).
+    "bpe_token_count",
+    "bpe_encode_docs",
+    "lang_audit",
+    "dedup_exact_prioritized",
+    "image_dhash_dedup",
+    "doc_lm_score",
+    "corpus_importance_weights",
+    "embedding_ivf_ann",
+    "dedup_embedding_cosine",
+    "dedup_semantic",
+    "embedding_cluster_assign",
+    "embedding_knn_graph",
+    "embedding_pca_project",
+    "doc_repetition",
+    "embedding_pq_ann",
+    "embedding_ivf_pq_ann",
+    # (d) the r10-certified vintage (freshest rows; lowest priority)
     "seasonal_anomalies",
     "edit_distance_pairs",
     "lsh_vs_edit_eval",
@@ -73,82 +147,12 @@ _FRONT = [
     "bloom_fpr_calibration",
     "pii_audit_matrix",
     "session_depth_funnel",
-    # ---- 50-slot cap reached.  Best-effort tail: (c) the 22
-    # never-certified keys that queue for r11 (simple agg shapes;
-    # all locally oracle-verified), then (d) the 44 r6-stale keys so
-    # any extra driver slots refresh the oldest rows first.
-    "user_active_time",
-    "seasonality_profile",
-    "cohort_ltv_curve",
-    "new_vs_returning",
-    "source_domain_diversity",
-    "hourly_session_concurrency",
-    "weekly_growth",
-    "token_burstiness",
-    "vocab_coverage_curve",
-    "type_mix_drift",
-    "engagement_mix_by_decile",
-    "error_impact",
-    "daily_arpu",
-    "readability_fre",
-    "encoding_anomalies",
-    "hapax_ratio",
-    "gate_bias_by_length",
-    "curriculum_phases",
-    "image_contrast_score",
-    "wav_headroom",
-    "source_health_report",
-    "approx_distinct_users_builtin",
-    # (d) r6-stale keys (oldest driver rows in the registry)
-    "proc_count_per_key",
-    "proc_agg_state",
-    "doc_entropy",
-    "near_decontaminate",
-    "blocklist_filter",
-    "common_ngrams",
-    "cluster_balanced_sample",
-    "corpus_split",
-    "corpus_shuffle",
-    "corpus_domain_mix",
-    "corpus_weighted_sample",
-    "corpus_stats",
-    "source_overlap_matrix",
-    "dedup_incremental",
-    "bloom_decontaminate",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ngram_jaccard_auto",
-    "ngram_containment_pairs",
-    "minhash_containment_est",
-    "dup_span_extract",
-    "dup_span_remove",
-    "decontaminate_spans",
-    "decontaminate_span_remove",
-    "nb_quality_classify",
-    "vocab_coverage",
-    "perplexity_buckets",
-    "line_quality_filter",
-    "bpe_token_count",
-    "bpe_encode_docs",
-    "lang_audit",
-    "dedup_exact_prioritized",
-    "image_dhash_dedup",
-    "doc_lm_score",
-    "corpus_importance_weights",
-    "embedding_ivf_ann",
-    "dedup_embedding_cosine",
-    "dedup_semantic",
-    "embedding_cluster_assign",
-    "embedding_knn_graph",
-    "embedding_pca_project",
-    "doc_repetition",
-    "embedding_pq_ann",
-    "embedding_ivf_pq_ann",
 ]
-# r11 rotation plan: promote (c) — the 22 remaining never-certified
-# keys — into the front, then fill the rest of the 50 slots from (d),
-# the r6-stale vintage.  After r11 every key has a driver row and
-# nothing is older than r8.
+# r12 rotation plan: front = section (c) — the 16 remaining r6-stale
+# keys — then the r7 vintage (the next-oldest rows).  After r11 the
+# never-certified count is 0, so rotation becomes pure vintage
+# refresh and the registry freeze can lift (~25 new keys/round fits
+# the 50-slot cap without re-growing the backlog).
 
 
 
