@@ -24,9 +24,10 @@ via the ApiVersions handshake (modern-first with KIP-511 downgrade):
   OFFSET_NEWEST (high watermark) / timestamp lookup — sarama
   client.GetOffset, what goka's topic_manager.go:131 GetOffset and
   partition_table.go:243 findOffsetToLoad resume clamp call
-- RecordBatch compression: gzip (stdlib) encode+decode via the
-  attributes codec bits; snappy/lz4/zstd arrive as a typed
-  UnsupportedCodecError (no codec libraries in this container)
+- RecordBatch compression: gzip (stdlib) and snappy (xerial framing
+  + block format, pure-Python goka_spark/snappy_codec.py)
+  encode+decode via the attributes codec bits; lz4/zstd arrive as a
+  typed UnsupportedCodecError (no codec libraries in this container)
 - Consumer-group membership at fixed sarama-era versions:
   FindCoordinator v0 / JoinGroup v0 / SyncGroup v0 / Heartbeat v0 /
   LeaveGroup v0 / OffsetCommit v2 (generation-fenced) /
@@ -56,6 +57,8 @@ from __future__ import annotations
 
 import gzip as _gzip
 import io
+
+from goka_spark import snappy_codec as _snappy
 import socket
 import struct
 import threading
@@ -311,11 +314,13 @@ class Record:
     headers: list[tuple[str, bytes]] = field(default_factory=list)
 
 
-# RecordBatch v2 compression codecs (attributes bits 0-2).  gzip is
-# the one codec the Python stdlib provides (Kafka's gzip codec IS a
-# standard gzip stream — java.util.zip.GZIPOutputStream); snappy uses
-# xerial framing, lz4 the Kafka-LZ4 frame, zstd libzstd — none in the
-# stdlib, so those decode to a typed error instead of garbage.
+# RecordBatch v2 compression codecs (attributes bits 0-2).  gzip
+# comes from the stdlib (Kafka's gzip codec IS a standard gzip
+# stream — java.util.zip.GZIPOutputStream); snappy (xerial framing +
+# block format) is implemented from the public spec in
+# goka_spark/snappy_codec.py; lz4 (Kafka-LZ4 frame) and zstd
+# (libzstd) have no stdlib/pure-Python path here, so they raise a
+# typed error instead of producing garbage.
 CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY, CODEC_LZ4, CODEC_ZSTD = 0, 1, 2, 3, 4
 _CODEC_NAMES = {CODEC_NONE: "none", CODEC_GZIP: "gzip",
                 CODEC_SNAPPY: "snappy", CODEC_LZ4: "lz4",
@@ -324,16 +329,16 @@ _CODEC_IDS = {v: k for k, v in _CODEC_NAMES.items()}
 
 
 class UnsupportedCodecError(ValueError):
-    """A RecordBatch arrived compressed with a codec this pure-stdlib
-    implementation cannot decode (snappy/lz4/zstd).  Typed so callers
-    can tell 'need a codec library' apart from wire corruption."""
+    """A RecordBatch arrived compressed with a codec this pure-Python
+    implementation cannot decode (lz4/zstd).  Typed so callers can
+    tell 'need a codec library' apart from wire corruption."""
 
     def __init__(self, codec: int) -> None:
         self.codec = codec
         super().__init__(
             f"record batch compressed with unsupported codec "
-            f"{_CODEC_NAMES.get(codec, codec)!r} — only none/gzip are "
-            f"available without external libraries")
+            f"{_CODEC_NAMES.get(codec, codec)!r} — only none/gzip/"
+            f"snappy are available without external libraries")
 
 
 def encode_record_batch(base_offset: int, records: list[Record],
@@ -343,7 +348,7 @@ def encode_record_batch(base_offset: int, records: list[Record],
     ``codec=CODEC_GZIP`` the records section is compressed per the
     batch format (the header fields through recordCount stay
     uncompressed; CRC covers the final, compressed bytes)."""
-    if codec not in (CODEC_NONE, CODEC_GZIP):
+    if codec not in (CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY):
         raise UnsupportedCodecError(codec)
     base_ts = records[0].timestamp
     max_ts = max(r.timestamp for r in records)
@@ -384,6 +389,8 @@ def encode_record_batch(base_offset: int, records: list[Record],
     recs_b = recs.getvalue()
     if codec == CODEC_GZIP:
         recs_b = _gzip.compress(recs_b)
+    elif codec == CODEC_SNAPPY:
+        recs_b = _snappy.compress(recs_b)
     body.raw(recs_b)
     body_b = body.getvalue()
     out = _Writer()
@@ -424,10 +431,12 @@ def decode_record_batches(data: bytes) -> list[Record]:
         br.int32()                                   # baseSequence
         n = br.int32()
         codec = attributes & 0x07
-        if codec:
-            if codec != CODEC_GZIP:
-                raise UnsupportedCodecError(codec)
+        if codec == CODEC_GZIP:
             br = _Reader(_gzip.decompress(br.raw(br.remaining())))
+        elif codec == CODEC_SNAPPY:
+            br = _Reader(_snappy.decompress(br.raw(br.remaining())))
+        elif codec:
+            raise UnsupportedCodecError(codec)
         for _ in range(n):
             ln = br.varint()
             rr = _Reader(br.raw(ln))
@@ -662,8 +671,11 @@ def negotiate_versions(conn: KafkaConnection) -> dict[int, int]:
 # OffsetOldest) — the values goka passes to GetOffset
 # (topic_manager.go:131, partition_table.go:244/248).
 OFFSET_NEWEST, OFFSET_OLDEST = -1, -2
-#: partition_table.go offsetNotStored: "no offset in local storage"
-OFFSET_NOT_STORED = -1
+#: partition_table.go:21 offsetNotStored = -3: "no offset in local
+#: storage".  Deliberately disjoint from the ListOffsets sentinels so
+#: a caller that confuses the two gets an out-of-range resume, not
+#: silent 'no stored offset' semantics.
+OFFSET_NOT_STORED = -3
 
 
 def _list_offset(conn: KafkaConnection, topic: str, partition: int,
@@ -689,6 +701,22 @@ def _list_offset(conn: KafkaConnection, topic: str, partition: int,
     return offset
 
 
+class TableGoneError(RuntimeError):
+    """Local storage holds an offset for a partition the broker says
+    is empty (hwm == 0) — the backing table topic has likely been
+    deleted and recreated.  The reference aborts recovery with
+    'The table might be gone. Try to delete your local cache!'
+    (partition_table.go:295-297); recovering from offset 0 against a
+    different topic incarnation would silently corrupt state."""
+
+    def __init__(self, topic: str, partition: int, stored: int) -> None:
+        self.topic, self.partition, self.stored = topic, partition, stored
+        super().__init__(
+            f"broker reports no messages in {topic}/{partition} but "
+            f"local cache stored offset {stored} — the table might be "
+            f"gone; delete the local cache and restart")
+
+
 def find_offset_to_load(client, topic: str, partition: int,
                         stored_offset: int) -> tuple[int, int]:
     """partition_table.go:243 findOffsetToLoad: given the offset of
@@ -701,6 +729,11 @@ def find_offset_to_load(client, topic: str, partition: int,
     anything with ``get_offset`` (WireTopicManager / WireConsumer)."""
     oldest = client.get_offset(topic, partition, OFFSET_OLDEST)
     hwm = client.get_offset(topic, partition, OFFSET_NEWEST)
+    if stored_offset > 0 and hwm == 0:
+        # partition_table.go:295: local state exists but the broker
+        # says the topic is empty — the table is probably gone;
+        # surfacing this beats silently pretending we're caught up.
+        raise TableGoneError(topic, partition, stored_offset)
     if stored_offset == OFFSET_NOT_STORED:
         start = oldest
     else:
@@ -903,17 +936,22 @@ class WireProducer:
     def __init__(self, brokers: list[str], max_retries: int = 3,
                  backoff: Optional[SimpleBackoff] = None,
                  compression: str = "none") -> None:
+        #: sarama config.Producer.Compression — "none", "gzip" or
+        #: "snappy" (pure-Python codecs).  lz4/zstd fail HERE, at
+        #: configuration time and before any connection is opened,
+        #: not at the first emit(): a producer that cannot send
+        #: should never look healthy.
+        if compression not in _CODEC_IDS:
+            raise ValueError(f"unknown compression {compression!r}")
+        self._codec = _CODEC_IDS[compression]
+        if self._codec not in (CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY):
+            raise UnsupportedCodecError(self._codec)
         host, port = _parse_addr(brokers[0])
         self._conn = KafkaConnection(host, port)
         self._tm = WireTopicManager(brokers)
         self._npar: dict[str, int] = {}
         self._max_retries = max_retries
         self._backoff = backoff or SimpleBackoff()
-        #: sarama config.Producer.Compression — "none" or "gzip"
-        #: (the stdlib codecs); snappy/lz4/zstd raise typed
-        if compression not in _CODEC_IDS:
-            raise ValueError(f"unknown compression {compression!r}")
-        self._codec = _CODEC_IDS[compression]
         self.versions = negotiate_versions(self._conn)
 
     def close(self) -> None:

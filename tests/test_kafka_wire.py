@@ -987,24 +987,58 @@ def test_record_batch_gzip_roundtrip():
           [("h", b"x")]) for i in range(5)]
 
 
-def test_unsupported_codec_typed_both_directions():
-    """snappy/lz4/zstd need external libraries: encoding refuses
-    up front, and a batch ARRIVING with those attribute bits raises
-    the typed error (never silent garbage)."""
+def test_record_batch_snappy_roundtrip():
+    """snappy batches use snappy-java's xerial stream framing over
+    the records section (goka_spark/snappy_codec.py, pure Python);
+    header through recordCount stays uncompressed and the CRC covers
+    the final compressed bytes — same layout rules as gzip."""
     import struct as _struct
 
-    from goka_spark.kafka_wire import (CODEC_LZ4, CODEC_SNAPPY,
-                                       CODEC_ZSTD, UnsupportedCodecError,
+    from goka_spark.kafka_wire import CODEC_SNAPPY
+    from goka_spark.snappy_codec import XERIAL_MAGIC
+    recs = [Record(0, 1_700_000_000_000 + i, f"k{i}".encode(),
+                   (f"v{i}" * 50).encode(), [("h", b"x")])
+            for i in range(5)]
+    batch = encode_record_batch(100, recs, codec=CODEC_SNAPPY)
+    assert _struct.unpack(">h", batch[21:23])[0] & 0x07 == CODEC_SNAPPY
+    # records section @61 starts with the xerial magic — the batch
+    # header is genuinely uncompressed
+    assert batch[61:69] == XERIAL_MAGIC
+    # repetitive payloads actually shrink
+    assert len(batch) < len(encode_record_batch(100, recs))
+    got = decode_record_batches(bytes(batch))
+    assert [(r.offset, r.key, r.value, r.headers) for r in got] == \
+        [(100 + i, f"k{i}".encode(), (f"v{i}" * 50).encode(),
+          [("h", b"x")]) for i in range(5)]
+
+
+def test_unsupported_codec_typed_both_directions():
+    """lz4/zstd need external libraries: encoding refuses up front,
+    and a batch ARRIVING with those attribute bits raises the typed
+    error (never silent garbage).  A producer configured with them
+    fails at construction, before any socket is opened (a producer
+    that cannot send should never look healthy)."""
+    import struct as _struct
+
+    from goka_spark.kafka_wire import (CODEC_LZ4, CODEC_ZSTD,
+                                       UnsupportedCodecError, WireProducer,
                                        crc32c)
     rec = [Record(0, 0, b"k", b"v")]
-    for codec in (CODEC_SNAPPY, CODEC_LZ4, CODEC_ZSTD):
-        with pytest.raises(UnsupportedCodecError, match="only none/gzip"):
+    for codec in (CODEC_LZ4, CODEC_ZSTD):
+        with pytest.raises(UnsupportedCodecError,
+                           match="only none/gzip/snappy"):
             encode_record_batch(0, rec, codec=codec)
     batch = bytearray(encode_record_batch(0, rec))
-    batch[21:23] = _struct.pack(">h", CODEC_SNAPPY)  # forge attributes
+    batch[21:23] = _struct.pack(">h", CODEC_LZ4)  # forge attributes
     batch[17:21] = _struct.pack(">I", crc32c(bytes(batch[21:])))
-    with pytest.raises(UnsupportedCodecError, match="snappy"):
+    with pytest.raises(UnsupportedCodecError, match="lz4"):
         decode_record_batches(bytes(batch))
+    # fail-fast: no broker listens on this address, yet the codec
+    # error wins because it is raised before connecting
+    with pytest.raises(UnsupportedCodecError, match="zstd"):
+        WireProducer(["127.0.0.1:1"], compression="zstd")
+    with pytest.raises(ValueError, match="unknown compression"):
+        WireProducer(["127.0.0.1:1"], compression="brotli")
 
 
 def test_produce_gzip_end_to_end(broker):
@@ -1045,6 +1079,54 @@ def test_fetch_gzip_batches_end_to_end(broker):
             prod.emit("gzf", f"k{i}", f"v{i}".encode(), partition=0)
         broker.fetch_codec = CODEC_GZIP
         got = cons.fetch("gzf", 0, 2)
+        assert [(r.offset, r.value) for r in got] == \
+            [(i, f"v{i}".encode()) for i in range(2, 6)]
+    finally:
+        broker.fetch_codec = 0
+        cons.close()
+        prod.close()
+        tm.close()
+
+
+def test_produce_snappy_end_to_end(broker):
+    """A snappy-compressing producer (sarama's most common
+    non-default config.Producer.Compression) interoperates over the
+    socket: the broker decodes the xerial-framed batch and a plain
+    consumer reads the records back."""
+    tm = WireTopicManager([broker.address])
+    prod = WireProducer([broker.address], compression="snappy")
+    cons = WireConsumer([broker.address])
+    try:
+        tm.ensure_stream_exists("sn", 2)
+        offs = [prod.emit("sn", "user-1", f"payload-{i}".encode(),
+                          headers={"trace": str(i).encode()})
+                for i in range(8)]
+        part = offs[0][0]
+        assert all(p == part for p, _ in offs)
+        got = cons.fetch("sn", part, 0)
+        assert [r.value.decode() for r in got] == \
+            [f"payload-{i}" for i in range(8)]
+        assert dict(got[3].headers)["trace"] == b"3"
+    finally:
+        cons.close()
+        prod.close()
+        tm.close()
+
+
+def test_fetch_snappy_batches_end_to_end(broker):
+    """Consumers must decode whatever codec the log segment holds —
+    a broker serving snappy batches round-trips through fetch (the
+    mixed-codec-topic case the pure-stdlib build used to refuse)."""
+    from goka_spark.kafka_wire import CODEC_SNAPPY
+    tm = WireTopicManager([broker.address])
+    prod = WireProducer([broker.address])
+    cons = WireConsumer([broker.address])
+    try:
+        tm.ensure_stream_exists("snf", 1)
+        for i in range(6):
+            prod.emit("snf", f"k{i}", f"v{i}".encode(), partition=0)
+        broker.fetch_codec = CODEC_SNAPPY
+        got = cons.fetch("snf", 0, 2)
         assert [(r.offset, r.value) for r in got] == \
             [(i, f"v{i}".encode()) for i in range(2, 6)]
     finally:
@@ -1112,6 +1194,29 @@ def test_find_offset_to_load_reference_clamps(broker):
         tm.close()
 
 
+def test_find_offset_to_load_table_gone_guard(broker):
+    """partition_table.go:295: local storage has an offset but the
+    broker says the partition is empty — the table topic was likely
+    deleted and recreated, so recovery must abort with the typed
+    'delete your local cache' error rather than silently starting
+    from offset 0 against a different topic incarnation."""
+    from goka_spark.kafka_wire import (OFFSET_NOT_STORED, TableGoneError,
+                                       find_offset_to_load)
+    tm = WireTopicManager([broker.address])
+    try:
+        tm.ensure_stream_exists("gone", 1)  # hwm == 0: never produced
+        # no local state / stored offset 0 against an empty topic are
+        # both fine (fresh start)
+        assert find_offset_to_load(tm, "gone", 0, OFFSET_NOT_STORED) \
+            == (0, 0)
+        assert find_offset_to_load(tm, "gone", 0, 0) == (0, 0)
+        with pytest.raises(TableGoneError,
+                           match="delete the local cache"):
+            find_offset_to_load(tm, "gone", 0, 7)
+    finally:
+        tm.close()
+
+
 def test_poll_group_records_clamps_to_log_start(spark, broker):
     """The processor loop survives retention outrunning its committed
     offset: resume clamps to the broker's oldest retained offset
@@ -1154,18 +1259,21 @@ def test_poll_group_records_clamps_to_log_start(spark, broker):
                  max_size=3)),
     min_size=1, max_size=8))
 @settings(max_examples=100, deadline=None)
-def test_record_batch_gzip_roundtrip_property(recs):
-    """Every batch that roundtrips uncompressed roundtrips gzip'd —
-    same records, same offsets, CRC validated by the decoder."""
-    from goka_spark.kafka_wire import CODEC_GZIP
+def test_record_batch_compressed_roundtrip_property(recs):
+    """Every batch that roundtrips uncompressed roundtrips under each
+    supported codec — same records, same offsets, CRC validated by
+    the decoder."""
+    from goka_spark.kafka_wire import CODEC_GZIP, CODEC_SNAPPY
     records = [Record(0, ts, k, v, hs) for ts, k, v, hs in recs]
     base = 77
-    back = decode_record_batches(
-        encode_record_batch(base, records, codec=CODEC_GZIP))
-    assert len(back) == len(records)
-    for i, (r, (ts, k, v, hs)) in enumerate(zip(back, recs)):
-        assert r.offset == base + i
-        assert (r.timestamp, r.key, r.value, r.headers) == (ts, k, v, hs)
+    for codec in (CODEC_GZIP, CODEC_SNAPPY):
+        back = decode_record_batches(
+            encode_record_batch(base, records, codec=codec))
+        assert len(back) == len(records)
+        for i, (r, (ts, k, v, hs)) in enumerate(zip(back, recs)):
+            assert r.offset == base + i
+            assert (r.timestamp, r.key, r.value, r.headers) == \
+                (ts, k, v, hs)
 
 
 def test_truncate_before_clamps_to_high_watermark(broker):
