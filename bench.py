@@ -85,6 +85,27 @@ HEADLINE = [
     "source_health_report",
 ]
 
+# Headline v2 (r10 verdict ask #6): the TRUE hot set — the 10 slowest
+# full-sweep rows from BENCH_r10 that v1 did not cover (the v1 set
+# predates them, so round-over-round regressions on the most
+# expensive plans were only visible in the sweep tail).  v1 is kept
+# unchanged for round-over-round continuity; v2 starts its own
+# comparable series at r11.  Membership is frozen to the r10 ranking
+# on purpose — a set that re-derives itself each round would never be
+# comparable across rounds.
+HEADLINE_V2 = [
+    "simhash_hamming_histogram",   # 5.55 s in r10's sweep
+    "minhash_band_sweep",          # 5.28 s
+    "corpus_filter_pipeline",      # 4.84 s
+    "minhash_est_error",           # 4.68 s
+    "source_overlap_matrix",       # 4.60 s
+    "bpe_token_count_batched",     # 4.50 s
+    "winnow_fingerprints",         # 4.19 s
+    "ngram_jaccard_prefix",        # 4.18 s
+    "embedding_cell_margins",      # 4.18 s
+    "weighted_jaccard_pairs",      # 4.16 s
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -150,6 +171,10 @@ def main() -> None:
         return min(t, run(name)) if name in WARM_TWICE else t
 
     times = {name: run_headline(name) for name in HEADLINE}
+    # headline v2: the 10 slowest r10 sweep rows, timed with the same
+    # discipline (after the same uncounted warmup) right after v1 so
+    # their numbers are sweep-order independent
+    times_v2 = {name: run(name) for name in HEADLINE_V2}
     # full-registry sweep: every remaining query, timed once each, so
     # per-round diffs catch regressions outside the headline set.
     # Bounded by a wall-clock budget so the bench can never blow a
@@ -159,7 +184,7 @@ def main() -> None:
     rest: dict[str, float] = {}
     skipped: list[str] = []
     for name in qs:
-        if name in times:
+        if name in times or name in times_v2:
             continue
         if time.time() - t_start > budget:
             skipped.append(name)
@@ -176,7 +201,13 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
-        "queries_all": {**times, **rest},
+        # v2 series starts at r11 (the 10 slowest r10 sweep rows);
+        # compare v2 values only to r11+ rounds — earlier rounds timed
+        # these queries in the sweep tail, where sweep order could
+        # bill shared-artifact builds to whichever row ran first.
+        "value_v2": round(sum(times_v2.values()), 3),
+        "queries_v2": times_v2,
+        "queries_all": {**times, **times_v2, **rest},
         "skipped_over_budget": skipped,
         "sf": float(sf),
     }
@@ -194,6 +225,8 @@ def main() -> None:
         "value": full["value"],
         "unit": "sec",
         "queries": times,
+        "value_v2": full["value_v2"],
+        "queries_v2": times_v2,
         "sf": float(sf),
     }))
 

@@ -187,15 +187,20 @@ def lsh_candidate_pairs(banded: DataFrame, id_col: str) -> DataFrame:
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       num_perm: int = 32, bands: "int | str" = 8,
-                      threshold: "float | None" = None) -> DataFrame:
+                      threshold: "float | None" = None,
+                      sigs: "DataFrame | None" = None) -> DataFrame:
     """``bands='auto'`` plans (bands, rows) from ``threshold`` via
     :func:`optimal_bands` — the S-curve midpoint lands on the target
-    Jaccard similarity instead of a hand-picked banding."""
+    Jaccard similarity instead of a hand-picked banding.  ``sigs``
+    injects a pre-built :func:`minhash_signatures` frame (same
+    ``num_perm``, same corpus) so multi-consumer sessions hash the
+    corpus once — the signature build is the expensive half."""
     if bands == "auto":
         if threshold is None:
             raise ValueError("bands='auto' needs a threshold")
         bands, _ = optimal_bands(threshold, num_perm)
-    sigs = minhash_signatures(df, id_col, text_col, num_perm)
+    if sigs is None:
+        sigs = minhash_signatures(df, id_col, text_col, num_perm)
     banded = lsh_bands(sigs, id_col, bands, num_perm // bands)
     return lsh_candidate_pairs(banded, id_col)
 
@@ -1350,7 +1355,8 @@ def ngram_novelty(df: DataFrame, id_col: str, text_col: str,
 
 
 def minhash_est_error(df: "DataFrame", id_col: str, text_col: str,
-                      num_perm: int = 16) -> "DataFrame":
+                      num_perm: int = 16,
+                      sigs: "DataFrame | None" = None) -> "DataFrame":
     """MinHash CALIBRATION report — the text-side twin of the ANN
     recall gate: over the deterministic adjacent pairing
     (id, id+1), the signature-estimated Jaccard vs the exact
@@ -1370,8 +1376,9 @@ def minhash_est_error(df: "DataFrame", id_col: str, text_col: str,
     """
     from goka_spark.functions.text import all_shingles
 
-    sigs = minhash_signatures(df, id_col, text_col,
-                              num_perm=num_perm, base_hash="md5")
+    if sigs is None:
+        sigs = minhash_signatures(df, id_col, text_col,
+                                  num_perm=num_perm, base_hash="md5")
     shs = df.select(F.col(id_col).alias("_d"),
                     F.array_distinct(all_shingles(F.col(text_col)))
                     .alias("_shs"))
@@ -1408,7 +1415,8 @@ def minhash_band_sweep(df: "DataFrame", id_col: str, text_col: str,
                        num_perm: int = 32,
                        band_list: "tuple[int, ...]" = (2, 4, 8, 16),
                        threshold: float = 0.5,
-                       max_df: "int | None" = 50) -> "DataFrame":
+                       max_df: "int | None" = 50,
+                       sigs: "DataFrame | None" = None) -> "DataFrame":
     """LSH band-tuning curve (MMDS ch.3 S-curve, MEASURED) — the
     text-side twin of the ANN n_probe sweep: for each candidate
     banding (b, r = num_perm/b) of ONE shared signature frame, the
@@ -1429,8 +1437,9 @@ def minhash_band_sweep(df: "DataFrame", id_col: str, text_col: str,
     """
     from functools import reduce
 
-    sigs = minhash_signatures(df, id_col, text_col, num_perm) \
-        .localCheckpoint(eager=False)
+    if sigs is None:
+        sigs = minhash_signatures(df, id_col, text_col, num_perm) \
+            .localCheckpoint(eager=False)
     truth = (ngram_jaccard_pairs(df, id_col, text_col, n=3,
                                  threshold=threshold, max_df=max_df)
              .select("id_a", "id_b", F.lit(1).alias("_t"))

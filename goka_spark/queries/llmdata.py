@@ -28,7 +28,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     exercised in tests with planted near-dups; random test corpus has
     none).  Output is the signature table the LSH join consumes."""
     docs = load(spark, sf, "documents")["documents"]
-    sigs = D.minhash_signatures(docs, "doc_id", "text", num_perm=32)
+    sigs = _minhash_sigs(spark, docs, sf)
     return sigs.select(
         "doc_id",
         F.xxhash64(F.col("minhash").cast("array<string>")).alias("sig_hash"),
@@ -409,6 +409,12 @@ def warm_graph_artifacts(spark: SparkSession, sf: str) -> None:
     _gate_signals(spark, sf).count()
     # the md5 SimHash signature frame (C20/C107 share the bit votes)
     _simhash_md5(spark, docs, sf).count()
+    # the two MinHash signature frames (r10 verdict ask #7): 32-perm
+    # xxhash64 production (dedup_minhash_lsh / _keep_frame /
+    # minhash_band_sweep) and 16-perm md5 calibration
+    # (dedup_minhash_verified / minhash_est_error / lsh_vs_edit_eval)
+    _minhash_sigs(spark, docs, sf).count()
+    _minhash_sigs(spark, docs, sf, num_perm=16, base_hash="md5").count()
 
 
 def unigram_token_count(spark: SparkSession, sf: str) -> DataFrame:
@@ -896,6 +902,31 @@ def _simhash_md5(spark: SparkSession, docs: DataFrame,
     return _SIMHASH_MD5_MEMO[key]
 
 
+#: MinHash signature frames are pure functions of the corpus and a
+#: (num_perm, base_hash) config; each is the expensive half (one
+#: shingle explode + one num_perm-way min hash-agg) of several
+#: registry queries, so build each config once per session.  The
+#: 32-perm xxhash64 frame is the PRODUCTION frame (dedup_minhash_lsh
+#: returns its hash, _keep_frame's LSH pairs band it,
+#: minhash_band_sweep re-bands it); the 16-perm md5 frame is the
+#: engine-portable calibration twin (dedup_minhash_verified,
+#: minhash_est_error, lsh_vs_edit_eval).  appId in the key for the
+#: same reason as _CC_MEMO: the localCheckpoint dies with its
+#: SparkContext.
+_MINHASH_SIG_MEMO: dict = {}
+
+
+def _minhash_sigs(spark: SparkSession, docs: DataFrame, sf: str,
+                  num_perm: int = 32,
+                  base_hash: str = "xxhash64") -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf, num_perm, base_hash)
+    if key not in _MINHASH_SIG_MEMO:
+        _MINHASH_SIG_MEMO[key] = D.minhash_signatures(
+            docs, "doc_id", "text", num_perm=num_perm,
+            base_hash=base_hash).localCheckpoint(eager=False)
+    return _MINHASH_SIG_MEMO[key]
+
+
 def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup CLUSTERS, not just pairs: connected components over
     the ngram-Jaccard pair graph, min doc_id as the cluster
@@ -938,7 +969,8 @@ def _keep_frame(spark: SparkSession, sf: str) -> DataFrame:
     if key not in _KEEP_MEMO:
         docs = load(spark, sf, "documents")["documents"]
         pairs = D.minhash_lsh_pairs(docs, "doc_id", "text",
-                                    num_perm=32, bands=8)
+                                    num_perm=32, bands=8,
+                                    sigs=_minhash_sigs(spark, docs, sf))
         cc = D.connected_components(pairs)
         _KEEP_MEMO[key] = (D.cluster_keep(docs, "doc_id", "n_chars", cc)
                            .localCheckpoint())
@@ -968,8 +1000,7 @@ def dedup_minhash_verified(spark: SparkSession, sf: str) -> DataFrame:
     production default; this proves the permutation/min algebra).
     Exploded to (doc_id, perm, sig) scalars for the driver compare."""
     docs = load(spark, sf, "documents")["documents"]
-    sigs = D.minhash_signatures(docs, "doc_id", "text", num_perm=16,
-                                base_hash="md5")
+    sigs = _minhash_sigs(spark, docs, sf, num_perm=16, base_hash="md5")
     return sigs.select(
         "doc_id", F.posexplode("minhash").alias("perm", "sig"))
 
@@ -982,7 +1013,9 @@ def minhash_est_error(spark: SparkSession, sf: str) -> DataFrame:
     algebra and shingle sets both engine-recomputable (md5 base
     hash), so the error numbers themselves are hash-verified."""
     docs = load(spark, sf, "documents")["documents"]
-    return D.minhash_est_error(docs, "doc_id", "text", num_perm=16)
+    return D.minhash_est_error(
+        docs, "doc_id", "text", num_perm=16,
+        sigs=_minhash_sigs(spark, docs, sf, num_perm=16, base_hash="md5"))
 
 
 def zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
@@ -1068,8 +1101,7 @@ def lsh_vs_edit_eval(spark: SparkSession, sf: str) -> DataFrame:
     3-row explode + one tiny agg."""
     docs = load(spark, sf, "documents")["documents"]
     ed = D.edit_distance_pairs(docs, "doc_id", "text")
-    sigs = D.minhash_signatures(docs, "doc_id", "text", num_perm=16,
-                                base_hash="md5")
+    sigs = _minhash_sigs(spark, docs, sf, num_perm=16, base_hash="md5")
     bk = D.band_keys(sigs, "doc_id", bands=4, rows_per_band=4)
     a, b = bk.alias("a"), bk.alias("b")
     pred = (a.join(b, ["band", "band_key"])
@@ -1302,7 +1334,8 @@ def minhash_band_sweep(spark: SparkSession, sf: str) -> DataFrame:
     XXH64-in-SQL signature replay + slice-equality band candidates +
     the list_intersect exact-Jaccard twin."""
     docs = load(spark, sf, "documents")["documents"]
-    return D.minhash_band_sweep(docs, "doc_id", "text", num_perm=32)
+    return D.minhash_band_sweep(docs, "doc_id", "text", num_perm=32,
+                                sigs=_minhash_sigs(spark, docs, sf))
 
 
 def dedup_simhash_verified(spark: SparkSession, sf: str) -> DataFrame:
