@@ -1416,7 +1416,9 @@ def minhash_band_sweep(df: "DataFrame", id_col: str, text_col: str,
                        band_list: "tuple[int, ...]" = (2, 4, 8, 16),
                        threshold: float = 0.5,
                        max_df: "int | None" = 50,
-                       sigs: "DataFrame | None" = None) -> "DataFrame":
+                       sigs: "DataFrame | None" = None,
+                       pair_counts: "DataFrame | None" = None
+                       ) -> "DataFrame":
     """LSH band-tuning curve (MMDS ch.3 S-curve, MEASURED) — the
     text-side twin of the ANN n_probe sweep: for each candidate
     banding (b, r = num_perm/b) of ONE shared signature frame, the
@@ -1440,8 +1442,13 @@ def minhash_band_sweep(df: "DataFrame", id_col: str, text_col: str,
     if sigs is None:
         sigs = minhash_signatures(df, id_col, text_col, num_perm) \
             .localCheckpoint(eager=False)
+    # pair_counts: an already-mined _ngram_pair_counts frame at the
+    # SAME (n=3, max_df, default budget) — the ground-truth mining is
+    # the sweep's expensive half and several session consumers run it
+    # identically
     truth = (ngram_jaccard_pairs(df, id_col, text_col, n=3,
-                                 threshold=threshold, max_df=max_df)
+                                 threshold=threshold, max_df=max_df,
+                                 pair_counts=pair_counts)
              .select("id_a", "id_b", F.lit(1).alias("_t"))
              .localCheckpoint(eager=False))
     total = truth.agg(F.count("*").alias("n_true_total"))

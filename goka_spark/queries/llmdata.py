@@ -415,6 +415,9 @@ def warm_graph_artifacts(spark: SparkSession, sf: str) -> None:
     # (dedup_minhash_verified / minhash_est_error / lsh_vs_edit_eval)
     _minhash_sigs(spark, docs, sf).count()
     _minhash_sigs(spark, docs, sf, num_perm=16, base_hash="md5").count()
+    # the winnow→Levenshtein verdict frame (edit_distance_pairs /
+    # lsh_vs_edit_eval / text_vs_embedding_consistency share it)
+    _edit_pairs(spark, docs, sf).count()
 
 
 def unigram_token_count(spark: SparkSession, sf: str) -> DataFrame:
@@ -927,6 +930,25 @@ def _minhash_sigs(spark: SparkSession, docs: DataFrame, sf: str,
     return _MINHASH_SIG_MEMO[key]
 
 
+#: the winnow-candidate edit-distance verdict frame (C158's output)
+#: at the corpus-standard (k=3, w=4, min_shared=2, max_dist=512):
+#: three consumers run it identically — the edit_distance_pairs
+#: query itself, lsh_vs_edit_eval's label side, and
+#: text_vs_embedding_consistency's pair frame.  The winnowing
+#: candidate mining + per-pair Levenshtein is the expensive half of
+#: all three.
+_EDIT_PAIRS_MEMO: dict = {}
+
+
+def _edit_pairs(spark: SparkSession, docs: DataFrame,
+                sf: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _EDIT_PAIRS_MEMO:
+        _EDIT_PAIRS_MEMO[key] = D.edit_distance_pairs(
+            docs, "doc_id", "text").localCheckpoint(eager=False)
+    return _EDIT_PAIRS_MEMO[key]
+
+
 def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup CLUSTERS, not just pairs: connected components over
     the ngram-Jaccard pair graph, min doc_id as the cluster
@@ -1100,7 +1122,7 @@ def lsh_vs_edit_eval(spark: SparkSession, sf: str) -> DataFrame:
     postings, never all-pairs); one left join on the pair key + a
     3-row explode + one tiny agg."""
     docs = load(spark, sf, "documents")["documents"]
-    ed = D.edit_distance_pairs(docs, "doc_id", "text")
+    ed = _edit_pairs(spark, docs, sf)
     sigs = _minhash_sigs(spark, docs, sf, num_perm=16, base_hash="md5")
     bk = D.band_keys(sigs, "doc_id", bands=4, rows_per_band=4)
     a, b = bk.alias("a"), bk.alias("b")
@@ -1251,7 +1273,7 @@ def edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
     within the cap (values above the cap are filtered in BOTH
     engines, so the −1 fast-path never reaches the compare)."""
     docs = load(spark, sf, "documents")["documents"]
-    return D.edit_distance_pairs(docs, "doc_id", "text")
+    return _edit_pairs(spark, docs, sf)
 
 
 def embedding_split_audit(spark: SparkSession, sf: str) -> DataFrame:
@@ -1335,7 +1357,8 @@ def minhash_band_sweep(spark: SparkSession, sf: str) -> DataFrame:
     the list_intersect exact-Jaccard twin."""
     docs = load(spark, sf, "documents")["documents"]
     return D.minhash_band_sweep(docs, "doc_id", "text", num_perm=32,
-                                sigs=_minhash_sigs(spark, docs, sf))
+                                sigs=_minhash_sigs(spark, docs, sf),
+                                pair_counts=_pair_counts(spark, docs, sf))
 
 
 def dedup_simhash_verified(spark: SparkSession, sf: str) -> DataFrame:
@@ -6693,7 +6716,7 @@ def text_vs_embedding_consistency(spark: SparkSession, sf: str) -> DataFrame:
     winnow-bounded; two id joins + one hash-agg."""
     t = load(spark, sf, "documents", "embeddings")
     docs, emb = t["documents"], t["embeddings"]
-    ed = D.edit_distance_pairs(docs, "doc_id", "text")
+    ed = _edit_pairs(spark, docs, sf)
     v = S._normalized(emb.select(F.col("vec_id").alias("_id"),
                                  F.col("embedding")),
                       "_id", F.col("embedding"))
