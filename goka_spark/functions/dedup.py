@@ -1530,7 +1530,8 @@ def simhash_hamming_histogram(df: "DataFrame", id_col: str,
 
 
 def winnow_fingerprints(df: "DataFrame", id_col: str, text_col: str,
-                        k: int = 3, w: int = 4) -> "DataFrame":
+                        k: int = 3, w: int = 4,
+                        keys: "DataFrame | None" = None) -> "DataFrame":
     """Winnowing document fingerprints (Schleimer, Wilkerson &
     Aiken 2003 — the MOSS local fingerprinting algorithm): hash every
     positional word ``k``-gram, slide a window of ``w`` consecutive
@@ -1551,8 +1552,13 @@ def winnow_fingerprints(df: "DataFrame", id_col: str, text_col: str,
 
     Scale shape: pure scan-stage Columns — per-doc O(len·w) work,
     ZERO shuffle; the fingerprint string is the join key downstream
-    overlap detectors explode on."""
-    d2 = _winnow_keys(df, id_col, text_col, k, w)
+    overlap detectors explode on.  ``keys`` injects a pre-built
+    :func:`_winnow_keys` frame for the SAME (k, w) — the keys build
+    is the whole cost and four session consumers run it identically
+    (fingerprints, overlap pairs, the edit verify, the (3,4) sweep
+    cell)."""
+    d2 = keys if keys is not None \
+        else _winnow_keys(df, id_col, text_col, k, w)
     fps = F.array_join(F.transform(
         F.col("_ks"), lambda kk: F.concat(
             (kk / F.lit(4294967296)).cast("long").cast("string"),
@@ -1603,7 +1609,8 @@ def _winnow_keys(df: "DataFrame", id_col: str, text_col: str,
 
 def winnow_overlap_pairs(df: "DataFrame", id_col: str, text_col: str,
                          k: int = 3, w: int = 4,
-                         min_shared: int = 2) -> "DataFrame":
+                         min_shared: int = 2,
+                         keys: "DataFrame | None" = None) -> "DataFrame":
     """Document-overlap pairs via winnowing — the MOSS detector
     itself: docs sharing ≥ ``min_shared`` selected fingerprint
     HASHES (position-independent, so moved/quoted passages still
@@ -1626,7 +1633,8 @@ def winnow_overlap_pairs(df: "DataFrame", id_col: str, text_col: str,
     # 2 s at sf0.001).  _ks is never empty, so outer adds no rows;
     # min_shared already rejects the single-''-gram pairs empty docs
     # would contribute.
-    kf = _winnow_keys(_fan_out(df), id_col, text_col, k, w)
+    kf = keys if keys is not None \
+        else _winnow_keys(_fan_out(df), id_col, text_col, k, w)
     posts = (kf.select(F.col(id_col).alias("doc"),
                        F.explode_outer("_ks").alias("_k"))
              .select("doc",
@@ -1652,7 +1660,8 @@ def winnow_overlap_pairs(df: "DataFrame", id_col: str, text_col: str,
 
 def edit_distance_pairs(df: "DataFrame", id_col: str, text_col: str,
                         k: int = 3, w: int = 4, min_shared: int = 2,
-                        max_dist: int = 512) -> "DataFrame":
+                        max_dist: int = 512,
+                        keys: "DataFrame | None" = None) -> "DataFrame":
     """Exact EDIT-DISTANCE verification of winnowing candidates —
     the character-level near-dup verdict the token-set metrics
     (Jaccard, containment) cannot give: Levenshtein counts the
@@ -1675,7 +1684,8 @@ def edit_distance_pairs(df: "DataFrame", id_col: str, text_col: str,
     # whole verify (measured 13 s for 8k pairs with 32 idle cores).
     # _fan_out is a no-op on a real many-file corpus.
     df = _fan_out(df)
-    cand = winnow_overlap_pairs(df, id_col, text_col, k, w, min_shared)
+    cand = winnow_overlap_pairs(df, id_col, text_col, k, w, min_shared,
+                                keys=keys)
     ta = df.select(F.col(id_col).alias("id_a"),
                    F.col(text_col).alias("_ta"))
     tb = df.select(F.col(id_col).alias("id_b"),

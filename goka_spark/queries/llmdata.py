@@ -415,8 +415,12 @@ def warm_graph_artifacts(spark: SparkSession, sf: str) -> None:
     # (dedup_minhash_verified / minhash_est_error / lsh_vs_edit_eval)
     _minhash_sigs(spark, docs, sf).count()
     _minhash_sigs(spark, docs, sf, num_perm=16, base_hash="md5").count()
-    # the winnow→Levenshtein verdict frame (edit_distance_pairs /
-    # lsh_vs_edit_eval / text_vs_embedding_consistency share it)
+    # the (3,4) winnowing keys frame (fingerprints / overlap pairs /
+    # edit verify / the param sweep's (3,4) cell), then the
+    # winnow→Levenshtein verdict frame built over it
+    # (edit_distance_pairs / lsh_vs_edit_eval /
+    # text_vs_embedding_consistency share it)
+    _winnow_kf(spark, docs, sf).count()
     _edit_pairs(spark, docs, sf).count()
 
 
@@ -945,8 +949,27 @@ def _edit_pairs(spark: SparkSession, docs: DataFrame,
     key = (spark.sparkContext.applicationId, sf)
     if key not in _EDIT_PAIRS_MEMO:
         _EDIT_PAIRS_MEMO[key] = D.edit_distance_pairs(
-            docs, "doc_id", "text").localCheckpoint(eager=False)
+            docs, "doc_id", "text",
+            keys=_winnow_kf(spark, docs, sf)).localCheckpoint(eager=False)
     return _EDIT_PAIRS_MEMO[key]
+
+
+#: the (k=3, w=4) winnowing keys frame — the per-doc O(len·w) md5
+#: selection pass is the whole cost of winnow_fingerprints and the
+#: candidate-mining half of winnow_overlap_pairs / the edit verify /
+#: winnow_param_sweep's (3,4) cell.  Pure scan-stage algebra, so the
+#: memoized frame is value-identical by construction.
+_WINNOW_KEYS_MEMO: dict = {}
+
+
+def _winnow_kf(spark: SparkSession, docs: DataFrame,
+               sf: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _WINNOW_KEYS_MEMO:
+        _WINNOW_KEYS_MEMO[key] = D._winnow_keys(
+            D._fan_out(docs), "doc_id", "text", 3, 4
+        ).localCheckpoint(eager=False)
+    return _WINNOW_KEYS_MEMO[key]
 
 
 def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
@@ -1092,7 +1115,8 @@ def winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     positional argmin derived by reverse-position — no fold), so the
     full fingerprint string hash-verifies."""
     docs = load(spark, sf, "documents")["documents"]
-    return D.winnow_fingerprints(docs, "doc_id", "text")
+    return D.winnow_fingerprints(docs, "doc_id", "text",
+                                 keys=_winnow_kf(spark, docs, sf))
 
 
 def winnow_overlap_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -1101,7 +1125,8 @@ def winnow_overlap_pairs(spark: SparkSession, sf: str) -> DataFrame:
     never missed (the selection guarantee), on a ~2/(w+1)-sized
     posting list; inverted-index equi-join, never all-pairs."""
     docs = load(spark, sf, "documents")["documents"]
-    return D.winnow_overlap_pairs(docs, "doc_id", "text")
+    return D.winnow_overlap_pairs(docs, "doc_id", "text",
+                                  keys=_winnow_kf(spark, docs, sf))
 
 
 def lsh_vs_edit_eval(spark: SparkSession, sf: str) -> DataFrame:
@@ -6375,7 +6400,8 @@ def winnow_param_sweep(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")["documents"]
     outs = []
     for k, w in _WINNOW_PARAMS:
-        kf = D._winnow_keys(D._fan_out(docs), "doc_id", "text", k, w)
+        kf = _winnow_kf(spark, docs, sf) if (k, w) == (3, 4) \
+            else D._winnow_keys(D._fan_out(docs), "doc_id", "text", k, w)
         posts = (kf.select(F.col("doc_id").alias("doc"),
                            F.explode_outer("_ks").alias("_k"))
                  .select("doc",
