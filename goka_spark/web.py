@@ -158,6 +158,10 @@ class MonitorServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            _NAV = ("<p><a href='/ui'>index</a> | "
+                    "<a href='/ui/query'>query</a> | "
+                    "<a href='/ui/actions'>actions</a></p>")
+
             def _ui(self, parts: list[str]) -> None:
                 esc = _html_mod.escape
                 if len(parts) == 1:  # /ui — index page
@@ -165,20 +169,24 @@ class MonitorServer:
                         f"<li><a href='/ui/processor/{esc(n)}'>{esc(n)}"
                         "</a></li>" for n in sorted(outer._processors))
                     views = "".join(
-                        f"<li>{esc(n)} — query at /query/{esc(n)}/&lt;key&gt;"
+                        f"<li><a href='/ui/query/{esc(n)}'>{esc(n)}</a>"
+                        f" — query at /query/{esc(n)}/&lt;key&gt;"
                         "</li>" for n in sorted(outer._views))
                     srcs = "".join(
-                        f"<li>{esc(n)} — query at /query/{esc(n)}/&lt;key&gt;"
+                        f"<li><a href='/ui/query/{esc(n)}'>{esc(n)}</a>"
+                        f" — query at /query/{esc(n)}/&lt;key&gt;"
                         "</li>" for n in sorted(outer._sources)
                         if n not in outer._views)
                     vstates = "".join(
-                        f"<li>{esc(n)} — "
+                        f"<li><a href='/ui/view-state/{esc(n)}'>{esc(n)}"
+                        "</a> — "
                         f"{esc(t.state_dict()['state'])}"
                         f"{' (recovered)' if t.state_dict()['recovered'] else ''}"
                         f" — JSON at /data/view-state/{esc(n)}</li>"
                         for n, (t, _) in sorted(outer._view_states.items()))
                     self._page(
                         "goka_spark monitor",
+                        self._NAV +
                         f"<h2>Processors</h2><ul>{procs or '<li>none</li>'}"
                         f"</ul><h2>Views</h2>"
                         f"<ul>{views or '<li>none</li>'}</ul>"
@@ -198,11 +206,115 @@ class MonitorServer:
                         for k, v in processor_stats(res).items())
                     self._page(
                         f"processor {parts[2]}",
-                        "<p><a href='/ui'>&larr; index</a></p>"
+                        self._NAV +
+                        f"<table><tr><th>stat</th><th>value</th></tr>"
+                        f"{rows}</table>")
+                elif parts[1] == "query":
+                    self._ui_query(parts[2:])
+                elif parts[1] == "actions" and len(parts) == 2:
+                    self._ui_actions()
+                elif parts[1] == "view-state" and len(parts) == 3:
+                    pair = outer._view_states.get(parts[2])
+                    if pair is None:
+                        self._page("unknown view", "<p>not attached</p>",
+                                   404)
+                        return
+                    tr, q = pair
+                    body = tr.state_dict()
+                    if q is not None:
+                        from goka_spark.stats import view_stats
+                        body.update(view_stats(tr, q))
+                    rows = "".join(
+                        f"<tr><td>{esc(str(k))}</td>"
+                        f"<td>{esc(str(v))}</td></tr>"
+                        for k, v in body.items())
+                    self._page(
+                        f"view {parts[2]}",
+                        self._NAV +
                         f"<table><tr><th>stat</th><th>value</th></tr>"
                         f"{rows}</table>")
                 else:
                     self._page("not found", "<p>no such page</p>", 404)
+
+            def _ui_query(self, rest: list[str]) -> None:
+                """Server-rendered query page — the analog of the
+                reference's web/templates/query/index.go.html: pick a
+                source, type a key, see the value (or an explicit
+                not-found panel).  The form is plain GET navigation,
+                no scripts."""
+                esc = _html_mod.escape
+                sources = sorted(outer._sources)
+                selected = rest[0] if rest else \
+                    (sources[0] if sources else None)
+                if selected is not None and selected not in outer._sources:
+                    self._page("unknown source", "<p>not attached</p>", 404)
+                    return
+                links = " | ".join(
+                    f"<a href='/ui/query/{esc(n)}'>{esc(n)}</a>"
+                    for n in sources)
+                if selected is None:
+                    self._page("query", self._NAV +
+                               "<p>No sources attached — did you forget "
+                               "to attach them?</p>")
+                    return
+                form = (
+                    f"<p>Sources: {links}</p>"
+                    f"<form method='get' action='/ui/query/{esc(selected)}'>"
+                    f"<input name='key' required> "
+                    f"<button type='submit'>Search {esc(selected)}"
+                    "</button></form>")
+                key = None
+                q = urlparse(self.path).query
+                if q:
+                    from urllib.parse import parse_qs
+                    key = (parse_qs(q).get("key") or [None])[0]
+                elif len(rest) >= 2:
+                    key = "/".join(rest[1:])   # {key:.*} in goka
+                panel = ""
+                if key is not None:
+                    val = outer._sources[selected](key)
+                    if val is None:
+                        panel = (f"<hr><p><strong>{esc(key)}</strong>: "
+                                 "key not found</p>")
+                    else:
+                        panel = (f"<hr><h3>{esc(key)}</h3><pre>"
+                                 f"{esc(json.dumps(val, indent=1, default=str))}"
+                                 "</pre>")
+                self._page(f"query {selected}", self._NAV + form + panel)
+
+            def _ui_actions(self) -> None:
+                """Actions table with start/stop forms — the analog of
+                web/templates/actions/index.go.html over the same
+                POST /actions/{start,stop}/<name> endpoints the JSON
+                clients use (server.go:47 startAction/stopAction)."""
+                esc = _html_mod.escape
+                rows = []
+                for n, a in sorted(outer._actions.items()):
+                    st = a.state()
+                    if st["running"]:
+                        ctl = (f"<form method='post' "
+                               f"action='/ui/actions/stop/{esc(n)}'>"
+                               "<button type='submit'>Stop</button></form>")
+                    else:
+                        ctl = (f"<form method='post' "
+                               f"action='/ui/actions/start/{esc(n)}'>"
+                               "<input name='value' "
+                               "placeholder='optional value'> "
+                               "<button type='submit'>Start</button></form>")
+                    rows.append(
+                        f"<tr><td>{esc(n)}<br><small>"
+                        f"{esc(st['description'] or '')}</small></td>"
+                        f"<td>{'running' if st['running'] else 'not running'}"
+                        f"</td><td>Started: {esc(str(st['started']))}<br>"
+                        f"Finished: {esc(str(st['finished']))}</td>"
+                        f"<td>{esc(str(st['error'] or ''))}</td>"
+                        f"<td>{ctl}</td></tr>")
+                self._page(
+                    "actions",
+                    self._NAV +
+                    "<table><tr><th>Action</th><th>Status</th>"
+                    "<th>Started/Finished</th><th>Error</th><th></th></tr>"
+                    + "".join(rows) + "</table>")
 
             def do_GET(self) -> None:
                 path = urlparse(self.path).path
@@ -267,6 +379,15 @@ class MonitorServer:
                 path = urlparse(self.path).path
                 parts = [unquote(p) for p in path.split("/") if p]
                 try:
+                    # the /ui/actions forms post urlencoded `value=`
+                    # to their own route and navigate back; the
+                    # /actions/... API contract (raw body = value,
+                    # JSON reply) is untouched
+                    is_form = (len(parts) == 4 and parts[0] == "ui"
+                               and parts[1] == "actions"
+                               and parts[2] in ("start", "stop"))
+                    if is_form:
+                        parts = parts[1:]
                     if (len(parts) == 3 and parts[0] == "actions"
                             and parts[1] in ("start", "stop")):
                         act = outer._actions.get(parts[2])
@@ -276,11 +397,21 @@ class MonitorServer:
                         if parts[1] == "start":
                             n = int(self.headers.get("Content-Length") or 0)
                             value = self.rfile.read(n).decode() if n else ""
+                            if is_form:
+                                from urllib.parse import parse_qs
+                                value = (parse_qs(value).get("value")
+                                         or [""])[0]
                             ok = act.start(value)
                             msg = None if ok else "action already running"
                         else:
                             ok = act.stop()
                             msg = None if ok else "action is not running"
+                        if is_form:
+                            self.send_response(303)
+                            self.send_header("Location", "/ui/actions")
+                            self.send_header("Content-Length", "0")
+                            self.end_headers()
+                            return
                         self._json({"action": parts[2], "ok": ok,
                                     **({"error": msg} if msg else {})},
                                    200 if ok else 409)

@@ -278,3 +278,110 @@ def test_monitor_server_streaming_control(spark, tmp_path):
         assert post("/actions/stop/ingest")["ok"]
     finally:
         srv.stop()
+
+
+def test_monitor_server_query_and_actions_pages(spark):
+    """r11: the full server-rendered UI the reference ships as
+    web/templates/{query,actions,monitor}/ — key-search form with a
+    value panel (query/index.go.html), the actions table whose forms
+    post urlencoded value= and navigate back (actions/index.go.html
+    over server.go:47's endpoints), and the view-lifecycle page."""
+    import json as _json
+    import time
+    import urllib.request
+    from urllib.error import HTTPError
+    from urllib.request import urlopen
+
+    from goka_spark import View
+    from goka_spark.web import MonitorServer
+
+    ev = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("b", 3, 3.0)],
+        "key string, ts long, value double")
+    g = define_group("mon3", input_stream("t"),
+                     persist(AggFold({"cnt": F.count("*")})))
+    r = Processor(g).run({"t": ev})
+
+    srv = MonitorServer().start()
+    try:
+        srv.attach_view("mon3-table", View(r.table))
+
+        # query landing page: source links + the form
+        page = urlopen(srv.address + "/ui/query").read().decode()
+        assert "mon3-table" in page and "<form" in page
+
+        # form submit = GET ?key=... → value panel (pretty JSON)
+        page = urlopen(
+            srv.address + "/ui/query/mon3-table?key=a").read().decode()
+        assert "<pre>" in page and "&quot;cnt&quot;: 2" in page
+        # path-style key (the /query/{key:.*} convention) renders too
+        page = urlopen(
+            srv.address + "/ui/query/mon3-table/b").read().decode()
+        assert "&quot;cnt&quot;: 1" in page
+        # missing key: explicit panel, not a 500
+        page = urlopen(
+            srv.address + "/ui/query/mon3-table?key=zz").read().decode()
+        assert "key not found" in page
+        try:
+            urlopen(srv.address + "/ui/query/nope")
+            raise AssertionError("unknown source must 404")
+        except HTTPError as e:
+            assert e.code == 404
+
+        # actions page: the built-in drop-view actor renders with a
+        # start form; posting the form (urlencoded value=) runs it and
+        # 303s back to the page
+        page = urlopen(srv.address + "/ui/actions").read().decode()
+        assert "drop-view" in page and "name='value'" in page
+        req = urllib.request.Request(
+            srv.address + "/ui/actions/start/drop-view",
+            data=b"value=mon3-table",
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+            method="POST")
+        with urlopen(req) as resp:   # urllib follows the 303 to /ui
+            assert resp.status == 200
+            assert "Action" in resp.read().decode()
+        time.sleep(0.3)
+        # the actor consumed the FORM-DECODED value: source detached
+        idx = _json.load(urlopen(srv.address + "/"))
+        assert "mon3-table" not in idx["sources"]
+        # API clients still get the raw-body JSON contract
+        req = urllib.request.Request(
+            srv.address + "/actions/stop/drop-view", method="POST")
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("stop-idle must stay a JSON 409")
+        except HTTPError as e:
+            assert e.code == 409
+            assert _json.load(e)["error"] == "action is not running"
+    finally:
+        srv.stop()
+
+
+def test_monitor_server_view_state_page():
+    """r11: /ui/view-state/<name> renders the lifecycle dict
+    (details_view.go.html analog) the JSON endpoint serves."""
+    from urllib.error import HTTPError
+    from urllib.request import urlopen
+
+    from goka_spark.web import MonitorServer
+
+    class FakeTracker:
+        def state_dict(self):
+            return {"state": "Running", "state_id": 4, "recovered": True}
+
+    srv = MonitorServer().start()
+    try:
+        srv.attach_view_state("lifeview", FakeTracker())
+        idx = urlopen(srv.address + "/ui").read().decode()
+        assert "/ui/view-state/lifeview" in idx
+        page = urlopen(srv.address + "/ui/view-state/lifeview") \
+            .read().decode()
+        assert "Running" in page and "recovered" in page
+        try:
+            urlopen(srv.address + "/ui/view-state/nope")
+            raise AssertionError("unknown view must 404")
+        except HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.stop()
