@@ -57,14 +57,14 @@ from __future__ import annotations
 
 import gzip as _gzip
 import io
-
-from goka_spark import snappy_codec as _snappy
 import socket
 import struct
 import threading
 import time
 from dataclasses import dataclass, field
 from typing import Optional
+
+from goka_spark import snappy_codec as _snappy
 
 # ---------------------------------------------------------------------------
 # CRC32C (Castagnoli, reflected poly 0x82F63B78) — required by
