@@ -24,10 +24,13 @@ via the ApiVersions handshake (modern-first with KIP-511 downgrade):
   OFFSET_NEWEST (high watermark) / timestamp lookup — sarama
   client.GetOffset, what goka's topic_manager.go:131 GetOffset and
   partition_table.go:243 findOffsetToLoad resume clamp call
-- RecordBatch compression: gzip (stdlib) and snappy (xerial framing
-  + block format, pure-Python goka_spark/snappy_codec.py)
-  encode+decode via the attributes codec bits; lz4/zstd arrive as a
-  typed UnsupportedCodecError (no codec libraries in this container)
+- RecordBatch compression: gzip (stdlib), snappy (xerial framing +
+  block format, pure-Python goka_spark/snappy_codec.py) and lz4
+  (standard frame + block format with XXH32 checksums, pure-Python
+  goka_spark/lz4_codec.py) encode+decode via the attributes codec
+  bits; zstd arrives as a typed UnsupportedCodecError (no codec
+  library in this container, and its format is not reasonably
+  reimplementable)
 - Consumer-group membership at fixed sarama-era versions:
   FindCoordinator v0 / JoinGroup v0 / SyncGroup v0 / Heartbeat v0 /
   LeaveGroup v0 / OffsetCommit v2 (generation-fenced) /
@@ -64,6 +67,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Optional
 
+from goka_spark import lz4_codec as _lz4
 from goka_spark import snappy_codec as _snappy
 
 # ---------------------------------------------------------------------------
@@ -317,10 +321,12 @@ class Record:
 # RecordBatch v2 compression codecs (attributes bits 0-2).  gzip
 # comes from the stdlib (Kafka's gzip codec IS a standard gzip
 # stream — java.util.zip.GZIPOutputStream); snappy (xerial framing +
-# block format) is implemented from the public spec in
-# goka_spark/snappy_codec.py; lz4 (Kafka-LZ4 frame) and zstd
-# (libzstd) have no stdlib/pure-Python path here, so they raise a
-# typed error instead of producing garbage.
+# block format, goka_spark/snappy_codec.py) and lz4 (standard LZ4
+# frame + block format with XXH32, goka_spark/lz4_codec.py — the
+# broken-header-checksum variant existed only in the legacy v0/v1
+# message wrappers this client never emits) are implemented from the
+# public specs; zstd (libzstd) has no stdlib/pure-Python path here,
+# so it raises a typed error instead of producing garbage.
 CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY, CODEC_LZ4, CODEC_ZSTD = 0, 1, 2, 3, 4
 _CODEC_NAMES = {CODEC_NONE: "none", CODEC_GZIP: "gzip",
                 CODEC_SNAPPY: "snappy", CODEC_LZ4: "lz4",
@@ -330,15 +336,15 @@ _CODEC_IDS = {v: k for k, v in _CODEC_NAMES.items()}
 
 class UnsupportedCodecError(ValueError):
     """A RecordBatch arrived compressed with a codec this pure-Python
-    implementation cannot decode (lz4/zstd).  Typed so callers can
-    tell 'need a codec library' apart from wire corruption."""
+    implementation cannot decode (zstd).  Typed so callers can tell
+    'need a codec library' apart from wire corruption."""
 
     def __init__(self, codec: int) -> None:
         self.codec = codec
         super().__init__(
             f"record batch compressed with unsupported codec "
             f"{_CODEC_NAMES.get(codec, codec)!r} — only none/gzip/"
-            f"snappy are available without external libraries")
+            f"snappy/lz4 are available without external libraries")
 
 
 def encode_record_batch(base_offset: int, records: list[Record],
@@ -348,7 +354,7 @@ def encode_record_batch(base_offset: int, records: list[Record],
     ``codec=CODEC_GZIP`` the records section is compressed per the
     batch format (the header fields through recordCount stay
     uncompressed; CRC covers the final, compressed bytes)."""
-    if codec not in (CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY):
+    if codec not in (CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY, CODEC_LZ4):
         raise UnsupportedCodecError(codec)
     base_ts = records[0].timestamp
     max_ts = max(r.timestamp for r in records)
@@ -391,6 +397,8 @@ def encode_record_batch(base_offset: int, records: list[Record],
         recs_b = _gzip.compress(recs_b)
     elif codec == CODEC_SNAPPY:
         recs_b = _snappy.compress(recs_b)
+    elif codec == CODEC_LZ4:
+        recs_b = _lz4.compress(recs_b)
     body.raw(recs_b)
     body_b = body.getvalue()
     out = _Writer()
@@ -435,6 +443,8 @@ def decode_record_batches(data: bytes) -> list[Record]:
             br = _Reader(_gzip.decompress(br.raw(br.remaining())))
         elif codec == CODEC_SNAPPY:
             br = _Reader(_snappy.decompress(br.raw(br.remaining())))
+        elif codec == CODEC_LZ4:
+            br = _Reader(_lz4.decompress(br.raw(br.remaining())))
         elif codec:
             raise UnsupportedCodecError(codec)
         for _ in range(n):
@@ -936,15 +946,16 @@ class WireProducer:
     def __init__(self, brokers: list[str], max_retries: int = 3,
                  backoff: Optional[SimpleBackoff] = None,
                  compression: str = "none") -> None:
-        #: sarama config.Producer.Compression — "none", "gzip" or
-        #: "snappy" (pure-Python codecs).  lz4/zstd fail HERE, at
-        #: configuration time and before any connection is opened,
+        #: sarama config.Producer.Compression — "none", "gzip",
+        #: "snappy" or "lz4" (pure-Python codecs).  zstd fails HERE,
+        #: at configuration time and before any connection is opened,
         #: not at the first emit(): a producer that cannot send
         #: should never look healthy.
         if compression not in _CODEC_IDS:
             raise ValueError(f"unknown compression {compression!r}")
         self._codec = _CODEC_IDS[compression]
-        if self._codec not in (CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY):
+        if self._codec not in (CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY,
+                               CODEC_LZ4):
             raise UnsupportedCodecError(self._codec)
         host, port = _parse_addr(brokers[0])
         self._conn = KafkaConnection(host, port)

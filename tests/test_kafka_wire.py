@@ -1012,26 +1012,47 @@ def test_record_batch_snappy_roundtrip():
           [("h", b"x")]) for i in range(5)]
 
 
+def test_record_batch_lz4_roundtrip():
+    """lz4 batches use the standard LZ4 frame format
+    (goka_spark/lz4_codec.py, pure Python, XXH32 checksums verified);
+    header through recordCount stays uncompressed, CRC covers the
+    final compressed bytes — same layout rules as gzip/snappy."""
+    import struct as _struct
+
+    from goka_spark.kafka_wire import CODEC_LZ4
+    from goka_spark.lz4_codec import LZ4_MAGIC
+    recs = [Record(0, 1_700_000_000_000 + i, f"k{i}".encode(),
+                   (f"v{i}" * 50).encode(), [("h", b"x")])
+            for i in range(5)]
+    batch = encode_record_batch(100, recs, codec=CODEC_LZ4)
+    assert _struct.unpack(">h", batch[21:23])[0] & 0x07 == CODEC_LZ4
+    # records section @61 starts with the LZ4 frame magic
+    assert batch[61:65] == LZ4_MAGIC.to_bytes(4, "little")
+    assert len(batch) < len(encode_record_batch(100, recs))
+    got = decode_record_batches(bytes(batch))
+    assert [(r.offset, r.key, r.value, r.headers) for r in got] == \
+        [(100 + i, f"k{i}".encode(), (f"v{i}" * 50).encode(),
+          [("h", b"x")]) for i in range(5)]
+
+
 def test_unsupported_codec_typed_both_directions():
-    """lz4/zstd need external libraries: encoding refuses up front,
+    """zstd needs an external library: encoding refuses up front,
     and a batch ARRIVING with those attribute bits raises the typed
-    error (never silent garbage).  A producer configured with them
+    error (never silent garbage).  A producer configured with it
     fails at construction, before any socket is opened (a producer
     that cannot send should never look healthy)."""
     import struct as _struct
 
-    from goka_spark.kafka_wire import (CODEC_LZ4, CODEC_ZSTD,
-                                       UnsupportedCodecError, WireProducer,
-                                       crc32c)
+    from goka_spark.kafka_wire import (CODEC_ZSTD, UnsupportedCodecError,
+                                       WireProducer, crc32c)
     rec = [Record(0, 0, b"k", b"v")]
-    for codec in (CODEC_LZ4, CODEC_ZSTD):
-        with pytest.raises(UnsupportedCodecError,
-                           match="only none/gzip/snappy"):
-            encode_record_batch(0, rec, codec=codec)
+    with pytest.raises(UnsupportedCodecError,
+                       match="only none/gzip/snappy/lz4"):
+        encode_record_batch(0, rec, codec=CODEC_ZSTD)
     batch = bytearray(encode_record_batch(0, rec))
-    batch[21:23] = _struct.pack(">h", CODEC_LZ4)  # forge attributes
+    batch[21:23] = _struct.pack(">h", CODEC_ZSTD)  # forge attributes
     batch[17:21] = _struct.pack(">I", crc32c(bytes(batch[21:])))
-    with pytest.raises(UnsupportedCodecError, match="lz4"):
+    with pytest.raises(UnsupportedCodecError, match="zstd"):
         decode_record_batches(bytes(batch))
     # fail-fast: no broker listens on this address, yet the codec
     # error wins because it is raised before connecting
@@ -1108,6 +1129,32 @@ def test_produce_snappy_end_to_end(broker):
             [f"payload-{i}" for i in range(8)]
         assert dict(got[3].headers)["trace"] == b"3"
     finally:
+        cons.close()
+        prod.close()
+        tm.close()
+
+
+def test_produce_lz4_fetch_lz4_end_to_end(broker):
+    """lz4 interop both directions over the socket: an lz4-compressing
+    producer's batch decodes at the broker, and an lz4-serving fetch
+    decodes at a plain consumer (sarama CompressionLZ4 parity)."""
+    from goka_spark.kafka_wire import CODEC_LZ4
+    tm = WireTopicManager([broker.address])
+    prod = WireProducer([broker.address], compression="lz4")
+    cons = WireConsumer([broker.address])
+    try:
+        tm.ensure_stream_exists("lz", 1)
+        for i in range(6):
+            prod.emit("lz", f"k{i}", f"payload-{i}".encode(), partition=0)
+        got = cons.fetch("lz", 0, 0)
+        assert [r.value.decode() for r in got] == \
+            [f"payload-{i}" for i in range(6)]
+        broker.fetch_codec = CODEC_LZ4
+        got = cons.fetch("lz", 0, 3)
+        assert [(r.offset, r.value) for r in got] == \
+            [(i, f"payload-{i}".encode()) for i in range(3, 6)]
+    finally:
+        broker.fetch_codec = 0
         cons.close()
         prod.close()
         tm.close()
@@ -1263,10 +1310,10 @@ def test_record_batch_compressed_roundtrip_property(recs):
     """Every batch that roundtrips uncompressed roundtrips under each
     supported codec — same records, same offsets, CRC validated by
     the decoder."""
-    from goka_spark.kafka_wire import CODEC_GZIP, CODEC_SNAPPY
+    from goka_spark.kafka_wire import CODEC_GZIP, CODEC_LZ4, CODEC_SNAPPY
     records = [Record(0, ts, k, v, hs) for ts, k, v, hs in recs]
     base = 77
-    for codec in (CODEC_GZIP, CODEC_SNAPPY):
+    for codec in (CODEC_GZIP, CODEC_SNAPPY, CODEC_LZ4):
         back = decode_record_batches(
             encode_record_batch(base, records, codec=codec))
         assert len(back) == len(records)
