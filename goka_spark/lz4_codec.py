@@ -201,6 +201,15 @@ def compress(data: bytes, block_size: int = _BLOCK_SIZE) -> bytes:
 
 
 def decompress(data: bytes) -> bytes:
+    """Corruption and truncation raise ValueError, never an internal
+    IndexError (fuzz-tested)."""
+    try:
+        return _decompress_frame(data)
+    except IndexError:
+        raise ValueError("lz4: truncated input") from None
+
+
+def _decompress_frame(data: bytes) -> bytes:
     if int.from_bytes(data[:4], "little") != LZ4_MAGIC:
         raise ValueError("lz4: bad frame magic")
     flg = data[4]

@@ -151,15 +151,20 @@ def compress(data: bytes, block_size: int = _MAX_BLOCK) -> bytes:
 
 def decompress(data: bytes) -> bytes:
     """Decode an xerial-framed stream; fall back to a raw snappy
-    block when the magic is absent (pre-framing producers)."""
-    if data[:8] != XERIAL_MAGIC:
-        return _decompress_block(data)
-    pos = len(_XERIAL_HEADER)
-    out = bytearray()
-    end = len(data)
-    while pos < end:
-        ln = int.from_bytes(data[pos:pos + 4], "big")
-        pos += 4
-        out += _decompress_block(data[pos:pos + ln])
-        pos += ln
-    return bytes(out)
+    block when the magic is absent (pre-framing producers).
+    Corruption and truncation raise ValueError, never an internal
+    IndexError (fuzz-tested)."""
+    try:
+        if data[:8] != XERIAL_MAGIC:
+            return _decompress_block(data)
+        pos = len(_XERIAL_HEADER)
+        out = bytearray()
+        end = len(data)
+        while pos < end:
+            ln = int.from_bytes(data[pos:pos + 4], "big")
+            pos += 4
+            out += _decompress_block(data[pos:pos + ln])
+            pos += ln
+        return bytes(out)
+    except IndexError:
+        raise ValueError("snappy: truncated input") from None

@@ -139,3 +139,24 @@ def test_roundtrip_property(data):
 def test_roundtrip_property_compressible(text):
     data = text.encode()
     assert lz.decompress(lz.compress(data)) == data
+
+
+@given(st.data())
+@settings(max_examples=300, deadline=None)
+def test_corrupted_frames_raise_valueerror(data):
+    """Truncation/bit-flips must surface as ValueError — never an
+    internal IndexError — so the wire layer's typed-error contract
+    holds for damaged segments too."""
+    base = bytearray(lz.compress(b"hello world compressed data " * 20))
+    op = data.draw(st.integers(0, 2))
+    if op == 0:
+        del base[data.draw(st.integers(0, len(base) - 1))]
+    elif op == 1:
+        base = base[:data.draw(st.integers(0, len(base) - 1))]
+    else:
+        base[data.draw(st.integers(0, len(base) - 1))] ^= \
+            1 << data.draw(st.integers(0, 7))
+    try:
+        lz.decompress(bytes(base))  # may still decode (benign flip)
+    except ValueError:
+        pass
