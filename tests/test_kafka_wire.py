@@ -1344,21 +1344,26 @@ def test_truncate_before_clamps_to_high_watermark(broker):
         tm.close()
 
 
-def test_poll_group_records_with_gzip_broker(spark, broker):
-    """The full processor transport loop decodes gzip fetch responses:
-    gzip producer -> broker -> gzip-serving fetch -> group member ->
-    Spark wire frame."""
-    from goka_spark.kafka_wire import CODEC_GZIP, WireGroupMember
+@pytest.mark.parametrize("codec_name", ["gzip", "snappy", "lz4"])
+def test_poll_group_records_with_compressed_broker(spark, broker,
+                                                   codec_name):
+    """The full processor transport loop decodes compressed fetch
+    responses under every supported codec: compressing producer ->
+    broker -> codec-serving fetch -> group member -> Spark wire
+    frame (a real mixed-codec cluster serves whatever the segment
+    holds)."""
+    from goka_spark.kafka_wire import _CODEC_IDS, WireGroupMember
     from goka_spark.sources import poll_group_records
     tm = WireTopicManager([broker.address])
-    prod = WireProducer([broker.address], compression="gzip")
+    prod = WireProducer([broker.address], compression=codec_name)
     cons = WireConsumer([broker.address])
-    tm.ensure_stream_exists("gzp", 2)
+    topic = f"cp-{codec_name}"
+    tm.ensure_stream_exists(topic, 2)
     for i in range(8):
-        prod.emit("gzp", f"user-{i % 3}", f"v{i}".encode(),
+        prod.emit(topic, f"user-{i % 3}", f"v{i}".encode(),
                   headers={"n": str(i).encode()})
-    broker.fetch_codec = CODEC_GZIP
-    m = WireGroupMember([broker.address], "grp-gzp", ["gzp"])
+    broker.fetch_codec = _CODEC_IDS[codec_name]
+    m = WireGroupMember([broker.address], f"grp-{topic}", [topic])
     try:
         m.join()
         frame, nxt = poll_group_records(spark, m, cons)
