@@ -133,8 +133,13 @@ def _compress_block(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _decompress_block(data: bytes) -> bytes:
-    out = bytearray()
+def _decompress_block(data: bytes, history: bytes = b"") -> bytes:
+    """One block.  ``history`` is the trailing window of previously
+    decompressed frame output (≤64 KiB): in block-LINKED frames — the
+    lz4frame default, emitted by e.g. librdkafka for records sections
+    larger than one block — match offsets may reach back into it."""
+    out = bytearray(history)
+    skip = len(history)
     pos = 0
     end = len(data)
     while pos < end:
@@ -173,15 +178,27 @@ def _decompress_block(data: bytes) -> bytes:
         else:  # overlapping match: repeat the trailing pattern
             for _ in range(mlen):
                 out.append(out[-off])
-    return bytes(out)
+    return bytes(out[skip:])
 
 
 def compress(data: bytes, block_size: int = _BLOCK_SIZE) -> bytes:
     """Standard LZ4 frame: version 01, independent blocks, content
     checksum; blocks that would expand are stored uncompressed (the
-    high bit of the block size, per the frame spec)."""
+    high bit of the block size, per the frame spec).  The BD block-
+    max-size code is derived from ``block_size`` (codes 4-7 = 64 KiB
+    … 4 MiB) so the declared maximum always covers the blocks
+    actually emitted — strict decoders (lz4-java, lz4frame) reject
+    frames whose blocks exceed the declared max."""
+    for code, cap in ((4, 1 << 16), (5, 1 << 18), (6, 1 << 20),
+                      (7, 1 << 22)):
+        if block_size <= cap:
+            break
+    else:
+        raise ValueError(
+            f"lz4: block_size {block_size} exceeds the frame-format "
+            "maximum of 4 MiB")
     flg = 0b01100100          # version 01, B.Indep, C.Checksum
-    bd = 0b01000000           # block max size code 4 (64 KiB)
+    bd = code << 4
     header = bytes([flg, bd])
     out = bytearray(LZ4_MAGIC.to_bytes(4, "little"))
     out += header
@@ -215,6 +232,7 @@ def _decompress_frame(data: bytes) -> bytes:
     flg = data[4]
     if flg >> 6 != 0b01:
         raise ValueError(f"lz4: unsupported frame version {flg >> 6}")
+    b_indep = bool(flg & 0x20)
     b_checksum = bool(flg & 0x10)
     c_size = bool(flg & 0x08)
     c_checksum = bool(flg & 0x04)
@@ -241,7 +259,11 @@ def _decompress_frame(data: bytes) -> bytes:
             pos += 4
             if xxh32(blk) != want:
                 raise ValueError("lz4: block checksum mismatch")
-        out += blk if stored else _decompress_block(blk)
+        if stored:
+            out += blk
+        else:
+            history = b"" if b_indep else bytes(out[-65536:])
+            out += _decompress_block(blk, history)
     if c_checksum:
         want = int.from_bytes(data[pos:pos + 4], "little")
         if xxh32(bytes(out)) != want:

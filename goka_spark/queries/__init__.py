@@ -12,71 +12,22 @@ from goka_spark.queries import analytics, core, llmdata
 # entries and stops.  Rotate per round so no key's driver row goes
 # >2 rounds stale.
 _FRONT = [
-    # Round 11 rotation (r10 verdict ask #1): close the certification
-    # backlog completely.  Slots 1-22 = the last 22 never-certified
-    # keys (21 oracle-bearing + the rows-only approx-distinct builtin
-    # twin); slots 23-50 = the oldest r6-stale vintage.  After this
-    # round every registry key has a driver CORRECTNESS row and the
-    # oldest vintage is r6 on only 16 keys (queued first for r12).
-    # All 50 were pre-verified at sf0.1 (one scale above the driver's
-    # gate) before this rotation was staged, and re-verified at
-    # sf0.01 this round before commit (tools/verify_local.py).
-    # (a) the 22 never-certified keys
-    "user_active_time",
-    "seasonality_profile",
-    "cohort_ltv_curve",
-    "new_vs_returning",
-    "source_domain_diversity",
-    "hourly_session_concurrency",
-    "weekly_growth",
-    "token_burstiness",
-    "vocab_coverage_curve",
-    "type_mix_drift",
-    "engagement_mix_by_decile",
-    "error_impact",
-    "daily_arpu",
-    "readability_fre",
-    "encoding_anomalies",
-    "hapax_ratio",
-    "gate_bias_by_length",
-    "curriculum_phases",
-    "image_contrast_score",
-    "wav_headroom",
-    "source_health_report",
-    "approx_distinct_users_builtin",
-    # (b) 28 r6-stale keys (oldest driver rows; several were
-    # refactored since r6 — memoized pair-counts/gate-signal cores)
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ngram_jaccard_auto",
-    "ngram_containment_pairs",
-    "minhash_containment_est",
-    "dup_span_extract",
-    "dup_span_remove",
-    "dedup_incremental",
-    "bloom_decontaminate",
-    "near_decontaminate",
-    "blocklist_filter",
-    "common_ngrams",
-    "cluster_balanced_sample",
-    "corpus_split",
-    "corpus_shuffle",
-    "corpus_domain_mix",
-    "corpus_weighted_sample",
-    "corpus_stats",
-    "source_overlap_matrix",
-    "doc_entropy",
-    "decontaminate_spans",
-    "decontaminate_span_remove",
-    "nb_quality_classify",
-    "vocab_coverage",
-    "perplexity_buckets",
-    "line_quality_filter",
-    "proc_count_per_key",
-    "proc_agg_state",
-    # ---- 50-slot cap reached.  Best-effort tail: (c) the 16
-    # remaining r6-stale keys so any extra driver slots refresh the
-    # oldest rows first (these lead the r12 front).
+    # Round 12 rotation (r11 verdict asks #1 + #2).  The registry is
+    # fully certified (268/268 after r11), so rotation is now pure
+    # vintage refresh plus freeze-lift growth:
+    #   slots 1-2   = the 2 r4-vintage rows-only keys (oldest rows in
+    #                 the CORRECTNESS file);
+    #   slots 3-18  = the 16 r6-stale keys (pre-verified at sf0.1 on
+    #                 the r11 tree before this rotation was staged);
+    #   slots 19-25 = the 7 oldest r7-vintage keys;
+    #   slots 26-50 = this round's NEW keys (freeze lifted per the
+    #                 r11 verdict), each landed only after
+    #                 sf0.001+sf0.01 oracle verification; r7-vintage
+    #                 keys fill any slot a new key hasn't taken yet.
+    # (a) r4 rows-only pair
+    "emitter_roundtrip",
+    "changelog_compaction",
+    # (b) the 16 r6-stale keys
     "bpe_token_count",
     "bpe_encode_docs",
     "lang_audit",
@@ -93,66 +44,64 @@ _FRONT = [
     "doc_repetition",
     "embedding_pq_ann",
     "embedding_ivf_pq_ann",
-    # (d) the r10-certified vintage (freshest rows; lowest priority)
-    "seasonal_anomalies",
-    "edit_distance_pairs",
-    "lsh_vs_edit_eval",
-    "stickiness_hll",
-    "peak_concurrency",
-    "image_wht_near_pairs",
-    "lm_backoff_score",
-    "lm_heldout_eval",
-    "winnow_param_sweep",
-    "dedup_deletion_audit",
-    "user_activity_deciles",
-    "revenue_gini",
-    "activity_gini",
-    "url_normalize",
-    "url_domain_stats",
-    "host_cap_sample",
-    "dedup_url_keep",
-    "session_funnel",
-    "growth_accounting",
-    # (b) remaining never-certified keys with non-trivial oracle
-    # machinery (weighted minhash, interval weighting, path mining,
-    # CC audits, PMI/chi2/correlation, ANN recall, bloom theory)
-    "weighted_jaccard_pairs",
-    "char_ngram_lang_id",
-    "doc_lang_confidence",
-    "dedup_savings_report",
-    "ohlc_bars",
-    "time_weighted_avg",
-    "max_drawdown",
-    "user_path_topk",
-    "conversion_delay_buckets",
-    "funnel_steps_timed",
-    "activation_delay_buckets",
-    "retention_triangle",
-    "stickiness_dau_mau",
-    "rfm_segments",
-    "host_quality_report",
-    "dedup_funnel_report",
-    "volume_anomalies_robust",
-    "event_cooccurrence_lift",
-    "activation_correlates",
-    "template_prefix_clusters",
-    "skipgram_pmi_topk",
-    "dup_cluster_source_purity",
-    "sample_mix_chi2",
-    "text_vs_embedding_consistency",
-    "chain_merge_audit",
-    "tokenizer_stability",
-    "quantized_recall_eval",
-    "dup_quality_compare",
-    "bloom_fpr_calibration",
-    "pii_audit_matrix",
-    "session_depth_funnel",
+    # (c) the 7 oldest r7-vintage keys
+    "proc_latest_n",
+    "proc_fold_generic",
+    "stream_table_join",
+    "stream_lookup_join",
+    "output_stream",
+    "proc_headers_native",
+    "ngram_jaccard_prefix",
+    # (d) NEW r12 keys (inserted here as they are built + verified)
+    # (e) best-effort tail: the remaining r7 vintage, oldest rows
+    # first, so leftover slots refresh the next-stalest keys
+    "dup_ngram_coverage",
+    "tfidf_keywords",
+    "quality_gopher",
+    "multimodal_decode_ppm",
+    "multimodal_decode_wav",
+    "multimodal_frame_sample",
+    "event_rollup",
+    "event_interarrival",
+    "value_quantiles",
+    "purchase_click_attribution",
+    "dedup_clusters",
+    "benchmark_decontaminate",
+    "corpus_sample",
+    "corpus_shard_pack",
+    "dedup_minhash_verified",
+    "dedup_simhash_verified",
+    "q21_waiting_suppliers",
+    "q13_order_count_distribution",
+    "q4_order_priority",
+    "q12_ship_delay_buckets",
+    "q9_profit_by_nation_year",
+    "q16_supplier_count_by_part",
+    "q11_important_parts",
+    "q2_min_cost_supplier",
+    "q20_excess_shippers",
+    "ngram_jaccard_pairs",
+    "embedding_cosine_topk",
+    "lang_id",
+    "doc_quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "multimodal_decode",
+    "text_normalize",
+    "pii_scrub",
+    "hll_distinct_users",
+    "value_histogram_quantiles",
+    "ngram_cms_estimate",
+    "corpus_quality_pipeline",
+    "gopher_repetition",
+    "corpus_pack_sequences",
+    "ngram_novelty",
+    "embedding_hard_negatives",
+    "bpe_token_count_batched",
 ]
-# r12 rotation plan: front = section (c) — the 16 remaining r6-stale
-# keys — then the r7 vintage (the next-oldest rows).  After r11 the
-# never-certified count is 0, so rotation becomes pure vintage
-# refresh and the registry freeze can lift (~25 new keys/round fits
-# the 50-slot cap without re-growing the backlog).
+# r13 rotation plan: front = any key not certified in r12 (new keys
+# that missed the 50-slot cap), then the remaining r7 vintage (the
+# 25 keys displaced from slots 26-50 by this round's new keys).
 
 
 

@@ -85,6 +85,17 @@ def _compress_block(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _read_le(data: bytes, pos: int, nbytes: int) -> int:
+    """Bounds-checked little-endian field read: a slice that crosses
+    the end of input silently yields a SHORT value from
+    ``int.from_bytes``, which on the raw-unframed path (no checksum)
+    can misparse a truncated stream before the declared-length check
+    catches it — raise instead."""
+    if pos + nbytes > len(data):
+        raise ValueError("snappy: truncated field")
+    return int.from_bytes(data[pos:pos + nbytes], "little")
+
+
 def _decompress_block(data: bytes) -> bytes:
     total = shift = pos = 0
     while True:
@@ -104,7 +115,7 @@ def _decompress_block(data: bytes) -> bytes:
             ln = tag >> 2
             if ln >= 60:
                 nbytes = ln - 59
-                ln = int.from_bytes(data[pos:pos + nbytes], "little")
+                ln = _read_le(data, pos, nbytes)
                 pos += nbytes
             ln += 1
             if pos + ln > end:
@@ -118,11 +129,11 @@ def _decompress_block(data: bytes) -> bytes:
             pos += 1
         elif kind == _COPY_2B:
             ln = (tag >> 2) + 1
-            off = int.from_bytes(data[pos:pos + 2], "little")
+            off = _read_le(data, pos, 2)
             pos += 2
         else:
             ln = (tag >> 2) + 1
-            off = int.from_bytes(data[pos:pos + 4], "little")
+            off = _read_le(data, pos, 4)
             pos += 4
         if off == 0 or off > len(out):
             raise ValueError("snappy: copy offset out of range")
@@ -157,12 +168,18 @@ def decompress(data: bytes) -> bytes:
     try:
         if data[:8] != XERIAL_MAGIC:
             return _decompress_block(data)
+        if len(data) < len(_XERIAL_HEADER):
+            raise ValueError("snappy: truncated xerial header")
         pos = len(_XERIAL_HEADER)
         out = bytearray()
         end = len(data)
         while pos < end:
+            if pos + 4 > end:
+                raise ValueError("snappy: truncated xerial block header")
             ln = int.from_bytes(data[pos:pos + 4], "big")
             pos += 4
+            if pos + ln > end:
+                raise ValueError("snappy: truncated xerial block")
             out += _decompress_block(data[pos:pos + ln])
             pos += ln
         return bytes(out)

@@ -110,6 +110,14 @@ class MonitorServer:
     """In-process monitor/query server (web/monitor + web/query)."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        # Browser-submittable forms need CSRF protection on top of the
+        # localhost-only default bind: a per-process token embedded as
+        # a hidden field in every state-changing form and required on
+        # the /ui/actions POST routes (the raw /actions API is for
+        # non-browser clients and carries no ambient credentials).
+        import secrets
+
+        self._csrf = secrets.token_hex(16)
         self._processors: dict[str, ProcessorResult] = {}
         self._sources: dict[str, Callable[[Any], Any]] = {}
         self._views: set[str] = set()
@@ -288,16 +296,18 @@ class MonitorServer:
                 POST /actions/{start,stop}/<name> endpoints the JSON
                 clients use (server.go:47 startAction/stopAction)."""
                 esc = _html_mod.escape
+                tok = ("<input type='hidden' name='_csrf' "
+                       f"value='{outer._csrf}'>")
                 rows = []
                 for n, a in sorted(outer._actions.items()):
                     st = a.state()
                     if st["running"]:
                         ctl = (f"<form method='post' "
-                               f"action='/ui/actions/stop/{esc(n)}'>"
+                               f"action='/ui/actions/stop/{esc(n)}'>{tok}"
                                "<button type='submit'>Stop</button></form>")
                     else:
                         ctl = (f"<form method='post' "
-                               f"action='/ui/actions/start/{esc(n)}'>"
+                               f"action='/ui/actions/start/{esc(n)}'>{tok}"
                                "<input name='value' "
                                "placeholder='optional value'> "
                                "<button type='submit'>Start</button></form>")
@@ -386,8 +396,20 @@ class MonitorServer:
                     is_form = (len(parts) == 4 and parts[0] == "ui"
                                and parts[1] == "actions"
                                and parts[2] in ("start", "stop"))
+                    form = {}
                     if is_form:
                         parts = parts[1:]
+                        from urllib.parse import parse_qs
+
+                        n = int(self.headers.get("Content-Length") or 0)
+                        body = self.rfile.read(n).decode() if n else ""
+                        form = {k: v[0] for k, v in parse_qs(body).items()}
+                        if form.get("_csrf") != outer._csrf:
+                            self._page("forbidden",
+                                       "<p>missing or stale CSRF token — "
+                                       "reload <a href='/ui/actions'>the "
+                                       "actions page</a></p>", 403)
+                            return
                     if (len(parts) == 3 and parts[0] == "actions"
                             and parts[1] in ("start", "stop")):
                         act = outer._actions.get(parts[2])
@@ -395,12 +417,13 @@ class MonitorServer:
                             self._json({"error": "unknown action"}, 404)
                             return
                         if parts[1] == "start":
-                            n = int(self.headers.get("Content-Length") or 0)
-                            value = self.rfile.read(n).decode() if n else ""
                             if is_form:
-                                from urllib.parse import parse_qs
-                                value = (parse_qs(value).get("value")
-                                         or [""])[0]
+                                value = form.get("value", "")
+                            else:
+                                n = int(self.headers.get("Content-Length")
+                                        or 0)
+                                value = (self.rfile.read(n).decode()
+                                         if n else "")
                             ok = act.start(value)
                             msg = None if ok else "action already running"
                         else:

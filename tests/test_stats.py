@@ -329,13 +329,29 @@ def test_monitor_server_query_and_actions_pages(spark):
             assert e.code == 404
 
         # actions page: the built-in drop-view actor renders with a
-        # start form; posting the form (urlencoded value=) runs it and
-        # 303s back to the page
+        # start form; posting the form (urlencoded value= plus the
+        # embedded per-process CSRF token) runs it and 303s back
         page = urlopen(srv.address + "/ui/actions").read().decode()
         assert "drop-view" in page and "name='value'" in page
+        import re as _re
+
+        tok = _re.search(r"name='_csrf' value='([0-9a-f]+)'", page).group(1)
+        # a cross-site form (no token) must be refused, not executed
         req = urllib.request.Request(
             srv.address + "/ui/actions/start/drop-view",
             data=b"value=mon3-table",
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+            method="POST")
+        try:
+            urlopen(req)
+            raise AssertionError("tokenless form POST must 403")
+        except HTTPError as e:
+            assert e.code == 403
+        idx = _json.load(urlopen(srv.address + "/"))
+        assert "mon3-table" in idx["sources"]  # NOT detached
+        req = urllib.request.Request(
+            srv.address + "/ui/actions/start/drop-view",
+            data=f"value=mon3-table&_csrf={tok}".encode(),
             headers={"Content-Type": "application/x-www-form-urlencoded"},
             method="POST")
         with urlopen(req) as resp:   # urllib follows the 303 to /ui
