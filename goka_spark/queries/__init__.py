@@ -53,6 +53,14 @@ _FRONT = [
     "proc_headers_native",
     "ngram_jaccard_prefix",
     # (d) NEW r12 keys (inserted here as they are built + verified)
+    "ccnet_paragraph_dedup",
+    "paragraph_prune_text",
+    "winnow_split_contamination",
+    "domain_quality_drift",
+    "msttr_lexical_diversity",
+    "doc_lang_mix",
+    "corpus_stopword_profile",
+    "numeric_token_profile",
     # (e) best-effort tail: the remaining r7 vintage, oldest rows
     # first, so leftover slots refresh the next-stalest keys
     "dup_ngram_coverage",

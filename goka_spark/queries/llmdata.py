@@ -9175,3 +9175,505 @@ ORACLES["vocab_coverage_curve"] = f"""
            CAST(cum * 1000000 // tot AS BIGINT) AS share_e6
     FROM staged, ks WHERE rn = LEAST(k, n)
 """
+
+
+# ---------------------------------------------------------------------
+# r12 additions — the freeze-lift batch (r11 verdict ask #2)
+# ---------------------------------------------------------------------
+
+#: the shared paragraph frame: documents reshaped into deterministic
+#: 12-word paragraphs (the synthetic corpus carries no newlines — the
+#: line_dedup precedent), each normalized the CCNet way (lowercase,
+#: strip non-alphanumerics, collapse whitespace) and md5-hashed.
+#: Pure scan-stage reshape + one hash-agg for the corpus frequency.
+_PARA_WIDTH = 12
+
+
+def _paragraph_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, para, h): positional paragraphs + normalized
+    md5.  Scale shape: explode is linear in corpus words; the
+    frequency consumer adds one (h)-keyed hash-agg — the exact shape
+    CCNet runs at crawl scale (Wenzek et al. 2020)."""
+    w = _PARA_WIDTH
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    npar = F.greatest((F.size(words) + (w - 1)).cast("long") / w,
+                      F.lit(1)).cast("long")
+    paras = F.transform(
+        F.sequence(F.lit(0), npar - 1),
+        lambda i: F.array_join(F.slice(words, i * w + 1, w), " "))
+    ex = docs.select("doc_id", F.posexplode(paras))
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("col")), "[^a-z0-9 ]", ""),
+        " +", " "))
+    return ex.select(
+        "doc_id", F.col("pos").cast("long").alias("pos"),
+        F.col("col").alias("para"), F.md5(norm).alias("h"))
+
+
+_PARA_SQL = f"""
+    d AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    d2 AS (
+      SELECT doc_id, ws,
+             greatest((len(ws) + {_PARA_WIDTH - 1}) // {_PARA_WIDTH},
+                      1) AS npar
+      FROM d
+    ), paras AS (
+      SELECT doc_id,
+             UNNEST(range(0, npar)) AS pos,
+             UNNEST(list_transform(range(0, npar), i ->
+               array_to_string(
+                 ws[i * {_PARA_WIDTH} + 1 : i * {_PARA_WIDTH}
+                    + {_PARA_WIDTH}], ' '))) AS para
+      FROM d2
+    ), ph AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos, para,
+             md5(trim(regexp_replace(regexp_replace(lower(para),
+                 '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS h
+      FROM paras
+    ), pf AS (
+      SELECT h, COUNT(*) AS freq, MIN(doc_id) AS first_doc
+      FROM ph GROUP BY h
+    )
+"""
+
+
+def ccnet_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style PARAGRAPH-level duplication profile (C181, Wenzek
+    et al. 2020 §3.1): normalized-paragraph md5 hashes counted
+    corpus-wide; per doc, how many of its paragraphs are corpus
+    duplicates (freq ≥ 2) and how many are FOREIGN duplicates (a
+    lower doc_id owns the hash — the instance CCNet's first-occurrence
+    rule would drop).  Complements doc-level dedup_exact and
+    line_dedup: this is the sub-document granularity the CCNet crawl
+    pipeline actually dedups at.  Exact integers; share_e6 = dup·1e6
+    DIV n_paragraphs.  One explode + one (h) hash-agg + a broadcast-
+    sized join back — linear in corpus paragraphs at any scale."""
+    docs = load(spark, sf, "documents")["documents"]
+    ph = _paragraph_frame(docs)
+    pf = ph.groupBy("h").agg(F.count("*").alias("freq"),
+                             F.min("doc_id").alias("first_doc"))
+    j = ph.join(pf, "h")
+    return (j.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_paragraphs"),
+                 F.sum((F.col("freq") >= 2).cast("long"))
+                 .cast("long").alias("n_dup_paragraphs"),
+                 F.sum(((F.col("freq") >= 2)
+                        & (F.col("doc_id") != F.col("first_doc")))
+                       .cast("long"))
+                 .cast("long").alias("n_foreign_dup"))
+            .select("doc_id", "n_paragraphs", "n_dup_paragraphs",
+                    "n_foreign_dup",
+                    F.expr("n_dup_paragraphs * 1000000L"
+                           " DIV n_paragraphs").cast("long")
+                    .alias("dup_share_e6")))
+
+
+QUERIES["ccnet_paragraph_dedup"] = ccnet_paragraph_dedup
+
+ORACLES["ccnet_paragraph_dedup"] = f"""
+    WITH {_PARA_SQL}
+    SELECT ph.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+           CAST(SUM(CASE WHEN pf.freq >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_paragraphs,
+           CAST(SUM(CASE WHEN pf.freq >= 2
+                         AND ph.doc_id <> pf.first_doc
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_foreign_dup,
+           CAST(SUM(CASE WHEN pf.freq >= 2 THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS dup_share_e6
+    FROM ph JOIN pf USING (h)
+    GROUP BY ph.doc_id
+"""
+
+
+def paragraph_prune_text(spark: SparkSession, sf: str) -> DataFrame:
+    """The CCNet paragraph-prune TRANSFORM (C182): each paragraph
+    instance is kept iff its normalized hash is corpus-unique OR this
+    doc is the hash's first (lowest doc_id) owner — exactly one copy
+    of every duplicated paragraph survives corpus-wide.  Emits the
+    rebuilt document (kept paragraphs in original order) as an md5
+    plus kept/removed counts, so the whole reconstructed corpus is
+    hash-verified without shipping megabytes of text through the
+    compare.  Rebuild is a per-doc sort_array(collect_list(struct)) —
+    partition-local, no global sort."""
+    docs = load(spark, sf, "documents")["documents"]
+    ph = _paragraph_frame(docs)
+    pf = ph.groupBy("h").agg(F.count("*").alias("freq"),
+                             F.min("doc_id").alias("first_doc"))
+    keep = (F.col("freq") == 1) | (F.col("doc_id") == F.col("first_doc"))
+    j = ph.join(pf, "h").withColumn("_k", keep)
+    kept_paras = F.transform(
+        F.array_sort(F.collect_list(
+            F.when(F.col("_k"), F.struct("pos", "para")))),
+        lambda s: s["para"])
+    return (j.groupBy("doc_id")
+            .agg(F.count("*").alias("_n"),
+                 F.sum(F.col("_k").cast("long")).alias("_kept"),
+                 F.md5(F.array_join(kept_paras, " ")).alias("pruned_md5"))
+            .select("doc_id", F.col("_kept").cast("long").alias("n_kept"),
+                    (F.col("_n") - F.col("_kept")).cast("long")
+                    .alias("n_removed"), "pruned_md5"))
+
+
+QUERIES["paragraph_prune_text"] = paragraph_prune_text
+
+ORACLES["paragraph_prune_text"] = f"""
+    WITH {_PARA_SQL},
+    k AS (
+      SELECT ph.doc_id, ph.pos, ph.para,
+             (pf.freq = 1 OR ph.doc_id = pf.first_doc) AS keep
+      FROM ph JOIN pf USING (h)
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_removed,
+           md5(coalesce(string_agg(CASE WHEN keep THEN para END,
+                                   ' ' ORDER BY pos), ''))
+             AS pruned_md5
+    FROM k GROUP BY doc_id
+"""
+
+
+def winnow_split_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """SUBSTRING-level cross-split leak detector (C183, r11 verdict
+    ask 2b): the MOSS winnowing guarantee (any shared ≥ w+k−1-word
+    run yields an identical selected fingerprint) applied across the
+    deterministic train/eval boundary (train = doc_id % 10 < 8) —
+    the reference-free complement of split_contamination_audit
+    (doc-level) and decontaminate_spans (needs a benchmark list).
+    Per contaminated eval doc: how many train docs share ≥2
+    fingerprints, and the total/max shared counts.  Reuses the
+    session (k=3, w=4) winnow keys memo; the pair mining is the
+    certified inverted-index equi-join — never all-pairs."""
+    docs = load(spark, sf, "documents")["documents"]
+    pairs = D.winnow_overlap_pairs(docs, "doc_id", "text",
+                                   keys=_winnow_kf(spark, docs, sf))
+    is_eval_a = (F.col("id_a") % 10) >= 8
+    is_eval_b = (F.col("id_b") % 10) >= 8
+    cross = pairs.filter(is_eval_a != is_eval_b)
+    ev = F.when(is_eval_a, F.col("id_a")).otherwise(F.col("id_b"))
+    return (cross.select(ev.alias("eval_doc_id"), "shared_fp")
+            .groupBy("eval_doc_id")
+            .agg(F.count("*").cast("long").alias("n_train_partners"),
+                 F.sum("shared_fp").cast("long").alias("total_shared_fp"),
+                 F.max("shared_fp").cast("long").alias("max_shared_fp")))
+
+
+QUERIES["winnow_split_contamination"] = winnow_split_contamination
+
+ORACLES["winnow_split_contamination"] = f"""
+    WITH cand AS ({ORACLES["winnow_overlap_pairs"]})
+    SELECT CASE WHEN id_a % 10 >= 8 THEN id_a ELSE id_b END
+             AS eval_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_train_partners,
+           CAST(SUM(shared_fp) AS BIGINT) AS total_shared_fp,
+           CAST(MAX(shared_fp) AS BIGINT) AS max_shared_fp
+    FROM cand
+    WHERE (id_a % 10 >= 8) <> (id_b % 10 >= 8)
+    GROUP BY 1
+"""
+
+
+def domain_quality_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-DOMAIN quality drift between releases (C184, r11 verdict
+    ask 2c): host_quality_report's certified (host × e4-integerized
+    C8 quality) kernel split by the deterministic release half
+    (doc_id parity — the release_diff convention), emitting each
+    host's per-release doc counts, mean quality, and the drift —
+    the table a crawl owner reads to catch a domain going bad
+    between snapshots.  ONE scan (host and quality are both
+    row-local), one hash-agg with conditional sums — no join between
+    the halves."""
+    docs = load(spark, sf, "documents")["documents"]
+    from goka_spark.functions import urls as _U
+
+    host = _U.canonical_host(_U.synthetic_url(F.col("doc_id")))
+    q_e4 = F.round(T.quality_score(F.col("text")) * 10000).cast("long")
+    rel = (F.col("doc_id") % 2).cast("long")
+    g = (docs.select(host.alias("host"), q_e4.alias("_q"),
+                     rel.alias("_r"))
+         .groupBy("host")
+         .agg(F.sum(F.when(F.col("_r") == 0, 1).otherwise(0))
+              .alias("n_a"),
+              F.sum(F.when(F.col("_r") == 1, 1).otherwise(0))
+              .alias("n_b"),
+              F.sum(F.when(F.col("_r") == 0, F.col("_q"))
+                    .otherwise(0)).alias("_qa"),
+              F.sum(F.when(F.col("_r") == 1, F.col("_q"))
+                    .otherwise(0)).alias("_qb")))
+    return (g.filter((F.col("n_a") >= 1) & (F.col("n_b") >= 1))
+            .select("host", F.col("n_a").cast("long"),
+                    F.col("n_b").cast("long"),
+                    F.expr("_qa DIV n_a").cast("long")
+                    .alias("mean_q_e4_a"),
+                    F.expr("_qb DIV n_b").cast("long")
+                    .alias("mean_q_e4_b"),
+                    F.expr("_qb DIV n_b - _qa DIV n_a").cast("long")
+                    .alias("drift_e4")))
+
+
+QUERIES["domain_quality_drift"] = domain_quality_drift
+
+ORACLES["domain_quality_drift"] = f"""
+    WITH uu AS (
+      SELECT doc_id, {U.SYNTH_URL_SQL} AS url FROM documents
+    ), nn AS (
+      SELECT doc_id, {U.host_sql('url')} AS host FROM uu
+    ), qq AS (
+      {ORACLES["doc_quality_score"]}
+    ), jj AS (
+      SELECT nn.host, doc_id % 2 AS rel,
+             CAST(ROUND(qq.quality * 10000) AS BIGINT) AS q_e4
+      FROM nn JOIN qq USING (doc_id)
+    ), g AS (
+      SELECT host,
+             SUM(CASE WHEN rel = 0 THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS n_b,
+             SUM(CASE WHEN rel = 0 THEN q_e4 ELSE 0 END) AS qa,
+             SUM(CASE WHEN rel = 1 THEN q_e4 ELSE 0 END) AS qb
+      FROM jj GROUP BY host
+    )
+    SELECT host, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(qa // n_a AS BIGINT) AS mean_q_e4_a,
+           CAST(qb // n_b AS BIGINT) AS mean_q_e4_b,
+           CAST(qb // n_b - qa // n_a AS BIGINT) AS drift_e4
+    FROM g WHERE n_a >= 1 AND n_b >= 1
+"""
+
+
+def msttr_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Mean-Segmental Type-Token Ratio (C185) — the length-robust
+    lexical-diversity measure (Johnson 1944; the fix for raw TTR's
+    length bias that MTLD/vocd descend from): tokens cut into
+    consecutive 25-token segments (trailing partial dropped), each
+    segment's distinct-type count averaged.  Degenerate/templated
+    text scores low even when the doc is long — complements
+    doc_entropy (distribution) and doc_repetition (n-gram).  Exact
+    integers: msttr_e6 = Σ distinct · 1e6 DIV (n_segments·25).
+    Pure scan-stage array algebra — ZERO shuffle at any corpus
+    size."""
+    docs = load(spark, sf, "documents")["documents"]
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    nseg = (F.size(words) / 25).cast("long")
+    base = docs.select("doc_id", words.alias("_ws"),
+                       nseg.alias("_n")).filter(F.col("_n") >= 1)
+    seg_distinct = F.transform(
+        F.sequence(F.lit(0), F.col("_n") - 1),
+        lambda i: F.size(F.array_distinct(
+            F.slice(F.col("_ws"), i * 25 + 1, 25))).cast("long"))
+    tot = F.aggregate(seg_distinct, F.lit(0).cast("long"),
+                      lambda acc, x: acc + x)
+    return base.select(
+        "doc_id", F.col("_n").cast("long").alias("n_segments"),
+        tot.alias("n_types_sum"),
+        (tot * 1000000 / (F.col("_n") * 25)).cast("long")
+        .alias("msttr_e6"))
+
+
+QUERIES["msttr_lexical_diversity"] = msttr_lexical_diversity
+
+ORACLES["msttr_lexical_diversity"] = f"""
+    WITH d AS (
+      SELECT doc_id, {_WORDS} AS ws,
+             len({_WORDS}) // 25 AS n FROM documents
+    ), s AS (
+      SELECT doc_id, n,
+             list_sum(list_transform(range(0, n), i ->
+               len(list_distinct(ws[i * 25 + 1 : i * 25 + 25]))))
+               AS tot
+      FROM d WHERE n >= 1
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_segments,
+           CAST(tot AS BIGINT) AS n_types_sum,
+           CAST(tot * 1000000 // (n * 25) AS BIGINT) AS msttr_e6
+    FROM s
+"""
+
+
+def doc_lang_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixed-language detection (C186) — the CCNet/fastText practice
+    of running lang-id per PARAGRAPH, not per doc, because crawled
+    pages interleave languages and a doc-level vote hides it: docs
+    reshaped into 10-word sentences (the line_dedup convention), the
+    certified C7 stopword-vote heuristic applied to each, and the
+    disagreement share vs the doc-level vote reported.  High
+    mix_share = boilerplate/nav chrome or true code-switching —
+    either way a filter signal doc-level lang-id misses.  One
+    explode + per-doc hash-agg; votes are row-local Columns."""
+    docs = load(spark, sf, "documents")["documents"]
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    nsent = F.greatest((F.size(words) + 9).cast("long") / 10, F.lit(1)) \
+        .cast("long")
+    sents = F.transform(
+        F.sequence(F.lit(0), nsent - 1),
+        lambda i: F.array_join(F.slice(words, i * 10 + 1, 10), " "))
+    ex = docs.select("doc_id",
+                     T.lang_id(F.col("text")).alias("doc_lang"),
+                     F.explode(sents).alias("sent"))
+    dis = (T.lang_id(F.col("sent")) != F.col("doc_lang")).cast("long")
+    return (ex.groupBy("doc_id")
+            .agg(F.max("doc_lang").alias("doc_lang"),
+                 F.count("*").cast("long").alias("n_sentences"),
+                 F.sum(dis).cast("long").alias("n_disagree"))
+            .select("doc_id", "doc_lang", "n_sentences", "n_disagree",
+                    F.expr("n_disagree * 1000000L DIV n_sentences")
+                    .cast("long").alias("mix_share_e6")))
+
+
+QUERIES["doc_lang_mix"] = doc_lang_mix
+
+
+def _sent_vote(ws_expr: str) -> str:
+    """The C7 stopword vote over an arbitrary words-list SQL expr."""
+    def hits(lang_list: str) -> str:
+        return f"len(list_filter({ws_expr}, w -> w IN ({lang_list})))"
+
+    return f"""CASE
+        WHEN {hits(_SW['en'])} >= {hits(_SW['de'])}
+         AND {hits(_SW['en'])} >= {hits(_SW['es'])}
+         AND {hits(_SW['en'])} >= {hits(_SW['fr'])} THEN 'en'
+        WHEN {hits(_SW['de'])} >= {hits(_SW['es'])}
+         AND {hits(_SW['de'])} >= {hits(_SW['fr'])} THEN 'de'
+        WHEN {hits(_SW['es'])} >= {hits(_SW['fr'])} THEN 'es'
+        ELSE 'fr' END"""
+
+
+ORACLES["doc_lang_mix"] = f"""
+    WITH d AS (
+      SELECT doc_id, {_WORDS} AS ws,
+             {_sent_vote(_WORDS)} AS doc_lang
+      FROM documents
+    ), d2 AS (
+      SELECT doc_id, ws, doc_lang,
+             greatest((len(ws) + 9) // 10, 1) AS nsent FROM d
+    ), s AS (
+      SELECT doc_id, doc_lang,
+             UNNEST(list_transform(range(0, nsent), i ->
+               array_to_string(ws[i * 10 + 1 : i * 10 + 10], ' ')))
+               AS sent
+      FROM d2
+    ), v AS (
+      SELECT doc_id, doc_lang,
+             {_sent_vote("list_filter(string_split(sent, ' '), w -> w <> '')")}
+               AS sent_lang
+      FROM s
+    )
+    SELECT doc_id, MAX(doc_lang) AS doc_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sentences,
+           CAST(SUM(CASE WHEN sent_lang <> doc_lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_disagree,
+           CAST(SUM(CASE WHEN sent_lang <> doc_lang THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS mix_share_e6
+    FROM v GROUP BY doc_id
+"""
+
+
+def corpus_stopword_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """CORPUS-DERIVED stopword coverage (C187) — instead of the fixed
+    C7/C8 lists, the corpus's own top-30 words by document frequency
+    (df DESC, word ASC — the Luhn/Zipf head) become the stopword
+    list, and each source's token-level coverage is reported: natural
+    prose runs high, keyword-stuffed or templated sources low.  The
+    df ranking is the corpus-specific calibration fixed-list quality
+    gates (C8, C26) can't see.  One postings hash-agg for df, a
+    top-30 TakeOrdered (never a global sort), one broadcast
+    membership join + per-source agg."""
+    docs = load(spark, sf, "documents")["documents"]
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    tok = docs.select("doc_id", "source", F.explode(words).alias("w"))
+    df_ = (tok.select("doc_id", "w").distinct()
+           .groupBy("w").agg(F.count("*").alias("df")))
+    from pyspark.sql import Window as _W
+
+    rk = _W.orderBy(F.desc("df"), F.asc("w"))
+    stop = (df_.withColumn("_rn", F.row_number().over(rk))
+            .filter(F.col("_rn") <= 30).select("w", F.lit(1).alias("_s")))
+    j = tok.join(F.broadcast(stop), "w", "left")
+    return (j.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.sum(F.coalesce("_s", F.lit(0))).cast("long")
+                 .alias("n_stop_tokens"),
+                 F.count_distinct(F.when(F.col("_s") == 1, F.col("w")))
+                 .cast("long").alias("n_stop_types"))
+            .select("source", "n_tokens", "n_stop_tokens", "n_stop_types",
+                    F.expr("n_stop_tokens * 1000000L DIV n_tokens")
+                    .cast("long").alias("stop_share_e6")))
+
+
+QUERIES["corpus_stopword_profile"] = corpus_stopword_profile
+
+ORACLES["corpus_stopword_profile"] = f"""
+    WITH tok AS (
+      SELECT doc_id, source, UNNEST({_WORDS}) AS w FROM documents
+    ), df AS (
+      SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w
+    ), stop AS (
+      SELECT w FROM (
+        SELECT w, ROW_NUMBER() OVER (ORDER BY df DESC, w) AS rn
+        FROM df
+      ) WHERE rn <= 30
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN stop.w IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stop_tokens,
+           CAST(COUNT(DISTINCT CASE WHEN stop.w IS NOT NULL
+                                    THEN tok.w END) AS BIGINT)
+             AS n_stop_types,
+           CAST(SUM(CASE WHEN stop.w IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS stop_share_e6
+    FROM tok LEFT JOIN stop ON tok.w = stop.w
+    GROUP BY source
+"""
+
+
+_NUMERIC_RE = r"[0-9]+([.,][0-9]+)*"
+
+
+def numeric_token_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """NUMERIC-token density per source (C188) — the share of tokens
+    that are bare numbers (tables, logs, price lists, serialized
+    data): a high-precision boilerplate/structured-noise signal the
+    Gopher rules bundle into symbol ratios but never isolate.  Per
+    source: token totals, numeric share, and how many docs exceed
+    the 20% heavy-numeric gate (the doc-level filter a curation
+    pipeline would apply).  Per-doc counts are row-local array
+    algebra; one per-source hash-agg — no explode, no join."""
+    docs = load(spark, sf, "documents")["documents"]
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    is_num = lambda w: w.rlike(f"^{_NUMERIC_RE}$")  # noqa: E731
+    n_tok = F.size(words).cast("long")
+    n_num = F.size(F.filter(words, is_num)).cast("long")
+    base = docs.select("source", n_tok.alias("_t"), n_num.alias("_n"))
+    heavy = (F.col("_n") * 5 > F.col("_t")).cast("long")  # >20%
+    return (base.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("_t").cast("long").alias("n_tokens"),
+                 F.sum("_n").cast("long").alias("n_numeric"),
+                 F.sum(heavy).cast("long").alias("n_heavy_docs"))
+            .select("source", "n_docs", "n_tokens", "n_numeric",
+                    F.expr("n_numeric * 1000000L"
+                           " DIV greatest(n_tokens, 1L)").cast("long")
+                    .alias("numeric_share_e6"), "n_heavy_docs"))
+
+
+QUERIES["numeric_token_profile"] = numeric_token_profile
+
+ORACLES["numeric_token_profile"] = f"""
+    WITH d AS (
+      SELECT source,
+             len({_WORDS}) AS t,
+             len(list_filter({_WORDS}, w ->
+               regexp_full_match(w, '{_NUMERIC_RE}'))) AS n
+      FROM documents
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t) AS BIGINT) AS n_tokens,
+           CAST(SUM(n) AS BIGINT) AS n_numeric,
+           CAST(SUM(n) * 1000000 // greatest(SUM(t), 1) AS BIGINT)
+             AS numeric_share_e6,
+           CAST(SUM(CASE WHEN n * 5 > t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_heavy_docs
+    FROM d GROUP BY source
+"""
