@@ -61,6 +61,18 @@ _FRONT = [
     "doc_lang_mix",
     "corpus_stopword_profile",
     "numeric_token_profile",
+    "source_minhash_sim",
+    "vocab_jaccard_sources",
+    "embedding_centroid_shift",
+    "embedding_label_silhouette",
+    "quality_gate_venn",
+    "user_event_entropy",
+    "interarrival_burstiness",
+    "weekday_weekend_mix",
+    "priority_latency_quantiles",
+    "nation_ship_latency",
+    "brand_price_spread",
+    "mktsegment_revenue_share",
     # (e) best-effort tail: the remaining r7 vintage, oldest rows
     # first, so leftover slots refresh the next-stalest keys
     "dup_ngram_coverage",

@@ -3483,3 +3483,352 @@ ORACLES["daily_arpu"] = """
              AS conversion_e6
     FROM act LEFT JOIN buy ON act.d = buy.d
 """
+
+
+# ---------------------------------------------------------------------
+# r12 additions (freeze-lift batch)
+# ---------------------------------------------------------------------
+
+
+def user_event_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-USER event-type entropy histogram (B83) — the behavioral-
+    diversity profile: single-action users (bots, scrapers, drive-bys)
+    sit in bucket 0, engaged multi-surface users spread right — the
+    user-level twin of doc_entropy's corpus gate.  Micro-nat
+    discipline (the doc_entropy contract): each c·ln(c) term
+    integerized once, per-user sums exact integers, H_e6 = ln(N)_e6 −
+    Σterm DIV N; 0.1-nat buckets capped at 20.  Two hash-aggs —
+    (user, type) then user — both map-side combinable."""
+    ev = load(spark, sf, "events")["events"]
+    ut = (ev.groupBy("user_id", "event_type")
+          .agg(F.count("*").alias("c")))
+    term_e6 = F.floor(1e6 * F.col("c") * F.log(F.col("c")) + 0.5) \
+        .cast("long")
+    per_u = (ut.groupBy("user_id")
+             .agg(F.sum("c").alias("n"),
+                  F.sum(term_e6).alias("t")))
+    h_e6 = (F.floor(1e6 * F.log(F.col("n")) + 0.5).cast("long")
+            - F.expr("t DIV n"))
+    b = F.least(F.floor(h_e6 / 100000), F.lit(20)).cast("long")
+    return (per_u.select(h_e6.alias("_h"), b.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n_users"),
+                 F.expr("SUM(_h) DIV COUNT(*)").cast("long")
+                 .alias("mean_h_e6")))
+
+
+QUERIES["user_event_entropy"] = user_event_entropy
+
+ORACLES["user_event_entropy"] = """
+    WITH ut AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ), per_u AS (
+      SELECT user_id, SUM(c) AS n,
+             SUM(CAST(FLOOR(1000000.0 * c * LN(c) + 0.5) AS BIGINT))
+               AS t
+      FROM ut GROUP BY user_id
+    ), h AS (
+      SELECT CAST(FLOOR(1000000.0 * LN(n) + 0.5) AS BIGINT) - t // n
+               AS h_e6
+      FROM per_u
+    )
+    SELECT CAST(LEAST(FLOOR(h_e6 / 100000), 20) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(h_e6) // COUNT(*) AS BIGINT) AS mean_h_e6
+    FROM h GROUP BY 1
+"""
+
+
+def interarrival_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user interarrival BURSTINESS histogram (B84) — the squared
+    coefficient of variation of event gaps: CV² ≈ 1 is Poisson
+    (memoryless), ≪ 1 is a scheduler/cron, ≫ 1 is bursty human
+    sessions — the one-number answer to "is this account automated?"
+    that B39's corpus-level gap stats can't give per user.  Gaps in
+    whole minutes (micros DIV 6e7) keep every square inside BIGINT;
+    cv2_e3 = (n·Σg² − (Σg)²)·1e3 DIV max((Σg)², 1) is exact
+    integers end-to-end (no sqrt — the token_burstiness VMR trick).
+    One ordered per-user window + two hash-aggs."""
+    ev = load(spark, sf, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = ((F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.lag("ts").over(w))) / 60000000) \
+        .cast("long")
+    g = ev.select("user_id", gap.alias("g")).filter(F.col("g").isNotNull())
+    per_u = (g.groupBy("user_id")
+             .agg(F.count("*").alias("n"), F.sum("g").alias("sg"),
+                  F.sum(F.col("g") * F.col("g")).alias("sg2"))
+             .filter(F.col("n") >= 2))
+    cv2 = F.expr("(n * sg2 - sg * sg) * 1000L"
+                 " DIV greatest(sg * sg, 1L)")
+    b = F.least(F.floor(cv2 / 250), F.lit(15)).cast("long")
+    return (per_u.select(cv2.alias("_c"), b.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n_users"),
+                 F.expr("SUM(_c) DIV COUNT(*)").cast("long")
+                 .alias("mean_cv2_e3")))
+
+
+QUERIES["interarrival_burstiness"] = interarrival_burstiness
+
+ORACLES["interarrival_burstiness"] = """
+    WITH g AS (
+      SELECT user_id,
+             (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id))
+               // 60000000 AS g
+      FROM events
+    ), per_u AS (
+      SELECT user_id, COUNT(*) AS n, SUM(g) AS sg,
+             SUM(g * g) AS sg2
+      FROM g WHERE g IS NOT NULL GROUP BY user_id
+      HAVING COUNT(*) >= 2
+    ), c AS (
+      SELECT CAST((n * sg2 - sg * sg) * 1000
+                  // greatest(sg * sg, 1) AS BIGINT) AS cv2
+      FROM per_u
+    )
+    SELECT CAST(LEAST(FLOOR(cv2 / 250), 15) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(cv2) // COUNT(*) AS BIGINT) AS mean_cv2_e3
+    FROM c GROUP BY 1
+"""
+
+
+def weekday_weekend_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekday/weekend activity mix per event type (B85) — the
+    work-vs-leisure split behind staffing and send-time decisions,
+    complementing B63's full heatmap with the one-number split and
+    the distinct-user view (volume can shift while the audience
+    doesn't).  Day-of-week by pure integer arithmetic ((epoch_days +
+    3) % 7, Monday = 0 — the B63 convention, engine-independent).
+    One conditional hash-agg."""
+    ev = load(spark, sf, "events")["events"]
+    dow = ((F.datediff(F.to_date("ts"),
+                       F.lit("1970-01-01").cast("date")) + 3) % 7)
+    we = (dow >= 5).cast("long")
+    return (ev.select("event_type", "user_id", we.alias("_we"))
+            .groupBy("event_type")
+            .agg(F.sum(1 - F.col("_we")).cast("long")
+                 .alias("n_weekday"),
+                 F.sum("_we").cast("long").alias("n_weekend"),
+                 F.count_distinct(
+                     F.when(F.col("_we") == 1, F.col("user_id")))
+                 .cast("long").alias("weekend_users"))
+            .select("event_type", "n_weekday", "n_weekend",
+                    F.expr("n_weekend * 1000000L DIV"
+                           " greatest(n_weekday + n_weekend, 1L)")
+                    .cast("long").alias("weekend_share_e6"),
+                    "weekend_users"))
+
+
+QUERIES["weekday_weekend_mix"] = weekday_weekend_mix
+
+ORACLES["weekday_weekend_mix"] = """
+    WITH d AS (
+      SELECT event_type, user_id,
+             CASE WHEN (datediff('day', DATE '1970-01-01',
+                                 CAST(ts AS DATE)) + 3) % 7 >= 5
+                  THEN 1 ELSE 0 END AS we
+      FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(1 - we) AS BIGINT) AS n_weekday,
+           CAST(SUM(we) AS BIGINT) AS n_weekend,
+           CAST(SUM(we) * 1000000
+                // greatest(SUM(1 - we) + SUM(we), 1) AS BIGINT)
+             AS weekend_share_e6,
+           CAST(COUNT(DISTINCT CASE WHEN we = 1 THEN user_id END)
+                AS BIGINT) AS weekend_users
+    FROM d GROUP BY event_type
+"""
+
+
+def priority_latency_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Ship-delay QUANTILES per order priority (B86) — does URGENT
+    actually ship faster: exact p50/p90 of (l_shipdate −
+    o_orderdate) days per priority class, beside the exact-integer
+    mean.  Quantiles by the count-frequency closed form (cumulative
+    counts over the bounded distinct day values per priority — the
+    deciles/Gini discipline, never a global row sort): p50 = min d
+    with 2·cum ≥ n, p90 = min d with 10·cum ≥ 9n."""
+    t = load(spark, sf, "orders", "lineitem")
+    delay = F.datediff(F.col("l_shipdate").cast("date"),
+                       F.col("o_orderdate").cast("date")).cast("long")
+    byd = (t["lineitem"]
+           .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+           .groupBy(F.col("o_orderpriority").alias("priority"),
+                    delay.alias("d"))
+           .agg(F.count("*").alias("cnt")))
+    wc = (Window.partitionBy("priority").orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy("priority")
+    staged = (byd.withColumn("_cum", F.sum("cnt").over(wc))
+              .withColumn("_n", F.sum("cnt").over(wt)))
+    return (staged.groupBy("priority")
+            .agg(F.max("_n").cast("long").alias("n_items"),
+                 F.expr("SUM(d * cnt) * 100 DIV MAX(_n)").cast("long")
+                 .alias("mean_delay_e2"),
+                 F.min(F.when(F.col("_cum") * 2 >= F.col("_n"),
+                              F.col("d"))).cast("long").alias("p50"),
+                 F.min(F.when(F.col("_cum") * 10 >= 9 * F.col("_n"),
+                              F.col("d"))).cast("long").alias("p90")))
+
+
+QUERIES["priority_latency_quantiles"] = priority_latency_quantiles
+
+ORACLES["priority_latency_quantiles"] = """
+    WITH byd AS (
+      SELECT o_orderpriority AS priority,
+             datediff('day', CAST(o_orderdate AS DATE),
+                      CAST(l_shipdate AS DATE)) AS d,
+             COUNT(*) AS cnt
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ), staged AS (
+      SELECT priority, d, cnt,
+             SUM(cnt) OVER (PARTITION BY priority ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY priority) AS n
+      FROM byd
+    )
+    SELECT priority, CAST(MAX(n) AS BIGINT) AS n_items,
+           CAST(SUM(d * cnt) * 100 // MAX(n) AS BIGINT)
+             AS mean_delay_e2,
+           CAST(MIN(CASE WHEN cum * 2 >= n THEN d END) AS BIGINT)
+             AS p50,
+           CAST(MIN(CASE WHEN cum * 10 >= 9 * n THEN d END)
+                AS BIGINT) AS p90
+    FROM staged GROUP BY priority
+"""
+
+
+def nation_ship_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """Supplier-NATION ship latency (B87) — the supply-chain health
+    cut q7/q9 (revenue views) never show: per supplier nation, item
+    volume, exact-integer mean ship delay, and the slow-share (> 60
+    days) — which geography is the fulfillment bottleneck.  Shape:
+    lineitem⋈orders on the fact keys, then two BROADCAST dim hops
+    (supplier, nation); one hash-agg."""
+    t = load(spark, sf, "orders", "lineitem", "supplier", "nation")
+    delay = F.datediff(F.col("l_shipdate").cast("date"),
+                       F.col("o_orderdate").cast("date")).cast("long")
+    j = (t["lineitem"]
+         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(t["supplier"]),
+               F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(F.broadcast(t["nation"]),
+               F.col("s_nationkey") == F.col("n_nationkey")))
+    return (j.select(F.col("n_name").alias("nation"), delay.alias("_d"))
+            .groupBy("nation")
+            .agg(F.count("*").cast("long").alias("n_items"),
+                 F.expr("SUM(_d) * 100 DIV COUNT(*)").cast("long")
+                 .alias("mean_delay_e2"),
+                 F.sum((F.col("_d") > 60).cast("long")).cast("long")
+                 .alias("n_slow"))
+            .select("nation", "n_items", "mean_delay_e2", "n_slow",
+                    F.expr("n_slow * 1000000L DIV n_items")
+                    .cast("long").alias("slow_share_e6")))
+
+
+QUERIES["nation_ship_latency"] = nation_ship_latency
+
+ORACLES["nation_ship_latency"] = """
+    WITH j AS (
+      SELECT n_name AS nation,
+             datediff('day', CAST(o_orderdate AS DATE),
+                      CAST(l_shipdate AS DATE)) AS d
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    )
+    SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(d) * 100 // COUNT(*) AS BIGINT) AS mean_delay_e2,
+           CAST(SUM(CASE WHEN d > 60 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_slow,
+           CAST(SUM(CASE WHEN d > 60 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS slow_share_e6
+    FROM j GROUP BY nation
+"""
+
+
+def brand_price_spread(spark: SparkSession, sf: str) -> DataFrame:
+    """Retail-price SPREAD per brand (B88) — catalog QA: a brand
+    whose min/max span is implausibly wide has bad data or mixed
+    catalogs; exact integer cents (price quantized once at its
+    native 2-decimal precision), mean by BIGINT DIV.  One scan +
+    one hash-agg over the part dim."""
+    t = load(spark, sf, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    return (t["part"].select(F.col("p_brand").alias("brand"),
+                             cents.alias("_c"))
+            .groupBy("brand")
+            .agg(F.count("*").cast("long").alias("n_parts"),
+                 F.min("_c").cast("long").alias("min_price_e2"),
+                 F.max("_c").cast("long").alias("max_price_e2"),
+                 F.expr("SUM(_c) DIV COUNT(*)").cast("long")
+                 .alias("mean_price_e2"))
+            .withColumn("spread_e2",
+                        (F.col("max_price_e2")
+                         - F.col("min_price_e2")).cast("long")))
+
+
+QUERIES["brand_price_spread"] = brand_price_spread
+
+ORACLES["brand_price_spread"] = """
+    SELECT p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MIN(c) AS BIGINT) AS min_price_e2,
+           CAST(MAX(c) AS BIGINT) AS max_price_e2,
+           CAST(SUM(c) // COUNT(*) AS BIGINT) AS mean_price_e2,
+           CAST(MAX(c) - MIN(c) AS BIGINT) AS spread_e2
+    FROM (
+      SELECT p_brand, CAST(ROUND(p_retailprice * 100) AS BIGINT) AS c
+      FROM part
+    ) GROUP BY p_brand
+"""
+
+
+def mktsegment_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-segment revenue share per order year (B89) — the
+    executive mix table: each segment's order volume, exact-cent
+    revenue, and share of that year's total.  Customer dim
+    broadcast into the orders fact; per-year totals are a years-sized
+    broadcast back — no second fact scan, no window over the fact."""
+    t = load(spark, sf, "orders", "customer")
+    rev = F.round(F.col("o_totalprice") * 100).cast("long")
+    g = (t["orders"]
+         .join(F.broadcast(t["customer"]),
+               F.col("o_custkey") == F.col("c_custkey"))
+         .groupBy(F.col("c_mktsegment").alias("mktsegment"),
+                  F.year("o_orderdate").cast("long").alias("o_year"))
+         .agg(F.count("*").cast("long").alias("n_orders"),
+              F.sum(rev).alias("revenue_e2")))
+    yt = g.groupBy("o_year").agg(F.sum("revenue_e2").alias("_yt"))
+    return (g.join(F.broadcast(yt), "o_year")
+            .select("mktsegment", "o_year", "n_orders",
+                    F.col("revenue_e2").cast("long"),
+                    F.expr("revenue_e2 * 1000000L DIV _yt")
+                    .cast("long").alias("share_e6")))
+
+
+QUERIES["mktsegment_revenue_share"] = mktsegment_revenue_share
+
+ORACLES["mktsegment_revenue_share"] = """
+    WITH g AS (
+      SELECT c_mktsegment AS mktsegment,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             COUNT(*) AS n_orders,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), yt AS (
+      SELECT o_year, SUM(rev) AS t FROM g GROUP BY o_year
+    )
+    SELECT mktsegment, g.o_year,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(rev AS BIGINT) AS revenue_e2,
+           CAST(rev * 1000000 // t AS BIGINT) AS share_e6
+    FROM g JOIN yt ON g.o_year = yt.o_year
+"""

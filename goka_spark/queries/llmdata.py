@@ -9677,3 +9677,382 @@ ORACLES["numeric_token_profile"] = f"""
              AS n_heavy_docs
     FROM d GROUP BY source
 """
+
+
+def source_minhash_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """SOURCE-level MinHash similarity matrix (C189) — C56's exact
+    source-overlap numbers at sketch cost: each source's signature is
+    the element-wise MIN of its docs' 16-perm md5 signatures (minhash
+    algebra: the union's signature), pairs scored by matching perms.
+    At 100 TB the exact (source, gram) projection C56 scans is the
+    expensive half; this reads the session signature memo and touches
+    sources·perms rows — the scale path, with C56/C190 as its exact
+    calibration twins.  Hash-verified: the md5 signature replays
+    bit-identically in SQL (the C19 oracle machinery)."""
+    docs = load(spark, sf, "documents")["documents"]
+    sigs = _minhash_sigs(spark, docs, sf, num_perm=16, base_hash="md5")
+    src = docs.select("doc_id", "source")
+    ex = (sigs.join(src, "doc_id")
+          .select("source", F.posexplode("minhash")))
+    ssig = (ex.groupBy("source", "pos")
+            .agg(F.min("col").alias("sig")))
+    a, b = ssig.alias("a"), ssig.alias("b")
+    return (a.join(b, "pos")
+            .filter(F.col("a.source") < F.col("b.source"))
+            .groupBy(F.col("a.source").alias("source_a"),
+                     F.col("b.source").alias("source_b"))
+            .agg(F.sum((F.col("a.sig") == F.col("b.sig")).cast("long"))
+                 .cast("long").alias("n_perm_match"))
+            .select("source_a", "source_b", "n_perm_match",
+                    F.expr("n_perm_match * 1000000L DIV 16")
+                    .cast("long").alias("jaccard_est_e6")))
+
+
+QUERIES["source_minhash_sim"] = source_minhash_sim
+
+
+def _source_minhash_oracle() -> str:
+    sig = _minhash_oracle(16)
+    return f"""
+    WITH s AS ({sig}),
+    ss AS (
+      SELECT d.source, s.perm, MIN(s.sig) AS sig
+      FROM s JOIN documents d USING (doc_id)
+      GROUP BY d.source, s.perm
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(SUM(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_perm_match,
+           CAST(SUM(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END)
+                * 1000000 // 16 AS BIGINT) AS jaccard_est_e6
+    FROM ss a JOIN ss b ON a.perm = b.perm AND a.source < b.source
+    GROUP BY a.source, b.source
+    """
+
+
+ORACLES["source_minhash_sim"] = _source_minhash_oracle
+
+
+def vocab_jaccard_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise source VOCABULARY Jaccard (C190) — word-TYPE overlap
+    between sources: the lexical-identity complement of C116's
+    distributional divergence (two sources can share every type yet
+    diverge in frequency, or vice versa) and the exact calibration
+    twin of C189's shingle sketch.  Scale shape: the distinct
+    (source, word) projection is types-sized (≪ tokens); the word
+    self-join emits ≤ sources²/2 rows per word; sizes broadcast."""
+    docs = load(spark, sf, "documents")["documents"]
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    tv = (docs.select("source", F.explode(words).alias("w"))
+          .distinct())
+    sizes = tv.groupBy("source").agg(F.count("*").alias("n_types"))
+    a, b = tv.alias("a"), tv.alias("b")
+    inter = (a.join(b, "w")
+             .filter(F.col("a.source") < F.col("b.source"))
+             .groupBy(F.col("a.source").alias("source_a"),
+                      F.col("b.source").alias("source_b"))
+             .agg(F.count("*").cast("long").alias("n_common")))
+    sa = sizes.select(F.col("source").alias("source_a"),
+                      F.col("n_types").alias("n_types_a"))
+    sb = sizes.select(F.col("source").alias("source_b"),
+                      F.col("n_types").alias("n_types_b"))
+    return (inter.join(F.broadcast(sa), "source_a")
+            .join(F.broadcast(sb), "source_b")
+            .select("source_a", "source_b",
+                    F.col("n_types_a").cast("long"),
+                    F.col("n_types_b").cast("long"), "n_common",
+                    F.expr("n_common * 1000000L DIV"
+                           " (n_types_a + n_types_b - n_common)")
+                    .cast("long").alias("jaccard_e6")))
+
+
+QUERIES["vocab_jaccard_sources"] = vocab_jaccard_sources
+
+ORACLES["vocab_jaccard_sources"] = f"""
+    WITH tv AS (
+      SELECT DISTINCT source, UNNEST({_WORDS}) AS w FROM documents
+    ), sizes AS (
+      SELECT source, COUNT(*) AS n_types FROM tv GROUP BY source
+    ), inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_common
+      FROM tv a JOIN tv b ON a.w = b.w AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b,
+           CAST(sa.n_types AS BIGINT) AS n_types_a,
+           CAST(sb.n_types AS BIGINT) AS n_types_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_common * 1000000
+                // (sa.n_types + sb.n_types - n_common) AS BIGINT)
+             AS jaccard_e6
+    FROM inter
+    JOIN sizes sa ON sa.source = inter.source_a
+    JOIN sizes sb ON sb.source = inter.source_b
+"""
+
+
+#: signed truncating division shared by the centroid queries — both
+#: engines truncate toward zero, the CASE spells it out (the
+#: embedding_dim_stats convention).
+def _sdiv(num: str, den: str) -> str:
+    return (f"CASE WHEN {num} >= 0 THEN {num} DIV {den}"
+            f" ELSE -((-({num})) DIV {den}) END")
+
+
+def _sdiv_sql(num: str, den: str) -> str:
+    return (f"CASE WHEN {num} >= 0 THEN {num} // {den}"
+            f" ELSE -((-({num})) // {den}) END")
+
+
+def _label_centroids(emb: DataFrame) -> DataFrame:
+    """(label, pos, n_l, m): per-label centroid in e3 fixed point —
+    elements quantized ONCE (floor(x·1e3 + 0.5)), exact integer sums,
+    mean by signed truncating division.  e3 keeps every downstream
+    squared-distance sum far inside BIGINT (diffs ≤ ~4e3, ·64 dims
+    ·1e6 scaling < 2^60)."""
+    ex = emb.select("label", F.posexplode("embedding"))
+    e = F.floor(F.col("col").cast("double") * 1000 + 0.5).cast("long")
+    lab = (ex.select("label", "pos", e.alias("_e"))
+           .groupBy("label", "pos")
+           .agg(F.count("*").alias("n_l"), F.sum("_e").alias("_s")))
+    return lab.select("label", "pos", "n_l",
+                      F.expr(_sdiv("_s", "n_l")).cast("long").alias("m"))
+
+
+_CENT_SQL = f"""
+    ex AS (
+      SELECT label, i - 1 AS pos,
+             CAST(FLOOR(embedding[i]::DOUBLE * 1000.0 + 0.5)
+                  AS BIGINT) AS e
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ), lab AS (
+      SELECT label, pos, COUNT(*) AS n_l, SUM(e) AS s
+      FROM ex GROUP BY label, pos
+    ), cent AS (
+      SELECT label, pos, n_l,
+             CAST({_sdiv_sql('s', 'n_l')} AS BIGINT) AS m
+      FROM lab
+    )
+"""
+
+
+def embedding_centroid_shift(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-LABEL centroid shift from the corpus mean (C191) — the
+    embedding-space mix monitor: a label whose centroid sits far from
+    the global centroid dominates contrastive sampling and skews ANN
+    training-set construction; tracked per release it catches encoder
+    drift per class.  Everything exact integers in e3 fixed point
+    (see _label_centroids); shift2_e6 = Σ_d (m_l,d − m_d)², the
+    squared distance in micro-units².  Scale: one explode + two
+    hash-aggs + a dims-sized broadcast join — label count ≪ corpus."""
+    emb = load(spark, sf, "embeddings")["embeddings"]
+    cent = _label_centroids(emb)
+    glob = (cent.groupBy("pos")
+            .agg(F.sum(F.col("m") * F.col("n_l")).alias("_sm"),
+                 F.sum("n_l").alias("_n")))
+    g = glob.select("pos", F.expr(_sdiv("_sm", "_n")).cast("long")
+                    .alias("gm"))
+    j = cent.join(F.broadcast(g), "pos")
+    d = F.col("m") - F.col("gm")
+    return (j.groupBy("label")
+            .agg(F.max("n_l").cast("long").alias("n_vecs"),
+                 F.sum(d * d).cast("long").alias("shift2_e6"),
+                 F.sum(F.col("m") * F.col("m")).cast("long")
+                 .alias("centroid_norm2_e6"))
+            .select(F.col("label").cast("long"), "n_vecs",
+                    "shift2_e6", "centroid_norm2_e6"))
+
+
+QUERIES["embedding_centroid_shift"] = embedding_centroid_shift
+
+ORACLES["embedding_centroid_shift"] = f"""
+    WITH {_CENT_SQL},
+    gsum AS (
+      SELECT pos, SUM(m * n_l) AS sm, SUM(n_l) AS n FROM cent
+      GROUP BY pos
+    ), g AS (
+      SELECT pos, CAST({_sdiv_sql('sm', 'n')} AS BIGINT) AS gm
+      FROM gsum
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(MAX(n_l) AS BIGINT) AS n_vecs,
+           CAST(SUM((m - gm) * (m - gm)) AS BIGINT) AS shift2_e6,
+           CAST(SUM(m * m) AS BIGINT) AS centroid_norm2_e6
+    FROM cent JOIN g USING (pos)
+    GROUP BY label
+"""
+
+
+def embedding_label_silhouette(spark: SparkSession, sf: str) -> DataFrame:
+    """Label-level SILHOUETTE (C192, squared-distance form) — the
+    clustering-QA number for the GROUND-TRUTH labels (C134 audits the
+    learned IVF cells; this audits the labels those cells are judged
+    against): per vector, a = dist² to its own label centroid, b =
+    min dist² to any other label's centroid, s_e6 = (b−a)·1e6 DIV
+    max(a, b, 1); per label, the exact-integer mean and the count of
+    misplaced vectors (b < a).  Scale: centroids are a labels×dims
+    broadcast; the per-vector pass is one scan × n_labels — the
+    standard silhouette shape, no vector self-join."""
+    emb = load(spark, sf, "embeddings")["embeddings"]
+    cent = _label_centroids(emb)
+    ex = emb.select("vec_id", "label", F.posexplode("embedding"))
+    e = F.floor(F.col("col").cast("double") * 1000 + 0.5).cast("long")
+    ev = ex.select("vec_id", "label", "pos", e.alias("e"))
+    c = cent.select(F.col("label").alias("clabel"), "pos", "m")
+    d = F.col("e") - F.col("m")
+    per = (ev.join(F.broadcast(c), "pos")
+           .groupBy("vec_id", "label", "clabel")
+           .agg(F.sum(d * d).alias("d2")))
+    vec = (per.groupBy("vec_id", "label")
+           .agg(F.max(F.when(F.col("clabel") == F.col("label"),
+                             F.col("d2"))).alias("a"),
+                F.min(F.when(F.col("clabel") != F.col("label"),
+                             F.col("d2"))).alias("b")))
+    s_e6 = F.expr("(b - a) * 1000000L DIV greatest(b, a, 1L)")
+    return (vec.select("label", s_e6.alias("_s"),
+                       (F.col("b") < F.col("a")).cast("long")
+                       .alias("_mis"))
+            .groupBy("label")
+            .agg(F.count("*").cast("long").alias("n_vecs"),
+                 F.expr(_sdiv("SUM(_s)", "COUNT(*)")).cast("long")
+                 .alias("mean_silhouette_e6"),
+                 F.sum("_mis").cast("long").alias("n_misplaced"))
+            .select(F.col("label").cast("long"), "n_vecs",
+                    "mean_silhouette_e6", "n_misplaced"))
+
+
+QUERIES["embedding_label_silhouette"] = embedding_label_silhouette
+
+ORACLES["embedding_label_silhouette"] = f"""
+    WITH {_CENT_SQL},
+    ev AS (
+      SELECT vec_id, label, i - 1 AS pos,
+             CAST(FLOOR(embedding[i]::DOUBLE * 1000.0 + 0.5)
+                  AS BIGINT) AS e
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ), per AS (
+      SELECT ev.vec_id, ev.label, cent.label AS clabel,
+             SUM((ev.e - cent.m) * (ev.e - cent.m)) AS d2
+      FROM ev JOIN cent ON ev.pos = cent.pos
+      GROUP BY ev.vec_id, ev.label, cent.label
+    ), vec AS (
+      SELECT vec_id, label,
+             MAX(CASE WHEN clabel = label THEN d2 END) AS a,
+             MIN(CASE WHEN clabel <> label THEN d2 END) AS b
+      FROM per GROUP BY vec_id, label
+    ), s AS (
+      SELECT label,
+             CAST((b - a) * 1000000 // greatest(b, a, 1) AS BIGINT)
+               AS s_e6,
+             CASE WHEN b < a THEN 1 ELSE 0 END AS mis
+      FROM vec
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST({_sdiv_sql('SUM(s_e6)', 'COUNT(*)')} AS BIGINT)
+             AS mean_silhouette_e6,
+           CAST(SUM(mis) AS BIGINT) AS n_misplaced
+    FROM s GROUP BY label
+"""
+
+
+_GATES = ["repetition", "entropy", "blocklist", "perplexity",
+          "contaminated", "exact_dup"]
+
+
+def quality_gate_venn(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise gate-overlap VENN matrix (C193) — C124 reports each
+    gate's marginal value (fails-only-it); this reports the full
+    pairwise structure: for every gate pair, docs failing both, each
+    alone, and the failure-set Jaccard — the redundancy map that says
+    WHICH gate a candidate-for-removal overlaps with (ablation says
+    only that it overlaps with something).  Same session-memoized
+    per-doc signal frame and predicates as C72/C124; one 15-way
+    struct explode + one hash-agg."""
+    out = _gate_signals(spark, sf).filter(F.col("doc_id") % 97 != 0)
+    b = lambda c: c.cast("int")  # noqa: E731
+    flags = out.select(
+        "doc_id",
+        b(F.coalesce("_rep_keep", F.lit(0)) == 0).alias("f_repetition"),
+        b(F.col("_ent").isNull() | (F.col("_ent") < 1.0))
+        .alias("f_entropy"),
+        b(~F.coalesce("_blk_keep", F.lit(True))).alias("f_blocklist"),
+        b(F.coalesce(F.col("_ppl") == "tail", F.lit(False)))
+        .alias("f_perplexity"),
+        b(F.coalesce("_hits", F.lit(0)) > 0).alias("f_contaminated"),
+        b(F.col("_keep_id") != F.col("doc_id")).alias("f_exact_dup"))
+    pairs = [(g1, g2) for i, g1 in enumerate(_GATES)
+             for g2 in _GATES[i + 1:]]
+    ex = flags.select(F.explode(F.array(*[
+        F.struct(F.lit(g1).alias("_g1"), F.lit(g2).alias("_g2"),
+                 F.col(f"f_{g1}").alias("_fa"),
+                 F.col(f"f_{g2}").alias("_fb"))
+        for g1, g2 in pairs])).alias("_e"))
+    fa, fb = F.col("_e._fa"), F.col("_e._fb")
+    return (ex.groupBy(F.col("_e._g1").alias("gate_a"),
+                       F.col("_e._g2").alias("gate_b"))
+            .agg(F.sum(fa * fb).cast("long").alias("n_both"),
+                 F.sum(fa * (1 - fb)).cast("long").alias("n_a_only"),
+                 F.sum((1 - fa) * fb).cast("long").alias("n_b_only"))
+            .select("gate_a", "gate_b", "n_both", "n_a_only",
+                    "n_b_only",
+                    F.expr("n_both * 1000000L DIV"
+                           " greatest(n_both + n_a_only + n_b_only,"
+                           " 1L)").cast("long").alias("jaccard_e6")))
+
+
+QUERIES["quality_gate_venn"] = quality_gate_venn
+
+
+def _gate_venn_oracle() -> str:
+    """C124's oracle-derivation trick: C72's verified gate CTEs,
+    byte-identical, with only the final SELECT swapped for the
+    pairwise aggregation."""
+    qp = ORACLES["corpus_quality_pipeline"]
+    ctes = qp[:qp.rindex("SELECT dd.doc_id,")]
+    pair_items = ", ".join(
+        "{'ga': '%s', 'gb': '%s', 'fa': fl.f_%s, 'fb': fl.f_%s}"
+        % (g1, g2, g1, g2)
+        for i, g1 in enumerate(_GATES) for g2 in _GATES[i + 1:])
+    return ctes + f"""SELECT ga AS gate_a, gb AS gate_b,
+           CAST(SUM(fa * fb) AS BIGINT) AS n_both,
+           CAST(SUM(fa * (1 - fb)) AS BIGINT) AS n_a_only,
+           CAST(SUM((1 - fa) * fb) AS BIGINT) AS n_b_only,
+           CAST(SUM(fa * fb) * 1000000
+                // greatest(SUM(fa * fb) + SUM(fa * (1 - fb))
+                            + SUM((1 - fa) * fb), 1) AS BIGINT)
+             AS jaccard_e6
+    FROM (
+      SELECT u.ga, u.gb, u.fa, u.fb
+      FROM (
+        SELECT dd.doc_id,
+               CASE WHEN COALESCE(rep_keep, 0) = 0 THEN 1 ELSE 0 END
+                 AS f_repetition,
+               CASE WHEN ent IS NULL OR ent < 1.0 THEN 1 ELSE 0 END
+                 AS f_entropy,
+               CASE WHEN NOT COALESCE(bkeep, TRUE) THEN 1 ELSE 0 END
+                 AS f_blocklist,
+               CASE WHEN (CASE WHEN lm.n_bigrams = 0 THEN 'unscored'
+                               WHEN lm.avg_logprob >= b[2] THEN 'head'
+                               WHEN lm.avg_logprob >= b[1] THEN 'middle'
+                               ELSE 'tail' END) = 'tail'
+                    THEN 1 ELSE 0 END AS f_perplexity,
+               CASE WHEN COALESCE(hits, 0) > 0 THEN 1 ELSE 0 END
+                 AS f_contaminated,
+               CASE WHEN keep_id <> dd.doc_id THEN 1 ELSE 0 END
+                 AS f_exact_dup
+        FROM documents dd
+        LEFT JOIN grep USING (doc_id)
+        LEFT JOIN eent USING (doc_id)
+        LEFT JOIN blk USING (doc_id)
+        LEFT JOIN lm USING (doc_id)
+        LEFT JOIN chit USING (doc_id)
+        LEFT JOIN ddoc USING (doc_id), th
+        WHERE dd.doc_id % 97 <> 0
+      ) fl, UNNEST([{pair_items}]) AS t(u)
+    ) GROUP BY ga, gb
+    """
+
+
+ORACLES["quality_gate_venn"] = _gate_venn_oracle
