@@ -28,9 +28,9 @@ via the ApiVersions handshake (modern-first with KIP-511 downgrade):
   block format, pure-Python goka_spark/snappy_codec.py) and lz4
   (standard frame + block format with XXH32 checksums, pure-Python
   goka_spark/lz4_codec.py) encode+decode via the attributes codec
-  bits; zstd arrives as a typed UnsupportedCodecError (no codec
-  library in this container, and its format is not reasonably
-  reimplementable)
+  bits; zstd DECODES in full via the pure-Python RFC 8878 decoder
+  (goka_spark/zstd_codec.py — fetches from real zstd-producing
+  brokers work) and PRODUCES spec-valid store-mode frames
 - Consumer-group membership at fixed sarama-era versions:
   FindCoordinator v0 / JoinGroup v0 / SyncGroup v0 / Heartbeat v0 /
   LeaveGroup v0 / OffsetCommit v2 (generation-fenced) /
@@ -69,6 +69,7 @@ from typing import Optional
 
 from goka_spark import lz4_codec as _lz4
 from goka_spark import snappy_codec as _snappy
+from goka_spark import zstd_codec as _zstd
 
 # ---------------------------------------------------------------------------
 # CRC32C (Castagnoli, reflected poly 0x82F63B78) — required by
@@ -325,8 +326,9 @@ class Record:
 # frame + block format with XXH32, goka_spark/lz4_codec.py — the
 # broken-header-checksum variant existed only in the legacy v0/v1
 # message wrappers this client never emits) are implemented from the
-# public specs; zstd (libzstd) has no stdlib/pure-Python path here,
-# so it raises a typed error instead of producing garbage.
+# public specs; zstd decode is the full pure-Python RFC 8878
+# decoder (goka_spark/zstd_codec.py), zstd encode emits spec-valid
+# store-mode frames (raw blocks — see zstd_codec.compress).
 CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY, CODEC_LZ4, CODEC_ZSTD = 0, 1, 2, 3, 4
 _CODEC_NAMES = {CODEC_NONE: "none", CODEC_GZIP: "gzip",
                 CODEC_SNAPPY: "snappy", CODEC_LZ4: "lz4",
@@ -335,16 +337,17 @@ _CODEC_IDS = {v: k for k, v in _CODEC_NAMES.items()}
 
 
 class UnsupportedCodecError(ValueError):
-    """A RecordBatch arrived compressed with a codec this pure-Python
-    implementation cannot decode (zstd).  Typed so callers can tell
-    'need a codec library' apart from wire corruption."""
+    """A RecordBatch carries attribute bits outside the five codecs
+    the protocol defines (or a future codec id this client predates).
+    Typed so callers can tell 'need a newer client' apart from wire
+    corruption."""
 
     def __init__(self, codec: int) -> None:
         self.codec = codec
         super().__init__(
-            f"record batch compressed with unsupported codec "
-            f"{_CODEC_NAMES.get(codec, codec)!r} — only none/gzip/"
-            f"snappy/lz4 are available without external libraries")
+            f"record batch compressed with unsupported codec id "
+            f"{_CODEC_NAMES.get(codec, codec)!r} — this client knows "
+            f"none/gzip/snappy/lz4/zstd")
 
 
 def encode_record_batch(base_offset: int, records: list[Record],
@@ -353,8 +356,11 @@ def encode_record_batch(base_offset: int, records: list[Record],
     the first record; CRC32C covers attributes..records.  With
     ``codec=CODEC_GZIP`` the records section is compressed per the
     batch format (the header fields through recordCount stay
-    uncompressed; CRC covers the final, compressed bytes)."""
-    if codec not in (CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY, CODEC_LZ4):
+    uncompressed; CRC covers the final, compressed bytes).  zstd
+    emits STORE-MODE frames (spec-valid raw-block RFC 8878 frames any
+    decoder accepts — see zstd_codec.compress for why a pure-Python
+    encoder stops there)."""
+    if codec not in _CODEC_NAMES:
         raise UnsupportedCodecError(codec)
     base_ts = records[0].timestamp
     max_ts = max(r.timestamp for r in records)
@@ -399,6 +405,8 @@ def encode_record_batch(base_offset: int, records: list[Record],
         recs_b = _snappy.compress(recs_b)
     elif codec == CODEC_LZ4:
         recs_b = _lz4.compress(recs_b)
+    elif codec == CODEC_ZSTD:
+        recs_b = _zstd.compress(recs_b)
     body.raw(recs_b)
     body_b = body.getvalue()
     out = _Writer()
@@ -445,6 +453,11 @@ def decode_record_batches(data: bytes) -> list[Record]:
             br = _Reader(_snappy.decompress(br.raw(br.remaining())))
         elif codec == CODEC_LZ4:
             br = _Reader(_lz4.decompress(br.raw(br.remaining())))
+        elif codec == CODEC_ZSTD:
+            # decode-only (RFC 8878 pure-Python decoder): a fetch
+            # from a zstd-producing broker decodes; produce keeps
+            # the typed refusal (see encode_record_batch)
+            br = _Reader(_zstd.decompress(br.raw(br.remaining())))
         elif codec:
             raise UnsupportedCodecError(codec)
         for _ in range(n):
@@ -947,16 +960,15 @@ class WireProducer:
                  backoff: Optional[SimpleBackoff] = None,
                  compression: str = "none") -> None:
         #: sarama config.Producer.Compression — "none", "gzip",
-        #: "snappy" or "lz4" (pure-Python codecs).  zstd fails HERE,
-        #: at configuration time and before any connection is opened,
+        #: "snappy", "lz4" (pure-Python codecs) or "zstd"
+        #: (STORE-MODE frames: wire-valid RFC 8878, no ratio — see
+        #: zstd_codec.compress).  An unknown codec fails HERE, at
+        #: configuration time and before any connection is opened,
         #: not at the first emit(): a producer that cannot send
         #: should never look healthy.
         if compression not in _CODEC_IDS:
             raise ValueError(f"unknown compression {compression!r}")
         self._codec = _CODEC_IDS[compression]
-        if self._codec not in (CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY,
-                               CODEC_LZ4):
-            raise UnsupportedCodecError(self._codec)
         host, port = _parse_addr(brokers[0])
         self._conn = KafkaConnection(host, port)
         self._tm = WireTopicManager(brokers)

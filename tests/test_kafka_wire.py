@@ -1036,28 +1036,30 @@ def test_record_batch_lz4_roundtrip():
 
 
 def test_unsupported_codec_typed_both_directions():
-    """zstd needs an external library: encoding refuses up front,
-    and a batch ARRIVING with those attribute bits raises the typed
-    error (never silent garbage).  A producer configured with it
-    fails at construction, before any socket is opened (a producer
-    that cannot send should never look healthy)."""
+    """Unknown codec ids stay a TYPED error in both directions (r12:
+    zstd moved into the supported set — full RFC 8878 decode,
+    store-mode encode — so the refusal now guards only ids this
+    client predates).  A batch forged with zstd attribute bits over
+    an UNCOMPRESSED records section is wire corruption, not an
+    unsupported codec — the decoder rejects it as a bad frame."""
     import struct as _struct
 
     from goka_spark.kafka_wire import (CODEC_ZSTD, UnsupportedCodecError,
                                        WireProducer, crc32c)
+    from goka_spark.zstd_codec import ZstdError
     rec = [Record(0, 0, b"k", b"v")]
-    with pytest.raises(UnsupportedCodecError,
-                       match="only none/gzip/snappy/lz4"):
-        encode_record_batch(0, rec, codec=CODEC_ZSTD)
+    with pytest.raises(UnsupportedCodecError, match="unsupported"):
+        encode_record_batch(0, rec, codec=7)
     batch = bytearray(encode_record_batch(0, rec))
-    batch[21:23] = _struct.pack(">h", CODEC_ZSTD)  # forge attributes
+    batch[21:23] = _struct.pack(">h", 7)  # forge reserved codec id
     batch[17:21] = _struct.pack(">I", crc32c(bytes(batch[21:])))
-    with pytest.raises(UnsupportedCodecError, match="zstd"):
+    with pytest.raises(UnsupportedCodecError):
         decode_record_batches(bytes(batch))
-    # fail-fast: no broker listens on this address, yet the codec
-    # error wins because it is raised before connecting
-    with pytest.raises(UnsupportedCodecError, match="zstd"):
-        WireProducer(["127.0.0.1:1"], compression="zstd")
+    # zstd bits over a NON-zstd records section = corruption, typed
+    batch[21:23] = _struct.pack(">h", CODEC_ZSTD)
+    batch[17:21] = _struct.pack(">I", crc32c(bytes(batch[21:])))
+    with pytest.raises(ZstdError):
+        decode_record_batches(bytes(batch))
     with pytest.raises(ValueError, match="unknown compression"):
         WireProducer(["127.0.0.1:1"], compression="brotli")
 
@@ -1344,7 +1346,7 @@ def test_truncate_before_clamps_to_high_watermark(broker):
         tm.close()
 
 
-@pytest.mark.parametrize("codec_name", ["gzip", "snappy", "lz4"])
+@pytest.mark.parametrize("codec_name", ["gzip", "snappy", "lz4", "zstd"])
 def test_poll_group_records_with_compressed_broker(spark, broker,
                                                    codec_name):
     """The full processor transport loop decodes compressed fetch
