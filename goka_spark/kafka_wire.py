@@ -593,10 +593,21 @@ class KafkaConnection:
 
     def __init__(self, host: str, port: int,
                  client_id: str = "goka-spark") -> None:
+        self._host, self._port = host, port
         self._sock = socket.create_connection((host, port), timeout=30)
         self._client_id = client_id
         self._corr = 0
         self._lock = threading.Lock()
+
+    def reconnect(self) -> None:
+        """Tear down and re-dial the same broker address — the
+        recovery step after a mid-request disconnect (systemtest
+        emitter/processor disconnect behavior: clients survive a
+        broker restart)."""
+        self.close()
+        with self._lock:
+            self._sock = socket.create_connection(
+                (self._host, self._port), timeout=30)
 
     def close(self) -> None:
         try:
@@ -786,8 +797,20 @@ class WireTopicManager:
     def close(self) -> None:
         self._conn.close()
 
+    def _request(self, api: int, ver: int, payload: bytes) -> _Reader:
+        """One request with disconnect recovery: a broker restart
+        mid-request re-dials, re-negotiates, and retries ONCE (the
+        systemtest disconnect contract — metadata/create/offset
+        calls are idempotent, so the single resend is safe)."""
+        try:
+            return self._conn.request(api, ver, payload)
+        except (ConnectionError, OSError):
+            self._conn.reconnect()
+            self.versions = negotiate_versions(self._conn)
+            return self._conn.request(api, ver, payload)
+
     def api_versions(self) -> dict[int, tuple[int, int]]:
-        rd = self._conn.request(API_API_VERSIONS, 0, b"")
+        rd = self._request(API_API_VERSIONS, 0, b"")
         err = rd.int16()
         if err:
             raise RuntimeError(f"ApiVersions error {err}")
@@ -800,14 +823,19 @@ class WireTopicManager:
     def get_offset(self, topic: str, partition: int, at: int) -> int:
         """topic_manager.go:131 GetOffset — OFFSET_OLDEST /
         OFFSET_NEWEST / timestamp via ListOffsets."""
-        return _list_offset(self._conn, topic, partition, at)
+        try:
+            return _list_offset(self._conn, topic, partition, at)
+        except (ConnectionError, OSError):
+            self._conn.reconnect()
+            self.versions = negotiate_versions(self._conn)
+            return _list_offset(self._conn, topic, partition, at)
 
     def _metadata(self, topics: list[str]) -> dict:
         ver = self.versions[API_METADATA]
         if ver >= FLEXIBLE_SINCE[API_METADATA]:
             return self._metadata_flexible(topics, ver)
         w = _Writer().array(topics, lambda wr, t: wr.string(t))
-        rd = self._conn.request(API_METADATA, 0, w.getvalue())
+        rd = self._request(API_METADATA, 0, w.getvalue())
         brokers = rd.array(lambda r: (r.int32(), r.string(), r.int32()))
         meta = {}
         for _ in range(rd.int32()):
@@ -832,7 +860,7 @@ class WireTopicManager:
         w.int8(0)                        # allow_auto_topic_creation
         w.int8(0)                        # include_topic_authorized_ops
         w.tags()
-        rd = self._conn.request(API_METADATA, ver, w.getvalue())
+        rd = self._request(API_METADATA, ver, w.getvalue())
         rd.int32()                       # throttle
         brokers = []
         for _ in range(max(rd.uvarint() - 1, 0)):
@@ -894,7 +922,7 @@ class WireTopicManager:
 
             w = (_Writer().compact_array([topic], enc_topic7)
                  .int32(10_000).int8(0).tags())  # timeout, validate_only
-            rd = self._conn.request(API_CREATE_TOPICS, ver, w.getvalue())
+            rd = self._request(API_CREATE_TOPICS, ver, w.getvalue())
             rd.int32()                   # throttle
             for _ in range(max(rd.uvarint() - 1, 0)):
                 name = rd.compact_string()
@@ -920,7 +948,7 @@ class WireTopicManager:
                     lambda wr, kv: wr.string(kv[0]).string(kv[1]))
 
         w = _Writer().array([topic], enc_topic).int32(10_000)
-        rd = self._conn.request(API_CREATE_TOPICS, 0, w.getvalue())
+        rd = self._request(API_CREATE_TOPICS, 0, w.getvalue())
         for _ in range(rd.int32()):
             name, err = rd.string(), rd.int16()
             if err not in (ERR_NONE, ERR_TOPIC_EXISTS):
@@ -1005,35 +1033,52 @@ class WireProducer:
             w.array([partition],
                     lambda wr, p: wr.int32(p).bytes_(batch))
 
-        ver = self.versions[API_PRODUCE]
-        if ver >= FLEXIBLE_SINCE[API_PRODUCE]:
-            def enc_topic9(w: _Writer, t: str) -> None:
-                w.compact_string(t)
-                w.compact_array(
-                    [partition],
-                    lambda wr, p: wr.int32(p).compact_bytes(batch).tags())
-                w.tags()
+        def build(ver: int) -> bytes:
+            if ver >= FLEXIBLE_SINCE[API_PRODUCE]:
+                def enc_topic9(w: _Writer, t: str) -> None:
+                    w.compact_string(t)
+                    w.compact_array(
+                        [partition],
+                        lambda wr, p: wr.int32(p).compact_bytes(batch)
+                        .tags())
+                    w.tags()
 
-            payload = (_Writer()
-                       .compact_string(None)     # transactional_id
-                       .int16(-1)                # acks=all
-                       .int32(10_000)            # timeout
-                       .compact_array([topic], enc_topic9)
-                       .tags().getvalue())
-        else:
-            payload = (_Writer()
-                       .string(None)             # transactional_id
-                       .int16(-1)                # acks=all
-                       .int32(10_000)            # timeout
-                       .array([topic], enc_topic)
-                       .getvalue())
+                return (_Writer()
+                        .compact_string(None)    # transactional_id
+                        .int16(-1)               # acks=all
+                        .int32(10_000)           # timeout
+                        .compact_array([topic], enc_topic9)
+                        .tags().getvalue())
+            return (_Writer()
+                    .string(None)                # transactional_id
+                    .int16(-1)                   # acks=all
+                    .int32(10_000)               # timeout
+                    .array([topic], enc_topic)
+                    .getvalue())
+
+        ver = self.versions[API_PRODUCE]
+        payload = build(ver)
         # Retriable broker errors (NOT_LEADER etc.) are retried with
         # the reference's incremental backoff (producer.go:64 returns
         # the promise error; goka's processor retries via
         # simple_backoff.go:10) — non-retriable codes surface typed.
+        # A mid-request DISCONNECT (broker restart — systemtest
+        # emitter_disconnect_test.go) re-dials, re-negotiates
+        # versions (the restarted broker may differ) and resends:
+        # at-least-once, like the reference emitter.
         self._backoff.reset()
         for attempt in range(self._max_retries + 1):
-            rd = self._conn.request(API_PRODUCE, ver, payload)
+            try:
+                rd = self._conn.request(API_PRODUCE, ver, payload)
+            except (ConnectionError, OSError):
+                if attempt == self._max_retries:
+                    raise
+                time.sleep(self._backoff.duration())
+                self._conn.reconnect()
+                self.versions = negotiate_versions(self._conn)
+                ver = self.versions[API_PRODUCE]
+                payload = build(ver)
+                continue
             if ver >= FLEXIBLE_SINCE[API_PRODUCE]:
                 base_offset, err = self._parse_produce_v9(rd)
             else:
@@ -1161,8 +1206,15 @@ class WireConsumer:
     def get_offset(self, topic: str, partition: int, at: int) -> int:
         """sarama client.GetOffset on the consumer connection —
         resolve OFFSET_OLDEST / OFFSET_NEWEST before fetching (what
-        partition_table.go:244/248 does on every load)."""
-        return _list_offset(self._conn, topic, partition, at)
+        partition_table.go:244/248 does on every load).  ListOffsets
+        is read-only, so the disconnect recovery (re-dial + single
+        resend) is unconditionally safe."""
+        try:
+            return _list_offset(self._conn, topic, partition, at)
+        except (ConnectionError, OSError):
+            self._conn.reconnect()
+            self.versions = negotiate_versions(self._conn)
+            return _list_offset(self._conn, topic, partition, at)
 
     def fetch(self, topic: str, partition: int, offset: int,
               max_bytes: int = 1 << 20) -> list[Record]:
@@ -1172,47 +1224,64 @@ class WireConsumer:
         caller re-fetches from the last offset it got.  Retriable
         errors back off and retry; OFFSET_OUT_OF_RANGE / unknown
         topic raise typed errors."""
+        def build(ver: int) -> bytes:
+            if ver >= FLEXIBLE_SINCE[API_FETCH]:
+                w = _Writer()
+                w.int32(-1)                      # replica_id
+                w.int32(100)                     # max_wait_ms
+                w.int32(1)                       # min_bytes
+                w.int32(max_bytes)               # max_bytes
+                w.int8(0)                        # isolation_level
+                w.int32(0)                       # session_id
+                w.int32(-1)                      # session_epoch
+
+                def enc_topic12(wr: _Writer, t: str) -> None:
+                    wr.compact_string(t)
+                    wr.compact_array(
+                        [partition],
+                        lambda w2, p: w2.int32(p).int32(-1).int64(offset)
+                        .int32(-1).int64(-1).int32(max_bytes).tags())
+                    wr.tags()
+
+                w.compact_array([topic], enc_topic12)
+                w.compact_array([], lambda *_: None)  # forgotten topics
+                w.compact_string("")             # rack_id
+                w.tags()
+            else:
+                w = _Writer()
+                w.int32(-1)                      # replica_id
+                w.int32(100)                     # max_wait_ms
+                w.int32(1)                       # min_bytes
+                w.int32(max_bytes)               # max_bytes (v3+)
+                w.int8(0)                        # isolation_level (v4+)
+
+                def enc_topic(wr: _Writer, t: str) -> None:
+                    wr.string(t)
+                    wr.array([partition], lambda w2, p: w2.int32(p)
+                             .int64(offset).int32(max_bytes))
+
+                w.array([topic], enc_topic)
+            return w.getvalue()
+
         ver = self.versions[API_FETCH]
-        if ver >= FLEXIBLE_SINCE[API_FETCH]:
-            w = _Writer()
-            w.int32(-1)                          # replica_id
-            w.int32(100)                         # max_wait_ms
-            w.int32(1)                           # min_bytes
-            w.int32(max_bytes)                   # max_bytes
-            w.int8(0)                            # isolation_level
-            w.int32(0)                           # session_id
-            w.int32(-1)                          # session_epoch
-
-            def enc_topic12(wr: _Writer, t: str) -> None:
-                wr.compact_string(t)
-                wr.compact_array(
-                    [partition],
-                    lambda w2, p: w2.int32(p).int32(-1).int64(offset)
-                    .int32(-1).int64(-1).int32(max_bytes).tags())
-                wr.tags()
-
-            w.compact_array([topic], enc_topic12)
-            w.compact_array([], lambda *_: None)  # forgotten topics
-            w.compact_string("")                 # rack_id
-            w.tags()
-        else:
-            w = _Writer()
-            w.int32(-1)                          # replica_id
-            w.int32(100)                         # max_wait_ms
-            w.int32(1)                           # min_bytes
-            w.int32(max_bytes)                   # max_bytes (v3+)
-            w.int8(0)                            # isolation_level (v4+)
-
-            def enc_topic(wr: _Writer, t: str) -> None:
-                wr.string(t)
-                wr.array([partition], lambda w2, p: w2.int32(p)
-                         .int64(offset).int32(max_bytes))
-
-            w.array([topic], enc_topic)
-        payload = w.getvalue()
+        payload = build(ver)
         self._backoff.reset()
         for attempt in range(self._max_retries + 1):
-            rd = self._conn.request(API_FETCH, ver, payload)
+            try:
+                rd = self._conn.request(API_FETCH, ver, payload)
+            except (ConnectionError, OSError):
+                # mid-fetch broker restart (systemtest
+                # proc_disconnect_test.go): re-dial, re-negotiate,
+                # re-fetch from the SAME offset — the offset cursor
+                # lives with the caller, so nothing is lost or doubled
+                if attempt == self._max_retries:
+                    raise
+                time.sleep(self._backoff.duration())
+                self._conn.reconnect()
+                self.versions = negotiate_versions(self._conn)
+                ver = self.versions[API_FETCH]
+                payload = build(ver)
+                continue
             records: list[Record] = []
             err = 0
             if ver >= FLEXIBLE_SINCE[API_FETCH]:
@@ -1385,6 +1454,14 @@ class WireGroupMember:
         self._tm.close()
 
     # -- coordinator --
+    def _reconnect_coordinator(self) -> None:
+        """After a coordinator disconnect (broker restart —
+        systemtest proc_disconnect_test.go): re-dial the bootstrap
+        link and re-locate the coordinator (it may have moved)."""
+        self._conn.close()
+        self._bootstrap.reconnect()
+        self._conn = self._find_coordinator()
+
     def _find_coordinator(self) -> KafkaConnection:
         rd = self._bootstrap.request(
             API_FIND_COORDINATOR, 0,
@@ -1407,7 +1484,11 @@ class WireGroupMember:
              .string("consumer")
              .array([("copartition", meta)],
                     lambda wr, p: wr.string(p[0]).bytes_(p[1])))
-        rd = self._conn.request(API_JOIN_GROUP, 0, w.getvalue())
+        try:
+            rd = self._conn.request(API_JOIN_GROUP, 0, w.getvalue())
+        except (ConnectionError, OSError):
+            self._reconnect_coordinator()
+            rd = self._conn.request(API_JOIN_GROUP, 0, w.getvalue())
         err = rd.int16()
         if err == ERR_UNKNOWN_MEMBER_ID:
             self.member_id = ""                  # evicted: rejoin fresh
@@ -1463,7 +1544,15 @@ class WireGroupMember:
         """True = all good; False = group rebalancing, call join()."""
         w = (_Writer().string(self.group).int32(self.generation)
              .string(self.member_id))
-        rd = self._conn.request(API_HEARTBEAT, 0, w.getvalue())
+        try:
+            rd = self._conn.request(API_HEARTBEAT, 0, w.getvalue())
+        except (ConnectionError, OSError):
+            # coordinator died mid-session: re-dial and report "not
+            # healthy" so the caller runs its normal rejoin path —
+            # the same recovery the reference processor performs
+            # after a broker bounce
+            self._reconnect_coordinator()
+            return False
         err = rd.int16()
         if err in (ERR_REBALANCE_IN_PROGRESS, ERR_ILLEGAL_GENERATION):
             return False
@@ -1495,7 +1584,13 @@ class WireGroupMember:
                 lambda wr, kv: wr.string(kv[0])
                 .array(kv[1], lambda w2, po: w2.int32(po[0])
                        .int64(po[1]).string(None)))
-        rd = self._conn.request(API_OFFSET_COMMIT, 2, w.getvalue())
+        try:
+            rd = self._conn.request(API_OFFSET_COMMIT, 2, w.getvalue())
+        except (ConnectionError, OSError):
+            # OffsetCommit is idempotent per (group, gen, offsets):
+            # reconnect and resend once
+            self._reconnect_coordinator()
+            rd = self._conn.request(API_OFFSET_COMMIT, 2, w.getvalue())
         for _ in range(rd.int32()):
             rd.string()
             for _ in range(rd.int32()):
@@ -1511,7 +1606,11 @@ class WireGroupMember:
         w = (_Writer().string(self.group)
              .array([topic], lambda wr, t: wr.string(t)
                     .array(partitions, lambda w2, p: w2.int32(p))))
-        rd = self._conn.request(API_OFFSET_FETCH, 1, w.getvalue())
+        try:
+            rd = self._conn.request(API_OFFSET_FETCH, 1, w.getvalue())
+        except (ConnectionError, OSError):
+            self._reconnect_coordinator()
+            rd = self._conn.request(API_OFFSET_FETCH, 1, w.getvalue())
         out: dict[int, int] = {}
         for _ in range(rd.int32()):
             rd.string()
@@ -1550,6 +1649,7 @@ class FakeBroker:
         self.topics: dict[str, dict] = {}
         self._lock = threading.Lock()
         self._threads: list[threading.Thread] = []
+        self._conns: list[socket.socket] = []
         self._stop = threading.Event()
         #: api name ("produce"|"fetch") -> queued error codes; each
         #: queued code fails exactly one subsequent request — lets
@@ -1589,10 +1689,32 @@ class FakeBroker:
 
     def stop(self) -> None:
         self._stop.set()
+        # shutdown() BEFORE close(): a thread blocked in accept()
+        # holds the fd alive past close() on Linux, leaving the
+        # socket in LISTEN forever — shutdown wakes it so the port
+        # actually frees (restart-on-the-same-address depends on it)
+        try:
+            self._srv.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
         try:
             self._srv.close()
         except OSError:
             pass
+        for t in self._threads:
+            if t is not threading.current_thread():
+                t.join(timeout=1.0)
+        # close live per-connection sockets too: a lingering
+        # ESTABLISHED server-side socket keeps the port bound, which
+        # would break restart-on-the-same-address (the disconnect
+        # tests' broker-bounce simulation)
+        with self._lock:
+            conns, self._conns = self._conns, []
+        for c in conns:
+            try:
+                c.close()
+            except OSError:
+                pass
 
     def _accept_loop(self) -> None:
         while not self._stop.is_set():
@@ -1600,6 +1722,8 @@ class FakeBroker:
                 conn, _ = self._srv.accept()
             except OSError:
                 return
+            with self._lock:
+                self._conns.append(conn)
             t = threading.Thread(target=self._serve, args=(conn,),
                                  daemon=True)
             t.start()
