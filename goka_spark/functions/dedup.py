@@ -1517,14 +1517,30 @@ def simhash_hamming_histogram(df: "DataFrame", id_col: str,
     blocked = s.select(id_col, "simhash", F.explode(chunks).alias("bb")) \
                .select(id_col, "simhash", "bb.band", "bb.chunk")
     a, b = blocked.alias("a"), blocked.alias("b")
+
+    # Count each unordered pair exactly once WITHOUT a distinct: a
+    # pair colliding in k bands appears k times in the equi-join, but
+    # only the row whose band is the pair's FIRST matching band
+    # survives — "no earlier band matches" is recomputable from the
+    # two signatures as pure scan-stage bit algebra, which replaces
+    # the candidate-wide shuffle+dedup pass (r11 verdict ask #4: this
+    # was the sweep's most expensive row, and the distinct was its
+    # cost).  Results are value-identical by construction.
+    def _chunk(sig_col, band_idx):
+        return F.shiftright(sig_col, band_idx * width).bitwiseAND(
+            F.lit((1 << width) - 1))
+
+    earlier = F.lit(False)
+    for bi in range(bands - 1):
+        earlier = earlier | ((F.col("band") > bi)
+                             & (_chunk(F.col("a.simhash"), bi)
+                                == _chunk(F.col("b.simhash"), bi)))
     pairs = (
         a.join(b, on=["band", "chunk"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                hamming64(F.col("a.simhash"),
-                          F.col("b.simhash")).alias("hamming"))
-        .distinct())
+        .filter(~earlier)
+        .select(hamming64(F.col("a.simhash"),
+                          F.col("b.simhash")).alias("hamming")))
     return (pairs.groupBy(F.col("hamming").cast("long").alias("hamming"))
             .agg(F.count("*").cast("long").alias("n_pairs")))
 
