@@ -73,6 +73,11 @@ _FRONT = [
     "nation_ship_latency",
     "brand_price_spread",
     "mktsegment_revenue_share",
+    "paragraph_dedup_savings",
+    "paragraph_position_bias",
+    "knn_label_consistency",
+    "order_fanout_histogram",
+    "value_pareto_by_type",
     # (e) best-effort tail: the remaining r7 vintage, oldest rows
     # first, so leftover slots refresh the next-stalest keys
     "dup_ngram_coverage",

@@ -3832,3 +3832,97 @@ ORACLES["mktsegment_revenue_share"] = """
            CAST(rev * 1000000 // t AS BIGINT) AS share_e6
     FROM g JOIN yt ON g.o_year = yt.o_year
 """
+
+
+def order_fanout_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Order FAN-OUT profile (B90) — lineitems per order as a
+    histogram: the order-size distribution behind picking/packing
+    capacity and the fact-table skew check (a fat-tailed fan-out is
+    where a naive orders⋈lineitem join skews).  Orders with no
+    lineitems surface at fanout 0 via the left join — the data-QA
+    branch an inner join hides.  Two hash-aggs, no window."""
+    t = load(spark, sf, "orders", "lineitem")
+    per = (t["orders"].join(
+        t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"),
+        "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("fanout")))
+    tot = per.groupBy().agg(F.count("*").alias("_n"))
+    return (per.groupBy(F.col("fanout").cast("long").alias("fanout"))
+            .agg(F.count("*").cast("long").alias("n_orders"))
+            .crossJoin(F.broadcast(tot))
+            .select("fanout", "n_orders",
+                    F.expr("n_orders * 1000000L DIV _n").cast("long")
+                    .alias("share_e6")))
+
+
+QUERIES["order_fanout_histogram"] = order_fanout_histogram
+
+ORACLES["order_fanout_histogram"] = """
+    WITH per AS (
+      SELECT o_orderkey, COUNT(l_orderkey) AS fanout
+      FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderkey
+    ), tot AS (SELECT COUNT(*) AS n FROM per)
+    SELECT CAST(fanout AS BIGINT) AS fanout,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) * 1000000 // n AS BIGINT) AS share_e6
+    FROM per, tot GROUP BY fanout, n
+"""
+
+
+def value_pareto_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-decile value CONCENTRATION per event type (B91) — the
+    Pareto number ("whales' share") beside B81's full Gini: per
+    type, what share of total value the top 10% of users carry.
+    Exact integers: per-user cents, deterministic (value DESC,
+    user_id) rank over USER AGGREGATES (distinct users, never raw
+    events), k = ceil(n/10), share = cum_at_k·1e6 DIV total."""
+    ev = load(spark, sf, "events")["events"]
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_u = (ev.groupBy("event_type", "user_id")
+             .agg(F.sum(cents).alias("v")))
+    w = (Window.partitionBy("event_type")
+         .orderBy(F.desc("v"), F.asc("user_id")))
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy("event_type")
+    staged = (per_u.withColumn("_rn", F.row_number().over(w))
+              .withColumn("_cum", F.sum("v").over(wc))
+              .withColumn("_n", F.count("*").over(wt))
+              .withColumn("_tot", F.sum("v").over(wt)))
+    return (staged.filter(F.col("_rn") == F.expr("(_n + 9) DIV 10"))
+            .select("event_type",
+                    F.col("_n").cast("long").alias("n_users"),
+                    F.col("_rn").cast("long").alias("top_users"),
+                    F.col("_tot").cast("long").alias("total_e2"),
+                    F.col("_cum").cast("long").alias("top_value_e2"),
+                    F.expr("_cum * 1000000L DIV greatest(_tot, 1L)")
+                    .cast("long").alias("top_share_e6")))
+
+
+QUERIES["value_pareto_by_type"] = value_pareto_by_type
+
+ORACLES["value_pareto_by_type"] = """
+    WITH per_u AS (
+      SELECT event_type, user_id,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS v
+      FROM events GROUP BY event_type, user_id
+    ), staged AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY v DESC, user_id) AS rn,
+             SUM(v) OVER (PARTITION BY event_type
+                          ORDER BY v DESC, user_id
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(v) OVER (PARTITION BY event_type) AS tot
+      FROM per_u
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_users,
+           CAST(rn AS BIGINT) AS top_users,
+           CAST(tot AS BIGINT) AS total_e2,
+           CAST(cum AS BIGINT) AS top_value_e2,
+           CAST(cum * 1000000 // greatest(tot, 1) AS BIGINT)
+             AS top_share_e6
+    FROM staged WHERE rn = (n + 9) // 10
+"""

@@ -10076,3 +10076,171 @@ def _gate_venn_oracle() -> str:
 
 
 ORACLES["quality_gate_venn"] = _gate_venn_oracle
+
+
+def paragraph_dedup_savings(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-SOURCE savings from the CCNet paragraph prune (C194) —
+    the report a curation owner reads before enabling C182: tokens
+    before, paragraph instances removed, tokens removed, and the
+    exact-integer savings share per source (boilerplate-heavy
+    sources dominate).  Same shared paragraph frame + keep rule as
+    C181/C182; one conditional hash-agg keyed by source."""
+    docs = load(spark, sf, "documents")["documents"]
+    ph = _paragraph_frame(docs)
+    pf = ph.groupBy("h").agg(F.count("*").alias("freq"),
+                             F.min("doc_id").alias("first_doc"))
+    keep = (F.col("freq") == 1) | (F.col("doc_id") == F.col("first_doc"))
+    src = docs.select("doc_id", "source")
+    ptok = F.size(F.filter(F.split(F.col("para"), " "),
+                           lambda x: x != "")).cast("long")
+    j = (ph.join(pf, "h").join(src, "doc_id")
+         .select("source", keep.alias("_k"), ptok.alias("_t")))
+    return (j.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_paragraphs"),
+                 F.sum((~F.col("_k")).cast("long")).cast("long")
+                 .alias("n_removed"),
+                 F.sum("_t").cast("long").alias("tokens_before"),
+                 F.sum(F.when(~F.col("_k"), F.col("_t"))
+                       .otherwise(0)).cast("long")
+                 .alias("tokens_removed"))
+            .select("source", "n_paragraphs", "n_removed",
+                    "tokens_before", "tokens_removed",
+                    F.expr("tokens_removed * 1000000L"
+                           " DIV greatest(tokens_before, 1L)")
+                    .cast("long").alias("savings_e6")))
+
+
+QUERIES["paragraph_dedup_savings"] = paragraph_dedup_savings
+
+ORACLES["paragraph_dedup_savings"] = f"""
+    WITH {_PARA_SQL},
+    k AS (
+      SELECT ph.doc_id, ph.para,
+             (pf.freq = 1 OR ph.doc_id = pf.first_doc) AS keep,
+             len(list_filter(string_split(ph.para, ' '),
+                             w -> w <> '')) AS t
+      FROM ph JOIN pf USING (h)
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_removed,
+           CAST(SUM(t) AS BIGINT) AS tokens_before,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE t END) AS BIGINT)
+             AS tokens_removed,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE t END) * 1000000
+                // greatest(SUM(t), 1) AS BIGINT) AS savings_e6
+    FROM k JOIN documents d USING (doc_id)
+    GROUP BY d.source
+"""
+
+
+def paragraph_position_bias(spark: SparkSession, sf: str) -> DataFrame:
+    """WHERE duplicated paragraphs live (C195) — head/middle/tail
+    terciles of each doc: crawl boilerplate (nav chrome, footers,
+    cookie banners) concentrates at document EDGES, so a strong
+    edge bias says trim-by-position before hash-dedup; a flat
+    profile says the duplication is content-level.  Same paragraph
+    frame; bucket = least(pos·3 DIV npar, 2) with npar from the
+    doc's own paragraph count — pure integer algebra, one hash-agg."""
+    docs = load(spark, sf, "documents")["documents"]
+    ph = _paragraph_frame(docs)
+    pf = ph.groupBy("h").agg(F.count("*").alias("freq"))
+    npar = ph.groupBy("doc_id").agg(F.count("*").alias("_np"))
+    j = ph.join(pf, "h").join(npar, "doc_id")
+    bucket = F.least(F.col("pos") * 3 / F.col("_np"),
+                     F.lit(2)).cast("long")
+    return (j.select(bucket.alias("tercile"),
+                     (F.col("freq") >= 2).cast("long").alias("_d"))
+            .groupBy("tercile")
+            .agg(F.count("*").cast("long").alias("n_paragraphs"),
+                 F.sum("_d").cast("long").alias("n_dup"))
+            .select("tercile", "n_paragraphs", "n_dup",
+                    F.expr("n_dup * 1000000L DIV n_paragraphs")
+                    .cast("long").alias("dup_share_e6")))
+
+
+QUERIES["paragraph_position_bias"] = paragraph_position_bias
+
+ORACLES["paragraph_position_bias"] = f"""
+    WITH {_PARA_SQL},
+    np AS (
+      SELECT doc_id, COUNT(*) AS np FROM ph GROUP BY doc_id
+    ), j AS (
+      SELECT LEAST(ph.pos * 3 // np.np, 2) AS tercile,
+             CASE WHEN pf.freq >= 2 THEN 1 ELSE 0 END AS d
+      FROM ph JOIN pf USING (h) JOIN np USING (doc_id)
+    )
+    SELECT CAST(tercile AS BIGINT) AS tercile,
+           CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+           CAST(SUM(d) AS BIGINT) AS n_dup,
+           CAST(SUM(d) * 1000000 // COUNT(*) AS BIGINT)
+             AS dup_share_e6
+    FROM j GROUP BY tercile
+"""
+
+
+def knn_label_consistency(spark: SparkSession, sf: str) -> DataFrame:
+    """kNN LABEL consistency (C196) — the third leg of the label-QA
+    stool (C191 centroid shift, C192 silhouette): each vector's
+    cell-local top-5 neighbors (C60's graph, read from the persisted
+    index) vote on its label; per label, how often the majority vote
+    agrees with the stored label — low agreement marks labels the
+    embedding geometry contradicts (mislabeled data or a collapsed
+    class).  Majority = (count DESC, label ASC) — deterministic;
+    vectors alone in their cell have no neighbors and are excluded
+    (the C60 contract).  Graph join + two hash-aggs + one window
+    over neighbor-vote groups (bounded by k)."""
+    emb = load(spark, sf, "embeddings")["embeddings"]
+    idx = _ann_index(spark, sf, emb)
+    g = A.knn_graph(idx, k=5)
+    nl = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("nl"))
+    votes = (g.join(nl, "neighbor_id")
+             .groupBy("vec_id", "nl").agg(F.count("*").alias("c")))
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("nl"))
+    top = (votes.withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == 1).select("vec_id", "nl"))
+    own = emb.select("vec_id", "label")
+    j = top.join(own, "vec_id")
+    agree = (F.col("nl") == F.col("label")).cast("long")
+    return (j.groupBy("label")
+            .agg(F.count("*").cast("long").alias("n_vecs"),
+                 F.sum(agree).cast("long").alias("n_agree"))
+            .select(F.col("label").cast("long"), "n_vecs", "n_agree",
+                    F.expr("n_agree * 1000000L DIV n_vecs")
+                    .cast("long").alias("agree_share_e6")))
+
+
+QUERIES["knn_label_consistency"] = knn_label_consistency
+
+
+def _knn_label_oracle() -> str:
+    g = _knn_graph_oracle()
+    return f"""
+    WITH g AS ({g}), votes AS (
+      SELECT g.vec_id, e.label AS nl, COUNT(*) AS c
+      FROM g JOIN embeddings e ON g.neighbor_id = e.vec_id
+      GROUP BY g.vec_id, e.label
+    ), top AS (
+      SELECT vec_id, nl FROM (
+        SELECT vec_id, nl,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY c DESC, nl) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT CAST(e.label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN top.nl = e.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree,
+           CAST(SUM(CASE WHEN top.nl = e.label THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS agree_share_e6
+    FROM top JOIN embeddings e USING (vec_id)
+    GROUP BY e.label
+    """
+
+
+ORACLES["knn_label_consistency"] = _knn_label_oracle
