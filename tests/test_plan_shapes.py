@@ -626,3 +626,57 @@ def test_front_queries_have_no_cartesian_products(spark, sf_dir):
     for key in list(qs)[:50]:
         plan = X.simple(qs[key](spark, sf_dir))
         assert "CartesianProduct" not in plan, key
+
+
+def test_simhash_histogram_no_distinct_exchange(spark, sf_dir):
+    """r12: the first-matching-band filter must keep the histogram's
+    dedup OUT of the plan — no HashAggregate over raw candidate pairs
+    for uniqueness (the old .distinct()), only the band equi-join and
+    the tiny hamming-count agg.  The plan should show exactly the
+    join exchanges plus ONE aggregation pair (partial+final on
+    hamming)."""
+    from goka_spark.queries.llmdata import simhash_hamming_histogram
+
+    df = simhash_hamming_histogram(spark, sf_dir)
+    plan = X.simple(df)
+    # the uniqueness distinct compiled to an extra exchange on
+    # (id_a, id_b, hamming); with the scan-stage filter the only
+    # aggregate keys left are the histogram's
+    assert "id_a" not in plan.lower(), plan
+
+
+def test_source_overlap_reuses_memoized_grams(spark, sf_dir):
+    """r12: source_overlap_matrix must read the session-memoized
+    (source, gram) projection — the plan over the memo shows a
+    checkpoint scan, not a fresh corpus shingle explode."""
+    from goka_spark.queries.llmdata import (_source_grams,
+                                            source_overlap_matrix)
+    from goka_spark.queries.base import load
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    _source_grams(spark, docs, sf_dir).count()  # warm the memo
+    df = source_overlap_matrix(spark, sf_dir)
+    plan = X.simple(df)
+    assert "Generate explode" not in plan, plan
+
+
+def test_new_b_keys_partial_agg_and_broadcast(spark, sf_dir):
+    """r12 B-side additions keep the house rules: fan-out histogram
+    aggregates partially (map-side combine before the shuffle) and
+    nation_ship_latency broadcasts its dims into the fact join."""
+    from goka_spark.queries.analytics import (nation_ship_latency,
+                                              order_fanout_histogram)
+
+    assert X.has_partial_aggregation(order_fanout_histogram(spark,
+                                                            sf_dir))
+    assert X.has_broadcast_join(nation_ship_latency(spark, sf_dir))
+
+
+def test_paragraph_dedup_partial_agg(spark, sf_dir):
+    """The CCNet paragraph frequency count must combine map-side —
+    at 100 TB the shuffle carries (hash, partial count), never raw
+    paragraphs."""
+    from goka_spark.queries.llmdata import ccnet_paragraph_dedup
+
+    df = ccnet_paragraph_dedup(spark, sf_dir)
+    assert X.has_partial_aggregation(df)
