@@ -454,9 +454,9 @@ def decode_record_batches(data: bytes) -> list[Record]:
         elif codec == CODEC_LZ4:
             br = _Reader(_lz4.decompress(br.raw(br.remaining())))
         elif codec == CODEC_ZSTD:
-            # decode-only (RFC 8878 pure-Python decoder): a fetch
-            # from a zstd-producing broker decodes; produce keeps
-            # the typed refusal (see encode_record_batch)
+            # full RFC 8878 pure-Python decoder: a fetch from a
+            # zstd-producing broker decodes; produce emits spec-valid
+            # store-mode frames (see encode_record_batch / _zstd.compress)
             br = _Reader(_zstd.decompress(br.raw(br.remaining())))
         elif codec:
             raise UnsupportedCodecError(codec)

@@ -9487,8 +9487,9 @@ def msttr_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
                       lambda acc, x: acc + x)
     return base.select(
         "doc_id", F.col("_n").cast("long").alias("n_segments"),
-        tot.alias("n_types_sum"),
-        (tot * 1000000 / (F.col("_n") * 25)).cast("long")
+        tot.alias("n_types_sum")).select(
+        "doc_id", "n_segments", "n_types_sum",
+        F.expr("n_types_sum * 1000000L DIV (n_segments * 25)")
         .alias("msttr_e6"))
 
 

@@ -141,6 +141,37 @@ class MonitorServer:
             def log_message(self, *a):  # quiet under pytest
                 pass
 
+            def _raw_post_allowed(self) -> bool:
+                """CSRF gate for the raw /actions API (server.go:47-48).
+
+                OWASP standard-headers check: every modern browser
+                attaches ``Origin`` to a cross-origin POST (form or
+                fetch) and cannot forge it, so a request whose Origin
+                — or, for older browsers, Referer — names a foreign
+                site is refused; the per-process token in
+                ``X-CSRF-Token`` always proves a request (same-origin
+                JS clients).  Non-browser clients (curl/urllib send
+                neither header) keep the untouched raw-body contract,
+                whatever Content-Type their library defaults to.
+                Residual risk is a pre-Origin browser with a
+                suppressed Referer against a loopback-bound monitor —
+                accepted and documented.
+                """
+                if self.headers.get("X-CSRF-Token") == outer._csrf:
+                    return True
+                host = self.headers.get("Host") or ""
+                origin = self.headers.get("Origin")
+                if origin and origin not in ("null",) \
+                        and origin.split("://", 1)[-1] == host:
+                    return True
+                if origin:          # present and NOT our host
+                    return False
+                referer = self.headers.get("Referer")
+                if referer:
+                    rhost = referer.split("://", 1)[-1].split("/", 1)[0]
+                    return rhost == host
+                return True
+
             def _json(self, obj: Any, code: int = 200) -> None:
                 body = json.dumps(obj, default=str).encode()
                 self.send_response(code)
@@ -412,6 +443,12 @@ class MonitorServer:
                             return
                     if (len(parts) == 3 and parts[0] == "actions"
                             and parts[1] in ("start", "stop")):
+                        if not is_form and not self._raw_post_allowed():
+                            self._json({"error": "cross-site request "
+                                        "rejected: form content-types "
+                                        "need the CSRF token (header "
+                                        "X-CSRF-Token) on /actions"}, 403)
+                            return
                         act = outer._actions.get(parts[2])
                         if act is None:
                             self._json({"error": "unknown action"}, 404)

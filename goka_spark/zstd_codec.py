@@ -10,11 +10,12 @@ the three interleaved FSE sequence codes (predefined / RLE /
 FSE-described / repeat modes), repeat-offset history, and the
 optional XXH64 content checksum.
 
-Decode-only by design: consuming a zstd-producing broker's fetches
-needs the decoder; producing keeps the typed ``UnsupportedCodecError``
-refusal (gzip/snappy/lz4 are the supported produce codecs) — encode
-support would need sequence *search*, which the spec deliberately
-does not pin down.
+Decode is complete; produce-side ``compress`` emits spec-valid
+*store-mode* frames (raw blocks, no entropy coding — any conforming
+decoder accepts them but they compress nothing).  Full entropy
+ENCODE would need sequence *search*, which the spec deliberately
+does not pin down, so a zstd-configured pipeline is wire-compatible
+but pays full bytes on produce.
 
 Tested against a REAL encoder (the zstd bundled in pyarrow's Arrow
 C++ build) across sizes, levels, and data shapes, plus format-edge
@@ -700,8 +701,13 @@ def decompress(data: bytes) -> bytes:
             magic = int.from_bytes(data[pos:pos + 4], "little")
             pos += 4
             if (magic & 0xFFFFFFF0) == _SKIPPABLE_LO:
+                if pos + 4 > len(data):
+                    raise ZstdError("truncated input")
                 size = int.from_bytes(data[pos:pos + 4], "little")
-                pos += 4 + size
+                pos += 4
+                if pos + size > len(data):
+                    raise ZstdError("truncated input")
+                pos += size
                 continue
             if magic != ZSTD_MAGIC:
                 raise ZstdError(f"bad frame magic 0x{magic:08X}")

@@ -401,3 +401,93 @@ def test_monitor_server_view_state_page():
             assert e.code == 404
     finally:
         srv.stop()
+
+
+def test_raw_actions_csrf_gate():
+    """r13 (ADVICE): the raw POST /actions/{start,stop}/<name> routes
+    must not be forgeable by a cross-site HTML form.  Every modern
+    browser attaches an unforgeable Origin header to cross-origin
+    POSTs (forms included), so the gate is the OWASP standard-headers
+    check: foreign Origin (or, legacy, foreign Referer) → 403;
+    X-CSRF-Token always proves a request; header-free non-browser
+    clients (curl -d / urllib defaults) keep the untouched raw-body
+    contract."""
+    import json
+    import urllib.request
+    from urllib.error import HTTPError
+    from urllib.request import urlopen
+
+    from goka_spark.web import MonitorServer
+
+    srv = MonitorServer().start()
+    try:
+        ran = []
+
+        def actor(value, stop):
+            ran.append(value)
+
+        srv.attach_action("touch", actor, "csrf probe")
+
+        def post(path, data=b"", headers=None, expect=200):
+            req = urllib.request.Request(
+                srv.address + path, data=data,
+                headers=headers or {}, method="POST")
+            try:
+                with urlopen(req) as resp:
+                    assert resp.status == expect
+                    return json.load(resp)
+            except HTTPError as e:
+                assert e.code == expect, (e.code, expect, e.read())
+                return json.load(e)
+
+        # 1. a cross-site form submission: browsers ALWAYS attach the
+        #    attacker-site Origin on a cross-origin POST → 403, and
+        #    the actor never runs
+        body = post("/actions/start/touch", b"v1",
+                    {"Content-Type": "application/x-www-form-urlencoded",
+                     "Origin": "http://evil.example"}, expect=403)
+        assert "CSRF" in body["error"]
+        # a no-cors fetch (text/plain) carries Origin too → 403
+        post("/actions/start/touch", b"v1",
+             {"Content-Type": "text/plain",
+              "Origin": "http://evil.example"}, expect=403)
+        # Origin: null (sandboxed-iframe form) is foreign, not ours
+        post("/actions/start/touch", b"v1", {"Origin": "null"},
+             expect=403)
+        # legacy browser: no Origin but a foreign Referer → 403
+        post("/actions/start/touch", b"v1",
+             {"Referer": "http://evil.example/trap.html"}, expect=403)
+        assert ran == []
+
+        # 2. header-free non-browser client: unchanged raw contract —
+        #    urllib (like curl -d) defaults to the form content-type,
+        #    which must NOT be gated on its own
+        out = post("/actions/start/touch", b"plain-client")
+        assert out["ok"] is True
+        import time
+        time.sleep(0.2)
+        assert ran == ["plain-client"]
+
+        # 3. a request that PROVES itself with the token header is
+        #    accepted even with a foreign Origin (same-origin JS
+        #    clients behind a proxy, test harnesses)
+        page = urlopen(srv.address + "/ui/actions").read().decode()
+        import re
+        tok = re.search(r"name='_csrf' value='([0-9a-f]+)'", page).group(1)
+        out = post("/actions/start/touch", b"tokened",
+                   {"Content-Type": "text/plain", "X-CSRF-Token": tok,
+                    "Origin": "http://evil.example"})
+        assert out["ok"] is True
+        time.sleep(0.2)
+        assert ran == ["plain-client", "tokened"]
+
+        # 4. a same-origin Origin (modern same-site JS POST) passes
+        import urllib.parse as _up
+        host = _up.urlparse(srv.address).netloc
+        out = post("/actions/start/touch", b"sameorigin",
+                   {"Origin": f"http://{host}"})
+        assert out["ok"] is True
+        time.sleep(0.2)
+        assert ran == ["plain-client", "tokened", "sameorigin"]
+    finally:
+        srv.stop()

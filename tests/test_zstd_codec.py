@@ -58,6 +58,22 @@ def test_multi_frame_and_skippable():
     assert Z.decompress(f1 + skip + f2) == b"first frame second frame"
 
 
+def test_truncated_skippable_raises():
+    """r13 (ADVICE): a skippable frame cut short — fewer than 4 size
+    bytes after the magic, or a declared payload longer than the
+    remaining input — must raise the same ZstdError('truncated
+    input') every other truncation path does, never silently accept."""
+    magic = (0x184D2A50).to_bytes(4, "little")
+    # size field itself truncated
+    with pytest.raises(Z.ZstdError, match="truncated"):
+        Z.decompress(magic + b"\x07\x00")
+    # size field complete but payload missing bytes
+    with pytest.raises(Z.ZstdError, match="truncated"):
+        Z.decompress(magic + (7).to_bytes(4, "little") + b"shrt")
+    # and the well-formed empty skippable frame still decodes to b""
+    assert Z.decompress(magic + (0).to_bytes(4, "little")) == b""
+
+
 def test_content_checksum_verified():
     """pyarrow's zstd emits no checksum; flip the FHD checksum bit
     and append the XXH64 low word ourselves — the decoder must
