@@ -559,7 +559,10 @@ def q12_ship_delay_buckets(spark: SparkSession, sf: str) -> DataFrame:
 def q9_profit_by_nation_year(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q9 (adapted: no partsupp/supplycost in this schema —
     profit is discounted revenue): profit per supplier nation per
-    order year for red parts.  Part/supplier/nation dims broadcast;
+    order year for red parts.  The filtered part dim and the tiny
+    nation dim broadcast by hint; supplier is SF-proportional, so its
+    join strategy is left to AQE (broadcast at test SFs, shuffle at
+    100 TB);
     the only big shuffle is the final (nation, year) aggregate."""
     t = load(spark, sf, "part", "supplier", "lineitem", "orders", "nation")
     return (
@@ -567,7 +570,7 @@ def q9_profit_by_nation_year(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(t["part"].filter(F.col("p_name").contains("red"))),
               F.col("l_partkey") == F.col("p_partkey"))
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["supplier"]),
+        .join(t["supplier"],
               F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t["nation"]),
               F.col("s_nationkey") == F.col("n_nationkey"))
@@ -653,7 +656,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     return (
         unit.withColumn("_min", F.min("unit_price").over(w))
         .filter(F.col("unit_price") == F.col("_min"))
-        .join(F.broadcast(t["supplier"]),
+        .join(t["supplier"],
               F.col("l_suppkey") == F.col("s_suppkey"))
         .select("p_partkey", "s_name", "unit_price")
     )
@@ -663,7 +666,8 @@ def q20_excess_shippers(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q20 (adapted: availqty absent — a supplier has "excess
     share" when it shipped >20% of a part's total quantity): names of
     such suppliers in NATION_1.  Share = windowed total per part; the
-    supplier dim broadcasts; output distinct supplier names."""
+    supplier join is AQE-chosen (the dim is SF-proportional — forced
+    broadcast would OOM at 100 TB); output distinct supplier names."""
     t = load(spark, sf, "supplier", "lineitem", "nation")
     per = (t["lineitem"].groupBy("l_partkey", "l_suppkey")
            .agg(F.sum("l_quantity").alias("_q")))
@@ -673,7 +677,7 @@ def q20_excess_shippers(spark: SparkSession, sf: str) -> DataFrame:
              .select("l_suppkey").distinct())
     return (
         heavy
-        .join(F.broadcast(t["supplier"]),
+        .join(t["supplier"],
               F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t["nation"]),
               F.col("s_nationkey") == F.col("n_nationkey"))
@@ -693,7 +697,8 @@ def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     lineitem are re-expressed as ONE per-order aggregate (distinct
     suppliers, distinct late suppliers) joined back to the late
     lineitems — both sides shuffle once on l_orderkey and AQE
-    co-partitions them; supplier/nation dims broadcast.  At 100 TB
+    co-partitions them; nation broadcasts by hint, the SF-proportional
+    supplier dim by AQE's choice.  At 100 TB
     this avoids re-scanning lineitem twice per EXISTS."""
     t = load(spark, sf, "orders", "lineitem", "supplier", "nation")
     fo = t["orders"].filter(F.col("o_orderstatus") == "F").select(
@@ -715,7 +720,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         late1
         .join(agg, "l_orderkey")
         .filter((F.col("_n_supp") > 1) & (F.col("_n_late") == 1))
-        .join(F.broadcast(t["supplier"]),
+        .join(t["supplier"],
               F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_9")),
               F.col("s_nationkey") == F.col("n_nationkey"))
@@ -3709,14 +3714,15 @@ def nation_ship_latency(spark: SparkSession, sf: str) -> DataFrame:
     cut q7/q9 (revenue views) never show: per supplier nation, item
     volume, exact-integer mean ship delay, and the slow-share (> 60
     days) — which geography is the fulfillment bottleneck.  Shape:
-    lineitem⋈orders on the fact keys, then two BROADCAST dim hops
-    (supplier, nation); one hash-agg."""
+    lineitem⋈orders on the fact keys, then two dim hops — nation
+    broadcast by hint, supplier AQE-chosen (SF-proportional dims
+    never get a forced hint); one hash-agg."""
     t = load(spark, sf, "orders", "lineitem", "supplier", "nation")
     delay = F.datediff(F.col("l_shipdate").cast("date"),
                        F.col("o_orderdate").cast("date")).cast("long")
     j = (t["lineitem"]
          .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-         .join(F.broadcast(t["supplier"]),
+         .join(t["supplier"],
                F.col("l_suppkey") == F.col("s_suppkey"))
          .join(F.broadcast(t["nation"]),
                F.col("s_nationkey") == F.col("n_nationkey")))
@@ -3793,13 +3799,14 @@ ORACLES["brand_price_spread"] = """
 def mktsegment_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
     """Market-segment revenue share per order year (B89) — the
     executive mix table: each segment's order volume, exact-cent
-    revenue, and share of that year's total.  Customer dim
-    broadcast into the orders fact; per-year totals are a years-sized
+    revenue, and share of that year's total.  The customer⋈orders join
+    strategy is AQE's call (customer is SF-proportional — hundreds of
+    GB at 100 TB, so never force-broadcast); per-year totals are a years-sized
     broadcast back — no second fact scan, no window over the fact."""
     t = load(spark, sf, "orders", "customer")
     rev = F.round(F.col("o_totalprice") * 100).cast("long")
     g = (t["orders"]
-         .join(F.broadcast(t["customer"]),
+         .join(t["customer"],
                F.col("o_custkey") == F.col("c_custkey"))
          .groupBy(F.col("c_mktsegment").alias("mktsegment"),
                   F.year("o_orderdate").cast("long").alias("o_year"))
@@ -3882,14 +3889,43 @@ def value_pareto_by_type(spark: SparkSession, sf: str) -> DataFrame:
     cents = F.round(F.col("value") * 100).cast("long")
     per_u = (ev.groupBy("event_type", "user_id")
              .agg(F.sum(cents).alias("v")))
-    w = (Window.partitionBy("event_type")
-         .orderBy(F.desc("v"), F.asc("user_id")))
-    wc = w.rowsBetween(Window.unboundedPreceding, 0)
-    wt = Window.partitionBy("event_type")
-    staged = (per_u.withColumn("_rn", F.row_number().over(w))
-              .withColumn("_cum", F.sum("v").over(wc))
-              .withColumn("_n", F.count("*").over(wt))
-              .withColumn("_tot", F.sum("v").over(wt)))
+    # r13 re-plan: the original Window.partitionBy(event_type) ranked
+    # EVERY user of a type in ONE task (parallelism = n_event_types —
+    # a single-task sort of the whole type at 100 TB).  Instead, the
+    # grouped cousin of functions/text.py:_global_prefix_sum:
+    # range-partition on the FULL rank key (type, v DESC, user) so
+    # the global per-type order is preserved ACROSS partitions, take
+    # tiny per-(partition, type) counts/sums, convert them to
+    # exclusive offsets with a window over that partition-count-sized
+    # frame (distributed — never collected), broadcast the offsets
+    # back, and let a per-(partition, type) local window finish the
+    # rank.  Every sort task now handles one range slice, whatever
+    # the type's cardinality.
+    part = (per_u.repartitionByRange(F.col("event_type"),
+                                     F.col("v").desc(),
+                                     F.col("user_id"))
+            .withColumn("_pid", F.spark_partition_id()))
+    pstats = (part.groupBy("_pid", "event_type")
+              .agg(F.count("*").alias("_c"), F.sum("v").alias("_s")))
+    woff = (Window.partitionBy("event_type").orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (pstats
+            .withColumn("_coff",
+                        F.coalesce(F.sum("_c").over(woff), F.lit(0)))
+            .withColumn("_soff",
+                        F.coalesce(F.sum("_s").over(woff), F.lit(0)))
+            .select("_pid", "event_type", "_coff", "_soff"))
+    totals = (pstats.groupBy("event_type")
+              .agg(F.sum("_c").alias("_n"), F.sum("_s").alias("_tot")))
+    wl = (Window.partitionBy("_pid", "event_type")
+          .orderBy(F.desc("v"), F.asc("user_id")))
+    wlc = wl.rowsBetween(Window.unboundedPreceding, 0)
+    staged = (part
+              .join(F.broadcast(offs), ["_pid", "event_type"])
+              .join(F.broadcast(totals), "event_type")
+              .withColumn("_rn",
+                          F.row_number().over(wl) + F.col("_coff"))
+              .withColumn("_cum", F.sum("v").over(wlc) + F.col("_soff")))
     return (staged.filter(F.col("_rn") == F.expr("(_n + 9) DIV 10"))
             .select("event_type",
                     F.col("_n").cast("long").alias("n_users"),

@@ -680,3 +680,50 @@ def test_paragraph_dedup_partial_agg(spark, sf_dir):
 
     df = ccnet_paragraph_dedup(spark, sf_dir)
     assert X.has_partial_aggregation(df)
+
+
+def test_value_pareto_no_single_task_type_sort(spark, sf_dir):
+    """r13 re-plan (VERDICT r12 finding #1): the per-type Pareto rank
+    must never funnel a whole event type through one window task.
+    The plan must range-partition on the full rank key and run every
+    v-DESC ranking window partitioned by (_pid, event_type) — the
+    per-slice local window of the two-pass prefix rank — never by
+    event_type alone."""
+    import re
+
+    from goka_spark.queries.analytics import value_pareto_by_type
+
+    df = value_pareto_by_type(spark, sf_dir)
+    plan = X.formatted(df)
+    assert "rangepartitioning" in plan.lower(), plan
+    # every window that orders by the value column descending (the
+    # actual ranking work) must carry _pid in its partition spec; the
+    # only event_type-only window allowed is the offset pass over the
+    # partition-count-sized pstats frame (no DESC ordering there)
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):
+        if "DESC" in spec:
+            assert "_pid" in spec, spec
+
+
+def test_sf_proportional_dims_not_hinted(spark, sf_dir):
+    """r13 (VERDICT r12 finding #2): supplier and customer grow with
+    the corpus (TPC-H: 15M customers/TB), so they must never carry a
+    forced broadcast hint — a hint overrides AQE and OOMs every
+    executor at 100 TB.  The tiny bounded dims (nation; the
+    years-sized yt frame; the FILTERED part slice) keep theirs.  At
+    test SFs the planner still picks a broadcast join on its own via
+    file-size stats — both facts asserted here."""
+    from goka_spark.queries.analytics import (mktsegment_revenue_share,
+                                              nation_ship_latency,
+                                              q9_profit_by_nation_year)
+
+    # (query, expected hint count = only the bounded-dim hints)
+    for fn, hints in ((nation_ship_latency, 1),        # nation
+                      (mktsegment_revenue_share, 1),   # yt (years)
+                      (q9_profit_by_nation_year, 2)):  # part-slice, nation
+        df = fn(spark, sf_dir)
+        ana = df._jdf.queryExecution().analyzed().toString()
+        assert ana.count("ResolvedHint") == hints, (fn.__name__, ana)
+        # the un-hinted SF-proportional dim still broadcasts at this
+        # SF — chosen by the planner's size stats, not forced
+        assert X.has_broadcast_join(df), fn.__name__
