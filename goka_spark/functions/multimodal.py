@@ -705,3 +705,80 @@ def wav_headroom_report(df: DataFrame, id_col: str = "doc_id",
         "hot_e6",
         F.expr("n_hot * 1000000L DIV greatest(n_samples, 1L)")
         .cast("long"))
+
+
+def wav_diff_report(df: DataFrame, id_col: str = "doc_id",
+                    blob_col: str = "blob") -> DataFrame:
+    """First-difference energy report over decoded PCM16 — the
+    exact-integer spectral-TILT estimator (Kedem 1986: difference-
+    filter energy ratios are the classic ZCR-family spectral-centroid
+    family) plus the transient/click detector an audio curation
+    pipeline runs beside silence/ZCR/headroom: per clip,
+
+    - ``e_total`` = Σ s_i²  and  ``e_diff`` = Σ (s_i − s_{i−1})²
+      (exact int64 — bounded for clips ≤ ~8M samples at 16 bit);
+    - ``tilt_e6`` = e_diff·10⁶ // (4·e_total) ∈ [0, 10⁶]: 0 for DC,
+      ~10⁶ for Nyquist-rate alternation (for a pure tone it equals
+      sin²(πf/f_s) — a monotone frequency proxy with NO float DFT,
+      so the oracle replays it exactly from the sample law);
+    - ``n_transients`` = #{i : |s_i − s_{i−1}| > 32768}: a jump past
+      half the int16 range inside ONE sample period is a waveform
+      discontinuity (click/pop/splice), not program material.
+
+    Clips with < 2 samples report (0, 0, 0, 0).  Arrow-batched
+    ``mapInPandas``, real RIFF parse, numpy per batch — the same
+    shape as ``wav_zcr_report``."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[blob_col]):
+                _, _, _, samples = wav_parse(bytes(b))
+                s = samples.astype(np.int64)
+                n = len(s)
+                if n < 2:
+                    rows.append((int(i), n, 0, 0, 0, 0))
+                    continue
+                d = s[1:] - s[:-1]
+                et = int((s * s).sum())
+                ed = int((d * d).sum())
+                rows.append((int(i), n, et, ed,
+                             ed * 1_000_000 // (4 * et) if et else 0,
+                             int((np.abs(d) > 32768).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_samples", "e_total", "e_diff",
+                "tilt_e6", "n_transients"])
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run, "doc_id long, n_samples long, e_total long, e_diff long,"
+             " tilt_e6 long, n_transients long")
+
+
+def image_value_counts(df: DataFrame, id_col: str = "doc_id",
+                       blob_col: str = "blob") -> DataFrame:
+    """Per-image gray-value HISTOGRAM rows from REAL decoded P6
+    pixels: one ``(doc_id, val, cnt)`` row per distinct gray value —
+    the exact-integer input for entropy/posterization gates.  The
+    histogram stays in integers so downstream micro-nat terms can be
+    computed engine-side (Spark ``F.log`` vs DuckDB ``ln`` on
+    IDENTICAL integer counts — the doc_entropy float discipline;
+    numpy's ln never touches the data).  ≤ 256 rows per image.
+    Arrow-batched; gray = the red channel (the synthetic encoders
+    write r=g=b)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vals, cnts = [], [], []
+            for i, b in zip(pdf[id_col], pdf[blob_col]):
+                _, _, _, px = ppm_parse(bytes(b))
+                gray = px.reshape(-1, 3)[:, 0]
+                v, c = np.unique(gray, return_counts=True)
+                ids.extend([int(i)] * len(v))
+                vals.extend(int(x) for x in v)
+                cnts.extend(int(x) for x in c)
+            yield pd.DataFrame({"doc_id": ids, "val": vals, "cnt": cnts})
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run, "doc_id long, val long, cnt long")

@@ -48,6 +48,13 @@ _FRONT = [
     "q2_min_cost_supplier",
     "q20_excess_shippers",
     # (b) NEW r13 keys (inserted here as they are built + verified)
+    "source_paragraph_savings",
+    "paragraph_template_detect",
+    "doc_prefix_dup_partners",
+    "longest_shared_run_pairs",
+    "paragraph_minhash_pairs",
+    "wav_spectral_tilt",
+    "image_entropy_gate",
     # (c) best-effort tail: the 18 remaining r7-vintage keys — oldest
     # rows first, so leftover slots refresh the next-stalest keys;
     # whatever the r13 front doesn't cover heads the r14 rotation

@@ -10245,3 +10245,573 @@ def _knn_label_oracle() -> str:
 
 
 ORACLES["knn_label_consistency"] = _knn_label_oracle
+
+
+# =====================================================================
+# ---- round 13: sub-document curation, part 2 ------------------------
+# =====================================================================
+
+
+def source_paragraph_savings(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-SOURCE paragraph-dedup savings forecast (C197) — C142's
+    dedup-savings report re-run at the CCNet paragraph granularity:
+    for each source, how many paragraph INSTANCES a corpus-wide
+    first-occurrence prune (C182's keep rule) would remove from THIS
+    source, the exact characters saved, and how much of the source's
+    duplication is cross-source (hashes whose first owner lives in a
+    different source — removable only by a corpus-wide pass, not a
+    per-source one).  This is the number a curation owner reads
+    before ordering the prune: which sources shrink, by how much, and
+    whether per-source sharding would forfeit the savings.  Keep =
+    corpus-unique hash OR first (min doc_id, then min pos) instance;
+    chars counted on the RAW paragraph text.  One explode + two
+    hash-aggs + a broadcast-sized hash join — linear in corpus
+    paragraphs (reference parity: storage/ compaction accounting,
+    goka's view of what a table rewrite reclaims)."""
+    docs = load(spark, sf, "documents")["documents"]
+    ph = _paragraph_frame(docs)
+    pf = ph.groupBy("h").agg(
+        F.count("*").alias("freq"),
+        F.min("doc_id").alias("first_doc"),
+        F.min(F.col("doc_id") * 1_000_000 + F.col("pos")).alias("_first"),
+        F.count_distinct("doc_id").alias("_nd"))
+    src = docs.select("doc_id", "source")
+    j = (ph.join(pf, "h").join(src, "doc_id")
+         .withColumn("_keep",
+                     (F.col("freq") == 1)
+                     | (F.col("doc_id") * 1_000_000 + F.col("pos")
+                        == F.col("_first"))))
+    first_src = (j.filter(F.col("doc_id") == F.col("first_doc"))
+                 .groupBy("h").agg(F.min("source").alias("_fsrc")))
+    j2 = j.join(first_src, "h")
+    return (j2.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_paragraphs"),
+                 F.sum((~F.col("_keep")).cast("long")).cast("long")
+                 .alias("n_removed"),
+                 F.sum(F.length("para")).cast("long")
+                 .alias("chars_total"),
+                 F.sum(F.when(~F.col("_keep"), F.length("para"))
+                       .otherwise(F.lit(0))).cast("long")
+                 .alias("chars_removed"),
+                 F.sum(((F.col("freq") >= 2)
+                        & (F.col("_fsrc") != F.col("source")))
+                       .cast("long")).cast("long")
+                 .alias("n_foreign_dup_inst"))
+            .select("source", "n_paragraphs", "n_removed",
+                    "chars_total", "chars_removed",
+                    F.expr("chars_removed * 1000000L"
+                           " DIV greatest(chars_total, 1L)").cast("long")
+                    .alias("savings_e6"),
+                    "n_foreign_dup_inst"))
+
+
+QUERIES["source_paragraph_savings"] = source_paragraph_savings
+
+ORACLES["source_paragraph_savings"] = f"""
+    WITH {_PARA_SQL},
+    pf2 AS (
+      SELECT h, COUNT(*) AS freq, MIN(doc_id) AS first_doc,
+             MIN(doc_id * 1000000 + pos) AS first_ip
+      FROM ph GROUP BY h
+    ), fs AS (
+      SELECT ph.h, MIN(d.source) AS fsrc
+      FROM ph JOIN pf2 ON ph.h = pf2.h AND ph.doc_id = pf2.first_doc
+      JOIN documents d ON ph.doc_id = d.doc_id
+      GROUP BY ph.h
+    ), j AS (
+      SELECT d.source, ph.para, pf2.freq,
+             (pf2.freq = 1 OR ph.doc_id * 1000000 + ph.pos
+                              = pf2.first_ip) AS keep,
+             fs.fsrc
+      FROM ph JOIN pf2 ON ph.h = pf2.h
+      JOIN fs ON ph.h = fs.h
+      JOIN documents d ON ph.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_removed,
+           CAST(SUM(len(para)) AS BIGINT) AS chars_total,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE len(para) END)
+                AS BIGINT) AS chars_removed,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE len(para) END) * 1000000
+                // greatest(SUM(len(para)), 1) AS BIGINT) AS savings_e6,
+           CAST(SUM(CASE WHEN freq >= 2 AND fsrc <> source
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_foreign_dup_inst
+    FROM j GROUP BY source
+"""
+
+
+def paragraph_template_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document TEMPLATE detection (C198) — the boilerplate
+    classifier that tells NAV CHROME from quoted content: a
+    normalized paragraph hash repeated across ≥ 3 distinct documents
+    is a template CANDIDATE; whether its instances sit at a stable
+    in-doc position separates page furniture (headers/footers/cookie
+    banners — position-locked) from organically re-quoted content
+    (position-free).  C195 answers "where do dups sit" per tercile;
+    this answers it per HASH, the unit a strip-list is built from.
+    Per candidate: distinct docs, instances, distinct positions,
+    modal position (max count, ties → min pos) and its share,
+    is_positional at ≥ 80%.  Output is bounded by the duplicated-
+    hash vocabulary (≪ corpus); one explode + two hash-aggs + a
+    bounded per-hash window (rows per hash = its distinct
+    positions)."""
+    docs = load(spark, sf, "documents")["documents"]
+    ph = _paragraph_frame(docs)
+    byp = (ph.groupBy("h", "pos")
+           .agg(F.count("*").alias("_c")))
+    from pyspark.sql import Window as W
+    wm = W.partitionBy("h").orderBy(F.desc("_c"), F.asc("pos"))
+    modal = (byp.withColumn("_rn", F.row_number().over(wm))
+             .filter(F.col("_rn") == 1)
+             .select("h", F.col("pos").alias("modal_pos"),
+                     F.col("_c").alias("_modal_c")))
+    stats = (ph.groupBy("h")
+             .agg(F.count_distinct("doc_id").alias("n_docs"),
+                  F.count("*").alias("n_inst"),
+                  F.count_distinct("pos").alias("n_pos")))
+    return (stats.filter(F.col("n_docs") >= 3)
+            .join(modal, "h")
+            .select("h", F.col("n_docs").cast("long"),
+                    F.col("n_inst").cast("long"),
+                    F.col("n_pos").cast("long").alias("n_distinct_pos"),
+                    F.col("modal_pos").cast("long"),
+                    F.expr("_modal_c * 1000000L DIV n_inst").cast("long")
+                    .alias("modal_share_e6"))
+            .withColumn("is_positional",
+                        F.col("modal_share_e6") >= 800_000))
+
+
+QUERIES["paragraph_template_detect"] = paragraph_template_detect
+
+ORACLES["paragraph_template_detect"] = f"""
+    WITH {_PARA_SQL},
+    byp AS (
+      SELECT h, pos, COUNT(*) AS c FROM ph GROUP BY h, pos
+    ), modal AS (
+      SELECT h, pos AS modal_pos, c AS modal_c FROM (
+        SELECT h, pos, c,
+               ROW_NUMBER() OVER (PARTITION BY h
+                                  ORDER BY c DESC, pos) AS rn
+        FROM byp
+      ) WHERE rn = 1
+    ), stats AS (
+      SELECT h, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_inst,
+             COUNT(DISTINCT pos) AS n_pos
+      FROM ph GROUP BY h
+    )
+    SELECT stats.h,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_inst AS BIGINT) AS n_inst,
+           CAST(n_pos AS BIGINT) AS n_distinct_pos,
+           CAST(modal_pos AS BIGINT) AS modal_pos,
+           CAST(modal_c * 1000000 // n_inst AS BIGINT)
+             AS modal_share_e6,
+           (modal_c * 1000000 // n_inst >= 800000) AS is_positional
+    FROM stats JOIN modal USING (h)
+    WHERE n_docs >= 3
+"""
+
+
+def doc_prefix_dup_partners(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared document-PREFIX audit (C199) — the crawl-QA probe for
+    mirrored heads: same title block, same license preamble, same
+    generator stanza.  Whole-doc dedup misses them when the tails
+    diverge, and paragraph hashing (fixed 12-word windows) only
+    catches width-aligned repeats — this keys on the first w
+    NORMALIZED words at w ∈ 8/16/32, so a doc family sharing only
+    its opening is surfaced with the prefix depth it shares.  Emits
+    only docs WITH a partner (output is duplicated-prefix-sized, not
+    corpus-sized): (doc, width) → partner count, the group's first
+    doc, is_canonical.  Docs shorter than w skip that width (their
+    whole-doc repeats are C6/C181's job).  Scale: 3 scan-stage
+    prefix hashes + one (w, hash) hash-agg + a join back — no
+    windows, no pairs, linear at any corpus size."""
+    docs = load(spark, sf, "documents")["documents"]
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+        " +", " "))
+    words = F.filter(F.split(norm, " "), lambda x: x != "")
+    base = docs.select("doc_id", words.alias("_ws"),
+                       F.size(words).alias("_n"))
+    rows = None
+    for w in (8, 16, 32):
+        r = (base.filter(F.col("_n") >= w)
+             .select("doc_id", F.lit(w).cast("long").alias("width"),
+                     F.md5(F.array_join(F.slice("_ws", 1, w), " "))
+                     .alias("_ph")))
+        rows = r if rows is None else rows.unionByName(r)
+    grp = (rows.groupBy("width", "_ph")
+           .agg(F.count("*").alias("_c"),
+                F.min("doc_id").alias("first_doc")))
+    return (rows.join(grp, ["width", "_ph"])
+            .filter(F.col("_c") >= 2)
+            .select("doc_id", "width",
+                    (F.col("_c") - 1).cast("long").alias("n_partners"),
+                    F.col("first_doc").cast("long"),
+                    (F.col("doc_id") == F.col("first_doc"))
+                    .alias("is_canonical")))
+
+
+QUERIES["doc_prefix_dup_partners"] = doc_prefix_dup_partners
+
+_NORM_WS = ("list_filter(string_split(trim(regexp_replace("
+            "regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+            " ' +', ' ', 'g')), ' '), w -> w <> '')")
+
+ORACLES["doc_prefix_dup_partners"] = f"""
+    WITH b AS (
+      SELECT doc_id, {_NORM_WS} AS ws FROM documents
+    ), r AS (
+      SELECT doc_id, CAST(w AS BIGINT) AS width,
+             md5(array_to_string(ws[1:w], ' ')) AS ph2
+      FROM b, (SELECT UNNEST([8, 16, 32]) AS w)
+      WHERE len(ws) >= w
+    ), g AS (
+      SELECT width, ph2, COUNT(*) AS c, MIN(doc_id) AS first_doc
+      FROM r GROUP BY width, ph2
+    )
+    SELECT r.doc_id, r.width,
+           CAST(g.c - 1 AS BIGINT) AS n_partners,
+           CAST(g.first_doc AS BIGINT) AS first_doc,
+           (r.doc_id = g.first_doc) AS is_canonical
+    FROM r JOIN g USING (width, ph2)
+    WHERE g.c >= 2
+"""
+
+
+def longest_shared_run_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT longest shared word-run per near-dup pair (C200) — the
+    quantitative complement of winnowing's binary verdict: C111 says
+    two docs share ≥ 2 fingerprints, C158 says their edit distance;
+    this says the LENGTH of the longest literally-shared substring —
+    the number a span-remove policy (C148) keys its min-span
+    threshold on, and the suffix-automaton question answered at
+    shuffle-join cost.  Method: over the winnow-candidate pairs
+    (never all-pairs), join both docs' POSITIONAL 3-gram md5 frames
+    on gram equality; shared runs of length L ≥ k yield exactly
+    L−k+1 matches on one (pos_a − pos_b) diagonal, so the classic
+    gaps-and-islands count per diagonal recovers L = run + k − 1
+    exactly (capped by the shorter doc for the sub-k-gram edge).
+    Per pair: longest_run_words + total positional matches.  Scale:
+    candidate mining is the certified winnow equi-join; the gram
+    joins fan out only candidate docs; islands windows are bounded
+    per (pair, diagonal) by doc length — no global sort anywhere."""
+    from pyspark.sql import Window as W
+    docs = load(spark, sf, "documents")["documents"]
+    cand = D.winnow_overlap_pairs(docs, "doc_id", "text",
+                                  keys=_winnow_kf(spark, docs, sf))
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    ng = F.greatest(F.size(words) - 2, F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), ng),
+                        lambda i: F.array_join(F.slice(words, i, 3), " "))
+    pg = (docs.select("doc_id", F.size(words).alias("_L"),
+                      F.posexplode(grams))
+          .select("doc_id", "_L", F.col("pos").alias("_p"),
+                  F.md5("col").alias("_gh")))
+    a = pg.select(F.col("doc_id").alias("id_a"),
+                  F.col("_L").alias("_la"), F.col("_p").alias("_pa"),
+                  "_gh")
+    b = pg.select(F.col("doc_id").alias("_idb"),
+                  F.col("_L").alias("_lb"), F.col("_p").alias("_pb"),
+                  F.col("_gh").alias("_ghb"))
+    m = (cand.select("id_a", "id_b")
+         .join(a, "id_a")
+         .join(b, (F.col("id_b") == F.col("_idb"))
+               & (F.col("_gh") == F.col("_ghb")))
+         .select("id_a", "id_b", "_pa",
+                 (F.col("_pa") - F.col("_pb")).alias("_diag"),
+                 F.least("_la", "_lb").alias("_cap")))
+    wrn = W.partitionBy("id_a", "id_b", "_diag").orderBy("_pa")
+    isl = m.withColumn("_grp", F.col("_pa") - F.row_number().over(wrn))
+    runs = (isl.groupBy("id_a", "id_b", "_cap", "_diag", "_grp")
+            .agg(F.count("*").alias("_run")))
+    return (runs.groupBy("id_a", "id_b")
+            .agg(F.max(F.least(F.col("_run") + 2, F.col("_cap")))
+                 .cast("long").alias("longest_run_words"),
+                 F.sum("_run").cast("long").alias("n_hits")))
+
+
+QUERIES["longest_shared_run_pairs"] = longest_shared_run_pairs
+
+ORACLES["longest_shared_run_pairs"] = f"""
+    WITH cand AS ({ORACLES["winnow_overlap_pairs"]}),
+    b2 AS (
+      SELECT doc_id, {_WORDS} AS ws FROM documents
+    ), pg AS (
+      SELECT doc_id, CAST(len(ws) AS BIGINT) AS L, i AS pos,
+             md5(array_to_string(ws[i:i+2], ' ')) AS gh
+      FROM b2, UNNEST(range(1, greatest(len(ws) - 2, 1) + 1)) AS t(i)
+    ), m AS (
+      SELECT c.id_a, c.id_b, a.pos AS pa, a.pos - b.pos AS diag,
+             least(a.L, b.L) AS cap
+      FROM cand c
+      JOIN pg a ON a.doc_id = c.id_a
+      JOIN pg b ON b.doc_id = c.id_b AND b.gh = a.gh
+    ), isl AS (
+      SELECT id_a, id_b, cap, diag,
+             pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag
+                                     ORDER BY pa) AS grp
+      FROM m
+    ), runs AS (
+      SELECT id_a, id_b, cap, COUNT(*) AS run
+      FROM isl GROUP BY id_a, id_b, cap, diag, grp
+    )
+    SELECT id_a, id_b,
+           CAST(MAX(LEAST(run + 2, cap)) AS BIGINT)
+             AS longest_run_words,
+           CAST(SUM(run) AS BIGINT) AS n_hits
+    FROM runs GROUP BY id_a, id_b
+"""
+
+
+def paragraph_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Paragraph-level NEAR-dup candidates at sketch cost (C201) —
+    the CCNet production shape one level below C19's doc MinHash:
+    exact paragraph dedup (C181) only merges byte-identical
+    normalized windows, so boilerplate with injected dates/ids and
+    boundary-shifted repeats survive it.  Here every DISTINCT
+    normalized paragraph (the hash already collapses exact copies)
+    gets a 16-perm md5 MinHash over its 3-word shingles, banded
+    4×4; colliding-band pairs are scored by matched perms, with each
+    side's corpus instance count attached — merging a pair saves
+    n_inst_a + n_inst_b − 1 instances.  Sketch cost at 100 TB: the
+    signature pass is one hash-agg over distinct paragraphs (≪
+    instances), banding is an equi-join, never all-pairs.
+    Hash-verified end-to-end: the md5 signature law is the certified
+    C19 oracle machinery, re-keyed from doc_id to paragraph hash."""
+    docs = load(spark, sf, "documents")["documents"]
+    ph = _paragraph_frame(docs)
+    reps = ph.groupBy("h").agg(F.count("*").alias("n_inst"),
+                               F.min("para").alias("_rep"))
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("_rep")), "[^a-z0-9 ]", ""),
+        " +", " "))
+    pdocs = reps.select("h", "n_inst", norm.alias("_nt"))
+    sigs = D.minhash_signatures(pdocs, "h", "_nt", num_perm=16,
+                                base_hash="md5")
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.concat_ws("-", F.transform(
+                     F.slice("minhash", b * 4 + 1, 4),
+                     lambda x: x.cast("string"))).alias("bkey"))
+        for b in range(4)])
+    bk = (sigs.select("h", F.explode(bands).alias("bb"))
+          .select("h", "bb.band", "bb.bkey"))
+    a, b = bk.alias("a"), bk.alias("b")
+    pairs = (a.join(b, ["band", "bkey"])
+             .filter(F.col("a.h") < F.col("b.h"))
+             .select(F.col("a.h").alias("h_a"),
+                     F.col("b.h").alias("h_b"))
+             .distinct())
+    sa = sigs.select(F.col("h").alias("h_a"),
+                     F.col("minhash").alias("_ma"))
+    sb = sigs.select(F.col("h").alias("h_b"),
+                     F.col("minhash").alias("_mb"))
+    mt = F.aggregate(
+        F.zip_with("_ma", "_mb",
+                   lambda x, y: (x == y).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    ia = reps.select(F.col("h").alias("h_a"),
+                     F.col("n_inst").alias("n_inst_a"))
+    ib = reps.select(F.col("h").alias("h_b"),
+                     F.col("n_inst").alias("n_inst_b"))
+    return (pairs.join(sa, "h_a").join(sb, "h_b")
+            .select("h_a", "h_b", mt.alias("n_perm_match"))
+            .join(ia, "h_a").join(ib, "h_b")
+            .select("h_a", "h_b",
+                    F.col("n_perm_match").cast("long"),
+                    (F.col("n_perm_match") * 62500).cast("long")
+                    .alias("est_e6"),
+                    F.col("n_inst_a").cast("long"),
+                    F.col("n_inst_b").cast("long")))
+
+
+QUERIES["paragraph_minhash_pairs"] = paragraph_minhash_pairs
+
+
+def _paragraph_minhash_oracle() -> str:
+    from goka_spark.functions.dedup import MERSENNE, _perm_params
+    rows = ", ".join(f"({j}, {a}, {b})"
+                     for j, (a, b) in enumerate(_perm_params(16)))
+    return f"""
+    WITH {_PARA_SQL},
+    reps AS (
+      SELECT h, COUNT(*) AS n_inst, MIN(para) AS rep
+      FROM ph GROUP BY h
+    ), rn2 AS (
+      SELECT h, n_inst,
+             list_filter(string_split(trim(regexp_replace(
+               regexp_replace(lower(rep), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g')), ' '), w -> w <> '') AS ws
+      FROM reps
+    ), sh2 AS (
+      SELECT h, UNNEST(list_distinct(list_transform(
+               range(1, greatest(len(ws) - 2, 1) + 1),
+               i -> array_to_string(ws[i:i+2], ' ')))) AS s
+      FROM rn2
+    ), hh AS (
+      SELECT h, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)
+                & 2147483647 AS h32
+      FROM sh2
+    ), params(perm, pa, pb) AS (VALUES {rows}),
+    sig AS (
+      SELECT h, CAST(perm AS INTEGER) AS perm,
+             MIN((pa * h32 + pb) % {MERSENNE}) AS sig
+      FROM hh CROSS JOIN params GROUP BY h, perm
+    ), bk AS (
+      SELECT h, perm // 4 AS band,
+             string_agg(CAST(sig AS VARCHAR), '-' ORDER BY perm)
+               AS bkey
+      FROM sig GROUP BY h, perm // 4
+    ), pairs AS (
+      SELECT DISTINCT a.h AS h_a, b.h AS h_b
+      FROM bk a JOIN bk b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.h < b.h
+    ), sc AS (
+      SELECT p.h_a, p.h_b,
+             SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS mt
+      FROM pairs p
+      JOIN sig sa ON sa.h = p.h_a
+      JOIN sig sb ON sb.h = p.h_b AND sb.perm = sa.perm
+      GROUP BY p.h_a, p.h_b
+    )
+    SELECT sc.h_a, sc.h_b,
+           CAST(mt AS BIGINT) AS n_perm_match,
+           CAST(mt * 62500 AS BIGINT) AS est_e6,
+           CAST(ra.n_inst AS BIGINT) AS n_inst_a,
+           CAST(rb.n_inst AS BIGINT) AS n_inst_b
+    FROM sc
+    JOIN reps ra ON ra.h = sc.h_a
+    JOIN reps rb ON rb.h = sc.h_b
+    """
+
+
+ORACLES["paragraph_minhash_pairs"] = _paragraph_minhash_oracle()
+
+
+def wav_spectral_tilt(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio spectral-TILT + transient gate (C202,
+    M.wav_diff_report) — the frequency-content leg the
+    silence/ZCR/headroom trio (C123/C131/C172) lacks: tilt_e6 =
+    Σ(Δs)²·10⁶ // (4·Σs²), the difference-filter energy ratio
+    (Kedem 1986 — the ZCR-family spectral-centroid estimator, equal
+    to sin²(πf/f_s) for a pure tone), and n_transients, the count of
+    one-sample jumps past half the int16 range — waveform
+    discontinuities (clicks/pops/splices) no energy gate sees.
+    Exact integers end to end: NO float DFT, so the oracle replays
+    decode→diff→moments in closed form from the PCM sample law
+    ((seed·7 + i·13) % 65536 − 32768), where the sawtooth's wrap
+    positions — and hence each clip's transient count — genuinely
+    vary with the (seed, length) phase.  Arrow-batched decode; one
+    scan-stage map, zero shuffle."""
+    docs = load(spark, sf, "documents")["documents"]
+    spec = docs.select(
+        "doc_id",
+        (F.lit(500) + (F.col("doc_id") % 13) * 400).cast("int")
+        .alias("n"),
+        F.col("doc_id").alias("seed"))
+    blobs = M.encode_wav(spec, "doc_id", "n", "seed", rate=8000)
+    return (M.wav_diff_report(blobs)
+            .withColumn("is_clicky", F.col("n_transients") > 0))
+
+
+QUERIES["wav_spectral_tilt"] = wav_spectral_tilt
+
+ORACLES["wav_spectral_tilt"] = """
+    WITH s AS (
+      SELECT doc_id, (500 + (doc_id % 13) * 400) AS n,
+             list_transform(range(0, 500 + (doc_id % 13) * 400),
+               i -> (doc_id * 7 + i * 13) % 65536 - 32768) AS smp
+      FROM documents
+    ), q AS (
+      SELECT doc_id, n,
+             list_aggregate(list_transform(smp, x -> x * x), 'sum')
+               AS et,
+             list_aggregate(list_transform(range(1, n),
+               i -> (smp[i + 1] - smp[i]) * (smp[i + 1] - smp[i])),
+               'sum') AS ed,
+             len(list_filter(range(1, n),
+               i -> abs(smp[i + 1] - smp[i]) > 32768)) AS nt
+      FROM s
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+           CAST(et AS BIGINT) AS e_total,
+           CAST(ed AS BIGINT) AS e_diff,
+           CAST(ed * 1000000 // (4 * et) AS BIGINT) AS tilt_e6,
+           CAST(nt AS BIGINT) AS n_transients,
+           (nt > 0) AS is_clicky
+    FROM q
+"""
+
+
+def image_entropy_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Image gray-HISTOGRAM entropy gate (C203,
+    M.image_value_counts) — the multimodal twin of C7's text-entropy
+    floor, completing the image-QA pair with C171's contrast gate
+    (variance sees spread; entropy sees POSTERIZATION — a two-tone
+    logo can have huge variance yet ~ln 2 information): per image,
+    distinct gray values, the micro-nat Σc·ln c term (exact int, the
+    doc_entropy float discipline — Spark F.log and DuckDB ln on
+    IDENTICAL integer counts), and the all-integer low-info verdict
+    H < 1 nat ⟺ nlnn_e6 − clnc_e6 < 10⁶·N.  The flat 1×1 branch
+    (doc_id % 251 == 0, C171's convention) keeps the gate's true arm
+    exercised.  Decode is Arrow-batched; the ≤ 256-row-per-image
+    histogram aggregates map-side — linear at any corpus size."""
+    docs = load(spark, sf, "documents")["documents"]
+    flat = (F.col("doc_id") % 251 == 0)
+    dims = docs.select(
+        "doc_id",
+        F.when(flat, F.lit(1)).otherwise(F.lit(6) + F.col("doc_id") % 19)
+        .cast("int").alias("w"),
+        F.when(flat, F.lit(1)).otherwise(F.lit(5) + F.col("doc_id") % 11)
+        .cast("int").alias("h"),
+        F.col("doc_id").alias("seed"))
+    blobs = M.encode_ppm_quad(dims, "doc_id", "w", "h", "seed")
+    vc = M.image_value_counts(blobs)
+    term = F.floor(1e6 * F.col("cnt") * F.log(F.col("cnt")) + 0.5) \
+        .cast("long")
+    agg = (vc.groupBy("doc_id")
+           .agg(F.sum("cnt").cast("long").alias("n_pixels"),
+                F.count("*").cast("long").alias("n_distinct_vals"),
+                F.sum(term).cast("long").alias("clnc_e6")))
+    nlnn = F.floor(1e6 * F.col("n_pixels")
+                   * F.log(F.col("n_pixels")) + 0.5).cast("long")
+    return (agg.withColumn("nlnn_e6", nlnn)
+            .withColumn("is_lowinfo",
+                        F.col("nlnn_e6") - F.col("clnc_e6")
+                        < F.lit(1_000_000) * F.col("n_pixels")))
+
+
+QUERIES["image_entropy_gate"] = image_entropy_gate
+
+ORACLES["image_entropy_gate"] = """
+    WITH px AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 251 = 0 THEN 1
+                  ELSE (6 + doc_id % 19) * (5 + doc_id % 11) END AS n,
+             doc_id AS seed
+      FROM documents
+    ), v AS (
+      SELECT doc_id, n,
+             UNNEST(list_transform(range(0, n),
+               i -> ((i + seed) * (i + seed)) % 256)) AS val
+      FROM px
+    ), c AS (
+      SELECT doc_id, n, val, COUNT(*) AS cnt
+      FROM v GROUP BY doc_id, n, val
+    ), agg AS (
+      SELECT doc_id, n, COUNT(*) AS nd,
+             SUM(CAST(floor(1e6 * cnt * ln(cnt) + 0.5) AS BIGINT))
+               AS clnc
+      FROM c GROUP BY doc_id, n
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_pixels,
+           CAST(nd AS BIGINT) AS n_distinct_vals,
+           CAST(clnc AS BIGINT) AS clnc_e6,
+           CAST(floor(1e6 * n * ln(n) + 0.5) AS BIGINT) AS nlnn_e6,
+           (floor(1e6 * n * ln(n) + 0.5) - clnc < 1000000 * n)
+             AS is_lowinfo
+    FROM agg
+"""
