@@ -782,3 +782,38 @@ def image_value_counts(df: DataFrame, id_col: str = "doc_id",
 
     return df.select(id_col, blob_col).mapInPandas(
         run, "doc_id long, val long, cnt long")
+
+
+def frame_sad(df: DataFrame, id_col: str = "doc_id",
+              blob_col: str = "blob") -> DataFrame:
+    """Per-stream inter-frame SAD (sum of absolute differences) — the
+    MOTION-intensity profile of a video QA pass, the quantitative
+    complement of the binary cut detector (``frame_dhash`` lag): per
+    stream, the number of frame transitions, how many are STATIC
+    (SAD = 0 — repeated frames a sampler should skip), and the total
+    absolute pixel difference across all transitions.  Pixel values
+    are bytes, so every sum is an exact int64 (≤ 255·pixels·frames).
+    Arrow-batched ``mapInPandas`` over the real concatenated-P6
+    parse (``ppm_stream_parse``); gray = the red channel."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[blob_col]):
+                frames = ppm_stream_parse(bytes(b))
+                grays = [f.reshape(-1, 3)[:, 0].astype(np.int64)
+                         for f in frames]
+                nt = max(len(grays) - 1, 0)
+                sads = [int(np.abs(grays[j + 1] - grays[j]).sum())
+                        for j in range(nt)]
+                rows.append((int(i), len(grays), nt,
+                             sum(1 for s in sads if s == 0),
+                             sum(sads)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_frames", "n_transitions", "n_static",
+                "sad_total"])
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run, "doc_id long, n_frames long, n_transitions long,"
+             " n_static long, sad_total long")

@@ -10815,3 +10815,145 @@ ORACLES["image_entropy_gate"] = """
              AS is_lowinfo
     FROM agg
 """
+
+
+def video_motion_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Inter-frame MOTION profile (C204, M.frame_sad) — the
+    quantitative complement of C139's binary cut detector: per
+    stream, frame transitions, STATIC transitions (SAD = 0 —
+    repeated frames a sampler skips; C132's dedup target), total
+    absolute pixel difference, and motion_e2 = sad·100 DIV
+    (transitions·pixels) — mean per-pixel motion in centi-gray.  A
+    frame pipeline keys its sampling rate on exactly this (static
+    lecture video vs sports).  Same 9×8 quad stream law as C139
+    (shot_len=2, seed_mod=5), so shots make the static arm real;
+    all-integer off real concatenated-P6 parses; the oracle replays
+    the ((i+seed)²)%256 pixel law per transition in closed form.
+    Arrow-batched decode; zero shuffle."""
+    docs = load(spark, sf, "documents")["documents"]
+    spec = docs.select(
+        "doc_id", (F.lit(4) + F.col("doc_id") % 5).cast("int").alias("nf"))
+    blobs = M.encode_ppm_stream_quad(spec, "doc_id", "nf",
+                                     width=9, height=8, seed_mod=5,
+                                     shot_len=2)
+    return (M.frame_sad(blobs)
+            .withColumn("motion_e2",
+                        F.expr("sad_total * 100 DIV"
+                               " greatest(n_transitions * 72, 1L)")
+                        .cast("long")))
+
+
+QUERIES["video_motion_profile"] = video_motion_profile
+
+ORACLES["video_motion_profile"] = """
+    WITH f AS (
+      SELECT doc_id, (4 + doc_id % 5) AS nf
+      FROM documents
+    ), tr AS (
+      SELECT doc_id, nf, j,
+             (doc_id + j // 2) % 5 AS sa,
+             (doc_id + (j + 1) // 2) % 5 AS sb
+      FROM f, UNNEST(range(0, 8)) AS t(j)
+      WHERE j < nf - 1
+    ), sad AS (
+      SELECT doc_id, nf, j,
+             list_aggregate(list_transform(range(0, 72),
+               i -> abs(((i + sa) * (i + sa)) % 256
+                        - ((i + sb) * (i + sb)) % 256)), 'sum') AS s
+      FROM tr
+    )
+    SELECT doc_id,
+           CAST(ANY_VALUE(nf) AS BIGINT) AS n_frames,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_static,
+           CAST(SUM(s) AS BIGINT) AS sad_total,
+           CAST(SUM(s) * 100 // greatest(COUNT(*) * 72, 1)
+                AS BIGINT) AS motion_e2
+    FROM sad GROUP BY doc_id
+"""
+
+
+def hll_merge_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL register-MERGE proof over source vocabularies (C205) —
+    the property a 100 TB rollup architecture rests on, demonstrated
+    and hash-verified end to end: each source's 256 md5-derived
+    vocabulary registers (C75's engine-portable law) roll up to the
+    corpus estimate by cell-wise MAX — NO re-scan of the corpus —
+    and the merged estimate equals what a from-scratch corpus build
+    would produce, because max-merge of registers IS the registers
+    of the union (exact algebra, not approximation).  One row per
+    source (exact vocab + its estimate) plus the __ALL__ row (exact
+    corpus vocab + the MERGED-register estimate).  Beside it, the
+    sum of per-source exacts — the naive double-counting number the
+    merge exists to avoid.  Shape: one token explode + two bounded
+    hash-aggs (≤ 256 rows per source); the merge agg touches
+    sources·256 rows at any corpus size."""
+    docs = load(spark, sf, "documents")["documents"]
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    tok = docs.select("source", F.explode(words).alias("w"))
+    regs = D.hll_registers(tok, ["source"], "w")
+    est_src = D.hll_estimate(regs, ["source"])
+    exact_src = (tok.groupBy("source")
+                 .agg(F.count_distinct("w").alias("exact_vocab")))
+    per = exact_src.join(est_src, "source")
+    merged_regs = (regs.groupBy("reg").agg(F.max("r").alias("r"))
+                   .withColumn("source", F.lit("__ALL__")))
+    est_all = D.hll_estimate(merged_regs, ["source"])
+    exact_all = (tok.agg(F.count_distinct("w").alias("exact_vocab"))
+                 .withColumn("source", F.lit("__ALL__")))
+    allrow = exact_all.join(est_all, "source")
+    return (per.unionByName(allrow)
+            .select("source", F.col("exact_vocab").cast("long"),
+                    "hll_est"))
+
+
+QUERIES["hll_merge_sources"] = hll_merge_sources
+
+ORACLES["hll_merge_sources"] = f"""
+    WITH tok AS (
+      SELECT source, UNNEST(ws) AS w
+      FROM (SELECT source, {_WORDS} AS ws FROM documents)
+    ), h AS (
+      SELECT source, md5(w) AS hx FROM tok
+    ), rv AS (
+      SELECT source,
+             CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) AS reg,
+             CASE WHEN CAST(('0x' || substr(hx, 3, 12)) AS BIGINT) > 0
+                  THEN 49 - length(bin(
+                         CAST(('0x' || substr(hx, 3, 12)) AS BIGINT)))
+                  ELSE 49 END AS val
+      FROM h
+    ), regs AS (
+      SELECT source, reg, MAX(val) AS r FROM rv GROUP BY source, reg
+    ), mregs AS (
+      SELECT '__ALL__' AS source, reg, MAX(r) AS r
+      FROM regs GROUP BY reg
+    ), allregs AS (
+      SELECT * FROM regs UNION ALL SELECT * FROM mregs
+    ), per AS (
+      SELECT source,
+             CAST(SUM(CAST(1 AS BIGINT) << (49 - r))
+                  + (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 49)
+                  AS DOUBLE) / CAST(CAST(1 AS BIGINT) << 49 AS DOUBLE)
+               AS s,
+             CAST(256 - COUNT(*) AS DOUBLE) AS zeros
+      FROM allregs GROUP BY source
+    ), est AS (
+      SELECT source,
+             CASE WHEN (0.7213 / (1 + 1.079/256)) * 256 * 256 / s
+                       <= 2.5 * 256 AND zeros > 0
+                  THEN ROUND(256.0 * ln(256.0 / zeros), 4)
+                  ELSE ROUND((0.7213 / (1 + 1.079/256)) * 256 * 256 / s, 4)
+             END AS hll_est
+      FROM per
+    ), ex AS (
+      SELECT source, COUNT(DISTINCT w) AS exact_vocab FROM tok
+      GROUP BY source
+      UNION ALL
+      SELECT '__ALL__', COUNT(DISTINCT w) FROM tok
+    )
+    SELECT ex.source, CAST(ex.exact_vocab AS BIGINT) AS exact_vocab,
+           est.hll_est
+    FROM ex JOIN est USING (source)
+"""
