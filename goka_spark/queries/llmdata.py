@@ -415,6 +415,10 @@ def warm_graph_artifacts(spark: SparkSession, sf: str) -> None:
     # (dedup_minhash_verified / minhash_est_error / lsh_vs_edit_eval)
     _minhash_sigs(spark, docs, sf).count()
     _minhash_sigs(spark, docs, sf, num_perm=16, base_hash="md5").count()
+    # the distinct-paragraph 16-perm md5 signature pair (r13:
+    # paragraph_minhash_pairs / paragraph_minhash_keep share it)
+    for _pf in _paragraph_sigs(spark, sf):
+        _pf.count()
     # the (3,4) winnowing keys frame (fingerprints / overlap pairs /
     # edit verify / the param sweep's (3,4) cell), then the
     # winnow→Levenshtein verdict frame built over it
@@ -10566,6 +10570,31 @@ ORACLES["longest_shared_run_pairs"] = f"""
 """
 
 
+#: distinct-paragraph reps + 16-perm md5 signatures — the shared
+#: expensive half of C201 (pair mining) and C206 (the keep verdict):
+#: one explode + one (h) agg + the signature hash-agg per session.
+_PARA_SIG_MEMO: dict = {}
+
+
+def _paragraph_sigs(spark: SparkSession, sf: str):
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _PARA_SIG_MEMO:
+        docs = load(spark, sf, "documents")["documents"]
+        ph = _paragraph_frame(docs)
+        reps = ph.groupBy("h").agg(F.count("*").alias("n_inst"),
+                                   F.min("para").alias("_rep"))
+        norm = F.trim(F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("_rep")), "[^a-z0-9 ]", ""),
+            " +", " "))
+        pdocs = reps.select("h", "n_inst", norm.alias("_nt"))
+        sigs = D.minhash_signatures(pdocs, "h", "_nt", num_perm=16,
+                                    base_hash="md5")
+        _PARA_SIG_MEMO[key] = (
+            pdocs.select("h", "n_inst").localCheckpoint(eager=False),
+            sigs.localCheckpoint(eager=False))
+    return _PARA_SIG_MEMO[key]
+
+
 def paragraph_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Paragraph-level NEAR-dup candidates at sketch cost (C201) —
     the CCNet production shape one level below C19's doc MinHash:
@@ -10581,16 +10610,7 @@ def paragraph_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     instances), banding is an equi-join, never all-pairs.
     Hash-verified end-to-end: the md5 signature law is the certified
     C19 oracle machinery, re-keyed from doc_id to paragraph hash."""
-    docs = load(spark, sf, "documents")["documents"]
-    ph = _paragraph_frame(docs)
-    reps = ph.groupBy("h").agg(F.count("*").alias("n_inst"),
-                               F.min("para").alias("_rep"))
-    norm = F.trim(F.regexp_replace(
-        F.regexp_replace(F.lower(F.col("_rep")), "[^a-z0-9 ]", ""),
-        " +", " "))
-    pdocs = reps.select("h", "n_inst", norm.alias("_nt"))
-    sigs = D.minhash_signatures(pdocs, "h", "_nt", num_perm=16,
-                                base_hash="md5")
+    reps, sigs = _paragraph_sigs(spark, sf)
     bands = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.concat_ws("-", F.transform(
@@ -10957,3 +10977,192 @@ ORACLES["hll_merge_sources"] = f"""
            est.hll_est
     FROM ex JOIN est USING (source)
 """
+
+
+def paragraph_minhash_keep(spark: SparkSession, sf: str) -> DataFrame:
+    """Paragraph near-dup KEEP verdict (C206) — the production
+    completion of C201's pair mining, the C23 (doc-level
+    dedup_minhash_keep) pipeline one granularity down: banded
+    candidate pairs over distinct normalized paragraphs → connected
+    components (pointer-jumping, cluster id = min member hash) →
+    keep the MOST-INSTANCED variant per cluster (ties → min hash) —
+    the canonical-boilerplate-variant policy (the highest-frequency
+    wording of a cookie banner is the one to keep, its long-tail
+    mutations the ones to strip).  Emits only CLUSTERED paragraphs
+    (output bounded by the near-dup vocabulary): hash, cluster,
+    keep hash, instance count, kept flag, and instances removed if
+    the strip list is applied.  Scale: signatures from the session
+    memo (one hash-agg over distinct paragraphs); CC runs on the
+    banded pair graph only — the O(log diameter) pointer-jumping
+    loop, all data distributed."""
+    reps, sigs = _paragraph_sigs(spark, sf)
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.concat_ws("-", F.transform(
+                     F.slice("minhash", b * 4 + 1, 4),
+                     lambda x: x.cast("string"))).alias("bkey"))
+        for b in range(4)])
+    bk = (sigs.select("h", F.explode(bands).alias("bb"))
+          .select("h", "bb.band", "bb.bkey"))
+    a, b = bk.alias("a"), bk.alias("b")
+    pairs = (a.join(b, ["band", "bkey"])
+             .filter(F.col("a.h") < F.col("b.h"))
+             .select(F.col("a.h").alias("id_a"),
+                     F.col("b.h").alias("id_b"))
+             .distinct())
+    cc = D.connected_components(pairs)
+    mem = (cc.select(F.col("node").alias("h"), "cluster_id")
+           .join(reps, "h"))
+    from pyspark.sql import Window as W
+    wk = W.partitionBy("cluster_id").orderBy(F.desc("n_inst"),
+                                             F.asc("h"))
+    keep = (mem.withColumn("_rn", F.row_number().over(wk))
+            .filter(F.col("_rn") == 1)
+            .select("cluster_id", F.col("h").alias("keep_h")))
+    return (mem.join(keep, "cluster_id")
+            .select("h", "cluster_id", "keep_h",
+                    F.col("n_inst").cast("long"),
+                    (F.col("h") == F.col("keep_h")).alias("kept"))
+            .withColumn("inst_removed",
+                        F.when(F.col("kept"), F.lit(0))
+                        .otherwise(F.col("n_inst")).cast("long")))
+
+
+QUERIES["paragraph_minhash_keep"] = paragraph_minhash_keep
+
+
+def _paragraph_keep_oracle() -> str:
+    pairs = _paragraph_minhash_oracle()
+    return f"""
+    WITH RECURSIVE pr AS ({pairs}),
+    edges AS (
+      SELECT h_a AS a, h_b AS b FROM pr
+      UNION SELECT h_b, h_a FROM pr
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+      SELECT node, node AS label FROM nodes
+      UNION
+      SELECT e.a AS node, r.label
+      FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    cl AS (
+      SELECT node AS h, MIN(label) AS cluster_id
+      FROM reach GROUP BY node
+    ),
+    inst AS (
+      SELECT h_a AS h, n_inst_a AS n_inst FROM pr
+      UNION SELECT h_b, n_inst_b FROM pr
+    ),
+    mem AS (
+      SELECT cl.h, cl.cluster_id, inst.n_inst
+      FROM cl JOIN (SELECT h, MAX(n_inst) AS n_inst
+                    FROM inst GROUP BY h) inst USING (h)
+    ),
+    best AS (
+      SELECT cluster_id, h AS keep_h,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY n_inst DESC, h) AS rn
+      FROM mem
+    )
+    SELECT m.h, m.cluster_id, b.keep_h,
+           CAST(m.n_inst AS BIGINT) AS n_inst,
+           (m.h = b.keep_h) AS kept,
+           CAST(CASE WHEN m.h = b.keep_h THEN 0 ELSE m.n_inst END
+                AS BIGINT) AS inst_removed
+    FROM mem m JOIN best b
+      ON b.cluster_id = m.cluster_id AND b.rn = 1
+    """
+
+
+ORACLES["paragraph_minhash_keep"] = _paragraph_keep_oracle()
+
+
+def hll_register_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL register-count CALIBRATION sweep (C207) — the C100/C178
+    measured-sweep discipline applied to the cardinality sketch: the
+    SAME md5 register law at m ∈ {16, 256, 4096} registers (1/2/3
+    hex chars of index; 48-bit tail), estimating global distinct
+    users, beside the exact count and the relative error — the table
+    a monitoring owner reads before sizing per-key sketch state
+    (goka's group-table values): 16 registers = 2⁴ bytes/key but
+    ~26% σ, 4096 = ~1.6% σ at 4 KB/key, and the m=4096 arm lands in
+    the LINEAR-COUNTING regime at test scale so both estimator
+    branches are exercised and verified.  All arms share
+    C75's asymptotic-alpha formula (0.7213/(1+1.079/m), applied
+    uniformly — NOT Flajolet's small-m constants — so both engines
+    compute one law).  err_share = ROUND(|est/exact − 1|, 4):
+    deterministic double algebra on identical inputs (est is already
+    rounded to 4 dp, exact is an integer).  Three bounded hash-aggs
+    (≤ m rows each) over one scan."""
+    ev = load(spark, sf, "events")["events"]
+    hx = F.md5(F.col("user_id").cast("string"))
+    arms = []
+    for k, m in ((1, 16), (2, 256), (3, 4096)):
+        reg = F.conv(F.substring(hx, 1, k), 16, 10).cast("int")
+        x = F.conv(F.substring(hx, k + 1, 12), 16, 10).cast("long")
+        val = F.when(x > 0, F.lit(49) - F.length(F.bin(x))) \
+            .otherwise(F.lit(49)).cast("int")
+        regs = (ev.select(F.lit(m).cast("long").alias("m"),
+                          reg.alias("reg"), val.alias("val"))
+                .groupBy("m", "reg").agg(F.max("val").alias("r")))
+        arms.append(D.hll_estimate(regs, ["m"], m=m))
+    est = arms[0].unionByName(arms[1]).unionByName(arms[2])
+    exact = ev.agg(F.count_distinct("user_id").alias("exact_distinct"))
+    return (est.crossJoin(F.broadcast(exact))
+            .select("m", F.col("exact_distinct").cast("long"),
+                    "hll_est",
+                    F.round(F.abs(F.col("hll_est")
+                                  / F.col("exact_distinct") - 1), 4)
+                    .alias("err_share")))
+
+
+QUERIES["hll_register_sweep"] = hll_register_sweep
+
+
+def _hll_sweep_oracle() -> str:
+    arms = []
+    for k, m in ((1, 16), (2, 256), (3, 4096)):
+        alpha = f"(0.7213 / (1 + 1.079/{m}))"
+        arms.append(f"""
+      SELECT {m} AS m,
+             CASE WHEN {alpha} * {m} * {m} / s <= 2.5 * {m}
+                       AND zeros > 0
+                  THEN ROUND({m} * 1.0 * ln({m} * 1.0 / zeros), 4)
+                  ELSE ROUND({alpha} * {m} * {m} / s, 4)
+             END AS hll_est
+      FROM (
+        SELECT CAST(SUM(CAST(1 AS BIGINT) << (49 - r))
+                    + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << 49)
+                    AS DOUBLE) / CAST(CAST(1 AS BIGINT) << 49 AS DOUBLE)
+                 AS s,
+               CAST({m} - COUNT(*) AS DOUBLE) AS zeros
+        FROM (
+          SELECT reg, MAX(val) AS r FROM (
+            SELECT CAST(('0x' || substr(hx, 1, {k})) AS BIGINT) AS reg,
+                   CASE WHEN CAST(('0x' || substr(hx, {k + 1}, 12))
+                             AS BIGINT) > 0
+                        THEN 49 - length(bin(
+                               CAST(('0x' || substr(hx, {k + 1}, 12))
+                                    AS BIGINT)))
+                        ELSE 49 END AS val
+            FROM (SELECT md5(CAST(user_id AS VARCHAR)) AS hx
+                  FROM events)
+          ) GROUP BY reg
+        )
+      )""")
+    u = " UNION ALL ".join(arms)
+    return f"""
+    WITH est AS ({u}),
+    ex AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct
+           FROM events)
+    SELECT CAST(est.m AS BIGINT) AS m,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+           est.hll_est,
+           ROUND(ABS(est.hll_est / ex.exact_distinct - 1), 4)
+             AS err_share
+    FROM est, ex
+    """
+
+
+ORACLES["hll_register_sweep"] = _hll_sweep_oracle()
