@@ -59,6 +59,8 @@ _FRONT = [
     "hll_merge_sources",
     "paragraph_minhash_keep",
     "hll_register_sweep",
+    "cms_width_sweep",
+    "customer_reorder_latency",
     # (c) best-effort tail: the 18 remaining r7-vintage keys — oldest
     # rows first, so leftover slots refresh the next-stalest keys;
     # whatever the r13 front doesn't cover heads the r14 rotation

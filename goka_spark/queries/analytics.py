@@ -3962,3 +3962,82 @@ ORACLES["value_pareto_by_type"] = """
              AS top_share_e6
     FROM staged WHERE rn = (n + 9) // 10
 """
+
+
+def customer_reorder_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer REORDER latency by market segment (B92) — the
+    purchase-cycle profile B86 (ship latency) and B84 (event
+    interarrival) both miss: per segment, the exact p50/p90 and
+    exact-integer mean of the day gaps between a customer's
+    CONSECUTIVE orders — how long a segment waits before re-buying,
+    the replenishment number an inventory/retention owner plans on.
+    Gaps from a per-customer window over order dates (partitions =
+    one customer's orders — bounded, parallel at any scale; never a
+    global sort); quantiles by the count-frequency closed form over
+    the bounded distinct day-gap values per segment (the B58/B86
+    discipline): p50 = min g with 2·cum ≥ n, p90 = min g with
+    10·cum ≥ 9n.  Deterministic tie order (o_orderdate, o_orderkey)
+    makes same-day reorders exact-zero gaps in both engines."""
+    t = load(spark, sf, "orders", "customer")
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate",
+                                                 "o_orderkey")
+    gaps = (t["orders"]
+            .withColumn("_prev", F.lag("o_orderdate").over(wo))
+            .filter(F.col("_prev").isNotNull())
+            .select("o_custkey",
+                    F.datediff(F.col("o_orderdate").cast("date"),
+                               F.col("_prev").cast("date"))
+                    .cast("long").alias("g")))
+    seg = t["customer"].select(F.col("c_custkey").alias("o_custkey"),
+                               F.col("c_mktsegment").alias("mktsegment"))
+    byg = (gaps.join(seg, "o_custkey")
+           .groupBy("mktsegment", "g")
+           .agg(F.count("*").alias("cnt")))
+    wc = (Window.partitionBy("mktsegment").orderBy("g")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy("mktsegment")
+    staged = (byg.withColumn("_cum", F.sum("cnt").over(wc))
+              .withColumn("_n", F.sum("cnt").over(wt)))
+    return (staged.groupBy("mktsegment")
+            .agg(F.max("_n").cast("long").alias("n_gaps"),
+                 F.expr("SUM(g * cnt) * 100 DIV MAX(_n)").cast("long")
+                 .alias("mean_gap_days_e2"),
+                 F.min(F.when(F.col("_cum") * 2 >= F.col("_n"),
+                              F.col("g"))).cast("long").alias("p50_days"),
+                 F.min(F.when(F.col("_cum") * 10 >= 9 * F.col("_n"),
+                              F.col("g"))).cast("long")
+                 .alias("p90_days")))
+
+
+QUERIES["customer_reorder_latency"] = customer_reorder_latency
+
+ORACLES["customer_reorder_latency"] = """
+    WITH gaps AS (
+      SELECT o_custkey,
+             datediff('day',
+               CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS DATE),
+               CAST(o_orderdate AS DATE)) AS g
+      FROM orders
+    ), byg AS (
+      SELECT c.c_mktsegment AS mktsegment, g, COUNT(*) AS cnt
+      FROM gaps JOIN customer c ON gaps.o_custkey = c.c_custkey
+      WHERE g IS NOT NULL
+      GROUP BY 1, 2
+    ), staged AS (
+      SELECT mktsegment, g, cnt,
+             SUM(cnt) OVER (PARTITION BY mktsegment ORDER BY g
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY mktsegment) AS n
+      FROM byg
+    )
+    SELECT mktsegment,
+           CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(SUM(g * cnt) * 100 // MAX(n) AS BIGINT)
+             AS mean_gap_days_e2,
+           CAST(MIN(CASE WHEN cum * 2 >= n THEN g END) AS BIGINT)
+             AS p50_days,
+           CAST(MIN(CASE WHEN cum * 10 >= 9 * n THEN g END) AS BIGINT)
+             AS p90_days
+    FROM staged GROUP BY mktsegment
+"""

@@ -11166,3 +11166,88 @@ def _hll_sweep_oracle() -> str:
 
 
 ORACLES["hll_register_sweep"] = _hll_sweep_oracle()
+
+
+def cms_width_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min WIDTH calibration sweep (C208) — C207's sizing
+    table for the frequency sketch: the SAME md5 row-hash law at
+    width ∈ {128, 1024, 8192} buckets (depth 4), point-queried on
+    the exact top-20 trigrams (C76's deterministic total order), per
+    width: how many of the 20 heavy hitters come back EXACT and the
+    total overestimate mass — the collision-vs-memory trade a
+    monitoring owner reads before sizing per-topic sketch state
+    (128 buckets = 2 KB but heavy collision at corpus gram
+    cardinality; 8192 = 128 KB and exact here).  est ≥ true always
+    (the CMS guarantee, already property-tested); every counter is
+    exact-integer state replayed bit-identically by the oracle.
+    Three (row, bucket) hash-aggs over ONE shared posting scan +
+    20-row broadcast probes."""
+    docs = load(spark, sf, "documents")["documents"]
+    postings = D.shingle_postings(docs, "doc_id", "text", 3)
+    top = D.common_ngrams(docs, "doc_id", "text", n=3, k=20, min_df=2)
+    arms = []
+    for w in (128, 1024, 8192):
+        sk = D.cms_sketch(postings, "sh", depth=4, width=w)
+        est = D.cms_estimate(sk, top.select(F.col("ngram").alias("sh")),
+                             "sh", depth=4, width=w)
+        arms.append(
+            top.join(est.select(F.col("sh").alias("ngram"), "cms_est"),
+                     "ngram")
+            .agg(F.lit(w).cast("long").alias("width"),
+                 F.count("*").cast("long").alias("n_queries"),
+                 F.sum((F.col("cms_est") == F.col("df")).cast("long"))
+                 .cast("long").alias("n_exact"),
+                 F.sum(F.col("cms_est") - F.col("df")).cast("long")
+                 .alias("overest_total")))
+    return arms[0].unionByName(arms[1]).unionByName(arms[2])
+
+
+QUERIES["cms_width_sweep"] = cms_width_sweep
+
+
+def _cms_sweep_oracle() -> str:
+    arms = []
+    for w in (128, 1024, 8192):
+        arms.append(f"""
+      SELECT CAST({w} AS BIGINT) AS width,
+             CAST(COUNT(*) AS BIGINT) AS n_queries,
+             CAST(SUM(CASE WHEN e.cms_est = t.df THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_exact,
+             CAST(SUM(e.cms_est - t.df) AS BIGINT) AS overest_total
+      FROM top t JOIN (
+        SELECT ngram, MIN(COALESCE(c, 0)) AS cms_est
+        FROM (SELECT t2.ngram, q.r,
+                     CAST('0x' || substr(md5('r' || q.r || ':'
+                          || t2.ngram), 1, 8) AS BIGINT) % {w} AS b
+              FROM top t2
+              CROSS JOIN (SELECT UNNEST(range(0, 4)) AS r) q) x
+        LEFT JOIN (
+          SELECT r, CAST('0x' || substr(md5('r' || r || ':' || sh),
+                         1, 8) AS BIGINT) % {w} AS b, COUNT(*) AS c
+          FROM sh CROSS JOIN (SELECT UNNEST(range(0, 4)) AS r)
+          GROUP BY r, b
+        ) cms ON cms.r = x.r AND cms.b = x.b
+        GROUP BY ngram
+      ) e ON e.ngram = t.ngram""")
+    u = " UNION ALL ".join(arms)
+    return f"""
+    WITH d AS (
+      SELECT doc_id AS doc, list_distinct(list_transform(
+               range(1, greatest(len(words) - 2, 1) + 1),
+               i -> array_to_string(words[i:i+2], ' '))) AS shs
+      FROM (SELECT doc_id, {_WORDS} AS words FROM documents)
+      WHERE len(words) >= 1
+    ), sh AS (
+      SELECT doc, UNNEST(shs) AS sh FROM d
+    ), dfc AS (
+      SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh
+    ), top AS (
+      SELECT sh AS ngram, df FROM (
+        SELECT sh, df, ROW_NUMBER() OVER (ORDER BY df DESC, sh) AS rn
+        FROM dfc WHERE df >= 2) WHERE rn <= 20
+    )
+    {u}
+    """
+
+
+ORACLES["cms_width_sweep"] = _cms_sweep_oracle()
