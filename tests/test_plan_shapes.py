@@ -727,3 +727,31 @@ def test_sf_proportional_dims_not_hinted(spark, sf_dir):
         # the un-hinted SF-proportional dim still broadcasts at this
         # SF — chosen by the planner's size stats, not forced
         assert X.has_broadcast_join(df), fn.__name__
+
+
+def test_r13_paragraph_family_plan_shapes(spark, sf_dir):
+    """r13 additions keep the house rules: the paragraph savings
+    report aggregates partially (the shuffle carries (hash, partial
+    count), never raw paragraphs), and neither sketch-pair miner
+    contains a cartesian product — candidates always flow through an
+    equi-join on band/gram keys."""
+    from goka_spark.queries.llmdata import (longest_shared_run_pairs,
+                                            paragraph_minhash_pairs,
+                                            source_paragraph_savings)
+
+    assert X.has_partial_aggregation(
+        source_paragraph_savings(spark, sf_dir))
+    for fn in (paragraph_minhash_pairs, longest_shared_run_pairs):
+        plan = X.simple(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, (fn.__name__, plan)
+
+
+def test_r13_sweeps_partial_agg(spark, sf_dir):
+    """The two sketch-calibration sweeps are bounded hash-aggs (≤ m
+    rows / depth·width cells) with map-side combine — the mergeable-
+    sketch contract their docstrings claim."""
+    from goka_spark.queries.llmdata import (cms_width_sweep,
+                                            hll_register_sweep)
+
+    assert X.has_partial_aggregation(hll_register_sweep(spark, sf_dir))
+    assert X.has_partial_aggregation(cms_width_sweep(spark, sf_dir))
