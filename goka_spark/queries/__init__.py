@@ -61,6 +61,8 @@ _FRONT = [
     "hll_register_sweep",
     "cms_width_sweep",
     "customer_reorder_latency",
+    "session_gap_sweep",
+    "referential_integrity_audit",
     # (c) best-effort tail: the 18 remaining r7-vintage keys — oldest
     # rows first, so leftover slots refresh the next-stalest keys;
     # whatever the r13 front doesn't cover heads the r14 rotation

@@ -4041,3 +4041,166 @@ ORACLES["customer_reorder_latency"] = """
              AS p90_days
     FROM staged GROUP BY mktsegment
 """
+
+
+def session_gap_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization GAP calibration (B93) — the measured-sweep
+    discipline (C100/C178/C207) applied to the one free parameter
+    every session metric in the suite inherits: at gap ∈ {15, 30,
+    60} minutes, how many sessions the SAME event stream splits
+    into, how many users have multi-session days, and the mean
+    events per session — the table an analytics owner reads before
+    pinning the gap that defines B4/B44/B74's sessions.  One
+    per-user ordered window computes every inter-event gap ONCE;
+    each sweep arm is then a pure aggregate over the shared gap
+    frame (sessions = users + gaps-over-threshold — the classic
+    identity, no per-arm re-sort).  Exact integers; minute gaps
+    floor from micros identically in both engines."""
+    ev = load(spark, sf, "events")["events"]
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_min = ((F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.lag("ts").over(wo)))
+               / F.lit(60_000_000)).cast("long")
+    base = (ev.select("user_id", gap_min.alias("_g"))
+            .groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("_n_ev"),
+                 *[F.sum((F.col("_g") > g).cast("long"))
+                   .alias(f"_over{g}") for g in (15, 30, 60)]))
+    arms = []
+    for g in (15, 30, 60):
+        arms.append(base.agg(
+            F.lit(g).cast("long").alias("gap_min"),
+            F.count("*").cast("long").alias("n_users"),
+            (F.count("*") + F.sum(f"_over{g}")).cast("long")
+            .alias("n_sessions"),
+            F.sum((F.col(f"_over{g}") > 0).cast("long")).cast("long")
+            .alias("n_multi_session_users"),
+            F.expr(f"SUM(_n_ev) * 100 DIV (COUNT(*) + SUM(_over{g}))")
+            .cast("long").alias("mean_events_per_session_e2")))
+    return arms[0].unionByName(arms[1]).unionByName(arms[2])
+
+
+QUERIES["session_gap_sweep"] = session_gap_sweep
+
+ORACLES["session_gap_sweep"] = """
+    WITH g AS (
+      SELECT user_id,
+             (epoch_us(ts) - epoch_us(LAG(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)))
+             // 60000000 AS gap
+      FROM events
+    ), per AS (
+      SELECT user_id, COUNT(*) AS n_ev,
+             SUM(CASE WHEN gap > 15 THEN 1 ELSE 0 END) AS o15,
+             SUM(CASE WHEN gap > 30 THEN 1 ELSE 0 END) AS o30,
+             SUM(CASE WHEN gap > 60 THEN 1 ELSE 0 END) AS o60
+      FROM g GROUP BY user_id
+    )
+    SELECT CAST(15 AS BIGINT) AS gap_min,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(*) + SUM(o15) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN o15 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_multi_session_users,
+           CAST(SUM(n_ev) * 100 // (COUNT(*) + SUM(o15)) AS BIGINT)
+             AS mean_events_per_session_e2
+    FROM per
+    UNION ALL
+    SELECT 30, CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) + SUM(o30) AS BIGINT),
+           CAST(SUM(CASE WHEN o30 > 0 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(n_ev) * 100 // (COUNT(*) + SUM(o30)) AS BIGINT)
+    FROM per
+    UNION ALL
+    SELECT 60, CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) + SUM(o60) AS BIGINT),
+           CAST(SUM(CASE WHEN o60 > 0 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(n_ev) * 100 // (COUNT(*) + SUM(o60)) AS BIGINT)
+    FROM per
+"""
+
+
+def referential_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Foreign-key ORPHAN audit across the star schema (B94) — the
+    data-quality gate a 100 TB lake runs before trusting any join
+    result: per FK edge, total child rows, rows whose parent key is
+    MISSING (orphans a join silently drops), and the orphan share.
+    Four edges: lineitem→orders, orders→customer, customer→nation,
+    supplier→nation.  A zero row is the healthy answer — the audit's
+    value is proving it stays zero as ingest evolves (goka parity:
+    the processor's input-topic/table co-partition validation,
+    view.go's key-presence contract).  Scale shape: each edge is one
+    LEFT join probing the parent key set — bounded parents broadcast
+    by AQE, the two fact edges shuffle on their natural keys and AQE
+    co-partitions; counts combine map-side."""
+    t = load(spark, sf, "customer", "supplier", "orders", "lineitem",
+             "nation")
+    edges = [
+        ("lineitem->orders", t["lineitem"].select(
+            F.col("l_orderkey").alias("_k")),
+         t["orders"].select(F.col("o_orderkey").alias("_p"))),
+        ("orders->customer", t["orders"].select(
+            F.col("o_custkey").alias("_k")),
+         t["customer"].select(F.col("c_custkey").alias("_p"))),
+        ("customer->nation", t["customer"].select(
+            F.col("c_nationkey").alias("_k")),
+         t["nation"].select(F.col("n_nationkey").alias("_p"))),
+        ("supplier->nation", t["supplier"].select(
+            F.col("s_nationkey").alias("_k")),
+         t["nation"].select(F.col("n_nationkey").alias("_p"))),
+    ]
+    arms = []
+    for name, child, parent in edges:
+        arms.append(
+            child.join(parent.distinct(),
+                       child["_k"] == parent["_p"], "left")
+            .agg(F.lit(name).alias("fk_edge"),
+                 F.count("*").cast("long").alias("n_rows"),
+                 F.sum(F.col("_p").isNull().cast("long")).cast("long")
+                 .alias("n_orphans"))
+            .select("fk_edge", "n_rows", "n_orphans",
+                    F.expr("n_orphans * 1000000L DIV n_rows")
+                    .cast("long").alias("orphan_share_e6")))
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+QUERIES["referential_integrity_audit"] = referential_integrity_audit
+
+ORACLES["referential_integrity_audit"] = """
+    SELECT 'lineitem->orders' AS fk_edge,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS orphan_share_e6
+    FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT)
+    FROM orders o2 LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON o2.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'customer->nation', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT)
+    FROM customer c2
+    LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+      ON c2.c_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'supplier->nation', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n2.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(SUM(CASE WHEN n2.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT)
+    FROM supplier s
+    LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n2
+      ON s.s_nationkey = n2.n_nationkey
+"""
