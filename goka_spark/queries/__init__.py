@@ -63,6 +63,8 @@ _FRONT = [
     "customer_reorder_latency",
     "session_gap_sweep",
     "referential_integrity_audit",
+    "stream_disorder_audit",
+    "pq_code_utilization",
     # (c) best-effort tail: the 18 remaining r7-vintage keys — oldest
     # rows first, so leftover slots refresh the next-stalest keys;
     # whatever the r13 front doesn't cover heads the r14 rotation

@@ -4204,3 +4204,94 @@ ORACLES["referential_integrity_audit"] = """
     LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n2
       ON s.s_nationkey = n2.n_nationkey
 """
+
+
+def stream_disorder_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-time DISORDER audit (B95) — the watermark-sizing table:
+    Structured Streaming's lateness tolerance (and goka's stream
+    ordering contract, partition_processor.go's offset-vs-event-time
+    gap) has to be PICKED from data, and this is the data: per event
+    type, how many events arrive with an event-time EARLIER than the
+    running per-user maximum (arrival order = event_id, the ingest
+    sequence), the worst backward jump in minutes, and the p90 jump
+    — set the watermark at the observed tail and the dropped-late
+    share is known in advance.  Scale shape: the running max is a
+    per-USER window (bounded partitions, parallel at any scale —
+    never a global arrival sort); jump quantiles by count-frequency
+    over bounded distinct minute values per type (the B58/B86/B92
+    discipline)."""
+    ev = load(spark, sf, "events")["events"]
+    wo = (Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    prev_max = F.max(F.unix_micros(F.col("ts"))).over(wo)
+    jump = ((prev_max - F.unix_micros(F.col("ts")))
+            / F.lit(60_000_000)).cast("long")
+    base = (ev.select("event_type", jump.alias("_j"))
+            .withColumn("_late", F.coalesce(F.col("_j") > 0,
+                                            F.lit(False))))
+    byj = (base.filter(F.col("_late"))
+           .groupBy("event_type", "_j").agg(F.count("*").alias("cnt")))
+    wc = (Window.partitionBy("event_type").orderBy("_j")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy("event_type")
+    q = (byj.withColumn("_cum", F.sum("cnt").over(wc))
+         .withColumn("_n", F.sum("cnt").over(wt))
+         .groupBy("event_type")
+         .agg(F.max("_j").cast("long").alias("max_backjump_min"),
+              F.min(F.when(F.col("_cum") * 10 >= 9 * F.col("_n"),
+                           F.col("_j"))).cast("long")
+              .alias("p90_backjump_min")))
+    tot = (base.groupBy("event_type")
+           .agg(F.count("*").cast("long").alias("n_events"),
+                F.sum(F.col("_late").cast("long")).cast("long")
+                .alias("n_out_of_order")))
+    return (tot.join(q, "event_type", "left")
+            .select("event_type", "n_events", "n_out_of_order",
+                    F.expr("n_out_of_order * 1000000L DIV n_events")
+                    .cast("long").alias("disorder_share_e6"),
+                    F.coalesce("max_backjump_min", F.lit(0))
+                    .cast("long").alias("max_backjump_min"),
+                    F.coalesce("p90_backjump_min", F.lit(0))
+                    .cast("long").alias("p90_backjump_min")))
+
+
+QUERIES["stream_disorder_audit"] = stream_disorder_audit
+
+ORACLES["stream_disorder_audit"] = """
+    WITH j AS (
+      SELECT event_type,
+             (MAX(epoch_us(ts)) OVER (PARTITION BY user_id
+                ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING) - epoch_us(ts)) // 60000000 AS jmp
+      FROM events
+    ), base AS (
+      SELECT event_type, jmp,
+             COALESCE(jmp > 0, FALSE) AS late
+      FROM j
+    ), byj AS (
+      SELECT event_type, jmp, COUNT(*) AS cnt
+      FROM base WHERE late GROUP BY event_type, jmp
+    ), staged AS (
+      SELECT event_type, jmp, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY jmp
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM byj
+    ), q AS (
+      SELECT event_type, MAX(jmp) AS mx,
+             MIN(CASE WHEN cum * 10 >= 9 * n THEN jmp END) AS p90
+      FROM staged GROUP BY event_type
+    ), tot AS (
+      SELECT event_type, COUNT(*) AS n_events,
+             SUM(CASE WHEN late THEN 1 ELSE 0 END) AS n_out
+      FROM base GROUP BY event_type
+    )
+    SELECT tot.event_type,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_out AS BIGINT) AS n_out_of_order,
+           CAST(n_out * 1000000 // n_events AS BIGINT)
+             AS disorder_share_e6,
+           CAST(COALESCE(q.mx, 0) AS BIGINT) AS max_backjump_min,
+           CAST(COALESCE(q.p90, 0) AS BIGINT) AS p90_backjump_min
+    FROM tot LEFT JOIN q USING (event_type)
+"""

@@ -11251,3 +11251,60 @@ def _cms_sweep_oracle() -> str:
 
 
 ORACLES["cms_width_sweep"] = _cms_sweep_oracle()
+
+
+def pq_code_utilization(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ codebook UTILIZATION audit (C209) — the FAISS-discipline
+    health check on the persisted index's quantizers, completing the
+    serving-QA family (C87 ivf_balance_report audits the CELL lists;
+    this audits the PQ side): per subspace, how many of the 16
+    codebook entries the corpus actually uses, the DEAD entries
+    (wasted quantization capacity — a sign the codebook was trained
+    on unrepresentative data or the subspace collapsed), the hottest
+    code's count, and balance_e6 = max·ksub·1e6 DIV n (1e6 =
+    perfectly uniform; ≫1e6 = a few codes carry everything and ADC
+    distances lose resolution).  Reads the PERSISTED codes table
+    (one scan of m-int rows, never the raw vectors); two bounded
+    hash-aggs (≤ m·ksub cells).  Hash-verified: the oracle replays
+    normalize→argmin encoding against the same codebook literals the
+    C64/C65 oracles certify."""
+    emb = load(spark, sf, "embeddings")["embeddings"]
+    idx = _ann_index(spark, sf, emb)
+    ex = idx.codes().select(F.posexplode("codes").alias("subspace", "c"))
+    per = ex.groupBy("subspace", "c").agg(F.count("*").alias("_n"))
+    return (per.groupBy("subspace")
+            .agg(F.count("*").cast("long").alias("n_used_codes"),
+                 F.max("_n").alias("_mx"), F.sum("_n").alias("_tot"))
+            .select(F.col("subspace").cast("long"),
+                    "n_used_codes",
+                    (F.lit(16) - F.col("n_used_codes")).cast("long")
+                    .alias("n_dead_codes"),
+                    F.col("_mx").cast("long").alias("max_code_count"),
+                    F.expr("_mx * 16 * 1000000L DIV _tot").cast("long")
+                    .alias("balance_e6")))
+
+
+QUERIES["pq_code_utilization"] = pq_code_utilization
+
+
+def _pq_util_oracle() -> str:
+    coded, _ = _pq_coded_ctes(64)
+    return f"""
+    WITH {_cv_ctes(64)}, {coded},
+    ex AS (
+      SELECT UNNEST(code) AS c, UNNEST(range(0, 8)) AS subspace
+      FROM coded
+    ), per AS (
+      SELECT subspace, c, COUNT(*) AS n FROM ex GROUP BY subspace, c
+    )
+    SELECT CAST(subspace AS BIGINT) AS subspace,
+           CAST(COUNT(*) AS BIGINT) AS n_used_codes,
+           CAST(16 - COUNT(*) AS BIGINT) AS n_dead_codes,
+           CAST(MAX(n) AS BIGINT) AS max_code_count,
+           CAST(MAX(n) * 16 * 1000000 // SUM(n) AS BIGINT)
+             AS balance_e6
+    FROM per GROUP BY subspace
+    """
+
+
+ORACLES["pq_code_utilization"] = _pq_util_oracle
