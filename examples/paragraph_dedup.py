@@ -13,7 +13,20 @@ cross-split leak detector:
      boilerplate tax),
   5. check the train/eval boundary for SUBSTRING leaks with the MOSS
      winnowing guarantee (any shared ≥6-word run yields an identical
-     fingerprint — reference-free, no benchmark list needed).
+     fingerprint — reference-free, no benchmark list needed),
+
+and (r13) the NEAR-dup paragraph layer exact hashing misses:
+
+  6. classify duplicated paragraphs as positional TEMPLATES (nav
+     chrome, footers) vs position-free re-quotes,
+  7. mine near-dup paragraph pairs at sketch cost (16-perm MinHash
+     over distinct normalized paragraphs, banded 4x4) and turn them
+     into the production KEEP verdict (connected components, keep
+     the most-instanced variant),
+  8. measure the EXACT longest shared word-run per near-dup doc pair
+     (the min-span threshold a span-remover needs), and audit shared
+     document PREFIXES at 8/16/32 words (mirrored heads whole-doc
+     dedup misses).
 
 Every verdict is a pure function of (doc_id, content): re-running
 moves nothing, and the registry's DuckDB oracles verify each stage
@@ -29,9 +42,14 @@ sys.path.insert(0, ".")
 from goka_spark import get_session
 from goka_spark.queries.llmdata import (
     ccnet_paragraph_dedup,
+    doc_prefix_dup_partners,
+    longest_shared_run_pairs,
     paragraph_dedup_savings,
+    paragraph_minhash_keep,
+    paragraph_minhash_pairs,
     paragraph_position_bias,
     paragraph_prune_text,
+    paragraph_template_detect,
     winnow_split_contamination,
 )
 
@@ -59,5 +77,21 @@ leaks = winnow_split_contamination(spark, sf)
 n = leaks.count()
 print(f"{n} eval docs share >=2 winnowing fingerprints with train")
 leaks.orderBy(leaks.total_shared_fp.desc()).show(5)
+
+print("== 6. template vs re-quote classification (r13) ==")
+tmpl = paragraph_template_detect(spark, sf)
+tmpl.orderBy(tmpl.n_docs.desc()).show(5, truncate=40)
+
+print("== 7. near-dup paragraphs: sketch pairs -> keep verdict ==")
+pairs = paragraph_minhash_pairs(spark, sf)
+print(f"{pairs.count()} banded near-dup paragraph pairs")
+keep = paragraph_minhash_keep(spark, sf)
+keep.orderBy(keep.inst_removed.desc()).show(5, truncate=24)
+
+print("== 8. longest shared runs + mirrored prefixes ==")
+runs = longest_shared_run_pairs(spark, sf)
+runs.orderBy(runs.longest_run_words.desc()).show(5)
+pref = doc_prefix_dup_partners(spark, sf)
+pref.orderBy(pref.width.desc(), pref.n_partners.desc()).show(5)
 
 spark.stop()
