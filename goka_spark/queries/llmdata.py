@@ -11185,9 +11185,25 @@ def cms_width_sweep(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")["documents"]
     postings = D.shingle_postings(docs, "doc_id", "text", 3)
     top = D.common_ngrams(docs, "doc_id", "text", n=3, k=20, min_df=2)
+    # ONE pass over the gram stream for all three widths: every
+    # width's bucket is h % w of the SAME per-row md5 hash, so the
+    # stream collapses once into a vocab-sized (row, h) frequency
+    # frame and each width's sketch is a cheap re-agg of it — at
+    # 100 TB this is 1× the gram-stream IO instead of 3× (the same
+    # argument that moved cms_sketch itself off the depth-way union).
+    hh = (postings.select(F.explode(F.array(*[
+        F.struct(F.lit(r).alias("row"),
+                 F.conv(F.substring(
+                     F.md5(F.concat(F.lit(f"r{r}:"), F.col("sh"))),
+                     1, 8), 16, 10).cast("long").alias("h"))
+        for r in range(4)])).alias("_rh"))
+        .groupBy(F.col("_rh.row").alias("row"),
+                 F.col("_rh.h").alias("h"))
+        .agg(F.count("*").alias("cnt")))
     arms = []
     for w in (128, 1024, 8192):
-        sk = D.cms_sketch(postings, "sh", depth=4, width=w)
+        sk = (hh.groupBy("row", (F.col("h") % w).alias("bucket"))
+              .agg(F.sum("cnt").alias("cnt")))
         est = D.cms_estimate(sk, top.select(F.col("ngram").alias("sh")),
                              "sh", depth=4, width=w)
         arms.append(
