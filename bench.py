@@ -238,6 +238,13 @@ def main() -> None:
         "value_v2": full["value_v2"],
         "queries_v2": times_v2,
         "value_min": full["value_min"],
+        # per-query best-of-2 (r13 verdict ask #2): with only the
+        # compact line surviving the driver's tail capture, the
+        # de-noised per-query series must ride along or a loaded-box
+        # run cannot be adjudicated from BENCH_rN.json alone (r12 and
+        # r13 both needed a manual re-run to prove noise).  ~49 keys,
+        # bounded size — still one line.
+        "queries_min": times_min,
         "sf": float(sf),
     }))
 

@@ -743,8 +743,11 @@ def wav_diff_report(df: DataFrame, id_col: str = "doc_id",
                 d = s[1:] - s[:-1]
                 et = int((s * s).sum())
                 ed = int((d * d).sum())
+                # max(·,1) guard mirrors the oracle's greatest(4*et,1)
+                # exactly (r13 ADVICE): an all-zero clip has ed == 0
+                # too, so both sides report tilt 0 — never a div-0.
                 rows.append((int(i), n, et, ed,
-                             ed * 1_000_000 // (4 * et) if et else 0,
+                             ed * 1_000_000 // max(4 * et, 1),
                              int((np.abs(d) > 32768).sum())))
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "n_samples", "e_total", "e_diff",

@@ -12,80 +12,72 @@ from goka_spark.queries import analytics, core, llmdata
 # entries and stops.  Rotate per round so no key's driver row goes
 # >2 rounds stale.
 _FRONT = [
-    # Round 13 rotation (r12 verdict ask #4).  The registry is fully
-    # certified (293/293 after r12, zero failures ever), so rotation
+    # Round 14 rotation (r13 verdict ask #1).  The registry is fully
+    # certified (310/310 after r13, zero failures ever), so rotation
     # stays pure vintage refresh plus bounded growth:
-    #   slots 1-25  = the 25 next-oldest r7-vintage keys (the r12
-    #                 section-(e) head, pre-verified 25/25 at sf0.1
-    #                 on the r12 closing tree per the handoff);
-    #   slots 26-50 = this round's NEW keys, each landed only after
-    #                 sf0.001+sf0.01 oracle verification; tail keys
-    #                 fill any slot a new key hasn't taken yet.
-    # (a) the 25 next-oldest r7-vintage keys
-    "dup_ngram_coverage",
-    "tfidf_keywords",
-    "quality_gopher",
-    "multimodal_decode_ppm",
-    "multimodal_decode_wav",
-    "multimodal_frame_sample",
-    "event_rollup",
-    "event_interarrival",
-    "value_quantiles",
-    "purchase_click_attribution",
-    "dedup_clusters",
-    "benchmark_decontaminate",
-    "corpus_sample",
-    "corpus_shard_pack",
-    "dedup_minhash_verified",
-    "dedup_simhash_verified",
-    "q21_waiting_suppliers",
-    "q13_order_count_distribution",
-    "q4_order_priority",
-    "q12_ship_delay_buckets",
-    "q9_profit_by_nation_year",
-    "q16_supplier_count_by_part",
-    "q11_important_parts",
-    "q2_min_cost_supplier",
-    "q20_excess_shippers",
-    # (b) NEW r13 keys (inserted here as they are built + verified)
-    "source_paragraph_savings",
-    "paragraph_template_detect",
-    "doc_prefix_dup_partners",
-    "longest_shared_run_pairs",
-    "paragraph_minhash_pairs",
-    "wav_spectral_tilt",
-    "image_entropy_gate",
-    "video_motion_profile",
-    "hll_merge_sources",
-    "paragraph_minhash_keep",
-    "hll_register_sweep",
-    "cms_width_sweep",
-    "customer_reorder_latency",
-    "session_gap_sweep",
-    "referential_integrity_audit",
-    "stream_disorder_audit",
-    "pq_code_utilization",
-    # (c) best-effort tail: the 18 remaining r7-vintage keys — oldest
-    # rows first, so leftover slots refresh the next-stalest keys;
-    # whatever the r13 front doesn't cover heads the r14 rotation
-    "ngram_jaccard_pairs",
-    "embedding_cosine_topk",
-    "lang_id",
-    "doc_quality_score",
-    "token_count",
-    "doc_fingerprint",
-    "multimodal_decode",
-    "text_normalize",
-    "pii_scrub",
-    "hll_distinct_users",
-    "value_histogram_quantiles",
-    "ngram_cms_estimate",
-    "corpus_quality_pipeline",
-    "gopher_repetition",
-    "corpus_pack_sequences",
-    "ngram_novelty",
-    "embedding_hard_negatives",
+    #   slots 1-10  = the 10 remaining r7-vintage keys (pre-verified
+    #                 at sf0.1 on the r13 closing tree per the
+    #                 handoff);
+    #   next slots  = this round's NEW keys, each landed only after
+    #                 sf0.001+sf0.01(+sf0.1) oracle verification;
+    #   tail        = the 40 oldest r8-vintage keys (also
+    #                 pre-verified at sf0.1) fill the remaining
+    #                 slots; only the first 50 are recorded.
+    # (a) the 10 remaining r7-vintage keys
     "bpe_token_count_batched",
+    "corpus_pack_sequences",
+    "corpus_quality_pipeline",
+    "embedding_hard_negatives",
+    "gopher_repetition",
+    "hll_distinct_users",
+    "ngram_cms_estimate",
+    "ngram_novelty",
+    "pii_scrub",
+    "value_histogram_quantiles",
+    # (b) NEW r14 keys (inserted here as they are built + verified)
+    # (c) best-effort tail: the 40 oldest r8-vintage keys — whatever
+    # the new-key block doesn't displace refreshes the next-stalest
+    # rows; leftovers head the r15 rotation
+    "ann_nprobe_sweep",
+    "ann_recall_eval",
+    "as_of_join",
+    "bigram_pmi_topk",
+    "codec_roundtrip",
+    "contrastive_pairs",
+    "corpus_temperature_mix",
+    "dataset_card",
+    "dedup_exact",
+    "dedup_minhash_keep",
+    "distinct_users_per_type",
+    "doc_length_quantiles",
+    "embedding_lsh_ann",
+    "embedding_outliers",
+    "embedding_quantize_int8",
+    "embedding_split_audit",
+    "event_sessionize",
+    "event_transitions",
+    "event_type_pivot",
+    "event_volume_anomalies",
+    "heaps_fit",
+    "hopping_window_agg",
+    "ivf_balance_report",
+    "key_skew_report",
+    "length_bucket_batches",
+    "line_dedup",
+    "loopback_rekey",
+    "minhash_band_sweep",
+    "minhash_est_error",
+    "release_manifest",
+    "running_total_per_user",
+    "session_window_agg",
+    "simhash_hamming_histogram",
+    "source_quality_matrix",
+    "span_corruption_masks",
+    "split_contamination_audit",
+    "split_leakage_safe",
+    "token_budget_plan",
+    "tokenizer_fertility",
+    "top_k_per_group",
 ]
 
 

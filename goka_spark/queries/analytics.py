@@ -3878,33 +3878,56 @@ ORACLES["order_fanout_histogram"] = """
 """
 
 
+def _pareto_ranked_part(spark: SparkSession, sf: str,
+                        pin: bool = True) -> DataFrame:
+    """The range-partitioned, PINNED per-user value frame the Pareto
+    rank runs over — split out so the plan test can assert the range
+    exchange on the pre-barrier lineage.
+
+    r13 re-plan: the original Window.partitionBy(event_type) ranked
+    EVERY user of a type in ONE task (parallelism = n_event_types —
+    a single-task sort of the whole type at 100 TB).  Instead, the
+    grouped cousin of functions/text.py:_global_prefix_sum:
+    range-partition on the FULL rank key (type, v DESC, user) so
+    the global per-type order is preserved ACROSS partitions, take
+    tiny per-(partition, type) counts/sums, convert them to
+    exclusive offsets with a window over that partition-count-sized
+    frame (distributed — never collected), broadcast the offsets
+    back, and let a per-(partition, type) local window finish the
+    rank.  Every sort task now handles one range slice, whatever
+    the type's cardinality.
+
+    r13 ADVICE (medium): BOTH downstream consumers — the pstats
+    offset pass and the staged rank pass — read this exchange, and
+    the offsets are only valid if both see the IDENTICAL partition
+    assignment.  A bare exchange can be recomputed (or AQE-coalesced
+    differently) per consumer; localCheckpoint pins the partition
+    layout the way the connected-components loop does
+    (functions/dedup.py) — cache alone is not a barrier."""
+    ev = load(spark, sf, "events")["events"]
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_u = (ev.groupBy("event_type", "user_id")
+             .agg(F.sum(cents).alias("v")))
+    part = (per_u.repartitionByRange(F.col("event_type"),
+                                     F.col("v").desc(),
+                                     F.col("user_id"))
+            .withColumn("_pid", F.spark_partition_id()))
+    # pin=False exists ONLY so the plan test can assert the range
+    # exchange on the pre-barrier lineage (the checkpointed frame
+    # plans as a bare ExistingRDD scan, hiding it)
+    return part.localCheckpoint(eager=True) if pin else part
+
+
 def value_pareto_by_type(spark: SparkSession, sf: str) -> DataFrame:
     """Top-decile value CONCENTRATION per event type (B91) — the
     Pareto number ("whales' share") beside B81's full Gini: per
     type, what share of total value the top 10% of users carry.
     Exact integers: per-user cents, deterministic (value DESC,
     user_id) rank over USER AGGREGATES (distinct users, never raw
-    events), k = ceil(n/10), share = cum_at_k·1e6 DIV total."""
-    ev = load(spark, sf, "events")["events"]
-    cents = F.round(F.col("value") * 100).cast("long")
-    per_u = (ev.groupBy("event_type", "user_id")
-             .agg(F.sum(cents).alias("v")))
-    # r13 re-plan: the original Window.partitionBy(event_type) ranked
-    # EVERY user of a type in ONE task (parallelism = n_event_types —
-    # a single-task sort of the whole type at 100 TB).  Instead, the
-    # grouped cousin of functions/text.py:_global_prefix_sum:
-    # range-partition on the FULL rank key (type, v DESC, user) so
-    # the global per-type order is preserved ACROSS partitions, take
-    # tiny per-(partition, type) counts/sums, convert them to
-    # exclusive offsets with a window over that partition-count-sized
-    # frame (distributed — never collected), broadcast the offsets
-    # back, and let a per-(partition, type) local window finish the
-    # rank.  Every sort task now handles one range slice, whatever
-    # the type's cardinality.
-    part = (per_u.repartitionByRange(F.col("event_type"),
-                                     F.col("v").desc(),
-                                     F.col("user_id"))
-            .withColumn("_pid", F.spark_partition_id()))
+    events), k = ceil(n/10), share = cum_at_k·1e6 DIV total.
+    Two-pass range-partitioned rank over the pinned frame from
+    :func:`_pareto_ranked_part`."""
+    part = _pareto_ranked_part(spark, sf)
     pstats = (part.groupBy("_pid", "event_type")
               .agg(F.count("*").alias("_c"), F.sum("v").alias("_s")))
     woff = (Window.partitionBy("event_type").orderBy("_pid")
@@ -4057,10 +4080,14 @@ def session_gap_sweep(spark: SparkSession, sf: str) -> DataFrame:
     identity, no per-arm re-sort).  Exact integers; minute gaps
     floor from micros identically in both engines."""
     ev = load(spark, sf, "events")["events"]
-    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_min = ((F.unix_micros(F.col("ts"))
-                - F.unix_micros(F.lag("ts").over(wo)))
-               / F.lit(60_000_000)).cast("long")
+    # exact integer DIV (r13 ADVICE): float-divide-then-cast matched
+    # the oracle's // only because session gaps are non-negative —
+    # an undocumented invariant.  Spark DIV and DuckDB // both
+    # truncate toward zero (-7 DIV 2 == -7//2 == -3), so integer DIV
+    # on both sides makes the law identical by construction.
+    gap_min = F.expr(
+        "(unix_micros(ts) - unix_micros(lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id))) DIV 60000000")
     base = (ev.select("user_id", gap_min.alias("_g"))
             .groupBy("user_id")
             .agg(F.count("*").cast("long").alias("_n_ev"),
@@ -4221,11 +4248,15 @@ def stream_disorder_audit(spark: SparkSession, sf: str) -> DataFrame:
     over bounded distinct minute values per type (the B58/B86/B92
     discipline)."""
     ev = load(spark, sf, "events")["events"]
-    wo = (Window.partitionBy("user_id").orderBy("event_id")
-          .rowsBetween(Window.unboundedPreceding, -1))
-    prev_max = F.max(F.unix_micros(F.col("ts"))).over(wo)
-    jump = ((prev_max - F.unix_micros(F.col("ts")))
-            / F.lit(60_000_000)).cast("long")
+    # integer DIV (r13 ADVICE): the float-divide-then-cast truncation
+    # agreed with the oracle's // only because negative jumps are
+    # masked by the _j > 0 late test downstream; DIV (truncate, same
+    # as DuckDB //) removes the hidden invariant.  prev-max over the
+    # per-user arrival order (event_id), as before.
+    jump = F.expr(
+        "(max(unix_micros(ts)) OVER (PARTITION BY user_id "
+        "ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "1 PRECEDING) - unix_micros(ts)) DIV 60000000")
     base = (ev.select("event_type", jump.alias("_j"))
             .withColumn("_late", F.coalesce(F.col("_j") > 0,
                                             F.lit(False))))

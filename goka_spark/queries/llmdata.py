@@ -10759,7 +10759,8 @@ ORACLES["wav_spectral_tilt"] = """
     SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
            CAST(et AS BIGINT) AS e_total,
            CAST(ed AS BIGINT) AS e_diff,
-           CAST(ed * 1000000 // (4 * et) AS BIGINT) AS tilt_e6,
+           CAST(ed * 1000000 // greatest(4 * et, 1) AS BIGINT)
+             AS tilt_e6,
            CAST(nt AS BIGINT) AS n_transients,
            (nt > 0) AS is_clicky
     FROM q

