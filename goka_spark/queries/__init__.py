@@ -35,6 +35,11 @@ _FRONT = [
     "pii_scrub",
     "value_histogram_quantiles",
     # (b) NEW r14 keys (inserted here as they are built + verified)
+    "value_weighted_quantiles",
+    "nation_supplier_hhi",
+    "scd2_intervals",
+    "incremental_agg_maintenance",
+    "watermark_drop_sweep",
     # (c) best-effort tail: the 40 oldest r8-vintage keys — whatever
     # the new-key block doesn't displace refreshes the next-stalest
     # rows; leftovers head the r15 rotation

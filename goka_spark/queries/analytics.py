@@ -4326,3 +4326,400 @@ ORACLES["stream_disorder_audit"] = """
            CAST(COALESCE(q.p90, 0) AS BIGINT) AS p90_backjump_min
     FROM tot LEFT JOIN q USING (event_type)
 """
+
+
+def value_weighted_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """VALUE-weighted quantiles per event type (B96) — the
+    revenue-percentile twin of B86's count quantiles: the "median
+    dollar" (the value level at or below which half the TYPE'S TOTAL
+    VALUE sits) and its p90, beside the plain count-median.  Skewed
+    monetization makes these diverge hard — a type whose count-p50
+    is $3 but value-p50 is $200 earns its money from whales, and a
+    cap/anomaly policy keyed on count quantiles would miss every
+    dollar that matters.  Same count-frequency closed form as
+    B58/B86 (cumulative sums over the bounded distinct cent values
+    per type — never a row sort): vw_p50 = min v with 2·cum_w ≥
+    tot_w where w = v·cnt; exact integer cents throughout."""
+    ev = load(spark, sf, "events")["events"]
+    cents = F.round(F.col("value") * 100).cast("long")
+    byv = (ev.groupBy(F.col("event_type"), cents.alias("v"))
+           .agg(F.count("*").alias("cnt")))
+    wc = (Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy("event_type")
+    staged = (byv
+              .withColumn("_w", F.col("v") * F.col("cnt"))
+              .withColumn("_cum", F.sum("cnt").over(wc))
+              .withColumn("_cumw", F.sum("_w").over(wc))
+              .withColumn("_n", F.sum("cnt").over(wt))
+              .withColumn("_tw", F.sum("_w").over(wt)))
+    return (staged.groupBy("event_type")
+            .agg(F.max("_n").cast("long").alias("n_events"),
+                 F.max("_tw").cast("long").alias("total_e2"),
+                 F.min(F.when(F.col("_cum") * 2 >= F.col("_n"),
+                              F.col("v"))).cast("long").alias("p50_e2"),
+                 F.min(F.when(F.col("_cumw") * 2 >= F.col("_tw"),
+                              F.col("v"))).cast("long")
+                 .alias("vw_p50_e2"),
+                 F.min(F.when(F.col("_cumw") * 10 >= 9 * F.col("_tw"),
+                              F.col("v"))).cast("long")
+                 .alias("vw_p90_e2")))
+
+
+QUERIES["value_weighted_quantiles"] = value_weighted_quantiles
+
+ORACLES["value_weighted_quantiles"] = """
+    WITH byv AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), staged AS (
+      SELECT event_type, v, cnt, v * cnt AS w,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(v * cnt) OVER (PARTITION BY event_type ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cumw,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n,
+             SUM(v * cnt) OVER (PARTITION BY event_type) AS tw
+      FROM byv
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(MAX(tw) AS BIGINT) AS total_e2,
+           CAST(MIN(CASE WHEN cum * 2 >= n THEN v END) AS BIGINT)
+             AS p50_e2,
+           CAST(MIN(CASE WHEN cumw * 2 >= tw THEN v END) AS BIGINT)
+             AS vw_p50_e2,
+           CAST(MIN(CASE WHEN cumw * 10 >= 9 * tw THEN v END)
+                AS BIGINT) AS vw_p90_e2
+    FROM staged GROUP BY event_type
+"""
+
+
+def nation_supplier_hhi(spark: SparkSession, sf: str) -> DataFrame:
+    """Supplier revenue CONCENTRATION per nation (B97) — the
+    Herfindahl–Hirschman index beside B81/B91's Gini/Pareto family,
+    on the SUPPLY side none of them cover: per supplier nation, how
+    concentrated discounted lineitem revenue is across its suppliers
+    (HHI = Σ share², the antitrust/market-structure standard; 10⁶ =
+    monopoly, 10⁶/n = perfect split), plus the top supplier's share.
+    A procurement owner reads this as single-source risk.  Exact
+    integers: per-item cents, share_e6 by DIV, hhi_e6 = Σ share_e6²
+    DIV 10⁶ — both engines replicate the same truncation.  Shape:
+    lineitem⋈supplier on the fact key (AQE's call — supplier is
+    SF-proportional), nation broadcast by hint, two hash-aggs over
+    (nation, supplier) then nation."""
+    t = load(spark, sf, "lineitem", "supplier", "nation")
+    cents = F.round(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100).cast("long")
+    per_s = (t["lineitem"]
+             .join(t["supplier"],
+                   F.col("l_suppkey") == F.col("s_suppkey"))
+             .join(F.broadcast(t["nation"]),
+                   F.col("s_nationkey") == F.col("n_nationkey"))
+             .groupBy(F.col("n_name").alias("nation"),
+                      F.col("s_suppkey"))
+             .agg(F.sum(cents).alias("_rev")))
+    # per-nation totals as a nation-count-sized broadcast back (the
+    # B89 pattern) — NOT a Window.partitionBy(nation) over the
+    # supplier-level frame: suppliers are SF-proportional (10k/SF),
+    # and a per-nation window would funnel every nation's suppliers
+    # through one sort task at 100 TB
+    totals = per_s.groupBy("nation").agg(F.sum("_rev").alias("_tot"))
+    shares = (per_s.join(F.broadcast(totals), "nation")
+              .withColumn("_share_e6",
+                          F.expr("_rev * 1000000L DIV _tot")))
+    return (shares.groupBy("nation")
+            .agg(F.count("*").cast("long").alias("n_suppliers"),
+                 F.max("_tot").cast("long").alias("revenue_e2"),
+                 F.max("_share_e6").cast("long").alias("top_share_e6"),
+                 F.expr("SUM(_share_e6 * _share_e6) DIV 1000000")
+                 .cast("long").alias("hhi_e6")))
+
+
+QUERIES["nation_supplier_hhi"] = nation_supplier_hhi
+
+ORACLES["nation_supplier_hhi"] = """
+    WITH per_s AS (
+      SELECT n_name AS nation, s_suppkey,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS rev
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), shares AS (
+      SELECT nation, rev,
+             SUM(rev) OVER (PARTITION BY nation) AS tot,
+             rev * 1000000 // SUM(rev) OVER (PARTITION BY nation)
+               AS share_e6
+      FROM per_s
+    )
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(MAX(tot) AS BIGINT) AS revenue_e2,
+           CAST(MAX(share_e6) AS BIGINT) AS top_share_e6,
+           CAST(SUM(share_e6 * share_e6) // 1000000 AS BIGINT)
+             AS hhi_e6
+    FROM shares GROUP BY nation
+"""
+
+
+def scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE-2 intervals from the event
+    changelog (B98) — the warehouse materialization of goka's table
+    semantics (partition_table.go: a key's state is the fold of its
+    update stream; the changelog IS the history): treating each
+    user's event_type stream as a state variable, collapse
+    consecutive same-state runs (gaps-and-islands: the difference of
+    two per-user row_numbers labels each run) and emit one validity
+    interval per run — state, version (1-based run index),
+    valid_from/valid_to as epoch-micros (valid_to NULL on the
+    current run), events inside the run, is_current.  This is the
+    point-in-time join table every "what was the user's segment when
+    the order happened" question needs.  Scale: every window is
+    per-user (bounded partitions); one exchange on user_id reused by
+    all four window passes (same key), output linear in runs."""
+    ev = load(spark, sf, "events")["events"]
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ws = (Window.partitionBy("user_id", "event_type")
+          .orderBy("ts", "event_id"))
+    runs = (ev.select("user_id",
+                      F.col("event_type").alias("state"),
+                      F.unix_micros("ts").alias("_us"),
+                      (F.row_number().over(wo)
+                       - F.row_number().over(
+                           ws.orderBy("ts", "event_id"))).alias("_isl"))
+            .groupBy("user_id", "state", "_isl")
+            .agg(F.min("_us").alias("valid_from_us"),
+                 F.count("*").cast("long").alias("n_events")))
+    wv = Window.partitionBy("user_id").orderBy("valid_from_us")
+    return (runs
+            .withColumn("version",
+                        F.row_number().over(wv).cast("long"))
+            .withColumn("valid_to_us",
+                        F.lead("valid_from_us").over(wv))
+            .select("user_id", "state", "version",
+                    F.col("valid_from_us").cast("long"),
+                    F.col("valid_to_us").cast("long"),
+                    "n_events",
+                    F.col("valid_to_us").isNull().alias("is_current")))
+
+
+QUERIES["scd2_intervals"] = scd2_intervals
+
+ORACLES["scd2_intervals"] = """
+    WITH base AS (
+      SELECT user_id, event_type AS state, epoch_us(ts) AS us,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+             - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS isl
+      FROM events
+    ), runs AS (
+      SELECT user_id, state, isl,
+             MIN(us) AS valid_from_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM base GROUP BY user_id, state, isl
+    )
+    SELECT user_id, state,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY valid_from_us)
+                AS BIGINT) AS version,
+           CAST(valid_from_us AS BIGINT) AS valid_from_us,
+           CAST(LEAD(valid_from_us) OVER (PARTITION BY user_id
+                                          ORDER BY valid_from_us)
+                AS BIGINT) AS valid_to_us,
+           n_events,
+           LEAD(valid_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY valid_from_us) IS NULL
+             AS is_current
+    FROM runs
+"""
+
+
+def incremental_agg_maintenance(spark: SparkSession, sf: str) -> DataFrame:
+    """Changelog-driven INCREMENTAL aggregate maintenance proof
+    (B99) — goka's recovery contract (partition_table.go: replaying
+    the changelog's deltas rebuilds the exact table state) applied at
+    the query layer, and the algebra the 100 TB architecture rests
+    on: a group table maintained by merging per-epoch PARTIAL
+    aggregates must equal the full rebuild, or incremental ingest
+    silently drifts.  Epochs are ten-day event-time windows (the
+    ingest batches); per (epoch, type) partials — count + exact-cent
+    sum + min/max event id, every one a commutative monoid — merge
+    per type and sit beside the from-scratch rebuild with per-column
+    consistency flags.  The HLL twin of this proof is C205
+    (register-max merge); this is the plain-aggregate half.  Scale:
+    partials combine map-side; the merge aggregates an
+    (epochs × types)-sized frame — nothing rescans the fact."""
+    ev = load(spark, sf, "events")["events"]
+    cents = F.round(F.col("value") * 100).cast("long")
+    epoch = F.expr("(unix_micros(ts) DIV 86400000000) DIV 10")
+    partials = (ev.groupBy(epoch.alias("_ep"),
+                           F.col("event_type"))
+                .agg(F.count("*").alias("_c"), F.sum(cents).alias("_s"),
+                     F.min("event_id").alias("_mn"),
+                     F.max("event_id").alias("_mx")))
+    merged = (partials.groupBy("event_type")
+              .agg(F.count("*").cast("long").alias("n_epochs"),
+                   F.sum("_c").cast("long").alias("cnt_merged"),
+                   F.sum("_s").cast("long").alias("sum_merged_e2"),
+                   F.min("_mn").cast("long").alias("min_id_merged"),
+                   F.max("_mx").cast("long").alias("max_id_merged")))
+    full = (ev.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("cnt_full"),
+                 F.sum(cents).cast("long").alias("sum_full_e2"),
+                 F.min("event_id").cast("long").alias("min_id_full"),
+                 F.max("event_id").cast("long").alias("max_id_full")))
+    return (merged.join(full, "event_type")
+            .select("event_type", "n_epochs",
+                    "cnt_merged", "cnt_full",
+                    "sum_merged_e2", "sum_full_e2",
+                    "min_id_merged", "max_id_merged",
+                    ((F.col("cnt_merged") == F.col("cnt_full"))
+                     & (F.col("sum_merged_e2") == F.col("sum_full_e2"))
+                     & (F.col("min_id_merged") == F.col("min_id_full"))
+                     & (F.col("max_id_merged") == F.col("max_id_full")))
+                    .alias("consistent")))
+
+
+QUERIES["incremental_agg_maintenance"] = incremental_agg_maintenance
+
+ORACLES["incremental_agg_maintenance"] = """
+    WITH partials AS (
+      SELECT (epoch_us(ts) // 86400000000) // 10 AS ep, event_type,
+             COUNT(*) AS c,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s,
+             MIN(event_id) AS mn, MAX(event_id) AS mx
+      FROM events GROUP BY 1, 2
+    ), merged AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_epochs,
+             CAST(SUM(c) AS BIGINT) AS cnt_merged,
+             CAST(SUM(s) AS BIGINT) AS sum_merged_e2,
+             CAST(MIN(mn) AS BIGINT) AS min_id_merged,
+             CAST(MAX(mx) AS BIGINT) AS max_id_merged
+      FROM partials GROUP BY event_type
+    ), fullb AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS cnt_full,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_full_e2,
+             CAST(MIN(event_id) AS BIGINT) AS min_id_full,
+             CAST(MAX(event_id) AS BIGINT) AS max_id_full
+      FROM events GROUP BY event_type
+    )
+    SELECT merged.event_type, n_epochs, cnt_merged, cnt_full,
+           sum_merged_e2, sum_full_e2, min_id_merged, max_id_merged,
+           cnt_merged = cnt_full AND sum_merged_e2 = sum_full_e2
+             AND min_id_merged = min_id_full
+             AND max_id_merged = max_id_full AS consistent
+    FROM merged JOIN fullb ON merged.event_type = fullb.event_type
+"""
+
+
+def watermark_drop_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermark DROP-RATE calibration (B100) — the sweep that turns
+    B95's disorder audit into the actual knob setting: replaying the
+    stream in arrival order (event_id, the ingest sequence), how many
+    events a Structured-Streaming watermark of 0/5/15 minutes would
+    drop (event-time < running-max-event-time − delay at arrival),
+    and how many (type × hour-window) aggregate groups those drops
+    would silently corrupt.  B95 reports the disorder tail per type;
+    this prices each candidate delay in lost events and touched
+    windows — read the table, pick the delay, know the cost.  The
+    running GLOBAL prefix-max is the two-pass range-partitioned
+    kernel (the _global_prefix_sum / B91 discipline — never a
+    single-task global window): range-partition by event_id (pinned
+    with an eager localCheckpoint so both passes see one layout),
+    per-partition max → exclusive prefix-max offsets over the
+    partition-count-sized frame, broadcast back, local window
+    finishes.  All three delay arms read ONE staged frame in ONE
+    aggregate (stack unpivots), exact integers throughout."""
+    ev = load(spark, sf, "events")["events"]
+    base = ev.select("event_id", "event_type",
+                     F.unix_micros("ts").alias("_us"))
+    part = (base.repartitionByRange("event_id")
+            .withColumn("_pid", F.spark_partition_id())
+            .localCheckpoint(eager=True))
+    pstats = part.groupBy("_pid").agg(F.max("_us").alias("_pm"))
+    woff = (Window.orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (pstats.withColumn("_om", F.max("_pm").over(woff))
+            .select("_pid", "_om"))
+    wloc = (Window.partitionBy("_pid").orderBy("event_id")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    staged = (part.join(F.broadcast(offs), "_pid")
+              .withColumn("_lm", F.max("_us").over(wloc))
+              .withColumn("_wm", F.greatest(F.coalesce("_lm", F.lit(-1)),
+                                            F.coalesce("_om", F.lit(-1))))
+              .withColumn("_hr", F.expr("_us DIV 3600000000")))
+
+    def dropped(wmin: int):
+        return ((F.col("_wm") >= 0)
+                & (F.col("_us") < F.col("_wm") - wmin * 60_000_000))
+
+    grp = F.concat_ws("|", F.col("event_type"),
+                      F.col("_hr").cast("string"))
+    agg = staged.agg(
+        F.count("*").alias("_n"),
+        *[F.sum(dropped(w).cast("long")).alias(f"_d{w}")
+          for w in (0, 5, 15)],
+        *[F.count_distinct(F.when(dropped(w), grp)).alias(f"_g{w}")
+          for w in (0, 5, 15)])
+    return (agg.selectExpr(
+        "stack(3, 0L, _n, _d0, _g0, 5L, _n, _d5, _g5,"
+        " 15L, _n, _d15, _g15)"
+        " AS (wm_min, n_events, n_dropped, n_groups_affected)")
+        .select("wm_min", F.col("n_events").cast("long"),
+                F.col("n_dropped").cast("long"),
+                F.expr("n_dropped * 1000000L DIV n_events")
+                .cast("long").alias("drop_share_e6"),
+                F.col("n_groups_affected").cast("long")))
+
+
+QUERIES["watermark_drop_sweep"] = watermark_drop_sweep
+
+ORACLES["watermark_drop_sweep"] = """
+    WITH base AS (
+      SELECT event_type, epoch_us(ts) AS us,
+             COALESCE(MAX(epoch_us(ts)) OVER (ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               -1) AS wm
+      FROM events
+    ), f AS (
+      SELECT event_type, us, wm, us // 3600000000 AS hr
+      FROM base
+    ), a AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN wm >= 0 AND us < wm THEN 1 ELSE 0 END)
+               AS d0,
+             SUM(CASE WHEN wm >= 0 AND us < wm - 300000000
+                 THEN 1 ELSE 0 END) AS d5,
+             SUM(CASE WHEN wm >= 0 AND us < wm - 900000000
+                 THEN 1 ELSE 0 END) AS d15,
+             COUNT(DISTINCT CASE WHEN wm >= 0 AND us < wm
+               THEN event_type || '|' || CAST(hr AS VARCHAR) END)
+               AS g0,
+             COUNT(DISTINCT CASE WHEN wm >= 0
+               AND us < wm - 300000000
+               THEN event_type || '|' || CAST(hr AS VARCHAR) END)
+               AS g5,
+             COUNT(DISTINCT CASE WHEN wm >= 0
+               AND us < wm - 900000000
+               THEN event_type || '|' || CAST(hr AS VARCHAR) END)
+               AS g15
+      FROM f
+    )
+    SELECT CAST(wm_min AS BIGINT) AS wm_min,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(d AS BIGINT) AS n_dropped,
+           CAST(d * 1000000 // n AS BIGINT) AS drop_share_e6,
+           CAST(g AS BIGINT) AS n_groups_affected
+    FROM (
+      SELECT 0 AS wm_min, n, d0 AS d, g0 AS g FROM a
+      UNION ALL SELECT 5, n, d5, g5 FROM a
+      UNION ALL SELECT 15, n, d15, g15 FROM a
+    )
+"""

@@ -768,3 +768,33 @@ def test_r13_sweeps_partial_agg(spark, sf_dir):
 
     assert X.has_partial_aggregation(hll_register_sweep(spark, sf_dir))
     assert X.has_partial_aggregation(cms_width_sweep(spark, sf_dir))
+
+
+def test_watermark_sweep_two_pass_prefix_max(spark, sf_dir):
+    """B100's global running prefix-max must be the two-pass
+    range-partitioned kernel: the staged frame reads a pinned
+    checkpoint (ExistingRDD — one layout for both passes), and every
+    window ordered by the arrival column (event_id) is partitioned
+    by _pid — never a global single-task window over the fact."""
+    import re
+
+    from goka_spark.queries.analytics import watermark_drop_sweep
+
+    plan = X.formatted(watermark_drop_sweep(spark, sf_dir))
+    assert "existingrdd" in plan.lower(), plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):
+        if "event_id" in spec:
+            assert "_pid" in spec, spec
+
+
+def test_nation_hhi_no_supplier_window(spark, sf_dir):
+    """B97's per-nation totals must come from a groupBy + broadcast
+    back (the B89 pattern), never a Window.partitionBy(nation) over
+    the supplier-level frame — suppliers are SF-proportional, and a
+    per-nation window is a single sort task per nation at 100 TB."""
+    from goka_spark.queries.analytics import nation_supplier_hhi
+
+    df = nation_supplier_hhi(spark, sf_dir)
+    plan = X.formatted(df)
+    assert "windowspecdefinition" not in plan.lower(), plan
+    assert X.has_broadcast_join(df)
