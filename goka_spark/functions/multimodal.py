@@ -820,3 +820,57 @@ def frame_sad(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, blob_col).mapInPandas(
         run, "doc_id long, n_frames long, n_transitions long,"
              " n_static long, sad_total long")
+
+
+# Fixed-point DCT-II basis for the perceptual pHash: _PHASH_COS[x][u]
+# = round(cos(π(2x+1)u/32)·4096) for x ∈ 0..15 (sample index), u ∈
+# 0..7 (kept frequency).  Integerized ONCE here and baked verbatim
+# into the SQL oracle as literals, so both engines run the IDENTICAL
+# integer transform — no float DFT anywhere (the wav_spectral_tilt
+# discipline applied to images).
+import math as _math
+
+_PHASH_COS = [[round(_math.cos(_math.pi * (2 * x + 1) * u / 32) * 4096)
+               for u in range(8)]
+              for x in range(16)]
+
+
+def image_phash(df: DataFrame, id_col: str = "doc_id",
+                blob_col: str = "blob") -> DataFrame:
+    """Perceptual DCT hash (pHash) over REAL decoded images — the
+    frequency-domain sibling of ``image_dhash`` (gradient signs) and
+    the WHT dedup (±1 basis): resize to a 16×16 grid with the SAME
+    floor index map as ``resize_ppm``, apply the fixed-point 2-D
+    DCT-II (separable: coef = Cᵀ·g·C with the int64 ``_PHASH_COS``
+    basis — exact integer arithmetic, |coef| ≤ 255·16²·4096² ≪ 2⁶³),
+    keep the low-frequency 8×8 block, drop DC, and set bit k for
+    each of the 63 remaining coefficients above the block mean
+    (63·coef > Σcoef — one exact integer compare, no division).
+    Classic pHash thresholds at the median; the mean variant keeps
+    the whole law integer-exact and SQL-replayable.  Arrow-batched;
+    two int64 matmuls per image."""
+    import numpy as np
+
+    C = np.array(_PHASH_COS, dtype=np.int64)  # 16×8
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, b in zip(pdf[id_col], pdf[blob_col]):
+                w, h, _, pix = ppm_parse(bytes(b))
+                gray = pix[:, :, 0].astype(np.int64)
+                ys = (np.arange(16) * h) // 16
+                xs = (np.arange(16) * w) // 16
+                g = gray[ys[:, None], xs[None, :]]
+                coef = C.T @ g @ C                  # 8×8 exact int64
+                flat = coef.flatten()[1:]           # row-major, drop DC
+                tot = int(flat.sum())
+                hval = 0
+                for k, v in enumerate(flat):
+                    if 63 * int(v) > tot:
+                        hval |= 1 << k
+                out.append((int(i), hval))
+            yield pd.DataFrame(out, columns=["doc_id", "phash"])
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run, "doc_id long, phash long")

@@ -40,6 +40,11 @@ _FRONT = [
     "scd2_intervals",
     "incremental_agg_maintenance",
     "watermark_drop_sweep",
+    "truncation_loss_sweep",
+    "paragraph_strip_list",
+    "kmv_source_overlap",
+    "bm25_topk",
+    "image_phash_dedup",
     # (c) best-effort tail: the 40 oldest r8-vintage keys — whatever
     # the new-key block doesn't displace refreshes the next-stalest
     # rows; leftovers head the r15 rotation

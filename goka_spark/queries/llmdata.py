@@ -11325,3 +11325,484 @@ def _pq_util_oracle() -> str:
 
 
 ORACLES["pq_code_utilization"] = _pq_util_oracle
+
+
+# --------------------------------------------------------------------------
+# r14 additions
+# --------------------------------------------------------------------------
+
+
+def truncation_loss_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-length TRUNCATION loss sweep (C210) — the sequencing
+    sibling of C85/C77: before picking a max sequence length, how
+    much of the corpus a hard truncation at L ∈ {64, 128, 256}
+    whitespace tokens would discard (docs touched, tokens lost =
+    Σ max(0, tok − L), loss share) — the table that decides whether
+    the pipeline needs C114's chunking or can afford plain
+    truncation.  One scan computes every doc's token count ONCE;
+    the three arms are columns of a single aggregate, unpivoted with
+    stack — the B93/C208 shared-frame sweep discipline.  Exact
+    integers throughout."""
+    docs = load(spark, sf, "documents")["documents"]
+    toks = docs.select(
+        T.ws_token_count(F.col("text")).cast("long").alias("_tok"))
+    arms = []
+    for L in (64, 128, 256):
+        lost = F.when(F.col("_tok") > L, F.col("_tok") - L).otherwise(0)
+        arms += [
+            F.sum((F.col("_tok") > L).cast("long")).alias(f"_d{L}"),
+            F.sum(lost).alias(f"_l{L}")]
+    agg = toks.agg(F.count("*").alias("_n"),
+                   F.sum("_tok").alias("_t"), *arms)
+    return (agg.selectExpr(
+        "stack(3, 64L, _n, _t, _d64, _l64,"
+        " 128L, _n, _t, _d128, _l128,"
+        " 256L, _n, _t, _d256, _l256)"
+        " AS (max_len, n_docs, tokens_total, n_truncated, tokens_lost)")
+        .select("max_len", F.col("n_docs").cast("long"),
+                F.col("tokens_total").cast("long"),
+                F.col("n_truncated").cast("long"),
+                F.col("tokens_lost").cast("long"),
+                F.expr("tokens_lost * 1000000L DIV tokens_total")
+                .cast("long").alias("loss_share_e6")))
+
+
+QUERIES["truncation_loss_sweep"] = truncation_loss_sweep
+
+ORACLES["truncation_loss_sweep"] = f"""
+    WITH t AS (
+      SELECT len({_WORDS}) AS tok FROM documents
+    ), a AS (
+      SELECT COUNT(*) AS n, SUM(tok) AS tt,
+             SUM(CASE WHEN tok > 64 THEN 1 ELSE 0 END) AS d64,
+             SUM(CASE WHEN tok > 64 THEN tok - 64 ELSE 0 END) AS l64,
+             SUM(CASE WHEN tok > 128 THEN 1 ELSE 0 END) AS d128,
+             SUM(CASE WHEN tok > 128 THEN tok - 128 ELSE 0 END) AS l128,
+             SUM(CASE WHEN tok > 256 THEN 1 ELSE 0 END) AS d256,
+             SUM(CASE WHEN tok > 256 THEN tok - 256 ELSE 0 END) AS l256
+      FROM t
+    )
+    SELECT CAST(max_len AS BIGINT) AS max_len,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(tt AS BIGINT) AS tokens_total,
+           CAST(d AS BIGINT) AS n_truncated,
+           CAST(l AS BIGINT) AS tokens_lost,
+           CAST(l * 1000000 // tt AS BIGINT) AS loss_share_e6
+    FROM (
+      SELECT 64 AS max_len, n, tt, d64 AS d, l64 AS l FROM a
+      UNION ALL SELECT 128, n, tt, d128, l128 FROM a
+      UNION ALL SELECT 256, n, tt, d256, l256 FROM a
+    )
+"""
+
+
+def paragraph_strip_list(spark: SparkSession, sf: str) -> DataFrame:
+    """Paragraph STRIP-LIST export (C211) — the single actionable
+    artifact the r13 sub-document layer was built toward: one row per
+    (doc, pos) paragraph instance the curation pipeline should
+    remove, with its reason.  Composes the two verdict tables:
+    C198's positional templates (page furniture — is_positional
+    candidates strip EVERYWHERE) and C206's near-dup keep policy
+    (non-canonical variants of a clustered paragraph strip, the
+    most-instanced variant survives).  Precedence template >
+    near_dup when a hash carries both verdicts, so downstream
+    accounting never double-counts.  Scale: both verdict frames are
+    bounded by the duplicated-paragraph vocabulary (≪ corpus) and
+    broadcast onto the instance frame — adding the strip list to a
+    100 TB pipeline costs one map-side join over the paragraphs it
+    already explodes."""
+    docs = load(spark, sf, "documents")["documents"]
+    inst = _paragraph_frame(docs).select("doc_id", "pos", "h")
+    tpl = (paragraph_template_detect(spark, sf)
+           .filter(F.col("is_positional"))
+           .select("h", F.lit(True).alias("_tpl")))
+    nd = (paragraph_minhash_keep(spark, sf)
+          .filter(~F.col("kept"))
+          .select("h", F.lit(True).alias("_nd")))
+    return (inst
+            .join(F.broadcast(tpl), "h", "left")
+            .join(F.broadcast(nd), "h", "left")
+            .filter(F.col("_tpl").isNotNull() | F.col("_nd").isNotNull())
+            .select("doc_id", F.col("pos").cast("long"), "h",
+                    F.when(F.col("_tpl").isNotNull(), F.lit("template"))
+                    .otherwise(F.lit("near_dup")).alias("reason")))
+
+
+QUERIES["paragraph_strip_list"] = paragraph_strip_list
+
+
+def _paragraph_strip_oracle() -> str:
+    tpl = ORACLES["paragraph_template_detect"]
+    kp = ORACLES["paragraph_minhash_keep"]
+    return f"""
+    WITH {_PARA_SQL},
+    tpl AS (SELECT h FROM ({tpl}) WHERE is_positional),
+    nd AS (SELECT h FROM ({kp}) WHERE NOT kept)
+    SELECT ph.doc_id, ph.pos, ph.h,
+           CASE WHEN tpl.h IS NOT NULL THEN 'template'
+                ELSE 'near_dup' END AS reason
+    FROM ph
+    LEFT JOIN tpl ON ph.h = tpl.h
+    LEFT JOIN nd ON ph.h = nd.h
+    WHERE tpl.h IS NOT NULL OR nd.h IS NOT NULL
+    """
+
+
+ORACLES["paragraph_strip_list"] = _paragraph_strip_oracle
+
+
+def kmv_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV (k-minimum-values) sketch estimate of cross-source gram
+    overlap (C212) — the sketch that makes C56's exact overlap matrix
+    runnable at 100 TB, completing the sketch-calibration family
+    (C75/C205 HLL for distinct counts, C73/C208 CMS for frequencies,
+    this for SET RESEMBLANCE): per source, the k = 128 smallest
+    md5-h32 values of its distinct 3-gram set (Bar-Yossef et al.
+    2002; Beyer et al. 2007); per source pair, the k smallest of the
+    merged sketch give θ = the k-th value, union_est =
+    (k−1)·2³¹ DIV θ, and the share of those k present in BOTH
+    sketches estimates Jaccard — beside the EXACT jaccard (the C56
+    self-join law) and the absolute error, so the table certifies
+    the sketch against truth at test SF the way every sweep in the
+    calibration discipline does.  Scale: the k-smallest pass is
+    two-phase (per-partition local top-k windows on bounded
+    partition slices, then a global rank over the ≤ k·n_partitions
+    survivors — never a per-source single-task sort of the full
+    vocabulary); everything after operates on sources²·k rows.  The
+    exact arm is the one corpus-scale self-join — at 100 TB a user
+    runs the sketch columns alone."""
+    from pyspark.sql import Window as W
+
+    K = 128
+    docs = load(spark, sf, "documents")["documents"]
+    sg = _source_grams(spark, docs, sf)
+    h32 = (F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10)
+           .cast("long").bitwiseAND(F.lit(2147483647)))
+    hv = sg.select("source", h32.alias("hv")).distinct()
+    hvp = hv.withColumn("_pid", F.spark_partition_id())
+    wl = W.partitionBy("_pid", "source").orderBy("hv")
+    loc = (hvp.withColumn("_rk", F.row_number().over(wl))
+           .filter(F.col("_rk") <= K).select("source", "hv"))
+    wg = W.partitionBy("source").orderBy("hv")
+    topk = (loc.withColumn("_rk", F.row_number().over(wg))
+            .filter(F.col("_rk") <= K).select("source", "hv"))
+    srcs = topk.select("source").distinct()
+    prs = (srcs.select(F.col("source").alias("source_a"))
+           .crossJoin(srcs.select(F.col("source").alias("source_b")))
+           .filter(F.col("source_a") < F.col("source_b")))
+    ta = (prs.join(topk.withColumnRenamed("source", "source_a"),
+                   "source_a")
+          .select("source_a", "source_b", "hv",
+                  F.lit(1).alias("_a"), F.lit(0).alias("_b")))
+    tb = (prs.join(topk.withColumnRenamed("source", "source_b"),
+                   "source_b")
+          .select("source_a", "source_b", "hv",
+                  F.lit(0).alias("_a"), F.lit(1).alias("_b")))
+    u = (ta.unionByName(tb)
+         .groupBy("source_a", "source_b", "hv")
+         .agg(F.max("_a").alias("_ina"), F.max("_b").alias("_inb")))
+    wp = W.partitionBy("source_a", "source_b").orderBy("hv")
+    merged = (u.withColumn("_rk", F.row_number().over(wp))
+              .filter(F.col("_rk") <= K))
+    est = (merged.groupBy("source_a", "source_b")
+           .agg(F.count("*").cast("long").alias("k_union"),
+                F.max("hv").cast("long").alias("kth_hv"),
+                F.sum(F.col("_ina") * F.col("_inb")).cast("long")
+                .alias("matched")))
+    sizes = sg.groupBy("source").agg(F.count("*").alias("_sz"))
+    a = sg.select(F.col("source").alias("source_a"), "sh")
+    b = sg.select(F.col("source").alias("source_b"), "sh")
+    exact = (a.join(b, "sh")
+             .filter(F.col("source_a") < F.col("source_b"))
+             .groupBy("source_a", "source_b")
+             .agg(F.count("*").alias("_shared"))
+             .join(sizes.select(F.col("source").alias("source_a"),
+                                F.col("_sz").alias("_sa")), "source_a")
+             .join(sizes.select(F.col("source").alias("source_b"),
+                                F.col("_sz").alias("_sb")), "source_b")
+             .select("source_a", "source_b",
+                     F.expr("_shared * 1000000L DIV "
+                            "(_sa + _sb - _shared)")
+                     .alias("_je")))
+    return (est.join(exact, ["source_a", "source_b"], "left")
+            .select("source_a", "source_b", "k_union", "kth_hv",
+                    F.expr("CASE WHEN k_union < 128 THEN k_union "
+                           "ELSE (128 - 1) * 2147483648L DIV kth_hv "
+                           "END").cast("long").alias("union_est"),
+                    "matched",
+                    F.expr("matched * 1000000L DIV k_union")
+                    .cast("long").alias("jaccard_kmv_e6"),
+                    F.coalesce("_je", F.lit(0)).cast("long")
+                    .alias("jaccard_exact_e6"),
+                    F.abs(F.expr("matched * 1000000L DIV k_union")
+                          - F.coalesce("_je", F.lit(0))).cast("long")
+                    .alias("abs_err_e6")))
+
+
+QUERIES["kmv_source_overlap"] = kmv_source_overlap
+
+ORACLES["kmv_source_overlap"] = f"""
+    WITH sg AS (
+      SELECT DISTINCT source, sh FROM (
+        SELECT source, UNNEST(list_distinct(list_transform(
+                 range(1, greatest(len(words) - 2, 1) + 1),
+                 i -> array_to_string(words[i:i+2], ' ')))) AS sh
+        FROM (SELECT source, {_WORDS} AS words FROM documents))
+    ), hv AS (
+      SELECT DISTINCT source,
+             CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT)
+               & 2147483647 AS hv
+      FROM sg
+    ), topk AS (
+      SELECT source, hv FROM (
+        SELECT source, hv,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv)
+                 AS rk
+        FROM hv
+      ) WHERE rk <= 128
+    ), prs AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM (SELECT DISTINCT source FROM topk) a,
+           (SELECT DISTINCT source FROM topk) b
+      WHERE a.source < b.source
+    ), u AS (
+      SELECT source_a, source_b, hv,
+             MAX(ina) AS ina, MAX(inb) AS inb
+      FROM (
+        SELECT prs.source_a, prs.source_b, t.hv, 1 AS ina, 0 AS inb
+        FROM prs JOIN topk t ON t.source = prs.source_a
+        UNION ALL
+        SELECT prs.source_a, prs.source_b, t.hv, 0, 1
+        FROM prs JOIN topk t ON t.source = prs.source_b
+      ) GROUP BY source_a, source_b, hv
+    ), merged AS (
+      SELECT source_a, source_b, hv, ina, inb FROM (
+        SELECT source_a, source_b, hv, ina, inb,
+               ROW_NUMBER() OVER (PARTITION BY source_a, source_b
+                                  ORDER BY hv) AS rk
+        FROM u
+      ) WHERE rk <= 128
+    ), est AS (
+      SELECT source_a, source_b,
+             COUNT(*) AS k_union, MAX(hv) AS kth_hv,
+             SUM(ina * inb) AS matched
+      FROM merged GROUP BY source_a, source_b
+    ), sz AS (
+      SELECT source, COUNT(*) AS s FROM sg GROUP BY source
+    ), exact AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS shared
+      FROM sg a JOIN sg b ON a.sh = b.sh AND a.source < b.source
+      GROUP BY 1, 2
+    ), ej AS (
+      SELECT source_a, source_b,
+             shared * 1000000 // (za.s + zb.s - shared) AS je
+      FROM exact
+      JOIN sz za ON za.source = exact.source_a
+      JOIN sz zb ON zb.source = exact.source_b
+    )
+    SELECT est.source_a, est.source_b,
+           CAST(k_union AS BIGINT) AS k_union,
+           CAST(kth_hv AS BIGINT) AS kth_hv,
+           CAST(CASE WHEN k_union < 128 THEN k_union
+                ELSE (128 - 1) * 2147483648 // kth_hv END AS BIGINT)
+             AS union_est,
+           CAST(matched AS BIGINT) AS matched,
+           CAST(matched * 1000000 // k_union AS BIGINT)
+             AS jaccard_kmv_e6,
+           CAST(COALESCE(je, 0) AS BIGINT) AS jaccard_exact_e6,
+           CAST(ABS(matched * 1000000 // k_union - COALESCE(je, 0))
+                AS BIGINT) AS abs_err_e6
+    FROM est LEFT JOIN ej
+      ON est.source_a = ej.source_a AND est.source_b = ej.source_b
+"""
+
+
+def bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 relevance TOP-K (C213) — the retrieval scorer beside
+    C25's TF-IDF keyword extraction: score every document against a
+    fixed query {spark, join, window} with Okapi BM25 (k1 = 1.2,
+    b = 0.75, the Lucene plus-one idf ln((N+1)/(df+0.5)) so idf
+    stays positive on this small-vocabulary synthetic corpus) and
+    return the global top 10 — the kernel of corpus search, nearest
+    in spirit to what a curation owner runs to spot-check topical
+    coverage.  Exactness discipline: the tf saturation ratio is kept
+    as ONE division of two exactly-representable int64 products
+    (tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) multiplied through by
+    10·T with avgdl = T/N: 22·tf·T / (10·T·tf + 3·T + 9·dl·N)), idf
+    is a difference of ln over integer arguments (the doc_entropy
+    float discipline), each (doc, term) score integerized ONCE to
+    e6, and the per-doc sum is exact.  The global top-10 is
+    two-phase (per-partition local rank then a rank over the ≤
+    10·n_partitions survivors) — never a single-task sort of the
+    corpus.  Shape: one token explode, two tiny broadcast frames
+    (per-term df, the one-row (N, T) totals), one per-doc agg."""
+    from pyspark.sql import Window as W
+
+    TERMS = ["spark", "join", "window"]
+    docs = load(spark, sf, "documents")["documents"]
+    base = docs.select(
+        "doc_id", T.ws_token_count(F.col("text")).cast("long").alias("dl"))
+    tot = base.agg(F.count("*").alias("_N"), F.sum("dl").alias("_T"))
+    words = (docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("_w"))
+        .filter(F.col("_w").isin(TERMS)))
+    tf = (words.groupBy("doc_id", F.col("_w").alias("term"))
+          .agg(F.count("*").alias("tf")))
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (tf.join(F.broadcast(dft), "term")
+              .join(base, "doc_id")
+              .crossJoin(F.broadcast(tot)))
+    ratio = ((F.lit(22) * F.col("tf") * F.col("_T")).cast("double")
+             / (F.lit(10) * F.col("_T") * F.col("tf")
+                + F.lit(3) * F.col("_T")
+                + F.lit(9) * F.col("dl") * F.col("_N")).cast("double"))
+    idf = (F.log(F.lit(2) * F.col("_N") + F.lit(2))
+           - F.log(F.lit(2) * F.col("df") + F.lit(1)))
+    t_e6 = F.floor(F.lit(1e6) * ratio * idf + F.lit(0.5)).cast("long")
+    per_doc = (scored.groupBy("doc_id")
+               .agg(F.sum(t_e6).alias("score_e6"),
+                    F.count("*").cast("long").alias("n_terms"),
+                    F.max("dl").alias("dl")))
+    pid = per_doc.withColumn("_pid", F.spark_partition_id())
+    wl = W.partitionBy("_pid").orderBy(F.desc("score_e6"),
+                                       F.asc("doc_id"))
+    loc = (pid.withColumn("_rk", F.row_number().over(wl))
+           .filter(F.col("_rk") <= 10)
+           .select("doc_id", "score_e6", "n_terms", "dl"))
+    wg = W.orderBy(F.desc("score_e6"), F.asc("doc_id"))
+    return (loc.withColumn("rank",
+                           F.row_number().over(wg).cast("long"))
+            .filter(F.col("rank") <= 10)
+            .select("rank", "doc_id", F.col("score_e6").cast("long"),
+                    "n_terms", F.col("dl").cast("long")))
+
+
+QUERIES["bm25_topk"] = bm25_topk
+
+ORACLES["bm25_topk"] = f"""
+    WITH base AS (
+      SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS dl
+      FROM documents
+    ), tot AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS t FROM base
+    ), w AS (
+      SELECT doc_id, UNNEST({_WORDS}) AS wrd FROM documents
+    ), tf AS (
+      SELECT doc_id, wrd AS term, COUNT(*) AS tf FROM w
+      WHERE wrd IN ('spark', 'join', 'window')
+      GROUP BY 1, 2
+    ), dft AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), sc AS (
+      SELECT tf.doc_id,
+             SUM(CAST(FLOOR(1e6
+               * (CAST(22 * tf * t AS DOUBLE)
+                  / CAST(10 * t * tf + 3 * t + 9 * dl * n AS DOUBLE))
+               * (ln(2 * n + 2) - ln(2 * df + 1))
+               + 0.5) AS BIGINT)) AS score_e6,
+             CAST(COUNT(*) AS BIGINT) AS n_terms,
+             MAX(dl) AS dl
+      FROM tf
+      JOIN dft USING (term)
+      JOIN base USING (doc_id)
+      CROSS JOIN tot
+      GROUP BY tf.doc_id
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+           CAST(score_e6 AS BIGINT) AS score_e6, n_terms,
+           CAST(dl AS BIGINT) AS dl
+    FROM (
+      SELECT doc_id, score_e6, n_terms, dl,
+             ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id)
+               AS rank
+      FROM sc
+    ) WHERE rank <= 10
+"""
+
+
+def image_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Image near-dup dedup via DCT perceptual hash (C214) — the
+    frequency-domain completion of the perceptual trio (C71 dHash =
+    gradient signs, C138 WHT = ±1 basis, this = the true cosine
+    basis the production pHash uses): REAL P6 decode → 16×16 floor
+    resize → fixed-point integer 2-D DCT-II (M.image_phash, the
+    int64 ``_PHASH_COS`` table baked verbatim into the oracle) →
+    63 above-block-mean bits over the low-frequency 8×8 block →
+    exact-match grouping (keep = min doc_id).  Same quad-texture
+    law and planted doc_id%50 duplicate groups as C71, so the two
+    hashes are directly comparable on identical pixels.  Scale:
+    Arrow-batched scan-stage map (two int64 matmuls per image),
+    one bounded window over the fingerprint."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf, "documents")["documents"]
+    rep = F.col("doc_id") % 50
+    dims = docs.select(
+        "doc_id",
+        (F.lit(4) + rep % 13).cast("int").alias("w"),
+        (F.lit(3) + rep % 7).cast("int").alias("h"),
+        rep.alias("seed"))
+    blobs = M.encode_ppm_quad(dims, "doc_id", "w", "h", "seed")
+    hashes = M.image_phash(blobs)
+    w = Window.partitionBy("phash")
+    return hashes.select(
+        "doc_id", "phash",
+        F.min("doc_id").over(w).alias("keep_id"),
+        F.count("*").over(w).alias("dup_cnt"))
+
+
+QUERIES["image_phash_dedup"] = image_phash_dedup
+
+
+def _phash_oracle() -> str:
+    from goka_spark.functions.multimodal import _PHASH_COS
+    rows = ", ".join(
+        f"({x}, {u}, {c})"
+        for x, row in enumerate(_PHASH_COS) for u, c in enumerate(row))
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+             4 + (doc_id % 50) % 13 AS w,
+             3 + (doc_id % 50) % 7 AS h,
+             doc_id % 50 AS seed
+      FROM documents
+    ), ctab(i, u, c) AS (VALUES {rows}),
+    px AS (
+      SELECT doc_id, y, x,
+             ((((y * h) // 16) * w + ((x * w) // 16) + seed)
+              * (((y * h) // 16) * w + ((x * w) // 16) + seed))
+             % 256 AS g
+      FROM p, UNNEST(range(0, 16)) AS ty(y),
+              UNNEST(range(0, 16)) AS tx(x)
+    ), t1 AS (
+      SELECT px.doc_id, ctab.u AS u, px.x AS x,
+             SUM(ctab.c * px.g) AS t
+      FROM px JOIN ctab ON ctab.i = px.y
+      GROUP BY px.doc_id, ctab.u, px.x
+    ), coef AS (
+      SELECT t1.doc_id, t1.u AS u, ctab.u AS v,
+             SUM(t1.t * ctab.c) AS cf
+      FROM t1 JOIN ctab ON ctab.i = t1.x
+      GROUP BY t1.doc_id, t1.u, ctab.u
+    ), nz AS (
+      SELECT doc_id, u * 8 + v - 1 AS k, cf
+      FROM coef WHERE NOT (u = 0 AND v = 0)
+    ), s AS (
+      SELECT doc_id, SUM(cf) AS tot FROM nz GROUP BY doc_id
+    ), hashed AS (
+      SELECT nz.doc_id,
+             CAST(SUM(CASE WHEN 63 * cf > tot
+                           THEN (CAST(1 AS BIGINT) << k)
+                           ELSE 0 END) AS BIGINT) AS phash
+      FROM nz JOIN s ON nz.doc_id = s.doc_id
+      GROUP BY nz.doc_id
+    )
+    SELECT doc_id, phash,
+           MIN(doc_id) OVER (PARTITION BY phash) AS keep_id,
+           COUNT(*) OVER (PARTITION BY phash) AS dup_cnt
+    FROM hashed
+    """
+
+
+ORACLES["image_phash_dedup"] = _phash_oracle
