@@ -45,6 +45,8 @@ _FRONT = [
     "kmv_source_overlap",
     "bm25_topk",
     "image_phash_dedup",
+    "event_transition_entropy",
+    "minhash_perm_sweep",
     # (c) best-effort tail: the 40 oldest r8-vintage keys — whatever
     # the new-key block doesn't displace refreshes the next-stalest
     # rows; leftovers head the r15 rotation

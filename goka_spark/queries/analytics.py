@@ -4723,3 +4723,70 @@ ORACLES["watermark_drop_sweep"] = """
       UNION ALL SELECT 15, n, d15, g15 FROM a
     )
 """
+
+
+def event_transition_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Behavioral PREDICTABILITY per event type (B101) — the
+    information-theoretic rollup of B43's transition matrix (and the
+    event-stream twin of C120's text bigram entropy): per from-type,
+    the Shannon entropy of the successor distribution H(next|from) —
+    near 0 = deterministic flows (every view is followed by the same
+    step: rigid funnels, or bot traffic), near ln(k) = uniform
+    successor mix — beside the modal successor share.  Reuses the
+    TransitionSink kernel (same (ts, event_id) total order, stream ≡
+    batch by shared code) and the word_entropy float discipline:
+    each c·ln c term integerized ONCE to micro-nats, per-type sums
+    exact integers, one deterministic closing double expression.
+    Scale: one user_id exchange for the lead window, one
+    (type,type)-keyed hash-agg (map-side combined), then a
+    types²-bounded aggregate."""
+    from goka_spark.operators.windows import event_transition_counts
+
+    ev = load(spark, sf, "events")["events"]
+    cnt = event_transition_counts(ev, "user_id", "ts", "event_type",
+                                  id_col="event_id")
+    term_e6 = F.floor(1e6 * F.col("cnt") * F.log(F.col("cnt"))
+                      + 0.5).cast("long")
+    per = (cnt.groupBy("event_type")
+           .agg(F.sum("cnt").alias("_n"),
+                F.count("*").alias("_k"),
+                F.max("cnt").alias("_top"),
+                F.sum(term_e6).alias("_clnc_e6")))
+    return per.select(
+        "event_type",
+        F.col("_n").cast("long").alias("n_trans"),
+        F.col("_k").cast("long").alias("n_next_types"),
+        F.expr("_top * 1000000L DIV _n").cast("long")
+        .alias("top_prob_e6"),
+        (F.log(F.col("_n"))
+         - F.col("_clnc_e6").cast("double") / 1e6 / F.col("_n"))
+        .alias("cond_entropy"))
+
+
+QUERIES["event_transition_entropy"] = event_transition_entropy
+
+ORACLES["event_transition_entropy"] = """
+    WITH nx AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)
+               AS next_event_type
+      FROM events
+    ), c AS (
+      SELECT event_type, next_event_type, COUNT(*) AS cnt
+      FROM nx WHERE next_event_type IS NOT NULL
+      GROUP BY event_type, next_event_type
+    ), per AS (
+      SELECT event_type, SUM(cnt) AS n, COUNT(*) AS k,
+             MAX(cnt) AS top,
+             SUM(CAST(FLOOR(1e6 * cnt * ln(cnt) + 0.5) AS BIGINT))
+               AS clnc_e6
+      FROM c GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_trans,
+           CAST(k AS BIGINT) AS n_next_types,
+           CAST(top * 1000000 // n AS BIGINT) AS top_prob_e6,
+           ln(n) - CAST(clnc_e6 AS DOUBLE) / 1e6 / n AS cond_entropy
+    FROM per
+"""

@@ -11806,3 +11806,65 @@ def _phash_oracle() -> str:
 
 
 ORACLES["image_phash_dedup"] = _phash_oracle
+
+
+def minhash_perm_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash PERMUTATION-COUNT sweep (C215) — the sweep axis the
+    calibration family hadn't covered (C100 sweeps bands at fixed
+    perms, C95 measures error at the fixed production 16): at
+    num_perm ∈ {8, 16, 32}, the corpus-measured estimator quality
+    over the deterministic adjacent pairing — mean and max absolute
+    error, the share of pairs off by more than 5 points, and the
+    signed bias — the three-row table that answers "how many
+    permutations before LSH verdicts are trustworthy" with measured
+    numbers instead of the 1/√p textbook bound.  Each arm reuses the
+    session signature memo at its perm count and the C95 kernel
+    (D.minhash_est_error, md5 base hash — every number
+    engine-recomputable); the summaries are plain aggregates (no
+    windows, no quantile frames).  Scale: three signature hash-aggs
+    over distinct docs + three id-adjacent equi-joins — at 100 TB
+    run on a hash-sampled slice, as C95 documents."""
+    docs = load(spark, sf, "documents")["documents"]
+    arms = []
+    for p in (8, 16, 32):
+        fr = D.minhash_est_error(
+            docs, "doc_id", "text", num_perm=p,
+            sigs=_minhash_sigs(spark, docs, sf, num_perm=p,
+                               base_hash="md5"))
+        arms.append(fr.agg(
+            F.lit(p).cast("long").alias("num_perm"),
+            F.count("*").cast("long").alias("n_pairs"),
+            F.expr("SUM(abs_err_e6) DIV COUNT(*)").cast("long")
+            .alias("mean_abs_err_e6"),
+            F.max("abs_err_e6").cast("long").alias("max_abs_err_e6"),
+            F.expr("SUM(CASE WHEN abs_err_e6 > 50000 THEN 1 ELSE 0 "
+                   "END) * 1000000 DIV COUNT(*)").cast("long")
+            .alias("share_gt5pp_e6"),
+            F.expr("SUM(est_e6 - exact_e6) DIV COUNT(*)").cast("long")
+            .alias("mean_signed_err_e6")))
+    return arms[0].unionByName(arms[1]).unionByName(arms[2])
+
+
+QUERIES["minhash_perm_sweep"] = minhash_perm_sweep
+
+
+def _minhash_perm_sweep_oracle() -> str:
+    arms = []
+    for p in (8, 16, 32):
+        err = _minhash_err_oracle(p)
+        arms.append(f"""
+      SELECT CAST({p} AS BIGINT) AS num_perm,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(abs_err_e6) // COUNT(*) AS BIGINT)
+               AS mean_abs_err_e6,
+             CAST(MAX(abs_err_e6) AS BIGINT) AS max_abs_err_e6,
+             CAST(SUM(CASE WHEN abs_err_e6 > 50000 THEN 1 ELSE 0
+                  END) * 1000000 // COUNT(*) AS BIGINT)
+               AS share_gt5pp_e6,
+             CAST(SUM(est_e6 - exact_e6) // COUNT(*) AS BIGINT)
+               AS mean_signed_err_e6
+      FROM ({err})""")
+    return " UNION ALL ".join(arms)
+
+
+ORACLES["minhash_perm_sweep"] = _minhash_perm_sweep_oracle
