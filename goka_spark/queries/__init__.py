@@ -47,6 +47,7 @@ _FRONT = [
     "image_phash_dedup",
     "event_transition_entropy",
     "minhash_perm_sweep",
+    "pq_distortion_report",
     # (c) best-effort tail: the 40 oldest r8-vintage keys — whatever
     # the new-key block doesn't displace refreshes the next-stalest
     # rows; leftovers head the r15 rotation

@@ -11868,3 +11868,106 @@ def _minhash_perm_sweep_oracle() -> str:
 
 
 ORACLES["minhash_perm_sweep"] = _minhash_perm_sweep_oracle
+
+
+def pq_distortion_report(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ quantization DISTORTION audit (C216) — the third leg of
+    the PQ-health family (C176 measures recall loss end-to-end, C209
+    audits codebook utilization, this measures the RAW reconstruction
+    error ADC distances are built on): per subspace, the mean and
+    worst ‖x_sub − codebook[code]‖² over the unit-normalized corpus
+    — the number that says WHICH subspace's codebook collapsed
+    before recall ever drops.  Float-parity discipline: the engine
+    replays the oracle's exact arithmetic — the same left-assoc norm
+    fold as _cv_ctes, codebook constants embedded as
+    shortest-roundtrip strings CAST to DOUBLE on BOTH sides (bare
+    decimal literals would parse as DECIMAL in DuckDB and drift by
+    ulps), per-(vector, subspace) min distance integerized ONCE to
+    e9, then exact integer aggregates — so even the float tail is
+    hash-identical.  Scale: one scan of the embeddings, all
+    arithmetic scan-stage codegen (no UDF), one subspace-keyed
+    hash-agg over an (m × vectors) stack."""
+    emb = load(spark, sf, "embeddings")["embeddings"]
+    idx = _ann_index(spark, sf, emb)
+    books = idx.books.tolist()
+    dim, m, ksub = 64, len(books), len(books[0])
+    dsub = dim // m
+    sq = " + ".join(f"(e[{i}] * e[{i}])" for i in range(dim))
+    cv = (emb.selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+        .selectExpr("vec_id", "e", f"SQRT({sq}) AS n")
+        .selectExpr("vec_id", "transform(e, x -> x / n) AS v"))
+
+    def lit(x: float) -> str:
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    def dist_list(j: int) -> str:
+        return ", ".join(
+            " + ".join(
+                f"((v[{j * dsub + d}] - {lit(books[j][c][d])})"
+                f" * (v[{j * dsub + d}] - {lit(books[j][c][d])}))"
+                for d in range(dsub))
+            for c in range(ksub))
+
+    mins = cv.selectExpr(
+        "vec_id",
+        *[f"array_min(array({dist_list(j)})) AS md{j}"
+          for j in range(m)])
+    stacked = mins.selectExpr(
+        "stack({}, {}) AS (subspace, md)".format(
+            m, ", ".join(f"{j}L, md{j}" for j in range(m))))
+    e9 = stacked.selectExpr(
+        "subspace", "CAST(FLOOR(1e9 * md + 0.5) AS BIGINT) AS d9")
+    return (e9.groupBy("subspace")
+            .agg(F.count("*").cast("long").alias("n_vecs"),
+                 F.expr("SUM(d9) DIV COUNT(*)").cast("long")
+                 .alias("mean_distortion_e9"),
+                 F.max("d9").cast("long").alias("max_distortion_e9"))
+            .select(F.col("subspace").cast("long"), "n_vecs",
+                    "mean_distortion_e9", "max_distortion_e9"))
+
+
+QUERIES["pq_distortion_report"] = pq_distortion_report
+
+
+def _pq_distortion_oracle() -> str:
+    books = _ivf_local_books(_ivf_oracle_sf(), 8, 16)
+    dim, m, ksub = 64, 8, 16
+    dsub = dim // m
+
+    def lit(x: float) -> str:
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    def dist_list(j: int) -> str:
+        return ", ".join(
+            " + ".join(
+                f"((v[{j * dsub + d + 1}] - {lit(books[j][c][d])})"
+                f" * (v[{j * dsub + d + 1}] - {lit(books[j][c][d])}))"
+                for d in range(dsub))
+            for c in range(ksub))
+
+    mins = ", ".join(
+        f"list_aggregate([{dist_list(j)}], 'min') AS md{j}"
+        for j in range(m))
+    arms = " UNION ALL ".join(
+        f"SELECT {j} AS subspace, md{j} AS md FROM mins"
+        for j in range(m))
+    return f"""
+    WITH {_cv_ctes(dim)},
+    mins AS (SELECT vec_id, {mins} FROM cv),
+    stacked AS ({arms}),
+    e9 AS (
+      SELECT subspace,
+             CAST(FLOOR(1e9 * md + 0.5) AS BIGINT) AS d9
+      FROM stacked
+    )
+    SELECT CAST(subspace AS BIGINT) AS subspace,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(d9) // COUNT(*) AS BIGINT)
+             AS mean_distortion_e9,
+           CAST(MAX(d9) AS BIGINT) AS max_distortion_e9
+    FROM e9 GROUP BY subspace
+    """
+
+
+ORACLES["pq_distortion_report"] = _pq_distortion_oracle
