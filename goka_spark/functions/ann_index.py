@@ -935,9 +935,12 @@ def cell_margin_report(index: ANNIndex,
     nc = index.centroids / np.linalg.norm(index.centroids, axis=1,
                                           keepdims=True)
     n_cells = nc.shape[0]
-    sims = F.array(*[
-        S.dot(F.col("_v"), F.array(*[F.lit(float(x)) for x in row]))
-        for row in nc])
+    # ONE parsed expression for the whole n_cells-wide sims array —
+    # same fold per element as S.dot(F.col("_v"), <centroid literal>)
+    # (bit-equal results); the per-element/per-lambda py4j form made
+    # DRIVER plan construction the dominant cost of this query
+    sims = F.expr("array(" + ",".join(
+        S.dot_lit_sql("_v", row) for row in nc) + ")")
     v = index.codes().select(F.col("vec").alias("_v")) \
         .withColumn("_s", sims)
     per_vec = v.selectExpr(

@@ -19,6 +19,41 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _dlit(x) -> str:
+    """SQL double-literal text for one value.  ``repr`` emits the
+    shortest string that round-trips to the same IEEE double, and the
+    SQL parser's Double.parseDouble is correctly rounded, so the plan
+    Literal is bit-identical to ``F.lit(float(x))``."""
+    v = float(x)
+    if v != v or v in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite double literal: {v!r}")
+    return repr(v) + "D"
+
+
+def lit_double_array(xs) -> Column:
+    """``array<double>`` literal in ONE py4j/parser round-trip.
+
+    Plan-identical to ``F.array(*[F.lit(float(x)) for x in xs])`` —
+    the same CreateArray of double Literals — but built as a single
+    SQL string.  The per-element form costs one py4j round-trip per
+    element; at centroid/codebook scale (n_cells × dim ≈ thousands of
+    literals) that made DRIVER-side plan construction the dominant
+    cost of whole queries (embedding_cell_margins spent 3.8 s of its
+    4.9 s total building expressions; execution was 0.5 s)."""
+    return F.expr("array(" + ",".join(_dlit(x) for x in xs) + ")")
+
+
+def dot_lit_sql(vec_sql: str, xs) -> str:
+    """SQL text of ``dot(F.col(vec_sql), lit_double_array(xs))`` —
+    the identical left-associative fold (zip_with product, 0.0 seed,
+    (acc, x) -> acc + x), so results are bit-equal; building many
+    dots as ONE parsed expression avoids the per-lambda py4j cost
+    that dominated n_cells-wide similarity arrays."""
+    return ("aggregate(zip_with(" + vec_sql + ", array("
+            + ",".join(_dlit(x) for x in xs)
+            + "), (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
+
+
 def dot(a: Column, b: Column, dim: Optional[int] = None) -> Column:
     """Vector dot product (lambda fold by default)."""
     if dim is not None:
@@ -154,7 +189,7 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit signature of the vector against each hyperplane."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
+        plane = lit_double_array(p)
         bucket = bucket + F.when(dot(vec, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
 
@@ -415,13 +450,12 @@ def pca_project(df: DataFrame, id_col: str, vec_col: str,
     centered vector is computed once per row, each projection is the
     left-associative dot fold a SQL twin replicates term for term.
     Output is exploded ``(id, comp, value)`` scalars."""
-    m_lit = F.array(*[F.lit(float(v)) for v in mean])
+    m_lit = lit_double_array(mean)
     centered = F.zip_with(_as_double(F.col(vec_col)), m_lit,
                           lambda x, m: x - m)
     projs = F.array(*[
         F.struct(F.lit(j).cast("int").alias("comp"),
-                 F.round(dot(F.col("_c"),
-                             F.array(*[F.lit(float(v)) for v in comps[j]])),
+                 F.round(dot(F.col("_c"), lit_double_array(comps[j])),
                          round_to).alias("value"))
         for j in range(len(comps))])
     return (df.select(F.col(id_col), centered.alias("_c"))
