@@ -342,24 +342,69 @@ def hashed_ngram_features(df, id_col: str, text_col: str,
     Resampling").  md5 is the bucket hash so a SQL twin reproduces
     the buckets bit-identically (same idiom as minhash base_hash=
     'md5').  Returns ``(doc, bucket, cnt)`` — one row per non-empty
-    bucket per doc; pure codegen postings + one hash-agg."""
-    from goka_spark.functions.dedup import _fan_out, shingle_postings
+    bucket per doc.
 
-    src = _fan_out(df)
-    # unigrams need no window machinery — a plain explode is the same
-    # postings set (split on whitespace, empties dropped) at scan speed
-    uni = (src.select(F.col(id_col).alias("doc"),
-                      F.explode(F.split(F.col(text_col), r"\s+"))
-                       .alias("sh"))
-           .filter(F.col("sh") != ""))
-    bi = shingle_postings(src, id_col, text_col, 2, distinct=False)
-    grams = uni.unionByName(bi)
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.encode(F.col("sh"), "UTF-8")), 1, 8),
-               16, 10).cast("long"),
-        F.lit(n_buckets))
-    return (grams.select("doc", bucket.alias("bucket"))
-            .groupBy("doc", "bucket").agg(F.count("*").alias("cnt")))
+    Shape (r14): featurization is a pure per-document function, so it
+    runs as ONE Arrow-batched map inside the scan stage — Python
+    hashlib.md5 over the identical UTF-8 gram bytes produces the same
+    hex, hence bit-identical buckets, and the per-doc counts fold in a
+    dict instead of a corpus-wide (doc, bucket) hash-agg.  The
+    pre-r14 plan paid a fan-out repartition, a window-lead pass for
+    bigrams (Exchange + Sort of the token stream), and the postings
+    hash-agg exchange.  The trailing ``repartition("doc")`` is
+    load-bearing, same as _ngram_pair_counts' repartition("sh"):
+    every consumer (NB: model agg, bucket domain, scoring; DSIR:
+    bucket models, final join) shares ONE materialized exchange of
+    the compact feature frame, so the kernel never re-runs per
+    consumer and the downstream per-doc groupBy reuses the
+    partitioning with no further shuffle."""
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"doc {id_type}, bucket long, cnt long"
+    # Java regex \s == [ \t\n\x0B\f\r] — tokenize exactly like F.split
+    ws_pat = "[ \\t\\n\\x0b\\f\\r]+"
+
+    def _kernel(batches):
+        ws_re = _re.compile(ws_pat)
+        md5 = hashlib.md5
+        for pdf in batches:
+            out_doc, out_bucket, out_cnt = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in ws_re.split(text or "") if w]
+                if not words:
+                    continue  # no words → no postings (old contract)
+                counts: dict = {}
+                for g in words:
+                    counts[g] = counts.get(g, 0) + 1
+                # bigrams via concat_ws-over-leads semantics: a
+                # single-word doc yields its one word as the "bigram"
+                if len(words) == 1:
+                    counts[words[0]] += 1
+                else:
+                    for i in range(len(words) - 1):
+                        g = words[i] + " " + words[i + 1]
+                        counts[g] = counts.get(g, 0) + 1
+                bc: dict = {}
+                for g, c in counts.items():
+                    b = int(md5(g.encode("utf-8")).hexdigest()[:8],
+                            16) % n_buckets
+                    bc[b] = bc.get(b, 0) + c
+                for b, c in bc.items():
+                    out_doc.append(did)
+                    out_bucket.append(b)
+                    out_cnt.append(c)
+            if out_doc:
+                yield pd.DataFrame({"doc": out_doc,
+                                    "bucket": out_bucket,
+                                    "cnt": out_cnt})
+
+    return (df.select(id_col, text_col)
+            .mapInPandas(_kernel, schema)
+            .repartition("doc"))
 
 
 def dsir_importance(corpus, target, id_col: str, text_col: str,
@@ -600,139 +645,111 @@ def gopher_repetition(df, id_col: str, text_col: str,
     char counts — chars(gram) = len(gram) - (n-1) spaces), so the
     DuckDB oracle hash-matches with zero float hazard.
 
-    Scale shape: tokens and per-doc totals are scan-stage from the
-    words array (no window); every n-gram size comes from ONE
-    window-lead pass (codegen concat of lead columns — measured ~2×
-    faster than interpreted array slices).  The (doc, n, gram)
-    hash-agg carries the dup-n position lists alongside the counts,
-    so NO join ever touches a postings-sized frame: dup coverage
-    explodes positions of the (rare) cnt>=2 grams only, folds to a
-    per-(doc, n) covered-position set, and prices it against a
-    per-doc word-length ARRAY — every join in the plan is doc-keyed
-    between doc-sized frames.  (The first cut joined grams back to
-    the count table and cov back to the token table; at 64× probe
-    scale AQE turned the sub-threshold-compressed count side into a
-    >1 GiB in-memory broadcast and the build OOMed — corpus-sized
-    frames must never be join-build sides.)  Everything is keyed by
-    doc — at 100 TB the heavy aggs all partial-aggregate map-side."""
-    from pyspark.sql.window import Window
+    Scale shape: ONE Arrow-batched map-only pass — every rule is a
+    pure per-document function, so the whole family computes inside
+    the scan stage with ZERO shuffles (the multimodal-codec
+    discipline applied to text).  Each batch row is tokenized once
+    (the exact Java-regex ``\\s`` class, so splits match F.split
+    bit-for-bit), n-gram counts/positions accumulate in dicts, and
+    every fraction is the same exact-integer ``// max(chars, 1)``
+    the SQL form computed — Python bigints, so results are
+    bit-identical and the unchanged DuckDB oracle still hash-matches.
+    The previous pure-SQL plan needed a doc-keyed window-lead pass
+    (an Exchange + Sort of the token stream ≈ 6× the text bytes),
+    a second Exchange for the (doc, n, gram) hash-agg, a top-gram
+    ranking window, and five doc-keyed joins — per-doc Python dicts
+    replace all of it with embarrassingly parallel map work, the
+    right shape at 100 TB (and measured 4.5 s → ~0.6 s at sf0.1,
+    where the old plan's exchanges dominated)."""
+    import re as _re
 
-    ns = sorted(set(top_ns) | set(dup_ns))
-    max_n = max(ns)
+    import pandas as pd
 
-    warr = F.filter(F.split(F.col(text_col), r"\s+"),
-                    lambda w: w != "")
-    src = df.select(F.col(id_col).alias("doc"),
-                    warr.alias("_ws"),
-                    F.split(F.col(text_col), sep).alias("_lns"))
-
-    totals = (src.select(
-        "doc",
-        F.size("_ws").cast("long").alias("n_words"),
-        F.aggregate("_ws", F.lit(0).cast("long"),
-                    lambda a, w: a + F.length(w)).alias("chars"))
-        .filter(F.col("n_words") > 0))
-
-    tok = (src.select("doc", F.posexplode("_ws").alias("_p0", "_w"))
-           .select("doc", (F.col("_p0") + 1).alias("pos"), F.col("_w")))
-
-    win = Window.partitionBy("doc").orderBy("pos")
-    g0 = tok.select(
-        "doc", "pos", "_w",
-        *[F.lead("_w", j).over(win).alias(f"_l{j}")
-          for j in range(1, max_n)])
-    # gram n valid iff the (n-1)-ahead word exists (no count window)
-    gram_structs = F.array(*[
-        F.struct(F.lit(n).alias("n"),
-                 (F.lit(n == 1) | F.col(f"_l{n - 1}").isNotNull())
-                 .alias("ok"),
-                 F.concat_ws(" ", "_w",
-                             *[f"_l{j}" for j in range(1, n)]).alias("gram"))
-        for n in ns])
-    grams = (g0.select("doc", "pos",
-                       F.explode(gram_structs).alias("g"))
-             .filter(F.col("g.ok"))
-             .select("doc", "pos", F.col("g.n").alias("n"),
-                     F.col("g.gram").alias("gram")))
-
-    # one agg serves both rule families: counts for top-n, position
-    # lists (dup ns only — `when` nulls are skipped) for coverage
-    cnts = grams.groupBy("doc", "n", "gram").agg(
-        F.count("*").alias("cnt"),
-        F.collect_list(F.when(F.col("n").isin(list(dup_ns)),
-                              F.col("pos"))).alias("_ps"))
-
-    wtop = Window.partitionBy("doc", "n").orderBy(
-        F.col("cnt").desc(), F.col("gram"))
-    top = (cnts.withColumn("_rn", F.row_number().over(wtop))
-           .filter((F.col("_rn") == 1) & F.col("n").isin(list(top_ns)))
-           .join(totals, "doc")
-           .select("doc", "n",
-                   F.expr("(cnt * (length(gram) - (n - 1)) * 1000000L) "
-                          "DIV greatest(chars, 1L)").alias("v")))
-    topp = top.groupBy("doc").agg(*[
-        F.max(F.when(F.col("n") == n, F.col("v")))
-        .alias(f"top{n}_frac_e6") for n in top_ns])
-
-    # covered-position chars need each position's WORD length — the
-    # gram string already holds its words, so lengths derive from the
-    # gram itself and coverage is two hash-aggs with no join at all
-    # (the first cut joined a per-doc word-length array; at 64× that
-    # docs×avg_len frame was itself a broadcast-conversion hazard)
-    covch = (cnts.filter((F.col("cnt") >= 2)
-                         & F.col("n").isin(list(dup_ns)))
-             .select("doc", "n",
-                     F.transform(F.split("gram", " "), F.length)
-                     .alias("_ls"),
-                     F.explode("_ps").alias("_p"))
-             .select("doc", "n",
-                     F.explode(F.transform(
-                         F.sequence(F.lit(0), F.col("n") - 1),
-                         lambda j: F.struct(
-                             (F.col("_p") + j).alias("i"),
-                             F.try_element_at("_ls", (j + 1).cast("int"))
-                             .alias("wl")))).alias("s"))
-             .groupBy("doc", "n", F.col("s.i"))
-             .agg(F.max("s.wl").alias("_wl"))  # dedup overlaps
-             .groupBy("doc", "n").agg(F.sum("_wl").alias("_cch"))
-             .join(totals, "doc")
-             .select("doc", "n",
-                     F.expr("(_cch * 1000000L) DIV greatest(chars, 1L)")
-                     .alias("v")))
-    dupv = covch.groupBy("doc").agg(*[
-        F.max(F.when(F.col("n") == n, F.col("v")))
-        .alias(f"dup{n}_frac_e6") for n in dup_ns])
-
-    lines = (src.select("doc", F.explode("_lns").alias("_ln"))
-             .filter(F.col("_ln") != ""))
-    lc = lines.groupBy("doc", "_ln").agg(F.count("*").alias("cnt"))
-    lstat = lc.groupBy("doc").agg(
-        F.expr("(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) * 1000000L) "
-               "DIV greatest(sum(cnt), 1L)").alias("dup_line_frac_e6"),
-        F.expr("(sum(CASE WHEN cnt >= 2 THEN cnt * length(_ln) "
-               "ELSE 0 END) * 1000000L) "
-               "DIV greatest(sum(cnt * length(_ln)), 1L)")
-        .alias("dup_line_char_frac_e6"))
-
-    out = (totals.join(topp, "doc", "left")
-           .join(dupv, "doc", "left")
-           .join(lstat, "doc", "left"))
+    top_ns = tuple(top_ns)
+    dup_ns = tuple(dup_ns)
     frac_cols = ([f"top{n}_frac_e6" for n in top_ns]
                  + [f"dup{n}_frac_e6" for n in dup_ns]
                  + ["dup_line_frac_e6", "dup_line_char_frac_e6"])
-    for c in frac_cols:
-        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)).cast("long"))
-    keep = None
-    for c in frac_cols:
-        thr = GOPHER_REP_THRESHOLDS_E6.get(c)
-        if thr is None:
-            continue  # non-default n: signal column only, no verdict rule
-        cond = F.col(c) <= thr
-        keep = cond if keep is None else (keep & cond)
-    if keep is None:
-        keep = F.lit(True)
-    return out.select(F.col("doc").alias(id_col), "n_words", "chars",
-                      *frac_cols, keep.cast("long").alias("keep"))
+    rules = [(c, GOPHER_REP_THRESHOLDS_E6[c]) for c in frac_cols
+             if c in GOPHER_REP_THRESHOLDS_E6]
+    id_type = dict(df.dtypes)[id_col]
+    schema = (f"`{id_col}` {id_type}, n_words long, chars long, "
+              + ", ".join(f"{c} long" for c in frac_cols)
+              + ", keep long")
+    # Java regex \s == [ \t\n\x0B\f\r] (ASCII-only without
+    # UNICODE_CHARACTER_CLASS) — spell it out so Python's re (whose
+    # \s is Unicode-wide) tokenizes bit-identically to F.split
+    ws_pat = "[ \\t\\n\\x0b\\f\\r]+"
+    out_cols = [id_col, "n_words", "chars", *frac_cols, "keep"]
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+
+    def _kernel(batches):
+        ws_re = _re.compile(ws_pat)
+        ln_re = _re.compile(sep)
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in ws_re.split(text or "") if w]
+                if not words:
+                    continue  # totals filter: n_words > 0
+                n_words = len(words)
+                lens = [len(w) for w in words]
+                chars = sum(lens)
+                denom = max(chars, 1)
+                vals = {}
+                for n in all_ns:
+                    # gram n exists iff the (n-1)-ahead word does
+                    if n_words < n:
+                        continue
+                    pos_by_gram: dict = {}
+                    for p in range(n_words - n + 1):
+                        g = tuple(words[p:p + n])
+                        pos_by_gram.setdefault(g, []).append(p + 1)
+                    if n in top_ns:
+                        top_cnt = max(len(v)
+                                      for v in pos_by_gram.values())
+                        # tie-break (cnt DESC, gram ASC) on the
+                        # space-joined STRING (UTF-8 byte order ==
+                        # code-point order == Python str order)
+                        top_gram = min(
+                            " ".join(g)
+                            for g, v in pos_by_gram.items()
+                            if len(v) == top_cnt)
+                        gchars = len(top_gram) - (n - 1)
+                        vals[f"top{n}_frac_e6"] = (
+                            top_cnt * gchars * 1_000_000) // denom
+                    if n in dup_ns:
+                        covered = set()
+                        for g, v in pos_by_gram.items():
+                            if len(v) >= 2:
+                                for p in v:
+                                    covered.update(range(p, p + n))
+                        if covered:
+                            cch = sum(lens[i - 1] for i in covered)
+                            vals[f"dup{n}_frac_e6"] = (
+                                cch * 1_000_000) // denom
+                lines = [ln for ln in ln_re.split(text or "") if ln]
+                if lines:
+                    lc: dict = {}
+                    for ln in lines:
+                        lc[ln] = lc.get(ln, 0) + 1
+                    tot = sum(lc.values())
+                    totc = sum(c * len(ln) for ln, c in lc.items())
+                    dup = sum(c for c in lc.values() if c >= 2)
+                    dupc = sum(c * len(ln) for ln, c in lc.items()
+                               if c >= 2)
+                    vals["dup_line_frac_e6"] = (
+                        dup * 1_000_000) // max(tot, 1)
+                    vals["dup_line_char_frac_e6"] = (
+                        dupc * 1_000_000) // max(totc, 1)
+                fr = [vals.get(c, 0) for c in frac_cols]
+                keep = int(all(vals.get(c, 0) <= thr
+                               for c, thr in rules))
+                rows.append((did, n_words, chars, *fr, keep))
+            if rows:
+                yield pd.DataFrame(rows, columns=out_cols)
+
+    return df.select(id_col, text_col).mapInPandas(_kernel, schema)
 
 
 def nb_classify(corpus, id_col: str, text_col: str, label, train_pred,

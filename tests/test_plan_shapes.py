@@ -362,11 +362,18 @@ def test_knn_graph_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_gopher_repetition_partial_agg(spark, sf_dir):
+def test_gopher_repetition_map_only(spark, sf_dir):
+    """r14: the repetition family is a pure per-document function, so
+    the plan must be a single Arrow-batched map over the scan — ZERO
+    exchanges, zero joins (the pre-r14 pure-SQL plan shuffled the
+    token stream for a window-lead pass plus a (doc, n, gram) agg and
+    five doc-keyed joins)."""
     from goka_spark.queries.llmdata import gopher_repetition
     df = gopher_repetition(spark, sf_dir)
     plan = X.simple(df)
-    assert X.has_partial_aggregation(df)
+    assert X.num_shuffles(df) == 0, plan
+    assert "Join" not in plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
     assert "CartesianProduct" not in plan
 
 
@@ -384,18 +391,14 @@ def test_ngram_novelty_reuses_postings_exchange(spark, sf_dir):
 
 
 def test_gopher_repetition_no_postings_sized_join(spark, sf_dir):
-    """r7 regression pin for the 64x broadcast OOM: duplicate-gram
-    coverage must come from the count aggregate itself (position
-    lists) + gram-derived word lengths — NEVER a join whose build
-    side is postings-sized (grams or a per-doc length array).  The
-    plan's only joins are the doc-keyed ones among doc-sized frames:
-    top⋈totals, cov⋈totals, totals⋈topp⋈dupv⋈lstat = exactly 5."""
+    """r7 regression pin for the 64x broadcast OOM, carried to the
+    r14 map-only kernel: no join may EVER touch a postings-sized
+    frame — trivially satisfied now because the optimized plan
+    contains no joins at all (per-doc dicts replaced the gram agg)."""
     from goka_spark.queries.llmdata import gopher_repetition
     df = gopher_repetition(spark, sf_dir)
     logical = df._jdf.queryExecution().optimizedPlan().toString()
-    assert logical.count("Join ") == 5, logical
-    # position lists ride the existing count agg (no grams re-join)
-    assert "collect_list" in logical
+    assert logical.count("Join ") == 0, logical
 
 
 def test_span_corruption_is_scan_stage_only(spark, sf_dir):
