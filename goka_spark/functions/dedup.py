@@ -71,39 +71,68 @@ def shingle_postings(df: DataFrame, id_col: str, text_col: str,
     1-based start-word rank ``(doc, pos, sh)`` — the input for span
     extraction (``dup_span_extract``).
 
-    ``word_shingles`` builds the shingle array with interpreted lambda
-    expressions (transform/slice run outside whole-stage codegen —
-    measured as the dominant cost of the similarity join at sf0.1).
-    This path stays entirely inside codegen: posexplode the split
-    words, drop empties, re-rank, and assemble each n-gram from window
-    ``lead`` values.  Docs shorter than ``n`` words yield their single
-    all-words shingle (concat_ws skips the NULL leads), matching
-    ``word_shingles``; docs with NO words yield no postings (the array
-    path yields one empty-string shingle there — saner to emit none).
+    Shape (r14): shingle assembly is a pure per-document function, so
+    it runs as ONE Arrow-batched map in the scan stage — the pre-r14
+    pure-SQL path paid a doc-keyed Exchange + Sort for the window
+    ``lead`` assembly on EVERY consumer (similarity joins, coverage,
+    novelty, spans, blooms…).  Tokenization spells out the Java-regex
+    ``\\s`` class so splits match ``F.split`` bit-for-bit; shingles
+    are the same space-joined strings, so every downstream join/agg
+    and the DuckDB oracles see identical values.  Docs shorter than
+    ``n`` words yield their single all-words shingle (the concat_ws-
+    skips-NULL-leads semantics); docs with NO words yield no
+    postings.  ``distinct=True`` dedupes inside the kernel (all of a
+    doc's rows sit in one batch), so the distinct frame needs no
+    dropDuplicates exchange at all; ``distinct=False`` emits every
+    occurrence (the PMI / repetition counters consume those);
+    ``positions=True`` emits the 1-based start rank per occurrence.
+    The internal fan-out replaces the callers' explicit ``_fan_out``:
+    a single-file scan would otherwise run the kernel on one core.
     """
-    from pyspark.sql.window import Window
+    import re as _re
 
-    w = (df.select(F.col(id_col).alias("doc"),
-                   F.posexplode(F.split(F.col(text_col), r"\s+"))
-                    .alias("_p", "_w"))
-         .filter(F.col("_w") != ""))
-    win = Window.partitionBy("doc").orderBy("_p")
-    leads = [F.lead("_w", j).over(win) for j in range(1, n)]
-    cnt = F.count("*").over(Window.partitionBy("doc"))
-    sh = (w.select("doc",
-                   F.concat_ws(" ", "_w", *leads).alias("sh"),
-                   F.row_number().over(win).alias("_rk"),
-                   cnt.alias("_cnt"))
-          .filter(F.col("_rk") <=
-                  F.greatest(F.col("_cnt") - (n - 1), F.lit(1))))
-    if positions:
-        return sh.select("doc", F.col("_rk").alias("pos"), "sh")
-    out = sh.select("doc", "sh")
-    # distinct=False lets a caller that is about to re-partition place
-    # the dedupe AFTER its own exchange (HashPartitioning on a subset
-    # of the dedup keys already satisfies the clustering requirement,
-    # so Catalyst plans the dedupe without another shuffle).
-    return out.dropDuplicates(["doc", "sh"]) if distinct else out
+    import pandas as pd
+
+    id_type = dict(df.dtypes)[id_col]
+    schema = (f"doc {id_type}, pos int, sh string" if positions
+              else f"doc {id_type}, sh string")
+    ws_pat = "[ \\t\\n\\x0b\\f\\r]+"
+
+    def _kernel(batches):
+        ws_re = _re.compile(ws_pat)
+        for pdf in batches:
+            out_doc, out_pos, out_sh = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in ws_re.split(text or "") if w]
+                if not words:
+                    continue
+                k = max(len(words) - (n - 1), 1)
+                if positions:
+                    for p in range(k):
+                        out_doc.append(did)
+                        out_pos.append(p + 1)
+                        out_sh.append(" ".join(words[p:p + n]))
+                elif distinct:
+                    seen = set()
+                    for p in range(k):
+                        sh = " ".join(words[p:p + n])
+                        if sh not in seen:
+                            seen.add(sh)
+                            out_doc.append(did)
+                            out_sh.append(sh)
+                else:
+                    for p in range(k):
+                        out_doc.append(did)
+                        out_sh.append(" ".join(words[p:p + n]))
+            if out_doc:
+                if positions:
+                    yield pd.DataFrame({"doc": out_doc, "pos": out_pos,
+                                        "sh": out_sh})
+                else:
+                    yield pd.DataFrame({"doc": out_doc, "sh": out_sh})
+
+    return (_fan_out(df.select(id_col, text_col))
+            .mapInPandas(_kernel, schema))
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
@@ -122,7 +151,7 @@ def _fan_out(df: DataFrame) -> DataFrame:
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_perm: int = 32, shingle: int = 3,
                        base_hash: str = "xxhash64") -> DataFrame:
-    """MinHash signature per document, fully JVM-side.
+    """MinHash signature per document, one Arrow-batched map pass.
 
     h32 = hash(shingle) & (2^31-1); sig_j = min_s (a_j*h32+b_j) mod M.
     Products stay < 2^62, no overflow.  ``base_hash`` picks the
@@ -131,31 +160,108 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     DuckDB via CAST('0x'||substr(md5(s),1,8) AS BIGINT), which makes
     the whole signature oracle-verifiable)."""
     params = _perm_params(num_perm)
-    df = _fan_out(df)
 
-    # explode shingles → hash once per (doc, shingle) → ONE hash
-    # aggregate computing all num_perm mins as scalar expressions.
-    # Scalar min-aggs stay in whole-stage codegen (array lambdas are
-    # interpreted in Spark) and combine map-side: at scale the shuffle
-    # carries one partial signature per (partition, doc).
-    if base_hash == "md5":
-        h = F.conv(F.substring(F.md5(F.encode(F.col("_s"), "UTF-8")), 1, 8),
-                   16, 10).cast("long")
-    else:
-        h = F.xxhash64("_s")
-    ex = df.select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle)).alias("_s"),
-    ).withColumn("_h", h.bitwiseAND(F.lit((1 << 31) - 1)))
-    mins = [
-        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MERSENNE)).alias(f"_m{j}")
-        for j, (a, b) in enumerate(params)
-    ]
-    agg = ex.groupBy(id_col).agg(*mins)
-    return agg.select(
-        F.col(id_col),
-        F.array(*[F.col(f"_m{j}") for j in range(num_perm)]).alias("minhash"),
-    )
+    # r14 shape: the signature is a pure per-document function, so it
+    # computes in ONE Arrow-batched map inside the scan stage — no
+    # shingle explode, no num_perm-wide min-agg exchange.  Hash
+    # parity is exact: the md5 path hashes the same UTF-8 bytes via
+    # hashlib; the xxhash64 path embeds the pure-Python XXH64
+    # (pickled by value with the kernel — the reference
+    # tests/test_xxh_sql.py pins against Spark's xxhash64 itself),
+    # and the permutation algebra runs in int64 numpy
+    # (a·h+b < 2^62.5, exact).  Per-doc mins over the DISTINCT
+    # shingle set are aggregation-order-free, so signatures are
+    # bit-identical to the old explode+min-agg plan and the
+    # XXH64-in-SQL oracles still hash-match.
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    A = np.array([a for a, _ in params], dtype=np.int64).reshape(-1, 1)
+    B = np.array([b for _, b in params], dtype=np.int64).reshape(-1, 1)
+    P = HASH_P
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"`{id_col}` {id_type}, minhash array<bigint>"
+    ws_pat = "[ \\t\\n\\x0b\\f\\r]+"
+    use_md5 = base_hash == "md5"
+    n = shingle
+
+    # pure-Python XXH64 (== Spark's xxhash64 over UTF-8 bytes; the
+    # constants and step order are pinned by tests/test_xxh_sql.py)
+    _P1, _P2, _P3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, \
+        0x165667B19E3779F9
+    _P4, _P5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+    _MM = (1 << 64) - 1
+
+    def _xxh64(data: bytes, seed: int = 42) -> int:
+        def rotl(x, r):
+            return ((x << r) | (x >> (64 - r))) & _MM
+
+        def rnd(acc, lane):
+            return (rotl((acc + lane * _P2) & _MM, 31) * _P1) & _MM
+
+        nb, i = len(data), 0
+        if nb >= 32:
+            a = [(seed + _P1 + _P2) & _MM, (seed + _P2) & _MM,
+                 seed & _MM, (seed - _P1) & _MM]
+            while i + 32 <= nb:
+                for k in range(4):
+                    a[k] = rnd(a[k],
+                               int.from_bytes(data[i:i + 8], "little"))
+                    i += 8
+            h = (rotl(a[0], 1) + rotl(a[1], 7) + rotl(a[2], 12)
+                 + rotl(a[3], 18)) & _MM
+            for k in range(4):
+                h = ((h ^ rnd(0, a[k])) * _P1 + _P4) & _MM
+        else:
+            h = (seed + _P5) & _MM
+        h = (h + nb) & _MM
+        while i + 8 <= nb:
+            h = (rotl(h ^ rnd(0, int.from_bytes(data[i:i + 8],
+                                                "little")),
+                      27) * _P1 + _P4) & _MM
+            i += 8
+        if i + 4 <= nb:
+            h = (rotl(h ^ ((int.from_bytes(data[i:i + 4], "little")
+                            * _P1) & _MM), 23) * _P2 + _P3) & _MM
+            i += 4
+        while i < nb:
+            h = (rotl(h ^ ((data[i] * _P5) & _MM), 11) * _P1) & _MM
+            i += 1
+        h ^= h >> 33
+        h = (h * _P2) & _MM
+        h ^= h >> 29
+        h = (h * _P3) & _MM
+        return h ^ (h >> 32)
+
+    def _kernel(batches):
+        ws_re = _re.compile(ws_pat)
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids, sigs = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in ws_re.split(text or "") if w]
+                k = max(len(words) - (n - 1), 1)
+                # word_shingles semantics: a no-word doc yields its
+                # single empty-string shingle
+                shs = {" ".join(words[p:p + n]) for p in range(k)}
+                if use_md5:
+                    hs = [int(md5(s.encode("utf-8")).hexdigest()[:8],
+                              16) & 0x7FFFFFFF for s in shs]
+                else:
+                    hs = [_xxh64(s.encode("utf-8")) & 0x7FFFFFFF
+                          for s in shs]
+                H = np.array(hs, dtype=np.int64)
+                sig = ((A * H + B) % P).min(axis=1)
+                ids.append(did)
+                sigs.append(sig.tolist())
+            if ids:
+                yield pd.DataFrame({id_col: ids, "minhash": sigs})
+
+    return (_fan_out(df.select(id_col, text_col))
+            .mapInPandas(_kernel, schema))
 
 
 def lsh_bands(sigs: DataFrame, id_col: str, bands: int = 8,
@@ -328,13 +434,10 @@ def _ngram_pair_counts(df: DataFrame, id_col: str, text_col: str,
     # materializes the postings ONCE and every consumer reads the
     # shuffle output (measured 4× recompute of the shingle stage at
     # sf0.1 without it).  It also pre-positions both join sides.
-    # dedupe AFTER the repartition: partitioning by sh already
-    # satisfies the (doc, sh) clustering, so the distinct costs no
-    # extra exchange.
-    sh = (shingle_postings(_fan_out(df), id_col, text_col, n,
-                           distinct=False)
-          .repartition("sh")
-          .dropDuplicates(["doc", "sh"]))
+    # The per-doc distinct happens inside the shingle kernel (a doc's
+    # rows share a batch), so no dropDuplicates exchange is needed.
+    sh = (shingle_postings(df, id_col, text_col, n)
+          .repartition("sh"))
     # shingles are distinct per doc, so count(*) == document freq /
     # per-doc shingle-set size
     sizes = sh.groupBy("doc").agg(F.count("*").alias("_sz"))
@@ -501,10 +604,8 @@ def ngram_jaccard_prefix(df: DataFrame, id_col: str, text_col: str,
     """
     eps = 1e-9  # keep ceil(t*sz) from rounding UP on float noise —
     #             a too-small ceil only lengthens the prefix (safe)
-    sh = (shingle_postings(_fan_out(df), id_col, text_col, n,
-                           distinct=False)
-          .repartition("sh")
-          .dropDuplicates(["doc", "sh"]))
+    sh = (shingle_postings(df, id_col, text_col, n)
+          .repartition("sh"))
     dfc = sh.groupBy("sh").agg(F.count("*").alias("_df"))
     by_doc = Window.partitionBy("doc")
     ranked = (sh.join(dfc, "sh")
@@ -558,10 +659,8 @@ def dup_ngram_coverage(df: DataFrame, id_col: str, text_col: str,
     per-doc aggregate.  Linear in postings; no self-join, no pair
     blow-up — this is the cheap signal you compute on all 100 TB,
     reserving pair mining for the flagged tail."""
-    sh = (shingle_postings(_fan_out(df), id_col, text_col, n,
-                           distinct=False)
-          .repartition("sh")
-          .dropDuplicates(["doc", "sh"]))
+    sh = (shingle_postings(df, id_col, text_col, n)
+          .repartition("sh"))
     dfc = sh.groupBy("sh").agg(F.count("*").alias("_df"))
     return (
         sh.join(dfc, "sh")
@@ -597,7 +696,7 @@ def dup_span_extract(df: DataFrame, id_col: str, text_col: str,
     same exchange), an equi-join back on the shingle, then per-doc
     windows whose partitions are bounded by document length — linear
     in postings, no self-join."""
-    pos_sh = shingle_postings(_fan_out(df), id_col, text_col, n,
+    pos_sh = shingle_postings(df, id_col, text_col, n,
                               positions=True).repartition("sh")
     dfc = (pos_sh.dropDuplicates(["doc", "sh"])
            .groupBy("sh").agg(F.count("*").alias("_df")))
@@ -1338,9 +1437,8 @@ def ngram_novelty(df: DataFrame, id_col: str, text_col: str,
     sh-partitioning with zero further exchange.  Then one per-doc
     count agg.  Linear in postings, map-side combined.  The score is
     an exact 1e6-scaled integer (novel·1e6 DIV grams)."""
-    sh = (shingle_postings(df, id_col, text_col, n, distinct=False)
-          .repartition("sh")
-          .dropDuplicates(["doc", "sh"]))
+    sh = (shingle_postings(df, id_col, text_col, n)
+          .repartition("sh"))
     firsts = sh.groupBy("sh").agg(F.min("doc").alias("_first"))
     per = (sh.join(firsts, "sh")
            .groupBy("doc")

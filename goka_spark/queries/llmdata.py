@@ -840,7 +840,7 @@ def doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
     for per-row Column use); results are identical, docs with no
     postings (empty text) score 0."""
     docs = load(spark, sf, "documents")["documents"]
-    sh = D.shingle_postings(D._fan_out(docs), "doc_id", "text", 3,
+    sh = D.shingle_postings(docs, "doc_id", "text", 3,
                             distinct=False)
     agg = (sh.groupBy("doc").agg(F.count("*").alias("_t"),
                                  F.countDistinct("sh").alias("_d"))
