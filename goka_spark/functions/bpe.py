@@ -169,20 +169,33 @@ def bpe_train(df: DataFrame, id_col: str, text_col: str,
 def bpe_word_tokens(df: DataFrame, id_col: str, text_col: str,
                     merges: list) -> DataFrame:
     """(word, n_tokens, tokens) for every distinct corpus word under
-    the trained merges — the tokenizer's working table, applied as
-    chained JVM folds (one per merge, over the vocabulary-sized dict,
-    never the corpus)."""
-    wd = word_dict(df, text_col)
-    syms = _char_syms(F.col("word"))
-    out = wd.select("word", "freq", syms.alias("syms"))
-    for i, (a, b) in enumerate(merges):
-        out = out.select("word", "freq",
-                         _apply_merge(F.col("syms"), a, b).alias("syms"))
-        if (i + 1) % 4 == 0:
-            out = out.localCheckpoint()
-    return out.select("word", "freq",
-                      F.size("syms").cast("long").alias("n_tokens"),
-                      F.col("syms").alias("tokens"))
+    the trained merges — the tokenizer's working table, applied as ONE
+    Arrow-batched map over the vocabulary-sized dict (never the
+    corpus).  Each word is encoded with :func:`encode_word`, the exact
+    pure-Python twin the oracle itself re-trains with (and that the
+    property tests pin against the JVM fold), so tokens are
+    bit-identical to the former chained `_apply_merge` folds — which
+    paid one plan node per merge plus a localCheckpoint barrier every
+    4 merges (12 eager materialization jobs for the 48-merge scale
+    mode).  The merges list is driver-held and vocabulary training
+    already guarantees it is small (k rows), so it rides the task
+    closure."""
+    mg = [(a, b) for a, b in merges]
+
+    def enc(batches):
+        import pandas as pd
+        for pdf in batches:
+            words = pdf["word"].tolist()
+            toks = [encode_word(w, mg) for w in words]
+            yield pd.DataFrame({
+                "word": words,
+                "freq": pdf["freq"].tolist(),
+                "n_tokens": [len(t) for t in toks],
+                "tokens": toks,
+            })
+
+    return word_dict(df, text_col).mapInPandas(
+        enc, "word string, freq long, n_tokens long, tokens array<string>")
 
 
 def bpe_token_count(df: DataFrame, id_col: str, text_col: str,

@@ -801,3 +801,18 @@ def test_nation_hhi_no_supplier_window(spark, sf_dir):
     plan = X.formatted(df)
     assert "windowspecdefinition" not in plan.lower(), plan
     assert X.has_broadcast_join(df)
+
+
+def test_bpe_word_tokens_single_arrow_map(spark, sf_dir):
+    """The BPE word→tokens table is ONE Arrow map over the
+    vocabulary-sized word dict (r14): no per-merge JVM fold chain and
+    no localCheckpoint barriers — the old plan carried one plan node
+    per merge plus an ExistingRDD scan every 4 merges (12 eager
+    materialization jobs in the 48-merge scale mode)."""
+    from goka_spark.queries.llmdata import bpe_token_count
+
+    df = bpe_token_count(spark, sf_dir)
+    plan = X.simple(df)
+    assert "MapInPandas" in plan, plan
+    # localCheckpoint would surface as an ExistingRDD scan
+    assert "ExistingRDD" not in plan, plan
