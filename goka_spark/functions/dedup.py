@@ -135,6 +135,49 @@ def shingle_postings(df: DataFrame, id_col: str, text_col: str,
             .mapInPandas(_kernel, schema))
 
 
+def shingle_sets(df: DataFrame, id_col: str, text_col: str,
+                 n: int = 3) -> DataFrame:
+    """Per-document DISTINCT shingle ARRAY ``(id, _shs)`` in
+    first-occurrence order — the array-valued twin of
+    :func:`shingle_postings` for consumers that need whole sets per
+    row (exact-Jaccard calibration), replacing the interpreted
+    ``array_distinct(all_shingles(...))`` lambda chain with one
+    Arrow-batched map.  Bit-compatible with that expression: same
+    Java-regex whitespace split, same space-joined shingles, same
+    first-occurrence distinct order, and wordless documents yield
+    ``[""]`` (the ``all_shingles`` k>=1 slice contract)."""
+    import re as _re
+
+    import pandas as pd
+
+    id_type = dict(df.dtypes)[id_col]
+    ws_pat = "[ \\t\\n\\x0b\\f\\r]+"
+
+    def _kernel(batches):
+        ws_re = _re.compile(ws_pat)
+        for pdf in batches:
+            ids, arrs = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in ws_re.split(text or "") if w]
+                if not words:
+                    ids.append(did)
+                    arrs.append([""])
+                    continue
+                k = max(len(words) - (n - 1), 1)
+                seen, out = set(), []
+                for p in range(k):
+                    s = " ".join(words[p:p + n])
+                    if s not in seen:
+                        seen.add(s)
+                        out.append(s)
+                ids.append(did)
+                arrs.append(out)
+            yield pd.DataFrame({id_col: ids, "_shs": arrs})
+
+    return (_fan_out(df.select(id_col, text_col))
+            .mapInPandas(_kernel, f"{id_col} {id_type}, _shs array<string>"))
+
+
 def _fan_out(df: DataFrame) -> DataFrame:
     """Shingle construction uses interpreted lambda exprs — make sure
     it fans out across cores even when the source is few small files
@@ -419,7 +462,8 @@ def auto_max_df(postings: DataFrame, budget: int = 32,
 
 def _ngram_pair_counts(df: DataFrame, id_col: str, text_col: str,
                        n: int = 3, max_df: "int | str | None" = None,
-                       budget: int = 32) -> DataFrame:
+                       budget: int = 32,
+                       postings: "DataFrame | None" = None) -> DataFrame:
     """Shared candidate-generation + intersection core for the n-gram
     set-similarity self-joins: df-pruned inverted-index join, exact
     intersection counts on the COMPLETE shingle sets.  Returns one row
@@ -436,8 +480,12 @@ def _ngram_pair_counts(df: DataFrame, id_col: str, text_col: str,
     # sf0.1 without it).  It also pre-positions both join sides.
     # The per-doc distinct happens inside the shingle kernel (a doc's
     # rows share a batch), so no dropDuplicates exchange is needed.
-    sh = (shingle_postings(df, id_col, text_col, n)
-          .repartition("sh"))
+    # ``postings``: an already-built (and typically checkpointed)
+    # frame with this exact shape — the session-memo contract one
+    # level down from ``pair_counts``.
+    sh = postings if postings is not None else \
+        (shingle_postings(df, id_col, text_col, n)
+         .repartition("sh"))
     # shingles are distinct per doc, so count(*) == document freq /
     # per-doc shingle-set size
     sizes = sh.groupBy("doc").agg(F.count("*").alias("_sz"))
@@ -452,8 +500,11 @@ def _ngram_pair_counts(df: DataFrame, id_col: str, text_col: str,
         # calls in a long-lived session (driver correctness sweep,
         # bench).  Checkpoint blocks release via the ContextCleaner
         # when the frame is GC'd.  (At cluster scale: reliable
-        # checkpoint / DISK_ONLY to survive executor loss.)
-        sh = sh.localCheckpoint(eager=False)
+        # checkpoint / DISK_ONLY to survive executor loss.)  A
+        # caller-supplied ``postings`` frame is already materialized —
+        # don't re-checkpoint it.
+        if postings is None:
+            sh = sh.localCheckpoint(eager=False)
         max_df = auto_max_df(sh, budget=budget)
     if max_df is None:
         # no pruning: every shingle is "cold", no hot correction needed
@@ -510,7 +561,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.05,
                         max_df: "int | str | None" = None,
                         budget: int = 32,
-                        pair_counts: "DataFrame | None" = None
+                        pair_counts: "DataFrame | None" = None,
+                        postings: "DataFrame | None" = None
                         ) -> DataFrame:
     """Similarity self-join via a document-frequency-pruned inverted
     index, exact Jaccard on the full shingle sets.
@@ -532,9 +584,12 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # pair_counts: an already-mined _ngram_pair_counts frame for the
     # SAME (df, n, max_df, budget) — lets sessions share the one
     # expensive candidate pass across consumers (pairs / threshold
-    # sweep / CC graph); the projection below is identical either way
+    # sweep / CC graph); the projection below is identical either way.
+    # postings: the session-shared (doc, sh) frame one level down,
+    # forwarded to the miner.
     pairs = pair_counts if pair_counts is not None else \
-        _ngram_pair_counts(df, id_col, text_col, n, max_df, budget)
+        _ngram_pair_counts(df, id_col, text_col, n, max_df, budget,
+                           postings=postings)
     return (
         pairs
         .withColumn("jaccard", F.round(
@@ -548,7 +603,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 def ngram_containment_pairs(df: DataFrame, id_col: str, text_col: str,
                             n: int = 3, threshold: float = 0.5,
                             max_df: "int | str | None" = None,
-                            budget: int = 32) -> DataFrame:
+                            budget: int = 32,
+                            pair_counts: "DataFrame | None" = None
+                            ) -> DataFrame:
     """ASYMMETRIC near-duplicate pairs by n-gram set containment
     (Broder 1997's resemblance/containment pair): ``cont_a`` =
     |A∩B| / |A| — the fraction of doc A's shingles also in B — and
@@ -564,8 +621,14 @@ def ngram_containment_pairs(df: DataFrame, id_col: str, text_col: str,
     Jaccard for every pair, so any candidate recall bound proven for
     the Jaccard join holds a fortiori here); the denominators are
     per-doc set sizes already carried by the shared core.
+
+    ``pair_counts``: an already-mined ``_ngram_pair_counts`` frame for
+    the SAME (df, n, max_df, budget) — the session-memo contract of
+    :func:`ngram_jaccard_pairs`; the containment projection below is
+    identical either way.
     """
-    pairs = _ngram_pair_counts(df, id_col, text_col, n, max_df, budget)
+    pairs = pair_counts if pair_counts is not None else \
+        _ngram_pair_counts(df, id_col, text_col, n, max_df, budget)
     return (
         pairs
         .withColumn("cont_a", F.round(F.col("_shared") / F.col("_sz_a"), 4))
@@ -576,8 +639,8 @@ def ngram_containment_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def ngram_jaccard_prefix(df: DataFrame, id_col: str, text_col: str,
-                         n: int = 3,
-                         threshold: float = 0.6) -> DataFrame:
+                         n: int = 3, threshold: float = 0.6,
+                         postings: "DataFrame | None" = None) -> DataFrame:
     """High-threshold similarity self-join via LOSSLESS prefix
     filtering (AllPairs/PPJoin discipline), exact Jaccard output.
 
@@ -604,8 +667,12 @@ def ngram_jaccard_prefix(df: DataFrame, id_col: str, text_col: str,
     """
     eps = 1e-9  # keep ceil(t*sz) from rounding UP on float noise —
     #             a too-small ceil only lengthens the prefix (safe)
-    sh = (shingle_postings(df, id_col, text_col, n)
-          .repartition("sh"))
+    # ``postings``: the session-shared (doc, sh) frame — same contract
+    # as _ngram_pair_counts; built fresh (ReuseExchange across the
+    # four consumers below) when absent.
+    sh = postings if postings is not None else \
+        (shingle_postings(df, id_col, text_col, n)
+         .repartition("sh"))
     dfc = sh.groupBy("sh").agg(F.count("*").alias("_df"))
     by_doc = Window.partitionBy("doc")
     ranked = (sh.join(dfc, "sh")
@@ -1104,7 +1171,10 @@ def bloom_bits(grams: DataFrame, gram_col: str, m_bits: int,
 def bloom_decontaminate(corpus: DataFrame, benchmark: DataFrame,
                         id_col: str, text_col: str, n: int = 3,
                         m_bits: int = 1 << 17, k: int = 3,
-                        min_hits: int = 1) -> DataFrame:
+                        min_hits: int = 1,
+                        postings: "DataFrame | None" = None,
+                        bench_grams: "DataFrame | None" = None
+                        ) -> DataFrame:
     """Benchmark decontamination through an m-bit Bloom filter — the
     constant-size alternative to :func:`decontaminate`'s exact gram
     set: at 100 TB the benchmark suite can hold 10⁹ distinct grams
@@ -1122,13 +1192,19 @@ def bloom_decontaminate(corpus: DataFrame, benchmark: DataFrame,
     count(matched j) = k.  Everything stays JVM-side; no UDF bitset.
 
     Returns (id, n_hits): per corpus doc, the number of DISTINCT
-    grams whose Bloom probe hits, filtered to >= min_hits."""
-    bench_sh = (benchmark
-                .select(F.explode(word_shingles(F.col(text_col), n))
-                        .alias("sh")).distinct())
+    grams whose Bloom probe hits, filtered to >= min_hits.
+    ``postings`` / ``bench_grams``: pre-built corpus (doc, sh)
+    postings and distinct benchmark-gram frames (the session-memo
+    contract — e.g. the shared postings filtered by the corpus/bench
+    split predicate)."""
+    bench_sh = bench_grams if bench_grams is not None else \
+        (benchmark
+         .select(F.explode(word_shingles(F.col(text_col), n))
+                 .alias("sh")).distinct())
     bits = (bloom_bits(bench_sh, "sh", m_bits, k)
             .select("pos").distinct())
-    probes = bloom_bits(shingle_postings(corpus, id_col, text_col, n),
+    probes = bloom_bits(postings if postings is not None else
+                        shingle_postings(corpus, id_col, text_col, n),
                         "sh", m_bits, k, carry=["doc"])
     hit_grams = (probes.join(F.broadcast(bits), "pos")
                  .groupBy("doc", "sh")
@@ -1163,7 +1239,8 @@ def optimal_bands(threshold: float, num_perm: int = 32) -> tuple[int, int]:
 
 
 def common_ngrams(df: DataFrame, id_col: str, text_col: str,
-                  n: int = 3, k: int = 20, min_df: int = 2) -> DataFrame:
+                  n: int = 3, k: int = 20, min_df: int = 2,
+                  postings: "DataFrame | None" = None) -> DataFrame:
     """Corpus-wide heavy-hitter n-grams — the boilerplate detector:
     the top-``k`` shingles by document frequency are the nav bars,
     license headers and template sentences that repeat across a crawl
@@ -1176,8 +1253,10 @@ def common_ngrams(df: DataFrame, id_col: str, text_col: str,
     combined hash-agg → ``TakeOrderedAndProject`` (per-partition
     partial top-k, k-row merge on the driver) — never a global sort
     of the gram dictionary.  Linear in corpus postings at any scale.
+    ``postings``: the session-shared distinct (doc, sh) frame.
     """
-    postings = shingle_postings(df, id_col, text_col, n)
+    if postings is None:
+        postings = shingle_postings(df, id_col, text_col, n)
     return (postings.groupBy("sh").agg(F.count("*").alias("df"))
             .filter(F.col("df") >= int(min_df))
             .orderBy(F.col("df").desc(), F.col("sh").asc())
@@ -1418,7 +1497,8 @@ class HllSink:
 
 
 def ngram_novelty(df: DataFrame, id_col: str, text_col: str,
-                  n: int = 3) -> DataFrame:
+                  n: int = 3,
+                  postings: "DataFrame | None" = None) -> DataFrame:
     """First-occurrence novelty score — the streaming-ingest view of
     duplication: for each document, the fraction of its DISTINCT
     n-grams whose earliest appearance in the corpus (min doc id over
@@ -1436,9 +1516,12 @@ def ngram_novelty(df: DataFrame, id_col: str, text_col: str,
     asserted in tests); the agg and the join both consume the
     sh-partitioning with zero further exchange.  Then one per-doc
     count agg.  Linear in postings, map-side combined.  The score is
-    an exact 1e6-scaled integer (novel·1e6 DIV grams)."""
-    sh = (shingle_postings(df, id_col, text_col, n)
-          .repartition("sh"))
+    an exact 1e6-scaled integer (novel·1e6 DIV grams).
+    ``postings``: the session-shared sh-partitioned frame (same rows,
+    already materialized)."""
+    sh = postings if postings is not None else \
+        (shingle_postings(df, id_col, text_col, n)
+         .repartition("sh"))
     firsts = sh.groupBy("sh").agg(F.min("doc").alias("_first"))
     per = (sh.join(firsts, "sh")
            .groupBy("doc")
@@ -1472,14 +1555,13 @@ def minhash_est_error(df: "DataFrame", id_col: str, text_col: str,
     document length.  At 100 TB run it on a hash-sampled slice —
     the pairing is a pure id function, so the sample is reproducible.
     """
-    from goka_spark.functions.text import all_shingles
-
     if sigs is None:
         sigs = minhash_signatures(df, id_col, text_col,
                                   num_perm=num_perm, base_hash="md5")
-    shs = df.select(F.col(id_col).alias("_d"),
-                    F.array_distinct(all_shingles(F.col(text_col)))
-                    .alias("_shs"))
+    # per-doc distinct shingle sets as ONE Arrow map (bit-compatible
+    # with the former interpreted array_distinct(all_shingles(...)))
+    shs = shingle_sets(df, id_col, text_col).withColumnRenamed(
+        id_col, "_d")
     a = (sigs.select(F.col(id_col).alias("doc_a"),
                      F.col("minhash").alias("_ma"))
          .join(shs.withColumnRenamed("_d", "doc_a")
@@ -1890,7 +1972,9 @@ def jaccard_threshold_sweep(df: "DataFrame", id_col: str,
 
 def weighted_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                            n: int = 3, threshold: float = 0.05,
-                           max_df: "int | None" = 50) -> DataFrame:
+                           max_df: "int | None" = 50,
+                           pair_counts: "DataFrame | None" = None
+                           ) -> DataFrame:
     """WEIGHTED (multiset) Jaccard over the certified candidate pair
     set: J_w(a,b) = Σ_w min(c_a(w), c_b(w)) / Σ_w max(c_a(w), c_b(w))
     on word-COUNT vectors (Ioffe 2010's weighted-Jaccard object;
@@ -1914,10 +1998,16 @@ def weighted_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # and consumed by THREE downstream joins — materialize it so the
     # mining subtree isn't replicated per consumer (measured 196
     # exchanges in the un-checkpointed plan; localCheckpoint per the
-    # _ngram_pair_counts discipline)
+    # _ngram_pair_counts discipline).  ``pair_counts`` (the session
+    # memo, same mining parameters) skips the re-mine entirely — the
+    # memo is already checkpointed, so only the cheap Jaccard
+    # projection is replicated across the three consumers.
     pairs = ngram_jaccard_pairs(df, id_col, text_col, n=n,
-                                threshold=threshold, max_df=max_df) \
-        .select("id_a", "id_b").localCheckpoint(eager=False)
+                                threshold=threshold, max_df=max_df,
+                                pair_counts=pair_counts) \
+        .select("id_a", "id_b")
+    if pair_counts is None:
+        pairs = pairs.localCheckpoint(eager=False)
     wc = (df.select(F.col(id_col).alias("doc"),
                     F.explode(_words(F.col(text_col))).alias("w"))
           .groupBy("doc", "w").agg(F.count("*").alias("c")))

@@ -69,3 +69,22 @@ def test_kernel_matches_sql_md5(spark):
 
 def test_kernel_matches_sql_md5_8perm(spark):
     _cmp(spark, 8, "md5")
+
+
+def test_shingle_sets_matches_all_shingles_expr(spark):
+    """shingle_sets (the r14 array-twin kernel) must equal
+    array_distinct(all_shingles(text)) element-for-element — including
+    the wordless-doc [""] contract and first-occurrence order."""
+    from goka_spark.functions.dedup import shingle_sets
+    from goka_spark.functions.text import all_shingles
+
+    df = spark.createDataFrame(TEXTS + [(11, "   \t\n  ")],
+                               "doc_id long, text string")
+    new = {r["doc_id"]: r["_shs"]
+           for r in shingle_sets(df, "doc_id", "text").collect()}
+    old = {r["doc_id"]: r["_shs"]
+           for r in df.select(
+               "doc_id",
+               F.array_distinct(all_shingles(F.col("text")))
+               .alias("_shs")).collect()}
+    assert new == old

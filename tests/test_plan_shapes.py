@@ -378,16 +378,24 @@ def test_gopher_repetition_map_only(spark, sf_dir):
 
 
 def test_ngram_novelty_reuses_postings_exchange(spark, sf_dir):
-    """r7: the min-per-gram aggregate and the join probe side must
-    share ONE materialized postings exchange (the shingle windows are
-    the dominant cost — without the explicit repartition('sh') the
-    scan + shingle construction ran twice); AQE performs the reuse at
-    runtime, so assert on the EXECUTED plan."""
+    """r7 (re-pinned r14): the min-per-gram aggregate and the join
+    probe side must share ONE materialized postings frame — the
+    shingle kernel is the dominant cost and must never run twice.
+    r7 enforced this via an in-plan repartition('sh') whose Exchange
+    AQE reused; r14 moved the materialization up a level to the
+    session postings memo (localCheckpoint), so both consumers now
+    scan the SAME checkpointed RDD and the plan contains no shingle
+    kernel at all.  Accept either shape, reject any plan that would
+    recompute the kernel per consumer."""
     df = llmdata.ngram_novelty(spark, sf_dir)
     assert "CartesianProduct" not in X.simple(df)
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in executed
+    if "ReusedExchange" not in executed:
+        # memoized shape: both sides read the checkpointed postings
+        # RDD; the shingle MapInPandas kernel must not appear
+        assert executed.count("Scan ExistingRDD") >= 2, executed
+        assert "MapInPandas" not in executed, executed
 
 
 def test_gopher_repetition_no_postings_sized_join(spark, sf_dir):
