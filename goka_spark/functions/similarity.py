@@ -1003,28 +1003,89 @@ def matryoshka_recall(emb: DataFrame, id_col: str, vec_col: str,
     |dims|-way explode on the broadcast side of the score."""
     dims = sorted(set(int(d) for d in dims))
     full_dim = None  # marker: full vector
-    q = (emb.select(F.col(id_col).alias("query_id"),
-                    _as_double(F.col(vec_col)).alias("_qv"))
-         .filter(F.col("query_id") < n_queries))
-    c = emb.select(F.col(id_col).alias("neighbor_id"),
-                   _as_double(F.col(vec_col)).alias("_cv"))
-    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
 
-    def cos_at(d):
-        if d is None:
-            a, b = F.col("_qv"), F.col("_cv")
-        else:
-            a, b = F.slice("_qv", 1, d), F.slice("_cv", 1, d)
-        return dot(a, b) / (norm(a) * norm(b))
+    # r14 (guide §4.1/§4.2): the scoring pass — every (query, dim)
+    # cosine over the whole corpus — runs as ONE Arrow-batched map
+    # instead of a BroadcastNestedLoopJoin + |dims|+1 interpreted
+    # zip_with/aggregate folds per pair.  Bit-compatibility with the
+    # old fold (and the oracle's explicit term sum): a left fold with
+    # 0.0 seed is exactly np.cumsum read at the prefix index — cumsum
+    # is sequential by definition — and the denominator keeps the
+    # sqrt(q)·sqrt(c) operand order.  The query side (≤ n_queries
+    # rows, parameter-bounded) rides the task closure.
+    import pandas as pd
 
-    entries = [F.struct(F.lit(d if d is not None else 0).alias("_d"),
-                        cos_at(d).alias("_cos"))
-               for d in dims + [full_dim]]
-    scored = pairs.select(
-        "query_id", "neighbor_id",
-        F.explode(F.array(*entries)).alias("_e")
-    ).select("query_id", "neighbor_id",
-             F.col("_e._d").alias("_d"), F.col("_e._cos").alias("_cos"))
+    q_rows = (emb.filter(F.col(id_col) < n_queries)
+              .select(F.col(id_col).alias("_qid"),
+                      _as_double(F.col(vec_col)).alias("_qv"))
+              .collect())
+    queries = [(r["_qid"], np.asarray(r["_qv"], dtype=np.float64))
+               for r in q_rows]
+    id_type = dict(emb.dtypes)[id_col]
+    schema = (f"query_id {id_type}, neighbor_id {id_type}, "
+              "_d int, _cos double")
+    dim_list = dims + [full_dim]
+
+    def _score(batches):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for pdf in batches:
+                nids = pdf[id_col].to_numpy()
+                vecs = [np.asarray(v, dtype=np.float64)
+                        for v in pdf[vec_col]]
+                lens = np.array([len(v) for v in vecs], dtype=np.int64)
+                B = len(vecs)
+                L = max(int(lens.max()) if B else 0, 1)
+                cm = np.zeros((B, L), dtype=np.float64)
+                for i, v in enumerate(vecs):
+                    cm[i, :len(v)] = v
+                csq = np.cumsum(cm * cm, axis=1)
+                rows_q, rows_n, rows_d, rows_c = [], [], [], []
+                for qid, qv in queries:
+                    qL = len(qv)
+                    qv_pad = np.zeros(L, dtype=np.float64)
+                    qv_pad[:min(qL, L)] = qv[:L]
+                    pc = np.cumsum(cm * qv_pad[None, :], axis=1)
+                    sq_q = np.cumsum(qv * qv) if qL else np.zeros(0)
+                    for d in dim_list:
+                        la = qL if d is None else min(d, qL)
+                        lb = lens if d is None else np.minimum(d, lens)
+                        # zip_with pads length-mismatched slices with
+                        # NULL -> fold yields NULL: emit only equal-
+                        # length, non-self pairs (NULL rows sort after
+                        # every candidate and can never enter top-k
+                        # ahead of one... they are simply absent, as
+                        # NULL cos rows order last under DESC anyway)
+                        ok = (lb == la) & (nids != qid)
+                        if not ok.any():
+                            continue
+                        qn = np.sqrt(sq_q[la - 1]) if la > 0 else 0.0
+                        dotv = np.where(
+                            lb > 0,
+                            pc[np.arange(B), np.maximum(lb, 1) - 1],
+                            0.0)
+                        cn = np.where(
+                            lb > 0,
+                            np.sqrt(csq[np.arange(B),
+                                        np.maximum(lb, 1) - 1]),
+                            0.0)
+                        cos = dotv / (qn * cn)
+                        sel = np.flatnonzero(ok)
+                        rows_q.append(np.full(len(sel), qid))
+                        rows_n.append(nids[sel])
+                        rows_d.append(np.full(
+                            len(sel), 0 if d is None else d,
+                            dtype=np.int32))
+                        rows_c.append(cos[sel])
+                if rows_q:
+                    yield pd.DataFrame({
+                        "query_id": np.concatenate(rows_q),
+                        "neighbor_id": np.concatenate(rows_n),
+                        "_d": np.concatenate(rows_d),
+                        "_cos": np.concatenate(rows_c)})
+
+    scored = (emb.select(F.col(id_col), _as_double(F.col(vec_col))
+                         .alias(vec_col))
+              .mapInPandas(_score, schema))
     w = Window.partitionBy("_d", "query_id") \
         .orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
     # materialize the tiny top-k frame ((|dims|+1)·n_queries·k rows):

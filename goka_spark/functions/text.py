@@ -434,7 +434,12 @@ def dsir_importance(corpus, target, id_col: str, text_col: str,
     corpus features, eliminating the second featurization pass
     entirely.  Results are identical: features are per-doc
     independent and the conditional sum equals the filtered sum."""
-    cg = hashed_ngram_features(corpus, id_col, text_col, n_buckets)
+    # same barrier as nb_classify: the bucket-model agg and the final
+    # scoring join consume the feature frame under different pruned
+    # projections — without the checkpoint the executed plan re-ran
+    # the featurization kernel per consumer (6 MapInPandas nodes).
+    cg = hashed_ngram_features(corpus, id_col, text_col, n_buckets) \
+        .localCheckpoint(eager=False)
     if target_pred is not None:
         buckets = cg.groupBy("bucket").agg(
             F.sum("cnt").alias("cr"),
@@ -774,7 +779,17 @@ def nb_classify(corpus, id_col: str, text_col: str, label, train_pred,
     conditional hash-agg for the model, the ≤ ``n_buckets``-row
     coefficient table broadcast onto the features, one per-doc sum.
     Returns ``(id, score_e6, predicted)``; score > 0 ⇔ positive."""
-    cg = hashed_ngram_features(corpus, id_col, text_col, n_buckets)
+    # Materialize the feature frame ONCE (the filter_verdicts
+    # localCheckpoint discipline): its consumers reference it under
+    # DIFFERENT pushed-down predicates (the train slice vs the full
+    # scoring pass), so the repartition("doc") exchanges are not
+    # identical subtrees and ReuseExchange cannot kick in — the
+    # executed plan ran the Arrow featurization kernel + corpus scan
+    # FOUR times per call (measured; plans/r14/nb_quality_classify_*).
+    # checkpoint, not persist(): blocks release via the
+    # ContextCleaner when the frame is GC'd.
+    cg = hashed_ngram_features(corpus, id_col, text_col, n_buckets) \
+        .localCheckpoint(eager=False)
     lab = corpus.select(F.col(id_col).alias("doc"),
                         label.cast("int").alias("_y"))
     train = lab.filter(train_pred)

@@ -824,3 +824,19 @@ def test_bpe_word_tokens_single_arrow_map(spark, sf_dir):
     assert "MapInPandas" in plan, plan
     # localCheckpoint would surface as an ExistingRDD scan
     assert "ExistingRDD" not in plan, plan
+
+
+def test_nb_features_single_kernel_pass(spark, sf_dir):
+    """r14: nb_classify / dsir_importance materialize the hashed-ngram
+    feature frame ONCE (localCheckpoint barrier).  Without it the
+    consumers reference the frame under different pushed-down
+    predicates, ReuseExchange cannot unify the subtrees, and the
+    executed plan ran the featurization kernel + corpus scan 4x (NB)
+    / 6x (DSIR) per call.  The barrier surfaces as ExistingRDD scans;
+    the kernel itself must no longer appear in the query plan."""
+    for fn in (llmdata.nb_quality_classify,
+               llmdata.corpus_importance_weights):
+        df = fn(spark, sf_dir)
+        plan = X.simple(df)
+        assert "MapInPandas" not in plan, plan
+        assert "ExistingRDD" in plan, plan
