@@ -327,7 +327,9 @@ def split_contamination_audit(df: DataFrame, id_col: str,
                               text_col: str, shingle: int = 3,
                               splits=(("train", 980), ("validation", 10),
                                       ("test", 10)),
-                              salt: str = "split-v1") -> DataFrame:
+                              salt: str = "split-v1",
+                              postings: "DataFrame | None" = None
+                              ) -> DataFrame:
     """Post-split leakage AUDIT — for every eval (non-train) document,
     how much of its content already sits in the train split: the
     fraction of its distinct word ``shingle``-grams that occur in ANY
@@ -348,8 +350,12 @@ def split_contamination_audit(df: DataFrame, id_col: str,
     hash-agg with map-side combine."""
     from goka_spark.functions.dedup import shingle_postings
 
+    # ``postings``: an already-built distinct (doc, sh) frame for the
+    # SAME (df, shingle) — the session-memo contract of the dedup
+    # kernels; built fresh when absent.
     sp = hash_split(df, id_col, list(splits), salt)
-    post = (shingle_postings(df, id_col, text_col, n=shingle)
+    post = ((postings if postings is not None else
+             shingle_postings(df, id_col, text_col, n=shingle))
             .join(sp.withColumnRenamed(id_col, "doc"), "doc"))
     train_sh = (post.filter(F.col("split") == "train")
                 .select("sh").distinct())

@@ -144,6 +144,102 @@ def repetition_ratio(text: Column, n: int = 3) -> Column:
         4)
 
 
+def gate_signals_kernel(df, id_col: str, text_col: str, n: int = 3):
+    """(id, text, _lang, _q, _rep) in ONE Arrow-batched map — the
+    language / quality / repetition gate triple of filter_verdicts,
+    bit-compatible with the Column formulations (`lang_id`,
+    `quality_score`, `repetition_ratio`) those docs' oracles replay:
+
+    - tokenization: Java-regex ``\\s+`` spelled out (the shingle
+      kernel discipline) so word lists match ``F.split`` exactly;
+    - punctuation: Java ``[^\\w\\s]`` is ASCII classes — mirrored
+      with an explicit ASCII character class;
+    - floats: every arithmetic step in the identical order (IEEE
+      doubles are deterministic), and ``F.round(x, 4)`` (Java
+      BigDecimal.valueOf(x).setScale(4, HALF_UP)) is replayed as
+      ``Decimal(repr(x)).quantize(1e-4, ROUND_HALF_UP)`` —
+      ``repr``/``Double.toString`` produce the same shortest decimal;
+    - NULL text: lang falls through the vote CaseWhen to 'fr';
+      quality degenerates to 0.75 (least/greatest SKIP null operands:
+      len_score -> 1.0, the sw term -> 0.25, the punct term -> 0) and
+      repetition to 0.0 (the [NULL] gram array has size 1 = its
+      distinct size) — probed empirically and pinned by the parity
+      test, NOT guessed.
+
+    Motivation (guide §4.1): the interpreted higher-order lambda
+    chain (all_shingles -> array_distinct in particular) cost 4.8 s
+    of the 6.4 s corpus_filter_pipeline at sf0.1; per-doc work
+    belongs in one scan-stage kernel."""
+    import re as _re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    id_type = dict(df.dtypes)[id_col]
+    ws_pat = "[ \\t\\n\\x0b\\f\\r]+"
+    # Java [^\w\s], default (non-UNICODE_CHARACTER_CLASS) semantics
+    punct_pat = "[^A-Za-z0-9_ \\t\\n\\x0b\\f\\r]"
+    sw_sets = {lang: set(ws) for lang, ws in STOPWORDS.items()}
+    q4 = Decimal("0.0001")
+
+    def _round4(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(q4,
+                                               rounding=ROUND_HALF_UP))
+
+    def _kernel(batches):
+        ws_re = _re.compile(ws_pat)
+        punct_re = _re.compile(punct_pat)
+        for pdf in batches:
+            langs, qs, reps = [], [], []
+            for text in pdf[text_col]:
+                if text is None:
+                    langs.append("fr")  # CaseWhen fall-through
+                    qs.append(0.75)     # see docstring: NULL algebra
+                    reps.append(0.0)
+                    continue
+                words = [w for w in ws_re.split(text) if w]
+                hits = {lang: 0 for lang in sw_sets}
+                for w in words:
+                    for lang, sws in sw_sets.items():
+                        if w in sws:
+                            hits[lang] += 1
+                en, de, es, fr = (hits["en"], hits["de"],
+                                  hits["es"], hits["fr"])
+                if en >= de and en >= es and en >= fr:
+                    langs.append("en")
+                elif de >= es and de >= fr:
+                    langs.append("de")
+                elif es >= fr:
+                    langs.append("es")
+                else:
+                    langs.append("fr")
+                n_words = float(len(words))
+                n_chars = float(len(text))
+                punct = float(len(punct_re.findall(text)))
+                sw = float(hits["en"])
+                len_score = min(n_words / 64.0, 1.0)
+                punct_ratio = punct / max(n_chars, 1.0)
+                sw_ratio = sw / max(n_words, 1.0)
+                qs.append(_round4(
+                    0.5 * len_score
+                    + 0.25 * min(sw_ratio * 4, 1.0)
+                    + 0.25 * (1 - min(punct_ratio * 4, 1.0))))
+                # all_shingles contract: k = max(len-(n-1), 1), short
+                # tails included, wordless docs yield the "" gram
+                k = max(len(words) - (n - 1), 1)
+                grams = [" ".join(words[i:i + n]) for i in range(k)]
+                reps.append(_round4(
+                    1.0 - len(set(grams)) / len(grams)))
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                text_col: pdf[text_col],
+                                "_lang": langs, "_q": qs, "_rep": reps})
+
+    return (df.select(id_col, text_col)
+            .mapInPandas(_kernel,
+                         f"{id_col} {id_type}, {text_col} string, "
+                         "_lang string, _q double, _rep double"))
+
+
 def gopher_rules(text: Column, min_words: int = 30, max_words: int = 10_000,
                  min_mwl: float = 3.0, max_mwl: float = 10.0,
                  min_alpha: float = 0.8, min_sw: int = 2) -> dict[str, Column]:

@@ -1520,16 +1520,15 @@ def filter_verdicts(docs: DataFrame, cc: DataFrame | None = None) -> DataFrame:
     corpus_filter_pipeline for stage semantics.  ``cc`` is the
     (node, cluster_id) near-dup component frame over the SAME docs
     (pass the memoized corpus graph); mined fresh when omitted."""
-    scored = docs.select(
-        "doc_id", "text",
-        T.lang_id(F.col("text")).alias("_lang"),
-        T.quality_score(F.col("text")).alias("_q"),
-        T.repetition_ratio(F.col("text"), 3).alias("_rep"))
-    # the gates are interpreted lambda expressions and `scored` has
-    # FOUR downstream consumers (dedup agg, semi-join probe, the
-    # near-dup miner's postings, the final verdict join) — materialize
-    # it so they are evaluated once per document, not once per consumer
-    # (measured ~25% of pipeline wall-time at sf0.1).  localCheckpoint,
+    # r14: the three gates run as ONE Arrow kernel (bit-compatible
+    # with the lang_id/quality_score/repetition_ratio expressions —
+    # see gate_signals_kernel; the interpreted all_shingles →
+    # array_distinct chain alone was 3.5 s of this query's 6.4 s)
+    scored = T.gate_signals_kernel(docs, "doc_id", "text", n=3)
+    # `scored` has FOUR downstream consumers (dedup agg, semi-join
+    # probe, the near-dup miner's postings, the final verdict join) —
+    # materialize it so the kernel runs once per document, not once
+    # per consumer.  localCheckpoint,
     # NOT persist(): persist stays registered in the CacheManager until
     # an explicit unpersist nobody can issue (the frame never escapes),
     # so blocks would accumulate across calls in a long-lived session;
@@ -1807,7 +1806,9 @@ def split_contamination_audit(spark: SparkSession, sf: str) -> DataFrame:
     benchmark decontamination never sees.  Inverted-index semi-join
     on the shingle key, never eval×train."""
     docs = load(spark, sf, "documents")["documents"]
-    return C.split_contamination_audit(docs, "doc_id", "text")
+    return C.split_contamination_audit(
+        docs, "doc_id", "text",
+        postings=_sh_postings(spark, docs, sf))
 
 
 def vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
