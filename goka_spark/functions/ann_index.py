@@ -508,11 +508,15 @@ def _probe(index: ANNIndex, qm: np.ndarray, n_probe: int) -> np.ndarray:
 def _rerank_exact(cand: DataFrame, corpus: DataFrame, queries: DataFrame,
                   id_col: str, vec_col: str, k: int) -> DataFrame:
     """Exact-cosine re-rank of a small candidate set via id equi-join
-    (identical to the ad-hoc paths in similarity.py)."""
-    cv = S._normalized(corpus.select(F.col(id_col).alias("neighbor_id"),
-                                     F.col(vec_col)),
-                       "neighbor_id", F.col(vec_col)) \
-        .withColumnRenamed("_v", "_cv")
+    (identical to the ad-hoc paths in similarity.py).
+
+    r14: the corpus side joins RAW vectors first and normalizes only
+    the ~refine·k·|q| candidate rows that survive the join — the old
+    order ran the interpreted norm+transform folds over the whole
+    corpus before the join discarded all but the candidates.  Per-row
+    arithmetic (and therefore every cosine) is unchanged."""
+    cv_raw = corpus.select(F.col(id_col).alias("neighbor_id"),
+                           S._as_double(F.col(vec_col)).alias("_craw"))
     qv = S._normalized(queries.select(F.col(id_col).alias("query_id"),
                                       F.col(vec_col)),
                        "query_id", F.col(vec_col)) \
@@ -520,7 +524,10 @@ def _rerank_exact(cand: DataFrame, corpus: DataFrame, queries: DataFrame,
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
                                                F.col("neighbor_id"))
     return (
-        cand.join(cv, "neighbor_id").join(F.broadcast(qv), "query_id")
+        cand.join(cv_raw, "neighbor_id").join(F.broadcast(qv), "query_id")
+        .withColumn("_n", S.norm(F.col("_craw")))
+        .withColumn("_cv", F.transform("_craw",
+                                       lambda x: x / F.col("_n")))
         .withColumn("cos", S.dot(F.col("_qv"), F.col("_cv")))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)

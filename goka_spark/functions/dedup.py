@@ -1097,7 +1097,9 @@ def band_keys(sigs: DataFrame, id_col: str, bands: int = 4,
 def incremental_dedup(batch: DataFrame, corpus: DataFrame, id_col: str,
                       text_col: str, num_perm: int = 16, bands: int = 4,
                       shingle: int = 3,
-                      base_hash: str = "md5") -> DataFrame:
+                      base_hash: str = "md5",
+                      batch_sigs: "DataFrame | None" = None,
+                      corpus_sigs: "DataFrame | None" = None) -> DataFrame:
     """Incremental ingestion dedup — the shape a 100 TB pipeline
     actually runs: a NEW batch arrives and must be deduplicated
     against the EXISTING corpus without ever re-pairing the corpus
@@ -1131,11 +1133,17 @@ def incremental_dedup(batch: DataFrame, corpus: DataFrame, id_col: str,
     ex_ids = (b_md5.join(c_md5, "_h", "left_semi")
               .select(F.col(id_col), F.lit(True).alias("_ex")))
 
+    # ``batch_sigs``/``corpus_sigs``: already-built signature frames
+    # for the same (num_perm, shingle, base_hash) — signatures are a
+    # pure per-doc function, so a batch/corpus split of one memoized
+    # corpus-wide frame is value-identical to signing each side
     r = num_perm // bands
     b_bands = band_keys(
+        batch_sigs if batch_sigs is not None else
         minhash_signatures(batch, id_col, text_col, num_perm, shingle,
                            base_hash), id_col, bands, r)
     c_bands = band_keys(
+        corpus_sigs if corpus_sigs is not None else
         minhash_signatures(corpus, id_col, text_col, num_perm, shingle,
                            base_hash), id_col, bands, r) \
         .select("band", "band_key").distinct()

@@ -1949,7 +1949,14 @@ def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")["documents"]
     batch = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
-    return D.incremental_dedup(batch, corpus, "doc_id", "text")
+    # both sides' signatures are doc-predicate filters of the
+    # session-memoized 16-perm md5 frame (pure per-doc function, so
+    # the split is value-identical to signing each side)
+    sigs = _minhash_sigs(spark, docs, sf, num_perm=16, base_hash="md5")
+    return D.incremental_dedup(
+        batch, corpus, "doc_id", "text",
+        batch_sigs=sigs.filter(F.col("doc_id") % 10 == 0),
+        corpus_sigs=sigs.filter(F.col("doc_id") % 10 != 0))
 
 
 def bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
