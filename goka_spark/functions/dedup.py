@@ -424,7 +424,8 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def auto_max_df(postings: DataFrame, budget: int = 32,
-                probe_cap: int = 100_000) -> int:
+                probe_cap: int = 100_000,
+                dfc: "DataFrame | None" = None) -> int:
     """Pick the stop-shingle cutoff from the data under an explicit
     WORK BUDGET: the largest ``c`` such that the inverted-index
     self-join work for shingles with df <= c,
@@ -444,13 +445,21 @@ def auto_max_df(postings: DataFrame, budget: int = 32,
     could never fit a sane budget, so they are counted into P but
     never candidates).  All arithmetic is exact integer math so a SQL
     twin reproduces the same ``c`` bit-for-bit.
+
+    ``dfc``: an already-built per-shingle document-frequency frame
+    ``(sh, _df)`` over the SAME postings (the session-memo contract
+    of ``_ngram_pair_counts``); the histogram and the total posting
+    count are both exact aggregates of it — P = Σ_sh df(sh) — so the
+    cutoff is the identical integer either way, without the second
+    full postings pass.
     """
-    hist = (postings.groupBy("sh").agg(F.count("*").alias("_df"))
-            .groupBy("_df").agg(F.count("*").alias("_n"))
+    if dfc is None:
+        dfc = postings.groupBy("sh").agg(F.count("*").alias("_df"))
+    hist = (dfc.groupBy("_df").agg(F.count("*").alias("_n"))
             .filter(F.col("_df") <= probe_cap)
             .select(F.col("_df").cast("long"), F.col("_n").cast("long"))
             .collect())
-    total = postings.count()
+    total = dfc.agg(F.sum("_df")).collect()[0][0] or 0
     cum, c = 0, 1
     for row in sorted(hist, key=lambda r: r._df):
         cum += row._df * row._df * row._n
@@ -463,7 +472,9 @@ def auto_max_df(postings: DataFrame, budget: int = 32,
 def _ngram_pair_counts(df: DataFrame, id_col: str, text_col: str,
                        n: int = 3, max_df: "int | str | None" = None,
                        budget: int = 32,
-                       postings: "DataFrame | None" = None) -> DataFrame:
+                       postings: "DataFrame | None" = None,
+                       dfc: "DataFrame | None" = None,
+                       sizes: "DataFrame | None" = None) -> DataFrame:
     """Shared candidate-generation + intersection core for the n-gram
     set-similarity self-joins: df-pruned inverted-index join, exact
     intersection counts on the COMPLETE shingle sets.  Returns one row
@@ -487,8 +498,12 @@ def _ngram_pair_counts(df: DataFrame, id_col: str, text_col: str,
         (shingle_postings(df, id_col, text_col, n)
          .repartition("sh"))
     # shingles are distinct per doc, so count(*) == document freq /
-    # per-doc shingle-set size
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("_sz"))
+    # per-doc shingle-set size.  ``dfc``/``sizes``: already-built
+    # (and typically checkpointed) copies of exactly these two
+    # aggregates over the same postings — pure functions of the
+    # postings frame, so every downstream value is unchanged.
+    if sizes is None:
+        sizes = sh.groupBy("doc").agg(F.count("*").alias("_sz"))
 
     if max_df == "auto":
         # the histogram is a SEPARATE action before the main query, so
@@ -505,7 +520,7 @@ def _ngram_pair_counts(df: DataFrame, id_col: str, text_col: str,
         # don't re-checkpoint it.
         if postings is None:
             sh = sh.localCheckpoint(eager=False)
-        max_df = auto_max_df(sh, budget=budget)
+        max_df = auto_max_df(sh, budget=budget, dfc=dfc)
     if max_df is None:
         # no pruning: every shingle is "cold", no hot correction needed
         cold, doc_hot = sh, None
@@ -514,7 +529,8 @@ def _ngram_pair_counts(df: DataFrame, id_col: str, text_col: str,
         # must still count toward the intersection of surviving pairs:
         # carry each doc's (small) hot-shingle set for an exact
         # correction — |A∩B| = cold_shared + |hotA ∩ hotB|.
-        dfc = sh.groupBy("sh").agg(F.count("*").alias("_df"))
+        if dfc is None:
+            dfc = sh.groupBy("sh").agg(F.count("*").alias("_df"))
         cold = sh.join(dfc.filter(F.col("_df") <= max_df).select("sh"), "sh")
         hot = sh.join(F.broadcast(
             dfc.filter(F.col("_df") > max_df).select("sh")), "sh")
@@ -562,7 +578,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         max_df: "int | str | None" = None,
                         budget: int = 32,
                         pair_counts: "DataFrame | None" = None,
-                        postings: "DataFrame | None" = None
+                        postings: "DataFrame | None" = None,
+                        dfc: "DataFrame | None" = None,
+                        sizes: "DataFrame | None" = None
                         ) -> DataFrame:
     """Similarity self-join via a document-frequency-pruned inverted
     index, exact Jaccard on the full shingle sets.
@@ -589,7 +607,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # forwarded to the miner.
     pairs = pair_counts if pair_counts is not None else \
         _ngram_pair_counts(df, id_col, text_col, n, max_df, budget,
-                           postings=postings)
+                           postings=postings, dfc=dfc, sizes=sizes)
     return (
         pairs
         .withColumn("jaccard", F.round(
@@ -640,7 +658,8 @@ def ngram_containment_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def ngram_jaccard_prefix(df: DataFrame, id_col: str, text_col: str,
                          n: int = 3, threshold: float = 0.6,
-                         postings: "DataFrame | None" = None) -> DataFrame:
+                         postings: "DataFrame | None" = None,
+                         dfc: "DataFrame | None" = None) -> DataFrame:
     """High-threshold similarity self-join via LOSSLESS prefix
     filtering (AllPairs/PPJoin discipline), exact Jaccard output.
 
@@ -673,7 +692,10 @@ def ngram_jaccard_prefix(df: DataFrame, id_col: str, text_col: str,
     sh = postings if postings is not None else \
         (shingle_postings(df, id_col, text_col, n)
          .repartition("sh"))
-    dfc = sh.groupBy("sh").agg(F.count("*").alias("_df"))
+    # ``dfc``: the session-shared (sh, _df) frame — a pure aggregate
+    # of the same postings, so ranks/prefixes are unchanged.
+    if dfc is None:
+        dfc = sh.groupBy("sh").agg(F.count("*").alias("_df"))
     by_doc = Window.partitionBy("doc")
     ranked = (sh.join(dfc, "sh")
               .select("doc", "sh",
@@ -1248,7 +1270,8 @@ def optimal_bands(threshold: float, num_perm: int = 32) -> tuple[int, int]:
 
 def common_ngrams(df: DataFrame, id_col: str, text_col: str,
                   n: int = 3, k: int = 20, min_df: int = 2,
-                  postings: "DataFrame | None" = None) -> DataFrame:
+                  postings: "DataFrame | None" = None,
+                  dfc: "DataFrame | None" = None) -> DataFrame:
     """Corpus-wide heavy-hitter n-grams — the boilerplate detector:
     the top-``k`` shingles by document frequency are the nav bars,
     license headers and template sentences that repeat across a crawl
@@ -1262,10 +1285,15 @@ def common_ngrams(df: DataFrame, id_col: str, text_col: str,
     partial top-k, k-row merge on the driver) — never a global sort
     of the gram dictionary.  Linear in corpus postings at any scale.
     ``postings``: the session-shared distinct (doc, sh) frame.
+    ``dfc``: an already-built (sh, _df) document-frequency frame over
+    the same postings — the exact hash-agg below, so the top-k rows
+    are the identical integers either way.
     """
-    if postings is None:
-        postings = shingle_postings(df, id_col, text_col, n)
-    return (postings.groupBy("sh").agg(F.count("*").alias("df"))
+    if dfc is None:
+        if postings is None:
+            postings = shingle_postings(df, id_col, text_col, n)
+        dfc = postings.groupBy("sh").agg(F.count("*").alias("_df"))
+    return (dfc.select("sh", F.col("_df").alias("df"))
             .filter(F.col("df") >= int(min_df))
             .orderBy(F.col("df").desc(), F.col("sh").asc())
             .limit(int(k))

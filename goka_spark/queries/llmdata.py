@@ -62,7 +62,9 @@ def ngram_jaccard_auto(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")["documents"]
     return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
                                  threshold=0.05, max_df="auto",
-                                 postings=_sh_postings(spark, docs, sf))
+                                 postings=_sh_postings(spark, docs, sf),
+                                 dfc=_sh_dfc(spark, docs, sf),
+                                 sizes=_sh_sizes(spark, docs, sf))
 
 
 def ngram_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -562,7 +564,8 @@ def ngram_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")["documents"]
     return D.ngram_jaccard_prefix(docs, "doc_id", "text", n=3,
                                   threshold=0.6,
-                                  postings=_sh_postings(spark, docs, sf))
+                                  postings=_sh_postings(spark, docs, sf),
+                                  dfc=_sh_dfc(spark, docs, sf))
 
 
 def embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -895,13 +898,51 @@ def _sh_postings(spark: SparkSession, docs: DataFrame, sf: str,
     return _SH_MEMO[key]
 
 
+#: per-shingle document-frequency frame (sh, _df) over _SH_MEMO —
+#: the aggregate FOUR consumers re-ran per query: the max_df=50
+#: cold/hot split (_pair_counts), the auto-cutoff histogram + total
+#: (ngram_jaccard_auto's auto_max_df AND its own mine's split), the
+#: prefix-filter global rarity ranking (ngram_jaccard_prefix) and
+#: the heavy-hitter top-k (common_ngrams / ngram_cms_estimate /
+#: cms_width_sweep).  A pure hash-agg of the checkpointed postings,
+#: so every consumer's values are unchanged by construction.
+_DFC_MEMO: dict = {}
+
+#: per-doc shingle-set-size frame (doc, _sz) over _SH_MEMO — the
+#: other aggregate both candidate mines (max_df=50 memo + auto
+#: cutoff) re-ran; same determinism argument.
+_SZ_MEMO: dict = {}
+
+
+def _sh_dfc(spark: SparkSession, docs: DataFrame, sf: str,
+            n: int = 3) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf, n)
+    if key not in _DFC_MEMO:
+        _DFC_MEMO[key] = (_sh_postings(spark, docs, sf, n)
+                          .groupBy("sh").agg(F.count("*").alias("_df"))
+                          .localCheckpoint(eager=False))
+    return _DFC_MEMO[key]
+
+
+def _sh_sizes(spark: SparkSession, docs: DataFrame, sf: str,
+              n: int = 3) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf, n)
+    if key not in _SZ_MEMO:
+        _SZ_MEMO[key] = (_sh_postings(spark, docs, sf, n)
+                         .groupBy("doc").agg(F.count("*").alias("_sz"))
+                         .localCheckpoint(eager=False))
+    return _SZ_MEMO[key]
+
+
 def _pair_counts(spark: SparkSession, docs: DataFrame,
                  sf: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf)
     if key not in _PC_MEMO:
         _PC_MEMO[key] = D._ngram_pair_counts(
             docs, "doc_id", "text", 3, 50, 32,
-            postings=_sh_postings(spark, docs, sf)).localCheckpoint(
+            postings=_sh_postings(spark, docs, sf),
+            dfc=_sh_dfc(spark, docs, sf),
+            sizes=_sh_sizes(spark, docs, sf)).localCheckpoint(
                 eager=False)
     return _PC_MEMO[key]
 
@@ -2055,7 +2096,8 @@ def ngram_cms_estimate(spark: SparkSession, sf: str) -> DataFrame:
     postings = _sh_postings(spark, docs, sf)
     sketch = D.cms_sketch(postings, "sh")
     top = D.common_ngrams(docs, "doc_id", "text", n=3, k=20, min_df=2,
-                          postings=postings)
+                          postings=postings,
+                          dfc=_sh_dfc(spark, docs, sf))
     est = D.cms_estimate(sketch, top.select(F.col("ngram").alias("sh")),
                          "sh")
     return (top.join(est.select(F.col("sh").alias("ngram"), "cms_est"),
@@ -2069,7 +2111,8 @@ def common_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     ngram ASC), TakeOrderedAndProject — the boilerplate audit."""
     docs = load(spark, sf, "documents")["documents"]
     return D.common_ngrams(docs, "doc_id", "text", n=3, k=20, min_df=2,
-                           postings=_sh_postings(spark, docs, sf))
+                           postings=_sh_postings(spark, docs, sf),
+                           dfc=_sh_dfc(spark, docs, sf))
 
 
 def cluster_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
@@ -11231,7 +11274,8 @@ def cms_width_sweep(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")["documents"]
     postings = _sh_postings(spark, docs, sf)
     top = D.common_ngrams(docs, "doc_id", "text", n=3, k=20, min_df=2,
-                          postings=postings)
+                          postings=postings,
+                          dfc=_sh_dfc(spark, docs, sf))
     # ONE pass over the gram stream for all three widths: every
     # width's bucket is h % w of the SAME per-row md5 hash, so the
     # stream collapses once into a vocab-sized (row, h) frequency
