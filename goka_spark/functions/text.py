@@ -889,17 +889,19 @@ def nb_classify(corpus, id_col: str, text_col: str, label, train_pred,
     lab = corpus.select(F.col(id_col).alias("doc"),
                         label.cast("int").alias("_y"))
     train = lab.filter(train_pred)
-    tb = (cg.join(train, "doc")
-          .groupBy("bucket")
-          .agg(F.sum(F.when(F.col("_y") == 1, F.col("cnt"))
-                     .otherwise(0)).alias("cp"),
-               F.sum(F.when(F.col("_y") == 0, F.col("cnt"))
-                     .otherwise(0)).alias("cn")))
-    b = (cg.select("bucket").distinct()
-         .join(tb, "bucket", "left")
-         .select("bucket",
-                 F.coalesce("cp", F.lit(0)).alias("cp"),
-                 F.coalesce("cn", F.lit(0)).alias("cn")))
+    # model counts and bucket domain in ONE pass over the features: a
+    # left join against the train slice makes non-train rows carry
+    # _y = NULL, whose WHEN arms fall through to 0 — so every bucket
+    # in the feature frame appears, with exactly the inner-join sums.
+    # (Was: inner join + agg, then a second full pass for the
+    # bucket-domain distinct, then a left join to re-attach — the
+    # dsir_importance conditional-aggregation idiom applied here.)
+    b = (cg.join(train, "doc", "left")
+         .groupBy("bucket")
+         .agg(F.sum(F.when(F.col("_y") == 1, F.col("cnt"))
+                    .otherwise(0)).alias("cp"),
+              F.sum(F.when(F.col("_y") == 0, F.col("cnt"))
+                    .otherwise(0)).alias("cn")))
     tot = b.agg(F.sum("cp").alias("p_tot"), F.sum("cn").alias("n_tot"))
     prior = train.agg(F.sum("_y").alias("n_pos"),
                       F.count("*").alias("n_train"))
