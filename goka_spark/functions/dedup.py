@@ -474,13 +474,25 @@ def _ngram_pair_counts(df: DataFrame, id_col: str, text_col: str,
                        budget: int = 32,
                        postings: "DataFrame | None" = None,
                        dfc: "DataFrame | None" = None,
-                       sizes: "DataFrame | None" = None) -> DataFrame:
+                       sizes: "DataFrame | None" = None,
+                       track_min_df: bool = False) -> DataFrame:
     """Shared candidate-generation + intersection core for the n-gram
     set-similarity self-joins: df-pruned inverted-index join, exact
     intersection counts on the COMPLETE shingle sets.  Returns one row
     per candidate pair — ``(id_a, id_b, _shared, _sz_a, _sz_b)`` with
     ``id_a < id_b`` — from which Jaccard (symmetric) and containment
     (asymmetric) are one arithmetic projection each.
+
+    ``track_min_df`` appends ``_min_df`` = min df over the pair's
+    SHARED COLD shingles, which makes ONE mine at cutoff ``C`` serve
+    every cutoff ``c <= C`` losslessly: the pair set at cutoff c is
+    exactly ``filter(_min_df <= c)`` of the cutoff-C mine (a pair
+    survives cutoff c iff it shares a shingle with df <= c, and for
+    c <= C that shingle is cold here too), while the VALUES are
+    cutoff-independent (``_shared`` is the full |A ∩ B| under any
+    cutoff — cold count + hot correction always sum to it).  Proven
+    by tests/test_pair_counts_unified.py.  Requires a numeric
+    ``max_df``.
     """
     # One posting list (doc, shingle), hash-partitioned by shingle.
     # The explicit repartition is load-bearing: FOUR consumers below
@@ -522,6 +534,8 @@ def _ngram_pair_counts(df: DataFrame, id_col: str, text_col: str,
             sh = sh.localCheckpoint(eager=False)
         max_df = auto_max_df(sh, budget=budget, dfc=dfc)
     if max_df is None:
+        if track_min_df:
+            raise ValueError("track_min_df requires a numeric max_df")
         # no pruning: every shingle is "cold", no hot correction needed
         cold, doc_hot = sh, None
     else:
@@ -531,7 +545,11 @@ def _ngram_pair_counts(df: DataFrame, id_col: str, text_col: str,
         # correction — |A∩B| = cold_shared + |hotA ∩ hotB|.
         if dfc is None:
             dfc = sh.groupBy("sh").agg(F.count("*").alias("_df"))
-        cold = sh.join(dfc.filter(F.col("_df") <= max_df).select("sh"), "sh")
+        cold_keys = dfc.filter(F.col("_df") <= max_df)
+        # keep _df on the cold stream only when the caller tracks it —
+        # it is 8 extra bytes per self-join row otherwise
+        cold = sh.join(cold_keys if track_min_df
+                       else cold_keys.select("sh"), "sh")
         hot = sh.join(F.broadcast(
             dfc.filter(F.col("_df") > max_df).select("sh")), "sh")
         doc_hot = hot.groupBy("doc").agg(F.collect_set("sh").alias("_hot"))
@@ -541,11 +559,16 @@ def _ngram_pair_counts(df: DataFrame, id_col: str, text_col: str,
     # distinct over the exploded pair stream, and no shingle arrays
     # ride the shuffle.
     a, b = cold.alias("a"), cold.alias("b")
+    aggs = [F.count("*").alias("_cold_shared")]
+    if track_min_df:
+        # a._df == b._df for every joined row (same shingle), so one
+        # side's min is THE min shared-cold df of the pair
+        aggs.append(F.min(F.col("a._df")).alias("_min_df"))
     pairs = (
         a.join(b, on="sh")
         .filter(F.col("a.doc") < F.col("b.doc"))
         .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .agg(F.count("*").alias("_cold_shared"))
+        .agg(*aggs)
     )
     pairs = (
         pairs
@@ -569,8 +592,10 @@ def _ngram_pair_counts(df: DataFrame, id_col: str, text_col: str,
         shared = F.col("_cold_shared") + F.when(
             F.col("_hot_a").isNotNull() & F.col("_hot_b").isNotNull(),
             F.size(F.array_intersect("_hot_a", "_hot_b"))).otherwise(0)
-    return pairs.select("id_a", "id_b", shared.alias("_shared"),
-                        "_sz_a", "_sz_b")
+    out = ["id_a", "id_b", shared.alias("_shared"), "_sz_a", "_sz_b"]
+    if track_min_df:
+        out.append("_min_df")
+    return pairs.select(*out)
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,

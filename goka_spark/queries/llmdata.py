@@ -58,13 +58,20 @@ def ngram_jaccard_auto(spark: SparkSession, sf: str) -> DataFrame:
     policy replacing a hand-tuned max_df constant.  The oracle
     replicates the integer cutoff rule bit-exactly (cumulative
     df²·n(df) vs budget·P), so the driver verifies the POLICY, not
-    just the pairs."""
+    just the pairs.
+
+    The cutoff itself comes from the same auto_max_df rule over the
+    session (sh, _df) frame; the pairs are the unified session mine
+    (_pair_counts_full, mined at max(50, cutoff)) filtered to
+    ``_min_df <= cutoff`` — exactly the cutoff-c pair set, see
+    _pair_counts_full's containment argument — instead of a second
+    full inverted-index mine per run."""
     docs = load(spark, sf, "documents")["documents"]
-    return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
-                                 threshold=0.05, max_df="auto",
-                                 postings=_sh_postings(spark, docs, sf),
-                                 dfc=_sh_dfc(spark, docs, sf),
-                                 sizes=_sh_sizes(spark, docs, sf))
+    cut = _auto_cut(spark, docs, sf)
+    return D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.05,
+        pair_counts=_pair_counts_full(spark, docs, sf)
+        .filter(F.col("_min_df") <= cut).drop("_min_df"))
 
 
 def ngram_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -934,17 +941,55 @@ def _sh_sizes(spark: SparkSession, docs: DataFrame, sf: str,
     return _SZ_MEMO[key]
 
 
-def _pair_counts(spark: SparkSession, docs: DataFrame,
-                 sf: str) -> DataFrame:
+#: the session's auto_max_df cutoff (ngram_jaccard_auto's policy
+#: integer) — a pure driver-side function of the memoized (sh, _df)
+#: frame, computed once instead of inside every auto-mode mine.
+_AUTO_CUT_MEMO: dict = {}
+
+
+def _auto_cut(spark: SparkSession, docs: DataFrame, sf: str) -> int:
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _AUTO_CUT_MEMO:
+        _AUTO_CUT_MEMO[key] = D.auto_max_df(
+            _sh_postings(spark, docs, sf), budget=32,
+            dfc=_sh_dfc(spark, docs, sf))
+    return _AUTO_CUT_MEMO[key]
+
+
+def _pair_counts_full(spark: SparkSession, docs: DataFrame,
+                      sf: str) -> DataFrame:
+    """ONE candidate mine for the whole n-gram pair family — both the
+    corpus-standard max_df=50 cutoff AND ngram_jaccard_auto's derived
+    cutoff read it.  Mined at C = max(50, auto cutoff) with per-pair
+    ``_min_df`` tracking; each consumer recovers its EXACT cutoff-c
+    pair set via ``filter(_min_df <= c)`` (cutoff-monotone containment:
+    a pair survives cutoff c iff it shares a df<=c shingle, which is
+    cold at any C >= c), and the values (_shared/_sz_*) are cutoff-
+    independent by the hot-correction identity.  Replaces the second
+    full inverted-index mine the auto query ran per bench pass; at
+    corpus scale the mine is the n-gram family's dominant stage, so
+    running it once is the guide §2.4 "remove the shuffle outright"
+    lever.  Losslessness is pinned by tests/test_pair_counts_unified.py
+    and both consumers' unchanged oracles."""
     key = (spark.sparkContext.applicationId, sf)
     if key not in _PC_MEMO:
+        cut = max(50, _auto_cut(spark, docs, sf))
         _PC_MEMO[key] = D._ngram_pair_counts(
-            docs, "doc_id", "text", 3, 50, 32,
+            docs, "doc_id", "text", 3, cut, 32,
             postings=_sh_postings(spark, docs, sf),
             dfc=_sh_dfc(spark, docs, sf),
-            sizes=_sh_sizes(spark, docs, sf)).localCheckpoint(
-                eager=False)
+            sizes=_sh_sizes(spark, docs, sf),
+            track_min_df=True).localCheckpoint(eager=False)
     return _PC_MEMO[key]
+
+
+def _pair_counts(spark: SparkSession, docs: DataFrame,
+                 sf: str) -> DataFrame:
+    """The max_df=50 pair-counts frame every established consumer
+    expects — now a filter+project of the unified mine (identical
+    rows and schema to the old direct max_df=50 mine)."""
+    return (_pair_counts_full(spark, docs, sf)
+            .filter(F.col("_min_df") <= 50).drop("_min_df"))
 
 
 def _jaccard_pairs(spark: SparkSession, docs: DataFrame,
