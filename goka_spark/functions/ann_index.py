@@ -1012,3 +1012,62 @@ def probe_max_cos(index: ANNIndex, queries: DataFrame, id_col: str,
                                "query_id long")
     return (qf.join(agg, "query_id", "left")
             .select("query_id", F.round("_mx", 4).alias("max_cos")))
+
+
+def pq_distortion_d9(emb: DataFrame, vec_col: str,
+                     books: list) -> DataFrame:
+    """Per-(vector, subspace) PQ reconstruction distortion, already
+    integerized to e9 — the scan-stage half of pq_distortion_report.
+
+    ONE Arrow-batched map over the embedding column replaces an
+    m·ksub·dsub-term literal expression tree (1 024 squared-diff terms
+    at the 8×16×8 default) that overflowed janino's 64 KB method limit
+    — the generated projection failed to compile and the whole scan
+    ran interpreted (ERROR CodeGenerator in the logs).  Bit-exactness
+    with that expression (and the DuckDB oracle, which replays the
+    same arithmetic):
+
+    - float→double cast is exact widening (np.float64(np.float32)),
+    - the 64-term norm sum and each dsub-term distance sum are
+      left-associative ``a + b`` chains → ``np.cumsum`` read at the
+      last index (cumsum is sequential by definition),
+    - each product/difference/division is one IEEE double op on both
+      sides, ``array_min`` over ksub doubles ≡ ``np.min`` (no NaN in
+      a normalized corpus, no NULLs by construction),
+    - ``CAST(FLOOR(1e9 * md + 0.5) AS BIGINT)`` ≡
+      ``np.floor(1e9 * md + 0.5).astype(np.int64)``.
+
+    Emits (subspace, d9); the caller keeps the subspace-keyed exact
+    integer aggregate in Spark SQL, so at 100 TB the shape is one
+    scan + one bounded hash-agg, codegen everywhere it matters.
+    """
+    import pandas as pd
+
+    B = [np.asarray(b, dtype=np.float64) for b in books]
+    m = len(B)
+    dsub = B[0].shape[1]
+
+    def report(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            E = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            n = np.sqrt(np.cumsum(E * E, axis=1)[:, -1])
+            V = E / n[:, None]
+            subs, d9s = [], []
+            for j in range(m):
+                Vj = V[:, j * dsub:(j + 1) * dsub]
+                # (rows, ksub, dsub) diffs; left-assoc distance sum
+                # per centroid = cumsum over the dsub axis, last col
+                diff = Vj[:, None, :] - B[j][None, :, :]
+                dist = np.cumsum(diff * diff, axis=2)[:, :, -1]
+                md = dist.min(axis=1)
+                subs.append(np.full(len(md), j, dtype=np.int64))
+                d9s.append(np.floor(1e9 * md + 0.5).astype(np.int64))
+            yield pd.DataFrame({
+                "subspace": np.concatenate(subs),
+                "d9": np.concatenate(d9s)})
+
+    return emb.select(vec_col).mapInPandas(
+        report, "subspace long, d9 long")

@@ -1207,42 +1207,89 @@ def quantized_recall(emb: DataFrame, id_col: str, vec_col: str,
     by neighbor id.  Scale shape: one ranges agg (dims-sized) +
     ONE corpus scan scoring both variants against the broadcast
     query set — the corpus is never self-joined."""
-    rng = _int8_ranges(emb, vec_col)
-    base = (emb.select(F.col(id_col).alias("_id"),
-                       _as_double(F.col(vec_col)).alias("_v"))
-            .join(F.broadcast(rng)))
-    d_ = F.zip_with("_v", "_mns", lambda x, m: x - m)
-    q_ = F.zip_with(d_, F.col("_rgs"),
-                    lambda d, r: F.when(r > 0, F.least(
-                        F.lit(255), F.greatest(
-                            F.lit(0), F.floor(d * 255.0 / r))))
-                    .otherwise(0).cast("long"))
-    delta = F.zip_with(q_, F.col("_rgs"),
-                       lambda q, r: (q + 0.5) * r / 255.0)
-    xhat = F.zip_with(F.col("_mns"), delta, lambda m, t: m + t)
-    vx = base.select("_id", "_v", xhat.alias("_x"))
-    qs = (vx.filter(F.col("_id") < n_queries)
-          .select(F.col("_id").alias("query_id"),
-                  F.col("_v").alias("_qv"), F.col("_x").alias("_qx")))
-    cs = vx.select(F.col("_id").alias("neighbor_id"),
-                   F.col("_v").alias("_cv"), F.col("_x").alias("_cx"))
-    pairs = cs.join(F.broadcast(qs),
-                    F.col("query_id") != F.col("neighbor_id"))
-    entries = [
-        F.struct(F.lit(0).alias("_var"),
-                 (dot(F.col("_qv"), F.col("_cv"))
-                  / (norm(F.col("_qv")) * norm(F.col("_cv"))))
-                 .alias("_cos")),
-        F.struct(F.lit(1).alias("_var"),
-                 (dot(F.col("_qx"), F.col("_cx"))
-                  / (norm(F.col("_qx")) * norm(F.col("_cx"))))
-                 .alias("_cos")),
-    ]
-    scored = (pairs.select("query_id", "neighbor_id",
-                           F.explode(F.array(*entries)).alias("_e"))
-              .select("query_id", "neighbor_id",
-                      F.col("_e._var").alias("_var"),
-                      F.col("_e._cos").alias("_cos")))
+    import pandas as pd
+
+    # r14 (guide §4.1/§4.2): the scoring pass — the SQ8 decode chain
+    # plus four interpreted zip_with/aggregate folds per
+    # (query, corpus) pair behind a non-equi BroadcastNestedLoopJoin
+    # — runs as ONE Arrow-batched map (the matryoshka_recall
+    # discipline).  Bit-compatibility with the old formulation:
+    # float→double is exact widening; every decode step is the same
+    # elementwise IEEE double op in the same operand order
+    # ((x−m)·255.0/r → floor → max(0,·) → min(255,·) →
+    # (q+0.5)·r/255.0 → m+·, with the r>0 arm per element; d ∈ [0, r]
+    # because mns/rgs are the GLOBAL per-dim min/range, so the long
+    # floor can never overflow and the clamp is exact in both); the
+    # dot/norm left folds with 0.0 seed ARE np.cumsum read at the
+    # last index (cumsum is sequential by definition); cos keeps the
+    # dot/(norm_q·norm_c) operand order.  The ≤ n_queries query rows
+    # and the one-row quantizer state ride the task closure; the
+    # top-k window, eager checkpoint barrier and recall arithmetic
+    # below are untouched.
+    rng_row = _int8_ranges(emb, vec_col).collect()[0]
+    mns = np.asarray(rng_row["_mns"], dtype=np.float64)
+    rgs = np.asarray(rng_row["_rgs"], dtype=np.float64)
+
+    def _decode(M: np.ndarray) -> np.ndarray:
+        d = M - mns[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            fl = np.floor(d * 255.0 / rgs[None, :])
+        q = np.where(rgs[None, :] > 0,
+                     np.minimum(255.0, np.maximum(0.0, fl)), 0.0)
+        return mns[None, :] + (q + 0.5) * rgs[None, :] / 255.0
+
+    def _fold_dot(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        # left-assoc fold with 0.0 seed == cumsum at the last index
+        return np.cumsum(A * B, axis=-1)[..., -1]
+
+    q_rows = (emb.filter(F.col(id_col) < n_queries)
+              .select(F.col(id_col).alias("_qid"),
+                      _as_double(F.col(vec_col)).alias("_qv"))
+              .collect())
+    q_ids = np.array([r["_qid"] for r in q_rows], dtype=np.int64)
+    QV = (np.stack([np.asarray(r["_qv"], dtype=np.float64)
+                    for r in q_rows])
+          if q_rows else np.zeros((0, len(mns))))
+    QX = _decode(QV) if len(QV) else QV
+    qn_v = np.sqrt(_fold_dot(QV, QV)) if len(QV) else QV
+    qn_x = np.sqrt(_fold_dot(QX, QX)) if len(QX) else QX
+    id_type = dict(emb.dtypes)[id_col]
+    schema = (f"query_id {id_type}, neighbor_id {id_type}, "
+              "_var int, _cos double")
+
+    def _score(batches):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                nids = pdf["_id"].to_numpy()
+                CV = np.stack([np.asarray(v, dtype=np.float64)
+                               for v in pdf["_v"]])
+                CX = _decode(CV)
+                cn_v = np.sqrt(_fold_dot(CV, CV))
+                cn_x = np.sqrt(_fold_dot(CX, CX))
+                out = []
+                for qi, qid in enumerate(q_ids):
+                    mask = nids != qid
+                    if not mask.any():
+                        continue
+                    cos_v = (_fold_dot(CV[mask], QV[qi][None, :])
+                             / (qn_v[qi] * cn_v[mask]))
+                    cos_x = (_fold_dot(CX[mask], QX[qi][None, :])
+                             / (qn_x[qi] * cn_x[mask]))
+                    nm = nids[mask]
+                    out.append(pd.DataFrame({
+                        "query_id": qid, "neighbor_id": nm,
+                        "_var": 0, "_cos": cos_v}))
+                    out.append(pd.DataFrame({
+                        "query_id": qid, "neighbor_id": nm,
+                        "_var": 1, "_cos": cos_x}))
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+
+    scored = (emb.select(F.col(id_col).alias("_id"),
+                         _as_double(F.col(vec_col)).alias("_v"))
+              .mapInPandas(_score, schema))
     w = Window.partitionBy("_var", "query_id") \
         .orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
     top = (scored.withColumn("rk", F.row_number().over(w))

@@ -84,9 +84,19 @@ class PyFold(Fold):
 
     ``state_schema`` is a DDL string for the emitted state columns
     (key column is added automatically).  Rows arrive as dicts.
-    Executed via ``applyInPandas`` (Arrow batches; one group = one
-    pandas DataFrame), so per-key data must fit in executor memory —
-    same constraint goka has (state lives on one partition's disk).
+
+    Execution (r14, guide §4.1/§2.2): ONE ``mapInPandas`` pass over
+    key-partitioned, partition-sorted input with the group state
+    carried across Arrow batches.  ``applyInPandas`` pays one Arrow
+    round-trip per GROUP — on a million-key stream that is a million
+    tiny batches; partition-wise streaming keeps batches at Arrow's
+    natural size regardless of key cardinality, while the hash
+    exchange guarantees every key's rows land in one task (goka's
+    per-partition state constraint, unchanged).  Fold order is
+    identical: rows arrive sorted by (key, ts, *order_extra*); ties
+    beyond the declared order keys were never deterministic under the
+    old per-group pandas sort either (callers pin a unique tiebreak —
+    the proc_fold_generic contract).
     """
 
     func: Optional[Callable[[Any, dict], Any]] = None
@@ -98,6 +108,13 @@ class PyFold(Fold):
     # pandas frame instead of row-at-a-time func — use when the fold
     # is expressible with pandas/numpy ops (10-50× less Python churn).
     batch_func: Optional[Callable[[pd.DataFrame], Any]] = None
+    # columns the fold callback actually reads (beyond key/order).
+    # applyInPandas ships EVERY input column through Arrow to the
+    # Python worker — on a wide stream (string payloads riding along)
+    # that transfer dominates the fold itself (guide §4.1: pass only
+    # the columns the function needs).  None = ship everything, the
+    # safe default for an arbitrary callback.
+    needs: Optional[list[str]] = None
 
     def compile(self, df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
         if not self.state_schema or (self.func is None and self.batch_func is None):
@@ -105,28 +122,79 @@ class PyFold(Fold):
         func, init, finish = self.func, self.init, self.finish
         batch_func = self.batch_func
         order_cols = [ts_col] + self.order_extra
+        if self.needs is not None:
+            # project to key + sort keys + declared fields, in the
+            # input's column order (first occurrence — processor
+            # frames can carry a duplicated key alias), before the
+            # exchange: the rows the callback sees for its declared
+            # columns are identical, so the fold state (and output)
+            # is unchanged.
+            keep = set([key_col] + order_cols + list(self.needs))
+            cols: list[str] = []
+            for c in df.columns:
+                if c in keep and c not in cols:
+                    cols.append(c)
+            df = df.select(*cols)
         out_schema = f"{key_col} string, {self.state_schema}"
         state_fields = [
             f.split()[0] for f in self.state_schema.split(",")
         ]
 
-        def fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values(order_cols, kind="stable")
-            if batch_func is not None:
-                state = batch_func(pdf)
-            else:
-                state = init() if callable(init) else init
-                for row in pdf.to_dict("records"):
-                    state = func(state, row)
+        def finish_rec(key, state) -> dict:
             out = finish(state) if finish else state
-            rec = {key_col: pdf[key_col].iloc[0]}
+            rec = {key_col: key}
             if isinstance(out, dict):
                 rec.update(out)
             else:
                 rec[state_fields[0]] = out
-            return pd.DataFrame([rec])
+            return rec
 
-        return df.groupBy(key_col).applyInPandas(fold_group, schema=out_schema)
+        def fold_partition(batches):
+            # rows arrive sorted by (key, *order_cols); a key's run
+            # may span Arrow batches, so the state (or, for
+            # batch_func, the group's frame chunks) carries across
+            cur = None
+            started = False
+            state: Any = None
+            chunks: list[pd.DataFrame] = []
+            recs: list[dict] = []
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                if batch_func is not None:
+                    for _, g in pdf.groupby(key_col, sort=False):
+                        k = g[key_col].iloc[0]
+                        if started and k != cur:
+                            recs.append(finish_rec(
+                                cur, batch_func(pd.concat(
+                                    chunks, ignore_index=True))))
+                            chunks = []
+                        cur, started = k, True
+                        chunks.append(g)
+                else:
+                    for row in pdf.to_dict("records"):
+                        k = row[key_col]
+                        if not started or k != cur:
+                            if started:
+                                recs.append(finish_rec(cur, state))
+                            cur, started = k, True
+                            state = init() if callable(init) else init
+                        state = func(state, row)
+                if recs:
+                    yield pd.DataFrame(recs)
+                    recs = []
+            if started:
+                if batch_func is not None:
+                    recs.append(finish_rec(cur, batch_func(
+                        pd.concat(chunks, ignore_index=True))))
+                else:
+                    recs.append(finish_rec(cur, state))
+            if recs:
+                yield pd.DataFrame(recs)
+
+        parts = (df.repartition(key_col)
+                 .sortWithinPartitions(key_col, *order_cols))
+        return parts.mapInPandas(fold_partition, schema=out_schema)
 
 
 FoldLike = Union[AggFold, ReduceFold, PyFold]

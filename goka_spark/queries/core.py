@@ -95,6 +95,10 @@ def proc_fold_generic(spark: SparkSession, sf: str) -> DataFrame:
             finish=lambda s: {"ewma": round(s, 3)},
             state_schema="ewma double",
             order_extra=["event_id"],
+            # the callback reads only row["value"]; declaring it
+            # drops the event_type/props payload columns from the
+            # Arrow transfer (guide §4.1) — same rows, same fold
+            needs=["value"],
         )),
     )
     return Processor(g).run(load(spark, sf, "events")).table

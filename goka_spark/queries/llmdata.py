@@ -12025,34 +12025,14 @@ def pq_distortion_report(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")["embeddings"]
     idx = _ann_index(spark, sf, emb)
     books = idx.books.tolist()
-    dim, m, ksub = 64, len(books), len(books[0])
-    dsub = dim // m
-    sq = " + ".join(f"(e[{i}] * e[{i}])" for i in range(dim))
-    cv = (emb.selectExpr(
-        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
-        .selectExpr("vec_id", "e", f"SQRT({sq}) AS n")
-        .selectExpr("vec_id", "transform(e, x -> x / n) AS v"))
-
-    def lit(x: float) -> str:
-        return f"CAST('{x!r}' AS DOUBLE)"
-
-    def dist_list(j: int) -> str:
-        return ", ".join(
-            " + ".join(
-                f"((v[{j * dsub + d}] - {lit(books[j][c][d])})"
-                f" * (v[{j * dsub + d}] - {lit(books[j][c][d])}))"
-                for d in range(dsub))
-            for c in range(ksub))
-
-    mins = cv.selectExpr(
-        "vec_id",
-        *[f"array_min(array({dist_list(j)})) AS md{j}"
-          for j in range(m)])
-    stacked = mins.selectExpr(
-        "stack({}, {}) AS (subspace, md)".format(
-            m, ", ".join(f"{j}L, md{j}" for j in range(m))))
-    e9 = stacked.selectExpr(
-        "subspace", "CAST(FLOOR(1e9 * md + 0.5) AS BIGINT) AS d9")
+    # r14 (guide §4.1/§4.2): the per-vector normalize + m·ksub·dsub
+    # squared-diff mins were ONE literal expression tree of 1 024
+    # terms — the generated projection overflowed janino's method
+    # limit (ERROR CodeGenerator) and the scan ran INTERPRETED.  One
+    # Arrow map replays the identical left-assoc double arithmetic
+    # (see pq_distortion_d9's exactness notes); the exact-integer
+    # subspace aggregate below is unchanged.
+    e9 = A.pq_distortion_d9(emb, "embedding", books)
     return (e9.groupBy("subspace")
             .agg(F.count("*").cast("long").alias("n_vecs"),
                  F.expr("SUM(d9) DIV COUNT(*)").cast("long")
