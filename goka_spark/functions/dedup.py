@@ -1596,9 +1596,31 @@ def ngram_novelty(df: DataFrame, id_col: str, text_col: str,
         F.expr("(novel * 1000000L) DIV n_grams").alias("novelty_e6"))
 
 
+def adjacent_exact_jaccard(df: "DataFrame", id_col: str,
+                           text_col: str) -> "DataFrame":
+    """Exact shingle-set intersection/union sizes over the
+    deterministic adjacent pairing ``(doc_a, doc_b = doc_a + 1)`` —
+    the num_perm-INDEPENDENT half of :func:`minhash_est_error`,
+    factored out (r14) so a permutation sweep computes it once
+    instead of once per arm.  Returns (doc_a, doc_b, _i, _u)."""
+    shs = shingle_sets(df, id_col, text_col).withColumnRenamed(
+        id_col, "_d")
+    ea = (shs.select(F.col("_d").alias("doc_a"),
+                     F.col("_shs").alias("_sa")))
+    eb = (shs.select(F.col("_d").alias("doc_b"),
+                     F.col("_shs").alias("_sb")))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    return (ea.join(eb, F.col("doc_b") == F.col("doc_a") + 1)
+            .select("doc_a", "doc_b",
+                    inter.cast("long").alias("_i"),
+                    (F.size("_sa") + F.size("_sb") - inter)
+                    .cast("long").alias("_u")))
+
+
 def minhash_est_error(df: "DataFrame", id_col: str, text_col: str,
                       num_perm: int = 16,
-                      sigs: "DataFrame | None" = None) -> "DataFrame":
+                      sigs: "DataFrame | None" = None,
+                      exact: "DataFrame | None" = None) -> "DataFrame":
     """MinHash CALIBRATION report — the text-side twin of the ANN
     recall gate: over the deterministic adjacent pairing
     (id, id+1), the signature-estimated Jaccard vs the exact
@@ -1619,32 +1641,28 @@ def minhash_est_error(df: "DataFrame", id_col: str, text_col: str,
     if sigs is None:
         sigs = minhash_signatures(df, id_col, text_col,
                                   num_perm=num_perm, base_hash="md5")
-    # per-doc distinct shingle sets as ONE Arrow map (bit-compatible
-    # with the former interpreted array_distinct(all_shingles(...)))
-    shs = shingle_sets(df, id_col, text_col).withColumnRenamed(
-        id_col, "_d")
-    a = (sigs.select(F.col(id_col).alias("doc_a"),
+    # the exact shingle-set half is num_perm-independent; ``exact``
+    # injects a shared (typically checkpointed) copy — the inner join
+    # on the identical (doc_a, doc_b) pairing keeps the row set and
+    # every value unchanged (both halves cover every document)
+    if exact is None:
+        exact = adjacent_exact_jaccard(df, id_col, text_col)
+    sa = sigs.select(F.col(id_col).alias("doc_a"),
                      F.col("minhash").alias("_ma"))
-         .join(shs.withColumnRenamed("_d", "doc_a")
-               .withColumnRenamed("_shs", "_sa"), "doc_a"))
-    b = (sigs.select(F.col(id_col).alias("doc_b"),
+    sb = sigs.select(F.col(id_col).alias("doc_b"),
                      F.col("minhash").alias("_mb"))
-         .join(shs.withColumnRenamed("_d", "doc_b")
-               .withColumnRenamed("_shs", "_sb"), "doc_b"))
-    pairs = a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+    pairs = (sa.join(sb, F.col("doc_b") == F.col("doc_a") + 1)
+             .join(exact, ["doc_a", "doc_b"]))
     matches = F.size(F.filter(
         F.zip_with("_ma", "_mb", lambda x, y: x == y),
         lambda eq: eq))
-    inter = F.size(F.array_intersect("_sa", "_sb"))
-    union = F.size("_sa") + F.size("_sb") - inter
     # exact INTEGER arithmetic on both sides (matches the oracle's
     # `mt * step` / `i_ * 1e6 // u_`): float division here diverged
     # from the oracle whenever num_perm does not divide 1e6 (ADVICE)
     return (pairs.select(
         "doc_a", "doc_b",
         (matches.cast("long") * F.lit(1000000 // num_perm))
-        .alias("est_e6"),
-        inter.cast("long").alias("_i"), union.cast("long").alias("_u"))
+        .alias("est_e6"), "_i", "_u")
         .select(
             "doc_a", "doc_b", F.col("est_e6").cast("long"),
             F.expr("(_i * 1000000L) DIV _u").alias("exact_e6"),
@@ -1831,37 +1849,66 @@ def _winnow_keys(df: "DataFrame", id_col: str, text_col: str,
                  k: int, w: int) -> "DataFrame":
     """(id, _L, _ks): the sorted packed (pos·2³²+h) winnowing keys.
 
-    THREE projections, each load-bearing: the hash array and then
-    the keys array are multi-referenced non-cheap aliases, and
-    CollapseProject keeps those materialized — inlined, every window
-    (or every downstream filter/generator after predicate pushdown)
-    re-hashes the whole doc: O(L²) interpreted md5s, measured 140 s
-    vs 3 s at sf0.001.  Downstream consumers must reference _ks, not
-    rebuild it."""
-    from goka_spark.functions.text import words
+    r14 (guide §4.1/§4.2): a pure per-document function — L md5s plus
+    O(L·w) window mins per doc — previously built from interpreted
+    transform/slice/array_min lambda chains; now ONE Arrow-batched
+    map, exact INTEGER arithmetic end to end (no float hazard
+    anywhere):
 
-    ws = words(F.col(text_col))
-    L = F.greatest(F.size(ws) - (k - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(0), L - 1),
-        lambda i: F.array_join(F.slice(ws, i + 1, k), " "))
-    hs = F.transform(grams, lambda g: F.conv(
-        F.substring(F.md5(g), 1, 8), 16, 10).cast("long"))
-    d1 = df.select(F.col(id_col), hs.alias("_hs"),
-                   L.cast("long").alias("_L"))
-    hsc = F.col("_hs")
-    n_win = F.greatest(F.col("_L") - (w - 1), F.lit(1))
-    wl = F.least(F.lit(w), F.col("_L"))
+    - tokenization spells out the Java-regex ``\\s`` class so splits
+      match ``F.split`` bit-for-bit (the shingle_postings twin);
+    - ``int(md5(gram_utf8).hexdigest()[:8], 16)`` ≡
+      ``conv(substring(md5(g),1,8),16,10)`` — same bytes, same hex
+      prefix, same base conversion;
+    - the rightmost-min selection is positional algebra on ints:
+      ``pos = i + j_last + 1`` where j_last is the last argmin of the
+      window — exactly ``i + wl − position(reverse(s), min(s)) + 1``;
+    - distinct + ascending sort on Python ints ≡
+      ``array_sort(array_distinct(...))`` on BIGINTs;
+    - edge contracts preserved: no words → the single empty-gram
+      window (L = 1); NULL text → (_L = 1, _ks = [NULL]) (NULL
+      propagation through the old md5/min chain).
+    """
+    import hashlib as _hashlib
+    import re as _re
 
-    def _key(i):
-        s = F.slice(hsc, i + 1, wl)
-        m = F.array_min(s)
-        pos = i + wl - F.array_position(F.reverse(s), m) + 1
-        return pos.cast("long") * F.lit(4294967296) + m
+    import pandas as pd
 
-    keys = F.array_sort(F.array_distinct(
-        F.transform(F.sequence(F.lit(0), n_win - 1), _key)))
-    return d1.select(F.col(id_col), F.col("_L"), keys.alias("_ks"))
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, _L long, _ks array<long>"
+    ws_pat = "[ \\t\\n\\x0b\\f\\r]+"
+
+    def _kernel(batches):
+        ws_re = _re.compile(ws_pat)
+        md5 = _hashlib.md5
+        for pdf in batches:
+            ids, Ls, kss = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    ids.append(did)
+                    Ls.append(1)
+                    kss.append([None])
+                    continue
+                words_ = [x for x in ws_re.split(text) if x]
+                L = max(len(words_) - (k - 1), 1)
+                hs = [int(md5(" ".join(words_[i:i + k])
+                              .encode("utf-8")).hexdigest()[:8], 16)
+                      for i in range(L)]
+                wl = min(w, L)
+                keys = set()
+                for i in range(max(L - (w - 1), 1)):
+                    s = hs[i:i + wl]
+                    m = min(s)
+                    j_last = wl - 1 - s[::-1].index(m)
+                    keys.add((i + j_last + 1) * 4294967296 + m)
+                ids.append(did)
+                Ls.append(L)
+                kss.append(sorted(keys))
+            if ids:
+                yield pd.DataFrame({id_col: ids, "_L": Ls, "_ks": kss})
+
+    return (_fan_out(df.select(id_col, text_col))
+            .mapInPandas(_kernel, schema))
 
 
 def winnow_overlap_pairs(df: "DataFrame", id_col: str, text_col: str,
@@ -1891,7 +1938,7 @@ def winnow_overlap_pairs(df: "DataFrame", id_col: str, text_col: str,
     # min_shared already rejects the single-''-gram pairs empty docs
     # would contribute.
     kf = keys if keys is not None \
-        else _winnow_keys(_fan_out(df), id_col, text_col, k, w)
+        else _winnow_keys(df, id_col, text_col, k, w)
     posts = (kf.select(F.col(id_col).alias("doc"),
                        F.explode_outer("_ks").alias("_k"))
              .select("doc",

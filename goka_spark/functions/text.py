@@ -1781,3 +1781,133 @@ def skipgram_pmi_topk(df, id_col: str, text_col: str,
         .alias("pmi_e6"))
         .orderBy(F.col("pmi_e6").desc(), "w1", "w2")
         .limit(k))
+
+
+def _py_lang_vote(words_list: list) -> str:
+    """Python twin of the :func:`lang_id` stopword vote — the exact
+    tie order (en > de > es > fr) over exact-match stopword hits.
+    Callers must tokenize with the Java-regex ``\\s+`` twin so hit
+    counts match ``stopword_hits`` bit-for-bit."""
+    hits = {}
+    for lang, sws in STOPWORDS.items():
+        sset = _SW_SETS[lang]
+        hits[lang] = sum(1 for w in words_list if w in sset)
+    en, de, es, fr = hits["en"], hits["de"], hits["es"], hits["fr"]
+    if en >= de and en >= es and en >= fr:
+        return "en"
+    if de >= es and de >= fr:
+        return "de"
+    if es >= fr:
+        return "es"
+    return "fr"
+
+
+_SW_SETS = {lang: set(ws) for lang, ws in STOPWORDS.items()}
+
+
+def doc_lang_mix_signals(df, id_col: str, text_col: str):
+    """(id, doc_lang, n_sentences, n_disagree) in ONE Arrow-batched
+    map — the per-document half of doc_lang_mix (C186), replacing an
+    interpreted pipeline that ran the 4-language stopword-vote
+    CaseWhen once per 10-word sentence per doc (explode + per-row
+    lambda filters).  Exactness (all strings/ints, no floats):
+
+    - sentences: the doc's single-space split (Java regex " " ≡
+      Python str.split(" ") after empty filtering), 10-word slices
+      joined by " " — the line_dedup convention the SQL replicated
+      with transform/slice/array_join;
+    - nsent ≡ CAST(greatest((size+9)/10.0, 1) AS LONG) =
+      max((len+9)//10, 1) for non-negative sizes;
+    - each vote re-tokenizes its string with the Java-regex ``\\s+``
+      twin (doc text and sentence strings alike — a " "-split word
+      can itself contain tabs/newlines, and the Column vote re-split
+      them too);
+    - NULL text ≡ the probed SQL algebra: doc_lang 'fr' (CaseWhen
+      fall-through), one NULL sentence voting 'fr' → n_sentences 1,
+      n_disagree 0.
+    """
+    import re as _re
+
+    import pandas as pd
+
+    id_type = dict(df.dtypes)[id_col]
+    ws_pat = "[ \\t\\n\\x0b\\f\\r]+"
+
+    def _kernel(batches):
+        ws_re = _re.compile(ws_pat)
+        for pdf in batches:
+            ids, dls, nss, nds = [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    ids.append(did)
+                    dls.append("fr")
+                    nss.append(1)
+                    nds.append(0)
+                    continue
+                doc_lang = _py_lang_vote(
+                    [w for w in ws_re.split(text) if w])
+                sws = [x for x in text.split(" ") if x]
+                nsent = max((len(sws) + 9) // 10, 1)
+                dis = 0
+                for i in range(nsent):
+                    sent = " ".join(sws[i * 10:i * 10 + 10])
+                    sv = _py_lang_vote(
+                        [w for w in ws_re.split(sent) if w])
+                    if sv != doc_lang:
+                        dis += 1
+                ids.append(did)
+                dls.append(doc_lang)
+                nss.append(nsent)
+                nds.append(dis)
+            if ids:
+                yield pd.DataFrame({id_col: ids, "doc_lang": dls,
+                                    "n_sentences": nss,
+                                    "n_disagree": nds})
+
+    return df.select(id_col, text_col).mapInPandas(
+        _kernel, f"{id_col} {id_type}, doc_lang string, "
+                 "n_sentences long, n_disagree long")
+
+
+def char_trigrams(df, id_col: str, text_col: str, *extra_cols: str):
+    """Per-document DISTINCT character trigrams with occurrence
+    counts ``(id, *extra, g, _n)`` in ONE Arrow-batched map — the
+    scan half of char_ngram_lang_id (C143), replacing the
+    interpreted transform/substring explode (one substring lambda
+    per character) AND the downstream ``.distinct()`` exchange over
+    the full occurrence stream (per-doc dedup happens in the kernel;
+    corpus-level counts are ``SUM(_n)``, identical to ``COUNT(*)``
+    over occurrences).  Exactness: ``F.substring`` is
+    CHARACTER-based, as is Python slicing; emitting exactly the
+    positions 0..len−3 ≡ the SQL's length-3 filter (short docs and
+    NULL text produced only sub-3 or NULL grams — all filtered)."""
+    import pandas as pd
+
+    dts = dict(df.dtypes)
+    cols = [id_col, *extra_cols]
+    schema = ", ".join(f"{c} {dts[c]}" for c in cols) + \
+        ", g string, _n long"
+
+    def _kernel(batches):
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            gs, ns = [], []
+            for row in zip(*(pdf[c] for c in cols), pdf[text_col]):
+                *vals, text = row
+                if not text or len(text) < 3:
+                    continue
+                counts: dict = {}
+                for i in range(len(text) - 2):
+                    g = text[i:i + 3]
+                    counts[g] = counts.get(g, 0) + 1
+                for g, n in counts.items():
+                    for c, v in zip(cols, vals):
+                        out[c].append(v)
+                    gs.append(g)
+                    ns.append(n)
+            if gs:
+                out["g"] = gs
+                out["_n"] = ns
+                yield pd.DataFrame(out)
+
+    return df.select(*cols, text_col).mapInPandas(_kernel, schema)

@@ -431,6 +431,9 @@ def warm_graph_artifacts(spark: SparkSession, sf: str) -> None:
     # paragraph_minhash_pairs / paragraph_minhash_keep share it)
     for _pf in _paragraph_sigs(spark, sf):
         _pf.count()
+    # the paragraph keep frame (r14: paragraph_minhash_keep /
+    # paragraph_strip_list share its CC + keep window)
+    _para_keep_frame(spark, sf).count()
     # the (3,4) winnowing keys frame (fingerprints / overlap pairs /
     # edit verify / the param sweep's (3,4) cell), then the
     # winnow→Levenshtein verdict frame built over it
@@ -1168,6 +1171,23 @@ def dedup_minhash_verified(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.posexplode("minhash").alias("perm", "sig"))
 
 
+#: session memo of the adjacent-pair exact Jaccard frame
+#: (doc_a, doc_b, _i, _u) — the num_perm-INDEPENDENT half of the
+#: MinHash calibration family; C95 and all three minhash_perm_sweep
+#: arms read one checkpointed copy instead of re-running the
+#: shingle-set kernel + set join per arm (guide §2.4).
+_ADJ_EXACT_MEMO: dict = {}
+
+
+def _adj_exact(spark: SparkSession, docs: DataFrame,
+               sf: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _ADJ_EXACT_MEMO:
+        _ADJ_EXACT_MEMO[key] = D.adjacent_exact_jaccard(
+            docs, "doc_id", "text").localCheckpoint(eager=False)
+    return _ADJ_EXACT_MEMO[key]
+
+
 def minhash_est_error(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash calibration (D.minhash_est_error): estimated vs exact
     Jaccard and their absolute error over the deterministic (id,
@@ -1178,7 +1198,8 @@ def minhash_est_error(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")["documents"]
     return D.minhash_est_error(
         docs, "doc_id", "text", num_perm=16,
-        sigs=_minhash_sigs(spark, docs, sf, num_perm=16, base_hash="md5"))
+        sigs=_minhash_sigs(spark, docs, sf, num_perm=16, base_hash="md5"),
+        exact=_adj_exact(spark, docs, sf))
 
 
 def zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
@@ -6556,7 +6577,7 @@ def winnow_param_sweep(spark: SparkSession, sf: str) -> DataFrame:
     outs = []
     for k, w in _WINNOW_PARAMS:
         kf = _winnow_kf(spark, docs, sf) if (k, w) == (3, 4) \
-            else D._winnow_keys(D._fan_out(docs), "doc_id", "text", k, w)
+            else D._winnow_keys(docs, "doc_id", "text", k, w)
         posts = (kf.select(F.col("doc_id").alias("doc"),
                            F.explode_outer("_ks").alias("_k"))
                  .select("doc",
@@ -8585,20 +8606,24 @@ def char_ngram_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     4-language-bounded argmax struct — linear in characters."""
     from pyspark.sql import Window
     docs = load(spark, sf, "documents")["documents"]
-    tri = (docs.select(
-        "doc_id", "lang",
-        F.explode(F.transform(
-            F.sequence(F.lit(1),
-                       F.greatest(F.length("text") - 2, F.lit(1))),
-            lambda i: F.substring(F.col("text"), i, 3))).alias("g"))
-        .filter(F.length("g") == 3))
-    prof = (tri.groupBy("lang", "g").agg(F.count("*").alias("c"))
+    # r14 (guide §4.1, §2.4): the trigram explode was one interpreted
+    # substring lambda per character, it fed both the profile agg and
+    # the per-doc distinct (computed twice per run), and the distinct
+    # was a full exchange of the occurrence stream.  One Arrow map
+    # emits per-doc DISTINCT grams with occurrence counts
+    # (character-based slicing ≡ F.substring): corpus counts are
+    # SUM(_n) ≡ COUNT(*) over occurrences, the per-doc vote rows are
+    # already distinct, and the checkpoint materializes the one
+    # kernel pass for both consumers.
+    tri = (T.char_trigrams(docs, "doc_id", "text", "lang")
+           .localCheckpoint(eager=False))
+    prof = (tri.groupBy("lang", "g").agg(F.sum("_n").alias("c"))
             .withColumn("rn", F.row_number().over(
                 Window.partitionBy("lang")
                 .orderBy(F.col("c").desc(), F.col("g"))))
             .filter(F.col("rn") <= 20)
             .select(F.col("lang").alias("plang"), "g"))
-    doc_grams = tri.select("doc_id", "g").distinct()
+    doc_grams = tri.select("doc_id", "g")
     votes = (doc_grams.join(F.broadcast(prof), "g")
              .groupBy("doc_id", "plang")
              .agg(F.count("*").alias("votes")))
@@ -9661,20 +9686,12 @@ def doc_lang_mix(spark: SparkSession, sf: str) -> DataFrame:
     either way a filter signal doc-level lang-id misses.  One
     explode + per-doc hash-agg; votes are row-local Columns."""
     docs = load(spark, sf, "documents")["documents"]
-    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    nsent = F.greatest((F.size(words) + 9).cast("long") / 10, F.lit(1)) \
-        .cast("long")
-    sents = F.transform(
-        F.sequence(F.lit(0), nsent - 1),
-        lambda i: F.array_join(F.slice(words, i * 10 + 1, 10), " "))
-    ex = docs.select("doc_id",
-                     T.lang_id(F.col("text")).alias("doc_lang"),
-                     F.explode(sents).alias("sent"))
-    dis = (T.lang_id(F.col("sent")) != F.col("doc_lang")).cast("long")
-    return (ex.groupBy("doc_id")
-            .agg(F.max("doc_lang").alias("doc_lang"),
-                 F.count("*").cast("long").alias("n_sentences"),
-                 F.sum(dis).cast("long").alias("n_disagree"))
+    # r14 (guide §4.1): the explode + per-sentence interpreted
+    # stopword-vote CaseWhen ran once per 10-word sentence; one Arrow
+    # map computes every per-doc signal (see doc_lang_mix_signals'
+    # exactness notes) — the query becomes map-only + row-local
+    # integer arithmetic, no shuffle at all.
+    return (T.doc_lang_mix_signals(docs, "doc_id", "text")
             .select("doc_id", "doc_lang", "n_sentences", "n_disagree",
                     F.expr("n_disagree * 1000000L DIV n_sentences")
                     .cast("long").alias("mix_share_e6")))
@@ -10639,14 +10656,44 @@ def longest_shared_run_pairs(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")["documents"]
     cand = D.winnow_overlap_pairs(docs, "doc_id", "text",
                                   keys=_winnow_kf(spark, docs, sf))
-    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    ng = F.greatest(F.size(words) - 2, F.lit(1))
-    grams = F.transform(F.sequence(F.lit(1), ng),
-                        lambda i: F.array_join(F.slice(words, i, 3), " "))
-    pg = (docs.select("doc_id", F.size(words).alias("_L"),
-                      F.posexplode(grams))
-          .select("doc_id", "_L", F.col("pos").alias("_p"),
-                  F.md5("col").alias("_gh")))
+    # r14 (guide §4.1, §2.4): the positional 3-gram md5 frame was an
+    # interpreted transform/slice/posexplode chain, and as BOTH sides
+    # of the gram self-join below it computed TWICE per run.  One
+    # Arrow kernel builds it (same single-space split + filter, same
+    # " "-joined grams, same lowercase md5 hex, same 0-based
+    # posexplode positions, NULL text → one (_L=-1, _p=0, _gh=NULL)
+    # row), and the localCheckpoint materializes it once for both
+    # join sides.
+    import hashlib as _hl
+
+    import pandas as _pd
+
+    def _pg_kernel(batches):
+        for pdf in batches:
+            od, ol, op, oh = [], [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    od.append(did)
+                    ol.append(-1)
+                    op.append(0)
+                    oh.append(None)
+                    continue
+                ws = [x for x in text.split(" ") if x]
+                ng = max(len(ws) - 2, 1)
+                for i in range(ng):
+                    od.append(did)
+                    ol.append(len(ws))
+                    op.append(i)
+                    oh.append(_hl.md5(" ".join(ws[i:i + 3])
+                                      .encode("utf-8")).hexdigest())
+            if od:
+                yield _pd.DataFrame(
+                    {"doc_id": od, "_L": ol, "_p": op, "_gh": oh})
+
+    pg = (D._fan_out(docs.select("doc_id", "text"))
+          .mapInPandas(_pg_kernel,
+                       "doc_id long, _L int, _p int, _gh string")
+          .localCheckpoint(eager=False))
     a = pg.select(F.col("doc_id").alias("id_a"),
                   F.col("_L").alias("_la"), F.col("_p").alias("_pa"),
                   "_gh")
@@ -11129,31 +11176,7 @@ def paragraph_minhash_keep(spark: SparkSession, sf: str) -> DataFrame:
     memo (one hash-agg over distinct paragraphs); CC runs on the
     banded pair graph only — the O(log diameter) pointer-jumping
     loop, all data distributed."""
-    reps, sigs = _paragraph_sigs(spark, sf)
-    bands = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.concat_ws("-", F.transform(
-                     F.slice("minhash", b * 4 + 1, 4),
-                     lambda x: x.cast("string"))).alias("bkey"))
-        for b in range(4)])
-    bk = (sigs.select("h", F.explode(bands).alias("bb"))
-          .select("h", "bb.band", "bb.bkey"))
-    a, b = bk.alias("a"), bk.alias("b")
-    pairs = (a.join(b, ["band", "bkey"])
-             .filter(F.col("a.h") < F.col("b.h"))
-             .select(F.col("a.h").alias("id_a"),
-                     F.col("b.h").alias("id_b"))
-             .distinct())
-    cc = D.connected_components(pairs)
-    mem = (cc.select(F.col("node").alias("h"), "cluster_id")
-           .join(reps, "h"))
-    from pyspark.sql import Window as W
-    wk = W.partitionBy("cluster_id").orderBy(F.desc("n_inst"),
-                                             F.asc("h"))
-    keep = (mem.withColumn("_rn", F.row_number().over(wk))
-            .filter(F.col("_rn") == 1)
-            .select("cluster_id", F.col("h").alias("keep_h")))
-    return (mem.join(keep, "cluster_id")
+    return (_para_keep_frame(spark, sf)
             .select("h", "cluster_id", "keep_h",
                     F.col("n_inst").cast("long"),
                     (F.col("h") == F.col("keep_h")).alias("kept"))
@@ -11163,6 +11186,47 @@ def paragraph_minhash_keep(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["paragraph_minhash_keep"] = paragraph_minhash_keep
+
+
+#: session memo of the paragraph keep frame (h, cluster_id, n_inst,
+#: keep_h) — the banded pair mine + pointer-jumping CC + per-cluster
+#: keep window that BOTH paragraph_minhash_keep and
+#: paragraph_strip_list replay in full (the _keep_frame/_jaccard_cc
+#: discipline one granularity down).  Pure function of the memoized
+#: paragraph signatures, checkpointed once per (appId, sf).
+_PARA_KEEP_MEMO: dict = {}
+
+
+def _para_keep_frame(spark: SparkSession, sf: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _PARA_KEEP_MEMO:
+        reps, sigs = _paragraph_sigs(spark, sf)
+        bands = F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.concat_ws("-", F.transform(
+                         F.slice("minhash", b * 4 + 1, 4),
+                         lambda x: x.cast("string"))).alias("bkey"))
+            for b in range(4)])
+        bk = (sigs.select("h", F.explode(bands).alias("bb"))
+              .select("h", "bb.band", "bb.bkey"))
+        a, b = bk.alias("a"), bk.alias("b")
+        pairs = (a.join(b, ["band", "bkey"])
+                 .filter(F.col("a.h") < F.col("b.h"))
+                 .select(F.col("a.h").alias("id_a"),
+                         F.col("b.h").alias("id_b"))
+                 .distinct())
+        cc = D.connected_components(pairs)
+        mem = (cc.select(F.col("node").alias("h"), "cluster_id")
+               .join(reps, "h"))
+        from pyspark.sql import Window as W
+        wk = W.partitionBy("cluster_id").orderBy(F.desc("n_inst"),
+                                                 F.asc("h"))
+        keep = (mem.withColumn("_rn", F.row_number().over(wk))
+                .filter(F.col("_rn") == 1)
+                .select("cluster_id", F.col("h").alias("keep_h")))
+        _PARA_KEEP_MEMO[key] = (mem.join(keep, "cluster_id")
+                                .localCheckpoint(eager=False))
+    return _PARA_KEEP_MEMO[key]
 
 
 def _paragraph_keep_oracle() -> str:
@@ -11965,7 +12029,8 @@ def minhash_perm_sweep(spark: SparkSession, sf: str) -> DataFrame:
         fr = D.minhash_est_error(
             docs, "doc_id", "text", num_perm=p,
             sigs=_minhash_sigs(spark, docs, sf, num_perm=p,
-                               base_hash="md5"))
+                               base_hash="md5"),
+            exact=_adj_exact(spark, docs, sf))
         arms.append(fr.agg(
             F.lit(p).cast("long").alias("num_perm"),
             F.count("*").cast("long").alias("n_pairs"),

@@ -226,3 +226,57 @@ def test_pyfold_needs_projection_same_fold_smaller_plan(spark):  # noqa: F811
            if "MapInPandas" in ln or "FlatMapGroupsInPandas" in ln]
     assert fmg and all("props" not in ln and "event_type" not in ln
                        for ln in fmg), fmg
+
+
+# ------------------------------------------------------ winnow keys
+
+
+def _old_winnow_keys(df, id_col, text_col, k, w):
+    """The pre-r14 interpreted-expression formulation, verbatim."""
+    from goka_spark.functions.text import words
+
+    ws = words(F.col(text_col))
+    L = F.greatest(F.size(ws) - (k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(0), L - 1),
+        lambda i: F.array_join(F.slice(ws, i + 1, k), " "))
+    hs = F.transform(grams, lambda g: F.conv(
+        F.substring(F.md5(g), 1, 8), 16, 10).cast("long"))
+    d1 = df.select(F.col(id_col), hs.alias("_hs"),
+                   L.cast("long").alias("_L"))
+    hsc = F.col("_hs")
+    n_win = F.greatest(F.col("_L") - (w - 1), F.lit(1))
+    wl = F.least(F.lit(w), F.col("_L"))
+
+    def _key(i):
+        s = F.slice(hsc, i + 1, wl)
+        m = F.array_min(s)
+        pos = i + wl - F.array_position(F.reverse(s), m) + 1
+        return pos.cast("long") * F.lit(4294967296) + m
+
+    keys = F.array_sort(F.array_distinct(
+        F.transform(F.sequence(F.lit(0), n_win - 1), _key)))
+    return d1.select(F.col(id_col), F.col("_L"), keys.alias("_ks"))
+
+
+@pytest.mark.parametrize("k,w", [(3, 4), (4, 4), (3, 8)])
+def test_winnow_keys_kernel_matches_expression(spark, k, w):  # noqa: F811
+    from goka_spark.functions import dedup as D
+
+    docs = [
+        (0, None),
+        (1, ""),
+        (2, "one"),
+        (3, "a a a a a a a a a a"),          # min ties -> rightmost
+        (4, "x  y\tz\nw  v u t s r q p o"),  # mixed whitespace
+        (5, "the quick brown fox jumps over the lazy dog again and"
+            " again the quick brown fox jumps over the lazy dog"),
+        (6, "solo pair"),
+        (7, " ".join(f"w{i % 7}" for i in range(60))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    old = {r["doc_id"]: (r["_L"], r["_ks"]) for r in
+           _old_winnow_keys(df, "doc_id", "text", k, w).collect()}
+    new = {r["doc_id"]: (r["_L"], r["_ks"]) for r in
+           D._winnow_keys(df, "doc_id", "text", k, w).collect()}
+    assert new == old
