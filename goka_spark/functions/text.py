@@ -1744,21 +1744,61 @@ def skipgram_pmi_topk(df, id_col: str, text_col: str,
     (words cannot contain the space separator), so one hash-agg
     counts them; unigram marginals, one-row totals broadcast, global
     TakeOrdered(k) — the bigram_pmi shape throughout."""
-    ws = words(F.col(text_col))
+    # r14 (guide §4.1, §2.3): pair generation was |window| interpreted
+    # zip_with/slice/concat_ws lambda chains per doc; ONE Arrow map
+    # emits per-doc pre-counted pairs and unigrams (kind 0 = pair,
+    # kind 1 = unigram), so both hash-aggs read one kernel pass and
+    # the exchange carries per-doc distinct keys instead of every
+    # occurrence.  Exactness: the \\s+ tokenizer twin; Python min/max
+    # on str ≡ least/greatest on Spark strings (UTF-8 byte order IS
+    # code-point order); corpus counts are SUM of per-doc counts ≡
+    # COUNT(*) over occurrences; NULL/empty text emits nothing (the
+    # explode-of-NULL contract).
+    import re as _re
 
-    def po(o):
-        ln = F.greatest(F.size(ws) - F.lit(o), F.lit(0))
-        return F.zip_with(
-            F.slice(ws, 1, ln), F.slice(ws, o + 1, ln),
-            lambda x, y: F.concat_ws(" ", F.least(x, y),
-                                     F.greatest(x, y)))
+    import pandas as pd
 
-    prs = F.flatten(F.array(*[po(o) for o in range(1, window + 1)]))
-    pc = (df.select(F.explode(prs).alias("pr"))
-          .groupBy("pr").agg(F.count("*").alias("cnt_ab")))
+    ws_pat = "[ \\t\\n\\x0b\\f\\r]+"
+
+    def _pairs_kernel(batches):
+        ws_re = _re.compile(ws_pat)
+        for pdf in batches:
+            kinds, keys, ns = [], [], []
+            for text in pdf[text_col]:
+                if text is None:
+                    continue
+                wl = [x for x in ws_re.split(text) if x]
+                if not wl:
+                    continue
+                cnt: dict = {}
+                L = len(wl)
+                for o in range(1, window + 1):
+                    for i in range(L - o):
+                        a, b = wl[i], wl[i + o]
+                        pr = (a + " " + b) if a <= b else (b + " " + a)
+                        k0 = (0, pr)
+                        cnt[k0] = cnt.get(k0, 0) + 1
+                for w_ in wl:
+                    k1 = (1, w_)
+                    cnt[k1] = cnt.get(k1, 0) + 1
+                for (kind, key), n in cnt.items():
+                    kinds.append(kind)
+                    keys.append(key)
+                    ns.append(n)
+            if keys:
+                yield pd.DataFrame({"kind": kinds, "key": keys,
+                                    "_n": ns})
+
+    kk = (df.select(text_col)
+          .mapInPandas(_pairs_kernel, "kind int, key string, _n long")
+          .localCheckpoint(eager=False))
+    pc = (kk.filter(F.col("kind") == 0)
+          .groupBy(F.col("key").alias("pr"))
+          .agg(F.sum("_n").alias("cnt_ab")))
     t_tot = pc.agg(F.sum("cnt_ab").cast("long").alias("_t"))
-    uni = (df.select(F.explode(ws).alias("w"))
-           .groupBy("w").agg(F.count("*").alias("c")))
+    uni = (kk.filter(F.col("kind") == 1)
+           .groupBy(F.col("key").alias("w"))
+           .agg(F.sum("_n").alias("c")))
     n_tot = uni.agg(F.sum("c").cast("long").alias("_n"))
     pairs = (pc.filter(F.col("cnt_ab") >= min_count)
              .select(F.split("pr", " ").getItem(0).alias("w1"),

@@ -1678,8 +1678,36 @@ def filter_verdicts(docs: DataFrame, cc: DataFrame | None = None) -> DataFrame:
 
 
 def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    # r14 (guide §4.1): T.fingerprint is one interpreted md5 per
+    # CHARACTER position (L−7 per doc); one Arrow map computes the
+    # identical rolling min-md5 — same char-based substrings, same
+    # UTF-8 md5 hex (lowercase), and Python min on the ASCII hex
+    # strings ≡ array_min's binary string order.  Edge contracts:
+    # NULL text → NULL fp (array_min over [NULL]); shorter-than-8
+    # docs hash the whole text (the greatest(·,1) window).
+    import hashlib as _hl
+
+    import pandas as _pd
+
+    def _fp_kernel(batches):
+        md5 = _hl.md5
+        for pdf in batches:
+            ids, fps = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                ids.append(did)
+                if text is None:
+                    fps.append(None)
+                    continue
+                n = max(len(text) - 7, 1)
+                fps.append(min(
+                    md5(text[i:i + 8].encode("utf-8")).hexdigest()
+                    for i in range(n)))
+            if ids:
+                yield _pd.DataFrame({"doc_id": ids, "fp": fps})
+
     docs = load(spark, sf, "documents")["documents"]
-    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+    return docs.select("doc_id", "text").mapInPandas(
+        _fp_kernel, "doc_id long, fp string")
 
 
 def text_normalize(spark: SparkSession, sf: str) -> DataFrame:

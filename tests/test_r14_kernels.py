@@ -280,3 +280,88 @@ def test_winnow_keys_kernel_matches_expression(spark, k, w):  # noqa: F811
     new = {r["doc_id"]: (r["_L"], r["_ks"]) for r in
            D._winnow_keys(df, "doc_id", "text", k, w).collect()}
     assert new == old
+
+
+# ------------------------------------- skipgram pairs / fingerprint
+
+
+ADVERSARIAL_DOCS = [
+    (0, None),
+    (1, ""),
+    (2, "one"),
+    (3, "a b a b a b a"),
+    (4, "x  y\tz\nw  v"),
+    (5, "zz aa zz aa mm"),
+    (6, "short"),
+    (7, " ".join(f"w{i % 5}" for i in range(30))),
+]
+
+
+def test_skipgram_pmi_matches_expression(spark):  # noqa: F811
+    from goka_spark.functions.text import skipgram_pmi_topk, words
+
+    df = spark.createDataFrame(ADVERSARIAL_DOCS,
+                               "doc_id long, text string")
+
+    # the pre-r14 zip_with formulation, verbatim
+    window, min_count, k = 4, 2, 50
+    ws = words(F.col("text"))
+
+    def po(o):
+        ln = F.greatest(F.size(ws) - F.lit(o), F.lit(0))
+        return F.zip_with(
+            F.slice(ws, 1, ln), F.slice(ws, o + 1, ln),
+            lambda x, y: F.concat_ws(" ", F.least(x, y),
+                                     F.greatest(x, y)))
+
+    prs = F.flatten(F.array(*[po(o) for o in range(1, window + 1)]))
+    pc = (df.select(F.explode(prs).alias("pr"))
+          .groupBy("pr").agg(F.count("*").alias("cnt_ab")))
+    t_tot = pc.agg(F.sum("cnt_ab").cast("long").alias("_t"))
+    uni = (df.select(F.explode(ws).alias("w"))
+           .groupBy("w").agg(F.count("*").alias("c")))
+    n_tot = uni.agg(F.sum("c").cast("long").alias("_n"))
+    old_pairs = (pc.filter(F.col("cnt_ab") >= min_count)
+                 .select(F.split("pr", " ").getItem(0).alias("w1"),
+                         F.split("pr", " ").getItem(1).alias("w2"),
+                         F.col("cnt_ab").cast("long"))
+                 .join(uni.select(F.col("w").alias("w1"),
+                                  F.col("c").cast("long").alias("_ca")),
+                       "w1")
+                 .join(uni.select(F.col("w").alias("w2"),
+                                  F.col("c").cast("long").alias("_cb")),
+                       "w2")
+                 .crossJoin(F.broadcast(n_tot))
+                 .crossJoin(F.broadcast(t_tot)))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    x = ((d("cnt_ab") * d("_n") * d("_n"))
+         / (d("_t") * d("_ca") * d("_cb")))
+    old = (old_pairs.select(
+        "w1", "w2", "cnt_ab",
+        F.floor(F.log(x) * 1000000 + F.lit(0.5)).cast("long")
+        .alias("pmi_e6"))
+        .orderBy(F.col("pmi_e6").desc(), "w1", "w2")
+        .limit(k)).collect()
+    new = skipgram_pmi_topk(df, "doc_id", "text", window=window,
+                            min_count=min_count, k=k).collect()
+    assert [tuple(r) for r in new] == [tuple(r) for r in old]
+
+
+def test_doc_fingerprint_kernel_matches_expression(spark):  # noqa: F811
+    from goka_spark.functions.text import fingerprint
+
+    rows = ADVERSARIAL_DOCS + [(8, "exactly8"), (9, "exactly8c"),
+                               (10, "ünïcødé tëxt with ümläuts")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    old = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")).collect()}
+
+    import hashlib
+    for did, text in rows:
+        if text is None:
+            assert old[did] is None
+            continue
+        n = max(len(text) - 7, 1)
+        got = min(hashlib.md5(text[i:i + 8].encode("utf-8")).hexdigest()
+                  for i in range(n))
+        assert got == old[did], did
