@@ -12,85 +12,69 @@ from goka_spark.queries import analytics, core, llmdata
 # entries and stops.  Rotate per round so no key's driver row goes
 # >2 rounds stale.
 _FRONT = [
-    # Round 14 rotation (r13 verdict ask #1).  The registry is fully
-    # certified (310/310 after r13, zero failures ever), so rotation
-    # stays pure vintage refresh plus bounded growth:
-    #   slots 1-10  = the 10 remaining r7-vintage keys (pre-verified
-    #                 at sf0.1 on the r13 closing tree per the
-    #                 handoff);
-    #   next slots  = this round's NEW keys, each landed only after
-    #                 sf0.001+sf0.01(+sf0.1) oracle verification;
-    #   tail        = the 40 oldest r8-vintage keys (also
-    #                 pre-verified at sf0.1) fill the remaining
-    #                 slots; only the first 50 are recorded.
-    # (a) the 10 remaining r7-vintage keys
-    "bpe_token_count_batched",
-    "corpus_pack_sequences",
-    "corpus_quality_pipeline",
-    "embedding_hard_negatives",
-    "gopher_repetition",
-    "hll_distinct_users",
-    "ngram_cms_estimate",
-    "ngram_novelty",
-    "pii_scrub",
-    "value_histogram_quantiles",
-    # (b) NEW r14 keys (inserted here as they are built + verified)
-    "value_weighted_quantiles",
-    "nation_supplier_hhi",
-    "scd2_intervals",
-    "incremental_agg_maintenance",
-    "watermark_drop_sweep",
-    "truncation_loss_sweep",
-    "paragraph_strip_list",
-    "kmv_source_overlap",
-    "bm25_topk",
-    "image_phash_dedup",
-    "event_transition_entropy",
-    "minhash_perm_sweep",
-    "pq_distortion_report",
-    # (c) best-effort tail: the 40 oldest r8-vintage keys — whatever
-    # the new-key block doesn't displace refreshes the next-stalest
-    # rows; leftovers head the r15 rotation
-    "ann_nprobe_sweep",
-    "ann_recall_eval",
-    "as_of_join",
-    "bigram_pmi_topk",
-    "codec_roundtrip",
-    "contrastive_pairs",
-    "corpus_temperature_mix",
-    "dataset_card",
-    "dedup_exact",
-    "dedup_minhash_keep",
-    "distinct_users_per_type",
-    "doc_length_quantiles",
-    "embedding_lsh_ann",
-    "embedding_outliers",
-    "embedding_quantize_int8",
-    "embedding_split_audit",
-    "event_sessionize",
-    "event_transitions",
-    "event_type_pivot",
-    "event_volume_anomalies",
-    "heaps_fit",
-    "hopping_window_agg",
-    "ivf_balance_report",
-    "key_skew_report",
-    "length_bucket_batches",
-    "line_dedup",
-    "loopback_rekey",
-    "minhash_band_sweep",
+    # Round 15 rotation (r14 verdict ask #1): the r14 optimization
+    # round directly rewrote the execution path of ~37 keys, but the
+    # r14 driver sample (staged BEFORE the optimization work) covered
+    # only 9 of them.  This rotation leads with every rewritten-but-
+    # unsampled key so the r14 kernels get driver certification, and
+    # closes with the keys the r15 optimization round itself touches.
+    # (a) the riskiest r14 Arrow-kernel rewrites (VERDICT r14 #1 list)
+    "nb_quality_classify",
+    "corpus_filter_pipeline",
+    "quantized_recall_eval",
+    "ngram_jaccard_auto",
+    "ngram_jaccard_prefix",
+    "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
+    "weighted_jaccard_pairs",
     "minhash_est_error",
-    "release_manifest",
-    "running_total_per_user",
-    "session_window_agg",
-    "simhash_hamming_histogram",
-    "source_quality_matrix",
-    "span_corruption_masks",
-    "split_contamination_audit",
-    "split_leakage_safe",
-    "token_budget_plan",
+    "winnow_param_sweep",
+    "proc_fold_generic",
+    "char_ngram_lang_id",
+    "skipgram_pmi_topk",
+    "doc_fingerprint",
+    # (b) the rest of the r14-rewritten families (shingle/MinHash
+    # kernels, winnow/positional-gram kernels, sentence-vote kernel,
+    # paragraph memo, literal-storm fix, BPE Arrow map, feature
+    # checkpoint, pair-counts unification consumers)
+    "dedup_minhash_lsh",
+    "dedup_minhash_verified",
+    "dedup_clusters",
+    "minhash_band_sweep",
+    "dedup_threshold_sweep",
+    "winnow_fingerprints",
+    "winnow_overlap_pairs",
+    "winnow_split_contamination",
+    "longest_shared_run_pairs",
+    "doc_lang_mix",
+    "paragraph_minhash_pairs",
+    "paragraph_minhash_keep",
+    "source_paragraph_savings",
+    "embedding_cell_margins",
+    "embedding_matryoshka_eval",
+    "embedding_pca_project",
+    "corpus_importance_weights",
+    "bpe_token_count",
+    "bpe_encode_docs",
     "tokenizer_fertility",
-    "top_k_per_group",
+    "tokenizer_stability",
+    "unigram_token_count",
+    "cms_width_sweep",
+    "split_contamination_audit",
+    "dedup_incremental",
+    "chain_merge_audit",
+    "cluster_size_histogram",
+    "dup_cluster_source_purity",
+    "gate_bias_by_length",
+    "source_quality_matrix",
+    # (c) keys the r15 optimization round touches (span postings
+    # memo, ANN fixed-overhead work) — certified in the same sample
+    "dup_span_remove",
+    "dup_span_extract",
+    "embedding_ivf_ann",
+    "embedding_pq_ann",
+    "embedding_ivf_pq_ann",
+    "ann_recall_eval",
 ]
 
 
