@@ -483,8 +483,15 @@ class AnnIngestSink:
 
 
 def _collect_queries(queries: DataFrame, id_col: str, vec_col: str,
-                     max_queries: int):
-    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+                     max_queries: int, q_rows=None):
+    """``q_rows``: a pre-collected row list for the query set (the
+    r15 session memo — every benched ANN key collects the identical
+    parameter-bounded query frame, so callers may collect once per
+    session and pass the rows through; the conversion below is
+    unchanged either way)."""
+    if q_rows is None:
+        q_rows = queries.select(id_col, vec_col) \
+            .limit(max_queries + 1).collect()
     if len(q_rows) > max_queries:
         raise ValueError(
             f"indexed ANN broadcasts the query set via the driver; got "
@@ -538,7 +545,8 @@ def _rerank_exact(cand: DataFrame, corpus: DataFrame, queries: DataFrame,
 
 def ivf_topk(index: ANNIndex, corpus: DataFrame, queries: DataFrame,
              id_col: str, vec_col: str, k: int = 5, n_probe: int = 4,
-             max_queries: int = S.MAX_BROADCAST_QUERIES) -> DataFrame:
+             max_queries: int = S.MAX_BROADCAST_QUERIES,
+             q_rows=None) -> DataFrame:
     """IVF top-k over the persisted index: read ONLY the union of the
     queries' probed cells (file-level pruning), exact cosine inside
     probed cells via the stored unit vectors, per-query top-k.
@@ -548,7 +556,8 @@ def ivf_topk(index: ANNIndex, corpus: DataFrame, queries: DataFrame,
     does NOT produce the scored values), so cosines are bit-identical
     to the ad-hoc path AND to a SQL twin replicating the
     left-associative folds — what makes this query hash-verifiable."""
-    q_ids, qm, raw = _collect_queries(queries, id_col, vec_col, max_queries)
+    q_ids, qm, raw = _collect_queries(queries, id_col, vec_col,
+                                      max_queries, q_rows)
     qcells = _probe(index, qm, n_probe)
     probed = sorted({int(c) for r in qcells for c in r})
     spark = index.spark
@@ -623,10 +632,12 @@ def _adc_scan(index: ANNIndex, codes: DataFrame, q_ids: np.ndarray,
 
 def pq_topk(index: ANNIndex, corpus: DataFrame, queries: DataFrame,
             id_col: str, vec_col: str, k: int = 5, refine: int = 4,
-            max_queries: int = S.MAX_BROADCAST_QUERIES) -> DataFrame:
+            max_queries: int = S.MAX_BROADCAST_QUERIES,
+            q_rows=None) -> DataFrame:
     """PQ/ADC top-k over the persisted codes (full scan — compression,
     not pruning, is PQ's contribution) + exact re-rank."""
-    q_ids, qm, _ = _collect_queries(queries, id_col, vec_col, max_queries)
+    q_ids, qm, _ = _collect_queries(queries, id_col, vec_col,
+                                    max_queries, q_rows)
     m, _, dsub = index.books.shape
     luts = np.einsum("qjd,jcd->qjc", qm.reshape(len(qm), m, dsub),
                      index.books)
@@ -638,11 +649,13 @@ def pq_topk(index: ANNIndex, corpus: DataFrame, queries: DataFrame,
 def ivf_pq_topk(index: ANNIndex, corpus: DataFrame, queries: DataFrame,
                 id_col: str, vec_col: str, k: int = 5, n_probe: int = 4,
                 refine: int = 4,
-                max_queries: int = S.MAX_BROADCAST_QUERIES) -> DataFrame:
+                max_queries: int = S.MAX_BROADCAST_QUERIES,
+                q_rows=None) -> DataFrame:
     """IVF-PQ top-k over the persisted index: cells prune WHICH files
     are read (partition pruning on the probed union), PQ codes shrink
     WHAT is read per vector, exact re-rank restores true cosines."""
-    q_ids, qm, _ = _collect_queries(queries, id_col, vec_col, max_queries)
+    q_ids, qm, _ = _collect_queries(queries, id_col, vec_col,
+                                    max_queries, q_rows)
     m, _, dsub = index.books.shape
     luts = np.einsum("qjd,jcd->qjc", qm.reshape(len(qm), m, dsub),
                      index.books)
@@ -801,7 +814,8 @@ def knn_graph(index: ANNIndex, k: int = 5) -> DataFrame:
 def ivf_nprobe_sweep(index: ANNIndex, corpus: DataFrame,
                      queries: DataFrame, id_col: str, vec_col: str,
                      k: int = 5, probes: "tuple[int, ...]" = (1, 2, 4, 8),
-                     max_queries: int = S.MAX_BROADCAST_QUERIES) -> DataFrame:
+                     max_queries: int = S.MAX_BROADCAST_QUERIES,
+                     q_rows=None) -> DataFrame:
     """The n_probe TUNING CURVE: recall@k of the IVF index against
     exact brute-force top-k at every probe depth in ``probes``, from
     ONE candidate scan — the measurement that turns "n_probe=4" from
@@ -817,7 +831,7 @@ def ivf_nprobe_sweep(index: ANNIndex, corpus: DataFrame,
 
     max_p = max(probes)
     q_ids, qm, raw = _collect_queries(queries, id_col, vec_col,
-                                      max_queries)
+                                      max_queries, q_rows)
     qcells = _probe(index, qm, max_p)
     probed = sorted({int(c) for r in qcells for c in r})
     spark = index.spark
@@ -840,7 +854,8 @@ def ivf_nprobe_sweep(index: ANNIndex, corpus: DataFrame,
                       (F.col("_cr") + 1).alias("cell_rk"),
                       S.dot(F.col("_cv"), F.col("_qv")).alias("cos"))
               .localCheckpoint())  # scored once, consumed len(probes)×
-    exact = (S.cosine_topk_arrow(corpus, queries, id_col, vec_col, k=k)
+    exact = (S.cosine_topk_arrow(corpus, queries, id_col, vec_col, k=k,
+                                 q_rows=q_rows)
              .select("query_id", "neighbor_id").localCheckpoint())
     qf = spark.createDataFrame([(int(i),) for i in q_ids],
                                "query_id long")

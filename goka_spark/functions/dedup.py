@@ -791,7 +791,9 @@ def dup_ngram_coverage(df: DataFrame, id_col: str, text_col: str,
 
 
 def dup_span_extract(df: DataFrame, id_col: str, text_col: str,
-                     n: int = 5, min_df: int = 2) -> DataFrame:
+                     n: int = 5, min_df: int = 2,
+                     pos_sh: "DataFrame | None" = None,
+                     dfc: "DataFrame | None" = None) -> DataFrame:
     """Maximal duplicated-substring SPANS per document — the "which
     words to cut" operator behind substring-level dedup (cf. the
     dedup-training-data practice of removing repeated substrings, the
@@ -810,10 +812,15 @@ def dup_span_extract(df: DataFrame, id_col: str, text_col: str,
     same exchange), an equi-join back on the shingle, then per-doc
     windows whose partitions are bounded by document length — linear
     in postings, no self-join."""
-    pos_sh = shingle_postings(df, id_col, text_col, n,
-                              positions=True).repartition("sh")
-    dfc = (pos_sh.dropDuplicates(["doc", "sh"])
-           .groupBy("sh").agg(F.count("*").alias("_df")))
+    # ``pos_sh``/``dfc``: session-shared positioned postings and their
+    # per-shingle df aggregate (the _SH_MEMO contract) — built fresh
+    # when absent so the function stays standalone.
+    if pos_sh is None:
+        pos_sh = shingle_postings(df, id_col, text_col, n,
+                                  positions=True).repartition("sh")
+    if dfc is None:
+        dfc = (pos_sh.dropDuplicates(["doc", "sh"])
+               .groupBy("sh").agg(F.count("*").alias("_df")))
     dup = (pos_sh.join(dfc.filter(F.col("_df") >= min_df), "sh")
            .select("doc", "pos"))
     w = Window.partitionBy("doc").orderBy("pos")

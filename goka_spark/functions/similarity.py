@@ -126,7 +126,8 @@ MAX_BROADCAST_QUERIES = 10_000
 
 def cosine_topk_arrow(corpus: DataFrame, queries: DataFrame, id_col: str,
                       vec_col: str, k: int = 5,
-                      max_queries: int = MAX_BROADCAST_QUERIES) -> DataFrame:
+                      max_queries: int = MAX_BROADCAST_QUERIES,
+                      q_rows=None) -> DataFrame:
     """Brute-force top-k, Arrow path: the query matrix is broadcast to
     every partition; each Arrow batch scores against it with ONE numpy
     matmul and keeps its local top-k; a final per-query window merges
@@ -138,7 +139,11 @@ def cosine_topk_arrow(corpus: DataFrame, queries: DataFrame, id_col: str,
     # The query side is broadcast via the driver: fail loudly on a
     # query set too large to collect instead of OOMing the driver.
     # (limit(n+1) bounds the collect itself — never materializes more.)
-    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    # ``q_rows``: optional pre-collected row list (the r15 ANN
+    # session memo) — identical rows either way.
+    if q_rows is None:
+        q_rows = queries.select(id_col, vec_col) \
+            .limit(max_queries + 1).collect()
     if len(q_rows) > max_queries:
         raise ValueError(
             f"cosine_topk_arrow broadcasts the query set via the driver; "

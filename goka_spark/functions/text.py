@@ -896,12 +896,21 @@ def nb_classify(corpus, id_col: str, text_col: str, label, train_pred,
     # (Was: inner join + agg, then a second full pass for the
     # bucket-domain distinct, then a left join to re-attach — the
     # dsir_importance conditional-aggregation idiom applied here.)
+    # r15 (guide §2.4): ``b`` feeds BOTH the totals row and the
+    # coefficient table; without a barrier the checkpoint-scan +
+    # train-join + bucket-agg subtree executed twice (once inside
+    # each broadcast build — plans/r15/nb_quality_classify_before
+    # shows the duplicated (ExistingRDD → BHJ → HashAggregate) arms).
+    # The ≤ n_buckets-row model-count frame is checkpointed, so the
+    # training pass runs once and totals/coefficients are two cheap
+    # reads of 1 024 rows.  Pure materialization — values unchanged.
     b = (cg.join(train, "doc", "left")
          .groupBy("bucket")
          .agg(F.sum(F.when(F.col("_y") == 1, F.col("cnt"))
                     .otherwise(0)).alias("cp"),
               F.sum(F.when(F.col("_y") == 0, F.col("cnt"))
-                    .otherwise(0)).alias("cn")))
+                    .otherwise(0)).alias("cn"))
+         .localCheckpoint(eager=False))
     tot = b.agg(F.sum("cp").alias("p_tot"), F.sum("cn").alias("n_tot"))
     prior = train.agg(F.sum("_y").alias("n_pos"),
                       F.count("*").alias("n_train"))
@@ -1792,23 +1801,38 @@ def skipgram_pmi_topk(df, id_col: str, text_col: str,
     kk = (df.select(text_col)
           .mapInPandas(_pairs_kernel, "kind int, key string, _n long")
           .localCheckpoint(eager=False))
-    pc = (kk.filter(F.col("kind") == 0)
-          .groupBy(F.col("key").alias("pr"))
-          .agg(F.sum("_n").alias("cnt_ab")))
+    # r15 (guide §2.4): the corpus aggregation over the kernel output
+    # ran FIVE times per query — pair counts for the pair frame and
+    # again for t_tot, unigram counts for each marginal join's
+    # broadcast build and again for n_tot (plans/r15/
+    # skipgram_pmi_topk_before: five (ExistingRDD → HashAggregate →
+    # Exchange) arms).  ONE (kind, key) hash-agg — identical to the
+    # per-kind aggs because ``kind`` partitions the key space — is
+    # checkpointed; pair/unigram frames and both totals are cheap
+    # filters/aggs of the vocab-sized result.  Values unchanged.
+    kc = (kk.groupBy("kind", "key").agg(F.sum("_n").alias("_c"))
+          .localCheckpoint(eager=False))
+    pc = (kc.filter(F.col("kind") == 0)
+          .select(F.col("key").alias("pr"), F.col("_c").alias("cnt_ab")))
     t_tot = pc.agg(F.sum("cnt_ab").cast("long").alias("_t"))
-    uni = (kk.filter(F.col("kind") == 1)
-           .groupBy(F.col("key").alias("w"))
-           .agg(F.sum("_n").alias("c")))
+    uni = (kc.filter(F.col("kind") == 1)
+           .select(F.col("key").alias("w"), F.col("_c").alias("c")))
     n_tot = uni.agg(F.sum("c").cast("long").alias("_n"))
+    # Explicit broadcast of the vocab-sized unigram marginals (guide
+    # §3.1): auto-broadcast picked these up only via size estimates,
+    # which the checkpoint barrier hides — the hint pins the BHJ so
+    # the pair frame is never shuffled by a marginal hop.
     pairs = (pc.filter(F.col("cnt_ab") >= min_count)
              .select(F.split("pr", " ").getItem(0).alias("w1"),
                      F.split("pr", " ").getItem(1).alias("w2"),
                      F.col("cnt_ab").cast("long"))
-             .join(uni.select(F.col("w").alias("w1"),
-                              F.col("c").cast("long").alias("_ca")),
+             .join(F.broadcast(uni.select(F.col("w").alias("w1"),
+                                          F.col("c").cast("long")
+                                          .alias("_ca"))),
                    "w1")
-             .join(uni.select(F.col("w").alias("w2"),
-                              F.col("c").cast("long").alias("_cb")),
+             .join(F.broadcast(uni.select(F.col("w").alias("w2"),
+                                          F.col("c").cast("long")
+                                          .alias("_cb"))),
                    "w2")
              .crossJoin(F.broadcast(n_tot))
              .crossJoin(F.broadcast(t_tot)))

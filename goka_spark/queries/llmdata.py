@@ -98,13 +98,51 @@ def minhash_containment_est(spark: SparkSession, sf: str) -> DataFrame:
                                      threshold=0.2)
 
 
+#: positioned 5-gram postings (doc, pos, sh), hash-partitioned by
+#: shingle, plus their per-shingle distinct-doc df aggregate — the
+#: _SH_MEMO treatment (r15 verdict ask #8) for the span family:
+#: dup_span_extract and dup_span_remove each re-ran the positional
+#: shingle kernel + exchange (twice per plan — the dfc arm and the
+#: join arm); one checkpointed build per session serves both keys.
+#: Billed in bench.py's artifact_build_sec row via
+#: warm_graph_artifacts.  Pure per-doc kernel + pure aggregate, so
+#: every consumer's values are unchanged by construction.
+_POS_SH_MEMO: dict = {}
+_POS_DFC_MEMO: dict = {}
+
+
+def _pos_postings(spark: SparkSession, docs: DataFrame, sf: str,
+                  n: int = 5) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf, n)
+    if key not in _POS_SH_MEMO:
+        _POS_SH_MEMO[key] = (
+            D.shingle_postings(docs, "doc_id", "text", n,
+                               positions=True)
+            .repartition("sh").localCheckpoint(eager=False))
+    return _POS_SH_MEMO[key]
+
+
+def _pos_dfc(spark: SparkSession, docs: DataFrame, sf: str,
+             n: int = 5) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf, n)
+    if key not in _POS_DFC_MEMO:
+        _POS_DFC_MEMO[key] = (
+            _pos_postings(spark, docs, sf, n)
+            .dropDuplicates(["doc", "sh"])
+            .groupBy("sh").agg(F.count("*").alias("_df"))
+            .localCheckpoint(eager=False))
+    return _POS_DFC_MEMO[key]
+
+
 def dup_span_extract(spark: SparkSession, sf: str) -> DataFrame:
     """Maximal duplicated-substring spans (the 'which words to cut'
     substring-dedup operator): positions covered by an n-gram with
     df >= 2, merged gaps-and-islands into spans.  Integer-exact, so
     the oracle hash-matches with no float hazard."""
     docs = load(spark, sf, "documents")["documents"]
-    return D.dup_span_extract(docs, "doc_id", "text", n=5, min_df=2)
+    return D.dup_span_extract(docs, "doc_id", "text", n=5, min_df=2,
+                              pos_sh=_pos_postings(spark, docs, sf),
+                              dfc=_pos_dfc(spark, docs, sf))
 
 
 def dup_span_remove(spark: SparkSession, sf: str) -> DataFrame:
@@ -115,7 +153,9 @@ def dup_span_remove(spark: SparkSession, sf: str) -> DataFrame:
     oracle (which embeds the span-extract oracle as a CTE) hash-
     matches the rebuilt strings."""
     docs = load(spark, sf, "documents")["documents"]
-    spans = D.dup_span_extract(docs, "doc_id", "text", n=5, min_df=2)
+    spans = D.dup_span_extract(docs, "doc_id", "text", n=5, min_df=2,
+                               pos_sh=_pos_postings(spark, docs, sf),
+                               dfc=_pos_dfc(spark, docs, sf))
     return D.remove_spans(docs, spans, "doc_id", "text")
 
 
@@ -444,6 +484,13 @@ def warm_graph_artifacts(spark: SparkSession, sf: str) -> None:
     # the distinct (source, 3-gram) projection (r11 verdict ask #4:
     # source_overlap_matrix's expensive half)
     _source_grams(spark, docs, sf).count()
+    # the positioned 5-gram postings + df aggregate (r15 verdict ask
+    # #8: dup_span_extract / dup_span_remove share them).  NOTE: from
+    # r15 on this whole warmup is timed by bench.py and reported as
+    # artifact_build_sec — additions to this list are visible in that
+    # row, never silent (r14 verdict ask #3).
+    _pos_postings(spark, docs, sf).count()
+    _pos_dfc(spark, docs, sf).count()
 
 
 def unigram_token_count(spark: SparkSession, sf: str) -> DataFrame:
@@ -584,7 +631,8 @@ def embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     tests assert they agree."""
     emb = load(spark, sf, "embeddings")["embeddings"]
     queries = emb.filter(F.col("vec_id") < 20)
-    return S.cosine_topk_arrow(emb, queries, "vec_id", "embedding", k=5)
+    return S.cosine_topk_arrow(emb, queries, "vec_id", "embedding", k=5,
+                               q_rows=_ann_query_rows(spark, sf, emb))
 
 
 def embedding_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
@@ -608,6 +656,21 @@ def embedding_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
     return S.lsh_ann(emb, queries, "vec_id", "embedding", k=5, bits=8)
 
 
+#: session memo for the ANNIndex HANDLE (r15 verdict ask #9): the
+#: handle is quantizer arrays + a path — loading it cost every ANN
+#: key a corpus count job, a recursive FS listing (fingerprint) and
+#: an npz read.  The underlying artifacts were already session-
+#: invariant (disk cache keyed by dataset fingerprint); this only
+#: stops re-resolving the same key 8× per bench pass.
+_ANN_IDX_MEMO: dict = {}
+
+#: session memo for the collected ANN QUERY SET — every benched ANN
+#: key collects the identical parameter-bounded frame
+#: (vec_id < 20, ≤ 20 rows); one collect per session serves all of
+#: them, and each consumer's row→matrix conversion is unchanged.
+_ANN_Q_MEMO: dict = {}
+
+
 def _ann_index(spark: SparkSession, sf: str, emb: DataFrame) -> "A.ANNIndex":
     """One persisted index serves all three ANN registry queries:
     quantizers cached on disk (trained once per dataset), codes table
@@ -617,12 +680,24 @@ def _ann_index(spark: SparkSession, sf: str, emb: DataFrame) -> "A.ANNIndex":
     so batched reads still prune IO (16 fixed cells saturated any
     20-query union at sf0.1)."""
     import os
-    fp = A.dataset_fingerprint(os.path.join(sf, "embeddings.parquet"),
-                               spark=spark)
-    return A.build_or_load(spark, emb, "vec_id", "embedding",
-                           fingerprint=fp,
-                           n_cells=A.adaptive_n_cells(emb.count()),
-                           m=8, ksub=16)
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _ANN_IDX_MEMO:
+        fp = A.dataset_fingerprint(
+            os.path.join(sf, "embeddings.parquet"), spark=spark)
+        _ANN_IDX_MEMO[key] = A.build_or_load(
+            spark, emb, "vec_id", "embedding", fingerprint=fp,
+            n_cells=A.adaptive_n_cells(emb.count()), m=8, ksub=16)
+    return _ANN_IDX_MEMO[key]
+
+
+def _ann_query_rows(spark: SparkSession, sf: str, emb: DataFrame):
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _ANN_Q_MEMO:
+        _ANN_Q_MEMO[key] = (
+            emb.filter(F.col("vec_id") < 20)
+            .select("vec_id", "embedding")
+            .limit(S.MAX_BROADCAST_QUERIES + 1).collect())
+    return _ANN_Q_MEMO[key]
 
 
 def embedding_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
@@ -637,7 +712,8 @@ def embedding_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")["embeddings"]
     queries = emb.filter(F.col("vec_id") < 20)
     return A.ivf_topk(_ann_index(spark, sf, emb), emb, queries,
-                      "vec_id", "embedding", k=5, n_probe=4)
+                      "vec_id", "embedding", k=5, n_probe=4,
+                      q_rows=_ann_query_rows(spark, sf, emb))
 
 
 def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
@@ -655,14 +731,16 @@ def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 20)
     idx = _ann_index(spark, sf, emb)
     a6 = (A.ivf_topk(idx, emb, queries, "vec_id", "embedding",
-                     k=6, n_probe=4)
+                     k=6, n_probe=4,
+                     q_rows=_ann_query_rows(spark, sf, emb))
           .filter(F.col("neighbor_id") != F.col("query_id")))
     w = Window.partitionBy("query_id").orderBy("rk")
     approx = (a6.withColumn("_r2", F.row_number().over(w))
               .filter(F.col("_r2") <= 5)
               .select("query_id", "neighbor_id"))
     exact = (S.cosine_topk_arrow(emb, queries, "vec_id", "embedding",
-                                 k=5)
+                                 k=5,
+                                 q_rows=_ann_query_rows(spark, sf, emb))
              .select("query_id", "neighbor_id"))
     hits = (approx.join(exact, ["query_id", "neighbor_id"])
             .groupBy("query_id").agg(F.count("*").alias("n_hits")))
@@ -686,7 +764,8 @@ def ann_nprobe_sweep(spark: SparkSession, sf: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 20)
     return A.ivf_nprobe_sweep(_ann_index(spark, sf, emb), emb,
                               queries, "vec_id", "embedding",
-                              k=5, probes=(1, 2, 4, 8))
+                              k=5, probes=(1, 2, 4, 8),
+                              q_rows=_ann_query_rows(spark, sf, emb))
 
 
 def tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
@@ -1840,7 +1919,8 @@ def embedding_ivf_pq_ann(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")["embeddings"]
     queries = emb.filter(F.col("vec_id") < 20)
     return A.ivf_pq_topk(_ann_index(spark, sf, emb), emb, queries,
-                         "vec_id", "embedding", k=5, n_probe=8, refine=4)
+                         "vec_id", "embedding", k=5, n_probe=8, refine=4,
+                         q_rows=_ann_query_rows(spark, sf, emb))
 
 
 def embedding_pq_ann(spark: SparkSession, sf: str) -> DataFrame:
@@ -1855,7 +1935,8 @@ def embedding_pq_ann(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")["embeddings"]
     queries = emb.filter(F.col("vec_id") < 20)
     return A.pq_topk(_ann_index(spark, sf, emb), emb, queries,
-                     "vec_id", "embedding", k=5, refine=4)
+                     "vec_id", "embedding", k=5, refine=4,
+                     q_rows=_ann_query_rows(spark, sf, emb))
 
 
 #: target mixture for corpus_domain_mix — deliberately skewed so the
@@ -8645,23 +8726,50 @@ def char_ngram_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     # kernel pass for both consumers.
     tri = (T.char_trigrams(docs, "doc_id", "text", "lang")
            .localCheckpoint(eager=False))
-    prof = (tri.groupBy("lang", "g").agg(F.sum("_n").alias("c"))
-            .withColumn("rn", F.row_number().over(
-                Window.partitionBy("lang")
-                .orderBy(F.col("c").desc(), F.col("g"))))
-            .filter(F.col("rn") <= 20)
-            .select(F.col("lang").alias("plang"), "g"))
-    doc_grams = tri.select("doc_id", "g")
-    votes = (doc_grams.join(F.broadcast(prof), "g")
-             .groupBy("doc_id", "plang")
-             .agg(F.count("*").alias("votes")))
-    wd = Window.partitionBy("doc_id").orderBy(F.col("votes").desc(),
-                                              F.col("plang"))
-    best = (votes.withColumn("rn", F.row_number().over(wd))
-            .filter(F.col("rn") == 1)
-            .select("doc_id", "plang", "votes"))
-    return (docs.select("doc_id", "lang")
-            .join(best, "doc_id", "left")
+    # r15 (guide §3.1, verdict ask #6): the profile ranking shuffled
+    # EVERY (lang, gram) count to |langs| window partitions, and the
+    # per-doc argmax was a second row_number window over the votes.
+    # The profile is parameter-bounded (|langs| × top-20 ≤ 80 rows),
+    # so COLLECT it once (the ANN query-set precedent) and rebuild it
+    # as a literal broadcast table; the argmax becomes a langs-bounded
+    # conditional pivot + struct-min in the scan stage — votes desc,
+    # plang asc is exactly min over struct(-votes, plang), and a doc
+    # whose every pivot column is 0 had no votes row before, i.e.
+    # 'unknown' (a 0-vote lang can never tie a >0 winner, so tie
+    # semantics are unchanged).  The returned plan loses both windows
+    # and the per-doc agg gains map-side partial aggregation.
+    prof_rows = (tri.groupBy("lang", "g").agg(F.sum("_n").alias("c"))
+                 .withColumn("rn", F.row_number().over(
+                     Window.partitionBy("lang")
+                     .orderBy(F.col("c").desc(), F.col("g"))))
+                 .filter(F.col("rn") <= 20)
+                 .select(F.col("lang").alias("plang"), "g")
+                 .collect())
+    langs = sorted({r["plang"] for r in prof_rows})
+    base = docs.select("doc_id", "lang")
+    if not prof_rows:      # degenerate corpus: nothing ever votes
+        return base.select(
+            "doc_id", F.lit("unknown").alias("pred_lang"),
+            F.lit(0).cast("long").alias("votes"),
+            (F.lit("unknown") == F.col("lang")).alias("correct"))
+    prof = spark.createDataFrame([(r["plang"], r["g"])
+                                  for r in prof_rows],
+                                 "plang string, g string")
+    hits = (tri.select("doc_id", "g").join(F.broadcast(prof), "g")
+            .groupBy("doc_id")
+            .agg(*[F.sum(F.when(F.col("plang") == L, 1).otherwise(0))
+                   .alias(f"_v{i}") for i, L in enumerate(langs)]))
+    best = F.array_min(F.array(*[
+        F.struct((-F.col(f"_v{i}")).alias("nv"),
+                 F.lit(L).alias("pl"),
+                 F.col(f"_v{i}").alias("v"))
+        for i, L in enumerate(langs)]))
+    per_doc = hits.select(
+        "doc_id",
+        F.when(best["v"] > 0, best["pl"]).otherwise("unknown")
+        .alias("plang"),
+        F.when(best["v"] > 0, best["v"]).otherwise(0).alias("votes"))
+    return (base.join(per_doc, "doc_id", "left")
             .select("doc_id",
                     F.coalesce(F.col("plang"), F.lit("unknown"))
                     .alias("pred_lang"),
@@ -9399,11 +9507,14 @@ ORACLES["vocab_coverage_curve"] = f"""
 _PARA_WIDTH = 12
 
 
-def _paragraph_frame(docs: DataFrame) -> DataFrame:
-    """(doc_id, pos, para, h): positional paragraphs + normalized
-    md5.  Scale shape: explode is linear in corpus words; the
-    frequency consumer adds one (h)-keyed hash-agg — the exact shape
-    CCNet runs at crawl scale (Wenzek et al. 2020)."""
+def _paragraph_frame(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    """(doc_id, *extra, pos, para, h): positional paragraphs +
+    normalized md5.  ``extra_cols`` ride the explode (r15: carrying
+    ``source`` here is free scan-stage projection and saves consumers
+    a corpus-wide doc_id join — guide §2.3 "project early").  Scale
+    shape: explode is linear in corpus words; the frequency consumer
+    adds one (h)-keyed hash-agg — the exact shape CCNet runs at crawl
+    scale (Wenzek et al. 2020)."""
     w = _PARA_WIDTH
     words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     npar = F.greatest((F.size(words) + (w - 1)).cast("long") / w,
@@ -9411,12 +9522,12 @@ def _paragraph_frame(docs: DataFrame) -> DataFrame:
     paras = F.transform(
         F.sequence(F.lit(0), npar - 1),
         lambda i: F.array_join(F.slice(words, i * w + 1, w), " "))
-    ex = docs.select("doc_id", F.posexplode(paras))
+    ex = docs.select("doc_id", *extra_cols, F.posexplode(paras))
     norm = F.trim(F.regexp_replace(
         F.regexp_replace(F.lower(F.col("col")), "[^a-z0-9 ]", ""),
         " +", " "))
     return ex.select(
-        "doc_id", F.col("pos").cast("long").alias("pos"),
+        "doc_id", *extra_cols, F.col("pos").cast("long").alias("pos"),
         F.col("col").alias("para"), F.md5(norm).alias("h"))
 
 
@@ -9507,7 +9618,10 @@ def paragraph_prune_text(spark: SparkSession, sf: str) -> DataFrame:
     compare.  Rebuild is a per-doc sort_array(collect_list(struct)) —
     partition-local, no global sort."""
     docs = load(spark, sf, "documents")["documents"]
-    ph = _paragraph_frame(docs)
+    # r15 (guide §2.4): one repartition("h") feeds both the frequency
+    # agg and the join probe side — ReuseExchange replaces the second
+    # corpus explode + exchange of the old plan.
+    ph = _paragraph_frame(docs).repartition("h")
     pf = ph.groupBy("h").agg(F.count("*").alias("freq"),
                              F.min("doc_id").alias("first_doc"))
     keep = (F.col("freq") == 1) | (F.col("doc_id") == F.col("first_doc"))
@@ -10269,14 +10383,18 @@ def paragraph_dedup_savings(spark: SparkSession, sf: str) -> DataFrame:
     sources dominate).  Same shared paragraph frame + keep rule as
     C181/C182; one conditional hash-agg keyed by source."""
     docs = load(spark, sf, "documents")["documents"]
-    ph = _paragraph_frame(docs)
-    pf = ph.groupBy("h").agg(F.count("*").alias("freq"),
-                             F.min("doc_id").alias("first_doc"))
+    # r15 (guide §2.3/§2.4): source rides the explode (no corpus-wide
+    # doc_id join), and both arms of the h-join hang off ONE
+    # repartition("h") subtree so the exchange is planned once and
+    # reused — the old plan instantiated the paragraph explode twice
+    # and shuffled the instances a second time for the source join.
+    phs = _paragraph_frame(docs, "source").repartition("h")
+    pf = phs.groupBy("h").agg(F.count("*").alias("freq"),
+                              F.min("doc_id").alias("first_doc"))
     keep = (F.col("freq") == 1) | (F.col("doc_id") == F.col("first_doc"))
-    src = docs.select("doc_id", "source")
     ptok = F.size(F.filter(F.split(F.col("para"), " "),
                            lambda x: x != "")).cast("long")
-    j = (ph.join(pf, "h").join(src, "doc_id")
+    j = (phs.join(pf, "h")
          .select("source", keep.alias("_k"), ptok.alias("_t")))
     return (j.groupBy("source")
             .agg(F.count("*").cast("long").alias("n_paragraphs"),
@@ -10327,10 +10445,19 @@ def paragraph_position_bias(spark: SparkSession, sf: str) -> DataFrame:
     frame; bucket = least(pos·3 DIV npar, 2) with npar from the
     doc's own paragraph count — pure integer algebra, one hash-agg."""
     docs = load(spark, sf, "documents")["documents"]
-    ph = _paragraph_frame(docs)
+    # r15 (guide §2.4): the per-doc paragraph count is the SIZE of the
+    # doc's own explode — it never needed a groupBy(doc_id) + join
+    # back; computing it as a scan-stage column kills that exchange
+    # pair, and the h-join's two arms share one repartition("h")
+    # exchange (ReuseExchange) instead of exploding the corpus twice.
+    w_ = _PARA_WIDTH
+    words_ = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    np_col = F.greatest((F.size(words_) + (w_ - 1)).cast("long") / w_,
+                        F.lit(1)).cast("long")
+    ph = (_paragraph_frame(docs.withColumn("_np", np_col), "_np")
+          .repartition("h"))
     pf = ph.groupBy("h").agg(F.count("*").alias("freq"))
-    npar = ph.groupBy("doc_id").agg(F.count("*").alias("_np"))
-    j = ph.join(pf, "h").join(npar, "doc_id")
+    j = ph.join(pf, "h")
     bucket = F.least(F.col("pos") * 3 / F.col("_np"),
                      F.lit(2)).cast("long")
     return (j.select(bucket.alias("tercile"),
@@ -10451,21 +10578,27 @@ def source_paragraph_savings(spark: SparkSession, sf: str) -> DataFrame:
     paragraphs (reference parity: storage/ compaction accounting,
     goka's view of what a table rewrite reclaims)."""
     docs = load(spark, sf, "documents")["documents"]
-    ph = _paragraph_frame(docs)
-    pf = ph.groupBy("h").agg(
+    # r15 (guide §2.3/§2.4): ``source`` now rides the paragraph
+    # explode, so the two corpus-wide doc_id joins are gone; the
+    # first-owner source is folded into the per-hash aggregate as
+    # min(struct(doc_id, source)) — struct order (doc_id asc, source
+    # asc) makes its source field exactly "MIN(source) among the
+    # first_doc instances", the old first_src pass; and both sides of
+    # the remaining h-join hang off the SAME repartition("h")
+    # subtree, so the exchange is planned once and reused (the
+    # dup_ngram_coverage discipline).  The old plan instantiated the
+    # paragraph explode four times; this one, once.
+    phs = _paragraph_frame(docs, "source").repartition("h")
+    pf = phs.groupBy("h").agg(
         F.count("*").alias("freq"),
-        F.min("doc_id").alias("first_doc"),
         F.min(F.col("doc_id") * 1_000_000 + F.col("pos")).alias("_first"),
-        F.count_distinct("doc_id").alias("_nd"))
-    src = docs.select("doc_id", "source")
-    j = (ph.join(pf, "h").join(src, "doc_id")
-         .withColumn("_keep",
-                     (F.col("freq") == 1)
-                     | (F.col("doc_id") * 1_000_000 + F.col("pos")
-                        == F.col("_first"))))
-    first_src = (j.filter(F.col("doc_id") == F.col("first_doc"))
-                 .groupBy("h").agg(F.min("source").alias("_fsrc")))
-    j2 = j.join(first_src, "h")
+        F.min(F.struct("doc_id", "source")).getField("source")
+        .alias("_fsrc"))
+    j2 = (phs.join(pf, "h")
+          .withColumn("_keep",
+                      (F.col("freq") == 1)
+                      | (F.col("doc_id") * 1_000_000 + F.col("pos")
+                         == F.col("_first"))))
     return (j2.groupBy("source")
             .agg(F.count("*").cast("long").alias("n_paragraphs"),
                  F.sum((~F.col("_keep")).cast("long")).cast("long")
@@ -10540,7 +10673,13 @@ def paragraph_template_detect(spark: SparkSession, sf: str) -> DataFrame:
     bounded per-hash window (rows per hash = its distinct
     positions)."""
     docs = load(spark, sf, "documents")["documents"]
-    ph = _paragraph_frame(docs)
+    # r15 (guide §2.4): every downstream key — the (h, pos) modal agg,
+    # its window, the per-h stats agg and the final h-join — clusters
+    # by h, so ONE repartition("h") up front satisfies all of their
+    # distribution requirements (hash(h) clusters (h, pos) too) and
+    # the two arms reuse the same exchange; the old plan exploded the
+    # corpus twice and shuffled three more times.
+    ph = _paragraph_frame(docs).repartition("h")
     byp = (ph.groupBy("h", "pos")
            .agg(F.count("*").alias("_c")))
     from pyspark.sql import Window as W
