@@ -844,7 +844,9 @@ def dup_span_extract(df: DataFrame, id_col: str, text_col: str,
 def minhash_containment_est(df: DataFrame, id_col: str, text_col: str,
                             num_perm: int = 32, shingle: int = 3,
                             bands: int = 8, threshold: float = 0.2,
-                            base_hash: str = "xxhash64") -> DataFrame:
+                            base_hash: str = "xxhash64",
+                            sigs: "DataFrame | None" = None,
+                            sizes: "DataFrame | None" = None) -> DataFrame:
     """ESTIMATED asymmetric containment at signature scale — the
     100 TB path beside :func:`ngram_containment_pairs`'s exact
     postings join: candidates from an LSH band equi-join, then the
@@ -865,10 +867,15 @@ def minhash_containment_est(df: DataFrame, id_col: str, text_col: str,
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
     r = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle,
-                              base_hash)
-    sizes = shingle_postings(df, id_col, text_col, shingle) \
-        .groupBy("doc").agg(F.count("*").alias("_sz"))
+    # ``sigs``/``sizes``: session-shared signature and set-size frames
+    # (the _MINHASH_SIG_MEMO / _SZ_MEMO contract) — built fresh when
+    # absent so the function stays standalone.
+    if sigs is None:
+        sigs = minhash_signatures(df, id_col, text_col, num_perm,
+                                  shingle, base_hash)
+    if sizes is None:
+        sizes = shingle_postings(df, id_col, text_col, shingle) \
+            .groupBy("doc").agg(F.count("*").alias("_sz"))
     banded = sigs.select(
         F.col(id_col), "minhash",
         F.explode(F.array(*[
@@ -986,16 +993,22 @@ def remove_spans(df: DataFrame, spans: DataFrame, id_col: str,
                             F.struct(F.col("pos"), F.col("_w").alias("w")))),
                         lambda s: s.w)).alias("clean_text"),
                     F.count("*").alias("_kept")))
-    totals = words.groupBy("doc").agg(F.count("*").alias("_total"))
-    return (df.select(F.col(id_col))
-            .join(totals.select(F.col("doc").alias(id_col), "_total"),
-                  id_col, "left")
+    # r15 (guide §2.4): the per-doc total word count IS the size of
+    # the doc's own filtered split — it never needed a second pass
+    # through the posexplode + row_number window arm; a scan-stage
+    # column replaces that whole (explode + window + agg + join)
+    # subtree.  size() of a NULL split is NULL → coalesce 0, exactly
+    # the old no-rows case.
+    total_col = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
+                                lambda x: x != ""))
+    return (df.select(F.col(id_col),
+                      F.coalesce(total_col.cast("long"), F.lit(0))
+                      .alias("_total"))
             .join(rebuilt.select(F.col("doc").alias(id_col),
                                  "clean_text", "_kept"), id_col, "left")
             .select(F.col(id_col),
                     F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-                    (F.coalesce("_total", F.lit(0))
-                     - F.coalesce("_kept", F.lit(0)))
+                    (F.col("_total") - F.coalesce("_kept", F.lit(0)))
                     .cast("long").alias("removed_words")))
 
 

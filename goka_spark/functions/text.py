@@ -565,6 +565,35 @@ def dsir_importance(corpus, target, id_col: str, text_col: str,
                     (F.col("weight_e6") / F.lit(1e6)).alias("weight")))
 
 
+def _adjacent_tuples(col, names):
+    """Array of structs of ``len(names)`` ADJACENT non-empty tokens —
+    the scan-stage twin of the (posexplode + window-lead) idiom the
+    LM scorers used: the r15 rewrite, because a lead over tokens
+    partitioned by doc shuffles and sorts EVERY corpus token when the
+    adjacency is already explicit in the doc's own word array
+    (guide §2.4 — remove the shuffle outright).  Tokens are the same
+    Java-regex ``\\s+`` split with empties dropped, so tuple streams
+    are row-identical to the window version (lead over the
+    empty-filtered rows ≡ zip of the filtered array with its own
+    shifts)."""
+    n = len(names)
+    ws = F.filter(F.split(col, r"\s+"), lambda x: x != "")
+    ln = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    sl = [F.slice(ws, i + 1, ln) for i in range(n)]
+    arr = F.zip_with(sl[0], sl[1],
+                     lambda a, b: F.struct(a.alias(names[0]),
+                                           b.alias(names[1])))
+
+    def _extend(prev_names, new_name):
+        return lambda p, c: F.struct(
+            *[p[nm].alias(nm) for nm in prev_names],
+            c.alias(new_name))
+
+    for i in range(2, n):
+        arr = F.zip_with(arr, sl[i], _extend(names[:i], names[i]))
+    return arr
+
+
 def lm_logprob(df, id_col: str, text_col: str):
     """CCNet-style LM quality score: mean log-probability of each
     document under a Laplace-smoothed BIGRAM language model trained on
@@ -578,23 +607,23 @@ def lm_logprob(df, id_col: str, text_col: str):
     the final mean is a deterministic double division — so a SQL twin
     matches hash-exactly up to ln() ulps.
 
-    Plan: one posexplode + window-lead pass builds transition
-    occurrences; transition counts, prefix counts, and the vocab size
-    are three hash-aggs over it; scoring is one equi-join back on the
-    transition and a per-doc sum.  Linear in corpus tokens."""
-    from pyspark.sql.window import Window
-
+    Plan (r15): transition occurrences are pure SCAN-STAGE array
+    algebra (_adjacent_tuples — the old posexplode + window-lead pass
+    shuffled and sorted every corpus token); transition counts,
+    prefix counts, and the vocab size are three hash-aggs over it;
+    scoring is one equi-join back on the transition and a per-doc
+    sum.  Linear in corpus tokens, zero token-wide exchanges."""
     from goka_spark.functions.dedup import _fan_out
 
     w = (_fan_out(df).select(
             F.col(id_col).alias("doc"),
-            F.posexplode(F.split(F.col(text_col), r"\s+"))
-             .alias("_p", "_w"))
-         .filter(F.col("_w") != ""))
-    win = Window.partitionBy("doc").orderBy("_p")
-    pairs = (w.select("doc", F.col("_w").alias("prev"),
-                      F.lead("_w", 1).over(win).alias("wrd"))
-             .filter(F.col("wrd").isNotNull()))
+            F.explode(F.filter(F.split(F.col(text_col), r"\s+"),
+                               lambda x: x != "")).alias("_w")))
+    pairs = (_fan_out(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(_adjacent_tuples(F.col(text_col),
+                                   ["prev", "wrd"])).alias("_t"))
+        .select("doc", "_t.prev", "_t.wrd"))
     doc_tr = pairs.groupBy("doc", "prev", "wrd") \
         .agg(F.count("*").alias("cnt"))
     cpw = doc_tr.groupBy("prev", "wrd").agg(F.sum("cnt").alias("cpw"))
@@ -1539,24 +1568,25 @@ def lm_heldout_logprob(train, test, id_col: str, text_col: str):
     float discipline: log-probs integerized once per distinct test
     transition, per-doc accumulation an exact integer sum.
 
-    Plan: train transitions (posexplode + window lead) → two
-    hash-aggs + vocab count; test transitions once; scoring joins are
-    LEFT so unseen transitions keep their smoothed mass.  Linear in
-    tokens both sides; model state never leaves the cluster."""
-    from pyspark.sql.window import Window
-
+    Plan (r15): train transitions are scan-stage array algebra
+    (_adjacent_tuples — was posexplode + window lead, a token-wide
+    shuffle) → two hash-aggs + vocab count; test transitions once;
+    scoring joins are LEFT so unseen transitions keep their smoothed
+    mass.  Linear in tokens both sides; model state never leaves the
+    cluster."""
     from goka_spark.functions.dedup import _fan_out
 
     def transitions(df):
         w = (_fan_out(df).select(
                 F.col(id_col).alias("doc"),
-                F.posexplode(F.split(F.col(text_col), r"\s+"))
-                 .alias("_p", "_w"))
-             .filter(F.col("_w") != ""))
-        win = Window.partitionBy("doc").orderBy("_p")
-        return w, (w.select("doc", F.col("_w").alias("prev"),
-                            F.lead("_w", 1).over(win).alias("wrd"))
-                   .filter(F.col("wrd").isNotNull()))
+                F.explode(F.filter(F.split(F.col(text_col), r"\s+"),
+                                   lambda x: x != "")).alias("_w")))
+        pairs = (_fan_out(df).select(
+            F.col(id_col).alias("doc"),
+            F.explode(_adjacent_tuples(F.col(text_col),
+                                       ["prev", "wrd"])).alias("_t"))
+            .select("doc", "_t.prev", "_t.wrd"))
+        return w, pairs
 
     tr_w, tr_pairs = transitions(train)
     _, te_pairs = transitions(test)
@@ -1613,43 +1643,43 @@ def lm_stupid_backoff(train, test, id_col: str, text_col: str,
     ln(S) integerized once per distinct test trigram TYPE, per-doc
     accumulation an exact integer sum.
 
-    Plan: posexplode + two window leads per side; four count tables
-    (trigram, bigram, unigram, totals) from train; scoring is left
-    joins on the type and one per-doc sum — linear in tokens, counts
-    never leave the cluster."""
-    from pyspark.sql.window import Window
-
+    Plan (r15): trigram/bigram streams are scan-stage array algebra
+    (_adjacent_tuples — was posexplode + two window leads per side,
+    token-wide shuffles); four count tables (trigram, bigram,
+    unigram, totals) from train; scoring is left joins on the type
+    and one per-doc sum — linear in tokens, counts never leave the
+    cluster."""
     from goka_spark.functions.dedup import _fan_out
 
     alpha = alpha_e6 / 1e6
 
     def toks(df):
         return (_fan_out(df).select(
-                    F.col(id_col).alias("doc"),
-                    F.posexplode(F.split(F.col(text_col), r"\s+"))
-                     .alias("_p", "_w"))
-                .filter(F.col("_w") != ""))
+            F.col(id_col).alias("doc"),
+            F.explode(F.filter(F.split(F.col(text_col), r"\s+"),
+                               lambda x: x != "")).alias("_w")))
 
-    def trigrams(w):
-        win = Window.partitionBy("doc").orderBy("_p")
-        return (w.select("doc", F.col("_w").alias("w1"),
-                         F.lead("_w", 1).over(win).alias("w2"),
-                         F.lead("_w", 2).over(win).alias("w3"))
-                .filter(F.col("w3").isNotNull()))
+    def trigrams(df):
+        return (_fan_out(df).select(
+            F.col(id_col).alias("doc"),
+            F.explode(_adjacent_tuples(F.col(text_col),
+                                       ["w1", "w2", "w3"])).alias("_t"))
+            .select("doc", "_t.w1", "_t.w2", "_t.w3"))
 
     tr_w = toks(train)
-    win = Window.partitionBy("doc").orderBy("_p")
-    tr_tri = trigrams(tr_w)
+    tr_tri = trigrams(train)
     c3 = tr_tri.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
-    big = (tr_w.select("doc", F.col("_w").alias("a"),
-                       F.lead("_w", 1).over(win).alias("b"))
-           .filter(F.col("b").isNotNull()))
+    big = (_fan_out(train).select(
+        F.col(id_col).alias("doc"),
+        F.explode(_adjacent_tuples(F.col(text_col),
+                                   ["a", "b"])).alias("_t"))
+        .select("doc", "_t.a", "_t.b"))
     c2 = big.groupBy("a", "b").agg(F.count("*").alias("c2"))
     c1 = tr_w.groupBy("_w").agg(F.count("*").alias("c1"))
     tot = tr_w.agg(F.count("*").alias("nn"),
                    F.count_distinct("_w").alias("v"))
 
-    doc_tri = trigrams(toks(test)).groupBy("doc", "w1", "w2", "w3") \
+    doc_tri = trigrams(test).groupBy("doc", "w1", "w2", "w3") \
         .agg(F.count("*").alias("cnt")).localCheckpoint(eager=False)
     types = doc_tri.select("w1", "w2", "w3").distinct()
     scored_types = (

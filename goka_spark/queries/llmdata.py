@@ -93,9 +93,14 @@ def minhash_containment_est(spark: SparkSession, sf: str) -> DataFrame:
     postings pair join anywhere.  Hash-verified end to end on the
     XXH64-in-SQL base hash."""
     docs = load(spark, sf, "documents")["documents"]
+    # r15: rides the session 32-perm xxhash64 signature memo and the
+    # per-doc shingle-set-size memo — this key was rebuilding both
+    # (a full signature kernel pass + a postings agg) per run.
     return D.minhash_containment_est(docs, "doc_id", "text",
                                      num_perm=32, shingle=3, bands=8,
-                                     threshold=0.2)
+                                     threshold=0.2,
+                                     sigs=_minhash_sigs(spark, docs, sf),
+                                     sizes=_sh_sizes(spark, docs, sf))
 
 
 #: positioned 5-gram postings (doc, pos, sh), hash-partitioned by
@@ -6685,13 +6690,23 @@ def winnow_param_sweep(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")["documents"]
     outs = []
     for k, w in _WINNOW_PARAMS:
+        # r15 (guide §2.4): each setting's kernel frame feeds BOTH the
+        # postings arm and the stats arm — without a barrier the
+        # winnow kernel scanned the corpus twice per non-memoized
+        # setting (the before-plan shows 12 MapInPandas nodes for 3
+        # settings); the checkpoint makes it one scan each.  The
+        # per-doc fingerprint dedup also moves INTO the scan stage
+        # (array_distinct over the doc's own fingerprint array ≡ the
+        # old global distinct on (doc, h), because rows are doc-keyed)
+        # — that removes the (doc, h) exchange entirely, leaving only
+        # the h-repartition both join sides reuse.
         kf = _winnow_kf(spark, docs, sf) if (k, w) == (3, 4) \
-            else D._winnow_keys(docs, "doc_id", "text", k, w)
-        posts = (kf.select(F.col("doc_id").alias("doc"),
-                           F.explode_outer("_ks").alias("_k"))
-                 .select("doc",
-                         (F.col("_k") % F.lit(4294967296)).alias("h"))
-                 .distinct())
+            else (D._winnow_keys(docs, "doc_id", "text", k, w)
+                  .localCheckpoint(eager=False))
+        posts = (kf.select(
+            F.col("doc_id").alias("doc"),
+            F.explode_outer(F.array_distinct(F.transform(
+                "_ks", lambda x: x % F.lit(4294967296)))).alias("h")))
         posts = posts.repartition(
             posts.sparkSession.sparkContext.defaultParallelism, "h")
         a, b = posts.alias("a"), posts.alias("b")
