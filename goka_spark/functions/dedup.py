@@ -398,8 +398,13 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
     hash into ``bands`` chunks and equi-join on (band_idx, chunk) —
     by pigeonhole, any pair within hamming ≤ bands-1 shares at least
     one intact band, so ``max_hamming <= bands-1`` has NO false
-    negatives.  Exact hamming verified inside blocks."""
-    s = simhash(df, id_col, text_col)
+    negatives.  Exact hamming verified inside blocks.
+
+    The (id, simhash) frame is pinned before the self-join — same
+    rationale as ``hash_near_pairs``: when the planner broadcasts one
+    arm, ReuseExchange cannot collapse the two subtrees and the
+    explode + 63-vote aggregate would run twice."""
+    s = simhash(df, id_col, text_col).localCheckpoint(eager=False)
     width = 63 // bands + 1
     chunks = F.array(*[
         F.struct(
@@ -727,6 +732,10 @@ def ngram_jaccard_prefix(df: DataFrame, id_col: str, text_col: str,
                       F.row_number().over(by_doc.orderBy("_df", "sh"))
                        .alias("_rk"),
                       F.count("*").over(by_doc).alias("_sz")))
+    # NOTE (r15): pinning this frame with a localCheckpoint was tried
+    # and measured 33% SLOWER at sf0.1 (3.5s vs 2.65s best-of-4) —
+    # AQE already reuses the ranked/window stage across the self-join
+    # arms at runtime, so the pin only added a materialization pass.
     prefix = ranked.filter(
         F.col("_rk") <= F.col("_sz")
         - F.ceil(F.lit(threshold) * F.col("_sz") - eps) + 1)
@@ -2165,7 +2174,13 @@ def hash_near_pairs(hashed: DataFrame, id_col: str, hash_col: str,
     negative pigeonhole guarantee: with ``max_hamming <= bands - 1``
     any qualifying pair shares at least one intact band, so the
     banded equi-join is COMPLETE and the exact ``bit_count(xor)``
-    filter inside blocks makes it precise."""
+    filter inside blocks makes it precise.
+
+    The fingerprint frame is pinned with a lazy localCheckpoint
+    before the self-join: it is two longs per image, while its
+    lineage is the whole decode→transform→hash Python pipeline —
+    without the pin both join arms re-run every kernel (§5)."""
+    hashed = hashed.select(id_col, hash_col).localCheckpoint(eager=False)
     width = 63 // bands + 1
     chunks = F.array(*[
         F.struct(

@@ -399,35 +399,38 @@ def line_dedup_filter(df, id_col: str, text_col: str, min_df: int = 2,
     the remaining lines in original order.
 
     Returns ``(id, clean_text, lines_total, lines_removed)``.  Empty
-    lines are structural, never counted or removed.  Scale shape: one
-    posexplode, one line-frequency hash-agg, an equi-join on the line,
-    and a per-doc ordered rebuild (collect_list + array_sort on the
-    line index — bounded by document size, no window).  Linear in
-    total lines; the frequency table is the only shuffle state."""
+    lines are structural, never counted or removed.  Scale shape: a
+    skew-resistant two-phase distinct agg (hash-spread on (_ln, _id))
+    builds the line-frequency table, an equi-join attaches it, and
+    ONE per-doc ordered rebuild carries everything else: doc totals
+    ride the rebuild aggregation (``collect_list`` skips the NULLs
+    that ``when`` assigns to removed lines, so removed lines cross
+    the doc exchange as map-side counters, not payload) — no totals
+    arm, no join back to the doc side."""
     lines = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), sep)).alias("_ix", "_ln"))
-    dfc = (lines.filter(F.col("_ln") != "")
-           .groupBy("_ln").agg(F.count_distinct("_id").alias("_df")))
-    kept = (lines.join(dfc, "_ln", "left")
-            .filter((F.col("_ln") == "") | (F.col("_df") < min_df)
-                    | F.col("_df").isNull()))
-    rebuilt = (kept.groupBy("_id")
-               .agg(F.array_join(
-                        F.transform(
-                            F.array_sort(F.collect_list(
-                                F.struct("_ix", "_ln"))),
-                            lambda s: s["_ln"]),
-                        sep).alias("clean_text"),
-                    F.count("*").alias("_kept")))
-    totals = lines.groupBy("_id").agg(F.count("*").alias("lines_total"))
-    return (totals.join(rebuilt, "_id", "left")
-            .select(F.col("_id").alias(id_col),
-                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-                    F.col("lines_total").cast("long"),
-                    (F.col("lines_total")
-                     - F.coalesce("_kept", F.lit(0)))
-                    .cast("long").alias("lines_removed")))
+    # No pre-agg filter on the empty line (the keep condition's first
+    # disjunct ignores its _df).  The distinct agg stays two-phase on
+    # (_ln, _id) — hash-spreading hot boilerplate lines — rather than
+    # hanging both arms off one repartition("_ln"), which would pin
+    # every occurrence of a hot line to one partition (§2.5).
+    dfc = lines.groupBy("_ln").agg(F.count_distinct("_id").alias("_df"))
+    keep = ((F.col("_ln") == "") | (F.col("_df") < min_df)
+            | F.col("_df").isNull())
+    return (lines.join(dfc, "_ln", "left")
+            .groupBy("_id")
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(keep, F.struct("_ix", "_ln")))),
+                         lambda s: s["_ln"]),
+                     sep).alias("clean_text"),
+                 F.count("*").cast("long").alias("lines_total"),
+                 (F.count("*") - F.count(F.when(keep, F.lit(1))))
+                 .cast("long").alias("lines_removed"))
+            .select(F.col("_id").alias(id_col), "clean_text",
+                    "lines_total", "lines_removed"))
 
 
 def hashed_ngram_features(df, id_col: str, text_col: str,

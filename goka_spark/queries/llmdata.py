@@ -10771,13 +10771,23 @@ def doc_prefix_dup_partners(spark: SparkSession, sf: str) -> DataFrame:
     words = F.filter(F.split(norm, " "), lambda x: x != "")
     base = docs.select("doc_id", words.alias("_ws"),
                        F.size(words).alias("_n"))
-    rows = None
-    for w in (8, 16, 32):
-        r = (base.filter(F.col("_n") >= w)
-             .select("doc_id", F.lit(w).cast("long").alias("width"),
-                     F.md5(F.array_join(F.slice("_ws", 1, w), " "))
-                     .alias("_ph")))
-        rows = r if rows is None else rows.unionByName(r)
+    # r15: the three widths were three union arms, and the join back
+    # re-ran all three — the double regexp normalization executed 6×
+    # per doc.  One scan pass emits every admissible width through a
+    # bounded explode, and the compact (doc, width, md5) frame is
+    # pinned so the group agg and the join-back read it instead of
+    # re-deriving it (§2.4; same rows, same hashes).
+    widths = F.array(*[F.lit(w) for w in (8, 16, 32)])
+    per_w = F.transform(
+        F.filter(widths, lambda w: F.col("_n") >= w),
+        lambda w: F.struct(
+            w.cast("long").alias("width"),
+            F.md5(F.array_join(F.slice("_ws", F.lit(1), w), " "))
+            .alias("_ph")))
+    rows = (base.select("doc_id", F.explode(per_w).alias("_wp"))
+            .select("doc_id", F.col("_wp.width").alias("width"),
+                    F.col("_wp._ph").alias("_ph"))
+            .localCheckpoint(eager=False))
     grp = (rows.groupBy("width", "_ph")
            .agg(F.count("*").alias("_c"),
                 F.min("doc_id").alias("first_doc")))
