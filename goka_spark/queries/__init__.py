@@ -57,24 +57,31 @@ _FRONT = [
     "bpe_token_count",
     "bpe_encode_docs",
     "tokenizer_fertility",
-    "tokenizer_stability",
     "unigram_token_count",
-    "cms_width_sweep",
     "split_contamination_audit",
     "dedup_incremental",
     "chain_merge_audit",
-    "cluster_size_histogram",
     "dup_cluster_source_purity",
     "gate_bias_by_length",
     "source_quality_matrix",
-    # (c) keys the r15 optimization round touches (span postings
-    # memo, ANN fixed-overhead work) — certified in the same sample
+    # (c) keys the r15 optimization round directly rewrites (span
+    # postings memo, ANN fixed-overhead work, scan-stage lm tuples,
+    # line/prefix restructures) — certified in the same sample.
+    # Slots came from pure memo-consumers whose kernels are certified
+    # by siblings above (tokenizer_stability by bpe_token_count/
+    # bpe_encode_docs/tokenizer_fertility; cms_width_sweep by the
+    # ngram_jaccard_*/cms family; cluster_size_histogram by
+    # dedup_clusters/chain_merge_audit) and from ann_recall_eval,
+    # already driver-certified in the r14 sample.
     "dup_span_remove",
     "dup_span_extract",
     "embedding_ivf_ann",
     "embedding_pq_ann",
     "embedding_ivf_pq_ann",
-    "ann_recall_eval",
+    "line_dedup",
+    "doc_prefix_dup_partners",
+    "doc_lm_score",
+    "lm_backoff_score",
 ]
 
 
