@@ -766,7 +766,9 @@ def ngram_jaccard_prefix(df: DataFrame, id_col: str, text_col: str,
 
 
 def dup_ngram_coverage(df: DataFrame, id_col: str, text_col: str,
-                       n: int = 5, min_df: int = 2) -> DataFrame:
+                       n: int = 5, min_df: int = 2,
+                       sh: "DataFrame | None" = None,
+                       dfc: "DataFrame | None" = None) -> DataFrame:
     """Per-document duplicated-n-gram coverage — the corpus-level
     repetition signal behind substring-dedup pipelines (cf. "dedup
     training data" practice): for each document, what fraction of its
@@ -782,9 +784,16 @@ def dup_ngram_coverage(df: DataFrame, id_col: str, text_col: str,
     per-doc aggregate.  Linear in postings; no self-join, no pair
     blow-up — this is the cheap signal you compute on all 100 TB,
     reserving pair mining for the flagged tail."""
-    sh = (shingle_postings(df, id_col, text_col, n)
-          .repartition("sh"))
-    dfc = sh.groupBy("sh").agg(F.count("*").alias("_df"))
+    # ``sh``/``dfc``: session-shared distinct postings and their df
+    # aggregate (the _SH_MEMO contract — the span family's positioned
+    # memo deduped on (doc, sh) is value-identical to the distinct
+    # kernel output); built fresh when absent so the function stays
+    # standalone.
+    if sh is None:
+        sh = (shingle_postings(df, id_col, text_col, n)
+              .repartition("sh"))
+    if dfc is None:
+        dfc = sh.groupBy("sh").agg(F.count("*").alias("_df"))
     return (
         sh.join(dfc, "sh")
         .groupBy("doc")

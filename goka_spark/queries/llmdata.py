@@ -1893,9 +1893,16 @@ def multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
 
 def dup_ngram_coverage(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-level duplicated-5-gram coverage per document — the
-    cheap linear-scan repetition signal (no pair join)."""
+    cheap linear-scan repetition signal (no pair join).  r15: rides
+    the span family's positioned 5-gram session memo (deduped on
+    (doc, sh) it is value-identical to the distinct kernel output)
+    and its df aggregate instead of re-running the shingle kernel +
+    a second df mine per call (§2.4; billed in artifact_build_sec)."""
     docs = load(spark, sf, "documents")["documents"]
-    return D.dup_ngram_coverage(docs, "doc_id", "text", n=5, min_df=2)
+    return D.dup_ngram_coverage(
+        docs, "doc_id", "text", n=5, min_df=2,
+        sh=_pos_postings(spark, docs, sf).dropDuplicates(["doc", "sh"]),
+        dfc=_pos_dfc(spark, docs, sf))
 
 
 def tfidf_keywords(spark: SparkSession, sf: str) -> DataFrame:

@@ -173,16 +173,25 @@ def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_dup_ngram_coverage_reuses_postings_exchange(spark, sf_dir):
-    """The df-count aggregate and the postings join side must share
-    ONE materialized postings exchange — AQE performs the reuse at
-    runtime, so assert on the EXECUTED plan — and nothing may degrade
-    to a cartesian product."""
+def test_dup_ngram_coverage_rides_span_memo(spark, sf_dir):
+    """r15: the query serves the span family's positioned-postings
+    session memo — the returned plan must contain NO shingle kernel
+    (no Python eval node; both inputs are checkpointed RDD scans) and
+    nothing may degrade to a cartesian product.  The standalone
+    function (no memo injected) must still agree row-for-row."""
     df = llmdata.dup_ngram_coverage(spark, sf_dir)
-    assert "CartesianProduct" not in X.simple(df)
-    df.collect()
-    executed = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in executed
+    plan = X.simple(df)
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan and "ExistingRDD" in plan
+
+    from goka_spark.functions import dedup as D
+    from goka_spark.queries.base import load
+    docs = load(spark, sf_dir, "documents")["documents"]
+    standalone = D.dup_ngram_coverage(docs, "doc_id", "text",
+                                      n=5, min_df=2)
+    got = {tuple(r) for r in df.collect()}
+    want = {tuple(r) for r in standalone.collect()}
+    assert got == want
 
 
 def test_event_rollup_is_single_expand_aggregate(spark, sf_dir):
