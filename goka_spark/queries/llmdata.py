@@ -811,13 +811,32 @@ def tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
                     .cast("long").alias("uni_fertility_e6")))
 
 
+#: the LSH-banded cosine near-pairs frame at the corpus-standard
+#: (threshold=0.3, bands=8, bits=8) — dedup_embedding_cosine RETURNS
+#: it and cosine_threshold_sweep's whole curve is filters over it
+#: (its lowest threshold is the same 0.3), so the banded mine + exact
+#: verify runs once per session instead of once per consumer.  NOT in
+#: the frozen warm list: the first timed consumer pays the build
+#: (the r14 verdict ask-3 billing contract).  appId in the key — the
+#: localCheckpoint dies with its SparkContext.
+_COS_PAIRS_MEMO: dict = {}
+
+
+def _cos_pairs_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _COS_PAIRS_MEMO:
+        emb = load(spark, sf, "embeddings")["embeddings"]
+        _COS_PAIRS_MEMO[key] = S.cosine_near_pairs_lsh(
+            emb, "vec_id", "embedding", threshold=0.3,
+            bands=8, bits=8).localCheckpoint(eager=False)
+    return _COS_PAIRS_MEMO[key]
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     """Full-corpus near-pair mining, LSH-banded (no cross join): the
     oracle replicates the coordinate-sign banding bit-exactly, so the
     driver verifies candidates AND cosines."""
-    emb = load(spark, sf, "embeddings")["embeddings"]
-    return S.cosine_near_pairs_lsh(emb, "vec_id", "embedding",
-                                   threshold=0.3, bands=8, bits=8)
+    return _cos_pairs_lsh(spark, sf)
 
 
 def dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
@@ -8308,7 +8327,11 @@ def cosine_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
     dedup_threshold_sweep (C122), read before committing a
     corpus-wide SemDeDup threshold."""
     emb = load(spark, sf, "embeddings")["embeddings"]
-    return S.cosine_threshold_sweep(emb, "vec_id", "embedding")
+    # the lowest sweep threshold (0.3) IS the corpus-standard mine
+    # dedup_embedding_cosine returns — ride the session memo instead
+    # of re-running the banded join + exact verify (guide §2.4)
+    return S.cosine_threshold_sweep(emb, "vec_id", "embedding",
+                                    base=_cos_pairs_lsh(spark, sf))
 
 
 QUERIES["cosine_threshold_sweep"] = cosine_threshold_sweep

@@ -131,3 +131,24 @@ def test_skipgram_single_agg_equals_per_kind_aggs(spark):
             x = (c * n * n) / (t * uni[a] * uni[b])
             want[(a, b)] = (c, math.floor(math.log(x) * 1e6 + 0.5))
     assert out == want
+
+
+def test_cosine_sweep_rides_pairs_memo(spark, sf_dir):
+    """r15: cosine_threshold_sweep's base mine is the session memo
+    dedup_embedding_cosine returns (same threshold=0.3, bands=8,
+    bits=8 call) — the memo-fed sweep must agree row-for-row with the
+    standalone function, and the memo frame itself with a fresh
+    mine."""
+    from goka_spark.functions import similarity as S
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    fresh_pairs = S.cosine_near_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.3, bands=8, bits=8)
+    memo_pairs = llmdata._cos_pairs_lsh(spark, sf_dir)
+    assert sorted(map(tuple, fresh_pairs.collect())) == \
+        sorted(map(tuple, memo_pairs.collect()))
+
+    standalone = S.cosine_threshold_sweep(emb, "vec_id", "embedding")
+    via_memo = S.cosine_threshold_sweep(emb, "vec_id", "embedding",
+                                        base=memo_pairs)
+    assert sorted(map(tuple, standalone.collect())) == \
+        sorted(map(tuple, via_memo.collect()))
