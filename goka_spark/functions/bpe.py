@@ -166,6 +166,70 @@ def bpe_train(df: DataFrame, id_col: str, text_col: str,
     return merges
 
 
+def bpe_train_grouped(dfs: list, id_col: str, text_col: str,
+                      n_merges: int = 24) -> list:
+    """Train one classic BPE merge table PER INPUT FRAME with a single
+    pair-count job per round — merge-identical to calling
+    :func:`bpe_train` on each frame separately (pair counts are
+    grouped by the frame index, so each group's weighted argmax, tie
+    order and early-stop rule see exactly the rows its own training
+    would).  Collapses k independent driver loops (k × n_merges
+    count-and-collect jobs) into one loop (n_merges jobs whose rows
+    carry a group tag) — the per-round job is the same vocab-dict
+    aggregate, just k small groups wide (guide §2.4/§5: the driver
+    round-trips, not the data volume, were the bill)."""
+    from pyspark.sql import Window
+
+    parts = [word_dict(df, text_col).select(
+        F.lit(i).alias("_grp"), "word", "freq",
+        _char_syms(F.col("word")).alias("syms"))
+        for i, df in enumerate(dfs)]
+    vocab = parts[0]
+    for p in parts[1:]:
+        vocab = vocab.unionByName(p)
+    vocab = vocab.localCheckpoint()
+    merges: list = [[] for _ in dfs]
+    active = set(range(len(dfs)))
+    win = Window.partitionBy("_grp").orderBy(
+        F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+    for r in range(n_merges):
+        pairs = (vocab.select(
+            "_grp", "freq",
+            F.explode(F.transform(
+                F.sequence(F.lit(1),
+                           F.greatest(F.size("syms") - 1, F.lit(1))),
+                lambda i: F.struct(
+                    F.try_element_at("syms", i).alias("a"),
+                    F.try_element_at("syms", i + 1).alias("b"))))
+            .alias("p"))
+            .filter(F.col("p.b").isNotNull())
+            .groupBy("_grp", "p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt")))
+        tops = {row["_grp"]: row
+                for row in pairs.withColumn(
+                    "_rn", F.row_number().over(win))
+                .filter(F.col("_rn") == 1).collect()}
+        round_merges = {}
+        for g in sorted(active):
+            row = tops.get(g)
+            if row is None or row["cnt"] < 2:
+                continue  # this group's training has converged
+            merges[g].append((row["a"], row["b"]))
+            round_merges[g] = (row["a"], row["b"])
+        active = set(round_merges)
+        if not active:
+            break
+        expr = F.col("syms")
+        for g, (a, b) in round_merges.items():
+            expr = F.when(F.col("_grp") == g,
+                          _apply_merge(F.col("syms"), a, b)) \
+                .otherwise(expr)
+        vocab = vocab.select("_grp", "word", "freq", expr.alias("syms"))
+        if (r + 1) % 4 == 0:
+            vocab = vocab.localCheckpoint()  # truncate k-deep lineage
+    return merges
+
+
 def bpe_word_tokens(df: DataFrame, id_col: str, text_col: str,
                     merges: list) -> DataFrame:
     """(word, n_tokens, tokens) for every distinct corpus word under

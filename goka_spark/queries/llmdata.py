@@ -407,6 +407,14 @@ def _uni_pieces(docs, sf: str) -> dict:
     return _UNI_PIECES[sf]
 
 
+def _half_slot() -> F.Column:
+    """The md5 resampling slot C175 splits the corpus on — one
+    definition shared by _half_merges and warm_tokenizers."""
+    return F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long") % 100
+
+
 def _half_merges(docs, sf: str, n_merges: int = 16) -> tuple:
     """The two half-corpus BPE merge tables C175 compares — memoized
     per sf (training is a one-time build artifact, the _bpe_merges
@@ -415,9 +423,7 @@ def _half_merges(docs, sf: str, n_merges: int = 16) -> tuple:
 
     key = (sf, "halves", n_merges)
     if key not in _BPE_MERGES:
-        slot = F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
-            16, 10).cast("long") % 100
+        slot = _half_slot()
         _BPE_MERGES[key] = (
             B.bpe_train(docs.filter(slot < 50), "doc_id", "text",
                         n_merges=n_merges),
@@ -437,13 +443,24 @@ def warm_tokenizers(spark: SparkSession, sf: str) -> None:
     from goka_spark.functions import bpe as B
 
     docs = load(spark, sf, "documents")["documents"]
-    _bpe_merges(docs, sf)
+    # classic 16-merge table + the two C175 half-corpus tables in ONE
+    # grouped training loop (16 pair-count jobs instead of 48) —
+    # merge-identical to the three independent bpe_train loops the
+    # memo getters run when cold (pinned by
+    # tests/test_r15_opts.py::test_bpe_train_grouped_*)
+    if (sf, 16) not in _BPE_MERGES or \
+            (sf, "halves", 16) not in _BPE_MERGES:
+        slot = _half_slot()
+        full_m, ha, hb = B.bpe_train_grouped(
+            [docs, docs.filter(slot < 50), docs.filter(slot >= 50)],
+            "doc_id", "text", n_merges=16)
+        _BPE_MERGES.setdefault((sf, 16), full_m)
+        _BPE_MERGES.setdefault((sf, "halves", 16), (ha, hb))
     key = (sf, "batched", 48, 8)
     if key not in _BPE_MERGES:
         _BPE_MERGES[key] = B.bpe_train_batched(
             docs, "doc_id", "text", n_merges=48, batch=8)
     _uni_pieces(docs, sf)
-    _half_merges(docs, sf)
 
 
 def warm_graph_artifacts(spark: SparkSession, sf: str) -> None:

@@ -152,3 +152,34 @@ def test_cosine_sweep_rides_pairs_memo(spark, sf_dir):
                                         base=memo_pairs)
     assert sorted(map(tuple, standalone.collect())) == \
         sorted(map(tuple, via_memo.collect()))
+
+
+def test_bpe_train_grouped_matches_independent_loops(spark, sf_dir):
+    """The grouped trainer (one pair-count job per round for all
+    groups) returns exactly the merges of one bpe_train loop per
+    frame — full corpus + both C175 md5-slot halves, the real
+    warm_tokenizers composition."""
+    from goka_spark.functions import bpe as B
+    docs = load(spark, sf_dir, "documents")["documents"]
+    slot = llmdata._half_slot()
+    frames = [docs, docs.filter(slot < 50), docs.filter(slot >= 50)]
+    grouped = B.bpe_train_grouped(frames, "doc_id", "text", n_merges=16)
+    for g, df in zip(grouped, frames):
+        assert g == B.bpe_train(df, "doc_id", "text", n_merges=16)
+
+
+def test_bpe_train_grouped_early_stop_is_per_group(spark):
+    """A group whose pairs stop repeating converges alone (classic
+    early-stop) while the other keeps training to n_merges."""
+    from goka_spark.functions import bpe as B
+    converges = spark.createDataFrame(
+        [(1, "ab cd ef")], "doc_id long, text string")
+    rich = spark.createDataFrame(
+        [(1, "aaa aaa aaab aaab bbba bbba")],
+        "doc_id long, text string")
+    grouped = B.bpe_train_grouped([converges, rich],
+                                  "doc_id", "text", n_merges=6)
+    assert grouped[0] == B.bpe_train(converges, "doc_id", "text",
+                                     n_merges=6)
+    assert grouped[1] == B.bpe_train(rich, "doc_id", "text", n_merges=6)
+    assert len(grouped[0]) < len(grouped[1])

@@ -53,10 +53,23 @@ step("embedding_ivf_ann first probe", lambda: qs["embedding_ivf_ann"](
 # warm_tokenizers, split out
 from goka_spark.functions import bpe as B  # noqa: E402
 from goka_spark.queries.llmdata import (  # noqa: E402
-    _BPE_MERGES, _bpe_merges, _half_merges, _uni_pieces)
+    _BPE_MERGES, _half_slot, _uni_pieces)
 
 docs = load(spark, sf_dir, "documents")["documents"]
-step("tok:_bpe_merges", lambda: _bpe_merges(docs, sf_dir))
+
+
+def _grouped():
+    if (sf_dir, 16) not in _BPE_MERGES or \
+            (sf_dir, "halves", 16) not in _BPE_MERGES:
+        slot = _half_slot()
+        full_m, ha, hb = B.bpe_train_grouped(
+            [docs, docs.filter(slot < 50), docs.filter(slot >= 50)],
+            "doc_id", "text", n_merges=16)
+        _BPE_MERGES.setdefault((sf_dir, 16), full_m)
+        _BPE_MERGES.setdefault((sf_dir, "halves", 16), (ha, hb))
+
+
+step("tok:bpe_train_grouped(full+halves)", _grouped)
 
 
 def _batched():
@@ -68,7 +81,6 @@ def _batched():
 
 step("tok:bpe_train_batched", _batched)
 step("tok:_uni_pieces", lambda: _uni_pieces(docs, sf_dir))
-step("tok:_half_merges", lambda: _half_merges(docs, sf_dir))
 
 # warm_graph_artifacts, split out
 from goka_spark.queries.llmdata import (  # noqa: E402
